@@ -1,0 +1,79 @@
+"""SparkSession factory.
+
+Replaces the reference's Glue-coupled session construction
+(`artifacts/aws-glue/layer/common_jobs_functions.py:109-120`): Delta extension
+confs are dropped (storage is parquet-native here), the reference's dynamic
+partition overwrite + schema-tolerant merge semantics are preserved via
+native Spark confs, and the datetime-rebase confs survive as CORRECTED (the
+reference pins LEGACY for pre-Gregorian ERP dates; our data model documents
+modern dates only).
+
+Scale posture (local[$SPARK_GRAFT_CPUS] for tests, 1000-executor cluster for
+real runs): AQE on (runtime coalesce + skew-join splitting), modest default
+shuffle partitions locally — on a cluster, callers override
+``shuffle_partitions`` to ~2-3× total cores and rely on AQE coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, and plan re-optimization — the scale levers SURVEY §4 calls out.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dynamic partition overwrite: only partitions present in the incoming
+    # DataFrame are replaced (reference K1, common_jobs_functions.py:312).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Arrow for any pandas interchange (multimodal / sketch verification paths).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics matching the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Modern calendar only (reference pins LEGACY at common_jobs_functions.py:117-119
+    # for pre-1582 ERP dates; synthetic + modern data needs CORRECTED).
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInWrite": "CORRECTED",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.int96RebaseModeInWrite": "CORRECTED",
+    # Read parquet TIMESTAMP(NANOS) as nanosecond longs (Spark has no ns
+    # timestamp type); epoch arithmetic handles both representations.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "cdk-datalake-analytics-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    tests and bench share sizing; on a real cluster pass ``master=None`` with
+    spark-submit providing the master and sizing.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

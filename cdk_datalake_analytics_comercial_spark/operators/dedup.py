@@ -1,0 +1,332 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design: every variant is expressed as DataFrame ops whose shuffles are
+bounded — candidate generation always goes through a *bucketing* key
+(content hash, LSH band hash, SimHash prefix) so the quadratic verification
+join only runs inside small buckets, never across the corpus. All sketch math
+uses built-in higher-order functions (JVM-side); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as T
+
+# Mersenne prime modulus for the universal-hash family h_i(x) = (a_i x + b_i)
+# mod p. 2^31-1 keeps every product a*x < 2^62 — exact in long arithmetic, no
+# decimal intermediates (~50× cheaper per op, and higher-order functions run
+# interpreted, so per-op cost matters).
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a simple LCG (no RNG imports; stable
+    across runs and engines)."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = state % (_MERSENNE_P - 1) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized content hash; keeps the min-id row per
+    group. One shuffle on a 128-bit hash — no skew beyond true duplicates."""
+    hashed = df.withColumn("_fp", T.fingerprint(F.col(text_col)))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def shingle_hashes(col: Column, k: int = 3) -> Column:
+    """Shingles → stable integers in [0, 2^31-1) (md5-prefix parse keeps the
+    value engine-portable and seed-stable, unlike xxhash64)."""
+    return F.transform(
+        T.shingles(col, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("decimal(20,0)")
+        .cast("long") % F.lit(_MERSENNE_P),
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 64, k: int = 3) -> Column:
+    """MinHash signature (array<long>) straight from a text column.
+
+    NOTE: the outer ``transform`` evaluates its lambda once per hash
+    function, and the shingle-hash subtree lives in the lambda body — so the
+    md5 pipeline runs ``num_hashes`` times per row. Fine for one-off use;
+    hot paths must materialize the hash array first and call
+    :func:`minhash_signature_from_hashes` (what ``minhash_lsh_candidates``
+    does)."""
+    return minhash_signature_from_hashes(shingle_hashes(col, k), num_hashes)
+
+
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature from a precomputed hash-array column: the (a, b)
+    params ride as a literal array; per element it's two long ops and a mod —
+    all JVM-side."""
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _hash_params(num_hashes)
+        ]
+    )
+    return F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(hashes, lambda x: (x * p["a"] + p["b"]) % F.lit(_MERSENNE_P))
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
+
+    rows/bands = 4 → threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard. Pipeline:
+    signature → band hashes → explode → self-join per (band, hash) bucket →
+    distinct pairs (id_a < id_b). The join key includes the band index so
+    buckets stay small; the cross-corpus shuffle is on band-hash only.
+    """
+    rows = num_hashes // bands
+    # two-stage with a shuffle barrier: md5-hash shingles once per doc, then
+    # derive the 64-slot signature from the materialized array (without the
+    # barrier, CollapseProject inlines the md5 pipeline into every slot)
+    hashed = df.select(
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), k).alias("_h")
+    ).repartition("id")
+    sig = hashed.select(
+        "id", minhash_signature_from_hashes(F.col("_h"), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice(F.col("sig"), b * rows + 1, rows)),
+            )
+        ).alias("band", "band_hash"),
+    )
+    # materialize once: the self-join would otherwise evaluate the whole
+    # signature pipeline twice (higher-order funcs run interpreted — costly)
+    banded = banded.localCheckpoint(eager=False)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+            "inner",
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash LSH dedup: candidates → exact-Jaccard verify → drop the higher
+    id of each confirmed pair (connected-components-lite: a row survives iff
+    it is not the greater member of any duplicate pair)."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, k
+    ).localCheckpoint(eager=False)
+    # verify only docs that appear in some candidate pair (the LSH point:
+    # the expensive exact-Jaccard join never sees the full corpus)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs = df.join(cand_ids, id_col, "left_semi")
+    verified = ngram_jaccard_pairs(
+        docs, text_col, id_col, k=k, threshold=threshold, candidates=cand
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs.
+
+    Without ``candidates``: inverted-index join — explode distinct shingles,
+    self-join on shingle, count common, |A∪B| = |A|+|B|−common. With
+    ``candidates`` (id_a, id_b): restricted to those pairs (the LSH verify
+    path). Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(T.shingles(F.col(text_col), k)).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    exploded = sh.select("id", F.explode("sh").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+            "inner",
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash(col: Column, num_bits: int = 31, k: int = 3) -> Column:
+    """SimHash of the document: per-bit majority vote over shingle hashes.
+
+    For each bit position, the fingerprint bit is 1 iff more than half the
+    shingle hashes have that bit set (equivalent to the classic ±1 vote sum
+    being positive). The bit loop runs in Python with literal shift amounts
+    (Spark's ``shiftright`` needs a literal); per-bit counting is a JVM-side
+    ``filter``+``size`` over the hash array.
+    """
+    return simhash_from_hashes(shingle_hashes(col, k), num_bits)
+
+
+def simhash_from_hashes(hashes: Column, num_bits: int = 31) -> Column:
+    """SimHash from a precomputed hash array. The expression references
+    ``hashes`` ~num_bits times — pass a *materialized column* (behind a
+    shuffle/cache barrier), not the raw hashing expression, or Catalyst's
+    CollapseProject will duplicate the md5 pipeline into every bit."""
+    bits = min(num_bits, 31)  # shingle hashes are 31-bit
+    n = F.size(hashes)
+
+    def ones_at(i: int) -> Column:
+        # one-arg lambda (a two-arg lambda would receive the element index)
+        return F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
+        )
+
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        ones = ones_at(i)
+        fp = fp.bitwiseOR(
+            F.when(ones * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return fp
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 12,
+    num_bits: int = 31,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the fingerprint's high
+    ``prefix_bits`` (the scale path — candidate pairs only form inside a
+    bucket), then verify hamming ≤ ``max_hamming``. Rotating the prefix
+    (multi-probe) trades recall for cost; single-probe here, documented."""
+    # materialize the hash array behind a shuffle barrier so the md5 pipeline
+    # runs once per doc (simhash_from_hashes references it ~num_bits times)
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col)).alias("_h"),
+    ).repartition("id")
+    fp = hashed.select(
+        "id", simhash_from_hashes(F.col("_h"), num_bits).alias("fp")
+    ).withColumn("bucket", F.shiftright(F.col("fp"), num_bits - prefix_bits))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+            "inner",
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    Brute-force pair join — correct baseline; at corpus scale route through
+    :mod:`.similarity` LSH buckets first and feed the pairs in here.
+    """
+    from .similarity import cosine
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"), "inner")
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk_bruteforce``: exact top-k neighbors; the correctness
+  baseline. Dot products via ``zip_with`` + ``aggregate`` (JVM-side).
+  The small query side is broadcast so the big corpus never shuffles.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane (sign) LSH buckets
+  the corpus; candidates only form inside matching buckets. Hyperplanes are
+  deterministic literals (seeded LCG) so results are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Plan shape: broadcast(queries) × corpus → per-pair cosine → window top-k.
+    One shuffle (the window on query_id); corpus scan stays pruned to
+    (id, vector).
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    scored = q.join(c, F.col("query_id") != F.col("corpus_id"), "inner").select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim (LCG; no RNG
+    state shared with anything else)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+            row.append(state / float(1 << 62) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = 1 iff vec · plane_i > 0."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket are
+    scored. 2^n_planes buckets → candidate set ≈ corpus / 2^n_planes; the
+    bucket join shuffles on the bucket id only. Recall is tunable via
+    ``n_planes`` (fewer planes → bigger buckets → higher recall/cost)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+    ).withColumn("bucket", lsh_signature(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    ).withColumn("bucket", lsh_signature(F.col("qv"), planes))
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket", "inner")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -1,0 +1,134 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in Column functions (JVM-side, codegen);
+no Python UDFs. Designed over the ``documents`` table
+(doc_id, text, lang, source, n_chars) but parameterized by column name.
+
+Operators: normalization, tokenization + token counting (whitespace and a
+BPE-ish regex), quality scoring (length/punct/stopword ratios), language ID
+(stopword-hit heuristic), document fingerprinting (md5 whole-doc + min-shingle
+fingerprint — md5 keeps the fingerprints engine-portable for differential
+testing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish tokenizer regex: word pieces, numbers, or single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+}
+
+
+def normalize(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    t = normalize(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: word pieces + numbers + punctuation marks."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Raw quality signals: char length, token count, mean token length,
+    punctuation ratio, uppercase ratio, English stopword ratio."""
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0))
+    n_upper = F.size(F.regexp_extract_all(col, F.lit(r"[A-Z]"), 0))
+    toks = tokens(col)
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(toks, sw))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))),
+        "punct_ratio": (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))),
+        "upper_ratio": (n_upper.cast("double") / F.greatest(n_chars, F.lit(1))),
+        "stopword_hits": n_stop,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score from the raw signals — a simple,
+    deterministic linear blend (document-filtering heuristic in the style of
+    C4/Gopher rules: enough tokens, sane token length, not punctuation soup).
+    """
+    f = quality_features(col)
+    len_ok = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
+    tok_ok = F.when(
+        (f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_ok + tok_ok + punct_ok) / F.lit(3.0), 6)
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Count of tokens that hit the ``lang`` stopword list (with
+    multiplicity) — the language-ID signal."""
+    toks = tokens(col)
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of stopword hits across the registered
+    languages; ties and zero hits → 'und'. Deterministic (tie-break by
+    language code order)."""
+    hits = [(lang, stopword_hits(col, lang)) for lang in sorted(STOPWORDS)]
+    best = None
+    best_hits = None
+    for lang, h in hits:
+        if best is None:
+            best, best_hits = F.lit(lang), h
+        else:
+            take = h > best_hits
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_hits = F.when(take, h).otherwise(best_hits)
+    return F.when(best_hits > 0, best).otherwise(F.lit("und"))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles (array<string>) of the normalized text; documents
+    shorter than k words yield a single whole-text shingle."""
+    toks = tokens(col)
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n <= k, F.array(F.concat_ws(" ", toks))).otherwise(windows)
+
+
+def fingerprint(col: Column) -> Column:
+    """Whole-document fingerprint: md5 of normalized text (content hash;
+    md5 chosen for engine portability in differential tests)."""
+    return F.md5(normalize(col))
+
+
+def min_shingle_fingerprint(col: Column, k: int = 3) -> Column:
+    """Robust fingerprint: lexicographic min of shingle md5s — a 1-hash
+    MinHash; stable under small edits away from the minimal shingle."""
+    return F.array_min(F.transform(shingles(col, k), F.md5))

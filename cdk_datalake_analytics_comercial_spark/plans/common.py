@@ -1,0 +1,41 @@
+"""Shared helpers for the query plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table (TESTDATA.md layout)."""
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — not readable as a Spark
+        # timestamp; read as nanosecond longs (session-safe: set here so the
+        # driver's own SparkSession gets it too).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum_to_double(sum_dec: Column) -> Column:
+    """High-scale decimal aggregate → double, via decimal(20,6).
+
+    Casting decimal(38,12+) straight to double diverges between engines (the
+    scaled int128 exceeds 2^53 and DuckDB's int128→double path rounds twice);
+    at scale 6 / precision 20 the scaled integer fits in 2^53 for any value
+    the pipelines produce, so the final division is a single correctly-rounded
+    IEEE op in both engines. Oracle twin:
+    ``CAST(CAST(SUM(...) AS DECIMAL(20,6)) AS DOUBLE)``.
+    """
+    return sum_dec.cast("decimal(20,6)").cast("double")
+
+
+def dsum(col: Column, scale: int = 6) -> Column:
+    """Exact decimal sum surfaced as double (see functions.casts.decimal_sum):
+    order-independent, hash-identical across engines."""
+    return F.sum(col.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def dmul2(a: Column, b: Column) -> Column:
+    """Exact two-factor product in decimal(12,6) — covers TPC-H-ish money
+    magnitudes (< 10^6) with 6dp, exact in both Spark and DuckDB."""
+    return a.cast("decimal(12,6)") * b.cast("decimal(12,6)")

@@ -1,0 +1,373 @@
+"""Training-data pipeline queries over ``documents`` and ``embeddings``:
+text analysis, dedup family, similarity search, multimodal plumbing.
+
+Oracle policy: everything SQL-expressible gets a DuckDB oracle that
+recomputes the same deterministic definition (normalization, shingles,
+stopword hits, md5 fingerprints, integer-scaled cosine). Sketch ops whose
+definition is a Spark-side hash pipeline (MinHash signatures, SimHash,
+hyperplane LSH) are registered without oracles (driver records a rows-only
+check) and carry property tests in ``tests/``.
+
+Float policy for similarity: vectors are scaled to integers
+(round(x * 10^6) as long) so dot products and norms are exact integer sums —
+order-independent and bit-identical across engines; the final cosine divides
+identical doubles. Zero tolerance needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+from ..operators import multimodal
+from .common import t
+
+# Shared SQL fragments for the oracle side (DuckDB), mirroring operators.text.
+_SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_SQL_TOKS = f"string_split_regex({_SQL_NORM}, '\\s+')"
+_SQL_STOP = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in text.STOPWORDS.items()
+}
+
+# --------------------------------------------------------------------------
+# Token statistics (whitespace + BPE-ish regex counting).
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        text.bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+_ORACLE_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_TOKS}) END AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# Quality scoring (length / token-shape / punctuation heuristics).
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    f = text.quality_features(F.col("text"))
+    return d.select(
+        F.col("doc_id"),
+        f["n_tokens"].cast("bigint").alias("n_tokens"),
+        F.round(f["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        text.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_TOKS}) END AS BIGINT) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS mean_token_len,
+         CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       ROUND(mean_token_len, 6) AS mean_token_len,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND((least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+             + (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+FROM feat
+"""
+
+# --------------------------------------------------------------------------
+# Language ID (stopword-hit argmax heuristic; ties → first in code order).
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id"),
+        F.col("lang").alias("lang_label"),
+        text.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+_HITS = {
+    lang: f"len(list_filter(toks, tk -> list_contains({_SQL_STOP[lang]}, tk)))"
+    for lang in sorted(text.STOPWORDS)
+}
+_ORACLE_LANG_ID = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+         {_HITS['de']} AS h_de, {_HITS['en']} AS h_en,
+         {_HITS['es']} AS h_es, {_HITS['fr']} AS h_fr
+  FROM base
+)
+SELECT doc_id, lang AS lang_label,
+       CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM hits
+"""
+
+# --------------------------------------------------------------------------
+# Document fingerprints (md5 whole-doc + min-shingle MinHash-1).
+
+_SQL_SHINGLES = f"""
+CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+     ELSE list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[(i+1):(i+3)], ' '))
+END
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id"),
+        text.fingerprint(F.col("text")).alias("fp_md5"),
+        text.min_shingle_fingerprint(F.col("text"), k=3).alias("fp_min_shingle"),
+    )
+
+
+_ORACLE_FINGERPRINT = f"""
+WITH base AS (
+  SELECT doc_id, md5({_SQL_NORM}) AS fp_md5, {_SQL_TOKS} AS toks FROM documents
+)
+SELECT doc_id, fp_md5,
+       list_aggregate(list_transform({_SQL_SHINGLES}, s -> md5(s)), 'min') AS fp_min_shingle
+FROM base
+"""
+
+# --------------------------------------------------------------------------
+# Exact dedup (normalized-content hash, min doc_id survives).
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id").select(
+        "doc_id", F.col("lang").alias("lang"), F.col("source").alias("source")
+    )
+
+
+_ORACLE_DEDUP_EXACT = f"""
+WITH hashed AS (
+  SELECT doc_id, lang, source, md5({_SQL_NORM}) AS fp,
+         ROW_NUMBER() OVER (PARTITION BY md5({_SQL_NORM}) ORDER BY doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source FROM hashed WHERE rn = 1
+"""
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (inverted-index join) — also the verify stage
+# LSH candidates feed into.
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+_ORACLE_NGRAM_JACCARD = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM base
+), sizes AS (
+  SELECT doc_id, len(sh) AS n FROM sh
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5
+"""
+
+# --------------------------------------------------------------------------
+# MinHash + LSH dedup and SimHash near-dups — Spark-side hash pipelines, no
+# SQL oracle (rows-only driver check; property-tested in tests/).
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(d, "text", "doc_id", threshold=0.5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(d, "text", "doc_id", max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity: exact integer-scaled cosine (oracle-checked) and the
+# LSH-bucketed approximate variant (rows-only).
+
+_SCALE = "1000000.0"
+
+
+def _scaled(vec):
+    return F.transform(vec, lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("long"))
+
+
+def _idot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def _exact_cosine_pairs(spark: SparkSession, sf_dir: str, query_limit: int):
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _scaled(F.col("embedding")).alias("iv")
+    )
+    q = e.filter(F.col("vec_id") < query_limit).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("corpus_id"), F.col("iv").alias("cv"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("corpus_id"), "inner")
+        .select(
+            "query_id",
+            "corpus_id",
+            (
+                _idot(F.col("qv"), F.col("cv")).cast("double")
+                / (
+                    F.sqrt(_idot(F.col("qv"), F.col("qv")).cast("double"))
+                    * F.sqrt(_idot(F.col("cv"), F.col("cv")).cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _exact_cosine_pairs(spark, sf_dir, query_limit=20)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "corpus_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+_SQL_IV = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))"
+_SQL_DOT = "CAST(list_sum(list_transform(range(1, 65), i -> a.iv[i] * b.iv[i])) AS DOUBLE)"
+_SQL_NRM = (
+    "sqrt(CAST(list_sum(list_transform(range(1, 65), i -> {s}.iv[i] * {s}.iv[i])) AS DOUBLE))"
+)
+
+_ORACLE_COSINE_TOPK = f"""
+WITH iv AS (
+  SELECT vec_id, {_SQL_IV} AS iv FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+         {_SQL_DOT} / ({_SQL_NRM.format(s='a')} * {_SQL_NRM.format(s='b')}) AS cosine
+  FROM iv a JOIN iv b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, CAST(rank AS INT) AS rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _exact_cosine_pairs(spark, sf_dir, query_limit=1 << 62)
+    return scored.filter(
+        (F.col("query_id") < F.col("corpus_id")) & (F.col("cosine") >= 0.4)
+    ).select(
+        F.col("query_id").alias("id_a"), F.col("corpus_id").alias("id_b"), "cosine"
+    )
+
+
+_ORACLE_EMB_NEAR_DUP = f"""
+WITH iv AS (
+  SELECT vec_id, {_SQL_IV} AS iv FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_SQL_DOT} / ({_SQL_NRM.format(s='a')} * {_SQL_NRM.format(s='b')}) AS cosine
+FROM iv a JOIN iv b ON a.vec_id < b.vec_id
+WHERE {_SQL_DOT} / ({_SQL_NRM.format(s='a')} * {_SQL_NRM.format(s='b')}) >= 0.4
+"""
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via sign-LSH buckets (scale path; rows-only check +
+    recall property test in tests/)."""
+    from ..operators.similarity import lsh_bucket_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return lsh_bucket_topk(e, q, dim=64, k=5, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing: documents' text bytes stand in for media payloads;
+# the fake decoder exercises the real mapInPandas/Arrow path (rows-only).
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return multimodal.image_features(d, fake=True)
+
+
+QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_near_dup": q_emb_near_dup,
+    "emb_lsh_topk": q_emb_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "text_token_stats": _ORACLE_TOKEN_STATS,
+    "text_quality": _ORACLE_QUALITY,
+    "text_lang_id": _ORACLE_LANG_ID,
+    "text_fingerprint": _ORACLE_FINGERPRINT,
+    "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+    "emb_cosine_topk": _ORACLE_COSINE_TOPK,
+    "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
+    # dedup_minhash / dedup_simhash_pairs / emb_lsh_topk / multimodal_features:
+    # Spark-side hash/UDF pipelines — rows-only driver check by design.
+}

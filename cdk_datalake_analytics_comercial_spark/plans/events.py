@@ -1,0 +1,149 @@
+"""Event-stream queries (batch semantics over the ``events`` table).
+
+The reference is batch-only (SURVEY §2.11) — late data is handled by period
+reprocessing. These queries add the windowed-aggregation semantics a modern
+pipeline needs, expressed so the same logic runs in Structured Streaming
+(see ``streaming/windows.py``); here they run in batch with DuckDB oracles.
+
+Time policy: bucket arithmetic happens on integer epoch seconds/micros so
+both engines agree exactly (no timezone or ns-truncation ambiguity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import dsum, t
+
+
+def _epoch_s(df, col="ts"):
+    """Epoch seconds regardless of physical representation — ``ts`` arrives
+    as a nanosecond long (nanosAsLong read of parquet TIMESTAMP(NANOS)) or a
+    timestamp. Integer ``div`` keeps full precision (double division would
+    lose it above 2^53)."""
+    if dict(df.dtypes)[col] == "bigint":
+        return F.expr(f"{col} div 1000000000")
+    return F.col(col).cast("timestamp").cast("long")
+
+
+def _epoch_us(df, col="ts"):
+    if dict(df.dtypes)[col] == "bigint":
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# --------------------------------------------------------------------------
+# Tumbling 5-minute windows per event type.
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    es = _epoch_s(e)
+    bucket = (es - (es % 300)).cast("bigint")
+    return (
+        e.groupBy(bucket.alias("bucket_start"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+_ORACLE_TUMBLING = """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# Sliding windows (10-minute window, 5-minute slide): each event lands in 2
+# buckets — expressed by exploding the bucket assignment, which is exactly
+# what Spark's window(slideDuration) does physically.
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    es = _epoch_s(e)
+    base = (es - (es % 300)).cast("bigint")
+    buckets = F.array(base - 300, base)  # windows [b-300, b+300) and [b, b+600)
+    return (
+        e.select(F.explode(buckets).alias("win_start"), "event_type", "value")
+        .filter(F.col("win_start") >= 0)
+        .groupBy("win_start", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+_ORACLE_SLIDING = """
+WITH base AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS b, event_type, value
+  FROM events
+), ex AS (
+  SELECT unnest([b - 300, b]) AS win_start, event_type, value FROM base
+)
+SELECT win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM ex
+WHERE win_start >= 0
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# Sessionization: 30-minute inactivity gap per user (lag + cumulative-sum
+# session ids — the batch twin of streaming session windows).
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("user_id", _epoch_us(ev).alias("us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gapped = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("us") - F.lag("us").over(w) > 1_800_000_000, F.lit(1)
+        ).otherwise(F.lit(0))
+        + F.when(F.lag("us").over(w).isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return gapped.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count("*").cast("bigint").alias("n_events"),
+        ((F.max("us") - F.min("us")) / F.lit(1_000_000.0)).alias("span_seconds"),
+    )
+
+
+_ORACLE_SESSIONS = """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_us IS NULL THEN 1 WHEN us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (MAX(us) - MIN(us)) / 1000000.0 AS span_seconds
+FROM seq
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_sessions": q_events_sessions,
+}
+
+ORACLES = {
+    "events_tumbling": _ORACLE_TUMBLING,
+    "events_sliding": _ORACLE_SLIDING,
+    "events_sessions": _ORACLE_SESSIONS,
+}

@@ -1,0 +1,776 @@
+"""Relational query set — one named query per reference operator pattern
+(SURVEY §2), expressed over the synthetic TPC-H-ish tables with a DuckDB
+oracle for each.
+
+Numeric policy: measures are summed as exact decimals and surfaced as
+doubles; ratios divide the already-exact doubles (identical IEEE ops on both
+engines) — hash-exact differential testing with zero tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core import magic_dates
+from ..functions.keys import surrogate_key
+from ..functions.transforms import (
+    fn_transform_Case,
+    fn_transform_ClearString,
+    fn_transform_Concatenate,
+)
+from ..operators.relational import rolling_range_join, rolling_window, top1_per_group
+from .common import dmul2, dsum, dsum_to_double, t
+
+# --------------------------------------------------------------------------
+# A1/A2/P3 — hash aggregate with conditional measures (pricing summary).
+# Pattern source: t_venta_detalle.py:205-319 (37 aggregates incl. sign-flip
+# conditional sums, SURVEY A2); filter-early P3.
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = dmul2(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax")).cast("decimal(12,6)")
+    returns_flip = F.when(F.col("l_returnflag") == "R", F.lit(-1)).otherwise(
+        F.lit(1)
+    ) * F.col("l_quantity").cast("decimal(12,4)")
+    out = (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum_to_double(F.sum(disc_price.cast("decimal(38,12)"))).alias("sum_disc_price"),
+            dsum_to_double(F.sum(charge.cast("decimal(38,18)"))).alias("sum_charge"),
+            F.sum(returns_flip.cast("decimal(38,6)")).cast("double").alias("signed_qty"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+    )
+    return out
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) * CAST(1.0 + l_tax AS DECIMAL(12,6)) AS DECIMAL(38,18))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST((CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) * CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(38,6))) AS DOUBLE) AS signed_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS BIGINT), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------------------------------
+# J2/P1/§1.3 — left-join enrichment chain with surrogate keys and period
+# derivation. Pattern source: t_venta.py:28-123 (6 left joins + wide select +
+# concat_ws id + date_format period).
+
+
+def q_sales_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    out = (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .join(n, c.c_nationkey == n.n_nationkey, "left")
+        .join(r, n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            surrogate_key(F.col("o_orderkey"), F.col("o_custkey")).alias("id_venta"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.coalesce(F.col("c_name"), F.lit("SIN CLIENTE")).alias("cliente"),
+            F.coalesce(F.col("n_name"), F.lit("SIN NACION")).alias("nacion"),
+            F.coalesce(F.col("r_name"), F.lit("SIN REGION")).alias("region"),
+            F.date_format(F.col("o_orderdate"), "yyyyMM").alias("id_periodo"),
+            F.col("o_totalprice").cast("decimal(20,6)").cast("double").alias("imp_total"),
+            F.when(F.col("o_orderstatus") == "F", F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("es_cerrado"),
+        )
+    )
+    return out
+
+
+_ORACLE_ENRICH = """
+SELECT CONCAT(TRIM(CAST(o_orderkey AS VARCHAR)), '|', TRIM(CAST(o_custkey AS VARCHAR))) AS id_venta,
+       o_orderkey AS orderkey,
+       o_custkey AS custkey,
+       COALESCE(c_name, 'SIN CLIENTE') AS cliente,
+       COALESCE(n_name, 'SIN NACION') AS nacion,
+       COALESCE(r_name, 'SIN REGION') AS region,
+       strftime(o_orderdate, '%Y%m') AS id_periodo,
+       CAST(CAST(o_totalprice AS DECIMAL(20,6)) AS DOUBLE) AS imp_total,
+       CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS INT) AS es_cerrado
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+# --------------------------------------------------------------------------
+# J3 — full outer join + coalesced key stitching. Pattern source:
+# fact_kpi_detalle.py:98-161 (pedido↔venta alignment with coalesce keys).
+
+
+def q_full_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    open_side = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("ck_open"))
+        .agg(
+            F.count("*").cast("bigint").alias("open_orders"),
+            dsum(F.col("o_totalprice")).alias("open_amount"),
+        )
+    )
+    closed_side = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("ck_closed"))
+        .agg(
+            F.count("*").cast("bigint").alias("closed_orders"),
+            dsum(F.col("o_totalprice")).alias("closed_amount"),
+        )
+    )
+    out = (
+        open_side.join(
+            closed_side, F.col("ck_open") == F.col("ck_closed"), "full"
+        ).select(
+            F.coalesce(F.col("ck_open"), F.col("ck_closed")).alias("custkey"),
+            F.coalesce(F.col("open_orders"), F.lit(0)).cast("bigint").alias("open_orders"),
+            F.coalesce(F.col("closed_orders"), F.lit(0)).cast("bigint").alias("closed_orders"),
+            F.coalesce(F.col("open_amount"), F.lit(0.0)).alias("open_amount"),
+            F.coalesce(F.col("closed_amount"), F.lit(0.0)).alias("closed_amount"),
+        )
+    )
+    return out
+
+
+_ORACLE_FULL_OUTER = """
+WITH open_side AS (
+  SELECT o_custkey AS ck_open, CAST(COUNT(*) AS BIGINT) AS open_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS open_amount
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+), closed_side AS (
+  SELECT o_custkey AS ck_closed, CAST(COUNT(*) AS BIGINT) AS closed_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS closed_amount
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+)
+SELECT COALESCE(ck_open, ck_closed) AS custkey,
+       COALESCE(open_orders, 0) AS open_orders,
+       COALESCE(closed_orders, 0) AS closed_orders,
+       COALESCE(open_amount, 0.0) AS open_amount,
+       COALESCE(closed_amount, 0.0) AS closed_amount
+FROM open_side FULL OUTER JOIN closed_side ON ck_open = ck_closed
+"""
+
+# --------------------------------------------------------------------------
+# J4 — left anti join. Pattern source: t_pedido.py:352-359 (ADES rows not in
+# the main pedido set).
+
+
+def q_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+_ORACLE_LEFT_ANTI = """
+SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+)
+"""
+
+# --------------------------------------------------------------------------
+# J5/A7 — rolling 3-month metric via range self-join over pre-aggregated
+# periods. Pattern source: fact_cliente_venta.py:87-95 (3m), :131-139 (12m).
+
+
+def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.date_format(F.col("o_orderdate"), "yyyyMM").alias("id_periodo"),
+        )
+        .agg(
+            F.sum(
+                dmul2(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("_rev_dec")
+        )
+    )
+
+
+def q_rolling_3m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = _monthly_revenue(spark, sf_dir)
+    out = rolling_range_join(
+        monthly,
+        keys=["custkey"],
+        period_col="id_periodo",
+        aggs=[
+            dsum_to_double(F.sum(F.col("past._rev_dec"))).alias("rev_3m"),
+            F.count("*").cast("bigint").alias("n_months"),
+        ],
+        months_back=2,
+    )
+    return out.select("custkey", "id_periodo", "rev_3m", "n_months")
+
+
+def q_rolling_3m_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idiomatic rangeBetween rewrite of q_rolling_3m — same oracle, proving
+    result equivalence (SURVEY §7.1 step 6)."""
+    monthly = _monthly_revenue(spark, sf_dir)
+    out = rolling_window(
+        monthly,
+        keys=["custkey"],
+        period_col="id_periodo",
+        agg_exprs=[(F.col("_rev_dec"), "_rev_3m_dec")],
+        months_back=2,
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy(
+            F.substring("id_periodo", 1, 4).cast("int") * 12
+            + F.substring("id_periodo", 5, 2).cast("int")
+            - 1
+        )
+        .rangeBetween(-2, 0)
+    )
+    return out.withColumn("n_months", F.count("*").over(w).cast("bigint")).select(
+        "custkey",
+        "id_periodo",
+        dsum_to_double(F.col("_rev_3m_dec")).alias("rev_3m"),
+        "n_months",
+    )
+
+
+_ORACLE_ROLLING_3M = """
+WITH monthly AS (
+  SELECT o_custkey AS custkey, strftime(o_orderdate, '%Y%m') AS id_periodo,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS rev_dec
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), idx AS (
+  SELECT *, CAST(substr(id_periodo,1,4) AS INT)*12 + CAST(substr(id_periodo,5,2) AS INT) - 1 AS mi
+  FROM monthly
+)
+SELECT cur.custkey AS custkey, cur.id_periodo AS id_periodo,
+       CAST(CAST(SUM(past.rev_dec) AS DECIMAL(20,6)) AS DOUBLE) AS rev_3m,
+       CAST(COUNT(*) AS BIGINT) AS n_months
+FROM idx cur JOIN idx past
+  ON cur.custkey = past.custkey AND past.mi BETWEEN cur.mi - 2 AND cur.mi
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# J6 — hierarchy flatten via aliased join ladder. Pattern source:
+# dim_eje_territorial.py:71-106 (NG4→NG3→NG2→NG1 ladder + pipe-path split).
+
+
+def q_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").alias("c")
+    n = t(spark, sf_dir, "nation").alias("n")
+    r = t(spark, sf_dir, "region").alias("r")
+    flat = (
+        c.join(n, F.col("c.c_nationkey") == F.col("n.n_nationkey"), "left")
+        .join(r, F.col("n.n_regionkey") == F.col("r.r_regionkey"), "left")
+        .select(
+            F.col("c.c_custkey").alias("custkey"),
+            F.col("n.n_name").alias("nivel2"),
+            F.col("r.r_name").alias("nivel1"),
+            fn_transform_Concatenate(F.col("r.r_name"), F.col("n.n_name")).alias(
+                "geo_path"
+            ),
+        )
+    )
+    # pipe-path split-and-pick, the reference's split(col,'\\|').getItem(1)
+    return flat.withColumn(
+        "nivel2_from_path", F.split(F.col("geo_path"), r"\|").getItem(1)
+    )
+
+
+_ORACLE_HIERARCHY = """
+SELECT c_custkey AS custkey, n_name AS nivel2, r_name AS nivel1,
+       CONCAT(TRIM(r_name), '|', TRIM(n_name)) AS geo_path,
+       str_split(CONCAT(TRIM(r_name), '|', TRIM(n_name)), '|')[2] AS nivel2_from_path
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+# --------------------------------------------------------------------------
+# W1 — row_number top-1 per group (the reference's only window pattern).
+# Pattern source: m_cliente.py:41-48, dim_cliente.py:46-56.
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    top = top1_per_group(
+        o,
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return top.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+_ORACLE_LATEST_ORDER = """
+SELECT o_custkey AS custkey, o_orderkey AS last_orderkey,
+       o_orderdate AS last_orderdate, o_totalprice AS last_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS orden
+  FROM orders
+) WHERE orden = 1
+"""
+
+# --------------------------------------------------------------------------
+# J7 — join with rank predicate embedded in the join condition. Pattern
+# source: t_pedido_detalle_cumplimiento.py:206-214 (`vtha.orden == 1 &
+# estado.isin(...)` inside the join condition).
+
+
+def q_top1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    ranked = top1_per_group(
+        o,
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+        keep=False,
+    ).alias("v")
+    out = (
+        l.alias("l")
+        .join(
+            ranked,
+            (F.col("l.l_orderkey") == F.col("v.o_orderkey"))
+            & (F.col("v.orden") == 1)
+            & (F.col("v.o_orderstatus").isin("F", "O")),
+            "inner",
+        )
+        .groupBy(F.col("v.o_custkey").alias("custkey"))
+        .agg(
+            dsum(F.col("l.l_quantity")).alias("last_order_qty"),
+            F.count("*").cast("bigint").alias("last_order_lines"),
+        )
+    )
+    return out
+
+
+_ORACLE_TOP1_JOIN = """
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS orden
+  FROM orders
+)
+SELECT v.o_custkey AS custkey,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS last_order_qty,
+       CAST(COUNT(*) AS BIGINT) AS last_order_lines
+FROM lineitem l
+JOIN ranked v ON l.l_orderkey = v.o_orderkey AND v.orden = 1 AND v.o_orderstatus IN ('F','O')
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# A3/A8/P6 — countDistinct + recency + HAVING-style post-agg filter.
+# Pattern source: fact_cliente_venta.py:58-62, t_pedido_detalle_cumplimiento.py:335.
+
+
+def q_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+    )
+    out = (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct(F.col("o_custkey")).cast("bigint").alias("active_customers"),
+            F.count("*").cast("bigint").alias("num_orders"),
+            dsum(F.col("o_totalprice")).alias("total_amount"),
+            F.max(F.col("o_orderdate")).alias("last_order_ts"),
+        )
+        .filter(F.col("num_orders") > 10)
+    )
+    return out
+
+
+_ORACLE_NATION_STATS = """
+SELECT n_name AS nation,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers,
+       CAST(COUNT(*) AS BIGINT) AS num_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_amount,
+       MAX(o_orderdate) AS last_order_ts
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING COUNT(*) > 10
+"""
+
+# --------------------------------------------------------------------------
+# A4 — max()-as-representative attribute pick per group. Pattern source:
+# t_pedido_detalle_cumplimiento.py:236-279 (20+ attribute max() columns).
+
+
+def q_max_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.max("l_returnflag").alias("returnflag"),
+        F.max("l_linestatus").alias("linestatus"),
+        F.max("l_shipdate").alias("last_shipdate"),
+        dsum(F.col("l_quantity")).alias("total_qty"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+_ORACLE_MAX_REPR = """
+SELECT l_orderkey AS orderkey, MAX(l_returnflag) AS returnflag,
+       MAX(l_linestatus) AS linestatus, MAX(l_shipdate) AS last_shipdate,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+# --------------------------------------------------------------------------
+# A7 — aggregate → join of aggregates → re-aggregate (share-of-year).
+# Pattern source: fact_cliente_venta.py:29-127 (chained groupBys).
+
+
+def q_monthly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy").alias("anio"),
+        F.date_format("o_orderdate", "yyyyMM").alias("id_periodo"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("_m_dec"))
+    yearly = monthly.groupBy("anio").agg(F.sum("_m_dec").alias("_y_dec"))
+    out = monthly.join(yearly, "anio", "inner").select(
+        "anio",
+        "id_periodo",
+        F.col("_m_dec").cast("double").alias("month_amount"),
+        F.col("_y_dec").cast("double").alias("year_amount"),
+        F.round(
+            F.col("_m_dec").cast("double") / F.col("_y_dec").cast("double"), 6
+        ).alias("share"),
+    )
+    return out
+
+
+_ORACLE_MONTHLY_SHARE = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y') AS anio, strftime(o_orderdate, '%Y%m') AS id_periodo,
+         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS m_dec
+  FROM orders GROUP BY 1, 2
+), yearly AS (
+  SELECT anio, SUM(m_dec) AS y_dec FROM monthly GROUP BY 1
+)
+SELECT monthly.anio AS anio, id_periodo,
+       CAST(m_dec AS DOUBLE) AS month_amount,
+       CAST(y_dec AS DOUBLE) AS year_amount,
+       ROUND(CAST(m_dec AS DOUBLE) / CAST(y_dec AS DOUBLE), 6) AS share
+FROM monthly JOIN yearly ON monthly.anio = yearly.anio
+"""
+
+# --------------------------------------------------------------------------
+# U1/U2 — union of level projections + distinct. Pattern source:
+# m_eje_territorial.py:163, m_estructura_comercial.py:196-197.
+
+
+def q_union_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region").select(
+        F.lit("region").alias("nivel"), F.col("r_name").alias("nombre")
+    )
+    n = t(spark, sf_dir, "nation").select(
+        F.lit("nation").alias("nivel"), F.col("n_name").alias("nombre")
+    )
+    s = t(spark, sf_dir, "customer").select(
+        F.lit("segment").alias("nivel"), F.col("c_mktsegment").alias("nombre")
+    )
+    return r.unionByName(n).unionByName(s).distinct()
+
+
+_ORACLE_UNION_LEVELS = """
+SELECT DISTINCT * FROM (
+  SELECT 'region' AS nivel, r_name AS nombre FROM region
+  UNION ALL SELECT 'nation', n_name FROM nation
+  UNION ALL SELECT 'segment', c_mktsegment FROM customer
+)
+"""
+
+# --------------------------------------------------------------------------
+# P4/P5/P8 — negation/null-guard predicates + derived columns. Pattern
+# source: t_venta.py:44-47 (~isin + coalesce=='F'), m_cliente.py:106-108.
+
+
+def q_predicate_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    out = (
+        o.filter(
+            (~F.col("o_orderpriority").isin("5-LOW", "4-NOT SPECIFIED"))
+            & (F.coalesce(F.col("o_orderstatus"), F.lit("F")) != "P")
+            & F.col("o_custkey").isNotNull()
+        )
+        .withColumn(
+            "prioridad", F.split(F.col("o_orderpriority"), "-").getItem(0).cast("int")
+        )
+        .withColumn("es_urgente", (F.col("prioridad") == 1).cast("int"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderstatus").alias("status"),
+            "prioridad",
+            "es_urgente",
+        )
+    )
+    return out
+
+
+_ORACLE_PREDICATES = """
+SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+       CAST(str_split(o_orderpriority, '-')[1] AS INT) AS prioridad,
+       CAST(CAST(str_split(o_orderpriority, '-')[1] AS INT) = 1 AS INT) AS es_urgente
+FROM orders
+WHERE o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
+  AND COALESCE(o_orderstatus, 'F') <> 'P'
+  AND o_custkey IS NOT NULL
+"""
+
+# --------------------------------------------------------------------------
+# P2 — declared-schema cast projection (every reference job's epilogue).
+# Pattern source: t_venta.py:127-166.
+
+
+def q_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return l.select(
+        surrogate_key(F.col("l_orderkey"), F.col("l_linenumber")).alias("id_linea"),
+        F.col("l_orderkey").cast("bigint").alias("orderkey"),
+        F.col("l_linenumber").cast("int").alias("linenumber"),
+        F.col("l_quantity").cast("decimal(38,12)").cast("decimal(20,6)").cast("double").alias("cantidad"),
+        F.col("l_extendedprice").cast("decimal(38,12)").cast("decimal(20,6)").cast("double").alias("imp_bruto"),
+        F.col("l_returnflag").cast("string").alias("flg_devolucion"),
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias("fecha_despacho"),
+    )
+
+
+_ORACLE_CAST_PROJ = """
+SELECT CONCAT(TRIM(CAST(l_orderkey AS VARCHAR)), '|', TRIM(CAST(l_linenumber AS VARCHAR))) AS id_linea,
+       CAST(l_orderkey AS BIGINT) AS orderkey,
+       CAST(l_linenumber AS INT) AS linenumber,
+       CAST(l_quantity AS DECIMAL(38,12)) AS cantidad,
+       CAST(l_extendedprice AS DECIMAL(38,12)) AS imp_bruto,
+       CAST(l_returnflag AS VARCHAR) AS flg_devolucion,
+       strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS fecha_despacho
+FROM lineitem
+"""
+
+# --------------------------------------------------------------------------
+# §1.4/§2.10 — BigMagic date codecs (both pivots) + HHMMSS time encoding.
+# Pattern source: loadt_stage_to_redshift.py:80-104,
+# load_with_query_python.py:244-258.
+
+
+def q_magic_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format(d, "yyyy-MM-dd").alias("fecha"),
+        magic_dates.date_to_magic_2008(d).alias("fecha_magic_2008"),
+        magic_dates.date_to_magic_1900(d).alias("fecha_magic_1900"),
+        F.date_format(
+            magic_dates.magic_2008_to_date(magic_dates.date_to_magic_2008(d)),
+            "yyyy-MM-dd",
+        ).alias("fecha_rt"),
+        magic_dates.time_to_hhmmss(F.col("o_orderdate")).alias("hora_magic"),
+    )
+
+
+_ORACLE_MAGIC_DATES = """
+SELECT o_orderkey AS orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS fecha,
+       CAST(datediff('day', DATE '2008-01-01', CAST(o_orderdate AS DATE)) + 733042 AS INT) AS fecha_magic_2008,
+       CAST(datediff('day', DATE '1900-01-01', CAST(o_orderdate AS DATE)) + 693596 AS INT) AS fecha_magic_1900,
+       strftime(DATE '2008-01-01' + CAST(datediff('day', DATE '2008-01-01', CAST(o_orderdate AS DATE)) AS INT), '%Y-%m-%d') AS fecha_rt,
+       CAST(strftime(o_orderdate, '%H%M%S') AS INT) AS hora_magic
+FROM orders
+"""
+
+# --------------------------------------------------------------------------
+# §2.10 — fn_transform_* library showcase (ClearString / Concatenate / Case).
+# Pattern source: datalake_columns_bigmagic.csv transform specs,
+# loadt_stage_to_redshift.py:40-138.
+
+
+def q_fn_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    seg_map = {"BUILDING": "B", "AUTOMOBILE": "A", "MACHINERY": "M"}
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        fn_transform_ClearString(F.col("c_name")).alias("nombre"),
+        fn_transform_Concatenate(F.col("c_custkey"), F.col("c_mktsegment")).alias(
+            "id_cliente"
+        ),
+        fn_transform_Case(F.col("c_mktsegment"), seg_map, default="X").alias(
+            "cod_segmento"
+        ),
+    )
+
+
+_ORACLE_FN_TRANSFORMS = """
+SELECT c_custkey AS custkey,
+       NULLIF(TRIM(c_name), '') AS nombre,
+       CONCAT(TRIM(CAST(c_custkey AS VARCHAR)), '|', TRIM(c_mktsegment)) AS id_cliente,
+       CASE TRIM(c_mktsegment) WHEN 'BUILDING' THEN 'B' WHEN 'AUTOMOBILE' THEN 'A'
+            WHEN 'MACHINERY' THEN 'M' ELSE 'X' END AS cod_segmento
+FROM customer
+"""
+
+# --------------------------------------------------------------------------
+# J9/A1 — broadcast-dim join + aggregate. Pattern source: t_venta.py:40
+# (cached small dims; Catalyst broadcasts ≤10MB — here made explicit).
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    out = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "inner")
+        .filter(F.col("p_size") < 30)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            dsum_to_double(
+                F.sum(
+                    dmul2(
+                        F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")
+                    ).cast("decimal(38,12)")
+                )
+            ).alias("revenue"),
+            F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        )
+    )
+    return out
+
+
+_ORACLE_BRAND_REVENUE = """
+SELECT p_brand AS brand,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS DECIMAL(20,6)) AS DOUBLE) AS revenue,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size < 30
+GROUP BY p_brand
+"""
+
+# --------------------------------------------------------------------------
+# J1 — multi-key inner equi join (fact↔detail conformance). Pattern source:
+# t_pedido_detalle_cumplimiento.py:354-372 (7-key + 3-key equi joins).
+
+
+def q_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").alias("l")
+    # derive a second "detail" projection and re-join on a 3-part key
+    d = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_qty_dec"))
+        .alias("d")
+    )
+    out = (
+        l.join(
+            d,
+            (F.col("l.l_orderkey") == F.col("d.l_orderkey"))
+            & (F.col("l.l_partkey") == F.col("d.l_partkey"))
+            & (F.col("l.l_suppkey") == F.col("d.l_suppkey")),
+            "inner",
+        )
+        .select(
+            F.col("l.l_orderkey").alias("orderkey"),
+            F.col("l.l_partkey").alias("partkey"),
+            F.col("l.l_suppkey").alias("suppkey"),
+            F.col("l.l_linenumber").alias("linenumber"),
+            F.col("l.l_quantity").alias("quantity"),
+            F.col("d._qty_dec").cast("double").alias("group_qty"),
+        )
+    )
+    return out
+
+
+_ORACLE_MULTIKEY = """
+WITH d AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty_dec
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT l.l_orderkey AS orderkey, l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+       l.l_linenumber AS linenumber, l.l_quantity AS quantity,
+       CAST(d.qty_dec AS DOUBLE) AS group_qty
+FROM lineitem l
+JOIN d ON l.l_orderkey = d.l_orderkey AND l.l_partkey = d.l_partkey AND l.l_suppkey = d.l_suppkey
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "sales_enrichment": q_sales_enrichment,
+    "full_outer_coalesce": q_full_outer_coalesce,
+    "left_anti": q_left_anti,
+    "rolling_3m": q_rolling_3m,
+    "rolling_3m_window": q_rolling_3m_window,
+    "hierarchy_flatten": q_hierarchy_flatten,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "top1_join": q_top1_join,
+    "nation_stats": q_nation_stats,
+    "max_representative": q_max_representative,
+    "monthly_share": q_monthly_share,
+    "union_levels": q_union_levels,
+    "predicate_filters": q_predicate_filters,
+    "cast_projection": q_cast_projection,
+    "magic_dates": q_magic_dates,
+    "fn_transforms": q_fn_transforms,
+    "brand_revenue": q_brand_revenue,
+    "multikey_join": q_multikey_join,
+}
+
+ORACLES = {
+    "pricing_summary": _ORACLE_PRICING,
+    "sales_enrichment": _ORACLE_ENRICH,
+    "full_outer_coalesce": _ORACLE_FULL_OUTER,
+    "left_anti": _ORACLE_LEFT_ANTI,
+    "rolling_3m": _ORACLE_ROLLING_3M,
+    "rolling_3m_window": _ORACLE_ROLLING_3M,
+    "hierarchy_flatten": _ORACLE_HIERARCHY,
+    "latest_order_per_customer": _ORACLE_LATEST_ORDER,
+    "top1_join": _ORACLE_TOP1_JOIN,
+    "nation_stats": _ORACLE_NATION_STATS,
+    "max_representative": _ORACLE_MAX_REPR,
+    "monthly_share": _ORACLE_MONTHLY_SHARE,
+    "union_levels": _ORACLE_UNION_LEVELS,
+    "predicate_filters": _ORACLE_PREDICATES,
+    "cast_projection": _ORACLE_CAST_PROJ,
+    "magic_dates": _ORACLE_MAGIC_DATES,
+    "fn_transforms": _ORACLE_FN_TRANSFORMS,
+    "brand_revenue": _ORACLE_BRAND_REVENUE,
+    "multikey_join": _ORACLE_MULTIKEY,
+}

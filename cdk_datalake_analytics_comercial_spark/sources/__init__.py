@@ -1,0 +1,15 @@
+from .registry import SchemaRegistry
+from .reader import read_table, read_csv, read_jdbc_partitioned, table_exists
+from .writer import write_table, insert_into_table, merge_upsert, merge_update_only
+
+__all__ = [
+    "SchemaRegistry",
+    "read_table",
+    "read_csv",
+    "read_jdbc_partitioned",
+    "table_exists",
+    "write_table",
+    "insert_into_table",
+    "merge_upsert",
+    "merge_update_only",
+]

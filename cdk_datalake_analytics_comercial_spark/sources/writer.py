@@ -1,0 +1,147 @@
+"""Table writers: dynamic partition overwrite, append, merge upsert.
+
+Replaces the reference's Delta sink family (`common_jobs_functions.py:279-349`)
+with parquet-native equivalents:
+
+- K1 overwrite  → ``mode("overwrite")`` + ``partitionOverwriteMode=dynamic``
+  (same semantics as the reference's `:312`): only partitions present in the
+  incoming DataFrame are replaced — at 100 TB a period refresh rewrites just
+  the touched ``id_pais/id_periodo`` partitions, never the table.
+- K2 append     → ``mode("append")``.
+- K3/K4 merge   → Delta MERGE is emulated with a partition-restricted
+  read → anti-join → union → dynamic overwrite. The rewrite scope is the set
+  of partitions the source touches (collected as a small driver-side list —
+  bounded by partition count, not data size), mirroring Delta's file-pruned
+  MERGE. For unpartitioned tables the whole table is rewritten (same as a
+  Delta MERGE that matches every file).
+
+Merge invariant (SURVEY §7.3.3): the source must be unique on the merge keys;
+we pre-dedup defensively, as the reference guarantees via its W1/A6 dedup.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Overwrite write; with partitions this is a *dynamic* partition
+    overwrite (reference K1, `common_jobs_functions.py:306-319`)."""
+    writer = df.write.format("parquet").mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by).option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    writer.save(path)
+
+
+def insert_into_table(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Append (reference K2, `common_jobs_functions.py:339-349`)."""
+    write_table(df, path, partition_by, mode="append")
+
+
+def _dedup_on_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Keep one row per key tuple. Uses a deterministic arbitrary pick
+    (max over a stable struct of the remaining columns) so repeated runs
+    agree — the reference's upstream W1 dedup makes this a no-op normally."""
+    other = [c for c in df.columns if c not in keys]
+    if not other:
+        return df.dropDuplicates(keys)
+    packed = df.select(*keys, F.struct(*other).alias("_rest"))
+    picked = packed.groupBy(*keys).agg(F.max("_rest").alias("_rest"))
+    return picked.select(*keys, *[F.col(f"_rest.{c}").alias(c) for c in other])
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Break lineage so we can overwrite a path we just read from.
+
+    ``localCheckpoint(eager=True)`` pins the merged result to executor
+    storage; on a cluster with unreliable executors, swap for a staging-dir
+    write (same cost: one extra write of the affected partitions only).
+    """
+    return df.localCheckpoint(eager=True)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """MERGE: matched → update all, not matched → insert all.
+
+    Reference K3 (`common_jobs_functions.py:279-304`:
+    ``whenMatchedUpdateAll().whenNotMatchedInsertAll()`` on an equality
+    condition over ``keys``).
+    """
+    from .reader import table_exists
+
+    source = _dedup_on_keys(source, keys)
+
+    if not table_exists(spark, path):
+        write_table(source, path, partition_by)
+        return
+
+    target = spark.read.parquet(path)
+
+    if partition_by:
+        # Restrict the rewrite to partitions the source touches (file-pruned
+        # MERGE): small driver-side collect, one value-tuple per partition.
+        touched = [r.asDict() for r in source.select(*partition_by).distinct().collect()]
+        if not touched:
+            return
+        pred = None
+        for t in touched:
+            clause = None
+            for c in partition_by:
+                eq = F.col(c).eqNullSafe(F.lit(t[c]))
+                clause = eq if clause is None else (clause & eq)
+            pred = clause if pred is None else (pred | clause)
+        target_slice = target.filter(pred)
+    else:
+        target_slice = target
+
+    kept = target_slice.join(source.select(*keys), keys, "left_anti")
+    merged = _materialize(kept.unionByName(source.select(*target_slice.columns)))
+    write_table(merged, path, partition_by)
+
+
+def merge_update_only(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """MERGE with ``whenMatchedUpdateAll`` only — unmatched source rows are
+    dropped (reference K4, `common_jobs_functions.py:323-337`)."""
+    from .reader import table_exists
+
+    if not table_exists(spark, path):
+        return
+    target = spark.read.parquet(path)
+    source = _dedup_on_keys(source, keys)
+    # rows of source that exist in target (these update), rest of target kept
+    matched = source.join(target.select(*keys).distinct(), keys, "left_semi")
+    merge_upsert(spark, matched, path, keys, partition_by)
+
+
+def write_csv_gzip(df: DataFrame, path: str, header: bool = True) -> None:
+    """Raw CSV.gz sink (reference K7,
+    `utils/extract_data/load_with_query_python.py:288-294`)."""
+    df.write.mode("overwrite").option("header", str(header).lower()).option(
+        "compression", "gzip"
+    ).csv(path)

@@ -1,0 +1,114 @@
+"""Local differential harness mimicking the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, column names, and
+order-insensitive values (strict: exact equality after canonicalization).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df):
+    """pandas DataFrame → sorted list of row tuples with canonical values."""
+    import math
+
+    import pandas as pd
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append("NULL")
+            elif isinstance(v, float):
+                vals.append(repr(v))
+            elif hasattr(v, "isoformat"):
+                vals.append(v.isoformat())
+            else:
+                vals.append(str(v))
+        rows.append(tuple(vals))
+    rows.sort()
+    return rows
+
+
+def main():
+    import duckdb
+
+    from cdk_datalake_analytics_comercial_spark.core import get_spark
+    from cdk_datalake_analytics_comercial_spark.plans import ORACLES, QUERIES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in ORACLES:
+            print(f"rows-only  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            if len(sdf) == 0:
+                failures.append(name)
+                print(f"FAIL  {name}: zero rows")
+            continue
+        try:
+            odf = con.sql(ORACLES[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        ok = True
+        if len(sdf) != len(odf):
+            ok = False
+            print(f"FAIL  {name}: rows spark={len(sdf)} oracle={len(odf)}")
+        elif sorted(sdf.columns) != sorted(odf.columns):
+            ok = False
+            print(
+                f"FAIL  {name}: cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+            )
+        else:
+            a, b = canon(sdf), canon(odf)
+            if a != b:
+                ok = False
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+        if ok:
+            print(f"OK    {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+        else:
+            failures.append(name)
+
+    print()
+    if failures:
+        print(f"FAILURES ({len(failures)}): {failures}")
+        sys.exit(1)
+    print("all queries match")
+
+
+if __name__ == "__main__":
+    main()
