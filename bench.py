@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed against the ``noop`` sink so the *full* plan runs
+(a count() would let Catalyst prune the projections away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the operator families that dominate 100 TB workloads —
+# wide aggregation, join chains, windows, rolling metrics, dedup sketches,
+# text analysis, similarity search, event sessionization.
+HEADLINE = [
+    "pricing_summary",
+    "sales_enrichment",
+    "multikey_join",
+    "rolling_3m_window",
+    "top1_join",
+    "nation_stats",
+    "brand_revenue",
+    "monthly_share",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_token_stats",
+    "text_lang_id",
+    "emb_cosine_topk",
+    "events_tumbling",
+    "events_sessions",
+]
+
+
+def main() -> None:
+    from cdk_datalake_analytics_comercial_spark.core import get_spark
+    from cdk_datalake_analytics_comercial_spark.plans import QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file listing so per-query times measure the plans
+    QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

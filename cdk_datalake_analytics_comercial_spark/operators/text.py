@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .expr import let
+
 # A BPE-ish tokenizer regex: word pieces, numbers, or single punctuation.
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -112,14 +114,26 @@ def lang_id(col: Column) -> Column:
 
 def shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles (array<string>) of the normalized text; documents
-    shorter than k words yield a single whole-text shingle."""
-    toks = tokens(col)
-    n = F.size(toks)
-    windows = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    return F.when(n <= k, F.array(F.concat_ws(" ", toks))).otherwise(windows)
+    shorter than k words yield a single whole-text shingle.
+
+    Built as a zip_with chain over k shifted slices of the (let-bound) token
+    array: O(k) array passes per row. The naive
+    ``transform(sequence, i -> concat_ws(slice(toks, i+1, k)))`` form
+    re-evaluates the tokenization per shingle (HOF lambdas re-run captured
+    subtrees per element) — ~10× slower.
+    """
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        m = n - (k - 1)
+        sh = F.slice(toks, 1, m)
+        for i in range(1, k):
+            sh = F.zip_with(
+                sh, F.slice(toks, i + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return F.when(n <= k, F.array(F.concat_ws(" ", toks))).otherwise(sh)
+
+    return let(tokens(col), build)
 
 
 def fingerprint(col: Column) -> Column:
