@@ -29,6 +29,10 @@ _DEFAULTS = {
     # Dynamic partition overwrite: only partitions present in the incoming
     # DataFrame are replaced (reference K1, common_jobs_functions.py:312).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Partition dir values stay strings on read (Delta keeps the partition
+    # schema in its log; plain-parquet inference would turn the reference's
+    # string id_periodo='202401' into an int and break merge keys).
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     # Arrow for any pandas interchange (multimodal / sketch verification paths).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamp semantics matching the DuckDB oracle.

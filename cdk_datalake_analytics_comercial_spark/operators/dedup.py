@@ -275,28 +275,52 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 12,
     num_bits: int = 31,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the fingerprint's high
-    ``prefix_bits`` (the scale path — candidate pairs only form inside a
-    bucket), then verify hamming ≤ ``max_hamming``. Rotating the prefix
-    (multi-probe) trades recall for cost; single-probe here, documented."""
-    # materialize the hash array behind a shuffle barrier so the md5 pipeline
-    # runs once per doc (simhash_from_hashes references it ~num_bits times)
+    """Near-dup pairs by SimHash with pigeonhole band-bucketing.
+
+    The fingerprint is split into ``max_hamming + 1`` disjoint bit bands; a
+    pair with hamming ≤ ``max_hamming`` has fewer differing bits than bands,
+    so by pigeonhole it agrees on at least one *full* band — bucketing on
+    (band index, band bits) gives **guaranteed recall** while candidate
+    pairs still only form inside small buckets (the classic web-dedup
+    rotation/block scheme). Cost: each doc explodes into ``bands`` bucket
+    rows; the cross-corpus shuffle key is (band, band_bits).
+    """
+    bands = max_hamming + 1
+    width = num_bits // bands
+    # materialize the hash array behind a shuffle barrier so the shingle
+    # pipeline runs once per doc (simhash_from_hashes references it ~num_bits
+    # times)
     hashed = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col)).alias("_h"),
     ).repartition("id")
-    fp = hashed.select(
-        "id", simhash_from_hashes(F.col("_h"), num_bits).alias("fp")
-    ).withColumn("bucket", F.shiftright(F.col("fp"), num_bits - prefix_bits))
-    a = fp.alias("a")
-    b = fp.alias("b")
+    fp = hashed.select("id", simhash_from_hashes(F.col("_h"), num_bits).alias("fp"))
+
+    def band_bits(i: int) -> Column:
+        # band i covers bits [i*width, (i+1)*width); the last band absorbs
+        # the remainder bits so every bit belongs to exactly one band
+        w = width + (num_bits - bands * width if i == bands - 1 else 0)
+        return F.shiftrightunsigned(F.col("fp"), i * width).bitwiseAND(
+            F.lit((1 << w) - 1).cast("long")
+        )
+
+    banded = fp.select(
+        "id",
+        "fp",
+        F.posexplode(F.array(*[band_bits(i) for i in range(bands)])).alias(
+            "band", "bits"
+        ),
+    ).localCheckpoint(eager=False)
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
             "inner",
         )
         .select(
@@ -305,6 +329,7 @@ def simhash_near_dups(
             hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

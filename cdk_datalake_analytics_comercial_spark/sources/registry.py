@@ -27,7 +27,9 @@ _SIMPLE_TYPES: dict[str, T.DataType] = {
     "smallint": T.ShortType(),
     "bigint": T.LongType(),
     "double": T.DoubleType(),
-    "float": T.DoubleType(),
+    # the reference registry folds float→double (its ERP columns are all
+    # "double"); we keep FloatType so array<float> embedding schemas survive
+    "float": T.FloatType(),
     "boolean": T.BooleanType(),
     "date": T.DateType(),
     "timestamp": T.TimestampType(),

@@ -1,0 +1,114 @@
+"""Dedup operator tests: exact, MinHash signatures/LSH, SimHash,
+n-gram Jaccard, embedding near-dup — verified against Python-computed
+expectations on tiny corpora."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.operators import dedup as D
+
+
+def docs_df(spark, docs):
+    return spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+
+
+def py_shingles(text, k=3):
+    toks = text.lower().split()
+    if len(toks) <= k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def py_jaccard(a, b, k=3):
+    sa, sb = py_shingles(a, k), py_shingles(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = docs_df(spark, ["same doc", "same doc", "other doc", "Same   DOC!"])
+    out = D.exact_dedup(df)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # doc 0/1/3 normalize identically → keep id 0; doc 2 unique
+    assert ids == [0, 2]
+
+
+def test_minhash_similarity_estimates_jaccard(spark):
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    c = "completely different content about astronomy and planetary orbital mechanics"
+    df = docs_df(spark, [a, b, c])
+    sig = df.select(
+        "doc_id", D.minhash_signature(F.col("text"), num_hashes=128).alias("sig")
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    est_ab = sum(x == y for x, y in zip(sigs[0], sigs[1])) / 128
+    est_ac = sum(x == y for x, y in zip(sigs[0], sigs[2])) / 128
+    true_ab = py_jaccard(a, b)
+    assert abs(est_ab - true_ab) < 0.2
+    assert est_ac < 0.1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    near1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+    near2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda nu"
+    far = "one two three four five six seven eight nine ten eleven twelve"
+    df = docs_df(spark, [near1, near2, far])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(df, num_hashes=64, bands=16).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_dedup_drops_higher_id(spark):
+    near1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+    near2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda nu"
+    far = "one two three four five six seven eight nine ten eleven twelve"
+    df = docs_df(spark, [near1, near2, far])
+    out = sorted(r["doc_id"] for r in D.minhash_dedup(df, threshold=0.5).collect())
+    assert out == [0, 2]
+
+
+def test_ngram_jaccard_exact_values(spark):
+    a = "w1 w2 w3 w4 w5"
+    b = "w1 w2 w3 w4 w6"
+    c = "x1 x2 x3 x4 x5"
+    df = docs_df(spark, [a, b, c])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert abs(got[(0, 1)] - py_jaccard(a, b)) < 1e-12
+    assert (0, 2) not in got  # zero overlap never emits a pair
+
+
+def test_simhash_near_dups(spark):
+    near1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu nu xi"
+    near2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu nu omega"
+    far = "red orange yellow green blue indigo violet cyan magenta black white grey"
+    df = docs_df(spark, [near1, near2, far])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dups(df, max_hamming=10).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = docs_df(spark, ["same words here now", "same words here now"])
+    pairs = D.simhash_near_dups(df, max_hamming=0).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_embedding_near_dups(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # ~same direction as 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dups(df, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}

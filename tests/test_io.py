@@ -1,0 +1,168 @@
+"""IO tests: catalog resolution, multi-instance stage union, empty-table
+fallback, dynamic partition overwrite isolation, merge upsert idempotence
+(SURVEY §5 property tests)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.core.catalog import Catalog, Layer
+from cdk_datalake_analytics_comercial_spark.sources.reader import read_table, table_exists
+from cdk_datalake_analytics_comercial_spark.sources.registry import SchemaRegistry, parse_type
+from cdk_datalake_analytics_comercial_spark.sources.writer import (
+    insert_into_table,
+    merge_update_only,
+    merge_upsert,
+    write_table,
+)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_catalog_paths(lake):
+    assert lake.table_path(Layer.DOMAIN, "m_cliente").endswith("domain/m_cliente")
+    assert lake.table_path("stage", "venta", "pe01").endswith("stage/venta/pe01")
+
+
+def test_parse_type():
+    assert parse_type("numeric(38,12)").simpleString() == "decimal(38,12)"
+    assert parse_type("varchar").simpleString() == "string"
+    assert parse_type("array<float>").simpleString() == "array<float>"
+    assert parse_type("wat") .simpleString() == "string"
+
+
+def test_multi_instance_union(spark, lake):
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], "id int, v string")
+    df1.write.parquet(lake.table_path(Layer.STAGE, "t", "inst1"))
+    df2.write.parquet(lake.table_path(Layer.STAGE, "t", "inst2"))
+    out = read_table(spark, lake, Layer.STAGE, "t")
+    assert rows(out) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_multi_instance_union_missing_columns(spark, lake):
+    # instances can drift in schema; unionByName(allowMissingColumns) pads
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    df2 = spark.createDataFrame([(2,)], "id int")
+    df1.write.parquet(lake.table_path(Layer.STAGE, "t", "i1"))
+    df2.write.parquet(lake.table_path(Layer.STAGE, "t", "i2"))
+    out = read_table(spark, lake, Layer.STAGE, "t")
+    assert rows(out) == [(1, "a"), (2, None)]
+
+
+def test_empty_table_fallback(spark, lake):
+    reg = SchemaRegistry({"ghost": [("id", "int"), ("name", "varchar")]})
+    out = read_table(spark, lake, Layer.DOMAIN, "ghost", registry=reg)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "name"]
+    # joins against the fabricated empty table must not drop columns
+    other = spark.createDataFrame([(1, "x")], "id int, x string")
+    joined = other.join(out, "id", "left")
+    assert joined.columns == ["id", "x", "name"]
+    assert rows(joined) == [(1, "x", None)]
+
+
+def test_missing_table_without_registry_raises(spark, lake):
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, lake, Layer.DOMAIN, "nope")
+
+
+def test_dynamic_partition_overwrite_isolation(spark, lake):
+    path = lake.table_path(Layer.DOMAIN, "t_part")
+    base = spark.createDataFrame(
+        [("PE", "202401", 1), ("PE", "202402", 2), ("CO", "202401", 3)],
+        "id_pais string, id_periodo string, v int",
+    )
+    write_table(base, path, ["id_pais", "id_periodo"])
+    # overwrite only the (PE, 202402) partition; others must survive
+    patch = spark.createDataFrame(
+        [("PE", "202402", 99)], "id_pais string, id_periodo string, v int"
+    )
+    write_table(patch, path, ["id_pais", "id_periodo"])
+    out = spark.read.parquet(path).select("id_pais", "id_periodo", "v")
+    assert rows(out) == [("CO", "202401", 3), ("PE", "202401", 1), ("PE", "202402", 99)]
+
+
+def test_append(spark, lake):
+    path = lake.table_path(Layer.DOMAIN, "t_app")
+    df = spark.createDataFrame([(1,)], "v int")
+    write_table(df, path)
+    insert_into_table(spark.createDataFrame([(2,)], "v int"), path)
+    assert rows(spark.read.parquet(path)) == [(1,), (2,)]
+
+
+def test_merge_upsert_semantics(spark, lake):
+    path = lake.table_path(Layer.DOMAIN, "t_merge")
+    target = spark.createDataFrame(
+        [("k1", "PE", 1), ("k2", "PE", 2)], "id string, id_pais string, v int"
+    )
+    write_table(target, path, ["id_pais"])
+    src = spark.createDataFrame(
+        [("k2", "PE", 20), ("k3", "PE", 30)], "id string, id_pais string, v int"
+    )
+    merge_upsert(spark, src, path, keys=["id"], partition_by=["id_pais"])
+    out = spark.read.parquet(path).select("id", "id_pais", "v")
+    assert rows(out) == [("k1", "PE", 1), ("k2", "PE", 20), ("k3", "PE", 30)]
+
+
+def test_merge_upsert_idempotent(spark, lake):
+    path = lake.table_path(Layer.DOMAIN, "t_idem")
+    src = spark.createDataFrame(
+        [("a", "PE", 1), ("b", "CO", 2)], "id string, id_pais string, v int"
+    )
+    merge_upsert(spark, src, path, keys=["id"], partition_by=["id_pais"])
+    first = rows(spark.read.parquet(path).select("id", "id_pais", "v"))
+    merge_upsert(spark, src, path, keys=["id"], partition_by=["id_pais"])
+    second = rows(spark.read.parquet(path).select("id", "id_pais", "v"))
+    assert first == second == [("a", "PE", 1), ("b", "CO", 2)]
+
+
+def test_merge_untouched_partitions_survive(spark, lake):
+    path = lake.table_path(Layer.DOMAIN, "t_scope")
+    base = spark.createDataFrame(
+        [("a", "PE", 1), ("b", "CO", 2)], "id string, id_pais string, v int"
+    )
+    write_table(base, path, ["id_pais"])
+    merge_upsert(
+        spark,
+        spark.createDataFrame([("a", "PE", 10)], "id string, id_pais string, v int"),
+        path,
+        keys=["id"],
+        partition_by=["id_pais"],
+    )
+    out = spark.read.parquet(path).select("id", "id_pais", "v")
+    assert rows(out) == [("a", "PE", 10), ("b", "CO", 2)]
+
+
+def test_merge_source_dedup(spark, lake):
+    # duplicate source keys must not fan out (Delta MERGE would throw;
+    # we pre-dedup deterministically — SURVEY §7.3.3)
+    path = lake.table_path(Layer.DOMAIN, "t_dupe")
+    src = spark.createDataFrame(
+        [("a", "PE", 1), ("a", "PE", 2)], "id string, id_pais string, v int"
+    )
+    merge_upsert(spark, src, path, keys=["id"], partition_by=["id_pais"])
+    out = spark.read.parquet(path)
+    assert out.count() == 1
+
+
+def test_merge_update_only(spark, lake):
+    path = lake.table_path(Layer.DOMAIN, "t_upd")
+    write_table(
+        spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int"), path
+    )
+    src = spark.createDataFrame([("b", 20), ("c", 30)], "id string, v int")
+    merge_update_only(spark, src, path, keys=["id"])
+    out = spark.read.parquet(path).select("id", "v")
+    # b updated, c NOT inserted (whenMatchedUpdateAll only)
+    assert rows(out) == [("a", 1), ("b", 20)]
+
+
+def test_table_exists(spark, lake):
+    path = lake.table_path(Layer.DOMAIN, "t_ex")
+    assert not table_exists(spark, path)
+    write_table(spark.createDataFrame([(1,)], "v int"), path)
+    assert table_exists(spark, path)

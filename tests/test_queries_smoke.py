@@ -1,0 +1,48 @@
+"""Smoke every driver-contract query at sf0.001: runs, non-degenerate
+schema, deterministic across two runs. The full DuckDB differential runs in
+tools/check_correctness.py (sf0.01) — this is the fast pytest layer."""
+
+import os
+
+import pytest
+
+from conftest import SF_SMOKE
+
+from cdk_datalake_analytics_comercial_spark.plans import ORACLES, QUERIES
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason="driver testdata not present"
+)
+
+
+@needs_testdata
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, name):
+    df = QUERIES[name](spark, SF_SMOKE)
+    assert len(df.columns) > 0
+    n = df.count()
+    assert n >= 0
+    # queries with an oracle must produce data at smoke scale too (empty
+    # results would make the differential gate vacuous)
+    if name in ORACLES and name not in ("emb_near_dup",):
+        assert n > 0, f"{name} returned 0 rows at sf0.001"
+
+
+@needs_testdata
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@needs_testdata
+def test_queries_deterministic(spark):
+    # sketch-based ops must be run-to-run stable (seeded, no RNG state)
+    for name in ("dedup_minhash", "dedup_simhash_pairs", "emb_lsh_topk"):
+        if name not in QUERIES:
+            continue
+        a = sorted(map(tuple, QUERIES[name](spark, SF_SMOKE).collect()))
+        b = sorted(map(tuple, QUERIES[name](spark, SF_SMOKE).collect()))
+        assert a == b, f"{name} nondeterministic"

@@ -1,0 +1,77 @@
+"""Similarity-search tests: brute-force cosine top-k against a numpy oracle;
+LSH bucket variant sanity (self-bucket always matches)."""
+
+import math
+
+from cdk_datalake_analytics_comercial_spark.operators import similarity as S
+
+
+def py_cosine(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.9, 0.1, 0.0]),
+    (4, [0.5, 0.5, 0.5, 0.5]),
+    (5, [-1.0, 0.0, 0.0, 0.0]),
+]
+
+
+def vec_df(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_bruteforce_topk_matches_python(spark):
+    df = vec_df(spark)
+    out = S.cosine_topk_bruteforce(df, df, k=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["corpus_id"], r["cosine"]))
+    vd = dict(VECS)
+    for qid, lst in got.items():
+        lst.sort()
+        expected = sorted(
+            ((py_cosine(vd[qid], vd[cid]), -cid) for cid in vd if cid != qid),
+            reverse=True,
+        )[:2]
+        for (rank, cid, cos), (ecos, neg_ecid) in zip(lst, expected):
+            assert cid == -neg_ecid
+            assert abs(cos - ecos) < 1e-5
+    assert set(got) == set(vd)
+    assert all(len(v) == 2 for v in got.values())
+
+
+def test_lsh_bucket_topk_subset_of_bruteforce(spark):
+    df = vec_df(spark)
+    exact = {
+        (r["query_id"], r["corpus_id"]): r["cosine"]
+        for r in S.cosine_topk_bruteforce(df, df, k=5).collect()
+    }
+    approx = S.lsh_bucket_topk(df, df, dim=4, k=5, n_planes=2).collect()
+    # every approx hit must carry the exact cosine value
+    for r in approx:
+        key = (r["query_id"], r["corpus_id"])
+        assert key in exact
+        assert abs(r["cosine"] - exact[key]) < 1e-9
+
+
+def test_dot_and_norm(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<float>, b array<float>"
+    )
+    row = df.select(
+        S.dot(F.col("a"), F.col("b")).alias("d"),
+        S.norm(F.col("a")).alias("n"),
+        S.cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    assert row["d"] == 32.0
+    assert abs(row["n"] - math.sqrt(14)) < 1e-9
+    assert abs(row["c"] - py_cosine([1, 2, 3], [4, 5, 6])) < 1e-9

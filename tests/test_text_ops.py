@@ -1,0 +1,73 @@
+"""Text-analysis operator tests: tokenization, shingles, quality, lang-id,
+fingerprints — with Python-computed expectations."""
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.operators import text as T
+
+
+def one(spark, s, col):
+    df = spark.createDataFrame([(s,)], "text string")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_normalize_and_tokens(spark):
+    assert one(spark, "  Hello,  WORLD!42 ", T.normalize(F.col("text"))) == "hello world 42"
+    assert one(spark, "Hello, world!", T.tokens(F.col("text"))) == ["hello", "world"]
+
+
+def test_token_count(spark):
+    assert one(spark, "one two three", T.token_count(F.col("text"))) == 3
+    assert one(spark, "", T.token_count(F.col("text"))) == 0
+    assert one(spark, "!!!", T.token_count(F.col("text"))) == 0
+
+
+def test_bpe_token_count(spark):
+    # "don't stop 42x" → don | ' | t | stop | 42 | x = 6
+    assert one(spark, "don't stop 42x", T.bpe_token_count(F.col("text"))) == 6
+
+
+def test_shingles_basic(spark):
+    got = one(spark, "a b c d e", T.shingles(F.col("text"), 3))
+    assert got == ["a b c", "b c d", "c d e"]
+
+
+def test_shingles_short_doc(spark):
+    # shorter than k → single whole-text shingle
+    assert one(spark, "a b", T.shingles(F.col("text"), 3)) == ["a b"]
+    assert one(spark, "a b c", T.shingles(F.col("text"), 3)) == ["a b c"]
+
+
+def test_lang_id(spark):
+    en = "the cat and the dog went to the house in the garden"
+    es = "el perro y la casa de los vecinos en la calle por la tarde"
+    und = "zzz qqq xxx"
+    assert one(spark, en, T.lang_id(F.col("text"))) == "en"
+    assert one(spark, es, T.lang_id(F.col("text"))) == "es"
+    assert one(spark, und, T.lang_id(F.col("text"))) == "und"
+
+
+def test_quality_score_bounds(spark):
+    good = "this is a reasonably long document with many normal words in it and more"
+    junk = "!!! ??? ... ;;; ::: @@@"
+    g = one(spark, good, T.quality_score(F.col("text")))
+    j = one(spark, junk, T.quality_score(F.col("text")))
+    assert 0.0 <= j < g <= 1.0
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [("Hello,   World!",), ("hello world",)], "text string"
+    )
+    fps = [r[0] for r in df.select(T.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_min_shingle_fingerprint_stability(spark):
+    # edit far from the minimal shingle keeps the fingerprint; the min of a
+    # superset that includes all original shingles can only stay or decrease
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    edited = base + " iota"
+    a = one(spark, base, T.min_shingle_fingerprint(F.col("text")))
+    b = one(spark, edited, T.min_shingle_fingerprint(F.col("text")))
+    assert b <= a
