@@ -1,0 +1,64 @@
+"""Arrow-batched (pandas UDF) kernels for the sketch operators.
+
+NOTE: deliberately NO ``from __future__ import annotations`` here —
+``pandas_udf`` resolves the type hints at decoration time and PEP 563
+stringified hints break that.
+
+These kernels are bit-identical to their Column-expression twins in
+:mod:`.dedup` (same hash params, same modular arithmetic) but run one numpy
+broadcast per Arrow batch instead of N interpreted array passes per row.
+"""
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+
+
+def make_minhash_sig_udf(params, mersenne_p):
+    a = np.array([p[0] for p in params], dtype=np.uint64)
+    b = np.array([p[1] for p in params], dtype=np.uint64)
+    p64 = np.uint64(mersenne_p)
+
+    @pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
+        flat = (
+            np.concatenate([np.asarray(x, dtype=np.uint64) for x in hs])
+            if lens.sum()
+            else np.empty(0, dtype=np.uint64)
+        )
+        # (a*x + b) mod p: a,x < 2^31 → product < 2^62, exact in uint64
+        m = (flat[:, None] * a[None, :] + b[None, :]) % p64
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        # every doc has ≥1 shingle (shingles() emits the whole text for
+        # short docs), so no zero-length reduceat segments
+        mins = np.minimum.reduceat(m, offsets, axis=0).astype(np.int64)
+        return pd.Series(list(mins))
+
+    return sig
+
+
+def make_simhash_udf(num_bits):
+    shifts = np.arange(num_bits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def sh(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype=np.int64)
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, x in enumerate(hs):
+            h = np.asarray(x, dtype=np.uint64)
+            # bit j set iff strictly more than half the hashes have bit j
+            ones = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            fp = np.uint64(0)
+            bits = np.where(ones * 2 > len(h))[0]
+            for j in bits:
+                fp |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(fp)
+        return pd.Series(out)
+
+    return sh

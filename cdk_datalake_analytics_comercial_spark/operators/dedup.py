@@ -93,6 +93,34 @@ def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 64) -> Colum
     )
 
 
+def hashed_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, _h: array<long>) — distinct shingle hashes per doc, behind a
+    shuffle barrier so the tokenize/shingle/hash pipeline runs exactly once
+    per doc no matter how many downstream expressions reference ``_h``
+    (without the barrier, CollapseProject inlines the pipeline into every
+    referencing slot and HOFs run interpreted)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_hashes(F.col(text_col), k)).alias("_h"),
+    ).repartition("id")
+
+
+def minhash_signature_pandas(num_hashes: int = 64):
+    """Vectorized MinHash signature as an Arrow-batched pandas UDF:
+    ``array<long> hashes -> array<long> signature``.
+
+    Bit-identical to :func:`minhash_signature_from_hashes` (same (a,b)
+    params, same Mersenne modulus) but one numpy broadcast per batch instead
+    of ``num_hashes`` interpreted array passes per row. The HOF variant
+    stays for engine-portable contexts; this is the hot-path default.
+    """
+    from ._vectorized import make_minhash_sig_udf
+
+    return make_minhash_sig_udf(_hash_params(num_hashes), _MERSENNE_P)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -100,6 +128,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
 
@@ -107,16 +136,15 @@ def minhash_lsh_candidates(
     signature → band hashes → explode → self-join per (band, hash) bucket →
     distinct pairs (id_a < id_b). The join key includes the band index so
     buckets stay small; the cross-corpus shuffle is on band-hash only.
+
+    ``hashed`` (from :func:`hashed_shingles`) lets callers share the shingle
+    pipeline with a verify stage.
     """
     rows = num_hashes // bands
-    # two-stage with a shuffle barrier: md5-hash shingles once per doc, then
-    # derive the 64-slot signature from the materialized array (without the
-    # barrier, CollapseProject inlines the md5 pipeline into every slot)
-    hashed = df.select(
-        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), k).alias("_h")
-    ).repartition("id")
+    if hashed is None:
+        hashed = hashed_shingles(df, text_col, id_col, k)
     sig = hashed.select(
-        "id", minhash_signature_from_hashes(F.col("_h"), num_hashes).alias("sig")
+        "id", minhash_signature_pandas(num_hashes)(F.col("_h")).alias("sig")
     )
     banded = sig.select(
         "id",
@@ -157,20 +185,33 @@ def minhash_dedup(
 ) -> DataFrame:
     """MinHash LSH dedup: candidates → exact-Jaccard verify → drop the higher
     id of each confirmed pair (connected-components-lite: a row survives iff
-    it is not the greater member of any duplicate pair)."""
+    it is not the greater member of any duplicate pair).
+
+    The shingle pipeline runs ONCE per doc: the same materialized
+    hashed-shingle arrays feed both the signature/banding stage and the
+    verify stage, where Jaccard is computed per candidate pair with
+    ``array_intersect`` over the 31-bit hash sets (collision error
+    ≈ |shingles|²/2³¹ — negligible; the oracle-checked exact string variant
+    is :func:`ngram_jaccard_pairs`)."""
+    hashed = hashed_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, k
-    ).localCheckpoint(eager=False)
-    # verify only docs that appear in some candidate pair (the LSH point:
-    # the expensive exact-Jaccard join never sees the full corpus)
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .unionByName(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
+        df, text_col, id_col, num_hashes, bands, k, hashed=hashed
     )
-    docs = df.join(cand_ids, id_col, "left_semi")
-    verified = ngram_jaccard_pairs(
-        docs, text_col, id_col, k=k, threshold=threshold, candidates=cand
+    # verify per candidate pair only (the LSH point: the Jaccard computation
+    # never sees the full corpus cross product)
+    from .expr import let
+
+    ha = hashed.select(F.col("id").alias("id_a"), F.col("_h").alias("_ha"))
+    hb = hashed.select(F.col("id").alias("id_b"), F.col("_h").alias("_hb"))
+    jaccard = let(
+        F.size(F.array_intersect(F.col("_ha"), F.col("_hb"))).cast("double"),
+        lambda inter: inter / (F.size("_ha") + F.size("_hb") - inter),
+    )
+    verified = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
@@ -292,11 +333,10 @@ def simhash_near_dups(
     # materialize the hash array behind a shuffle barrier so the shingle
     # pipeline runs once per doc (simhash_from_hashes references it ~num_bits
     # times)
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col)).alias("_h"),
-    ).repartition("id")
-    fp = hashed.select("id", simhash_from_hashes(F.col("_h"), num_bits).alias("fp"))
+    from ._vectorized import make_simhash_udf
+
+    hashed = hashed_shingles(df, text_col, id_col)
+    fp = hashed.select("id", make_simhash_udf(num_bits)(F.col("_h")).alias("fp"))
 
     def band_bits(i: int) -> Column:
         # band i covers bits [i*width, (i+1)*width); the last band absorbs

@@ -112,3 +112,29 @@ def test_embedding_near_dups(spark):
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     pairs = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dups(df, threshold=0.95).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_vectorized_kernels_match_hof(spark):
+    """The Arrow-batched numpy kernels must be bit-identical to their
+    Column-expression (HOF) twins on the same hash arrays."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three",
+        "x",
+        "the quick brown fox jumps over the lazy dog again and again today",
+    ]
+    df = docs_df(spark, texts)
+    hashed = D.hashed_shingles(df).localCheckpoint(eager=True)
+    hof_sig = {r["id"]: r["s"] for r in hashed.select(
+        "id", D.minhash_signature_from_hashes(F.col("_h"), 64).alias("s")).collect()}
+    vec_sig = {r["id"]: r["s"] for r in hashed.select(
+        "id", D.minhash_signature_pandas(64)(F.col("_h")).alias("s")).collect()}
+    assert hof_sig == vec_sig
+
+    from cdk_datalake_analytics_comercial_spark.operators._vectorized import make_simhash_udf
+
+    hof_fp = {r["id"]: r["fp"] for r in hashed.select(
+        "id", D.simhash_from_hashes(F.col("_h"), 31).alias("fp")).collect()}
+    vec_fp = {r["id"]: r["fp"] for r in hashed.select(
+        "id", make_simhash_udf(31)(F.col("_h")).alias("fp")).collect()}
+    assert hof_fp == vec_fp
