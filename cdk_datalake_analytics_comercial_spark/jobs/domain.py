@@ -1,0 +1,178 @@
+"""Domain-layer jobs: the reference's Glue job scripts re-expressed as
+engine job callables (SURVEY §3.1 step 4 — straight-line DataFrame programs
+ending in one write/merge action).
+
+Each job reads stage tables through the engine reader (multi-instance union
++ empty-schema fallback), transforms declaratively, and lands with a merge
+upsert or dynamic partition overwrite. Semantics cite the reference file the
+job mirrors; the code is engine-native (Catalog + read_table + cast
+projection + merge), not a translation of the Glue controller.
+
+Jobs registered here form the first vertical slices of SURVEY §7.1:
+- ``m_pais``      (`code/domain/m_pais.py:14-31`): country master filtered
+  to countries that have companies; upsert on id_pais.
+- ``m_compania`` (`code/domain/m_compania.py:14-38`): company master joined
+  to country for the conformed id; upsert on id_compania / partition id_pais.
+- ``t_venta_lite`` (`code/domain/t_venta.py:10-170` shape): period-filtered
+  sales fact — surrogate ids, period derivation, left-join enrichment, cast
+  projection, dynamic partition overwrite on (id_pais, id_periodo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core.catalog import Layer
+from ..functions.casts import cast_projection
+from ..functions.keys import surrogate_key
+from ..runner import JobContext, JobRegistry
+from ..sources.reader import read_table
+from ..sources.writer import merge_upsert, write_table
+
+DOMAIN_JOBS = JobRegistry()
+
+
+@DOMAIN_JOBS.register("m_pais")
+def job_m_pais(ctx: JobContext) -> None:
+    """Country master: keep countries referenced by any company
+    (`code/domain/m_pais.py:14-31`; the driver-side isin list there becomes
+    a left_semi join — no collect on the data path)."""
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    m_compania = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
+    )
+    out = (
+        m_pais.join(m_compania.select("cod_pais").distinct(), "cod_pais", "left_semi")
+        .select(
+            F.col("id_pais").cast("string"),
+            F.col("cod_pais").cast("string"),
+            F.col("desc_pais").cast("string"),
+        )
+    )
+    merge_upsert(
+        ctx.spark, out, ctx.catalog.table_path(Layer.DOMAIN, "m_pais"), keys=["id_pais"]
+    )
+
+
+@DOMAIN_JOBS.register("m_compania")
+def job_m_compania(ctx: JobContext) -> None:
+    """Company master conformed to the country dim
+    (`code/domain/m_compania.py:14-38`): inner join on cod_pais, declared
+    output schema, upsert on id_compania partitioned by id_pais."""
+    m_compania = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
+    )
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    joined = (
+        m_compania.alias("mc")
+        .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(
+            F.col("mc.cod_compania").alias("id_compania"),
+            F.lit(None).alias("id_compania_ref"),
+            F.col("mp.id_pais").alias("id_pais"),
+            F.col("mc.cod_compania").alias("cod_compania"),
+            F.col("mc.desc_compania").alias("nomb_compania"),
+            F.lit(None).alias("cod_tipo_compania"),
+            F.col("mc.es_activo").alias("estado"),
+            F.col("mc.fecha_creacion").alias("fecha_creacion"),
+            F.col("mc.fecha_modificacion").alias("fecha_modificacion"),
+        )
+    )
+    out = cast_projection(
+        joined,
+        [
+            ("id_compania", "string"),
+            ("id_compania_ref", "string"),
+            ("id_pais", "string"),
+            ("cod_compania", "string"),
+            ("nomb_compania", "string"),
+            ("cod_tipo_compania", "string"),
+            ("estado", "string"),
+            ("fecha_creacion", "date"),
+            ("fecha_modificacion", "date"),
+        ],
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "m_compania"),
+        keys=["id_compania"],
+        partition_by=["id_pais"],
+    )
+
+
+@DOMAIN_JOBS.register("t_venta_lite")
+def job_t_venta_lite(ctx: JobContext) -> None:
+    """Sales fact, reduced to the structural pattern of
+    `code/domain/t_venta.py:10-170`: early period filter (P3) on
+    fecha_liquidacion, left-join enrichment to the company master (J2),
+    pipe surrogate id (§1.3), period derivation, soft-delete flag for
+    annulled documents, cast projection (P2), dynamic partition overwrite
+    on (id_pais, id_periodo) (K1)."""
+    venta = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_venta", registry=ctx.registry
+    )
+    m_compania = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
+    )
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    periods = ctx.periods
+    filtered = venta.filter(
+        F.date_format(F.col("fecha_liquidacion"), "yyyyMM").isin(periods)
+    )
+    compania = (
+        m_compania.alias("mc")
+        .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(
+            F.col("mc.cod_compania").alias("cod_compania"),
+            F.col("mp.id_pais").alias("id_pais"),
+        )
+    )
+    enriched = (
+        filtered.alias("v")
+        .join(F.broadcast(compania).alias("c"), ["cod_compania"], "left")
+        .select(
+            surrogate_key(
+                F.col("v.cod_compania"),
+                F.col("v.cod_sucursal"),
+                F.col("v.cod_documento_venta"),
+                F.col("v.nro_documento_venta"),
+            ).alias("id_venta"),
+            F.col("c.id_pais").alias("id_pais"),
+            F.date_format(F.col("v.fecha_liquidacion"), "yyyyMM").alias("id_periodo"),
+            F.col("v.cod_compania"),
+            F.col("v.cod_sucursal"),
+            F.col("v.cod_documento_venta"),
+            F.col("v.nro_documento_venta"),
+            F.col("v.cod_cliente"),
+            F.col("v.cod_moneda"),
+            F.col("v.imp_venta"),
+            F.col("v.fecha_liquidacion"),
+            F.when(F.col("v.cod_estado_comprobante") == "002", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("es_eliminado"),
+        )
+    )
+    out = cast_projection(
+        enriched,
+        [
+            ("id_venta", "string"),
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("cod_compania", "string"),
+            ("cod_sucursal", "string"),
+            ("cod_documento_venta", "string"),
+            ("nro_documento_venta", "string"),
+            ("cod_cliente", "string"),
+            ("cod_moneda", "string"),
+            ("imp_venta", "numeric(38,12)"),
+            ("fecha_liquidacion", "date"),
+            ("es_eliminado", "int"),
+        ],
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "t_venta"),
+        partition_by=["id_pais", "id_periodo"],
+    )

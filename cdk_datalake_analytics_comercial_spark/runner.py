@@ -1,0 +1,165 @@
+"""Config-driven DAG runner: topological waves of registered jobs.
+
+Replaces the reference's deploy-time orchestration (Step Functions state
+machine built from ``domain.csv``/``analytics.csv`` —
+`stacks/cdk_datalake_analytics_stack.py:333-359` config read, `:609-651` wave
+construction as ``sfn.Parallel`` per ``exe_order``, domain→analytics chaining
+`:808-867`) with an in-process executor:
+
+- Config rows ``(layer, procedure, exe_order, periods)`` — same CSV schema
+  (S7, `stacks/cdk_datalake_analytics_stack.py:347`; ``;``-delimited).
+- Jobs within one ``exe_order`` wave run in parallel on a thread pool over
+  the ONE shared SparkSession (Spark's scheduler interleaves their stages;
+  on a cluster use fair-scheduler pools), waves run sequentially.
+- Per-job status + timing collected locally (replaces the DynamoDB status
+  table + SNS error topic, `common_jobs_functions.py:584-654`).
+- The per-job concurrency gate (the reference's get_data Lambda polling
+  `get_job_runs`, `artifacts/aws-lambda/.../get_data/lambda_function.py:36-53`)
+  is inherent here: a job appears once per run, and reruns of the runner are
+  serialized by the caller.
+
+A "job" is any callable ``(JobContext) -> None``; the reference's job
+scripts map 1:1 (read stage tables → transform → write/merge domain table).
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime as dt
+import io
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import SparkSession
+
+from .core.catalog import Catalog
+from .core.periods import get_periods
+from .sources.registry import SchemaRegistry
+
+
+@dataclass
+class JobConfig:
+    """One config row (mirrors ``domain.csv``/``analytics.csv`` columns the
+    runner consumes; worker sizing columns are cluster-submit concerns)."""
+
+    layer: str
+    procedure: str
+    exe_order: int
+    periods: int = 2
+    process_id: int = 0
+
+
+@dataclass
+class JobContext:
+    """Everything a job callable needs (replaces Glue job args,
+    `common_jobs_functions.py:22-44`): session, catalog, registry, the
+    period window (injected clock — SURVEY §7.3.7), and the config row."""
+
+    spark: SparkSession
+    catalog: Catalog
+    registry: SchemaRegistry
+    config: JobConfig
+    as_of: dt.date
+    countries: list[str] = field(default_factory=lambda: ["PE"])
+
+    @property
+    def periods(self) -> list[str]:
+        return get_periods(self.config.periods, self.as_of)
+
+
+@dataclass
+class JobResult:
+    name: str
+    status: str  # "succeeded" | "failed" | "skipped"
+    wave: int
+    seconds: float
+    error: str | None = None
+
+
+def parse_config_csv(text: str, layer: str | None = None) -> list[JobConfig]:
+    """Parse the ``;``-delimited job config (columns ``layer;procedure;...;
+    exe_order;process_id;periods`` — extra columns ignored)."""
+    rows = []
+    reader = csv.DictReader(io.StringIO(text), delimiter=";")
+    for r in reader:
+        if layer is not None and r.get("layer") != layer:
+            continue
+        rows.append(
+            JobConfig(
+                layer=r["layer"],
+                procedure=r["procedure"],
+                exe_order=int(r["exe_order"]),
+                periods=int(r.get("periods") or 2),
+                process_id=int(r.get("process_id") or 0),
+            )
+        )
+    return rows
+
+
+class JobRegistry:
+    """name → callable registry (the reference's per-procedure Glue script
+    files, discovered from config at deploy time)."""
+
+    def __init__(self) -> None:
+        self._jobs: dict[str, Callable[[JobContext], None]] = {}
+
+    def register(self, name: str):
+        def deco(fn: Callable[[JobContext], None]):
+            self._jobs[name] = fn
+            return fn
+
+        return deco
+
+    def add(self, name: str, fn: Callable[[JobContext], None]) -> None:
+        self._jobs[name] = fn
+
+    def get(self, name: str) -> Callable[[JobContext], None] | None:
+        return self._jobs.get(name)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._jobs
+
+
+def run_waves(
+    configs: list[JobConfig],
+    registry: JobRegistry,
+    make_context: Callable[[JobConfig], JobContext],
+    max_parallel: int = 8,
+    fail_fast: bool = False,
+) -> list[JobResult]:
+    """Execute jobs in ``exe_order`` waves; inside a wave, thread-parallel.
+
+    A failed job marks its result and (fail_fast=False, the reference's
+    behavior — each SF branch fails independently) lets the remaining jobs
+    and waves continue; fail_fast=True stops after the failing wave.
+    """
+    results: list[JobResult] = []
+    waves = sorted({c.exe_order for c in configs})
+    for wave in waves:
+        wave_jobs = [c for c in configs if c.exe_order == wave]
+
+        def run_one(cfg: JobConfig) -> JobResult:
+            fn = registry.get(cfg.procedure)
+            if fn is None:
+                return JobResult(cfg.procedure, "skipped", wave, 0.0, "not registered")
+            t0 = time.time()
+            try:
+                fn(make_context(cfg))
+                return JobResult(cfg.procedure, "succeeded", wave, round(time.time() - t0, 3))
+            except Exception:
+                return JobResult(
+                    cfg.procedure,
+                    "failed",
+                    wave,
+                    round(time.time() - t0, 3),
+                    traceback.format_exc(limit=3),
+                )
+
+        with ThreadPoolExecutor(max_workers=max(1, min(max_parallel, len(wave_jobs)))) as ex:
+            results.extend(ex.map(run_one, wave_jobs))
+        if fail_fast and any(r.status == "failed" for r in results):
+            break
+    return results

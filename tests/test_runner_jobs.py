@@ -1,0 +1,192 @@
+"""End-to-end engine lifecycle test (SURVEY §3.1): stage fixtures → config
+CSV → wave-parallel runner → domain jobs → merged/overwritten domain tables.
+Covers S2/S3/S7, J1/J2, P2/P3, K1/K3, the period window, and wave ordering."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.core.catalog import Layer
+from cdk_datalake_analytics_comercial_spark.jobs import DOMAIN_JOBS
+from cdk_datalake_analytics_comercial_spark.runner import (
+    JobConfig,
+    JobContext,
+    JobRegistry,
+    parse_config_csv,
+    run_waves,
+)
+from cdk_datalake_analytics_comercial_spark.sources.registry import SchemaRegistry
+
+AS_OF = dt.date(2025, 5, 15)
+
+CONFIG_CSV = """layer;procedure;exe_order;process_id;periods
+domain;m_pais;1;1;2
+domain;m_compania;1;2;2
+domain;t_venta_lite;2;3;3
+"""
+
+
+def registry():
+    return SchemaRegistry(
+        {
+            "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+            "m_compania": [
+                ("cod_compania", "string"),
+                ("cod_pais", "string"),
+                ("desc_compania", "string"),
+                ("es_activo", "string"),
+                ("fecha_creacion", "timestamp"),
+                ("fecha_modificacion", "timestamp"),
+            ],
+            "t_documento_venta": [
+                ("cod_compania", "string"),
+                ("cod_sucursal", "string"),
+                ("cod_documento_venta", "string"),
+                ("nro_documento_venta", "string"),
+                ("cod_cliente", "string"),
+                ("cod_moneda", "string"),
+                ("imp_venta", "numeric(38,12)"),
+                ("cod_estado_comprobante", "string"),
+                ("fecha_liquidacion", "date"),
+            ],
+        }
+    )
+
+
+def seed_stage(spark, lake):
+    ts = dt.datetime(2025, 4, 1, 12, 0, 0)
+    m_pais = spark.createDataFrame(
+        [("PE", "PE", "PERU"), ("CL", "CL", "CHILE"), ("XX", "XX", "NOWHERE")],
+        "id_pais string, cod_pais string, desc_pais string",
+    )
+    # two stage instances for m_compania (multi-endpoint union, S2)
+    comp1 = spark.createDataFrame(
+        [("10", "PE", "AJE PERU", "T", ts, ts)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    )
+    comp2 = spark.createDataFrame(
+        [("20", "CL", "AJE CHILE", "T", ts, ts)],
+        comp1.schema,
+    )
+    ventas = spark.createDataFrame(
+        [
+            ("10", "01", "FAC", "0001", "C1", "PEN", Decimal("100.5"), "001", dt.date(2025, 5, 2)),
+            ("10", "01", "FAC", "0002", "C2", "PEN", Decimal("50.0"), "002", dt.date(2025, 4, 10)),
+            ("20", "02", "NCC", "0003", "C3", "USD", Decimal("-10.0"), "001", dt.date(2025, 3, 20)),
+            # outside the 3-period window (202503..202505) — must be excluded
+            ("10", "01", "FAC", "0004", "C4", "PEN", Decimal("77.0"), "001", dt.date(2024, 12, 1)),
+        ],
+        "cod_compania string, cod_sucursal string, cod_documento_venta string, "
+        "nro_documento_venta string, cod_cliente string, cod_moneda string, "
+        "imp_venta decimal(38,12), cod_estado_comprobante string, fecha_liquidacion date",
+    )
+    m_pais.write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+    comp1.write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
+    comp2.write.parquet(lake.table_path(Layer.STAGE, "m_compania", "cl01"))
+    ventas.write.parquet(lake.table_path(Layer.STAGE, "t_documento_venta", "pe01"))
+
+
+def make_ctx(spark, lake):
+    def ctx(cfg: JobConfig) -> JobContext:
+        return JobContext(
+            spark=spark, catalog=lake, registry=registry(), config=cfg, as_of=AS_OF
+        )
+
+    return ctx
+
+
+def test_parse_config_csv():
+    cfgs = parse_config_csv(CONFIG_CSV, layer="domain")
+    assert [c.procedure for c in cfgs] == ["m_pais", "m_compania", "t_venta_lite"]
+    assert cfgs[2].periods == 3 and cfgs[2].exe_order == 2
+
+
+def test_full_domain_run(spark, lake):
+    seed_stage(spark, lake)
+    cfgs = parse_config_csv(CONFIG_CSV)
+    results = run_waves(cfgs, DOMAIN_JOBS, make_ctx(spark, lake), max_parallel=2)
+    assert all(r.status == "succeeded" for r in results), results
+
+    # m_pais: only countries with companies survive (left_semi)
+    paises = {r["cod_pais"] for r in spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "m_pais")).collect()}
+    assert paises == {"PE", "CL"}
+
+    # m_compania: conformed + partitioned by id_pais
+    comp = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_compania"))
+    got = {r["id_compania"]: r["id_pais"] for r in comp.collect()}
+    assert got == {"10": "PE", "20": "CL"}
+    assert dict(comp.dtypes)["fecha_creacion"] == "date"
+
+    # t_venta: period window 202503..202505 (3 periods back from as_of)
+    venta = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
+    rows = {r["id_venta"]: r for r in venta.collect()}
+    assert set(rows) == {"10|01|FAC|0001", "10|01|FAC|0002", "20|02|NCC|0003"}
+    assert rows["10|01|FAC|0002"]["es_eliminado"] == 1
+    assert rows["10|01|FAC|0001"]["id_periodo"] == "202505"
+    assert rows["20|02|NCC|0003"]["id_pais"] == "CL"
+    assert rows["10|01|FAC|0001"]["imp_venta"] == Decimal("100.5")
+
+
+def test_rerun_is_idempotent(spark, lake):
+    seed_stage(spark, lake)
+    cfgs = parse_config_csv(CONFIG_CSV)
+    run_waves(cfgs, DOMAIN_JOBS, make_ctx(spark, lake))
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(
+            lake.table_path(Layer.DOMAIN, "m_compania")).collect()
+    )
+    run_waves(cfgs, DOMAIN_JOBS, make_ctx(spark, lake))
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(
+            lake.table_path(Layer.DOMAIN, "m_compania")).collect()
+    )
+    assert first == second
+
+
+def test_wave_ordering_and_failure_isolation(spark, lake):
+    order: list[str] = []
+    reg = JobRegistry()
+
+    @reg.register("a")
+    def _a(ctx):
+        order.append("a")
+
+    @reg.register("boom")
+    def _boom(ctx):
+        order.append("boom")
+        raise RuntimeError("expected")
+
+    @reg.register("b")
+    def _b(ctx):
+        order.append("b")
+
+    cfgs = [
+        JobConfig("domain", "a", exe_order=1),
+        JobConfig("domain", "boom", exe_order=1),
+        JobConfig("domain", "b", exe_order=2),
+        JobConfig("domain", "ghost", exe_order=2),
+    ]
+    results = run_waves(cfgs, reg, make_ctx(spark, lake))
+    by_name = {r.name: r for r in results}
+    assert by_name["a"].status == "succeeded"
+    assert by_name["boom"].status == "failed" and "expected" in by_name["boom"].error
+    assert by_name["b"].status == "succeeded"  # later wave still ran
+    assert by_name["ghost"].status == "skipped"
+    assert order.index("b") > order.index("a")  # wave 2 after wave 1
+
+
+def test_empty_stage_table_fallback_in_job(spark, lake):
+    """A job whose stage input has zero instances still runs (S3)."""
+    # only m_pais seeded; m_compania absent → empty DF with registered schema
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+    cfgs = [JobConfig("domain", "m_pais", exe_order=1)]
+    results = run_waves(cfgs, DOMAIN_JOBS, make_ctx(spark, lake))
+    assert results[0].status == "succeeded", results[0].error
+    out = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_pais"))
+    assert out.count() == 0  # no companies → no countries survive

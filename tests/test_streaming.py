@@ -1,0 +1,94 @@
+"""Structured Streaming window tests: the streaming builders produce the
+same results as the identical transformation applied in batch (availableNow
+trigger → memory sink vs plain batch read)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdk_datalake_analytics_comercial_spark.streaming import windows as W
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def event_rows():
+    base = dt.datetime(2025, 5, 1, 10, 0, 0)
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                base + dt.timedelta(minutes=i),
+                "click" if i % 2 == 0 else "view",
+                i % 5,
+                float(i),
+            )
+        )
+    # a second burst for user 0 after a >30min gap → second session
+    for i in range(5):
+        rows.append((base + dt.timedelta(hours=3, minutes=i), "click", 0, 1.0))
+    return rows
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    path = str(tmp_path / "events_parquet")
+    spark.createDataFrame(event_rows(), SCHEMA).repartition(3).write.parquet(path)
+    return path
+
+
+def canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def run_stream(spark, events_dir, builder, name):
+    stream = spark.readStream.schema(SCHEMA).parquet(events_dir)
+    q = W.run_availablenow_to_memory(stream, builder, name)
+    assert not q.isActive
+    return spark.table(name)
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    got = run_stream(spark, events_dir, W.tumbling_counts, "t_tumbling")
+    expected = W.tumbling_counts(batch)
+    assert canon(got) == canon(expected)
+    # sanity: 60 one-minute events → 12 five-minute windows × 2 types
+    assert got.filter(F.col("event_type") == "click").count() >= 12
+
+
+def test_sliding_stream_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    got = run_stream(spark, events_dir, W.sliding_counts, "t_sliding")
+    expected = W.sliding_counts(batch)
+    assert canon(got) == canon(expected)
+    # each event belongs to size/slide = 2 windows
+    n_events = sum(r["n_events"] for r in got.collect())
+    assert n_events == 2 * len(event_rows())
+
+
+def test_session_stream_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    got = run_stream(spark, events_dir, W.session_aggregates, "t_sessions")
+    expected = W.session_aggregates(batch)
+    assert canon(got) == canon(expected)
+    # user 0: one dense session + one burst 3h later = 2 sessions
+    u0 = got.filter(F.col("user_id") == 0).collect()
+    assert len(u0) == 2
+
+
+def test_with_event_time_nanos_long(spark):
+    # the events fixture path: ts as nanosecond longs
+    df = spark.createDataFrame(
+        [(1_746_093_600_000_000_000, "click")], "ts long, event_type string"
+    )
+    out = W.with_event_time(df).select("event_time").collect()[0][0]
+    assert out == dt.datetime(2025, 5, 1, 10, 0, 0)
