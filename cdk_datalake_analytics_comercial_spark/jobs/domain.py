@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..core.catalog import Layer
 from ..functions.casts import cast_projection
 from ..functions.keys import surrogate_key
+from ..operators.pruning import period_filter
 from ..runner import JobContext, JobRegistry
 from ..sources.reader import read_table
 from ..sources.writer import merge_upsert, write_table
@@ -117,10 +118,10 @@ def job_t_venta_lite(ctx: JobContext) -> None:
     )
     m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
 
-    periods = ctx.periods
-    filtered = venta.filter(
-        F.date_format(F.col("fecha_liquidacion"), "yyyyMM").isin(periods)
-    )
+    # sargable rewrite of the reference's date_format(...).isin(PERIODOS)
+    # (t_venta.py:25) — the range predicate reaches the parquet scan and
+    # prunes row groups/files; exact membership preserved (operators.pruning)
+    filtered = venta.filter(period_filter(F.col("fecha_liquidacion"), ctx.periods))
     compania = (
         m_compania.alias("mc")
         .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
