@@ -731,6 +731,141 @@ JOIN d ON l.l_orderkey = d.l_orderkey AND l.l_partkey = d.l_partkey AND l.l_supp
 """
 
 
+# --------------------------------------------------------------------------
+# J5 (12-month variant) — the reference's long rolling window
+# (fact_cliente_venta.py:131-139), via the rangeBetween rewrite.
+
+
+def q_rolling_12m_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = _monthly_revenue(spark, sf_dir)
+    out = rolling_window(
+        monthly,
+        keys=["custkey"],
+        period_col="id_periodo",
+        agg_exprs=[(F.col("_rev_dec"), "_rev_12m_dec")],
+        months_back=11,
+    )
+    return out.select(
+        "custkey",
+        "id_periodo",
+        dsum_to_double(F.col("_rev_12m_dec")).alias("rev_12m"),
+    )
+
+
+_ORACLE_ROLLING_12M = """
+WITH monthly AS (
+  SELECT o_custkey AS custkey, strftime(o_orderdate, '%Y%m') AS id_periodo,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS rev_dec
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), idx AS (
+  SELECT *, CAST(substr(id_periodo,1,4) AS INT)*12 + CAST(substr(id_periodo,5,2) AS INT) - 1 AS mi
+  FROM monthly
+)
+SELECT cur.custkey AS custkey, cur.id_periodo AS id_periodo,
+       CAST(CAST(SUM(past.rev_dec) AS DECIMAL(20,6)) AS DOUBLE) AS rev_12m
+FROM idx cur JOIN idx past
+  ON cur.custkey = past.custkey AND past.mi BETWEEN cur.mi - 11 AND cur.mi
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# §4a — sargable period filter (operators.pruning.period_filter): the range
+# predicate reaches the parquet scan; exact yyyyMM membership preserved.
+# Gapped period list exercises both predicates.
+
+
+def q_period_pruned_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pruning import period_filter
+
+    o = t(spark, sf_dir, "orders")
+    periods = ["199601", "199602", "199604"]  # gap: 199603 excluded
+    return (
+        o.filter(period_filter(F.col("o_orderdate"), periods))
+        .groupBy(F.date_format("o_orderdate", "yyyyMM").alias("id_periodo"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+_ORACLE_PERIOD_PRUNED = """
+SELECT strftime(o_orderdate, '%Y%m') AS id_periodo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-04-30'
+  AND strftime(o_orderdate, '%Y%m') IN ('199601', '199602', '199604')
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# Skew path — two-stage salted aggregation must equal the plain GROUP BY
+# (operators.skew.salted_agg; the oracle is the plain form).
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    l = t(spark, sf_dir, "lineitem")
+    return salted_agg(
+        l,
+        keys=["l_returnflag"],
+        partial_aggs=[
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_s"),
+            F.count("*").alias("_c"),
+        ],
+        final_aggs=[
+            F.sum("_s").cast("double").alias("sum_qty"),
+            F.sum("_c").cast("bigint").alias("n_rows"),
+        ],
+        salt_from="l_orderkey",
+        n_salts=16,
+    ).withColumnRenamed("l_returnflag", "returnflag")
+
+
+_ORACLE_SALTED_AGG = """
+SELECT l_returnflag AS returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# --------------------------------------------------------------------------
+# J7 (when-in-join-key variant) — conditional expression inside the join
+# condition. Pattern source: m_cliente.py:26-35 (cond built with when()).
+
+
+def q_conditional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").alias("c")
+    n = t(spark, sf_dir, "nation").alias("n")
+    # machinery-segment customers join on nation; everyone else pins to
+    # nation 0 — a when() ladder as the join key, as the reference builds
+    effective_key = F.when(
+        F.col("c.c_mktsegment") == "MACHINERY", F.col("c.c_nationkey")
+    ).otherwise(F.lit(0))
+    out = (
+        c.join(n, effective_key == F.col("n.n_nationkey"), "inner")
+        .groupBy(F.col("n.n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            dsum(F.col("c.c_acctbal")).alias("total_balance"),
+        )
+    )
+    return out
+
+
+_ORACLE_CONDITIONAL_JOIN = """
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_balance
+FROM customer
+JOIN nation ON (CASE WHEN c_mktsegment = 'MACHINERY' THEN c_nationkey ELSE 0 END) = n_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "sales_enrichment": q_sales_enrichment,
@@ -751,6 +886,10 @@ QUERIES = {
     "fn_transforms": q_fn_transforms,
     "brand_revenue": q_brand_revenue,
     "multikey_join": q_multikey_join,
+    "rolling_12m_window": q_rolling_12m_window,
+    "period_pruned_sales": q_period_pruned_sales,
+    "salted_agg": q_salted_agg,
+    "conditional_join": q_conditional_join,
 }
 
 ORACLES = {
@@ -773,4 +912,8 @@ ORACLES = {
     "fn_transforms": _ORACLE_FN_TRANSFORMS,
     "brand_revenue": _ORACLE_BRAND_REVENUE,
     "multikey_join": _ORACLE_MULTIKEY,
+    "rolling_12m_window": _ORACLE_ROLLING_12M,
+    "period_pruned_sales": _ORACLE_PERIOD_PRUNED,
+    "salted_agg": _ORACLE_SALTED_AGG,
+    "conditional_join": _ORACLE_CONDITIONAL_JOIN,
 }
