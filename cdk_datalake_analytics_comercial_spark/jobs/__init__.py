@@ -1,3 +1,4 @@
+from .analytics import ANALYTICS_JOBS
 from .domain import DOMAIN_JOBS
 
-__all__ = ["DOMAIN_JOBS"]
+__all__ = ["DOMAIN_JOBS", "ANALYTICS_JOBS"]

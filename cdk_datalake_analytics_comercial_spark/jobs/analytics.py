@@ -1,0 +1,115 @@
+"""Analytics-layer jobs: dims and facts over DOMAIN outputs (the reference's
+`code/analytics/` scripts — read domain, conform, write analytics).
+
+- ``dim_cliente_lite`` (`code/analytics/dim_cliente.py:19-66` shape): the
+  priority-ladder dedup — a ``when`` ladder builds an ordering priority, a
+  ``row_number`` window keeps the best assignment per client, joined back
+  with the rank predicate inside the join condition (J7/W1).
+- ``fact_venta_resumen`` (`code/analytics/fact_venta_cliente_historico.py`
+  shape): period-partitioned aggregation of the domain sales fact, dynamic
+  partition overwrite on (id_pais, id_periodo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core.catalog import Layer
+from ..functions.casts import cast_projection
+from ..operators.relational import top1_per_group
+from ..runner import JobContext, JobRegistry
+from ..sources.reader import read_table
+from ..sources.writer import merge_upsert, write_table
+
+ANALYTICS_JOBS = JobRegistry()
+
+
+@ANALYTICS_JOBS.register("dim_cliente_lite")
+def job_dim_cliente_lite(ctx: JobContext) -> None:
+    """Client dim with best-assignment dedup: priority from a when-ladder,
+    row_number over (priority asc, fecha desc), top-1 joined with the rank
+    predicate in the join condition (`dim_cliente.py:38-66`)."""
+    clientes = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "m_cliente", registry=ctx.registry
+    )
+    asignacion = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "m_asignacion_modulo", registry=ctx.registry
+    )
+    prioridad = (
+        F.when(F.col("modelo_atencion") == "Pre Venta", 1)
+        .when(F.col("modelo_atencion") == "Especializado", 2)
+        .when(F.col("modelo_atencion") == "Auto Venta", 3)
+        .when(F.col("modelo_atencion") == "Televenta", 4)
+        .otherwise(5)
+    )
+    ranked = top1_per_group(
+        asignacion.filter((F.col("es_activo") == 1) & (F.col("es_eliminado") == 0))
+        .withColumn("orden_modelo", prioridad),
+        partition_by=["id_cliente"],
+        order_by=[F.col("orden_modelo").asc(), F.col("fecha_creacion").desc()],
+        keep=False,
+    ).alias("a")
+    out = (
+        clientes.alias("c")
+        .join(
+            ranked,
+            (F.col("c.id_cliente") == F.col("a.id_cliente")) & (F.col("a.orden") == 1),
+            "left",
+        )
+        .select(
+            F.col("c.id_cliente"),
+            F.col("c.id_pais"),
+            F.col("c.nomb_cliente"),
+            F.col("a.id_modulo"),
+            F.col("a.modelo_atencion"),
+            F.col("a.frecuencia_visita"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_cliente", "string"),
+            ("id_pais", "string"),
+            ("nomb_cliente", "string"),
+            ("id_modulo", "string"),
+            ("modelo_atencion", "string"),
+            ("frecuencia_visita", "string"),
+        ],
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.ANALYTICS, "dim_cliente"),
+        keys=["id_cliente"],
+        partition_by=["id_pais"],
+    )
+
+
+@ANALYTICS_JOBS.register("fact_venta_resumen")
+def job_fact_venta_resumen(ctx: JobContext) -> None:
+    """Period/client sales summary from the domain fact: soft-deletes
+    excluded, exact decimal sums, dynamic overwrite of touched periods."""
+    venta = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta", registry=ctx.registry)
+    out = (
+        venta.filter(F.col("es_eliminado") == 0)
+        .groupBy("id_pais", "id_periodo", "cod_cliente")
+        .agg(
+            F.count("*").cast("bigint").alias("n_documentos"),
+            F.sum(F.col("imp_venta").cast("decimal(38,12)")).alias("imp_venta"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("cod_cliente", "string"),
+            ("n_documentos", "bigint"),
+            ("imp_venta", "numeric(38,12)"),
+        ],
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.ANALYTICS, "fact_venta_resumen"),
+        partition_by=["id_pais", "id_periodo"],
+    )

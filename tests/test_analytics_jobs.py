@@ -1,0 +1,180 @@
+"""Analytics-layer tests: currency resolution cases, priority-ladder dim
+dedup, domain→analytics two-layer orchestration."""
+
+import datetime as dt
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.core.catalog import Layer
+from cdk_datalake_analytics_comercial_spark.functions.currency import (
+    exchange_rate_me,
+    exchange_rate_mn,
+)
+from cdk_datalake_analytics_comercial_spark.jobs import ANALYTICS_JOBS
+from cdk_datalake_analytics_comercial_spark.runner import JobConfig, JobContext, run_waves
+from cdk_datalake_analytics_comercial_spark.sources.registry import SchemaRegistry
+
+AS_OF = dt.date(2025, 5, 15)
+
+ONE = Decimal("1.000000")
+
+
+def test_exchange_rates_all_cases(spark):
+    rows = [
+        # (cod_moneda, moneda_mn, tc_venta, embedded_mn, embedded_me, case)
+        ("PEN", "PEN", Decimal("3.75"), Decimal("9.9"), Decimal("9.9"), "local"),
+        ("USD", "PEN", Decimal("3.75"), Decimal("9.9"), Decimal("9.9"), "usd"),
+        ("DOL", "PEN", None, Decimal("3.5"), Decimal("0"), "dol_no_rate"),
+        ("EUR", "PEN", Decimal("4.10"), Decimal("9.9"), Decimal("9.9"), "third"),
+        ("EUR", "PEN", None, Decimal("4.05"), Decimal("0"), "third_no_rate"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cod_moneda string, moneda_mn string, tc_venta decimal(12,6), "
+        "emb_mn decimal(12,6), emb_me decimal(12,6), caso string",
+    )
+    out = {
+        r["caso"]: (r["mn"], r["me"])
+        for r in df.select(
+            "caso",
+            exchange_rate_mn(
+                F.col("cod_moneda"), F.col("moneda_mn"), F.col("tc_venta"), F.col("emb_mn")
+            ).alias("mn"),
+            exchange_rate_me(
+                F.col("cod_moneda"), F.col("tc_venta"), F.col("emb_me")
+            ).alias("me"),
+        ).collect()
+    }
+    assert out["local"] == (ONE, Decimal("3.75"))          # local: mn=1, me=day rate
+    assert out["usd"] == (Decimal("3.75"), ONE)            # USD doc: me=1
+    assert out["dol_no_rate"] == (Decimal("3.5"), ONE)     # fallback embedded; me 1 (DOL)
+    assert out["third"] == (Decimal("4.10"), Decimal("4.10"))
+    assert out["third_no_rate"] == (Decimal("4.05"), ONE)  # embedded 0 sentinel → 1
+
+
+def _registry():
+    return SchemaRegistry(
+        {
+            "m_cliente": [
+                ("id_cliente", "string"),
+                ("id_pais", "string"),
+                ("nomb_cliente", "string"),
+            ],
+            "m_asignacion_modulo": [
+                ("id_cliente", "string"),
+                ("id_modulo", "string"),
+                ("modelo_atencion", "string"),
+                ("frecuencia_visita", "string"),
+                ("es_activo", "int"),
+                ("es_eliminado", "int"),
+                ("fecha_creacion", "timestamp"),
+            ],
+            "t_venta": [
+                ("id_venta", "string"),
+                ("id_pais", "string"),
+                ("id_periodo", "string"),
+                ("cod_cliente", "string"),
+                ("imp_venta", "numeric(38,12)"),
+                ("es_eliminado", "int"),
+            ],
+        }
+    )
+
+
+def _seed_domain(spark, lake):
+    ts = dt.datetime(2025, 4, 1)
+    clientes = spark.createDataFrame(
+        [("10|C1", "PE", "CLIENTE UNO"), ("10|C2", "PE", "CLIENTE DOS")],
+        "id_cliente string, id_pais string, nomb_cliente string",
+    )
+    asign = spark.createDataFrame(
+        [
+            # C1: Televenta (prio 4) older, Pre Venta (prio 1) → Pre Venta wins
+            ("10|C1", "M1", "Televenta", "S1", 1, 0, ts),
+            ("10|C1", "M2", "Pre Venta", "S2", 1, 0, ts - dt.timedelta(days=9)),
+            # C1: inactive Especializado must be ignored
+            ("10|C1", "M3", "Especializado", "S3", 0, 0, ts),
+            # C2: no assignment rows at all (left join → nulls)
+        ],
+        "id_cliente string, id_modulo string, modelo_atencion string, "
+        "frecuencia_visita string, es_activo int, es_eliminado int, fecha_creacion timestamp",
+    )
+    ventas = spark.createDataFrame(
+        [
+            ("V1", "PE", "202504", "C1", Decimal("100"), 0),
+            ("V2", "PE", "202504", "C1", Decimal("50"), 0),
+            ("V3", "PE", "202504", "C1", Decimal("999"), 1),  # soft-deleted
+            ("V4", "PE", "202505", "C2", Decimal("70"), 0),
+        ],
+        "id_venta string, id_pais string, id_periodo string, cod_cliente string, "
+        "imp_venta decimal(38,12), es_eliminado int",
+    )
+    clientes.write.parquet(lake.table_path(Layer.DOMAIN, "m_cliente"))
+    asign.write.parquet(lake.table_path(Layer.DOMAIN, "m_asignacion_modulo"))
+    ventas.write.partitionBy("id_pais", "id_periodo").parquet(
+        lake.table_path(Layer.DOMAIN, "t_venta")
+    )
+
+
+def _ctx_factory(spark, lake):
+    def mk(cfg: JobConfig) -> JobContext:
+        return JobContext(
+            spark=spark, catalog=lake, registry=_registry(), config=cfg, as_of=AS_OF
+        )
+
+    return mk
+
+
+def test_analytics_layer_run(spark, lake):
+    _seed_domain(spark, lake)
+    cfgs = [
+        JobConfig("analytics", "dim_cliente_lite", exe_order=1),
+        JobConfig("analytics", "fact_venta_resumen", exe_order=1),
+    ]
+    results = run_waves(cfgs, ANALYTICS_JOBS, _ctx_factory(spark, lake))
+    assert all(r.status == "succeeded" for r in results), results
+
+    dim = {r["id_cliente"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "dim_cliente")).collect()}
+    assert dim["10|C1"]["modelo_atencion"] == "Pre Venta"  # priority ladder
+    assert dim["10|C1"]["id_modulo"] == "M2"
+    assert dim["10|C2"]["id_modulo"] is None               # left join preserved
+
+    fact = {(r["id_periodo"], r["cod_cliente"]): r for r in spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "fact_venta_resumen")).collect()}
+    assert fact[("202504", "C1")]["n_documentos"] == 2      # soft-delete excluded
+    assert fact[("202504", "C1")]["imp_venta"] == Decimal("150.000000000000")
+    assert fact[("202505", "C2")]["n_documentos"] == 1
+
+
+def test_domain_then_analytics_chain(spark, lake):
+    """The reference's orchestration shape (stack _build_orchestration_
+    definition: domain SM then analytics SM) as two engine runs sharing one
+    catalog: stage fixtures → domain jobs → analytics jobs."""
+    from cdk_datalake_analytics_comercial_spark.jobs import DOMAIN_JOBS
+    from test_runner_jobs import make_ctx, registry as stage_registry, seed_stage
+
+    seed_stage(spark, lake)
+    domain_cfgs = [
+        JobConfig("domain", "m_pais", 1),
+        JobConfig("domain", "m_compania", 1),
+        JobConfig("domain", "t_venta_lite", 2, periods=3),
+    ]
+    dr = run_waves(domain_cfgs, DOMAIN_JOBS, make_ctx(spark, lake))
+    assert all(r.status == "succeeded" for r in dr), dr
+
+    ar = run_waves(
+        [JobConfig("analytics", "fact_venta_resumen", 1)],
+        ANALYTICS_JOBS,
+        _ctx_factory(spark, lake),
+    )
+    assert all(r.status == "succeeded" for r in ar), ar
+    fact = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "fact_venta_resumen"))
+    rows = {(r["id_periodo"], r["cod_cliente"]): r["imp_venta"] for r in fact.collect()}
+    # from seed_stage: C1 202505 (100.5, active), C3 202503 (-10, active);
+    # C2's doc is anulled (002 → es_eliminado=1) and must not aggregate
+    assert rows == {
+        ("202505", "C1"): Decimal("100.500000000000"),
+        ("202503", "C3"): Decimal("-10.000000000000"),
+    }
