@@ -101,6 +101,87 @@ def image_features(
     )
 
 
+def image_resize(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    target_w: int = 224,
+    target_h: int = 224,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize stage: payload → resized payload + new dims.
+
+    Real implementation plugs PIL/libvips into the same Arrow iterator; the
+    fake truncates/pads the byte stream to a deterministic target size so
+    batch shape, schema, and downstream plumbing are testable.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/libvips — not in container; "
+                    "use fake=True for plumbing tests"
+                )
+            rows = []
+            target_n = target_w * target_h // 64  # stand-in compressed size
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                resized = (b * (target_n // max(len(b), 1) + 1))[:target_n]
+                rows.append((int(mid), resized, target_w, target_h))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
+
+    return df.select(id_col, payload_col).mapInPandas(resize_batches, schema=out_schema)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_mfcc: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Audio decode + feature stage (duration, rms, MFCC-shaped vector).
+
+    Real implementation decodes wav/mp3 (soundfile/librosa — not in this
+    container); the fake derives deterministic values from the payload bytes.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("mfcc", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/librosa — not in "
+                    "container; use fake=True for plumbing tests"
+                )
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                dur = len(b) * 8  # fake: 8ms per byte
+                rms = (sum(x * x for x in b[:256]) / max(min(len(b), 256), 1)) ** 0.5 / 255.0
+                mfcc = [float((len(b) * (i + 3)) % 31) / 31.0 for i in range(n_mfcc)]
+                rows.append((int(mid), dur, rms, mfcc))
+            yield pd.DataFrame(rows, columns=["media_id", "duration_ms", "rms", "mfcc"])
+
+    return df.select(id_col, payload_col).mapInPandas(feat_batches, schema=out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",

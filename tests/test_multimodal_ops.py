@@ -47,3 +47,22 @@ def test_frame_sample_fake(spark):
     for r in rows:
         assert r["ts_ms"] == r["frame_idx"] * 500
         assert isinstance(r["frame"], (bytes, bytearray))
+
+
+def test_image_resize_fake(spark):
+    out = M.image_resize(media_df(spark), fake=True, target_w=64, target_h=64)
+    rows = out.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["width"] == 64 and r["height"] == 64
+        assert len(r["payload"]) == 64 * 64 // 64
+
+
+def test_audio_features_fake(spark):
+    out = M.audio_features(media_df(spark), fake=True, n_mfcc=4)
+    got = {r["media_id"]: r for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    for r in got.values():
+        assert r["duration_ms"] > 0
+        assert 0.0 <= r["rms"] <= 1.0
+        assert len(r["mfcc"]) == 4

@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the pure utilities, plus a
+randomized Spark-vs-Python equivalence for shingling. Spark calls stay out
+of the hypothesis loops (one DataFrame per test, not per example)."""
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cdk_datalake_analytics_comercial_spark.core import magic_dates as md
+from cdk_datalake_analytics_comercial_spark.core.periods import (
+    get_periods,
+    get_previous_period,
+    period_bounds,
+    period_of,
+)
+
+dates = st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2100, 12, 31))
+periods_st = st.dates(min_value=dt.date(1950, 1, 1), max_value=dt.date(2100, 12, 1)).map(
+    period_of
+)
+
+
+@given(dates)
+def test_magic_codecs_roundtrip(d):
+    assert md.py_magic_2008_to_date(md.py_date_to_magic_2008(d)) == d
+    assert md.py_magic_1900_to_date(md.py_date_to_magic_1900(d)) == d
+
+
+@given(dates)
+def test_magic_codecs_monotone(d):
+    # monotonicity is what makes magic_period_filter's BETWEEN exact
+    n = md.py_date_to_magic_2008(d)
+    assert md.py_date_to_magic_2008(d + dt.timedelta(days=1)) == n + 1
+
+
+@given(st.integers(min_value=1, max_value=240), dates)
+def test_get_periods_properties(n, as_of):
+    ps = get_periods(n, as_of)
+    assert len(ps) == n
+    assert ps == sorted(ps)
+    assert ps[-1] == period_of(as_of)
+    # consecutive: each element is the previous period of its successor
+    for a, b in zip(ps, ps[1:]):
+        assert get_previous_period(b) == a
+
+
+@given(periods_st, st.integers(min_value=0, max_value=600))
+def test_previous_period_inverse(p, k):
+    # going back k then forward k via month arithmetic is identity
+    back = get_previous_period(p, k)
+    assert get_previous_period(back, -k) == p
+
+
+@given(periods_st)
+def test_period_bounds_cover_month(p):
+    lo, hi = period_bounds(p)
+    assert period_of(lo) == p and period_of(hi) == p
+    assert lo.day == 1
+    assert (hi + dt.timedelta(days=1)).day == 1
+
+
+def test_shingles_match_python_reference(spark):
+    """Randomized docs: Spark shingling == the Python reference used by the
+    dedup tests (whitespace-normalized, k=3, short-doc whole-text rule)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_analytics_comercial_spark.operators import text as T
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "y2", "z3", "qq", "ww"]
+    docs = [
+        " ".join(rng.choices(words, k=rng.randint(1, 12))) for _ in range(100)
+    ]
+
+    def py_shingles(text, k=3):
+        toks = text.lower().split()
+        if len(toks) <= k:
+            return [" ".join(toks)]
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", T.shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    for i, doc in enumerate(docs):
+        assert got[i] == py_shingles(doc), f"doc {i}: {doc!r}"
