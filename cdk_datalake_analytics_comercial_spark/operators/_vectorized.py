@@ -42,6 +42,48 @@ def make_minhash_sig_udf(params, mersenne_p):
     return sig
 
 
+def make_cosine_pairs_mapper(ids, matrix, threshold, id_col="vec_id"):
+    """mapInPandas kernel for all-pairs cosine over integer-scaled vectors.
+
+    ``matrix`` is the full corpus as an int64 ndarray (n × dim) — tiny
+    relative to the pair count (n² pairs never materialize outside numpy).
+    Dots are exact: |x| ≤ scale·max|v| keeps x·y·dim < 2^53, so the float64
+    matmul is integer-exact and the final divide matches a SQL engine's
+    ``CAST(int_dot AS DOUBLE)/ (sqrt(ii)*sqrt(jj))`` bit-for-bit.
+
+    Emits (id_a, id_b, cosine) with id_a < id_b and cosine ≥ threshold.
+    """
+    ids = np.asarray(ids, dtype=np.int64)
+    m = np.asarray(matrix, dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    m_sorted = m[order]
+
+    def mapper(batches):
+        for pdf in batches:
+            batch_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["iv"]])
+            if len(batch_ids) == 0:
+                continue
+            dots = vecs @ m_sorted.T
+            bnorms = np.sqrt((vecs * vecs).sum(axis=1))
+            cos = dots / (bnorms[:, None] * norms[None, :])
+            # id_a < id_b and threshold, row block vs whole corpus
+            keep_i, keep_j = np.where(
+                (batch_ids[:, None] < ids_sorted[None, :]) & (cos >= threshold)
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": batch_ids[keep_i],
+                    "id_b": ids_sorted[keep_j],
+                    "cosine": cos[keep_i, keep_j],
+                }
+            )
+
+    return mapper
+
+
 def make_simhash_udf(num_bits):
     shifts = np.arange(num_bits, dtype=np.uint64)
 

