@@ -96,11 +96,18 @@ def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 64) -> Colum
 def hashed_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, _h: array<long>) — distinct shingle hashes per doc, behind a
-    shuffle barrier so the tokenize/shingle/hash pipeline runs exactly once
-    per doc no matter how many downstream expressions reference ``_h``
-    (without the barrier, CollapseProject inlines the pipeline into every
-    referencing slot and HOFs run interpreted)."""
+    """(id, _h: array<long>) — distinct shingle hashes per doc, spread over
+    the full core count.
+
+    The ``repartition`` does two jobs: (1) parallelism — a small corpus
+    arrives as 1-2 parquet splits, and without the spread the CPU-heavy
+    shingle pipeline runs on as many cores (measured 1.4× end-to-end even
+    with the extra shuffle; the raw-text shuffle is cheap relative to the
+    per-row regex work); (2) a shuffle barrier ahead of *Column-expression*
+    consumers that reference ``_h`` repeatedly
+    (``minhash_signature_from_hashes``, ``simhash_from_hashes``) — without
+    it CollapseProject inlines the whole pipeline per reference (10-60×
+    measured). The Arrow kernels don't need (2) but benefit from (1)."""
     return df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingle_hashes(F.col(text_col), k)).alias("_h"),
