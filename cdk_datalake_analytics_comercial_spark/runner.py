@@ -163,3 +163,28 @@ def run_waves(
         if fail_fast and any(r.status == "failed" for r in results):
             break
     return results
+
+
+def write_status_log(results: list[JobResult], path: str, run_id: str | None = None) -> None:
+    """Append one JSON line per job result — the local replacement for the
+    reference's per-table DynamoDB status writes + SNS failure notifications
+    (`LOGGING_UTILS.update_status_dynamo` / ``send_error_message``,
+    `common_jobs_functions.py:584-654`). Append-only so successive runs form
+    an audit trail."""
+    import json
+
+    with open(path, "a") as f:
+        for r in results:
+            f.write(
+                json.dumps(
+                    {
+                        "run_id": run_id,
+                        "job": r.name,
+                        "status": r.status,
+                        "wave": r.wave,
+                        "seconds": r.seconds,
+                        "error": r.error,
+                    }
+                )
+                + "\n"
+            )

@@ -190,3 +190,20 @@ def test_empty_stage_table_fallback_in_job(spark, lake):
     assert results[0].status == "succeeded", results[0].error
     out = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_pais"))
     assert out.count() == 0  # no companies → no countries survive
+
+
+def test_write_status_log(spark, lake, tmp_path):
+    from cdk_datalake_analytics_comercial_spark.runner import write_status_log
+    import json
+
+    reg = JobRegistry()
+    reg.add("ok", lambda ctx: None)
+    cfgs = [JobConfig("domain", "ok", 1), JobConfig("domain", "missing", 1)]
+    results = run_waves(cfgs, reg, make_ctx(spark, lake))
+    log = tmp_path / "status.jsonl"
+    write_status_log(results, str(log), run_id="r1")
+    write_status_log(results, str(log), run_id="r2")  # append-only audit trail
+    lines = [json.loads(l) for l in log.read_text().splitlines()]
+    assert len(lines) == 4
+    assert {l["run_id"] for l in lines} == {"r1", "r2"}
+    assert {(l["job"], l["status"]) for l in lines} == {("ok", "succeeded"), ("missing", "skipped")}
