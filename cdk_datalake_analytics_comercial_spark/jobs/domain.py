@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..core.catalog import Layer
 from ..functions.casts import cast_projection
+from ..functions.currency import exchange_rate_me, exchange_rate_mn
 from ..functions.keys import surrogate_key
 from ..operators.pruning import period_filter
 from ..runner import JobContext, JobRegistry
@@ -104,12 +105,14 @@ def job_m_compania(ctx: JobContext) -> None:
 
 @DOMAIN_JOBS.register("t_venta_lite")
 def job_t_venta_lite(ctx: JobContext) -> None:
-    """Sales fact, reduced to the structural pattern of
-    `code/domain/t_venta.py:10-170`: early period filter (P3) on
-    fecha_liquidacion, left-join enrichment to the company master (J2),
-    pipe surrogate id (§1.3), period derivation, soft-delete flag for
-    annulled documents, cast projection (P2), dynamic partition overwrite
-    on (id_pais, id_periodo) (K1)."""
+    """Sales fact following `code/domain/t_venta.py:10-170`: early period
+    filter (P3) on fecha_liquidacion, company master enriched with the local
+    currency from m_parametro (`t_venta.py:28-40`), the day's exchange-rate
+    row joined on (fecha_emision, compania, moneda_mn) (`t_venta.py:79-85`),
+    rate resolution via functions.currency (`t_venta.py:118-119`), pipe
+    surrogate ids (§1.3), soft-delete flag for annulled documents, cast
+    projection (P2), dynamic partition overwrite on (id_pais, id_periodo)
+    (K1)."""
     venta = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_venta", registry=ctx.registry
     )
@@ -117,6 +120,12 @@ def job_t_venta_lite(ctx: JobContext) -> None:
         ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
     )
     m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    m_parametro = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_parametro", registry=ctx.registry
+    )
+    m_tipo_cambio = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_cambio", registry=ctx.registry
+    )
 
     # sargable rewrite of the reference's date_format(...).isin(PERIODOS)
     # (t_venta.py:25) — the range predicate reaches the parquet scan and
@@ -124,15 +133,28 @@ def job_t_venta_lite(ctx: JobContext) -> None:
     filtered = venta.filter(period_filter(F.col("fecha_liquidacion"), ctx.periods))
     compania = (
         m_compania.alias("mc")
+        .join(
+            m_parametro.alias("mpar"),
+            F.col("mpar.id_compania") == F.col("mc.cod_compania"),
+            "left",
+        )
         .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
         .select(
             F.col("mc.cod_compania").alias("cod_compania"),
             F.col("mp.id_pais").alias("id_pais"),
+            F.col("mpar.cod_moneda_mn").alias("moneda_mn"),
         )
     )
     enriched = (
         filtered.alias("v")
         .join(F.broadcast(compania).alias("c"), ["cod_compania"], "left")
+        .join(
+            F.broadcast(m_tipo_cambio).alias("mtc"),
+            (F.col("mtc.fecha") == F.col("v.fecha_emision"))
+            & (F.col("mtc.cod_compania") == F.col("c.cod_compania"))
+            & (F.col("mtc.cod_moneda") == F.col("c.moneda_mn")),
+            "left",
+        )
         .select(
             surrogate_key(
                 F.col("v.cod_compania"),
@@ -148,8 +170,20 @@ def job_t_venta_lite(ctx: JobContext) -> None:
             F.col("v.nro_documento_venta"),
             F.col("v.cod_cliente"),
             F.col("v.cod_moneda"),
+            exchange_rate_mn(
+                F.col("v.cod_moneda"),
+                F.col("c.moneda_mn"),
+                F.col("mtc.tc_venta"),
+                F.col("v.tipo_cambio_mn"),
+            ).alias("tipo_cambio_mn"),
+            exchange_rate_me(
+                F.col("v.cod_moneda"),
+                F.col("mtc.tc_venta"),
+                F.col("v.tipo_cambio_me"),
+            ).alias("tipo_cambio_me"),
             F.col("v.imp_venta"),
             F.col("v.fecha_liquidacion"),
+            F.col("v.fecha_emision"),
             F.when(F.col("v.cod_estado_comprobante") == "002", F.lit(1))
             .otherwise(F.lit(0))
             .alias("es_eliminado"),
@@ -167,8 +201,11 @@ def job_t_venta_lite(ctx: JobContext) -> None:
             ("nro_documento_venta", "string"),
             ("cod_cliente", "string"),
             ("cod_moneda", "string"),
+            ("tipo_cambio_mn", "numeric(12,6)"),
+            ("tipo_cambio_me", "numeric(12,6)"),
             ("imp_venta", "numeric(38,12)"),
             ("fecha_liquidacion", "date"),
+            ("fecha_emision", "date"),
             ("es_eliminado", "int"),
         ],
     )

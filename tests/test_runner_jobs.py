@@ -47,9 +47,19 @@ def registry():
                 ("nro_documento_venta", "string"),
                 ("cod_cliente", "string"),
                 ("cod_moneda", "string"),
+                ("tipo_cambio_mn", "numeric(12,6)"),
+                ("tipo_cambio_me", "numeric(12,6)"),
                 ("imp_venta", "numeric(38,12)"),
                 ("cod_estado_comprobante", "string"),
                 ("fecha_liquidacion", "date"),
+                ("fecha_emision", "date"),
+            ],
+            "m_parametro": [("id_compania", "string"), ("cod_moneda_mn", "string")],
+            "m_tipo_cambio": [
+                ("cod_compania", "string"),
+                ("cod_moneda", "string"),
+                ("fecha", "date"),
+                ("tc_venta", "numeric(12,6)"),
             ],
         }
     )
@@ -73,20 +83,37 @@ def seed_stage(spark, lake):
     )
     ventas = spark.createDataFrame(
         [
-            ("10", "01", "FAC", "0001", "C1", "PEN", Decimal("100.5"), "001", dt.date(2025, 5, 2)),
-            ("10", "01", "FAC", "0002", "C2", "PEN", Decimal("50.0"), "002", dt.date(2025, 4, 10)),
-            ("20", "02", "NCC", "0003", "C3", "USD", Decimal("-10.0"), "001", dt.date(2025, 3, 20)),
+            # local-currency doc; a matching m_tipo_cambio row supplies the day rate
+            ("10", "01", "FAC", "0001", "C1", "PEN", Decimal("9.9"), Decimal("0"),
+             Decimal("100.5"), "001", dt.date(2025, 5, 2), dt.date(2025, 5, 1)),
+            ("10", "01", "FAC", "0002", "C2", "PEN", Decimal("9.9"), Decimal("0"),
+             Decimal("50.0"), "002", dt.date(2025, 4, 10), dt.date(2025, 4, 9)),
+            # USD doc of a company with no m_parametro row (moneda_mn null)
+            ("20", "02", "NCC", "0003", "C3", "USD", Decimal("3.5"), Decimal("0"),
+             Decimal("-10.0"), "001", dt.date(2025, 3, 20), dt.date(2025, 3, 19)),
             # outside the 3-period window (202503..202505) — must be excluded
-            ("10", "01", "FAC", "0004", "C4", "PEN", Decimal("77.0"), "001", dt.date(2024, 12, 1)),
+            ("10", "01", "FAC", "0004", "C4", "PEN", Decimal("9.9"), Decimal("0"),
+             Decimal("77.0"), "001", dt.date(2024, 12, 1), dt.date(2024, 12, 1)),
         ],
         "cod_compania string, cod_sucursal string, cod_documento_venta string, "
         "nro_documento_venta string, cod_cliente string, cod_moneda string, "
-        "imp_venta decimal(38,12), cod_estado_comprobante string, fecha_liquidacion date",
+        "tipo_cambio_mn decimal(12,6), tipo_cambio_me decimal(12,6), "
+        "imp_venta decimal(38,12), cod_estado_comprobante string, "
+        "fecha_liquidacion date, fecha_emision date",
+    )
+    m_parametro = spark.createDataFrame(
+        [("10", "PEN")], "id_compania string, cod_moneda_mn string"
+    )
+    m_tipo_cambio = spark.createDataFrame(
+        [("10", "PEN", dt.date(2025, 5, 1), Decimal("3.75"))],
+        "cod_compania string, cod_moneda string, fecha date, tc_venta decimal(12,6)",
     )
     m_pais.write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
     comp1.write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
     comp2.write.parquet(lake.table_path(Layer.STAGE, "m_compania", "cl01"))
     ventas.write.parquet(lake.table_path(Layer.STAGE, "t_documento_venta", "pe01"))
+    m_parametro.write.parquet(lake.table_path(Layer.STAGE, "m_parametro", "pe01"))
+    m_tipo_cambio.write.parquet(lake.table_path(Layer.STAGE, "m_tipo_cambio", "pe01"))
 
 
 def make_ctx(spark, lake):
@@ -129,6 +156,16 @@ def test_full_domain_run(spark, lake):
     assert rows["10|01|FAC|0001"]["id_periodo"] == "202505"
     assert rows["20|02|NCC|0003"]["id_pais"] == "CL"
     assert rows["10|01|FAC|0001"]["imp_venta"] == Decimal("100.5")
+    # currency resolution through the job (t_venta.py:118-119 semantics):
+    # local-currency doc → mn=1; me from the day's m_tipo_cambio row
+    assert rows["10|01|FAC|0001"]["tipo_cambio_mn"] == Decimal("1.000000")
+    assert rows["10|01|FAC|0001"]["tipo_cambio_me"] == Decimal("3.750000")
+    # USD doc, company without m_parametro → mn falls back to the embedded
+    # rate; me=1 (dollar doc)
+    assert rows["20|02|NCC|0003"]["tipo_cambio_mn"] == Decimal("3.500000")
+    assert rows["20|02|NCC|0003"]["tipo_cambio_me"] == Decimal("1.000000")
+    # doc 0002's emission date has no rate row → me embedded-0 sentinel → 1
+    assert rows["10|01|FAC|0002"]["tipo_cambio_me"] == Decimal("1.000000")
 
 
 def test_rerun_is_idempotent(spark, lake):
