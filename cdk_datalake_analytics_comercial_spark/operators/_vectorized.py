@@ -84,6 +84,35 @@ def make_cosine_pairs_mapper(ids, matrix, threshold, id_col="vec_id"):
     return mapper
 
 
+def make_cosine_scores_mapper(q_ids, q_matrix, id_col="vec_id"):
+    """mapInPandas kernel scoring every corpus row against a fixed query
+    matrix: emits (query_id, corpus_id, cosine) for all non-self pairs.
+    Same integer-exactness contract as :func:`make_cosine_pairs_mapper`."""
+    q_ids = np.asarray(q_ids, dtype=np.int64)
+    q = np.asarray(q_matrix, dtype=np.float64)
+    q_norms = np.sqrt((q * q).sum(axis=1))
+
+    def mapper(batches):
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if len(c_ids) == 0:
+                continue
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["iv"]])
+            dots = q @ vecs.T                      # (n_q, batch)
+            c_norms = np.sqrt((vecs * vecs).sum(axis=1))
+            cos = dots / (q_norms[:, None] * c_norms[None, :])
+            keep_q, keep_c = np.where(q_ids[:, None] != c_ids[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[keep_q],
+                    "corpus_id": c_ids[keep_c],
+                    "cosine": cos[keep_q, keep_c],
+                }
+            )
+
+    return mapper
+
+
 def make_simhash_udf(num_bits):
     shifts = np.arange(num_bits, dtype=np.uint64)
 

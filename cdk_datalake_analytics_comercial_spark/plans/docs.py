@@ -237,39 +237,31 @@ def _scaled(vec):
     return F.transform(vec, lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("long"))
 
 
-def _idot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors of 20 query vectors: numpy block scoring
+    (queries ride to every partition as a matrix; integer-exact, same values
+    as the per-pair expression form) + window top-k."""
+    from pyspark.sql import types as T_
 
+    from ..operators._vectorized import make_cosine_scores_mapper
 
-def _exact_cosine_pairs(spark: SparkSession, sf_dir: str, query_limit: int):
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", _scaled(F.col("embedding")).alias("iv")
     )
-    q = e.filter(F.col("vec_id") < query_limit).select(
-        F.col("vec_id").alias("query_id"), F.col("iv").alias("qv")
+    q_rows = e.filter(F.col("vec_id") < 20).collect()
+    mapper = make_cosine_scores_mapper(
+        [r["vec_id"] for r in q_rows], [r["iv"] for r in q_rows]
     )
-    c = e.select(F.col("vec_id").alias("corpus_id"), F.col("iv").alias("cv"))
-    return (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("corpus_id"), "inner")
-        .select(
-            "query_id",
-            "corpus_id",
-            (
-                _idot(F.col("qv"), F.col("cv")).cast("double")
-                / (
-                    F.sqrt(_idot(F.col("qv"), F.col("qv")).cast("double"))
-                    * F.sqrt(_idot(F.col("cv"), F.col("cv")).cast("double"))
-                )
-            ).alias("cosine"),
-        )
+    scored = e.mapInPandas(
+        mapper,
+        schema=T_.StructType(
+            [
+                T_.StructField("query_id", T_.LongType()),
+                T_.StructField("corpus_id", T_.LongType()),
+                T_.StructField("cosine", T_.DoubleType()),
+            ]
+        ),
     )
-
-
-def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _exact_cosine_pairs(spark, sf_dir, query_limit=20)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()
     )
