@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..core.catalog import Layer
 from ..functions.casts import cast_projection
-from ..operators.relational import top1_per_group
+from ..operators.relational import rolling_window, top1_per_group
 from ..runner import JobContext, JobRegistry
 from ..sources.reader import read_table
 from ..sources.writer import merge_upsert, write_table
@@ -82,6 +82,70 @@ def job_dim_cliente_lite(ctx: JobContext) -> None:
         ctx.catalog.table_path(Layer.ANALYTICS, "dim_cliente"),
         keys=["id_cliente"],
         partition_by=["id_pais"],
+    )
+
+
+@ANALYTICS_JOBS.register("fact_cliente_venta_lite")
+def job_fact_cliente_venta_lite(ctx: JobContext) -> None:
+    """Client-month metrics with trailing 3-month rollups
+    (`code/analytics/fact_cliente_venta.py:29-127` shape): per
+    (pais, periodo, cliente) aggregates — counts, decimal sums, recency —
+    then the rolling sums. The reference's range self-join
+    ``past.periodo BETWEEN add_months(cur, -3) AND cur`` (J5) is rewritten
+    as a rangeBetween window (one shuffle; equivalence proven in
+    tests/test_relational_ops.py and the rolling_3m vs rolling_3m_window
+    oracle pair); the reference's wall-clock ``current_date()`` recency
+    becomes the injected ``ctx.as_of`` (SURVEY §7.3.7)."""
+    venta = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta", registry=ctx.registry)
+    monthly = (
+        venta.filter(F.col("es_eliminado") == 0)
+        .groupBy("id_pais", "id_periodo", "cod_cliente")
+        .agg(
+            F.countDistinct("id_venta").cast("bigint").alias("cant_venta"),
+            F.sum(F.col("imp_venta").cast("decimal(38,12)")).alias("_imp_dec"),
+            F.max("fecha_liquidacion").alias("ult_fecha_compra"),
+        )
+        .withColumn(
+            "ult_dia_compra",
+            F.datediff(F.lit(ctx.as_of), F.col("ult_fecha_compra")).cast("int"),
+        )
+    )
+    rolled = rolling_window(
+        monthly,
+        keys=["id_pais", "cod_cliente"],
+        period_col="id_periodo",
+        agg_exprs=[(F.col("_imp_dec"), "_imp_3m_dec"), (F.col("cant_venta"), "cant_venta_3m")],
+        months_back=3,  # reference: between add_months(cur,-3) and cur → 4 periods
+    )
+    out = rolled.select(
+        "id_pais",
+        "id_periodo",
+        "cod_cliente",
+        "cant_venta",
+        F.col("_imp_dec").alias("imp_venta"),
+        "ult_fecha_compra",
+        "ult_dia_compra",
+        F.coalesce(F.col("_imp_3m_dec"), F.lit(0)).alias("imp_venta_3m"),
+        F.coalesce(F.col("cant_venta_3m"), F.lit(0)).alias("cant_venta_3m"),
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("cod_cliente", "string"),
+            ("cant_venta", "bigint"),
+            ("imp_venta", "numeric(38,12)"),
+            ("ult_fecha_compra", "date"),
+            ("ult_dia_compra", "int"),
+            ("imp_venta_3m", "numeric(38,12)"),
+            ("cant_venta_3m", "bigint"),
+        ],
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.ANALYTICS, "fact_cliente_venta"),
+        partition_by=["id_pais", "id_periodo"],
     )
 
 

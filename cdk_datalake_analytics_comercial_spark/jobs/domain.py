@@ -103,6 +103,64 @@ def job_m_compania(ctx: JobContext) -> None:
     )
 
 
+@DOMAIN_JOBS.register("t_pedido_lite")
+def job_t_pedido_lite(ctx: JobContext) -> None:
+    """Order fact with the ADES-channel merge (`code/domain/t_pedido.py`
+    structure): the ADES mirror table renames columns, rows already present
+    in the main pedido set are dropped with a left_anti on the surrogate id
+    (`t_pedido.py:352-359`), the remainder unions in by name
+    (`t_pedido.py:362`), then period filter + dynamic overwrite."""
+    pedido = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido", registry=ctx.registry
+    )
+    ades = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido_ades", registry=ctx.registry
+    )
+
+    def conform(df, doc_col: str, nro_col: str, canal: str):
+        return df.select(
+            surrogate_key(
+                F.col("cod_compania"), F.col("cod_sucursal"), F.col(doc_col), F.col(nro_col)
+            ).alias("id_pedido"),
+            F.col("cod_compania"),
+            F.col("cod_sucursal"),
+            F.col(doc_col).alias("cod_documento_pedido"),
+            F.col(nro_col).alias("nro_documento_pedido"),
+            F.col("cod_cliente"),
+            F.date_format(F.col("fecha_pedido"), "yyyyMM").alias("id_periodo"),
+            F.col("fecha_pedido"),
+            F.lit(canal).alias("canal"),
+        )
+
+    main = conform(pedido, "cod_documento_pedido", "nro_documento_pedido", "GENERAL")
+    # ADES mirror uses renamed business keys (cod_documento_transaccion /
+    # nro_comprobante — FIXTURES.md ADES table spec)
+    extra = conform(ades, "cod_documento_transaccion", "nro_comprobante", "ADES")
+    extra_new = extra.join(main.select("id_pedido"), "id_pedido", "left_anti")
+    unioned = main.unionByName(extra_new).filter(
+        period_filter(F.col("fecha_pedido"), ctx.periods)
+    )
+    out = cast_projection(
+        unioned,
+        [
+            ("id_pedido", "string"),
+            ("cod_compania", "string"),
+            ("cod_sucursal", "string"),
+            ("cod_documento_pedido", "string"),
+            ("nro_documento_pedido", "string"),
+            ("cod_cliente", "string"),
+            ("id_periodo", "string"),
+            ("fecha_pedido", "date"),
+            ("canal", "string"),
+        ],
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "t_pedido"),
+        partition_by=["id_periodo"],
+    )
+
+
 @DOMAIN_JOBS.register("t_venta_lite")
 def job_t_venta_lite(ctx: JobContext) -> None:
     """Sales fact following `code/domain/t_venta.py:10-170`: early period

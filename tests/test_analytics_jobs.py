@@ -178,3 +178,46 @@ def test_domain_then_analytics_chain(spark, lake):
         ("202505", "C1"): Decimal("100.500000000000"),
         ("202503", "C3"): Decimal("-10.000000000000"),
     }
+
+
+def test_fact_cliente_venta_rolling(spark, lake):
+    """Rolling 3m metrics honor calendar gaps and the injected clock."""
+    rows = [
+        ("V1", "PE", "202501", "C1", Decimal("10"), 0, dt.date(2025, 1, 10)),
+        ("V2", "PE", "202502", "C1", Decimal("20"), 0, dt.date(2025, 2, 10)),
+        ("V3", "PE", "202503", "C1", Decimal("30"), 0, dt.date(2025, 3, 10)),
+        ("V4", "PE", "202505", "C1", Decimal("50"), 0, dt.date(2025, 5, 10)),  # gap: 202504
+        ("V5", "PE", "202505", "C2", Decimal("7"), 0, dt.date(2025, 5, 1)),
+        ("V6", "PE", "202505", "C2", Decimal("8"), 1, dt.date(2025, 5, 2)),   # soft-deleted
+    ]
+    spark.createDataFrame(
+        rows,
+        "id_venta string, id_pais string, id_periodo string, cod_cliente string, "
+        "imp_venta decimal(38,12), es_eliminado int, fecha_liquidacion date",
+    ).write.partitionBy("id_pais", "id_periodo").parquet(
+        lake.table_path(Layer.DOMAIN, "t_venta")
+    )
+    reg = SchemaRegistry({"t_venta": [
+        ("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
+        ("cod_cliente", "string"), ("imp_venta", "numeric(38,12)"), ("es_eliminado", "int"),
+        ("fecha_liquidacion", "date"),
+    ]})
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("analytics", "fact_cliente_venta_lite", 1)], ANALYTICS_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    fact = {
+        (r["id_periodo"], r["cod_cliente"]): r
+        for r in spark.read.parquet(lake.table_path(Layer.ANALYTICS, "fact_cliente_venta")).collect()
+    }
+    # 202503/C1: trailing window covers 202412..202503 → 10+20+30
+    assert fact[("202503", "C1")]["imp_venta_3m"] == Decimal("60.000000000000")
+    # 202505/C1: window 202502..202505 (202504 absent) → 20+30+50
+    assert fact[("202505", "C1")]["imp_venta_3m"] == Decimal("100.000000000000")
+    assert fact[("202505", "C1")]["cant_venta_3m"] == 3
+    # soft-deleted row excluded from C2's month
+    assert fact[("202505", "C2")]["imp_venta"] == Decimal("7.000000000000")
+    # recency vs injected clock (2025-05-15), not wall clock
+    assert fact[("202505", "C2")]["ult_dia_compra"] == 14

@@ -244,3 +244,45 @@ def test_write_status_log(spark, lake, tmp_path):
     assert len(lines) == 4
     assert {l["run_id"] for l in lines} == {"r1", "r2"}
     assert {(l["job"], l["status"]) for l in lines} == {("ok", "succeeded"), ("missing", "skipped")}
+
+
+def test_t_pedido_ades_anti_union(spark, lake):
+    """ADES merge: overlapping surrogate key dropped, new ADES rows union in
+    (FIXTURES coverage: ADES ∩ pedido ≠ ∅ and ∖ ≠ ∅)."""
+    reg = SchemaRegistry({
+        "t_documento_pedido": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_documento_pedido", "string"), ("nro_documento_pedido", "string"),
+            ("cod_cliente", "string"), ("fecha_pedido", "date"),
+        ],
+        "t_documento_pedido_ades": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_documento_transaccion", "string"), ("nro_comprobante", "string"),
+            ("cod_cliente", "string"), ("fecha_pedido", "date"),
+        ],
+    })
+    d = dt.date(2025, 5, 2)
+    spark.createDataFrame(
+        [("10", "01", "200", "P1", "C1", d), ("10", "01", "200", "P2", "C2", d)],
+        "cod_compania string, cod_sucursal string, cod_documento_pedido string, "
+        "nro_documento_pedido string, cod_cliente string, fecha_pedido date",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido", "pe01"))
+    spark.createDataFrame(
+        # P2 overlaps the main set (must be dropped); P9 is ADES-only
+        [("10", "01", "200", "P2", "C2", d), ("10", "01", "200", "P9", "C9", d)],
+        "cod_compania string, cod_sucursal string, cod_documento_transaccion string, "
+        "nro_comprobante string, cod_cliente string, fecha_pedido date",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_ades", "pe01"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("domain", "t_pedido_lite", 1, periods=2)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    out = {r["id_pedido"]: r["canal"] for r in spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "t_pedido")).collect()}
+    assert out == {
+        "10|01|200|P1": "GENERAL",
+        "10|01|200|P2": "GENERAL",   # main wins over the ADES duplicate
+        "10|01|200|P9": "ADES",
+    }
