@@ -103,6 +103,105 @@ def job_m_compania(ctx: JobContext) -> None:
     )
 
 
+@DOMAIN_JOBS.register("t_venta_detalle_lite")
+def job_t_venta_detalle_lite(ctx: JobContext) -> None:
+    """Sales line-item fact — the reference's numerically richest job
+    (`code/domain/t_venta_detalle.py:170-319`): per (venta, producto)
+    conditional aggregates of the form
+
+        sum( dispatch(op-type) × sign-factor × unit-conversion × fx )
+
+    where the sign factor is −1 for credit notes (``NCC``,
+    `t_venta_detalle.py:175`), the dispatch splits sale vs promotion rows
+    (``cod_tipo_operacion == 'PRO'``), the unit conversion is
+    ``(cant_paquete + cant_unidad / cant_unidad_paquete) · cant_paquete_caja``
+    and money converts through the venta's resolved exchange rates
+    (× tc_mn, ÷ tc_me). Non-key attributes ride along as A4
+    max-as-representative. Divisions run in decimal(20,6) (a fixed cast
+    point — SURVEY §7.3.1: Spark's decimal division would otherwise
+    promote/truncate scale differently than other engines)."""
+    venta = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta", registry=ctx.registry)
+    det = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_venta_detalle", registry=ctx.registry
+    )
+    art = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_articulo", registry=ctx.registry)
+    ops = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_operacion", registry=ctx.registry)
+
+    det = det.withColumn(
+        "id_venta",
+        surrogate_key(
+            F.col("cod_compania"),
+            F.col("cod_sucursal"),
+            F.col("cod_documento_venta"),
+            F.col("nro_documento_venta"),
+        ),
+    )
+    joined = (
+        det.alias("d")
+        .join(venta.alias("v"), "id_venta", "inner")
+        .join(
+            F.broadcast(art).alias("ma"),
+            (F.col("d.cod_compania") == F.col("ma.cod_compania"))
+            & (F.col("d.cod_articulo") == F.col("ma.cod_articulo")),
+            "left",
+        )
+        .join(
+            F.broadcast(ops).alias("mo"),
+            (F.col("d.cod_compania") == F.col("mo.cod_compania"))
+            & (F.col("d.cod_operacion") == F.col("mo.cod_operacion")),
+            "left",
+        )
+    )
+    dec = lambda c: c.cast("decimal(20,6)")
+    factor = F.when(F.col("v.cod_documento_venta") == "NCC", F.lit(-1)).otherwise(F.lit(1))
+    es_pro = F.upper(F.col("mo.cod_tipo_operacion")) == "PRO"
+    d_ven = F.when(~es_pro | es_pro.isNull(), F.lit(1)).otherwise(F.lit(0))
+    d_pro = F.when(es_pro, F.lit(1)).otherwise(F.lit(0))
+    cajas = (
+        dec(F.col("d.cant_paquete")) + dec(F.col("d.cant_unidad")) / dec(F.col("ma.cant_unidad_paquete"))
+    ) * dec(F.col("ma.cant_paquete_caja"))
+    neto_mn = dec(F.col("d.imp_valorizado")) * dec(F.col("v.tipo_cambio_mn"))
+    neto_me = dec(F.col("d.imp_valorizado")) / dec(F.col("v.tipo_cambio_me"))
+    bruto_mn = dec(F.col("d.imp_cobrar")) * dec(F.col("v.tipo_cambio_mn"))
+
+    def signed(dispatch, expr):
+        return F.sum((dispatch * factor * expr).cast("decimal(38,12)"))
+
+    out = (
+        joined.groupBy(
+            F.col("id_venta"), F.col("d.cod_articulo").alias("id_producto")
+        )
+        .agg(
+            F.max(F.col("v.id_pais")).alias("id_pais"),
+            F.max(F.col("v.id_periodo")).alias("id_periodo"),
+            signed(d_ven, cajas).alias("cant_caja_fisica_ven"),
+            signed(d_pro, cajas).alias("cant_caja_fisica_pro"),
+            signed(d_ven, neto_mn).alias("imp_neto_vta_mn"),
+            signed(d_ven, neto_me).alias("imp_neto_vta_me"),
+            signed(d_ven, bruto_mn).alias("imp_bruto_vta_mn"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_venta", "string"),
+            ("id_producto", "string"),
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("cant_caja_fisica_ven", "numeric(38,12)"),
+            ("cant_caja_fisica_pro", "numeric(38,12)"),
+            ("imp_neto_vta_mn", "numeric(38,12)"),
+            ("imp_neto_vta_me", "numeric(38,12)"),
+            ("imp_bruto_vta_mn", "numeric(38,12)"),
+        ],
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "t_venta_detalle"),
+        partition_by=["id_pais", "id_periodo"],
+    )
+
+
 @DOMAIN_JOBS.register("t_pedido_lite")
 def job_t_pedido_lite(ctx: JobContext) -> None:
     """Order fact with the ADES-channel merge (`code/domain/t_pedido.py`

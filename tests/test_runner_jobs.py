@@ -286,3 +286,81 @@ def test_t_pedido_ades_anti_union(spark, lake):
         "10|01|200|P2": "GENERAL",   # main wins over the ADES duplicate
         "10|01|200|P9": "ADES",
     }
+
+
+def test_t_venta_detalle_conditional_aggregates(spark, lake):
+    """Hand-computed A2 semantics: NCC sign flip, PRO dispatch, unit
+    conversion with the cant_unidad_paquete divisor, fx conversion."""
+    reg = SchemaRegistry({
+        "t_venta": [
+            ("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
+            ("cod_documento_venta", "string"),
+            ("tipo_cambio_mn", "numeric(12,6)"), ("tipo_cambio_me", "numeric(12,6)"),
+        ],
+        "t_documento_venta_detalle": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_documento_venta", "string"), ("nro_documento_venta", "string"),
+            ("cod_articulo", "string"), ("cod_operacion", "string"),
+            ("cant_paquete", "numeric(38,12)"), ("cant_unidad", "numeric(38,12)"),
+            ("imp_valorizado", "numeric(38,12)"), ("imp_cobrar", "numeric(38,12)"),
+        ],
+        "m_articulo": [
+            ("cod_compania", "string"), ("cod_articulo", "string"),
+            ("cant_unidad_paquete", "numeric(38,12)"), ("cant_paquete_caja", "numeric(38,12)"),
+        ],
+        "m_operacion": [
+            ("cod_compania", "string"), ("cod_operacion", "string"),
+            ("cod_tipo_operacion", "string"),
+        ],
+    })
+    D = Decimal
+    spark.createDataFrame(
+        [
+            ("10|01|FAC|1", "PE", "202505", "FAC", D("2"), D("4")),
+            ("10|01|NCC|2", "PE", "202505", "NCC", D("1"), D("1")),
+        ],
+        "id_venta string, id_pais string, id_periodo string, cod_documento_venta string, "
+        "tipo_cambio_mn decimal(12,6), tipo_cambio_me decimal(12,6)",
+    ).write.partitionBy("id_pais").parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
+    spark.createDataFrame(
+        [
+            # FAC / A1 / sale op: cajas=(3+5/10)*2=7; neto_mn=100*2; neto_me=100/4; bruto_mn=110*2
+            ("10", "01", "FAC", "1", "A1", "V1", D("3"), D("5"), D("100"), D("110")),
+            # FAC / A1 / promo op: cajas=(1+0/10)*2=2 → only _pro bucket
+            ("10", "01", "FAC", "1", "A1", "P1", D("1"), D("0"), D("999"), D("999")),
+            # NCC / A1 / sale op: factor −1, cajas=(1+5/10)*2=3 → −3
+            ("10", "01", "NCC", "2", "A1", "V1", D("1"), D("5"), D("50"), D("55")),
+        ],
+        "cod_compania string, cod_sucursal string, cod_documento_venta string, "
+        "nro_documento_venta string, cod_articulo string, cod_operacion string, "
+        "cant_paquete decimal(38,12), cant_unidad decimal(38,12), "
+        "imp_valorizado decimal(38,12), imp_cobrar decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_venta_detalle", "pe01"))
+    spark.createDataFrame(
+        [("10", "A1", D("10"), D("2"))],
+        "cod_compania string, cod_articulo string, cant_unidad_paquete decimal(38,12), "
+        "cant_paquete_caja decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_articulo", "pe01"))
+    spark.createDataFrame(
+        [("10", "V1", "Ven"), ("10", "P1", "Pro")],
+        "cod_compania string, cod_operacion string, cod_tipo_operacion string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_operacion", "pe01"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("domain", "t_venta_detalle_lite", 1)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    out = {
+        (r["id_venta"], r["id_producto"]): r
+        for r in spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_venta_detalle")).collect()
+    }
+    fac = out[("10|01|FAC|1", "A1")]
+    assert fac["cant_caja_fisica_ven"] == Decimal("7.000000000000")
+    assert fac["cant_caja_fisica_pro"] == Decimal("2.000000000000")
+    assert fac["imp_neto_vta_mn"] == Decimal("200.000000000000")
+    assert fac["imp_neto_vta_me"] == Decimal("25.000000000000")
+    assert fac["imp_bruto_vta_mn"] == Decimal("220.000000000000")
+    ncc = out[("10|01|NCC|2", "A1")]
+    assert ncc["cant_caja_fisica_ven"] == Decimal("-3.000000000000")
+    assert ncc["imp_neto_vta_mn"] == Decimal("-50.000000000000")
