@@ -48,10 +48,16 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + file listing so per-query times measure the plans
+    # warm the JVM + file listing + the Python (Arrow UDF) worker pool so
+    # per-query times measure the plans, not one-time process startup
     QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    import pandas as _pd
+
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
