@@ -103,6 +103,83 @@ def job_m_compania(ctx: JobContext) -> None:
     )
 
 
+@DOMAIN_JOBS.register("m_articulo_lite")
+def job_m_articulo_lite(ctx: JobContext) -> None:
+    """Product master — the reference's widest dim-conformance ladder
+    (`code/domain/m_articulo.py:29-172`: 10 left joins to attribute masters
+    over (compania, code) keys, all broadcastable dims). Reduced here to the
+    structural pattern with linea/familia/marca; absent masters resolve
+    through the empty-schema fallback so the join ladder never breaks (S3).
+    Upsert on id_articulo partitioned by id_pais."""
+    art = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_articulo", registry=ctx.registry)
+    comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    linea = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_linea", registry=ctx.registry)
+    familia = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_familia", registry=ctx.registry)
+    marca = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_marca", registry=ctx.registry)
+
+    joined = (
+        art.alias("ma")
+        .join(comp.alias("mc"), F.col("ma.cod_compania") == F.col("mc.cod_compania"), "inner")
+        .join(F.broadcast(pais).alias("mp"), F.col("mp.cod_pais") == F.col("mc.cod_pais"), "left")
+        .join(
+            F.broadcast(linea).alias("ml"),
+            (F.col("ma.cod_compania") == F.col("ml.cod_compania"))
+            & (F.col("ma.cod_linea") == F.col("ml.cod_linea")),
+            "left",
+        )
+        .join(
+            F.broadcast(familia).alias("mf"),
+            (F.col("ma.cod_compania") == F.col("mf.cod_compania"))
+            & (F.col("ma.cod_linea") == F.col("mf.cod_linea"))
+            & (F.col("ma.cod_familia") == F.col("mf.cod_familia")),
+            "left",
+        )
+        .join(
+            F.broadcast(marca).alias("mm"),
+            (F.col("ma.cod_compania") == F.col("mm.cod_compania"))
+            & (F.col("ma.cod_marca") == F.col("mm.cod_marca")),
+            "left",
+        )
+        .select(
+            surrogate_key(F.col("ma.cod_compania"), F.col("ma.cod_articulo")).alias(
+                "id_articulo"
+            ),
+            F.col("mp.id_pais").alias("id_pais"),
+            F.col("ma.cod_compania"),
+            F.col("ma.cod_articulo"),
+            F.col("ma.desc_articulo"),
+            F.col("ml.desc_linea"),
+            F.col("mf.desc_familia"),
+            F.col("mm.desc_marca"),
+            F.col("ma.cant_unidad_paquete"),
+            F.col("ma.es_activo"),
+        )
+    )
+    out = cast_projection(
+        joined,
+        [
+            ("id_articulo", "string"),
+            ("id_pais", "string"),
+            ("cod_compania", "string"),
+            ("cod_articulo", "string"),
+            ("desc_articulo", "string"),
+            ("desc_linea", "string"),
+            ("desc_familia", "string"),
+            ("desc_marca", "string"),
+            ("cant_unidad_paquete", "numeric(38,12)"),
+            ("es_activo", "string"),
+        ],
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "m_articulo"),
+        keys=["id_articulo"],
+        partition_by=["id_pais"],
+    )
+
+
 @DOMAIN_JOBS.register("t_venta_detalle_lite")
 def job_t_venta_detalle_lite(ctx: JobContext) -> None:
     """Sales line-item fact — the reference's numerically richest job

@@ -364,3 +364,56 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
     ncc = out[("10|01|NCC|2", "A1")]
     assert ncc["cant_caja_fisica_ven"] == Decimal("-3.000000000000")
     assert ncc["imp_neto_vta_mn"] == Decimal("-50.000000000000")
+
+
+def test_m_articulo_join_ladder_with_missing_masters(spark, lake):
+    """Wide dim ladder: attribute joins resolve, and masters with ZERO
+    instances fall back to registered empty schemas without breaking the
+    ladder (m_articulo.py:29-172 shape + S3)."""
+    reg = SchemaRegistry({
+        "m_articulo": [
+            ("cod_compania", "string"), ("cod_articulo", "string"),
+            ("desc_articulo", "string"), ("cod_linea", "string"),
+            ("cod_familia", "string"), ("cod_marca", "string"),
+            ("cant_unidad_paquete", "numeric(38,12)"), ("es_activo", "string"),
+        ],
+        "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
+                        ("desc_compania", "string"), ("es_activo", "string"),
+                        ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
+        "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+        "m_linea": [("cod_compania", "string"), ("cod_linea", "string"), ("desc_linea", "string")],
+        # m_familia / m_marca deliberately NOT seeded — empty fallback
+        "m_familia": [("cod_compania", "string"), ("cod_linea", "string"),
+                       ("cod_familia", "string"), ("desc_familia", "string")],
+        "m_marca": [("cod_compania", "string"), ("cod_marca", "string"), ("desc_marca", "string")],
+    })
+    D = Decimal
+    spark.createDataFrame(
+        [("10", "A1", "AGUA 1L", "L1", "F1", "M1", D("10"), "T")],
+        "cod_compania string, cod_articulo string, desc_articulo string, cod_linea string, "
+        "cod_familia string, cod_marca string, cant_unidad_paquete decimal(38,12), es_activo string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_articulo", "pe01"))
+    ts = dt.datetime(2025, 4, 1)
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", ts, ts)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+    spark.createDataFrame(
+        [("10", "L1", "BEBIDAS")], "cod_compania string, cod_linea string, desc_linea string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_linea", "pe01"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("domain", "m_articulo_lite", 1)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    row = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_articulo")).collect()[0]
+    assert row["id_articulo"] == "10|A1"
+    assert row["id_pais"] == "PE"
+    assert row["desc_linea"] == "BEBIDAS"       # seeded master resolved
+    assert row["desc_familia"] is None          # empty-fallback master → null
+    assert row["desc_marca"] is None
