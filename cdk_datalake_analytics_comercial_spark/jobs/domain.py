@@ -103,6 +103,88 @@ def job_m_compania(ctx: JobContext) -> None:
     )
 
 
+@DOMAIN_JOBS.register("m_estructura_comercial_lite")
+def job_m_estructura_comercial_lite(ctx: JobContext) -> None:
+    """Commercial-structure hierarchy (`code/domain/m_estructura_comercial.py:
+    20-197`): one conformed adjacency row per node at every level (Ruta →
+    Zona here; the reference continues División → Subregión → Región), each
+    level a projection with (id, parent-id, responsible) surrogate links,
+    unioned by name + distinct (U1/U2). The reference stamps
+    ``current_date()`` into fecha_creacion; the engine stamps the injected
+    ``ctx.as_of`` (SURVEY §7.3.7 wall-clock rule)."""
+    ruta = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_ruta", registry=ctx.registry)
+    zona = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_zona", registry=ctx.registry)
+    comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    conformed = (
+        comp.alias("mc")
+        .join(F.broadcast(pais).alias("mp"), F.col("mp.cod_pais") == F.col("mc.cod_pais"), "inner")
+        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
+    )
+
+    def level(df, id_cols, parent_cols, resp_col, cod_col, desc_col, tipo):
+        base = df.alias("n").join(F.broadcast(conformed).alias("c"), "cod_compania", "inner")
+        return base.select(
+            surrogate_key(*[F.col(c) for c in id_cols]).alias("id_estructura_comercial"),
+            F.col("c.id_pais").alias("id_pais"),
+            surrogate_key(F.col("cod_compania"), F.col("cod_sucursal")).alias("id_sucursal"),
+            surrogate_key(*[F.col(c) for c in parent_cols]).alias(
+                "id_estructura_comercial_padre"
+            ),
+            surrogate_key(F.col("cod_compania"), F.col(resp_col)).alias(
+                "id_responsable_comercial"
+            ),
+            F.col(cod_col).cast("string").alias("cod_estructura_comercial"),
+            F.col(desc_col).alias("nomb_estructura_comercial"),
+            F.lit(tipo).alias("cod_tipo_estructura_comercial"),
+            F.col("n.es_activo").alias("estado"),
+            F.lit(ctx.as_of).alias("fecha_creacion"),
+        )
+
+    rutas = level(
+        ruta,
+        ["cod_compania", "cod_sucursal", "cod_fuerza_venta", "cod_ruta"],
+        ["cod_compania", "cod_sucursal", "cod_zona"],
+        "cod_vendedor",
+        "cod_ruta",
+        "desc_ruta",
+        "Ruta",
+    )
+    zonas = level(
+        zona,
+        ["cod_compania", "cod_sucursal", "cod_zona"],
+        ["cod_compania", "cod_sucursal", "cod_region"],
+        "cod_supervisor",
+        "cod_zona",
+        "desc_zona",
+        "Zona",
+    )
+    out = rutas.unionByName(zonas).distinct()
+    out = cast_projection(
+        out,
+        [
+            ("id_estructura_comercial", "string"),
+            ("id_pais", "string"),
+            ("id_sucursal", "string"),
+            ("id_estructura_comercial_padre", "string"),
+            ("id_responsable_comercial", "string"),
+            ("cod_estructura_comercial", "string"),
+            ("nomb_estructura_comercial", "string"),
+            ("cod_tipo_estructura_comercial", "string"),
+            ("estado", "string"),
+            ("fecha_creacion", "date"),
+        ],
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "m_estructura_comercial"),
+        keys=["id_estructura_comercial"],
+        partition_by=["id_pais"],
+    )
+
+
 @DOMAIN_JOBS.register("m_articulo_lite")
 def job_m_articulo_lite(ctx: JobContext) -> None:
     """Product master — the reference's widest dim-conformance ladder

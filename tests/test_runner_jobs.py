@@ -417,3 +417,54 @@ def test_m_articulo_join_ladder_with_missing_masters(spark, lake):
     assert row["desc_linea"] == "BEBIDAS"       # seeded master resolved
     assert row["desc_familia"] is None          # empty-fallback master → null
     assert row["desc_marca"] is None
+
+
+def test_m_estructura_comercial_hierarchy(spark, lake):
+    """Union-of-levels hierarchy: ruta rows parent-link to zona nodes; the
+    injected clock stamps fecha_creacion (no wall clock)."""
+    reg = SchemaRegistry({
+        "m_ruta": [("cod_compania", "string"), ("cod_sucursal", "string"),
+                    ("cod_fuerza_venta", "string"), ("cod_ruta", "string"),
+                    ("cod_zona", "string"), ("cod_vendedor", "string"),
+                    ("desc_ruta", "string"), ("es_activo", "string")],
+        "m_zona": [("cod_compania", "string"), ("cod_sucursal", "string"),
+                    ("cod_zona", "string"), ("cod_region", "string"),
+                    ("cod_supervisor", "string"), ("desc_zona", "string"),
+                    ("es_activo", "string")],
+        "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
+                        ("desc_compania", "string"), ("es_activo", "string"),
+                        ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
+        "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+    })
+    ts = dt.datetime(2025, 4, 1)
+    spark.createDataFrame(
+        [("10", "01", "FV1", "R1", "Z1", "VEND1", "RUTA CENTRO", "T")],
+        "cod_compania string, cod_sucursal string, cod_fuerza_venta string, cod_ruta string, "
+        "cod_zona string, cod_vendedor string, desc_ruta string, es_activo string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_ruta", "pe01"))
+    spark.createDataFrame(
+        [("10", "01", "Z1", "RG1", "SUP1", "ZONA NORTE", "T")],
+        "cod_compania string, cod_sucursal string, cod_zona string, cod_region string, "
+        "cod_supervisor string, desc_zona string, es_activo string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_zona", "pe01"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", ts, ts)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("domain", "m_estructura_comercial_lite", 1)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    rows = {r["cod_tipo_estructura_comercial"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "m_estructura_comercial")).collect()}
+    assert set(rows) == {"Ruta", "Zona"}
+    # the ruta's parent id IS the zona's node id (adjacency list links up)
+    assert rows["Ruta"]["id_estructura_comercial_padre"] == rows["Zona"]["id_estructura_comercial"]
+    assert rows["Ruta"]["id_responsable_comercial"] == "10|VEND1"
+    assert rows["Zona"]["fecha_creacion"] == AS_OF
