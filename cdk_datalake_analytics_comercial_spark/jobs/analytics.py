@@ -149,6 +149,62 @@ def job_fact_cliente_venta_lite(ctx: JobContext) -> None:
     )
 
 
+@ANALYTICS_JOBS.register("fact_kpi_lite")
+def job_fact_kpi_lite(ctx: JobContext) -> None:
+    """Order-vs-sale KPI alignment (`code/analytics/fact_kpi_detalle.py:
+    98-161` shape): aggregate both domain facts per (pais, periodo,
+    cliente), FULL OUTER join them, coalesce the keys from whichever side
+    is present (J3 — the reference's null-key stitching), zero-fill the
+    measures, and derive a fulfillment ratio in double (exact decimal
+    inputs, one IEEE division)."""
+    pedido = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_pedido", registry=ctx.registry)
+    venta = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta", registry=ctx.registry)
+
+    p = pedido.groupBy(
+        F.col("id_periodo").alias("p_periodo"), F.col("cod_cliente").alias("p_cliente")
+    ).agg(F.count("*").cast("bigint").alias("n_pedidos"))
+    v = (
+        venta.filter(F.col("es_eliminado") == 0)
+        .groupBy(
+            F.col("id_pais").alias("v_pais"),
+            F.col("id_periodo").alias("v_periodo"),
+            F.col("cod_cliente").alias("v_cliente"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_ventas"),
+            F.sum(F.col("imp_venta").cast("decimal(38,12)")).alias("_imp_dec"),
+        )
+    )
+    out = (
+        p.join(
+            v,
+            (F.col("p_periodo") == F.col("v_periodo"))
+            & (F.col("p_cliente") == F.col("v_cliente")),
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("v_pais"), F.lit("XX")).alias("id_pais"),
+            F.coalesce(F.col("p_periodo"), F.col("v_periodo")).alias("id_periodo"),
+            F.coalesce(F.col("p_cliente"), F.col("v_cliente")).alias("cod_cliente"),
+            F.coalesce(F.col("n_pedidos"), F.lit(0)).cast("bigint").alias("n_pedidos"),
+            F.coalesce(F.col("n_ventas"), F.lit(0)).cast("bigint").alias("n_ventas"),
+            F.coalesce(F.col("_imp_dec"), F.lit(0)).cast("decimal(38,12)").alias("imp_venta"),
+        )
+        .withColumn(
+            "ratio_cumplimiento",
+            F.when(
+                F.col("n_pedidos") > 0,
+                F.round(F.col("n_ventas").cast("double") / F.col("n_pedidos"), 6),
+            ),
+        )
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.ANALYTICS, "fact_kpi"),
+        partition_by=["id_pais", "id_periodo"],
+    )
+
+
 @ANALYTICS_JOBS.register("fact_venta_resumen")
 def job_fact_venta_resumen(ctx: JobContext) -> None:
     """Period/client sales summary from the domain fact: soft-deletes

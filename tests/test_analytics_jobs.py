@@ -221,3 +221,44 @@ def test_fact_cliente_venta_rolling(spark, lake):
     assert fact[("202505", "C2")]["imp_venta"] == Decimal("7.000000000000")
     # recency vs injected clock (2025-05-15), not wall clock
     assert fact[("202505", "C2")]["ult_dia_compra"] == 14
+
+
+def test_fact_kpi_full_outer_all_cases(spark, lake):
+    """Full-outer stitch covers all three cases (FIXTURES coverage goal):
+    pedido-only, venta-only, both."""
+    reg = SchemaRegistry({
+        "t_pedido": [("id_pedido", "string"), ("id_periodo", "string"),
+                      ("cod_cliente", "string")],
+        "t_venta": [("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
+                     ("cod_cliente", "string"), ("imp_venta", "numeric(38,12)"),
+                     ("es_eliminado", "int")],
+    })
+    spark.createDataFrame(
+        [("P1", "202505", "C1"), ("P2", "202505", "C1"), ("P3", "202505", "C2")],
+        "id_pedido string, id_periodo string, cod_cliente string",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "t_pedido"))
+    spark.createDataFrame(
+        [
+            ("V1", "PE", "202505", "C1", Decimal("100"), 0),  # both sides
+            ("V2", "PE", "202505", "C3", Decimal("30"), 0),   # venta-only
+        ],
+        "id_venta string, id_pais string, id_periodo string, cod_cliente string, "
+        "imp_venta decimal(38,12), es_eliminado int",
+    ).write.partitionBy("id_pais", "id_periodo").parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("analytics", "fact_kpi_lite", 1)], ANALYTICS_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    rows = {r["cod_cliente"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "fact_kpi")).collect()}
+    assert rows["C1"]["n_pedidos"] == 2 and rows["C1"]["n_ventas"] == 1
+    assert rows["C1"]["ratio_cumplimiento"] == 0.5
+    assert rows["C2"]["n_pedidos"] == 1 and rows["C2"]["n_ventas"] == 0
+    assert rows["C2"]["ratio_cumplimiento"] == 0.0    # ordered, nothing sold
+    assert rows["C2"]["imp_venta"] == Decimal("0")
+    assert rows["C3"]["n_pedidos"] == 0 and rows["C3"]["n_ventas"] == 1
+    assert rows["C3"]["ratio_cumplimiento"] is None   # zero pedidos: no division
+    assert rows["C3"]["id_pais"] == "PE"
+    assert rows["C2"]["id_pais"] == "XX"              # pedido-only: default pais
