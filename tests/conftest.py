@@ -13,10 +13,21 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from cdk_datalake_analytics_comercial_spark.core import get_spark
 
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    # keep the catalog (bucketed-table tests) out of the repo: warehouse and
+    # the Derby metastore both live under a session tmp dir
+    meta = tmp_path_factory.mktemp("spark-meta")
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(meta / "warehouse"),
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={meta}",
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 
