@@ -27,6 +27,7 @@ from ..functions.casts import cast_projection
 from ..functions.currency import exchange_rate_me, exchange_rate_mn
 from ..functions.keys import surrogate_key
 from ..operators.pruning import period_filter
+from ..operators.relational import top1_per_group
 from ..runner import JobContext, JobRegistry
 from ..sources.reader import read_table
 from ..sources.writer import merge_upsert, write_table
@@ -99,6 +100,102 @@ def job_m_compania(ctx: JobContext) -> None:
         out,
         ctx.catalog.table_path(Layer.DOMAIN, "m_compania"),
         keys=["id_compania"],
+        partition_by=["id_pais"],
+    )
+
+
+@DOMAIN_JOBS.register("m_eje_territorial_lite")
+def job_m_eje_territorial_lite(ctx: JobContext) -> None:
+    """Territorial hierarchy (`code/domain/m_eje_territorial.py:20-170`):
+    each geographic level (NG1 departamento → NG2 provincia → NG3/NG4
+    distrito/zona-postal) projects to one adjacency row; the postal level is
+    deduped per (pais, zona_postal) with the reference's W1 row_number over
+    ``cod_ng3 desc`` (several districts can share a postal code); levels
+    union + distinct (U1 — expressed as unionByName, SURVEY §7.3.4). The
+    reference's ``current_date()`` stamps become the injected clock."""
+    ng1 = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_ng1", registry=ctx.registry)
+    ng2 = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_ng2", registry=ctx.registry)
+    ng3 = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_ng3", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    p = F.broadcast(pais.select("id_pais", "cod_pais")).alias("p")
+
+    common = [
+        F.lit("A").alias("estado"),
+        F.lit(ctx.as_of).alias("fecha_creacion"),
+    ]
+
+    ng1_rows = (
+        ng1.alias("de")
+        .join(p, F.col("de.id_pais") == F.col("p.cod_pais"), "inner")
+        .where(F.col("de.cod_ng1").isNotNull())
+        .select(
+            surrogate_key(F.col("p.id_pais"), F.col("de.cod_ng1")).alias("id_eje_territorial"),
+            F.lit(None).cast("string").alias("id_eje_territorial_padre"),
+            F.col("p.id_pais").alias("id_pais"),
+            F.trim(F.col("de.cod_ng1")).alias("cod_eje_territorial"),
+            F.col("de.desc_ng1").alias("nomb_eje_territorial"),
+            F.lit("NG1").alias("cod_tipo_eje_territorial"),
+            *common,
+        )
+    )
+    ng2_rows = (
+        ng2.alias("pr")
+        .join(p, F.col("pr.id_pais") == F.col("p.cod_pais"), "inner")
+        .where(F.col("pr.cod_ng2").isNotNull())
+        .select(
+            surrogate_key(
+                F.col("p.id_pais"), F.col("pr.cod_ng1"), F.col("pr.cod_ng2")
+            ).alias("id_eje_territorial"),
+            surrogate_key(F.col("p.id_pais"), F.col("pr.cod_ng1")).alias(
+                "id_eje_territorial_padre"
+            ),
+            F.col("p.id_pais").alias("id_pais"),
+            F.trim(F.col("pr.cod_ng2")).alias("cod_eje_territorial"),
+            F.col("pr.desc_ng2").alias("nomb_eje_territorial"),
+            F.lit("NG2").alias("cod_tipo_eje_territorial"),
+            *common,
+        )
+    )
+    postal = top1_per_group(
+        ng3.alias("di")
+        .join(p, F.col("di.id_pais") == F.col("p.cod_pais"), "inner")
+        .where(F.col("di.cod_zona_postal").isNotNull()),
+        partition_by=[F.col("p.id_pais"), F.col("di.cod_zona_postal")],
+        order_by=[F.col("di.cod_ng3").desc()],
+    ).select(
+        surrogate_key(F.col("p.id_pais"), F.col("di.cod_zona_postal")).alias(
+            "id_eje_territorial"
+        ),
+        surrogate_key(
+            F.col("p.id_pais"),
+            F.col("di.cod_ng1"),
+            F.col("di.cod_ng2"),
+        ).alias("id_eje_territorial_padre"),
+        F.col("p.id_pais").alias("id_pais"),
+        F.trim(F.col("di.cod_zona_postal")).alias("cod_eje_territorial"),
+        F.col("di.desc_ng3").alias("nomb_eje_territorial"),
+        F.lit("NG4").alias("cod_tipo_eje_territorial"),
+        *common,
+    )
+    out = ng1_rows.unionByName(ng2_rows).unionByName(postal).distinct()
+    out = cast_projection(
+        out,
+        [
+            ("id_eje_territorial", "string"),
+            ("id_eje_territorial_padre", "string"),
+            ("id_pais", "string"),
+            ("cod_eje_territorial", "string"),
+            ("nomb_eje_territorial", "string"),
+            ("cod_tipo_eje_territorial", "string"),
+            ("estado", "string"),
+            ("fecha_creacion", "date"),
+        ],
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "m_eje_territorial"),
+        keys=["id_eje_territorial"],
         partition_by=["id_pais"],
     )
 

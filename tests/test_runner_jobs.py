@@ -468,3 +468,49 @@ def test_m_estructura_comercial_hierarchy(spark, lake):
     assert rows["Ruta"]["id_estructura_comercial_padre"] == rows["Zona"]["id_estructura_comercial"]
     assert rows["Ruta"]["id_responsable_comercial"] == "10|VEND1"
     assert rows["Zona"]["fecha_creacion"] == AS_OF
+
+
+def test_m_eje_territorial_levels_and_postal_dedup(spark, lake):
+    """Union of NG levels with W1 postal dedup: two districts share a postal
+    code → the higher cod_ng3 wins; parent links point up a level."""
+    reg = SchemaRegistry({
+        "m_ng1": [("id_pais", "string"), ("cod_ng1", "string"), ("desc_ng1", "string")],
+        "m_ng2": [("id_pais", "string"), ("cod_ng1", "string"), ("cod_ng2", "string"),
+                   ("desc_ng2", "string")],
+        "m_ng3": [("id_pais", "string"), ("cod_ng1", "string"), ("cod_ng2", "string"),
+                   ("cod_ng3", "string"), ("desc_ng3", "string"), ("cod_zona_postal", "string")],
+        "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+    })
+    spark.createDataFrame(
+        [("PE", "D1", "LIMA DEP")], "id_pais string, cod_ng1 string, desc_ng1 string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_ng1", "pe01"))
+    spark.createDataFrame(
+        [("PE", "D1", "P1", "LIMA PROV")],
+        "id_pais string, cod_ng1 string, cod_ng2 string, desc_ng2 string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_ng2", "pe01"))
+    spark.createDataFrame(
+        [
+            ("PE", "D1", "P1", "033", "MIRAFLORES", "15074"),
+            ("PE", "D1", "P1", "041", "SURQUILLO", "15074"),   # same postal, higher ng3
+            ("PE", "D1", "P1", "001", "CENTRO", None),          # null postal dropped
+        ],
+        "id_pais string, cod_ng1 string, cod_ng2 string, cod_ng3 string, "
+        "desc_ng3 string, cod_zona_postal string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_ng3", "pe01"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("domain", "m_eje_territorial_lite", 1)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    rows = {r["cod_tipo_eje_territorial"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "m_eje_territorial")).collect()}
+    assert set(rows) == {"NG1", "NG2", "NG4"}
+    assert rows["NG4"]["nomb_eje_territorial"] == "SURQUILLO"  # cod_ng3 desc wins
+    assert rows["NG4"]["id_eje_territorial"] == "PE|15074"
+    assert rows["NG4"]["id_eje_territorial_padre"] == rows["NG2"]["id_eje_territorial"]
+    assert rows["NG2"]["id_eje_territorial_padre"] == rows["NG1"]["id_eje_territorial"]
+    assert rows["NG1"]["id_eje_territorial_padre"] is None
