@@ -104,6 +104,115 @@ def job_m_compania(ctx: JobContext) -> None:
     )
 
 
+@DOMAIN_JOBS.register("m_cliente_lite")
+def job_m_cliente_lite(ctx: JobContext) -> None:
+    """Client master (`code/domain/m_cliente.py:22-156`), keeping its two
+    signature join idioms:
+
+    - the **when()-inside-join-key** branch join (`m_cliente.py:26-35`): a
+      '00'-sucursal client matches its module assignment on its own
+      sucursal, any other client matches on the assignment's sucursal;
+    - the **filtered-left-join** on tipo_cliente restricted to
+      ``lower(tipo) IN (a, v, t)`` (`m_cliente.py:53-58`), with the W1
+      ``orden == 1`` coordinate pick joined by rank predicate (J7).
+    """
+    cli = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_cliente", registry=ctx.registry)
+    asg = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_asignacion_modulo", registry=ctx.registry
+    )
+    tipo = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_cliente", registry=ctx.registry
+    )
+    comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    coords = top1_per_group(
+        cli.alias("mcl")
+        .join(
+            asg.alias("ma"),
+            (F.col("mcl.cod_compania") == F.col("ma.cod_compania"))
+            & (F.col("mcl.cod_cliente") == F.col("ma.cod_cliente"))
+            & (
+                F.col("mcl.cod_sucursal")
+                == F.when(F.col("mcl.cod_sucursal") == "00", F.col("mcl.cod_sucursal"))
+                .otherwise(F.col("ma.cod_sucursal"))
+            ),
+            "inner",
+        )
+        .select(
+            F.col("mcl.cod_compania"),
+            F.col("mcl.cod_sucursal"),
+            F.col("mcl.cod_cliente"),
+            F.col("ma.coord_x"),
+            F.col("ma.coord_y"),
+            F.col("ma.cod_fuerza_venta"),
+        ),
+        partition_by=["cod_compania", "cod_sucursal", "cod_cliente"],
+        order_by=[F.col("cod_fuerza_venta").asc()],
+        keep=False,
+    ).alias("co")
+
+    conformed = (
+        comp.alias("mco")
+        .join(F.broadcast(pais).alias("mp"), F.col("mco.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(F.col("mco.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
+    )
+    out = (
+        cli.alias("mc")
+        .join(
+            tipo.alias("tc"),
+            (F.col("mc.cod_compania") == F.col("tc.cod_compania"))
+            & (F.col("mc.cod_cliente") == F.col("tc.cod_cliente"))
+            & F.lower(F.col("tc.tipo_cliente")).isin("a", "v", "t"),
+            "left",
+        )
+        .join(
+            coords,
+            (F.col("mc.cod_compania") == F.col("co.cod_compania"))
+            & (F.col("mc.cod_cliente") == F.col("co.cod_cliente"))
+            & (F.col("co.orden") == 1),
+            "left",
+        )
+        .join(F.broadcast(conformed).alias("c"), ["cod_compania"], "inner")
+        .select(
+            surrogate_key(F.col("mc.cod_compania"), F.col("mc.cod_cliente")).alias(
+                "id_cliente"
+            ),
+            F.col("c.id_pais").alias("id_pais"),
+            F.col("mc.cod_compania"),
+            F.col("mc.cod_sucursal"),
+            F.col("mc.cod_cliente"),
+            F.col("mc.nomb_cliente"),
+            F.col("tc.tipo_cliente"),
+            F.col("co.coord_x"),
+            F.col("co.coord_y"),
+            F.col("mc.es_activo"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_cliente", "string"),
+            ("id_pais", "string"),
+            ("cod_compania", "string"),
+            ("cod_sucursal", "string"),
+            ("cod_cliente", "string"),
+            ("nomb_cliente", "string"),
+            ("tipo_cliente", "string"),
+            ("coord_x", "string"),
+            ("coord_y", "string"),
+            ("es_activo", "string"),
+        ],
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "m_cliente"),
+        keys=["id_cliente", "cod_sucursal"],
+        partition_by=["id_pais"],
+    )
+
+
 @DOMAIN_JOBS.register("m_eje_territorial_lite")
 def job_m_eje_territorial_lite(ctx: JobContext) -> None:
     """Territorial hierarchy (`code/domain/m_eje_territorial.py:20-170`):

@@ -514,3 +514,68 @@ def test_m_eje_territorial_levels_and_postal_dedup(spark, lake):
     assert rows["NG4"]["id_eje_territorial_padre"] == rows["NG2"]["id_eje_territorial"]
     assert rows["NG2"]["id_eje_territorial_padre"] == rows["NG1"]["id_eje_territorial"]
     assert rows["NG1"]["id_eje_territorial_padre"] is None
+
+
+def test_m_cliente_branch_join_and_filtered_type(spark, lake):
+    """when()-in-join-key branch (m_cliente.py:26-35): for a '00'
+    (headquarters) client the condition collapses to '00'=='00' — it takes
+    assignments from ANY sucursal; every other client matches only its own
+    sucursal. tipo_cliente joins only for types a/v/t; lowest
+    cod_fuerza_venta assignment wins the coordinates."""
+    reg = SchemaRegistry({
+        "m_cliente": [("cod_compania", "string"), ("cod_sucursal", "string"),
+                       ("cod_cliente", "string"), ("nomb_cliente", "string"),
+                       ("es_activo", "string")],
+        "m_asignacion_modulo": [("cod_compania", "string"), ("cod_sucursal", "string"),
+                                 ("cod_cliente", "string"), ("cod_fuerza_venta", "string"),
+                                 ("coord_x", "string"), ("coord_y", "string")],
+        "m_tipo_cliente": [("cod_compania", "string"), ("cod_cliente", "string"),
+                            ("tipo_cliente", "string")],
+        "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
+                        ("desc_compania", "string"), ("es_activo", "string"),
+                        ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
+        "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+    })
+    spark.createDataFrame(
+        [
+            ("10", "00", "C1", "CENTRAL", "T"),   # '00': takes any sucursal's assignment
+            ("10", "01", "C2", "SUCURSAL", "T"),  # non-'00': own sucursal only
+        ],
+        "cod_compania string, cod_sucursal string, cod_cliente string, "
+        "nomb_cliente string, es_activo string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_cliente", "pe01"))
+    spark.createDataFrame(
+        [
+            ("10", "00", "C1", "FV2", "x1", "y1"),
+            ("10", "02", "C1", "FV1", "x9", "y9"),  # other sucursal: VISIBLE to '00' client
+            ("10", "01", "C2", "FV2", "x2", "y2"),  # own sucursal match
+            ("10", "07", "C2", "FV1", "x3", "y3"),  # foreign sucursal: ignored for '01'
+        ],
+        "cod_compania string, cod_sucursal string, cod_cliente string, "
+        "cod_fuerza_venta string, coord_x string, coord_y string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_asignacion_modulo", "pe01"))
+    spark.createDataFrame(
+        [("10", "C1", "A"), ("10", "C2", "n")],   # 'n' type filtered out of the join
+        "cod_compania string, cod_cliente string, tipo_cliente string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_tipo_cliente", "pe01"))
+    ts = dt.datetime(2025, 4, 1)
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", ts, ts)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("domain", "m_cliente_lite", 1)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    rows = {r["cod_cliente"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "m_cliente")).collect()}
+    assert rows["C1"]["coord_x"] == "x9"          # any-sucursal pool, FV1 < FV2 wins
+    assert rows["C1"]["tipo_cliente"] == "A"      # a/v/t passes the filter
+    assert rows["C2"]["coord_x"] == "x2"          # own-sucursal assignment only
+    assert rows["C2"]["tipo_cliente"] is None     # 'n' excluded by join filter
