@@ -149,6 +149,50 @@ def job_fact_cliente_venta_lite(ctx: JobContext) -> None:
     )
 
 
+@ANALYTICS_JOBS.register("dim_estructura_comercial_lite")
+def job_dim_estructura_comercial_lite(ctx: JobContext) -> None:
+    """Hierarchy flatten (`code/analytics/dim_estructura_comercial.py:20-71`
+    shape): repeated aliased self-joins walk the adjacency table's parent
+    pointers (ruta → zona here; the reference continues división →
+    subregión → región), emitting one wide row per leaf with each
+    ancestor's name as a level column (J6)."""
+    ec = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "m_estructura_comercial", registry=ctx.registry
+    )
+    rutas = ec.filter(F.col("cod_tipo_estructura_comercial") == "Ruta").alias("r")
+    zonas = ec.filter(F.col("cod_tipo_estructura_comercial") == "Zona").alias("z")
+    out = (
+        rutas.join(
+            zonas,
+            F.col("r.id_estructura_comercial_padre") == F.col("z.id_estructura_comercial"),
+            "left",
+        )
+        .select(
+            F.col("r.id_estructura_comercial"),
+            F.col("r.id_pais"),
+            F.col("r.nomb_estructura_comercial").alias("nomb_ruta"),
+            F.col("z.nomb_estructura_comercial").alias("nomb_zona"),
+            F.col("r.id_responsable_comercial").alias("id_vendedor"),
+            F.col("z.id_responsable_comercial").alias("id_supervisor"),
+            # the reference's pipe-path split/getItem idiom
+            # (dim_eje_territorial.py:106) over a derived level path
+            F.concat_ws(
+                "|",
+                F.col("z.nomb_estructura_comercial"),
+                F.col("r.nomb_estructura_comercial"),
+            ).alias("path"),
+        )
+        .withColumn("nivel1_from_path", F.split(F.col("path"), r"\|").getItem(0))
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.ANALYTICS, "dim_estructura_comercial"),
+        keys=["id_estructura_comercial"],
+        partition_by=["id_pais"],
+    )
+
+
 @ANALYTICS_JOBS.register("fact_kpi_lite")
 def job_fact_kpi_lite(ctx: JobContext) -> None:
     """Order-vs-sale KPI alignment (`code/analytics/fact_kpi_detalle.py:

@@ -262,3 +262,67 @@ def test_fact_kpi_full_outer_all_cases(spark, lake):
     assert rows["C3"]["ratio_cumplimiento"] is None   # zero pedidos: no division
     assert rows["C3"]["id_pais"] == "PE"
     assert rows["C2"]["id_pais"] == "XX"              # pedido-only: default pais
+
+
+def test_dim_estructura_flatten_from_domain_job(spark, lake):
+    """Chain: m_estructura_comercial domain job builds the adjacency, the
+    analytics flatten walks parent pointers into level columns."""
+    from cdk_datalake_analytics_comercial_spark.jobs import DOMAIN_JOBS
+    from test_runner_jobs import registry as _unused  # noqa: F401
+
+    reg = SchemaRegistry({
+        "m_ruta": [("cod_compania", "string"), ("cod_sucursal", "string"),
+                    ("cod_fuerza_venta", "string"), ("cod_ruta", "string"),
+                    ("cod_zona", "string"), ("cod_vendedor", "string"),
+                    ("desc_ruta", "string"), ("es_activo", "string")],
+        "m_zona": [("cod_compania", "string"), ("cod_sucursal", "string"),
+                    ("cod_zona", "string"), ("cod_region", "string"),
+                    ("cod_supervisor", "string"), ("desc_zona", "string"),
+                    ("es_activo", "string")],
+        "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
+                        ("desc_compania", "string"), ("es_activo", "string"),
+                        ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
+        "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+        "m_estructura_comercial": [
+            ("id_estructura_comercial", "string"), ("id_pais", "string"),
+            ("id_sucursal", "string"), ("id_estructura_comercial_padre", "string"),
+            ("id_responsable_comercial", "string"), ("cod_estructura_comercial", "string"),
+            ("nomb_estructura_comercial", "string"), ("cod_tipo_estructura_comercial", "string"),
+            ("estado", "string"), ("fecha_creacion", "date"),
+        ],
+    })
+    ts = dt.datetime(2025, 4, 1)
+    spark.createDataFrame(
+        [("10", "01", "FV1", "R1", "Z1", "VEND1", "RUTA CENTRO", "T")],
+        "cod_compania string, cod_sucursal string, cod_fuerza_venta string, cod_ruta string, "
+        "cod_zona string, cod_vendedor string, desc_ruta string, es_activo string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_ruta", "pe01"))
+    spark.createDataFrame(
+        [("10", "01", "Z1", "RG1", "SUP1", "ZONA NORTE", "T")],
+        "cod_compania string, cod_sucursal string, cod_zona string, cod_region string, "
+        "cod_supervisor string, desc_zona string, es_activo string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_zona", "pe01"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", ts, ts)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    dr = run_waves([JobConfig("domain", "m_estructura_comercial_lite", 1)], DOMAIN_JOBS, mk)
+    assert dr[0].status == "succeeded", dr[0].error
+    ar = run_waves([JobConfig("analytics", "dim_estructura_comercial_lite", 1)], ANALYTICS_JOBS, mk)
+    assert ar[0].status == "succeeded", ar[0].error
+
+    row = spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "dim_estructura_comercial")).collect()[0]
+    assert row["nomb_ruta"] == "RUTA CENTRO"
+    assert row["nomb_zona"] == "ZONA NORTE"        # parent resolved via self-join
+    assert row["id_vendedor"] == "10|VEND1"
+    assert row["id_supervisor"] == "10|SUP1"
+    assert row["nivel1_from_path"] == "ZONA NORTE"  # split/getItem path idiom
