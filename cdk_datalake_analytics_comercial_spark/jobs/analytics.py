@@ -149,6 +149,58 @@ def job_fact_cliente_venta_lite(ctx: JobContext) -> None:
     )
 
 
+@ANALYTICS_JOBS.register("fact_venta_detalle_lite")
+def job_fact_venta_detalle_lite(ctx: JobContext) -> None:
+    """Line-item serving fact (`code/analytics/fact_venta_detalle.py:20-90`):
+    period filter on BOTH domain inputs (already-derived id_periodo — P3),
+    header↔detail inner join on id_venta, soft-deleted headers excluded,
+    the /30 case→unit-case volume conversion (`fact_venta_detalle.py:74,76`)
+    in decimal, dynamic overwrite on (id_pais, id_periodo)."""
+    venta = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta", registry=ctx.registry)
+    det = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta_detalle", registry=ctx.registry
+    )
+    v = venta.filter(
+        F.col("id_periodo").isin(ctx.periods) & (F.col("es_eliminado") == 0)
+    ).alias("tv")
+    d = det.filter(F.col("id_periodo").isin(ctx.periods)).alias("tvd")
+    out = (
+        d.join(v, "id_venta", "inner")
+        .select(
+            F.col("tv.id_pais"),
+            F.col("tv.id_periodo"),
+            F.col("id_venta"),
+            F.col("tvd.id_producto"),
+            F.col("tv.cod_cliente"),
+            F.col("tvd.cant_caja_fisica_ven").alias("cant_cajafisica_vta"),
+            (F.col("tvd.cant_caja_fisica_ven") / F.lit(30).cast("decimal(12,6)"))
+            .cast("decimal(38,12)")
+            .alias("cant_cajaunitaria_vta"),
+            F.col("tvd.imp_neto_vta_mn"),
+            F.col("tvd.imp_bruto_vta_mn"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("id_venta", "string"),
+            ("id_producto", "string"),
+            ("cod_cliente", "string"),
+            ("cant_cajafisica_vta", "numeric(38,12)"),
+            ("cant_cajaunitaria_vta", "numeric(38,12)"),
+            ("imp_neto_vta_mn", "numeric(38,12)"),
+            ("imp_bruto_vta_mn", "numeric(38,12)"),
+        ],
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.ANALYTICS, "fact_venta_detalle"),
+        partition_by=["id_pais", "id_periodo"],
+    )
+
+
 @ANALYTICS_JOBS.register("dim_estructura_comercial_lite")
 def job_dim_estructura_comercial_lite(ctx: JobContext) -> None:
     """Hierarchy flatten (`code/analytics/dim_estructura_comercial.py:20-71`

@@ -104,6 +104,85 @@ def job_m_compania(ctx: JobContext) -> None:
     )
 
 
+@DOMAIN_JOBS.register("t_reparto_lite")
+def job_t_reparto_lite(ctx: JobContext) -> None:
+    """Delivery fact (`code/domain/t_reparto.py:36-93`): inventory movements
+    filtered to dispatch documents (GRA/NIN) in the period window, the
+    latest movement per delivery id kept via W1 over
+    ``nro_documento_movimiento desc`` (`t_reparto.py:51-55`), joined to the
+    conformed company on the shared column name (J8, `t_reparto.py:59`),
+    surrogate ids for transportista/vehículo/chofer, dynamic overwrite."""
+    mov = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_movimiento_inventario", registry=ctx.registry
+    )
+    comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    conformed = (
+        comp.alias("mc")
+        .join(F.broadcast(pais).alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
+    )
+    filtered = mov.filter(
+        period_filter(F.col("fecha_almacen"), ctx.periods)
+        & F.col("cod_documento_transaccion").isin("GRA", "NIN")
+    ).withColumn(
+        "id_reparto",
+        surrogate_key(
+            F.col("cod_compania"),
+            F.col("cod_sucursal"),
+            F.col("cod_almacen_emisor_origen"),
+            F.col("cod_documento_transaccion"),
+            F.col("nro_documento_almacen"),
+        ),
+    )
+    latest = top1_per_group(
+        filtered,
+        partition_by=["id_reparto"],
+        order_by=[F.col("nro_documento_movimiento").desc()],
+    )
+    out = (
+        latest.alias("tmi")
+        .join(F.broadcast(conformed).alias("mc"), "cod_compania", "inner")
+        .select(
+            F.col("mc.id_pais"),
+            F.date_format(F.col("tmi.fecha_almacen"), "yyyyMM").alias("id_periodo"),
+            F.col("tmi.id_reparto"),
+            surrogate_key(F.col("tmi.cod_compania"), F.col("tmi.cod_transportista")).alias(
+                "id_transportista"
+            ),
+            surrogate_key(F.col("tmi.cod_compania"), F.col("tmi.cod_vehiculo")).alias(
+                "id_medio_transporte"
+            ),
+            surrogate_key(F.col("tmi.cod_compania"), F.col("tmi.cod_chofer")).alias(
+                "id_chofer"
+            ),
+            F.col("tmi.fecha_emision").alias("fecha_orden_carga"),
+            F.col("tmi.fecha_almacen").alias("fecha_reparto"),
+            F.col("tmi.cod_estado_comprobante").alias("estado_guia"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("id_reparto", "string"),
+            ("id_transportista", "string"),
+            ("id_medio_transporte", "string"),
+            ("id_chofer", "string"),
+            ("fecha_orden_carga", "date"),
+            ("fecha_reparto", "date"),
+            ("estado_guia", "string"),
+        ],
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "t_reparto"),
+        partition_by=["id_pais", "id_periodo"],
+    )
+
+
 @DOMAIN_JOBS.register("m_cliente_lite")
 def job_m_cliente_lite(ctx: JobContext) -> None:
     """Client master (`code/domain/m_cliente.py:22-156`), keeping its two

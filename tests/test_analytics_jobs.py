@@ -326,3 +326,39 @@ def test_dim_estructura_flatten_from_domain_job(spark, lake):
     assert row["id_vendedor"] == "10|VEND1"
     assert row["id_supervisor"] == "10|SUP1"
     assert row["nivel1_from_path"] == "ZONA NORTE"  # split/getItem path idiom
+
+
+def test_fact_venta_detalle_volume_conversion(spark, lake):
+    """Header↔detail join with /30 unit-case conversion in exact decimal."""
+    reg = SchemaRegistry({
+        "t_venta": [("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
+                     ("cod_cliente", "string"), ("es_eliminado", "int")],
+        "t_venta_detalle": [("id_venta", "string"), ("id_producto", "string"),
+                             ("id_pais", "string"), ("id_periodo", "string"),
+                             ("cant_caja_fisica_ven", "numeric(38,12)"),
+                             ("imp_neto_vta_mn", "numeric(38,12)"),
+                             ("imp_bruto_vta_mn", "numeric(38,12)")],
+    })
+    spark.createDataFrame(
+        [("V1", "PE", "202505", "C1", 0), ("V2", "PE", "202505", "C2", 1)],
+        "id_venta string, id_pais string, id_periodo string, cod_cliente string, es_eliminado int",
+    ).write.partitionBy("id_pais").parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
+    spark.createDataFrame(
+        [
+            ("V1", "A1", "PE", "202505", Decimal("60"), Decimal("100"), Decimal("110")),
+            ("V2", "A1", "PE", "202505", Decimal("30"), Decimal("50"), Decimal("55")),  # deleted hdr
+        ],
+        "id_venta string, id_producto string, id_pais string, id_periodo string, "
+        "cant_caja_fisica_ven decimal(38,12), imp_neto_vta_mn decimal(38,12), "
+        "imp_bruto_vta_mn decimal(38,12)",
+    ).write.partitionBy("id_pais").parquet(lake.table_path(Layer.DOMAIN, "t_venta_detalle"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("analytics", "fact_venta_detalle_lite", 1, periods=2)],
+                    ANALYTICS_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    rows = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "fact_venta_detalle")).collect()
+    assert len(rows) == 1                                   # deleted header's line dropped
+    assert rows[0]["cant_cajaunitaria_vta"] == Decimal("2.000000000000")  # 60/30

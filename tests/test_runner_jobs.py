@@ -579,3 +579,54 @@ def test_m_cliente_branch_join_and_filtered_type(spark, lake):
     assert rows["C1"]["tipo_cliente"] == "A"      # a/v/t passes the filter
     assert rows["C2"]["coord_x"] == "x2"          # own-sucursal assignment only
     assert rows["C2"]["tipo_cliente"] is None     # 'n' excluded by join filter
+
+
+def test_t_reparto_latest_movement(spark, lake):
+    """Dispatch docs only, latest movement per delivery wins (W1 desc)."""
+    reg = SchemaRegistry({
+        "t_movimiento_inventario": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_almacen_emisor_origen", "string"), ("cod_documento_transaccion", "string"),
+            ("nro_documento_almacen", "string"), ("nro_documento_movimiento", "string"),
+            ("cod_transportista", "string"), ("cod_vehiculo", "string"),
+            ("cod_chofer", "string"), ("cod_estado_comprobante", "string"),
+            ("fecha_emision", "date"), ("fecha_almacen", "date"),
+        ],
+        "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
+                        ("desc_compania", "string"), ("es_activo", "string"),
+                        ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
+        "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+    })
+    d1, d2 = dt.date(2025, 5, 1), dt.date(2025, 5, 2)
+    spark.createDataFrame(
+        [
+            ("10", "01", "A1", "GRA", "G1", "M001", "T1", "V1", "CH1", "PLI", d1, d1),
+            ("10", "01", "A1", "GRA", "G1", "M002", "T2", "V2", "CH2", "LIQ", d2, d2),  # latest
+            ("10", "01", "A1", "XXX", "G2", "M003", "T3", "V3", "CH3", "PLI", d1, d1),  # not dispatch
+        ],
+        "cod_compania string, cod_sucursal string, cod_almacen_emisor_origen string, "
+        "cod_documento_transaccion string, nro_documento_almacen string, "
+        "nro_documento_movimiento string, cod_transportista string, cod_vehiculo string, "
+        "cod_chofer string, cod_estado_comprobante string, fecha_emision date, fecha_almacen date",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_movimiento_inventario", "pe01"))
+    ts = dt.datetime(2025, 4, 1)
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", ts, ts)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("domain", "t_reparto_lite", 1, periods=2)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    rows = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_reparto")).collect()
+    assert len(rows) == 1                              # XXX doc excluded, G1 deduped
+    r = rows[0]
+    assert r["id_reparto"] == "10|01|A1|GRA|G1"
+    assert r["id_transportista"] == "10|T2"            # latest movement (M002) won
+    assert r["estado_guia"] == "LIQ"
