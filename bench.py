@@ -24,16 +24,23 @@ HEADLINE = [
     "sales_enrichment",
     "multikey_join",
     "rolling_3m_window",
+    "rolling_12m_window",
     "top1_join",
     "nation_stats",
     "brand_revenue",
     "monthly_share",
+    "period_pruned_sales",
+    "salted_agg",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_ngram_jaccard",
     "text_token_stats",
     "text_lang_id",
+    "text_quality",
     "emb_cosine_topk",
+    "emb_near_dup",
     "events_tumbling",
+    "events_sliding",
     "events_sessions",
 ]
 
