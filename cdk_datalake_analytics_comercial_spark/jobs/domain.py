@@ -104,6 +104,108 @@ def job_m_compania(ctx: JobContext) -> None:
     )
 
 
+@DOMAIN_JOBS.register("t_saldos_iniciales_lite")
+def job_t_saldos_iniciales_lite(ctx: JobContext) -> None:
+    """Opening inventory balances (`code/domain/t_saldos_iniciales.py:
+    40-145`): physical count headers filtered to the period window and
+    joined to their detail on a 3-key natural key (sucursal, almacén,
+    fecha), unit conversion via the article's ``cant_unidad_paquete``,
+    valuation from the period-close CPM (cost-per-thousand) table with
+    decimal division through the purchase exchange rate — the job family
+    that uses the narrower ``numeric(30,4)`` money type (SURVEY §1.2)."""
+    toma = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_toma_inventario", registry=ctx.registry
+    )
+    det = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_toma_inventario_detalle", registry=ctx.registry
+    )
+    cpm = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_cierre_inventario_cpm", registry=ctx.registry
+    )
+    art = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_articulo", registry=ctx.registry)
+
+    dec = lambda c: c.cast("decimal(30,4)")
+    base = (
+        toma.alias("tti")
+        .filter(period_filter(F.col("tti.fecha_inventario"), ctx.periods))
+        .join(
+            det.alias("ttid"),
+            (F.col("tti.id_sucursal") == F.col("ttid.id_sucursal"))
+            & (F.col("tti.cod_almacen_emisor") == F.col("ttid.cod_almacen_emisor"))
+            & (F.col("tti.fecha_inventario") == F.col("ttid.fecha_inventario")),
+            "inner",
+        )
+        .join(
+            F.broadcast(art).alias("ma"),
+            F.col("ma.id_articulo") == F.col("ttid.id_articulo"),
+            "inner",
+        )
+        .select(
+            F.col("tti.id_pais"),
+            F.date_format(F.col("tti.fecha_inventario"), "yyyyMM").alias("id_periodo"),
+            F.col("tti.id_sucursal"),
+            F.col("ttid.id_almacen"),
+            F.col("ttid.id_articulo"),
+            F.col("tti.fecha_inventario"),
+            dec(F.col("ttid.stock_final")).alias("cantidad_cajas"),
+            dec(F.col("ttid.stock_final") * F.col("ma.cant_unidad_paquete")).alias(
+                "unidades"
+            ),
+            F.col("tti.estado"),
+        )
+    )
+    out = (
+        base.alias("tmp")
+        .join(
+            cpm.alias("cpm"),
+            (F.col("tmp.id_sucursal") == F.col("cpm.id_sucursal"))
+            & (F.col("tmp.id_articulo") == F.col("cpm.id_articulo"))
+            & (F.col("tmp.id_periodo") == F.col("cpm.id_periodo")),
+            "left",
+        )
+        .select(
+            F.col("tmp.id_pais"),
+            F.col("tmp.id_periodo"),
+            F.col("tmp.id_sucursal"),
+            F.col("tmp.id_almacen"),
+            F.col("tmp.id_articulo"),
+            F.col("tmp.fecha_inventario"),
+            F.col("tmp.cantidad_cajas").alias("cant_cajafisica_inicial"),
+            F.col("tmp.unidades").alias("cant_unidades_inicial"),
+            F.col("tmp.estado"),
+            dec(F.col("cpm.imp_cpm")).alias("precio_unitario_mn"),
+            dec(F.col("tmp.cantidad_cajas") * F.col("cpm.imp_cpm")).alias(
+                "imp_valorizado_mn"
+            ),
+            dec(F.col("cpm.imp_saldo_inicial")).alias("imp_saldo_inicial"),
+            dec(F.col("cpm.imp_saldo_final")).alias("imp_saldo_final"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("id_sucursal", "string"),
+            ("id_almacen", "string"),
+            ("id_articulo", "string"),
+            ("fecha_inventario", "date"),
+            ("cant_cajafisica_inicial", "numeric(30,4)"),
+            ("cant_unidades_inicial", "numeric(30,4)"),
+            ("estado", "string"),
+            ("precio_unitario_mn", "numeric(30,4)"),
+            ("imp_valorizado_mn", "numeric(30,4)"),
+            ("imp_saldo_inicial", "numeric(30,4)"),
+            ("imp_saldo_final", "numeric(30,4)"),
+        ],
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "t_saldos_iniciales"),
+        partition_by=["id_pais", "id_periodo"],
+    )
+
+
 @DOMAIN_JOBS.register("t_reparto_lite")
 def job_t_reparto_lite(ctx: JobContext) -> None:
     """Delivery fact (`code/domain/t_reparto.py:36-93`): inventory movements

@@ -630,3 +630,61 @@ def test_t_reparto_latest_movement(spark, lake):
     assert r["id_reparto"] == "10|01|A1|GRA|G1"
     assert r["id_transportista"] == "10|T2"            # latest movement (M002) won
     assert r["estado_guia"] == "LIQ"
+
+
+def test_t_saldos_iniciales_valuation(spark, lake):
+    """Inventory opening balances: 3-key header-detail join, unit
+    conversion, CPM valuation, numeric(30,4) money type."""
+    reg = SchemaRegistry({
+        "t_toma_inventario": [
+            ("id_pais", "string"), ("id_sucursal", "string"),
+            ("cod_almacen_emisor", "string"), ("fecha_inventario", "date"),
+            ("estado", "string"),
+        ],
+        "t_toma_inventario_detalle": [
+            ("id_sucursal", "string"), ("cod_almacen_emisor", "string"),
+            ("id_almacen", "string"), ("id_articulo", "string"),
+            ("fecha_inventario", "date"), ("stock_final", "numeric(30,4)"),
+        ],
+        "t_cierre_inventario_cpm": [
+            ("id_sucursal", "string"), ("id_articulo", "string"),
+            ("id_periodo", "string"), ("imp_cpm", "numeric(30,4)"),
+            ("imp_saldo_inicial", "numeric(30,4)"), ("imp_saldo_final", "numeric(30,4)"),
+        ],
+        "m_articulo": [("id_articulo", "string"), ("cant_unidad_paquete", "numeric(38,12)")],
+    })
+    D = Decimal
+    d = dt.date(2025, 5, 1)
+    spark.createDataFrame(
+        [("PE", "10|01", "ALM1", d, "APROBADO")],
+        "id_pais string, id_sucursal string, cod_almacen_emisor string, "
+        "fecha_inventario date, estado string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_toma_inventario", "pe01"))
+    spark.createDataFrame(
+        [("10|01", "ALM1", "10|ALM1", "10|A1", d, D("5"))],
+        "id_sucursal string, cod_almacen_emisor string, id_almacen string, "
+        "id_articulo string, fecha_inventario date, stock_final decimal(30,4)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_toma_inventario_detalle", "pe01"))
+    spark.createDataFrame(
+        [("10|01", "10|A1", "202505", D("12.5"), D("100"), D("90"))],
+        "id_sucursal string, id_articulo string, id_periodo string, "
+        "imp_cpm decimal(30,4), imp_saldo_inicial decimal(30,4), imp_saldo_final decimal(30,4)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_cierre_inventario_cpm", "pe01"))
+    spark.createDataFrame(
+        [("10|A1", D("10"))], "id_articulo string, cant_unidad_paquete decimal(38,12)"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_articulo", "pe01"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("domain", "t_saldos_iniciales_lite", 1, periods=2)],
+                    DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    r = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_saldos_iniciales")).collect()[0]
+    assert r["cant_cajafisica_inicial"] == Decimal("5.0000")
+    assert r["cant_unidades_inicial"] == Decimal("50.0000")     # 5 × 10 units/pack
+    assert r["imp_valorizado_mn"] == Decimal("62.5000")          # 5 × 12.5 CPM
+    assert r["imp_saldo_inicial"] == Decimal("100.0000")
+    assert dict(spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "t_saldos_iniciales")).dtypes
+    )["imp_valorizado_mn"] == "decimal(30,4)"
