@@ -104,6 +104,66 @@ def job_m_compania(ctx: JobContext) -> None:
     )
 
 
+@DOMAIN_JOBS.register("t_pedido_cumplimiento_lite")
+def job_t_pedido_cumplimiento_lite(ctx: JobContext) -> None:
+    """Order-fulfillment detail (`code/domain/t_pedido_detalle_cumplimiento
+    .py` structure, reduced): ordered lines LEFT JOIN dispatched lines on
+    the wide natural key (`:354-372` joins up to 7 key columns — here the
+    6-part compania/sucursal/almacén/documento/número/artículo key),
+    grouped per order line with the reference's A4 ``max()``-as-
+    representative attribute block (`:236-279`) and ordered-vs-dispatched
+    quantities; the fulfillment ratio divides exact decimals in double."""
+    ped = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido_detalle", registry=ctx.registry
+    )
+    ven = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_venta_detalle", registry=ctx.registry
+    )
+    key = ["cod_compania", "cod_sucursal", "cod_almacen", "cod_documento_pedido",
+           "nro_documento_pedido", "cod_articulo"]
+    # aggregate EACH side to one row per natural key BEFORE the join —
+    # joining raw detail rows would fan the other side's quantities out
+    # (the reference's upstream W1/A6 dedup guarantees the same invariant)
+    v = ven.groupBy(*key).agg(
+        F.sum(F.col("cant_unidad").cast("decimal(38,6)")).alias("_desp_dec")
+    )
+    p = ped.groupBy(*key).agg(
+        # A4: representative (max) attributes per order line
+        F.max("cod_cliente").alias("cod_cliente"),
+        F.max("cod_zona").alias("cod_zona"),
+        F.max("cod_ruta").alias("cod_ruta"),
+        F.max("fecha_pedido").alias("fecha_pedido"),
+        F.sum(F.col("cant_unidad").cast("decimal(38,6)")).alias("_ped_dec"),
+    )
+    out = (
+        p.join(v, key, "left")
+        .withColumn("_desp_dec", F.coalesce(F.col("_desp_dec"), F.lit(0).cast("decimal(38,6)")))
+        .select(
+            surrogate_key(*[F.col(k) for k in key[:5]]).alias("id_pedido"),
+            F.col("cod_articulo").alias("id_producto"),
+            "cod_cliente",
+            "cod_zona",
+            "cod_ruta",
+            "fecha_pedido",
+            F.date_format(F.col("fecha_pedido"), "yyyyMM").alias("id_periodo"),
+            F.col("_ped_dec").cast("decimal(38,12)").alias("cant_pedida"),
+            F.col("_desp_dec").cast("decimal(38,12)").alias("cant_despachada"),
+            F.when(
+                F.col("_ped_dec") > 0,
+                F.round(
+                    F.col("_desp_dec").cast("double") / F.col("_ped_dec").cast("double"),
+                    6,
+                ),
+            ).alias("ratio_cumplimiento"),
+        )
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "t_pedido_cumplimiento"),
+        partition_by=["id_periodo"],
+    )
+
+
 @DOMAIN_JOBS.register("t_saldos_iniciales_lite")
 def job_t_saldos_iniciales_lite(ctx: JobContext) -> None:
     """Opening inventory balances (`code/domain/t_saldos_iniciales.py:

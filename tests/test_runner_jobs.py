@@ -688,3 +688,63 @@ def test_t_saldos_iniciales_valuation(spark, lake):
     assert dict(spark.read.parquet(
         lake.table_path(Layer.DOMAIN, "t_saldos_iniciales")).dtypes
     )["imp_valorizado_mn"] == "decimal(30,4)"
+
+
+def test_t_pedido_cumplimiento(spark, lake):
+    """Wide-key left join: ordered vs dispatched per order line; unmatched
+    order lines show zero dispatch; A4 representative attributes."""
+    reg = SchemaRegistry({
+        "t_documento_pedido_detalle": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"), ("cod_almacen", "string"),
+            ("cod_documento_pedido", "string"), ("nro_documento_pedido", "string"),
+            ("cod_articulo", "string"), ("cod_cliente", "string"), ("cod_zona", "string"),
+            ("cod_ruta", "string"), ("fecha_pedido", "date"),
+            ("cant_unidad", "numeric(38,12)"),
+        ],
+        "t_documento_venta_detalle": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"), ("cod_almacen", "string"),
+            ("cod_documento_pedido", "string"), ("nro_documento_pedido", "string"),
+            ("cod_articulo", "string"), ("cant_unidad", "numeric(38,12)"),
+        ],
+    })
+    D = Decimal
+    d = dt.date(2025, 5, 3)
+    spark.createDataFrame(
+        [
+            # two order lines for the same (pedido, articulo) → aggregate to 10
+            ("10", "01", "AL1", "200", "P1", "A1", "C1", "Z1", "R1", d, D("6")),
+            ("10", "01", "AL1", "200", "P1", "A1", "C1", "Z1", "R1", d, D("4")),
+            # a line never dispatched
+            ("10", "01", "AL1", "200", "P1", "A2", "C1", "Z1", "R1", d, D("5")),
+        ],
+        "cod_compania string, cod_sucursal string, cod_almacen string, "
+        "cod_documento_pedido string, nro_documento_pedido string, cod_articulo string, "
+        "cod_cliente string, cod_zona string, cod_ruta string, fecha_pedido date, "
+        "cant_unidad decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_detalle", "pe01"))
+    spark.createDataFrame(
+        [
+            ("10", "01", "AL1", "200", "P1", "A1", D("3")),
+            ("10", "01", "AL1", "200", "P1", "A1", D("4")),   # partial: 7 of 10
+        ],
+        "cod_compania string, cod_sucursal string, cod_almacen string, "
+        "cod_documento_pedido string, nro_documento_pedido string, cod_articulo string, "
+        "cant_unidad decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_venta_detalle", "pe01"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("domain", "t_pedido_cumplimiento_lite", 1)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    rows = {r["id_producto"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "t_pedido_cumplimiento")).collect()}
+    a1 = rows["A1"]
+    assert a1["id_pedido"] == "10|01|AL1|200|P1"
+    assert a1["cant_pedida"] == Decimal("10.000000000000")
+    assert a1["cant_despachada"] == Decimal("7.000000000000")
+    assert a1["ratio_cumplimiento"] == 0.7
+    assert a1["cod_cliente"] == "C1"                    # A4 representative
+    a2 = rows["A2"]
+    assert a2["cant_despachada"] == Decimal("0.000000000000")
+    assert a2["ratio_cumplimiento"] == 0.0
