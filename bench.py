@@ -66,11 +66,16 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # two passes per query, keep the min (timeit-style): damps transient
+    # host noise — the machine is multi-tenant and single runs vary 2-3×
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     total = round(sum(timings.values()), 3)
     print(
