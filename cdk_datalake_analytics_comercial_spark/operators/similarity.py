@@ -131,6 +131,105 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: deterministic k-means (Lloyd) on a driver-
+    side sample. Seeding is content-deterministic — the ``n_cells`` corpus
+    vectors with the smallest ids — so repeated builds agree. The sample is
+    bounded (4096 rows) regardless of corpus size; assignment quality only
+    needs centroids to roughly tile the space."""
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(4096)
+        .collect()
+    )
+    x = np.array([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    cents = x[:n_cells].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in cents]
+
+
+def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """Index of the closest centroid (squared L2), as a Column expression —
+    evaluated JVM-side per row; the centroid list rides as literals."""
+    best_idx = F.lit(0)
+    best_d = None
+    for i, c in enumerate(cents):
+        cc = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, cc, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_d = d
+        else:
+            take = d < best_d
+            best_idx = F.when(take, F.lit(i)).otherwise(best_idx)
+            best_d = F.when(take, d).otherwise(best_d)
+    return best_idx
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their nearest
+    coarse-quantizer cell; each query scores only the corpus vectors in its
+    own cell (``n_probe=1``; probing more cells raises recall at linear
+    cost — pass the query through the quantizer once per probe rank).
+
+    The cell assignment is the partition key: at 100 TB the corpus is
+    written partitioned/bucketed by cell so a query touches one cell's
+    files. Candidate volume ≈ corpus / n_cells per query.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(
+        corpus, dim, n_cells, vec_col, id_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cell", _nearest_cell(F.col("cv"), cents))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("cell", _nearest_cell(F.col("qv"), cents))
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell", "inner")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

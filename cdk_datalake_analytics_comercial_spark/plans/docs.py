@@ -330,6 +330,17 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the fake decoder exercises the real mapInPandas/Arrow path (rows-only).
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via an IVF coarse quantizer (deterministic k-means
+    cells; rows-only — quantizer training isn't SQL-expressible; recall and
+    exact-cosine properties are tested in tests/)."""
+    from ..operators.similarity import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return ivf_topk(e, q, dim=64, k=5, n_cells=8)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
@@ -350,6 +361,7 @@ QUERIES = {
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
     "emb_lsh_topk": q_emb_lsh_topk,
+    "emb_ivf_topk": q_emb_ivf_topk,
     "multimodal_features": q_multimodal_features,
 }
 

@@ -1,3 +1,3 @@
-from . import windows
+from . import stateful, windows
 
-__all__ = ["windows"]
+__all__ = ["windows", "stateful"]

@@ -75,3 +75,37 @@ def test_dot_and_norm(spark):
     assert row["d"] == 32.0
     assert abs(row["n"] - math.sqrt(14)) < 1e-9
     assert abs(row["c"] - py_cosine([1, 2, 3], [4, 5, 6])) < 1e-9
+
+
+def test_ivf_topk_subset_of_bruteforce(spark):
+    df = vec_df(spark)
+    exact = {
+        (r["query_id"], r["corpus_id"]): r["cosine"]
+        for r in S.cosine_topk_bruteforce(df, df, k=5).collect()
+    }
+    approx = S.ivf_topk(df, df, dim=4, k=5, n_cells=2).collect()
+    assert len(approx) > 0
+    for r in approx:
+        key = (r["query_id"], r["corpus_id"])
+        assert key in exact                        # every hit is a real pair
+        assert abs(r["cosine"] - exact[key]) < 1e-9  # with the exact cosine
+
+
+def test_ivf_centroids_deterministic(spark):
+    df = vec_df(spark)
+    c1 = S.ivf_centroids(df, dim=4, n_cells=2)
+    c2 = S.ivf_centroids(df, dim=4, n_cells=2)
+    assert c1 == c2
+    assert len(c1) == 2 and all(len(row) == 4 for row in c1)
+
+
+def test_ivf_same_cell_query_finds_itself_neighbors(spark):
+    # a query identical to a corpus vector lands in the same cell, so its
+    # nearest true neighbor (cosine 1 clone) is always found
+    rows = VECS + [(6, [1.0, 0.0, 0.0, 0.0])]   # clone of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["query_id"], r["rank"]): r["corpus_id"]
+        for r in S.ivf_topk(df, df.filter("vec_id = 6"), dim=4, k=1, n_cells=2).collect()
+    }
+    assert got[(6, 1)] == 0                       # the clone is rank-1

@@ -92,3 +92,48 @@ def test_with_event_time_nanos_long(spark):
     )
     out = W.with_event_time(df).select("event_time").collect()[0][0]
     assert out == dt.datetime(2025, 5, 1, 10, 0, 0)
+
+
+def test_stateful_running_totals(spark, events_dir, tmp_path):
+    """applyInPandasWithState: per-user state persists across micro-batches
+    (maxFilesPerTrigger=1 forces several batches); the LAST update per user
+    equals the batch ground truth."""
+    from cdk_datalake_analytics_comercial_spark.streaming.stateful import (
+        run_stateful_to_memory,
+    )
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = run_stateful_to_memory(stream, "t_stateful")
+    assert not q.isActive
+    # memory sink in update mode appends one row per (batch, key) update;
+    # reconstruct the final state per user = the row with max n_events
+    updates = spark.table("t_stateful").collect()
+    final = {}
+    for r in updates:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+
+    batch = spark.read.parquet(events_dir)
+    truth = {
+        r["user_id"]: r
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("last_seen"),
+        )
+        .collect()
+    }
+    assert set(final) == set(truth)
+    for uid, t in truth.items():
+        f = final[uid]
+        assert f["n_events"] == t["n_events"]
+        assert abs(f["sum_value"] - t["sum_value"]) < 1e-9
+        assert f["last_seen"] == t["last_seen"]
+    # several micro-batches actually happened (state crossed batches)
+    assert len(updates) > len(truth)
