@@ -133,3 +133,26 @@ def make_simhash_udf(num_bits):
         return pd.Series(out)
 
     return sh
+
+
+def make_nearest_cell_udf(centroids):
+    """IVF coarse-quantizer assignment: argmin squared-L2 cell index per
+    vector, one numpy matmul per Arrow batch. The centroid matrix rides in
+    the UDF closure (KiB-scale), not as literal plan expressions — an
+    unrolled per-cell Column expression is interpreted per row AND bloats
+    the task binary by O(cells × dim) literals."""
+    cents = np.asarray(centroids, dtype=np.float64)  # (C, dim)
+    c_sq = (cents * cents).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        # ||x-c||² = ||x||² - 2 x·c + ||c||²; ||x||² is constant per row →
+        # argmin over (-2 x·c + ||c||²). Ties: argmin keeps the first
+        # (lowest) cell index, matching sequential strict-< scan order.
+        d2 = c_sq[None, :] - 2.0 * (x @ cents.T)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return nearest

@@ -165,24 +165,13 @@ def ivf_centroids(
 
 
 def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
-    """Index of the closest centroid (squared L2), as a Column expression —
-    evaluated JVM-side per row; the centroid list rides as literals."""
-    best_idx = F.lit(0)
-    best_d = None
-    for i, c in enumerate(cents):
-        cc = F.array(*[F.lit(x) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, cc, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_d is None:
-            best_d = d
-        else:
-            take = d < best_d
-            best_idx = F.when(take, F.lit(i)).otherwise(best_idx)
-            best_d = F.when(take, d).otherwise(best_d)
-    return best_idx
+    """Index of the closest centroid (squared L2). Arrow-batched numpy
+    argmin — an unrolled per-cell Column expression would run O(cells)
+    interpreted higher-order functions per row and ship O(cells × dim)
+    literals in every task binary (see _vectorized docstring)."""
+    from ._vectorized import make_nearest_cell_udf
+
+    return make_nearest_cell_udf(cents)(vec)
 
 
 def ivf_topk(
