@@ -329,3 +329,137 @@ def job_fact_venta_resumen(ctx: JobContext) -> None:
         ctx.catalog.table_path(Layer.ANALYTICS, "fact_venta_resumen"),
         partition_by=["id_pais", "id_periodo"],
     )
+
+
+@ANALYTICS_JOBS.register("dim_eje_territorial_lite")
+def job_dim_eje_territorial_lite(ctx: JobContext) -> None:
+    """Geographic dim flatten (`code/analytics/dim_eje_territorial.py:
+    17-108`): per-level slices of the domain adjacency table laddered up
+    the parent pointers — the reference walks NG4→NG3→NG2→NG1; the lite
+    domain hierarchy has three levels (NG4 postal → NG2 provincia → NG1
+    departamento) so the ladder is two hops with the identical join shape.
+    Country join for denormalized pais columns, and the postal code is
+    recovered from the pipe-encoded ``cod_eje_territorial_ref`` with
+    ``split().getItem(1)`` (`:106`). Upsert on id_eje_territorial,
+    partitioned by id_pais."""
+    eje = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "m_eje_territorial", registry=ctx.registry
+    )
+    pais = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "m_pais", registry=ctx.registry)
+
+    ng4 = eje.filter(F.col("cod_tipo_eje_territorial") == "NG4").alias("ng4")
+    ng2 = eje.filter(F.col("cod_tipo_eje_territorial") == "NG2").alias("ng2")
+    ng1 = eje.filter(F.col("cod_tipo_eje_territorial") == "NG1").alias("ng1")
+    out = (
+        ng4.join(
+            ng2,
+            F.col("ng2.id_eje_territorial") == F.col("ng4.id_eje_territorial_padre"),
+            "inner",
+        )
+        .join(
+            ng1,
+            F.col("ng1.id_eje_territorial") == F.col("ng2.id_eje_territorial_padre"),
+            "inner",
+        )
+        .join(
+            F.broadcast(pais).alias("mp"),
+            F.col("ng4.id_pais") == F.col("mp.id_pais"),
+            "inner",
+        )
+        .select(
+            F.col("ng4.id_eje_territorial").cast("string").alias("id_eje_territorial"),
+            F.col("mp.id_pais").cast("string").alias("id_pais"),
+            F.col("mp.cod_pais").cast("string").alias("cod_pais"),
+            F.col("mp.desc_pais").cast("string").alias("desc_pais"),
+            F.col("ng1.cod_eje_territorial").cast("string").alias("cod_ng1"),
+            F.col("ng1.nomb_eje_territorial").cast("string").alias("desc_ng1"),
+            F.col("ng2.cod_eje_territorial").cast("string").alias("cod_ng2"),
+            F.col("ng2.nomb_eje_territorial").cast("string").alias("desc_ng2"),
+            F.col("ng4.cod_eje_territorial").cast("string").alias("cod_ng4"),
+            F.col("ng4.nomb_eje_territorial").cast("string").alias("desc_ng4"),
+            F.split(F.col("ng4.cod_eje_territorial_ref"), r"\|")
+            .getItem(1)
+            .cast("string")
+            .alias("zona_postal"),
+        )
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.ANALYTICS, "dim_eje_territorial"),
+        keys=["id_eje_territorial"],
+        partition_by=["id_pais"],
+    )
+
+
+@ANALYTICS_JOBS.register("fact_venta_cliente_historico_lite")
+def job_fact_venta_cliente_historico_lite(ctx: JobContext) -> None:
+    """Historic client-sales fact (`code/analytics/fact_venta_cliente_
+    historico.py:27-147`, reduced measure width): detail ⋈ header on
+    id_venta, LEFT ⋈ order header, and an inner join against the sales-type
+    dim whose operation-code whitelist lives INSIDE the join condition
+    (``upper(cod_tipo_operacion).isin('VEN','EXP')``, `:39-44` — J7).
+    Soft-deleted headers drop (`:45`); the 7-key groupBy then takes
+    ``max(coalesce(header_attr, order_attr))`` as the representative
+    territory attributes (`:56-61` — the sale's own region wins, the
+    order's backfills) plus decimal sums and the /30 package-to-unit
+    conversion (`:63-65`). Partition overwrite on (id_pais, id_periodo)."""
+    venta = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta", registry=ctx.registry)
+    detalle = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta_detalle", registry=ctx.registry
+    )
+    pedido = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "t_pedido", registry=ctx.registry
+    )
+    tipo_venta = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "m_tipo_venta", registry=ctx.registry
+    )
+
+    venta = venta.filter(F.col("id_periodo").isin(ctx.periods))
+    detalle = detalle.filter(F.col("id_periodo").isin(ctx.periods))
+    out = (
+        detalle.alias("tvd")
+        .join(venta.alias("tv"), F.col("tvd.id_venta") == F.col("tv.id_venta"), "inner")
+        .join(pedido.alias("tp"), F.col("tv.id_pedido") == F.col("tp.id_pedido"), "left")
+        .join(
+            F.broadcast(tipo_venta).alias("mtv"),
+            (F.col("tv.id_tipo_venta") == F.col("mtv.id_tipo_venta"))
+            & (F.upper(F.col("mtv.cod_tipo_operacion")).isin(["VEN", "EXP"])),
+            "inner",
+        )
+        .where(F.col("tv.es_eliminado") == 0)
+        .groupBy(
+            F.col("tv.id_pais"),
+            F.col("tv.id_periodo"),
+            F.col("tv.id_sucursal"),
+            F.col("tv.id_cliente"),
+            F.col("tvd.id_producto"),
+        )
+        .agg(
+            F.max(F.coalesce(F.col("tv.cod_zona"), F.col("tp.cod_zona"))).alias("cod_zona"),
+            F.max(F.coalesce(F.col("tv.cod_ruta"), F.col("tp.cod_ruta"))).alias("cod_ruta"),
+            F.sum("tvd.cant_caja_fisica_ven").alias("cant_cajafisica_vta"),
+            (F.sum("tvd.cant_caja_volumen_ven") / 30).alias("cant_cajaunitaria_vta"),
+            F.sum("tvd.imp_neto_vta_mn").alias("imp_neto_vta_mn"),
+            F.sum("tvd.imp_neto_vta_me").alias("imp_neto_vta_me"),
+        )
+        .select(
+            F.col("id_pais").cast("string"),
+            F.col("id_periodo").cast("string"),
+            F.col("id_sucursal").cast("string"),
+            F.col("id_cliente").cast("string"),
+            F.col("id_producto").cast("string"),
+            F.to_date(F.col("id_periodo"), "yyyyMM").alias("fecha_liquidacion"),
+            F.col("cod_zona").cast("string"),
+            F.col("cod_ruta").cast("string"),
+            F.col("cant_cajafisica_vta").cast("decimal(38,12)"),
+            F.col("cant_cajaunitaria_vta").cast("decimal(38,12)"),
+            F.col("imp_neto_vta_mn").cast("decimal(38,12)"),
+            F.col("imp_neto_vta_me").cast("decimal(38,12)"),
+        )
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.ANALYTICS, "fact_venta_cliente_historico"),
+        partition_by=["id_pais", "id_periodo"],
+    )

@@ -483,6 +483,7 @@ def job_m_eje_territorial_lite(ctx: JobContext) -> None:
             F.lit(None).cast("string").alias("id_eje_territorial_padre"),
             F.col("p.id_pais").alias("id_pais"),
             F.trim(F.col("de.cod_ng1")).alias("cod_eje_territorial"),
+            F.lit(None).cast("string").alias("cod_eje_territorial_ref"),
             F.col("de.desc_ng1").alias("nomb_eje_territorial"),
             F.lit("NG1").alias("cod_tipo_eje_territorial"),
             *common,
@@ -501,6 +502,7 @@ def job_m_eje_territorial_lite(ctx: JobContext) -> None:
             ),
             F.col("p.id_pais").alias("id_pais"),
             F.trim(F.col("pr.cod_ng2")).alias("cod_eje_territorial"),
+            F.lit(None).cast("string").alias("cod_eje_territorial_ref"),
             F.col("pr.desc_ng2").alias("nomb_eje_territorial"),
             F.lit("NG2").alias("cod_tipo_eje_territorial"),
             *common,
@@ -523,6 +525,9 @@ def job_m_eje_territorial_lite(ctx: JobContext) -> None:
         ).alias("id_eje_territorial_padre"),
         F.col("p.id_pais").alias("id_pais"),
         F.trim(F.col("di.cod_zona_postal")).alias("cod_eje_territorial"),
+        F.concat_ws("|", F.col("di.cod_ng3"), F.col("di.cod_zona_postal")).alias(
+            "cod_eje_territorial_ref"
+        ),
         F.col("di.desc_ng3").alias("nomb_eje_territorial"),
         F.lit("NG4").alias("cod_tipo_eje_territorial"),
         *common,
@@ -535,6 +540,7 @@ def job_m_eje_territorial_lite(ctx: JobContext) -> None:
             ("id_eje_territorial_padre", "string"),
             ("id_pais", "string"),
             ("cod_eje_territorial", "string"),
+            ("cod_eje_territorial_ref", "string"),
             ("nomb_eje_territorial", "string"),
             ("cod_tipo_eje_territorial", "string"),
             ("estado", "string"),
@@ -975,5 +981,206 @@ def job_t_venta_lite(ctx: JobContext) -> None:
     write_table(
         out,
         ctx.catalog.table_path(Layer.DOMAIN, "t_venta"),
+        partition_by=["id_pais", "id_periodo"],
+    )
+
+
+@DOMAIN_JOBS.register("t_visita_lite")
+def job_t_visita_lite(ctx: JobContext) -> None:
+    """Visit fact (`code/domain/t_visita.py:20-75`): the historic visit
+    stream period-filtered on fecha_visita, company bridged to the country
+    dim (`:25-32`), and every outgoing key minted as a pipe surrogate —
+    including the 5-part visit identity (day|compania|cliente|sucursal|
+    fuerza_venta, `:44`), the widest composite key in the reference.
+    Constant audit flags (es_activo=1, es_eliminado=0, `:50-53`), cast
+    projection, dynamic partition overwrite on (id_pais, id_periodo)."""
+    visitas = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_historico_visita", registry=ctx.registry
+    )
+    m_compania = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
+    )
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    filtered = visitas.filter(period_filter(F.col("fecha_visita"), ctx.periods))
+    compania = (
+        m_compania.alias("mc")
+        .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(
+            F.col("mc.cod_compania").alias("cod_compania"),
+            F.trim(F.col("mp.id_pais")).alias("id_pais"),
+        )
+    )
+    enriched = (
+        filtered.alias("tvi")
+        .join(F.broadcast(compania).alias("c"), ["cod_compania"], "inner")
+        .select(
+            F.col("c.id_pais").alias("id_pais"),
+            F.date_format(F.col("tvi.fecha_visita"), "yyyyMM").alias("id_periodo"),
+            surrogate_key(
+                F.date_format(F.col("tvi.fecha_visita"), "yyyyMMdd"),
+                F.col("tvi.cod_compania"),
+                F.col("tvi.cod_cliente"),
+                F.col("tvi.cod_sucursal"),
+                F.col("tvi.cod_fuerza_venta"),
+            ).alias("id_visita"),
+            surrogate_key(F.col("tvi.cod_compania"), F.col("tvi.cod_sucursal")).alias(
+                "id_sucursal"
+            ),
+            surrogate_key(F.col("tvi.cod_compania"), F.col("tvi.cod_cliente")).alias(
+                "id_cliente"
+            ),
+            surrogate_key(
+                F.col("tvi.cod_compania"),
+                F.col("tvi.cod_sucursal"),
+                F.col("tvi.cod_fuerza_venta"),
+            ).alias("id_fuerza_venta"),
+            F.lit(None).alias("cod_visita"),
+            F.col("tvi.fecha_visita").alias("fecha_visita"),
+            F.lit(1).alias("es_activo"),
+            F.col("tvi.fecha_visita").alias("fecha_creacion"),
+            F.col("tvi.fecha_modificacion").alias("fecha_modificacion"),
+            F.lit(0).alias("es_eliminado"),
+        )
+    )
+    out = cast_projection(
+        enriched,
+        [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("id_visita", "string"),
+            ("id_sucursal", "string"),
+            ("id_cliente", "string"),
+            ("id_fuerza_venta", "string"),
+            ("cod_visita", "string"),
+            ("fecha_visita", "date"),
+            ("es_activo", "int"),
+            ("fecha_creacion", "timestamp"),
+            ("fecha_modificacion", "timestamp"),
+            ("es_eliminado", "int"),
+        ],
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "t_visita"),
+        partition_by=["id_pais", "id_periodo"],
+    )
+
+
+@DOMAIN_JOBS.register("t_movimiento_inventario_lite")
+def job_t_movimiento_inventario_lite(ctx: JobContext) -> None:
+    """Inventory-movement header (`code/domain/t_movimiento_inventario.py:
+    24-145`, reduced width): period filter on fecha_almacen, movements kept
+    only when their procedure code is whitelisted by the document-type
+    bridge (`:41-56` — the reference inner-joins the bridge and re-selects;
+    expressed here as a ``left_semi`` so a duplicated bridge row can never
+    fan out the fact), company bridged to country, and a LEFT join to the
+    in-transit table yielding destination warehouse columns plus the
+    ``tiene_transito`` existence flag (`:99-138`). Coalesce defaults for
+    document-state codes ('000', `:125-128`), dynamic partition overwrite
+    on (id_pais, id_periodo)."""
+    mov = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_movimiento_inventario", registry=ctx.registry
+    )
+    transito = read_table(
+        ctx.spark,
+        ctx.catalog,
+        Layer.STAGE,
+        "t_movimiento_inventario_transito",
+        registry=ctx.registry,
+    )
+    doc_almacen = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_documento_almacen", registry=ctx.registry
+    )
+    doc_trans = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_documento_transaccion", registry=ctx.registry
+    )
+    m_compania = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
+    )
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    filtered = mov.filter(period_filter(F.col("fecha_almacen"), ctx.periods))
+    whitelist = (
+        doc_almacen.alias("mda")
+        .join(
+            doc_trans.alias("mdt"),
+            (F.col("mda.cod_compania") == F.col("mdt.cod_compania"))
+            & (F.col("mda.cod_transaccion") == F.col("mdt.cod_documento_transaccion")),
+            "inner",
+        )
+        .select(F.col("mda.cod_compania"), F.col("mda.cod_transaccion"))
+    )
+    allowed = filtered.join(
+        F.broadcast(whitelist),
+        (filtered["cod_compania"] == whitelist["cod_compania"])
+        & (filtered["cod_procedimiento"] == whitelist["cod_transaccion"]),
+        "left_semi",
+    )
+    compania = (
+        m_compania.alias("mc")
+        .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(
+            F.col("mc.cod_compania").alias("cod_compania"),
+            F.col("mp.id_pais").alias("id_pais"),
+        )
+    )
+    enriched = (
+        allowed.alias("tmi")
+        .join(F.broadcast(compania).alias("c"), ["cod_compania"], "inner")
+        .join(
+            transito.alias("tmit"),
+            F.col("tmi.id_documento_almacen") == F.col("tmit.id_documento_almacen"),
+            "left",
+        )
+        .select(
+            F.col("c.id_pais").alias("id_pais"),
+            F.date_format(F.col("tmi.fecha_almacen"), "yyyyMM").alias("id_periodo"),
+            F.col("tmi.id_movimiento_almacen").alias("id_movimiento_almacen"),
+            F.col("tmi.cod_compania").alias("id_compania_origen"),
+            F.col("tmi.id_sucursal").alias("id_sucursal_origen"),
+            F.col("tmi.id_almacen").alias("id_almacen_origen"),
+            F.col("tmit.id_compania_destino").alias("id_compania_destino"),
+            F.col("tmit.id_sucursal_destino").alias("id_sucursal_destino"),
+            F.col("tmit.id_almacen_destino").alias("id_almacen_destino"),
+            F.col("tmi.cod_procedimiento").alias("cod_procedimiento"),
+            F.col("tmi.fecha_almacen").alias("fecha_almacen"),
+            F.col("tmi.nro_documento_almacen").alias("nro_documento_almacen"),
+            F.coalesce(F.col("tmi.cod_estado_comprobante"), F.lit("000")).alias(
+                "cod_estado_comprobante"
+            ),
+            F.col("tmit.estado").alias("desc_estado_transito"),
+            F.when(F.col("tmit.id_documento_almacen").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("tiene_transito"),
+            F.col("tmi.fecha_creacion").alias("fecha_creacion"),
+            F.col("tmi.fecha_modificacion").alias("fecha_modificacion"),
+        )
+    )
+    out = cast_projection(
+        enriched,
+        [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("id_movimiento_almacen", "string"),
+            ("id_compania_origen", "string"),
+            ("id_sucursal_origen", "string"),
+            ("id_almacen_origen", "string"),
+            ("id_compania_destino", "string"),
+            ("id_sucursal_destino", "string"),
+            ("id_almacen_destino", "string"),
+            ("cod_procedimiento", "string"),
+            ("fecha_almacen", "date"),
+            ("nro_documento_almacen", "string"),
+            ("cod_estado_comprobante", "string"),
+            ("desc_estado_transito", "string"),
+            ("tiene_transito", "int"),
+            ("fecha_creacion", "timestamp"),
+            ("fecha_modificacion", "timestamp"),
+        ],
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "t_movimiento_inventario"),
         partition_by=["id_pais", "id_periodo"],
     )

@@ -362,3 +362,136 @@ def test_fact_venta_detalle_volume_conversion(spark, lake):
     rows = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "fact_venta_detalle")).collect()
     assert len(rows) == 1                                   # deleted header's line dropped
     assert rows[0]["cant_cajaunitaria_vta"] == Decimal("2.000000000000")  # 60/30
+
+
+def test_dim_eje_territorial_ladder_from_domain_job(spark, lake):
+    """Chain: the m_eje_territorial domain job builds the NG adjacency with
+    the pipe-encoded postal ref; the analytics ladder flattens NG4→NG2→NG1
+    into one wide row and recovers zona_postal via split().getItem(1)."""
+    from cdk_datalake_analytics_comercial_spark.jobs import DOMAIN_JOBS
+
+    reg = SchemaRegistry({
+        "m_ng1": [("id_pais", "string"), ("cod_ng1", "string"), ("desc_ng1", "string")],
+        "m_ng2": [("id_pais", "string"), ("cod_ng1", "string"), ("cod_ng2", "string"),
+                   ("desc_ng2", "string")],
+        "m_ng3": [("id_pais", "string"), ("cod_ng1", "string"), ("cod_ng2", "string"),
+                   ("cod_ng3", "string"), ("desc_ng3", "string"), ("cod_zona_postal", "string")],
+        "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+        "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
+                        ("desc_compania", "string"), ("es_activo", "string"),
+                        ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
+    })
+    ts = dt.datetime(2025, 4, 1)
+    spark.createDataFrame(
+        [("PE", "D1", "LIMA DEP")], "id_pais string, cod_ng1 string, desc_ng1 string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_ng1", "pe01"))
+    spark.createDataFrame(
+        [("PE", "D1", "P1", "LIMA PROV")],
+        "id_pais string, cod_ng1 string, cod_ng2 string, desc_ng2 string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_ng2", "pe01"))
+    spark.createDataFrame(
+        [("PE", "D1", "P1", "033", "MIRAFLORES", "15074")],
+        "id_pais string, cod_ng1 string, cod_ng2 string, cod_ng3 string, "
+        "desc_ng3 string, cod_zona_postal string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_ng3", "pe01"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", ts, ts)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    dr = run_waves(
+        [JobConfig("domain", "m_pais", 1), JobConfig("domain", "m_eje_territorial_lite", 2)],
+        DOMAIN_JOBS, mk,
+    )
+    assert all(r.status == "succeeded" for r in dr), [r.error for r in dr]
+    ar = run_waves([JobConfig("analytics", "dim_eje_territorial_lite", 1)], ANALYTICS_JOBS, mk)
+    assert ar[0].status == "succeeded", ar[0].error
+
+    rows = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "dim_eje_territorial")).collect()
+    assert len(rows) == 1                      # one NG4 leaf → one wide row
+    r = rows[0]
+    assert r["id_eje_territorial"] == "PE|15074"
+    assert (r["cod_ng1"], r["desc_ng1"]) == ("D1", "LIMA DEP")
+    assert (r["cod_ng2"], r["desc_ng2"]) == ("P1", "LIMA PROV")
+    assert r["desc_ng4"] == "MIRAFLORES"
+    assert r["zona_postal"] == "15074"         # split('|')[1] of "033|15074"
+    assert r["desc_pais"] == "PERU"
+
+
+def test_fact_venta_cliente_historico_backfill_and_type_filter(spark, lake):
+    """Operation-type whitelist inside the join condition, soft-delete drop,
+    and max(coalesce(header, order)) territory backfill with /30 unit
+    conversion (reference fact_venta_cliente_historico.py:27-147)."""
+    reg = SchemaRegistry({
+        "t_venta": [("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
+                     ("id_sucursal", "string"), ("id_cliente", "string"),
+                     ("id_pedido", "string"), ("id_tipo_venta", "string"),
+                     ("cod_zona", "string"), ("cod_ruta", "string"), ("es_eliminado", "int")],
+        "t_venta_detalle": [("id_venta", "string"), ("id_producto", "string"),
+                             ("id_pais", "string"), ("id_periodo", "string"),
+                             ("cant_caja_fisica_ven", "numeric(38,12)"),
+                             ("cant_caja_volumen_ven", "numeric(38,12)"),
+                             ("imp_neto_vta_mn", "numeric(38,12)"),
+                             ("imp_neto_vta_me", "numeric(38,12)")],
+        "t_pedido": [("id_pedido", "string"), ("cod_zona", "string"), ("cod_ruta", "string")],
+        "m_tipo_venta": [("id_tipo_venta", "string"), ("cod_tipo_operacion", "string")],
+    })
+    spark.createDataFrame(
+        [
+            ("V1", "PE", "202505", "10|S1", "10|C1", "P1", "TV1", None, "R1", 0),
+            ("V2", "PE", "202505", "10|S1", "10|C1", None, "TV2", "Z2", "R2", 0),  # OTR type
+            ("V3", "PE", "202505", "10|S1", "10|C1", None, "TV1", "Z3", "R3", 1),  # deleted
+            ("V4", "PE", "202505", "10|S1", "10|C2", None, "TV1", "Z1", "R1", 0),  # no pedido
+        ],
+        "id_venta string, id_pais string, id_periodo string, id_sucursal string, "
+        "id_cliente string, id_pedido string, id_tipo_venta string, cod_zona string, "
+        "cod_ruta string, es_eliminado int",
+    ).write.partitionBy("id_pais").parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
+    spark.createDataFrame(
+        [
+            ("V1", "A1", "PE", "202505", Decimal("5"), Decimal("45"), Decimal("100"), Decimal("25")),
+            ("V1", "A1", "PE", "202505", Decimal("1"), Decimal("15"), Decimal("20"), Decimal("5")),
+            ("V2", "A1", "PE", "202505", Decimal("9"), Decimal("90"), Decimal("900"), Decimal("90")),
+            ("V3", "A1", "PE", "202505", Decimal("9"), Decimal("90"), Decimal("900"), Decimal("90")),
+            ("V4", "A2", "PE", "202505", Decimal("3"), Decimal("30"), Decimal("60"), Decimal("15")),
+        ],
+        "id_venta string, id_producto string, id_pais string, id_periodo string, "
+        "cant_caja_fisica_ven decimal(38,12), cant_caja_volumen_ven decimal(38,12), "
+        "imp_neto_vta_mn decimal(38,12), imp_neto_vta_me decimal(38,12)",
+    ).write.partitionBy("id_pais").parquet(lake.table_path(Layer.DOMAIN, "t_venta_detalle"))
+    spark.createDataFrame(
+        [("P1", "Z9", None)], "id_pedido string, cod_zona string, cod_ruta string"
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "t_pedido"))
+    spark.createDataFrame(
+        [("TV1", "ven"), ("TV2", "OTR")],   # lowercase proves upper() in the condition
+        "id_tipo_venta string, cod_tipo_operacion string",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "m_tipo_venta"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves(
+        [JobConfig("analytics", "fact_venta_cliente_historico_lite", 1, periods=2)],
+        ANALYTICS_JOBS, mk,
+    )
+    assert res[0].status == "succeeded", res[0].error
+    rows = {r["id_cliente"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "fact_venta_cliente_historico")).collect()}
+    assert set(rows) == {"10|C1", "10|C2"}     # V2 (OTR) and V3 (deleted) dropped
+    c1 = rows["10|C1"]
+    assert c1["cod_zona"] == "Z9"              # null header zone backfilled from pedido
+    assert c1["cod_ruta"] == "R1"              # header ruta wins over order's null
+    assert c1["cant_cajafisica_vta"] == Decimal("6.000000000000")
+    assert c1["cant_cajaunitaria_vta"] == Decimal("2.000000000000")   # 60/30
+    assert c1["imp_neto_vta_mn"] == Decimal("120.000000000000")
+    assert c1["fecha_liquidacion"] == dt.date(2025, 5, 1)
+    c2 = rows["10|C2"]
+    assert c2["cod_zona"] == "Z1"              # no order row: left join, header value
+    assert c2["cant_cajaunitaria_vta"] == Decimal("1.000000000000")

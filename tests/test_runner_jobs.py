@@ -748,3 +748,127 @@ def test_t_pedido_cumplimiento(spark, lake):
     a2 = rows["A2"]
     assert a2["cant_despachada"] == Decimal("0.000000000000")
     assert a2["ratio_cumplimiento"] == 0.0
+
+
+def test_t_visita_composite_keys(spark, lake):
+    """5-part visit surrogate key, period filter on fecha_visita, constant
+    audit flags (reference t_visita.py:22-53)."""
+    reg = SchemaRegistry({
+        "t_historico_visita": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_cliente", "string"), ("cod_fuerza_venta", "string"),
+            ("fecha_visita", "date"), ("fecha_modificacion", "timestamp"),
+        ],
+        "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
+                        ("desc_compania", "string"), ("es_activo", "string"),
+                        ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
+        "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+    })
+    ts = dt.datetime(2025, 5, 10, 9, 0)
+    spark.createDataFrame(
+        [
+            ("10", "S1", "C1", "FV1", dt.date(2025, 5, 10), ts),
+            ("10", "S1", "C1", "FV1", dt.date(2024, 1, 3), ts),  # outside window
+        ],
+        "cod_compania string, cod_sucursal string, cod_cliente string, "
+        "cod_fuerza_venta string, fecha_visita date, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_historico_visita", "pe01"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", ts, ts)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("domain", "t_visita_lite", 1, periods=2)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    rows = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_visita")).collect()
+    assert len(rows) == 1                          # 2024 visit pruned
+    r = rows[0]
+    assert r["id_visita"] == "20250510|10|C1|S1|FV1"
+    assert r["id_fuerza_venta"] == "10|S1|FV1"
+    assert r["id_cliente"] == "10|C1"
+    assert r["id_periodo"] == "202505"
+    assert (r["es_activo"], r["es_eliminado"]) == (1, 0)
+    assert r["cod_visita"] is None
+
+
+def test_t_movimiento_inventario_whitelist_and_transito(spark, lake):
+    """Document-type whitelist as left_semi (no fan-out on duplicated
+    bridge rows), LEFT transit join with existence flag and coalesce
+    defaults (reference t_movimiento_inventario.py:41-145)."""
+    reg = SchemaRegistry({
+        "t_movimiento_inventario": [
+            ("id_movimiento_almacen", "string"), ("id_documento_almacen", "string"),
+            ("cod_compania", "string"), ("id_sucursal", "string"), ("id_almacen", "string"),
+            ("cod_procedimiento", "string"), ("fecha_almacen", "date"),
+            ("nro_documento_almacen", "string"), ("cod_estado_comprobante", "string"),
+            ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
+        ],
+        "t_movimiento_inventario_transito": [
+            ("id_documento_almacen", "string"), ("id_compania_destino", "string"),
+            ("id_sucursal_destino", "string"), ("id_almacen_destino", "string"),
+            ("estado", "string"),
+        ],
+        "m_documento_almacen": [("cod_compania", "string"), ("cod_transaccion", "string")],
+        "m_documento_transaccion": [("cod_compania", "string"),
+                                     ("cod_documento_transaccion", "string")],
+        "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
+                        ("desc_compania", "string"), ("es_activo", "string"),
+                        ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
+        "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+    })
+    d, ts = dt.date(2025, 5, 5), dt.datetime(2025, 5, 5, 8, 0)
+    spark.createDataFrame(
+        [
+            ("MV1", "DA1", "10", "S1", "A1", "ING", d, "N1", None, ts, ts),   # transit
+            ("MV2", "DA2", "10", "S1", "A1", "ING", d, "N2", "001", ts, ts),  # no transit
+            ("MV3", "DA3", "10", "S1", "A1", "ZZZ", d, "N3", "001", ts, ts),  # not whitelisted
+        ],
+        "id_movimiento_almacen string, id_documento_almacen string, cod_compania string, "
+        "id_sucursal string, id_almacen string, cod_procedimiento string, fecha_almacen date, "
+        "nro_documento_almacen string, cod_estado_comprobante string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_movimiento_inventario", "pe01"))
+    spark.createDataFrame(
+        [("DA1", "20", "S9", "A9", "EN TRANSITO")],
+        "id_documento_almacen string, id_compania_destino string, id_sucursal_destino string, "
+        "id_almacen_destino string, estado string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_movimiento_inventario_transito", "pe01"))
+    # duplicated bridge rows — an inner join would fan MV1/MV2 out ×2
+    spark.createDataFrame(
+        [("10", "ING"), ("10", "ING")], "cod_compania string, cod_transaccion string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_documento_almacen", "pe01"))
+    spark.createDataFrame(
+        [("10", "ING")], "cod_compania string, cod_documento_transaccion string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_documento_transaccion", "pe01"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", ts, ts)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves(
+        [JobConfig("domain", "t_movimiento_inventario_lite", 1, periods=2)], DOMAIN_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    rows = {r["id_movimiento_almacen"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "t_movimiento_inventario")).collect()}
+    assert set(rows) == {"MV1", "MV2"}             # ZZZ dropped, no ×2 fan-out
+    assert rows["MV1"]["tiene_transito"] == 1
+    assert rows["MV1"]["id_almacen_destino"] == "A9"
+    assert rows["MV1"]["cod_estado_comprobante"] == "000"   # coalesce default
+    assert rows["MV2"]["tiene_transito"] == 0
+    assert rows["MV2"]["id_almacen_destino"] is None
+    assert rows["MV2"]["cod_estado_comprobante"] == "001"
