@@ -463,3 +463,11 @@ def job_fact_venta_cliente_historico_lite(ctx: JobContext) -> None:
         ctx.catalog.table_path(Layer.ANALYTICS, "fact_venta_cliente_historico"),
         partition_by=["id_pais", "id_periodo"],
     )
+
+
+# Passthrough dims (dim_forma_pago, dim_tipo_pedido, dim_pais, …) are
+# spec-generated — one factory body, one place for merge/partition fixes.
+from .dim_factory import PASSTHROUGH_DIM_SPECS, make_passthrough_dim_job  # noqa: E402
+
+for _spec in PASSTHROUGH_DIM_SPECS:
+    ANALYTICS_JOBS.register(f"{_spec.name}_lite")(make_passthrough_dim_job(_spec))

@@ -1184,3 +1184,12 @@ def job_t_movimiento_inventario_lite(ctx: JobContext) -> None:
         ctx.catalog.table_path(Layer.DOMAIN, "t_movimiento_inventario"),
         partition_by=["id_pais", "id_periodo"],
     )
+
+
+# The conform-dim family (m_forma_pago, m_tipo_pedido, m_origen_pedido,
+# m_medio_transporte, …) is one program with different column lists — the
+# engine stamps the jobs out from specs (see dim_factory docstring).
+from .dim_factory import CONFORM_DIM_SPECS, make_conform_dim_job  # noqa: E402
+
+for _spec in CONFORM_DIM_SPECS:
+    DOMAIN_JOBS.register(f"{_spec.name}_lite")(make_conform_dim_job(_spec))

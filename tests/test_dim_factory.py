@@ -1,0 +1,126 @@
+"""Spec-generated conform/passthrough dim family: one chained run per
+family (stage → domain conform → analytics passthrough), upsert
+idempotence, and the lit(NULL) placeholder column."""
+
+import datetime as dt
+from decimal import Decimal
+
+from cdk_datalake_analytics_comercial_spark.core.catalog import Layer
+from cdk_datalake_analytics_comercial_spark.jobs import ANALYTICS_JOBS, DOMAIN_JOBS
+from cdk_datalake_analytics_comercial_spark.runner import JobConfig, JobContext, run_waves
+from cdk_datalake_analytics_comercial_spark.sources.registry import SchemaRegistry
+
+AS_OF = dt.date(2025, 5, 15)
+TS = dt.datetime(2025, 4, 1)
+
+
+def _seed_bridge(spark, lake, reg_dict):
+    reg_dict.update(
+        {
+            "m_compania": [
+                ("cod_compania", "string"), ("cod_pais", "string"),
+                ("desc_compania", "string"), ("es_activo", "string"),
+                ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
+            ],
+            "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+        }
+    )
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+
+
+def test_forma_pago_family_chain_and_idempotence(spark, lake):
+    reg_dict = {
+        "m_condicion_pago": [
+            ("cod_compania", "string"), ("cod_forma_pago", "string"),
+            ("desc_forma_pago", "string"),
+            ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
+        ],
+    }
+    _seed_bridge(spark, lake, reg_dict)
+    spark.createDataFrame(
+        [("10", "CONT", "CONTADO", TS, TS), ("10", "CRED", "CREDITO 30D", TS, TS)],
+        "cod_compania string, cod_forma_pago string, desc_forma_pago string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_condicion_pago", "pe01"))
+    reg = SchemaRegistry(reg_dict)
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    for _ in range(2):  # second run must not duplicate (merge upsert)
+        dr = run_waves([JobConfig("domain", "m_forma_pago_lite", 1)], DOMAIN_JOBS, mk)
+        assert dr[0].status == "succeeded", dr[0].error
+        ar = run_waves([JobConfig("analytics", "dim_forma_pago_lite", 1)], ANALYTICS_JOBS, mk)
+        assert ar[0].status == "succeeded", ar[0].error
+
+    dom = {r["id_forma_pago"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "m_forma_pago")).collect()}
+    assert set(dom) == {"10|CONT", "10|CRED"}
+    assert dom["10|CONT"]["nomb_forma_pago"] == "CONTADO"
+    assert dom["10|CONT"]["fecha_creacion"] == dt.date(2025, 4, 1)  # DateType cast
+
+    dim = {r["id_forma_pago"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "dim_forma_pago")).collect()}
+    assert set(dim) == {"10|CONT", "10|CRED"}          # idempotent rerun, no dupes
+    assert dim["10|CRED"]["desc_forma_pago"] == "CREDITO 30D"  # renamed downstream
+
+
+def test_medio_transporte_numeric_attrs(spark, lake):
+    reg_dict = {
+        "m_vehiculo": [
+            ("cod_compania", "string"), ("cod_medio_transporte", "string"),
+            ("cod_tipo_medio_transporte", "string"), ("desc_tipo_medio_transporte", "string"),
+            ("cant_peso_maximo", "int"), ("cant_tarimas_camion", "numeric(38,12)"),
+            ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
+        ],
+    }
+    _seed_bridge(spark, lake, reg_dict)
+    spark.createDataFrame(
+        [("10", "V01", "CAM", "CAMION 10T", 10000, Decimal("12"), TS, TS)],
+        "cod_compania string, cod_medio_transporte string, cod_tipo_medio_transporte string, "
+        "desc_tipo_medio_transporte string, cant_peso_maximo int, "
+        "cant_tarimas_camion decimal(38,12), fecha_creacion timestamp, "
+        "fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_vehiculo", "pe01"))
+    reg = SchemaRegistry(reg_dict)
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    dr = run_waves([JobConfig("domain", "m_medio_transporte_lite", 1)], DOMAIN_JOBS, mk)
+    assert dr[0].status == "succeeded", dr[0].error
+    ar = run_waves(
+        [JobConfig("analytics", "dim_medio_transporte_lite", 1)], ANALYTICS_JOBS, mk
+    )
+    assert ar[0].status == "succeeded", ar[0].error
+
+    r = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "dim_medio_transporte")).collect()[0]
+    assert r["id_medio_transporte"] == "10|V01"
+    assert r["cant_peso_maximo"] == 10000
+    assert r["cant_tarimas"] == Decimal("12.000000000000")
+    assert r["desc_tipo_medio_transporte"] == "CAMION 10T"
+
+
+def test_dim_pais_null_placeholder(spark, lake):
+    reg = SchemaRegistry({"m_pais": [("id_pais", "string"), ("cod_pais", "string"),
+                                      ("desc_pais", "string")]})
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "m_pais"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    ar = run_waves([JobConfig("analytics", "dim_pais_lite", 1)], ANALYTICS_JOBS, mk)
+    assert ar[0].status == "succeeded", ar[0].error
+    r = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "dim_pais")).collect()[0]
+    assert r["desc_pais"] == "PERU"
+    assert r["desc_pais_comercial"] is None        # lit(NULL) placeholder column
+    assert dict(r.asDict())["cod_pais"] == "PE"
