@@ -243,17 +243,19 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(T.shingles(F.col(text_col), k)).alias("sh"),
     )
-    sizes = sh.select("id", F.size("sh").alias("n"))
-    exploded = sh.select("id", F.explode("sh").alias("s"))
+    exploded = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     # inverted index WITHOUT a self-join: group the postings per shingle,
     # keep only shingles shared by ≥2 docs (the overwhelming majority have
     # one posting and drop here), generate the ordered id pairs per shingle
     # JVM-side, count pair occurrences = |A ∩ B|. One shuffle on the shingle
     # + one on the pair — the self-join formulation shuffles both exploded
-    # sides and was ~4× slower at sf0.1.
+    # sides and was ~4× slower at sf0.1. Each doc's shingle count rides
+    # along as a struct field (4 bytes/posting), so |A|,|B| arrive with the
+    # pair and the union size needs NO size-lookup joins afterwards (those
+    # were two more O(corpus) shuffles).
     postings = (
         exploded.groupBy("s")
-        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .agg(F.sort_array(F.collect_set(F.struct("id", "n"))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     pair_structs = F.flatten(
@@ -261,23 +263,31 @@ def ngram_jaccard_pairs(
             F.col("ids"),
             lambda x, i: F.transform(
                 F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    x["n"].alias("n_a"),
+                    y["id"].alias("id_b"),
+                    y["n"].alias("n_b"),
+                ),
             ),
         )
     )
     common = (
         postings.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        # n_a/n_b are functionally dependent on the ids — grouping on all
+        # four keeps the aggregate a single pass with no post-join
+        .groupBy(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.n_a").alias("n_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.n_b").alias("n_b"),
+        )
         .agg(F.count("*").alias("common"))
     )
     if candidates is not None:
         common = common.join(candidates, ["id_a", "id_b"], "left_semi")
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
     out = (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
+        common.select(
             "id_a",
             "id_b",
             (
