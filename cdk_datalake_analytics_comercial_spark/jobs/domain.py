@@ -1186,6 +1186,90 @@ def job_t_movimiento_inventario_lite(ctx: JobContext) -> None:
     )
 
 
+@DOMAIN_JOBS.register("m_tipo_venta_lite")
+def job_m_tipo_venta_lite(ctx: JobContext) -> None:
+    """Sales-type dim (`code/domain/m_tipo_venta.py:19-59`): procedure
+    master bridged to its document type, conformed to country, and
+    restricted to document-sale transactions by an inner join against the
+    DCV-filtered transaction-type whitelist (`:19-21,38-43` — the same
+    pre-filtered-whitelist shape as t_movimiento_inventario's bridge). The
+    3-part pipe id (compania|doc|procedimiento, `:45-51`), the reference's
+    'ninguno' description default (`:54`), and its current_date() stamps as
+    the injected clock. Upsert on id_tipo_venta partitioned by id_pais."""
+    proc = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_procedimiento", registry=ctx.registry
+    )
+    tipo_doc = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_documento", registry=ctx.registry
+    )
+    tipo_trans = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_transaccion", registry=ctx.registry
+    )
+    m_compania = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
+    )
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    dcv = tipo_trans.filter(F.col("cod_tipo_transaccion") == "DCV").select(
+        "cod_compania", "cod_documento_transaccion"
+    )
+    bridge = (
+        m_compania.alias("mc")
+        .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
+    )
+    out = (
+        proc.alias("d")
+        .join(
+            tipo_doc.alias("c"),
+            (F.col("d.cod_compania") == F.col("c.cod_compania"))
+            & (F.col("d.cod_documento_transaccion") == F.col("c.cod_tipo_documento")),
+            "inner",
+        )
+        .join(F.broadcast(bridge).alias("e"), F.col("d.cod_compania") == F.col("e.cod_compania"), "inner")
+        .join(
+            F.broadcast(dcv).alias("tt"),
+            (F.col("c.cod_compania") == F.col("tt.cod_compania"))
+            & (F.col("c.cod_tipo_documento") == F.col("tt.cod_documento_transaccion")),
+            "left_semi",
+        )
+        .select(
+            surrogate_key(
+                F.col("d.cod_compania"),
+                F.col("d.cod_documento_transaccion"),
+                F.col("d.cod_procedimiento"),
+            ).alias("id_tipo_venta"),
+            F.col("e.id_pais").alias("id_pais"),
+            F.col("d.cod_procedimiento").alias("cod_tipo_venta"),
+            F.coalesce(F.col("d.desc_procedimiento"), F.lit("ninguno")).alias(
+                "nomb_tipo_venta"
+            ),
+            F.col("d.cod_tipo_operacion").alias("cod_tipo_operacion"),
+            F.lit(ctx.as_of).alias("fecha_creacion"),
+            F.lit(ctx.as_of).alias("fecha_modificacion"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_tipo_venta", "string"),
+            ("id_pais", "string"),
+            ("cod_tipo_venta", "string"),
+            ("nomb_tipo_venta", "string"),
+            ("cod_tipo_operacion", "string"),
+            ("fecha_creacion", "date"),
+            ("fecha_modificacion", "date"),
+        ],
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "m_tipo_venta"),
+        keys=["id_tipo_venta"],
+        partition_by=["id_pais"],
+    )
+
+
 # The conform-dim family (m_forma_pago, m_tipo_pedido, m_origen_pedido,
 # m_medio_transporte, …) is one program with different column lists — the
 # engine stamps the jobs out from specs (see dim_factory docstring).

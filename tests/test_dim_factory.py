@@ -124,3 +124,80 @@ def test_dim_pais_null_placeholder(spark, lake):
     assert r["desc_pais"] == "PERU"
     assert r["desc_pais_comercial"] is None        # lit(NULL) placeholder column
     assert dict(r.asDict())["cod_pais"] == "PE"
+
+
+def test_m_tipo_venta_dcv_whitelist_and_default(spark, lake):
+    """Bespoke bridge dim: only DCV-transaction document types survive, the
+    description default is 'ninguno', id is the 3-part pipe key; then the
+    spec-generated dim_tipo_venta passthrough renames downstream."""
+    reg_dict = {
+        "m_procedimiento": [
+            ("cod_compania", "string"), ("cod_documento_transaccion", "string"),
+            ("cod_procedimiento", "string"), ("desc_procedimiento", "string"),
+            ("cod_tipo_operacion", "string"),
+        ],
+        "m_tipo_documento": [("cod_compania", "string"), ("cod_tipo_documento", "string")],
+        "m_tipo_transaccion": [("cod_compania", "string"), ("cod_tipo_transaccion", "string"),
+                                ("cod_documento_transaccion", "string")],
+    }
+    _seed_bridge(spark, lake, reg_dict)
+    spark.createDataFrame(
+        [
+            ("10", "FAC", "P01", None, "ven"),      # null desc → 'ninguno'
+            ("10", "GUI", "P02", "TRASLADO", "tra"),  # GUI not DCV → dropped
+        ],
+        "cod_compania string, cod_documento_transaccion string, cod_procedimiento string, "
+        "desc_procedimiento string, cod_tipo_operacion string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_procedimiento", "pe01"))
+    spark.createDataFrame(
+        [("10", "FAC"), ("10", "GUI")], "cod_compania string, cod_tipo_documento string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_tipo_documento", "pe01"))
+    spark.createDataFrame(
+        [("10", "DCV", "FAC"), ("10", "ALM", "GUI")],
+        "cod_compania string, cod_tipo_transaccion string, cod_documento_transaccion string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_tipo_transaccion", "pe01"))
+    reg = SchemaRegistry(reg_dict)
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    dr = run_waves([JobConfig("domain", "m_tipo_venta_lite", 1)], DOMAIN_JOBS, mk)
+    assert dr[0].status == "succeeded", dr[0].error
+    rows = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_tipo_venta")).collect()
+    assert len(rows) == 1                              # GUI (non-DCV) dropped
+    r = rows[0]
+    assert r["id_tipo_venta"] == "10|FAC|P01"
+    assert r["nomb_tipo_venta"] == "ninguno"           # coalesce default
+    assert r["cod_tipo_operacion"] == "ven"
+    assert r["fecha_creacion"] == AS_OF                # injected clock
+
+    ar = run_waves([JobConfig("analytics", "dim_tipo_venta_lite", 1)], ANALYTICS_JOBS, mk)
+    assert ar[0].status == "succeeded", ar[0].error
+    d = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "dim_tipo_venta")).collect()[0]
+    assert d["desc_tipo_venta"] == "ninguno"           # renamed downstream
+
+
+def test_dim_producto_passthrough_renames(spark, lake):
+    reg = SchemaRegistry({
+        "m_articulo": [
+            ("id_articulo", "string"), ("id_pais", "string"), ("cod_compania", "string"),
+            ("cod_articulo", "string"), ("desc_articulo", "string"), ("desc_linea", "string"),
+            ("desc_familia", "string"), ("desc_marca", "string"),
+        ],
+    })
+    spark.createDataFrame(
+        [("10|A1", "PE", "10", "A1", "BIG COLA 1L", "GASEOSAS", "COLAS", "BIG")],
+        "id_articulo string, id_pais string, cod_compania string, cod_articulo string, "
+        "desc_articulo string, desc_linea string, desc_familia string, desc_marca string",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "m_articulo"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    ar = run_waves([JobConfig("analytics", "dim_producto_lite", 1)], ANALYTICS_JOBS, mk)
+    assert ar[0].status == "succeeded", ar[0].error
+    r = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "dim_producto")).collect()[0]
+    assert r["id_producto"] == "10|A1"                 # id_articulo renamed
+    assert r["cod_producto"] == "A1"
+    assert r["desc_producto"] == "BIG COLA 1L"
+    assert r["desc_marca"] == "BIG"
