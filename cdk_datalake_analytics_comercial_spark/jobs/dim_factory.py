@@ -39,17 +39,26 @@ from ..sources.writer import merge_upsert
 
 @dataclass(frozen=True)
 class ConformDimSpec:
-    """One domain conform-dim job. ``attrs`` are (stage_col, out_name,
-    type); the dim id is minted as surrogate(cod_compania, *natural_key)
-    exactly like the reference's extraction-time pipe ids (SURVEY §1.3)."""
+    """One domain conform-dim job. ``attrs`` are (stage_col | None, out_name,
+    type); None mints a typed-NULL placeholder (`m_sucursal.py:26,33` keeps
+    dropped-source columns as lit(None)). The dim id is minted as
+    surrogate(compania, *natural_key) exactly like the reference's
+    extraction-time pipe ids (SURVEY §1.3), or — when ``natural_key`` is
+    None — passed through from the stage id column the way `m_almacen.py:21`
+    / `m_fuerza_venta.py:27` / `m_lista_precio.py:26` reuse the
+    extraction-minted id."""
 
     name: str                       # domain table, e.g. "m_forma_pago"
     stage_table: str
     id_col: str                     # e.g. "id_forma_pago"
-    natural_key: Sequence[str]      # stage cols after cod_compania
-    attrs: Sequence[tuple[str, str, str]]
+    natural_key: Sequence[str] | None   # stage cols after compania; None → stage id
+    attrs: Sequence[tuple[str | None, str, str]]
     reference: str                  # cited reference script
     date_type: str = "date"         # m_forma_pago casts DateType, others timestamp
+    date_source: str = "stage"      # "stage" | "clock" (current_date → ctx.as_of) | "none"
+    trim_attrs: Sequence[str] = ()  # stage cols trimmed on the way out (CHAR padding)
+    compania_col: str = "cod_compania"  # m_modelo_atencion joins on id_compania
+    distinct: bool = False          # m_modelo_atencion dedups before upsert
 
 
 @dataclass(frozen=True)
@@ -84,18 +93,45 @@ def make_conform_dim_job(spec: ConformDimSpec) -> Callable[[JobContext], None]:
                 F.col("mp.id_pais").alias("id_pais"),
             )
         )
-        picked = (
-            stage.alias("st")
-            .join(F.broadcast(bridge).alias("b"), ["cod_compania"], "inner")
-            .select(
-                surrogate_key(
-                    F.col("st.cod_compania"),
-                    *[F.col(f"st.{k}") for k in spec.natural_key],
-                ).alias(spec.id_col),
-                F.col("b.id_pais").alias("id_pais"),
-                *[F.col(f"st.{src}").alias(out) for src, out, _ in spec.attrs],
+        if spec.natural_key is None:
+            id_expr = F.col(f"st.{spec.id_col}")
+        else:
+            id_expr = surrogate_key(
+                F.col(f"st.{spec.compania_col}"),
+                *[F.col(f"st.{k}") for k in spec.natural_key],
+            )
+
+        def attr_expr(src: str | None) -> F.Column:
+            if src is None:
+                return F.lit(None)
+            c = F.col(f"st.{src}")
+            return F.trim(c) if src in spec.trim_attrs else c
+
+        if spec.date_source == "stage":
+            dates = [
                 F.col("st.fecha_creacion").alias("fecha_creacion"),
                 F.col("st.fecha_modificacion").alias("fecha_modificacion"),
+            ]
+        elif spec.date_source == "clock":
+            dates = [
+                F.lit(ctx.as_of).alias("fecha_creacion"),
+                F.lit(ctx.as_of).alias("fecha_modificacion"),
+            ]
+        else:
+            dates = []
+
+        picked = (
+            stage.alias("st")
+            .join(
+                F.broadcast(bridge).alias("b"),
+                F.col(f"st.{spec.compania_col}") == F.col("b.cod_compania"),
+                "inner",
+            )
+            .select(
+                id_expr.alias(spec.id_col),
+                F.col("b.id_pais").alias("id_pais"),
+                *[attr_expr(src).alias(out) for src, out, _ in spec.attrs],
+                *dates,
             )
         )
         out = cast_projection(
@@ -104,10 +140,15 @@ def make_conform_dim_job(spec: ConformDimSpec) -> Callable[[JobContext], None]:
                 (spec.id_col, "string"),
                 ("id_pais", "string"),
                 *[(out, typ) for _, out, typ in spec.attrs],
-                ("fecha_creacion", spec.date_type),
-                ("fecha_modificacion", spec.date_type),
+                *(
+                    [("fecha_creacion", spec.date_type), ("fecha_modificacion", spec.date_type)]
+                    if dates
+                    else []
+                ),
             ],
         )
+        if spec.distinct:
+            out = out.distinct()
         merge_upsert(
             ctx.spark,
             out,
@@ -206,6 +247,80 @@ CONFORM_DIM_SPECS = [
         ],
         reference="code/domain/m_medio_transporte.py",
         date_type="timestamp",
+    ),
+    ConformDimSpec(
+        name="m_almacen",
+        stage_table="m_almacen",
+        id_col="id_almacen",
+        natural_key=None,               # extraction-minted id passthrough (:21)
+        attrs=[
+            ("cod_compania", "id_compania", "string"),
+            ("id_sucursal", "id_sucursal", "string"),
+            ("cod_almacen", "cod_almacen", "string"),
+            ("desc_almacen", "desc_almacen", "string"),
+            ("tipo_almacen", "desc_tipo_almacen", "string"),
+        ],
+        reference="code/domain/m_almacen.py:15-29",
+        date_source="none",             # reference emits no stamps
+    ),
+    ConformDimSpec(
+        name="m_fuerza_venta",
+        stage_table="m_fuerza_venta",
+        id_col="id_fuerza_venta",
+        natural_key=None,
+        attrs=[
+            ("cod_fuerza_venta", "cod_fuerza_venta", "string"),
+            ("desc_fuerza_venta", "desc_fuerza_venta", "string"),
+        ],
+        trim_attrs=("cod_fuerza_venta",),   # CHAR-padded source code (:29)
+        reference="code/domain/m_fuerza_venta.py:19-33",
+        date_source="none",
+    ),
+    ConformDimSpec(
+        name="m_lista_precio",
+        stage_table="m_lista_precio",
+        id_col="id_lista_precio",
+        natural_key=None,
+        attrs=[
+            ("cod_lista_precio", "cod_lista_precio", "string"),
+            ("desc_lista_precio", "nomb_lista_precio", "string"),
+        ],
+        trim_attrs=("cod_lista_precio",),
+        reference="code/domain/m_lista_precio.py:18-35",
+        date_source="clock",            # current_date() stamps (:30-31)
+        date_type="date",
+    ),
+    ConformDimSpec(
+        name="m_sucursal",
+        stage_table="m_sucursal",
+        id_col="id_sucursal",
+        natural_key=["cod_sucursal"],   # concat_ws compania|sucursal (:25)
+        attrs=[
+            (None, "id_sucursal_ref", "string"),    # dropped Salesforce source (:26-27)
+            ("cod_compania", "id_compania", "string"),
+            ("cod_sucursal", "cod_sucursal", "string"),
+            ("desc_sucursal", "nomb_sucursal", "string"),
+            (None, "cod_tipo_sucursal", "string"),
+            ("es_activo", "estado", "string"),
+        ],
+        reference="code/domain/m_sucursal.py:15-37",
+        date_source="stage",
+        date_type="date",
+    ),
+    ConformDimSpec(
+        name="m_modelo_atencion",
+        stage_table="m_modelo_atencion",
+        id_col="id_modelo_atencion",
+        natural_key=["cod_modelo_atencion"],
+        compania_col="id_compania",     # stage carries id_compania, not cod (:20)
+        attrs=[
+            ("cod_modelo_atencion", "cod_modelo_atencion", "string"),
+            ("desc_modelo_atencion", "desc_modelo_atencion", "string"),
+        ],
+        reference="code/domain/m_modelo_atencion.py:16-48",
+        date_source="clock",
+        date_type="date",
+        distinct=True,                  # reference dedups the conformed set (:39)
     ),
 ]
 

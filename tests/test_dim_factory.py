@@ -177,6 +177,151 @@ def test_m_tipo_venta_dcv_whitelist_and_default(spark, lake):
     assert d["desc_tipo_venta"] == "ninguno"           # renamed downstream
 
 
+def test_m_almacen_id_passthrough_no_dates(spark, lake):
+    """`m_almacen.py:15-29`: extraction-minted id passed through (no
+    surrogate mint), no date stamps in the output schema."""
+    reg_dict = {
+        "m_almacen": [
+            ("id_almacen", "string"), ("cod_compania", "string"),
+            ("id_sucursal", "string"), ("cod_almacen", "string"),
+            ("desc_almacen", "string"), ("tipo_almacen", "string"),
+        ],
+    }
+    _seed_bridge(spark, lake, reg_dict)
+    spark.createDataFrame(
+        [("10|S1|A01", "10", "10|S1", "A01", "ALMACEN CENTRAL", "PROPIO")],
+        "id_almacen string, cod_compania string, id_sucursal string, cod_almacen string, "
+        "desc_almacen string, tipo_almacen string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_almacen", "pe01"))
+    reg = SchemaRegistry(reg_dict)
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    dr = run_waves([JobConfig("domain", "m_almacen_lite", 1)], DOMAIN_JOBS, mk)
+    assert dr[0].status == "succeeded", dr[0].error
+    df = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_almacen"))
+    r = df.collect()[0]
+    assert r["id_almacen"] == "10|S1|A01"              # passthrough, not re-minted
+    assert r["id_compania"] == "10"
+    assert r["desc_tipo_almacen"] == "PROPIO"
+    assert "fecha_creacion" not in df.columns          # date_source="none"
+
+
+def test_m_fuerza_venta_trims_char_padded_code(spark, lake):
+    """`m_fuerza_venta.py:28`: CHAR-padded cod trimmed on the way out."""
+    reg_dict = {
+        "m_fuerza_venta": [
+            ("id_fuerza_venta", "string"), ("cod_compania", "string"),
+            ("cod_fuerza_venta", "string"), ("desc_fuerza_venta", "string"),
+        ],
+    }
+    _seed_bridge(spark, lake, reg_dict)
+    spark.createDataFrame(
+        [("10|FV1", "10", "  FV1  ", "PREVENTA")],
+        "id_fuerza_venta string, cod_compania string, cod_fuerza_venta string, "
+        "desc_fuerza_venta string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_fuerza_venta", "pe01"))
+    reg = SchemaRegistry(reg_dict)
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    dr = run_waves([JobConfig("domain", "m_fuerza_venta_lite", 1)], DOMAIN_JOBS, mk)
+    assert dr[0].status == "succeeded", dr[0].error
+    r = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_fuerza_venta")).collect()[0]
+    assert r["cod_fuerza_venta"] == "FV1"              # trimmed
+    assert r["desc_fuerza_venta"] == "PREVENTA"
+
+
+def test_m_lista_precio_clock_dates(spark, lake):
+    """`m_lista_precio.py:29-30`: current_date() stamps become the injected
+    ctx.as_of clock (SURVEY §7.3.7 reproducibility)."""
+    reg_dict = {
+        "m_lista_precio": [
+            ("id_lista_precio", "string"), ("cod_compania", "string"),
+            ("cod_lista_precio", "string"), ("desc_lista_precio", "string"),
+        ],
+    }
+    _seed_bridge(spark, lake, reg_dict)
+    spark.createDataFrame(
+        [("10|LP1", "10", "LP1 ", "LISTA GENERAL")],
+        "id_lista_precio string, cod_compania string, cod_lista_precio string, "
+        "desc_lista_precio string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_lista_precio", "pe01"))
+    reg = SchemaRegistry(reg_dict)
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    dr = run_waves([JobConfig("domain", "m_lista_precio_lite", 1)], DOMAIN_JOBS, mk)
+    assert dr[0].status == "succeeded", dr[0].error
+    r = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_lista_precio")).collect()[0]
+    assert r["cod_lista_precio"] == "LP1"              # trimmed
+    assert r["nomb_lista_precio"] == "LISTA GENERAL"
+    assert r["fecha_creacion"] == AS_OF                # injected clock, DateType
+    assert r["fecha_modificacion"] == AS_OF
+
+
+def test_m_sucursal_null_placeholders_and_date_cast(spark, lake):
+    """`m_sucursal.py:25-35`: dropped Salesforce columns kept as typed
+    NULLs, timestamps cast down to DateType."""
+    reg_dict = {
+        "m_sucursal": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("desc_sucursal", "string"), ("es_activo", "string"),
+            ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
+        ],
+    }
+    _seed_bridge(spark, lake, reg_dict)
+    spark.createDataFrame(
+        [("10", "S1", "SUCURSAL LIMA", "T", TS, TS)],
+        "cod_compania string, cod_sucursal string, desc_sucursal string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_sucursal", "pe01"))
+    reg = SchemaRegistry(reg_dict)
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    dr = run_waves([JobConfig("domain", "m_sucursal_lite", 1)], DOMAIN_JOBS, mk)
+    assert dr[0].status == "succeeded", dr[0].error
+    r = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_sucursal")).collect()[0]
+    assert r["id_sucursal"] == "10|S1"                 # minted compania|sucursal
+    assert r["id_sucursal_ref"] is None                # NULL placeholder
+    assert r["cod_tipo_sucursal"] is None
+    assert r["nomb_sucursal"] == "SUCURSAL LIMA"
+    assert r["fecha_creacion"] == dt.date(2025, 4, 1)  # DateType cast
+
+
+def test_m_modelo_atencion_id_compania_join_and_distinct(spark, lake):
+    """`m_modelo_atencion.py:17-48`: stage joins on id_compania (not cod),
+    the conformed set is deduplicated before upsert."""
+    reg_dict = {
+        "m_modelo_atencion": [
+            ("id_compania", "string"), ("cod_modelo_atencion", "string"),
+            ("desc_modelo_atencion", "string"),
+        ],
+    }
+    _seed_bridge(spark, lake, reg_dict)
+    spark.createDataFrame(
+        [("10", "MA1", "ATENCION DIRECTA"), ("10", "MA1", "ATENCION DIRECTA")],
+        "id_compania string, cod_modelo_atencion string, desc_modelo_atencion string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_modelo_atencion", "pe01"))
+    reg = SchemaRegistry(reg_dict)
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    dr = run_waves([JobConfig("domain", "m_modelo_atencion_lite", 1)], DOMAIN_JOBS, mk)
+    assert dr[0].status == "succeeded", dr[0].error
+    rows = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_modelo_atencion")).collect()
+    assert len(rows) == 1                              # distinct() dedup
+    r = rows[0]
+    assert r["id_modelo_atencion"] == "10|MA1"
+    assert r["fecha_creacion"] == AS_OF                # clock stamps
+
+
 def test_dim_producto_passthrough_renames(spark, lake):
     reg = SchemaRegistry({
         "m_articulo": [
