@@ -465,6 +465,149 @@ def job_fact_venta_cliente_historico_lite(ctx: JobContext) -> None:
     )
 
 
+@ANALYTICS_JOBS.register("dim_sucursal_lite")
+def job_dim_sucursal_lite(ctx: JobContext) -> None:
+    """Branch dim (`code/analytics/dim_sucursal.py:17-44`): domain sucursal
+    ⋈ pais ⋈ compania (2-key: id_compania AND id_pais), company attributes
+    denormalized onto the branch row. Upsert on id_sucursal partitioned by
+    id_pais. Both right sides are small dims — broadcast."""
+    suc = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "m_sucursal", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "m_pais", registry=ctx.registry)
+    comp = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "m_compania", registry=ctx.registry)
+
+    out = (
+        suc.alias("ms")
+        .join(F.broadcast(pais).alias("mp"), F.col("mp.id_pais") == F.col("ms.id_pais"), "inner")
+        .join(
+            F.broadcast(comp).alias("mc"),
+            (F.col("ms.id_compania") == F.col("mc.id_compania"))
+            & (F.col("ms.id_pais") == F.col("mc.id_pais")),
+            "inner",
+        )
+        .select(
+            F.col("ms.id_sucursal").cast("string").alias("id_sucursal"),
+            F.col("ms.id_pais").cast("string").alias("id_pais"),
+            F.col("mc.cod_compania").cast("string").alias("cod_compania"),
+            F.col("mc.nomb_compania").cast("string").alias("nomb_compania"),
+            F.col("mc.cod_tipo_compania").cast("string").alias("cod_tipo_compania"),
+            F.col("ms.cod_sucursal").cast("string").alias("cod_sucursal"),
+            F.col("ms.nomb_sucursal").cast("string").alias("nomb_sucursal"),
+            F.col("ms.cod_tipo_sucursal").cast("string").alias("cod_tipo_sucursal"),
+        )
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.ANALYTICS, "dim_sucursal"),
+        keys=["id_sucursal"],
+        partition_by=["id_pais"],
+    )
+
+
+@ANALYTICS_JOBS.register("dim_clasificacion_cliente_lite")
+def job_dim_clasificacion_cliente_lite(ctx: JobContext) -> None:
+    """Client-classification dim (`code/analytics/dim_clasificacion_cliente
+    .py:15-81`): the domain hierarchy table splits by level
+    (Subgiro/Giro/Canal via upper(tipo)), then subgiro walks its parent
+    pointers up two LEFT self-joins — subgiro.parent → giro.id,
+    giro.parent → canal.id — flattening the three levels onto one row;
+    ocasion-consumo columns are NULL placeholders. One row per subgiro,
+    upsert on id_clasificacion_cliente."""
+    mcc = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "m_clasificacion_cliente", registry=ctx.registry
+    )
+
+    def level(tipo, id_alias, parent_alias, cod_alias, desc_alias):
+        branch = mcc.filter(
+            F.upper(F.col("cod_tipo_clasificacion_cliente")) == tipo
+        ).select(
+            F.col("id_pais"),
+            F.col("id_clasificacion_cliente").alias(id_alias),
+            *(
+                [F.col("id_clasificacion_cliente_padre").alias(parent_alias)]
+                if parent_alias
+                else []
+            ),
+            F.col("cod_clasificacion_cliente").alias(cod_alias),
+            F.col("nomb_clasificacion_cliente").alias(desc_alias),
+        )
+        return branch
+
+    su = level("SUBGIRO", "id_subgiro", "id_giro", "cod_subgiro", "desc_subgiro")
+    gi = level("GIRO", "id_giro", "id_canal", "cod_giro", "desc_giro")
+    ca = level("CANAL", "id_canal", None, "cod_canal", "desc_canal")
+
+    out = (
+        su.alias("su")
+        .join(gi.alias("gi"), F.col("gi.id_giro") == F.col("su.id_giro"), "left")
+        .join(ca.alias("ca"), F.col("ca.id_canal") == F.col("gi.id_canal"), "left")
+        .select(
+            F.col("su.id_subgiro").cast("string").alias("id_clasificacion_cliente"),
+            F.col("su.id_pais").cast("string").alias("id_pais"),
+            F.col("su.cod_subgiro").cast("string").alias("cod_subgiro"),
+            F.col("su.desc_subgiro").cast("string").alias("desc_subgiro"),
+            F.lit(None).cast("string").alias("cod_ocasion_consumo"),
+            F.lit(None).cast("string").alias("desc_ocasion_consumo"),
+            F.col("gi.cod_giro").cast("string").alias("cod_giro"),
+            F.col("gi.desc_giro").cast("string").alias("desc_giro"),
+            F.col("ca.cod_canal").cast("string").alias("cod_canal"),
+            F.col("ca.desc_canal").cast("string").alias("desc_canal"),
+        )
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.ANALYTICS, "dim_clasificacion_cliente"),
+        keys=["id_clasificacion_cliente"],
+        partition_by=["id_pais"],
+    )
+
+
+@ANALYTICS_JOBS.register("fact_reparto_detalle_lite")
+def job_fact_reparto_detalle_lite(ctx: JobContext) -> None:
+    """Delivery-detail fact (`code/analytics/fact_reparto_detalle.py:21-141`,
+    reduced width): the fulfillment detail period-filtered, LEFT ⋈ order
+    header on id_pedido and LEFT ⋈ delivery header on id_reparto — both
+    optional so undispatched order lines still land with NULL carrier
+    columns; passthrough cast projection, full overwrite per the reference's
+    write_table (not upsert), partitioned by id_periodo."""
+    tpdc = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "t_pedido_cumplimiento", registry=ctx.registry
+    )
+    tp = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_pedido", registry=ctx.registry)
+    tr = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_reparto", registry=ctx.registry)
+
+    out = (
+        tpdc.alias("tpdc")
+        .filter(F.col("tpdc.id_periodo").isin(ctx.periods))
+        .join(tp.alias("tp"), F.col("tp.id_pedido") == F.col("tpdc.id_pedido"), "left")
+        .join(tr.alias("tr"), F.col("tr.id_reparto") == F.col("tpdc.id_reparto"), "left")
+        .select(
+            F.col("tpdc.id_periodo").cast("string").alias("id_periodo"),
+            F.col("tpdc.id_reparto").cast("string").alias("id_reparto"),
+            F.col("tpdc.id_pedido").cast("string").alias("id_pedido"),
+            F.col("tpdc.id_producto").cast("string").alias("id_producto"),
+            F.col("tr.id_transportista").cast("string").alias("id_transportista"),
+            F.col("tr.id_chofer").cast("string").alias("id_chofer"),
+            F.col("tr.id_medio_transporte").cast("string").alias("id_medio_transporte"),
+            F.col("tp.cod_cliente").cast("string").alias("cod_cliente"),
+            F.col("tpdc.cod_zona").cast("string").alias("cod_zona"),
+            F.col("tpdc.cod_ruta").cast("string").alias("cod_ruta"),
+            F.col("tp.fecha_pedido").cast("date").alias("fecha_pedido"),
+            F.col("tr.fecha_orden_carga").cast("date").alias("fecha_orden_carga"),
+            F.col("tr.fecha_reparto").cast("date").alias("fecha_reparto"),
+            F.col("tr.estado_guia").cast("string").alias("estado_guia"),
+            F.col("tpdc.cant_pedida").cast("decimal(38,12)").alias("cant_cajafisica_ped"),
+            F.col("tpdc.cant_despachada").cast("decimal(38,12)").alias("cant_cajafisica_desp"),
+        )
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.ANALYTICS, "fact_reparto_detalle"),
+        partition_by=["id_periodo"],
+    )
+
+
 # Passthrough dims (dim_forma_pago, dim_tipo_pedido, dim_pais, …) are
 # spec-generated — one factory body, one place for merge/partition fixes.
 from .dim_factory import PASSTHROUGH_DIM_SPECS, make_passthrough_dim_job  # noqa: E402

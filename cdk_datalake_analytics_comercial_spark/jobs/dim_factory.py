@@ -404,6 +404,57 @@ PASSTHROUGH_DIM_SPECS = [
         reference="code/analytics/dim_producto.py:17-45 (reduced attr width)",
     ),
     PassthroughDimSpec(
+        name="dim_fuerza_venta",
+        domain_table="m_fuerza_venta",
+        id_col="id_fuerza_venta",
+        columns=[
+            ("id_fuerza_venta", "id_fuerza_venta", "string"),
+            ("id_pais", "id_pais", "string"),
+            ("cod_fuerza_venta", "cod_fuerza_venta", "string"),
+            ("desc_fuerza_venta", "desc_fuerza_venta", "string"),
+        ],
+        reference="code/analytics/dim_fuerza_venta.py:17-26",
+    ),
+    PassthroughDimSpec(
+        name="dim_lista_precio",
+        domain_table="m_lista_precio",
+        id_col="id_lista_precio",
+        columns=[
+            ("id_lista_precio", "id_lista_precio", "string"),
+            ("id_pais", "id_pais", "string"),
+            ("cod_lista_precio", "cod_lista_precio", "string"),
+            ("nomb_lista_precio", "desc_lista_precio", "string"),
+        ],
+        reference="code/analytics/dim_lista_precio.py:18-27",
+    ),
+    PassthroughDimSpec(
+        name="dim_transportista",
+        domain_table="m_transportista",
+        id_col="id_transportista",
+        columns=[
+            ("id_transportista", "id_transportista", "string"),
+            ("id_pais", "id_pais", "string"),
+            ("cod_transportista", "cod_transportista", "string"),
+            ("nomb_transportista", "nomb_transportista", "string"),
+            ("cod_tipo_transportista", "cod_tipo_transportista", "string"),
+            ("desc_tipo_transportista", "desc_tipo_transportista", "string"),
+            ("ruc_transportista", "ruc_transportista", "string"),
+        ],
+        reference="code/analytics/dim_transportista.py:16-28",
+    ),
+    PassthroughDimSpec(
+        name="dim_vendedor",
+        domain_table="m_responsable_comercial",
+        id_col="id_vendedor",
+        columns=[
+            ("id_responsable_comercial", "id_vendedor", "string"),
+            ("id_pais", "id_pais", "string"),
+            ("cod_responsable_comercial", "cod_vendedor", "string"),
+            ("nomb_responsable_comercial", "nombre_vendedor", "string"),
+        ],
+        reference="code/analytics/dim_vendedor.py:16-24",
+    ),
+    PassthroughDimSpec(
         name="dim_tipo_venta",
         domain_table="m_tipo_venta",
         id_col="id_tipo_venta",

@@ -133,6 +133,8 @@ def job_t_pedido_cumplimiento_lite(ctx: JobContext) -> None:
         F.max("cod_zona").alias("cod_zona"),
         F.max("cod_ruta").alias("cod_ruta"),
         F.max("fecha_pedido").alias("fecha_pedido"),
+        F.max("cod_documento_almacen").alias("cod_documento_almacen"),
+        F.max("nro_documento_almacen").alias("nro_documento_almacen"),
         F.sum(F.col("cant_unidad").cast("decimal(38,6)")).alias("_ped_dec"),
     )
     out = (
@@ -140,6 +142,19 @@ def job_t_pedido_cumplimiento_lite(ctx: JobContext) -> None:
         .withColumn("_desp_dec", F.coalesce(F.col("_desp_dec"), F.lit(0).cast("decimal(38,6)")))
         .select(
             surrogate_key(*[F.col(k) for k in key[:5]]).alias("id_pedido"),
+            # delivery linkage minted only when a dispatch document exists
+            # (`t_pedido_detalle_cumplimiento.py:511` — compania|sucursal|
+            # almacén|doc_almacén|nro_almacén, else NULL)
+            F.when(
+                F.coalesce(F.col("cod_documento_almacen"), F.lit("")) != "",
+                surrogate_key(
+                    F.col("cod_compania"),
+                    F.col("cod_sucursal"),
+                    F.col("cod_almacen"),
+                    F.col("cod_documento_almacen"),
+                    F.col("nro_documento_almacen"),
+                ),
+            ).alias("id_reparto"),
             F.col("cod_articulo").alias("id_producto"),
             "cod_cliente",
             "cod_zona",
@@ -1266,6 +1281,423 @@ def job_m_tipo_venta_lite(ctx: JobContext) -> None:
         out,
         ctx.catalog.table_path(Layer.DOMAIN, "m_tipo_venta"),
         keys=["id_tipo_venta"],
+        partition_by=["id_pais"],
+    )
+
+
+@DOMAIN_JOBS.register("m_transportista_lite")
+def job_m_transportista_lite(ctx: JobContext) -> None:
+    """Carrier master (`code/domain/m_transportista.py:20-55`): carrier ⋈
+    compania ⋈ pais, person master joined on the extraction-minted
+    id (`:24` — id_transportista doubles as id_persona), carrier type
+    left-joined on the 2-key (compania, tipo) for its description (`:25-28`).
+    cod_transportista keeps the reference's integer cast (`:48`). Upsert on
+    id_transportista partitioned by id_pais. All right sides are small
+    masters — broadcast."""
+    trans = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_transportista", registry=ctx.registry
+    )
+    persona = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_persona", registry=ctx.registry)
+    tipo = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_transportista", registry=ctx.registry
+    )
+    comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    bridge = (
+        comp.alias("mc")
+        .join(F.broadcast(pais).alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
+    )
+    out = (
+        trans.alias("mt")
+        .join(F.broadcast(bridge).alias("b"), F.col("mt.cod_compania") == F.col("b.cod_compania"), "inner")
+        .join(
+            persona.alias("mpers"),
+            F.col("mpers.id_persona") == F.col("mt.id_transportista"),
+            "inner",
+        )
+        .join(
+            F.broadcast(tipo).alias("mtt"),
+            (F.col("mt.cod_tipo_transportista") == F.col("mtt.cod_tipo_transportista"))
+            & (F.col("mt.cod_compania") == F.col("mtt.cod_compania")),
+            "left",
+        )
+        .select(
+            F.col("mt.id_transportista"),
+            F.col("b.id_pais"),
+            F.col("mt.cod_transportista"),
+            F.col("mpers.nomb_persona").alias("nomb_transportista"),
+            F.col("mt.cod_tipo_transportista"),
+            F.col("mtt.descripcion1").alias("desc_tipo_transportista"),
+            F.col("mpers.nro_documento").alias("ruc_transportista"),
+            F.col("mt.fecha_creacion"),
+            F.col("mt.fecha_modificacion"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_transportista", "string"),
+            ("id_pais", "string"),
+            ("cod_transportista", "int"),
+            ("nomb_transportista", "string"),
+            ("cod_tipo_transportista", "string"),
+            ("desc_tipo_transportista", "string"),
+            ("ruc_transportista", "string"),
+            ("fecha_creacion", "date"),
+            ("fecha_modificacion", "date"),
+        ],
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "m_transportista"),
+        keys=["id_transportista"],
+        partition_by=["id_pais"],
+    )
+
+
+@DOMAIN_JOBS.register("m_responsable_comercial_lite")
+def job_m_responsable_comercial_lite(ctx: JobContext) -> None:
+    """Sales-rep master (`code/domain/m_responsable_comercial.py:17-43`):
+    vendedor ⋈ persona on the 2-key (vendedor, compania), conformed to
+    country; id minted from trimmed compania|vendedor (`:32-35`), estado a
+    typed NULL placeholder, current_date() stamps as the injected clock
+    cast to timestamp (`:40-42`)."""
+    vend = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_vendedor", registry=ctx.registry)
+    persona = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_persona", registry=ctx.registry)
+    comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    bridge = (
+        comp.alias("mc")
+        .join(F.broadcast(pais).alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
+    )
+    out = (
+        vend.alias("mv")
+        .join(
+            persona.alias("mpe"),
+            (F.col("mv.cod_vendedor") == F.col("mpe.cod_persona"))
+            & (F.col("mv.cod_compania") == F.col("mpe.cod_compania")),
+            "inner",
+        )
+        .join(F.broadcast(bridge).alias("b"), F.col("mv.cod_compania") == F.col("b.cod_compania"), "inner")
+        .select(
+            surrogate_key(
+                F.trim(F.col("mv.cod_compania")), F.trim(F.col("mv.cod_vendedor"))
+            ).alias("id_responsable_comercial"),
+            F.col("b.id_pais"),
+            F.trim(F.col("mv.cod_vendedor")).alias("cod_responsable_comercial"),
+            F.col("mpe.nomb_persona").alias("nomb_responsable_comercial"),
+            F.col("mv.cod_tipo_vendedor").alias("cod_tipo_responsable_comercial"),
+            F.lit(None).alias("estado"),
+            F.lit(ctx.as_of).alias("fecha_creacion"),
+            F.lit(ctx.as_of).alias("fecha_modificacion"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_responsable_comercial", "string"),
+            ("id_pais", "string"),
+            ("cod_responsable_comercial", "string"),
+            ("nomb_responsable_comercial", "string"),
+            ("cod_tipo_responsable_comercial", "string"),
+            ("estado", "string"),
+            ("fecha_creacion", "timestamp"),
+            ("fecha_modificacion", "timestamp"),
+        ],
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "m_responsable_comercial"),
+        keys=["id_responsable_comercial"],
+        partition_by=["id_pais"],
+    )
+
+
+@DOMAIN_JOBS.register("m_modulo_lite")
+def job_m_modulo_lite(ctx: JobContext) -> None:
+    """Module master (`code/domain/m_modulo.py:18-77`): module ⋈ sucursal
+    (2-key) ⋈ compania ⋈ ruta (4-key: compania, sucursal, fuerza_venta,
+    ruta) ⋈ pais; composite pipe ids for sucursal (2-part), estructura
+    comercial (4-part) and modelo_atencion (from the ruta's modelo,
+    `:48-51`); periodo_visita/desc_fuerza_venta kept as NULL placeholders;
+    estado from the sucursal activity flag; clock stamps cast to date."""
+    mod = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_modulo", registry=ctx.registry)
+    ruta = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_ruta", registry=ctx.registry)
+    suc = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_sucursal", registry=ctx.registry)
+    comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    bridge = (
+        comp.alias("mc")
+        .join(F.broadcast(pais).alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
+    )
+    out = (
+        mod.alias("mm")
+        .join(
+            suc.alias("ms"),
+            (F.col("ms.cod_compania") == F.col("mm.cod_compania"))
+            & (F.col("ms.cod_sucursal") == F.col("mm.cod_sucursal")),
+            "inner",
+        )
+        .join(F.broadcast(bridge).alias("b"), F.col("ms.cod_compania") == F.col("b.cod_compania"), "inner")
+        .join(
+            ruta.alias("mrd"),
+            (F.col("mrd.cod_compania") == F.col("mm.cod_compania"))
+            & (F.col("mrd.cod_sucursal") == F.col("mm.cod_sucursal"))
+            & (F.col("mrd.cod_fuerza_venta") == F.col("mm.cod_fuerza_venta"))
+            & (F.col("mrd.cod_ruta") == F.col("mm.cod_ruta")),
+            "inner",
+        )
+        .select(
+            F.col("mm.id_modulo"),
+            F.col("b.id_pais"),
+            surrogate_key(
+                F.trim(F.col("mm.cod_compania")), F.trim(F.col("mm.cod_sucursal"))
+            ).alias("id_sucursal"),
+            surrogate_key(
+                F.trim(F.col("mm.cod_compania")),
+                F.trim(F.col("mm.cod_sucursal")),
+                F.col("mm.cod_fuerza_venta").cast("string"),
+                F.col("mm.cod_ruta").cast("string"),
+            ).alias("id_estructura_comercial"),
+            surrogate_key(
+                F.trim(F.col("mm.cod_compania")), F.trim(F.col("mrd.cod_modelo_atencion"))
+            ).alias("id_modelo_atencion"),
+            F.col("mm.cod_modulo"),
+            F.col("mm.desc_modulo"),
+            F.lit(None).alias("desc_fuerza_venta"),
+            F.lit(None).alias("periodo_visita"),
+            F.col("ms.es_activo").alias("estado"),
+            F.lit(ctx.as_of).alias("fecha_creacion"),
+            F.lit(ctx.as_of).alias("fecha_modificacion"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_modulo", "string"),
+            ("id_pais", "string"),
+            ("id_sucursal", "string"),
+            ("id_estructura_comercial", "string"),
+            ("id_modelo_atencion", "string"),
+            ("cod_modulo", "string"),
+            ("desc_modulo", "string"),
+            ("desc_fuerza_venta", "string"),
+            ("periodo_visita", "string"),
+            ("estado", "string"),
+            ("fecha_creacion", "date"),
+            ("fecha_modificacion", "date"),
+        ],
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "m_modulo"),
+        keys=["id_modulo"],
+        partition_by=["id_pais"],
+    )
+
+
+@DOMAIN_JOBS.register("m_clasificacion_cliente_lite")
+def job_m_clasificacion_cliente_lite(ctx: JobContext) -> None:
+    """Client-classification hierarchy (`code/domain/m_clasificacion_cliente
+    .py:18-121`): the consumption-relation bridge expands into three
+    levels — subgiro → giro → canal — each a join of the relation against
+    its visibility master, each minting a typed pipe id
+    (compania|SG/GR/CN|codes) and a parent pointer one level up; the three
+    branches dedup independently then union (reference positional union →
+    engine unionByName per SURVEY §7.3.4). Upsert on id_clasificacion_cliente
+    partitioned by id_pais."""
+    rel = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "i_relacion_consumo", registry=ctx.registry
+    )
+    canal = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_canal", registry=ctx.registry)
+    subgiro = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_subgiro", registry=ctx.registry)
+    giro = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_giro", registry=ctx.registry)
+    comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    conformed = (
+        rel.alias("irc")
+        .join(
+            F.broadcast(
+                comp.alias("mc")
+                .join(pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+                .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
+            ).alias("b"),
+            F.col("irc.cod_compania") == F.col("b.cod_compania"),
+            "inner",
+        )
+    )
+
+    def _level(master, join_keys, id_parts, parent_parts, cod_col, desc_col, tipo):
+        cond = (F.col(f"irc.{join_keys[0]}") == F.col(f"mv.{join_keys[0]}")) & (
+            F.col("irc.cod_compania") == F.col("mv.cod_compania")
+        )
+        branch = (
+            conformed.join(F.broadcast(master).alias("mv"), cond, "inner")
+            .select(
+                F.col("b.id_pais"),
+                surrogate_key(
+                    F.trim(F.col("irc.cod_compania")),
+                    F.lit(id_parts[0]),
+                    *[F.trim(F.col(f"irc.{c}")) for c in id_parts[1:]],
+                ).alias("id_clasificacion_cliente"),
+                (
+                    surrogate_key(
+                        F.trim(F.col("irc.cod_compania")),
+                        F.lit(parent_parts[0]),
+                        *[F.trim(F.col(f"irc.{c}")) for c in parent_parts[1:]],
+                    )
+                    if parent_parts
+                    else F.lit(None)
+                ).alias("id_clasificacion_cliente_padre"),
+                F.col(f"irc.{cod_col}").alias("cod_clasificacion_cliente"),
+                F.col(f"mv.{desc_col}").alias("nomb_clasificacion_cliente"),
+                F.lit(tipo).alias("cod_tipo_clasificacion_cliente"),
+                F.col("mv.es_activo").alias("estado"),
+                F.lit(ctx.as_of).alias("fecha_creacion"),
+                F.lit(ctx.as_of).alias("fecha_modificacion"),
+            )
+            .distinct()
+        )
+        return branch
+
+    levels = [
+        _level(subgiro, ["cod_subgiro"], ["SG", "cod_subgiro"],
+               ["GR", "cod_giro", "cod_canal"], "cod_subgiro", "desc_subgiro", "Subgiro"),
+        _level(giro, ["cod_giro"], ["GR", "cod_giro", "cod_canal"],
+               ["CN", "cod_canal"], "cod_giro", "desc_giro", "Giro"),
+        _level(canal, ["cod_canal"], ["CN", "cod_canal"],
+               None, "cod_canal", "desc_canal", "Canal"),
+    ]
+    unioned = levels[0].unionByName(levels[1]).unionByName(levels[2])
+    out = cast_projection(
+        unioned,
+        [
+            ("id_pais", "string"),
+            ("id_clasificacion_cliente", "string"),
+            ("id_clasificacion_cliente_padre", "string"),
+            ("cod_clasificacion_cliente", "string"),
+            ("nomb_clasificacion_cliente", "string"),
+            ("cod_tipo_clasificacion_cliente", "string"),
+            ("estado", "string"),
+            ("fecha_creacion", "date"),
+            ("fecha_modificacion", "date"),
+        ],
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "m_clasificacion_cliente"),
+        keys=["id_clasificacion_cliente"],
+        partition_by=["id_pais"],
+    )
+
+
+@DOMAIN_JOBS.register("m_asignacion_modulo_lite")
+def job_m_asignacion_modulo_lite(ctx: JobContext) -> None:
+    """Module-assignment bridge (`code/domain/m_asignacion_modulo.py:19-108`):
+    assignment left-joined to the client master on (compania, cliente) so
+    unmatched clients still land, conformed through sucursal ⋈ compania ⋈
+    pais; 5-part pipe id; es_activo = 1 when the client has no sucursal or
+    its sucursal matches the assignment's (`:81-84`); schedule columns kept
+    as typed NULLs; clock stamps cast to timestamp."""
+    asig = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_asignacion_modulo", registry=ctx.registry
+    )
+    cli = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_cliente", registry=ctx.registry)
+    suc = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_sucursal", registry=ctx.registry)
+    comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    bridge = (
+        comp.alias("mc")
+        .join(F.broadcast(pais).alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
+    )
+    out = (
+        asig.alias("mm")
+        .join(
+            cli.alias("mcli"),
+            (F.col("mm.cod_compania") == F.col("mcli.cod_compania"))
+            & (F.col("mm.cod_cliente") == F.col("mcli.cod_cliente")),
+            "left",
+        )
+        .join(
+            F.broadcast(suc).alias("suc"),
+            (F.col("suc.cod_compania") == F.col("mm.cod_compania"))
+            & (F.col("suc.cod_sucursal") == F.col("mm.cod_sucursal")),
+            "inner",
+        )
+        .join(F.broadcast(bridge).alias("b"), F.col("suc.cod_compania") == F.col("b.cod_compania"), "inner")
+        .select(
+            surrogate_key(
+                F.trim(F.col("mm.cod_compania")),
+                F.trim(F.col("mm.cod_sucursal")),
+                F.trim(F.col("mm.cod_fuerza_venta")),
+                F.trim(F.col("mm.cod_modulo")),
+                F.trim(F.col("mm.cod_cliente")),
+            ).alias("id_asignacion_modulo"),
+            F.col("b.id_pais"),
+            surrogate_key(
+                F.trim(F.col("suc.cod_compania")), F.trim(F.col("suc.cod_sucursal"))
+            ).alias("id_sucursal"),
+            surrogate_key(
+                F.trim(F.col("suc.cod_compania")), F.trim(F.col("mm.cod_cliente"))
+            ).alias("id_cliente"),
+            surrogate_key(
+                F.trim(F.col("mm.cod_compania")),
+                F.trim(F.col("mm.cod_sucursal")),
+                F.trim(F.col("mm.cod_fuerza_venta")),
+                F.trim(F.col("mm.cod_modulo")),
+            ).alias("id_modulo"),
+            F.lit(None).alias("fecha_inicio"),
+            F.lit(None).alias("fecha_fin"),
+            F.lit(None).alias("frecuencia_visita"),
+            F.lit(None).alias("periodo_visita"),
+            F.when(
+                F.col("mcli.cod_sucursal").isNull()
+                | (F.col("mm.cod_sucursal") == F.col("mcli.cod_sucursal")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("es_activo"),
+            F.lit(0).alias("es_eliminado"),
+            F.lit(ctx.as_of).alias("fecha_creacion"),
+            F.lit(ctx.as_of).alias("fecha_modificacion"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_asignacion_modulo", "string"),
+            ("id_pais", "string"),
+            ("id_sucursal", "string"),
+            ("id_cliente", "string"),
+            ("id_modulo", "string"),
+            ("fecha_inicio", "timestamp"),
+            ("fecha_fin", "timestamp"),
+            ("frecuencia_visita", "string"),
+            ("periodo_visita", "string"),
+            ("es_activo", "int"),
+            ("es_eliminado", "int"),
+            ("fecha_creacion", "timestamp"),
+            ("fecha_modificacion", "timestamp"),
+        ],
+    )
+    merge_upsert(
+        ctx.spark,
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "m_asignacion_modulo"),
+        keys=["id_asignacion_modulo"],
         partition_by=["id_pais"],
     )
 

@@ -699,6 +699,7 @@ def test_t_pedido_cumplimiento(spark, lake):
             ("cod_documento_pedido", "string"), ("nro_documento_pedido", "string"),
             ("cod_articulo", "string"), ("cod_cliente", "string"), ("cod_zona", "string"),
             ("cod_ruta", "string"), ("fecha_pedido", "date"),
+            ("cod_documento_almacen", "string"), ("nro_documento_almacen", "string"),
             ("cant_unidad", "numeric(38,12)"),
         ],
         "t_documento_venta_detalle": [
@@ -712,14 +713,15 @@ def test_t_pedido_cumplimiento(spark, lake):
     spark.createDataFrame(
         [
             # two order lines for the same (pedido, articulo) → aggregate to 10
-            ("10", "01", "AL1", "200", "P1", "A1", "C1", "Z1", "R1", d, D("6")),
-            ("10", "01", "AL1", "200", "P1", "A1", "C1", "Z1", "R1", d, D("4")),
-            # a line never dispatched
-            ("10", "01", "AL1", "200", "P1", "A2", "C1", "Z1", "R1", d, D("5")),
+            ("10", "01", "AL1", "200", "P1", "A1", "C1", "Z1", "R1", d, "GRA", "900", D("6")),
+            ("10", "01", "AL1", "200", "P1", "A1", "C1", "Z1", "R1", d, "GRA", "900", D("4")),
+            # a line never dispatched (no warehouse document)
+            ("10", "01", "AL1", "200", "P1", "A2", "C1", "Z1", "R1", d, None, None, D("5")),
         ],
         "cod_compania string, cod_sucursal string, cod_almacen string, "
         "cod_documento_pedido string, nro_documento_pedido string, cod_articulo string, "
         "cod_cliente string, cod_zona string, cod_ruta string, fecha_pedido date, "
+        "cod_documento_almacen string, nro_documento_almacen string, "
         "cant_unidad decimal(38,12)",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_detalle", "pe01"))
     spark.createDataFrame(
@@ -741,11 +743,13 @@ def test_t_pedido_cumplimiento(spark, lake):
         lake.table_path(Layer.DOMAIN, "t_pedido_cumplimiento")).collect()}
     a1 = rows["A1"]
     assert a1["id_pedido"] == "10|01|AL1|200|P1"
+    assert a1["id_reparto"] == "10|01|AL1|GRA|900"      # dispatch-doc linkage
     assert a1["cant_pedida"] == Decimal("10.000000000000")
     assert a1["cant_despachada"] == Decimal("7.000000000000")
     assert a1["ratio_cumplimiento"] == 0.7
     assert a1["cod_cliente"] == "C1"                    # A4 representative
     a2 = rows["A2"]
+    assert a2["id_reparto"] is None                     # no warehouse document
     assert a2["cant_despachada"] == Decimal("0.000000000000")
     assert a2["ratio_cumplimiento"] == 0.0
 
