@@ -1285,6 +1285,398 @@ def job_m_tipo_venta_lite(ctx: JobContext) -> None:
     )
 
 
+@DOMAIN_JOBS.register("t_pedido_detalle_lite")
+def job_t_pedido_detalle_lite(ctx: JobContext) -> None:
+    """Order-line fact (`code/domain/t_pedido_detalle.py:24-424`, reduced
+    measure width): both order-detail sources (main doc '200', ADES docs
+    '200'/'300') period-filter, conform to one shape, pre-aggregate on the
+    8-part natural key, ADES rows already present anti-join away and the
+    remainder unions in by name (`:207-220` — same J4/U2 idiom as t_pedido);
+    the union joins article + procedure masters, keeps sale-like operations
+    (VEN/PRO/EXP/OBS, `:233`) and re-aggregates with the signed A2 family
+    (`:253-365`): NCC credit notes flip sign, PRO (promo) rows split into
+    their own measures, and quantities convert package→case
+    (``cajas + botellas/unidad_paquete``) and →volume
+    (``cajas*unidad_paquete + botellas``) through the article factors.
+    ``nullif`` guards the package division exactly like the reference's
+    null-on-zero runtime. Write partitioned by (id_pais, id_periodo)."""
+    ped = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido_detalle", registry=ctx.registry
+    )
+    ades = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido_ades_detalle",
+        registry=ctx.registry,
+    )
+    art = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_articulo", registry=ctx.registry)
+    proc = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_procedimiento", registry=ctx.registry
+    )
+    m_compania = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
+    )
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    bridge = (
+        m_compania.alias("mc")
+        .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
+    )
+    key = ["cod_compania", "cod_sucursal", "cod_almacen_emisor",
+           "cod_documento_transaccion", "nro_comprobante", "cod_cliente",
+           "cod_articulo", "cod_procedimiento"]
+
+    def conform(df, doc_col, nro_col, alm_col, docs, qty):
+        cajas, botellas, cajas_asig, botellas_asig = qty
+        return (
+            df.filter(period_filter(F.col("fecha_pedido"), ctx.periods))
+            .filter(F.col(doc_col).isin(docs))
+            .join(F.broadcast(bridge), "cod_compania", "inner")
+            .select(
+                F.col("id_pais"),
+                F.col("cod_compania"),
+                F.col("cod_sucursal"),
+                F.col(alm_col).alias("cod_almacen_emisor"),
+                F.col(doc_col).alias("cod_documento_transaccion"),
+                F.col(nro_col).alias("nro_comprobante"),
+                F.col("cod_cliente"),
+                F.col("cod_articulo"),
+                F.col("cod_procedimiento"),
+                F.col("fecha_pedido"),
+                F.col(cajas).alias("cantidad_cajas"),
+                F.col(botellas).alias("cantidad_botellas"),
+                F.col(cajas_asig).alias("cantidad_cajas_asignada"),
+                F.col(botellas_asig).alias("cantidad_botellas_asignada"),
+            )
+            .groupBy(*key)
+            .agg(
+                F.max("id_pais").alias("id_pais"),
+                F.max("fecha_pedido").alias("fecha_pedido"),
+                F.sum("cantidad_cajas").alias("cantidad_cajas"),
+                F.sum("cantidad_botellas").alias("cantidad_botellas"),
+                F.sum("cantidad_cajas_asignada").alias("cantidad_cajas_asignada"),
+                F.sum("cantidad_botellas_asignada").alias("cantidad_botellas_asignada"),
+            )
+        )
+
+    main = conform(
+        ped, "cod_documento_pedido", "nro_documento_pedido", "cod_almacen", ["200"],
+        ("cant_paquete", "cant_unidad", "cant_paquete_asignado", "cant_unidad_asignado"),
+    )
+    extra = conform(
+        ades, "cod_documento_transaccion", "nro_comprobante", "cod_almacen_emisor",
+        ["200", "300"],
+        ("cantidad_cajas", "cantidad_botellas", "cantidad_cajas_asignada",
+         "cantidad_botellas_asignada"),
+    )
+    extra_new = extra.join(main.select(*key), key, "left_anti")
+    unioned = main.unionByName(extra_new)
+
+    sign = F.when(F.upper(F.col("dpd.cod_documento_transaccion")) == "NCC", -1).otherwise(1)
+    is_pro = F.upper(F.col("mp.cod_tipo_operacion")) == "PRO"
+    # package→case and package→volume conversions through article factors;
+    # nullif reproduces the reference's null-on-zero division
+    fisica = (
+        F.col("dpd.cantidad_cajas")
+        + F.col("dpd.cantidad_botellas") / F.nullif(F.col("ma.cant_unidad_paquete"), F.lit(0))
+    ) * F.col("ma.cant_paquete_caja")
+    volumen = (
+        F.col("dpd.cantidad_cajas") * F.col("ma.cant_unidad_paquete")
+        + F.col("dpd.cantidad_botellas")
+    ) * F.col("ma.cant_unidad_volumen")
+    fisica_asig = (
+        F.col("dpd.cantidad_cajas_asignada")
+        + F.col("dpd.cantidad_botellas_asignada")
+        / F.nullif(F.col("ma.cant_unidad_paquete"), F.lit(0))
+    ) * F.col("ma.cant_paquete_caja")
+    volumen_asig = (
+        F.col("dpd.cantidad_cajas_asignada") * F.col("ma.cant_unidad_paquete")
+        + F.col("dpd.cantidad_botellas_asignada")
+    ) * F.col("ma.cant_unidad_volumen")
+
+    def split(expr, pro: bool):
+        gate = F.when(is_pro if pro else ~is_pro, 1).otherwise(0)
+        return F.sum(gate * sign * expr)
+
+    out = (
+        unioned.alias("dpd")
+        .join(
+            F.broadcast(art).alias("ma"),
+            (F.col("dpd.cod_compania") == F.col("ma.cod_compania"))
+            & (F.col("dpd.cod_articulo") == F.col("ma.cod_articulo")),
+            "inner",
+        )
+        .join(
+            F.broadcast(proc).alias("mp"),
+            (F.col("dpd.cod_compania") == F.col("mp.cod_compania"))
+            & (F.col("dpd.cod_documento_transaccion") == F.col("mp.cod_documento_transaccion"))
+            & (F.col("dpd.cod_procedimiento") == F.col("mp.cod_procedimiento")),
+            "inner",
+        )
+        .where(F.upper(F.col("mp.cod_tipo_operacion")).isin(["VEN", "PRO", "EXP", "OBS"]))
+        .groupBy(*[F.col(f"dpd.{k}") for k in key[:7]])
+        .agg(
+            F.max("dpd.id_pais").alias("id_pais"),
+            F.max("dpd.fecha_pedido").alias("fecha_pedido"),
+            split(fisica, False).alias("cant_cajafisica_ped"),
+            split(volumen, False).alias("cant_cajavolumen_ped"),
+            split(fisica, True).alias("cant_cajafisica_ped_pro"),
+            split(volumen, True).alias("cant_cajavolumen_ped_pro"),
+            split(fisica_asig, False).alias("cant_cajafisica_asignado_ped"),
+            split(volumen_asig, False).alias("cant_cajavolumen_asignado_ped"),
+        )
+        .select(
+            F.col("id_pais"),
+            F.date_format(F.col("fecha_pedido"), "yyyyMM").alias("id_periodo"),
+            surrogate_key(
+                F.col("cod_compania"), F.col("cod_sucursal"),
+                F.col("cod_documento_transaccion"), F.col("nro_comprobante"),
+                F.col("cod_cliente"),
+            ).alias("id_pedido"),
+            surrogate_key(F.col("cod_compania"), F.col("cod_articulo")).alias("id_articulo"),
+            F.col("fecha_pedido"),
+            F.col("cant_cajafisica_ped"),
+            F.col("cant_cajavolumen_ped"),
+            F.col("cant_cajafisica_ped_pro"),
+            F.col("cant_cajavolumen_ped_pro"),
+            F.col("cant_cajafisica_asignado_ped"),
+            F.col("cant_cajavolumen_asignado_ped"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("id_pedido", "string"),
+            ("id_articulo", "string"),
+            ("fecha_pedido", "date"),
+            ("cant_cajafisica_ped", "decimal(38,12)"),
+            ("cant_cajavolumen_ped", "decimal(38,12)"),
+            ("cant_cajafisica_ped_pro", "decimal(38,12)"),
+            ("cant_cajavolumen_ped_pro", "decimal(38,12)"),
+            ("cant_cajafisica_asignado_ped", "decimal(38,12)"),
+            ("cant_cajavolumen_asignado_ped", "decimal(38,12)"),
+        ],
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "t_pedido_detalle"),
+        partition_by=["id_pais", "id_periodo"],
+    )
+
+
+@DOMAIN_JOBS.register("t_movimiento_inventario_detalle_lite")
+def job_t_movimiento_inventario_detalle_lite(ctx: JobContext) -> None:
+    """Inventory-movement detail (`code/domain/t_movimiento_inventario_
+    detalle.py:26-236`, reduced width): period filter on fecha_almacen;
+    the warehouse-document master supplies the operation direction
+    (`cod_operacion_origen` S=entry / R=exit) which signs every quantity
+    (`:79-81`) and splits directional ingreso/salida measures (`:82-89`);
+    in-transit quantities gate on (estado='PLI' AND doc='GRA') (`:92-93`);
+    kardex op falls back to the row's own operation for REV procedures
+    (`:94`); package→case totals via the article factor with the
+    reference's zero-package guard (`:143-146`); valuation LEFT-joins the
+    period-close CPM and the purchase exchange rate with a zero-rate guard
+    on the ME conversion (`:163-168`). Write partitioned (id_pais,
+    id_periodo)."""
+    det = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_movimiento_inventario_detalle",
+        registry=ctx.registry,
+    )
+    doc_almacen = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_documento_almacen", registry=ctx.registry
+    )
+    art = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_articulo", registry=ctx.registry)
+    cpm = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_cierre_inventario_cpm", registry=ctx.registry
+    )
+    tc = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_cambio", registry=ctx.registry
+    )
+    param = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_parametro", registry=ctx.registry
+    )
+    m_compania = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
+    )
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    # company bridge carries the local-currency code for the rate join
+    bridge = (
+        m_compania.alias("mc")
+        .join(
+            F.broadcast(param).alias("mpar"),
+            F.col("mpar.id_compania") == F.col("mc.cod_compania"),
+            "left",
+        )
+        .join(F.broadcast(m_pais).alias("mp"), F.col("mp.cod_pais") == F.col("mc.cod_pais"), "inner")
+        .select(
+            F.col("mc.cod_compania").alias("cod_compania"),
+            F.col("mp.id_pais"),
+            F.col("mpar.cod_moneda_mn").alias("moneda_mn"),
+        )
+    )
+    entrada = F.col("mda.cod_operacion_origen") == "S"
+    salida = F.col("mda.cod_operacion_origen") == "R"
+    sign = F.when(entrada, 1).otherwise(-1)
+    transito = (F.col("tmid.estado") == "PLI") & (
+        F.col("tmid.cod_documento_transaccion") == "GRA"
+    )
+    base = (
+        det.alias("tmid")
+        .filter(period_filter(F.col("fecha_almacen"), ctx.periods))
+        .join(
+            F.broadcast(doc_almacen).alias("mda"),
+            (F.col("tmid.cod_compania") == F.col("mda.cod_compania"))
+            & (F.col("tmid.cod_procedimiento") == F.col("mda.cod_transaccion")),
+            "inner",
+        )
+        .join(F.broadcast(bridge).alias("b"), F.col("tmid.cod_compania") == F.col("b.cod_compania"), "inner")
+        .join(
+            F.broadcast(art).alias("ma"),
+            F.col("tmid.id_articulo") == F.col("ma.id_articulo"),
+            "inner",
+        )
+        .select(
+            F.col("b.id_pais"),
+            F.date_format(F.col("tmid.fecha_almacen"), "yyyyMM").alias("id_periodo"),
+            F.col("tmid.cod_compania").alias("id_compania"),
+            F.col("tmid.id_sucursal"),
+            F.col("tmid.id_almacen"),
+            F.col("tmid.id_articulo"),
+            F.col("tmid.id_movimiento_almacen"),
+            F.col("tmid.fecha_almacen"),
+            F.col("tmid.cod_documento_transaccion"),
+            F.col("tmid.nro_documento_almacen"),
+            F.col("tmid.cod_procedimiento"),
+            (sign * F.col("tmid.cant_cajas")).alias("cant_cajafisica"),
+            (sign * F.col("tmid.cant_botellas")).alias("cant_unidades"),
+            F.when(entrada, F.col("tmid.cant_cajas")).otherwise(0).alias(
+                "cant_cajafisica_ingresada"
+            ),
+            F.when(salida, F.col("tmid.cant_cajas")).otherwise(0).alias(
+                "cant_cajafisica_salida"
+            ),
+            F.when(entrada, F.col("tmid.costo_total")).otherwise(0).alias(
+                "imp_total_ingreso"
+            ),
+            F.when(salida, F.col("tmid.costo_total")).otherwise(0).alias(
+                "imp_total_salida"
+            ),
+            F.when(transito, F.col("tmid.cant_unidades")).otherwise(0).alias(
+                "cant_unidades_transito"
+            ),
+            F.when(transito, F.col("tmid.costo_total")).otherwise(0).alias(
+                "imp_total_transito"
+            ),
+            F.when(
+                F.col("tmid.cod_procedimiento") == "REV", F.col("tmid.operacion_kardex")
+            )
+            .otherwise(F.col("mda.cod_operacion_origen"))
+            .alias("cod_operacion_kardex"),
+            F.col("tmid.costo_total").alias("imp_total"),
+            F.col("ma.cant_unidad_paquete"),
+            F.col("b.moneda_mn"),
+        )
+        .withColumn(
+            "cant_cajafisica_total",
+            F.when(
+                F.col("cant_unidad_paquete") == 0, F.col("cant_cajafisica")
+            ).otherwise(
+                F.col("cant_cajafisica")
+                + F.col("cant_unidades") / F.col("cant_unidad_paquete")
+            ),
+        )
+    )
+    out = (
+        base.alias("thad")
+        .join(
+            cpm.alias("c"),
+            (F.col("c.id_sucursal") == F.col("thad.id_sucursal"))
+            & (F.col("c.id_articulo") == F.col("thad.id_articulo"))
+            & (F.col("c.id_periodo") == F.col("thad.id_periodo")),
+            "left",
+        )
+        .join(
+            F.broadcast(tc).alias("mtc"),
+            (F.col("thad.id_compania") == F.col("mtc.cod_compania"))
+            & (F.col("thad.fecha_almacen") == F.col("mtc.fecha"))
+            & (F.col("thad.moneda_mn") == F.col("mtc.cod_moneda")),
+            "left",
+        )
+        .select(
+            F.col("thad.id_pais"),
+            F.col("thad.id_periodo"),
+            F.col("thad.id_compania"),
+            F.col("thad.id_sucursal"),
+            F.col("thad.id_almacen"),
+            F.col("thad.id_articulo"),
+            F.col("thad.id_movimiento_almacen"),
+            F.col("thad.fecha_almacen"),
+            F.col("thad.cod_documento_transaccion"),
+            F.col("thad.nro_documento_almacen"),
+            F.col("thad.cod_procedimiento"),
+            F.col("thad.cod_operacion_kardex"),
+            F.col("thad.cant_cajafisica"),
+            F.col("thad.cant_cajafisica_total"),
+            F.col("thad.cant_unidades"),
+            F.col("thad.cant_cajafisica_ingresada"),
+            F.col("thad.cant_cajafisica_salida"),
+            F.col("thad.imp_total"),
+            F.col("thad.imp_total_ingreso"),
+            F.col("thad.imp_total_salida"),
+            F.col("thad.cant_unidades_transito"),
+            F.col("thad.imp_total_transito"),
+            F.col("c.imp_cpm").alias("precio_unitario_mn"),
+            F.when(F.col("mtc.tc_compra") == 0, 0)
+            .otherwise(F.col("c.imp_cpm") / F.col("mtc.tc_compra"))
+            .alias("precio_unitario_me"),
+            (F.col("thad.cant_cajafisica") * F.col("c.imp_cpm")).alias("imp_valorizado_mn"),
+            (
+                F.col("thad.cant_cajafisica")
+                * F.col("c.imp_cpm")
+                / F.nullif(F.col("mtc.tc_compra"), F.lit(0))
+            ).alias("imp_valorizado_me"),
+        )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("id_compania", "string"),
+            ("id_sucursal", "string"),
+            ("id_almacen", "string"),
+            ("id_articulo", "string"),
+            ("id_movimiento_almacen", "string"),
+            ("fecha_almacen", "date"),
+            ("cod_documento_transaccion", "string"),
+            ("nro_documento_almacen", "string"),
+            ("cod_procedimiento", "string"),
+            ("cod_operacion_kardex", "string"),
+            ("cant_cajafisica", "numeric(38,12)"),
+            ("cant_cajafisica_total", "numeric(38,12)"),
+            ("cant_unidades", "numeric(38,12)"),
+            ("cant_cajafisica_ingresada", "numeric(38,12)"),
+            ("cant_cajafisica_salida", "numeric(38,12)"),
+            ("imp_total", "numeric(38,12)"),
+            ("imp_total_ingreso", "numeric(38,12)"),
+            ("imp_total_salida", "numeric(38,12)"),
+            ("cant_unidades_transito", "numeric(38,12)"),
+            ("imp_total_transito", "numeric(38,12)"),
+            ("precio_unitario_mn", "numeric(38,12)"),
+            ("precio_unitario_me", "numeric(38,12)"),
+            ("imp_valorizado_mn", "numeric(38,12)"),
+            ("imp_valorizado_me", "numeric(38,12)"),
+        ],
+    )
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "t_movimiento_inventario_detalle"),
+        partition_by=["id_pais", "id_periodo"],
+    )
+
+
 @DOMAIN_JOBS.register("m_transportista_lite")
 def job_m_transportista_lite(ctx: JobContext) -> None:
     """Carrier master (`code/domain/m_transportista.py:20-55`): carrier ⋈

@@ -291,6 +291,206 @@ def test_m_asignacion_modulo_activity_flag(spark, lake):
     assert r["fecha_inicio"] is None
 
 
+def test_t_pedido_detalle_signed_splits_and_ades_union(spark, lake):
+    """Main '200' docs pre-aggregate; ADES '300' doc unions in after the
+    anti-join; the VEN/PRO operation split gates the signed package→case
+    and →volume conversions through article factors."""
+    reg_dict = {
+        "t_documento_pedido_detalle": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"), ("cod_almacen", "string"),
+            ("cod_documento_pedido", "string"), ("nro_documento_pedido", "string"),
+            ("cod_cliente", "string"), ("cod_articulo", "string"),
+            ("cod_procedimiento", "string"), ("fecha_pedido", "date"),
+            ("cant_paquete", "numeric(38,12)"), ("cant_unidad", "numeric(38,12)"),
+            ("cant_paquete_asignado", "numeric(38,12)"),
+            ("cant_unidad_asignado", "numeric(38,12)"),
+        ],
+        "t_documento_pedido_ades_detalle": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_almacen_emisor", "string"), ("cod_documento_transaccion", "string"),
+            ("nro_comprobante", "string"), ("cod_cliente", "string"),
+            ("cod_articulo", "string"), ("cod_procedimiento", "string"),
+            ("fecha_pedido", "date"),
+            ("cantidad_cajas", "numeric(38,12)"), ("cantidad_botellas", "numeric(38,12)"),
+            ("cantidad_cajas_asignada", "numeric(38,12)"),
+            ("cantidad_botellas_asignada", "numeric(38,12)"),
+        ],
+        "m_articulo": [
+            ("cod_compania", "string"), ("cod_articulo", "string"),
+            ("cant_unidad_paquete", "numeric(38,12)"), ("cant_paquete_caja", "numeric(38,12)"),
+            ("cant_unidad_volumen", "numeric(38,12)"),
+        ],
+        "m_procedimiento": [
+            ("cod_compania", "string"), ("cod_documento_transaccion", "string"),
+            ("cod_procedimiento", "string"), ("cod_tipo_operacion", "string"),
+        ],
+    }
+    _seed_bridge(spark, lake, reg_dict)
+    D = Decimal
+    d = dt.date(2025, 5, 3)
+    spark.createDataFrame(
+        [
+            # two lines, same natural key → pre-aggregate (2 cajas, 12 botellas)
+            ("10", "01", "AL1", "200", "N1", "C1", "A1", "P01", d,
+             D("1"), D("6"), D("1"), D("0")),
+            ("10", "01", "AL1", "200", "N1", "C1", "A1", "P01", d,
+             D("1"), D("6"), D("1"), D("0")),
+            # non-'200' document → filtered out
+            ("10", "01", "AL1", "100", "N2", "C1", "A1", "P01", d,
+             D("9"), D("0"), D("0"), D("0")),
+        ],
+        "cod_compania string, cod_sucursal string, cod_almacen string, "
+        "cod_documento_pedido string, nro_documento_pedido string, cod_cliente string, "
+        "cod_articulo string, cod_procedimiento string, fecha_pedido date, "
+        "cant_paquete decimal(38,12), cant_unidad decimal(38,12), "
+        "cant_paquete_asignado decimal(38,12), cant_unidad_asignado decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_detalle", "pe01"))
+    spark.createDataFrame(
+        [
+            # same key as the main '200' doc → anti-joined away
+            ("10", "01", "AL1", "200", "N1", "C1", "A1", "P01", d,
+             D("99"), D("0"), D("0"), D("0")),
+            # promo order through the ADES channel → survives, PRO split
+            ("10", "01", "AL1", "300", "N3", "C1", "A1", "P02", d,
+             D("1"), D("0"), D("0"), D("0")),
+        ],
+        "cod_compania string, cod_sucursal string, cod_almacen_emisor string, "
+        "cod_documento_transaccion string, nro_comprobante string, cod_cliente string, "
+        "cod_articulo string, cod_procedimiento string, fecha_pedido date, "
+        "cantidad_cajas decimal(38,12), cantidad_botellas decimal(38,12), "
+        "cantidad_cajas_asignada decimal(38,12), cantidad_botellas_asignada decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_ades_detalle", "pe01"))
+    spark.createDataFrame(
+        [("10", "A1", D("12"), D("1"), D("2"))],
+        "cod_compania string, cod_articulo string, cant_unidad_paquete decimal(38,12), "
+        "cant_paquete_caja decimal(38,12), cant_unidad_volumen decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_articulo", "pe01"))
+    spark.createDataFrame(
+        [("10", "200", "P01", "ven"), ("10", "300", "P02", "pro")],
+        "cod_compania string, cod_documento_transaccion string, cod_procedimiento string, "
+        "cod_tipo_operacion string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_procedimiento", "pe01"))
+
+    res = run_waves(
+        [JobConfig("domain", "t_pedido_detalle_lite", 1, periods=2)],
+        DOMAIN_JOBS, _mk(spark, lake, SchemaRegistry(reg_dict)),
+    )
+    assert res[0].status == "succeeded", res[0].error
+    rows = {r["id_pedido"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "t_pedido_detalle")).collect()}
+    assert set(rows) == {"10|01|200|N1|C1", "10|01|300|N3|C1"}   # '100' dropped,
+    main = rows["10|01|200|N1|C1"]                               # dup ADES anti-joined
+    assert main["id_articulo"] == "10|A1"
+    # (2 cajas + 12 botellas/12) * 1 paquete_caja = 3
+    assert main["cant_cajafisica_ped"] == Decimal("3.000000000000")
+    # (2*12 + 12) * 2 unidad_volumen = 72
+    assert main["cant_cajavolumen_ped"] == Decimal("72.000000000000")
+    assert main["cant_cajafisica_ped_pro"] == Decimal("0.000000000000")  # VEN ≠ PRO
+    # asignado: (2 + 0/12) * 1 = 2
+    assert main["cant_cajafisica_asignado_ped"] == Decimal("2.000000000000")
+    promo = rows["10|01|300|N3|C1"]
+    assert promo["cant_cajafisica_ped_pro"] == Decimal("1.000000000000")
+    assert promo["cant_cajafisica_ped"] == Decimal("0.000000000000")     # PRO-gated
+
+
+def test_t_movimiento_inventario_detalle_direction_and_valuation(spark, lake):
+    """Direction sign from the warehouse-document master, directional and
+    transit splits, REV kardex fallback, package-total conversion, CPM +
+    exchange-rate valuation with null on rate miss."""
+    reg_dict = {
+        "t_movimiento_inventario_detalle": [
+            ("cod_compania", "string"), ("id_sucursal", "string"), ("id_almacen", "string"),
+            ("id_articulo", "string"), ("id_movimiento_almacen", "string"),
+            ("cod_procedimiento", "string"), ("cod_documento_transaccion", "string"),
+            ("nro_documento_almacen", "string"), ("estado", "string"),
+            ("operacion_kardex", "string"), ("fecha_almacen", "date"),
+            ("cant_cajas", "numeric(38,12)"), ("cant_botellas", "numeric(38,12)"),
+            ("cant_unidades", "numeric(38,12)"), ("costo_total", "numeric(38,12)"),
+        ],
+        "m_documento_almacen": [
+            ("cod_compania", "string"), ("cod_transaccion", "string"),
+            ("cod_operacion_origen", "string"),
+        ],
+        "m_articulo": [("id_articulo", "string"), ("cant_unidad_paquete", "numeric(38,12)")],
+        "t_cierre_inventario_cpm": [
+            ("id_sucursal", "string"), ("id_articulo", "string"), ("id_periodo", "string"),
+            ("imp_cpm", "numeric(38,12)"),
+        ],
+        "m_tipo_cambio": [
+            ("cod_compania", "string"), ("fecha", "date"), ("cod_moneda", "string"),
+            ("tc_compra", "numeric(38,12)"),
+        ],
+        "m_parametro": [("id_compania", "string"), ("cod_moneda_mn", "string")],
+    }
+    _seed_bridge(spark, lake, reg_dict)
+    D = Decimal
+    d1, d2 = dt.date(2025, 5, 3), dt.date(2025, 5, 4)
+    spark.createDataFrame(
+        [
+            # entry: +10 cajas, +5 botellas; doc NIN, approved
+            ("10", "10|01", "10|01|AL1", "10|A1", "MOV1", "ING", "NIN", "900", "APR",
+             None, d1, D("10"), D("5"), D("125"), D("100")),
+            # exit under REV: kardex falls back to the row's own op; in
+            # transit (PLI + GRA); no exchange rate for d2 → ME null
+            ("10", "10|01", "10|01|AL1", "10|A1", "MOV2", "REV", "GRA", "901", "PLI",
+             "X", d2, D("4"), D("2"), D("50"), D("60")),
+        ],
+        "cod_compania string, id_sucursal string, id_almacen string, id_articulo string, "
+        "id_movimiento_almacen string, cod_procedimiento string, "
+        "cod_documento_transaccion string, nro_documento_almacen string, estado string, "
+        "operacion_kardex string, fecha_almacen date, cant_cajas decimal(38,12), "
+        "cant_botellas decimal(38,12), cant_unidades decimal(38,12), "
+        "costo_total decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_movimiento_inventario_detalle", "pe01"))
+    spark.createDataFrame(
+        [("10", "ING", "S"), ("10", "REV", "R")],
+        "cod_compania string, cod_transaccion string, cod_operacion_origen string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_documento_almacen", "pe01"))
+    spark.createDataFrame(
+        [("10|A1", D("5"))], "id_articulo string, cant_unidad_paquete decimal(38,12)"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_articulo", "pe01"))
+    spark.createDataFrame(
+        [("10|01", "10|A1", "202505", D("2"))],
+        "id_sucursal string, id_articulo string, id_periodo string, imp_cpm decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_cierre_inventario_cpm", "pe01"))
+    spark.createDataFrame(
+        [("10", d1, "PEN", D("4"))],
+        "cod_compania string, fecha date, cod_moneda string, tc_compra decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_tipo_cambio", "pe01"))
+    spark.createDataFrame(
+        [("10", "PEN")], "id_compania string, cod_moneda_mn string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_parametro", "pe01"))
+
+    res = run_waves(
+        [JobConfig("domain", "t_movimiento_inventario_detalle_lite", 1, periods=2)],
+        DOMAIN_JOBS, _mk(spark, lake, SchemaRegistry(reg_dict)),
+    )
+    assert res[0].status == "succeeded", res[0].error
+    rows = {r["id_movimiento_almacen"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "t_movimiento_inventario_detalle")).collect()}
+    entry = rows["MOV1"]
+    assert entry["cant_cajafisica"] == Decimal("10.000000000000")         # +S
+    assert entry["cant_cajafisica_total"] == Decimal("11.000000000000")   # 10 + 5/5
+    assert entry["cant_cajafisica_ingresada"] == Decimal("10.000000000000")
+    assert entry["cant_cajafisica_salida"] == Decimal("0.000000000000")
+    assert entry["cod_operacion_kardex"] == "S"
+    assert entry["cant_unidades_transito"] == Decimal("0.000000000000")   # APR, not PLI
+    assert entry["precio_unitario_mn"] == Decimal("2.000000000000")       # CPM
+    assert entry["precio_unitario_me"] == Decimal("0.500000000000")       # 2 / 4
+    assert entry["imp_valorizado_mn"] == Decimal("20.000000000000")       # 10 * 2
+    assert entry["imp_valorizado_me"] == Decimal("5.000000000000")        # 20 / 4
+    exit_ = rows["MOV2"]
+    assert exit_["cant_cajafisica"] == Decimal("-4.000000000000")         # −R
+    assert exit_["cant_cajafisica_total"] == Decimal("-4.400000000000")   # −4 − 2/5
+    assert exit_["cant_cajafisica_salida"] == Decimal("4.000000000000")
+    assert exit_["imp_total_salida"] == Decimal("60.000000000000")
+    assert exit_["cod_operacion_kardex"] == "X"                           # REV fallback
+    assert exit_["cant_unidades_transito"] == Decimal("50.000000000000")  # PLI + GRA
+    assert exit_["imp_total_transito"] == Decimal("60.000000000000")
+    assert exit_["precio_unitario_me"] is None                            # no rate row
+    assert exit_["imp_valorizado_me"] is None
+
+
 def test_dim_sucursal_company_denormalization(spark, lake):
     reg = SchemaRegistry({
         "m_sucursal": [
