@@ -26,14 +26,42 @@ ANALYTICS_JOBS = JobRegistry()
 
 @ANALYTICS_JOBS.register("dim_cliente_lite")
 def job_dim_cliente_lite(ctx: JobContext) -> None:
-    """Client dim with best-assignment dedup: priority from a when-ladder,
-    row_number over (priority asc, fecha desc), top-1 joined with the rank
-    predicate in the join condition (`dim_cliente.py:38-66`)."""
+    """Client dim with best-assignment dedup (`dim_cliente.py:19-66`): the
+    active assignments walk LEFT joins to their module and its attention
+    model (`:23-32`), a when-ladder over the model description builds the
+    priority, row_number over (priority asc, module fecha desc) ranks, and
+    the top-1 joins into the client master with the rank predicate in the
+    join condition (J7/W1, `:62-66`)."""
     clientes = read_table(
         ctx.spark, ctx.catalog, Layer.DOMAIN, "m_cliente", registry=ctx.registry
     )
     asignacion = read_table(
         ctx.spark, ctx.catalog, Layer.DOMAIN, "m_asignacion_modulo", registry=ctx.registry
+    )
+    modulo = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "m_modulo", registry=ctx.registry)
+    modelo = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "m_modelo_atencion", registry=ctx.registry
+    )
+    enriched = (
+        asignacion.filter((F.col("es_activo") == 1) & (F.col("es_eliminado") == 0))
+        .alias("mam")
+        .join(
+            F.broadcast(modulo).alias("mm"),
+            F.col("mm.id_modulo") == F.col("mam.id_modulo"),
+            "left",
+        )
+        .join(
+            F.broadcast(modelo).alias("mma"),
+            F.col("mma.id_modelo_atencion") == F.col("mm.id_modelo_atencion"),
+            "left",
+        )
+        .select(
+            F.col("mam.id_cliente"),
+            F.col("mm.id_modulo"),
+            F.col("mam.frecuencia_visita"),
+            F.col("mma.desc_modelo_atencion").alias("modelo_atencion"),
+            F.col("mm.fecha_creacion"),
+        )
     )
     prioridad = (
         F.when(F.col("modelo_atencion") == "Pre Venta", 1)
@@ -43,8 +71,7 @@ def job_dim_cliente_lite(ctx: JobContext) -> None:
         .otherwise(5)
     )
     ranked = top1_per_group(
-        asignacion.filter((F.col("es_activo") == 1) & (F.col("es_eliminado") == 0))
-        .withColumn("orden_modelo", prioridad),
+        enriched.withColumn("orden_modelo", prioridad),
         partition_by=["id_cliente"],
         order_by=[F.col("orden_modelo").asc(), F.col("fecha_creacion").desc()],
         keep=False,

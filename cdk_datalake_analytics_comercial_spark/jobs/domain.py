@@ -141,7 +141,14 @@ def job_t_pedido_cumplimiento_lite(ctx: JobContext) -> None:
         p.join(v, key, "left")
         .withColumn("_desp_dec", F.coalesce(F.col("_desp_dec"), F.lit(0).cast("decimal(38,6)")))
         .select(
-            surrogate_key(*[F.col(k) for k in key[:5]]).alias("id_pedido"),
+            # header-convention id (compania|sucursal|doc|nro) so the fact
+            # joins t_pedido. The reference mints the almacén INTO this id
+            # (`t_pedido_detalle_cumplimiento.py:509`) while t_pedido leaves
+            # it out (`t_pedido.py:199`) — its own downstream join can never
+            # match; the engine standardizes on the header convention.
+            surrogate_key(
+                F.col(key[0]), F.col(key[1]), F.col(key[3]), F.col(key[4])
+            ).alias("id_pedido"),
             # delivery linkage minted only when a dispatch document exists
             # (`t_pedido_detalle_cumplimiento.py:511` — compania|sucursal|
             # almacén|doc_almacén|nro_almacén, else NULL)
@@ -787,6 +794,12 @@ def job_t_venta_detalle_lite(ctx: JobContext) -> None:
     cajas = (
         dec(F.col("d.cant_paquete")) + dec(F.col("d.cant_unidad")) / dec(F.col("ma.cant_unidad_paquete"))
     ) * dec(F.col("ma.cant_paquete_caja"))
+    # volume variant (`t_venta_detalle.py:219-230`): packages expand to units
+    # first, then scale by the article's unit volume
+    volumen = (
+        dec(F.col("d.cant_paquete")) * dec(F.col("ma.cant_unidad_paquete"))
+        + dec(F.col("d.cant_unidad"))
+    ) * dec(F.col("ma.cant_unidad_volumen"))
     neto_mn = dec(F.col("d.imp_valorizado")) * dec(F.col("v.tipo_cambio_mn"))
     neto_me = dec(F.col("d.imp_valorizado")) / dec(F.col("v.tipo_cambio_me"))
     bruto_mn = dec(F.col("d.imp_cobrar")) * dec(F.col("v.tipo_cambio_mn"))
@@ -803,6 +816,8 @@ def job_t_venta_detalle_lite(ctx: JobContext) -> None:
             F.max(F.col("v.id_periodo")).alias("id_periodo"),
             signed(d_ven, cajas).alias("cant_caja_fisica_ven"),
             signed(d_pro, cajas).alias("cant_caja_fisica_pro"),
+            signed(d_ven, volumen).alias("cant_caja_volumen_ven"),
+            signed(d_pro, volumen).alias("cant_caja_volumen_pro"),
             signed(d_ven, neto_mn).alias("imp_neto_vta_mn"),
             signed(d_ven, neto_me).alias("imp_neto_vta_me"),
             signed(d_ven, bruto_mn).alias("imp_bruto_vta_mn"),
@@ -817,6 +832,8 @@ def job_t_venta_detalle_lite(ctx: JobContext) -> None:
             ("id_periodo", "string"),
             ("cant_caja_fisica_ven", "numeric(38,12)"),
             ("cant_caja_fisica_pro", "numeric(38,12)"),
+            ("cant_caja_volumen_ven", "numeric(38,12)"),
+            ("cant_caja_volumen_pro", "numeric(38,12)"),
             ("imp_neto_vta_mn", "numeric(38,12)"),
             ("imp_neto_vta_me", "numeric(38,12)"),
             ("imp_bruto_vta_mn", "numeric(38,12)"),
@@ -853,6 +870,10 @@ def job_t_pedido_lite(ctx: JobContext) -> None:
             F.col(doc_col).alias("cod_documento_pedido"),
             F.col(nro_col).alias("nro_documento_pedido"),
             F.col("cod_cliente"),
+            # distribution zone rides along (`t_pedido.py:112`); ruta lives on
+            # the detail in the reference (`:213` max) — NULL at header grain
+            F.col("cod_zona_distribucion").alias("cod_zona"),
+            F.lit(None).alias("cod_ruta"),
             F.date_format(F.col("fecha_pedido"), "yyyyMM").alias("id_periodo"),
             F.col("fecha_pedido"),
             F.lit(canal).alias("canal"),
@@ -875,6 +896,8 @@ def job_t_pedido_lite(ctx: JobContext) -> None:
             ("cod_documento_pedido", "string"),
             ("nro_documento_pedido", "string"),
             ("cod_cliente", "string"),
+            ("cod_zona", "string"),
+            ("cod_ruta", "string"),
             ("id_periodo", "string"),
             ("fecha_pedido", "date"),
             ("canal", "string"),
@@ -950,6 +973,29 @@ def job_t_venta_lite(ctx: JobContext) -> None:
             F.date_format(F.col("v.fecha_liquidacion"), "yyyyMM").alias("id_periodo"),
             F.col("v.cod_compania"),
             F.col("v.cod_sucursal"),
+            # conformed dimension ids minted from the same row, exactly the
+            # reference's id block (`t_venta.py:91-95`) — these are what the
+            # analytics facts join on downstream
+            surrogate_key(F.col("v.cod_compania"), F.col("v.cod_sucursal")).alias(
+                "id_sucursal"
+            ),
+            surrogate_key(F.col("v.cod_compania"), F.col("v.cod_cliente")).alias(
+                "id_cliente"
+            ),
+            surrogate_key(
+                F.col("v.cod_compania"),
+                F.col("v.cod_sucursal"),
+                F.col("v.cod_documento_pedido"),
+                F.col("v.nro_documento_pedido"),
+                F.col("v.cod_cliente"),
+            ).alias("id_pedido"),
+            surrogate_key(
+                F.col("v.cod_compania"),
+                F.col("v.cod_documento_venta"),
+                F.col("v.cod_procedimiento"),
+            ).alias("id_tipo_venta"),
+            F.col("v.cod_zona"),
+            F.col("v.cod_ruta"),
             F.col("v.cod_documento_venta"),
             F.col("v.nro_documento_venta"),
             F.col("v.cod_cliente"),
@@ -981,6 +1027,12 @@ def job_t_venta_lite(ctx: JobContext) -> None:
             ("id_periodo", "string"),
             ("cod_compania", "string"),
             ("cod_sucursal", "string"),
+            ("id_sucursal", "string"),
+            ("id_cliente", "string"),
+            ("id_pedido", "string"),
+            ("id_tipo_venta", "string"),
+            ("cod_zona", "string"),
+            ("cod_ruta", "string"),
             ("cod_documento_venta", "string"),
             ("nro_documento_venta", "string"),
             ("cod_cliente", "string"),

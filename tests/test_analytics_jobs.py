@@ -64,11 +64,18 @@ def _registry():
             "m_asignacion_modulo": [
                 ("id_cliente", "string"),
                 ("id_modulo", "string"),
-                ("modelo_atencion", "string"),
                 ("frecuencia_visita", "string"),
                 ("es_activo", "int"),
                 ("es_eliminado", "int"),
+            ],
+            "m_modulo": [
+                ("id_modulo", "string"),
+                ("id_modelo_atencion", "string"),
                 ("fecha_creacion", "timestamp"),
+            ],
+            "m_modelo_atencion": [
+                ("id_modelo_atencion", "string"),
+                ("desc_modelo_atencion", "string"),
             ],
             "t_venta": [
                 ("id_venta", "string"),
@@ -90,15 +97,24 @@ def _seed_domain(spark, lake):
     )
     asign = spark.createDataFrame(
         [
-            # C1: Televenta (prio 4) older, Pre Venta (prio 1) → Pre Venta wins
-            ("10|C1", "M1", "Televenta", "S1", 1, 0, ts),
-            ("10|C1", "M2", "Pre Venta", "S2", 1, 0, ts - dt.timedelta(days=9)),
+            # C1: Televenta (prio 4) module newer, Pre Venta (prio 1) → Pre Venta wins
+            ("10|C1", "M1", "S1", 1, 0),
+            ("10|C1", "M2", "S2", 1, 0),
             # C1: inactive Especializado must be ignored
-            ("10|C1", "M3", "Especializado", "S3", 0, 0, ts),
+            ("10|C1", "M3", "S3", 0, 0),
             # C2: no assignment rows at all (left join → nulls)
         ],
-        "id_cliente string, id_modulo string, modelo_atencion string, "
-        "frecuencia_visita string, es_activo int, es_eliminado int, fecha_creacion timestamp",
+        "id_cliente string, id_modulo string, frecuencia_visita string, "
+        "es_activo int, es_eliminado int",
+    )
+    modulos = spark.createDataFrame(
+        [("M1", "MA_TV", ts), ("M2", "MA_PV", ts - dt.timedelta(days=9)),
+         ("M3", "MA_ESP", ts)],
+        "id_modulo string, id_modelo_atencion string, fecha_creacion timestamp",
+    )
+    modelos = spark.createDataFrame(
+        [("MA_TV", "Televenta"), ("MA_PV", "Pre Venta"), ("MA_ESP", "Especializado")],
+        "id_modelo_atencion string, desc_modelo_atencion string",
     )
     ventas = spark.createDataFrame(
         [
@@ -112,6 +128,8 @@ def _seed_domain(spark, lake):
     )
     clientes.write.parquet(lake.table_path(Layer.DOMAIN, "m_cliente"))
     asign.write.parquet(lake.table_path(Layer.DOMAIN, "m_asignacion_modulo"))
+    modulos.write.parquet(lake.table_path(Layer.DOMAIN, "m_modulo"))
+    modelos.write.parquet(lake.table_path(Layer.DOMAIN, "m_modelo_atencion"))
     ventas.write.partitionBy("id_pais", "id_periodo").parquet(
         lake.table_path(Layer.DOMAIN, "t_venta")
     )

@@ -1,0 +1,63 @@
+"""The complete reference workload as one integration test: all 31 domain +
+21 analytics job equivalents run as config-driven wave DAGs over the
+coherent stage universe in tools/full_stage.py. Every domain job must
+succeed AND emit rows; every analytics job must succeed reading the REAL
+domain outputs — this resolves the entire layer-contract graph (columns,
+types, partitioning) end to end, the way the reference's orchestration
+state machine does nightly."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from cdk_datalake_analytics_comercial_spark.core.catalog import Catalog, Layer
+
+
+def test_full_52_job_pipeline(spark, tmp_path):
+    from run_full_pipeline import run
+
+    root = str(tmp_path / "lake")
+    dr, ar = run(spark, root)
+
+    failed = [r for r in dr + ar if r.status != "succeeded"]
+    assert not failed, "\n".join(f"{r.name}: {r.error}" for r in failed)
+    assert len(dr) == 31 and len(ar) == 22  # 21 reference jobs + fact_venta_resumen
+
+    lake = Catalog(root=root)
+    # every domain table landed with rows (stage universe is coherent)
+    for table in [
+        "m_pais", "m_compania", "m_articulo", "m_cliente", "m_eje_territorial",
+        "m_estructura_comercial", "m_tipo_venta", "m_transportista",
+        "m_responsable_comercial", "m_modulo", "m_clasificacion_cliente",
+        "m_asignacion_modulo", "m_forma_pago", "m_tipo_pedido", "m_origen_pedido",
+        "m_medio_transporte", "m_almacen", "m_fuerza_venta", "m_lista_precio",
+        "m_sucursal", "m_modelo_atencion", "t_venta", "t_venta_detalle", "t_pedido",
+        "t_pedido_detalle", "t_pedido_cumplimiento", "t_reparto", "t_visita",
+        "t_movimiento_inventario", "t_movimiento_inventario_detalle",
+        "t_saldos_iniciales",
+    ]:
+        n = spark.read.parquet(lake.table_path(Layer.DOMAIN, table)).count()
+        assert n >= 1, f"domain/{table} is empty"
+
+    # spot-check the lineage stitched across all three layers: the sale
+    # flows stage → t_venta/t_venta_detalle → fact_venta_cliente_historico
+    hist = spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "fact_venta_cliente_historico")
+    ).collect()
+    assert len(hist) == 1
+    assert hist[0]["id_cliente"] == "10|C1"
+    assert hist[0]["id_producto"] == "A1"
+
+    # the delivery fact stitched order ⋈ fulfillment ⋈ delivery headers —
+    # BOTH left joins must have matched (carrier from t_reparto, client and
+    # order date from t_pedido)
+    rep = spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "fact_reparto_detalle")
+    ).collect()
+    assert len(rep) == 1
+    assert rep[0]["id_pedido"] == "10|01|200|N1"
+    assert rep[0]["id_reparto"] == "10|01|AL1|GRA|900"
+    assert rep[0]["id_transportista"] == "10|77"
+    assert rep[0]["cod_cliente"] == "C1"
+    assert rep[0]["fecha_pedido"] is not None

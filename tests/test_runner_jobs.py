@@ -45,7 +45,12 @@ def registry():
                 ("cod_sucursal", "string"),
                 ("cod_documento_venta", "string"),
                 ("nro_documento_venta", "string"),
+                ("cod_documento_pedido", "string"),
+                ("nro_documento_pedido", "string"),
+                ("cod_procedimiento", "string"),
                 ("cod_cliente", "string"),
+                ("cod_zona", "string"),
+                ("cod_ruta", "string"),
                 ("cod_moneda", "string"),
                 ("tipo_cambio_mn", "numeric(12,6)"),
                 ("tipo_cambio_me", "numeric(12,6)"),
@@ -84,19 +89,25 @@ def seed_stage(spark, lake):
     ventas = spark.createDataFrame(
         [
             # local-currency doc; a matching m_tipo_cambio row supplies the day rate
-            ("10", "01", "FAC", "0001", "C1", "PEN", Decimal("9.9"), Decimal("0"),
+            ("10", "01", "FAC", "0001", "200", "P1", "PR1", "C1", "Z1", "R1", "PEN",
+             Decimal("9.9"), Decimal("0"),
              Decimal("100.5"), "001", dt.date(2025, 5, 2), dt.date(2025, 5, 1)),
-            ("10", "01", "FAC", "0002", "C2", "PEN", Decimal("9.9"), Decimal("0"),
+            ("10", "01", "FAC", "0002", "200", "P2", "PR1", "C2", "Z1", "R1", "PEN",
+             Decimal("9.9"), Decimal("0"),
              Decimal("50.0"), "002", dt.date(2025, 4, 10), dt.date(2025, 4, 9)),
             # USD doc of a company with no m_parametro row (moneda_mn null)
-            ("20", "02", "NCC", "0003", "C3", "USD", Decimal("3.5"), Decimal("0"),
+            ("20", "02", "NCC", "0003", "200", "P3", "PR1", "C3", "Z2", "R2", "USD",
+             Decimal("3.5"), Decimal("0"),
              Decimal("-10.0"), "001", dt.date(2025, 3, 20), dt.date(2025, 3, 19)),
             # outside the 3-period window (202503..202505) — must be excluded
-            ("10", "01", "FAC", "0004", "C4", "PEN", Decimal("9.9"), Decimal("0"),
+            ("10", "01", "FAC", "0004", "200", "P4", "PR1", "C4", "Z1", "R1", "PEN",
+             Decimal("9.9"), Decimal("0"),
              Decimal("77.0"), "001", dt.date(2024, 12, 1), dt.date(2024, 12, 1)),
         ],
         "cod_compania string, cod_sucursal string, cod_documento_venta string, "
-        "nro_documento_venta string, cod_cliente string, cod_moneda string, "
+        "nro_documento_venta string, cod_documento_pedido string, "
+        "nro_documento_pedido string, cod_procedimiento string, cod_cliente string, "
+        "cod_zona string, cod_ruta string, cod_moneda string, "
         "tipo_cambio_mn decimal(12,6), tipo_cambio_me decimal(12,6), "
         "imp_venta decimal(38,12), cod_estado_comprobante string, "
         "fecha_liquidacion date, fecha_emision date",
@@ -253,25 +264,29 @@ def test_t_pedido_ades_anti_union(spark, lake):
         "t_documento_pedido": [
             ("cod_compania", "string"), ("cod_sucursal", "string"),
             ("cod_documento_pedido", "string"), ("nro_documento_pedido", "string"),
-            ("cod_cliente", "string"), ("fecha_pedido", "date"),
+            ("cod_cliente", "string"), ("cod_zona_distribucion", "string"),
+            ("fecha_pedido", "date"),
         ],
         "t_documento_pedido_ades": [
             ("cod_compania", "string"), ("cod_sucursal", "string"),
             ("cod_documento_transaccion", "string"), ("nro_comprobante", "string"),
-            ("cod_cliente", "string"), ("fecha_pedido", "date"),
+            ("cod_cliente", "string"), ("cod_zona_distribucion", "string"),
+            ("fecha_pedido", "date"),
         ],
     })
     d = dt.date(2025, 5, 2)
     spark.createDataFrame(
-        [("10", "01", "200", "P1", "C1", d), ("10", "01", "200", "P2", "C2", d)],
+        [("10", "01", "200", "P1", "C1", "Z1", d), ("10", "01", "200", "P2", "C2", "Z1", d)],
         "cod_compania string, cod_sucursal string, cod_documento_pedido string, "
-        "nro_documento_pedido string, cod_cliente string, fecha_pedido date",
+        "nro_documento_pedido string, cod_cliente string, cod_zona_distribucion string, "
+        "fecha_pedido date",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido", "pe01"))
     spark.createDataFrame(
         # P2 overlaps the main set (must be dropped); P9 is ADES-only
-        [("10", "01", "200", "P2", "C2", d), ("10", "01", "200", "P9", "C9", d)],
+        [("10", "01", "200", "P2", "C2", "Z1", d), ("10", "01", "200", "P9", "C9", "Z2", d)],
         "cod_compania string, cod_sucursal string, cod_documento_transaccion string, "
-        "nro_comprobante string, cod_cliente string, fecha_pedido date",
+        "nro_comprobante string, cod_cliente string, cod_zona_distribucion string, "
+        "fecha_pedido date",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_ades", "pe01"))
 
     def mk(cfg):
@@ -307,6 +322,7 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
         "m_articulo": [
             ("cod_compania", "string"), ("cod_articulo", "string"),
             ("cant_unidad_paquete", "numeric(38,12)"), ("cant_paquete_caja", "numeric(38,12)"),
+            ("cant_unidad_volumen", "numeric(38,12)"),
         ],
         "m_operacion": [
             ("cod_compania", "string"), ("cod_operacion", "string"),
@@ -337,9 +353,9 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
         "imp_valorizado decimal(38,12), imp_cobrar decimal(38,12)",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_venta_detalle", "pe01"))
     spark.createDataFrame(
-        [("10", "A1", D("10"), D("2"))],
+        [("10", "A1", D("10"), D("2"), D("2"))],
         "cod_compania string, cod_articulo string, cant_unidad_paquete decimal(38,12), "
-        "cant_paquete_caja decimal(38,12)",
+        "cant_paquete_caja decimal(38,12), cant_unidad_volumen decimal(38,12)",
     ).write.parquet(lake.table_path(Layer.STAGE, "m_articulo", "pe01"))
     spark.createDataFrame(
         [("10", "V1", "Ven"), ("10", "P1", "Pro")],
@@ -358,6 +374,9 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
     fac = out[("10|01|FAC|1", "A1")]
     assert fac["cant_caja_fisica_ven"] == Decimal("7.000000000000")
     assert fac["cant_caja_fisica_pro"] == Decimal("2.000000000000")
+    # volume: (3 paquetes × 10 + 5 unidades) × 2 unidad_volumen = 70
+    assert fac["cant_caja_volumen_ven"] == Decimal("70.000000000000")
+    assert fac["cant_caja_volumen_pro"] == Decimal("20.000000000000")
     assert fac["imp_neto_vta_mn"] == Decimal("200.000000000000")
     assert fac["imp_neto_vta_me"] == Decimal("25.000000000000")
     assert fac["imp_bruto_vta_mn"] == Decimal("220.000000000000")
@@ -742,7 +761,7 @@ def test_t_pedido_cumplimiento(spark, lake):
     rows = {r["id_producto"]: r for r in spark.read.parquet(
         lake.table_path(Layer.DOMAIN, "t_pedido_cumplimiento")).collect()}
     a1 = rows["A1"]
-    assert a1["id_pedido"] == "10|01|AL1|200|P1"
+    assert a1["id_pedido"] == "10|01|200|P1"            # header-convention id
     assert a1["id_reparto"] == "10|01|AL1|GRA|900"      # dispatch-doc linkage
     assert a1["cant_pedida"] == Decimal("10.000000000000")
     assert a1["cant_despachada"] == Decimal("7.000000000000")
