@@ -163,7 +163,13 @@ def minhash_lsh_candidates(
         ).alias("band", "band_hash"),
     )
     # materialize once: the self-join would otherwise evaluate the whole
-    # signature pipeline twice (higher-order funcs run interpreted — costly)
+    # signature pipeline twice (higher-order funcs run interpreted — costly).
+    # Deliberately a SELF-JOIN, not a collect_set bucket-group: the banded
+    # side is rows×bands surrogates (tiny next to the corpus), so AQE
+    # broadcasts one side and the join costs no shuffle; measured 2× faster
+    # than the bucket-group at sf0.1, and at cluster scale AQE flips the
+    # same plan to a shuffle join keyed on (band, band_hash) which is the
+    # bucket-group's shuffle anyway.
     banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
