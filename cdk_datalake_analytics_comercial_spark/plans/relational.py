@@ -866,6 +866,66 @@ GROUP BY n_name
 """
 
 
+# --------------------------------------------------------------------------
+# Fulfillment idiom (t_pedido_detalle_cumplimiento.py:354-372 /
+# jobs.domain.t_pedido_cumplimiento_lite): pre-aggregate BOTH sides to the
+# wide natural key BEFORE the left join (map-side combine, no fan-out), A4
+# representative attribute, zero-coalesce for never-dispatched lines, ratio
+# over the exact decimals in double.
+
+
+def q_fulfillment_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    key = ["l_orderkey", "l_partkey", "l_suppkey"]
+    ordered = l.groupBy(*key).agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_ped"),
+        F.max("l_returnflag").alias("ret_flag"),
+    )
+    shipped = (
+        l.filter(F.col("l_linestatus") == "F")
+        .groupBy(*key)
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_desp"))
+    )
+    out = (
+        ordered.join(shipped, key, "left")
+        .withColumn("_desp", F.coalesce(F.col("_desp"), F.lit(0).cast("decimal(38,6)")))
+        .select(
+            *key,
+            "ret_flag",
+            F.col("_ped").cast("double").alias("qty_ordered"),
+            F.col("_desp").cast("double").alias("qty_shipped"),
+            F.round(
+                F.col("_desp").cast("double") / F.col("_ped").cast("double"), 6
+            ).alias("fill_ratio"),
+        )
+    )
+    return out
+
+
+_ORACLE_FULFILLMENT = """
+WITH ordered AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty_ordered,
+         MAX(l_returnflag) AS ret_flag
+  FROM lineitem GROUP BY l_orderkey, l_partkey, l_suppkey
+), shipped AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty_shipped
+  FROM lineitem WHERE l_linestatus = 'F'
+  GROUP BY l_orderkey, l_partkey, l_suppkey
+)
+SELECT o.l_orderkey, o.l_partkey, o.l_suppkey, o.ret_flag,
+       CAST(o.qty_ordered AS DOUBLE) AS qty_ordered,
+       CAST(COALESCE(s.qty_shipped, 0) AS DOUBLE) AS qty_shipped,
+       ROUND(CAST(COALESCE(s.qty_shipped, 0) AS DOUBLE)
+             / CAST(o.qty_ordered AS DOUBLE), 6) AS fill_ratio
+FROM ordered o
+LEFT JOIN shipped s
+  ON o.l_orderkey = s.l_orderkey AND o.l_partkey = s.l_partkey
+ AND o.l_suppkey = s.l_suppkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "sales_enrichment": q_sales_enrichment,
@@ -890,6 +950,7 @@ QUERIES = {
     "period_pruned_sales": q_period_pruned_sales,
     "salted_agg": q_salted_agg,
     "conditional_join": q_conditional_join,
+    "fulfillment_ratio": q_fulfillment_ratio,
 }
 
 ORACLES = {
@@ -916,4 +977,5 @@ ORACLES = {
     "period_pruned_sales": _ORACLE_PERIOD_PRUNED,
     "salted_agg": _ORACLE_SALTED_AGG,
     "conditional_join": _ORACLE_CONDITIONAL_JOIN,
+    "fulfillment_ratio": _ORACLE_FULFILLMENT,
 }
