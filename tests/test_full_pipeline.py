@@ -61,3 +61,22 @@ def test_full_52_job_pipeline(spark, tmp_path):
     assert rep[0]["id_transportista"] == "10|77"
     assert rep[0]["cod_cliente"] == "C1"
     assert rep[0]["fecha_pedido"] is not None
+
+    # the reference reruns the whole workload nightly — a second full run
+    # must be a fixed point: merges match-update instead of duplicating,
+    # overwrites replace the same partitions
+    counts1 = {
+        (layer, tbl): spark.read.parquet(lake.table_path(layer, tbl)).count()
+        for layer, tbl in [
+            (Layer.DOMAIN, "m_cliente"), (Layer.DOMAIN, "t_venta"),
+            (Layer.DOMAIN, "t_pedido_detalle"),
+            (Layer.ANALYTICS, "dim_clasificacion_cliente"),
+            (Layer.ANALYTICS, "fact_reparto_detalle"),
+        ]
+    }
+    dr2, ar2 = run(spark, root)
+    assert not [r for r in dr2 + ar2 if r.status != "succeeded"]
+    for (layer, tbl), n in counts1.items():
+        assert spark.read.parquet(lake.table_path(layer, tbl)).count() == n, (
+            f"{layer.value}/{tbl} changed row count on rerun"
+        )
