@@ -123,18 +123,58 @@ class JobRegistry:
         return name in self._jobs
 
 
+class ConcurrencyGate:
+    """Per-(procedure, country) mutual exclusion across overlapping runs —
+    the reference's ``get_data`` Lambda gate (`artifacts/aws-lambda/code/
+    analytics/get_data/lambda_function.py:36-53`): before starting a Glue
+    job it polls ``get_job_runs`` and, with ``wait=True``, loops a 60 s Wait
+    state until no run of the same job is active for the same country;
+    ``wait=False`` skips instead.
+
+    In-process twin: one gate shared by concurrent ``run_waves`` calls (the
+    reference's overlapping nightly/backfill state machines). ``acquire``
+    blocks (wait=True) or returns False (wait=False) while another holder
+    has the key."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._held: set[tuple[str, str]] = set()
+        self._cv = threading.Condition()
+
+    def acquire(self, procedure: str, country: str = "", wait: bool = True) -> bool:
+        key = (procedure, country)
+        with self._cv:
+            if not wait and key in self._held:
+                return False
+            while key in self._held:
+                self._cv.wait()
+            self._held.add(key)
+            return True
+
+    def release(self, procedure: str, country: str = "") -> None:
+        with self._cv:
+            self._held.discard((procedure, country))
+            self._cv.notify_all()
+
+
 def run_waves(
     configs: list[JobConfig],
     registry: JobRegistry,
     make_context: Callable[[JobConfig], JobContext],
     max_parallel: int = 8,
     fail_fast: bool = False,
+    gate: ConcurrencyGate | None = None,
+    country: str = "",
 ) -> list[JobResult]:
     """Execute jobs in ``exe_order`` waves; inside a wave, thread-parallel.
 
     A failed job marks its result and (fail_fast=False, the reference's
     behavior — each SF branch fails independently) lets the remaining jobs
     and waves continue; fail_fast=True stops after the failing wave.
+    ``gate`` (shared across concurrent ``run_waves`` calls) serializes runs
+    of the same procedure for the same country, like the reference's
+    per-job Lambda gate (SURVEY §3.1 step 2).
     """
     results: list[JobResult] = []
     waves = sorted({c.exe_order for c in configs})
@@ -145,6 +185,8 @@ def run_waves(
             fn = registry.get(cfg.procedure)
             if fn is None:
                 return JobResult(cfg.procedure, "skipped", wave, 0.0, "not registered")
+            if gate is not None:
+                gate.acquire(cfg.procedure, country)
             t0 = time.time()
             try:
                 fn(make_context(cfg))
@@ -157,6 +199,9 @@ def run_waves(
                     round(time.time() - t0, 3),
                     traceback.format_exc(limit=3),
                 )
+            finally:
+                if gate is not None:
+                    gate.release(cfg.procedure, country)
 
         with ThreadPoolExecutor(max_workers=max(1, min(max_parallel, len(wave_jobs)))) as ex:
             results.extend(ex.map(run_one, wave_jobs))

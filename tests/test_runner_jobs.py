@@ -227,6 +227,69 @@ def test_wave_ordering_and_failure_isolation(spark, lake):
     assert order.index("b") > order.index("a")  # wave 2 after wave 1
 
 
+def test_concurrency_gate_serializes_same_job_per_country(spark, lake):
+    """Reference get_data Lambda semantics (SURVEY §3.1 step 2): a second
+    run of the same procedure for the same country waits for the first;
+    different countries proceed concurrently; wait=False reports busy."""
+    import threading
+    import time as _time
+
+    from cdk_datalake_analytics_comercial_spark.runner import ConcurrencyGate
+
+    gate = ConcurrencyGate()
+    active: dict[str, int] = {"j|PE": 0, "j|CL": 0}
+    overlap: list[str] = []
+    lock = threading.Lock()
+
+    reg = JobRegistry()
+
+    def make_job(country):
+        def job(ctx):
+            key = f"j|{country}"
+            with lock:
+                active[key] += 1
+                if active[key] > 1:
+                    overlap.append(key)
+            _time.sleep(0.15)
+            with lock:
+                active[key] -= 1
+        return job
+
+    reg.add("j", make_job("PE"))
+
+    cfg = [JobConfig("domain", "j", exe_order=1)]
+    threads = [
+        threading.Thread(
+            target=run_waves, args=(cfg, reg, make_ctx(spark, lake)),
+            kwargs={"gate": gate, "country": "PE"},
+        )
+        for _ in range(3)
+    ]
+    # a different country is NOT gated against PE
+    reg_cl = JobRegistry()
+    reg_cl.add("j", make_job("CL"))
+    threads.append(
+        threading.Thread(
+            target=run_waves, args=(cfg, reg_cl, make_ctx(spark, lake)),
+            kwargs={"gate": gate, "country": "CL"},
+        )
+    )
+    t0 = _time.time()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not overlap                       # same (job, country) never overlapped
+    assert _time.time() - t0 >= 0.45 - 0.02  # three PE runs serialized
+
+    # wait=False → immediate busy report instead of blocking
+    assert gate.acquire("j", "PE")
+    assert gate.acquire("j", "PE", wait=False) is False
+    gate.release("j", "PE")
+    assert gate.acquire("j", "PE", wait=False)
+    gate.release("j", "PE")
+
+
 def test_empty_stage_table_fallback_in_job(spark, lake):
     """A job whose stage input has zero instances still runs (S3)."""
     # only m_pais seeded; m_compania absent → empty DF with registered schema
