@@ -18,17 +18,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TYPE_ALIASES = {
-    "varchar": "string",
-    "numeric": "decimal",
+# the Redshift/SQL type-name family the reference's interpreter accepts
+# (`loadt_stage_to_redshift.py:49-72`); string types may carry a (n) length
+_STRING_TYPES = ("varchar varying", "character varying", "character", "varchar", "text")
+_EXACT_ALIASES = {
+    "smallint": "int",
+    "double precision": "double",
 }
 
 
 def _normalize_type(t: str) -> str:
     t = t.strip().lower()
-    for k, v in _TYPE_ALIASES.items():
-        if t.startswith(k):
-            t = v + t[len(k):]
+    for s in _STRING_TYPES:
+        if t == s or t.startswith(s + "("):
+            return "string"
+    if t in _EXACT_ALIASES:
+        return _EXACT_ALIASES[t]
+    if t.startswith("numeric"):
+        return "decimal" + t[len("numeric"):]
     return t
 
 

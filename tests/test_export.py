@@ -56,3 +56,88 @@ def test_read_csv_semicolon(spark, tmp_path):
     assert df.columns == ["layer", "procedure", "exe_order"]
     assert df.count() == 2
     assert dict(df.dtypes)["exe_order"] == "int"
+
+
+# ---------------------------------------------------------------------------
+# Config-interpreted column transforms (loadt_stage_to_redshift.py §2.10/§3.3)
+
+import datetime as dt
+
+from cdk_datalake_analytics_comercial_spark.sources.column_spec import (
+    ColumnSpec,
+    apply_column_specs,
+    date_filter_column,
+    magic_period_filter,
+    parse_column_specs_csv,
+)
+
+AS_OF = dt.date(2025, 5, 15)
+
+
+def test_apply_column_specs_one_projection(spark):
+    df = spark.createDataFrame(
+        [("10", "  X  ", dt.date(2025, 5, 2), dt.datetime(2025, 5, 2, 13, 4, 5))],
+        "id_compania string, codigo string, fecha date, hora timestamp",
+    )
+    specs = [
+        ColumnSpec("id_compania", "id_compania", "varchar"),
+        ColumnSpec("codigo", "codigo", "character varying"),
+        ColumnSpec(None, "origen", "varchar", literal="BIGMAGIC"),
+        ColumnSpec("codigo", "anulado", "varchar", literal="null"),
+        ColumnSpec("fecha", "fecha_magic", "integer",
+                   function="convert_fecha_bigmagic", is_date_filter=True),
+        ColumnSpec("hora", "hora_magic", "varchar", function="convert_hora_bigmagic"),
+        ColumnSpec(None, "fecha_carga", "integer", function="get_date"),
+        ColumnSpec(None, "fecha_carga_ts", "timestamp", function="get_date"),
+        ColumnSpec("id_compania", "importe", "numeric(16,4)"),
+    ]
+    out = apply_column_specs(df, specs, AS_OF)
+    assert out.columns == ["id_compania", "codigo", "origen", "anulado",
+                           "fecha_magic", "hora_magic", "fecha_carga",
+                           "fecha_carga_ts", "importe"]
+    r = out.collect()[0]
+    assert r["origen"] == "BIGMAGIC"                 # literal override
+    assert r["anulado"] is None                      # "null" literal → typed NULL
+    # 2025-05-02 is 6331 days after 2008-01-01 → + 733042
+    assert r["fecha_magic"] == 6331 + 733042
+    assert r["hora_magic"] == "130405"               # HHMMSS encoding
+    assert r["fecha_carga"] == 20250515              # injected clock as int
+    assert r["fecha_carga_ts"] == dt.datetime(2025, 5, 15)
+    assert str(out.schema["importe"].dataType) == "DecimalType(16,4)"
+    # engine shape: ONE Project over the scan, not a withColumn stack
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("Project") == 1
+
+
+def test_magic_period_filter_range(spark):
+    specs = [ColumnSpec("f", "fecha_magic", "integer",
+                        function="convert_fecha_bigmagic", is_date_filter=True)]
+    assert date_filter_column(specs) == "fecha_magic"
+    from cdk_datalake_analytics_comercial_spark.core.magic_dates import (
+        py_date_to_magic_2008,
+    )
+    df = spark.createDataFrame(
+        [(py_date_to_magic_2008(dt.date(2025, 4, 10)),),
+         (py_date_to_magic_2008(dt.date(2025, 5, 2)),),
+         (py_date_to_magic_2008(dt.date(2025, 2, 1)),)],   # outside window
+        "fecha_magic int",
+    )
+    kept = magic_period_filter(df, specs, ["202504", "202505"]).collect()
+    assert len(kept) == 2
+
+
+def test_parse_column_specs_csv():
+    text = (
+        "TABLA_STAGE;PAIS;COLUMNA;COLUMNA_DESTINO;TIPO_DATO_DESTINO;"
+        "LITERAL_DESTINO;FUNCION;ES_FILTRO_FECHA\n"
+        "t_venta;PE;fecha_liquidacion;fecha;integer;;convert_fecha_bigmagic;SI\n"
+        "t_venta;PE;imp_venta;importe;numeric(18,4);;;\n"
+        "m_cliente;PE;;origen;varchar;STAGE;;\n"
+    )
+    specs = parse_column_specs_csv(text)
+    assert set(specs) == {("t_venta", "PE"), ("m_cliente", "PE")}
+    venta = specs[("t_venta", "PE")]
+    assert venta[0].function == "convert_fecha_bigmagic" and venta[0].is_date_filter
+    assert venta[1].function == "default" and venta[1].target_type == "numeric(18,4)"
+    assert specs[("m_cliente", "PE")][0].source is None
+    assert specs[("m_cliente", "PE")][0].literal == "STAGE"
