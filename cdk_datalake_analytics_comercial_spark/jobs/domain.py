@@ -35,6 +35,32 @@ from ..sources.writer import merge_upsert, write_table
 DOMAIN_JOBS = JobRegistry()
 
 
+def company_country_bridge(m_compania, m_pais, m_parametro=None):
+    """The conformance bridge every domain job starts from (`m_almacen.py:
+    17-18` et al.): company ⋈ country on cod_pais → (cod_compania, id_pais);
+    with ``m_parametro``, the company's local-currency code rides along
+    (`t_venta.py:28-40`, `t_movimiento_inventario_detalle.py:30-42`).
+    One definition so a conformance fix (trim, activity filter) lands
+    everywhere at once."""
+    mc = m_compania.alias("mc")
+    if m_parametro is not None:
+        mc = mc.join(
+            F.broadcast(m_parametro).alias("mpar"),
+            F.col("mpar.id_compania") == F.col("mc.cod_compania"),
+            "left",
+        )
+    cols = [F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais")]
+    if m_parametro is not None:
+        cols.append(F.col("mpar.cod_moneda_mn").alias("moneda_mn"))
+    return (
+        mc.join(
+            F.broadcast(m_pais).alias("mp"),
+            F.col("mc.cod_pais") == F.col("mp.cod_pais"),
+            "inner",
+        ).select(*cols)
+    )
+
+
 @DOMAIN_JOBS.register("m_pais")
 def job_m_pais(ctx: JobContext) -> None:
     """Country master: keep countries referenced by any company
@@ -133,33 +159,45 @@ def job_t_pedido_cumplimiento_lite(ctx: JobContext) -> None:
         F.max("cod_zona").alias("cod_zona"),
         F.max("cod_ruta").alias("cod_ruta"),
         F.max("fecha_pedido").alias("fecha_pedido"),
-        F.max("cod_documento_almacen").alias("cod_documento_almacen"),
-        F.max("nro_documento_almacen").alias("nro_documento_almacen"),
+        # the dispatch document travels as ONE struct so the code and the
+        # number always come from the SAME source row — independent max()
+        # over each column could pair one document's code with another's
+        # number and mint a phantom delivery id
+        F.max(
+            F.struct(
+                F.col("cod_documento_almacen").alias("cod"),
+                F.col("nro_documento_almacen").alias("nro"),
+            )
+        ).alias("_doc_alm"),
         F.sum(F.col("cant_unidad").cast("decimal(38,6)")).alias("_ped_dec"),
     )
     out = (
         p.join(v, key, "left")
         .withColumn("_desp_dec", F.coalesce(F.col("_desp_dec"), F.lit(0).cast("decimal(38,6)")))
         .select(
-            # header-convention id (compania|sucursal|doc|nro) so the fact
-            # joins t_pedido. The reference mints the almacén INTO this id
-            # (`t_pedido_detalle_cumplimiento.py:509`) while t_pedido leaves
-            # it out (`t_pedido.py:199`) — its own downstream join can never
-            # match; the engine standardizes on the header convention.
+            # order identity in the reference's 5-part header convention
+            # (compania|sucursal|doc|nro|cliente, `t_pedido.py:199`) so the
+            # fact joins t_pedido. The reference's cumplimiento variant
+            # mints the almacén INTO this id (`t_pedido_detalle_cumplimiento
+            # .py:509`) — its own downstream join can never match; the
+            # engine standardizes on the header shape.
             surrogate_key(
-                F.col(key[0]), F.col(key[1]), F.col(key[3]), F.col(key[4])
+                F.col(key[0]), F.col(key[1]), F.col(key[3]), F.col(key[4]),
+                F.col("cod_cliente"),
             ).alias("id_pedido"),
-            # delivery linkage minted only when a dispatch document exists
-            # (`t_pedido_detalle_cumplimiento.py:511` — compania|sucursal|
-            # almacén|doc_almacén|nro_almacén, else NULL)
+            # delivery linkage minted only when a complete dispatch document
+            # exists (`t_pedido_detalle_cumplimiento.py:511` gates on the
+            # code alone; a code with a NULL number would make concat_ws
+            # silently mint a 4-part id, so the engine requires both)
             F.when(
-                F.coalesce(F.col("cod_documento_almacen"), F.lit("")) != "",
+                (F.coalesce(F.col("_doc_alm.cod"), F.lit("")) != "")
+                & (F.coalesce(F.col("_doc_alm.nro"), F.lit("")) != ""),
                 surrogate_key(
                     F.col("cod_compania"),
                     F.col("cod_sucursal"),
                     F.col("cod_almacen"),
-                    F.col("cod_documento_almacen"),
-                    F.col("nro_documento_almacen"),
+                    F.col("_doc_alm.cod"),
+                    F.col("_doc_alm.nro"),
                 ),
             ).alias("id_reparto"),
             F.col("cod_articulo").alias("id_producto"),
@@ -302,11 +340,7 @@ def job_t_reparto_lite(ctx: JobContext) -> None:
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
     pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
 
-    conformed = (
-        comp.alias("mc")
-        .join(F.broadcast(pais).alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
-        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
-    )
+    conformed = company_country_bridge(comp, pais)
     filtered = mov.filter(
         period_filter(F.col("fecha_almacen"), ctx.periods)
         & F.col("cod_documento_transaccion").isin("GRA", "NIN")
@@ -861,9 +895,13 @@ def job_t_pedido_lite(ctx: JobContext) -> None:
     )
 
     def conform(df, doc_col: str, nro_col: str, canal: str):
+        # the reference's order identity is 5-part WITH the client
+        # (`t_pedido.py:199`) — every producer of id_pedido in the engine
+        # mints this same shape so the fact joins resolve
         return df.select(
             surrogate_key(
-                F.col("cod_compania"), F.col("cod_sucursal"), F.col(doc_col), F.col(nro_col)
+                F.col("cod_compania"), F.col("cod_sucursal"), F.col(doc_col),
+                F.col(nro_col), F.col("cod_cliente"),
             ).alias("id_pedido"),
             F.col("cod_compania"),
             F.col("cod_sucursal"),
@@ -1280,11 +1318,7 @@ def job_m_tipo_venta_lite(ctx: JobContext) -> None:
     dcv = tipo_trans.filter(F.col("cod_tipo_transaccion") == "DCV").select(
         "cod_compania", "cod_documento_transaccion"
     )
-    bridge = (
-        m_compania.alias("mc")
-        .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
-        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
-    )
+    bridge = company_country_bridge(m_compania, m_pais)
     out = (
         proc.alias("d")
         .join(
@@ -1368,11 +1402,7 @@ def job_t_pedido_detalle_lite(ctx: JobContext) -> None:
     )
     m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
 
-    bridge = (
-        m_compania.alias("mc")
-        .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
-        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
-    )
+    bridge = company_country_bridge(m_compania, m_pais)
     key = ["cod_compania", "cod_sucursal", "cod_almacen_emisor",
            "cod_documento_transaccion", "nro_comprobante", "cod_cliente",
            "cod_articulo", "cod_procedimiento"]
@@ -1554,20 +1584,7 @@ def job_t_movimiento_inventario_detalle_lite(ctx: JobContext) -> None:
     m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
 
     # company bridge carries the local-currency code for the rate join
-    bridge = (
-        m_compania.alias("mc")
-        .join(
-            F.broadcast(param).alias("mpar"),
-            F.col("mpar.id_compania") == F.col("mc.cod_compania"),
-            "left",
-        )
-        .join(F.broadcast(m_pais).alias("mp"), F.col("mp.cod_pais") == F.col("mc.cod_pais"), "inner")
-        .select(
-            F.col("mc.cod_compania").alias("cod_compania"),
-            F.col("mp.id_pais"),
-            F.col("mpar.cod_moneda_mn").alias("moneda_mn"),
-        )
-    )
+    bridge = company_country_bridge(m_compania, m_pais, param)
     entrada = F.col("mda.cod_operacion_origen") == "S"
     salida = F.col("mda.cod_operacion_origen") == "R"
     sign = F.when(entrada, 1).otherwise(-1)
@@ -1748,11 +1765,7 @@ def job_m_transportista_lite(ctx: JobContext) -> None:
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
     pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
 
-    bridge = (
-        comp.alias("mc")
-        .join(F.broadcast(pais).alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
-        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
-    )
+    bridge = company_country_bridge(comp, pais)
     out = (
         trans.alias("mt")
         .join(F.broadcast(bridge).alias("b"), F.col("mt.cod_compania") == F.col("b.cod_compania"), "inner")
@@ -1814,11 +1827,7 @@ def job_m_responsable_comercial_lite(ctx: JobContext) -> None:
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
     pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
 
-    bridge = (
-        comp.alias("mc")
-        .join(F.broadcast(pais).alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
-        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
-    )
+    bridge = company_country_bridge(comp, pais)
     out = (
         vend.alias("mv")
         .join(
@@ -1877,11 +1886,7 @@ def job_m_modulo_lite(ctx: JobContext) -> None:
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
     pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
 
-    bridge = (
-        comp.alias("mc")
-        .join(F.broadcast(pais).alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
-        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
-    )
+    bridge = company_country_bridge(comp, pais)
     out = (
         mod.alias("mm")
         .join(
@@ -1968,17 +1973,10 @@ def job_m_clasificacion_cliente_lite(ctx: JobContext) -> None:
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
     pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
 
-    conformed = (
-        rel.alias("irc")
-        .join(
-            F.broadcast(
-                comp.alias("mc")
-                .join(pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
-                .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
-            ).alias("b"),
-            F.col("irc.cod_compania") == F.col("b.cod_compania"),
-            "inner",
-        )
+    conformed = rel.alias("irc").join(
+        F.broadcast(company_country_bridge(comp, pais)).alias("b"),
+        F.col("irc.cod_compania") == F.col("b.cod_compania"),
+        "inner",
     )
 
     def _level(master, join_keys, id_parts, parent_parts, cod_col, desc_col, tipo):
@@ -2062,11 +2060,7 @@ def job_m_asignacion_modulo_lite(ctx: JobContext) -> None:
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
     pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
 
-    bridge = (
-        comp.alias("mc")
-        .join(F.broadcast(pais).alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
-        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
-    )
+    bridge = company_country_bridge(comp, pais)
     out = (
         asig.alias("mm")
         .join(

@@ -74,7 +74,9 @@ def spec_expr(spec: ColumnSpec, as_of: dt.date) -> Column:
             return F.to_date(stamp, "yyyyMMdd")
         if t == "timestamp":
             return F.to_timestamp(stamp, "yyyyMMdd")
-        return stamp
+        # numeric/decimal targets: honor the declared type (the reference
+        # leaves the column out entirely here — a silent contract hole)
+        return stamp.cast(t)
     raise ValueError(f"unknown column function: {spec.function!r}")
 
 

@@ -49,6 +49,15 @@ def test_full_52_job_pipeline(spark, tmp_path):
     assert hist[0]["id_cliente"] == "10|C1"
     assert hist[0]["id_producto"] == "A1"
 
+    # dim_cliente's three-hop lineage resolved: assignment → module (the
+    # extraction 4-part id) → attention model; the priority ladder saw the
+    # real description, not the otherwise(5) fallback
+    cli = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "dim_cliente")).collect()
+    assert len(cli) == 1
+    assert cli[0]["id_cliente"] == "10|C1"
+    assert cli[0]["id_modulo"] == "10|01|F1|M1"
+    assert cli[0]["modelo_atencion"] == "Pre Venta"
+
     # the delivery fact stitched order ⋈ fulfillment ⋈ delivery headers —
     # BOTH left joins must have matched (carrier from t_reparto, client and
     # order date from t_pedido)
@@ -56,7 +65,7 @@ def test_full_52_job_pipeline(spark, tmp_path):
         lake.table_path(Layer.ANALYTICS, "fact_reparto_detalle")
     ).collect()
     assert len(rep) == 1
-    assert rep[0]["id_pedido"] == "10|01|200|N1"
+    assert rep[0]["id_pedido"] == "10|01|200|N1|C1"
     assert rep[0]["id_reparto"] == "10|01|AL1|GRA|900"
     assert rep[0]["id_transportista"] == "10|77"
     assert rep[0]["cod_cliente"] == "C1"

@@ -159,7 +159,7 @@ def test_m_modulo_composite_ids(spark, lake):
     }
     _seed_bridge(spark, lake, reg_dict)
     spark.createDataFrame(
-        [("10|01|F1|R1|M1", "10", "01", "F1", "R1", "M1", "MODULO NORTE")],
+        [("10|01|F1|M1", "10", "01", "F1", "R1", "M1", "MODULO NORTE")],
         "id_modulo string, cod_compania string, cod_sucursal string, cod_fuerza_venta string, "
         "cod_ruta string, cod_modulo string, desc_modulo string",
     ).write.parquet(lake.table_path(Layer.STAGE, "m_modulo", "pe01"))
@@ -175,6 +175,7 @@ def test_m_modulo_composite_ids(spark, lake):
 
     _run_domain(spark, lake, SchemaRegistry(reg_dict), "m_modulo_lite")
     r = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_modulo")).collect()[0]
+    assert r["id_modulo"] == "10|01|F1|M1"             # extraction-id passthrough
     assert r["id_sucursal"] == "10|01"
     assert r["id_estructura_comercial"] == "10|01|F1|R1"
     assert r["id_modelo_atencion"] == "10|MA1"         # from the ruta
@@ -549,16 +550,16 @@ def test_fact_reparto_detalle_two_left_joins(spark, lake):
     d = dt.date(2025, 5, 3)
     spark.createDataFrame(
         [
-            ("10|01|AL1|200|P1", "10|01|AL1|GRA|900", "A1", "C1", "Z1", "R1", d, "202505",
+            ("10|01|200|P1|C1", "10|01|AL1|GRA|900", "A1", "C1", "Z1", "R1", d, "202505",
              D("10"), D("7")),
-            ("10|01|AL1|200|P1", None, "A2", "C1", "Z1", "R1", d, "202505", D("5"), D("0")),
+            ("10|01|200|P1|C1", None, "A2", "C1", "Z1", "R1", d, "202505", D("5"), D("0")),
         ],
         "id_pedido string, id_reparto string, id_producto string, cod_cliente string, "
         "cod_zona string, cod_ruta string, fecha_pedido date, id_periodo string, "
         "cant_pedida decimal(38,12), cant_despachada decimal(38,12)",
     ).write.parquet(lake.table_path(Layer.DOMAIN, "t_pedido_cumplimiento"))
     spark.createDataFrame(
-        [("10|01|AL1|200|P1", "C1", d)],
+        [("10|01|200|P1|C1", "C1", d)],
         "id_pedido string, cod_cliente string, fecha_pedido date",
     ).write.parquet(lake.table_path(Layer.DOMAIN, "t_pedido"))
     spark.createDataFrame(

@@ -360,9 +360,9 @@ def test_t_pedido_ades_anti_union(spark, lake):
     out = {r["id_pedido"]: r["canal"] for r in spark.read.parquet(
         lake.table_path(Layer.DOMAIN, "t_pedido")).collect()}
     assert out == {
-        "10|01|200|P1": "GENERAL",
-        "10|01|200|P2": "GENERAL",   # main wins over the ADES duplicate
-        "10|01|200|P9": "ADES",
+        "10|01|200|P1|C1": "GENERAL",
+        "10|01|200|P2|C2": "GENERAL",   # main wins over the ADES duplicate
+        "10|01|200|P9|C9": "ADES",
     }
 
 
@@ -824,7 +824,7 @@ def test_t_pedido_cumplimiento(spark, lake):
     rows = {r["id_producto"]: r for r in spark.read.parquet(
         lake.table_path(Layer.DOMAIN, "t_pedido_cumplimiento")).collect()}
     a1 = rows["A1"]
-    assert a1["id_pedido"] == "10|01|200|P1"            # header-convention id
+    assert a1["id_pedido"] == "10|01|200|P1|C1"         # 5-part header id
     assert a1["id_reparto"] == "10|01|AL1|GRA|900"      # dispatch-doc linkage
     assert a1["cant_pedida"] == Decimal("10.000000000000")
     assert a1["cant_despachada"] == Decimal("7.000000000000")

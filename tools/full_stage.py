@@ -82,7 +82,10 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
     "m_modulo": (
         "id_modulo string, cod_compania string, cod_sucursal string, "
         "cod_fuerza_venta string, cod_ruta string, cod_modulo string, desc_modulo string",
-        [("10|01|F1|R1|M1", "10", "01", "F1", "R1", "M1", "MODULO NORTE")],
+        # extraction id is compania|sucursal|fuerza_venta|modulo (NO ruta —
+        # datalake_tables_bigmagic.csv ID_COLUMN for m_modulo), matching the
+        # 4-part id m_asignacion_modulo mints for its module pointer
+        [("10|01|F1|M1", "10", "01", "F1", "R1", "M1", "MODULO NORTE")],
         "pe01",
     ),
     "m_asignacion_modulo": (
