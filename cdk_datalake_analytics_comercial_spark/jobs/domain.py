@@ -698,16 +698,39 @@ def job_m_estructura_comercial_lite(ctx: JobContext) -> None:
 def job_m_articulo_lite(ctx: JobContext) -> None:
     """Product master — the reference's widest dim-conformance ladder
     (`code/domain/m_articulo.py:29-172`: 10 left joins to attribute masters
-    over (compania, code) keys, all broadcastable dims). Reduced here to the
-    structural pattern with linea/familia/marca; absent masters resolve
-    through the empty-schema fallback so the join ladder never breaks (S3).
-    Upsert on id_articulo partitioned by id_pais."""
+    over (compania, code) keys, all broadcastable dims). This slice keeps
+    every select-list idiom of the original at reduced width —
+
+    - the deepening join keys: linea (2-key) → familia (3-key) →
+      subfamilia (4-key, the deepest, `:44-51`) plus the flat marca and
+      categoria joins;
+    - the corporate-article fallback: ``cod_articulo_corp`` of 0/NULL falls
+      back to the article's own code, and the corp id mints from the
+      RESOLVED code (`:100-110`);
+    - coalesce-to-default attributes ('000' / '<ATTR> DEFAULT', `:113-128`);
+    - the (linea, familia) classification flags (flg_jarabe/co2/azucar,
+      `:146-163`).
+
+    Absent masters resolve through the empty-schema fallback so the ladder
+    never breaks (S3). Upsert on id_articulo partitioned by id_pais."""
     art = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_articulo", registry=ctx.registry)
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
     pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
     linea = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_linea", registry=ctx.registry)
     familia = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_familia", registry=ctx.registry)
+    subfam = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_subfamilia", registry=ctx.registry
+    )
     marca = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_marca", registry=ctx.registry)
+    categ = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_categoria", registry=ctx.registry)
+
+    # both branches string-typed: under ANSI the reference's bare form would
+    # coerce the article code to the corp column's numeric type and throw
+    cod_corp = F.when(
+        F.coalesce(F.col("ma.cod_articulo_corp"), F.lit(0)) == 0, F.col("ma.cod_articulo")
+    ).otherwise(F.col("ma.cod_articulo_corp").cast("string"))
+    lin = F.coalesce(F.col("ml.cod_linea"), F.lit("00"))
+    fam = F.coalesce(F.col("mf.cod_familia"), F.lit("000"))
 
     joined = (
         art.alias("ma")
@@ -727,9 +750,23 @@ def job_m_articulo_lite(ctx: JobContext) -> None:
             "left",
         )
         .join(
+            F.broadcast(subfam).alias("ms"),
+            (F.col("ma.cod_compania") == F.col("ms.cod_compania"))
+            & (F.col("ma.cod_linea") == F.col("ms.cod_linea"))
+            & (F.col("ma.cod_familia") == F.col("ms.cod_familia"))
+            & (F.col("ma.cod_subfamilia") == F.col("ms.cod_subfamilia")),
+            "left",
+        )
+        .join(
             F.broadcast(marca).alias("mm"),
             (F.col("ma.cod_compania") == F.col("mm.cod_compania"))
             & (F.col("ma.cod_marca") == F.col("mm.cod_marca")),
+            "left",
+        )
+        .join(
+            F.broadcast(categ).alias("mca"),
+            (F.col("ma.cod_compania") == F.col("mca.cod_compania"))
+            & (F.col("ma.cod_categoria") == F.col("mca.cod_categoria")),
             "left",
         )
         .select(
@@ -739,10 +776,24 @@ def job_m_articulo_lite(ctx: JobContext) -> None:
             F.col("mp.id_pais").alias("id_pais"),
             F.col("ma.cod_compania"),
             F.col("ma.cod_articulo"),
+            cod_corp.alias("cod_articulo_corp"),
+            surrogate_key(F.col("ma.cod_compania"), cod_corp).alias("id_articulo_corp"),
             F.col("ma.desc_articulo"),
-            F.col("ml.desc_linea"),
-            F.col("mf.desc_familia"),
-            F.col("mm.desc_marca"),
+            F.coalesce(F.col("ml.desc_linea"), F.lit("LINEA DEFAULT")).alias("desc_linea"),
+            F.coalesce(F.col("mf.desc_familia"), F.lit("FAMILIA DEFAULT")).alias(
+                "desc_familia"
+            ),
+            F.coalesce(F.col("ms.desc_subfamilia"), F.lit("SUBFAMILIA DEFAULT")).alias(
+                "desc_subfamilia"
+            ),
+            F.coalesce(F.col("mm.cod_marca"), F.lit("000")).alias("cod_marca"),
+            F.coalesce(F.col("mm.desc_marca"), F.lit("MARCA DEFAULT")).alias("desc_marca"),
+            F.coalesce(F.col("mca.desc_categoria"), F.lit("CATEGORIA DEFAULT")).alias(
+                "desc_categoria"
+            ),
+            F.when((lin == "03") & (fam == "003"), 1).otherwise(0).alias("flg_jarabe"),
+            F.when((lin == "04") & (fam == "008"), 1).otherwise(0).alias("flg_co2"),
+            F.when((lin == "04") & (fam == "001"), 1).otherwise(0).alias("flg_azucar"),
             F.col("ma.cant_unidad_paquete"),
             F.col("ma.es_activo"),
         )
@@ -754,10 +805,18 @@ def job_m_articulo_lite(ctx: JobContext) -> None:
             ("id_pais", "string"),
             ("cod_compania", "string"),
             ("cod_articulo", "string"),
+            ("cod_articulo_corp", "string"),
+            ("id_articulo_corp", "string"),
             ("desc_articulo", "string"),
             ("desc_linea", "string"),
             ("desc_familia", "string"),
+            ("desc_subfamilia", "string"),
+            ("cod_marca", "string"),
             ("desc_marca", "string"),
+            ("desc_categoria", "string"),
+            ("flg_jarabe", "int"),
+            ("flg_co2", "int"),
+            ("flg_azucar", "int"),
             ("cant_unidad_paquete", "numeric(38,12)"),
             ("es_activo", "string"),
         ],

@@ -455,25 +455,36 @@ def test_m_articulo_join_ladder_with_missing_masters(spark, lake):
     reg = SchemaRegistry({
         "m_articulo": [
             ("cod_compania", "string"), ("cod_articulo", "string"),
+            ("cod_articulo_corp", "int"),
             ("desc_articulo", "string"), ("cod_linea", "string"),
-            ("cod_familia", "string"), ("cod_marca", "string"),
+            ("cod_familia", "string"), ("cod_subfamilia", "string"),
+            ("cod_marca", "string"), ("cod_categoria", "string"),
             ("cant_unidad_paquete", "numeric(38,12)"), ("es_activo", "string"),
         ],
         "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
                         ("desc_compania", "string"), ("es_activo", "string"),
                         ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
         "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
-        "m_linea": [("cod_compania", "string"), ("cod_linea", "string"), ("desc_linea", "string")],
-        # m_familia / m_marca deliberately NOT seeded — empty fallback
+        "m_linea": [("cod_compania", "string"), ("cod_linea", "string"),
+                     ("desc_linea", "string")],
+        # m_familia / m_subfamilia / m_marca / m_categoria deliberately NOT
+        # seeded — empty fallback, attributes land as '... DEFAULT'
         "m_familia": [("cod_compania", "string"), ("cod_linea", "string"),
                        ("cod_familia", "string"), ("desc_familia", "string")],
+        "m_subfamilia": [("cod_compania", "string"), ("cod_linea", "string"),
+                          ("cod_familia", "string"), ("cod_subfamilia", "string"),
+                          ("desc_subfamilia", "string")],
         "m_marca": [("cod_compania", "string"), ("cod_marca", "string"), ("desc_marca", "string")],
+        "m_categoria": [("cod_compania", "string"), ("cod_categoria", "string"),
+                         ("desc_categoria", "string")],
     })
     D = Decimal
     spark.createDataFrame(
-        [("10", "A1", "AGUA 1L", "L1", "F1", "M1", D("10"), "T")],
-        "cod_compania string, cod_articulo string, desc_articulo string, cod_linea string, "
-        "cod_familia string, cod_marca string, cant_unidad_paquete decimal(38,12), es_activo string",
+        [("10", "A1", 0, "AGUA 1L", "L1", "F1", "S1", "M1", "C1", D("10"), "T")],
+        "cod_compania string, cod_articulo string, cod_articulo_corp int, "
+        "desc_articulo string, cod_linea string, cod_familia string, cod_subfamilia string, "
+        "cod_marca string, cod_categoria string, cant_unidad_paquete decimal(38,12), "
+        "es_activo string",
     ).write.parquet(lake.table_path(Layer.STAGE, "m_articulo", "pe01"))
     ts = dt.datetime(2025, 4, 1)
     spark.createDataFrame(
@@ -497,8 +508,15 @@ def test_m_articulo_join_ladder_with_missing_masters(spark, lake):
     assert row["id_articulo"] == "10|A1"
     assert row["id_pais"] == "PE"
     assert row["desc_linea"] == "BEBIDAS"       # seeded master resolved
-    assert row["desc_familia"] is None          # empty-fallback master → null
-    assert row["desc_marca"] is None
+    assert row["desc_familia"] == "FAMILIA DEFAULT"   # empty-fallback → default
+    assert row["desc_subfamilia"] == "SUBFAMILIA DEFAULT"
+    assert row["desc_marca"] == "MARCA DEFAULT"
+    assert row["cod_marca"] == "000"
+    # corp code 0 → falls back to the article's own code, id follows
+    assert row["cod_articulo_corp"] == "A1"
+    assert row["id_articulo_corp"] == "10|A1"
+    # linea L1 / familia default → no classification flags fire
+    assert (row["flg_jarabe"], row["flg_co2"], row["flg_azucar"]) == (0, 0, 0)
 
 
 def test_m_estructura_comercial_hierarchy(spark, lake):

@@ -44,10 +44,13 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
     # ---- article + attribute masters --------------------------------------
     "m_articulo": (
         "id_articulo string, cod_compania string, cod_articulo string, "
-        "desc_articulo string, cod_linea string, cod_familia string, cod_marca string, "
-        "cant_unidad_paquete decimal(38,12), cant_paquete_caja decimal(38,12), "
-        "cant_unidad_volumen decimal(38,12), es_activo string",
-        [("10|A1", "10", "A1", "AGUA 1L", "L1", "F1", "M1", D("10"), D("2"), D("2"), "T")],
+        "cod_articulo_corp int, desc_articulo string, cod_linea string, "
+        "cod_familia string, cod_subfamilia string, cod_marca string, "
+        "cod_categoria string, cant_unidad_paquete decimal(38,12), "
+        "cant_paquete_caja decimal(38,12), cant_unidad_volumen decimal(38,12), "
+        "es_activo string",
+        [("10|A1", "10", "A1", 0, "AGUA 1L", "L1", "F1", "S1", "M1", "C1",
+          D("10"), D("2"), D("2"), "T")],
         "pe01",
     ),
     "m_linea": (
@@ -60,9 +63,20 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
         [("10", "L1", "F1", "AGUAS")],
         "pe01",
     ),
+    "m_subfamilia": (
+        "cod_compania string, cod_linea string, cod_familia string, "
+        "cod_subfamilia string, desc_subfamilia string",
+        [("10", "L1", "F1", "S1", "AGUAS SIN GAS")],
+        "pe01",
+    ),
     "m_marca": (
         "cod_compania string, cod_marca string, desc_marca string",
         [("10", "M1", "CIELO")],
+        "pe01",
+    ),
+    "m_categoria": (
+        "cod_compania string, cod_categoria string, desc_categoria string",
+        [("10", "C1", "AGUA EMBOTELLADA")],
         "pe01",
     ),
     # ---- commercial structure ---------------------------------------------
