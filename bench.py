@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "text_token_stats",
     "text_lang_id",
     "text_quality",

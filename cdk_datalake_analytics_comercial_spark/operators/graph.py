@@ -1,0 +1,118 @@
+"""Distributed connected components over a pair/edge DataFrame.
+
+The dedup family (``operators.dedup``) emits near-duplicate PAIRS; an actual
+training-data pipeline needs CLUSTERS (transitive closure of the pair graph)
+so it can keep exactly one canonical document per duplicate group. The
+reference has no graph operator at all (its dedup surface is the engine
+extension, SURVEY §2 training-data block), so this is Spark-native design:
+
+Algorithm: iterative **min-label propagation with pointer jumping** (the
+"Hash-Min + path compression" scheme from Rastogi et al., "Finding Connected
+Components in Map-Reduce in Logarithmic Rounds", ICDE 2013):
+
+- every node starts labeled with itself;
+- each round, a node takes the min of its own label and its neighbors'
+  labels (one shuffle: edges ⋈ labels, groupBy);
+- then labels are compressed through one pointer jump —
+  ``label := label(label)`` (second shuffle: labels ⋈ labels) — which is
+  what turns O(diameter) rounds into O(log n);
+- stop when a round changes no label.
+
+Scale notes (100 TB / 1000 executors):
+- Near-dup graphs are clique-heavy with tiny diameters, so rounds ≈ 2-4 in
+  practice; the pointer jump bounds pathological chain shapes at O(log n).
+- Each round is two partial-agg shuffles on the node id — AQE coalesces the
+  tail as components collapse and the changed set shrinks.
+- ``localCheckpoint`` after every round truncates the lineage (iterative
+  joins otherwise stack O(rounds) plan depth and re-execute on each action)
+  and doubles as the materialization point for the cheap convergence count.
+  On a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+  ``checkpoint()`` for fault tolerance; local mode has no reliable store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; ``component``
+    is the minimum node id reachable through the undirected pair graph.
+
+    Deterministic (min-id labeling), so oracle-checkable against a recursive
+    transitive-closure CTE.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("v"), "label"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(
+            nbr_min.select(F.col("u").alias("node"), "nbr_min"), "node", "left"
+        ).select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        # pointer jump: label := min(label, label(label)) — path compression
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("node").alias("label"), F.col("label").alias("hop")
+                ).alias("b"),
+                "label",
+                "left",
+            )
+            .select(
+                "node",
+                "old_label",
+                F.least(F.col("label"), F.coalesce("hop", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = jumped.filter(F.col("label") != F.col("old_label")).count()
+        labels = jumped.select("node", "label")
+        if changed == 0:
+            break
+
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Full dedup output: drop every non-canonical member of each duplicate
+    cluster (canonical = min id in the component); rows untouched by any pair
+    survive. Left-anti join against the small loser set — broadcastable at
+    any scale where dup clusters are a small fraction of the corpus."""
+    losers = connected_components(pairs, src, dst).filter(
+        F.col("node") != F.col("component")
+    )
+    return df.join(
+        F.broadcast(losers.select(F.col("node").alias(id_col))), id_col, "left_anti"
+    )

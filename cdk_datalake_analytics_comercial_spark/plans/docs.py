@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, text
+from ..operators import dedup, graph, text
 from ..operators import multimodal
 from .common import t
 
@@ -187,8 +187,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_NGRAM_JACCARD = f"""
-WITH base AS (
+_SQL_PAIR_CTES = f"""base AS (
   SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
 ), sh AS (
   SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM base
@@ -200,13 +199,67 @@ WITH base AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+_ORACLE_NGRAM_JACCARD = f"""
+WITH {_SQL_PAIR_CTES}
 SELECT id_a, id_b,
        ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
 FROM common
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5
+"""
+
+# --------------------------------------------------------------------------
+# Pair graph → clusters (connected components) → canonical-doc dedup.
+# Spark side is the iterative min-label-propagation operator
+# (operators.graph); the oracle recomputes the same transitive closure with
+# a recursive CTE — deterministic because the label is the component min.
+
+_SQL_CLUSTER_CTES = f"""{_SQL_PAIR_CTES}, pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), walk(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) nodes(u)
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+), comp AS (
+  SELECT u, MIN(lbl) AS c FROM walk GROUP BY u
+)"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    return graph.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+_ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_CLUSTER_CTES}
+SELECT u AS doc_id, c AS cluster_id FROM comp
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    return graph.keep_canonical(d, pairs, "doc_id").select("doc_id", "lang", "source")
+
+
+_ORACLE_DEDUP_CANONICAL = f"""
+WITH RECURSIVE {_SQL_CLUSTER_CTES}
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT u FROM comp WHERE u <> c)
 """
 
 # --------------------------------------------------------------------------
@@ -341,6 +394,61 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, dim=64, k=5, n_cells=8)
 
 
+# --------------------------------------------------------------------------
+# Corpus profiling: exact per-language token-count quantiles. Spark
+# F.percentile and DuckDB quantile_cont share the same definition
+# (pos = p·(N−1), linear interpolation), so values match to the 6dp round.
+
+
+def q_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n = text.token_count(F.col("text")).cast("bigint")
+    return (
+        d.select(F.col("lang"), n.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("n_tokens", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
+_ORACLE_DOC_QUANTILES = f"""
+WITH counts AS (
+  SELECT lang,
+         CAST(CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_TOKS}) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50,
+       ROUND(quantile_cont(n_tokens, 0.9), 6) AS p90,
+       ROUND(quantile_cont(n_tokens, 0.99), 6) AS p99
+FROM counts GROUP BY lang
+"""
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: md5-threshold keep (per-language rate).
+# Hash sampling is the scale idiom — partition-local, no shuffle, stable
+# across reruns and engines (vs. Bernoulli rand()), and the sample is
+# reproducible from the id alone.
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == "en", F.lit("2000")).otherwise(F.lit("8000"))
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return d.filter(key < thr).select("doc_id", "lang", "source")
+
+
+_ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE WHEN lang = 'en' THEN '2000' ELSE '8000' END
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
@@ -356,6 +464,10 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical": q_dedup_canonical,
+    "doc_quantiles": q_doc_quantiles,
+    "stratified_sample": q_stratified_sample,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
@@ -372,6 +484,10 @@ ORACLES = {
     "text_fingerprint": _ORACLE_FINGERPRINT,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+    "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
+    "dedup_canonical": _ORACLE_DEDUP_CANONICAL,
+    "doc_quantiles": _ORACLE_DOC_QUANTILES,
+    "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
     # dedup_minhash / dedup_simhash_pairs / emb_lsh_topk / multimodal_features:
