@@ -48,9 +48,12 @@ def connected_components(
     Deterministic (min-id labeling), so oracle-checkable against a recursive
     transitive-closure CTE.
     """
+    # materialize the pair plan ONCE before symmetrizing — the union's two
+    # branches would otherwise each re-execute the (possibly expensive)
+    # upstream pair pipeline (no exchange reuse across union branches)
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint()
     )
