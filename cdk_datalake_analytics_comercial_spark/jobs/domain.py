@@ -843,10 +843,19 @@ def job_t_venta_detalle_lite(ctx: JobContext) -> None:
     (``cod_tipo_operacion == 'PRO'``), the unit conversion is
     ``(cant_paquete + cant_unidad / cant_unidad_paquete) · cant_paquete_caja``
     and money converts through the venta's resolved exchange rates
-    (× tc_mn, ÷ tc_me). Non-key attributes ride along as A4
-    max-as-representative. Divisions run in decimal(20,6) (a fixed cast
-    point — SURVEY §7.3.1: Spark's decimal division would otherwise
-    promote/truncate scale differently than other engines)."""
+    (× tc_mn, ÷ tc_me). Full aggregate surface (`:214-319`): every money
+    measure lands as an (mn, me) pair — neto/bruto (valorizado, cobrar),
+    dscto/desnimp (descuento, descuento_sinimp), cobrar_vta (repeats the
+    cobrar pair under the serving name, as the reference does), paquete
+    (cajas × precio_paquete × fx — the reference's `:259-264` drops the
+    parenthesis closing the cajas term so precio multiplies only the
+    unit fraction; we keep the dimensionally coherent form), sugerido/full
+    (lit(0) placeholders `:168-169`), valorizado_pro (the only PRO-dispatch
+    money pair), impuesto1-6 (isc, igv, im3-im6). Non-key attributes and
+    audit stamps ride along as A4 max-as-representative. Divisions run in
+    decimal(20,6) (a fixed cast point — SURVEY §7.3.1: Spark's decimal
+    division would otherwise promote/truncate scale differently than other
+    engines)."""
     venta = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta", registry=ctx.registry)
     det = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_venta_detalle", registry=ctx.registry
@@ -893,13 +902,38 @@ def job_t_venta_detalle_lite(ctx: JobContext) -> None:
         dec(F.col("d.cant_paquete")) * dec(F.col("ma.cant_unidad_paquete"))
         + dec(F.col("d.cant_unidad"))
     ) * dec(F.col("ma.cant_unidad_volumen"))
-    neto_mn = dec(F.col("d.imp_valorizado")) * dec(F.col("v.tipo_cambio_mn"))
-    neto_me = dec(F.col("d.imp_valorizado")) / dec(F.col("v.tipo_cambio_me"))
-    bruto_mn = dec(F.col("d.imp_cobrar")) * dec(F.col("v.tipo_cambio_mn"))
-
     def signed(dispatch, expr):
         return F.sum((dispatch * factor * expr).cast("decimal(38,12)"))
 
+    def money_pair(dispatch, src_col, name):
+        """The reference's (mn, me) idiom: × tipo_cambio_mn, ÷ tipo_cambio_me."""
+        return [
+            signed(dispatch, dec(src_col) * dec(F.col("v.tipo_cambio_mn"))).alias(
+                f"{name}_mn"
+            ),
+            signed(dispatch, dec(src_col) / dec(F.col("v.tipo_cambio_me"))).alias(
+                f"{name}_me"
+            ),
+        ]
+
+    money = [
+        *money_pair(d_ven, F.col("d.imp_valorizado"), "imp_neto_vta"),
+        *money_pair(d_ven, F.col("d.imp_cobrar"), "imp_bruto_vta"),
+        *money_pair(d_ven, F.col("d.imp_descuento"), "imp_dscto"),
+        *money_pair(d_ven, F.col("d.imp_descuento_sinimp"), "imp_desnimp"),
+        *money_pair(d_ven, F.col("d.imp_cobrar"), "imp_cobrar_vta"),
+        signed(d_ven, cajas * dec(F.col("d.precio_paquete")) * dec(F.col("v.tipo_cambio_mn"))).alias("imp_paquete_vta_mn"),
+        signed(d_ven, cajas * dec(F.col("d.precio_paquete")) / dec(F.col("v.tipo_cambio_me"))).alias("imp_paquete_vta_me"),
+        *money_pair(d_ven, F.lit(0), "imp_sugerido"),
+        *money_pair(d_ven, F.lit(0), "imp_full_vta"),
+        *money_pair(d_pro, F.col("d.imp_valorizado"), "imp_valorizado_pro"),
+        *money_pair(d_ven, F.col("d.imp_isc"), "imp_impuesto1"),
+        *money_pair(d_ven, F.col("d.imp_igv"), "imp_impuesto2"),
+        *money_pair(d_ven, F.col("d.imp_im3"), "imp_impuesto3"),
+        *money_pair(d_ven, F.col("d.imp_im4"), "imp_impuesto4"),
+        *money_pair(d_ven, F.col("d.imp_im5"), "imp_impuesto5"),
+        *money_pair(d_ven, F.col("d.imp_im6"), "imp_impuesto6"),
+    ]
     out = (
         joined.groupBy(
             F.col("id_venta"), F.col("d.cod_articulo").alias("id_producto")
@@ -911,11 +945,22 @@ def job_t_venta_detalle_lite(ctx: JobContext) -> None:
             signed(d_pro, cajas).alias("cant_caja_fisica_pro"),
             signed(d_ven, volumen).alias("cant_caja_volumen_ven"),
             signed(d_pro, volumen).alias("cant_caja_volumen_pro"),
-            signed(d_ven, neto_mn).alias("imp_neto_vta_mn"),
-            signed(d_ven, neto_me).alias("imp_neto_vta_me"),
-            signed(d_ven, bruto_mn).alias("imp_bruto_vta_mn"),
+            *money,
+            F.max(F.col("d.fecha_creacion")).alias("fecha_creacion"),
+            F.max(F.col("d.fecha_modificacion")).alias("fecha_modificacion"),
+            F.max(F.col("d.es_eliminado")).alias("es_eliminado"),
         )
     )
+    money_names = [
+        f"{base}_{cur}"
+        for base in (
+            "imp_neto_vta", "imp_bruto_vta", "imp_dscto", "imp_desnimp",
+            "imp_cobrar_vta", "imp_paquete_vta", "imp_sugerido", "imp_full_vta",
+            "imp_valorizado_pro", "imp_impuesto1", "imp_impuesto2",
+            "imp_impuesto3", "imp_impuesto4", "imp_impuesto5", "imp_impuesto6",
+        )
+        for cur in ("mn", "me")
+    ]
     out = cast_projection(
         out,
         [
@@ -927,9 +972,10 @@ def job_t_venta_detalle_lite(ctx: JobContext) -> None:
             ("cant_caja_fisica_pro", "numeric(38,12)"),
             ("cant_caja_volumen_ven", "numeric(38,12)"),
             ("cant_caja_volumen_pro", "numeric(38,12)"),
-            ("imp_neto_vta_mn", "numeric(38,12)"),
-            ("imp_neto_vta_me", "numeric(38,12)"),
-            ("imp_bruto_vta_mn", "numeric(38,12)"),
+            *[(n, "numeric(38,12)") for n in money_names],
+            ("fecha_creacion", "timestamp"),
+            ("fecha_modificacion", "timestamp"),
+            ("es_eliminado", "string"),
         ],
     )
     write_table(

@@ -381,6 +381,13 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
             ("cod_articulo", "string"), ("cod_operacion", "string"),
             ("cant_paquete", "numeric(38,12)"), ("cant_unidad", "numeric(38,12)"),
             ("imp_valorizado", "numeric(38,12)"), ("imp_cobrar", "numeric(38,12)"),
+            ("imp_descuento", "numeric(38,12)"), ("imp_descuento_sinimp", "numeric(38,12)"),
+            ("precio_paquete", "numeric(38,12)"), ("imp_isc", "numeric(38,12)"),
+            ("imp_igv", "numeric(38,12)"), ("imp_im3", "numeric(38,12)"),
+            ("imp_im4", "numeric(38,12)"), ("imp_im5", "numeric(38,12)"),
+            ("imp_im6", "numeric(38,12)"),
+            ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
+            ("es_eliminado", "string"),
         ],
         "m_articulo": [
             ("cod_compania", "string"), ("cod_articulo", "string"),
@@ -401,19 +408,31 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
         "id_venta string, id_pais string, id_periodo string, cod_documento_venta string, "
         "tipo_cambio_mn decimal(12,6), tipo_cambio_me decimal(12,6)",
     ).write.partitionBy("id_pais").parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
+    ts = dt.datetime(2025, 5, 10, 8, 0)
     spark.createDataFrame(
         [
             # FAC / A1 / sale op: cajas=(3+5/10)*2=7; neto_mn=100*2; neto_me=100/4; bruto_mn=110*2
-            ("10", "01", "FAC", "1", "A1", "V1", D("3"), D("5"), D("100"), D("110")),
+            ("10", "01", "FAC", "1", "A1", "V1", D("3"), D("5"), D("100"), D("110"),
+             D("10"), D("8"), D("20"), D("1"), D("2"), D("3"), D("4"), D("5"), D("6"),
+             ts, ts, "F"),
             # FAC / A1 / promo op: cajas=(1+0/10)*2=2 → only _pro bucket
-            ("10", "01", "FAC", "1", "A1", "P1", D("1"), D("0"), D("999"), D("999")),
+            ("10", "01", "FAC", "1", "A1", "P1", D("1"), D("0"), D("999"), D("999"),
+             D("99"), D("99"), D("99"), D("9"), D("9"), D("9"), D("9"), D("9"), D("9"),
+             ts, ts, "F"),
             # NCC / A1 / sale op: factor −1, cajas=(1+5/10)*2=3 → −3
-            ("10", "01", "NCC", "2", "A1", "V1", D("1"), D("5"), D("50"), D("55")),
+            ("10", "01", "NCC", "2", "A1", "V1", D("1"), D("5"), D("50"), D("55"),
+             D("5"), D("4"), D("10"), D("0.5"), D("1"), D("1"), D("1"), D("1"), D("1"),
+             ts, ts, "F"),
         ],
         "cod_compania string, cod_sucursal string, cod_documento_venta string, "
         "nro_documento_venta string, cod_articulo string, cod_operacion string, "
         "cant_paquete decimal(38,12), cant_unidad decimal(38,12), "
-        "imp_valorizado decimal(38,12), imp_cobrar decimal(38,12)",
+        "imp_valorizado decimal(38,12), imp_cobrar decimal(38,12), "
+        "imp_descuento decimal(38,12), imp_descuento_sinimp decimal(38,12), "
+        "precio_paquete decimal(38,12), imp_isc decimal(38,12), imp_igv decimal(38,12), "
+        "imp_im3 decimal(38,12), imp_im4 decimal(38,12), imp_im5 decimal(38,12), "
+        "imp_im6 decimal(38,12), fecha_creacion timestamp, fecha_modificacion timestamp, "
+        "es_eliminado string",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_venta_detalle", "pe01"))
     spark.createDataFrame(
         [("10", "A1", D("10"), D("2"), D("2"))],
@@ -443,9 +462,26 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
     assert fac["imp_neto_vta_mn"] == Decimal("200.000000000000")
     assert fac["imp_neto_vta_me"] == Decimal("25.000000000000")
     assert fac["imp_bruto_vta_mn"] == Decimal("220.000000000000")
+    # full money surface: dscto/desnimp/cobrar_vta ride the same fx pair;
+    # paquete = cajas × precio × fx; sugerido/full are lit(0) placeholders;
+    # valorizado_pro is the promo-dispatch pair; impuesto1-6 = isc/igv/im3-6
+    assert fac["imp_dscto_mn"] == Decimal("20.000000000000")        # 10 × 2
+    assert fac["imp_dscto_me"] == Decimal("2.500000000000")         # 10 / 4
+    assert fac["imp_desnimp_mn"] == Decimal("16.000000000000")      # 8 × 2
+    assert fac["imp_cobrar_vta_mn"] == fac["imp_bruto_vta_mn"]
+    assert fac["imp_paquete_vta_mn"] == Decimal("280.000000000000")  # 7 × 20 × 2
+    assert fac["imp_sugerido_mn"] == Decimal("0.000000000000")
+    assert fac["imp_full_vta_me"] == Decimal("0.000000000000")
+    assert fac["imp_valorizado_pro_mn"] == Decimal("1998.000000000000")  # 999 × 2
+    assert fac["imp_impuesto1_mn"] == Decimal("2.000000000000")     # isc 1 × 2
+    assert fac["imp_impuesto2_mn"] == Decimal("4.000000000000")     # igv 2 × 2
+    assert fac["imp_impuesto6_me"] == Decimal("1.500000000000")     # im6 6 / 4
+    assert fac["es_eliminado"] == "F"
     ncc = out[("10|01|NCC|2", "A1")]
     assert ncc["cant_caja_fisica_ven"] == Decimal("-3.000000000000")
     assert ncc["imp_neto_vta_mn"] == Decimal("-50.000000000000")
+    assert ncc["imp_dscto_mn"] == Decimal("-5.000000000000")        # factor −1
+    assert ncc["imp_paquete_vta_mn"] == Decimal("-30.000000000000")  # −(3 × 10 × 1)
 
 
 def test_m_articulo_join_ladder_with_missing_masters(spark, lake):

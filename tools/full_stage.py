@@ -281,9 +281,15 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
         "cod_documento_pedido string, nro_documento_pedido string, "
         "cod_articulo string, cod_operacion string, "
         "cant_paquete decimal(38,12), cant_unidad decimal(38,12), "
-        "imp_valorizado decimal(38,12), imp_cobrar decimal(38,12)",
+        "imp_valorizado decimal(38,12), imp_cobrar decimal(38,12), "
+        "imp_descuento decimal(38,12), imp_descuento_sinimp decimal(38,12), "
+        "precio_paquete decimal(38,12), imp_isc decimal(38,12), "
+        "imp_igv decimal(38,12), imp_im3 decimal(38,12), imp_im4 decimal(38,12), "
+        "imp_im5 decimal(38,12), imp_im6 decimal(38,12), "
+        "fecha_creacion timestamp, fecha_modificacion timestamp, es_eliminado string",
         [("10", "01", "AL1", "FAC", "0001", "200", "N1", "A1", "OPV",
-          D("3"), D("5"), D("100"), D("110"))],
+          D("3"), D("5"), D("100"), D("110"), D("10"), D("8"), D("20"),
+          D("1"), D("2"), D("0"), D("0"), D("0"), D("0"), TS, TS, "F")],
         "pe01",
     ),
     # ---- order documents --------------------------------------------------
