@@ -865,9 +865,12 @@ def job_t_venta_detalle_lite(ctx: JobContext) -> None:
 
     det = det.withColumn(
         "id_venta",
+        # FIVE-part: the header mints cod_almacen into id_venta
+        # (`t_venta.py:91`) and the detail repeats it (`t_venta_detalle.py`)
         surrogate_key(
             F.col("cod_compania"),
             F.col("cod_sucursal"),
+            F.col("cod_almacen"),
             F.col("cod_documento_venta"),
             F.col("nro_documento_venta"),
         ),
@@ -1056,13 +1059,18 @@ def job_t_pedido_lite(ctx: JobContext) -> None:
 @DOMAIN_JOBS.register("t_venta_lite")
 def job_t_venta_lite(ctx: JobContext) -> None:
     """Sales fact following `code/domain/t_venta.py:10-170`: early period
-    filter (P3) on fecha_liquidacion, company master enriched with the local
-    currency from m_parametro (`t_venta.py:28-40`), the day's exchange-rate
-    row joined on (fecha_emision, compania, moneda_mn) (`t_venta.py:79-85`),
-    rate resolution via functions.currency (`t_venta.py:118-119`), pipe
-    surrogate ids (§1.3), soft-delete flag for annulled documents, cast
-    projection (P2), dynamic partition overwrite on (id_pais, id_periodo)
-    (K1)."""
+    filter (P3) on fecha_liquidacion plus the document-class guards (P4 —
+    `:45-48`: CMD/RMD excluded, flg_facglob/flg_refact null-coalesced to
+    'F'), company master enriched with the local currency from m_parametro
+    (`t_venta.py:28-40`), the distribution geography ladder (`:55-80`: zona →
+    división joined on the ZONA code `:63-66`, región/subregión on the
+    COMPANY's country + zona's region pointers, REGION/SUBREGION DEFAULT
+    coalescing), the day's exchange-rate row joined on (fecha_emision,
+    compania, moneda_mn) (`t_venta.py:79-85`), rate resolution via
+    functions.currency (`t_venta.py:118-119`), the full pipe surrogate id
+    block (§1.3, `:91-105` — id_venta is FIVE-part with cod_almacen),
+    soft-delete flag for annulled documents, cast projection (P2), dynamic
+    partition overwrite on (id_pais, id_periodo) (K1)."""
     venta = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_venta", registry=ctx.registry
     )
@@ -1076,11 +1084,26 @@ def job_t_venta_lite(ctx: JobContext) -> None:
     m_tipo_cambio = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_cambio", registry=ctx.registry
     )
+    m_zona = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_zona", registry=ctx.registry)
+    m_region = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_region", registry=ctx.registry
+    )
+    m_subregion = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_subregion", registry=ctx.registry
+    )
+    m_division = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_division", registry=ctx.registry
+    )
 
     # sargable rewrite of the reference's date_format(...).isin(PERIODOS)
     # (t_venta.py:25) — the range predicate reaches the parquet scan and
     # prunes row groups/files; exact membership preserved (operators.pruning)
-    filtered = venta.filter(period_filter(F.col("fecha_liquidacion"), ctx.periods))
+    filtered = venta.filter(
+        period_filter(F.col("fecha_liquidacion"), ctx.periods)
+        & ~F.col("cod_documento_venta").isin("CMD", "RMD")
+        & (F.coalesce(F.col("flg_facglob"), F.lit("F")) == "F")
+        & (F.coalesce(F.col("flg_refact"), F.lit("F")) == "F")
+    )
     compania = (
         m_compania.alias("mc")
         .join(
@@ -1091,6 +1114,7 @@ def job_t_venta_lite(ctx: JobContext) -> None:
         .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
         .select(
             F.col("mc.cod_compania").alias("cod_compania"),
+            F.col("mc.cod_pais").alias("cod_pais"),
             F.col("mp.id_pais").alias("id_pais"),
             F.col("mpar.cod_moneda_mn").alias("moneda_mn"),
         )
@@ -1098,6 +1122,33 @@ def job_t_venta_lite(ctx: JobContext) -> None:
     enriched = (
         filtered.alias("v")
         .join(F.broadcast(compania).alias("c"), ["cod_compania"], "left")
+        .join(
+            F.broadcast(m_zona).alias("mzo"),
+            (F.col("mzo.cod_compania") == F.col("v.cod_compania"))
+            & (F.col("mzo.cod_sucursal") == F.col("v.cod_sucursal"))
+            & (F.col("mzo.cod_zona") == F.col("v.cod_zona")),
+            "left",
+        )
+        .join(
+            # the reference keys división by the ZONA code (t_venta.py:63-66)
+            F.broadcast(m_division).alias("mcd"),
+            (F.col("mcd.cod_division") == F.col("mzo.cod_zona"))
+            & (F.col("mcd.cod_compania") == F.col("mzo.cod_compania")),
+            "left",
+        )
+        .join(
+            F.broadcast(m_region).alias("mr"),
+            (F.col("mr.cod_pais") == F.col("c.cod_pais"))
+            & (F.col("mr.cod_region") == F.col("mzo.cod_region")),
+            "left",
+        )
+        .join(
+            F.broadcast(m_subregion).alias("msr"),
+            (F.col("msr.cod_pais") == F.col("c.cod_pais"))
+            & (F.col("msr.cod_region") == F.col("mzo.cod_region"))
+            & (F.col("msr.cod_subregion") == F.col("mzo.cod_subregion")),
+            "left",
+        )
         .join(
             F.broadcast(m_tipo_cambio).alias("mtc"),
             (F.col("mtc.fecha") == F.col("v.fecha_emision"))
@@ -1109,6 +1160,7 @@ def job_t_venta_lite(ctx: JobContext) -> None:
             surrogate_key(
                 F.col("v.cod_compania"),
                 F.col("v.cod_sucursal"),
+                F.col("v.cod_almacen"),
                 F.col("v.cod_documento_venta"),
                 F.col("v.nro_documento_venta"),
             ).alias("id_venta"),
@@ -1137,12 +1189,53 @@ def job_t_venta_lite(ctx: JobContext) -> None:
                 F.col("v.cod_documento_venta"),
                 F.col("v.cod_procedimiento"),
             ).alias("id_tipo_venta"),
+            surrogate_key(
+                F.col("v.cod_compania"),
+                F.col("v.cod_sucursal"),
+                F.col("v.cod_fuerza_venta"),
+            ).alias("id_fuerza_venta"),
+            surrogate_key(F.col("v.cod_compania"), F.col("v.cod_vendedor")).alias(
+                "id_vendedor"
+            ),
+            surrogate_key(F.col("v.cod_compania"), F.col("v.cod_supervisor")).alias(
+                "id_supervisor"
+            ),
+            F.lit(None).cast("string").alias("id_jefe_venta"),
+            surrogate_key(F.col("v.cod_compania"), F.col("v.cod_lista_precio")).alias(
+                "id_lista_precio"
+            ),
+            surrogate_key(
+                F.col("v.cod_compania"), F.col("v.cod_documento_pedido")
+            ).alias("id_tipo_documento"),
+            surrogate_key(F.col("v.cod_compania"), F.col("v.cod_forma_pago")).alias(
+                "id_forma_pago"
+            ),
+            surrogate_key(F.col("v.cod_compania"), F.col("v.cod_motivo_rechazo")).alias(
+                "id_motivo_rechazo"
+            ),
+            F.lit(None).cast("string").alias("id_motivo_nota_credito"),
+            F.col("v.nro_comprobante").alias("nro_venta"),
+            F.lit(None).cast("string").alias("nro_venta_ref"),
+            F.coalesce(F.col("mr.desc_region"), F.lit("REGION DEFAULT")).alias(
+                "desc_region"
+            ),
+            F.coalesce(F.col("msr.desc_subregion"), F.lit("SUBREGION DEFAULT")).alias(
+                "desc_subregion"
+            ),
+            F.col("mcd.desc_division"),
             F.col("v.cod_zona"),
             F.col("v.cod_ruta"),
+            F.col("v.cod_modulo"),
             F.col("v.cod_documento_venta"),
             F.col("v.nro_documento_venta"),
             F.col("v.cod_cliente"),
             F.col("v.cod_moneda"),
+            F.when(F.col("v.cod_estado_comprobante") == "002", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("es_anulado"),
+            F.col("v.fecha_pedido"),
+            F.col("v.fecha_creacion"),
+            F.col("v.fecha_modificacion"),
             exchange_rate_mn(
                 F.col("v.cod_moneda"),
                 F.col("c.moneda_mn"),
@@ -1174,12 +1267,31 @@ def job_t_venta_lite(ctx: JobContext) -> None:
             ("id_cliente", "string"),
             ("id_pedido", "string"),
             ("id_tipo_venta", "string"),
+            ("id_fuerza_venta", "string"),
+            ("id_vendedor", "string"),
+            ("id_supervisor", "string"),
+            ("id_jefe_venta", "string"),
+            ("id_lista_precio", "string"),
+            ("id_tipo_documento", "string"),
+            ("id_forma_pago", "string"),
+            ("id_motivo_rechazo", "string"),
+            ("id_motivo_nota_credito", "string"),
+            ("nro_venta", "string"),
+            ("nro_venta_ref", "string"),
+            ("desc_region", "string"),
+            ("desc_subregion", "string"),
+            ("desc_division", "string"),
             ("cod_zona", "string"),
             ("cod_ruta", "string"),
+            ("cod_modulo", "string"),
             ("cod_documento_venta", "string"),
             ("nro_documento_venta", "string"),
             ("cod_cliente", "string"),
             ("cod_moneda", "string"),
+            ("es_anulado", "int"),
+            ("fecha_pedido", "date"),
+            ("fecha_creacion", "timestamp"),
+            ("fecha_modificacion", "timestamp"),
             ("tipo_cambio_mn", "numeric(12,6)"),
             ("tipo_cambio_me", "numeric(12,6)"),
             ("imp_venta", "numeric(38,12)"),

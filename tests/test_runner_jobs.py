@@ -58,6 +58,38 @@ def registry():
                 ("cod_estado_comprobante", "string"),
                 ("fecha_liquidacion", "date"),
                 ("fecha_emision", "date"),
+                ("cod_almacen", "string"),
+                ("cod_fuerza_venta", "string"),
+                ("cod_vendedor", "string"),
+                ("cod_supervisor", "string"),
+                ("cod_lista_precio", "string"),
+                ("cod_forma_pago", "string"),
+                ("cod_motivo_rechazo", "string"),
+                ("cod_modulo", "string"),
+                ("nro_comprobante", "string"),
+                ("fecha_pedido", "date"),
+                ("flg_facglob", "string"),
+                ("flg_refact", "string"),
+                ("fecha_creacion", "timestamp"),
+                ("fecha_modificacion", "timestamp"),
+            ],
+            "m_zona": [
+                ("cod_compania", "string"), ("cod_sucursal", "string"),
+                ("cod_zona", "string"), ("cod_region", "string"),
+                ("cod_subregion", "string"), ("cod_supervisor", "string"),
+                ("desc_zona", "string"), ("es_activo", "string"),
+            ],
+            "m_region": [
+                ("cod_pais", "string"), ("cod_region", "string"),
+                ("desc_region", "string"),
+            ],
+            "m_subregion": [
+                ("cod_pais", "string"), ("cod_region", "string"),
+                ("cod_subregion", "string"), ("desc_subregion", "string"),
+            ],
+            "m_division": [
+                ("cod_compania", "string"), ("cod_division", "string"),
+                ("desc_division", "string"),
             ],
             "m_parametro": [("id_compania", "string"), ("cod_moneda_mn", "string")],
             "m_tipo_cambio": [
@@ -86,23 +118,33 @@ def seed_stage(spark, lake):
         [("20", "CL", "AJE CHILE", "T", ts, ts)],
         comp1.schema,
     )
+    tail = ("AL1", "F1", "V9", "SUP1", "LP1", "FP1", "MR1", "M1", "CP-01",
+            dt.date(2025, 4, 30), "F", "F", ts, ts)
     ventas = spark.createDataFrame(
         [
             # local-currency doc; a matching m_tipo_cambio row supplies the day rate
             ("10", "01", "FAC", "0001", "200", "P1", "PR1", "C1", "Z1", "R1", "PEN",
              Decimal("9.9"), Decimal("0"),
-             Decimal("100.5"), "001", dt.date(2025, 5, 2), dt.date(2025, 5, 1)),
+             Decimal("100.5"), "001", dt.date(2025, 5, 2), dt.date(2025, 5, 1), *tail),
             ("10", "01", "FAC", "0002", "200", "P2", "PR1", "C2", "Z1", "R1", "PEN",
              Decimal("9.9"), Decimal("0"),
-             Decimal("50.0"), "002", dt.date(2025, 4, 10), dt.date(2025, 4, 9)),
+             Decimal("50.0"), "002", dt.date(2025, 4, 10), dt.date(2025, 4, 9), *tail),
             # USD doc of a company with no m_parametro row (moneda_mn null)
             ("20", "02", "NCC", "0003", "200", "P3", "PR1", "C3", "Z2", "R2", "USD",
              Decimal("3.5"), Decimal("0"),
-             Decimal("-10.0"), "001", dt.date(2025, 3, 20), dt.date(2025, 3, 19)),
+             Decimal("-10.0"), "001", dt.date(2025, 3, 20), dt.date(2025, 3, 19), *tail),
             # outside the 3-period window (202503..202505) — must be excluded
             ("10", "01", "FAC", "0004", "200", "P4", "PR1", "C4", "Z1", "R1", "PEN",
              Decimal("9.9"), Decimal("0"),
-             Decimal("77.0"), "001", dt.date(2024, 12, 1), dt.date(2024, 12, 1)),
+             Decimal("77.0"), "001", dt.date(2024, 12, 1), dt.date(2024, 12, 1), *tail),
+            # P4 guards: CMD doc class and a refacturated FAC — both excluded
+            ("10", "01", "CMD", "0005", "200", "P5", "PR1", "C1", "Z1", "R1", "PEN",
+             Decimal("9.9"), Decimal("0"),
+             Decimal("11.0"), "001", dt.date(2025, 5, 2), dt.date(2025, 5, 1), *tail),
+            ("10", "01", "FAC", "0006", "200", "P6", "PR1", "C1", "Z1", "R1", "PEN",
+             Decimal("9.9"), Decimal("0"),
+             Decimal("12.0"), "001", dt.date(2025, 5, 2), dt.date(2025, 5, 1),
+             *(tail[:11] + ("T",) + tail[12:])),
         ],
         "cod_compania string, cod_sucursal string, cod_documento_venta string, "
         "nro_documento_venta string, cod_documento_pedido string, "
@@ -110,7 +152,12 @@ def seed_stage(spark, lake):
         "cod_zona string, cod_ruta string, cod_moneda string, "
         "tipo_cambio_mn decimal(12,6), tipo_cambio_me decimal(12,6), "
         "imp_venta decimal(38,12), cod_estado_comprobante string, "
-        "fecha_liquidacion date, fecha_emision date",
+        "fecha_liquidacion date, fecha_emision date, cod_almacen string, "
+        "cod_fuerza_venta string, cod_vendedor string, cod_supervisor string, "
+        "cod_lista_precio string, cod_forma_pago string, cod_motivo_rechazo string, "
+        "cod_modulo string, nro_comprobante string, fecha_pedido date, "
+        "flg_facglob string, flg_refact string, fecha_creacion timestamp, "
+        "fecha_modificacion timestamp",
     )
     m_parametro = spark.createDataFrame(
         [("10", "PEN")], "id_compania string, cod_moneda_mn string"
@@ -122,6 +169,21 @@ def seed_stage(spark, lake):
     m_pais.write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
     comp1.write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
     comp2.write.parquet(lake.table_path(Layer.STAGE, "m_compania", "cl01"))
+    # geography ladder: zona + region + division seeded; m_subregion left to
+    # the empty-schema fallback → SUBREGION DEFAULT
+    spark.createDataFrame(
+        [("10", "01", "Z1", "RG1", "SR1", "SUP1", "ZONA NORTE", "T")],
+        "cod_compania string, cod_sucursal string, cod_zona string, cod_region string, "
+        "cod_subregion string, cod_supervisor string, desc_zona string, es_activo string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_zona", "pe01"))
+    spark.createDataFrame(
+        [("PE", "RG1", "REGION NORTE")],
+        "cod_pais string, cod_region string, desc_region string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_region", "pe01"))
+    spark.createDataFrame(
+        [("10", "Z1", "DIVISION CENTRO")],
+        "cod_compania string, cod_division string, desc_division string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_division", "pe01"))
     ventas.write.parquet(lake.table_path(Layer.STAGE, "t_documento_venta", "pe01"))
     m_parametro.write.parquet(lake.table_path(Layer.STAGE, "m_parametro", "pe01"))
     m_tipo_cambio.write.parquet(lake.table_path(Layer.STAGE, "m_tipo_cambio", "pe01"))
@@ -162,21 +224,39 @@ def test_full_domain_run(spark, lake):
     # t_venta: period window 202503..202505 (3 periods back from as_of)
     venta = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
     rows = {r["id_venta"]: r for r in venta.collect()}
-    assert set(rows) == {"10|01|FAC|0001", "10|01|FAC|0002", "20|02|NCC|0003"}
-    assert rows["10|01|FAC|0002"]["es_eliminado"] == 1
-    assert rows["10|01|FAC|0001"]["id_periodo"] == "202505"
-    assert rows["20|02|NCC|0003"]["id_pais"] == "CL"
-    assert rows["10|01|FAC|0001"]["imp_venta"] == Decimal("100.5")
+    # 5-part id_venta (cod_almacen minted in, t_venta.py:91); the CMD doc
+    # and the flg_refact='T' doc are filtered out by the P4 guards
+    assert set(rows) == {"10|01|AL1|FAC|0001", "10|01|AL1|FAC|0002",
+                         "20|02|AL1|NCC|0003"}
+    fac1 = rows["10|01|AL1|FAC|0001"]
+    assert rows["10|01|AL1|FAC|0002"]["es_eliminado"] == 1
+    assert fac1["id_periodo"] == "202505"
+    assert rows["20|02|AL1|NCC|0003"]["id_pais"] == "CL"
+    assert fac1["imp_venta"] == Decimal("100.5")
     # currency resolution through the job (t_venta.py:118-119 semantics):
     # local-currency doc → mn=1; me from the day's m_tipo_cambio row
-    assert rows["10|01|FAC|0001"]["tipo_cambio_mn"] == Decimal("1.000000")
-    assert rows["10|01|FAC|0001"]["tipo_cambio_me"] == Decimal("3.750000")
+    assert fac1["tipo_cambio_mn"] == Decimal("1.000000")
+    assert fac1["tipo_cambio_me"] == Decimal("3.750000")
     # USD doc, company without m_parametro → mn falls back to the embedded
     # rate; me=1 (dollar doc)
-    assert rows["20|02|NCC|0003"]["tipo_cambio_mn"] == Decimal("3.500000")
-    assert rows["20|02|NCC|0003"]["tipo_cambio_me"] == Decimal("1.000000")
+    assert rows["20|02|AL1|NCC|0003"]["tipo_cambio_mn"] == Decimal("3.500000")
+    assert rows["20|02|AL1|NCC|0003"]["tipo_cambio_me"] == Decimal("1.000000")
     # doc 0002's emission date has no rate row → me embedded-0 sentinel → 1
-    assert rows["10|01|FAC|0002"]["tipo_cambio_me"] == Decimal("1.000000")
+    assert rows["10|01|AL1|FAC|0002"]["tipo_cambio_me"] == Decimal("1.000000")
+    # full id block + geography ladder (seeded region/division resolve;
+    # unseeded m_subregion falls back to the DEFAULT literal)
+    assert fac1["id_fuerza_venta"] == "10|01|F1"
+    assert fac1["id_vendedor"] == "10|V9"
+    assert fac1["id_forma_pago"] == "10|FP1"
+    assert fac1["id_jefe_venta"] is None
+    assert fac1["nro_venta"] == "CP-01"
+    assert fac1["desc_region"] == "REGION NORTE"
+    assert fac1["desc_subregion"] == "SUBREGION DEFAULT"
+    assert fac1["desc_division"] == "DIVISION CENTRO"
+    assert fac1["es_anulado"] == 0
+    assert rows["10|01|AL1|FAC|0002"]["es_anulado"] == 1
+    # the CL doc has no zona/region rows at all → defaults
+    assert rows["20|02|AL1|NCC|0003"]["desc_region"] == "REGION DEFAULT"
 
 
 def test_rerun_is_idempotent(spark, lake):
@@ -376,7 +456,7 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
             ("tipo_cambio_mn", "numeric(12,6)"), ("tipo_cambio_me", "numeric(12,6)"),
         ],
         "t_documento_venta_detalle": [
-            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_compania", "string"), ("cod_sucursal", "string"), ("cod_almacen", "string"),
             ("cod_documento_venta", "string"), ("nro_documento_venta", "string"),
             ("cod_articulo", "string"), ("cod_operacion", "string"),
             ("cant_paquete", "numeric(38,12)"), ("cant_unidad", "numeric(38,12)"),
@@ -402,8 +482,8 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
     D = Decimal
     spark.createDataFrame(
         [
-            ("10|01|FAC|1", "PE", "202505", "FAC", D("2"), D("4")),
-            ("10|01|NCC|2", "PE", "202505", "NCC", D("1"), D("1")),
+            ("10|01|AL1|FAC|1", "PE", "202505", "FAC", D("2"), D("4")),
+            ("10|01|AL1|NCC|2", "PE", "202505", "NCC", D("1"), D("1")),
         ],
         "id_venta string, id_pais string, id_periodo string, cod_documento_venta string, "
         "tipo_cambio_mn decimal(12,6), tipo_cambio_me decimal(12,6)",
@@ -412,19 +492,20 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
     spark.createDataFrame(
         [
             # FAC / A1 / sale op: cajas=(3+5/10)*2=7; neto_mn=100*2; neto_me=100/4; bruto_mn=110*2
-            ("10", "01", "FAC", "1", "A1", "V1", D("3"), D("5"), D("100"), D("110"),
+            ("10", "01", "AL1", "FAC", "1", "A1", "V1", D("3"), D("5"), D("100"), D("110"),
              D("10"), D("8"), D("20"), D("1"), D("2"), D("3"), D("4"), D("5"), D("6"),
              ts, ts, "F"),
             # FAC / A1 / promo op: cajas=(1+0/10)*2=2 → only _pro bucket
-            ("10", "01", "FAC", "1", "A1", "P1", D("1"), D("0"), D("999"), D("999"),
+            ("10", "01", "AL1", "FAC", "1", "A1", "P1", D("1"), D("0"), D("999"), D("999"),
              D("99"), D("99"), D("99"), D("9"), D("9"), D("9"), D("9"), D("9"), D("9"),
              ts, ts, "F"),
             # NCC / A1 / sale op: factor −1, cajas=(1+5/10)*2=3 → −3
-            ("10", "01", "NCC", "2", "A1", "V1", D("1"), D("5"), D("50"), D("55"),
+            ("10", "01", "AL1", "NCC", "2", "A1", "V1", D("1"), D("5"), D("50"), D("55"),
              D("5"), D("4"), D("10"), D("0.5"), D("1"), D("1"), D("1"), D("1"), D("1"),
              ts, ts, "F"),
         ],
-        "cod_compania string, cod_sucursal string, cod_documento_venta string, "
+        "cod_compania string, cod_sucursal string, cod_almacen string, "
+        "cod_documento_venta string, "
         "nro_documento_venta string, cod_articulo string, cod_operacion string, "
         "cant_paquete decimal(38,12), cant_unidad decimal(38,12), "
         "imp_valorizado decimal(38,12), imp_cobrar decimal(38,12), "
@@ -453,7 +534,7 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
         (r["id_venta"], r["id_producto"]): r
         for r in spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_venta_detalle")).collect()
     }
-    fac = out[("10|01|FAC|1", "A1")]
+    fac = out[("10|01|AL1|FAC|1", "A1")]
     assert fac["cant_caja_fisica_ven"] == Decimal("7.000000000000")
     assert fac["cant_caja_fisica_pro"] == Decimal("2.000000000000")
     # volume: (3 paquetes × 10 + 5 unidades) × 2 unidad_volumen = 70
@@ -477,7 +558,7 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
     assert fac["imp_impuesto2_mn"] == Decimal("4.000000000000")     # igv 2 × 2
     assert fac["imp_impuesto6_me"] == Decimal("1.500000000000")     # im6 6 / 4
     assert fac["es_eliminado"] == "F"
-    ncc = out[("10|01|NCC|2", "A1")]
+    ncc = out[("10|01|AL1|NCC|2", "A1")]
     assert ncc["cant_caja_fisica_ven"] == Decimal("-3.000000000000")
     assert ncc["imp_neto_vta_mn"] == Decimal("-50.000000000000")
     assert ncc["imp_dscto_mn"] == Decimal("-5.000000000000")        # factor −1

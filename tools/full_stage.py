@@ -89,8 +89,23 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
     ),
     "m_zona": (
         "cod_compania string, cod_sucursal string, cod_zona string, cod_region string, "
-        "cod_supervisor string, desc_zona string, es_activo string",
-        [("10", "01", "Z1", "RG1", "SUP1", "ZONA NORTE", "T")],
+        "cod_subregion string, cod_supervisor string, desc_zona string, es_activo string",
+        [("10", "01", "Z1", "RG1", "SR1", "SUP1", "ZONA NORTE", "T")],
+        "pe01",
+    ),
+    "m_region": (
+        "cod_pais string, cod_region string, desc_region string",
+        [("PE", "RG1", "REGION NORTE")],
+        "pe01",
+    ),
+    "m_subregion": (
+        "cod_pais string, cod_region string, cod_subregion string, desc_subregion string",
+        [("PE", "RG1", "SR1", "SUBREGION LIMA")],
+        "pe01",
+    ),
+    "m_division": (
+        "cod_compania string, cod_division string, desc_division string",
+        [("10", "Z1", "DIVISION CENTRO")],
         "pe01",
     ),
     "m_modulo": (
@@ -270,9 +285,16 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
         "cod_zona string, cod_ruta string, cod_moneda string, "
         "tipo_cambio_mn decimal(12,6), tipo_cambio_me decimal(12,6), "
         "imp_venta decimal(38,12), cod_estado_comprobante string, "
-        "fecha_liquidacion date, fecha_emision date",
+        "fecha_liquidacion date, fecha_emision date, "
+        "cod_almacen string, cod_fuerza_venta string, cod_vendedor string, "
+        "cod_supervisor string, cod_lista_precio string, cod_forma_pago string, "
+        "cod_motivo_rechazo string, cod_modulo string, nro_comprobante string, "
+        "fecha_pedido date, flg_facglob string, flg_refact string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
         [("10", "01", "FAC", "0001", "200", "N1", "PR1", "C1", "Z1", "R1", "PEN",
-          D("9.9"), D("0"), D("100.5"), "001", MAY, dt.date(2025, 5, 1))],
+          D("9.9"), D("0"), D("100.5"), "001", MAY, dt.date(2025, 5, 1),
+          "AL1", "F1", "V9", "SUP1", "LP1", "FP1", "MR1", "M1", "CP-0001",
+          dt.date(2025, 4, 30), "F", "F", TS, TS)],
         "pe01",
     ),
     "t_documento_venta_detalle": (
