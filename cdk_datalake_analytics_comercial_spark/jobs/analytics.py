@@ -31,7 +31,10 @@ def job_dim_cliente_lite(ctx: JobContext) -> None:
     model (`:23-32`), a when-ladder over the model description builds the
     priority, row_number over (priority asc, module fecha desc) ranks, and
     the top-1 joins into the client master with the rank predicate in the
-    join condition (J7/W1, `:62-66`)."""
+    join condition (J7/W1, `:62-66`). The best assignment's module lands as
+    ``id_estructura_comercial`` (`:79`), the territorial dim resolves
+    ``cod_eje_territorial`` (`:69-72, :125`), and the client master's full
+    attribute surface rides through (`:74-105`)."""
     clientes = read_table(
         ctx.spark, ctx.catalog, Layer.DOMAIN, "m_cliente", registry=ctx.registry
     )
@@ -41,6 +44,9 @@ def job_dim_cliente_lite(ctx: JobContext) -> None:
     modulo = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "m_modulo", registry=ctx.registry)
     modelo = read_table(
         ctx.spark, ctx.catalog, Layer.DOMAIN, "m_modelo_atencion", registry=ctx.registry
+    )
+    eje = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "m_eje_territorial", registry=ctx.registry
     )
     enriched = (
         asignacion.filter((F.col("es_activo") == 1) & (F.col("es_eliminado") == 0))
@@ -59,6 +65,7 @@ def job_dim_cliente_lite(ctx: JobContext) -> None:
             F.col("mam.id_cliente"),
             F.col("mm.id_modulo"),
             F.col("mam.frecuencia_visita"),
+            F.col("mam.periodo_visita"),
             F.col("mma.desc_modelo_atencion").alias("modelo_atencion"),
             F.col("mm.fecha_creacion"),
         )
@@ -83,13 +90,49 @@ def job_dim_cliente_lite(ctx: JobContext) -> None:
             (F.col("c.id_cliente") == F.col("a.id_cliente")) & (F.col("a.orden") == 1),
             "left",
         )
+        .join(
+            F.broadcast(eje.select("id_eje_territorial", "cod_eje_territorial")).alias(
+                "met"
+            ),
+            F.col("c.id_eje_territorial") == F.col("met.id_eje_territorial"),
+            "left",
+        )
         .select(
             F.col("c.id_cliente"),
             F.col("c.id_pais"),
+            F.col("c.id_sucursal"),
+            # the best assignment's module IS the serving structure pointer
+            # (dim_cliente.py:79)
+            F.col("a.id_modulo").alias("id_estructura_comercial"),
+            F.col("c.id_clasificacion_cliente"),
+            F.col("c.id_eje_territorial"),
+            F.col("c.id_lista_precio"),
+            F.col("c.cod_cliente"),
             F.col("c.nomb_cliente"),
-            F.col("a.id_modulo"),
+            F.col("c.cod_segmento"),
+            F.col("c.desc_subsegmento"),
+            F.col("c.cod_cliente_ref"),
+            F.col("c.cod_cliente_ref2"),
+            F.col("c.cod_cliente_ref3"),
+            F.col("c.cod_cliente_ref4"),
+            F.col("c.cod_tipo_cliente"),
+            F.col("c.cod_cuenta_clave"),
+            F.col("c.nomb_cuenta_clave"),
+            F.col("c.desc_canal_local"),
+            F.col("c.desc_giro_local"),
+            F.col("c.direccion"),
+            F.col("c.nro_documento"),
+            F.col("c.cod_cliente_principal"),
+            F.col("c.cod_cliente_transferencia"),
+            F.col("met.cod_eje_territorial"),
+            F.col("c.coord_x").alias("coordx"),
+            F.col("c.coord_y").alias("coordy"),
             F.col("a.modelo_atencion"),
             F.col("a.frecuencia_visita"),
+            F.col("a.periodo_visita"),
+            F.col("c.fecha_creacion"),
+            F.col("c.fecha_baja"),
+            F.col("c.estado"),
         )
     )
     out = cast_projection(
@@ -97,10 +140,37 @@ def job_dim_cliente_lite(ctx: JobContext) -> None:
         [
             ("id_cliente", "string"),
             ("id_pais", "string"),
+            ("id_sucursal", "string"),
+            ("id_estructura_comercial", "string"),
+            ("id_clasificacion_cliente", "string"),
+            ("id_eje_territorial", "string"),
+            ("id_lista_precio", "string"),
+            ("cod_cliente", "string"),
             ("nomb_cliente", "string"),
-            ("id_modulo", "string"),
+            ("cod_segmento", "string"),
+            ("desc_subsegmento", "string"),
+            ("cod_cliente_ref", "string"),
+            ("cod_cliente_ref2", "string"),
+            ("cod_cliente_ref3", "string"),
+            ("cod_cliente_ref4", "string"),
+            ("cod_tipo_cliente", "string"),
+            ("cod_cuenta_clave", "string"),
+            ("nomb_cuenta_clave", "string"),
+            ("desc_canal_local", "string"),
+            ("desc_giro_local", "string"),
+            ("direccion", "string"),
+            ("nro_documento", "string"),
+            ("cod_cliente_principal", "string"),
+            ("cod_cliente_transferencia", "string"),
+            ("cod_eje_territorial", "string"),
+            ("coordx", "string"),
+            ("coordy", "string"),
             ("modelo_atencion", "string"),
             ("frecuencia_visita", "string"),
+            ("periodo_visita", "string"),
+            ("fecha_creacion", "timestamp"),
+            ("fecha_baja", "date"),
+            ("estado", "string"),
         ],
     )
     merge_upsert(

@@ -411,7 +411,12 @@ def job_m_cliente_lite(ctx: JobContext) -> None:
       sucursal, any other client matches on the assignment's sucursal;
     - the **filtered-left-join** on tipo_cliente restricted to
       ``lower(tipo) IN (a, v, t)`` (`m_cliente.py:53-58`), with the W1
-      ``orden == 1`` coordinate pick joined by rank predicate (J7).
+      ``orden == 1`` coordinate pick joined by rank predicate (J7);
+    - the full attribute surface (`:91-155`): cuenta-clave / canal / giro
+      broadcast enrichments, the null-guarded ``id_eje_territorial`` mint
+      from the postal code (`:105-117`), the 'SG'-infixed
+      ``id_clasificacion_cliente`` (`:118-124`), lit(None) placeholder
+      columns, and the coalesce defaults (tipo → 'N', principal → 0).
     """
     cli = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_cliente", registry=ctx.registry)
     asg = read_table(
@@ -422,6 +427,11 @@ def job_m_cliente_lite(ctx: JobContext) -> None:
     )
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
     pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    cuenta = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_cuenta_clave", registry=ctx.registry
+    )
+    canal = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_canal", registry=ctx.registry)
+    giro = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_giro", registry=ctx.registry)
 
     coords = top1_per_group(
         cli.alias("mcl")
@@ -470,35 +480,128 @@ def job_m_cliente_lite(ctx: JobContext) -> None:
             & (F.col("co.orden") == 1),
             "left",
         )
+        .join(
+            F.broadcast(cuenta).alias("cc"),
+            (F.col("mc.cod_compania") == F.col("cc.cod_compania"))
+            & (F.col("mc.cod_cuenta_clave") == F.col("cc.cod_cuenta_clave")),
+            "left",
+        )
+        .join(
+            F.broadcast(canal).alias("cn"),
+            (F.col("cn.cod_compania") == F.col("mc.cod_compania"))
+            & (F.col("cn.cod_canal") == F.col("mc.cod_canal")),
+            "left",
+        )
+        .join(
+            F.broadcast(giro).alias("g"),
+            (F.col("g.cod_compania") == F.col("mc.cod_compania"))
+            & (F.col("g.cod_giro") == F.col("mc.cod_giro")),
+            "left",
+        )
         .join(F.broadcast(conformed).alias("c"), ["cod_compania"], "inner")
         .select(
             surrogate_key(F.col("mc.cod_compania"), F.col("mc.cod_cliente")).alias(
                 "id_cliente"
             ),
+            F.lit(None).cast("string").alias("id_cliente_ref"),
+            F.lit(None).cast("string").alias("id_cliente_ref2"),
             F.col("c.id_pais").alias("id_pais"),
             F.col("mc.cod_compania"),
             F.col("mc.cod_sucursal"),
+            surrogate_key(F.col("mc.cod_compania"), F.col("mc.cod_sucursal")).alias(
+                "id_sucursal"
+            ),
+            # null-guarded territorial pointer (m_cliente.py:105-117): empty
+            # or absent postal code → NULL, else pais|postal
+            F.when(
+                F.col("mc.cod_zona_postal").isNull()
+                | (F.col("mc.cod_zona_postal") == ""),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(
+                surrogate_key(
+                    F.trim(F.col("c.id_pais")),
+                    F.coalesce(F.col("mc.cod_zona_postal"), F.lit("0")),
+                )
+            )
+            .alias("id_eje_territorial"),
+            # 'SG'-infixed classification pointer (m_cliente.py:118-124) —
+            # matches the subgiro level m_clasificacion_cliente mints
+            surrogate_key(
+                F.col("mc.cod_compania"), F.lit("SG"), F.col("mc.cod_subgiro")
+            ).alias("id_clasificacion_cliente"),
+            surrogate_key(F.col("mc.cod_compania"), F.col("mc.cod_lista_precio")).alias(
+                "id_lista_precio"
+            ),
             F.col("mc.cod_cliente"),
             F.col("mc.nomb_cliente"),
+            F.col("cc.cod_cuenta_clave"),
+            F.col("cc.descripcion").alias("nomb_cuenta_clave"),
+            F.lit(None).cast("string").alias("cod_segmento"),
+            F.lit(None).cast("string").alias("desc_subsegmento"),
+            F.lit(None).cast("string").alias("cod_cliente_ref"),
+            F.lit(None).cast("string").alias("cod_cliente_ref2"),
+            F.lit(None).cast("string").alias("cod_cliente_ref3"),
+            F.lit(None).cast("string").alias("cod_cliente_ref4"),
+            F.col("cn.desc_canal").alias("desc_canal_local"),
+            F.col("g.desc_giro").alias("desc_giro_local"),
+            F.col("mc.direccion"),
+            F.col("mc.tipo_documento_identidad").alias("tipo_documento"),
+            F.col("mc.nro_documento_identidad").alias("nro_documento"),
             F.col("tc.tipo_cliente"),
+            F.coalesce(F.col("tc.tipo_cliente"), F.lit("N")).alias("cod_tipo_cliente"),
+            F.coalesce(F.col("mc.cod_cliente_principal"), F.lit("0")).alias(
+                "cod_cliente_principal"
+            ),
+            F.lit(None).cast("string").alias("cod_cliente_transferencia"),
             F.col("co.coord_x"),
             F.col("co.coord_y"),
+            F.lit(None).cast("date").alias("fecha_baja"),
             F.col("mc.es_activo"),
+            F.col("mc.es_activo").alias("estado"),
+            F.col("mc.fecha_creacion"),
+            F.col("mc.fecha_modificacion"),
         )
     )
     out = cast_projection(
         out,
         [
             ("id_cliente", "string"),
+            ("id_cliente_ref", "string"),
+            ("id_cliente_ref2", "string"),
             ("id_pais", "string"),
             ("cod_compania", "string"),
             ("cod_sucursal", "string"),
+            ("id_sucursal", "string"),
+            ("id_eje_territorial", "string"),
+            ("id_clasificacion_cliente", "string"),
+            ("id_lista_precio", "string"),
             ("cod_cliente", "string"),
             ("nomb_cliente", "string"),
+            ("cod_cuenta_clave", "string"),
+            ("nomb_cuenta_clave", "string"),
+            ("cod_segmento", "string"),
+            ("desc_subsegmento", "string"),
+            ("cod_cliente_ref", "string"),
+            ("cod_cliente_ref2", "string"),
+            ("cod_cliente_ref3", "string"),
+            ("cod_cliente_ref4", "string"),
+            ("desc_canal_local", "string"),
+            ("desc_giro_local", "string"),
+            ("direccion", "string"),
+            ("tipo_documento", "string"),
+            ("nro_documento", "string"),
             ("tipo_cliente", "string"),
+            ("cod_tipo_cliente", "string"),
+            ("cod_cliente_principal", "string"),
+            ("cod_cliente_transferencia", "string"),
             ("coord_x", "string"),
             ("coord_y", "string"),
+            ("fecha_baja", "date"),
             ("es_activo", "string"),
+            ("estado", "string"),
+            ("fecha_creacion", "timestamp"),
+            ("fecha_modificacion", "timestamp"),
         ],
     )
     merge_upsert(

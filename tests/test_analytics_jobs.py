@@ -60,11 +60,41 @@ def _registry():
                 ("id_cliente", "string"),
                 ("id_pais", "string"),
                 ("nomb_cliente", "string"),
+                ("id_sucursal", "string"),
+                ("id_clasificacion_cliente", "string"),
+                ("id_eje_territorial", "string"),
+                ("id_lista_precio", "string"),
+                ("cod_cliente", "string"),
+                ("cod_segmento", "string"),
+                ("desc_subsegmento", "string"),
+                ("cod_cliente_ref", "string"),
+                ("cod_cliente_ref2", "string"),
+                ("cod_cliente_ref3", "string"),
+                ("cod_cliente_ref4", "string"),
+                ("cod_tipo_cliente", "string"),
+                ("cod_cuenta_clave", "string"),
+                ("nomb_cuenta_clave", "string"),
+                ("desc_canal_local", "string"),
+                ("desc_giro_local", "string"),
+                ("direccion", "string"),
+                ("nro_documento", "string"),
+                ("cod_cliente_principal", "string"),
+                ("cod_cliente_transferencia", "string"),
+                ("coord_x", "string"),
+                ("coord_y", "string"),
+                ("fecha_creacion", "timestamp"),
+                ("fecha_baja", "date"),
+                ("estado", "string"),
+            ],
+            "m_eje_territorial": [
+                ("id_eje_territorial", "string"),
+                ("cod_eje_territorial", "string"),
             ],
             "m_asignacion_modulo": [
                 ("id_cliente", "string"),
                 ("id_modulo", "string"),
                 ("frecuencia_visita", "string"),
+                ("periodo_visita", "string"),
                 ("es_activo", "int"),
                 ("es_eliminado", "int"),
             ],
@@ -91,21 +121,42 @@ def _registry():
 
 def _seed_domain(spark, lake):
     ts = dt.datetime(2025, 4, 1)
+    def _cli(cid, nomb, eje):
+        return {"id_cliente": cid, "id_pais": "PE", "nomb_cliente": nomb,
+                "id_sucursal": "10|01", "id_clasificacion_cliente": "10|SG|SG1",
+                "id_eje_territorial": eje, "id_lista_precio": "10|LP1",
+                "cod_cliente": cid.split("|")[1], "cod_tipo_cliente": "A",
+                "direccion": "AV 1", "nro_documento": "123",
+                "cod_cliente_principal": "0", "coord_x": "x", "coord_y": "y",
+                "fecha_creacion": ts, "estado": "T"}
     clientes = spark.createDataFrame(
-        [("10|C1", "PE", "CLIENTE UNO"), ("10|C2", "PE", "CLIENTE DOS")],
-        "id_cliente string, id_pais string, nomb_cliente string",
+        [_cli("10|C1", "CLIENTE UNO", "PE|15074"), _cli("10|C2", "CLIENTE DOS", None)],
+        "id_cliente string, id_pais string, nomb_cliente string, "
+        "id_sucursal string, id_clasificacion_cliente string, "
+        "id_eje_territorial string, id_lista_precio string, cod_cliente string, "
+        "cod_segmento string, desc_subsegmento string, cod_cliente_ref string, "
+        "cod_cliente_ref2 string, cod_cliente_ref3 string, cod_cliente_ref4 string, "
+        "cod_tipo_cliente string, cod_cuenta_clave string, nomb_cuenta_clave string, "
+        "desc_canal_local string, desc_giro_local string, direccion string, "
+        "nro_documento string, cod_cliente_principal string, "
+        "cod_cliente_transferencia string, coord_x string, coord_y string, "
+        "fecha_creacion timestamp, fecha_baja date, estado string",
+    )
+    eje = spark.createDataFrame(
+        [("PE|15074", "15074")],
+        "id_eje_territorial string, cod_eje_territorial string",
     )
     asign = spark.createDataFrame(
         [
             # C1: Televenta (prio 4) module newer, Pre Venta (prio 1) → Pre Venta wins
-            ("10|C1", "M1", "S1", 1, 0),
-            ("10|C1", "M2", "S2", 1, 0),
+            ("10|C1", "M1", "S1", "P1", 1, 0),
+            ("10|C1", "M2", "S2", "P2", 1, 0),
             # C1: inactive Especializado must be ignored
-            ("10|C1", "M3", "S3", 0, 0),
+            ("10|C1", "M3", "S3", "P3", 0, 0),
             # C2: no assignment rows at all (left join → nulls)
         ],
         "id_cliente string, id_modulo string, frecuencia_visita string, "
-        "es_activo int, es_eliminado int",
+        "periodo_visita string, es_activo int, es_eliminado int",
     )
     modulos = spark.createDataFrame(
         [("M1", "MA_TV", ts), ("M2", "MA_PV", ts - dt.timedelta(days=9)),
@@ -127,6 +178,7 @@ def _seed_domain(spark, lake):
         "imp_venta decimal(38,12), es_eliminado int",
     )
     clientes.write.parquet(lake.table_path(Layer.DOMAIN, "m_cliente"))
+    eje.write.parquet(lake.table_path(Layer.DOMAIN, "m_eje_territorial"))
     asign.write.parquet(lake.table_path(Layer.DOMAIN, "m_asignacion_modulo"))
     modulos.write.parquet(lake.table_path(Layer.DOMAIN, "m_modulo"))
     modelos.write.parquet(lake.table_path(Layer.DOMAIN, "m_modelo_atencion"))
@@ -156,8 +208,12 @@ def test_analytics_layer_run(spark, lake):
     dim = {r["id_cliente"]: r for r in spark.read.parquet(
         lake.table_path(Layer.ANALYTICS, "dim_cliente")).collect()}
     assert dim["10|C1"]["modelo_atencion"] == "Pre Venta"  # priority ladder
-    assert dim["10|C1"]["id_modulo"] == "M2"
-    assert dim["10|C2"]["id_modulo"] is None               # left join preserved
+    assert dim["10|C1"]["id_estructura_comercial"] == "M2"
+    assert dim["10|C2"]["id_estructura_comercial"] is None  # left join preserved
+    assert dim["10|C1"]["cod_eje_territorial"] == "15074"  # territorial resolve
+    assert dim["10|C2"]["cod_eje_territorial"] is None
+    assert dim["10|C1"]["periodo_visita"] == "P2"
+    assert dim["10|C1"]["coordx"] == "x"
 
     fact = {(r["id_periodo"], r["cod_cliente"]): r for r in spark.read.parquet(
         lake.table_path(Layer.ANALYTICS, "fact_venta_resumen")).collect()}

@@ -55,8 +55,15 @@ def test_full_52_job_pipeline(spark, tmp_path):
     cli = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "dim_cliente")).collect()
     assert len(cli) == 1
     assert cli[0]["id_cliente"] == "10|C1"
-    assert cli[0]["id_modulo"] == "10|01|F1|M1"
+    assert cli[0]["id_estructura_comercial"] == "10|01|F1|M1"
     assert cli[0]["modelo_atencion"] == "Pre Venta"
+    # the attribute surface resolved through the widened m_cliente: the
+    # postal-minted territorial pointer matched a real m_eje_territorial row
+    assert cli[0]["id_eje_territorial"] == "PE|15074"
+    assert cli[0]["cod_eje_territorial"] == "15074"
+    assert cli[0]["nomb_cuenta_clave"] == "CUENTA CLAVE AJE"
+    assert cli[0]["desc_canal_local"] == "BODEGA"
+    assert cli[0]["desc_giro_local"] == "ABARROTES"
 
     # the delivery fact stitched order ⋈ fulfillment ⋈ delivery headers —
     # BOTH left joins must have matched (carrier from t_reparto, client and

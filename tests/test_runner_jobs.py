@@ -742,7 +742,20 @@ def test_m_cliente_branch_join_and_filtered_type(spark, lake):
     reg = SchemaRegistry({
         "m_cliente": [("cod_compania", "string"), ("cod_sucursal", "string"),
                        ("cod_cliente", "string"), ("nomb_cliente", "string"),
-                       ("es_activo", "string")],
+                       ("es_activo", "string"), ("cod_cuenta_clave", "string"),
+                       ("cod_canal", "string"), ("cod_giro", "string"),
+                       ("cod_subgiro", "string"), ("cod_zona_postal", "string"),
+                       ("cod_lista_precio", "string"), ("direccion", "string"),
+                       ("tipo_documento_identidad", "string"),
+                       ("nro_documento_identidad", "string"),
+                       ("cod_cliente_principal", "string"),
+                       ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
+        "m_cuenta_clave": [("cod_compania", "string"), ("cod_cuenta_clave", "string"),
+                            ("descripcion", "string")],
+        "m_canal": [("cod_compania", "string"), ("cod_canal", "string"),
+                     ("desc_canal", "string")],
+        "m_giro": [("cod_compania", "string"), ("cod_giro", "string"),
+                    ("desc_giro", "string")],
         "m_asignacion_modulo": [("cod_compania", "string"), ("cod_sucursal", "string"),
                                  ("cod_cliente", "string"), ("cod_fuerza_venta", "string"),
                                  ("coord_x", "string"), ("coord_y", "string")],
@@ -753,14 +766,33 @@ def test_m_cliente_branch_join_and_filtered_type(spark, lake):
                         ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
         "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
     })
+    ts0 = dt.datetime(2025, 3, 1)
     spark.createDataFrame(
         [
-            ("10", "00", "C1", "CENTRAL", "T"),   # '00': takes any sucursal's assignment
-            ("10", "01", "C2", "SUCURSAL", "T"),  # non-'00': own sucursal only
+            # '00': takes any sucursal's assignment; full attribute row
+            ("10", "00", "C1", "CENTRAL", "T", "K1", "CN1", "G9", "SG1",
+             "15074", "LP1", "AV LIMA 123", "DNI", "44556677", None, ts0, ts0),
+            # non-'00': own sucursal only; empty postal code → NULL eje
+            ("10", "01", "C2", "SUCURSAL", "T", None, None, None, "SG2",
+             "", "LP2", None, None, None, "C9", ts0, ts0),
         ],
         "cod_compania string, cod_sucursal string, cod_cliente string, "
-        "nomb_cliente string, es_activo string",
+        "nomb_cliente string, es_activo string, cod_cuenta_clave string, "
+        "cod_canal string, cod_giro string, cod_subgiro string, "
+        "cod_zona_postal string, cod_lista_precio string, direccion string, "
+        "tipo_documento_identidad string, nro_documento_identidad string, "
+        "cod_cliente_principal string, fecha_creacion timestamp, "
+        "fecha_modificacion timestamp",
     ).write.parquet(lake.table_path(Layer.STAGE, "m_cliente", "pe01"))
+    spark.createDataFrame(
+        [("10", "K1", "CUENTA CLAVE AJE")],
+        "cod_compania string, cod_cuenta_clave string, descripcion string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_cuenta_clave", "pe01"))
+    spark.createDataFrame(
+        [("10", "CN1", "BODEGA")],
+        "cod_compania string, cod_canal string, desc_canal string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_canal", "pe01"))
+    # m_giro deliberately NOT seeded → empty fallback, desc_giro_local null
     spark.createDataFrame(
         [
             ("10", "00", "C1", "FV2", "x1", "y1"),
@@ -796,6 +828,23 @@ def test_m_cliente_branch_join_and_filtered_type(spark, lake):
     assert rows["C1"]["tipo_cliente"] == "A"      # a/v/t passes the filter
     assert rows["C2"]["coord_x"] == "x2"          # own-sucursal assignment only
     assert rows["C2"]["tipo_cliente"] is None     # 'n' excluded by join filter
+    # attribute surface (m_cliente.py:91-155)
+    c1, c2 = rows["C1"], rows["C2"]
+    assert c1["id_sucursal"] == "10|00"
+    assert c1["id_eje_territorial"] == "PE|15074"
+    assert c2["id_eje_territorial"] is None       # empty postal → null guard
+    assert c1["id_clasificacion_cliente"] == "10|SG|SG1"
+    assert c1["id_lista_precio"] == "10|LP1"
+    assert c1["cod_cuenta_clave"] == "K1"
+    assert c1["nomb_cuenta_clave"] == "CUENTA CLAVE AJE"
+    assert c1["desc_canal_local"] == "BODEGA"
+    assert c1["desc_giro_local"] is None          # unseeded m_giro → empty fallback
+    assert c1["nro_documento"] == "44556677"
+    assert c1["cod_tipo_cliente"] == "A"
+    assert c2["cod_tipo_cliente"] == "N"          # coalesce default
+    assert c1["cod_cliente_principal"] == "0"     # coalesce default
+    assert c2["cod_cliente_principal"] == "C9"
+    assert c1["estado"] == "T" and c1["fecha_baja"] is None
 
 
 def test_t_reparto_latest_movement(spark, lake):

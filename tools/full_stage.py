@@ -143,8 +143,19 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
     # ---- clients ----------------------------------------------------------
     "m_cliente": (
         "cod_compania string, cod_sucursal string, cod_cliente string, "
-        "nomb_cliente string, es_activo string",
-        [("10", "01", "C1", "BODEGA CENTRAL", "T")],
+        "nomb_cliente string, es_activo string, cod_cuenta_clave string, "
+        "cod_canal string, cod_giro string, cod_subgiro string, "
+        "cod_zona_postal string, cod_lista_precio string, direccion string, "
+        "tipo_documento_identidad string, nro_documento_identidad string, "
+        "cod_cliente_principal string, fecha_creacion timestamp, "
+        "fecha_modificacion timestamp",
+        [("10", "01", "C1", "BODEGA CENTRAL", "T", "K1", "CN1", "G1", "SG1",
+          "15074", "LP1", "AV LIMA 123", "DNI", "44556677", None, TS, TS)],
+        "pe01",
+    ),
+    "m_cuenta_clave": (
+        "cod_compania string, cod_cuenta_clave string, descripcion string",
+        [("10", "K1", "CUENTA CLAVE AJE")],
         "pe01",
     ),
     "m_tipo_cliente": (
