@@ -1,0 +1,87 @@
+"""Physical-plan contracts for the driver-contract queries.
+
+Correctness tests prove the VALUES; these prove the PLANS — the properties
+that decide whether a query survives a 100× scale-up: filters reaching the
+parquet scan, column pruning, small dims broadcast instead of shuffled,
+map-side partial aggregation, no accidental cartesian/nested-loop joins,
+and the rolling-window rewrite actually removing shuffles. A regression in
+any of these keeps tests green at sf0.001 while quietly wrecking the
+1000-executor plan, so they are pinned here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdk_datalake_analytics_comercial_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_or_nested_loop_join(spark, name):
+    """No query may degenerate into CartesianProduct/BroadcastNestedLoopJoin
+    — the two shapes that are quadratic at scale. Every non-equi predicate
+    (range self-joins, when()-in-key, LSH band matches) must ride on an
+    extractable equi component."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_period_filter_pushdown_and_column_pruning(spark):
+    """The sargable period rewrite reaches the parquet scan as a range and
+    unused wide columns (l_comment) are pruned from ReadSchema."""
+    plan = _plan(spark, "period_pruned_sales")
+    assert "PushedFilters: [" in plan
+    # upper bound plans as LessThan(next-month) or LessThanOrEqual(last-day)
+    assert "GreaterThanOrEqual" in plan and "LessThan" in plan
+    assert "l_comment" not in plan
+
+
+def test_small_dims_broadcast(spark):
+    """Star-join enrichments must broadcast the dims, never shuffle the fact
+    side: ≥1 BroadcastHashJoin in brand_revenue, all 3 dim joins broadcast
+    in sales_enrichment, and no SortMergeJoin anywhere in either."""
+    br = _plan(spark, "brand_revenue")
+    se = _plan(spark, "sales_enrichment")
+    assert br.count("BroadcastHashJoin") >= 1
+    assert se.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in se
+
+
+def test_partial_aggregation_split(spark):
+    """pricing_summary must show the map-side combine: a partial
+    HashAggregate below the exchange and a final one above (2 nodes), plus
+    the scan-level filter pushdown."""
+    plan = _plan(spark, "pricing_summary")
+    assert plan.count("HashAggregate") == 2
+    assert "PushedFilters: [" in plan
+
+
+def test_rolling_window_rewrite_halves_shuffles(spark):
+    """The rangeBetween window form of the rolling 3-month metric must plan
+    strictly fewer exchanges than the reference's range self-join form —
+    that delta is the point of the rewrite (J5 → W, SCALE.md)."""
+    join_form = _plan(spark, "rolling_3m").count("Exchange")
+    window_form = _plan(spark, "rolling_3m_window").count("Exchange")
+    assert window_form < join_form
+    assert window_form <= 3
+
+
+def test_hash_sample_is_shuffle_free(spark):
+    """Deterministic md5-threshold sampling is a pure partition-local
+    filter: zero exchanges in the plan."""
+    assert _plan(spark, "stratified_sample").count("Exchange") == 0
+
+
+def test_quantiles_single_shuffle(spark):
+    """Grouped exact percentiles: one exchange on the group key, partial +
+    final aggregate pair."""
+    plan = _plan(spark, "doc_quantiles")
+    assert plan.count("Exchange") == 1
+    assert plan.count("ObjectHashAggregate") == 2
