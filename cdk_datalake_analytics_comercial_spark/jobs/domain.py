@@ -1093,69 +1093,314 @@ def job_t_venta_detalle_lite(ctx: JobContext) -> None:
 
 @DOMAIN_JOBS.register("t_pedido_lite")
 def job_t_pedido_lite(ctx: JobContext) -> None:
-    """Order fact with the ADES-channel merge (`code/domain/t_pedido.py`
-    structure): the ADES mirror table renames columns, rows already present
-    in the main pedido set are dropped with a left_anti on the surrogate id
-    (`t_pedido.py:352-359`), the remainder unions in by name
-    (`t_pedido.py:362`), then period filter + dynamic overwrite."""
+    """Order fact with the ADES-channel merge (`code/domain/t_pedido.py`),
+    full reference shape:
+
+    - TWO header branches — the main '200' documents (`:52-122`) and the
+      ADES mirror with renamed business keys ('200'/'300',
+      cod_documento_transaccion / nro_comprobante, `:124-192`) — each
+      walking the same ladder as t_venta: compania+moneda bridge, zona →
+      división (keyed by tp.cod_centro_distribucion here, `:68-73`) →
+      región/subregión with DEFAULT coalescing, and the day's exchange-rate
+      row on fecha_pedido (`:87-94`; orders carry no currency, so the rate
+      resolves from mtc.cod_moneda alone, `:119-120`);
+    - the DETAIL pre-aggregation (`:194-268`): per (documento, cliente) the
+      detail's attributes collapse A4-style (max) and mint the 5-part
+      ``id_pedido`` WITH the client — several clients can share one
+      document, so the detail, not the header, owns the order identity;
+    - header ⋈ detail-agg inner join per branch (`:270-350`), ADES rows
+      already present dropped with a left_anti on id_pedido (`:352-359`),
+      remainder unions by name (`:362`), wide cast with the lit(None)
+      placeholder block (id_visita, id_modelo_atencion, id_supervisor,
+      id_jefe_venta, nro_pedido_ref, cod_tipo_atencion)."""
     pedido = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido", registry=ctx.registry
     )
     ades = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido_ades", registry=ctx.registry
     )
+    det = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido_detalle",
+        registry=ctx.registry,
+    )
+    ades_det = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido_ades_detalle",
+        registry=ctx.registry,
+    )
+    m_compania = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
+    )
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    m_parametro = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_parametro", registry=ctx.registry
+    )
+    m_tipo_cambio = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_cambio", registry=ctx.registry
+    )
+    m_zona = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_zona", registry=ctx.registry)
+    m_region = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_region", registry=ctx.registry
+    )
+    m_subregion = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_subregion", registry=ctx.registry
+    )
+    m_division = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_division", registry=ctx.registry
+    )
 
-    def conform(df, doc_col: str, nro_col: str, canal: str):
-        # the reference's order identity is 5-part WITH the client
-        # (`t_pedido.py:199`) — every producer of id_pedido in the engine
-        # mints this same shape so the fact joins resolve
-        return df.select(
-            surrogate_key(
-                F.col("cod_compania"), F.col("cod_sucursal"), F.col(doc_col),
-                F.col(nro_col), F.col("cod_cliente"),
-            ).alias("id_pedido"),
-            F.col("cod_compania"),
-            F.col("cod_sucursal"),
-            F.col(doc_col).alias("cod_documento_pedido"),
-            F.col(nro_col).alias("nro_documento_pedido"),
-            F.col("cod_cliente"),
-            # distribution zone rides along (`t_pedido.py:112`); ruta lives on
-            # the detail in the reference (`:213` max) — NULL at header grain
-            F.col("cod_zona_distribucion").alias("cod_zona"),
-            F.lit(None).alias("cod_ruta"),
-            F.date_format(F.col("fecha_pedido"), "yyyyMM").alias("id_periodo"),
-            F.col("fecha_pedido"),
-            F.lit(canal).alias("canal"),
+    compania = (
+        m_compania.alias("mc")
+        .join(
+            m_parametro.alias("mpar"),
+            F.col("mpar.id_compania") == F.col("mc.cod_compania"),
+            "left",
+        )
+        .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(
+            F.col("mc.cod_compania").alias("cod_compania"),
+            F.col("mc.cod_pais").alias("cod_pais"),
+            F.col("mp.id_pais").alias("id_pais"),
+            F.col("mpar.cod_moneda_mn").alias("moneda_mn"),
+        )
+    )
+
+    def header(df, doc_col, nro_col, doc_filter, origen_col):
+        return (
+            df.filter(doc_filter)
+            .filter(period_filter(F.col("fecha_pedido"), ctx.periods))
+            .alias("tp")
+            .join(F.broadcast(compania).alias("c"), ["cod_compania"], "inner")
+            .join(
+                F.broadcast(m_zona).alias("mzo"),
+                (F.col("mzo.cod_compania") == F.col("tp.cod_compania"))
+                & (F.col("mzo.cod_sucursal") == F.col("tp.cod_sucursal"))
+                & (F.col("mzo.cod_zona") == F.col("tp.cod_zona_distribucion")),
+                "left",
+            )
+            .join(
+                F.broadcast(m_division).alias("mcd"),
+                (F.col("mcd.cod_division") == F.col("tp.cod_centro_distribucion"))
+                & (F.col("mcd.cod_compania") == F.col("tp.cod_compania")),
+                "left",
+            )
+            .join(
+                F.broadcast(m_region).alias("mr"),
+                (F.col("mr.cod_pais") == F.col("c.cod_pais"))
+                & (F.col("mr.cod_region") == F.col("mzo.cod_region")),
+                "left",
+            )
+            .join(
+                F.broadcast(m_subregion).alias("msr"),
+                (F.col("msr.cod_pais") == F.col("c.cod_pais"))
+                & (F.col("msr.cod_region") == F.col("mzo.cod_region"))
+                & (F.col("msr.cod_subregion") == F.col("mzo.cod_subregion")),
+                "left",
+            )
+            .join(
+                F.broadcast(m_tipo_cambio).alias("mtc"),
+                (F.col("mtc.fecha") == F.col("tp.fecha_pedido"))
+                & (F.col("mtc.cod_compania") == F.col("tp.cod_compania"))
+                & (F.col("mtc.cod_moneda") == F.col("c.moneda_mn")),
+                "left",
+            )
+            .select(
+                F.col("c.id_pais"),
+                F.date_format(F.col("tp.fecha_pedido"), "yyyyMM").alias("id_periodo"),
+                F.col("tp.cod_compania").alias("id_compania"),
+                surrogate_key(F.col("tp.cod_compania"), F.col("tp.cod_sucursal")).alias(
+                    "id_sucursal"
+                ),
+                F.col(f"tp.{doc_col}").alias("cod_tipo_documento_pedido"),
+                surrogate_key(
+                    F.col("tp.cod_compania"),
+                    F.col("tp.cod_sucursal"),
+                    F.col(f"tp.{doc_col}"),
+                    F.col(f"tp.{nro_col}"),
+                ).alias("id_documento_pedido"),
+                surrogate_key(F.col("tp.cod_compania"), F.col(f"tp.{origen_col}")).alias(
+                    "id_origen_pedido"
+                ),
+                surrogate_key(F.col("tp.cod_compania"), F.col("tp.cod_tipo_pedido")).alias(
+                    "id_tipo_pedido"
+                ),
+                surrogate_key(
+                    F.col("tp.cod_compania"),
+                    F.col("tp.cod_sucursal"),
+                    F.col("tp.cod_fuerza_venta"),
+                ).alias("id_fuerza_venta"),
+                surrogate_key(F.col("tp.cod_compania"), F.col("tp.cod_vendedor")).alias(
+                    "id_vendedor"
+                ),
+                F.lit(None).cast("string").alias("id_supervisor"),
+                F.lit(None).cast("string").alias("id_jefe_venta"),
+                surrogate_key(
+                    F.col("tp.cod_compania"), F.col("tp.cod_condicion_pago")
+                ).alias("id_forma_pago"),
+                F.coalesce(F.col("mr.desc_region"), F.lit("REGION DEFAULT")).alias(
+                    "desc_region"
+                ),
+                F.coalesce(F.col("msr.desc_subregion"), F.lit("SUBREGION DEFAULT")).alias(
+                    "desc_subregion"
+                ),
+                F.col("mcd.desc_division"),
+                F.col("tp.cod_centro_distribucion").alias("cod_division"),
+                F.col("tp.cod_zona_distribucion").alias("cod_zona"),
+                F.col("tp.fecha_entrega"),
+                F.col("tp.fecha_pedido"),
+                F.col("tp.fecha_pedido").alias("fecha_visita"),
+                F.col("tp.fecha_creacion"),
+                F.col("tp.fecha_modificacion"),
+                F.lit(0).alias("es_eliminado"),
+                # orders carry no currency of their own — the rate row alone
+                # resolves both directions (t_pedido.py:119-120)
+                F.when(F.col("mtc.cod_moneda") == F.col("c.moneda_mn"), F.lit(1))
+                .otherwise(F.col("mtc.tc_venta"))
+                .alias("tipo_cambio_mn"),
+                F.when(F.col("mtc.cod_moneda").isin("DOL", "USD"), F.lit(1))
+                .otherwise(F.col("mtc.tc_venta"))
+                .alias("tipo_cambio_me"),
+            )
         )
 
-    main = conform(pedido, "cod_documento_pedido", "nro_documento_pedido", "GENERAL")
-    # ADES mirror uses renamed business keys (cod_documento_transaccion /
-    # nro_comprobante — FIXTURES.md ADES table spec)
-    extra = conform(ades, "cod_documento_transaccion", "nro_comprobante", "ADES")
-    extra_new = extra.join(main.select("id_pedido"), "id_pedido", "left_anti")
-    unioned = main.unionByName(extra_new).filter(
-        period_filter(F.col("fecha_pedido"), ctx.periods)
+    def detail_agg(df, doc_col, nro_col, lista_col, ruta_col, doc_filter):
+        return (
+            df.filter(doc_filter)
+            .select(
+                surrogate_key(
+                    F.col("cod_compania"), F.col("cod_sucursal"),
+                    F.col(doc_col), F.col(nro_col),
+                ).alias("id_documento_pedido"),
+                surrogate_key(
+                    F.col("cod_compania"), F.col("cod_sucursal"),
+                    F.col(doc_col), F.col(nro_col), F.col("cod_cliente"),
+                ).alias("id_pedido"),
+                surrogate_key(F.col("cod_compania"), F.col("cod_cliente")).alias(
+                    "id_cliente"
+                ),
+                F.col("cod_cliente"),
+                surrogate_key(F.col("cod_compania"), F.col(lista_col)).alias(
+                    "id_lista_precio"
+                ),
+                F.lit(None).cast("string").alias("id_pedido_ref"),
+                F.col(ruta_col).alias("cod_ruta"),
+                F.col("cod_modulo"),
+                surrogate_key(F.col(nro_col), F.col("cod_cliente")).alias("nro_pedido"),
+            )
+            .groupBy("id_documento_pedido", "id_cliente")
+            .agg(
+                F.max("nro_pedido").alias("nro_pedido"),
+                F.max("cod_cliente").alias("cod_cliente"),
+                F.max("cod_ruta").alias("cod_ruta"),
+                F.max("cod_modulo").alias("cod_modulo"),
+                F.max("id_lista_precio").alias("id_lista_precio"),
+                F.max("id_pedido").alias("id_pedido"),
+                F.max("id_pedido_ref").alias("id_pedido_ref"),
+            )
+        )
+
+    def stitch(hdr, dta):
+        return hdr.alias("tp").join(
+            dta.alias("tpd"),
+            F.col("tpd.id_documento_pedido") == F.col("tp.id_documento_pedido"),
+            "inner",
+        )
+
+    main = stitch(
+        header(
+            pedido, "cod_documento_pedido", "nro_documento_pedido",
+            F.col("cod_documento_pedido") == "200",
+            "cod_documento_pedido_origen",
+        ),
+        detail_agg(
+            det, "cod_documento_pedido", "nro_documento_pedido",
+            "cod_lista_precio", "cod_ruta",
+            F.col("cod_documento_pedido") == "200",
+        ),
     )
+    extra = stitch(
+        header(
+            ades, "cod_documento_transaccion", "nro_comprobante",
+            F.col("cod_documento_transaccion").isin("200", "300"),
+            "cod_tipo_documento_origen",
+        ),
+        detail_agg(
+            ades_det, "cod_documento_transaccion", "nro_comprobante",
+            "cod_lista_precios", "cod_ruta_distribucion",
+            F.col("cod_documento_transaccion").isin("200", "300"),
+        ),
+    )
+    combined_cols = [
+        F.col("tp.id_pais"), F.col("tp.id_periodo"), F.col("tpd.id_pedido"),
+        F.col("tpd.id_pedido_ref"), F.col("tp.id_compania"), F.col("tp.id_sucursal"),
+        F.col("tp.cod_tipo_documento_pedido"), F.col("tpd.id_cliente"),
+        F.col("tpd.cod_cliente"), F.col("tp.id_origen_pedido"),
+        F.col("tp.id_tipo_pedido"), F.col("tp.id_fuerza_venta"),
+        F.col("tp.id_vendedor"), F.col("tp.id_supervisor"), F.col("tp.id_jefe_venta"),
+        F.col("tpd.id_lista_precio"), F.col("tp.id_forma_pago"),
+        F.col("tp.desc_region"), F.col("tp.desc_subregion"), F.col("tp.desc_division"),
+        F.col("tp.cod_division"), F.col("tp.cod_zona"), F.col("tpd.cod_ruta"),
+        F.col("tpd.cod_modulo"), F.col("tpd.nro_pedido"), F.col("tp.fecha_pedido"),
+        F.col("tp.fecha_entrega"), F.col("tp.fecha_visita"),
+        F.col("tp.tipo_cambio_mn"), F.col("tp.tipo_cambio_me"),
+        F.col("tp.fecha_creacion"), F.col("tp.fecha_modificacion"),
+        F.col("tp.es_eliminado"),
+    ]
+    main = main.select(*combined_cols)
+    extra = extra.select(*combined_cols)
+    extra_new = extra.join(main.select("id_pedido"), "id_pedido", "left_anti")
+    unioned = main.unionByName(extra_new)
     out = cast_projection(
-        unioned,
+        unioned.select(
+            "*",
+            F.lit(None).cast("string").alias("id_visita"),
+            F.lit(None).cast("string").alias("id_modelo_atencion"),
+            F.lit(None).cast("string").alias("nro_pedido_ref"),
+            F.lit(None).cast("string").alias("cod_tipo_atencion"),
+        ),
         [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
             ("id_pedido", "string"),
-            ("cod_compania", "string"),
-            ("cod_sucursal", "string"),
-            ("cod_documento_pedido", "string"),
-            ("nro_documento_pedido", "string"),
+            ("id_pedido_ref", "string"),
+            ("id_compania", "string"),
+            ("id_sucursal", "string"),
+            ("cod_tipo_documento_pedido", "string"),
+            ("id_visita", "string"),
+            ("id_cliente", "string"),
             ("cod_cliente", "string"),
+            ("id_modelo_atencion", "string"),
+            ("id_origen_pedido", "string"),
+            ("id_tipo_pedido", "string"),
+            ("id_fuerza_venta", "string"),
+            ("id_vendedor", "string"),
+            ("id_supervisor", "string"),
+            ("id_jefe_venta", "string"),
+            ("id_lista_precio", "string"),
+            ("id_forma_pago", "string"),
+            ("desc_region", "string"),
+            ("desc_subregion", "string"),
+            ("desc_division", "string"),
+            ("cod_division", "string"),
             ("cod_zona", "string"),
             ("cod_ruta", "string"),
-            ("id_periodo", "string"),
+            ("cod_modulo", "string"),
+            ("nro_pedido", "string"),
+            ("nro_pedido_ref", "string"),
+            ("cod_tipo_atencion", "string"),
             ("fecha_pedido", "date"),
-            ("canal", "string"),
+            ("fecha_entrega", "date"),
+            ("fecha_visita", "date"),
+            ("tipo_cambio_mn", "numeric(38,12)"),
+            ("tipo_cambio_me", "numeric(38,12)"),
+            ("fecha_creacion", "timestamp"),
+            ("fecha_modificacion", "timestamp"),
+            ("es_eliminado", "int"),
         ],
     )
     write_table(
         out,
         ctx.catalog.table_path(Layer.DOMAIN, "t_pedido"),
-        partition_by=["id_periodo"],
+        partition_by=["id_pais", "id_periodo"],
     )
 
 

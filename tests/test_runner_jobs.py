@@ -401,49 +401,142 @@ def test_write_status_log(spark, lake, tmp_path):
 
 
 def test_t_pedido_ades_anti_union(spark, lake):
-    """ADES merge: overlapping surrogate key dropped, new ADES rows union in
-    (FIXTURES coverage: ADES ∩ pedido ≠ ∅ and ∖ ≠ ∅)."""
+    """Full t_pedido shape: '200' gate, detail pre-agg mints the 5-part
+    order id (several lines per document collapse A4-style), header⋈detail
+    stitch, ADES overlap dropped by the anti-join, new ADES rows union in
+    (FIXTURES coverage: ADES ∩ pedido ≠ ∅ and ∖ ≠ ∅); absent geography
+    masters resolve to the DEFAULT literals through the empty fallback."""
+    hdr_cols = [
+        ("cod_compania", "string"), ("cod_sucursal", "string"),
+        ("cod_cliente", "string"), ("cod_zona_distribucion", "string"),
+        ("fecha_pedido", "date"), ("cod_tipo_pedido", "string"),
+        ("cod_fuerza_venta", "string"), ("cod_vendedor", "string"),
+        ("cod_condicion_pago", "string"), ("cod_centro_distribucion", "string"),
+        ("fecha_entrega", "date"), ("fecha_creacion", "timestamp"),
+        ("fecha_modificacion", "timestamp"),
+    ]
     reg = SchemaRegistry({
         "t_documento_pedido": [
-            ("cod_compania", "string"), ("cod_sucursal", "string"),
             ("cod_documento_pedido", "string"), ("nro_documento_pedido", "string"),
-            ("cod_cliente", "string"), ("cod_zona_distribucion", "string"),
-            ("fecha_pedido", "date"),
+            ("cod_almacen", "string"), ("cod_documento_pedido_origen", "string"),
+            *hdr_cols,
         ],
         "t_documento_pedido_ades": [
+            ("cod_documento_transaccion", "string"), ("nro_comprobante", "string"),
+            ("cod_almacen_emisor", "string"), ("cod_tipo_documento_origen", "string"),
+            *hdr_cols,
+        ],
+        "t_documento_pedido_detalle": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_documento_pedido", "string"), ("nro_documento_pedido", "string"),
+            ("cod_cliente", "string"), ("cod_lista_precio", "string"),
+            ("cod_ruta", "string"), ("cod_modulo", "string"),
+        ],
+        "t_documento_pedido_ades_detalle": [
             ("cod_compania", "string"), ("cod_sucursal", "string"),
             ("cod_documento_transaccion", "string"), ("nro_comprobante", "string"),
-            ("cod_cliente", "string"), ("cod_zona_distribucion", "string"),
-            ("fecha_pedido", "date"),
+            ("cod_cliente", "string"), ("cod_lista_precios", "string"),
+            ("cod_ruta_distribucion", "string"), ("cod_modulo", "string"),
         ],
+        "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
+                        ("desc_compania", "string"), ("es_activo", "string"),
+                        ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
+        "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+        "m_parametro": [("id_compania", "string"), ("cod_moneda_mn", "string")],
+        "m_tipo_cambio": [("cod_compania", "string"), ("cod_moneda", "string"),
+                           ("fecha", "date"), ("tc_venta", "numeric(12,6)")],
+        "m_zona": [("cod_compania", "string"), ("cod_sucursal", "string"),
+                    ("cod_zona", "string"), ("cod_region", "string"),
+                    ("cod_subregion", "string")],
+        "m_region": [("cod_pais", "string"), ("cod_region", "string"),
+                      ("desc_region", "string")],
+        "m_subregion": [("cod_pais", "string"), ("cod_region", "string"),
+                         ("cod_subregion", "string"), ("desc_subregion", "string")],
+        "m_division": [("cod_compania", "string"), ("cod_division", "string"),
+                        ("desc_division", "string")],
     })
     d = dt.date(2025, 5, 2)
+    ts = dt.datetime(2025, 5, 2, 9)
+    hdr_tail = ("Z1", d, "TP1", "F1", "V9", "CP1", "D1", d, ts, ts)
     spark.createDataFrame(
-        [("10", "01", "200", "P1", "C1", "Z1", d), ("10", "01", "200", "P2", "C2", "Z1", d)],
-        "cod_compania string, cod_sucursal string, cod_documento_pedido string, "
-        "nro_documento_pedido string, cod_cliente string, cod_zona_distribucion string, "
-        "fecha_pedido date",
+        [
+            ("200", "P1", "AL1", "OR1", "10", "01", "C1", *hdr_tail),
+            ("200", "P2", "AL1", "OR1", "10", "01", "C2", *hdr_tail),
+            # non-'200' document class — gated out (t_pedido.py:54)
+            ("100", "PX", "AL1", "OR1", "10", "01", "C1", *hdr_tail),
+        ],
+        "cod_documento_pedido string, nro_documento_pedido string, cod_almacen string, "
+        "cod_documento_pedido_origen string, cod_compania string, cod_sucursal string, "
+        "cod_cliente string, cod_zona_distribucion string, fecha_pedido date, "
+        "cod_tipo_pedido string, cod_fuerza_venta string, cod_vendedor string, "
+        "cod_condicion_pago string, cod_centro_distribucion string, fecha_entrega date, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido", "pe01"))
     spark.createDataFrame(
         # P2 overlaps the main set (must be dropped); P9 is ADES-only
-        [("10", "01", "200", "P2", "C2", "Z1", d), ("10", "01", "200", "P9", "C9", "Z2", d)],
-        "cod_compania string, cod_sucursal string, cod_documento_transaccion string, "
-        "nro_comprobante string, cod_cliente string, cod_zona_distribucion string, "
-        "fecha_pedido date",
+        [("200", "P2", "AL1", "OR1", "10", "01", "C2", *hdr_tail),
+         ("200", "P9", "AL1", "OR1", "10", "01", "C9", *hdr_tail)],
+        "cod_documento_transaccion string, nro_comprobante string, "
+        "cod_almacen_emisor string, cod_tipo_documento_origen string, "
+        "cod_compania string, cod_sucursal string, cod_cliente string, "
+        "cod_zona_distribucion string, fecha_pedido date, cod_tipo_pedido string, "
+        "cod_fuerza_venta string, cod_vendedor string, cod_condicion_pago string, "
+        "cod_centro_distribucion string, fecha_entrega date, fecha_creacion timestamp, "
+        "fecha_modificacion timestamp",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_ades", "pe01"))
+    spark.createDataFrame(
+        [
+            # two lines of the same (document, client): must collapse to ONE
+            # order row, max() picking the representative attributes
+            ("10", "01", "200", "P1", "C1", "LP1", "R1", "M1"),
+            ("10", "01", "200", "P1", "C1", "LP1", "R7", "M1"),
+            ("10", "01", "200", "P2", "C2", "LP2", "R2", "M2"),
+        ],
+        "cod_compania string, cod_sucursal string, cod_documento_pedido string, "
+        "nro_documento_pedido string, cod_cliente string, cod_lista_precio string, "
+        "cod_ruta string, cod_modulo string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_detalle", "pe01"))
+    spark.createDataFrame(
+        [("10", "01", "200", "P2", "C2", "LP2", "R2", "M2"),
+         ("10", "01", "200", "P9", "C9", "LP9", "R9", "M9")],
+        "cod_compania string, cod_sucursal string, cod_documento_transaccion string, "
+        "nro_comprobante string, cod_cliente string, cod_lista_precios string, "
+        "cod_ruta_distribucion string, cod_modulo string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_ades_detalle", "pe01"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", ts, ts)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
 
     def mk(cfg):
         return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
 
     res = run_waves([JobConfig("domain", "t_pedido_lite", 1, periods=2)], DOMAIN_JOBS, mk)
     assert res[0].status == "succeeded", res[0].error
-    out = {r["id_pedido"]: r["canal"] for r in spark.read.parquet(
+    out = {r["id_pedido"]: r for r in spark.read.parquet(
         lake.table_path(Layer.DOMAIN, "t_pedido")).collect()}
-    assert out == {
-        "10|01|200|P1|C1": "GENERAL",
-        "10|01|200|P2|C2": "GENERAL",   # main wins over the ADES duplicate
-        "10|01|200|P9|C9": "ADES",
-    }
+    # the non-'200' header vanished; P1's two lines collapsed to one row
+    assert set(out) == {"10|01|200|P1|C1", "10|01|200|P2|C2", "10|01|200|P9|C9"}
+    p1 = out["10|01|200|P1|C1"]
+    assert p1["id_pais"] == "PE" and p1["id_periodo"] == "202505"
+    assert p1["id_cliente"] == "10|C1" and p1["cod_cliente"] == "C1"
+    assert p1["nro_pedido"] == "P1|C1"
+    assert p1["cod_ruta"] == "R7"                 # max() representative
+    assert p1["id_lista_precio"] == "10|LP1"
+    assert p1["id_vendedor"] == "10|V9"
+    assert p1["id_fuerza_venta"] == "10|01|F1"
+    assert p1["cod_tipo_documento_pedido"] == "200"
+    # absent geography masters → DEFAULT literals; no rate row → null fx
+    assert p1["desc_region"] == "REGION DEFAULT"
+    assert p1["desc_subregion"] == "SUBREGION DEFAULT"
+    assert p1["tipo_cambio_mn"] is None
+    assert p1["fecha_visita"] == d and p1["es_eliminado"] == 0
+    # ADES-only row carried its own detail attributes
+    assert out["10|01|200|P9|C9"]["id_lista_precio"] == "10|LP9"
 
 
 def test_t_venta_detalle_conditional_aggregates(spark, lake):

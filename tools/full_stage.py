@@ -329,15 +329,23 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
     "t_documento_pedido": (
         "cod_compania string, cod_sucursal string, cod_documento_pedido string, "
         "nro_documento_pedido string, cod_cliente string, cod_zona_distribucion string, "
-        "fecha_pedido date",
-        [("10", "01", "200", "N1", "C1", "Z1", MAY)],
+        "fecha_pedido date, cod_almacen string, cod_documento_pedido_origen string, "
+        "cod_tipo_pedido string, cod_fuerza_venta string, cod_vendedor string, "
+        "cod_condicion_pago string, cod_centro_distribucion string, "
+        "fecha_entrega date, fecha_creacion timestamp, fecha_modificacion timestamp",
+        [("10", "01", "200", "N1", "C1", "Z1", MAY, "AL1", "OR1", "TP1", "F1",
+          "V9", "CP1", "Z1", MAY, TS, TS)],
         "pe01",
     ),
     "t_documento_pedido_ades": (
         "cod_compania string, cod_sucursal string, cod_documento_transaccion string, "
         "nro_comprobante string, cod_cliente string, cod_zona_distribucion string, "
-        "fecha_pedido date",
-        [("10", "01", "300", "N3", "C1", "Z1", MAY)],
+        "fecha_pedido date, cod_almacen_emisor string, cod_tipo_documento_origen string, "
+        "cod_tipo_pedido string, cod_fuerza_venta string, cod_vendedor string, "
+        "cod_condicion_pago string, cod_centro_distribucion string, "
+        "fecha_entrega date, fecha_creacion timestamp, fecha_modificacion timestamp",
+        [("10", "01", "300", "N3", "C1", "Z1", MAY, "AL1", "OR1", "TP1", "F1",
+          "V9", "CP1", "Z1", MAY, TS, TS)],
         "pe01",
     ),
     "t_documento_pedido_detalle": (
@@ -346,9 +354,10 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
         "cod_articulo string, cod_procedimiento string, cod_zona string, cod_ruta string, "
         "cod_documento_almacen string, nro_documento_almacen string, fecha_pedido date, "
         "cant_paquete decimal(38,12), cant_unidad decimal(38,12), "
-        "cant_paquete_asignado decimal(38,12), cant_unidad_asignado decimal(38,12)",
+        "cant_paquete_asignado decimal(38,12), cant_unidad_asignado decimal(38,12), "
+        "cod_lista_precio string, cod_modulo string",
         [("10", "01", "AL1", "200", "N1", "C1", "A1", "P01", "Z1", "R1",
-          "GRA", "900", MAY, D("2"), D("10"), D("2"), D("0"))],
+          "GRA", "900", MAY, D("2"), D("10"), D("2"), D("0"), "LP1", "M1")],
         "pe01",
     ),
     "t_documento_pedido_ades_detalle": (
@@ -356,9 +365,10 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
         "cod_documento_transaccion string, nro_comprobante string, cod_cliente string, "
         "cod_articulo string, cod_procedimiento string, fecha_pedido date, "
         "cantidad_cajas decimal(38,12), cantidad_botellas decimal(38,12), "
-        "cantidad_cajas_asignada decimal(38,12), cantidad_botellas_asignada decimal(38,12)",
+        "cantidad_cajas_asignada decimal(38,12), cantidad_botellas_asignada decimal(38,12), "
+        "cod_lista_precios string, cod_ruta_distribucion string, cod_modulo string",
         [("10", "01", "AL1", "300", "N3", "C1", "A1", "P02", MAY,
-          D("1"), D("0"), D("0"), D("0"))],
+          D("1"), D("0"), D("0"), D("0"), "LP1", "R1", "M1")],
         "pe01",
     ),
     # ---- visits -----------------------------------------------------------
