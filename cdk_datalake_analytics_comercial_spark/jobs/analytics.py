@@ -344,56 +344,206 @@ def job_dim_estructura_comercial_lite(ctx: JobContext) -> None:
 
 @ANALYTICS_JOBS.register("fact_kpi_lite")
 def job_fact_kpi_lite(ctx: JobContext) -> None:
-    """Order-vs-sale KPI alignment (`code/analytics/fact_kpi_detalle.py:
-    98-161` shape): aggregate both domain facts per (pais, periodo,
-    cliente), FULL OUTER join them, coalesce the keys from whichever side
-    is present (J3 — the reference's null-key stitching), zero-fill the
-    measures, and derive a fulfillment ratio in double (exact decimal
-    inputs, one IEEE division)."""
-    pedido = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_pedido", registry=ctx.registry)
-    venta = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta", registry=ctx.registry)
+    """Order-vs-sale-vs-visit KPI fact — the reference's double full-outer
+    stitch at LINE grain (`code/analytics/fact_kpi_detalle.py`):
 
-    p = pedido.groupBy(
-        F.col("id_periodo").alias("p_periodo"), F.col("cod_cliente").alias("p_cliente")
-    ).agg(F.count("*").cast("bigint").alias("n_pedidos"))
-    v = (
-        venta.filter(F.col("es_eliminado") == 0)
-        .groupBy(
-            F.col("id_pais").alias("v_pais"),
-            F.col("id_periodo").alias("v_periodo"),
-            F.col("cod_cliente").alias("v_cliente"),
-        )
-        .agg(
-            F.count("*").cast("bigint").alias("n_ventas"),
-            F.sum(F.col("imp_venta").cast("decimal(38,12)")).alias("_imp_dec"),
+    - PEDIDO side (`:29-54`): '200' orders ⋈ their detail lines on
+      id_pedido → (pedido, articulo) grain with the header's id block and
+      the visit pointers aliased to their _pedido serving names;
+    - VENTA side (`:56-97`): the same orders ⋈ t_venta on id_pedido ⋈
+      t_venta_detalle on id_venta ⋈ m_tipo_venta restricted to VEN/PRO in
+      the join condition (J7), live documents only, CMD/RMD excluded; the
+      /30 package→unit-case conversion lands here (`:87,89`);
+    - FULL OUTER on (id_pedido, articulo == producto) (`:99-134`, J3) —
+      every id coalesces from whichever side exists;
+    - second FULL OUTER against t_visita on id_visita (`:136-161`) with the
+      reference's fallback chain: id_visita falls back to id_pedido,
+      fecha_pedido to fecha_visita, and the three id_cliente_visita_*
+      coalesce variants."""
+    pedido = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_pedido", registry=ctx.registry)
+    pedido_det = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "t_pedido_detalle", registry=ctx.registry
+    )
+    venta = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta", registry=ctx.registry)
+    venta_det = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta_detalle", registry=ctx.registry
+    )
+    visita = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_visita", registry=ctx.registry)
+    tipo_venta = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "m_tipo_venta", registry=ctx.registry
+    )
+
+    pedido = pedido.filter(F.col("id_periodo").isin(ctx.periods))
+    pedido_det = pedido_det.filter(F.col("id_periodo").isin(ctx.periods))
+
+    ped = (
+        pedido.alias("tp")
+        .join(pedido_det.alias("tpd"), F.col("tp.id_pedido") == F.col("tpd.id_pedido"), "inner")
+        .where(F.col("tp.cod_tipo_documento_pedido") == "200")
+        .select(
+            F.col("tp.id_pais"),
+            F.col("tp.id_pedido"),
+            F.col("tp.id_periodo"),
+            F.col("tp.id_sucursal"),
+            F.col("tp.id_cliente"),
+            F.col("tpd.id_articulo"),
+            F.col("tp.id_vendedor"),
+            F.col("tp.id_supervisor"),
+            F.col("tp.id_fuerza_venta"),
+            F.col("tp.id_modelo_atencion"),
+            F.col("tp.id_origen_pedido"),
+            F.col("tp.fecha_pedido"),
+            F.col("tp.cod_tipo_atencion"),
+            F.col("tp.id_visita").alias("id_visita_pedido"),
+            F.col("tp.id_cliente").alias("id_cliente_pedido"),
         )
     )
-    out = (
-        p.join(
-            v,
-            (F.col("p_periodo") == F.col("v_periodo"))
-            & (F.col("p_cliente") == F.col("v_cliente")),
+    ven = (
+        pedido.alias("tp")
+        .join(venta.alias("tv"), F.col("tp.id_pedido") == F.col("tv.id_pedido"), "inner")
+        .join(venta_det.alias("tvd"), F.col("tv.id_venta") == F.col("tvd.id_venta"), "inner")
+        .join(
+            F.broadcast(tipo_venta).alias("mtv"),
+            (F.col("tv.id_tipo_venta") == F.col("mtv.id_tipo_venta"))
+            & (F.upper(F.col("mtv.cod_tipo_operacion")).isin("VEN", "PRO")),
+            "inner",
+        )
+        .where(
+            (F.col("tp.cod_tipo_documento_pedido") == "200")
+            & (F.col("tv.es_eliminado") == 0)
+            & (~F.col("tv.cod_documento_venta").isin("CMD", "RMD"))
+        )
+        .select(
+            F.col("tv.id_pais"),
+            F.col("tv.id_sucursal"),
+            F.col("tp.id_periodo"),
+            F.col("tv.id_pedido"),
+            F.col("tv.id_cliente"),
+            F.col("tvd.id_producto"),
+            F.col("tvd.cant_caja_fisica_ven").alias("cant_cajafisica_vta"),
+            (F.col("tvd.cant_caja_volumen_ven") / 30).alias("cant_cajaunitaria_vta"),
+            F.col("tvd.cant_caja_fisica_pro").alias("cant_cajafisica_pro"),
+            (F.col("tvd.cant_caja_volumen_pro") / 30).alias("cant_cajaunitaria_pro"),
+            F.col("tvd.imp_neto_vta_mn"),
+            F.col("tvd.imp_neto_vta_me"),
+            F.col("tvd.imp_bruto_vta_mn"),
+            F.col("tvd.imp_bruto_vta_me"),
+            F.col("tv.id_cliente").alias("id_cliente_venta"),
+        )
+    )
+    resumen = (
+        ped.alias("tp")
+        .join(
+            ven.alias("tv"),
+            (F.col("tp.id_pedido") == F.col("tv.id_pedido"))
+            & (F.col("tp.id_articulo") == F.col("tv.id_producto")),
             "full",
         )
         .select(
-            F.coalesce(F.col("v_pais"), F.lit("XX")).alias("id_pais"),
-            F.coalesce(F.col("p_periodo"), F.col("v_periodo")).alias("id_periodo"),
-            F.coalesce(F.col("p_cliente"), F.col("v_cliente")).alias("cod_cliente"),
-            F.coalesce(F.col("n_pedidos"), F.lit(0)).cast("bigint").alias("n_pedidos"),
-            F.coalesce(F.col("n_ventas"), F.lit(0)).cast("bigint").alias("n_ventas"),
-            F.coalesce(F.col("_imp_dec"), F.lit(0)).cast("decimal(38,12)").alias("imp_venta"),
+            F.coalesce(F.col("tp.id_pais"), F.col("tv.id_pais")).alias("id_pais"),
+            F.coalesce(F.col("tp.id_periodo"), F.col("tv.id_periodo")).alias("id_periodo"),
+            F.coalesce(F.col("tp.id_pedido"), F.col("tv.id_pedido")).alias("id_pedido"),
+            F.coalesce(F.col("tp.id_sucursal"), F.col("tv.id_sucursal")).alias("id_sucursal"),
+            F.coalesce(F.col("tp.id_cliente"), F.col("tv.id_cliente")).alias("id_cliente"),
+            F.coalesce(F.col("tp.id_articulo"), F.col("tv.id_producto")).alias("id_articulo"),
+            F.col("tp.id_vendedor"),
+            F.col("tp.id_supervisor"),
+            F.col("tp.id_fuerza_venta"),
+            F.col("tp.id_modelo_atencion"),
+            F.col("tp.id_origen_pedido"),
+            F.col("tp.fecha_pedido"),
+            F.col("tp.id_visita_pedido").alias("id_visita"),
+            F.col("tp.id_visita_pedido"),
+            F.col("tp.id_cliente_pedido"),
+            F.col("tp.cod_tipo_atencion"),
+            F.col("tp.id_visita_pedido").alias("id_visita_venta"),
+            F.col("tv.id_cliente_venta"),
+            F.col("tv.cant_cajafisica_vta"),
+            F.col("tv.cant_cajaunitaria_vta"),
+            F.col("tv.cant_cajafisica_pro"),
+            F.col("tv.cant_cajaunitaria_pro"),
+            F.col("tv.imp_neto_vta_mn"),
+            F.col("tv.imp_neto_vta_me"),
+            F.col("tv.imp_bruto_vta_mn"),
+            F.col("tv.imp_bruto_vta_me"),
         )
-        .withColumn(
-            "ratio_cumplimiento",
-            F.when(
-                F.col("n_pedidos") > 0,
-                F.round(F.col("n_ventas").cast("double") / F.col("n_pedidos"), 6),
+    )
+    out = (
+        visita.alias("tv")
+        .join(
+            resumen.alias("tvpr"),
+            F.col("tvpr.id_visita") == F.col("tv.id_visita"),
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("tv.id_pais"), F.col("tvpr.id_pais")).alias("id_pais"),
+            F.coalesce(F.col("tv.id_periodo"), F.col("tvpr.id_periodo")).alias("id_periodo"),
+            F.coalesce(F.col("tv.id_sucursal"), F.col("tvpr.id_sucursal")).alias("id_sucursal"),
+            F.coalesce(F.col("tv.id_cliente"), F.col("tvpr.id_cliente")).alias("id_cliente"),
+            F.col("tvpr.id_articulo").alias("id_producto"),
+            F.col("tvpr.id_vendedor"),
+            F.col("tvpr.id_supervisor"),
+            F.col("tvpr.id_fuerza_venta"),
+            F.col("tvpr.id_modelo_atencion"),
+            F.col("tvpr.id_origen_pedido"),
+            F.coalesce(F.col("tvpr.fecha_pedido"), F.col("tv.fecha_visita")).alias(
+                "fecha_pedido"
             ),
+            F.col("tvpr.cod_tipo_atencion"),
+            F.coalesce(F.col("tv.id_visita"), F.col("tvpr.id_pedido")).alias("id_visita"),
+            F.col("tvpr.id_visita_pedido"),
+            F.col("tvpr.id_visita_venta"),
+            F.col("tv.id_cliente").alias("id_cliente_visita"),
+            F.coalesce(F.col("tv.id_cliente"), F.col("tvpr.id_cliente_pedido")).alias(
+                "id_cliente_visita_pedido"
+            ),
+            F.coalesce(F.col("tv.id_cliente"), F.col("tvpr.id_cliente_venta")).alias(
+                "id_cliente_visita_venta"
+            ),
+            F.col("tvpr.cant_cajafisica_vta"),
+            F.col("tvpr.cant_cajaunitaria_vta"),
+            F.col("tvpr.cant_cajafisica_pro"),
+            F.col("tvpr.cant_cajaunitaria_pro"),
+            F.col("tvpr.imp_neto_vta_mn"),
+            F.col("tvpr.imp_neto_vta_me"),
+            F.col("tvpr.imp_bruto_vta_mn"),
+            F.col("tvpr.imp_bruto_vta_me"),
         )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("id_sucursal", "string"),
+            ("id_cliente", "string"),
+            ("id_producto", "string"),
+            ("id_vendedor", "string"),
+            ("id_supervisor", "string"),
+            ("id_fuerza_venta", "string"),
+            ("id_modelo_atencion", "string"),
+            ("id_origen_pedido", "string"),
+            ("fecha_pedido", "date"),
+            ("cod_tipo_atencion", "string"),
+            ("id_visita", "string"),
+            ("id_visita_pedido", "string"),
+            ("id_visita_venta", "string"),
+            ("id_cliente_visita", "string"),
+            ("id_cliente_visita_pedido", "string"),
+            ("id_cliente_visita_venta", "string"),
+            ("cant_cajafisica_vta", "numeric(38,12)"),
+            ("cant_cajaunitaria_vta", "numeric(38,12)"),
+            ("cant_cajafisica_pro", "numeric(38,12)"),
+            ("cant_cajaunitaria_pro", "numeric(38,12)"),
+            ("imp_neto_vta_mn", "numeric(38,12)"),
+            ("imp_neto_vta_me", "numeric(38,12)"),
+            ("imp_bruto_vta_mn", "numeric(38,12)"),
+            ("imp_bruto_vta_me", "numeric(38,12)"),
+        ],
     )
     write_table(
         out,
-        ctx.catalog.table_path(Layer.ANALYTICS, "fact_kpi"),
+        ctx.catalog.table_path(Layer.ANALYTICS, "fact_kpi_detalle"),
         partition_by=["id_pais", "id_periodo"],
     )
 

@@ -298,44 +298,120 @@ def test_fact_cliente_venta_rolling(spark, lake):
 
 
 def test_fact_kpi_full_outer_all_cases(spark, lake):
-    """Full-outer stitch covers all three cases (FIXTURES coverage goal):
-    pedido-only, venta-only, both."""
+    """Double full-outer stitch at line grain (fact_kpi_detalle.py): ordered
+    +sold, ordered-only, sold-only (order header without that line), and a
+    visit that matched nothing — with the reference's id_visita → id_pedido
+    and fecha_pedido → fecha_visita fallbacks."""
+    D = Decimal
     reg = SchemaRegistry({
-        "t_pedido": [("id_pedido", "string"), ("id_periodo", "string"),
-                      ("cod_cliente", "string")],
-        "t_venta": [("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
-                     ("cod_cliente", "string"), ("imp_venta", "numeric(38,12)"),
-                     ("es_eliminado", "int")],
+        "t_pedido": [
+            ("id_pedido", "string"), ("id_pais", "string"), ("id_periodo", "string"),
+            ("id_sucursal", "string"), ("id_cliente", "string"),
+            ("cod_tipo_documento_pedido", "string"), ("id_vendedor", "string"),
+            ("id_supervisor", "string"), ("id_fuerza_venta", "string"),
+            ("id_modelo_atencion", "string"), ("id_origen_pedido", "string"),
+            ("fecha_pedido", "date"), ("cod_tipo_atencion", "string"),
+            ("id_visita", "string"),
+        ],
+        "t_pedido_detalle": [
+            ("id_pedido", "string"), ("id_periodo", "string"), ("id_articulo", "string"),
+        ],
+        "t_venta": [
+            ("id_venta", "string"), ("id_pedido", "string"), ("id_pais", "string"),
+            ("id_periodo", "string"), ("id_sucursal", "string"), ("id_cliente", "string"),
+            ("id_tipo_venta", "string"), ("cod_documento_venta", "string"),
+            ("es_eliminado", "int"),
+        ],
+        "t_venta_detalle": [
+            ("id_venta", "string"), ("id_producto", "string"),
+            ("cant_caja_fisica_ven", "numeric(38,12)"),
+            ("cant_caja_volumen_ven", "numeric(38,12)"),
+            ("cant_caja_fisica_pro", "numeric(38,12)"),
+            ("cant_caja_volumen_pro", "numeric(38,12)"),
+            ("imp_neto_vta_mn", "numeric(38,12)"), ("imp_neto_vta_me", "numeric(38,12)"),
+            ("imp_bruto_vta_mn", "numeric(38,12)"), ("imp_bruto_vta_me", "numeric(38,12)"),
+        ],
+        "t_visita": [
+            ("id_visita", "string"), ("id_pais", "string"), ("id_periodo", "string"),
+            ("id_sucursal", "string"), ("id_cliente", "string"), ("fecha_visita", "date"),
+        ],
+        "m_tipo_venta": [("id_tipo_venta", "string"), ("cod_tipo_operacion", "string")],
     })
-    spark.createDataFrame(
-        [("P1", "202505", "C1"), ("P2", "202505", "C1"), ("P3", "202505", "C2")],
-        "id_pedido string, id_periodo string, cod_cliente string",
-    ).write.parquet(lake.table_path(Layer.DOMAIN, "t_pedido"))
+    d = dt.date(2025, 5, 2)
     spark.createDataFrame(
         [
-            ("V1", "PE", "202505", "C1", Decimal("100"), 0),  # both sides
-            ("V2", "PE", "202505", "C3", Decimal("30"), 0),   # venta-only
+            ("P1", "PE", "202505", "10|01", "10|C1", "200", "10|V9", None, "10|01|F1",
+             None, "10|OR1", d, None, None),
+            # non-'200' order must be gated out of BOTH sides
+            ("P8", "PE", "202505", "10|01", "10|C8", "100", "10|V9", None, "10|01|F1",
+             None, "10|OR1", d, None, None),
         ],
-        "id_venta string, id_pais string, id_periodo string, cod_cliente string, "
-        "imp_venta decimal(38,12), es_eliminado int",
-    ).write.partitionBy("id_pais", "id_periodo").parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
+        "id_pedido string, id_pais string, id_periodo string, id_sucursal string, "
+        "id_cliente string, cod_tipo_documento_pedido string, id_vendedor string, "
+        "id_supervisor string, id_fuerza_venta string, id_modelo_atencion string, "
+        "id_origen_pedido string, fecha_pedido date, cod_tipo_atencion string, "
+        "id_visita string",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "t_pedido"))
+    spark.createDataFrame(
+        # P1 ordered A1 (also sold) and A2 (never sold); P8's line is gated
+        [("P1", "202505", "A1"), ("P1", "202505", "A2"), ("P8", "202505", "A8")],
+        "id_pedido string, id_periodo string, id_articulo string",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "t_pedido_detalle"))
+    spark.createDataFrame(
+        [("V1", "P1", "PE", "202505", "10|01", "10|C1", "TV1", "FAC", 0)],
+        "id_venta string, id_pedido string, id_pais string, id_periodo string, "
+        "id_sucursal string, id_cliente string, id_tipo_venta string, "
+        "cod_documento_venta string, es_eliminado int",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
+    spark.createDataFrame(
+        # A1: matches the ordered line; A3: sold without an ordered line
+        [("V1", "A1", D("7"), D("60"), D("2"), D("30"), D("200"), D("25"),
+          D("220"), D("27.5")),
+         ("V1", "A3", D("1"), D("30"), D("0"), D("0"), D("10"), D("2"),
+          D("11"), D("2.2"))],
+        "id_venta string, id_producto string, cant_caja_fisica_ven decimal(38,12), "
+        "cant_caja_volumen_ven decimal(38,12), cant_caja_fisica_pro decimal(38,12), "
+        "cant_caja_volumen_pro decimal(38,12), imp_neto_vta_mn decimal(38,12), "
+        "imp_neto_vta_me decimal(38,12), imp_bruto_vta_mn decimal(38,12), "
+        "imp_bruto_vta_me decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "t_venta_detalle"))
+    spark.createDataFrame(
+        [("VIS1", "PE", "202505", "10|01", "10|C5", dt.date(2025, 5, 9))],
+        "id_visita string, id_pais string, id_periodo string, id_sucursal string, "
+        "id_cliente string, fecha_visita date",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "t_visita"))
+    spark.createDataFrame(
+        [("TV1", "VEN"), ("TV9", "DES")],
+        "id_tipo_venta string, cod_tipo_operacion string",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "m_tipo_venta"))
 
     def mk(cfg):
         return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
 
     res = run_waves([JobConfig("analytics", "fact_kpi_lite", 1)], ANALYTICS_JOBS, mk)
     assert res[0].status == "succeeded", res[0].error
-    rows = {r["cod_cliente"]: r for r in spark.read.parquet(
-        lake.table_path(Layer.ANALYTICS, "fact_kpi")).collect()}
-    assert rows["C1"]["n_pedidos"] == 2 and rows["C1"]["n_ventas"] == 1
-    assert rows["C1"]["ratio_cumplimiento"] == 0.5
-    assert rows["C2"]["n_pedidos"] == 1 and rows["C2"]["n_ventas"] == 0
-    assert rows["C2"]["ratio_cumplimiento"] == 0.0    # ordered, nothing sold
-    assert rows["C2"]["imp_venta"] == Decimal("0")
-    assert rows["C3"]["n_pedidos"] == 0 and rows["C3"]["n_ventas"] == 1
-    assert rows["C3"]["ratio_cumplimiento"] is None   # zero pedidos: no division
-    assert rows["C3"]["id_pais"] == "PE"
-    assert rows["C2"]["id_pais"] == "XX"              # pedido-only: default pais
+    rows = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "fact_kpi_detalle")).collect()
+    by_line = {(r["id_visita"], r["id_producto"]): r for r in rows}
+    # 2 ordered lines + 1 sold-only line + 1 unmatched visit, P8 gated out
+    assert len(rows) == 4
+    both = by_line[("P1", "A1")]
+    assert both["cant_cajafisica_vta"] == Decimal("7")
+    assert both["cant_cajaunitaria_vta"] == Decimal("2")     # 60 / 30
+    assert both["imp_neto_vta_mn"] == Decimal("200")
+    assert both["id_cliente"] == "10|C1" and both["id_vendedor"] == "10|V9"
+    ordered_only = by_line[("P1", "A2")]
+    assert ordered_only["cant_cajafisica_vta"] is None
+    assert ordered_only["id_origen_pedido"] == "10|OR1"
+    sold_only = by_line[("P1", "A3")]
+    assert sold_only["cant_cajafisica_vta"] == Decimal("1")
+    assert sold_only["id_vendedor"] is None                   # no pedido line
+    assert sold_only["id_cliente"] == "10|C1"                 # venta side fills
+    visit_only = by_line[("VIS1", None)]
+    assert visit_only["id_cliente"] == "10|C5"
+    assert visit_only["id_cliente_visita"] == "10|C5"
+    assert visit_only["fecha_pedido"] == dt.date(2025, 5, 9)  # fecha_visita fallback
+    # resumen rows fall back id_visita → id_pedido (reference :156)
+    assert both["id_visita"] == "P1"
 
 
 def test_dim_estructura_flatten_from_domain_job(spark, lake):
