@@ -184,59 +184,153 @@ def job_dim_cliente_lite(ctx: JobContext) -> None:
 
 @ANALYTICS_JOBS.register("fact_cliente_venta_lite")
 def job_fact_cliente_venta_lite(ctx: JobContext) -> None:
-    """Client-month metrics with trailing 3-month rollups
-    (`code/analytics/fact_cliente_venta.py:29-127` shape): per
-    (pais, periodo, cliente) aggregates — counts, decimal sums, recency —
-    then the rolling sums. The reference's range self-join
-    ``past.periodo BETWEEN add_months(cur, -3) AND cur`` (J5) is rewritten
-    as a rangeBetween window (one shuffle; equivalence proven in
-    tests/test_relational_ops.py and the rolling_3m vs rolling_3m_window
-    oracle pair); the reference's wall-clock ``current_date()`` recency
-    becomes the injected ``ctx.as_of`` (SURVEY §7.3.7)."""
+    """Client-month metrics with trailing 3- AND 12-month rollups
+    (`code/analytics/fact_cliente_venta.py`), full reference surface:
+
+    - monthly base (`:29-63`): venta ⋈ venta_detalle (live docs in the join
+      condition) ⋈ dim_producto (ANALYTICS layer, left) grouped by the
+      5-part key (pais, periodo, compania, cliente, modulo) — 8 decimal
+      sums incl. the /30 unit-case conversions, countDistinct producto/
+      marca/venta (A3), recency vs the injected clock (§7.3.7);
+    - the reference computes the 3m/12m rollups as FOUR range self-joins
+      (`:86-175`, J5) and stitches them back with four more left joins
+      (`:286-320`); here both horizons are rangeBetween windows over the
+      SAME partitioning — Catalyst plans ONE shuffle+sort feeding both
+      Window nodes and the join-back disappears entirely;
+    - the '_nn' branch (`:176-268`): same pipeline gated on
+      ``dim_producto.cod_unidad_negocio == '003'`` — a vestigial filter
+      (the column is a NULL placeholder upstream, m_articulo.py:138) kept
+      faithfully: its five serving columns land NULL, and one left join
+      stitches it back (it has different rows, so it cannot fold into the
+      window)."""
     venta = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta", registry=ctx.registry)
-    monthly = (
-        venta.filter(F.col("es_eliminado") == 0)
-        .groupBy("id_pais", "id_periodo", "cod_cliente")
-        .agg(
-            F.countDistinct("id_venta").cast("bigint").alias("cant_venta"),
-            F.sum(F.col("imp_venta").cast("decimal(38,12)")).alias("_imp_dec"),
-            F.max("fecha_liquidacion").alias("ult_fecha_compra"),
+    detalle = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta_detalle", registry=ctx.registry
+    )
+    producto = read_table(
+        ctx.spark, ctx.catalog, Layer.ANALYTICS, "dim_producto", registry=ctx.registry
+    )
+
+    venta = venta.filter(F.col("id_periodo").isin(ctx.periods))
+    detalle = detalle.filter(F.col("id_periodo").isin(ctx.periods))
+    base = (
+        venta.alias("tv")
+        .join(
+            detalle.alias("tvd"),
+            (F.col("tv.id_venta") == F.col("tvd.id_venta"))
+            & (F.col("tv.es_eliminado") == 0),
+            "inner",
         )
-        .withColumn(
-            "ult_dia_compra",
-            F.datediff(F.lit(ctx.as_of), F.col("ult_fecha_compra")).cast("int"),
+        .join(
+            F.broadcast(producto).alias("dp"),
+            F.col("tvd.id_producto") == F.col("dp.id_producto"),
+            "left",
         )
     )
-    rolled = rolling_window(
-        monthly,
-        keys=["id_pais", "cod_cliente"],
-        period_col="id_periodo",
-        agg_exprs=[(F.col("_imp_dec"), "_imp_3m_dec"), (F.col("cant_venta"), "cant_venta_3m")],
-        months_back=3,  # reference: between add_months(cur,-3) and cur → 4 periods
+    KEYS = ["id_pais", "id_periodo", "id_compania", "id_cliente", "cod_modulo"]
+
+    def monthly(src, full: bool):
+        aggs = [
+            (F.sum("tvd.cant_caja_volumen_ven") / 30).alias("cant_caja_unitaria_ven"),
+            F.sum("tvd.imp_neto_vta_mn").alias("imp_neto_mn"),
+            F.countDistinct("dp.desc_marca").alias("cant_marca"),
+            F.countDistinct("tv.id_venta").alias("cant_venta"),
+            F.max("tv.fecha_liquidacion").alias("ult_fecha_compra_cliente"),
+        ]
+        if full:
+            aggs += [
+                F.sum("tvd.cant_caja_fisica_ven").alias("cant_caja_fisica_ven"),
+                F.sum("tvd.cant_caja_fisica_pro").alias("cant_caja_fisica_pro"),
+                (F.sum("tvd.cant_caja_volumen_pro") / 30).alias("cant_caja_unitaria_pro"),
+                F.sum("tvd.imp_neto_vta_me").alias("imp_neto_me"),
+                F.sum("tvd.imp_cobrar_vta_mn").alias("imp_bruto_mn"),
+                F.sum("tvd.imp_cobrar_vta_me").alias("imp_bruto_me"),
+                F.countDistinct("tvd.id_producto").alias("cant_producto"),
+            ]
+        return src.groupBy(
+            F.col("tv.id_pais").alias("id_pais"),
+            F.col("tv.id_periodo").alias("id_periodo"),
+            F.col("tv.cod_compania").alias("id_compania"),
+            F.col("tv.id_cliente").alias("id_cliente"),
+            F.col("tv.cod_modulo").alias("cod_modulo"),
+        ).agg(*aggs)
+
+    GENERAL_ROLL = [
+        "cant_caja_fisica_ven", "cant_caja_unitaria_ven", "cant_caja_fisica_pro",
+        "cant_caja_unitaria_pro", "imp_neto_mn", "imp_neto_me", "imp_bruto_mn",
+        "imp_bruto_me",
+    ]
+    NN_ROLL = ["cant_caja_unitaria_ven", "imp_neto_mn"]
+    roll_keys = ["id_pais", "id_compania", "id_cliente", "cod_modulo"]
+
+    def rolled(df, cols, horizons=(3, 12)):
+        for months in horizons:
+            df = rolling_window(
+                df,
+                keys=roll_keys,
+                period_col="id_periodo",
+                agg_exprs=[
+                    (F.coalesce(F.col(c), F.lit(0)), f"{c}_{months}meses") for c in cols
+                ],
+                months_back=months,
+            )
+        return df
+
+    general = rolled(monthly(base, full=True), GENERAL_ROLL)
+    nn = rolled(
+        monthly(base.where(F.col("dp.cod_unidad_negocio") == "003"), full=False),
+        NN_ROLL,
     )
-    out = rolled.select(
-        "id_pais",
-        "id_periodo",
-        "cod_cliente",
-        "cant_venta",
-        F.col("_imp_dec").alias("imp_venta"),
-        "ult_fecha_compra",
-        "ult_dia_compra",
-        F.coalesce(F.col("_imp_3m_dec"), F.lit(0)).alias("imp_venta_3m"),
-        F.coalesce(F.col("cant_venta_3m"), F.lit(0)).alias("cant_venta_3m"),
+
+    nn_cols = [
+        F.col(f"nn.cant_caja_unitaria_ven_12meses").alias("cant_caja_unit_venta_12meses_nn"),
+        F.col(f"nn.cant_caja_unitaria_ven_3meses").alias("cant_caja_unit_venta_3meses_nn"),
+        F.col(f"nn.imp_neto_mn_12meses").alias("imp_neto_mn_12meses_nn"),
+        F.col(f"nn.imp_neto_mn_3meses").alias("imp_neto_mn_3meses_nn"),
+        F.col(f"nn.ult_fecha_compra_cliente").alias("ult_fecha_compra_12meses_nn"),
+        F.col(f"nn.cant_venta").alias("cant_venta_nn"),
+        F.col(f"nn.cant_marca").alias("cant_marca_nn"),
+    ]
+    out = (
+        general.alias("fcv")
+        .join(nn.alias("nn"), KEYS, "left")
+        .select(
+            *[F.col(f"fcv.{k}") for k in KEYS],
+            *[F.col(f"fcv.{c}_{m}meses") for c in GENERAL_ROLL for m in (3, 12)],
+            F.col("fcv.cant_producto"),
+            F.col("fcv.cant_venta"),
+            F.col("fcv.cant_marca"),
+            F.col("fcv.ult_fecha_compra_cliente"),
+            F.datediff(F.lit(ctx.as_of), F.col("fcv.ult_fecha_compra_cliente")).alias(
+                "ult_dia_compra_cliente"
+            ),
+            *nn_cols,
+        )
     )
     out = cast_projection(
         out,
         [
             ("id_pais", "string"),
             ("id_periodo", "string"),
-            ("cod_cliente", "string"),
-            ("cant_venta", "bigint"),
-            ("imp_venta", "numeric(38,12)"),
-            ("ult_fecha_compra", "date"),
-            ("ult_dia_compra", "int"),
-            ("imp_venta_3m", "numeric(38,12)"),
-            ("cant_venta_3m", "bigint"),
+            ("id_compania", "string"),
+            ("id_cliente", "string"),
+            ("cod_modulo", "string"),
+            *[
+                (f"{c}_{m}meses", "numeric(38,12)")
+                for c in GENERAL_ROLL for m in (3, 12)
+            ],
+            ("cant_producto", "int"),
+            ("cant_venta", "int"),
+            ("cant_marca", "int"),
+            ("ult_fecha_compra_cliente", "date"),
+            ("ult_dia_compra_cliente", "int"),
+            ("cant_caja_unit_venta_12meses_nn", "int"),
+            ("cant_caja_unit_venta_3meses_nn", "int"),
+            ("imp_neto_mn_12meses_nn", "numeric(38,12)"),
+            ("imp_neto_mn_3meses_nn", "numeric(38,12)"),
+            ("ult_fecha_compra_12meses_nn", "date"),
+            ("cant_venta_nn", "int"),
+            ("cant_marca_nn", "int"),
         ],
     )
     write_table(

@@ -400,6 +400,8 @@ PASSTHROUGH_DIM_SPECS = [
             ("desc_linea", "desc_linea", "string"),
             ("desc_familia", "desc_familia", "string"),
             ("desc_marca", "desc_marca", "string"),
+            ("cod_unidad_negocio", "cod_unidad_negocio", "string"),
+            ("desc_unidad_negocio", "desc_unidad_negocio", "string"),
         ],
         reference="code/analytics/dim_producto.py:17-45 (reduced attr width)",
     ),

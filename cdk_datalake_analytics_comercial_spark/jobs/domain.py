@@ -894,6 +894,10 @@ def job_m_articulo_lite(ctx: JobContext) -> None:
             F.coalesce(F.col("mca.desc_categoria"), F.lit("CATEGORIA DEFAULT")).alias(
                 "desc_categoria"
             ),
+            # the reference's unidad-negocio master is commented out — the
+            # columns land as typed NULL placeholders (m_articulo.py:138-139)
+            F.lit(None).cast("string").alias("cod_unidad_negocio"),
+            F.lit(None).cast("string").alias("desc_unidad_negocio"),
             F.when((lin == "03") & (fam == "003"), 1).otherwise(0).alias("flg_jarabe"),
             F.when((lin == "04") & (fam == "008"), 1).otherwise(0).alias("flg_co2"),
             F.when((lin == "04") & (fam == "001"), 1).otherwise(0).alias("flg_azucar"),
@@ -917,6 +921,8 @@ def job_m_articulo_lite(ctx: JobContext) -> None:
             ("cod_marca", "string"),
             ("desc_marca", "string"),
             ("desc_categoria", "string"),
+            ("cod_unidad_negocio", "string"),
+            ("desc_unidad_negocio", "string"),
             ("flg_jarabe", "int"),
             ("flg_co2", "int"),
             ("flg_azucar", "int"),

@@ -255,46 +255,109 @@ def test_domain_then_analytics_chain(spark, lake):
 
 
 def test_fact_cliente_venta_rolling(spark, lake):
-    """Rolling 3m metrics honor calendar gaps and the injected clock."""
-    rows = [
-        ("V1", "PE", "202501", "C1", Decimal("10"), 0, dt.date(2025, 1, 10)),
-        ("V2", "PE", "202502", "C1", Decimal("20"), 0, dt.date(2025, 2, 10)),
-        ("V3", "PE", "202503", "C1", Decimal("30"), 0, dt.date(2025, 3, 10)),
-        ("V4", "PE", "202505", "C1", Decimal("50"), 0, dt.date(2025, 5, 10)),  # gap: 202504
-        ("V5", "PE", "202505", "C2", Decimal("7"), 0, dt.date(2025, 5, 1)),
-        ("V6", "PE", "202505", "C2", Decimal("8"), 1, dt.date(2025, 5, 2)),   # soft-deleted
+    """Full fact_cliente_venta surface: venta⋈detalle⋈dim_producto monthly
+    base, 3m AND 12m rangeBetween rollups honoring calendar gaps, A3
+    countDistincts, recency vs the injected clock, and the vestigial _nn
+    branch landing NULL (cod_unidad_negocio is a placeholder upstream)."""
+    D = Decimal
+    ventas = [
+        ("V1", "PE", "202501", "10", "10|C1", "M1", 0, dt.date(2025, 1, 10)),
+        ("V2", "PE", "202502", "10", "10|C1", "M1", 0, dt.date(2025, 2, 10)),
+        ("V3", "PE", "202503", "10", "10|C1", "M1", 0, dt.date(2025, 3, 10)),
+        ("V4", "PE", "202505", "10", "10|C1", "M1", 0, dt.date(2025, 5, 10)),  # gap: 202504
+        ("V5", "PE", "202505", "10", "10|C2", "M1", 0, dt.date(2025, 5, 1)),
+        ("V6", "PE", "202505", "10", "10|C2", "M1", 1, dt.date(2025, 5, 2)),   # soft-deleted
     ]
     spark.createDataFrame(
-        rows,
-        "id_venta string, id_pais string, id_periodo string, cod_cliente string, "
-        "imp_venta decimal(38,12), es_eliminado int, fecha_liquidacion date",
+        ventas,
+        "id_venta string, id_pais string, id_periodo string, cod_compania string, "
+        "id_cliente string, cod_modulo string, es_eliminado int, fecha_liquidacion date",
     ).write.partitionBy("id_pais", "id_periodo").parquet(
         lake.table_path(Layer.DOMAIN, "t_venta")
     )
-    reg = SchemaRegistry({"t_venta": [
-        ("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
-        ("cod_cliente", "string"), ("imp_venta", "numeric(38,12)"), ("es_eliminado", "int"),
-        ("fecha_liquidacion", "date"),
-    ]})
+
+    def line(vid, periodo, producto, fisica, volumen, neto):
+        return (vid, "PE", periodo, producto, D(fisica), D(volumen), D("0"), D("0"),
+                D(neto), D("1"), D(neto), D("1"))
+
+    spark.createDataFrame(
+        [
+            line("V1", "202501", "A1", "1", "30", "10"),
+            line("V2", "202502", "A1", "2", "60", "20"),
+            line("V3", "202503", "A2", "3", "90", "30"),
+            line("V4", "202505", "A1", "5", "150", "50"),
+            # V4 has TWO lines of different products/brands → countDistincts
+            line("V4", "202505", "A2", "1", "30", "5"),
+            line("V5", "202505", "A1", "7", "210", "7"),
+            line("V6", "202505", "A1", "8", "240", "8"),   # header soft-deleted
+        ],
+        "id_venta string, id_pais string, id_periodo string, id_producto string, "
+        "cant_caja_fisica_ven decimal(38,12), cant_caja_volumen_ven decimal(38,12), "
+        "cant_caja_fisica_pro decimal(38,12), cant_caja_volumen_pro decimal(38,12), "
+        "imp_neto_vta_mn decimal(38,12), imp_neto_vta_me decimal(38,12), "
+        "imp_cobrar_vta_mn decimal(38,12), imp_cobrar_vta_me decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "t_venta_detalle"))
+    spark.createDataFrame(
+        [("A1", "CIELO", None), ("A2", "VOLT", None)],
+        "id_producto string, desc_marca string, cod_unidad_negocio string",
+    ).write.parquet(lake.table_path(Layer.ANALYTICS, "dim_producto"))
+    reg = SchemaRegistry({
+        "t_venta": [
+            ("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
+            ("cod_compania", "string"), ("id_cliente", "string"), ("cod_modulo", "string"),
+            ("es_eliminado", "int"), ("fecha_liquidacion", "date"),
+        ],
+        "t_venta_detalle": [
+            ("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
+            ("id_producto", "string"),
+            ("cant_caja_fisica_ven", "numeric(38,12)"),
+            ("cant_caja_volumen_ven", "numeric(38,12)"),
+            ("cant_caja_fisica_pro", "numeric(38,12)"),
+            ("cant_caja_volumen_pro", "numeric(38,12)"),
+            ("imp_neto_vta_mn", "numeric(38,12)"), ("imp_neto_vta_me", "numeric(38,12)"),
+            ("imp_cobrar_vta_mn", "numeric(38,12)"), ("imp_cobrar_vta_me", "numeric(38,12)"),
+        ],
+        "dim_producto": [
+            ("id_producto", "string"), ("desc_marca", "string"),
+            ("cod_unidad_negocio", "string"),
+        ],
+    })
 
     def mk(cfg):
         return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
 
-    res = run_waves([JobConfig("analytics", "fact_cliente_venta_lite", 1)], ANALYTICS_JOBS, mk)
+    res = run_waves(
+        [JobConfig("analytics", "fact_cliente_venta_lite", 1, periods=100)],
+        ANALYTICS_JOBS, mk,
+    )
     assert res[0].status == "succeeded", res[0].error
     fact = {
-        (r["id_periodo"], r["cod_cliente"]): r
-        for r in spark.read.parquet(lake.table_path(Layer.ANALYTICS, "fact_cliente_venta")).collect()
+        (r["id_periodo"], r["id_cliente"]): r
+        for r in spark.read.parquet(
+            lake.table_path(Layer.ANALYTICS, "fact_cliente_venta")).collect()
     }
-    # 202503/C1: trailing window covers 202412..202503 → 10+20+30
-    assert fact[("202503", "C1")]["imp_venta_3m"] == Decimal("60.000000000000")
-    # 202505/C1: window 202502..202505 (202504 absent) → 20+30+50
-    assert fact[("202505", "C1")]["imp_venta_3m"] == Decimal("100.000000000000")
-    assert fact[("202505", "C1")]["cant_venta_3m"] == 3
-    # soft-deleted row excluded from C2's month
-    assert fact[("202505", "C2")]["imp_venta"] == Decimal("7.000000000000")
+    c1_0503 = fact[("202503", "10|C1")]
+    # trailing 3m window covers 202412..202503 → neto 10+20+30
+    assert c1_0503["imp_neto_mn_3meses"] == Decimal("60.000000000000")
+    c1_0505 = fact[("202505", "10|C1")]
+    # window 202502..202505 (202504 absent) → 20+30+50+5
+    assert c1_0505["imp_neto_mn_3meses"] == Decimal("105.000000000000")
+    # 12m window reaches back to 202501 → all of C1
+    assert c1_0505["imp_neto_mn_12meses"] == Decimal("115.000000000000")
+    assert c1_0505["cant_caja_fisica_ven_3meses"] == Decimal("11.000000000000")
+    # /30 unit-case conversion: volumen 60+90+150+30 → /30 = 11
+    assert c1_0505["cant_caja_unitaria_ven_3meses"] == Decimal("11.000000000000")
+    # A3 countDistincts over the CURRENT month: 2 products, 2 brands, 1 venta
+    assert c1_0505["cant_producto"] == 2
+    assert c1_0505["cant_marca"] == 2
+    assert c1_0505["cant_venta"] == 1
+    # soft-deleted V6 excluded from C2's month
+    c2 = fact[("202505", "10|C2")]
+    assert c2["imp_neto_mn_3meses"] == Decimal("7.000000000000")
     # recency vs injected clock (2025-05-15), not wall clock
-    assert fact[("202505", "C2")]["ult_dia_compra"] == 14
+    assert c2["ult_dia_compra_cliente"] == 14
+    # vestigial _nn branch: placeholder cod_unidad_negocio → NULL columns
+    assert c2["cant_venta_nn"] is None and c2["imp_neto_mn_3meses_nn"] is None
 
 
 def test_fact_kpi_full_outer_all_cases(spark, lake):

@@ -328,12 +328,15 @@ def test_dim_producto_passthrough_renames(spark, lake):
             ("id_articulo", "string"), ("id_pais", "string"), ("cod_compania", "string"),
             ("cod_articulo", "string"), ("desc_articulo", "string"), ("desc_linea", "string"),
             ("desc_familia", "string"), ("desc_marca", "string"),
+            ("cod_unidad_negocio", "string"), ("desc_unidad_negocio", "string"),
         ],
     })
     spark.createDataFrame(
-        [("10|A1", "PE", "10", "A1", "BIG COLA 1L", "GASEOSAS", "COLAS", "BIG")],
+        [("10|A1", "PE", "10", "A1", "BIG COLA 1L", "GASEOSAS", "COLAS", "BIG",
+          None, None)],
         "id_articulo string, id_pais string, cod_compania string, cod_articulo string, "
-        "desc_articulo string, desc_linea string, desc_familia string, desc_marca string",
+        "desc_articulo string, desc_linea string, desc_familia string, desc_marca string, "
+        "cod_unidad_negocio string, desc_unidad_negocio string",
     ).write.parquet(lake.table_path(Layer.DOMAIN, "m_articulo"))
 
     def mk(cfg):
