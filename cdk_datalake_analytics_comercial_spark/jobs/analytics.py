@@ -906,46 +906,123 @@ def job_dim_clasificacion_cliente_lite(ctx: JobContext) -> None:
 
 @ANALYTICS_JOBS.register("fact_reparto_detalle_lite")
 def job_fact_reparto_detalle_lite(ctx: JobContext) -> None:
-    """Delivery-detail fact (`code/analytics/fact_reparto_detalle.py:21-141`,
-    reduced width): the fulfillment detail period-filtered, LEFT ⋈ order
-    header on id_pedido and LEFT ⋈ delivery header on id_reparto — both
-    optional so undispatched order lines still land with NULL carrier
-    columns; passthrough cast projection, full overwrite per the reference's
-    write_table (not upsert), partitioned by id_periodo."""
+    """Delivery-detail fact (`code/analytics/fact_reparto_detalle.py:21-141`),
+    full reference select: the fulfillment detail period-filtered, LEFT ⋈
+    order header on id_pedido and LEFT ⋈ delivery header on id_reparto —
+    both optional so undispatched order lines still land with NULL carrier
+    and order columns; the order side contributes the whole id block +
+    geography descriptors, the delivery side the carrier/chofer/medio ids
+    and the guide dates (fecha_reparto doubling as fecha_movimiento_
+    inventario and fecha_almacen, `:56-58`); all 16 fulfillment quantity
+    columns ride through. Full overwrite per the reference's write_table,
+    partitioned by (id_pais, id_periodo)."""
     tpdc = read_table(
         ctx.spark, ctx.catalog, Layer.DOMAIN, "t_pedido_cumplimiento", registry=ctx.registry
     )
     tp = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_pedido", registry=ctx.registry)
     tr = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_reparto", registry=ctx.registry)
 
+    qty_names = [
+        f"cant_cajavolumen_{n}{s}" if vol else f"cant_cajafisica_{n}{s}"
+        for n in ("ped", "asignado_ped", "desp")
+        for s in ("", "_pro")
+        for vol in (False, True)
+    ]
     out = (
         tpdc.alias("tpdc")
         .filter(F.col("tpdc.id_periodo").isin(ctx.periods))
         .join(tp.alias("tp"), F.col("tp.id_pedido") == F.col("tpdc.id_pedido"), "left")
         .join(tr.alias("tr"), F.col("tr.id_reparto") == F.col("tpdc.id_reparto"), "left")
         .select(
-            F.col("tpdc.id_periodo").cast("string").alias("id_periodo"),
-            F.col("tpdc.id_reparto").cast("string").alias("id_reparto"),
-            F.col("tpdc.id_pedido").cast("string").alias("id_pedido"),
-            F.col("tpdc.id_producto").cast("string").alias("id_producto"),
-            F.col("tr.id_transportista").cast("string").alias("id_transportista"),
-            F.col("tr.id_chofer").cast("string").alias("id_chofer"),
-            F.col("tr.id_medio_transporte").cast("string").alias("id_medio_transporte"),
-            F.col("tp.cod_cliente").cast("string").alias("cod_cliente"),
-            F.col("tpdc.cod_zona").cast("string").alias("cod_zona"),
-            F.col("tpdc.cod_ruta").cast("string").alias("cod_ruta"),
-            F.col("tp.fecha_pedido").cast("date").alias("fecha_pedido"),
-            F.col("tr.fecha_orden_carga").cast("date").alias("fecha_orden_carga"),
-            F.col("tr.fecha_reparto").cast("date").alias("fecha_reparto"),
-            F.col("tr.estado_guia").cast("string").alias("estado_guia"),
-            F.col("tpdc.cant_pedida").cast("decimal(38,12)").alias("cant_cajafisica_ped"),
-            F.col("tpdc.cant_despachada").cast("decimal(38,12)").alias("cant_cajafisica_desp"),
+            F.col("tpdc.id_pais"),
+            F.col("tpdc.id_periodo"),
+            F.col("tpdc.id_reparto"),
+            F.col("tpdc.id_pedido"),
+            F.col("tpdc.id_producto"),
+            F.col("tpdc.id_sucursal"),
+            F.col("tr.id_transportista"),
+            F.col("tr.id_chofer"),
+            F.col("tr.id_medio_transporte"),
+            F.col("tp.id_cliente"),
+            F.col("tp.cod_cliente"),
+            F.col("tp.id_origen_pedido"),
+            F.col("tp.id_tipo_pedido"),
+            F.col("tp.id_fuerza_venta"),
+            F.col("tp.id_vendedor"),
+            F.col("tp.id_lista_precio"),
+            F.col("tp.id_forma_pago"),
+            F.col("tp.desc_region"),
+            F.col("tp.desc_subregion"),
+            F.col("tp.desc_division"),
+            F.col("tp.cod_zona"),
+            F.col("tp.cod_ruta"),
+            F.col("tp.cod_modulo"),
+            F.col("tp.nro_pedido_ref"),
+            F.col("tp.fecha_pedido"),
+            F.col("tp.fecha_entrega"),
+            F.col("tr.fecha_orden_carga"),
+            F.col("tr.fecha_reparto").alias("fecha_movimiento_inventario"),
+            F.col("tpdc.fecha_liquidacion"),
+            F.col("tr.fecha_reparto").alias("fecha_almacen"),
+            F.col("tp.nro_pedido"),
+            F.col("tr.estado_guia"),
+            *[F.col(f"tpdc.{c}") for c in qty_names],
+            F.col("tpdc.cant_caja_fisica_ven").alias("cant_cajafisica_ven"),
+            F.col("tpdc.cant_caja_volumen_ven").alias("cant_cajavolumen_ven"),
+            F.col("tpdc.cant_caja_fisica_pro").alias("cant_cajafisica_pro"),
+            F.col("tpdc.cant_caja_volumen_pro").alias("cant_cajavolumen_pro"),
+            F.col("tpdc.fecha_creacion"),
+            F.col("tpdc.fecha_modificacion"),
         )
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("id_reparto", "string"),
+            ("id_pedido", "string"),
+            ("id_producto", "string"),
+            ("id_sucursal", "string"),
+            ("id_transportista", "string"),
+            ("id_chofer", "string"),
+            ("id_medio_transporte", "string"),
+            ("id_cliente", "string"),
+            ("cod_cliente", "string"),
+            ("id_origen_pedido", "string"),
+            ("id_tipo_pedido", "string"),
+            ("id_fuerza_venta", "string"),
+            ("id_vendedor", "string"),
+            ("id_lista_precio", "string"),
+            ("id_forma_pago", "string"),
+            ("desc_region", "string"),
+            ("desc_subregion", "string"),
+            ("desc_division", "string"),
+            ("cod_zona", "string"),
+            ("cod_ruta", "string"),
+            ("cod_modulo", "string"),
+            ("nro_pedido_ref", "string"),
+            ("fecha_pedido", "date"),
+            ("fecha_entrega", "date"),
+            ("fecha_orden_carga", "date"),
+            ("fecha_movimiento_inventario", "date"),
+            ("fecha_liquidacion", "date"),
+            ("fecha_almacen", "date"),
+            ("nro_pedido", "string"),
+            ("estado_guia", "string"),
+            *[(c, "numeric(38,12)") for c in qty_names],
+            ("cant_cajafisica_ven", "numeric(38,12)"),
+            ("cant_cajavolumen_ven", "numeric(38,12)"),
+            ("cant_cajafisica_pro", "numeric(38,12)"),
+            ("cant_cajavolumen_pro", "numeric(38,12)"),
+            ("fecha_creacion", "timestamp"),
+            ("fecha_modificacion", "timestamp"),
+        ],
     )
     write_table(
         out,
         ctx.catalog.table_path(Layer.ANALYTICS, "fact_reparto_detalle"),
-        partition_by=["id_periodo"],
+        partition_by=["id_pais", "id_periodo"],
     )
 
 

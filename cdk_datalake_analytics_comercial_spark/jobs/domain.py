@@ -20,6 +20,7 @@ Jobs registered here form the first vertical slices of SURVEY §7.1:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..core.catalog import Layer
@@ -132,95 +133,477 @@ def job_m_compania(ctx: JobContext) -> None:
 
 @DOMAIN_JOBS.register("t_pedido_cumplimiento_lite")
 def job_t_pedido_cumplimiento_lite(ctx: JobContext) -> None:
-    """Order-fulfillment detail (`code/domain/t_pedido_detalle_cumplimiento
-    .py` structure, reduced): ordered lines LEFT JOIN dispatched lines on
-    the wide natural key (`:354-372` joins up to 7 key columns — here the
-    6-part compania/sucursal/almacén/documento/número/artículo key),
-    grouped per order line with the reference's A4 ``max()``-as-
-    representative attribute block (`:236-279`) and ordered-vs-dispatched
-    quantities; the fulfillment ratio divides exact decimals in double."""
-    ped = read_table(
-        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido_detalle", registry=ctx.registry
+    """Order-fulfillment detail — the reference's BIGGEST job
+    (`code/domain/t_pedido_detalle_cumplimiento.py`, 539 lines), full shape:
+
+    1. line frames (`:81-186`): main '200' detail ⋈ header (5-key) and the
+       ADES mirror ('200'/'300', renamed keys), each stamped with the
+       country and the lit(None) placeholder block; ADES lines already in
+       the main set dropped by a 5-key left_anti (`:188-198`), union;
+    2. dispatch linkage (`:77-79, :200-214`): warehouse movements ranked W1
+       per dispatch document (latest nro_documento_movimiento), joined LEFT
+       with ``orden == 1`` and the PLI/LIQ state whitelist INSIDE the join
+       condition (J7); expected-sale mapping i_relacion_proced_venta ⋈
+       m_procedimiento (`:51-69`) joined on (compania, documento,
+       tipo_pedido, procedimiento);
+    3. per-line rollup (`:216-331`): groupBy the 13-part key (incl. the
+       expected venta doc/proc/op) with the reference's 20-column A4
+       ``max()`` attribute block and the dispatched quantities GATED on the
+       movement existing (`:270-277`);
+    4. sold-side resumen (`:333-418`): venta header ⋈ venta detail ⋈ the
+       DISTINCT dispatch-doc frame on the NINE-part key (`:361-372` — the
+       widest join in the reference), live documents only, NCC sign flip;
+    5. final (`:420-534`): rollup ⋈ resumen (12-key LEFT) ⋈ m_articulo,
+       groupBy with the dispatch doc coalesced to '' and the SIXTEEN
+       Ven/Pro-split unit-converted aggregates (`:454-501` — ordered,
+       asignado, despachado, vendido × física/volumen × Ven/Pro).
+
+    Engine deviations, both documented: ``id_pedido`` keeps the HEADER
+    5-part convention (the reference mints the almacén into this id ONLY
+    here, `:509`, so its own fact join can never match); the Ven/Pro
+    dispatch test is case-insensitive (the reference compares the literal
+    'Ven'/'Pro' spelling of one source system)."""
+    ped_h = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido", registry=ctx.registry
     )
-    ven = read_table(
-        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_venta_detalle", registry=ctx.registry
+    ped_d = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido_detalle",
+        registry=ctx.registry,
     )
-    key = ["cod_compania", "cod_sucursal", "cod_almacen", "cod_documento_pedido",
-           "nro_documento_pedido", "cod_articulo"]
-    # aggregate EACH side to one row per natural key BEFORE the join —
-    # joining raw detail rows would fan the other side's quantities out
-    # (the reference's upstream W1/A6 dedup guarantees the same invariant)
-    v = ven.groupBy(*key).agg(
-        F.sum(F.col("cant_unidad").cast("decimal(38,6)")).alias("_desp_dec")
+    ades_h = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido_ades", registry=ctx.registry
     )
-    p = ped.groupBy(*key).agg(
-        # A4: representative (max) attributes per order line
-        F.max("cod_cliente").alias("cod_cliente"),
-        F.max("cod_zona").alias("cod_zona"),
-        F.max("cod_ruta").alias("cod_ruta"),
-        F.max("fecha_pedido").alias("fecha_pedido"),
-        # the dispatch document travels as ONE struct so the code and the
-        # number always come from the SAME source row — independent max()
-        # over each column could pair one document's code with another's
-        # number and mint a phantom delivery id
-        F.max(
-            F.struct(
-                F.col("cod_documento_almacen").alias("cod"),
-                F.col("nro_documento_almacen").alias("nro"),
-            )
-        ).alias("_doc_alm"),
-        F.sum(F.col("cant_unidad").cast("decimal(38,6)")).alias("_ped_dec"),
+    ades_d = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_pedido_ades_detalle",
+        registry=ctx.registry,
     )
-    out = (
-        p.join(v, key, "left")
-        .withColumn("_desp_dec", F.coalesce(F.col("_desp_dec"), F.lit(0).cast("decimal(38,6)")))
+    alm = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_movimiento_inventario", registry=ctx.registry
+    )
+    venta_h = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_venta", registry=ctx.registry
+    )
+    venta_d = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_documento_venta_detalle",
+        registry=ctx.registry,
+    )
+    irpv_raw = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "i_relacion_proced_venta", registry=ctx.registry
+    )
+    m_proc = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_procedimiento", registry=ctx.registry
+    )
+    art = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_articulo", registry=ctx.registry)
+    comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+
+    compania = (
+        comp.alias("mc")
+        .join(pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
+        .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
+    )
+    irpv = (
+        irpv_raw.alias("irpv")
+        .join(
+            m_proc.alias("mp"),
+            (F.col("irpv.cod_compania") == F.col("mp.cod_compania"))
+            & (F.col("irpv.cod_documento_pedido") == F.col("mp.cod_documento_transaccion"))
+            & (F.col("irpv.cod_procedimiento_pedido") == F.col("mp.cod_procedimiento")),
+            "inner",
+        )
         .select(
-            # order identity in the reference's 5-part header convention
-            # (compania|sucursal|doc|nro|cliente, `t_pedido.py:199`) so the
-            # fact joins t_pedido. The reference's cumplimiento variant
-            # mints the almacén INTO this id (`t_pedido_detalle_cumplimiento
-            # .py:509`) — its own downstream join can never match; the
-            # engine standardizes on the header shape.
+            F.col("irpv.cod_compania"),
+            F.col("irpv.cod_documento_pedido"),
+            F.col("irpv.cod_procedimiento_pedido"),
+            F.col("irpv.cod_documento_venta"),
+            F.col("irpv.cod_procedimiento_venta"),
+            F.col("irpv.cod_operacion_venta"),
+            F.col("irpv.cod_tipo_pedido"),
+            F.col("mp.cod_tipo_operacion"),
+        )
+    )
+    alm = alm.withColumn(
+        "orden",
+        F.row_number().over(
+            Window.partitionBy(
+                "cod_compania", "cod_sucursal", "cod_almacen_emisor_origen",
+                "cod_documento_transaccion", "nro_documento_almacen",
+            ).orderBy(F.col("nro_documento_movimiento").desc())
+        ),
+    )
+
+    def lines(det, hdr, alm_col, doc_col, nro_col, origen_col, lista_col,
+              zona_col, ruta_col, alm_doc_col, doc_filter):
+        return (
+            det.filter(doc_filter)
+            .filter(period_filter(F.col("fecha_pedido"), ctx.periods))
+            .alias("d")
+            .join(
+                hdr.filter(period_filter(F.col("fecha_pedido"), ctx.periods)).alias("h"),
+                (F.col("d.cod_compania") == F.col("h.cod_compania"))
+                & (F.col("d.cod_sucursal") == F.col("h.cod_sucursal"))
+                & (F.col(f"d.{alm_col}") == F.col(f"h.{alm_col}"))
+                & (F.col(f"d.{doc_col}") == F.col(f"h.{doc_col}"))
+                & (F.col(f"d.{nro_col}") == F.col(f"h.{nro_col}")),
+                "inner",
+            )
+            .join(F.broadcast(compania).alias("mc"),
+                  F.col("d.cod_compania") == F.col("mc.cod_compania"), "inner")
+            .select(
+                F.col("mc.id_pais"),
+                F.date_format(F.col("h.fecha_pedido"), "yyyyMM").alias("id_periodo"),
+                F.col("d.cod_compania"),
+                F.col("d.cod_sucursal"),
+                F.col(f"d.{alm_col}").alias("cod_almacen"),
+                F.col(f"d.{doc_col}").alias("cod_documento_pedido"),
+                F.col(f"d.{nro_col}").alias("nro_documento_pedido"),
+                F.col("h.cod_tipo_pedido"),
+                F.coalesce(F.col(f"h.{origen_col}"), F.lit("000")).alias("cod_origen_pedido"),
+                F.col("h.cod_vendedor"),
+                F.lit(None).cast("string").alias("cod_supervisor"),
+                F.lit(None).cast("string").alias("cod_jefe_venta"),
+                F.col(f"d.{lista_col}").alias("cod_lista_precio"),
+                F.col("h.cod_condicion_pago").alias("cod_forma_pago"),
+                F.lit(None).cast("string").alias("desc_region"),
+                F.lit(None).cast("string").alias("desc_subregion"),
+                F.lit(None).cast("string").alias("desc_division"),
+                F.col(f"d.{zona_col}").alias("cod_zona"),
+                F.col(f"d.{ruta_col}").alias("cod_ruta"),
+                F.col("d.cod_modulo"),
+                F.col("h.cod_fuerza_venta"),
+                F.col(f"d.{alm_doc_col}").alias("cod_documento_almacen"),
+                F.col("d.nro_documento_almacen"),
+                F.col("d.cod_cliente"),
+                F.col("d.id_salesforce").alias("nro_pedido_ref"),
+                F.col("d.cod_articulo"),
+                F.col("d.cod_procedimiento"),
+                F.col("h.fecha_pedido"),
+                F.col("h.fecha_entrega"),
+                F.col("d.cant_paquete").alias("cantidad_cajas"),
+                F.col("d.cant_unidad").alias("cantidad_botellas"),
+                F.col("d.cant_paquete_asignado").alias("cantidad_cajas_asignada"),
+                F.col("d.cant_unidad_asignado").alias("cantidad_botellas_asignada"),
+                F.col("d.fecha_creacion"),
+                F.col("d.fecha_modificacion"),
+            )
+        )
+
+    main = lines(
+        ped_d, ped_h, "cod_almacen", "cod_documento_pedido", "nro_documento_pedido",
+        "cod_documento_pedido_origen", "cod_lista_precio", "cod_zona", "cod_ruta",
+        "cod_documento_almacen", F.col("cod_documento_pedido") == "200",
+    )
+    # ADES mirror: renamed business keys; cajas/botellas arrive pre-named
+    extra = lines(
+        ades_d.withColumnRenamed("cantidad_cajas", "cant_paquete")
+        .withColumnRenamed("cantidad_botellas", "cant_unidad")
+        .withColumnRenamed("cantidad_cajas_asignada", "cant_paquete_asignado")
+        .withColumnRenamed("cantidad_botellas_asignada", "cant_unidad_asignado"),
+        ades_h, "cod_almacen_emisor", "cod_documento_transaccion", "nro_comprobante",
+        "cod_tipo_documento_origen", "cod_lista_precios", "cod_zona_distribucion",
+        "cod_ruta_distribucion", "cod_tipo_documento_almacen",
+        F.col("cod_documento_transaccion").isin("200", "300"),
+    )
+    anti_key = ["cod_compania", "cod_sucursal", "cod_almacen",
+                "cod_documento_pedido", "nro_documento_pedido"]
+    lines_u = main.unionByName(
+        extra.join(main.select(*anti_key).distinct(), anti_key, "left_anti")
+    )
+
+    es_ven = F.lower(F.col("cod_tipo_operacion")) == "ven"
+    es_pro = F.lower(F.col("cod_tipo_operacion")) == "pro"
+    rollup_key = [
+        "t.id_pais", "t.cod_compania", "t.cod_sucursal", "t.cod_almacen",
+        "t.cod_documento_pedido", "t.nro_documento_pedido", "t.cod_cliente",
+        "t.cod_articulo", "t.cod_documento_almacen", "t.nro_documento_almacen",
+        "irpv.cod_documento_venta", "irpv.cod_procedimiento_venta",
+        "irpv.cod_operacion_venta",
+    ]
+    rollup = (
+        lines_u.alias("t")
+        .join(
+            alm.alias("vtha"),
+            (F.col("t.cod_compania") == F.col("vtha.cod_compania"))
+            & (F.col("t.cod_sucursal") == F.col("vtha.cod_sucursal"))
+            & (F.col("t.cod_almacen") == F.col("vtha.cod_almacen_emisor_origen"))
+            & (F.col("t.cod_documento_almacen") == F.col("vtha.cod_documento_transaccion"))
+            & (F.col("t.nro_documento_almacen") == F.col("vtha.nro_documento_almacen"))
+            & (F.col("vtha.orden") == 1)
+            & (F.col("vtha.cod_estado_comprobante").isin("PLI", "LIQ")),
+            "left",
+        )
+        .join(
+            F.broadcast(irpv).alias("irpv"),
+            (F.col("t.cod_compania") == F.col("irpv.cod_compania"))
+            & (F.col("t.cod_documento_pedido") == F.col("irpv.cod_documento_pedido"))
+            & (F.col("t.cod_tipo_pedido") == F.col("irpv.cod_tipo_pedido"))
+            & (F.col("t.cod_procedimiento") == F.col("irpv.cod_procedimiento_pedido")),
+            "left",
+        )
+        .groupBy(*[F.col(k) for k in rollup_key])
+        .agg(
+            F.max("t.id_periodo").alias("id_periodo"),
+            F.max("t.cod_procedimiento").alias("cod_procedimiento"),
+            F.max("t.cod_origen_pedido").alias("cod_origen_pedido"),
+            F.max("t.cod_tipo_pedido").alias("cod_tipo_pedido"),
+            F.max("t.cod_vendedor").alias("cod_vendedor"),
+            F.max("t.cod_lista_precio").alias("cod_lista_precio"),
+            F.max("t.cod_forma_pago").alias("cod_forma_pago"),
+            F.max("t.cod_zona").alias("cod_zona"),
+            F.max("t.cod_ruta").alias("cod_ruta"),
+            F.max("t.cod_modulo").alias("cod_modulo"),
+            F.max("t.nro_pedido_ref").alias("nro_pedido_ref"),
+            F.max("t.cod_fuerza_venta").alias("cod_fuerza_venta"),
+            F.max("vtha.cod_transportista").alias("cod_transportista"),
+            F.max("vtha.cod_chofer").alias("cod_chofer"),
+            F.max("vtha.cod_vehiculo").alias("cod_medio_transporte"),
+            F.max("vtha.cod_estado_comprobante").alias("estado_guia"),
+            F.max("t.fecha_pedido").alias("fecha_pedido"),
+            F.max("t.fecha_entrega").alias("fecha_entrega"),
+            F.max("vtha.fecha_emision").alias("fecha_orden_carga"),
+            F.max("vtha.fecha_almacen").alias("fecha_movimiento_inventario"),
+            F.max("irpv.cod_tipo_operacion").alias("cod_tipo_operacion"),
+            F.sum("t.cantidad_cajas").alias("cantidad_cajas"),
+            F.sum("t.cantidad_botellas").alias("cantidad_botellas"),
+            F.sum("t.cantidad_cajas_asignada").alias("cantidad_cajas_asignada"),
+            F.sum("t.cantidad_botellas_asignada").alias("cantidad_botellas_asignada"),
+            # dispatched = assigned, but ONLY once a live movement exists
+            F.sum(
+                F.when(F.col("vtha.cod_documento_transaccion").isNull(), F.lit(0))
+                .otherwise(F.col("t.cantidad_cajas_asignada"))
+            ).alias("cantidad_cajas_despechado"),
+            F.sum(
+                F.when(F.col("vtha.cod_documento_transaccion").isNull(), F.lit(0))
+                .otherwise(F.col("t.cantidad_botellas_asignada"))
+            ).alias("cantidad_botellas_despechado"),
+            F.max("t.fecha_creacion").alias("fecha_creacion"),
+            F.max("t.fecha_modificacion").alias("fecha_modificacion"),
+        )
+        .select(
+            *[F.col(k.split(".")[1]) for k in rollup_key[:10]],
+            "cod_documento_venta", "cod_procedimiento_venta", "cod_operacion_venta",
+            "id_periodo", "cod_procedimiento", "cod_origen_pedido", "cod_tipo_pedido",
+            "cod_vendedor", "cod_lista_precio", "cod_forma_pago", "cod_zona",
+            "cod_ruta", "cod_modulo", "nro_pedido_ref", "cod_fuerza_venta",
+            "cod_transportista", "cod_chofer", "cod_medio_transporte", "estado_guia",
+            "fecha_pedido", "fecha_entrega", "fecha_orden_carga",
+            "fecha_movimiento_inventario", "cod_tipo_operacion",
+            "cantidad_cajas", "cantidad_botellas", "cantidad_cajas_asignada",
+            "cantidad_botellas_asignada", "cantidad_cajas_despechado",
+            "cantidad_botellas_despechado", "fecha_creacion", "fecha_modificacion",
+        )
+    )
+
+    unico = (
+        rollup.where(F.coalesce(F.col("cod_documento_almacen"), F.lit("")) != "")
+        .select(
+            "cod_compania", "cod_sucursal", "cod_almacen", "cod_documento_pedido",
+            "nro_documento_pedido", "cod_documento_almacen", "nro_documento_almacen",
+            "cod_documento_venta", "cod_procedimiento_venta", "cod_operacion_venta",
+        )
+        .distinct()
+    )
+    resumen = (
+        venta_h.alias("vthv")
+        .join(
+            venta_d.alias("vthvd"),
+            (F.col("vthv.cod_compania") == F.col("vthvd.cod_compania"))
+            & (F.col("vthv.cod_sucursal") == F.col("vthvd.cod_sucursal"))
+            & (F.col("vthv.cod_almacen") == F.col("vthvd.cod_almacen"))
+            & (F.col("vthv.cod_documento_venta") == F.col("vthvd.cod_documento_venta"))
+            & (F.col("vthv.nro_documento_venta") == F.col("vthvd.nro_documento_venta")),
+            "inner",
+        )
+        .join(
+            unico.alias("t"),
+            (F.col("vthv.cod_compania") == F.col("t.cod_compania"))
+            & (F.col("vthv.cod_sucursal") == F.col("t.cod_sucursal"))
+            & (F.col("vthv.cod_almacen") == F.col("t.cod_almacen"))
+            & (F.col("vthv.cod_documento_pedido") == F.col("t.cod_documento_pedido"))
+            & (F.col("vthv.nro_documento_pedido") == F.col("t.nro_documento_pedido"))
+            & (F.col("vthv.cod_documento_almacen") == F.col("t.cod_documento_almacen"))
+            & (F.col("vthv.nro_documento_almacen") == F.col("t.nro_documento_almacen"))
+            & (F.col("vthv.cod_documento_venta") == F.col("t.cod_documento_venta"))
+            & (F.col("vthv.cod_procedimiento") == F.col("t.cod_procedimiento_venta"))
+            & (F.col("vthvd.cod_operacion") == F.col("t.cod_operacion_venta")),
+            "inner",
+        )
+        .where(
+            ~F.col("vthv.cod_documento_venta").isin("RMD", "CMD")
+            & (F.col("vthv.cod_estado_comprobante") != "002")
+        )
+        .groupBy(
+            F.col("vthv.cod_compania"), F.col("vthv.cod_sucursal"),
+            F.col("vthv.cod_almacen"), F.col("t.cod_documento_almacen"),
+            F.col("t.nro_documento_almacen"), F.col("vthv.cod_documento_pedido"),
+            F.col("vthv.nro_documento_pedido"), F.col("vthv.cod_cliente"),
+            F.col("vthvd.cod_articulo"), F.col("vthv.cod_documento_venta"),
+            F.col("vthv.cod_procedimiento"), F.col("vthvd.cod_operacion"),
+        )
+        .agg(
+            F.max("vthv.fecha_liquidacion").alias("fecha_liquidacion"),
+            F.sum(
+                F.when(F.col("vthv.cod_documento_venta") == "NCC", F.lit(-1))
+                .otherwise(F.lit(1)) * F.col("vthvd.cant_paquete")
+            ).alias("cantidad_cajas"),
+            F.sum(
+                F.when(F.col("vthv.cod_documento_venta") == "NCC", F.lit(-1))
+                .otherwise(F.lit(1)) * F.col("vthvd.cant_unidad")
+            ).alias("cantidad_botellas"),
+        )
+    )
+
+    dec = lambda c: c.cast("decimal(20,6)")
+
+    def conv(dispatch, cajas, botellas, fisica: bool):
+        if fisica:
+            expr = dec(cajas) + dec(botellas) / dec(F.col("m.cant_unidad_paquete"))
+        else:
+            expr = (
+                dec(cajas) * dec(F.col("m.cant_unidad_paquete")) + dec(botellas)
+            ) * dec(F.col("m.cant_unidad_volumen"))
+        return F.sum(F.when(dispatch, expr).otherwise(F.lit(0)).cast("decimal(38,12)"))
+
+    v_ven = F.lower(F.col("vthv.cod_tipo_operacion")) == "ven"
+    v_pro = F.lower(F.col("vthv.cod_tipo_operacion")) == "pro"
+    q = {
+        "ped": (F.col("vthv.cantidad_cajas"), F.col("vthv.cantidad_botellas")),
+        "asignado_ped": (
+            F.col("vthv.cantidad_cajas_asignada"), F.col("vthv.cantidad_botellas_asignada")
+        ),
+        "desp": (
+            F.col("vthv.cantidad_cajas_despechado"),
+            F.col("vthv.cantidad_botellas_despechado"),
+        ),
+    }
+    aggs = []
+    for name, (cajas, bot) in q.items():
+        aggs += [
+            conv(v_ven, cajas, bot, True).alias(f"cant_cajafisica_{name}"),
+            conv(v_ven, cajas, bot, False).alias(f"cant_cajavolumen_{name}"),
+            conv(v_pro, cajas, bot, True).alias(f"cant_cajafisica_{name}_pro"),
+            conv(v_pro, cajas, bot, False).alias(f"cant_cajavolumen_{name}_pro"),
+        ]
+    sold = (F.col("t.cantidad_cajas"), F.col("t.cantidad_botellas"))
+    aggs += [
+        conv(v_ven, *sold, True).alias("cant_caja_fisica_ven"),
+        conv(v_ven, *sold, False).alias("cant_caja_volumen_ven"),
+        conv(v_pro, *sold, True).alias("cant_caja_fisica_pro"),
+        conv(v_pro, *sold, False).alias("cant_caja_volumen_pro"),
+    ]
+    final = (
+        rollup.alias("vthv")
+        .join(
+            resumen.alias("t"),
+            (F.col("vthv.cod_compania") == F.col("t.cod_compania"))
+            & (F.col("vthv.cod_sucursal") == F.col("t.cod_sucursal"))
+            & (F.col("vthv.cod_almacen") == F.col("t.cod_almacen"))
+            & (F.col("vthv.cod_documento_pedido") == F.col("t.cod_documento_pedido"))
+            & (F.col("vthv.nro_documento_pedido") == F.col("t.nro_documento_pedido"))
+            & (F.col("vthv.cod_cliente") == F.col("t.cod_cliente"))
+            & (F.col("vthv.cod_articulo") == F.col("t.cod_articulo"))
+            & (F.col("vthv.cod_documento_almacen") == F.col("t.cod_documento_almacen"))
+            & (F.col("vthv.nro_documento_almacen") == F.col("t.nro_documento_almacen"))
+            & (F.col("vthv.cod_documento_venta") == F.col("t.cod_documento_venta"))
+            & (F.col("vthv.cod_procedimiento_venta") == F.col("t.cod_procedimiento"))
+            & (F.col("vthv.cod_operacion_venta") == F.col("t.cod_operacion")),
+            "left",
+        )
+        .join(
+            F.broadcast(art).alias("m"),
+            (F.col("vthv.cod_compania") == F.col("m.cod_compania"))
+            & (F.col("vthv.cod_articulo") == F.col("m.cod_articulo")),
+            "inner",
+        )
+        .groupBy(
+            F.col("vthv.cod_compania"), F.col("vthv.cod_sucursal"),
+            F.col("vthv.cod_almacen"), F.col("vthv.cod_documento_pedido"),
+            F.col("vthv.nro_documento_pedido"), F.col("vthv.cod_cliente"),
+            F.col("vthv.cod_articulo"),
+            F.coalesce(F.col("vthv.cod_documento_almacen"), F.lit("")).alias(
+                "cod_documento_almacen"
+            ),
+            F.coalesce(F.col("vthv.nro_documento_almacen"), F.lit("")).alias(
+                "nro_documento_almacen"
+            ),
+        )
+        .agg(
+            F.max("vthv.id_pais").alias("id_pais"),
+            F.max("vthv.id_periodo").alias("id_periodo"),
+            F.max("t.fecha_liquidacion").alias("fecha_liquidacion"),
+            *aggs,
+            F.max("vthv.fecha_creacion").alias("fecha_creacion"),
+            F.max("vthv.fecha_modificacion").alias("fecha_modificacion"),
+            # serving extras for the delivery fact (reference reads these
+            # from t_pedido; kept here so the fact join stays single-pass)
+            F.max("vthv.cod_zona").alias("cod_zona"),
+            F.max("vthv.cod_ruta").alias("cod_ruta"),
+        )
+        .select(
+            F.col("id_pais"),
+            F.col("id_periodo"),
             surrogate_key(
-                F.col(key[0]), F.col(key[1]), F.col(key[3]), F.col(key[4]),
-                F.col("cod_cliente"),
+                F.col("vthv.cod_compania"), F.col("vthv.cod_sucursal")
+            ).alias("id_sucursal"),
+            # HEADER 5-part convention (see docstring) — NOT the reference's
+            # almacén-infixed 6-part (`:509`), which its own fact can't join
+            surrogate_key(
+                F.col("vthv.cod_compania"), F.col("vthv.cod_sucursal"),
+                F.col("vthv.cod_documento_pedido"), F.col("vthv.nro_documento_pedido"),
+                F.col("vthv.cod_cliente"),
             ).alias("id_pedido"),
-            # delivery linkage minted only when a complete dispatch document
-            # exists (`t_pedido_detalle_cumplimiento.py:511` gates on the
-            # code alone; a code with a NULL number would make concat_ws
-            # silently mint a 4-part id, so the engine requires both)
+            surrogate_key(F.col("vthv.cod_compania"), F.col("vthv.cod_articulo")).alias(
+                "id_producto"
+            ),
             F.when(
-                (F.coalesce(F.col("_doc_alm.cod"), F.lit("")) != "")
-                & (F.coalesce(F.col("_doc_alm.nro"), F.lit("")) != ""),
+                F.col("cod_documento_almacen") != "",
                 surrogate_key(
-                    F.col("cod_compania"),
-                    F.col("cod_sucursal"),
-                    F.col("cod_almacen"),
-                    F.col("_doc_alm.cod"),
-                    F.col("_doc_alm.nro"),
+                    F.col("vthv.cod_compania"), F.col("vthv.cod_sucursal"),
+                    F.col("vthv.cod_almacen"), F.col("cod_documento_almacen"),
+                    F.col("nro_documento_almacen"),
                 ),
             ).alias("id_reparto"),
-            F.col("cod_articulo").alias("id_producto"),
-            "cod_cliente",
-            "cod_zona",
-            "cod_ruta",
-            "fecha_pedido",
-            F.date_format(F.col("fecha_pedido"), "yyyyMM").alias("id_periodo"),
-            F.col("_ped_dec").cast("decimal(38,12)").alias("cant_pedida"),
-            F.col("_desp_dec").cast("decimal(38,12)").alias("cant_despachada"),
-            F.when(
-                F.col("_ped_dec") > 0,
-                F.round(
-                    F.col("_desp_dec").cast("double") / F.col("_ped_dec").cast("double"),
-                    6,
-                ),
-            ).alias("ratio_cumplimiento"),
+            F.col("fecha_liquidacion"),
+            *[F.col(f"cant_cajafisica_{n}{s}") for n in q for s in ("", "_pro")],
+            *[F.col(f"cant_cajavolumen_{n}{s}") for n in q for s in ("", "_pro")],
+            F.col("cant_caja_fisica_ven"), F.col("cant_caja_volumen_ven"),
+            F.col("cant_caja_fisica_pro"), F.col("cant_caja_volumen_pro"),
+            F.col("cod_zona"), F.col("cod_ruta"),
+            F.col("fecha_creacion"), F.col("fecha_modificacion"),
         )
+    )
+    out = cast_projection(
+        final,
+        [
+            ("id_pais", "string"),
+            ("id_periodo", "string"),
+            ("id_sucursal", "string"),
+            ("id_pedido", "string"),
+            ("id_producto", "string"),
+            ("id_reparto", "string"),
+            ("fecha_liquidacion", "date"),
+            *[
+                (f"cant_cajafisica_{n}{s}", "numeric(38,12)")
+                for n in q for s in ("", "_pro")
+            ],
+            *[
+                (f"cant_cajavolumen_{n}{s}", "numeric(38,12)")
+                for n in q for s in ("", "_pro")
+            ],
+            ("cant_caja_fisica_ven", "numeric(38,12)"),
+            ("cant_caja_volumen_ven", "numeric(38,12)"),
+            ("cant_caja_fisica_pro", "numeric(38,12)"),
+            ("cant_caja_volumen_pro", "numeric(38,12)"),
+            ("cod_zona", "string"),
+            ("cod_ruta", "string"),
+            ("fecha_creacion", "timestamp"),
+            ("fecha_modificacion", "timestamp"),
+        ],
     )
     write_table(
         out,
         ctx.catalog.table_path(Layer.DOMAIN, "t_pedido_cumplimiento"),
-        partition_by=["id_periodo"],
+        partition_by=["id_pais", "id_periodo"],
     )
 
 

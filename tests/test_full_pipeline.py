@@ -68,15 +68,17 @@ def test_full_52_job_pipeline(spark, tmp_path):
     # the delivery fact stitched order ⋈ fulfillment ⋈ delivery headers —
     # BOTH left joins must have matched (carrier from t_reparto, client and
     # order date from t_pedido)
-    rep = spark.read.parquet(
+    rep = {r["id_pedido"]: r for r in spark.read.parquet(
         lake.table_path(Layer.ANALYTICS, "fact_reparto_detalle")
-    ).collect()
-    assert len(rep) == 1
-    assert rep[0]["id_pedido"] == "10|01|200|N1|C1"
-    assert rep[0]["id_reparto"] == "10|01|AL1|GRA|900"
-    assert rep[0]["id_transportista"] == "10|77"
-    assert rep[0]["cod_cliente"] == "C1"
-    assert rep[0]["fecha_pedido"] is not None
+    ).collect()}
+    # the main '200' order line (dispatched) plus the ADES-only '300' line
+    assert set(rep) == {"10|01|200|N1|C1", "10|01|300|N3|C1"}
+    main_line = rep["10|01|200|N1|C1"]
+    assert main_line["id_reparto"] == "10|01|AL1|GRA|900"
+    assert main_line["id_transportista"] == "10|77"
+    assert main_line["cod_cliente"] == "C1"
+    assert main_line["fecha_pedido"] is not None
+    assert rep["10|01|300|N3|C1"]["id_reparto"] is None  # ADES line undispatched
 
     # the reference reruns the whole workload nightly — a second full run
     # must be a fixed point: merges match-update instead of duplicating,

@@ -530,15 +530,31 @@ def test_dim_sucursal_company_denormalization(spark, lake):
 def test_fact_reparto_detalle_two_left_joins(spark, lake):
     """Fulfillment lines keep NULL carrier columns when no delivery
     matched; order attributes arrive via the pedido LEFT join."""
+    qty = [
+        f"cant_cajavolumen_{n}{s}" if vol else f"cant_cajafisica_{n}{s}"
+        for n in ("ped", "asignado_ped", "desp")
+        for s in ("", "_pro")
+        for vol in (False, True)
+    ] + ["cant_caja_fisica_ven", "cant_caja_volumen_ven",
+         "cant_caja_fisica_pro", "cant_caja_volumen_pro"]
     reg = SchemaRegistry({
         "t_pedido_cumplimiento": [
-            ("id_pedido", "string"), ("id_reparto", "string"), ("id_producto", "string"),
-            ("cod_cliente", "string"), ("cod_zona", "string"), ("cod_ruta", "string"),
-            ("fecha_pedido", "date"), ("id_periodo", "string"),
-            ("cant_pedida", "decimal(38,12)"), ("cant_despachada", "decimal(38,12)"),
+            ("id_pais", "string"), ("id_periodo", "string"), ("id_sucursal", "string"),
+            ("id_pedido", "string"), ("id_producto", "string"), ("id_reparto", "string"),
+            ("fecha_liquidacion", "date"),
+            *[(c, "numeric(38,12)") for c in qty],
+            ("cod_zona", "string"), ("cod_ruta", "string"),
+            ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
         ],
         "t_pedido": [
-            ("id_pedido", "string"), ("cod_cliente", "string"), ("fecha_pedido", "date"),
+            ("id_pedido", "string"), ("id_cliente", "string"), ("cod_cliente", "string"),
+            ("id_origen_pedido", "string"), ("id_tipo_pedido", "string"),
+            ("id_fuerza_venta", "string"), ("id_vendedor", "string"),
+            ("id_lista_precio", "string"), ("id_forma_pago", "string"),
+            ("desc_region", "string"), ("desc_subregion", "string"),
+            ("desc_division", "string"), ("cod_zona", "string"), ("cod_ruta", "string"),
+            ("cod_modulo", "string"), ("nro_pedido_ref", "string"),
+            ("nro_pedido", "string"), ("fecha_pedido", "date"), ("fecha_entrega", "date"),
         ],
         "t_reparto": [
             ("id_reparto", "string"), ("id_transportista", "string"), ("id_chofer", "string"),
@@ -548,19 +564,37 @@ def test_fact_reparto_detalle_two_left_joins(spark, lake):
     })
     D = Decimal
     d = dt.date(2025, 5, 3)
+    ts = dt.datetime(2025, 5, 3, 8)
+
+    def _cum(producto, reparto, ped, desp):
+        row = {"id_pais": "PE", "id_periodo": "202505", "id_sucursal": "10|01",
+               "id_pedido": "10|01|200|P1|C1", "id_producto": producto,
+               "id_reparto": reparto, "fecha_liquidacion": d,
+               "cod_zona": "Z1", "cod_ruta": "R1",
+               "fecha_creacion": ts, "fecha_modificacion": ts}
+        row.update({c: D("0") for c in qty})
+        row["cant_cajafisica_ped"] = D(ped)
+        row["cant_cajafisica_desp"] = D(desp)
+        return row
+
+    ddl = ("id_pais string, id_periodo string, id_sucursal string, id_pedido string, "
+           "id_producto string, id_reparto string, fecha_liquidacion date, "
+           + ", ".join(f"{c} decimal(38,12)" for c in qty)
+           + ", cod_zona string, cod_ruta string, fecha_creacion timestamp, "
+           "fecha_modificacion timestamp")
     spark.createDataFrame(
-        [
-            ("10|01|200|P1|C1", "10|01|AL1|GRA|900", "A1", "C1", "Z1", "R1", d, "202505",
-             D("10"), D("7")),
-            ("10|01|200|P1|C1", None, "A2", "C1", "Z1", "R1", d, "202505", D("5"), D("0")),
-        ],
-        "id_pedido string, id_reparto string, id_producto string, cod_cliente string, "
-        "cod_zona string, cod_ruta string, fecha_pedido date, id_periodo string, "
-        "cant_pedida decimal(38,12), cant_despachada decimal(38,12)",
+        [_cum("A1", "10|01|AL1|GRA|900", "10", "7"), _cum("A2", None, "5", "0")], ddl
     ).write.parquet(lake.table_path(Layer.DOMAIN, "t_pedido_cumplimiento"))
     spark.createDataFrame(
-        [("10|01|200|P1|C1", "C1", d)],
-        "id_pedido string, cod_cliente string, fecha_pedido date",
+        [("10|01|200|P1|C1", "10|C1", "C1", "10|OR1", "10|TP1", "10|01|F1", "10|V9",
+          "10|LP1", "10|CP1", "REGION NORTE", "SUBREGION DEFAULT", None, "Z1", "R1",
+          "M1", "SF1", "P1|C1", d, d)],
+        "id_pedido string, id_cliente string, cod_cliente string, id_origen_pedido string, "
+        "id_tipo_pedido string, id_fuerza_venta string, id_vendedor string, "
+        "id_lista_precio string, id_forma_pago string, desc_region string, "
+        "desc_subregion string, desc_division string, cod_zona string, cod_ruta string, "
+        "cod_modulo string, nro_pedido_ref string, nro_pedido string, "
+        "fecha_pedido date, fecha_entrega date",
     ).write.parquet(lake.table_path(Layer.DOMAIN, "t_pedido"))
     spark.createDataFrame(
         [("10|01|AL1|GRA|900", "10|T1", "10|CH1", "10|V01", d, d, "LIQ")],
@@ -579,9 +613,14 @@ def test_fact_reparto_detalle_two_left_joins(spark, lake):
     a1 = rows["A1"]
     assert a1["id_transportista"] == "10|T1"           # delivery matched
     assert a1["estado_guia"] == "LIQ"
-    assert a1["cod_cliente"] == "C1"                   # via pedido left join
+    assert a1["id_cliente"] == "10|C1"                 # via pedido left join
+    assert a1["id_vendedor"] == "10|V9"
+    assert a1["desc_region"] == "REGION NORTE"
+    assert a1["nro_pedido"] == "P1|C1"
     assert a1["cant_cajafisica_ped"] == Decimal("10.000000000000")
+    # fecha_reparto serves twice (movimiento + almacen, reference :56-58)
+    assert a1["fecha_movimiento_inventario"] == d and a1["fecha_almacen"] == d
     a2 = rows["A2"]
     assert a2["id_transportista"] is None              # undispatched line
-    assert a2["fecha_reparto"] is None
+    assert a2["fecha_almacen"] is None
     assert a2["cant_cajafisica_desp"] == Decimal("0.000000000000")

@@ -1050,67 +1050,260 @@ def test_t_saldos_iniciales_valuation(spark, lake):
 
 
 def test_t_pedido_cumplimiento(spark, lake):
-    """Wide-key left join: ordered vs dispatched per order line; unmatched
-    order lines show zero dispatch; A4 representative attributes."""
-    reg = SchemaRegistry({
-        "t_documento_pedido_detalle": [
-            ("cod_compania", "string"), ("cod_sucursal", "string"), ("cod_almacen", "string"),
-            ("cod_documento_pedido", "string"), ("nro_documento_pedido", "string"),
-            ("cod_articulo", "string"), ("cod_cliente", "string"), ("cod_zona", "string"),
-            ("cod_ruta", "string"), ("fecha_pedido", "date"),
-            ("cod_documento_almacen", "string"), ("nro_documento_almacen", "string"),
-            ("cant_unidad", "numeric(38,12)"),
-        ],
-        "t_documento_venta_detalle": [
-            ("cod_compania", "string"), ("cod_sucursal", "string"), ("cod_almacen", "string"),
-            ("cod_documento_pedido", "string"), ("nro_documento_pedido", "string"),
-            ("cod_articulo", "string"), ("cant_unidad", "numeric(38,12)"),
-        ],
-    })
+    """Full fulfillment pipeline, hand-computed: line rollup with the A4
+    block, W1-ranked dispatch linkage gating despachado, expected-sale
+    mapping through i_relacion_proced_venta, NINE-key sold resumen with the
+    NCC sign flip, and the Ven-split física/volumen unit conversions."""
     D = Decimal
     d = dt.date(2025, 5, 3)
+    ts = dt.datetime(2025, 5, 3, 8)
+    reg = SchemaRegistry({
+        "t_documento_pedido": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_almacen", "string"), ("cod_documento_pedido", "string"),
+            ("nro_documento_pedido", "string"), ("cod_tipo_pedido", "string"),
+            ("cod_documento_pedido_origen", "string"), ("cod_vendedor", "string"),
+            ("cod_condicion_pago", "string"), ("cod_fuerza_venta", "string"),
+            ("fecha_pedido", "date"), ("fecha_entrega", "date"),
+        ],
+        "t_documento_pedido_detalle": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_almacen", "string"), ("cod_documento_pedido", "string"),
+            ("nro_documento_pedido", "string"), ("cod_cliente", "string"),
+            ("cod_articulo", "string"), ("cod_procedimiento", "string"),
+            ("cod_zona", "string"), ("cod_ruta", "string"), ("cod_modulo", "string"),
+            ("cod_lista_precio", "string"), ("cod_documento_almacen", "string"),
+            ("nro_documento_almacen", "string"), ("id_salesforce", "string"),
+            ("fecha_pedido", "date"),
+            ("cant_paquete", "numeric(38,12)"), ("cant_unidad", "numeric(38,12)"),
+            ("cant_paquete_asignado", "numeric(38,12)"),
+            ("cant_unidad_asignado", "numeric(38,12)"),
+            ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
+        ],
+        "t_documento_pedido_ades": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_almacen_emisor", "string"), ("cod_documento_transaccion", "string"),
+            ("nro_comprobante", "string"), ("cod_tipo_pedido", "string"),
+            ("cod_tipo_documento_origen", "string"), ("cod_vendedor", "string"),
+            ("cod_condicion_pago", "string"), ("cod_fuerza_venta", "string"),
+            ("fecha_pedido", "date"), ("fecha_entrega", "date"),
+        ],
+        "t_documento_pedido_ades_detalle": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_almacen_emisor", "string"), ("cod_documento_transaccion", "string"),
+            ("nro_comprobante", "string"), ("cod_cliente", "string"),
+            ("cod_articulo", "string"), ("cod_procedimiento", "string"),
+            ("cod_zona_distribucion", "string"), ("cod_ruta_distribucion", "string"),
+            ("cod_modulo", "string"), ("cod_lista_precios", "string"),
+            ("cod_tipo_documento_almacen", "string"), ("nro_documento_almacen", "string"),
+            ("id_salesforce", "string"), ("fecha_pedido", "date"),
+            ("cantidad_cajas", "numeric(38,12)"), ("cantidad_botellas", "numeric(38,12)"),
+            ("cantidad_cajas_asignada", "numeric(38,12)"),
+            ("cantidad_botellas_asignada", "numeric(38,12)"),
+            ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
+        ],
+        "t_movimiento_inventario": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_almacen_emisor_origen", "string"), ("cod_documento_transaccion", "string"),
+            ("nro_documento_almacen", "string"), ("nro_documento_movimiento", "string"),
+            ("cod_transportista", "string"), ("cod_vehiculo", "string"),
+            ("cod_chofer", "string"), ("cod_estado_comprobante", "string"),
+            ("fecha_emision", "date"), ("fecha_almacen", "date"),
+        ],
+        "t_documento_venta": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_almacen", "string"), ("cod_documento_venta", "string"),
+            ("nro_documento_venta", "string"), ("cod_documento_pedido", "string"),
+            ("nro_documento_pedido", "string"), ("cod_documento_almacen", "string"),
+            ("nro_documento_almacen", "string"), ("cod_cliente", "string"),
+            ("cod_procedimiento", "string"), ("cod_estado_comprobante", "string"),
+            ("fecha_liquidacion", "date"),
+        ],
+        "t_documento_venta_detalle": [
+            ("cod_compania", "string"), ("cod_sucursal", "string"),
+            ("cod_almacen", "string"), ("cod_documento_venta", "string"),
+            ("nro_documento_venta", "string"), ("cod_articulo", "string"),
+            ("cod_operacion", "string"),
+            ("cant_paquete", "numeric(38,12)"), ("cant_unidad", "numeric(38,12)"),
+        ],
+        "i_relacion_proced_venta": [
+            ("cod_compania", "string"), ("cod_documento_pedido", "string"),
+            ("cod_procedimiento_pedido", "string"), ("cod_documento_venta", "string"),
+            ("cod_procedimiento_venta", "string"), ("cod_operacion_venta", "string"),
+            ("cod_tipo_pedido", "string"),
+        ],
+        "m_procedimiento": [
+            ("cod_compania", "string"), ("cod_documento_transaccion", "string"),
+            ("cod_procedimiento", "string"), ("cod_tipo_operacion", "string"),
+        ],
+        "m_articulo": [
+            ("cod_compania", "string"), ("cod_articulo", "string"),
+            ("cant_unidad_paquete", "numeric(38,12)"),
+            ("cant_unidad_volumen", "numeric(38,12)"),
+        ],
+        "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
+                        ("desc_compania", "string"), ("es_activo", "string"),
+                        ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
+        "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
+    })
+    spark.createDataFrame(
+        [("10", "01", "AL1", "200", "P1", "TP1", "OR1", "V9", "CP1", "F1", d, d)],
+        "cod_compania string, cod_sucursal string, cod_almacen string, "
+        "cod_documento_pedido string, nro_documento_pedido string, cod_tipo_pedido string, "
+        "cod_documento_pedido_origen string, cod_vendedor string, cod_condicion_pago string, "
+        "cod_fuerza_venta string, fecha_pedido date, fecha_entrega date",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido", "pe01"))
     spark.createDataFrame(
         [
-            # two order lines for the same (pedido, articulo) → aggregate to 10
-            ("10", "01", "AL1", "200", "P1", "A1", "C1", "Z1", "R1", d, "GRA", "900", D("6")),
-            ("10", "01", "AL1", "200", "P1", "A1", "C1", "Z1", "R1", d, "GRA", "900", D("4")),
-            # a line never dispatched (no warehouse document)
-            ("10", "01", "AL1", "200", "P1", "A2", "C1", "Z1", "R1", d, None, None, D("5")),
+            # two order lines of A1, dispatched doc GRA/900: cajas 2, bot 10,
+            # asignada cajas 2 bot 5
+            ("10", "01", "AL1", "200", "P1", "C1", "A1", "P01", "Z1", "R1", "M1",
+             "LP1", "GRA", "900", "SF1", d, D("1"), D("5"), D("1"), D("2"), ts, ts),
+            ("10", "01", "AL1", "200", "P1", "C1", "A1", "P01", "Z1", "R1", "M1",
+             "LP1", "GRA", "900", "SF1", d, D("1"), D("5"), D("1"), D("3"), ts, ts),
+            # A2: never dispatched (no warehouse document)
+            ("10", "01", "AL1", "200", "P1", "C1", "A2", "P01", "Z1", "R1", "M1",
+             "LP1", None, None, "SF1", d, D("1"), D("0"), D("1"), D("0"), ts, ts),
+            # A3: credit-note procedure — its expected sale doc is NCC
+            ("10", "01", "AL1", "200", "P1", "C1", "A3", "P03", "Z1", "R1", "M1",
+             "LP1", "GRA", "900", "SF1", d, D("1"), D("0"), D("1"), D("0"), ts, ts),
         ],
         "cod_compania string, cod_sucursal string, cod_almacen string, "
-        "cod_documento_pedido string, nro_documento_pedido string, cod_articulo string, "
-        "cod_cliente string, cod_zona string, cod_ruta string, fecha_pedido date, "
-        "cod_documento_almacen string, nro_documento_almacen string, "
-        "cant_unidad decimal(38,12)",
+        "cod_documento_pedido string, nro_documento_pedido string, cod_cliente string, "
+        "cod_articulo string, cod_procedimiento string, cod_zona string, cod_ruta string, "
+        "cod_modulo string, cod_lista_precio string, cod_documento_almacen string, "
+        "nro_documento_almacen string, id_salesforce string, fecha_pedido date, "
+        "cant_paquete decimal(38,12), cant_unidad decimal(38,12), "
+        "cant_paquete_asignado decimal(38,12), cant_unidad_asignado decimal(38,12), "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_detalle", "pe01"))
     spark.createDataFrame(
+        [("10", "01", "AL1", "300", "N3", "TP1", "OR1", "V9", "CP1", "F1", d, d)],
+        "cod_compania string, cod_sucursal string, cod_almacen_emisor string, "
+        "cod_documento_transaccion string, nro_comprobante string, cod_tipo_pedido string, "
+        "cod_tipo_documento_origen string, cod_vendedor string, cod_condicion_pago string, "
+        "cod_fuerza_venta string, fecha_pedido date, fecha_entrega date",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_ades", "pe01"))
+    spark.createDataFrame(
+        [("10", "01", "AL1", "300", "N3", "C1", "A1", "P02", "Z1", "R1", "M1",
+          "LP1", None, None, "SF3", d, D("1"), D("0"), D("0"), D("0"), ts, ts)],
+        "cod_compania string, cod_sucursal string, cod_almacen_emisor string, "
+        "cod_documento_transaccion string, nro_comprobante string, cod_cliente string, "
+        "cod_articulo string, cod_procedimiento string, cod_zona_distribucion string, "
+        "cod_ruta_distribucion string, cod_modulo string, cod_lista_precios string, "
+        "cod_tipo_documento_almacen string, nro_documento_almacen string, "
+        "id_salesforce string, fecha_pedido date, cantidad_cajas decimal(38,12), "
+        "cantidad_botellas decimal(38,12), cantidad_cajas_asignada decimal(38,12), "
+        "cantidad_botellas_asignada decimal(38,12), fecha_creacion timestamp, "
+        "fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_ades_detalle", "pe01"))
+    spark.createDataFrame(
         [
-            ("10", "01", "AL1", "200", "P1", "A1", D("3")),
-            ("10", "01", "AL1", "200", "P1", "A1", D("4")),   # partial: 7 of 10
+            # two movements of GRA/900: M002 (LIQ) is latest → orden 1
+            ("10", "01", "AL1", "GRA", "900", "M001", "T1", "V01", "CH1", "PLI", d, d),
+            ("10", "01", "AL1", "GRA", "900", "M002", "T2", "V02", "CH2", "LIQ", d, d),
+        ],
+        "cod_compania string, cod_sucursal string, cod_almacen_emisor_origen string, "
+        "cod_documento_transaccion string, nro_documento_almacen string, "
+        "nro_documento_movimiento string, cod_transportista string, cod_vehiculo string, "
+        "cod_chofer string, cod_estado_comprobante string, fecha_emision date, "
+        "fecha_almacen date",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_movimiento_inventario", "pe01"))
+    spark.createDataFrame(
+        [
+            ("10", "01", "AL1", "FAC", "0001", "200", "P1", "GRA", "900", "C1",
+             "PR1", "001", d),
+            # credit note against the same order/dispatch: sign flip
+            ("10", "01", "AL1", "NCC", "0002", "200", "P1", "GRA", "900", "C1",
+             "PR1", "001", d),
         ],
         "cod_compania string, cod_sucursal string, cod_almacen string, "
-        "cod_documento_pedido string, nro_documento_pedido string, cod_articulo string, "
-        "cant_unidad decimal(38,12)",
+        "cod_documento_venta string, nro_documento_venta string, "
+        "cod_documento_pedido string, nro_documento_pedido string, "
+        "cod_documento_almacen string, nro_documento_almacen string, cod_cliente string, "
+        "cod_procedimiento string, cod_estado_comprobante string, fecha_liquidacion date",
+    ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_venta", "pe01"))
+    spark.createDataFrame(
+        [
+            ("10", "01", "AL1", "FAC", "0001", "A1", "OPV", D("1"), D("5")),
+            ("10", "01", "AL1", "NCC", "0002", "A3", "OPV", D("0"), D("2")),
+        ],
+        "cod_compania string, cod_sucursal string, cod_almacen string, "
+        "cod_documento_venta string, nro_documento_venta string, cod_articulo string, "
+        "cod_operacion string, cant_paquete decimal(38,12), cant_unidad decimal(38,12)",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_venta_detalle", "pe01"))
+    spark.createDataFrame(
+        [("10", "200", "P01", "FAC", "PR1", "OPV", "TP1"),
+         ("10", "200", "P03", "NCC", "PR1", "OPV", "TP1"),
+         ("10", "300", "P02", "FAC", "PR1", "OPV", "TP1")],
+        "cod_compania string, cod_documento_pedido string, cod_procedimiento_pedido string, "
+        "cod_documento_venta string, cod_procedimiento_venta string, "
+        "cod_operacion_venta string, cod_tipo_pedido string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "i_relacion_proced_venta", "pe01"))
+    spark.createDataFrame(
+        [("10", "200", "P01", "ven"), ("10", "300", "P02", "pro"),
+         ("10", "200", "P03", "ven")],
+        "cod_compania string, cod_documento_transaccion string, cod_procedimiento string, "
+        "cod_tipo_operacion string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_procedimiento", "pe01"))
+    spark.createDataFrame(
+        [("10", "A1", D("10"), D("2")), ("10", "A2", D("10"), D("2")),
+         ("10", "A3", D("10"), D("2"))],
+        "cod_compania string, cod_articulo string, cant_unidad_paquete decimal(38,12), "
+        "cant_unidad_volumen decimal(38,12)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_articulo", "pe01"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", ts, ts)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_compania", "pe01"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
 
     def mk(cfg):
         return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
 
-    res = run_waves([JobConfig("domain", "t_pedido_cumplimiento_lite", 1)], DOMAIN_JOBS, mk)
+    res = run_waves(
+        [JobConfig("domain", "t_pedido_cumplimiento_lite", 1, periods=2)],
+        DOMAIN_JOBS, mk,
+    )
     assert res[0].status == "succeeded", res[0].error
-    rows = {r["id_producto"]: r for r in spark.read.parquet(
+    rows = {(r["id_pedido"], r["id_producto"]): r for r in spark.read.parquet(
         lake.table_path(Layer.DOMAIN, "t_pedido_cumplimiento")).collect()}
-    a1 = rows["A1"]
-    assert a1["id_pedido"] == "10|01|200|P1|C1"         # 5-part header id
+    a1 = rows[("10|01|200|P1|C1", "10|A1")]
     assert a1["id_reparto"] == "10|01|AL1|GRA|900"      # dispatch-doc linkage
-    assert a1["cant_pedida"] == Decimal("10.000000000000")
-    assert a1["cant_despachada"] == Decimal("7.000000000000")
-    assert a1["ratio_cumplimiento"] == 0.7
-    assert a1["cod_cliente"] == "C1"                    # A4 representative
-    a2 = rows["A2"]
+    assert a1["id_sucursal"] == "10|01" and a1["id_pais"] == "PE"
+    # ordered: cajas 2 + botellas 10/10 = 3 física; (2·10+10)·2 = 60 volumen
+    assert a1["cant_cajafisica_ped"] == Decimal("3.000000000000")
+    assert a1["cant_cajavolumen_ped"] == Decimal("60.000000000000")
+    # asignada cajas 2, botellas 5 → 2.5 física / 50 volumen; the LIQ
+    # movement exists, so despachado == asignado
+    assert a1["cant_cajafisica_asignado_ped"] == Decimal("2.500000000000")
+    assert a1["cant_cajafisica_desp"] == Decimal("2.500000000000")
+    assert a1["cant_cajavolumen_desp"] == Decimal("50.000000000000")
+    # sold through the 9-key resumen: only the FAC doc matches A1's
+    # expected-sale mapping → cajas 1, botellas 5
+    assert a1["cant_caja_fisica_ven"] == Decimal("1.500000000000")
+    assert a1["cant_caja_volumen_ven"] == Decimal("30.000000000000")
+    # Pro buckets all zero for a 'ven' line
+    assert a1["cant_cajafisica_ped_pro"] == Decimal("0.000000000000")
+    assert a1["fecha_liquidacion"] == d
+    # A3's expected sale doc is the credit note → the NCC sign flip drives
+    # the sold quantities NEGATIVE: −(0 + 2/10) física, (0·10−2)·2 volumen
+    a3 = rows[("10|01|200|P1|C1", "10|A3")]
+    assert a3["cant_caja_fisica_ven"] == Decimal("-0.200000000000")
+    assert a3["cant_caja_volumen_ven"] == Decimal("-4.000000000000")
+    a2 = rows[("10|01|200|P1|C1", "10|A2")]
     assert a2["id_reparto"] is None                     # no warehouse document
-    assert a2["cant_despachada"] == Decimal("0.000000000000")
-    assert a2["ratio_cumplimiento"] == 0.0
+    assert a2["cant_cajafisica_ped"] == Decimal("1.000000000000")
+    assert a2["cant_cajafisica_desp"] == Decimal("0.000000000000")
+    assert a2["cant_caja_fisica_ven"] is None           # no matched sale rows
+    # ADES-only '300' order landed through the anti-join union as a 'pro'
+    # procedure → Pro bucket
+    ades = rows[("10|01|300|N3|C1", "10|A1")]
+    assert ades["cant_cajafisica_ped_pro"] == Decimal("1.000000000000")
+    assert ades["cant_cajafisica_ped"] == Decimal("0.000000000000")
 
 
 def test_t_visita_composite_keys(spark, lake):

@@ -163,6 +163,14 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
         [("10", "C1", "A")],
         "pe01",
     ),
+    "i_relacion_proced_venta": (
+        "cod_compania string, cod_documento_pedido string, "
+        "cod_procedimiento_pedido string, cod_documento_venta string, "
+        "cod_procedimiento_venta string, cod_operacion_venta string, "
+        "cod_tipo_pedido string",
+        [("10", "200", "P01", "FAC", "PR1", "OPV", "TP1")],
+        "pe01",
+    ),
     "i_relacion_consumo": (
         "cod_compania string, cod_canal string, cod_giro string, cod_subgiro string",
         [("10", "CN1", "G1", "SG1")],
@@ -301,11 +309,12 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
         "cod_supervisor string, cod_lista_precio string, cod_forma_pago string, "
         "cod_motivo_rechazo string, cod_modulo string, nro_comprobante string, "
         "fecha_pedido date, flg_facglob string, flg_refact string, "
-        "fecha_creacion timestamp, fecha_modificacion timestamp",
+        "fecha_creacion timestamp, fecha_modificacion timestamp, "
+        "cod_documento_almacen string, nro_documento_almacen string",
         [("10", "01", "FAC", "0001", "200", "N1", "PR1", "C1", "Z1", "R1", "PEN",
           D("9.9"), D("0"), D("100.5"), "001", MAY, dt.date(2025, 5, 1),
           "AL1", "F1", "V9", "SUP1", "LP1", "FP1", "MR1", "M1", "CP-0001",
-          dt.date(2025, 4, 30), "F", "F", TS, TS)],
+          dt.date(2025, 4, 30), "F", "F", TS, TS, "GRA", "900")],
         "pe01",
     ),
     "t_documento_venta_detalle": (
@@ -355,9 +364,11 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
         "cod_documento_almacen string, nro_documento_almacen string, fecha_pedido date, "
         "cant_paquete decimal(38,12), cant_unidad decimal(38,12), "
         "cant_paquete_asignado decimal(38,12), cant_unidad_asignado decimal(38,12), "
-        "cod_lista_precio string, cod_modulo string",
+        "cod_lista_precio string, cod_modulo string, id_salesforce string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
         [("10", "01", "AL1", "200", "N1", "C1", "A1", "P01", "Z1", "R1",
-          "GRA", "900", MAY, D("2"), D("10"), D("2"), D("0"), "LP1", "M1")],
+          "GRA", "900", MAY, D("2"), D("10"), D("2"), D("0"), "LP1", "M1",
+          "SF1", TS, TS)],
         "pe01",
     ),
     "t_documento_pedido_ades_detalle": (
@@ -366,9 +377,13 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
         "cod_articulo string, cod_procedimiento string, fecha_pedido date, "
         "cantidad_cajas decimal(38,12), cantidad_botellas decimal(38,12), "
         "cantidad_cajas_asignada decimal(38,12), cantidad_botellas_asignada decimal(38,12), "
-        "cod_lista_precios string, cod_ruta_distribucion string, cod_modulo string",
+        "cod_lista_precios string, cod_ruta_distribucion string, cod_modulo string, "
+        "cod_tipo_documento_almacen string, nro_documento_almacen string, "
+        "id_salesforce string, cod_zona_distribucion string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
         [("10", "01", "AL1", "300", "N3", "C1", "A1", "P02", MAY,
-          D("1"), D("0"), D("0"), D("0"), "LP1", "R1", "M1")],
+          D("1"), D("0"), D("0"), D("0"), "LP1", "R1", "M1",
+          None, None, "SF3", "Z1", TS, TS)],
         "pe01",
     ),
     # ---- visits -----------------------------------------------------------
