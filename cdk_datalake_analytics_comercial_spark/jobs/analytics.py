@@ -342,33 +342,83 @@ def job_fact_cliente_venta_lite(ctx: JobContext) -> None:
 
 @ANALYTICS_JOBS.register("fact_venta_detalle_lite")
 def job_fact_venta_detalle_lite(ctx: JobContext) -> None:
-    """Line-item serving fact (`code/analytics/fact_venta_detalle.py:20-90`):
-    period filter on BOTH domain inputs (already-derived id_periodo — P3),
-    header↔detail inner join on id_venta, soft-deleted headers excluded,
-    the /30 case→unit-case volume conversion (`fact_venta_detalle.py:74,76`)
-    in decimal, dynamic overwrite on (id_pais, id_periodo)."""
+    """Line-item serving fact (`code/analytics/fact_venta_detalle.py:26-107`),
+    full reference select: detail ⋈ header (inner) ⋈ m_tipo_venta with the
+    VEN/EXP/OBS whitelist INSIDE the join condition (J7) ⋈ order header
+    (left — contributes id_modelo_atencion/id_origen_pedido/nro_pedido and
+    the geography backfills), live documents only; the sale's own territory
+    descriptors win with the order's as fallback (`:67-72`), the /30
+    case→unit-case volume conversions (`:74,76`), and the entire
+    t_venta_detalle money surface rides through. Dynamic overwrite on
+    (id_pais, id_periodo)."""
     venta = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta", registry=ctx.registry)
     det = read_table(
         ctx.spark, ctx.catalog, Layer.DOMAIN, "t_venta_detalle", registry=ctx.registry
     )
-    v = venta.filter(
-        F.col("id_periodo").isin(ctx.periods) & (F.col("es_eliminado") == 0)
-    ).alias("tv")
+    pedido = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "t_pedido", registry=ctx.registry)
+    tipo_venta = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "m_tipo_venta", registry=ctx.registry
+    )
+
+    v = venta.filter(F.col("id_periodo").isin(ctx.periods)).alias("tv")
     d = det.filter(F.col("id_periodo").isin(ctx.periods)).alias("tvd")
+    MONEY = [
+        "imp_neto_vta_mn", "imp_neto_vta_me", "imp_bruto_vta_mn", "imp_bruto_vta_me",
+        "imp_dscto_mn", "imp_dscto_me", "imp_cobrar_vta_mn", "imp_cobrar_vta_me",
+        "imp_paquete_vta_mn", "imp_paquete_vta_me", "imp_sugerido_mn", "imp_sugerido_me",
+        "imp_full_vta_mn", "imp_full_vta_me", "imp_valorizado_pro_mn",
+        "imp_valorizado_pro_me",
+    ] + [f"imp_impuesto{i}_{c}" for i in range(1, 7) for c in ("mn", "me")]
     out = (
-        d.join(v, "id_venta", "inner")
+        d.join(v, F.col("tvd.id_venta") == F.col("tv.id_venta"), "inner")
+        .join(
+            F.broadcast(tipo_venta).alias("mtv"),
+            (F.col("tv.id_tipo_venta") == F.col("mtv.id_tipo_venta"))
+            & (F.upper(F.col("mtv.cod_tipo_operacion")).isin("VEN", "EXP", "OBS")),
+            "inner",
+        )
+        .join(pedido.alias("tp"), F.col("tv.id_pedido") == F.col("tp.id_pedido"), "left")
+        .where(F.col("tv.es_eliminado") == 0)
         .select(
             F.col("tv.id_pais"),
             F.col("tv.id_periodo"),
-            F.col("id_venta"),
+            F.col("tv.id_sucursal"),
+            F.col("tv.id_cliente"),
             F.col("tvd.id_producto"),
-            F.col("tv.cod_cliente"),
+            F.col("tv.id_vendedor"),
+            F.col("tv.id_supervisor"),
+            F.col("tv.id_forma_pago"),
+            F.col("tv.id_fuerza_venta"),
+            F.col("tp.id_modelo_atencion"),
+            F.col("tv.id_lista_precio"),
+            F.col("tp.id_origen_pedido"),
+            F.col("tv.id_tipo_venta"),
+            F.col("tv.id_venta"),
+            F.col("tv.id_pedido"),
+            F.col("tv.fecha_emision"),
+            F.col("tv.fecha_liquidacion"),
+            F.col("tv.fecha_pedido"),
+            F.col("tv.nro_venta"),
+            F.col("tp.nro_pedido"),
+            F.coalesce(F.col("tv.desc_region"), F.col("tp.desc_region")).alias(
+                "desc_region"
+            ),
+            F.coalesce(F.col("tv.desc_subregion"), F.col("tp.desc_subregion")).alias(
+                "desc_subregion"
+            ),
+            F.coalesce(F.col("tv.desc_division"), F.col("tp.desc_division")).alias(
+                "desc_division"
+            ),
+            F.coalesce(F.col("tv.cod_zona"), F.col("tp.cod_zona")).alias("cod_zona"),
+            F.coalesce(F.col("tv.cod_ruta"), F.col("tp.cod_ruta")).alias("cod_ruta"),
+            F.coalesce(F.col("tv.cod_modulo"), F.col("tp.cod_modulo")).alias("cod_modulo"),
             F.col("tvd.cant_caja_fisica_ven").alias("cant_cajafisica_vta"),
-            (F.col("tvd.cant_caja_fisica_ven") / F.lit(30).cast("decimal(12,6)"))
-            .cast("decimal(38,12)")
-            .alias("cant_cajaunitaria_vta"),
-            F.col("tvd.imp_neto_vta_mn"),
-            F.col("tvd.imp_bruto_vta_mn"),
+            (F.col("tvd.cant_caja_volumen_ven") / 30).alias("cant_cajaunitaria_vta"),
+            F.col("tvd.cant_caja_fisica_pro").alias("cant_cajafisica_pro"),
+            (F.col("tvd.cant_caja_volumen_pro") / 30).alias("cant_cajaunitaria_pro"),
+            F.col("tvd.imp_desnimp_mn").alias("imp_dscto_sinimpvta_mn"),
+            F.col("tvd.imp_desnimp_me").alias("imp_dscto_sinimpvta_me"),
+            *[F.col(f"tvd.{c}") for c in MONEY],
         )
     )
     out = cast_projection(
@@ -376,13 +426,37 @@ def job_fact_venta_detalle_lite(ctx: JobContext) -> None:
         [
             ("id_pais", "string"),
             ("id_periodo", "string"),
-            ("id_venta", "string"),
+            ("id_sucursal", "string"),
+            ("id_cliente", "string"),
             ("id_producto", "string"),
-            ("cod_cliente", "string"),
+            ("id_vendedor", "string"),
+            ("id_supervisor", "string"),
+            ("id_forma_pago", "string"),
+            ("id_fuerza_venta", "string"),
+            ("id_modelo_atencion", "string"),
+            ("id_lista_precio", "string"),
+            ("id_origen_pedido", "string"),
+            ("id_tipo_venta", "string"),
+            ("id_venta", "string"),
+            ("id_pedido", "string"),
+            ("fecha_emision", "date"),
+            ("fecha_liquidacion", "date"),
+            ("fecha_pedido", "date"),
+            ("nro_venta", "string"),
+            ("nro_pedido", "string"),
+            ("desc_region", "string"),
+            ("desc_subregion", "string"),
+            ("desc_division", "string"),
+            ("cod_zona", "string"),
+            ("cod_ruta", "string"),
+            ("cod_modulo", "string"),
             ("cant_cajafisica_vta", "numeric(38,12)"),
             ("cant_cajaunitaria_vta", "numeric(38,12)"),
-            ("imp_neto_vta_mn", "numeric(38,12)"),
-            ("imp_bruto_vta_mn", "numeric(38,12)"),
+            ("cant_cajafisica_pro", "numeric(38,12)"),
+            ("cant_cajaunitaria_pro", "numeric(38,12)"),
+            ("imp_dscto_sinimpvta_mn", "numeric(38,12)"),
+            ("imp_dscto_sinimpvta_me", "numeric(38,12)"),
+            *[(c, "numeric(38,12)") for c in MONEY],
         ],
     )
     write_table(

@@ -542,29 +542,95 @@ def test_dim_estructura_flatten_from_domain_job(spark, lake):
 
 
 def test_fact_venta_detalle_volume_conversion(spark, lake):
-    """Header↔detail join with /30 unit-case conversion in exact decimal."""
+    """Full serving select: detail ⋈ header ⋈ tipo-venta whitelist (J7 —
+    a DES-typed sale is dropped) ⋈ order left join; /30 conversion in exact
+    decimal; geography coalesces prefer the sale's own descriptors and fall
+    back to the order's."""
+    D = Decimal
+    money_cols = [
+        "imp_neto_vta_mn", "imp_neto_vta_me", "imp_bruto_vta_mn", "imp_bruto_vta_me",
+        "imp_dscto_mn", "imp_dscto_me", "imp_desnimp_mn", "imp_desnimp_me",
+        "imp_cobrar_vta_mn", "imp_cobrar_vta_me", "imp_paquete_vta_mn",
+        "imp_paquete_vta_me", "imp_sugerido_mn", "imp_sugerido_me",
+        "imp_full_vta_mn", "imp_full_vta_me", "imp_valorizado_pro_mn",
+        "imp_valorizado_pro_me",
+    ] + [f"imp_impuesto{i}_{c}" for i in range(1, 7) for c in ("mn", "me")]
     reg = SchemaRegistry({
-        "t_venta": [("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
-                     ("cod_cliente", "string"), ("es_eliminado", "int")],
-        "t_venta_detalle": [("id_venta", "string"), ("id_producto", "string"),
-                             ("id_pais", "string"), ("id_periodo", "string"),
-                             ("cant_caja_fisica_ven", "numeric(38,12)"),
-                             ("imp_neto_vta_mn", "numeric(38,12)"),
-                             ("imp_bruto_vta_mn", "numeric(38,12)")],
+        "t_venta": [
+            ("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
+            ("id_sucursal", "string"), ("id_cliente", "string"), ("id_vendedor", "string"),
+            ("id_supervisor", "string"), ("id_forma_pago", "string"),
+            ("id_fuerza_venta", "string"), ("id_lista_precio", "string"),
+            ("id_tipo_venta", "string"), ("id_pedido", "string"),
+            ("fecha_emision", "date"), ("fecha_liquidacion", "date"),
+            ("fecha_pedido", "date"), ("nro_venta", "string"),
+            ("desc_region", "string"), ("desc_subregion", "string"),
+            ("desc_division", "string"), ("cod_zona", "string"), ("cod_ruta", "string"),
+            ("cod_modulo", "string"), ("es_eliminado", "int"),
+        ],
+        "t_venta_detalle": [
+            ("id_venta", "string"), ("id_producto", "string"),
+            ("id_pais", "string"), ("id_periodo", "string"),
+            ("cant_caja_fisica_ven", "numeric(38,12)"),
+            ("cant_caja_volumen_ven", "numeric(38,12)"),
+            ("cant_caja_fisica_pro", "numeric(38,12)"),
+            ("cant_caja_volumen_pro", "numeric(38,12)"),
+            *[(c, "numeric(38,12)") for c in money_cols],
+        ],
+        "t_pedido": [
+            ("id_pedido", "string"), ("id_modelo_atencion", "string"),
+            ("id_origen_pedido", "string"), ("nro_pedido", "string"),
+            ("desc_region", "string"), ("desc_subregion", "string"),
+            ("desc_division", "string"), ("cod_zona", "string"), ("cod_ruta", "string"),
+            ("cod_modulo", "string"),
+        ],
+        "m_tipo_venta": [("id_tipo_venta", "string"), ("cod_tipo_operacion", "string")],
     })
-    spark.createDataFrame(
-        [("V1", "PE", "202505", "C1", 0), ("V2", "PE", "202505", "C2", 1)],
-        "id_venta string, id_pais string, id_periodo string, cod_cliente string, es_eliminado int",
-    ).write.partitionBy("id_pais").parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
+    d = dt.date(2025, 5, 2)
+
+    def venta_row(vid, tipo, deleted, region):
+        return (vid, "PE", "202505", "10|01", "10|C1", "10|V9", None, "10|FP1",
+                "10|01|F1", "10|LP1", tipo, "10|01|200|P1|C1", d, d, d, "CP-01",
+                region, None, None, None, "R1", "M1", deleted)
+
     spark.createDataFrame(
         [
-            ("V1", "A1", "PE", "202505", Decimal("60"), Decimal("100"), Decimal("110")),
-            ("V2", "A1", "PE", "202505", Decimal("30"), Decimal("50"), Decimal("55")),  # deleted hdr
+            venta_row("V1", "TV1", 0, "REGION NORTE"),  # VEN → kept
+            venta_row("V2", "TV1", 1, "REGION NORTE"),  # soft-deleted → dropped
+            venta_row("V3", "TV9", 0, "REGION NORTE"),  # DES type → dropped by J7
+            venta_row("V4", "TV1", 0, None),            # region from ORDER fallback
         ],
+        "id_venta string, id_pais string, id_periodo string, id_sucursal string, "
+        "id_cliente string, id_vendedor string, id_supervisor string, "
+        "id_forma_pago string, id_fuerza_venta string, id_lista_precio string, "
+        "id_tipo_venta string, id_pedido string, fecha_emision date, "
+        "fecha_liquidacion date, fecha_pedido date, nro_venta string, "
+        "desc_region string, desc_subregion string, desc_division string, "
+        "cod_zona string, cod_ruta string, cod_modulo string, es_eliminado int",
+    ).write.partitionBy("id_pais").parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
+
+    def det_row(vid):
+        return (vid, "10|A1", "PE", "202505", D("60"), D("60"), D("0"), D("30"),
+                *[D("1")] * len(money_cols))
+
+    spark.createDataFrame(
+        [det_row("V1"), det_row("V2"), det_row("V3"), det_row("V4")],
         "id_venta string, id_producto string, id_pais string, id_periodo string, "
-        "cant_caja_fisica_ven decimal(38,12), imp_neto_vta_mn decimal(38,12), "
-        "imp_bruto_vta_mn decimal(38,12)",
+        "cant_caja_fisica_ven decimal(38,12), cant_caja_volumen_ven decimal(38,12), "
+        "cant_caja_fisica_pro decimal(38,12), cant_caja_volumen_pro decimal(38,12), "
+        + ", ".join(f"{c} decimal(38,12)" for c in money_cols),
     ).write.partitionBy("id_pais").parquet(lake.table_path(Layer.DOMAIN, "t_venta_detalle"))
+    spark.createDataFrame(
+        [("10|01|200|P1|C1", "10|MA1", "10|OR1", "P1|C1", "REGION PEDIDO",
+          "SUBREGION PEDIDO", "DIV PEDIDO", "ZP", "RP", "MP")],
+        "id_pedido string, id_modelo_atencion string, id_origen_pedido string, "
+        "nro_pedido string, desc_region string, desc_subregion string, "
+        "desc_division string, cod_zona string, cod_ruta string, cod_modulo string",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "t_pedido"))
+    spark.createDataFrame(
+        [("TV1", "VEN"), ("TV9", "DES")],
+        "id_tipo_venta string, cod_tipo_operacion string",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "m_tipo_venta"))
 
     def mk(cfg):
         return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
@@ -572,9 +638,22 @@ def test_fact_venta_detalle_volume_conversion(spark, lake):
     res = run_waves([JobConfig("analytics", "fact_venta_detalle_lite", 1, periods=2)],
                     ANALYTICS_JOBS, mk)
     assert res[0].status == "succeeded", res[0].error
-    rows = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "fact_venta_detalle")).collect()
-    assert len(rows) == 1                                   # deleted header's line dropped
-    assert rows[0]["cant_cajaunitaria_vta"] == Decimal("2.000000000000")  # 60/30
+    rows = {r["id_venta"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "fact_venta_detalle")).collect()}
+    # deleted header and DES-typed sale both dropped
+    assert set(rows) == {"V1", "V4"}
+    v1 = rows["V1"]
+    assert v1["cant_cajaunitaria_vta"] == Decimal("2.000000000000")   # 60/30
+    assert v1["cant_cajaunitaria_pro"] == Decimal("1.000000000000")   # 30/30
+    assert v1["id_modelo_atencion"] == "10|MA1"      # via the order left join
+    assert v1["nro_pedido"] == "P1|C1"
+    assert v1["desc_region"] == "REGION NORTE"       # sale's own wins
+    assert v1["cod_zona"] == "ZP"                    # NULL on the sale → order's
+    assert v1["cod_ruta"] == "R1"                    # sale's own wins
+    assert v1["imp_dscto_sinimpvta_mn"] == Decimal("1.000000000000")  # renamed
+    assert v1["imp_impuesto6_me"] == Decimal("1.000000000000")
+    # V4's own region is NULL → the order's backfills
+    assert rows["V4"]["desc_region"] == "REGION PEDIDO"
 
 
 def test_dim_eje_territorial_ladder_from_domain_job(spark, lake):
