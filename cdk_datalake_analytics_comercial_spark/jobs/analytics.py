@@ -810,11 +810,12 @@ def job_dim_eje_territorial_lite(ctx: JobContext) -> None:
 @ANALYTICS_JOBS.register("fact_venta_cliente_historico_lite")
 def job_fact_venta_cliente_historico_lite(ctx: JobContext) -> None:
     """Historic client-sales fact (`code/analytics/fact_venta_cliente_
-    historico.py:27-147`, reduced measure width): detail ⋈ header on
+    historico.py:27-147`, FULL measure surface): detail ⋈ header on
     id_venta, LEFT ⋈ order header, and an inner join against the sales-type
     dim whose operation-code whitelist lives INSIDE the join condition
     (``upper(cod_tipo_operacion).isin('VEN','EXP')``, `:39-44` — J7).
-    Soft-deleted headers drop (`:45`); the 7-key groupBy then takes
+    Soft-deleted headers drop (`:45`); the 7-key groupBy (incl.
+    forma_pago/lista_precio) then takes
     ``max(coalesce(header_attr, order_attr))`` as the representative
     territory attributes (`:56-61` — the sale's own region wins, the
     order's backfills) plus decimal sums and the /30 package-to-unit
@@ -849,14 +850,36 @@ def job_fact_venta_cliente_historico_lite(ctx: JobContext) -> None:
             F.col("tv.id_sucursal"),
             F.col("tv.id_cliente"),
             F.col("tvd.id_producto"),
+            F.col("tv.id_forma_pago"),
+            F.col("tv.id_lista_precio"),
         )
         .agg(
-            F.max(F.coalesce(F.col("tv.cod_zona"), F.col("tp.cod_zona"))).alias("cod_zona"),
-            F.max(F.coalesce(F.col("tv.cod_ruta"), F.col("tp.cod_ruta"))).alias("cod_ruta"),
+            *[
+                F.max(F.coalesce(F.col(f"tv.{c}"), F.col(f"tp.{c}"))).alias(c)
+                for c in ("desc_region", "desc_subregion", "desc_division",
+                          "cod_zona", "cod_ruta", "cod_modulo")
+            ],
             F.sum("tvd.cant_caja_fisica_ven").alias("cant_cajafisica_vta"),
             (F.sum("tvd.cant_caja_volumen_ven") / 30).alias("cant_cajaunitaria_vta"),
-            F.sum("tvd.imp_neto_vta_mn").alias("imp_neto_vta_mn"),
-            F.sum("tvd.imp_neto_vta_me").alias("imp_neto_vta_me"),
+            F.sum("tvd.cant_caja_fisica_pro").alias("cant_cajafisica_pro"),
+            (F.sum("tvd.cant_caja_volumen_pro") / 30).alias("cant_cajaunitaria_pro"),
+            F.sum("tvd.imp_desnimp_mn").alias("imp_dscto_sinimpvta_mn"),
+            F.sum("tvd.imp_desnimp_me").alias("imp_dscto_sinimpvta_me"),
+            *[
+                F.sum(f"tvd.{c}").alias(c)
+                for c in (
+                    "imp_neto_vta_mn", "imp_neto_vta_me", "imp_bruto_vta_mn",
+                    "imp_bruto_vta_me", "imp_dscto_mn", "imp_dscto_me",
+                    "imp_cobrar_vta_mn", "imp_cobrar_vta_me", "imp_paquete_vta_mn",
+                    "imp_paquete_vta_me", "imp_sugerido_mn", "imp_sugerido_me",
+                    "imp_full_vta_mn", "imp_full_vta_me", "imp_valorizado_pro_mn",
+                    "imp_valorizado_pro_me",
+                )
+            ],
+            *[
+                F.sum(f"tvd.imp_impuesto{i}_{c}").alias(f"imp_impuesto{i}_{c}")
+                for i in range(1, 7) for c in ("mn", "me")
+            ],
         )
         .select(
             F.col("id_pais").cast("string"),
@@ -864,13 +887,33 @@ def job_fact_venta_cliente_historico_lite(ctx: JobContext) -> None:
             F.col("id_sucursal").cast("string"),
             F.col("id_cliente").cast("string"),
             F.col("id_producto").cast("string"),
+            F.col("id_forma_pago").cast("string"),
+            F.col("id_lista_precio").cast("string"),
+            # the reference's period-as-date stamp (`:103`)
             F.to_date(F.col("id_periodo"), "yyyyMM").alias("fecha_liquidacion"),
-            F.col("cod_zona").cast("string"),
-            F.col("cod_ruta").cast("string"),
-            F.col("cant_cajafisica_vta").cast("decimal(38,12)"),
-            F.col("cant_cajaunitaria_vta").cast("decimal(38,12)"),
-            F.col("imp_neto_vta_mn").cast("decimal(38,12)"),
-            F.col("imp_neto_vta_me").cast("decimal(38,12)"),
+            *[
+                F.col(c).cast("string")
+                for c in ("desc_region", "desc_subregion", "desc_division",
+                          "cod_zona", "cod_ruta", "cod_modulo")
+            ],
+            *[
+                F.col(c).cast("decimal(38,12)")
+                for c in (
+                    "cant_cajafisica_vta", "cant_cajaunitaria_vta",
+                    "cant_cajafisica_pro", "cant_cajaunitaria_pro",
+                    "imp_neto_vta_mn", "imp_neto_vta_me", "imp_bruto_vta_mn",
+                    "imp_bruto_vta_me", "imp_dscto_mn", "imp_dscto_me",
+                    "imp_dscto_sinimpvta_mn", "imp_dscto_sinimpvta_me",
+                    "imp_cobrar_vta_mn", "imp_cobrar_vta_me", "imp_paquete_vta_mn",
+                    "imp_paquete_vta_me", "imp_sugerido_mn", "imp_sugerido_me",
+                    "imp_full_vta_mn", "imp_full_vta_me", "imp_valorizado_pro_mn",
+                    "imp_valorizado_pro_me",
+                )
+            ],
+            *[
+                F.col(f"imp_impuesto{i}_{c}").cast("decimal(38,12)")
+                for i in range(1, 7) for c in ("mn", "me")
+            ],
         )
     )
     write_table(

@@ -721,45 +721,78 @@ def test_fact_venta_cliente_historico_backfill_and_type_filter(spark, lake):
     """Operation-type whitelist inside the join condition, soft-delete drop,
     and max(coalesce(header, order)) territory backfill with /30 unit
     conversion (reference fact_venta_cliente_historico.py:27-147)."""
+    D = Decimal
+    money_cols = [
+        "imp_neto_vta_me", "imp_bruto_vta_mn", "imp_bruto_vta_me",
+        "imp_dscto_mn", "imp_dscto_me", "imp_desnimp_mn", "imp_desnimp_me",
+        "imp_cobrar_vta_mn", "imp_cobrar_vta_me", "imp_paquete_vta_mn",
+        "imp_paquete_vta_me", "imp_sugerido_mn", "imp_sugerido_me",
+        "imp_full_vta_mn", "imp_full_vta_me", "imp_valorizado_pro_mn",
+        "imp_valorizado_pro_me",
+    ] + [f"imp_impuesto{i}_{c}" for i in range(1, 7) for c in ("mn", "me")]
     reg = SchemaRegistry({
         "t_venta": [("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
                      ("id_sucursal", "string"), ("id_cliente", "string"),
                      ("id_pedido", "string"), ("id_tipo_venta", "string"),
+                     ("id_forma_pago", "string"), ("id_lista_precio", "string"),
+                     ("desc_region", "string"), ("desc_subregion", "string"),
+                     ("desc_division", "string"), ("cod_modulo", "string"),
                      ("cod_zona", "string"), ("cod_ruta", "string"), ("es_eliminado", "int")],
         "t_venta_detalle": [("id_venta", "string"), ("id_producto", "string"),
                              ("id_pais", "string"), ("id_periodo", "string"),
                              ("cant_caja_fisica_ven", "numeric(38,12)"),
                              ("cant_caja_volumen_ven", "numeric(38,12)"),
+                             ("cant_caja_fisica_pro", "numeric(38,12)"),
+                             ("cant_caja_volumen_pro", "numeric(38,12)"),
                              ("imp_neto_vta_mn", "numeric(38,12)"),
-                             ("imp_neto_vta_me", "numeric(38,12)")],
-        "t_pedido": [("id_pedido", "string"), ("cod_zona", "string"), ("cod_ruta", "string")],
+                             *[(c, "numeric(38,12)") for c in money_cols]],
+        "t_pedido": [("id_pedido", "string"), ("desc_region", "string"),
+                      ("desc_subregion", "string"), ("desc_division", "string"),
+                      ("cod_modulo", "string"),
+                      ("cod_zona", "string"), ("cod_ruta", "string")],
         "m_tipo_venta": [("id_tipo_venta", "string"), ("cod_tipo_operacion", "string")],
     })
+
+    def venta_row(vid, cliente, pedido, tipo, zona, ruta, deleted):
+        return (vid, "PE", "202505", "10|S1", cliente, pedido, tipo, "10|FP1",
+                "10|LP1", None, None, None, "M1", zona, ruta, deleted)
+
     spark.createDataFrame(
         [
-            ("V1", "PE", "202505", "10|S1", "10|C1", "P1", "TV1", None, "R1", 0),
-            ("V2", "PE", "202505", "10|S1", "10|C1", None, "TV2", "Z2", "R2", 0),  # OTR type
-            ("V3", "PE", "202505", "10|S1", "10|C1", None, "TV1", "Z3", "R3", 1),  # deleted
-            ("V4", "PE", "202505", "10|S1", "10|C2", None, "TV1", "Z1", "R1", 0),  # no pedido
+            venta_row("V1", "10|C1", "P1", "TV1", None, "R1", 0),
+            venta_row("V2", "10|C1", None, "TV2", "Z2", "R2", 0),  # OTR type
+            venta_row("V3", "10|C1", None, "TV1", "Z3", "R3", 1),  # deleted
+            venta_row("V4", "10|C2", None, "TV1", "Z1", "R1", 0),  # no pedido
         ],
         "id_venta string, id_pais string, id_periodo string, id_sucursal string, "
-        "id_cliente string, id_pedido string, id_tipo_venta string, cod_zona string, "
-        "cod_ruta string, es_eliminado int",
+        "id_cliente string, id_pedido string, id_tipo_venta string, "
+        "id_forma_pago string, id_lista_precio string, desc_region string, "
+        "desc_subregion string, desc_division string, cod_modulo string, "
+        "cod_zona string, cod_ruta string, es_eliminado int",
     ).write.partitionBy("id_pais").parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
+
+    def det_row(vid, producto, fisica, volumen, neto):
+        return (vid, producto, "PE", "202505", D(fisica), D(volumen), D("0"),
+                D("0"), D(neto), *[D("1")] * len(money_cols))
+
     spark.createDataFrame(
         [
-            ("V1", "A1", "PE", "202505", Decimal("5"), Decimal("45"), Decimal("100"), Decimal("25")),
-            ("V1", "A1", "PE", "202505", Decimal("1"), Decimal("15"), Decimal("20"), Decimal("5")),
-            ("V2", "A1", "PE", "202505", Decimal("9"), Decimal("90"), Decimal("900"), Decimal("90")),
-            ("V3", "A1", "PE", "202505", Decimal("9"), Decimal("90"), Decimal("900"), Decimal("90")),
-            ("V4", "A2", "PE", "202505", Decimal("3"), Decimal("30"), Decimal("60"), Decimal("15")),
+            det_row("V1", "A1", "5", "45", "100"),
+            det_row("V1", "A1", "1", "15", "20"),
+            det_row("V2", "A1", "9", "90", "900"),
+            det_row("V3", "A1", "9", "90", "900"),
+            det_row("V4", "A2", "3", "30", "60"),
         ],
         "id_venta string, id_producto string, id_pais string, id_periodo string, "
         "cant_caja_fisica_ven decimal(38,12), cant_caja_volumen_ven decimal(38,12), "
-        "imp_neto_vta_mn decimal(38,12), imp_neto_vta_me decimal(38,12)",
+        "cant_caja_fisica_pro decimal(38,12), cant_caja_volumen_pro decimal(38,12), "
+        "imp_neto_vta_mn decimal(38,12), "
+        + ", ".join(f"{c} decimal(38,12)" for c in money_cols),
     ).write.partitionBy("id_pais").parquet(lake.table_path(Layer.DOMAIN, "t_venta_detalle"))
     spark.createDataFrame(
-        [("P1", "Z9", None)], "id_pedido string, cod_zona string, cod_ruta string"
+        [("P1", "REGION PEDIDO", None, None, "MP", "Z9", None)],
+        "id_pedido string, desc_region string, desc_subregion string, "
+        "desc_division string, cod_modulo string, cod_zona string, cod_ruta string",
     ).write.parquet(lake.table_path(Layer.DOMAIN, "t_pedido"))
     spark.createDataFrame(
         [("TV1", "ven"), ("TV2", "OTR")],   # lowercase proves upper() in the condition
@@ -784,6 +817,10 @@ def test_fact_venta_cliente_historico_backfill_and_type_filter(spark, lake):
     assert c1["cant_cajaunitaria_vta"] == Decimal("2.000000000000")   # 60/30
     assert c1["imp_neto_vta_mn"] == Decimal("120.000000000000")
     assert c1["fecha_liquidacion"] == dt.date(2025, 5, 1)
+    assert c1["id_forma_pago"] == "10|FP1"         # 7-part serving key
+    assert c1["desc_region"] == "REGION PEDIDO"    # order backfills null header
+    assert c1["imp_dscto_sinimpvta_mn"] == Decimal("2.000000000000")  # 2 lines × 1
+    assert c1["imp_impuesto6_me"] == Decimal("2.000000000000")
     c2 = rows["10|C2"]
     assert c2["cod_zona"] == "Z1"              # no order row: left join, header value
     assert c2["cant_cajaunitaria_vta"] == Decimal("1.000000000000")
