@@ -468,38 +468,102 @@ def job_fact_venta_detalle_lite(ctx: JobContext) -> None:
 
 @ANALYTICS_JOBS.register("dim_estructura_comercial_lite")
 def job_dim_estructura_comercial_lite(ctx: JobContext) -> None:
-    """Hierarchy flatten (`code/analytics/dim_estructura_comercial.py:20-71`
-    shape): repeated aliased self-joins walk the adjacency table's parent
-    pointers (ruta → zona here; the reference continues división →
-    subregión → región), emitting one wide row per leaf with each
-    ancestor's name as a level column (J6)."""
-    ec = read_table(
+    """Full hierarchy flatten (`code/analytics/dim_estructura_comercial.py:
+    19-131`): starting from the MODULE master, aliased self-joins of the
+    adjacency table walk parent pointers five levels up — ruta → zona →
+    división → subregión → región — with each managing level's responsable
+    joined alongside (vendedor at ruta, supervisor at zona, jefe at
+    división) and the module's attention model resolved; one wide row per
+    module with every ancestor's code and name as level columns (J6).
+    lit(None) fuerza-venta placeholders kept (`:75,91`). Upsert on
+    id_estructura_comercial (= id_modulo, `:73`) partitioned by id_pais."""
+    mm = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "m_modulo", registry=ctx.registry)
+    mp = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "m_pais", registry=ctx.registry)
+    mec = read_table(
         ctx.spark, ctx.catalog, Layer.DOMAIN, "m_estructura_comercial", registry=ctx.registry
     )
-    rutas = ec.filter(F.col("cod_tipo_estructura_comercial") == "Ruta").alias("r")
-    zonas = ec.filter(F.col("cod_tipo_estructura_comercial") == "Zona").alias("z")
+    mrc = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "m_responsable_comercial", registry=ctx.registry
+    )
+    mma = read_table(
+        ctx.spark, ctx.catalog, Layer.DOMAIN, "m_modelo_atencion", registry=ctx.registry
+    )
+
+    ladder = mm.alias("mm").join(
+        F.broadcast(mp).alias("mp"), F.col("mm.id_pais") == F.col("mp.id_pais"), "left"
+    )
+    # walk: ruta (the module's own structure row) then parent pointers up
+    prev = "mm.id_estructura_comercial"
+    for level, with_resp in (
+        ("ruta", True), ("zona", True), ("division", True),
+        ("subregion", False), ("region", False),
+    ):
+        ladder = ladder.join(
+            F.broadcast(mec).alias(f"mec_{level}"),
+            F.col(prev) == F.col(f"mec_{level}.id_estructura_comercial"),
+            "left",
+        )
+        if with_resp:
+            ladder = ladder.join(
+                F.broadcast(mrc).alias(f"mrc_{level}"),
+                F.col(f"mec_{level}.id_responsable_comercial")
+                == F.col(f"mrc_{level}.id_responsable_comercial"),
+                "left",
+            )
+        prev = f"mec_{level}.id_estructura_comercial_padre"
     out = (
-        rutas.join(
-            zonas,
-            F.col("r.id_estructura_comercial_padre") == F.col("z.id_estructura_comercial"),
+        ladder.join(
+            F.broadcast(mma).alias("mma"),
+            F.col("mm.id_modelo_atencion") == F.col("mma.id_modelo_atencion"),
             "left",
         )
         .select(
-            F.col("r.id_estructura_comercial"),
-            F.col("r.id_pais"),
-            F.col("r.nomb_estructura_comercial").alias("nomb_ruta"),
-            F.col("z.nomb_estructura_comercial").alias("nomb_zona"),
-            F.col("r.id_responsable_comercial").alias("id_vendedor"),
-            F.col("z.id_responsable_comercial").alias("id_supervisor"),
-            # the reference's pipe-path split/getItem idiom
-            # (dim_eje_territorial.py:106) over a derived level path
-            F.concat_ws(
-                "|",
-                F.col("z.nomb_estructura_comercial"),
-                F.col("r.nomb_estructura_comercial"),
-            ).alias("path"),
+            F.col("mm.id_modulo").alias("id_estructura_comercial"),
+            F.col("mm.id_pais"),
+            F.lit(None).cast("string").alias("cod_fuerza_venta"),
+            F.col("mma.cod_modelo_atencion"),
+            F.col("mp.cod_pais"),
+            *[
+                F.col(f"mec_{lvl}.cod_estructura_comercial").alias(f"cod_{lvl}")
+                for lvl in ("region", "subregion", "division", "zona", "ruta")
+            ],
+            F.col("mm.cod_modulo"),
+            F.col("mrc_ruta.cod_responsable_comercial").alias("cod_vendedor"),
+            F.col("mrc_ruta.nomb_responsable_comercial").alias("nomb_vendedor"),
+            F.col("mrc_zona.cod_responsable_comercial").alias("cod_supervisor"),
+            F.col("mrc_zona.nomb_responsable_comercial").alias("nomb_supervisor"),
+            F.col("mrc_division.cod_responsable_comercial").alias("cod_jefe_venta"),
+            F.col("mrc_division.nomb_responsable_comercial").alias("nomb_jefe_venta"),
+            F.lit(None).cast("string").alias("desc_fuerza_venta"),
+            F.col("mma.desc_modelo_atencion"),
+            *[
+                F.col(f"mec_{lvl}.nomb_estructura_comercial").alias(f"desc_{lvl}")
+                for lvl in ("region", "subregion", "division", "zona", "ruta")
+            ],
+            F.col("mm.desc_modulo"),
         )
-        .withColumn("nivel1_from_path", F.split(F.col("path"), r"\|").getItem(0))
+    )
+    out = cast_projection(
+        out,
+        [
+            ("id_estructura_comercial", "string"),
+            ("id_pais", "string"),
+            ("cod_fuerza_venta", "string"),
+            ("cod_modelo_atencion", "string"),
+            ("cod_pais", "string"),
+            *[(f"cod_{l}", "string") for l in ("region", "subregion", "division", "zona", "ruta")],
+            ("cod_modulo", "string"),
+            ("cod_vendedor", "string"),
+            ("nomb_vendedor", "string"),
+            ("cod_supervisor", "string"),
+            ("nomb_supervisor", "string"),
+            ("cod_jefe_venta", "string"),
+            ("nomb_jefe_venta", "string"),
+            ("desc_fuerza_venta", "string"),
+            ("desc_modelo_atencion", "string"),
+            *[(f"desc_{l}", "string") for l in ("region", "subregion", "division", "zona", "ruta")],
+            ("desc_modulo", "string"),
+        ],
     )
     merge_upsert(
         ctx.spark,

@@ -478,8 +478,9 @@ def test_fact_kpi_full_outer_all_cases(spark, lake):
 
 
 def test_dim_estructura_flatten_from_domain_job(spark, lake):
-    """Chain: m_estructura_comercial domain job builds the adjacency, the
-    analytics flatten walks parent pointers into level columns."""
+    """Chain: m_estructura_comercial domain job builds the adjacency; the
+    analytics flatten walks a module's parent pointers (ruta → zona, higher
+    levels absent → NULL) with the per-level responsables resolved."""
     from cdk_datalake_analytics_comercial_spark.jobs import DOMAIN_JOBS
     from test_runner_jobs import registry as _unused  # noqa: F401
 
@@ -502,6 +503,20 @@ def test_dim_estructura_flatten_from_domain_job(spark, lake):
             ("id_responsable_comercial", "string"), ("cod_estructura_comercial", "string"),
             ("nomb_estructura_comercial", "string"), ("cod_tipo_estructura_comercial", "string"),
             ("estado", "string"), ("fecha_creacion", "date"),
+        ],
+        "m_modulo": [
+            ("id_modulo", "string"), ("id_pais", "string"),
+            ("id_estructura_comercial", "string"), ("id_modelo_atencion", "string"),
+            ("cod_modulo", "string"), ("desc_modulo", "string"),
+        ],
+        "m_responsable_comercial": [
+            ("id_responsable_comercial", "string"),
+            ("cod_responsable_comercial", "string"),
+            ("nomb_responsable_comercial", "string"),
+        ],
+        "m_modelo_atencion": [
+            ("id_modelo_atencion", "string"), ("cod_modelo_atencion", "string"),
+            ("desc_modelo_atencion", "string"),
         ],
     })
     ts = dt.datetime(2025, 4, 1)
@@ -529,16 +544,44 @@ def test_dim_estructura_flatten_from_domain_job(spark, lake):
 
     dr = run_waves([JobConfig("domain", "m_estructura_comercial_lite", 1)], DOMAIN_JOBS, mk)
     assert dr[0].status == "succeeded", dr[0].error
+
+    # point a module at the REAL ruta row the domain job just minted
+    ec = {r["cod_tipo_estructura_comercial"]: r for r in spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "m_estructura_comercial")).collect()}
+    ruta_id = ec["Ruta"]["id_estructura_comercial"]
+    spark.createDataFrame(
+        [("10|01|FV1|M1", "PE", ruta_id, "10|MA1", "M1", "MODULO NORTE")],
+        "id_modulo string, id_pais string, id_estructura_comercial string, "
+        "id_modelo_atencion string, cod_modulo string, desc_modulo string",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "m_modulo"))
+    spark.createDataFrame(
+        [("10|VEND1", "VEND1", "VENDEDOR UNO"), ("10|SUP1", "SUP1", "SUPER UNO")],
+        "id_responsable_comercial string, cod_responsable_comercial string, "
+        "nomb_responsable_comercial string",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "m_responsable_comercial"))
+    spark.createDataFrame(
+        [("10|MA1", "MA1", "Pre Venta")],
+        "id_modelo_atencion string, cod_modelo_atencion string, desc_modelo_atencion string",
+    ).write.parquet(lake.table_path(Layer.DOMAIN, "m_modelo_atencion"))
+    # reuse the stage m_pais as the domain country dim (same shape)
+    spark.read.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal")).write.parquet(
+        lake.table_path(Layer.DOMAIN, "m_pais")
+    )
+
     ar = run_waves([JobConfig("analytics", "dim_estructura_comercial_lite", 1)], ANALYTICS_JOBS, mk)
     assert ar[0].status == "succeeded", ar[0].error
 
     row = spark.read.parquet(
         lake.table_path(Layer.ANALYTICS, "dim_estructura_comercial")).collect()[0]
-    assert row["nomb_ruta"] == "RUTA CENTRO"
-    assert row["nomb_zona"] == "ZONA NORTE"        # parent resolved via self-join
-    assert row["id_vendedor"] == "10|VEND1"
-    assert row["id_supervisor"] == "10|SUP1"
-    assert row["nivel1_from_path"] == "ZONA NORTE"  # split/getItem path idiom
+    assert row["id_estructura_comercial"] == "10|01|FV1|M1"   # module IS the key
+    assert row["desc_ruta"] == "RUTA CENTRO"
+    assert row["desc_zona"] == "ZONA NORTE"        # parent resolved via self-join
+    assert row["cod_vendedor"] == "VEND1" and row["nomb_vendedor"] == "VENDEDOR UNO"
+    assert row["cod_supervisor"] == "SUP1"
+    assert row["desc_division"] is None            # ladder exhausted above zona
+    assert row["cod_jefe_venta"] is None
+    assert row["desc_modelo_atencion"] == "Pre Venta"
+    assert row["cod_pais"] == "PE" and row["cod_modulo"] == "M1"
 
 
 def test_fact_venta_detalle_volume_conversion(spark, lake):
