@@ -814,9 +814,8 @@ def job_fact_venta_resumen(ctx: JobContext) -> None:
 def job_dim_eje_territorial_lite(ctx: JobContext) -> None:
     """Geographic dim flatten (`code/analytics/dim_eje_territorial.py:
     17-108`): per-level slices of the domain adjacency table laddered up
-    the parent pointers — the reference walks NG4→NG3→NG2→NG1; the lite
-    domain hierarchy has three levels (NG4 postal → NG2 provincia → NG1
-    departamento) so the ladder is two hops with the identical join shape.
+    the parent pointers — the full reference walk NG4 postal → NG3
+    distrito → NG2 provincia → NG1 departamento (three inner hops).
     Country join for denormalized pais columns, and the postal code is
     recovered from the pipe-encoded ``cod_eje_territorial_ref`` with
     ``split().getItem(1)`` (`:106`). Upsert on id_eje_territorial,
@@ -827,12 +826,18 @@ def job_dim_eje_territorial_lite(ctx: JobContext) -> None:
     pais = read_table(ctx.spark, ctx.catalog, Layer.DOMAIN, "m_pais", registry=ctx.registry)
 
     ng4 = eje.filter(F.col("cod_tipo_eje_territorial") == "NG4").alias("ng4")
+    ng3 = eje.filter(F.col("cod_tipo_eje_territorial") == "NG3").alias("ng3")
     ng2 = eje.filter(F.col("cod_tipo_eje_territorial") == "NG2").alias("ng2")
     ng1 = eje.filter(F.col("cod_tipo_eje_territorial") == "NG1").alias("ng1")
     out = (
         ng4.join(
+            ng3,
+            F.col("ng3.id_eje_territorial") == F.col("ng4.id_eje_territorial_padre"),
+            "inner",
+        )
+        .join(
             ng2,
-            F.col("ng2.id_eje_territorial") == F.col("ng4.id_eje_territorial_padre"),
+            F.col("ng2.id_eje_territorial") == F.col("ng3.id_eje_territorial_padre"),
             "inner",
         )
         .join(
@@ -854,6 +859,8 @@ def job_dim_eje_territorial_lite(ctx: JobContext) -> None:
             F.col("ng1.nomb_eje_territorial").cast("string").alias("desc_ng1"),
             F.col("ng2.cod_eje_territorial").cast("string").alias("cod_ng2"),
             F.col("ng2.nomb_eje_territorial").cast("string").alias("desc_ng2"),
+            F.col("ng3.cod_eje_territorial").cast("string").alias("cod_ng3"),
+            F.col("ng3.nomb_eje_territorial").cast("string").alias("desc_ng3"),
             F.col("ng4.cod_eje_territorial").cast("string").alias("cod_ng4"),
             F.col("ng4.nomb_eje_territorial").cast("string").alias("desc_ng4"),
             F.split(F.col("ng4.cod_eje_territorial_ref"), r"\|")

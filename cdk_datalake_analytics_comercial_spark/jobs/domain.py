@@ -1050,16 +1050,37 @@ def job_m_eje_territorial_lite(ctx: JobContext) -> None:
             *common,
         )
     )
-    postal = top1_per_group(
+    postal_base = top1_per_group(
         ng3.alias("di")
         .join(p, F.col("di.id_pais") == F.col("p.cod_pais"), "inner")
         .where(F.col("di.cod_zona_postal").isNotNull()),
         partition_by=[F.col("p.id_pais"), F.col("di.cod_zona_postal")],
         order_by=[F.col("di.cod_ng3").desc()],
-    ).select(
+    )
+    # the deduped postal district materializes TWICE (m_eje_territorial.py:
+    # 20-115): as the NG4 leaf (id = pais|postal) and as its NG3 parent
+    # (id = pais|postal|NG3 pointing at the provincia) — the reference's
+    # districts exist only through their postal code
+    ng4_rows = postal_base.select(
         surrogate_key(F.col("p.id_pais"), F.col("di.cod_zona_postal")).alias(
             "id_eje_territorial"
         ),
+        surrogate_key(
+            F.col("p.id_pais"), F.col("di.cod_zona_postal"), F.lit("NG3")
+        ).alias("id_eje_territorial_padre"),
+        F.col("p.id_pais").alias("id_pais"),
+        F.trim(F.col("di.cod_zona_postal")).alias("cod_eje_territorial"),
+        F.concat_ws("|", F.col("di.cod_ng3"), F.col("di.cod_zona_postal")).alias(
+            "cod_eje_territorial_ref"
+        ),
+        F.col("di.desc_ng3").alias("nomb_eje_territorial"),
+        F.lit("NG4").alias("cod_tipo_eje_territorial"),
+        *common,
+    )
+    ng3_rows = postal_base.select(
+        surrogate_key(
+            F.col("p.id_pais"), F.col("di.cod_zona_postal"), F.lit("NG3")
+        ).alias("id_eje_territorial"),
         surrogate_key(
             F.col("p.id_pais"),
             F.col("di.cod_ng1"),
@@ -1071,10 +1092,15 @@ def job_m_eje_territorial_lite(ctx: JobContext) -> None:
             "cod_eje_territorial_ref"
         ),
         F.col("di.desc_ng3").alias("nomb_eje_territorial"),
-        F.lit("NG4").alias("cod_tipo_eje_territorial"),
+        F.lit("NG3").alias("cod_tipo_eje_territorial"),
         *common,
     )
-    out = ng1_rows.unionByName(ng2_rows).unionByName(postal).distinct()
+    out = (
+        ng1_rows.unionByName(ng2_rows)
+        .unionByName(ng3_rows)
+        .unionByName(ng4_rows)
+        .distinct()
+    )
     out = cast_projection(
         out,
         [

@@ -818,10 +818,15 @@ def test_m_eje_territorial_levels_and_postal_dedup(spark, lake):
     assert res[0].status == "succeeded", res[0].error
     rows = {r["cod_tipo_eje_territorial"]: r for r in spark.read.parquet(
         lake.table_path(Layer.DOMAIN, "m_eje_territorial")).collect()}
-    assert set(rows) == {"NG1", "NG2", "NG4"}
+    assert set(rows) == {"NG1", "NG2", "NG3", "NG4"}
     assert rows["NG4"]["nomb_eje_territorial"] == "SURQUILLO"  # cod_ng3 desc wins
     assert rows["NG4"]["id_eje_territorial"] == "PE|15074"
-    assert rows["NG4"]["id_eje_territorial_padre"] == rows["NG2"]["id_eje_territorial"]
+    # the postal row materializes twice: NG4 leaf → its NG3-suffixed
+    # district twin → the provincia (m_eje_territorial.py:20-115)
+    assert rows["NG4"]["id_eje_territorial_padre"] == "PE|15074|NG3"
+    assert rows["NG3"]["id_eje_territorial"] == "PE|15074|NG3"
+    assert rows["NG3"]["nomb_eje_territorial"] == "SURQUILLO"
+    assert rows["NG3"]["id_eje_territorial_padre"] == rows["NG2"]["id_eje_territorial"]
     assert rows["NG2"]["id_eje_territorial_padre"] == rows["NG1"]["id_eje_territorial"]
     assert rows["NG1"]["id_eje_territorial_padre"] is None
 
