@@ -614,8 +614,11 @@ def job_t_saldos_iniciales_lite(ctx: JobContext) -> None:
     joined to their detail on a 3-key natural key (sucursal, almacén,
     fecha), unit conversion via the article's ``cant_unidad_paquete``,
     valuation from the period-close CPM (cost-per-thousand) table with
-    decimal division through the purchase exchange rate — the job family
-    that uses the narrower ``numeric(30,4)`` money type (SURVEY §1.2)."""
+    decimal division through the purchase exchange rate (tc_compra,
+    `:104-109`) — the job family that uses the narrower ``numeric(30,4)``
+    money type (SURVEY §1.2). Headers must carry a KNOWN approving employee
+    (`:43-48` — an inner join used purely as an existence gate, expressed
+    here as left_semi so no employee columns leak into the row)."""
     toma = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "t_toma_inventario", registry=ctx.registry
     )
@@ -626,11 +629,33 @@ def job_t_saldos_iniciales_lite(ctx: JobContext) -> None:
         ctx.spark, ctx.catalog, Layer.STAGE, "t_cierre_inventario_cpm", registry=ctx.registry
     )
     art = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_articulo", registry=ctx.registry)
+    empleado = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_empleado", registry=ctx.registry
+    )
+    m_parametro = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_parametro", registry=ctx.registry
+    )
+    m_tipo_cambio = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_cambio", registry=ctx.registry
+    )
 
     dec = lambda c: c.cast("decimal(30,4)")
+    toma = toma.join(
+        F.broadcast(empleado.select(
+            F.col("cod_compania"), F.col("cod_empleado").alias("cod_empleado_aprobador")
+        )),
+        ["cod_compania", "cod_empleado_aprobador"],
+        "left_semi",
+    )
+    moneda = F.broadcast(
+        m_parametro.select(
+            F.col("id_compania"), F.col("cod_moneda_mn").alias("moneda_mn")
+        )
+    )
     base = (
         toma.alias("tti")
         .filter(period_filter(F.col("tti.fecha_inventario"), ctx.periods))
+        .join(moneda.alias("mon"), F.col("tti.id_compania") == F.col("mon.id_compania"), "left")
         .join(
             det.alias("ttid"),
             (F.col("tti.id_sucursal") == F.col("ttid.id_sucursal"))
@@ -646,15 +671,22 @@ def job_t_saldos_iniciales_lite(ctx: JobContext) -> None:
         .select(
             F.col("tti.id_pais"),
             F.date_format(F.col("tti.fecha_inventario"), "yyyyMM").alias("id_periodo"),
+            F.col("tti.id_compania"),
             F.col("tti.id_sucursal"),
             F.col("ttid.id_almacen"),
             F.col("ttid.id_articulo"),
             F.col("tti.fecha_inventario"),
+            F.col("mon.moneda_mn"),
             dec(F.col("ttid.stock_final")).alias("cantidad_cajas"),
             dec(F.col("ttid.stock_final") * F.col("ma.cant_unidad_paquete")).alias(
                 "unidades"
             ),
             F.col("tti.estado"),
+            F.col("tti.usuario_creacion"),
+            F.col("tti.fecha_creacion"),
+            F.col("tti.usuario_modificacion"),
+            F.col("tti.fecha_modificacion"),
+            F.lit("0").alias("es_eliminado"),
         )
     )
     out = (
@@ -666,8 +698,16 @@ def job_t_saldos_iniciales_lite(ctx: JobContext) -> None:
             & (F.col("tmp.id_periodo") == F.col("cpm.id_periodo")),
             "left",
         )
+        .join(
+            F.broadcast(m_tipo_cambio).alias("mtc"),
+            (F.col("mtc.cod_compania") == F.col("tmp.id_compania"))
+            & (F.col("mtc.fecha") == F.col("tmp.fecha_inventario"))
+            & (F.col("mtc.cod_moneda") == F.col("tmp.moneda_mn")),
+            "left",
+        )
         .select(
             F.col("tmp.id_pais"),
+            F.col("tmp.id_compania"),
             F.col("tmp.id_periodo"),
             F.col("tmp.id_sucursal"),
             F.col("tmp.id_almacen"),
@@ -677,17 +717,32 @@ def job_t_saldos_iniciales_lite(ctx: JobContext) -> None:
             F.col("tmp.unidades").alias("cant_unidades_inicial"),
             F.col("tmp.estado"),
             dec(F.col("cpm.imp_cpm")).alias("precio_unitario_mn"),
+            dec(F.col("cpm.imp_cpm") / F.col("mtc.tc_compra")).alias(
+                "precio_unitario_me"
+            ),
             dec(F.col("tmp.cantidad_cajas") * F.col("cpm.imp_cpm")).alias(
                 "imp_valorizado_mn"
             ),
+            dec(
+                F.col("tmp.cantidad_cajas") * F.col("cpm.imp_cpm")
+                / F.col("mtc.tc_compra")
+            ).alias("imp_valorizado_me"),
             dec(F.col("cpm.imp_saldo_inicial")).alias("imp_saldo_inicial"),
+            dec(F.col("cpm.imp_ingreso")).alias("imp_valorizado_ingreso"),
+            dec(F.col("cpm.imp_salida")).alias("imp_valorizado_salida"),
             dec(F.col("cpm.imp_saldo_final")).alias("imp_saldo_final"),
+            F.col("tmp.usuario_creacion"),
+            F.col("tmp.fecha_creacion"),
+            F.col("tmp.usuario_modificacion"),
+            F.col("tmp.fecha_modificacion"),
+            F.col("tmp.es_eliminado"),
         )
     )
     out = cast_projection(
         out,
         [
             ("id_pais", "string"),
+            ("id_compania", "string"),
             ("id_periodo", "string"),
             ("id_sucursal", "string"),
             ("id_almacen", "string"),
@@ -697,9 +752,18 @@ def job_t_saldos_iniciales_lite(ctx: JobContext) -> None:
             ("cant_unidades_inicial", "numeric(30,4)"),
             ("estado", "string"),
             ("precio_unitario_mn", "numeric(30,4)"),
+            ("precio_unitario_me", "numeric(30,4)"),
             ("imp_valorizado_mn", "numeric(30,4)"),
+            ("imp_valorizado_me", "numeric(30,4)"),
             ("imp_saldo_inicial", "numeric(30,4)"),
+            ("imp_valorizado_ingreso", "numeric(30,4)"),
+            ("imp_valorizado_salida", "numeric(30,4)"),
             ("imp_saldo_final", "numeric(30,4)"),
+            ("usuario_creacion", "string"),
+            ("fecha_creacion", "timestamp"),
+            ("usuario_modificacion", "string"),
+            ("fecha_modificacion", "timestamp"),
+            ("es_eliminado", "string"),
         ],
     )
     write_table(
@@ -761,6 +825,8 @@ def job_t_reparto_lite(ctx: JobContext) -> None:
             F.col("tmi.fecha_emision").alias("fecha_orden_carga"),
             F.col("tmi.fecha_almacen").alias("fecha_reparto"),
             F.col("tmi.cod_estado_comprobante").alias("estado_guia"),
+            F.col("tmi.fecha_creacion"),
+            F.col("tmi.fecha_modificacion"),
         )
     )
     out = cast_projection(
@@ -775,6 +841,8 @@ def job_t_reparto_lite(ctx: JobContext) -> None:
             ("fecha_orden_carga", "date"),
             ("fecha_reparto", "date"),
             ("estado_guia", "string"),
+            ("fecha_creacion", "timestamp"),
+            ("fecha_modificacion", "timestamp"),
         ],
     )
     write_table(

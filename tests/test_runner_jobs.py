@@ -955,6 +955,7 @@ def test_t_reparto_latest_movement(spark, lake):
             ("cod_transportista", "string"), ("cod_vehiculo", "string"),
             ("cod_chofer", "string"), ("cod_estado_comprobante", "string"),
             ("fecha_emision", "date"), ("fecha_almacen", "date"),
+            ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
         ],
         "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
                         ("desc_compania", "string"), ("es_activo", "string"),
@@ -962,16 +963,18 @@ def test_t_reparto_latest_movement(spark, lake):
         "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
     })
     d1, d2 = dt.date(2025, 5, 1), dt.date(2025, 5, 2)
+    mts = dt.datetime(2025, 5, 1, 7)
     spark.createDataFrame(
         [
-            ("10", "01", "A1", "GRA", "G1", "M001", "T1", "V1", "CH1", "PLI", d1, d1),
-            ("10", "01", "A1", "GRA", "G1", "M002", "T2", "V2", "CH2", "LIQ", d2, d2),  # latest
-            ("10", "01", "A1", "XXX", "G2", "M003", "T3", "V3", "CH3", "PLI", d1, d1),  # not dispatch
+            ("10", "01", "A1", "GRA", "G1", "M001", "T1", "V1", "CH1", "PLI", d1, d1, mts, mts),
+            ("10", "01", "A1", "GRA", "G1", "M002", "T2", "V2", "CH2", "LIQ", d2, d2, mts, mts),  # latest
+            ("10", "01", "A1", "XXX", "G2", "M003", "T3", "V3", "CH3", "PLI", d1, d1, mts, mts),  # not dispatch
         ],
         "cod_compania string, cod_sucursal string, cod_almacen_emisor_origen string, "
         "cod_documento_transaccion string, nro_documento_almacen string, "
         "nro_documento_movimiento string, cod_transportista string, cod_vehiculo string, "
-        "cod_chofer string, cod_estado_comprobante string, fecha_emision date, fecha_almacen date",
+        "cod_chofer string, cod_estado_comprobante string, fecha_emision date, "
+        "fecha_almacen date, fecha_creacion timestamp, fecha_modificacion timestamp",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_movimiento_inventario", "pe01"))
     ts = dt.datetime(2025, 4, 1)
     spark.createDataFrame(
@@ -1001,9 +1004,12 @@ def test_t_saldos_iniciales_valuation(spark, lake):
     conversion, CPM valuation, numeric(30,4) money type."""
     reg = SchemaRegistry({
         "t_toma_inventario": [
-            ("id_pais", "string"), ("id_sucursal", "string"),
+            ("id_pais", "string"), ("id_compania", "string"), ("cod_compania", "string"),
+            ("id_sucursal", "string"),
             ("cod_almacen_emisor", "string"), ("fecha_inventario", "date"),
-            ("estado", "string"),
+            ("estado", "string"), ("cod_empleado_aprobador", "string"),
+            ("usuario_creacion", "string"), ("fecha_creacion", "timestamp"),
+            ("usuario_modificacion", "string"), ("fecha_modificacion", "timestamp"),
         ],
         "t_toma_inventario_detalle": [
             ("id_sucursal", "string"), ("cod_almacen_emisor", "string"),
@@ -1013,30 +1019,58 @@ def test_t_saldos_iniciales_valuation(spark, lake):
         "t_cierre_inventario_cpm": [
             ("id_sucursal", "string"), ("id_articulo", "string"),
             ("id_periodo", "string"), ("imp_cpm", "numeric(30,4)"),
-            ("imp_saldo_inicial", "numeric(30,4)"), ("imp_saldo_final", "numeric(30,4)"),
+            ("imp_saldo_inicial", "numeric(30,4)"), ("imp_ingreso", "numeric(30,4)"),
+            ("imp_salida", "numeric(30,4)"), ("imp_saldo_final", "numeric(30,4)"),
         ],
         "m_articulo": [("id_articulo", "string"), ("cant_unidad_paquete", "numeric(38,12)")],
+        "m_empleado": [("cod_compania", "string"), ("cod_empleado", "string"),
+                        ("nomb_empleado", "string")],
+        "m_parametro": [("id_compania", "string"), ("cod_moneda_mn", "string")],
+        "m_tipo_cambio": [("cod_compania", "string"), ("cod_moneda", "string"),
+                           ("fecha", "date"), ("tc_venta", "numeric(12,6)"),
+                           ("tc_compra", "numeric(12,6)")],
     })
     D = Decimal
     d = dt.date(2025, 5, 1)
+    sts = dt.datetime(2025, 5, 1, 6)
     spark.createDataFrame(
-        [("PE", "10|01", "ALM1", d, "APROBADO")],
-        "id_pais string, id_sucursal string, cod_almacen_emisor string, "
-        "fecha_inventario date, estado string",
+        [
+            ("PE", "10", "10", "10|01", "ALM1", d, "APROBADO", "E1", "ana", sts, "ana", sts),
+            # unknown approver → the m_empleado existence gate drops the header
+            ("PE", "10", "10", "10|01", "ALM9", d, "APROBADO", "E9", "bob", sts, "bob", sts),
+        ],
+        "id_pais string, id_compania string, cod_compania string, id_sucursal string, "
+        "cod_almacen_emisor string, fecha_inventario date, estado string, "
+        "cod_empleado_aprobador string, usuario_creacion string, "
+        "fecha_creacion timestamp, usuario_modificacion string, fecha_modificacion timestamp",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_toma_inventario", "pe01"))
     spark.createDataFrame(
-        [("10|01", "ALM1", "10|ALM1", "10|A1", d, D("5"))],
+        [("10|01", "ALM1", "10|ALM1", "10|A1", d, D("5")),
+         ("10|01", "ALM9", "10|ALM9", "10|A1", d, D("7"))],
         "id_sucursal string, cod_almacen_emisor string, id_almacen string, "
         "id_articulo string, fecha_inventario date, stock_final decimal(30,4)",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_toma_inventario_detalle", "pe01"))
     spark.createDataFrame(
-        [("10|01", "10|A1", "202505", D("12.5"), D("100"), D("90"))],
+        [("10|01", "10|A1", "202505", D("12.5"), D("100"), D("40"), D("50"), D("90"))],
         "id_sucursal string, id_articulo string, id_periodo string, "
-        "imp_cpm decimal(30,4), imp_saldo_inicial decimal(30,4), imp_saldo_final decimal(30,4)",
+        "imp_cpm decimal(30,4), imp_saldo_inicial decimal(30,4), "
+        "imp_ingreso decimal(30,4), imp_salida decimal(30,4), imp_saldo_final decimal(30,4)",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_cierre_inventario_cpm", "pe01"))
     spark.createDataFrame(
         [("10|A1", D("10"))], "id_articulo string, cant_unidad_paquete decimal(38,12)"
     ).write.parquet(lake.table_path(Layer.STAGE, "m_articulo", "pe01"))
+    spark.createDataFrame(
+        [("10", "E1", "ANA APROBADORA")],
+        "cod_compania string, cod_empleado string, nomb_empleado string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_empleado", "pe01"))
+    spark.createDataFrame(
+        [("10", "PEN")], "id_compania string, cod_moneda_mn string"
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_parametro", "pe01"))
+    spark.createDataFrame(
+        [("10", "PEN", d, D("3.75"), D("2.5"))],
+        "cod_compania string, cod_moneda string, fecha date, "
+        "tc_venta decimal(12,6), tc_compra decimal(12,6)",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_tipo_cambio", "pe01"))
 
     def mk(cfg):
         return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
@@ -1044,11 +1078,19 @@ def test_t_saldos_iniciales_valuation(spark, lake):
     res = run_waves([JobConfig("domain", "t_saldos_iniciales_lite", 1, periods=2)],
                     DOMAIN_JOBS, mk)
     assert res[0].status == "succeeded", res[0].error
-    r = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_saldos_iniciales")).collect()[0]
+    rows = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_saldos_iniciales")).collect()
+    assert len(rows) == 1                # ALM9 header dropped: unknown approver
+    r = rows[0]
     assert r["cant_cajafisica_inicial"] == Decimal("5.0000")
     assert r["cant_unidades_inicial"] == Decimal("50.0000")     # 5 × 10 units/pack
     assert r["imp_valorizado_mn"] == Decimal("62.5000")          # 5 × 12.5 CPM
+    # fx branch through tc_compra: 12.5/2.5 = 5; 62.5/2.5 = 25
+    assert r["precio_unitario_me"] == Decimal("5.0000")
+    assert r["imp_valorizado_me"] == Decimal("25.0000")
     assert r["imp_saldo_inicial"] == Decimal("100.0000")
+    assert r["imp_valorizado_ingreso"] == Decimal("40.0000")
+    assert r["imp_valorizado_salida"] == Decimal("50.0000")
+    assert r["usuario_creacion"] == "ana" and r["es_eliminado"] == "0"
     assert dict(spark.read.parquet(
         lake.table_path(Layer.DOMAIN, "t_saldos_iniciales")).dtypes
     )["imp_valorizado_mn"] == "decimal(30,4)"

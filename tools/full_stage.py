@@ -435,9 +435,18 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
         "pe01",
     ),
     "t_toma_inventario": (
-        "id_pais string, id_sucursal string, cod_almacen_emisor string, "
-        "fecha_inventario date, estado string",
-        [("PE", "10|01", "ALM1", dt.date(2025, 5, 1), "APROBADO")],
+        "id_pais string, id_compania string, cod_compania string, id_sucursal string, "
+        "cod_almacen_emisor string, fecha_inventario date, estado string, "
+        "cod_empleado_aprobador string, usuario_creacion string, "
+        "fecha_creacion timestamp, usuario_modificacion string, "
+        "fecha_modificacion timestamp",
+        [("PE", "10", "10", "10|01", "ALM1", dt.date(2025, 5, 1), "APROBADO",
+          "E1", "ana", TS, "ana", TS)],
+        "pe01",
+    ),
+    "m_empleado": (
+        "cod_compania string, cod_empleado string, nomb_empleado string",
+        [("10", "E1", "ANA APROBADORA")],
         "pe01",
     ),
     "t_toma_inventario_detalle": (
@@ -449,8 +458,9 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
     "t_cierre_inventario_cpm": (
         "id_sucursal string, id_articulo string, id_periodo string, "
         "imp_cpm decimal(30,4), imp_saldo_inicial decimal(30,4), "
+        "imp_ingreso decimal(30,4), imp_salida decimal(30,4), "
         "imp_saldo_final decimal(30,4)",
-        [("10|01", "10|A1", "202505", D("12.5"), D("100"), D("90"))],
+        [("10|01", "10|A1", "202505", D("12.5"), D("100"), D("40"), D("50"), D("90"))],
         "pe01",
     ),
 }
