@@ -1195,14 +1195,31 @@ def job_m_eje_territorial_lite(ctx: JobContext) -> None:
 @DOMAIN_JOBS.register("m_estructura_comercial_lite")
 def job_m_estructura_comercial_lite(ctx: JobContext) -> None:
     """Commercial-structure hierarchy (`code/domain/m_estructura_comercial.py:
-    20-197`): one conformed adjacency row per node at every level (Ruta →
-    Zona here; the reference continues División → Subregión → Región), each
-    level a projection with (id, parent-id, responsible) surrogate links,
-    unioned by name + distinct (U1/U2). The reference stamps
-    ``current_date()`` into fecha_creacion; the engine stamps the injected
-    ``ctx.as_of`` (SURVEY §7.3.7 wall-clock rule)."""
+    20-212`), all FIVE levels: one conformed adjacency row per node —
+
+    - Ruta (`:21-55`): id comp|suc|fv|ruta, parent the zona, responsable the
+      vendedor;
+    - Zona (`:58-93`): parent is the reference's FIVE-part división pointer
+      (comp|suc|region|subregion|centro_distribucion), responsable the
+      supervisor;
+    - División (`:96-146`): the division master joined to the DISTINCT zona
+      geography to recover its sucursal/region/subregion context, parent
+      the pais-scoped subregión, responsable the jefe de venta;
+    - Subregión / Región (`:148-192`): pais-scoped ids, no sucursal or
+      responsable (lit NULL);
+
+    levels union + distinct (U1/U2). The reference stamps
+    ``current_date()``; the engine stamps the injected ``ctx.as_of``
+    (SURVEY §7.3.7 wall-clock rule)."""
     ruta = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_ruta", registry=ctx.registry)
     zona = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_zona", registry=ctx.registry)
+    division = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_division", registry=ctx.registry
+    )
+    subregion = read_table(
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_subregion", registry=ctx.registry
+    )
+    region = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_region", registry=ctx.registry)
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
     pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
 
@@ -1211,45 +1228,118 @@ def job_m_estructura_comercial_lite(ctx: JobContext) -> None:
         .join(F.broadcast(pais).alias("mp"), F.col("mp.cod_pais") == F.col("mc.cod_pais"), "inner")
         .select(F.col("mc.cod_compania").alias("cod_compania"), F.col("mp.id_pais"))
     )
+    p_by_code = F.broadcast(pais.select("id_pais", "cod_pais"))
+    stamps = [
+        F.lit(ctx.as_of).alias("fecha_creacion"),
+        F.lit(ctx.as_of).alias("fecha_modificacion"),
+    ]
+    null_s = F.lit(None).cast("string")
 
-    def level(df, id_cols, parent_cols, resp_col, cod_col, desc_col, tipo):
-        base = df.alias("n").join(F.broadcast(conformed).alias("c"), "cod_compania", "inner")
-        return base.select(
-            surrogate_key(*[F.col(c) for c in id_cols]).alias("id_estructura_comercial"),
-            F.col("c.id_pais").alias("id_pais"),
-            surrogate_key(F.col("cod_compania"), F.col("cod_sucursal")).alias("id_sucursal"),
-            surrogate_key(*[F.col(c) for c in parent_cols]).alias(
-                "id_estructura_comercial_padre"
-            ),
-            surrogate_key(F.col("cod_compania"), F.col(resp_col)).alias(
-                "id_responsable_comercial"
-            ),
-            F.col(cod_col).cast("string").alias("cod_estructura_comercial"),
-            F.col(desc_col).alias("nomb_estructura_comercial"),
+    def node(id_col, pais_col, suc_col, parent_col, resp_col, cod_col, desc_col, tipo, estado_col):
+        return [
+            id_col.alias("id_estructura_comercial"),
+            pais_col.alias("id_pais"),
+            suc_col.alias("id_sucursal"),
+            parent_col.alias("id_estructura_comercial_padre"),
+            resp_col.alias("id_responsable_comercial"),
+            cod_col.cast("string").alias("cod_estructura_comercial"),
+            desc_col.alias("nomb_estructura_comercial"),
             F.lit(tipo).alias("cod_tipo_estructura_comercial"),
-            F.col("n.es_activo").alias("estado"),
-            F.lit(ctx.as_of).alias("fecha_creacion"),
-        )
+            estado_col.alias("estado"),
+            *stamps,
+        ]
 
-    rutas = level(
-        ruta,
-        ["cod_compania", "cod_sucursal", "cod_fuerza_venta", "cod_ruta"],
-        ["cod_compania", "cod_sucursal", "cod_zona"],
-        "cod_vendedor",
-        "cod_ruta",
-        "desc_ruta",
-        "Ruta",
+    rutas = (
+        ruta.alias("n")
+        .join(F.broadcast(conformed).alias("c"), "cod_compania", "inner")
+        .select(*node(
+            surrogate_key(F.col("cod_compania"), F.col("cod_sucursal"),
+                          F.col("cod_fuerza_venta"), F.col("cod_ruta")),
+            F.col("c.id_pais"),
+            surrogate_key(F.col("cod_compania"), F.col("cod_sucursal")),
+            surrogate_key(F.col("cod_compania"), F.col("cod_sucursal"), F.col("cod_zona")),
+            surrogate_key(F.col("cod_compania"), F.col("cod_vendedor")),
+            F.col("cod_ruta"), F.col("desc_ruta"), "Ruta", F.col("n.es_activo"),
+        ))
     )
-    zonas = level(
-        zona,
-        ["cod_compania", "cod_sucursal", "cod_zona"],
-        ["cod_compania", "cod_sucursal", "cod_region"],
-        "cod_supervisor",
-        "cod_zona",
-        "desc_zona",
-        "Zona",
+    zonas = (
+        zona.alias("n")
+        .join(F.broadcast(conformed).alias("c"), "cod_compania", "inner")
+        .select(*node(
+            surrogate_key(F.col("cod_compania"), F.col("cod_sucursal"), F.col("cod_zona")),
+            F.col("c.id_pais"),
+            surrogate_key(F.col("cod_compania"), F.col("cod_sucursal")),
+            # the reference's 5-part división pointer (`:77-83`)
+            surrogate_key(
+                F.col("cod_compania"), F.col("cod_sucursal"), F.col("cod_region"),
+                F.col("cod_subregion"), F.col("cod_centro_distribucion"),
+            ),
+            surrogate_key(F.col("cod_compania"), F.col("cod_supervisor")),
+            F.col("cod_zona"), F.col("desc_zona"), "Zona", F.col("n.es_activo"),
+        ))
     )
-    out = rutas.unionByName(zonas).distinct()
+    zona_geo = zona.select(
+        "cod_compania", "cod_sucursal", "cod_centro_distribucion",
+        "cod_subregion", "cod_region",
+    ).distinct()
+    divisiones = (
+        division.alias("n")
+        .join(
+            zona_geo.alias("mzd"),
+            (F.col("n.cod_compania") == F.col("mzd.cod_compania"))
+            & (F.col("n.cod_division") == F.col("mzd.cod_centro_distribucion")),
+            "inner",
+        )
+        .join(
+            F.broadcast(conformed).alias("c"),
+            F.col("n.cod_compania") == F.col("c.cod_compania"),
+            "inner",
+        )
+        .select(*node(
+            surrogate_key(
+                F.col("n.cod_compania"), F.col("mzd.cod_sucursal"),
+                F.col("mzd.cod_region"), F.col("mzd.cod_subregion"),
+                F.col("n.cod_division"),
+            ),
+            F.col("c.id_pais"),
+            surrogate_key(F.col("n.cod_compania"), F.col("mzd.cod_sucursal")),
+            surrogate_key(F.col("c.id_pais"), F.trim(F.col("mzd.cod_region")),
+                          F.trim(F.col("mzd.cod_subregion"))),
+            surrogate_key(F.col("n.cod_compania"), F.col("n.cod_jefe_venta")),
+            F.trim(F.col("n.cod_division")), F.col("n.desc_division"),
+            "División", F.col("n.es_activo"),
+        ))
+    )
+    subregiones = (
+        subregion.alias("n")
+        .join(p_by_code.alias("mp"), F.col("mp.cod_pais") == F.col("n.cod_pais"), "inner")
+        .select(*node(
+            surrogate_key(F.col("mp.id_pais"), F.trim(F.col("cod_region")),
+                          F.trim(F.col("cod_subregion"))),
+            F.col("mp.id_pais"), null_s,
+            surrogate_key(F.col("mp.id_pais"), F.trim(F.col("cod_region"))),
+            null_s,
+            F.trim(F.col("cod_subregion")), F.col("n.desc_subregion"),
+            "Subregión", F.col("n.es_activo"),
+        ))
+    )
+    regiones = (
+        region.alias("n")
+        .join(p_by_code.alias("mp"), F.col("mp.cod_pais") == F.col("n.cod_pais"), "inner")
+        .select(*node(
+            surrogate_key(F.col("mp.id_pais"), F.trim(F.col("cod_region"))),
+            F.col("mp.id_pais"), null_s, null_s, null_s,
+            F.trim(F.col("cod_region")), F.col("n.desc_region"),
+            "Región", F.col("n.es_activo"),
+        ))
+    )
+    out = (
+        rutas.unionByName(zonas)
+        .unionByName(divisiones)
+        .unionByName(subregiones)
+        .unionByName(regiones)
+        .distinct()
+    )
     out = cast_projection(
         out,
         [
@@ -1263,6 +1353,7 @@ def job_m_estructura_comercial_lite(ctx: JobContext) -> None:
             ("cod_tipo_estructura_comercial", "string"),
             ("estado", "string"),
             ("fecha_creacion", "date"),
+            ("fecha_modificacion", "date"),
         ],
     )
     merge_upsert(

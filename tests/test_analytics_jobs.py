@@ -491,8 +491,17 @@ def test_dim_estructura_flatten_from_domain_job(spark, lake):
                     ("desc_ruta", "string"), ("es_activo", "string")],
         "m_zona": [("cod_compania", "string"), ("cod_sucursal", "string"),
                     ("cod_zona", "string"), ("cod_region", "string"),
+                    ("cod_subregion", "string"), ("cod_centro_distribucion", "string"),
                     ("cod_supervisor", "string"), ("desc_zona", "string"),
                     ("es_activo", "string")],
+        "m_division": [("cod_compania", "string"), ("cod_division", "string"),
+                        ("desc_division", "string"), ("cod_jefe_venta", "string"),
+                        ("es_activo", "string")],
+        "m_subregion": [("cod_pais", "string"), ("cod_region", "string"),
+                         ("cod_subregion", "string"), ("desc_subregion", "string"),
+                         ("es_activo", "string")],
+        "m_region": [("cod_pais", "string"), ("cod_region", "string"),
+                      ("desc_region", "string"), ("es_activo", "string")],
         "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
                         ("desc_compania", "string"), ("es_activo", "string"),
                         ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
@@ -526,9 +535,10 @@ def test_dim_estructura_flatten_from_domain_job(spark, lake):
         "cod_zona string, cod_vendedor string, desc_ruta string, es_activo string",
     ).write.parquet(lake.table_path(Layer.STAGE, "m_ruta", "pe01"))
     spark.createDataFrame(
-        [("10", "01", "Z1", "RG1", "SUP1", "ZONA NORTE", "T")],
+        [("10", "01", "Z1", "RG1", "SR1", "D1", "SUP1", "ZONA NORTE", "T")],
         "cod_compania string, cod_sucursal string, cod_zona string, cod_region string, "
-        "cod_supervisor string, desc_zona string, es_activo string",
+        "cod_subregion string, cod_centro_distribucion string, cod_supervisor string, "
+        "desc_zona string, es_activo string",
     ).write.parquet(lake.table_path(Layer.STAGE, "m_zona", "pe01"))
     spark.createDataFrame(
         [("10", "PE", "AJE", "T", ts, ts)],

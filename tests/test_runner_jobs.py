@@ -730,7 +730,8 @@ def test_m_articulo_join_ladder_with_missing_masters(spark, lake):
 
 
 def test_m_estructura_comercial_hierarchy(spark, lake):
-    """Union-of-levels hierarchy: ruta rows parent-link to zona nodes; the
+    """Union-of-levels hierarchy: all five levels link up the adjacency —
+    ruta → zona → división (5-part pointer) → subregión → región; the
     injected clock stamps fecha_creacion (no wall clock)."""
     reg = SchemaRegistry({
         "m_ruta": [("cod_compania", "string"), ("cod_sucursal", "string"),
@@ -739,8 +740,17 @@ def test_m_estructura_comercial_hierarchy(spark, lake):
                     ("desc_ruta", "string"), ("es_activo", "string")],
         "m_zona": [("cod_compania", "string"), ("cod_sucursal", "string"),
                     ("cod_zona", "string"), ("cod_region", "string"),
+                    ("cod_subregion", "string"), ("cod_centro_distribucion", "string"),
                     ("cod_supervisor", "string"), ("desc_zona", "string"),
                     ("es_activo", "string")],
+        "m_division": [("cod_compania", "string"), ("cod_division", "string"),
+                        ("desc_division", "string"), ("cod_jefe_venta", "string"),
+                        ("es_activo", "string")],
+        "m_subregion": [("cod_pais", "string"), ("cod_region", "string"),
+                         ("cod_subregion", "string"), ("desc_subregion", "string"),
+                         ("es_activo", "string")],
+        "m_region": [("cod_pais", "string"), ("cod_region", "string"),
+                      ("desc_region", "string"), ("es_activo", "string")],
         "m_compania": [("cod_compania", "string"), ("cod_pais", "string"),
                         ("desc_compania", "string"), ("es_activo", "string"),
                         ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp")],
@@ -753,10 +763,25 @@ def test_m_estructura_comercial_hierarchy(spark, lake):
         "cod_zona string, cod_vendedor string, desc_ruta string, es_activo string",
     ).write.parquet(lake.table_path(Layer.STAGE, "m_ruta", "pe01"))
     spark.createDataFrame(
-        [("10", "01", "Z1", "RG1", "SUP1", "ZONA NORTE", "T")],
+        [("10", "01", "Z1", "RG1", "SR1", "D1", "SUP1", "ZONA NORTE", "T")],
         "cod_compania string, cod_sucursal string, cod_zona string, cod_region string, "
-        "cod_supervisor string, desc_zona string, es_activo string",
+        "cod_subregion string, cod_centro_distribucion string, cod_supervisor string, "
+        "desc_zona string, es_activo string",
     ).write.parquet(lake.table_path(Layer.STAGE, "m_zona", "pe01"))
+    spark.createDataFrame(
+        [("10", "D1", "DIVISION CENTRO", "JV1", "T")],
+        "cod_compania string, cod_division string, desc_division string, "
+        "cod_jefe_venta string, es_activo string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_division", "pe01"))
+    spark.createDataFrame(
+        [("PE", "RG1", "SR1", "SUBREGION LIMA", "T")],
+        "cod_pais string, cod_region string, cod_subregion string, "
+        "desc_subregion string, es_activo string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_subregion", "pe01"))
+    spark.createDataFrame(
+        [("PE", "RG1", "REGION NORTE", "T")],
+        "cod_pais string, cod_region string, desc_region string, es_activo string",
+    ).write.parquet(lake.table_path(Layer.STAGE, "m_region", "pe01"))
     spark.createDataFrame(
         [("10", "PE", "AJE", "T", ts, ts)],
         "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
@@ -773,10 +798,18 @@ def test_m_estructura_comercial_hierarchy(spark, lake):
     assert res[0].status == "succeeded", res[0].error
     rows = {r["cod_tipo_estructura_comercial"]: r for r in spark.read.parquet(
         lake.table_path(Layer.DOMAIN, "m_estructura_comercial")).collect()}
-    assert set(rows) == {"Ruta", "Zona"}
-    # the ruta's parent id IS the zona's node id (adjacency list links up)
+    assert set(rows) == {"Ruta", "Zona", "División", "Subregión", "Región"}
+    # every level's parent id IS the next level's node id (adjacency links up)
     assert rows["Ruta"]["id_estructura_comercial_padre"] == rows["Zona"]["id_estructura_comercial"]
+    assert rows["Zona"]["id_estructura_comercial_padre"] == rows["División"]["id_estructura_comercial"]
+    assert rows["División"]["id_estructura_comercial_padre"] == rows["Subregión"]["id_estructura_comercial"]
+    assert rows["Subregión"]["id_estructura_comercial_padre"] == rows["Región"]["id_estructura_comercial"]
+    assert rows["Región"]["id_estructura_comercial_padre"] is None
     assert rows["Ruta"]["id_responsable_comercial"] == "10|VEND1"
+    assert rows["Zona"]["id_responsable_comercial"] == "10|SUP1"
+    assert rows["División"]["id_responsable_comercial"] == "10|JV1"
+    assert rows["Subregión"]["id_responsable_comercial"] is None
+    assert rows["División"]["id_estructura_comercial"] == "10|01|RG1|SR1|D1"
     assert rows["Zona"]["fecha_creacion"] == AS_OF
 
 

@@ -89,23 +89,26 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
     ),
     "m_zona": (
         "cod_compania string, cod_sucursal string, cod_zona string, cod_region string, "
-        "cod_subregion string, cod_supervisor string, desc_zona string, es_activo string",
-        [("10", "01", "Z1", "RG1", "SR1", "SUP1", "ZONA NORTE", "T")],
+        "cod_subregion string, cod_centro_distribucion string, cod_supervisor string, "
+        "desc_zona string, es_activo string",
+        [("10", "01", "Z1", "RG1", "SR1", "Z1", "SUP1", "ZONA NORTE", "T")],
         "pe01",
     ),
     "m_region": (
-        "cod_pais string, cod_region string, desc_region string",
-        [("PE", "RG1", "REGION NORTE")],
+        "cod_pais string, cod_region string, desc_region string, es_activo string",
+        [("PE", "RG1", "REGION NORTE", "T")],
         "pe01",
     ),
     "m_subregion": (
-        "cod_pais string, cod_region string, cod_subregion string, desc_subregion string",
-        [("PE", "RG1", "SR1", "SUBREGION LIMA")],
+        "cod_pais string, cod_region string, cod_subregion string, "
+        "desc_subregion string, es_activo string",
+        [("PE", "RG1", "SR1", "SUBREGION LIMA", "T")],
         "pe01",
     ),
     "m_division": (
-        "cod_compania string, cod_division string, desc_division string",
-        [("10", "Z1", "DIVISION CENTRO")],
+        "cod_compania string, cod_division string, desc_division string, "
+        "cod_jefe_venta string, es_activo string",
+        [("10", "Z1", "DIVISION CENTRO", "JV1", "T")],
         "pe01",
     ),
     "m_modulo": (
