@@ -2567,6 +2567,9 @@ def job_t_pedido_detalle_lite(ctx: JobContext) -> None:
                 F.col(botellas).alias("cantidad_botellas"),
                 F.col(cajas_asig).alias("cantidad_cajas_asignada"),
                 F.col(botellas_asig).alias("cantidad_botellas_asignada"),
+                F.col("fecha_creacion"),
+                F.col("fecha_modificacion"),
+                F.lit(0).alias("es_eliminado"),
             )
             .groupBy(*key)
             .agg(
@@ -2576,6 +2579,9 @@ def job_t_pedido_detalle_lite(ctx: JobContext) -> None:
                 F.sum("cantidad_botellas").alias("cantidad_botellas"),
                 F.sum("cantidad_cajas_asignada").alias("cantidad_cajas_asignada"),
                 F.sum("cantidad_botellas_asignada").alias("cantidad_botellas_asignada"),
+                F.max("fecha_creacion").alias("fecha_creacion"),
+                F.max("fecha_modificacion").alias("fecha_modificacion"),
+                F.max("es_eliminado").alias("es_eliminado"),
             )
         )
 
@@ -2644,6 +2650,11 @@ def job_t_pedido_detalle_lite(ctx: JobContext) -> None:
             split(volumen, True).alias("cant_cajavolumen_ped_pro"),
             split(fisica_asig, False).alias("cant_cajafisica_asignado_ped"),
             split(volumen_asig, False).alias("cant_cajavolumen_asignado_ped"),
+            split(fisica_asig, True).alias("cant_cajafisica_asignado_ped_pro"),
+            split(volumen_asig, True).alias("cant_cajavolumen_asignado_ped_pro"),
+            F.max("dpd.fecha_creacion").alias("fecha_creacion"),
+            F.max("dpd.fecha_modificacion").alias("fecha_modificacion"),
+            F.max("dpd.es_eliminado").alias("es_eliminado"),
         )
         .select(
             F.col("id_pais"),
@@ -2661,6 +2672,11 @@ def job_t_pedido_detalle_lite(ctx: JobContext) -> None:
             F.col("cant_cajavolumen_ped_pro"),
             F.col("cant_cajafisica_asignado_ped"),
             F.col("cant_cajavolumen_asignado_ped"),
+            F.col("cant_cajafisica_asignado_ped_pro"),
+            F.col("cant_cajavolumen_asignado_ped_pro"),
+            F.col("fecha_creacion").cast("date").alias("fecha_creacion"),
+            F.col("fecha_modificacion").cast("date").alias("fecha_modificacion"),
+            F.col("es_eliminado"),
         )
     )
     out = cast_projection(
@@ -2677,6 +2693,11 @@ def job_t_pedido_detalle_lite(ctx: JobContext) -> None:
             ("cant_cajavolumen_ped_pro", "decimal(38,12)"),
             ("cant_cajafisica_asignado_ped", "decimal(38,12)"),
             ("cant_cajavolumen_asignado_ped", "decimal(38,12)"),
+            ("cant_cajafisica_asignado_ped_pro", "decimal(38,12)"),
+            ("cant_cajavolumen_asignado_ped_pro", "decimal(38,12)"),
+            ("fecha_creacion", "date"),
+            ("fecha_modificacion", "date"),
+            ("es_eliminado", "int"),
         ],
     )
     write_table(

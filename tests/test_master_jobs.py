@@ -305,6 +305,7 @@ def test_t_pedido_detalle_signed_splits_and_ades_union(spark, lake):
             ("cant_paquete", "numeric(38,12)"), ("cant_unidad", "numeric(38,12)"),
             ("cant_paquete_asignado", "numeric(38,12)"),
             ("cant_unidad_asignado", "numeric(38,12)"),
+            ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
         ],
         "t_documento_pedido_ades_detalle": [
             ("cod_compania", "string"), ("cod_sucursal", "string"),
@@ -315,6 +316,7 @@ def test_t_pedido_detalle_signed_splits_and_ades_union(spark, lake):
             ("cantidad_cajas", "numeric(38,12)"), ("cantidad_botellas", "numeric(38,12)"),
             ("cantidad_cajas_asignada", "numeric(38,12)"),
             ("cantidad_botellas_asignada", "numeric(38,12)"),
+            ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
         ],
         "m_articulo": [
             ("cod_compania", "string"), ("cod_articulo", "string"),
@@ -329,37 +331,40 @@ def test_t_pedido_detalle_signed_splits_and_ades_union(spark, lake):
     _seed_bridge(spark, lake, reg_dict)
     D = Decimal
     d = dt.date(2025, 5, 3)
+    pts = dt.datetime(2025, 5, 3, 7)
     spark.createDataFrame(
         [
             # two lines, same natural key → pre-aggregate (2 cajas, 12 botellas)
             ("10", "01", "AL1", "200", "N1", "C1", "A1", "P01", d,
-             D("1"), D("6"), D("1"), D("0")),
+             D("1"), D("6"), D("1"), D("0"), pts, pts),
             ("10", "01", "AL1", "200", "N1", "C1", "A1", "P01", d,
-             D("1"), D("6"), D("1"), D("0")),
+             D("1"), D("6"), D("1"), D("0"), pts, pts),
             # non-'200' document → filtered out
             ("10", "01", "AL1", "100", "N2", "C1", "A1", "P01", d,
-             D("9"), D("0"), D("0"), D("0")),
+             D("9"), D("0"), D("0"), D("0"), pts, pts),
         ],
         "cod_compania string, cod_sucursal string, cod_almacen string, "
         "cod_documento_pedido string, nro_documento_pedido string, cod_cliente string, "
         "cod_articulo string, cod_procedimiento string, fecha_pedido date, "
         "cant_paquete decimal(38,12), cant_unidad decimal(38,12), "
-        "cant_paquete_asignado decimal(38,12), cant_unidad_asignado decimal(38,12)",
+        "cant_paquete_asignado decimal(38,12), cant_unidad_asignado decimal(38,12), "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_detalle", "pe01"))
     spark.createDataFrame(
         [
             # same key as the main '200' doc → anti-joined away
             ("10", "01", "AL1", "200", "N1", "C1", "A1", "P01", d,
-             D("99"), D("0"), D("0"), D("0")),
+             D("99"), D("0"), D("0"), D("0"), pts, pts),
             # promo order through the ADES channel → survives, PRO split
             ("10", "01", "AL1", "300", "N3", "C1", "A1", "P02", d,
-             D("1"), D("0"), D("0"), D("0")),
+             D("1"), D("0"), D("0"), D("0"), pts, pts),
         ],
         "cod_compania string, cod_sucursal string, cod_almacen_emisor string, "
         "cod_documento_transaccion string, nro_comprobante string, cod_cliente string, "
         "cod_articulo string, cod_procedimiento string, fecha_pedido date, "
         "cantidad_cajas decimal(38,12), cantidad_botellas decimal(38,12), "
-        "cantidad_cajas_asignada decimal(38,12), cantidad_botellas_asignada decimal(38,12)",
+        "cantidad_cajas_asignada decimal(38,12), cantidad_botellas_asignada decimal(38,12), "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_documento_pedido_ades_detalle", "pe01"))
     spark.createDataFrame(
         [("10", "A1", D("12"), D("1"), D("2"))],
