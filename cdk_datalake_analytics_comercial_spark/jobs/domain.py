@@ -2314,7 +2314,7 @@ def job_t_visita_lite(ctx: JobContext) -> None:
 @DOMAIN_JOBS.register("t_movimiento_inventario_lite")
 def job_t_movimiento_inventario_lite(ctx: JobContext) -> None:
     """Inventory-movement header (`code/domain/t_movimiento_inventario.py:
-    24-145`, reduced width): period filter on fecha_almacen, movements kept
+    24-145`, full serving width): period filter on fecha_almacen, movements kept
     only when their procedure code is whitelisted by the document-type
     bridge (`:41-56` — the reference inner-joins the bridge and re-selects;
     expressed here as a ``left_semi`` so a duplicated bridge row can never
@@ -2381,24 +2381,62 @@ def job_t_movimiento_inventario_lite(ctx: JobContext) -> None:
             F.col("c.id_pais").alias("id_pais"),
             F.date_format(F.col("tmi.fecha_almacen"), "yyyyMM").alias("id_periodo"),
             F.col("tmi.id_movimiento_almacen").alias("id_movimiento_almacen"),
+            F.col("tmi.id_movimiento_ingreso"),
             F.col("tmi.cod_compania").alias("id_compania_origen"),
             F.col("tmi.id_sucursal").alias("id_sucursal_origen"),
             F.col("tmi.id_almacen").alias("id_almacen_origen"),
             F.col("tmit.id_compania_destino").alias("id_compania_destino"),
             F.col("tmit.id_sucursal_destino").alias("id_sucursal_destino"),
             F.col("tmit.id_almacen_destino").alias("id_almacen_destino"),
+            F.col("tmi.id_compania_referencia"),
+            F.col("tmi.id_sucursal_referencia"),
+            F.col("tmi.id_almacen_referencia"),
+            surrogate_key(
+                F.col("tmi.cod_compania"), F.col("tmi.cod_transportista")
+            ).alias("id_transportista"),
+            surrogate_key(F.col("tmi.cod_compania"), F.col("tmi.cod_vehiculo")).alias(
+                "id_medio_transporte"
+            ),
+            F.col("tmi.id_vendedor"),
+            F.col("tmi.id_persona"),
+            F.col("tmi.id_procedimiento").alias("id_tipo_procedimiento"),
             F.col("tmi.cod_procedimiento").alias("cod_procedimiento"),
+            F.col("tmi.fecha_emision"),
+            F.col("tmi.fecha_liquidacion"),
             F.col("tmi.fecha_almacen").alias("fecha_almacen"),
             F.col("tmi.nro_documento_almacen").alias("nro_documento_almacen"),
+            F.col("tmi.nro_documento_movimiento"),
             F.coalesce(F.col("tmi.cod_estado_comprobante"), F.lit("000")).alias(
                 "cod_estado_comprobante"
+            ),
+            F.col("tmi.nro_serie_alm").alias("nro_serie_almacen"),
+            F.col("tmi.nropricoal").alias("nro_comprobante_pre"),
+            F.coalesce(
+                F.col("tmi.cod_tipo_documento_liquidacion"), F.lit("000")
+            ).alias("cod_documento_liquidacion"),
+            F.col("tmi.nro_documento_liquidacion"),
+            F.col("tmi.cod_documento_transaccion"),
+            F.coalesce(F.col("tmi.cod_documento_transaccion1"), F.lit("")).alias(
+                "cod_documento_transaccion_ref1"
+            ),
+            F.col("tmi.nro_documento_almacen1").alias("nro_documento_almacen_ref1"),
+            F.col("tmi.cod_tipo_documento_referencia2").alias(
+                "cod_documento_transaccion_ref2"
+            ),
+            F.col("tmi.nro_documento_almacen_referencia2").alias(
+                "nro_documento_almacen_ref2"
             ),
             F.col("tmit.estado").alias("desc_estado_transito"),
             F.when(F.col("tmit.id_documento_almacen").isNull(), F.lit(0))
             .otherwise(F.lit(1))
             .alias("tiene_transito"),
+            F.col("tmi.usuario_creacion"),
             F.col("tmi.fecha_creacion").alias("fecha_creacion"),
+            F.col("tmi.usuario_modificacion"),
             F.col("tmi.fecha_modificacion").alias("fecha_modificacion"),
+            # the reference hard-codes es_eliminado = 1 for every movement
+            # (t_movimiento_inventario.py:143) — kept faithfully
+            F.lit(1).alias("es_eliminado"),
         )
     )
     out = cast_projection(
@@ -2407,20 +2445,44 @@ def job_t_movimiento_inventario_lite(ctx: JobContext) -> None:
             ("id_pais", "string"),
             ("id_periodo", "string"),
             ("id_movimiento_almacen", "string"),
+            ("id_movimiento_ingreso", "string"),
             ("id_compania_origen", "string"),
             ("id_sucursal_origen", "string"),
             ("id_almacen_origen", "string"),
             ("id_compania_destino", "string"),
             ("id_sucursal_destino", "string"),
             ("id_almacen_destino", "string"),
+            ("id_compania_referencia", "string"),
+            ("id_sucursal_referencia", "string"),
+            ("id_almacen_referencia", "string"),
+            ("id_transportista", "string"),
+            ("id_medio_transporte", "string"),
+            ("id_vendedor", "string"),
+            ("id_persona", "string"),
+            ("id_tipo_procedimiento", "string"),
             ("cod_procedimiento", "string"),
+            ("fecha_emision", "date"),
+            ("fecha_liquidacion", "date"),
             ("fecha_almacen", "date"),
             ("nro_documento_almacen", "string"),
+            ("nro_documento_movimiento", "string"),
             ("cod_estado_comprobante", "string"),
+            ("nro_serie_almacen", "string"),
+            ("nro_comprobante_pre", "string"),
+            ("cod_documento_liquidacion", "string"),
+            ("nro_documento_liquidacion", "string"),
+            ("cod_documento_transaccion", "string"),
+            ("cod_documento_transaccion_ref1", "string"),
+            ("nro_documento_almacen_ref1", "string"),
+            ("cod_documento_transaccion_ref2", "string"),
+            ("nro_documento_almacen_ref2", "string"),
             ("desc_estado_transito", "string"),
             ("tiene_transito", "int"),
+            ("usuario_creacion", "string"),
             ("fecha_creacion", "timestamp"),
+            ("usuario_modificacion", "string"),
             ("fecha_modificacion", "timestamp"),
+            ("es_eliminado", "int"),
         ],
     )
     write_table(

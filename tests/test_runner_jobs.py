@@ -1438,6 +1438,21 @@ def test_t_movimiento_inventario_whitelist_and_transito(spark, lake):
     """Document-type whitelist as left_semi (no fan-out on duplicated
     bridge rows), LEFT transit join with existence flag and coalesce
     defaults (reference t_movimiento_inventario.py:41-145)."""
+    extra_cols = [
+        ("id_movimiento_ingreso", "string"), ("id_compania_referencia", "string"),
+        ("id_sucursal_referencia", "string"), ("id_almacen_referencia", "string"),
+        ("cod_transportista", "string"), ("cod_vehiculo", "string"),
+        ("id_vendedor", "string"), ("id_persona", "string"),
+        ("id_procedimiento", "string"), ("fecha_emision", "date"),
+        ("fecha_liquidacion", "date"), ("nro_documento_movimiento", "string"),
+        ("nro_serie_alm", "string"), ("nropricoal", "string"),
+        ("cod_tipo_documento_liquidacion", "string"),
+        ("nro_documento_liquidacion", "string"), ("cod_documento_transaccion", "string"),
+        ("cod_documento_transaccion1", "string"), ("nro_documento_almacen1", "string"),
+        ("cod_tipo_documento_referencia2", "string"),
+        ("nro_documento_almacen_referencia2", "string"),
+        ("usuario_creacion", "string"), ("usuario_modificacion", "string"),
+    ]
     reg = SchemaRegistry({
         "t_movimiento_inventario": [
             ("id_movimiento_almacen", "string"), ("id_documento_almacen", "string"),
@@ -1445,6 +1460,7 @@ def test_t_movimiento_inventario_whitelist_and_transito(spark, lake):
             ("cod_procedimiento", "string"), ("fecha_almacen", "date"),
             ("nro_documento_almacen", "string"), ("cod_estado_comprobante", "string"),
             ("fecha_creacion", "timestamp"), ("fecha_modificacion", "timestamp"),
+            *extra_cols,
         ],
         "t_movimiento_inventario_transito": [
             ("id_documento_almacen", "string"), ("id_compania_destino", "string"),
@@ -1460,16 +1476,31 @@ def test_t_movimiento_inventario_whitelist_and_transito(spark, lake):
         "m_pais": [("id_pais", "string"), ("cod_pais", "string"), ("desc_pais", "string")],
     })
     d, ts = dt.date(2025, 5, 5), dt.datetime(2025, 5, 5, 8, 0)
+    base_ddl = ("id_movimiento_almacen string, id_documento_almacen string, "
+                "cod_compania string, id_sucursal string, id_almacen string, "
+                "cod_procedimiento string, fecha_almacen date, "
+                "nro_documento_almacen string, cod_estado_comprobante string, "
+                "fecha_creacion timestamp, fecha_modificacion timestamp, "
+                + ", ".join(f"{c} {t}" for c, t in extra_cols))
+
+    def mov_row(mid, doc, proc, nro, estado):
+        extras = {c: None for c, _ in extra_cols}
+        extras.update({"cod_transportista": "T7", "cod_vehiculo": "V7",
+                       "nro_serie_alm": "S01", "nropricoal": "PC1",
+                       "fecha_emision": d, "usuario_creacion": "ana"})
+        return {"id_movimiento_almacen": mid, "id_documento_almacen": doc,
+                "cod_compania": "10", "id_sucursal": "S1", "id_almacen": "A1",
+                "cod_procedimiento": proc, "fecha_almacen": d,
+                "nro_documento_almacen": nro, "cod_estado_comprobante": estado,
+                "fecha_creacion": ts, "fecha_modificacion": ts, **extras}
+
     spark.createDataFrame(
         [
-            ("MV1", "DA1", "10", "S1", "A1", "ING", d, "N1", None, ts, ts),   # transit
-            ("MV2", "DA2", "10", "S1", "A1", "ING", d, "N2", "001", ts, ts),  # no transit
-            ("MV3", "DA3", "10", "S1", "A1", "ZZZ", d, "N3", "001", ts, ts),  # not whitelisted
+            mov_row("MV1", "DA1", "ING", "N1", None),   # transit
+            mov_row("MV2", "DA2", "ING", "N2", "001"),  # no transit
+            mov_row("MV3", "DA3", "ZZZ", "N3", "001"),  # not whitelisted
         ],
-        "id_movimiento_almacen string, id_documento_almacen string, cod_compania string, "
-        "id_sucursal string, id_almacen string, cod_procedimiento string, fecha_almacen date, "
-        "nro_documento_almacen string, cod_estado_comprobante string, "
-        "fecha_creacion timestamp, fecha_modificacion timestamp",
+        base_ddl,
     ).write.parquet(lake.table_path(Layer.STAGE, "t_movimiento_inventario", "pe01"))
     spark.createDataFrame(
         [("DA1", "20", "S9", "A9", "EN TRANSITO")],
@@ -1508,3 +1539,14 @@ def test_t_movimiento_inventario_whitelist_and_transito(spark, lake):
     assert rows["MV2"]["tiene_transito"] == 0
     assert rows["MV2"]["id_almacen_destino"] is None
     assert rows["MV2"]["cod_estado_comprobante"] == "001"
+    # full serving surface: carrier/vehicle ids minted, serial/pre refs
+    # pass through, liquidation + ref1 coalesce defaults, es_eliminado is
+    # the reference's hard-coded 1
+    assert rows["MV1"]["id_transportista"] == "10|T7"
+    assert rows["MV1"]["id_medio_transporte"] == "10|V7"
+    assert rows["MV1"]["nro_serie_almacen"] == "S01"
+    assert rows["MV1"]["nro_comprobante_pre"] == "PC1"
+    assert rows["MV1"]["cod_documento_liquidacion"] == "000"
+    assert rows["MV1"]["cod_documento_transaccion_ref1"] == ""
+    assert rows["MV1"]["usuario_creacion"] == "ana"
+    assert rows["MV1"]["es_eliminado"] == 1

@@ -398,16 +398,27 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
     ),
     # ---- inventory --------------------------------------------------------
     "t_movimiento_inventario": (
-        "id_movimiento_almacen string, id_documento_almacen string, "
+        "id_movimiento_almacen string, id_movimiento_ingreso string, "
+        "id_documento_almacen string, "
         "cod_compania string, cod_sucursal string, id_sucursal string, "
         "id_almacen string, cod_almacen_emisor_origen string, "
         "cod_documento_transaccion string, nro_documento_almacen string, "
         "nro_documento_movimiento string, cod_procedimiento string, "
         "cod_transportista string, cod_vehiculo string, cod_chofer string, "
         "cod_estado_comprobante string, fecha_emision date, fecha_almacen date, "
-        "fecha_creacion timestamp, fecha_modificacion timestamp",
-        [("MV1", "DA1", "10", "01", "10|01", "10|01|AL1", "AL1", "GRA", "900",
-          "M001", "ING", "77", "V01", "CH1", "PLI", MAY, MAY, TS, TS)],
+        "fecha_creacion timestamp, fecha_modificacion timestamp, "
+        "id_compania_referencia string, id_sucursal_referencia string, "
+        "id_almacen_referencia string, id_vendedor string, id_persona string, "
+        "id_procedimiento string, fecha_liquidacion date, nro_serie_alm string, "
+        "nropricoal string, cod_tipo_documento_liquidacion string, "
+        "nro_documento_liquidacion string, cod_documento_transaccion1 string, "
+        "nro_documento_almacen1 string, cod_tipo_documento_referencia2 string, "
+        "nro_documento_almacen_referencia2 string, usuario_creacion string, "
+        "usuario_modificacion string",
+        [("MV1", "MI1", "DA1", "10", "01", "10|01", "10|01|AL1", "AL1", "GRA", "900",
+          "M001", "ING", "77", "V01", "CH1", "PLI", MAY, MAY, TS, TS,
+          None, None, None, "10|V9", "10|P1", "10|ING", MAY, "S01", "PC1",
+          None, None, None, None, None, None, "ana", "ana")],
         "pe01",
     ),
     "t_movimiento_inventario_transito": (
