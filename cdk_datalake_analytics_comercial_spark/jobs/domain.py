@@ -2772,7 +2772,7 @@ def job_t_pedido_detalle_lite(ctx: JobContext) -> None:
 @DOMAIN_JOBS.register("t_movimiento_inventario_detalle_lite")
 def job_t_movimiento_inventario_detalle_lite(ctx: JobContext) -> None:
     """Inventory-movement detail (`code/domain/t_movimiento_inventario_
-    detalle.py:26-236`, reduced width): period filter on fecha_almacen;
+    detalle.py:26-236`, full serving width): period filter on fecha_almacen;
     the warehouse-document master supplies the operation direction
     (`cod_operacion_origen` S=entry / R=exit) which signs every quantity
     (`:79-81`) and splits directional ingreso/salida measures (`:82-89`);
@@ -2840,14 +2840,41 @@ def job_t_movimiento_inventario_detalle_lite(ctx: JobContext) -> None:
             F.col("tmid.cod_documento_transaccion"),
             F.col("tmid.nro_documento_almacen"),
             F.col("tmid.cod_procedimiento"),
+            F.col("tmid.id_centro_costo"),
+            F.col("tmid.nro_documento_movimiento"),
+            F.col("tmid.nro_linea_comprobante"),
+            F.col("tmid.cod_documento_transaccion_ref"),
+            F.col("tmid.nro_documento_almacen_ref"),
+            F.col("tmid.cod_estado_comprobante"),
+            F.col("tmid.cod_motivo"),
+            F.col("tmid.cod_unidad_articulo"),
+            F.col("tmid.nro_secuencia_origen"),
+            F.col("tmid.usuario_creacion"),
+            F.col("tmid.fecha_creacion"),
+            F.col("tmid.usuario_modificacion"),
+            F.col("tmid.fecha_modificacion"),
             (sign * F.col("tmid.cant_cajas")).alias("cant_cajafisica"),
             (sign * F.col("tmid.cant_botellas")).alias("cant_unidades"),
+            (sign * F.col("tmid.cant_unidades")).alias("cant_unidades_total"),
             F.when(entrada, F.col("tmid.cant_cajas")).otherwise(0).alias(
                 "cant_cajafisica_ingresada"
             ),
             F.when(salida, F.col("tmid.cant_cajas")).otherwise(0).alias(
                 "cant_cajafisica_salida"
             ),
+            F.when(entrada, F.col("tmid.cant_botellas")).otherwise(0).alias(
+                "cant_unidades_ingresada"
+            ),
+            F.when(salida, F.col("tmid.cant_botellas")).otherwise(0).alias(
+                "cant_unidades_salida"
+            ),
+            F.when(entrada, F.col("tmid.cant_unidades")).otherwise(0).alias(
+                "cant_unidades_total_ingresada"
+            ),
+            F.when(salida, F.col("tmid.cant_unidades")).otherwise(0).alias(
+                "cant_unidades_total_salida"
+            ),
+            F.col("tmid.costo_unitario"),
             F.when(entrada, F.col("tmid.costo_total")).otherwise(0).alias(
                 "imp_total_ingreso"
             ),
@@ -2908,11 +2935,48 @@ def job_t_movimiento_inventario_detalle_lite(ctx: JobContext) -> None:
             F.col("thad.nro_documento_almacen"),
             F.col("thad.cod_procedimiento"),
             F.col("thad.cod_operacion_kardex"),
+            F.col("thad.id_centro_costo"),
+            F.col("thad.nro_documento_movimiento"),
+            F.col("thad.nro_linea_comprobante"),
+            F.col("thad.cod_documento_transaccion_ref").alias(
+                "cod_documento_transaccion_referencia"
+            ),
+            F.col("thad.nro_documento_almacen_ref").alias(
+                "nro_documento_almacen_referencia"
+            ),
+            F.col("thad.cod_estado_comprobante"),
+            F.col("thad.cod_motivo"),
+            F.col("thad.cod_unidad_articulo").alias("cod_unidad_almacen"),
+            F.col("thad.nro_secuencia_origen"),
             F.col("thad.cant_cajafisica"),
             F.col("thad.cant_cajafisica_total"),
             F.col("thad.cant_unidades"),
+            F.col("thad.cant_unidades_total"),
             F.col("thad.cant_cajafisica_ingresada"),
+            F.when(
+                F.col("thad.cant_unidad_paquete") == 0,
+                F.col("thad.cant_cajafisica_ingresada"),
+            )
+            .otherwise(
+                F.col("thad.cant_cajafisica_ingresada")
+                + F.col("thad.cant_unidades_ingresada") / F.col("thad.cant_unidad_paquete")
+            )
+            .alias("cant_cajafisica_ingresada_total"),
             F.col("thad.cant_cajafisica_salida"),
+            F.when(
+                F.col("thad.cant_unidad_paquete") == 0,
+                F.col("thad.cant_cajafisica_salida"),
+            )
+            .otherwise(
+                F.col("thad.cant_cajafisica_salida")
+                + F.col("thad.cant_unidades_salida") / F.col("thad.cant_unidad_paquete")
+            )
+            .alias("cant_cajafisica_salida_total"),
+            F.col("thad.cant_unidades_ingresada"),
+            F.col("thad.cant_unidades_salida"),
+            F.col("thad.cant_unidades_total_ingresada"),
+            F.col("thad.cant_unidades_total_salida"),
+            F.col("thad.costo_unitario").alias("imp_unitario"),
             F.col("thad.imp_total"),
             F.col("thad.imp_total_ingreso"),
             F.col("thad.imp_total_salida"),
@@ -2928,6 +2992,16 @@ def job_t_movimiento_inventario_detalle_lite(ctx: JobContext) -> None:
                 * F.col("c.imp_cpm")
                 / F.nullif(F.col("mtc.tc_compra"), F.lit(0))
             ).alias("imp_valorizado_me"),
+            F.col("c.imp_saldo_inicial"),
+            F.col("c.imp_saldo_final"),
+            F.col("c.imp_ingreso").alias("imp_valorizado_ingreso"),
+            F.col("c.imp_salida").alias("imp_valorizado_salida"),
+            F.col("thad.usuario_creacion"),
+            F.col("thad.fecha_creacion"),
+            F.col("thad.usuario_modificacion"),
+            F.col("thad.fecha_modificacion"),
+            # the reference's hard-coded constant (`:173`) — kept faithfully
+            F.lit(1).alias("es_eliminado"),
         )
     )
     out = cast_projection(
@@ -2945,11 +3019,28 @@ def job_t_movimiento_inventario_detalle_lite(ctx: JobContext) -> None:
             ("nro_documento_almacen", "string"),
             ("cod_procedimiento", "string"),
             ("cod_operacion_kardex", "string"),
+            ("id_centro_costo", "string"),
+            ("nro_documento_movimiento", "string"),
+            ("nro_linea_comprobante", "string"),
+            ("cod_documento_transaccion_referencia", "string"),
+            ("nro_documento_almacen_referencia", "string"),
+            ("cod_estado_comprobante", "string"),
+            ("cod_motivo", "string"),
+            ("cod_unidad_almacen", "string"),
+            ("nro_secuencia_origen", "string"),
             ("cant_cajafisica", "numeric(38,12)"),
             ("cant_cajafisica_total", "numeric(38,12)"),
             ("cant_unidades", "numeric(38,12)"),
+            ("cant_unidades_total", "numeric(38,12)"),
             ("cant_cajafisica_ingresada", "numeric(38,12)"),
+            ("cant_cajafisica_ingresada_total", "numeric(38,12)"),
             ("cant_cajafisica_salida", "numeric(38,12)"),
+            ("cant_cajafisica_salida_total", "numeric(38,12)"),
+            ("cant_unidades_ingresada", "numeric(38,12)"),
+            ("cant_unidades_salida", "numeric(38,12)"),
+            ("cant_unidades_total_ingresada", "numeric(38,12)"),
+            ("cant_unidades_total_salida", "numeric(38,12)"),
+            ("imp_unitario", "numeric(38,12)"),
             ("imp_total", "numeric(38,12)"),
             ("imp_total_ingreso", "numeric(38,12)"),
             ("imp_total_salida", "numeric(38,12)"),
@@ -2959,6 +3050,15 @@ def job_t_movimiento_inventario_detalle_lite(ctx: JobContext) -> None:
             ("precio_unitario_me", "numeric(38,12)"),
             ("imp_valorizado_mn", "numeric(38,12)"),
             ("imp_valorizado_me", "numeric(38,12)"),
+            ("imp_saldo_inicial", "numeric(30,4)"),
+            ("imp_saldo_final", "numeric(30,4)"),
+            ("imp_valorizado_ingreso", "numeric(30,4)"),
+            ("imp_valorizado_salida", "numeric(30,4)"),
+            ("usuario_creacion", "string"),
+            ("fecha_creacion", "timestamp"),
+            ("usuario_modificacion", "string"),
+            ("fecha_modificacion", "timestamp"),
+            ("es_eliminado", "int"),
         ],
     )
     write_table(

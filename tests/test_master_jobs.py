@@ -412,6 +412,14 @@ def test_t_movimiento_inventario_detalle_direction_and_valuation(spark, lake):
             ("operacion_kardex", "string"), ("fecha_almacen", "date"),
             ("cant_cajas", "numeric(38,12)"), ("cant_botellas", "numeric(38,12)"),
             ("cant_unidades", "numeric(38,12)"), ("costo_total", "numeric(38,12)"),
+            ("costo_unitario", "numeric(38,12)"), ("id_centro_costo", "string"),
+            ("nro_documento_movimiento", "string"), ("nro_linea_comprobante", "string"),
+            ("cod_documento_transaccion_ref", "string"),
+            ("nro_documento_almacen_ref", "string"), ("cod_estado_comprobante", "string"),
+            ("cod_motivo", "string"), ("cod_unidad_articulo", "string"),
+            ("nro_secuencia_origen", "string"), ("usuario_creacion", "string"),
+            ("fecha_creacion", "timestamp"), ("usuario_modificacion", "string"),
+            ("fecha_modificacion", "timestamp"),
         ],
         "m_documento_almacen": [
             ("cod_compania", "string"), ("cod_transaccion", "string"),
@@ -420,7 +428,9 @@ def test_t_movimiento_inventario_detalle_direction_and_valuation(spark, lake):
         "m_articulo": [("id_articulo", "string"), ("cant_unidad_paquete", "numeric(38,12)")],
         "t_cierre_inventario_cpm": [
             ("id_sucursal", "string"), ("id_articulo", "string"), ("id_periodo", "string"),
-            ("imp_cpm", "numeric(38,12)"),
+            ("imp_cpm", "numeric(38,12)"), ("imp_saldo_inicial", "numeric(30,4)"),
+            ("imp_ingreso", "numeric(30,4)"), ("imp_salida", "numeric(30,4)"),
+            ("imp_saldo_final", "numeric(30,4)"),
         ],
         "m_tipo_cambio": [
             ("cod_compania", "string"), ("fecha", "date"), ("cod_moneda", "string"),
@@ -431,22 +441,31 @@ def test_t_movimiento_inventario_detalle_direction_and_valuation(spark, lake):
     _seed_bridge(spark, lake, reg_dict)
     D = Decimal
     d1, d2 = dt.date(2025, 5, 3), dt.date(2025, 5, 4)
+    mts = dt.datetime(2025, 5, 3, 6)
+    tail = (D("10"), "CC1", "M001", "1", None, None, "APR", "MT1", "CJ", "1",
+            "ana", mts, "ana", mts)
     spark.createDataFrame(
         [
             # entry: +10 cajas, +5 botellas; doc NIN, approved
             ("10", "10|01", "10|01|AL1", "10|A1", "MOV1", "ING", "NIN", "900", "APR",
-             None, d1, D("10"), D("5"), D("125"), D("100")),
+             None, d1, D("10"), D("5"), D("125"), D("100"), *tail),
             # exit under REV: kardex falls back to the row's own op; in
             # transit (PLI + GRA); no exchange rate for d2 → ME null
             ("10", "10|01", "10|01|AL1", "10|A1", "MOV2", "REV", "GRA", "901", "PLI",
-             "X", d2, D("4"), D("2"), D("50"), D("60")),
+             "X", d2, D("4"), D("2"), D("50"), D("60"), *tail),
         ],
         "cod_compania string, id_sucursal string, id_almacen string, id_articulo string, "
         "id_movimiento_almacen string, cod_procedimiento string, "
         "cod_documento_transaccion string, nro_documento_almacen string, estado string, "
         "operacion_kardex string, fecha_almacen date, cant_cajas decimal(38,12), "
         "cant_botellas decimal(38,12), cant_unidades decimal(38,12), "
-        "costo_total decimal(38,12)",
+        "costo_total decimal(38,12), costo_unitario decimal(38,12), "
+        "id_centro_costo string, nro_documento_movimiento string, "
+        "nro_linea_comprobante string, cod_documento_transaccion_ref string, "
+        "nro_documento_almacen_ref string, cod_estado_comprobante string, "
+        "cod_motivo string, cod_unidad_articulo string, nro_secuencia_origen string, "
+        "usuario_creacion string, fecha_creacion timestamp, "
+        "usuario_modificacion string, fecha_modificacion timestamp",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_movimiento_inventario_detalle", "pe01"))
     spark.createDataFrame(
         [("10", "ING", "S"), ("10", "REV", "R")],
@@ -456,8 +475,11 @@ def test_t_movimiento_inventario_detalle_direction_and_valuation(spark, lake):
         [("10|A1", D("5"))], "id_articulo string, cant_unidad_paquete decimal(38,12)"
     ).write.parquet(lake.table_path(Layer.STAGE, "m_articulo", "pe01"))
     spark.createDataFrame(
-        [("10|01", "10|A1", "202505", D("2"))],
-        "id_sucursal string, id_articulo string, id_periodo string, imp_cpm decimal(38,12)",
+        [("10|01", "10|A1", "202505", D("2"), D("100"), D("40"), D("50"), D("90"))],
+        "id_sucursal string, id_articulo string, id_periodo string, "
+        "imp_cpm decimal(38,12), imp_saldo_inicial decimal(30,4), "
+        "imp_ingreso decimal(30,4), imp_salida decimal(30,4), "
+        "imp_saldo_final decimal(30,4)",
     ).write.parquet(lake.table_path(Layer.STAGE, "t_cierre_inventario_cpm", "pe01"))
     spark.createDataFrame(
         [("10", d1, "PEN", D("4"))],

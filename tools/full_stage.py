@@ -443,9 +443,17 @@ STAGE_TABLES: dict[str, tuple[str, list, str]] = {
         "cod_documento_transaccion string, nro_documento_almacen string, estado string, "
         "operacion_kardex string, fecha_almacen date, cant_cajas decimal(38,12), "
         "cant_botellas decimal(38,12), cant_unidades decimal(38,12), "
-        "costo_total decimal(38,12)",
+        "costo_total decimal(38,12), costo_unitario decimal(38,12), "
+        "id_centro_costo string, nro_documento_movimiento string, "
+        "nro_linea_comprobante string, cod_documento_transaccion_ref string, "
+        "nro_documento_almacen_ref string, cod_estado_comprobante string, "
+        "cod_motivo string, cod_unidad_articulo string, nro_secuencia_origen string, "
+        "usuario_creacion string, fecha_creacion timestamp, "
+        "usuario_modificacion string, fecha_modificacion timestamp",
         [("10", "10|01", "10|01|AL1", "10|A1", "MV1", "ING", "NIN", "900", "APR",
-          None, dt.date(2025, 5, 1), D("10"), D("5"), D("125"), D("100"))],
+          None, dt.date(2025, 5, 1), D("10"), D("5"), D("125"), D("100"), D("10"),
+          "CC1", "M001", "1", None, None, "APR", "MT1", "CJ", "1",
+          "ana", TS, "ana", TS)],
         "pe01",
     ),
     "t_toma_inventario": (
