@@ -450,11 +450,56 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-features plumbing over the fake decoder.
+
+    The serving projection is scalar-only: the ``features`` array is folded
+    to its integer code string (``round(f*97)`` recovers the exact code each
+    float32 entry was built from) so the row set is hashable by the driver
+    and DuckDB can recompute it from the decoder's closed-form definition.
+    """
     d = t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    return multimodal.image_features(d, fake=True)
+    feats = multimodal.image_features(d, fake=True)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x.cast("double") * 97).cast("int").cast("string"),
+            ),
+        ).alias("feature_codes"),
+    )
+
+
+# The fake decoder is closed-form over the payload byte stream; documents'
+# text is ASCII in the synthetic corpus, so DuckDB recomputes byte length /
+# byte sums from the characters directly (ord == byte for ASCII).
+_ORACLE_MULTIMODAL = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+         length(text) AS n,
+         COALESCE(list_sum(list_transform(range(1, least(length(text), 256) + 1),
+                                          i -> ord(substr(text, i, 1)))), 0) AS s
+  FROM documents
+), dims AS (
+  SELECT media_id, n,
+         CAST(16 + n % 64 AS INT) AS width,
+         CAST(16 + (n // 64) % 64 AS INT) AS height,
+         ROUND((CAST(s AS DOUBLE) / greatest(least(n, 256), 1)) / 255.0, 6) AS mean_luma
+  FROM base
+)
+SELECT media_id, width, height, mean_luma,
+       array_to_string(list_transform(range(0, 8),
+                                      i -> CAST((width * (i + 1) + height) % 97 AS VARCHAR)),
+                       ',') AS feature_codes
+FROM dims
+"""
 
 
 QUERIES = {
@@ -490,6 +535,5 @@ ORACLES = {
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
-    # dedup_minhash / dedup_simhash_pairs / emb_lsh_topk / multimodal_features:
-    # Spark-side hash/UDF pipelines — rows-only driver check by design.
+    "multimodal_features": _ORACLE_MULTIMODAL,
 }
