@@ -135,24 +135,25 @@ def make_simhash_udf(num_bits):
     return sh
 
 
-def make_nearest_cell_udf(centroids):
-    """IVF coarse-quantizer assignment: argmin squared-L2 cell index per
-    vector, one numpy matmul per Arrow batch. The centroid matrix rides in
-    the UDF closure (KiB-scale), not as literal plan expressions — an
+def make_nearest_cell_udf(centroids_int):
+    """IVF coarse-quantizer assignment over integer-scaled vectors: argmin
+    of the EXACT integer squared-L2 (int64 — diffs < 2^24, 64-dim sums
+    < 2^54) so every engine reproduces the same cell, ties to the lowest
+    index. One numpy broadcast per Arrow batch; the centroid matrix rides
+    in the UDF closure (KiB-scale), not as literal plan expressions — an
     unrolled per-cell Column expression is interpreted per row AND bloats
     the task binary by O(cells × dim) literals."""
-    cents = np.asarray(centroids, dtype=np.float64)  # (C, dim)
-    c_sq = (cents * cents).sum(axis=1)
+    cents = np.asarray(centroids_int, dtype=np.int64)  # (C, dim)
 
     @pandas_udf("int")
     def nearest(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype="int32")
-        x = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        # ||x-c||² = ||x||² - 2 x·c + ||c||²; ||x||² is constant per row →
-        # argmin over (-2 x·c + ||c||²). Ties: argmin keeps the first
-        # (lowest) cell index, matching sequential strict-< scan order.
-        d2 = c_sq[None, :] - 2.0 * (x @ cents.T)
+        x = np.array([np.asarray(v, dtype=np.int64) for v in vs])
+        diff = x[:, None, :] - cents[None, :, :]
+        d2 = (diff * diff).sum(axis=2)
+        # argmin keeps the first (lowest) cell index on ties, matching the
+        # oracle's list_position(d2, list_min(d2)) scan order
         return pd.Series(d2.argmin(axis=1).astype("int32"))
 
     return nearest

@@ -50,17 +50,31 @@ def exact_dedup(
     )
 
 
-def shingle_hashes(col: Column, k: int = 3) -> Column:
+def shingle_hashes(col: Column, k: int = 3, portable: bool = False) -> Column:
     """Shingles → stable integers in [0, 2^31-1).
 
-    xxhash64 (seed 42, native JVM) — deterministic across runs/partitions,
-    ~10× cheaper than an md5+hex-parse. Sketches built on it are verified by
-    exact Jaccard over the shingle *strings*, so the hash function never
-    needs to be reproduced by another engine."""
-    return F.transform(
-        T.shingles(col, k),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)),
-    )
+    Default: xxhash64 (seed 42, native JVM) — deterministic across
+    runs/partitions, ~10× cheaper per op than an md5+hex-parse. Sketches
+    built on it are verified by exact Jaccard over the shingle *strings*, so
+    the hash function never needs to be reproduced by another engine.
+
+    ``portable=True``: first 60 bits of md5, mod the Mersenne prime — md5 is
+    the cross-engine common denominator, so a SQL engine (the DuckDB oracle)
+    can recompute the identical hash stream and therefore the identical
+    MinHash/SimHash sketches. Slightly costlier per shingle; used by the
+    oracle-checked query registry, while the xxhash64 path remains the
+    cluster default."""
+    if portable:
+        def one(s: Column) -> Column:
+            return F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                F.lit(_MERSENNE_P),
+            )
+    else:
+        def one(s: Column) -> Column:
+            return F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
+
+    return F.transform(T.shingles(col, k), one)
 
 
 def minhash_signature(col: Column, num_hashes: int = 64, k: int = 3) -> Column:
@@ -94,7 +108,11 @@ def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 64) -> Colum
 
 
 def hashed_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, _h: array<long>) — distinct shingle hashes per doc, spread over
     the full core count.
@@ -110,7 +128,7 @@ def hashed_shingles(
     measured). The Arrow kernels don't need (2) but benefit from (1)."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingle_hashes(F.col(text_col), k)).alias("_h"),
+        F.array_distinct(shingle_hashes(F.col(text_col), k, portable)).alias("_h"),
     ).repartition("id")
 
 
@@ -136,6 +154,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     k: int = 3,
     hashed: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
 
@@ -145,21 +164,25 @@ def minhash_lsh_candidates(
     buckets stay small; the cross-corpus shuffle is on band-hash only.
 
     ``hashed`` (from :func:`hashed_shingles`) lets callers share the shingle
-    pipeline with a verify stage.
+    pipeline with a verify stage. ``portable=True`` buckets on the *raw*
+    signature band (array<long> join key, exact — no murmur3 to reproduce)
+    so a SQL oracle can rebuild the identical candidate set; the default
+    hashes each band to a 4-byte key (smaller shuffle at cluster scale).
     """
     rows = num_hashes // bands
     if hashed is None:
-        hashed = hashed_shingles(df, text_col, id_col, k)
+        hashed = hashed_shingles(df, text_col, id_col, k, portable)
     sig = hashed.select(
         "id", minhash_signature_pandas(num_hashes)(F.col("_h")).alias("sig")
     )
+    if portable:
+        band_key = lambda b: F.slice(F.col("sig"), b * rows + 1, rows)  # noqa: E731
+    else:
+        band_key = lambda b: F.hash(F.slice(F.col("sig"), b * rows + 1, rows))  # noqa: E731
     banded = sig.select(
         "id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(F.slice(F.col("sig"), b * rows + 1, rows)),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band", "band_hash"),
     )
     # materialize once: the self-join would otherwise evaluate the whole
@@ -195,6 +218,7 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash LSH dedup: candidates → exact-Jaccard verify → drop the higher
     id of each confirmed pair (connected-components-lite: a row survives iff
@@ -205,10 +229,14 @@ def minhash_dedup(
     verify stage, where Jaccard is computed per candidate pair with
     ``array_intersect`` over the 31-bit hash sets (collision error
     ≈ |shingles|²/2³¹ — negligible; the oracle-checked exact string variant
-    is :func:`ngram_jaccard_pairs`)."""
-    hashed = hashed_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
+    is :func:`ngram_jaccard_pairs`). ``portable=True`` selects the
+    md5-derived shingle hash + raw-band bucketing so the whole pipeline is
+    reproducible in the DuckDB oracle."""
+    hashed = hashed_shingles(df, text_col, id_col, k, portable).localCheckpoint(
+        eager=False
+    )
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, k, hashed=hashed
+        df, text_col, id_col, num_hashes, bands, k, hashed=hashed, portable=portable
     )
     # verify per candidate pair only (the LSH point: the Jaccard computation
     # never sees the full corpus cross product)
@@ -354,6 +382,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_bits: int = 31,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole band-bucketing.
 
@@ -372,7 +401,7 @@ def simhash_near_dups(
     # times)
     from ._vectorized import make_simhash_udf
 
-    hashed = hashed_shingles(df, text_col, id_col)
+    hashed = hashed_shingles(df, text_col, id_col, portable=portable)
     fp = hashed.select("id", make_simhash_udf(num_bits)(F.col("_h")).alias("fp"))
 
     def band_bits(i: int) -> Column:

@@ -22,6 +22,45 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# Integer-exact scoring contract (shared with the DuckDB oracles): vectors
+# scale to round(x·10^6) longs, dots/norms are exact integer sums, the final
+# cosine divides identical doubles — bit-identical across engines. Embedding
+# values are O(1), so products are < 2^40 and 64-dim sums < 2^46: exact in
+# long AND in float64 (numpy kernels stay usable).
+INT_SCALE = 1_000_000
+
+
+def int_scaled(vec: Column, scale: int = INT_SCALE) -> Column:
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int_cosine(a: Column, b: Column) -> Column:
+    return int_dot(a, b).cast("double") / (
+        F.sqrt(int_dot(a, a).cast("double")) * F.sqrt(int_dot(b, b).cast("double"))
+    )
+
+
+def quantize(x: float, scale: int = INT_SCALE) -> int:
+    """Half-up (away from zero) scaling for plan constants (hyperplanes,
+    centroids). Constants are quantized ONCE in Python and injected as
+    literals into both the Spark plan and the oracle SQL, so the rounding
+    mode only needs to be self-consistent."""
+    import math
+
+    v = x * scale
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -119,14 +158,16 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit i = 1 iff vec · plane_i > 0."""
+def lsh_signature(iv: Column, planes_int: list[list[int]]) -> Column:
+    """Sign-LSH bucket id over the integer-scaled vector: bit i = 1 iff
+    iv · plane_i > 0 in exact long arithmetic. The sign test never depends
+    on float summation order, so any engine recomputes the same bucket."""
     sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bit = F.when(dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
+    for i, p in enumerate(planes_int):
+        plane = F.array(*[F.lit(int(x)).cast("long") for x in p])
+        bit = F.when(
+            int_dot(iv, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
     return sig
 
@@ -153,6 +194,13 @@ def ivf_centroids(
         .collect()
     )
     x = np.array([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    return lloyd_centroids(x, n_cells, iters)
+
+
+def lloyd_centroids(x, n_cells: int, iters: int = 3) -> list[list[float]]:
+    """Deterministic Lloyd iterations over a float64 sample matrix. Shared
+    verbatim by the Spark training path and the oracle-SQL builder so both
+    produce bit-identical centroids from the same rows."""
     cents = x[:n_cells].copy()
     for _ in range(iters):
         d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -164,14 +212,15 @@ def ivf_centroids(
     return [[float(v) for v in row] for row in cents]
 
 
-def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
-    """Index of the closest centroid (squared L2). Arrow-batched numpy
-    argmin — an unrolled per-cell Column expression would run O(cells)
-    interpreted higher-order functions per row and ship O(cells × dim)
-    literals in every task binary (see _vectorized docstring)."""
+def _nearest_cell(iv: Column, cents_int: list[list[int]]) -> Column:
+    """Index of the closest centroid by exact integer squared-L2 over the
+    scaled vector (ties → lowest cell index). Arrow-batched numpy argmin —
+    an unrolled per-cell Column expression would run O(cells) interpreted
+    higher-order functions per row and ship O(cells × dim) literals in
+    every task binary (see _vectorized docstring)."""
     from ._vectorized import make_nearest_cell_udf
 
-    return make_nearest_cell_udf(cents)(vec)
+    return make_nearest_cell_udf(cents_int)(iv)
 
 
 def ivf_topk(
@@ -197,17 +246,22 @@ def ivf_topk(
     cents = centroids if centroids is not None else ivf_centroids(
         corpus, dim, n_cells, vec_col, id_col
     )
+    cents_int = [[quantize(x) for x in row] for row in cents]
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")
-    ).withColumn("cell", _nearest_cell(F.col("cv"), cents))
+        F.col(id_col).alias("corpus_id"), int_scaled(F.col(vec_col)).alias("civ")
+    ).withColumn("cell", _nearest_cell(F.col("civ"), cents_int))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("cell", _nearest_cell(F.col("qv"), cents))
+        F.col(id_col).alias("query_id"), int_scaled(F.col(vec_col)).alias("qiv")
+    ).withColumn("cell", _nearest_cell(F.col("qiv"), cents_int))
     scored = (
         F.broadcast(q)
         .join(c, "cell", "inner")
         .filter(F.col("query_id") != F.col("corpus_id"))
-        .select("query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "query_id",
+            "corpus_id",
+            int_cosine(F.col("qiv"), F.col("civ")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()
@@ -234,19 +288,24 @@ def lsh_bucket_topk(
     bucket join shuffles on the bucket id only. Recall is tunable via
     ``n_planes`` (fewer planes → bigger buckets → higher recall/cost)."""
     planes = _hyperplanes(dim, n_planes, seed)
+    planes_int = [[quantize(x) for x in row] for row in planes]
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).alias("cv"),
-    ).withColumn("bucket", lsh_signature(F.col("cv"), planes))
+        int_scaled(F.col(vec_col)).alias("civ"),
+    ).withColumn("bucket", lsh_signature(F.col("civ"), planes_int))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-    ).withColumn("bucket", lsh_signature(F.col("qv"), planes))
+        int_scaled(F.col(vec_col)).alias("qiv"),
+    ).withColumn("bucket", lsh_signature(F.col("qiv"), planes_int))
     scored = (
         F.broadcast(q)
         .join(c, "bucket", "inner")
         .filter(F.col("query_id") != F.col("corpus_id"))
-        .select("query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "query_id",
+            "corpus_id",
+            int_cosine(F.col("qiv"), F.col("civ")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()

@@ -1,12 +1,14 @@
 """Training-data pipeline queries over ``documents`` and ``embeddings``:
 text analysis, dedup family, similarity search, multimodal plumbing.
 
-Oracle policy: everything SQL-expressible gets a DuckDB oracle that
-recomputes the same deterministic definition (normalization, shingles,
-stopword hits, md5 fingerprints, integer-scaled cosine). Sketch ops whose
-definition is a Spark-side hash pipeline (MinHash signatures, SimHash,
-hyperplane LSH) are registered without oracles (driver records a rows-only
-check) and carry property tests in ``tests/``.
+Oracle policy: EVERY query gets a DuckDB oracle that recomputes the same
+deterministic definition (normalization, shingles, stopword hits, md5
+fingerprints, integer-scaled cosine). The sketch pipelines (MinHash,
+SimHash, sign-LSH, IVF) run in *portable* mode here — md5-derived shingle
+hashes, literal-injected hash params / hyperplanes / centroids, exact
+integer arithmetic throughout — so the oracle rebuilds the identical
+sketches; the xxhash64 fast paths remain the cluster defaults in
+``operators.dedup``.
 
 Float policy for similarity: vectors are scaled to integers
 (round(x * 10^6) as long) so dot products and norms are exact integer sums —
@@ -263,20 +265,97 @@ WHERE doc_id NOT IN (SELECT u FROM comp WHERE u <> c)
 """
 
 # --------------------------------------------------------------------------
-# MinHash + LSH dedup and SimHash near-dups — Spark-side hash pipelines, no
-# SQL oracle (rows-only driver check; property-tested in tests/).
+# MinHash + LSH dedup and SimHash near-dups. The query registry runs the
+# *portable* pipeline (md5-derived shingle hashes, raw-band LSH buckets) so
+# the DuckDB oracle below recomputes the identical sketches end-to-end: same
+# (a,b) MinHash params (inlined as literals), same Mersenne modulus, same
+# band slicing, same majority-vote SimHash bits. The xxhash64 fast path
+# stays the cluster default in operators.dedup.
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup(d, "text", "doc_id", threshold=0.5).select(
-        "doc_id", "lang", "source"
-    )
+    return dedup.minhash_dedup(
+        d, "text", "doc_id", threshold=0.5, portable=True
+    ).select("doc_id", "lang", "source")
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(d, "text", "doc_id", max_hamming=3)
+    return dedup.simhash_near_dups(d, "text", "doc_id", max_hamming=3, portable=True)
+
+
+# 60-bit md5 prefix (15 hex digits parsed with shifts — exact in BIGINT),
+# mod the Mersenne prime: the engine's portable shingle hash, verified
+# bit-identical to Spark's conv(substring(md5(s),1,15),16,10) % p.
+_SQL_MD5HASH = (
+    "(list_sum(list_transform(range(1, 16), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)"
+    " << (4 * (15 - i)))) % 2147483647)"
+)
+
+_SQL_HSETS = f"""base AS (
+  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+), hsets AS (
+  SELECT id, list_distinct(list_transform({_SQL_SHINGLES}, s -> {_SQL_MD5HASH})) AS hs
+  FROM base
+)"""
+
+
+def _minhash_params_sql(num_hashes: int = 64) -> str:
+    from ..operators.dedup import _hash_params
+
+    return (
+        "["
+        + ", ".join("{'a': %d, 'b': %d}" % (a, b) for a, b in _hash_params(num_hashes))
+        + "]"
+    )
+
+
+_ORACLE_DEDUP_MINHASH = f"""
+WITH {_SQL_HSETS}, sigs AS (
+  SELECT id, list_transform({_minhash_params_sql(64)}, p ->
+           list_min(list_transform(hs, x -> (p.a * x + p.b) % 2147483647))) AS sig
+  FROM hsets
+), banded AS (
+  SELECT id, t.band AS band, sig[(t.band * 4 + 1):(t.band * 4 + 4)] AS key
+  FROM sigs, range(0, 16) t(band)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN hsets ha ON ha.id = c.id_a
+  JOIN hsets hb ON hb.id = c.id_b
+  WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+        / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= 0.5
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM verified)
+"""
+
+# SimHash: bit i of the fingerprint is the majority vote over the shingle
+# hashes' bit i; pigeonhole bands (widths 7,7,7,10 over 31 bits) bucket the
+# candidates; hamming via bit_count(xor).
+_ORACLE_DEDUP_SIMHASH = f"""
+WITH {_SQL_HSETS}, fps AS (
+  SELECT id,
+         list_sum(list_transform(range(0, 31), i ->
+           CASE WHEN 2 * len(list_filter(hs, h -> ((h >> i) & 1) = 1)) > len(hs)
+                THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS fp
+  FROM hsets
+), sbanded AS (
+  SELECT id, fp, t.band AS band,
+         (fp >> (t.band * 7)) & (CASE WHEN t.band = 3 THEN 1023 ELSE 127 END) AS bits
+  FROM fps, range(0, 4) t(band)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM sbanded a JOIN sbanded b
+  ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
 
 
 # --------------------------------------------------------------------------
@@ -369,13 +448,104 @@ WHERE {_SQL_DOT} / ({_SQL_NRM.format(s='a')} * {_SQL_NRM.format(s='b')}) >= 0.4
 
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via sign-LSH buckets (scale path; rows-only check +
-    recall property test in tests/)."""
+    """Approximate ANN via sign-LSH buckets (scale path). The bucket bit is
+    an exact integer sign test over the scaled vector and quantized
+    hyperplanes, so the oracle reproduces bucket membership and cosine
+    bit-for-bit (recall property tests in tests/)."""
     from ..operators.similarity import lsh_bucket_topk
 
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
     return lsh_bucket_topk(e, q, dim=64, k=5, n_planes=6)
+
+
+def _lsh_bucket_sql() -> str:
+    """Bucket expression over an ``iv`` integer-vector column: the same
+    quantized hyperplanes the Spark plan carries as literals."""
+    from ..operators.similarity import _hyperplanes, quantize
+
+    planes_int = [[quantize(x) for x in row] for row in _hyperplanes(64, 6, 42)]
+    bits = []
+    for i, p in enumerate(planes_int):
+        lit = "[" + ", ".join(str(v) for v in p) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), j -> iv[j] * ({lit})[j])) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+_ORACLE_LSH_TOPK = f"""
+WITH iv AS (
+  SELECT vec_id, {_SQL_IV} AS iv FROM embeddings
+), sigs AS (
+  SELECT vec_id, iv, {_lsh_bucket_sql()} AS bucket FROM iv
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+         {_SQL_DOT} / ({_SQL_NRM.format(s='a')} * {_SQL_NRM.format(s='b')}) AS cosine
+  FROM sigs a JOIN sigs b
+    ON a.vec_id < 20 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _build_ivf_oracle(sf_dir: str | None = None) -> str | None:
+    """IVF oracle: re-run the exact centroid training (same numpy Lloyd code
+    over the same first-4096-by-id rows) against the check's parquet, then
+    inline the quantized centroids as literals. The driver's differential
+    check runs at sf0.01; ``SPARK_GRAFT_ORACLE_SF`` points elsewhere for
+    local checks at other scale factors. Returns None (rows-only fallback)
+    if the table can't be read here."""
+    import os
+
+    try:
+        import duckdb
+        import numpy as np
+
+        from ..operators.similarity import lloyd_centroids, quantize
+
+        sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+        con = duckdb.connect()
+        rows = con.sql(
+            f"SELECT embedding FROM read_parquet('{sf}/embeddings.parquet') "
+            "ORDER BY vec_id LIMIT 4096"
+        ).fetchall()
+        con.close()
+        if not rows:
+            return None
+        x = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+        cents = lloyd_centroids(x, n_cells=8, iters=3)
+        cents_int = [[quantize(v) for v in row] for row in cents]
+    except Exception:
+        return None
+    cents_sql = (
+        "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in cents_int) + "]"
+    )
+    return f"""
+WITH iv AS (
+  SELECT vec_id, {_SQL_IV} AS iv FROM embeddings
+), d2s AS (
+  SELECT vec_id, iv,
+         list_transform({cents_sql}, c ->
+           list_sum(list_transform(range(1, 65), j -> (iv[j] - c[j]) * (iv[j] - c[j])))) AS d2
+  FROM iv
+), cells AS (
+  SELECT vec_id, iv, list_position(d2, list_min(d2)) AS cell FROM d2s
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+         {_SQL_DOT} / ({_SQL_NRM.format(s='a')} * {_SQL_NRM.format(s='b')}) AS cosine
+  FROM cells a JOIN cells b
+    ON a.vec_id < 20 AND a.cell = b.cell AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -384,9 +554,11 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via an IVF coarse quantizer (deterministic k-means
-    cells; rows-only — quantizer training isn't SQL-expressible; recall and
-    exact-cosine properties are tested in tests/)."""
+    """Approximate ANN via an IVF coarse quantizer. Training is driver-side
+    deterministic numpy (Lloyd over the first 4096 rows by id); the oracle
+    builder reruns the identical training on the same rows and inlines the
+    quantized centroids as SQL literals, so cell assignment (exact integer
+    L2 argmin) and cosine match bit-for-bit."""
     from ..operators.similarity import ivf_topk
 
     e = t(spark, sf_dir, "embeddings")
@@ -536,4 +708,13 @@ ORACLES = {
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
     "multimodal_features": _ORACLE_MULTIMODAL,
+    "dedup_minhash": _ORACLE_DEDUP_MINHASH,
+    "dedup_simhash_pairs": _ORACLE_DEDUP_SIMHASH,
+    "emb_lsh_topk": _ORACLE_LSH_TOPK,
 }
+
+# IVF needs the trained centroids as literals — built against the check's
+# parquet at import; omitted (rows-only fallback) when the table is absent.
+_IVF_ORACLE = _build_ivf_oracle()
+if _IVF_ORACLE:
+    ORACLES["emb_ivf_topk"] = _IVF_ORACLE

@@ -54,11 +54,12 @@ def test_lsh_bucket_topk_subset_of_bruteforce(spark):
         for r in S.cosine_topk_bruteforce(df, df, k=5).collect()
     }
     approx = S.lsh_bucket_topk(df, df, dim=4, k=5, n_planes=2).collect()
-    # every approx hit must carry the exact cosine value
+    # approx hits carry the integer-scaled (round(x*1e6)) cosine — within
+    # quantization distance of the float value, not bit-equal to it
     for r in approx:
         key = (r["query_id"], r["corpus_id"])
         assert key in exact
-        assert abs(r["cosine"] - exact[key]) < 1e-9
+        assert abs(r["cosine"] - exact[key]) < 1e-5
 
 
 def test_dot_and_norm(spark):
@@ -88,7 +89,7 @@ def test_ivf_topk_subset_of_bruteforce(spark):
     for r in approx:
         key = (r["query_id"], r["corpus_id"])
         assert key in exact                        # every hit is a real pair
-        assert abs(r["cosine"] - exact[key]) < 1e-9  # with the exact cosine
+        assert abs(r["cosine"] - exact[key]) < 1e-5  # integer-scaled cosine
 
 
 def test_ivf_centroids_deterministic(spark):

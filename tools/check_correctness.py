@@ -45,13 +45,19 @@ def canon(df):
 
 
 def main():
-    import duckdb
+    import os
 
-    from cdk_datalake_analytics_comercial_spark.core import get_spark
-    from cdk_datalake_analytics_comercial_spark.plans import ORACLES, QUERIES
+    import duckdb
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    # data-dependent oracles (IVF centroids) are built at plans import time
+    # against this dir — set before the import
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
+    from cdk_datalake_analytics_comercial_spark.core import get_spark
+    from cdk_datalake_analytics_comercial_spark.plans import ORACLES, QUERIES
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
