@@ -2043,7 +2043,10 @@ def job_t_venta_lite(ctx: JobContext) -> None:
     )
     enriched = (
         filtered.alias("v")
-        .join(F.broadcast(compania).alias("c"), ["cod_compania"], "left")
+        # inner per the reference (t_venta.py:49-53): sales rows whose
+        # company is absent from the master are dropped, not null-padded —
+        # a left here would land them in a NULL id_pais partition
+        .join(F.broadcast(compania).alias("c"), ["cod_compania"], "inner")
         .join(
             F.broadcast(m_zona).alias("mzo"),
             (F.col("mzo.cod_compania") == F.col("v.cod_compania"))

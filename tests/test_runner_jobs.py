@@ -145,6 +145,12 @@ def seed_stage(spark, lake):
              Decimal("9.9"), Decimal("0"),
              Decimal("12.0"), "001", dt.date(2025, 5, 2), dt.date(2025, 5, 1),
              *(tail[:11] + ("T",) + tail[12:])),
+            # orphan company: cod_compania 99 has no m_compania row — the
+            # reference inner-joins the company bridge (t_venta.py:49-53), so
+            # this doc must be DROPPED, not null-padded into a NULL id_pais
+            ("99", "01", "FAC", "0007", "200", "P7", "PR1", "C5", "Z1", "R1", "PEN",
+             Decimal("9.9"), Decimal("0"),
+             Decimal("33.0"), "001", dt.date(2025, 5, 2), dt.date(2025, 5, 1), *tail),
         ],
         "cod_compania string, cod_sucursal string, cod_documento_venta string, "
         "nro_documento_venta string, cod_documento_pedido string, "
@@ -225,9 +231,11 @@ def test_full_domain_run(spark, lake):
     venta = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_venta"))
     rows = {r["id_venta"]: r for r in venta.collect()}
     # 5-part id_venta (cod_almacen minted in, t_venta.py:91); the CMD doc
-    # and the flg_refact='T' doc are filtered out by the P4 guards
+    # and the flg_refact='T' doc are filtered out by the P4 guards; the
+    # orphan-company doc 0007 is dropped by the INNER company join
     assert set(rows) == {"10|01|AL1|FAC|0001", "10|01|AL1|FAC|0002",
                          "20|02|AL1|NCC|0003"}
+    assert not any("99|" in k for k in rows)
     fac1 = rows["10|01|AL1|FAC|0001"]
     assert rows["10|01|AL1|FAC|0002"]["es_eliminado"] == 1
     assert fac1["id_periodo"] == "202505"
