@@ -116,9 +116,11 @@ def cosine_pairs_blockwise(
     the SQL oracle). The corpus matrix rides to every partition (n×dim ints —
     KBs-to-MBs for real corpora), each partition matmuls its block against
     it: O(n²·dim) flops in BLAS instead of interpreted per-pair expression
-    trees (measured 40× on 2000×64). At corpora where n×dim stops fitting
-    comfortably (≳10⁷ rows), tile: LSH/IVF-bucket first
-    (:func:`lsh_bucket_topk`) and run this inside buckets.
+    trees (measured 40× on 2000×64).
+
+    NOTE: this variant materializes the corpus on the driver — use it only
+    as the in-bucket kernel for pre-bucketed slices. The default all-pairs
+    path is :func:`cosine_pairs_blockdist` (same output, fully distributed).
     """
     from pyspark.sql import types as T_
 
@@ -142,6 +144,92 @@ def cosine_pairs_blockwise(
         ]
     )
     return scaled.mapInPandas(mapper, schema=out_schema)
+
+
+def cosine_pairs_blockdist(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    scale: int = INT_SCALE,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine (id_a < id_b, cosine ≥ threshold), fully
+    distributed — the scale path that replaces
+    :func:`cosine_pairs_blockwise`'s driver-side collect.
+
+    Classic block-pair decomposition: rows hash into ``n_blocks`` blocks;
+    each row is replicated to the ``n_blocks`` unordered block-pair groups
+    it participates in; ``applyInPandas`` runs the exact numpy kernel inside
+    each group (cross pairs for (bi, bj), upper triangle for (bi, bi)), so
+    every qualifying pair is emitted exactly once and nothing ever touches
+    the driver. Cost: ``n_blocks``× data replication through one shuffle and
+    B(B+1)/2 independent tasks — size ``n_blocks`` so a block pair
+    (~2n/B rows × dim) fits an executor; the n² work itself is inherent to
+    the exact operator (the approximate path is LSH/IVF bucketing).
+
+    Same integer-exactness contract as the blockwise kernel: scaled longs,
+    float64 matmul exact below 2^53, cosine bit-identical to the SQL oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T_
+
+    scaled = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("iv"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).cast("int").alias("_b"),
+    )
+    replicated = scaled.select(
+        "id",
+        "iv",
+        "_b",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_c"),
+    ).select(
+        "id",
+        "iv",
+        "_b",
+        F.least("_b", "_c").alias("bi"),
+        F.greatest("_b", "_c").alias("bj"),
+    )
+
+    out_schema = T_.StructType(
+        [
+            T_.StructField("id_a", T_.LongType()),
+            T_.StructField("id_b", T_.LongType()),
+            T_.StructField("cosine", T_.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        bi = int(pdf["bi"].iloc[0])
+        bj = int(pdf["bj"].iloc[0])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["iv"]])
+        norms = np.sqrt((m * m).sum(axis=1))
+        if bi == bj:
+            cos = (m @ m.T) / (norms[:, None] * norms[None, :])
+            ka, kb = np.where((ids[:, None] < ids[None, :]) & (cos >= threshold))
+            return pd.DataFrame(
+                {"id_a": ids[ka], "id_b": ids[kb], "cosine": cos[ka, kb]}
+            )
+        blk = pdf["_b"].to_numpy()
+        xi = np.where(blk == bi)[0]
+        yi = np.where(blk == bj)[0]
+        if len(xi) == 0 or len(yi) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        cos = (m[xi] @ m[yi].T) / (norms[xi][:, None] * norms[yi][None, :])
+        kx, ky = np.where(cos >= threshold)
+        a, b = ids[xi][kx], ids[yi][ky]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[kx, ky]})
+
+    return replicated.groupBy("bi", "bj").applyInPandas(kernel, schema=out_schema)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -426,14 +426,15 @@ SELECT query_id, corpus_id, CAST(rank AS INT) AS rank, cosine FROM ranked WHERE 
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs near-dup via the block-broadcast numpy matmul kernel
-    (operators.similarity.cosine_pairs_blockwise) — integer-exact, same
-    values as the per-pair expression form and the SQL oracle, ~40× faster
-    (interpreted HOFs evaluate 3 array reductions per pair)."""
-    from ..operators.similarity import cosine_pairs_blockwise
+    """All-pairs near-dup via the distributed block-pair numpy kernel
+    (operators.similarity.cosine_pairs_blockdist) — integer-exact, same
+    values as the per-pair expression form and the SQL oracle, with NO
+    driver-side collect: rows replicate to their B block-pair groups and
+    each group matmuls independently."""
+    from ..operators.similarity import cosine_pairs_blockdist
 
     e = t(spark, sf_dir, "embeddings")
-    return cosine_pairs_blockwise(e, "embedding", "vec_id", threshold=0.4)
+    return cosine_pairs_blockdist(e, "embedding", "vec_id", threshold=0.4)
 
 
 _ORACLE_EMB_NEAR_DUP = f"""

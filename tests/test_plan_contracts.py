@@ -85,3 +85,22 @@ def test_quantiles_single_shuffle(spark):
     plan = _plan(spark, "doc_quantiles")
     assert plan.count("Exchange") == 1
     assert plan.count("ObjectHashAggregate") == 2
+
+
+def test_emb_near_dup_never_collects_to_driver(spark):
+    """The all-pairs near-dup plan must build without any driver-side
+    materialization (the 100 TB bar: no corpus collect). Building the plan
+    with DataFrame.collect patched to raise proves the operator is fully
+    lazy; the physical plan must carry the grouped-pandas kernel."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    with mock.patch.object(
+        DataFrame, "collect",
+        side_effect=AssertionError("driver-side collect in plan build"),
+    ):
+        df = QUERIES["emb_near_dup"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -110,3 +110,25 @@ def test_ivf_same_cell_query_finds_itself_neighbors(spark):
         for r in S.ivf_topk(df, df.filter("vec_id = 6"), dim=4, k=1, n_cells=2).collect()
     }
     assert got[(6, 1)] == 0                       # the clone is rank-1
+
+
+def test_blockdist_equals_blockwise_allpairs(spark):
+    # the distributed block-pair decomposition must reproduce the collect-
+    # based kernel's output exactly (ids AND bit-identical cosines), for
+    # block counts both smaller and larger than the corpus spread
+    rows = [(i, [float(((i * 7 + j * 3) % 11) - 5) / 5.0 for j in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs_blockwise(df, threshold=0.3).collect()
+    }
+    assert want  # fixture must actually produce qualifying pairs
+    for n_blocks in (1, 3, 8, 64):
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in S.cosine_pairs_blockdist(
+                df, threshold=0.3, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == want, f"n_blocks={n_blocks}"
