@@ -21,8 +21,6 @@ we pre-dedup defensively, as the reference guarantees via its W1/A6 dedup.
 
 from __future__ import annotations
 
-import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,14 +62,39 @@ def _dedup_on_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     return picked.select(*keys, *[F.col(f"_rest.{c}").alias(c) for c in other])
 
 
-def _materialize(df: DataFrame) -> DataFrame:
-    """Break lineage so we can overwrite a path we just read from.
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """FS-agnostic recursive delete via the Hadoop FileSystem API (works on
+    local paths in tests and on object stores on a cluster)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
-    ``localCheckpoint(eager=True)`` pins the merged result to executor
-    storage; on a cluster with unreliable executors, swap for a staging-dir
-    write (same cost: one extra write of the affected partitions only).
+
+def _stage_and_swap(
+    spark: SparkSession,
+    merged: DataFrame,
+    path: str,
+    partition_by: list[str] | None,
+) -> None:
+    """Crash-safe commit for a merge that rewrites a path it read from.
+
+    The merged result is first written to a durable SIBLING staging dir
+    (the target is untouched if anything dies here), then the overwrite of
+    the target reads from that staging copy — so a mid-overwrite executor
+    loss replays tasks from durable files instead of a vaporized
+    ``localCheckpoint`` block, and a driver crash before the swap leaves
+    the target fully intact. A crash mid-swap is repaired by re-running the
+    merge (idempotent: the source still exists, the rewrite is
+    partition-scoped). Orphaned ``.__merge_staging__*`` siblings from hard
+    kills are junk outside the table path and never read.
     """
-    return df.localCheckpoint(eager=True)
+    staging = f"{path.rstrip('/')}.__merge_staging__{uuid.uuid4().hex}"
+    merged.write.format("parquet").save(staging)
+    try:
+        write_table(spark.read.parquet(staging), path, partition_by)
+    finally:
+        _delete_path(spark, staging)
 
 
 def merge_upsert(
@@ -115,8 +138,8 @@ def merge_upsert(
         target_slice = target
 
     kept = target_slice.join(source.select(*keys), keys, "left_anti")
-    merged = _materialize(kept.unionByName(source.select(*target_slice.columns)))
-    write_table(merged, path, partition_by)
+    merged = kept.unionByName(source.select(*target_slice.columns))
+    _stage_and_swap(spark, merged, path, partition_by)
 
 
 def merge_update_only(

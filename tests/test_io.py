@@ -166,3 +166,86 @@ def test_table_exists(spark, lake):
     assert not table_exists(spark, path)
     write_table(spark.createDataFrame([(1,)], "v int"), path)
     assert table_exists(spark, path)
+
+
+def test_merge_crash_before_swap_leaves_target_intact(spark, lake):
+    # crash-safety contract of _stage_and_swap: if the process dies after
+    # the merge is computed but before the target overwrite starts, the
+    # target is byte-for-byte intact and a rerun completes the merge
+    from unittest import mock
+
+    from cdk_datalake_analytics_comercial_spark.sources import writer as W
+
+    path = lake.table_path(Layer.DOMAIN, "t_crash")
+    target = spark.createDataFrame(
+        [("k1", "PE", 1), ("k2", "PE", 2)], "id string, id_pais string, v int"
+    )
+    write_table(target, path, ["id_pais"])
+    src = spark.createDataFrame([("k2", "PE", 20)], "id string, id_pais string, v int")
+
+    real_write_table = W.write_table
+    calls = {"n": 0}
+
+    def dying_write_table(df, p, partition_by=None, mode="overwrite"):
+        # the swap call targets the table path — die right before it
+        if p == path:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash before target overwrite")
+        return real_write_table(df, p, partition_by, mode)
+
+    with mock.patch.object(W, "write_table", side_effect=dying_write_table):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            merge_upsert(spark, src, path, keys=["id"], partition_by=["id_pais"])
+    assert calls["n"] == 1  # the staged write happened, the swap was attempted
+    # target untouched by the failed merge
+    out = spark.read.parquet(path).select("id", "id_pais", "v")
+    assert rows(out) == [("k1", "PE", 1), ("k2", "PE", 2)]
+    # rerunning the same merge (the recovery story) lands the update
+    merge_upsert(spark, src, path, keys=["id"], partition_by=["id_pais"])
+    out = spark.read.parquet(path).select("id", "id_pais", "v")
+    assert rows(out) == [("k1", "PE", 1), ("k2", "PE", 20)]
+
+
+def test_merge_staging_is_durable_and_cleaned(spark, lake):
+    # the merge's overwrite input must come from a durable staging dir (not
+    # executor-memory checkpoint), and the staging dir must be cleaned up
+    import glob
+
+    from cdk_datalake_analytics_comercial_spark.sources import writer as W
+
+    path = lake.table_path(Layer.DOMAIN, "t_stage_clean")
+    write_table(
+        spark.createDataFrame([("a", "PE", 1)], "id string, id_pais string, v int"),
+        path,
+        ["id_pais"],
+    )
+    from unittest import mock
+
+    # with cleanup disabled, the staging dir must remain on disk as real
+    # parquet files — proof the overwrite's input was durable storage
+    with mock.patch.object(W, "_delete_path", lambda s, p: None):
+        merge_upsert(
+            spark,
+            spark.createDataFrame([("b", "PE", 2)], "id string, id_pais string, v int"),
+            path,
+            keys=["id"],
+            partition_by=["id_pais"],
+        )
+    staged = glob.glob(f"{path}.__merge_staging__*")
+    assert len(staged) == 1
+    assert glob.glob(f"{staged[0]}/*.parquet") or glob.glob(
+        f"{staged[0]}/**/*.parquet", recursive=True
+    )
+    staged_rows = rows(spark.read.parquet(staged[0]).select("id", "id_pais", "v"))
+    assert ("b", "PE", 2) in staged_rows
+    out = spark.read.parquet(path).select("id", "id_pais", "v")
+    assert rows(out) == [("a", "PE", 1), ("b", "PE", 2)]
+    # a normal merge cleans its staging dir
+    merge_upsert(
+        spark,
+        spark.createDataFrame([("c", "PE", 3)], "id string, id_pais string, v int"),
+        path,
+        keys=["id"],
+        partition_by=["id_pais"],
+    )
+    assert glob.glob(f"{path}.__merge_staging__*") == staged  # only the kept one
