@@ -1,0 +1,772 @@
+"""Value-level DuckDB differentials for the three richest jobs.
+
+The 52-job pipeline test proves the layer-contract graph resolves and reruns
+are idempotent; THESE tests prove the heaviest transforms compute the right
+VALUES: every output column of the job is recomputed independently in DuckDB
+SQL from the same input parquet and compared row-by-row (order-insensitive,
+numerics normalized to 8dp to absorb decimal-scale differences between
+engines — both engines are exact far beyond that on these fixtures).
+
+Jobs covered (the verdict's pick of the three richest):
+- t_pedido_cumplimiento_lite  (domain)   — oracle over the STAGE inputs
+- fact_cliente_venta_lite     (analytics) — oracle over DOMAIN/ANALYTICS inputs
+- fact_kpi_lite               (analytics) — oracle over DOMAIN inputs
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal as D
+
+import duckdb
+import pandas as pd
+
+from cdk_datalake_analytics_comercial_spark.core.catalog import Layer
+from cdk_datalake_analytics_comercial_spark.jobs import ANALYTICS_JOBS, DOMAIN_JOBS
+from cdk_datalake_analytics_comercial_spark.runner import JobConfig, JobContext, run_waves
+from cdk_datalake_analytics_comercial_spark.sources.registry import SchemaRegistry
+
+from test_runner_jobs import AS_OF, seed_cumplimiento_stage
+
+TS = dt.datetime(2025, 5, 3, 8)
+
+
+def canon(df: pd.DataFrame):
+    """Order-insensitive canonical rows: numerics to 8dp, datetimes to ISO
+    (midnight timestamps collapse to dates — DuckDB reads DATE as
+    datetime64), NULL-likes unified."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+                vals.append("NULL")
+            elif isinstance(v, (float, D)):
+                vals.append(f"{float(v):.8f}")
+            elif hasattr(v, "isoformat"):
+                s = v.isoformat()
+                vals.append(s[:10] if s.endswith("T00:00:00") else s)
+            else:
+                vals.append(str(v))
+        rows.append(tuple(vals))
+    rows.sort()
+    return rows
+
+
+def assert_match(sdf: pd.DataFrame, odf: pd.DataFrame, name: str) -> None:
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    )
+    a, b = canon(sdf), canon(odf)
+    assert len(a) == len(b), f"{name}: rows spark={len(a)} oracle={len(b)}"
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert x == y, f"{name}: row {i} mismatch\n spark: {x}\n oracle: {y}"
+
+
+def duck_with_views(views: dict[str, str]) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name, path in views.items():
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}/**/*.parquet')"
+        )
+    return con
+
+
+# ===========================================================================
+# 1. t_pedido_cumplimiento — the reference's biggest job, recomputed from
+#    the STAGE universe of tests.test_runner_jobs.seed_cumplimiento_stage.
+# ===========================================================================
+
+_CUMPLIMIENTO_SQL = """
+WITH compania AS (
+  SELECT mc.cod_compania, mp.id_pais
+  FROM m_compania mc JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+), irpv AS (
+  SELECT i.cod_compania, i.cod_documento_pedido, i.cod_procedimiento_pedido,
+         i.cod_documento_venta, i.cod_procedimiento_venta, i.cod_operacion_venta,
+         i.cod_tipo_pedido, mp.cod_tipo_operacion
+  FROM i_relacion_proced_venta i
+  JOIN m_procedimiento mp
+    ON i.cod_compania = mp.cod_compania
+   AND i.cod_documento_pedido = mp.cod_documento_transaccion
+   AND i.cod_procedimiento_pedido = mp.cod_procedimiento
+), alm AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cod_compania, cod_sucursal, cod_almacen_emisor_origen,
+                   cod_documento_transaccion, nro_documento_almacen
+      ORDER BY nro_documento_movimiento DESC) AS orden
+  FROM t_movimiento_inventario
+), main_lines AS (
+  SELECT mc.id_pais, strftime(h.fecha_pedido, '%Y%m') AS id_periodo,
+         d.cod_compania, d.cod_sucursal, d.cod_almacen,
+         d.cod_documento_pedido, d.nro_documento_pedido,
+         h.cod_tipo_pedido,
+         COALESCE(h.cod_documento_pedido_origen, '000') AS cod_origen_pedido,
+         h.cod_vendedor, d.cod_lista_precio, h.cod_condicion_pago AS cod_forma_pago,
+         d.cod_zona, d.cod_ruta, d.cod_modulo, h.cod_fuerza_venta,
+         d.cod_documento_almacen, d.nro_documento_almacen, d.cod_cliente,
+         d.id_salesforce AS nro_pedido_ref, d.cod_articulo, d.cod_procedimiento,
+         h.fecha_pedido, h.fecha_entrega,
+         d.cant_paquete AS cantidad_cajas, d.cant_unidad AS cantidad_botellas,
+         d.cant_paquete_asignado AS cantidad_cajas_asignada,
+         d.cant_unidad_asignado AS cantidad_botellas_asignada,
+         d.fecha_creacion, d.fecha_modificacion
+  FROM t_documento_pedido_detalle d
+  JOIN t_documento_pedido h
+    ON d.cod_compania = h.cod_compania AND d.cod_sucursal = h.cod_sucursal
+   AND d.cod_almacen = h.cod_almacen
+   AND d.cod_documento_pedido = h.cod_documento_pedido
+   AND d.nro_documento_pedido = h.nro_documento_pedido
+   AND strftime(h.fecha_pedido, '%Y%m') IN ({periods})
+  JOIN compania mc ON d.cod_compania = mc.cod_compania
+  WHERE d.cod_documento_pedido = '200'
+    AND strftime(d.fecha_pedido, '%Y%m') IN ({periods})
+), ades_lines AS (
+  SELECT mc.id_pais, strftime(h.fecha_pedido, '%Y%m') AS id_periodo,
+         d.cod_compania, d.cod_sucursal, d.cod_almacen_emisor AS cod_almacen,
+         d.cod_documento_transaccion AS cod_documento_pedido,
+         d.nro_comprobante AS nro_documento_pedido,
+         h.cod_tipo_pedido,
+         COALESCE(h.cod_tipo_documento_origen, '000') AS cod_origen_pedido,
+         h.cod_vendedor, d.cod_lista_precios AS cod_lista_precio,
+         h.cod_condicion_pago AS cod_forma_pago,
+         d.cod_zona_distribucion AS cod_zona, d.cod_ruta_distribucion AS cod_ruta,
+         d.cod_modulo, h.cod_fuerza_venta,
+         d.cod_tipo_documento_almacen AS cod_documento_almacen,
+         d.nro_documento_almacen, d.cod_cliente,
+         d.id_salesforce AS nro_pedido_ref, d.cod_articulo, d.cod_procedimiento,
+         h.fecha_pedido, h.fecha_entrega,
+         d.cantidad_cajas, d.cantidad_botellas AS cantidad_botellas,
+         d.cantidad_cajas_asignada, d.cantidad_botellas_asignada,
+         d.fecha_creacion, d.fecha_modificacion
+  FROM t_documento_pedido_ades_detalle d
+  JOIN t_documento_pedido_ades h
+    ON d.cod_compania = h.cod_compania AND d.cod_sucursal = h.cod_sucursal
+   AND d.cod_almacen_emisor = h.cod_almacen_emisor
+   AND d.cod_documento_transaccion = h.cod_documento_transaccion
+   AND d.nro_comprobante = h.nro_comprobante
+   AND strftime(h.fecha_pedido, '%Y%m') IN ({periods})
+  JOIN compania mc ON d.cod_compania = mc.cod_compania
+  WHERE d.cod_documento_transaccion IN ('200', '300')
+    AND strftime(d.fecha_pedido, '%Y%m') IN ({periods})
+), lines_all AS (
+  SELECT * FROM main_lines
+  UNION ALL
+  SELECT * FROM ades_lines e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM main_lines m
+    WHERE m.cod_compania = e.cod_compania AND m.cod_sucursal = e.cod_sucursal
+      AND m.cod_almacen = e.cod_almacen
+      AND m.cod_documento_pedido = e.cod_documento_pedido
+      AND m.nro_documento_pedido = e.nro_documento_pedido)
+), rollup AS (
+  SELECT t.id_pais, t.cod_compania, t.cod_sucursal, t.cod_almacen,
+         t.cod_documento_pedido, t.nro_documento_pedido, t.cod_cliente,
+         t.cod_articulo, t.cod_documento_almacen, t.nro_documento_almacen,
+         i.cod_documento_venta, i.cod_procedimiento_venta, i.cod_operacion_venta,
+         MAX(t.id_periodo) AS id_periodo,
+         MAX(i.cod_tipo_operacion) AS cod_tipo_operacion,
+         MAX(t.cod_zona) AS cod_zona, MAX(t.cod_ruta) AS cod_ruta,
+         SUM(t.cantidad_cajas) AS cantidad_cajas,
+         SUM(t.cantidad_botellas) AS cantidad_botellas,
+         SUM(t.cantidad_cajas_asignada) AS cantidad_cajas_asignada,
+         SUM(t.cantidad_botellas_asignada) AS cantidad_botellas_asignada,
+         SUM(CASE WHEN v.cod_documento_transaccion IS NULL THEN 0
+                  ELSE t.cantidad_cajas_asignada END) AS cantidad_cajas_despechado,
+         SUM(CASE WHEN v.cod_documento_transaccion IS NULL THEN 0
+                  ELSE t.cantidad_botellas_asignada END) AS cantidad_botellas_despechado,
+         MAX(t.fecha_creacion) AS fecha_creacion,
+         MAX(t.fecha_modificacion) AS fecha_modificacion
+  FROM lines_all t
+  LEFT JOIN alm v
+    ON t.cod_compania = v.cod_compania AND t.cod_sucursal = v.cod_sucursal
+   AND t.cod_almacen = v.cod_almacen_emisor_origen
+   AND t.cod_documento_almacen = v.cod_documento_transaccion
+   AND t.nro_documento_almacen = v.nro_documento_almacen
+   AND v.orden = 1 AND v.cod_estado_comprobante IN ('PLI', 'LIQ')
+  LEFT JOIN irpv i
+    ON t.cod_compania = i.cod_compania
+   AND t.cod_documento_pedido = i.cod_documento_pedido
+   AND t.cod_tipo_pedido = i.cod_tipo_pedido
+   AND t.cod_procedimiento = i.cod_procedimiento_pedido
+  GROUP BY 1,2,3,4,5,6,7,8,9,10,11,12,13
+), unico AS (
+  SELECT DISTINCT cod_compania, cod_sucursal, cod_almacen, cod_documento_pedido,
+         nro_documento_pedido, cod_documento_almacen, nro_documento_almacen,
+         cod_documento_venta, cod_procedimiento_venta, cod_operacion_venta
+  FROM rollup WHERE COALESCE(cod_documento_almacen, '') <> ''
+), resumen AS (
+  SELECT h.cod_compania, h.cod_sucursal, h.cod_almacen,
+         u.cod_documento_almacen, u.nro_documento_almacen,
+         h.cod_documento_pedido, h.nro_documento_pedido, h.cod_cliente,
+         dd.cod_articulo, h.cod_documento_venta, h.cod_procedimiento,
+         dd.cod_operacion,
+         MAX(h.fecha_liquidacion) AS fecha_liquidacion,
+         SUM((CASE WHEN h.cod_documento_venta = 'NCC' THEN -1 ELSE 1 END)
+             * dd.cant_paquete) AS cantidad_cajas,
+         SUM((CASE WHEN h.cod_documento_venta = 'NCC' THEN -1 ELSE 1 END)
+             * dd.cant_unidad) AS cantidad_botellas
+  FROM t_documento_venta h
+  JOIN t_documento_venta_detalle dd
+    ON h.cod_compania = dd.cod_compania AND h.cod_sucursal = dd.cod_sucursal
+   AND h.cod_almacen = dd.cod_almacen
+   AND h.cod_documento_venta = dd.cod_documento_venta
+   AND h.nro_documento_venta = dd.nro_documento_venta
+  JOIN unico u
+    ON h.cod_compania = u.cod_compania AND h.cod_sucursal = u.cod_sucursal
+   AND h.cod_almacen = u.cod_almacen
+   AND h.cod_documento_pedido = u.cod_documento_pedido
+   AND h.nro_documento_pedido = u.nro_documento_pedido
+   AND h.cod_documento_almacen = u.cod_documento_almacen
+   AND h.nro_documento_almacen = u.nro_documento_almacen
+   AND h.cod_documento_venta = u.cod_documento_venta
+   AND h.cod_procedimiento = u.cod_procedimiento_venta
+   AND dd.cod_operacion = u.cod_operacion_venta
+  WHERE h.cod_documento_venta NOT IN ('RMD', 'CMD')
+    AND h.cod_estado_comprobante <> '002'
+  GROUP BY 1,2,3,4,5,6,7,8,9,10,11,12
+), final AS (
+  SELECT r.cod_compania, r.cod_sucursal, r.cod_almacen, r.cod_documento_pedido,
+         r.nro_documento_pedido, r.cod_cliente, r.cod_articulo,
+         COALESCE(r.cod_documento_almacen, '') AS cod_documento_almacen,
+         COALESCE(r.nro_documento_almacen, '') AS nro_documento_almacen,
+         MAX(r.id_pais) AS id_pais, MAX(r.id_periodo) AS id_periodo,
+         MAX(s.fecha_liquidacion) AS fecha_liquidacion,
+         {conv_aggs},
+         MAX(r.fecha_creacion) AS fecha_creacion,
+         MAX(r.fecha_modificacion) AS fecha_modificacion,
+         MAX(r.cod_zona) AS cod_zona, MAX(r.cod_ruta) AS cod_ruta
+  FROM rollup r
+  LEFT JOIN resumen s
+    ON r.cod_compania = s.cod_compania AND r.cod_sucursal = s.cod_sucursal
+   AND r.cod_almacen = s.cod_almacen
+   AND r.cod_documento_pedido = s.cod_documento_pedido
+   AND r.nro_documento_pedido = s.nro_documento_pedido
+   AND r.cod_cliente = s.cod_cliente AND r.cod_articulo = s.cod_articulo
+   AND r.cod_documento_almacen = s.cod_documento_almacen
+   AND r.nro_documento_almacen = s.nro_documento_almacen
+   AND r.cod_documento_venta = s.cod_documento_venta
+   AND r.cod_procedimiento_venta = s.cod_procedimiento
+   AND r.cod_operacion_venta = s.cod_operacion
+  JOIN m_articulo m
+    ON r.cod_compania = m.cod_compania AND r.cod_articulo = m.cod_articulo
+  GROUP BY 1,2,3,4,5,6,7,8,9
+)
+SELECT id_pais, id_periodo,
+       concat_ws('|', trim(cod_compania), trim(cod_sucursal)) AS id_sucursal,
+       concat_ws('|', trim(cod_compania), trim(cod_sucursal),
+                 trim(cod_documento_pedido), trim(nro_documento_pedido),
+                 trim(cod_cliente)) AS id_pedido,
+       concat_ws('|', trim(cod_compania), trim(cod_articulo)) AS id_producto,
+       CASE WHEN cod_documento_almacen <> '' THEN
+         concat_ws('|', trim(cod_compania), trim(cod_sucursal), trim(cod_almacen),
+                   trim(cod_documento_almacen), trim(nro_documento_almacen))
+       END AS id_reparto,
+       fecha_liquidacion,
+       cant_cajafisica_ped, cant_cajafisica_ped_pro,
+       cant_cajafisica_asignado_ped, cant_cajafisica_asignado_ped_pro,
+       cant_cajafisica_desp, cant_cajafisica_desp_pro,
+       cant_cajavolumen_ped, cant_cajavolumen_ped_pro,
+       cant_cajavolumen_asignado_ped, cant_cajavolumen_asignado_ped_pro,
+       cant_cajavolumen_desp, cant_cajavolumen_desp_pro,
+       cant_caja_fisica_ven, cant_caja_volumen_ven,
+       cant_caja_fisica_pro, cant_caja_volumen_pro,
+       cod_zona, cod_ruta, fecha_creacion, fecha_modificacion
+FROM final
+"""
+
+
+def _conv_aggs_sql() -> str:
+    """The 16 Ven/Pro-split unit-converted aggregates, mirroring the job's
+    ``conv`` builder (decimal(20,6) casts, física = cajas + bot/upaq,
+    volumen = (cajas·upaq + bot)·uvol)."""
+
+    def dec(c):
+        return f"CAST({c} AS DECIMAL(20,6))"
+
+    def expr(cajas, bot, fisica):
+        if fisica:
+            return f"({dec(cajas)} + {dec(bot)} / {dec('m.cant_unidad_paquete')})"
+        return (
+            f"(({dec(cajas)} * {dec('m.cant_unidad_paquete')} + {dec(bot)})"
+            f" * {dec('m.cant_unidad_volumen')})"
+        )
+
+    def conv(op, cajas, bot, fisica, alias):
+        return (
+            f"SUM(CASE WHEN lower(r.cod_tipo_operacion) = '{op}' THEN "
+            f"CAST({expr(cajas, bot, fisica)} AS DECIMAL(38,12)) ELSE 0 END) AS {alias}"
+        )
+
+    q = {
+        "ped": ("r.cantidad_cajas", "r.cantidad_botellas"),
+        "asignado_ped": ("r.cantidad_cajas_asignada", "r.cantidad_botellas_asignada"),
+        "desp": ("r.cantidad_cajas_despechado", "r.cantidad_botellas_despechado"),
+    }
+    out = []
+    for name, (cajas, bot) in q.items():
+        out += [
+            conv("ven", cajas, bot, True, f"cant_cajafisica_{name}"),
+            conv("ven", cajas, bot, False, f"cant_cajavolumen_{name}"),
+            conv("pro", cajas, bot, True, f"cant_cajafisica_{name}_pro"),
+            conv("pro", cajas, bot, False, f"cant_cajavolumen_{name}_pro"),
+        ]
+    sold = ("s.cantidad_cajas", "s.cantidad_botellas")
+    out += [
+        conv("ven", *sold, True, "cant_caja_fisica_ven"),
+        conv("ven", *sold, False, "cant_caja_volumen_ven"),
+        conv("pro", *sold, True, "cant_caja_fisica_pro"),
+        conv("pro", *sold, False, "cant_caja_volumen_pro"),
+    ]
+    return ",\n         ".join(out)
+
+
+def test_t_pedido_cumplimiento_duckdb_differential(spark, lake):
+    reg = seed_cumplimiento_stage(spark, lake)
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves(
+        [JobConfig("domain", "t_pedido_cumplimiento_lite", 1, periods=2)],
+        DOMAIN_JOBS, mk,
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "t_pedido_cumplimiento")
+    ).toPandas()
+
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    con = duck_with_views(
+        {
+            "m_pais": stage("m_pais", "principal"),
+            "m_compania": stage("m_compania"),
+            "m_procedimiento": stage("m_procedimiento"),
+            "i_relacion_proced_venta": stage("i_relacion_proced_venta"),
+            "t_movimiento_inventario": stage("t_movimiento_inventario"),
+            "t_documento_pedido": stage("t_documento_pedido"),
+            "t_documento_pedido_detalle": stage("t_documento_pedido_detalle"),
+            "t_documento_pedido_ades": stage("t_documento_pedido_ades"),
+            "t_documento_pedido_ades_detalle": stage("t_documento_pedido_ades_detalle"),
+            "t_documento_venta": stage("t_documento_venta"),
+            "t_documento_venta_detalle": stage("t_documento_venta_detalle"),
+            "m_articulo": stage("m_articulo"),
+        }
+    )
+    periods = "'202504', '202505'"
+    odf = con.sql(
+        _CUMPLIMIENTO_SQL.format(periods=periods, conv_aggs=_conv_aggs_sql())
+    ).df()
+    assert_match(sdf, odf, "t_pedido_cumplimiento")
+    assert len(sdf) >= 4  # fixture produces the 4-line surface (3 main + ADES)
+
+
+# ===========================================================================
+# 2. fact_cliente_venta — monthly base + trailing 3/12-month rollups + the
+#    '_nn' branch, recomputed from its DOMAIN/ANALYTICS inputs.
+# ===========================================================================
+
+_GENERAL_ROLL = [
+    "cant_caja_fisica_ven", "cant_caja_unitaria_ven", "cant_caja_fisica_pro",
+    "cant_caja_unitaria_pro", "imp_neto_mn", "imp_neto_me", "imp_bruto_mn",
+    "imp_bruto_me",
+]
+
+_FCV_SQL = """
+WITH venta AS (
+  SELECT * FROM t_venta WHERE id_periodo IN ({periods})
+), detalle AS (
+  SELECT * FROM t_venta_detalle WHERE id_periodo IN ({periods})
+), base AS (
+  SELECT tv.id_pais, tv.id_periodo, tv.cod_compania AS id_compania,
+         tv.id_cliente, tv.cod_modulo, tv.id_venta, tv.fecha_liquidacion,
+         tvd.id_producto, tvd.cant_caja_fisica_ven, tvd.cant_caja_volumen_ven,
+         tvd.cant_caja_fisica_pro, tvd.cant_caja_volumen_pro,
+         tvd.imp_neto_vta_mn, tvd.imp_neto_vta_me,
+         tvd.imp_cobrar_vta_mn, tvd.imp_cobrar_vta_me,
+         dp.desc_marca, dp.cod_unidad_negocio
+  FROM venta tv
+  JOIN detalle tvd ON tv.id_venta = tvd.id_venta AND tv.es_eliminado = 0
+  LEFT JOIN dim_producto dp ON tvd.id_producto = dp.id_producto
+), monthly AS (
+  SELECT id_pais, id_periodo, id_compania, id_cliente, cod_modulo,
+         SUM(cant_caja_volumen_ven) / 30 AS cant_caja_unitaria_ven,
+         SUM(imp_neto_vta_mn) AS imp_neto_mn,
+         COUNT(DISTINCT desc_marca) AS cant_marca,
+         COUNT(DISTINCT id_venta) AS cant_venta,
+         MAX(fecha_liquidacion) AS ult_fecha_compra_cliente,
+         SUM(cant_caja_fisica_ven) AS cant_caja_fisica_ven,
+         SUM(cant_caja_fisica_pro) AS cant_caja_fisica_pro,
+         SUM(cant_caja_volumen_pro) / 30 AS cant_caja_unitaria_pro,
+         SUM(imp_neto_vta_me) AS imp_neto_me,
+         SUM(imp_cobrar_vta_mn) AS imp_bruto_mn,
+         SUM(imp_cobrar_vta_me) AS imp_bruto_me,
+         COUNT(DISTINCT id_producto) AS cant_producto
+  FROM base GROUP BY 1,2,3,4,5
+), monthly_nn AS (
+  SELECT id_pais, id_periodo, id_compania, id_cliente, cod_modulo,
+         SUM(cant_caja_volumen_ven) / 30 AS cant_caja_unitaria_ven,
+         SUM(imp_neto_vta_mn) AS imp_neto_mn,
+         COUNT(DISTINCT desc_marca) AS cant_marca,
+         COUNT(DISTINCT id_venta) AS cant_venta,
+         MAX(fecha_liquidacion) AS ult_fecha_compra_cliente
+  FROM base WHERE cod_unidad_negocio = '003' GROUP BY 1,2,3,4,5
+), gen AS (
+  SELECT *,
+         CAST(substr(id_periodo, 1, 4) AS INT) * 12
+           + CAST(substr(id_periodo, 5, 2) AS INT) - 1 AS m_idx
+  FROM monthly
+), gen_rolled AS (
+  SELECT *, {gen_windows} FROM gen
+), nn AS (
+  SELECT *,
+         CAST(substr(id_periodo, 1, 4) AS INT) * 12
+           + CAST(substr(id_periodo, 5, 2) AS INT) - 1 AS m_idx
+  FROM monthly_nn
+), nn_rolled AS (
+  SELECT *, {nn_windows} FROM nn
+)
+SELECT g.id_pais, g.id_periodo, g.id_compania, g.id_cliente, g.cod_modulo,
+       {gen_out},
+       CAST(g.cant_producto AS INT) AS cant_producto,
+       CAST(g.cant_venta AS INT) AS cant_venta,
+       CAST(g.cant_marca AS INT) AS cant_marca,
+       g.ult_fecha_compra_cliente,
+       CAST(datediff('day', g.ult_fecha_compra_cliente, DATE '{as_of}') AS INT)
+         AS ult_dia_compra_cliente,
+       CAST(trunc(n.cant_caja_unitaria_ven_12meses) AS INT) AS cant_caja_unit_venta_12meses_nn,
+       CAST(trunc(n.cant_caja_unitaria_ven_3meses) AS INT) AS cant_caja_unit_venta_3meses_nn,
+       CAST(n.imp_neto_mn_12meses AS DECIMAL(38,12)) AS imp_neto_mn_12meses_nn,
+       CAST(n.imp_neto_mn_3meses AS DECIMAL(38,12)) AS imp_neto_mn_3meses_nn,
+       n.ult_fecha_compra_cliente AS ult_fecha_compra_12meses_nn,
+       CAST(n.cant_venta AS INT) AS cant_venta_nn,
+       CAST(n.cant_marca AS INT) AS cant_marca_nn
+FROM gen_rolled g
+LEFT JOIN nn_rolled n
+  ON g.id_pais = n.id_pais AND g.id_periodo = n.id_periodo
+ AND g.id_compania = n.id_compania AND g.id_cliente = n.id_cliente
+ AND g.cod_modulo = n.cod_modulo
+"""
+
+
+def _fcv_windows(cols: list[str]) -> str:
+    w = (
+        "OVER (PARTITION BY id_pais, id_compania, id_cliente, cod_modulo "
+        "ORDER BY m_idx RANGE BETWEEN {m} PRECEDING AND CURRENT ROW)"
+    )
+    parts = []
+    for m in (3, 12):
+        for c in cols:
+            parts.append(f"SUM(COALESCE({c}, 0)) {w.format(m=m)} AS {c}_{m}meses")
+    return ",\n         ".join(parts)
+
+
+def test_fact_cliente_venta_duckdb_differential(spark, lake):
+    dom = lambda t: lake.table_path(Layer.DOMAIN, t)  # noqa: E731
+    ana = lambda t: lake.table_path(Layer.ANALYTICS, t)  # noqa: E731
+    d = dt.date
+    # three periods × two clients; an es_eliminado=1 doc, an orphan product
+    # (null marca via the left join), a '003' unidad-negocio product feeding
+    # the _nn branch, an out-of-window period that must be filtered
+    venta = [
+        # id_venta, id_pais, id_periodo, cod_compania, id_cliente, cod_modulo,
+        # es_eliminado, fecha_liquidacion
+        ("V1", "PE", "202503", "10", "C1", "M1", 0, d(2025, 3, 10)),
+        ("V2", "PE", "202504", "10", "C1", "M1", 0, d(2025, 4, 11)),
+        ("V3", "PE", "202505", "10", "C1", "M1", 0, d(2025, 5, 12)),
+        ("V4", "PE", "202505", "10", "C1", "M1", 1, d(2025, 5, 13)),  # deleted
+        ("V5", "PE", "202505", "10", "C2", "M2", 0, d(2025, 5, 9)),
+        ("V6", "PE", "202401", "10", "C1", "M1", 0, d(2024, 1, 5)),   # out of window
+    ]
+    detalle = [
+        # id_venta, id_periodo, id_producto, caja_fisica_ven, caja_volumen_ven,
+        # caja_fisica_pro, caja_volumen_pro, neto_mn, neto_me, cobrar_mn, cobrar_me
+        ("V1", "202503", "P1", D("2"), D("60"), D("0"), D("0"),
+         D("100"), D("25"), D("110"), D("27")),
+        ("V2", "202504", "P1", D("3"), D("90"), D("1"), D("30"),
+         D("200"), D("50"), D("220"), D("55")),
+        ("V2", "202504", "P2", D("1"), D("15"), D("0"), D("0"),
+         D("40"), D("10"), D("44"), D("11")),
+        ("V3", "202505", "P3", D("5"), D("150"), D("0"), D("0"),
+         D("500"), D("125"), D("550"), D("137.5")),
+        ("V3", "202505", "PX", D("1"), D("30"), D("0"), D("0"),
+         D("10"), D("2.5"), D("11"), D("2.75")),   # orphan product
+        ("V4", "202505", "P1", D("9"), D("270"), D("0"), D("0"),
+         D("900"), D("225"), D("990"), D("247.5")),  # deleted doc's line
+        ("V5", "202505", "P2", D("4"), D("120"), D("2"), D("60"),
+         D("400"), D("100"), D("440"), D("110")),
+        ("V6", "202401", "P1", D("7"), D("210"), D("0"), D("0"),
+         D("700"), D("175"), D("770"), D("192.5")),
+    ]
+    producto = [
+        ("P1", "CIELO", None),
+        ("P2", "BIG", "003"),
+        ("P3", "CIELO", "003"),
+        # PX intentionally absent
+    ]
+    spark.createDataFrame(
+        venta,
+        "id_venta string, id_pais string, id_periodo string, cod_compania string, "
+        "id_cliente string, cod_modulo string, es_eliminado int, fecha_liquidacion date",
+    ).write.mode("overwrite").parquet(dom("t_venta"))
+    spark.createDataFrame(
+        detalle,
+        "id_venta string, id_periodo string, id_producto string, "
+        "cant_caja_fisica_ven decimal(38,12), cant_caja_volumen_ven decimal(38,12), "
+        "cant_caja_fisica_pro decimal(38,12), cant_caja_volumen_pro decimal(38,12), "
+        "imp_neto_vta_mn decimal(38,12), imp_neto_vta_me decimal(38,12), "
+        "imp_cobrar_vta_mn decimal(38,12), imp_cobrar_vta_me decimal(38,12)",
+    ).write.mode("overwrite").parquet(dom("t_venta_detalle"))
+    spark.createDataFrame(
+        producto,
+        "id_producto string, desc_marca string, cod_unidad_negocio string",
+    ).write.mode("overwrite").parquet(ana("dim_producto"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("analytics", "fact_cliente_venta_lite", 1, periods=3)],
+        ANALYTICS_JOBS, mk,
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "fact_cliente_venta")).toPandas()
+
+    con = duck_with_views(
+        {
+            "t_venta": dom("t_venta"),
+            "t_venta_detalle": dom("t_venta_detalle"),
+            "dim_producto": ana("dim_producto"),
+        }
+    )
+    gen_out = ",\n       ".join(
+        f"CAST(g.{c}_{m}meses AS DECIMAL(38,12)) AS {c}_{m}meses"
+        for c in _GENERAL_ROLL for m in (3, 12)
+    )
+    odf = con.sql(
+        _FCV_SQL.format(
+            periods="'202503', '202504', '202505'",
+            gen_windows=_fcv_windows(_GENERAL_ROLL),
+            nn_windows=_fcv_windows(["cant_caja_unitaria_ven", "imp_neto_mn"]),
+            gen_out=gen_out,
+            as_of=AS_OF.isoformat(),
+        )
+    ).df()
+    assert_match(sdf, odf, "fact_cliente_venta")
+    # hand-computed pins (guard against engine+oracle agreeing on a shared
+    # misreading): C1/May 3-month trailing fisica_ven = Mar 2 + Apr (3+1)
+    # + May (5+1) = 12; the out-of-window V6 (7 cajas) must NOT be in the
+    # 12-month total either because the period filter runs FIRST
+    may_c1 = sdf[(sdf.id_cliente == "C1") & (sdf.id_periodo == "202505")].iloc[0]
+    assert float(may_c1["cant_caja_fisica_ven_3meses"]) == 12.0
+    assert float(may_c1["cant_caja_fisica_ven_12meses"]) == 12.0
+    # deleted doc V4's 9 cajas excluded; orphan PX still counted as product
+    assert int(may_c1["cant_producto"]) == 2  # P3 + PX in May
+    assert len(sdf) >= 4
+
+
+# ===========================================================================
+# 3. fact_kpi — double FULL OUTER stitch at line grain, recomputed from its
+#    DOMAIN inputs.
+# ===========================================================================
+
+_KPI_SQL = """
+WITH pedido AS (
+  SELECT * FROM t_pedido WHERE id_periodo IN ({periods})
+), pedido_det AS (
+  SELECT * FROM t_pedido_detalle WHERE id_periodo IN ({periods})
+), ped AS (
+  SELECT tp.id_pais, tp.id_pedido, tp.id_periodo, tp.id_sucursal, tp.id_cliente,
+         tpd.id_articulo, tp.id_vendedor, tp.id_supervisor, tp.id_fuerza_venta,
+         tp.id_modelo_atencion, tp.id_origen_pedido, tp.fecha_pedido,
+         tp.cod_tipo_atencion, tp.id_visita AS id_visita_pedido,
+         tp.id_cliente AS id_cliente_pedido
+  FROM pedido tp
+  JOIN pedido_det tpd ON tp.id_pedido = tpd.id_pedido
+  WHERE tp.cod_tipo_documento_pedido = '200'
+), ven AS (
+  SELECT tv.id_pais, tv.id_sucursal, tp.id_periodo, tv.id_pedido, tv.id_cliente,
+         tvd.id_producto,
+         tvd.cant_caja_fisica_ven AS cant_cajafisica_vta,
+         tvd.cant_caja_volumen_ven / 30 AS cant_cajaunitaria_vta,
+         tvd.cant_caja_fisica_pro AS cant_cajafisica_pro,
+         tvd.cant_caja_volumen_pro / 30 AS cant_cajaunitaria_pro,
+         tvd.imp_neto_vta_mn, tvd.imp_neto_vta_me,
+         tvd.imp_bruto_vta_mn, tvd.imp_bruto_vta_me,
+         tv.id_cliente AS id_cliente_venta
+  FROM pedido tp
+  JOIN t_venta tv ON tp.id_pedido = tv.id_pedido
+  JOIN t_venta_detalle tvd ON tv.id_venta = tvd.id_venta
+  JOIN m_tipo_venta mtv
+    ON tv.id_tipo_venta = mtv.id_tipo_venta
+   AND upper(mtv.cod_tipo_operacion) IN ('VEN', 'PRO')
+  WHERE tp.cod_tipo_documento_pedido = '200'
+    AND tv.es_eliminado = 0
+    AND tv.cod_documento_venta NOT IN ('CMD', 'RMD')
+), resumen AS (
+  SELECT COALESCE(tp.id_pais, tv.id_pais) AS id_pais,
+         COALESCE(tp.id_periodo, tv.id_periodo) AS id_periodo,
+         COALESCE(tp.id_pedido, tv.id_pedido) AS id_pedido,
+         COALESCE(tp.id_sucursal, tv.id_sucursal) AS id_sucursal,
+         COALESCE(tp.id_cliente, tv.id_cliente) AS id_cliente,
+         COALESCE(tp.id_articulo, tv.id_producto) AS id_articulo,
+         tp.id_vendedor, tp.id_supervisor, tp.id_fuerza_venta,
+         tp.id_modelo_atencion, tp.id_origen_pedido, tp.fecha_pedido,
+         tp.id_visita_pedido AS id_visita, tp.id_visita_pedido,
+         tp.id_cliente_pedido, tp.cod_tipo_atencion,
+         tp.id_visita_pedido AS id_visita_venta,
+         tv.id_cliente_venta, tv.cant_cajafisica_vta, tv.cant_cajaunitaria_vta,
+         tv.cant_cajafisica_pro, tv.cant_cajaunitaria_pro,
+         tv.imp_neto_vta_mn, tv.imp_neto_vta_me,
+         tv.imp_bruto_vta_mn, tv.imp_bruto_vta_me
+  FROM ped tp
+  FULL OUTER JOIN ven tv
+    ON tp.id_pedido = tv.id_pedido AND tp.id_articulo = tv.id_producto
+)
+SELECT COALESCE(tv.id_pais, r.id_pais) AS id_pais,
+       COALESCE(tv.id_periodo, r.id_periodo) AS id_periodo,
+       COALESCE(tv.id_sucursal, r.id_sucursal) AS id_sucursal,
+       COALESCE(tv.id_cliente, r.id_cliente) AS id_cliente,
+       r.id_articulo AS id_producto,
+       r.id_vendedor, r.id_supervisor, r.id_fuerza_venta, r.id_modelo_atencion,
+       r.id_origen_pedido,
+       COALESCE(r.fecha_pedido, tv.fecha_visita) AS fecha_pedido,
+       r.cod_tipo_atencion,
+       COALESCE(tv.id_visita, r.id_pedido) AS id_visita,
+       r.id_visita_pedido, r.id_visita_venta,
+       tv.id_cliente AS id_cliente_visita,
+       COALESCE(tv.id_cliente, r.id_cliente_pedido) AS id_cliente_visita_pedido,
+       COALESCE(tv.id_cliente, r.id_cliente_venta) AS id_cliente_visita_venta,
+       CAST(r.cant_cajafisica_vta AS DECIMAL(38,12)) AS cant_cajafisica_vta,
+       CAST(r.cant_cajaunitaria_vta AS DECIMAL(38,12)) AS cant_cajaunitaria_vta,
+       CAST(r.cant_cajafisica_pro AS DECIMAL(38,12)) AS cant_cajafisica_pro,
+       CAST(r.cant_cajaunitaria_pro AS DECIMAL(38,12)) AS cant_cajaunitaria_pro,
+       CAST(r.imp_neto_vta_mn AS DECIMAL(38,12)) AS imp_neto_vta_mn,
+       CAST(r.imp_neto_vta_me AS DECIMAL(38,12)) AS imp_neto_vta_me,
+       CAST(r.imp_bruto_vta_mn AS DECIMAL(38,12)) AS imp_bruto_vta_mn,
+       CAST(r.imp_bruto_vta_me AS DECIMAL(38,12)) AS imp_bruto_vta_me
+FROM t_visita tv
+FULL OUTER JOIN resumen r ON r.id_visita = tv.id_visita
+"""
+
+
+def test_fact_kpi_duckdb_differential(spark, lake):
+    dom = lambda t: lake.table_path(Layer.DOMAIN, t)  # noqa: E731
+    d = dt.date
+    spark.createDataFrame(
+        [
+            # id_pedido, id_pais, id_periodo, id_sucursal, id_cliente,
+            # id_vendedor, id_supervisor, id_fuerza_venta, id_modelo_atencion,
+            # id_origen_pedido, fecha_pedido, cod_tipo_atencion, id_visita,
+            # cod_tipo_documento_pedido
+            ("PD1", "PE", "202505", "10|01", "10|C1", "10|V9", "10|S1", "10|01|F1",
+             "MA1", "10|000", d(2025, 5, 2), "TA", "VIS1", "200"),
+            ("PD2", "PE", "202505", "10|01", "10|C2", "10|V9", None, "10|01|F1",
+             "MA1", "10|000", d(2025, 5, 3), "TA", None, "200"),   # no visit ptr
+            ("PD3", "PE", "202505", "10|01", "10|C3", "10|V9", None, "10|01|F1",
+             "MA1", "10|000", d(2025, 5, 4), "TA", "VISX", "300"),  # excluded type
+        ],
+        "id_pedido string, id_pais string, id_periodo string, id_sucursal string, "
+        "id_cliente string, id_vendedor string, id_supervisor string, "
+        "id_fuerza_venta string, id_modelo_atencion string, id_origen_pedido string, "
+        "fecha_pedido date, cod_tipo_atencion string, id_visita string, "
+        "cod_tipo_documento_pedido string",
+    ).write.mode("overwrite").parquet(dom("t_pedido"))
+    spark.createDataFrame(
+        [
+            ("PD1", "202505", "10|A1"),
+            ("PD1", "202505", "10|A2"),   # ordered, never sold
+            ("PD2", "202505", "10|A1"),
+            ("PD3", "202505", "10|A1"),
+        ],
+        "id_pedido string, id_periodo string, id_articulo string",
+    ).write.mode("overwrite").parquet(dom("t_pedido_detalle"))
+    spark.createDataFrame(
+        [
+            # id_venta, id_pedido, id_pais, id_sucursal, id_cliente,
+            # id_tipo_venta, es_eliminado, cod_documento_venta
+            ("VT1", "PD1", "PE", "10|01", "10|C1", "TV1", 0, "FAC"),
+            ("VT2", "PD2", "PE", "10|01", "10|C2", "TV2", 0, "FAC"),  # excluded op
+            ("VT3", "PD1", "PE", "10|01", "10|C1", "TV1", 1, "FAC"),  # deleted
+            ("VT4", "PD1", "PE", "10|01", "10|C1", "TV1", 0, "CMD"),  # CMD
+        ],
+        "id_venta string, id_pedido string, id_pais string, id_sucursal string, "
+        "id_cliente string, id_tipo_venta string, es_eliminado int, "
+        "cod_documento_venta string",
+    ).write.mode("overwrite").parquet(dom("t_venta"))
+    spark.createDataFrame(
+        [
+            # sold line matching an ordered article → inner region of FULL
+            ("VT1", "10|A1", D("2"), D("60"), D("0"), D("0"),
+             D("100"), D("25"), D("110"), D("27.5")),
+            # sold article never ordered → venta-only region of FULL
+            ("VT1", "10|A9", D("1"), D("30"), D("0"), D("0"),
+             D("50"), D("12.5"), D("55"), D("13.75")),
+            ("VT2", "10|A1", D("4"), D("120"), D("0"), D("0"),
+             D("400"), D("100"), D("440"), D("110")),
+            ("VT3", "10|A1", D("9"), D("270"), D("0"), D("0"),
+             D("900"), D("225"), D("990"), D("247.5")),
+            ("VT4", "10|A1", D("8"), D("240"), D("0"), D("0"),
+             D("800"), D("200"), D("880"), D("220")),
+        ],
+        "id_venta string, id_producto string, "
+        "cant_caja_fisica_ven decimal(38,12), cant_caja_volumen_ven decimal(38,12), "
+        "cant_caja_fisica_pro decimal(38,12), cant_caja_volumen_pro decimal(38,12), "
+        "imp_neto_vta_mn decimal(38,12), imp_neto_vta_me decimal(38,12), "
+        "imp_bruto_vta_mn decimal(38,12), imp_bruto_vta_me decimal(38,12)",
+    ).write.mode("overwrite").parquet(dom("t_venta_detalle"))
+    spark.createDataFrame(
+        [
+            ("VIS1", "PE", "202505", "10|01", "10|C1", d(2025, 5, 1)),
+            ("VIS9", "PE", "202505", "10|01", "10|C9", d(2025, 5, 6)),  # visit-only
+        ],
+        "id_visita string, id_pais string, id_periodo string, id_sucursal string, "
+        "id_cliente string, fecha_visita date",
+    ).write.mode("overwrite").parquet(dom("t_visita"))
+    spark.createDataFrame(
+        [("TV1", "VEN"), ("TV2", "OTR")],
+        "id_tipo_venta string, cod_tipo_operacion string",
+    ).write.mode("overwrite").parquet(dom("m_tipo_venta"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("analytics", "fact_kpi_lite", 1, periods=3)], ANALYTICS_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "fact_kpi_detalle")).toPandas()
+
+    con = duck_with_views(
+        {
+            "t_pedido": dom("t_pedido"),
+            "t_pedido_detalle": dom("t_pedido_detalle"),
+            "t_venta": dom("t_venta"),
+            "t_venta_detalle": dom("t_venta_detalle"),
+            "t_visita": dom("t_visita"),
+            "m_tipo_venta": dom("m_tipo_venta"),
+        }
+    )
+    odf = con.sql(_KPI_SQL.format(periods="'202503', '202504', '202505'")).df()
+    assert_match(sdf, odf, "fact_kpi")
+    # all three FULL OUTER regions are populated: order-only (A2), sale-only
+    # (A9), visit-only (VIS9)
+    prods = set(sdf["id_producto"].dropna())
+    assert "10|A2" in prods and "10|A9" in prods
+    assert (sdf["id_producto"].isna() & sdf["id_cliente"].eq("10|C9")).any()
+    # hand pins: the ordered-never-sold A2 row carries NULL sale metrics;
+    # PD2's sale went through the excluded 'OTR' op so its A1 row is also
+    # order-only; the deleted VT3 / CMD VT4 quantities (9, 8) appear nowhere
+    a2 = sdf[sdf.id_producto.eq("10|A2")].iloc[0]
+    assert pd.isna(a2["cant_cajafisica_vta"])
+    pd2_a1 = sdf[sdf.id_producto.eq("10|A1") & sdf.id_cliente.eq("10|C2")].iloc[0]
+    assert pd.isna(pd2_a1["cant_cajafisica_vta"])
+    sold = sdf["cant_cajafisica_vta"].dropna().astype(float)
+    assert set(sold) == {2.0, 1.0}

@@ -1137,11 +1137,12 @@ def test_t_saldos_iniciales_valuation(spark, lake):
     )["imp_valorizado_mn"] == "decimal(30,4)"
 
 
-def test_t_pedido_cumplimiento(spark, lake):
-    """Full fulfillment pipeline, hand-computed: line rollup with the A4
-    block, W1-ranked dispatch linkage gating despachado, expected-sale
-    mapping through i_relacion_proced_venta, NINE-key sold resumen with the
-    NCC sign flip, and the Ven-split física/volumen unit conversions."""
+def seed_cumplimiento_stage(spark, lake):
+    """Shared stage fixture for the fulfillment job: main + ADES order
+    lines, ranked warehouse movements, sale documents incl. an NCC credit
+    note, the expected-sale mapping, and unit-conversion masters. Used by
+    the hand-computed test below AND the DuckDB differential in
+    tests/test_job_oracles.py. Returns the SchemaRegistry."""
     D = Decimal
     d = dt.date(2025, 5, 3)
     ts = dt.datetime(2025, 5, 3, 8)
@@ -1348,6 +1349,17 @@ def test_t_pedido_cumplimiento(spark, lake):
     spark.createDataFrame(
         [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
     ).write.parquet(lake.table_path(Layer.STAGE, "m_pais", "principal"))
+    return reg
+
+
+def test_t_pedido_cumplimiento(spark, lake):
+    """Full fulfillment pipeline, hand-computed: line rollup with the A4
+    block, W1-ranked dispatch linkage gating despachado, expected-sale
+    mapping through i_relacion_proced_venta, NINE-key sold resumen with the
+    NCC sign flip, and the Ven-split física/volumen unit conversions."""
+    D = Decimal
+    d = dt.date(2025, 5, 3)
+    reg = seed_cumplimiento_stage(spark, lake)
 
     def mk(cfg):
         return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
