@@ -79,6 +79,7 @@ def main() -> None:
                 timings[name] = dt
 
     total = round(sum(timings.values()), 3)
+    _append_history(timings, total, sf)
     print(
         json.dumps(
             {
@@ -90,6 +91,66 @@ def main() -> None:
             }
         )
     )
+
+
+def _append_history(timings: dict[str, float], total: float, sf: str) -> None:
+    """Persist per-query history (BENCH_HISTORY.jsonl next to this file) and
+    emit a regression diff vs the previous same-sf entry to stderr — the
+    single JSON line on stdout stays the driver contract. Host noise is
+    ±50%, so only ≥2× moves are flagged."""
+    import datetime
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist_path = os.path.join(here, "BENCH_HISTORY.jsonl")
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=here,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        sha = ""
+    prev = None
+    try:
+        with open(hist_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("sf") == sf:
+                    prev = rec
+    except FileNotFoundError:
+        pass
+    try:
+        with open(hist_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                            timespec="seconds"
+                        ),
+                        "sha": sha,
+                        "sf": sf,
+                        "total": total,
+                        "queries": timings,
+                    }
+                )
+                + "\n"
+            )
+    except OSError:
+        return
+    if prev:
+        moved = []
+        for name, sec in timings.items():
+            old = prev.get("queries", {}).get(name)
+            if old and old > 0 and (sec >= 2 * old or sec <= old / 2):
+                moved.append(f"{name}: {old}s -> {sec}s")
+        if moved:
+            print(
+                "bench delta vs "
+                + (prev.get("sha") or prev.get("ts", "prev"))
+                + ": "
+                + "; ".join(moved),
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":
