@@ -675,6 +675,112 @@ FROM dims
 """
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode+feature plumbing over the fake decoder: duration/rms are
+    closed-form over the payload bytes; the MFCC-shaped vector folds to its
+    integer codes (``round(f*31)``) for the hashable serving projection."""
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = multimodal.audio_features(d, fake=True)
+    return feats.select(
+        "media_id",
+        "duration_ms",
+        F.round(F.col("rms"), 6).alias("rms"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("mfcc"),
+                lambda x: F.round(x.cast("double") * 31).cast("int").cast("string"),
+            ),
+        ).alias("mfcc_codes"),
+    )
+
+
+_ORACLE_MULTIMODAL_AUDIO = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+         length(text) AS n,
+         COALESCE(list_sum(list_transform(range(1, least(length(text), 256) + 1),
+                                          i -> ord(substr(text, i, 1))
+                                               * ord(substr(text, i, 1)))), 0) AS s2
+  FROM documents
+)
+SELECT media_id,
+       CAST(n * 8 AS BIGINT) AS duration_ms,
+       ROUND(sqrt(CAST(s2 AS DOUBLE) / greatest(least(n, 256), 1)) / 255.0, 6) AS rms,
+       array_to_string(list_transform(range(0, 8),
+                                      i -> CAST((n * (i + 3)) % 31 AS VARCHAR)),
+                       ',') AS mfcc_codes
+FROM base
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (explode-shaped mapInPandas): one row
+    per sampled frame, frame count closed-form over payload size; the frame
+    bytes decode back to text for the hashable projection (ASCII corpus)."""
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    frames = multimodal.frame_sample(d, fake=True, every_ms=1000)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.decode(F.col("frame"), "utf-8").alias("frame_str"),
+    )
+
+
+_ORACLE_MULTIMODAL_FRAMES = """
+WITH base AS (
+  SELECT doc_id AS media_id, length(text) AS n, substr(text, 1, 16) AS head
+  FROM documents
+), exploded AS (
+  SELECT media_id, head,
+         unnest(range(0, least(greatest(n // 100, 1), 10))) AS i
+  FROM base
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       CAST(i * 1000 AS BIGINT) AS ts_ms, head AS frame_str
+FROM exploded
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: payload → resized payload (fake: byte-stream
+    tile-and-truncate to the deterministic target size). The binary output
+    is projected to (n_bytes, md5) so the driver can hash rows and DuckDB
+    can recompute both from the ASCII source text."""
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    resized = multimodal.image_resize(d, fake=True, target_w=224, target_h=224)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+# fake resize target: 224·224/64 = 784 bytes, source tiled then truncated
+_ORACLE_MULTIMODAL_RESIZE = """
+WITH base AS (
+  SELECT doc_id AS media_id, length(text) AS n,
+         substr(repeat(text, 784 // greatest(length(text), 1) + 1), 1, 784) AS resized
+  FROM documents
+)
+SELECT media_id, CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+       CAST(length(resized) AS BIGINT) AS n_bytes, md5(resized) AS payload_md5
+FROM base
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -693,6 +799,9 @@ QUERIES = {
     "emb_lsh_topk": q_emb_lsh_topk,
     "emb_ivf_topk": q_emb_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES = {
@@ -709,6 +818,9 @@ ORACLES = {
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
     "multimodal_features": _ORACLE_MULTIMODAL,
+    "multimodal_audio": _ORACLE_MULTIMODAL_AUDIO,
+    "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,
+    "multimodal_resize": _ORACLE_MULTIMODAL_RESIZE,
     "dedup_minhash": _ORACLE_DEDUP_MINHASH,
     "dedup_simhash_pairs": _ORACLE_DEDUP_SIMHASH,
     "emb_lsh_topk": _ORACLE_LSH_TOPK,

@@ -34,7 +34,10 @@ def test_entry_contract(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
-    assert set(e.oracle_sql()) <= set(e.queries())
+    # every registered query carries a DuckDB oracle — 100% hash-checkable
+    # (the IVF oracle is data-dependent and built from the testdata present
+    # under @needs_testdata)
+    assert set(e.oracle_sql()) == set(e.queries())
 
 
 @needs_testdata
