@@ -7,10 +7,12 @@ SQL from the same input parquet and compared row-by-row (order-insensitive,
 numerics normalized to 8dp to absorb decimal-scale differences between
 engines — both engines are exact far beyond that on these fixtures).
 
-Jobs covered (the verdict's pick of the three richest):
+Jobs covered (the three richest per the round-1 verdict, plus the
+numerically richest money surface):
 - t_pedido_cumplimiento_lite  (domain)   — oracle over the STAGE inputs
 - fact_cliente_venta_lite     (analytics) — oracle over DOMAIN/ANALYTICS inputs
 - fact_kpi_lite               (analytics) — oracle over DOMAIN inputs
+- t_venta_detalle_lite        (domain)   — 33-aggregate money surface
 """
 
 from __future__ import annotations
@@ -770,3 +772,132 @@ def test_fact_kpi_duckdb_differential(spark, lake):
     assert pd.isna(pd2_a1["cant_cajafisica_vta"])
     sold = sdf["cant_cajafisica_vta"].dropna().astype(float)
     assert set(sold) == {2.0, 1.0}
+
+
+# ===========================================================================
+# 4. t_venta_detalle — the numerically richest job (33-aggregate money
+#    surface with the SURVEY §7.3.1 decimal-semantics risk), recomputed
+#    from STAGE + the DOMAIN header.
+# ===========================================================================
+
+
+def _tvd_money_sql() -> str:
+    """sum(dispatch × sign × decimal(20,6)-cast expression) for the full
+    (mn, me) money surface, mirroring the job's ``money_pair`` builder."""
+
+    def dec(c):
+        return f"CAST({c} AS DECIMAL(20,6))"
+
+    cajas = (
+        f"(({dec('d.cant_paquete')} + {dec('d.cant_unidad')} / "
+        f"{dec('ma.cant_unidad_paquete')}) * {dec('ma.cant_paquete_caja')})"
+    )
+    volumen = (
+        f"(({dec('d.cant_paquete')} * {dec('ma.cant_unidad_paquete')} + "
+        f"{dec('d.cant_unidad')}) * {dec('ma.cant_unidad_volumen')})"
+    )
+
+    def signed(dispatch, expr, alias):
+        return (
+            f"SUM(CAST({dispatch} * factor * {expr} AS DECIMAL(38,12))) AS {alias}"
+        )
+
+    def pair(dispatch, src, name):
+        return [
+            signed(dispatch, f"{dec(src)} * {dec('v.tipo_cambio_mn')}", f"{name}_mn"),
+            signed(dispatch, f"{dec(src)} / {dec('v.tipo_cambio_me')}", f"{name}_me"),
+        ]
+
+    aggs = [
+        signed("d_ven", cajas, "cant_caja_fisica_ven"),
+        signed("d_pro", cajas, "cant_caja_fisica_pro"),
+        signed("d_ven", volumen, "cant_caja_volumen_ven"),
+        signed("d_pro", volumen, "cant_caja_volumen_pro"),
+        *pair("d_ven", "d.imp_valorizado", "imp_neto_vta"),
+        *pair("d_ven", "d.imp_cobrar", "imp_bruto_vta"),
+        *pair("d_ven", "d.imp_descuento", "imp_dscto"),
+        *pair("d_ven", "d.imp_descuento_sinimp", "imp_desnimp"),
+        *pair("d_ven", "d.imp_cobrar", "imp_cobrar_vta"),
+        signed(
+            "d_ven",
+            f"{cajas} * {dec('d.precio_paquete')} * {dec('v.tipo_cambio_mn')}",
+            "imp_paquete_vta_mn",
+        ),
+        signed(
+            "d_ven",
+            f"{cajas} * {dec('d.precio_paquete')} / {dec('v.tipo_cambio_me')}",
+            "imp_paquete_vta_me",
+        ),
+        *pair("d_ven", "0", "imp_sugerido"),
+        *pair("d_ven", "0", "imp_full_vta"),
+        *pair("d_pro", "d.imp_valorizado", "imp_valorizado_pro"),
+        *pair("d_ven", "d.imp_isc", "imp_impuesto1"),
+        *pair("d_ven", "d.imp_igv", "imp_impuesto2"),
+        *pair("d_ven", "d.imp_im3", "imp_impuesto3"),
+        *pair("d_ven", "d.imp_im4", "imp_impuesto4"),
+        *pair("d_ven", "d.imp_im5", "imp_impuesto5"),
+        *pair("d_ven", "d.imp_im6", "imp_impuesto6"),
+    ]
+    return ",\n         ".join(aggs)
+
+
+def test_t_venta_detalle_duckdb_differential(spark, lake):
+    from test_runner_jobs import seed_venta_detalle_stage
+
+    reg = seed_venta_detalle_stage(spark, lake)
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves(
+        [JobConfig("domain", "t_venta_detalle_lite", 1)], DOMAIN_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_venta_detalle")).toPandas()
+
+    con = duck_with_views(
+        {
+            "t_venta": lake.table_path(Layer.DOMAIN, "t_venta"),
+            "t_documento_venta_detalle": lake.table_path(
+                Layer.STAGE, "t_documento_venta_detalle", "pe01"
+            ),
+            "m_articulo": lake.table_path(Layer.STAGE, "m_articulo", "pe01"),
+            "m_operacion": lake.table_path(Layer.STAGE, "m_operacion", "pe01"),
+        }
+    )
+    # the joined subquery needs v./ma./mo. columns under the aliases used by
+    # _tvd_money_sql: rename via a flat projection, aliasing d/v/ma columns
+    sql = """
+WITH det AS (
+  SELECT *, concat_ws('|', trim(cod_compania), trim(cod_sucursal), trim(cod_almacen),
+                      trim(cod_documento_venta), trim(nro_documento_venta)) AS id_venta
+  FROM t_documento_venta_detalle
+)
+SELECT d.id_venta, d.cod_articulo AS id_producto,
+       MAX(v.id_pais) AS id_pais, MAX(v.id_periodo) AS id_periodo,
+       {money},
+       MAX(d.fecha_creacion) AS fecha_creacion,
+       MAX(d.fecha_modificacion) AS fecha_modificacion,
+       MAX(d.es_eliminado) AS es_eliminado
+FROM det d
+JOIN t_venta v ON d.id_venta = v.id_venta
+LEFT JOIN m_articulo ma
+  ON d.cod_compania = ma.cod_compania AND d.cod_articulo = ma.cod_articulo
+LEFT JOIN (
+  SELECT cod_compania, cod_operacion,
+         CASE WHEN COALESCE(upper(cod_tipo_operacion), '') = 'PRO' THEN 1 ELSE 0 END AS is_pro
+  FROM m_operacion
+) mo ON d.cod_compania = mo.cod_compania AND d.cod_operacion = mo.cod_operacion
+GROUP BY 1, 2
+""".format(
+        money=_tvd_money_sql()
+        .replace("factor", "(CASE WHEN v.cod_documento_venta = 'NCC' THEN -1 ELSE 1 END)")
+        .replace("d_ven", "(CASE WHEN COALESCE(mo.is_pro, 0) = 1 THEN 0 ELSE 1 END)")
+        .replace("d_pro", "COALESCE(mo.is_pro, 0)")
+    )
+    odf = con.sql(sql).df()
+    assert_match(sdf, odf, "t_venta_detalle")
+    # hand pin: the FAC sale-op line contributes +, the NCC flips −, promo
+    # rides only the _pro buckets — already asserted value-wise in
+    # test_runner_jobs; here we pin the money surface width
+    assert len([c for c in sdf.columns if c.startswith("imp_")]) == 30

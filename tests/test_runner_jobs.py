@@ -547,9 +547,11 @@ def test_t_pedido_ades_anti_union(spark, lake):
     assert out["10|01|200|P9|C9"]["id_lista_precio"] == "10|LP9"
 
 
-def test_t_venta_detalle_conditional_aggregates(spark, lake):
-    """Hand-computed A2 semantics: NCC sign flip, PRO dispatch, unit
-    conversion with the cant_unidad_paquete divisor, fx conversion."""
+def seed_venta_detalle_stage(spark, lake):
+    """Shared fixture for the sales line-item fact: a FAC with sale+promo
+    ops, an NCC credit note, the unit-conversion article and the op-type
+    bridge. Used by the hand-computed test below and the DuckDB
+    differential in tests/test_job_oracles.py. Returns the registry."""
     reg = SchemaRegistry({
         "t_venta": [
             ("id_venta", "string"), ("id_pais", "string"), ("id_periodo", "string"),
@@ -625,6 +627,13 @@ def test_t_venta_detalle_conditional_aggregates(spark, lake):
         [("10", "V1", "Ven"), ("10", "P1", "Pro")],
         "cod_compania string, cod_operacion string, cod_tipo_operacion string",
     ).write.parquet(lake.table_path(Layer.STAGE, "m_operacion", "pe01"))
+    return reg
+
+
+def test_t_venta_detalle_conditional_aggregates(spark, lake):
+    """Hand-computed A2 semantics: NCC sign flip, PRO dispatch, unit
+    conversion with the cant_unidad_paquete divisor, fx conversion."""
+    reg = seed_venta_detalle_stage(spark, lake)
 
     def mk(cfg):
         return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
