@@ -138,6 +138,15 @@ END
 """
 
 
+# 60-bit md5-prefix shingle key (15 hex digits parsed with shifts — exact in
+# BIGINT): DuckDB twin of operators.dedup.shingle_keys(portable=True).
+_SQL_MD5KEY = (
+    "list_sum(list_transform(range(1, 16), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)"
+    " << (4 * (15 - i))))"
+)
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select(
@@ -183,7 +192,9 @@ SELECT doc_id, lang, source FROM hashed WHERE rn = 1
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.5, portable=True
+    )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
     )
@@ -192,7 +203,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PAIR_CTES = f"""base AS (
   SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
 ), sh AS (
-  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM base
+  SELECT doc_id,
+         list_distinct(list_transform({_SQL_SHINGLES}, s -> {_SQL_MD5KEY})) AS sh
+  FROM base
 ), sizes AS (
   SELECT doc_id, len(sh) AS n FROM sh
 ), ex AS (
@@ -240,7 +253,9 @@ _SQL_CLUSTER_CTES = f"""{_SQL_PAIR_CTES}, pairs AS (
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.5, portable=True
+    )
     return graph.connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -254,7 +269,9 @@ SELECT u AS doc_id, c AS cluster_id FROM comp
 
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.5, portable=True
+    )
     return graph.keep_canonical(d, pairs, "doc_id").select("doc_id", "lang", "source")
 
 
@@ -288,11 +305,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 60-bit md5 prefix (15 hex digits parsed with shifts — exact in BIGINT),
 # mod the Mersenne prime: the engine's portable shingle hash, verified
 # bit-identical to Spark's conv(substring(md5(s),1,15),16,10) % p.
-_SQL_MD5HASH = (
-    "(list_sum(list_transform(range(1, 16), i -> "
-    "CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)"
-    " << (4 * (15 - i)))) % 2147483647)"
-)
+_SQL_MD5HASH = f"({_SQL_MD5KEY} % 2147483647)"
 
 _SQL_HSETS = f"""base AS (
   SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
