@@ -137,3 +137,54 @@ def test_stateful_running_totals(spark, events_dir, tmp_path):
         assert f["last_seen"] == t["last_seen"]
     # several micro-batches actually happened (state crossed batches)
     assert len(updates) > len(truth)
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def docs_stream_dir(spark, tmp_path):
+    base = dt.datetime(2025, 5, 1, 10, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=0), 1, "the quick brown fox"),
+        (base + dt.timedelta(minutes=5), 2, "THE QUICK  brown FOX!"),   # dup (normalized)
+        (base + dt.timedelta(minutes=10), 3, "a different document"),
+        (base + dt.timedelta(minutes=15), 4, "the quick brown fox"),    # dup again
+        (base + dt.timedelta(minutes=20), 5, "yet another one"),
+    ]
+    path = str(tmp_path / "docs_parquet")
+    spark.createDataFrame(rows, DOC_SCHEMA).repartition(2).write.parquet(path)
+    return path
+
+
+def test_stream_dedup_first_arrival_wins(spark, docs_stream_dir):
+    from cdk_datalake_analytics_comercial_spark.streaming import dedup as SD
+
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(docs_stream_dir)
+    q = (
+        SD.dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream_t").collect()
+    # one survivor per distinct normalized fingerprint
+    assert len(got) == 3
+    fps_stream = {r["fp"] for r in got}
+    # batch twin over the same files: same surviving fingerprint set
+    batch = SD.dedup_stream(spark.read.parquet(docs_stream_dir))
+    fps_batch = {r["fp"] for r in batch.collect()}
+    assert fps_stream == fps_batch
+    # the normalized dup really collapsed: docs 1/2/4 share one fp
+    surviving_ids = {r["doc_id"] for r in got}
+    assert len(surviving_ids & {1, 2, 4}) == 1
+    assert {3, 5} <= surviving_ids
