@@ -168,3 +168,85 @@ def write_csv_gzip(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).option(
         "compression", "gzip"
     ).csv(path)
+
+
+def vacuum(spark: SparkSession, path: str, retain_hours: float = 100.0) -> int:
+    """Parquet-native counterpart of the reference's post-merge
+    ``deltaTable.vacuum(N)`` (`common_jobs_functions.py:303,313`): with no
+    Delta transaction log there are no unreferenced data files to reap, so
+    the reclaimable garbage is exactly the orphaned crash-leftover
+    ``.__merge_staging__*`` siblings :func:`_stage_and_swap` could not
+    clean. Deletes those older than ``retain_hours`` (age from the
+    filesystem modification time — same retention contract as Delta's
+    vacuum horizon); returns the number of dirs removed."""
+    import time
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    parent = hpath.getParent()
+    if parent is None or not fs.exists(parent):
+        return 0
+    prefix = hpath.getName() + ".__merge_staging__"
+    cutoff_ms = (time.time() - retain_hours * 3600.0) * 1000.0
+    removed = 0
+    for status in fs.listStatus(parent):
+        name = status.getPath().getName()
+        if (
+            name.startswith(prefix)
+            and status.isDirectory()
+            and status.getModificationTime() < cutoff_ms
+        ):
+            fs.delete(status.getPath(), True)
+            removed += 1
+    return removed
+
+
+def write_symlink_manifest(spark: SparkSession, path: str) -> int:
+    """Parquet-native counterpart of the reference's
+    ``deltaTable.generate("symlink_format_manifest")``
+    (`common_jobs_functions.py:304,314`): writes
+    ``_symlink_format_manifest/<partition dirs>/manifest`` text files, one
+    data-file URI per line — the layout external readers (e.g. warehouse
+    spectrum layers) consume. Listing is driver-side over the FileSystem
+    API: one entry per data FILE (not per row), bounded by file count.
+    Returns the number of manifest files written."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return 0
+    manifest_root = jvm.org.apache.hadoop.fs.Path(path + "/_symlink_format_manifest")
+    if fs.exists(manifest_root):
+        fs.delete(manifest_root, True)
+
+    # group data files by their partition subdirectory (relative to root)
+    groups: dict[str, list[str]] = {}
+    stack = [hpath]
+    root_uri = fs.makeQualified(hpath).toString().rstrip("/")
+    while stack:
+        cur = stack.pop()
+        for status in fs.listStatus(cur):
+            p = status.getPath()
+            name = p.getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            if status.isDirectory():
+                stack.append(p)
+            elif name.endswith(".parquet"):
+                full = fs.makeQualified(p).toString()
+                rel_dir = full[len(root_uri) + 1:].rsplit("/", 1)[0] if "/" in full[len(root_uri) + 1:] else ""
+                groups.setdefault(rel_dir, []).append(full)
+
+    written = 0
+    for rel_dir, files in groups.items():
+        sub = path + "/_symlink_format_manifest" + (f"/{rel_dir}" if rel_dir else "")
+        out = jvm.org.apache.hadoop.fs.Path(sub + "/manifest")
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(sub))
+        stream = fs.create(out, True)
+        try:
+            stream.write(("\n".join(sorted(files)) + "\n").encode("utf-8"))
+        finally:
+            stream.close()
+        written += 1
+    return written

@@ -249,3 +249,64 @@ def test_merge_staging_is_durable_and_cleaned(spark, lake):
         partition_by=["id_pais"],
     )
     assert glob.glob(f"{path}.__merge_staging__*") == staged  # only the kept one
+
+
+def test_vacuum_reaps_only_stale_staging(spark, lake):
+    from cdk_datalake_analytics_comercial_spark.sources.writer import vacuum
+
+    path = lake.table_path(Layer.DOMAIN, "t_vac")
+    write_table(
+        spark.createDataFrame([("a", "PE", 1)], "id string, id_pais string, v int"),
+        path,
+        ["id_pais"],
+    )
+    # fabricate two orphaned staging dirs: one stale, one fresh
+    stale = f"{path}.__merge_staging__deadbeef"
+    fresh = f"{path}.__merge_staging__cafebabe"
+    for p in (stale, fresh):
+        os.makedirs(p, exist_ok=True)
+        with open(f"{p}/part-00000.parquet", "wb") as f:
+            f.write(b"x")
+    old = 1_600_000_000  # 2020 — well past any retention horizon
+    os.utime(stale, (old, old))
+    removed = vacuum(spark, path, retain_hours=1.0)
+    assert removed == 1
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)        # inside the retention horizon
+    assert os.path.exists(path)         # the table itself is never touched
+    # retention 0 reaps the rest
+    assert vacuum(spark, path, retain_hours=-1.0) == 1
+    assert not os.path.exists(fresh)
+
+
+def test_symlink_manifest_lists_every_data_file(spark, lake):
+    from cdk_datalake_analytics_comercial_spark.sources.writer import (
+        write_symlink_manifest,
+    )
+
+    path = lake.table_path(Layer.DOMAIN, "t_manifest")
+    df = spark.createDataFrame(
+        [("a", "PE", 1), ("b", "CO", 2)], "id string, id_pais string, v int"
+    )
+    write_table(df, path, ["id_pais"])
+    n = write_symlink_manifest(spark, path)
+    assert n == 2  # one manifest per partition dir
+    import glob
+
+    manifests = sorted(glob.glob(f"{path}/_symlink_format_manifest/**/manifest",
+                                 recursive=True))
+    assert len(manifests) == 2
+    listed = []
+    for m in manifests:
+        with open(m) as f:
+            listed += [line.strip() for line in f if line.strip()]
+    actual = {p for p in glob.glob(f"{path}/id_pais=*/*.parquet")}
+    # every real data file appears exactly once (URIs end with the rel path)
+    assert len(listed) == len(actual)
+    for a in actual:
+        assert any(entry.endswith(a.split(str(lake.root))[-1]) or a in entry
+                   for entry in listed), a
+    # the manifest dir itself is excluded from table reads (underscore prefix)
+    assert spark.read.parquet(path).count() == 2
+    # regenerating replaces, not appends
+    assert write_symlink_manifest(spark, path) == 2
