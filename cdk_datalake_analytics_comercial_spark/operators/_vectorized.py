@@ -135,6 +135,25 @@ def make_simhash_udf(num_bits):
     return sh
 
 
+def make_probe_cells_udf(centroids_int, n_probe):
+    """Multi-probe IVF assignment: the ``n_probe`` nearest cell indices per
+    vector (exact integer squared-L2, ties to the lower index via stable
+    argsort). Returns array<int> — the caller explodes it."""
+    cents = np.asarray(centroids_int, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def probes(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(v, dtype=np.int64) for v in vs])
+        diff = x[:, None, :] - cents[None, :, :]
+        d2 = (diff * diff).sum(axis=2)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    return probes
+
+
 def make_nearest_cell_udf(centroids_int):
     """IVF coarse-quantizer assignment over integer-scaled vectors: argmin
     of the EXACT integer squared-L2 (int64 — diffs < 2^24, 64-dim sums

@@ -323,13 +323,14 @@ def ivf_topk(
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are assigned to their nearest
-    coarse-quantizer cell; each query scores only the corpus vectors in its
-    own cell (``n_probe=1``; probing more cells raises recall at linear
-    cost — pass the query through the quantizer once per probe rank).
+    coarse-quantizer cell; each query scores the corpus vectors in its
+    ``n_probe`` nearest cells (probing more cells raises recall at linear
+    candidate cost; the corpus is still assigned to exactly ONE cell).
 
     The cell assignment is the partition key: at 100 TB the corpus is
-    written partitioned/bucketed by cell so a query touches one cell's
-    files. Candidate volume ≈ corpus / n_cells per query.
+    written partitioned/bucketed by cell so a query's probes touch
+    ``n_probe`` cells' files. Candidate volume ≈ n_probe · corpus/n_cells
+    per query.
     """
     cents = centroids if centroids is not None else ivf_centroids(
         corpus, dim, n_cells, vec_col, id_col
@@ -338,9 +339,24 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), int_scaled(F.col(vec_col)).alias("civ")
     ).withColumn("cell", _nearest_cell(F.col("civ"), cents_int))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), int_scaled(F.col(vec_col)).alias("qiv")
-    ).withColumn("cell", _nearest_cell(F.col("qiv"), cents_int))
+    if n_probe <= 1:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), int_scaled(F.col(vec_col)).alias("qiv")
+        ).withColumn("cell", _nearest_cell(F.col("qiv"), cents_int))
+    else:
+        from ._vectorized import make_probe_cells_udf
+
+        q = (
+            queries.select(
+                F.col(id_col).alias("query_id"), int_scaled(F.col(vec_col)).alias("qiv")
+            )
+            .withColumn(
+                "cell",
+                F.explode(
+                    make_probe_cells_udf(cents_int, n_probe)(F.col("qiv"))
+                ),
+            )
+        )
     scored = (
         F.broadcast(q)
         .join(c, "cell", "inner")

@@ -132,3 +132,27 @@ def test_blockdist_equals_blockwise_allpairs(spark):
             ).collect()
         }
         assert got == want, f"n_blocks={n_blocks}"
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    # probing more cells can only ADD candidates: the n_probe=2 hit set must
+    # contain the n_probe=1 hits' pairs or better them; with n_cells=2 and
+    # n_probe=2 the search is exhaustive and must equal brute force exactly
+    df = vec_df(spark)
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in S.cosine_topk_bruteforce(df, df, k=2).collect()
+    }
+    full = {
+        (r["query_id"], r["corpus_id"])
+        for r in S.ivf_topk(df, df, dim=4, k=2, n_cells=2, n_probe=2).collect()
+    }
+    assert full == exact
+    single = S.ivf_topk(df, df, dim=4, k=2, n_cells=2, n_probe=1).collect()
+    # per query, multi-probe returns at least as many hits
+    from collections import Counter
+
+    c1 = Counter(r["query_id"] for r in single)
+    c2 = Counter(q for q, _ in full)
+    for qid, n in c1.items():
+        assert c2[qid] >= n
