@@ -1,10 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The Spark-side contract is real and tested — schemas, partitioning, Arrow
-batch shape through ``mapInPandas`` — while the actual media decoding is
-STUBBED (image/audio libraries are not in this container): pass
-``fake=True`` for a deterministic fake "decode" used by tests, or leave the
-default which raises ``NotImplementedError`` at evaluation time.
+The Spark-side contract — schemas, partitioning, Arrow batch shape through
+``mapInPandas`` — is identical for both decode paths:
+
+- ``fake=False`` (default): REAL decoding for uncompressed formats via
+  :mod:`._codecs` (pure numpy/stdlib — PPM/24-bit-BMP images, PCM-16 WAV
+  audio incl. an FFT/mel/DCT MFCC, concatenated-P6 frame streams).
+  Compressed codecs (JPEG/PNG/MP3/MP4) raise ``NotImplementedError`` —
+  they need native libraries absent from this environment; plugging one in
+  later changes no plan shape.
+- ``fake=True``: a deterministic closed-form "decode" over the payload
+  bytes — the oracle-checkable path the driver-contract queries use
+  (documents' text bytes stand in for media payloads).
 
 Design for 100 TB of media: binary payloads ride in their own column so
 column pruning skips them unless the stage needs bytes; work is
@@ -73,24 +80,31 @@ def image_features(
 ) -> DataFrame:
     """Decode + feature-extract images via ``mapInPandas``.
 
-    ``fake=False`` (production signature): raises ``NotImplementedError`` in
-    the decode body — the real implementation plugs a decoder into the same
-    Arrow-batched iterator without touching the plan shape.
+    ``fake=False``: real decode for PPM/24-bit BMP (``_codecs``) — true
+    dimensions, Rec.601 mean luma, normalized ``feature_dim``-bin luma
+    histogram. Compressed codecs raise ``NotImplementedError`` inside the
+    same Arrow-batched iterator (plan shape identical).
     """
     if batch_partitions:
         df = df.repartition(batch_partitions, F.col(id_col))
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import _codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips — not in container; "
-                    "use fake=True for plumbing tests"
-                )
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, luma = _fake_decode(bytes(payload))
-                feats = [float((w * (i + 1) + h) % 97) / 97.0 for i in range(feature_dim)]
+                b = bytes(payload)
+                if fake:
+                    w, h, luma = _fake_decode(b)
+                    feats = [
+                        float((w * (i + 1) + h) % 97) / 97.0 for i in range(feature_dim)
+                    ]
+                else:
+                    img = _codecs.decode_image(b)
+                    h, w = img.shape[:2]
+                    luma = float(_codecs.luma(img).mean()) / 255.0
+                    feats = _codecs.luma_histogram(img, feature_dim)
                 rows.append((int(mid), w, h, luma, feats))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "mean_luma", "features"]
@@ -111,9 +125,10 @@ def image_resize(
 ) -> DataFrame:
     """Resize stage: payload → resized payload + new dims.
 
-    Real implementation plugs PIL/libvips into the same Arrow iterator; the
-    fake truncates/pads the byte stream to a deterministic target size so
-    batch shape, schema, and downstream plumbing are testable.
+    ``fake=False``: real nearest-neighbor resize of PPM/BMP payloads,
+    re-encoded as P6. The fake truncates/pads the byte stream to a
+    deterministic target size so batch shape and schema stay testable
+    without image payloads.
     """
     out_schema = T.StructType(
         [
@@ -125,17 +140,20 @@ def image_resize(
     )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import _codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL/libvips — not in container; "
-                    "use fake=True for plumbing tests"
-                )
             rows = []
-            target_n = target_w * target_h // 64  # stand-in compressed size
+            target_n = target_w * target_h // 64  # fake stand-in size
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                resized = (b * (target_n // max(len(b), 1) + 1))[:target_n]
+                if fake:
+                    resized = (b * (target_n // max(len(b), 1) + 1))[:target_n]
+                else:
+                    img = _codecs.decode_image(b)
+                    resized = _codecs.encode_ppm(
+                        _codecs.resize_nearest(img, target_w, target_h)
+                    )
                 rows.append((int(mid), resized, target_w, target_h))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
 
@@ -149,10 +167,12 @@ def audio_features(
     n_mfcc: int = 8,
     fake: bool = False,
 ) -> DataFrame:
-    """Audio decode + feature stage (duration, rms, MFCC-shaped vector).
+    """Audio decode + feature stage (duration, rms, MFCC vector).
 
-    Real implementation decodes wav/mp3 (soundfile/librosa — not in this
-    container); the fake derives deterministic values from the payload bytes.
+    ``fake=False``: real PCM-16 WAV parse (RIFF chunk walk) with a numpy
+    FFT → mel filterbank → DCT MFCC. Compressed audio raises
+    ``NotImplementedError``; the fake derives deterministic values from the
+    payload bytes.
     """
     out_schema = T.StructType(
         [
@@ -164,19 +184,26 @@ def audio_features(
     )
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import _codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio decode requires soundfile/librosa — not in "
-                    "container; use fake=True for plumbing tests"
-                )
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                dur = len(b) * 8  # fake: 8ms per byte
-                rms = (sum(x * x for x in b[:256]) / max(min(len(b), 256), 1)) ** 0.5 / 255.0
-                mfcc = [float((len(b) * (i + 3)) % 31) / 31.0 for i in range(n_mfcc)]
-                rows.append((int(mid), dur, rms, mfcc))
+                if fake:
+                    dur = len(b) * 8  # fake: 8ms per byte
+                    rms = (
+                        sum(x * x for x in b[:256]) / max(min(len(b), 256), 1)
+                    ) ** 0.5 / 255.0
+                    coeffs = [
+                        float((len(b) * (i + 3)) % 31) / 31.0 for i in range(n_mfcc)
+                    ]
+                else:
+                    samples, rate = _codecs.decode_wav(b)
+                    dur = int(round(len(samples) / rate * 1000.0))
+                    rms = float((samples ** 2).mean() ** 0.5) if len(samples) else 0.0
+                    coeffs = _codecs.mfcc(samples, rate, n_mfcc=n_mfcc)
+                rows.append((int(mid), dur, rms, coeffs))
             yield pd.DataFrame(rows, columns=["media_id", "duration_ms", "rms", "mfcc"])
 
     return df.select(id_col, payload_col).mapInPandas(feat_batches, schema=out_schema)
@@ -189,11 +216,13 @@ def frame_sample(
     every_ms: int = 1000,
     fake: bool = False,
 ) -> DataFrame:
-    """Video frame sampling stub: one output row per sampled frame.
+    """Video frame sampling: one output row per sampled frame.
 
-    Real implementation decodes with ffmpeg/av; the fake derives a
-    deterministic frame count from payload size so partitioning/explode
-    behavior is testable.
+    ``fake=False``: parses a concatenated-P6 frame stream (an uncompressed
+    MJPEG-shaped container) at a nominal 1 frame/sec and keeps every
+    ``every_ms/1000``-th frame; compressed video raises
+    ``NotImplementedError``. The fake derives a deterministic frame count
+    from payload size so partitioning/explode behavior is testable.
     """
     out_schema = T.StructType(
         [
@@ -205,17 +234,28 @@ def frame_sample(
     )
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import _codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg/av — not in container; "
-                    "use fake=True for plumbing tests"
-                )
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                n_frames = max(1, len(bytes(payload)) // 100)
-                for i in range(min(n_frames, 10)):
-                    rows.append((int(mid), i, i * every_ms, bytes(payload)[:16]))
+                b = bytes(payload)
+                if fake:
+                    n_frames = max(1, len(b) // 100)
+                    for i in range(min(n_frames, 10)):
+                        rows.append((int(mid), i, i * every_ms, b[:16]))
+                else:
+                    # concatenated-P6 stream at a nominal 1 frame/sec: keep
+                    # every (every_ms/1000)th frame
+                    frames = _codecs.split_ppm_stream(b)
+                    if not frames:
+                        raise NotImplementedError(
+                            "compressed video needs ffmpeg-class codecs; "
+                            "supported container: concatenated P6 frames"
+                        )
+                    step = max(1, every_ms // 1000)
+                    for i in range(0, len(frames), step):
+                        rows.append((int(mid), i, i * 1000, frames[i]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms", "frame"])
 
     return df.select(id_col, payload_col).mapInPandas(sample_batches, schema=out_schema)
