@@ -53,9 +53,33 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Derive the cheap metadata fields (n_bytes) JVM-side; callers fill
-    format-specific fields at ingest."""
-    return df.withColumn("n_bytes", F.length(F.col(payload_col)).cast("long"))
+    """Derive the cheap metadata fields JVM-side: byte length plus a
+    magic-byte format/media-type sniff (pure Column expressions — the
+    payload column is read once, no Python round-trip). Decoder-derived
+    fields (width/height/duration) come from the decode stages."""
+    p = F.col(payload_col)
+
+    def magic(prefix: bytes, offset: int = 1) -> F.Column:
+        return F.substring(p, offset, len(prefix)) == F.lit(prefix)
+
+    fmt = (
+        F.when(magic(b"P6"), F.lit("ppm"))
+        .when(magic(b"BM"), F.lit("bmp"))
+        .when(magic(b"RIFF") & magic(b"WAVE", 9), F.lit("wav"))
+        .when(magic(b"\x89PNG"), F.lit("png"))
+        .when(magic(b"\xff\xd8"), F.lit("jpeg"))
+        .otherwise(F.lit("unknown"))
+    )
+    media_type = (
+        F.when(fmt.isin("ppm", "bmp", "png", "jpeg"), F.lit("image"))
+        .when(fmt == "wav", F.lit("audio"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        df.withColumn("n_bytes", F.length(p).cast("long"))
+        .withColumn("format", fmt)
+        .withColumn("media_type", media_type)
+    )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:

@@ -186,3 +186,27 @@ def test_compressed_formats_still_raise(spark):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_attach_media_meta_sniffs_formats_jvm_side(spark):
+    ppm, _ = _ppm_bytes(2, 2, (0, 0, 0))
+    bmp, _ = _bmp_bytes(2, 2, (0, 0, 0))
+    wav = _wav_bytes([0, 1, 2, 3])
+    rows = [
+        (1, bytearray(ppm)), (2, bytearray(bmp)), (3, bytearray(wav)),
+        (4, bytearray(b"\x89PNGxxxx")), (5, bytearray(b"\xff\xd8xxxx")),
+        (6, bytearray(b"plain text")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = M.attach_media_meta(df)
+    # no Python evaluation in the plan: pure Column expressions
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = {r["media_id"]: (r["format"], r["media_type"], r["n_bytes"])
+           for r in out.collect()}
+    assert got[1] == ("ppm", "image", len(ppm))
+    assert got[2] == ("bmp", "image", len(bmp))
+    assert got[3] == ("wav", "audio", len(wav))
+    assert got[4][0:2] == ("png", "image")
+    assert got[5][0:2] == ("jpeg", "image")
+    assert got[6][0:2] == ("unknown", "unknown")
