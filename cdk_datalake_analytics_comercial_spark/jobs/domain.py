@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..plans.common import period_yyyymm
+
 from ..core.catalog import Layer
 from ..functions.casts import cast_projection
 from ..functions.currency import exchange_rate_me, exchange_rate_mn
@@ -251,7 +253,7 @@ def job_t_pedido_cumplimiento_lite(ctx: JobContext) -> None:
                   F.col("d.cod_compania") == F.col("mc.cod_compania"), "inner")
             .select(
                 F.col("mc.id_pais"),
-                F.date_format(F.col("h.fecha_pedido"), "yyyyMM").alias("id_periodo"),
+                period_yyyymm(F.col("h.fecha_pedido")).alias("id_periodo"),
                 F.col("d.cod_compania"),
                 F.col("d.cod_sucursal"),
                 F.col(f"d.{alm_col}").alias("cod_almacen"),
@@ -670,7 +672,7 @@ def job_t_saldos_iniciales_lite(ctx: JobContext) -> None:
         )
         .select(
             F.col("tti.id_pais"),
-            F.date_format(F.col("tti.fecha_inventario"), "yyyyMM").alias("id_periodo"),
+            period_yyyymm(F.col("tti.fecha_inventario")).alias("id_periodo"),
             F.col("tti.id_compania"),
             F.col("tti.id_sucursal"),
             F.col("ttid.id_almacen"),
@@ -811,7 +813,7 @@ def job_t_reparto_lite(ctx: JobContext) -> None:
         .join(F.broadcast(conformed).alias("mc"), "cod_compania", "inner")
         .select(
             F.col("mc.id_pais"),
-            F.date_format(F.col("tmi.fecha_almacen"), "yyyyMM").alias("id_periodo"),
+            period_yyyymm(F.col("tmi.fecha_almacen")).alias("id_periodo"),
             F.col("tmi.id_reparto"),
             surrogate_key(F.col("tmi.cod_compania"), F.col("tmi.cod_transportista")).alias(
                 "id_transportista"
@@ -1779,7 +1781,7 @@ def job_t_pedido_lite(ctx: JobContext) -> None:
             )
             .select(
                 F.col("c.id_pais"),
-                F.date_format(F.col("tp.fecha_pedido"), "yyyyMM").alias("id_periodo"),
+                period_yyyymm(F.col("tp.fecha_pedido")).alias("id_periodo"),
                 F.col("tp.cod_compania").alias("id_compania"),
                 surrogate_key(F.col("tp.cod_compania"), F.col("tp.cod_sucursal")).alias(
                     "id_sucursal"
@@ -2090,7 +2092,7 @@ def job_t_venta_lite(ctx: JobContext) -> None:
                 F.col("v.nro_documento_venta"),
             ).alias("id_venta"),
             F.col("c.id_pais").alias("id_pais"),
-            F.date_format(F.col("v.fecha_liquidacion"), "yyyyMM").alias("id_periodo"),
+            period_yyyymm(F.col("v.fecha_liquidacion")).alias("id_periodo"),
             F.col("v.cod_compania"),
             F.col("v.cod_sucursal"),
             # conformed dimension ids minted from the same row, exactly the
@@ -2263,7 +2265,7 @@ def job_t_visita_lite(ctx: JobContext) -> None:
         .join(F.broadcast(compania).alias("c"), ["cod_compania"], "inner")
         .select(
             F.col("c.id_pais").alias("id_pais"),
-            F.date_format(F.col("tvi.fecha_visita"), "yyyyMM").alias("id_periodo"),
+            period_yyyymm(F.col("tvi.fecha_visita")).alias("id_periodo"),
             surrogate_key(
                 F.date_format(F.col("tvi.fecha_visita"), "yyyyMMdd"),
                 F.col("tvi.cod_compania"),
@@ -2382,7 +2384,7 @@ def job_t_movimiento_inventario_lite(ctx: JobContext) -> None:
         )
         .select(
             F.col("c.id_pais").alias("id_pais"),
-            F.date_format(F.col("tmi.fecha_almacen"), "yyyyMM").alias("id_periodo"),
+            period_yyyymm(F.col("tmi.fecha_almacen")).alias("id_periodo"),
             F.col("tmi.id_movimiento_almacen").alias("id_movimiento_almacen"),
             F.col("tmi.id_movimiento_ingreso"),
             F.col("tmi.cod_compania").alias("id_compania_origen"),
@@ -2723,7 +2725,7 @@ def job_t_pedido_detalle_lite(ctx: JobContext) -> None:
         )
         .select(
             F.col("id_pais"),
-            F.date_format(F.col("fecha_pedido"), "yyyyMM").alias("id_periodo"),
+            period_yyyymm(F.col("fecha_pedido")).alias("id_periodo"),
             surrogate_key(
                 F.col("cod_compania"), F.col("cod_sucursal"),
                 F.col("cod_documento_transaccion"), F.col("nro_comprobante"),
@@ -2833,7 +2835,7 @@ def job_t_movimiento_inventario_detalle_lite(ctx: JobContext) -> None:
         )
         .select(
             F.col("b.id_pais"),
-            F.date_format(F.col("tmid.fecha_almacen"), "yyyyMM").alias("id_periodo"),
+            period_yyyymm(F.col("tmid.fecha_almacen")).alias("id_periodo"),
             F.col("tmid.cod_compania").alias("id_compania"),
             F.col("tmid.id_sucursal"),
             F.col("tmid.id_almacen"),

@@ -42,7 +42,9 @@ def period_filter(col: Column, periods: list[str]) -> Column:
     rng = col.cast("date").between(F.lit(lo), F.lit(hi))
     if _is_contiguous(periods):
         return rng
-    return rng & F.date_format(col, "yyyyMM").isin(periods)
+    # residual membership via integer date arithmetic — byte-identical to
+    # date_format(col,'yyyyMM') for 4-digit years, no per-row formatter
+    return rng & (F.year(col) * 100 + F.month(col)).cast("string").isin(periods)
 
 
 def magic_period_filter(col: Column, periods: list[str], pivot: str = "2008") -> Column:
@@ -63,7 +65,8 @@ def magic_period_filter(col: Column, periods: list[str], pivot: str = "2008") ->
     dec = (
         magic_dates.magic_2008_to_date if pivot == "2008" else magic_dates.magic_1900_to_date
     )
-    return rng & F.date_format(dec(col), "yyyyMM").isin(periods)
+    d = dec(col)
+    return rng & (F.year(d) * 100 + F.month(d)).cast("string").isin(periods)
 
 
 def _is_contiguous(periods: list[str]) -> bool:

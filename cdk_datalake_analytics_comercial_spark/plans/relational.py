@@ -20,7 +20,7 @@ from ..functions.transforms import (
     fn_transform_Concatenate,
 )
 from ..operators.relational import rolling_range_join, rolling_window, top1_per_group
-from .common import dmul2, dsum, dsum_to_double, t
+from .common import period_yyyymm, dmul2, dsum, dsum_to_double, t
 
 # --------------------------------------------------------------------------
 # A1/A2/P3 — hash aggregate with conditional measures (pricing summary).
@@ -88,7 +88,7 @@ def q_sales_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c_name"), F.lit("SIN CLIENTE")).alias("cliente"),
             F.coalesce(F.col("n_name"), F.lit("SIN NACION")).alias("nacion"),
             F.coalesce(F.col("r_name"), F.lit("SIN REGION")).alias("region"),
-            F.date_format(F.col("o_orderdate"), "yyyyMM").alias("id_periodo"),
+            period_yyyymm("o_orderdate").alias("id_periodo"),
             F.col("o_totalprice").cast("decimal(20,6)").cast("double").alias("imp_total"),
             F.when(F.col("o_orderstatus") == "F", F.lit(1))
             .otherwise(F.lit(0))
@@ -208,7 +208,7 @@ def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey, "inner")
         .groupBy(
             F.col("o_custkey").alias("custkey"),
-            F.date_format(F.col("o_orderdate"), "yyyyMM").alias("id_periodo"),
+            period_yyyymm("o_orderdate").alias("id_periodo"),
         )
         .agg(
             F.sum(
@@ -464,7 +464,7 @@ def q_monthly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_format("o_orderdate", "yyyy").alias("anio"),
-        F.date_format("o_orderdate", "yyyyMM").alias("id_periodo"),
+        period_yyyymm("o_orderdate").alias("id_periodo"),
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("_m_dec"))
     yearly = monthly.groupBy("anio").agg(F.sum("_m_dec").alias("_y_dec"))
     out = monthly.join(yearly, "anio", "inner").select(
@@ -782,7 +782,7 @@ def q_period_pruned_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     periods = ["199601", "199602", "199604"]  # gap: 199603 excluded
     return (
         o.filter(period_filter(F.col("o_orderdate"), periods))
-        .groupBy(F.date_format("o_orderdate", "yyyyMM").alias("id_periodo"))
+        .groupBy(period_yyyymm("o_orderdate").alias("id_periodo"))
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
             dsum(F.col("o_totalprice")).alias("total"),
