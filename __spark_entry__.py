@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
 every implemented operator from SURVEY.md §2 (plus the training-data
 extensions) as ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (sketch/UDF pipelines
-are intentionally rows-only — see plans.docs docstring).
+DuckDB-equivalent SQL for EVERY query — the sketch pipelines run in portable
+mode (md5-derived hashes, literal-injected constants) so the oracle rebuilds
+identical MinHash/SimHash/LSH/IVF sketches (see plans.docs docstring).
 """
 
 from __future__ import annotations
