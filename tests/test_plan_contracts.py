@@ -104,3 +104,24 @@ def test_emb_near_dup_never_collects_to_driver(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_scan_prunes_to_payload_columns(spark):
+    """The mapInPandas decode stages must not widen the parquet scan: only
+    (doc_id, text) reach the documents ReadSchema — lang/source/etc. stay
+    pruned even though the table carries them."""
+    for name in ("multimodal_features", "multimodal_audio", "multimodal_frames"):
+        plan = _plan(spark, name)
+        scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scan, name
+        assert "lang" not in scan[0] and "source" not in scan[0], (name, scan[0])
+        assert "doc_id" in scan[0] and "text" in scan[0]
+
+
+def test_embedding_scan_prunes_to_vector_columns(spark):
+    for name in ("emb_near_dup", "emb_lsh_topk", "emb_cosine_topk"):
+        plan = _plan(spark, name)
+        scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scans, name
+        for ln in scans:
+            assert "vec_id" in ln and "embedding" in ln, (name, ln)

@@ -88,3 +88,66 @@ def test_shingles_match_python_reference(spark):
     }
     for i, doc in enumerate(docs):
         assert got[i] == py_shingles(doc), f"doc {i}: {doc!r}"
+
+
+# ---------------------------------------------------------------------------
+# Codec properties (operators._codecs): pure functions, no Spark needed.
+
+import numpy as np
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+from cdk_datalake_analytics_comercial_spark.operators import _codecs as C
+
+_dims = _st.integers(min_value=1, max_value=16)
+
+
+@_given(_dims, _dims, _st.integers(min_value=0, max_value=2**32 - 1))
+@_settings(max_examples=30, deadline=None)
+def test_ppm_roundtrip(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(C.decode_ppm(C.encode_ppm(img)), img)
+
+
+@_given(_dims, _dims, _dims, _dims, _st.integers(min_value=0, max_value=2**32 - 1))
+@_settings(max_examples=30, deadline=None)
+def test_resize_nearest_shape_and_palette(w, h, tw, th, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = C.resize_nearest(img, tw, th)
+    assert out.shape == (th, tw, 3)
+    # nearest-neighbor invents no colors
+    src = {tuple(p) for p in img.reshape(-1, 3)}
+    assert {tuple(p) for p in out.reshape(-1, 3)} <= src
+
+
+@_given(_st.lists(_st.integers(min_value=1, max_value=6), min_size=1, max_size=5),
+        _st.integers(min_value=0, max_value=2**32 - 1))
+@_settings(max_examples=30, deadline=None)
+def test_ppm_stream_split_inverts_concat(sizes, seed):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for s in sizes:
+        img = rng.integers(0, 256, size=(s, s, 3), dtype=np.uint8)
+        frames.append(C.encode_ppm(img))
+    got = C.split_ppm_stream(b"".join(frames))
+    assert got == frames
+
+
+@_given(_st.lists(_st.integers(min_value=-32768, max_value=32767),
+                  min_size=1, max_size=400),
+        _st.sampled_from([8000, 16000, 44100]))
+@_settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_samples(samples, rate):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    decoded, got_rate = C.decode_wav(wav)
+    assert got_rate == rate
+    assert len(decoded) == len(samples)
+    assert np.allclose(decoded, np.array(samples) / 32768.0)
