@@ -13,6 +13,7 @@ numerically richest money surface):
 - fact_cliente_venta_lite     (analytics) — oracle over DOMAIN/ANALYTICS inputs
 - fact_kpi_lite               (analytics) — oracle over DOMAIN inputs
 - t_venta_detalle_lite        (domain)   — 33-aggregate money surface
+- fact_reparto_detalle_lite   (analytics) — 42-col dual-optional-join select
 """
 
 from __future__ import annotations
@@ -901,3 +902,134 @@ GROUP BY 1, 2
     # rides only the _pro buckets — already asserted value-wise in
     # test_runner_jobs; here we pin the money surface width
     assert len([c for c in sdf.columns if c.startswith("imp_")]) == 30
+
+
+# ===========================================================================
+# 5. fact_reparto_detalle — the delivery-detail projection over two optional
+#    joins: every column recomputed in SQL.
+# ===========================================================================
+
+_QTY = [
+    f"cant_cajavolumen_{n}{s}" if vol else f"cant_cajafisica_{n}{s}"
+    for n in ("ped", "asignado_ped", "desp")
+    for s in ("", "_pro")
+    for vol in (False, True)
+]
+
+_FRD_SQL = """
+SELECT c.id_pais, c.id_periodo, c.id_reparto, c.id_pedido, c.id_producto,
+       c.id_sucursal,
+       r.id_transportista, r.id_chofer, r.id_medio_transporte,
+       p.id_cliente, p.cod_cliente, p.id_origen_pedido, p.id_tipo_pedido,
+       p.id_fuerza_venta, p.id_vendedor, p.id_lista_precio, p.id_forma_pago,
+       p.desc_region, p.desc_subregion, p.desc_division,
+       p.cod_zona, p.cod_ruta, p.cod_modulo, p.nro_pedido_ref,
+       p.fecha_pedido, p.fecha_entrega,
+       r.fecha_orden_carga,
+       r.fecha_reparto AS fecha_movimiento_inventario,
+       c.fecha_liquidacion,
+       r.fecha_reparto AS fecha_almacen,
+       p.nro_pedido, r.estado_guia,
+       {qty},
+       c.cant_caja_fisica_ven AS cant_cajafisica_ven,
+       c.cant_caja_volumen_ven AS cant_cajavolumen_ven,
+       c.cant_caja_fisica_pro AS cant_cajafisica_pro,
+       c.cant_caja_volumen_pro AS cant_cajavolumen_pro,
+       c.fecha_creacion, c.fecha_modificacion
+FROM t_pedido_cumplimiento c
+LEFT JOIN t_pedido p ON p.id_pedido = c.id_pedido
+LEFT JOIN t_reparto r ON r.id_reparto = c.id_reparto
+WHERE c.id_periodo IN ({periods})
+"""
+
+
+def test_fact_reparto_detalle_duckdb_differential(spark, lake):
+    dom = lambda t: lake.table_path(Layer.DOMAIN, t)  # noqa: E731
+    d = dt.date
+    base_qty = {c: D("1.5") for c in _QTY}
+    cumpl_schema = (
+        "id_pais string, id_periodo string, id_reparto string, id_pedido string, "
+        "id_producto string, id_sucursal string, fecha_liquidacion date, "
+        + ", ".join(f"{c} decimal(38,12)" for c in _QTY)
+        + ", cant_caja_fisica_ven decimal(38,12), cant_caja_volumen_ven decimal(38,12)"
+        ", cant_caja_fisica_pro decimal(38,12), cant_caja_volumen_pro decimal(38,12)"
+        ", fecha_creacion timestamp, fecha_modificacion timestamp"
+    )
+
+    def cumpl_row(reparto, pedido, producto, periodo="202505"):
+        return (
+            "PE", periodo, reparto, pedido, producto, "10|01", d(2025, 5, 3),
+            *[base_qty[c] for c in _QTY],
+            D("2"), D("40"), D("0"), D("0"), TS, TS,
+        )
+
+    spark.createDataFrame(
+        [
+            cumpl_row("10|01|AL1|GRA|900", "PD1", "10|A1"),          # fully joined
+            cumpl_row(None, "PD1", "10|A2"),                          # undispatched
+            cumpl_row("10|01|AL1|GRA|901", "PDX", "10|A3"),           # orphan order
+            cumpl_row("10|01|AL1|GRA|900", "PD1", "10|A4", "202401"), # out of window
+        ],
+        cumpl_schema,
+    ).write.mode("overwrite").parquet(dom("t_pedido_cumplimiento"))
+    spark.createDataFrame(
+        [
+            ("PD1", "10|C1", "C1", "10|000", "10|TP1", "10|01|F1", "10|V9",
+             "10|LP1", "10|CP1", "REGION N", "SUB N", "DIV C", "Z1", "R1", "M1",
+             "SF1", d(2025, 5, 2), d(2025, 5, 4), "N1"),
+        ],
+        "id_pedido string, id_cliente string, cod_cliente string, "
+        "id_origen_pedido string, id_tipo_pedido string, id_fuerza_venta string, "
+        "id_vendedor string, id_lista_precio string, id_forma_pago string, "
+        "desc_region string, desc_subregion string, desc_division string, "
+        "cod_zona string, cod_ruta string, cod_modulo string, nro_pedido_ref string, "
+        "fecha_pedido date, fecha_entrega date, nro_pedido string",
+    ).write.mode("overwrite").parquet(dom("t_pedido"))
+    spark.createDataFrame(
+        [
+            ("10|01|AL1|GRA|900", "10|T7", "10|CH1", "10|V7", d(2025, 5, 2),
+             d(2025, 5, 3), "LIQ"),
+        ],
+        "id_reparto string, id_transportista string, id_chofer string, "
+        "id_medio_transporte string, fecha_orden_carga date, fecha_reparto date, "
+        "estado_guia string",
+    ).write.mode("overwrite").parquet(dom("t_reparto"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("analytics", "fact_reparto_detalle_lite", 1, periods=3)],
+        ANALYTICS_JOBS, mk,
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "fact_reparto_detalle")
+    ).toPandas()
+
+    con = duck_with_views(
+        {
+            "t_pedido_cumplimiento": dom("t_pedido_cumplimiento"),
+            "t_pedido": dom("t_pedido"),
+            "t_reparto": dom("t_reparto"),
+        }
+    )
+    qty = ",\n       ".join(f"c.{c}" for c in _QTY)
+    odf = con.sql(
+        _FRD_SQL.format(qty=qty, periods="'202503', '202504', '202505'")
+    ).df()
+    assert_match(sdf, odf, "fact_reparto_detalle")
+    # hand pins: the window filter dropped A4; the undispatched A2 row has a
+    # NULL delivery block but a full order block; the orphan-order A3 row
+    # has NULL order block but a real... no matching reparto row for 901 →
+    # NULL carrier too
+    assert len(sdf) == 3
+    by_prod = {r.id_producto: r for r in sdf.itertuples()}
+    assert by_prod["10|A1"].id_transportista == "10|T7"
+    assert by_prod["10|A1"].id_cliente == "10|C1"
+    assert pd.isna(by_prod["10|A2"].id_transportista)
+    assert by_prod["10|A2"].id_cliente == "10|C1"
+    assert pd.isna(by_prod["10|A3"].id_cliente)
