@@ -181,7 +181,11 @@ def cosine_pairs_blockdist(
         F.transform(
             F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
         ).alias("iv"),
-        F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).cast("int").alias("_b"),
+        # hash, not id % B: structured id spaces (all-even ids, strided
+        # ranges) would leave blocks empty and skew the block-pair groups
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_blocks))
+        .cast("int")
+        .alias("_b"),
     )
     replicated = scaled.select(
         "id",
