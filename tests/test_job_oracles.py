@@ -14,6 +14,7 @@ numerically richest money surface):
 - fact_kpi_lite               (analytics) — oracle over DOMAIN inputs
 - t_venta_detalle_lite        (domain)   — 33-aggregate money surface
 - fact_reparto_detalle_lite   (analytics) — 42-col dual-optional-join select
+- t_pedido_lite               (domain)   — dual-branch header ladders + ADES
 """
 
 from __future__ import annotations
@@ -1033,3 +1034,295 @@ def test_fact_reparto_detalle_duckdb_differential(spark, lake):
     assert pd.isna(by_prod["10|A2"].id_transportista)
     assert by_prod["10|A2"].id_cliente == "10|C1"
     assert pd.isna(by_prod["10|A3"].id_cliente)
+
+
+# ===========================================================================
+# 6. t_pedido — dual-branch order fact (main + ADES): header ladders (zona →
+#    división/región/subregión with DEFAULT coalescing), day-rate fx, the
+#    detail pre-agg OWNING the order identity (5-part id incl. client), the
+#    ADES anti-join union — every column recomputed in SQL.
+# ===========================================================================
+
+_TP_SK = "concat_ws('|', {})"
+
+
+def _sk(*cols):
+    return _TP_SK.format(", ".join(f"trim({c})" for c in cols))
+
+
+_TP_HDR = """
+  SELECT c.id_pais,
+         CAST(year(tp.fecha_pedido) * 100 + month(tp.fecha_pedido) AS VARCHAR) AS id_periodo,
+         tp.cod_compania AS id_compania,
+         {sk_suc} AS id_sucursal,
+         tp.{doc} AS cod_tipo_documento_pedido,
+         {sk_docped} AS id_documento_pedido,
+         {sk_origen} AS id_origen_pedido,
+         {sk_tipoped} AS id_tipo_pedido,
+         {sk_fv} AS id_fuerza_venta,
+         {sk_vend} AS id_vendedor,
+         CAST(NULL AS VARCHAR) AS id_supervisor,
+         CAST(NULL AS VARCHAR) AS id_jefe_venta,
+         {sk_fp} AS id_forma_pago,
+         COALESCE(mr.desc_region, 'REGION DEFAULT') AS desc_region,
+         COALESCE(msr.desc_subregion, 'SUBREGION DEFAULT') AS desc_subregion,
+         mcd.desc_division,
+         tp.cod_centro_distribucion AS cod_division,
+         tp.cod_zona_distribucion AS cod_zona,
+         tp.fecha_entrega, tp.fecha_pedido,
+         tp.fecha_pedido AS fecha_visita,
+         tp.fecha_creacion, tp.fecha_modificacion,
+         0 AS es_eliminado,
+         CASE WHEN mtc.cod_moneda = c.moneda_mn THEN 1 ELSE mtc.tc_venta END AS tipo_cambio_mn,
+         CASE WHEN mtc.cod_moneda IN ('DOL', 'USD') THEN 1 ELSE mtc.tc_venta END AS tipo_cambio_me
+  FROM {tbl} tp
+  JOIN compania c ON tp.cod_compania = c.cod_compania
+  LEFT JOIN m_zona mzo
+    ON mzo.cod_compania = tp.cod_compania AND mzo.cod_sucursal = tp.cod_sucursal
+   AND mzo.cod_zona = tp.cod_zona_distribucion
+  LEFT JOIN m_division mcd
+    ON mcd.cod_division = tp.cod_centro_distribucion
+   AND mcd.cod_compania = tp.cod_compania
+  LEFT JOIN m_region mr
+    ON mr.cod_pais = c.cod_pais AND mr.cod_region = mzo.cod_region
+  LEFT JOIN m_subregion msr
+    ON msr.cod_pais = c.cod_pais AND msr.cod_region = mzo.cod_region
+   AND msr.cod_subregion = mzo.cod_subregion
+  LEFT JOIN m_tipo_cambio mtc
+    ON mtc.fecha = tp.fecha_pedido AND mtc.cod_compania = tp.cod_compania
+   AND mtc.cod_moneda = c.moneda_mn
+  WHERE {doc_filter}
+    AND CAST(year(tp.fecha_pedido) * 100 + month(tp.fecha_pedido) AS VARCHAR) IN ({periods})
+"""
+
+_TP_DET = """
+  SELECT {sk_docped} AS id_documento_pedido,
+         {sk_cliente} AS id_cliente,
+         MAX({sk_nro}) AS nro_pedido,
+         MAX(cod_cliente) AS cod_cliente,
+         MAX({ruta}) AS cod_ruta,
+         MAX(cod_modulo) AS cod_modulo,
+         MAX({sk_lista}) AS id_lista_precio,
+         MAX({sk_pedido}) AS id_pedido,
+         MAX(CAST(NULL AS VARCHAR)) AS id_pedido_ref
+  FROM {tbl}
+  WHERE {doc_filter}
+  GROUP BY 1, 2
+"""
+
+_TP_COMBINED = """
+  SELECT tp.id_pais, tp.id_periodo, tpd.id_pedido, tpd.id_pedido_ref,
+         tp.id_compania, tp.id_sucursal, tp.cod_tipo_documento_pedido,
+         tpd.id_cliente, tpd.cod_cliente, tp.id_origen_pedido, tp.id_tipo_pedido,
+         tp.id_fuerza_venta, tp.id_vendedor, tp.id_supervisor, tp.id_jefe_venta,
+         tpd.id_lista_precio, tp.id_forma_pago, tp.desc_region, tp.desc_subregion,
+         tp.desc_division, tp.cod_division, tp.cod_zona, tpd.cod_ruta,
+         tpd.cod_modulo, tpd.nro_pedido, tp.fecha_pedido, tp.fecha_entrega,
+         tp.fecha_visita, tp.tipo_cambio_mn, tp.tipo_cambio_me,
+         tp.fecha_creacion, tp.fecha_modificacion, tp.es_eliminado
+  FROM {hdr} tp JOIN {det} tpd ON tpd.id_documento_pedido = tp.id_documento_pedido
+"""
+
+
+def _tp_oracle_sql(periods: str) -> str:
+    hdr_main = _TP_HDR.format(
+        tbl="t_documento_pedido", doc="cod_documento_pedido",
+        sk_suc=_sk("tp.cod_compania", "tp.cod_sucursal"),
+        sk_docped=_sk("tp.cod_compania", "tp.cod_sucursal",
+                      "tp.cod_documento_pedido", "tp.nro_documento_pedido"),
+        sk_origen=_sk("tp.cod_compania", "tp.cod_documento_pedido_origen"),
+        sk_tipoped=_sk("tp.cod_compania", "tp.cod_tipo_pedido"),
+        sk_fv=_sk("tp.cod_compania", "tp.cod_sucursal", "tp.cod_fuerza_venta"),
+        sk_vend=_sk("tp.cod_compania", "tp.cod_vendedor"),
+        sk_fp=_sk("tp.cod_compania", "tp.cod_condicion_pago"),
+        doc_filter="tp.cod_documento_pedido = '200'", periods=periods,
+    )
+    hdr_ades = _TP_HDR.format(
+        tbl="t_documento_pedido_ades", doc="cod_documento_transaccion",
+        sk_suc=_sk("tp.cod_compania", "tp.cod_sucursal"),
+        sk_docped=_sk("tp.cod_compania", "tp.cod_sucursal",
+                      "tp.cod_documento_transaccion", "tp.nro_comprobante"),
+        sk_origen=_sk("tp.cod_compania", "tp.cod_tipo_documento_origen"),
+        sk_tipoped=_sk("tp.cod_compania", "tp.cod_tipo_pedido"),
+        sk_fv=_sk("tp.cod_compania", "tp.cod_sucursal", "tp.cod_fuerza_venta"),
+        sk_vend=_sk("tp.cod_compania", "tp.cod_vendedor"),
+        sk_fp=_sk("tp.cod_compania", "tp.cod_condicion_pago"),
+        doc_filter="tp.cod_documento_transaccion IN ('200', '300')", periods=periods,
+    )
+    det_main = _TP_DET.format(
+        tbl="t_documento_pedido_detalle",
+        sk_docped=_sk("cod_compania", "cod_sucursal",
+                      "cod_documento_pedido", "nro_documento_pedido"),
+        sk_cliente=_sk("cod_compania", "cod_cliente"),
+        sk_nro=_sk("nro_documento_pedido", "cod_cliente"),
+        ruta="cod_ruta",
+        sk_lista=_sk("cod_compania", "cod_lista_precio"),
+        sk_pedido=_sk("cod_compania", "cod_sucursal", "cod_documento_pedido",
+                      "nro_documento_pedido", "cod_cliente"),
+        doc_filter="cod_documento_pedido = '200'",
+    )
+    det_ades = _TP_DET.format(
+        tbl="t_documento_pedido_ades_detalle",
+        sk_docped=_sk("cod_compania", "cod_sucursal",
+                      "cod_documento_transaccion", "nro_comprobante"),
+        sk_cliente=_sk("cod_compania", "cod_cliente"),
+        sk_nro=_sk("nro_comprobante", "cod_cliente"),
+        ruta="cod_ruta_distribucion",
+        sk_lista=_sk("cod_compania", "cod_lista_precios"),
+        sk_pedido=_sk("cod_compania", "cod_sucursal", "cod_documento_transaccion",
+                      "nro_comprobante", "cod_cliente"),
+        doc_filter="cod_documento_transaccion IN ('200', '300')",
+    )
+    return f"""
+WITH compania AS (
+  SELECT mc.cod_compania, mc.cod_pais, mp.id_pais, mpar.cod_moneda_mn AS moneda_mn
+  FROM m_compania mc
+  LEFT JOIN m_parametro mpar ON mpar.id_compania = mc.cod_compania
+  JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+), hdr_main AS ({hdr_main}
+), hdr_ades AS ({hdr_ades}
+), det_main AS ({det_main}
+), det_ades AS ({det_ades}
+), main AS ({_TP_COMBINED.format(hdr="hdr_main", det="det_main")}
+), extra AS ({_TP_COMBINED.format(hdr="hdr_ades", det="det_ades")}
+), unioned AS (
+  SELECT * FROM main
+  UNION ALL
+  SELECT * FROM extra e
+  WHERE NOT EXISTS (SELECT 1 FROM main m WHERE m.id_pedido = e.id_pedido)
+)
+SELECT *,
+       CAST(NULL AS VARCHAR) AS id_visita,
+       CAST(NULL AS VARCHAR) AS id_modelo_atencion,
+       CAST(NULL AS VARCHAR) AS nro_pedido_ref,
+       CAST(NULL AS VARCHAR) AS cod_tipo_atencion
+FROM unioned
+"""
+
+
+def test_t_pedido_duckdb_differential(spark, lake):
+    import datetime as _dt
+
+    d = _dt.date(2025, 5, 2)
+    ts = _dt.datetime(2025, 5, 2, 9)
+    hdr_ddl = (
+        "cod_compania string, cod_sucursal string, cod_cliente string, "
+        "cod_zona_distribucion string, fecha_pedido date, cod_tipo_pedido string, "
+        "cod_fuerza_venta string, cod_vendedor string, cod_condicion_pago string, "
+        "cod_centro_distribucion string, fecha_entrega date, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp"
+    )
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    # headers: P1 walks the live geography+fx ladder; P2 hits a zona whose
+    # subregion is absent (DEFAULT path) and a date with no rate row; PX is
+    # gated ('100'); P4 is out of window
+    spark.createDataFrame(
+        [
+            ("200", "P1", "AL1", "OR1", "10", "01", "C1", "Z1", d, "TP1", "F1",
+             "V9", "CP1", "D1", d, ts, ts),
+            ("200", "P2", "AL1", "OR1", "10", "01", "C2", "Z2", _dt.date(2025, 5, 6),
+             "TP1", "F1", "V9", "CP1", "D9", d, ts, ts),
+            ("100", "PX", "AL1", "OR1", "10", "01", "C1", "Z1", d, "TP1", "F1",
+             "V9", "CP1", "D1", d, ts, ts),
+            ("200", "P4", "AL1", "OR1", "10", "01", "C1", "Z1", _dt.date(2024, 1, 5),
+             "TP1", "F1", "V9", "CP1", "D1", d, ts, ts),
+        ],
+        "cod_documento_pedido string, nro_documento_pedido string, cod_almacen string, "
+        "cod_documento_pedido_origen string, " + hdr_ddl,
+    ).write.parquet(stage("t_documento_pedido"))
+    spark.createDataFrame(
+        [("200", "P2", "AL1", "OR2", "10", "01", "C2", "Z1", d, "TP1", "F1",
+          "V9", "CP1", "D1", d, ts, ts),        # overlaps main → anti-dropped
+         ("300", "P9", "AL1", "OR2", "10", "01", "C9", "Z1", d, "TP1", "F1",
+          "V9", "CP1", "D1", d, ts, ts)],       # ADES-only survives
+        "cod_documento_transaccion string, nro_comprobante string, "
+        "cod_almacen_emisor string, cod_tipo_documento_origen string, " + hdr_ddl,
+    ).write.parquet(stage("t_documento_pedido_ades"))
+    spark.createDataFrame(
+        [
+            # two lines, same (doc, client): collapse with max() attributes
+            ("10", "01", "200", "P1", "C1", "LP1", "R1", "M1"),
+            ("10", "01", "200", "P1", "C1", "LP1", "R7", "M1"),
+            # second CLIENT on the same document → its own order identity
+            ("10", "01", "200", "P1", "C5", "LP5", "R5", "M5"),
+            ("10", "01", "200", "P2", "C2", "LP2", "R2", "M2"),
+        ],
+        "cod_compania string, cod_sucursal string, cod_documento_pedido string, "
+        "nro_documento_pedido string, cod_cliente string, cod_lista_precio string, "
+        "cod_ruta string, cod_modulo string",
+    ).write.parquet(stage("t_documento_pedido_detalle"))
+    spark.createDataFrame(
+        [("10", "01", "200", "P2", "C2", "LP2", "R2", "M2"),
+         ("10", "01", "300", "P9", "C9", "LP9", "R9", "M9")],
+        "cod_compania string, cod_sucursal string, cod_documento_transaccion string, "
+        "nro_comprobante string, cod_cliente string, cod_lista_precios string, "
+        "cod_ruta_distribucion string, cod_modulo string",
+    ).write.parquet(stage("t_documento_pedido_ades_detalle"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", ts, ts)],
+        "cod_compania string, cod_pais string, desc_compania string, es_activo string, "
+        "fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+    spark.createDataFrame(
+        [("10", "PEN")], "id_compania string, cod_moneda_mn string"
+    ).write.parquet(stage("m_parametro"))
+    spark.createDataFrame(
+        [("10", "PEN", d, D("3.75"))],
+        "cod_compania string, cod_moneda string, fecha date, tc_venta decimal(12,6)",
+    ).write.parquet(stage("m_tipo_cambio"))
+    spark.createDataFrame(
+        [("10", "01", "Z1", "RG1", "SR1"), ("10", "01", "Z2", "RG1", "SR_MISSING")],
+        "cod_compania string, cod_sucursal string, cod_zona string, "
+        "cod_region string, cod_subregion string",
+    ).write.parquet(stage("m_zona"))
+    spark.createDataFrame(
+        [("PE", "RG1", "REGION NORTE")],
+        "cod_pais string, cod_region string, desc_region string",
+    ).write.parquet(stage("m_region"))
+    spark.createDataFrame(
+        [("PE", "RG1", "SR1", "SUBREGION UNO")],
+        "cod_pais string, cod_region string, cod_subregion string, desc_subregion string",
+    ).write.parquet(stage("m_subregion"))
+    spark.createDataFrame(
+        [("10", "D1", "DIVISION CENTRO")],
+        "cod_compania string, cod_division string, desc_division string",
+    ).write.parquet(stage("m_division"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves([JobConfig("domain", "t_pedido_lite", 1, periods=3)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_pedido")).toPandas()
+
+    con = duck_with_views(
+        {t: stage(t) for t in (
+            "t_documento_pedido", "t_documento_pedido_ades",
+            "t_documento_pedido_detalle", "t_documento_pedido_ades_detalle",
+            "m_compania", "m_parametro", "m_tipo_cambio", "m_zona", "m_region",
+            "m_subregion", "m_division",
+        )} | {"m_pais": stage("m_pais")}
+    )
+    odf = con.sql(_tp_oracle_sql("'202503', '202504', '202505'")).df()
+    assert_match(sdf, odf, "t_pedido")
+    # hand pins: two clients on P1 → two order rows; the overlap P2 came
+    # from MAIN (ruta R2 either way, but fx resolved: mn=1 through the PEN
+    # rate row on P1's date only); P2's date has no rate row → NULL fx;
+    # Z2's subregion falls back to the DEFAULT literal
+    rows = {r.id_pedido: r for r in sdf.itertuples()}
+    assert set(rows) == {
+        "10|01|200|P1|C1", "10|01|200|P1|C5", "10|01|200|P2|C2", "10|01|300|P9|C9",
+    }
+    assert rows["10|01|200|P1|C1"].cod_ruta == "R7"
+    assert rows["10|01|200|P1|C5"].id_lista_precio == "10|LP5"
+    assert float(rows["10|01|200|P1|C1"].tipo_cambio_mn) == 1.0
+    assert float(rows["10|01|200|P1|C1"].tipo_cambio_me) == 3.75
+    assert pd.isna(rows["10|01|200|P2|C2"].tipo_cambio_mn)
+    assert rows["10|01|200|P2|C2"].desc_subregion == "SUBREGION DEFAULT"
+    assert rows["10|01|200|P1|C1"].desc_subregion == "SUBREGION UNO"
