@@ -15,6 +15,8 @@ numerically richest money surface):
 - t_venta_detalle_lite        (domain)   — 33-aggregate money surface
 - fact_reparto_detalle_lite   (analytics) — 42-col dual-optional-join select
 - t_pedido_lite               (domain)   — dual-branch header ladders + ADES
+- t_venta_lite                (domain)   — flagship sales fact incl. the
+                                           inner company-bridge semantics
 """
 
 from __future__ import annotations
@@ -1326,3 +1328,138 @@ def test_t_pedido_duckdb_differential(spark, lake):
     assert pd.isna(rows["10|01|200|P2|C2"].tipo_cambio_mn)
     assert rows["10|01|200|P2|C2"].desc_subregion == "SUBREGION DEFAULT"
     assert rows["10|01|200|P1|C1"].desc_subregion == "SUBREGION UNO"
+
+
+# ===========================================================================
+# 7. t_venta — the flagship sales fact (this round's join-semantics fix):
+#    period+guard filters, INNER company bridge, geography ladder, fx
+#    resolution, the full id block — every column recomputed in SQL over
+#    the seed_stage universe (orphan company, CMD/refact guards, three
+#    currency cases).
+# ===========================================================================
+
+_TV_SQL = """
+WITH compania AS (
+  SELECT mc.cod_compania, mc.cod_pais, mp.id_pais, mpar.cod_moneda_mn AS moneda_mn
+  FROM m_compania mc
+  LEFT JOIN m_parametro mpar ON mpar.id_compania = mc.cod_compania
+  JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+), filtered AS (
+  SELECT * FROM t_documento_venta
+  WHERE CAST(year(fecha_liquidacion) * 100 + month(fecha_liquidacion) AS VARCHAR)
+        IN ({periods})
+    AND cod_documento_venta NOT IN ('CMD', 'RMD')
+    AND COALESCE(flg_facglob, 'F') = 'F'
+    AND COALESCE(flg_refact, 'F') = 'F'
+)
+SELECT
+  concat_ws('|', trim(v.cod_compania), trim(v.cod_sucursal), trim(v.cod_almacen),
+            trim(v.cod_documento_venta), trim(v.nro_documento_venta)) AS id_venta,
+  c.id_pais,
+  CAST(year(v.fecha_liquidacion) * 100 + month(v.fecha_liquidacion) AS VARCHAR)
+    AS id_periodo,
+  v.cod_compania, v.cod_sucursal,
+  concat_ws('|', trim(v.cod_compania), trim(v.cod_sucursal)) AS id_sucursal,
+  concat_ws('|', trim(v.cod_compania), trim(v.cod_cliente)) AS id_cliente,
+  concat_ws('|', trim(v.cod_compania), trim(v.cod_sucursal),
+            trim(v.cod_documento_pedido), trim(v.nro_documento_pedido),
+            trim(v.cod_cliente)) AS id_pedido,
+  concat_ws('|', trim(v.cod_compania), trim(v.cod_documento_venta),
+            trim(v.cod_procedimiento)) AS id_tipo_venta,
+  concat_ws('|', trim(v.cod_compania), trim(v.cod_sucursal),
+            trim(v.cod_fuerza_venta)) AS id_fuerza_venta,
+  concat_ws('|', trim(v.cod_compania), trim(v.cod_vendedor)) AS id_vendedor,
+  concat_ws('|', trim(v.cod_compania), trim(v.cod_supervisor)) AS id_supervisor,
+  CAST(NULL AS VARCHAR) AS id_jefe_venta,
+  concat_ws('|', trim(v.cod_compania), trim(v.cod_lista_precio)) AS id_lista_precio,
+  concat_ws('|', trim(v.cod_compania), trim(v.cod_documento_pedido)) AS id_tipo_documento,
+  concat_ws('|', trim(v.cod_compania), trim(v.cod_forma_pago)) AS id_forma_pago,
+  concat_ws('|', trim(v.cod_compania), trim(v.cod_motivo_rechazo)) AS id_motivo_rechazo,
+  CAST(NULL AS VARCHAR) AS id_motivo_nota_credito,
+  v.nro_comprobante AS nro_venta,
+  CAST(NULL AS VARCHAR) AS nro_venta_ref,
+  COALESCE(mr.desc_region, 'REGION DEFAULT') AS desc_region,
+  COALESCE(msr.desc_subregion, 'SUBREGION DEFAULT') AS desc_subregion,
+  mcd.desc_division,
+  v.cod_zona, v.cod_ruta, v.cod_modulo, v.cod_documento_venta,
+  v.nro_documento_venta, v.cod_cliente, v.cod_moneda,
+  CASE WHEN v.cod_estado_comprobante = '002' THEN 1 ELSE 0 END AS es_anulado,
+  v.fecha_pedido, v.fecha_creacion, v.fecha_modificacion,
+  CAST(COALESCE(
+    CASE WHEN v.cod_moneda = c.moneda_mn THEN CAST(1 AS DECIMAL(12,6))
+         ELSE CAST(mtc.tc_venta AS DECIMAL(12,6)) END,
+    CAST(v.tipo_cambio_mn AS DECIMAL(12,6))) AS DECIMAL(12,6)) AS tipo_cambio_mn,
+  CAST(COALESCE(
+    CASE WHEN v.cod_moneda IN ('DOL', 'USD') THEN CAST(1 AS DECIMAL(12,6))
+         ELSE CAST(mtc.tc_venta AS DECIMAL(12,6)) END,
+    CASE WHEN v.tipo_cambio_me = 0 THEN CAST(1 AS DECIMAL(12,6))
+         ELSE CAST(v.tipo_cambio_me AS DECIMAL(12,6)) END) AS DECIMAL(12,6))
+    AS tipo_cambio_me,
+  v.imp_venta, v.fecha_liquidacion, v.fecha_emision,
+  CASE WHEN v.cod_estado_comprobante = '002' THEN 1 ELSE 0 END AS es_eliminado
+FROM filtered v
+JOIN compania c ON v.cod_compania = c.cod_compania
+LEFT JOIN m_zona mzo
+  ON mzo.cod_compania = v.cod_compania AND mzo.cod_sucursal = v.cod_sucursal
+ AND mzo.cod_zona = v.cod_zona
+LEFT JOIN m_division mcd
+  ON mcd.cod_division = mzo.cod_zona AND mcd.cod_compania = mzo.cod_compania
+LEFT JOIN m_region mr
+  ON mr.cod_pais = c.cod_pais AND mr.cod_region = mzo.cod_region
+LEFT JOIN m_subregion msr
+  ON msr.cod_pais = c.cod_pais AND msr.cod_region = mzo.cod_region
+ AND msr.cod_subregion = mzo.cod_subregion
+LEFT JOIN m_tipo_cambio mtc
+  ON mtc.fecha = v.fecha_emision AND mtc.cod_compania = c.cod_compania
+ AND mtc.cod_moneda = c.moneda_mn
+"""
+
+
+def test_t_venta_duckdb_differential(spark, lake):
+    from test_runner_jobs import seed_stage, registry
+
+    seed_stage(spark, lake)
+    reg = registry()
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves([JobConfig("domain", "t_venta_lite", 1, periods=3)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_venta")).toPandas()
+
+    con = duckdb_con_tventa(lake)
+    odf = con.sql(_TV_SQL.format(periods="'202503', '202504', '202505'")).df()
+    assert_match(sdf, odf, "t_venta")
+    # the round's fix, pinned at the differential level too: the orphan
+    # company doc 0007 appears in NEITHER result (both drop it via inner)
+    assert not any("99|" in v for v in sdf["id_venta"])
+    assert len(sdf) == 3
+
+
+def duckdb_con_tventa(lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    con = duckdb.connect()
+    # m_compania is two stage instances (S2 union); m_subregion is absent
+    # (S3 empty fallback) — mirror both storage behaviors
+    con.sql(
+        "CREATE VIEW m_compania AS "
+        f"SELECT * FROM read_parquet('{stage('m_compania', 'pe01')}/**/*.parquet') "
+        "UNION ALL "
+        f"SELECT * FROM read_parquet('{stage('m_compania', 'cl01')}/**/*.parquet')"
+    )
+    con.sql(
+        "CREATE VIEW m_subregion AS SELECT CAST(NULL AS VARCHAR) AS cod_pais, "
+        "CAST(NULL AS VARCHAR) AS cod_region, CAST(NULL AS VARCHAR) AS cod_subregion, "
+        "CAST(NULL AS VARCHAR) AS desc_subregion WHERE false"
+    )
+    for t, inst in [
+        ("t_documento_venta", "pe01"), ("m_pais", "principal"),
+        ("m_parametro", "pe01"), ("m_tipo_cambio", "pe01"), ("m_zona", "pe01"),
+        ("m_region", "pe01"), ("m_division", "pe01"),
+    ]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{stage(t, inst)}/**/*.parquet')"
+        )
+    return con
