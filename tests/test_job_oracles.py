@@ -17,6 +17,8 @@ numerically richest money surface):
 - t_pedido_lite               (domain)   — dual-branch header ladders + ADES
 - t_venta_lite                (domain)   — flagship sales fact incl. the
                                            inner company-bridge semantics
+- fact_venta_detalle_lite     (analytics) — 58-col serving fact with the
+                                           whitelist-in-join + backfills
 """
 
 from __future__ import annotations
@@ -1463,3 +1465,162 @@ def duckdb_con_tventa(lake):
             f"read_parquet('{stage(t, inst)}/**/*.parquet')"
         )
     return con
+
+
+# ===========================================================================
+# 8. fact_venta_detalle — 58-col line-item serving fact: the VEN/EXP/OBS
+#    whitelist in the join condition, order-left geography backfills, /30
+#    conversions, the whole money surface.
+# ===========================================================================
+
+_FVD_MONEY = [
+    "imp_neto_vta_mn", "imp_neto_vta_me", "imp_bruto_vta_mn", "imp_bruto_vta_me",
+    "imp_dscto_mn", "imp_dscto_me", "imp_cobrar_vta_mn", "imp_cobrar_vta_me",
+    "imp_paquete_vta_mn", "imp_paquete_vta_me", "imp_sugerido_mn", "imp_sugerido_me",
+    "imp_full_vta_mn", "imp_full_vta_me", "imp_valorizado_pro_mn",
+    "imp_valorizado_pro_me",
+] + [f"imp_impuesto{i}_{c}" for i in range(1, 7) for c in ("mn", "me")]
+
+_FVD_SQL = """
+SELECT tv.id_pais, tv.id_periodo, tv.id_sucursal, tv.id_cliente, tvd.id_producto,
+       tv.id_vendedor, tv.id_supervisor, tv.id_forma_pago, tv.id_fuerza_venta,
+       tp.id_modelo_atencion, tv.id_lista_precio, tp.id_origen_pedido,
+       tv.id_tipo_venta, tv.id_venta, tv.id_pedido,
+       tv.fecha_emision, tv.fecha_liquidacion, tv.fecha_pedido,
+       tv.nro_venta, tp.nro_pedido,
+       COALESCE(tv.desc_region, tp.desc_region) AS desc_region,
+       COALESCE(tv.desc_subregion, tp.desc_subregion) AS desc_subregion,
+       COALESCE(tv.desc_division, tp.desc_division) AS desc_division,
+       COALESCE(tv.cod_zona, tp.cod_zona) AS cod_zona,
+       COALESCE(tv.cod_ruta, tp.cod_ruta) AS cod_ruta,
+       COALESCE(tv.cod_modulo, tp.cod_modulo) AS cod_modulo,
+       tvd.cant_caja_fisica_ven AS cant_cajafisica_vta,
+       CAST(tvd.cant_caja_volumen_ven / 30 AS DECIMAL(38,12)) AS cant_cajaunitaria_vta,
+       tvd.cant_caja_fisica_pro AS cant_cajafisica_pro,
+       CAST(tvd.cant_caja_volumen_pro / 30 AS DECIMAL(38,12)) AS cant_cajaunitaria_pro,
+       tvd.imp_desnimp_mn AS imp_dscto_sinimpvta_mn,
+       tvd.imp_desnimp_me AS imp_dscto_sinimpvta_me,
+       {money}
+FROM t_venta_detalle tvd
+JOIN t_venta tv ON tvd.id_venta = tv.id_venta
+JOIN m_tipo_venta mtv
+  ON tv.id_tipo_venta = mtv.id_tipo_venta
+ AND upper(mtv.cod_tipo_operacion) IN ('VEN', 'EXP', 'OBS')
+LEFT JOIN t_pedido tp ON tv.id_pedido = tp.id_pedido
+WHERE tv.es_eliminado = 0
+  AND tv.id_periodo IN ({periods}) AND tvd.id_periodo IN ({periods})
+"""
+
+
+def test_fact_venta_detalle_duckdb_differential(spark, lake):
+    dom = lambda t: lake.table_path(Layer.DOMAIN, t)  # noqa: E731
+    d = dt.date
+    # venta headers: VT1 with geography, VT2 with NULL geography (order
+    # backfills), VT3 deleted, VT4 on an excluded op type, VT5 with no order
+    spark.createDataFrame(
+        [
+            ("VT1", "PE", "202505", "10|01", "10|C1", "TV1", "PD1", "10|V9",
+             "10|S1", "10|FP1", "10|01|F1", "10|LP1", 0, d(2025, 5, 1),
+             d(2025, 5, 2), d(2025, 4, 30), "N1", "REG V", "SUB V", "DIV V",
+             "Z1", "R1", "M1"),
+            ("VT2", "PE", "202505", "10|01", "10|C2", "TV1", "PD1", "10|V9",
+             None, "10|FP1", "10|01|F1", "10|LP1", 0, d(2025, 5, 3),
+             d(2025, 5, 4), d(2025, 5, 1), "N2", None, None, None,
+             None, None, None),
+            ("VT3", "PE", "202505", "10|01", "10|C1", "TV1", "PD1", "10|V9",
+             "10|S1", "10|FP1", "10|01|F1", "10|LP1", 1, d(2025, 5, 1),
+             d(2025, 5, 2), d(2025, 4, 30), "N3", "REG V", "SUB V", "DIV V",
+             "Z1", "R1", "M1"),
+            ("VT4", "PE", "202505", "10|01", "10|C1", "TV2", "PD1", "10|V9",
+             "10|S1", "10|FP1", "10|01|F1", "10|LP1", 0, d(2025, 5, 1),
+             d(2025, 5, 2), d(2025, 4, 30), "N4", "REG V", "SUB V", "DIV V",
+             "Z1", "R1", "M1"),
+            ("VT5", "PE", "202505", "10|01", "10|C3", "TV1", "PDX", "10|V9",
+             "10|S1", "10|FP1", "10|01|F1", "10|LP1", 0, d(2025, 5, 1),
+             d(2025, 5, 2), d(2025, 4, 30), "N5", "REG V", "SUB V", "DIV V",
+             "Z1", "R1", "M1"),
+        ],
+        "id_venta string, id_pais string, id_periodo string, id_sucursal string, "
+        "id_cliente string, id_tipo_venta string, id_pedido string, "
+        "id_vendedor string, id_supervisor string, id_forma_pago string, "
+        "id_fuerza_venta string, id_lista_precio string, es_eliminado int, "
+        "fecha_emision date, fecha_liquidacion date, fecha_pedido date, "
+        "nro_venta string, desc_region string, desc_subregion string, "
+        "desc_division string, cod_zona string, cod_ruta string, cod_modulo string",
+    ).write.mode("overwrite").parquet(dom("t_venta"))
+    money_vals = {c: D(str(1 + i * 0.25)) for i, c in enumerate(_FVD_MONEY)}
+    det_ddl = (
+        "id_venta string, id_periodo string, id_producto string, "
+        "cant_caja_fisica_ven decimal(38,12), cant_caja_volumen_ven decimal(38,12), "
+        "cant_caja_fisica_pro decimal(38,12), cant_caja_volumen_pro decimal(38,12), "
+        "imp_desnimp_mn decimal(38,12), imp_desnimp_me decimal(38,12), "
+        + ", ".join(f"{c} decimal(38,12)" for c in _FVD_MONEY)
+    )
+
+    def det_row(venta, prod, periodo="202505"):
+        return (venta, periodo, prod, D("2"), D("60"), D("1"), D("45"),
+                D("3.5"), D("0.875"), *[money_vals[c] for c in _FVD_MONEY])
+
+    spark.createDataFrame(
+        [
+            det_row("VT1", "10|A1"),
+            det_row("VT2", "10|A2"),
+            det_row("VT3", "10|A1"),    # deleted header → excluded
+            det_row("VT4", "10|A1"),    # excluded op type
+            det_row("VT5", "10|A3"),    # orphan order → NULL tp block
+            det_row("VT1", "10|A9", "202401"),  # out-of-window detail line
+        ],
+        det_ddl,
+    ).write.mode("overwrite").parquet(dom("t_venta_detalle"))
+    spark.createDataFrame(
+        [
+            ("PD1", "MA1", "10|000", "P1|C1", "REG P", "SUB P", "DIV P",
+             "ZP", "RP", "MP"),
+        ],
+        "id_pedido string, id_modelo_atencion string, id_origen_pedido string, "
+        "nro_pedido string, desc_region string, desc_subregion string, "
+        "desc_division string, cod_zona string, cod_ruta string, cod_modulo string",
+    ).write.mode("overwrite").parquet(dom("t_pedido"))
+    spark.createDataFrame(
+        [("TV1", "ven"), ("TV2", "otr")],
+        "id_tipo_venta string, cod_tipo_operacion string",
+    ).write.mode("overwrite").parquet(dom("m_tipo_venta"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("analytics", "fact_venta_detalle_lite", 1, periods=3)],
+        ANALYTICS_JOBS, mk,
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "fact_venta_detalle")
+    ).toPandas()
+
+    con = duck_with_views(
+        {
+            "t_venta": dom("t_venta"),
+            "t_venta_detalle": dom("t_venta_detalle"),
+            "t_pedido": dom("t_pedido"),
+            "m_tipo_venta": dom("m_tipo_venta"),
+        }
+    )
+    money = ",\n       ".join(f"tvd.{c}" for c in _FVD_MONEY)
+    odf = con.sql(
+        _FVD_SQL.format(money=money, periods="'202503', '202504', '202505'")
+    ).df()
+    assert_match(sdf, odf, "fact_venta_detalle")
+    # pins: 3 surviving lines (VT1/A1, VT2/A2, VT5/A3); the sale's own
+    # territory wins on VT1, the order's backfills on VT2, NULLs on VT5
+    assert len(sdf) == 3
+    rows = {r.id_venta: r for r in sdf.itertuples()}
+    assert rows["VT1"].desc_region == "REG V" and rows["VT1"].cod_ruta == "R1"
+    assert rows["VT2"].desc_region == "REG P" and rows["VT2"].cod_ruta == "RP"
+    assert pd.isna(rows["VT5"].desc_region) or rows["VT5"].desc_region == "REG V"
+    assert rows["VT5"].desc_region == "REG V"  # sale carries its own
+    assert pd.isna(rows["VT5"].id_modelo_atencion)
+    assert float(rows["VT1"].cant_cajaunitaria_vta) == 2.0  # 60/30
