@@ -19,6 +19,7 @@ numerically richest money surface):
                                            inner company-bridge semantics
 - fact_venta_detalle_lite     (analytics) — 58-col serving fact with the
                                            whitelist-in-join + backfills
+- dim_cliente_lite            (analytics) — dim class: priority-ladder W1
 """
 
 from __future__ import annotations
@@ -1624,3 +1625,137 @@ def test_fact_venta_detalle_duckdb_differential(spark, lake):
     assert rows["VT5"].desc_region == "REG V"  # sale carries its own
     assert pd.isna(rows["VT5"].id_modelo_atencion)
     assert float(rows["VT1"].cant_cajaunitaria_vta) == 2.0  # 60/30
+
+
+# ===========================================================================
+# 9. dim_cliente — the dim-class representative: priority-ladder top-1
+#    assignment (W1 with the rank in the join condition), eje resolve, wide
+#    attribute passthrough; merge-upsert sink.
+# ===========================================================================
+
+_DIM_CLIENTE_SQL = """
+WITH enriched AS (
+  SELECT mam.id_cliente, mm.id_modulo, mam.frecuencia_visita, mam.periodo_visita,
+         mma.desc_modelo_atencion AS modelo_atencion, mm.fecha_creacion,
+         CASE mma.desc_modelo_atencion
+              WHEN 'Pre Venta' THEN 1 WHEN 'Especializado' THEN 2
+              WHEN 'Auto Venta' THEN 3 WHEN 'Televenta' THEN 4
+              ELSE 5 END AS orden_modelo
+  FROM m_asignacion_modulo mam
+  LEFT JOIN m_modulo mm ON mm.id_modulo = mam.id_modulo
+  LEFT JOIN m_modelo_atencion mma ON mma.id_modelo_atencion = mm.id_modelo_atencion
+  WHERE mam.es_activo = 1 AND mam.es_eliminado = 0
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_cliente
+             ORDER BY orden_modelo ASC, fecha_creacion DESC) AS orden
+  FROM enriched
+)
+SELECT c.id_cliente, c.id_pais, c.id_sucursal,
+       a.id_modulo AS id_estructura_comercial,
+       c.id_clasificacion_cliente, c.id_eje_territorial, c.id_lista_precio,
+       c.cod_cliente, c.nomb_cliente, c.cod_segmento, c.desc_subsegmento,
+       c.cod_cliente_ref, c.cod_cliente_ref2, c.cod_cliente_ref3,
+       c.cod_cliente_ref4, c.cod_tipo_cliente, c.cod_cuenta_clave,
+       c.nomb_cuenta_clave, c.desc_canal_local, c.desc_giro_local, c.direccion,
+       c.nro_documento, c.cod_cliente_principal, c.cod_cliente_transferencia,
+       met.cod_eje_territorial,
+       c.coord_x AS coordx, c.coord_y AS coordy,
+       a.modelo_atencion, a.frecuencia_visita, a.periodo_visita,
+       c.fecha_creacion, c.fecha_baja, c.estado
+FROM m_cliente c
+LEFT JOIN ranked a ON c.id_cliente = a.id_cliente AND a.orden = 1
+LEFT JOIN m_eje_territorial met
+  ON c.id_eje_territorial = met.id_eje_territorial
+"""
+
+
+def test_dim_cliente_duckdb_differential(spark, lake):
+    dom = lambda t: lake.table_path(Layer.DOMAIN, t)  # noqa: E731
+    d = dt.date
+    cli_attrs = ("SEG1", "SUBSEG", "RF1", "RF2", "RF3", "RF4", "T1", "CK",
+                 "CUENTA AJE", "BODEGA", "ABARROTES", "CALLE 1", "DOC1",
+                 "CPR", "CTR")
+    spark.createDataFrame(
+        [
+            ("10|C1", "PE", "10|01", "CL1", "PE|15074", "10|LP1", "C1",
+             "CLIENTE UNO", *cli_attrs, "-76.9", "-12.0", TS, None, "A"),
+            # no assignments at all → NULL best-assignment block
+            ("10|C2", "PE", "10|01", "CL1", "PE|15074", "10|LP1", "C2",
+             "CLIENTE DOS", *cli_attrs, "-76.9", "-12.0", TS, d(2025, 1, 1), "B"),
+            # eje pointer with no m_eje_territorial row → NULL cod
+            ("10|C3", "PE", "10|01", "CL1", "PE|99999", "10|LP1", "C3",
+             "CLIENTE TRES", *cli_attrs, None, None, TS, None, "A"),
+        ],
+        "id_cliente string, id_pais string, id_sucursal string, "
+        "id_clasificacion_cliente string, id_eje_territorial string, "
+        "id_lista_precio string, cod_cliente string, nomb_cliente string, "
+        "cod_segmento string, desc_subsegmento string, cod_cliente_ref string, "
+        "cod_cliente_ref2 string, cod_cliente_ref3 string, cod_cliente_ref4 string, "
+        "cod_tipo_cliente string, cod_cuenta_clave string, nomb_cuenta_clave string, "
+        "desc_canal_local string, desc_giro_local string, direccion string, "
+        "nro_documento string, cod_cliente_principal string, "
+        "cod_cliente_transferencia string, coord_x string, coord_y string, "
+        "fecha_creacion timestamp, fecha_baja date, estado string",
+    ).write.mode("overwrite").parquet(dom("m_cliente"))
+    spark.createDataFrame(
+        [
+            # C1: Televenta (prio 4, newest) vs Pre Venta (prio 1, older) →
+            # the LADDER must win over recency; plus an inactive row and a
+            # deleted row that the filters drop
+            ("10|C1", "MODT", 1, 0, "F7", "P7"),
+            ("10|C1", "MODP", 1, 0, "F1", "P1"),
+            ("10|C1", "MODX", 0, 0, "F9", "P9"),   # inactive
+            ("10|C1", "MODP", 1, 1, "F8", "P8"),   # deleted
+            # C3: module whose model is unknown → otherwise(5) priority
+            ("10|C3", "MODU", 1, 0, "F3", "P3"),
+        ],
+        "id_cliente string, id_modulo string, es_activo int, es_eliminado int, "
+        "frecuencia_visita string, periodo_visita string",
+    ).write.mode("overwrite").parquet(dom("m_asignacion_modulo"))
+    spark.createDataFrame(
+        [
+            ("MODP", "MA_P", dt.datetime(2025, 1, 1, 8)),
+            ("MODT", "MA_T", dt.datetime(2025, 4, 1, 8)),
+            ("MODU", "MA_U", dt.datetime(2025, 2, 1, 8)),
+        ],
+        "id_modulo string, id_modelo_atencion string, fecha_creacion timestamp",
+    ).write.mode("overwrite").parquet(dom("m_modulo"))
+    spark.createDataFrame(
+        [("MA_P", "Pre Venta"), ("MA_T", "Televenta")],  # MA_U absent → prio 5
+        "id_modelo_atencion string, desc_modelo_atencion string",
+    ).write.mode("overwrite").parquet(dom("m_modelo_atencion"))
+    spark.createDataFrame(
+        [("PE|15074", "15074")],
+        "id_eje_territorial string, cod_eje_territorial string",
+    ).write.mode("overwrite").parquet(dom("m_eje_territorial"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("analytics", "dim_cliente_lite", 1, periods=2)], ANALYTICS_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "dim_cliente")).toPandas()
+
+    con = duck_with_views(
+        {t: dom(t) for t in (
+            "m_cliente", "m_asignacion_modulo", "m_modulo", "m_modelo_atencion",
+            "m_eje_territorial",
+        )}
+    )
+    odf = con.sql(_DIM_CLIENTE_SQL).df()
+    assert_match(sdf, odf, "dim_cliente")
+    rows = {r.id_cliente: r for r in sdf.itertuples()}
+    # the priority ladder beat recency: Pre Venta (older) wins over Televenta
+    assert rows["10|C1"].id_estructura_comercial == "MODP"
+    assert rows["10|C1"].modelo_atencion == "Pre Venta"
+    assert pd.isna(rows["10|C2"].id_estructura_comercial)
+    # unknown model → otherwise(5) but still the only assignment → kept
+    assert rows["10|C3"].id_estructura_comercial == "MODU"
+    assert pd.isna(rows["10|C3"].modelo_atencion)
+    assert rows["10|C1"].cod_eje_territorial == "15074"
+    assert pd.isna(rows["10|C3"].cod_eje_territorial)
