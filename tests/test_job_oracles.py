@@ -20,6 +20,7 @@ numerically richest money surface):
 - fact_venta_detalle_lite     (analytics) — 58-col serving fact with the
                                            whitelist-in-join + backfills
 - dim_cliente_lite            (analytics) — dim class: priority-ladder W1
+- m_estructura_comercial_lite (domain)   — hierarchy class: 5-level union
 """
 
 from __future__ import annotations
@@ -1759,3 +1760,146 @@ def test_dim_cliente_duckdb_differential(spark, lake):
     assert pd.isna(rows["10|C3"].modelo_atencion)
     assert rows["10|C1"].cod_eje_territorial == "15074"
     assert pd.isna(rows["10|C3"].cod_eje_territorial)
+
+
+# ===========================================================================
+# 10. m_estructura_comercial — the hierarchy-union class: five adjacency
+#     levels (ruta → zona → división → subregión → región) unioned +
+#     distinct, división recovering its geography through the DISTINCT zona
+#     context, injected-clock stamps.
+# ===========================================================================
+
+_MEC_SQL = """
+WITH conformed AS (
+  SELECT mc.cod_compania, mp.id_pais
+  FROM m_compania mc JOIN m_pais mp ON mp.cod_pais = mc.cod_pais
+), zona_geo AS (
+  SELECT DISTINCT cod_compania, cod_sucursal, cod_centro_distribucion,
+         cod_subregion, cod_region
+  FROM m_zona
+), levels AS (
+  SELECT concat_ws('|', trim(n.cod_compania), trim(n.cod_sucursal),
+                   trim(n.cod_fuerza_venta), trim(n.cod_ruta)) AS id_estructura_comercial,
+         c.id_pais,
+         concat_ws('|', trim(n.cod_compania), trim(n.cod_sucursal)) AS id_sucursal,
+         concat_ws('|', trim(n.cod_compania), trim(n.cod_sucursal),
+                   trim(n.cod_zona)) AS id_estructura_comercial_padre,
+         concat_ws('|', trim(n.cod_compania), trim(n.cod_vendedor)) AS id_responsable_comercial,
+         CAST(n.cod_ruta AS VARCHAR) AS cod_estructura_comercial,
+         n.desc_ruta AS nomb_estructura_comercial,
+         'Ruta' AS cod_tipo_estructura_comercial, n.es_activo AS estado
+  FROM m_ruta n JOIN conformed c ON n.cod_compania = c.cod_compania
+  UNION ALL
+  SELECT concat_ws('|', trim(n.cod_compania), trim(n.cod_sucursal), trim(n.cod_zona)),
+         c.id_pais,
+         concat_ws('|', trim(n.cod_compania), trim(n.cod_sucursal)),
+         concat_ws('|', trim(n.cod_compania), trim(n.cod_sucursal), trim(n.cod_region),
+                   trim(n.cod_subregion), trim(n.cod_centro_distribucion)),
+         concat_ws('|', trim(n.cod_compania), trim(n.cod_supervisor)),
+         CAST(n.cod_zona AS VARCHAR), n.desc_zona, 'Zona', n.es_activo
+  FROM m_zona n JOIN conformed c ON n.cod_compania = c.cod_compania
+  UNION ALL
+  SELECT concat_ws('|', trim(n.cod_compania), trim(g.cod_sucursal), trim(g.cod_region),
+                   trim(g.cod_subregion), trim(n.cod_division)),
+         c.id_pais,
+         concat_ws('|', trim(n.cod_compania), trim(g.cod_sucursal)),
+         concat_ws('|', trim(c.id_pais), trim(g.cod_region), trim(g.cod_subregion)),
+         concat_ws('|', trim(n.cod_compania), trim(n.cod_jefe_venta)),
+         CAST(trim(n.cod_division) AS VARCHAR), n.desc_division, 'División', n.es_activo
+  FROM m_division n
+  JOIN zona_geo g ON n.cod_compania = g.cod_compania
+                 AND n.cod_division = g.cod_centro_distribucion
+  JOIN conformed c ON n.cod_compania = c.cod_compania
+  UNION ALL
+  SELECT concat_ws('|', trim(mp.id_pais), trim(n.cod_region), trim(n.cod_subregion)),
+         mp.id_pais, CAST(NULL AS VARCHAR),
+         concat_ws('|', trim(mp.id_pais), trim(n.cod_region)),
+         CAST(NULL AS VARCHAR),
+         CAST(trim(n.cod_subregion) AS VARCHAR), n.desc_subregion, 'Subregión', n.es_activo
+  FROM m_subregion n JOIN m_pais mp ON mp.cod_pais = n.cod_pais
+  UNION ALL
+  SELECT concat_ws('|', trim(mp.id_pais), trim(n.cod_region)),
+         mp.id_pais, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR),
+         CAST(trim(n.cod_region) AS VARCHAR), n.desc_region, 'Región', n.es_activo
+  FROM m_region n JOIN m_pais mp ON mp.cod_pais = n.cod_pais
+)
+SELECT DISTINCT *, DATE '{as_of}' AS fecha_creacion, DATE '{as_of}' AS fecha_modificacion
+FROM levels
+"""
+
+
+def test_m_estructura_comercial_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    reg = SchemaRegistry({})
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS), ("99", "XX", "GHOST", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+    spark.createDataFrame(
+        [
+            ("10", "01", "F1", "RT1", "Z1", "V9", "RUTA UNO", "T"),
+            ("10", "01", "F1", "RT1", "Z1", "V9", "RUTA UNO", "T"),  # dup → distinct
+            ("99", "01", "F1", "RT9", "Z1", "V9", "RUTA GHOST", "T"),  # orphan pais
+        ],
+        "cod_compania string, cod_sucursal string, cod_fuerza_venta string, "
+        "cod_ruta string, cod_zona string, cod_vendedor string, desc_ruta string, "
+        "es_activo string",
+    ).write.parquet(stage("m_ruta"))
+    spark.createDataFrame(
+        [
+            ("10", "01", "Z1", "RG1", "SR1", "D1", "SUP1", "ZONA UNO", "T"),
+            ("10", "01", "Z2", "RG1", "SR1", "D1", "SUP2", "ZONA DOS", "T"),
+        ],
+        "cod_compania string, cod_sucursal string, cod_zona string, "
+        "cod_region string, cod_subregion string, cod_centro_distribucion string, "
+        "cod_supervisor string, desc_zona string, es_activo string",
+    ).write.parquet(stage("m_zona"))
+    spark.createDataFrame(
+        [("10", "D1", "JV1", "DIVISION UNO", "T"),
+         ("10", "DX", "JV1", "DIVISION HUERFANA", "T")],  # no zona context → dropped
+        "cod_compania string, cod_division string, cod_jefe_venta string, "
+        "desc_division string, es_activo string",
+    ).write.parquet(stage("m_division"))
+    spark.createDataFrame(
+        [("PE", "RG1", "SR1", "SUBREGION UNO", "T")],
+        "cod_pais string, cod_region string, cod_subregion string, "
+        "desc_subregion string, es_activo string",
+    ).write.parquet(stage("m_subregion"))
+    spark.createDataFrame(
+        [("PE", "RG1", "REGION UNO", "T")],
+        "cod_pais string, cod_region string, desc_region string, es_activo string",
+    ).write.parquet(stage("m_region"))
+
+    def mk(cfg):
+        return JobContext(spark=spark, catalog=lake, registry=reg, config=cfg, as_of=AS_OF)
+
+    res = run_waves(
+        [JobConfig("domain", "m_estructura_comercial_lite", 1)], DOMAIN_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "m_estructura_comercial")
+    ).toPandas()
+
+    con = duck_with_views(
+        {t: stage(t) for t in (
+            "m_compania", "m_pais", "m_ruta", "m_zona", "m_division",
+            "m_subregion", "m_region",
+        )}
+    )
+    odf = con.sql(_MEC_SQL.format(as_of=AS_OF.isoformat())).df()
+    assert_match(sdf, odf, "m_estructura_comercial")
+    # pins: 1 ruta (dup collapsed, ghost-company row dropped) + 2 zonas +
+    # 1 división (orphan DX dropped) + 1 subregión + 1 región = 6 nodes;
+    # the división recovered its geography through the DISTINCT zona context
+    assert len(sdf) == 6
+    tipos = sdf.groupby("cod_tipo_estructura_comercial").size().to_dict()
+    assert tipos == {"División": 1, "Región": 1, "Ruta": 1, "Subregión": 1, "Zona": 2}
+    div = sdf[sdf.cod_tipo_estructura_comercial.eq("División")].iloc[0]
+    assert div["id_estructura_comercial"] == "10|01|RG1|SR1|D1"
+    assert div["id_estructura_comercial_padre"] == "PE|RG1|SR1"
