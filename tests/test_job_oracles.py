@@ -1903,3 +1903,185 @@ def test_m_estructura_comercial_duckdb_differential(spark, lake):
     div = sdf[sdf.cod_tipo_estructura_comercial.eq("División")].iloc[0]
     assert div["id_estructura_comercial"] == "10|01|RG1|SR1|D1"
     assert div["id_estructura_comercial_padre"] == "PE|RG1|SR1"
+
+
+# ===========================================================================
+# 11. fact_venta_cliente_historico — the historic client-sales rollup
+#     (`code/analytics/fact_venta_cliente_historico.py:27-147`): detail ⋈
+#     header ⋈ (left) order ⋈ sales-type dim with the VEN/EXP whitelist
+#     INSIDE the join condition, max(coalesce(header, order)) territory
+#     backfills, 34-measure decimal surface with the /30 conversions —
+#     recomputed column-for-column from the DOMAIN universe.
+# ===========================================================================
+
+_FVCH_SUMS = [
+    "imp_neto_vta_mn", "imp_neto_vta_me", "imp_bruto_vta_mn", "imp_bruto_vta_me",
+    "imp_dscto_mn", "imp_dscto_me", "imp_cobrar_vta_mn", "imp_cobrar_vta_me",
+    "imp_paquete_vta_mn", "imp_paquete_vta_me", "imp_sugerido_mn", "imp_sugerido_me",
+    "imp_full_vta_mn", "imp_full_vta_me", "imp_valorizado_pro_mn",
+    "imp_valorizado_pro_me",
+]
+_FVCH_TAXES = [f"imp_impuesto{i}_{c}" for i in range(1, 7) for c in ("mn", "me")]
+# fixture measure order: 4 quantities, 2 desnimp, 16 sums, 12 taxes
+_FVCH_MEASURES = [
+    "cant_caja_fisica_ven", "cant_caja_volumen_ven",
+    "cant_caja_fisica_pro", "cant_caja_volumen_pro",
+    "imp_desnimp_mn", "imp_desnimp_me",
+] + _FVCH_SUMS + _FVCH_TAXES
+
+_FVCH_SQL = """
+WITH venta AS (
+  SELECT * FROM t_venta WHERE id_periodo IN ({periods})
+), detalle AS (
+  SELECT * FROM t_venta_detalle WHERE id_periodo IN ({periods})
+)
+SELECT tv.id_pais, tv.id_periodo, tv.id_sucursal, tv.id_cliente,
+       tvd.id_producto, tv.id_forma_pago, tv.id_lista_precio,
+       CAST(strptime(tv.id_periodo || '01', '%Y%m%d') AS DATE) AS fecha_liquidacion,
+       MAX(COALESCE(tv.desc_region, tp.desc_region)) AS desc_region,
+       MAX(COALESCE(tv.desc_subregion, tp.desc_subregion)) AS desc_subregion,
+       MAX(COALESCE(tv.desc_division, tp.desc_division)) AS desc_division,
+       MAX(COALESCE(tv.cod_zona, tp.cod_zona)) AS cod_zona,
+       MAX(COALESCE(tv.cod_ruta, tp.cod_ruta)) AS cod_ruta,
+       MAX(COALESCE(tv.cod_modulo, tp.cod_modulo)) AS cod_modulo,
+       CAST(SUM(tvd.cant_caja_fisica_ven) AS DECIMAL(38,12)) AS cant_cajafisica_vta,
+       CAST(SUM(tvd.cant_caja_volumen_ven) / 30 AS DECIMAL(38,12)) AS cant_cajaunitaria_vta,
+       CAST(SUM(tvd.cant_caja_fisica_pro) AS DECIMAL(38,12)) AS cant_cajafisica_pro,
+       CAST(SUM(tvd.cant_caja_volumen_pro) / 30 AS DECIMAL(38,12)) AS cant_cajaunitaria_pro,
+       CAST(SUM(tvd.imp_desnimp_mn) AS DECIMAL(38,12)) AS imp_dscto_sinimpvta_mn,
+       CAST(SUM(tvd.imp_desnimp_me) AS DECIMAL(38,12)) AS imp_dscto_sinimpvta_me,
+       {sum_out}
+FROM detalle tvd
+JOIN venta tv ON tvd.id_venta = tv.id_venta
+LEFT JOIN t_pedido tp ON tv.id_pedido = tp.id_pedido
+JOIN m_tipo_venta mtv
+  ON tv.id_tipo_venta = mtv.id_tipo_venta
+ AND upper(mtv.cod_tipo_operacion) IN ('VEN', 'EXP')
+WHERE tv.es_eliminado = 0
+GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+"""
+
+
+def test_fact_venta_cliente_historico_duckdb_differential(spark, lake):
+    dom = lambda t: lake.table_path(Layer.DOMAIN, t)  # noqa: E731
+
+    def dline(id_venta, periodo, producto, i):
+        vals = []
+        for j, name in enumerate(_FVCH_MEASURES):
+            if name in ("cant_caja_volumen_ven", "cant_caja_volumen_pro"):
+                # multiples of 3 so the /30 conversion is exact in any scale
+                vals.append(D(str(3 * ((i + 1) * 10 + j))))
+            else:
+                vals.append(D(f"{(i + 1) * 100 + j}.25"))
+        return (id_venta, periodo, producto, *vals)
+
+    detalle = [
+        dline("V1", "202503", "P1", 0),
+        dline("V1", "202503", "P1", 1),    # same group → summed
+        dline("V1", "202503", "P2", 2),    # second product group
+        dline("V1", "202401", "P1", 3),    # detail out of window → dropped
+        dline("V2", "202504", "P1", 4),
+        dline("V3", "202505", "P1", 5),    # header op 'DEV' → whitelist drop
+        dline("V3B", "202505", "P1", 10),  # header op NULL → whitelist drop
+        dline("V4", "202505", "P1", 6),    # deleted header → dropped
+        dline("V5", "202505", "P3", 7),    # merges with V7's line
+        dline("V7", "202505", "P3", 8),    # same 7-key group as V5
+        dline("V6", "202401", "P1", 9),    # out-of-window header
+    ]
+    det_schema = (
+        "id_venta string, id_periodo string, id_producto string, "
+        + ", ".join(f"{c} decimal(38,12)" for c in _FVCH_MEASURES)
+    )
+    # id_venta, id_pedido, id_pais, id_periodo, id_sucursal, id_cliente,
+    # id_forma_pago, id_lista_precio, id_tipo_venta, es_eliminado,
+    # desc_region, desc_subregion, desc_division, cod_zona, cod_ruta, cod_modulo
+    venta = [
+        # all-NULL territory → every attr backfills from order PD1
+        ("V1", "PD1", "PE", "202503", "S1", "C1", "FP1", "LP1", "TV1", 0,
+         None, None, None, None, None, None),
+        # order id unknown → left-join misses; header's own attrs survive,
+        # the NULL subregion stays NULL
+        ("V2", "PDX", "PE", "202504", "S1", "C1", "FP1", "LP1", "TV2", 0,
+         "SUR", None, "DIVS", "ZS1", "RS1", "MS1"),
+        ("V3", "PD1", "PE", "202505", "S1", "C1", "FP1", "LP1", "TV3", 0,
+         "X", "X", "X", "X", "X", "X"),
+        ("V3B", "PD1", "PE", "202505", "S1", "C1", "FP1", "LP1", "TV4", 0,
+         "X", "X", "X", "X", "X", "X"),
+        ("V4", "PD1", "PE", "202505", "S1", "C2", "FP1", "LP1", "TV1", 1,
+         "X", "X", "X", "X", "X", "X"),
+        # V5/V7 share the 7-key group: per-attr max over coalesce results —
+        # OESTE beats ANDES, V5's own SUBS beats V7's PD2-backfilled SUBE
+        ("V5", "PD2", "PE", "202505", "S2", "C2", "FP2", "LP2", "TV1", 0,
+         "OESTE", "SUBS", None, "ZV5", None, "MV5"),
+        ("V7", "PD2", "PE", "202505", "S2", "C2", "FP2", "LP2", "TV1", 0,
+         "ANDES", None, "DIVV7", None, "RV7", None),
+        ("V6", "PD1", "PE", "202401", "S1", "C1", "FP1", "LP1", "TV1", 0,
+         "X", "X", "X", "X", "X", "X"),
+    ]
+    venta_schema = (
+        "id_venta string, id_pedido string, id_pais string, id_periodo string, "
+        "id_sucursal string, id_cliente string, id_forma_pago string, "
+        "id_lista_precio string, id_tipo_venta string, es_eliminado int, "
+        "desc_region string, desc_subregion string, desc_division string, "
+        "cod_zona string, cod_ruta string, cod_modulo string"
+    )
+    pedido = [
+        ("PD1", "NORTE", "SUBN", "DIVN", "ZP1", "RP1", "MP1"),
+        ("PD2", "ESTE", "SUBE", "DIVE", "ZP2", "RP2", "MP2"),
+    ]
+    pedido_schema = (
+        "id_pedido string, desc_region string, desc_subregion string, "
+        "desc_division string, cod_zona string, cod_ruta string, cod_modulo string"
+    )
+    tipo_venta = [
+        ("TV1", "VEN"), ("TV2", "exp"), ("TV3", "DEV"), ("TV4", None),
+    ]
+    spark.createDataFrame(detalle, det_schema).write.parquet(dom("t_venta_detalle"))
+    spark.createDataFrame(venta, venta_schema).write.parquet(dom("t_venta"))
+    spark.createDataFrame(pedido, pedido_schema).write.parquet(dom("t_pedido"))
+    spark.createDataFrame(
+        tipo_venta, "id_tipo_venta string, cod_tipo_operacion string"
+    ).write.parquet(dom("m_tipo_venta"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("analytics", "fact_venta_cliente_historico_lite", 1, periods=3)],
+        ANALYTICS_JOBS, mk,
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "fact_venta_cliente_historico")
+    ).toPandas()
+
+    con = duck_with_views({t: dom(t) for t in (
+        "t_venta", "t_venta_detalle", "t_pedido", "m_tipo_venta",
+    )})
+    sum_out = ",\n       ".join(
+        f"CAST(SUM(tvd.{c}) AS DECIMAL(38,12)) AS {c}"
+        for c in _FVCH_SUMS + _FVCH_TAXES
+    )
+    odf = con.sql(
+        _FVCH_SQL.format(periods="'202503', '202504', '202505'", sum_out=sum_out)
+    ).df()
+    assert_match(sdf, odf, "fact_venta_cliente_historico")
+
+    # hand-computed pins: 4 surviving groups
+    assert len(sdf) == 4
+    g1 = sdf[(sdf.id_periodo == "202503") & (sdf.id_producto == "P1")].iloc[0]
+    # lines i=0,1: fisica_ven 100.25 + 200.25; volumen_ven 33 + 63 → 96/30
+    assert float(g1["cant_cajafisica_vta"]) == 300.50
+    assert float(g1["cant_cajaunitaria_vta"]) == 3.2
+    # every territory attr backfilled through the order left join
+    assert g1["desc_region"] == "NORTE" and g1["cod_modulo"] == "MP1"
+    g3 = sdf[sdf.id_periodo == "202504"].iloc[0]
+    assert g3["desc_region"] == "SUR" and g3["desc_subregion"] is None
+    g4 = sdf[sdf.id_producto == "P3"].iloc[0]
+    assert g4["desc_region"] == "OESTE"      # max(OESTE, ANDES)
+    assert g4["desc_subregion"] == "SUBS"    # own beats backfill in max
+    assert g4["desc_division"] == "DIVV7"    # max(PD2's DIVE, V7's own DIVV7)
+    assert g4["fecha_liquidacion"] == dt.date(2025, 5, 1)
