@@ -2085,3 +2085,252 @@ def test_fact_venta_cliente_historico_duckdb_differential(spark, lake):
     assert g4["desc_subregion"] == "SUBS"    # own beats backfill in max
     assert g4["desc_division"] == "DIVV7"    # max(PD2's DIVE, V7's own DIVV7)
     assert g4["fecha_liquidacion"] == dt.date(2025, 5, 1)
+
+
+# ===========================================================================
+# 12. t_movimiento_inventario_detalle — the widest domain job (52-column
+#     serving surface, `code/domain/t_movimiento_inventario_detalle.py:
+#     26-236`): operation-direction signing from the warehouse-doc master,
+#     directional ingreso/salida splits, PLI+GRA transit gate, REV kardex
+#     fallback, zero-package guard on package→case totals, CPM valuation
+#     with the zero-rate guard (precio_me) vs NULLIF (valorizado_me) —
+#     recomputed column-for-column from the STAGE universe.
+# ===========================================================================
+
+_TMID_SQL = """
+WITH bridge AS (
+  SELECT mc.cod_compania, mp.id_pais, mpar.cod_moneda_mn AS moneda_mn
+  FROM m_compania mc
+  JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+  LEFT JOIN m_parametro mpar ON mpar.id_compania = mc.cod_compania
+), base AS (
+  SELECT b.id_pais, strftime(t.fecha_almacen, '%Y%m') AS id_periodo,
+         t.cod_compania AS id_compania, t.id_sucursal, t.id_almacen,
+         t.id_articulo, t.id_movimiento_almacen, t.fecha_almacen,
+         t.cod_documento_transaccion, t.nro_documento_almacen,
+         t.cod_procedimiento, t.id_centro_costo, t.nro_documento_movimiento,
+         t.nro_linea_comprobante,
+         t.cod_documento_transaccion_ref AS cod_documento_transaccion_referencia,
+         t.nro_documento_almacen_ref AS nro_documento_almacen_referencia,
+         t.cod_estado_comprobante, t.cod_motivo,
+         t.cod_unidad_articulo AS cod_unidad_almacen, t.nro_secuencia_origen,
+         t.usuario_creacion, t.fecha_creacion, t.usuario_modificacion,
+         t.fecha_modificacion,
+         CASE WHEN mda.cod_operacion_origen = 'S' THEN 1 ELSE -1 END AS sgn,
+         mda.cod_operacion_origen = 'S' AS entrada,
+         mda.cod_operacion_origen = 'R' AS salida,
+         t.estado = 'PLI' AND t.cod_documento_transaccion = 'GRA' AS transito,
+         CASE WHEN t.cod_procedimiento = 'REV' THEN t.operacion_kardex
+              ELSE mda.cod_operacion_origen END AS cod_operacion_kardex,
+         t.cant_cajas, t.cant_botellas, t.cant_unidades,
+         t.costo_unitario, t.costo_total,
+         ma.cant_unidad_paquete, b.moneda_mn
+  FROM t_movimiento_inventario_detalle t
+  JOIN m_documento_almacen mda
+    ON t.cod_compania = mda.cod_compania
+   AND t.cod_procedimiento = mda.cod_transaccion
+  JOIN bridge b ON t.cod_compania = b.cod_compania
+  JOIN m_articulo ma ON t.id_articulo = ma.id_articulo
+  WHERE strftime(t.fecha_almacen, '%Y%m') IN ({periods})
+), sgned AS (
+  SELECT *,
+         sgn * cant_cajas AS cant_cajafisica,
+         sgn * cant_botellas AS s_unidades,
+         sgn * cant_unidades AS s_unidades_total,
+         CASE WHEN entrada THEN cant_cajas ELSE 0 END AS cant_cajafisica_ingresada,
+         CASE WHEN salida THEN cant_cajas ELSE 0 END AS cant_cajafisica_salida,
+         CASE WHEN entrada THEN cant_botellas ELSE 0 END AS cant_unidades_ingresada,
+         CASE WHEN salida THEN cant_botellas ELSE 0 END AS cant_unidades_salida,
+         CASE WHEN entrada THEN cant_unidades ELSE 0 END AS cant_unidades_total_ingresada,
+         CASE WHEN salida THEN cant_unidades ELSE 0 END AS cant_unidades_total_salida,
+         CASE WHEN entrada THEN costo_total ELSE 0 END AS imp_total_ingreso,
+         CASE WHEN salida THEN costo_total ELSE 0 END AS imp_total_salida,
+         CASE WHEN transito THEN cant_unidades ELSE 0 END AS cant_unidades_transito,
+         CASE WHEN transito THEN costo_total ELSE 0 END AS imp_total_transito
+  FROM base
+)
+SELECT CAST(s.id_pais AS VARCHAR) AS id_pais, s.id_periodo, s.id_compania,
+       s.id_sucursal, s.id_almacen, s.id_articulo, s.id_movimiento_almacen,
+       s.fecha_almacen, s.cod_documento_transaccion, s.nro_documento_almacen,
+       s.cod_procedimiento, s.cod_operacion_kardex, s.id_centro_costo,
+       s.nro_documento_movimiento, s.nro_linea_comprobante,
+       s.cod_documento_transaccion_referencia, s.nro_documento_almacen_referencia,
+       s.cod_estado_comprobante, s.cod_motivo, s.cod_unidad_almacen,
+       s.nro_secuencia_origen,
+       CAST(s.cant_cajafisica AS DECIMAL(38,12)) AS cant_cajafisica,
+       CAST(CASE WHEN s.cant_unidad_paquete = 0 THEN s.cant_cajafisica
+            ELSE s.cant_cajafisica + s.s_unidades / s.cant_unidad_paquete
+            END AS DECIMAL(38,12)) AS cant_cajafisica_total,
+       CAST(s.s_unidades AS DECIMAL(38,12)) AS cant_unidades,
+       CAST(s.s_unidades_total AS DECIMAL(38,12)) AS cant_unidades_total,
+       CAST(s.cant_cajafisica_ingresada AS DECIMAL(38,12)) AS cant_cajafisica_ingresada,
+       CAST(CASE WHEN s.cant_unidad_paquete = 0 THEN s.cant_cajafisica_ingresada
+            ELSE s.cant_cajafisica_ingresada + s.cant_unidades_ingresada / s.cant_unidad_paquete
+            END AS DECIMAL(38,12)) AS cant_cajafisica_ingresada_total,
+       CAST(s.cant_cajafisica_salida AS DECIMAL(38,12)) AS cant_cajafisica_salida,
+       CAST(CASE WHEN s.cant_unidad_paquete = 0 THEN s.cant_cajafisica_salida
+            ELSE s.cant_cajafisica_salida + s.cant_unidades_salida / s.cant_unidad_paquete
+            END AS DECIMAL(38,12)) AS cant_cajafisica_salida_total,
+       CAST(s.cant_unidades_ingresada AS DECIMAL(38,12)) AS cant_unidades_ingresada,
+       CAST(s.cant_unidades_salida AS DECIMAL(38,12)) AS cant_unidades_salida,
+       CAST(s.cant_unidades_total_ingresada AS DECIMAL(38,12)) AS cant_unidades_total_ingresada,
+       CAST(s.cant_unidades_total_salida AS DECIMAL(38,12)) AS cant_unidades_total_salida,
+       CAST(s.costo_unitario AS DECIMAL(38,12)) AS imp_unitario,
+       CAST(s.costo_total AS DECIMAL(38,12)) AS imp_total,
+       CAST(s.imp_total_ingreso AS DECIMAL(38,12)) AS imp_total_ingreso,
+       CAST(s.imp_total_salida AS DECIMAL(38,12)) AS imp_total_salida,
+       CAST(s.cant_unidades_transito AS DECIMAL(38,12)) AS cant_unidades_transito,
+       CAST(s.imp_total_transito AS DECIMAL(38,12)) AS imp_total_transito,
+       CAST(c.imp_cpm AS DECIMAL(38,12)) AS precio_unitario_mn,
+       CAST(CASE WHEN mtc.tc_compra = 0 THEN 0
+            ELSE c.imp_cpm / mtc.tc_compra END AS DECIMAL(38,12)) AS precio_unitario_me,
+       CAST(s.cant_cajafisica * c.imp_cpm AS DECIMAL(38,12)) AS imp_valorizado_mn,
+       CAST(s.cant_cajafisica * c.imp_cpm / NULLIF(mtc.tc_compra, 0)
+            AS DECIMAL(38,12)) AS imp_valorizado_me,
+       CAST(c.imp_saldo_inicial AS DECIMAL(30,4)) AS imp_saldo_inicial,
+       CAST(c.imp_saldo_final AS DECIMAL(30,4)) AS imp_saldo_final,
+       CAST(c.imp_ingreso AS DECIMAL(30,4)) AS imp_valorizado_ingreso,
+       CAST(c.imp_salida AS DECIMAL(30,4)) AS imp_valorizado_salida,
+       s.usuario_creacion, s.fecha_creacion, s.usuario_modificacion,
+       s.fecha_modificacion, CAST(1 AS INT) AS es_eliminado
+FROM sgned s
+LEFT JOIN t_cierre_inventario_cpm c
+  ON c.id_sucursal = s.id_sucursal AND c.id_articulo = s.id_articulo
+ AND c.id_periodo = s.id_periodo
+LEFT JOIN m_tipo_cambio mtc
+  ON s.id_compania = mtc.cod_compania AND s.fecha_almacen = mtc.fecha
+ AND s.moneda_mn = mtc.cod_moneda
+"""
+
+
+def test_t_movimiento_inventario_detalle_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    d = dt.date
+
+    def det(id_mov, comp, proc, art, fecha, doc, estado, kardex,
+            cajas, botellas, unidades, cu, ct):
+        return (
+            comp, proc, art, "S1", "AL1", id_mov, fecha, doc, f"N-{id_mov}",
+            "CC1", f"M-{id_mov}", "1", "REF", "NR", estado, "MOT", "CAJ",
+            "1", "u.load", TS, "u.load", TS,
+            D(cajas), D(botellas), D(unidades), D(cu), D(ct), estado, kardex,
+        )
+
+    rows = [
+        # entry + transit (PLI+GRA), package 12 → total = 10 + 6/12
+        det("R1", "10", "ING", "A1", d(2025, 5, 10), "GRA", "PLI", None,
+            "10", "6", "126", "2.5", "315"),
+        # exit, zero-package guard, no CPM, no fx row for that date
+        det("R2", "10", "SAL", "A2", d(2025, 4, 20), "GRA", "APR", None,
+            "4", "8", "40", "2.5", "100"),
+        # REV → kardex fallback 'X'; PLI but doc GRB → NOT transit;
+        # fx row with tc_compra=0 → precio_me=0 but valorizado_me NULL
+        det("R3", "10", "REV", "A3", d(2025, 5, 15), "GRB", "PLI", "X",
+            "3", "3", "21", "2.0", "60"),
+        det("R4", "10", "ING", "A1", d(2024, 12, 31), "GRA", "PLI", None,
+            "1", "1", "1", "1", "1"),          # out of window
+        det("R5", "10", "XXX", "A1", d(2025, 5, 11), "GRA", "APR", None,
+            "1", "1", "1", "1", "1"),          # proc not in doc master
+        det("R6", "99", "ING", "A1", d(2025, 5, 12), "GRA", "APR", None,
+            "1", "1", "1", "1", "1"),          # ghost company → bridge drop
+    ]
+    det_schema = (
+        "cod_compania string, cod_procedimiento string, id_articulo string, "
+        "id_sucursal string, id_almacen string, id_movimiento_almacen string, "
+        "fecha_almacen date, cod_documento_transaccion string, "
+        "nro_documento_almacen string, id_centro_costo string, "
+        "nro_documento_movimiento string, nro_linea_comprobante string, "
+        "cod_documento_transaccion_ref string, nro_documento_almacen_ref string, "
+        "cod_estado_comprobante string, cod_motivo string, "
+        "cod_unidad_articulo string, nro_secuencia_origen string, "
+        "usuario_creacion string, fecha_creacion timestamp, "
+        "usuario_modificacion string, fecha_modificacion timestamp, "
+        "cant_cajas decimal(20,4), cant_botellas decimal(20,4), "
+        "cant_unidades decimal(20,4), costo_unitario decimal(20,4), "
+        "costo_total decimal(20,4), estado string, operacion_kardex string"
+    )
+    spark.createDataFrame(rows, det_schema).write.parquet(
+        stage("t_movimiento_inventario_detalle")
+    )
+    spark.createDataFrame(
+        [("10", "ING", "S"), ("10", "SAL", "R"), ("10", "REV", "R")],
+        "cod_compania string, cod_transaccion string, cod_operacion_origen string",
+    ).write.parquet(stage("m_documento_almacen"))
+    spark.createDataFrame(
+        [("A1", D("12")), ("A2", D("0")), ("A3", D("6"))],
+        "id_articulo string, cant_unidad_paquete decimal(10,2)",
+    ).write.parquet(stage("m_articulo"))
+    spark.createDataFrame(
+        [
+            ("S1", "A1", "202505", D("7.0"), D("100.5"), D("200.5"),
+             D("50.25"), D("25.25")),
+            ("S1", "A3", "202505", D("9.0"), D("10"), D("20"), D("5"), D("2")),
+        ],
+        "id_sucursal string, id_articulo string, id_periodo string, "
+        "imp_cpm decimal(20,4), imp_saldo_inicial decimal(20,4), "
+        "imp_saldo_final decimal(20,4), imp_ingreso decimal(20,4), "
+        "imp_salida decimal(20,4)",
+    ).write.parquet(stage("t_cierre_inventario_cpm"))
+    spark.createDataFrame(
+        [("10", d(2025, 5, 10), "PEN", D("3.5")),
+         ("10", d(2025, 5, 15), "PEN", D("0"))],
+        "cod_compania string, fecha date, cod_moneda string, tc_compra decimal(12,6)",
+    ).write.parquet(stage("m_tipo_cambio"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS), ("99", "XX", "GHOST", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+    spark.createDataFrame(
+        [("10", "PEN")], "id_compania string, cod_moneda_mn string"
+    ).write.parquet(stage("m_parametro"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("domain", "t_movimiento_inventario_detalle_lite", 1, periods=3)],
+        DOMAIN_JOBS, mk,
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "t_movimiento_inventario_detalle")
+    ).toPandas()
+
+    con = duck_with_views({t: stage(t) for t in (
+        "t_movimiento_inventario_detalle", "m_documento_almacen", "m_articulo",
+        "t_cierre_inventario_cpm", "m_tipo_cambio", "m_compania", "m_pais",
+        "m_parametro",
+    )})
+    odf = con.sql(_TMID_SQL.format(periods="'202503', '202504', '202505'")).df()
+    assert_match(sdf, odf, "t_movimiento_inventario_detalle")
+
+    # hand-computed pins
+    assert len(sdf) == 3
+    r1 = sdf[sdf.id_movimiento_almacen == "R1"].iloc[0]
+    assert float(r1["cant_cajafisica"]) == 10.0
+    assert float(r1["cant_cajafisica_total"]) == 10.5      # 10 + 6/12
+    assert float(r1["cant_unidades_transito"]) == 126.0    # PLI + GRA
+    assert float(r1["imp_total_transito"]) == 315.0
+    assert float(r1["precio_unitario_me"]) == 2.0          # 7.0 / 3.5
+    assert float(r1["imp_valorizado_me"]) == 20.0          # 10*7/3.5
+    assert r1["cod_operacion_kardex"] == "S"
+    r2 = sdf[sdf.id_movimiento_almacen == "R2"].iloc[0]
+    assert float(r2["cant_cajafisica"]) == -4.0
+    assert float(r2["cant_cajafisica_total"]) == -4.0      # zero-package guard
+    assert float(r2["cant_cajafisica_salida_total"]) == 4.0
+    assert pd.isna(r2["precio_unitario_mn"]) and pd.isna(r2["imp_valorizado_me"])
+    assert float(r2["cant_unidades_transito"]) == 0.0      # estado APR
+    r3 = sdf[sdf.id_movimiento_almacen == "R3"].iloc[0]
+    assert r3["cod_operacion_kardex"] == "X"               # REV fallback
+    assert float(r3["cant_cajafisica_total"]) == -3.5      # -3 + -3/6
+    assert float(r3["precio_unitario_me"]) == 0.0          # zero-rate guard
+    assert pd.isna(r3["imp_valorizado_me"])                # NULLIF path
+    assert float(r3["imp_valorizado_mn"]) == -27.0
+    assert float(r3["cant_unidades_transito"]) == 0.0      # doc GRB
