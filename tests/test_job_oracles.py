@@ -2334,3 +2334,179 @@ def test_t_movimiento_inventario_detalle_duckdb_differential(spark, lake):
     assert pd.isna(r3["imp_valorizado_me"])                # NULLIF path
     assert float(r3["imp_valorizado_mn"]) == -27.0
     assert float(r3["cant_unidades_transito"]) == 0.0      # doc GRB
+
+
+# ===========================================================================
+# 13. m_cliente — the client master (`code/domain/m_cliente.py:22-156`):
+#     when()-inside-join-key module assignment ('00' clients match any
+#     sucursal), rank-predicate coordinate pick, filtered-left tipo join,
+#     null-guarded eje mint, 'SG'-infixed classification key, coalesce
+#     defaults — the full 36-column surface recomputed in SQL.
+# ===========================================================================
+
+_MCLIENTE_SQL = """
+WITH conformed AS (
+  SELECT mco.cod_compania, mp.id_pais
+  FROM m_compania mco JOIN m_pais mp ON mco.cod_pais = mp.cod_pais
+), coords AS (
+  SELECT mcl.cod_compania, mcl.cod_sucursal, mcl.cod_cliente,
+         ma.coord_x, ma.coord_y,
+         ROW_NUMBER() OVER (
+           PARTITION BY mcl.cod_compania, mcl.cod_sucursal, mcl.cod_cliente
+           ORDER BY ma.cod_fuerza_venta ASC) AS orden
+  FROM m_cliente mcl
+  JOIN m_asignacion_modulo ma
+    ON mcl.cod_compania = ma.cod_compania
+   AND mcl.cod_cliente = ma.cod_cliente
+   AND mcl.cod_sucursal = CASE WHEN mcl.cod_sucursal = '00'
+                               THEN mcl.cod_sucursal ELSE ma.cod_sucursal END
+)
+SELECT concat_ws('|', trim(mc.cod_compania), trim(mc.cod_cliente)) AS id_cliente,
+       CAST(NULL AS VARCHAR) AS id_cliente_ref,
+       CAST(NULL AS VARCHAR) AS id_cliente_ref2,
+       c.id_pais, mc.cod_compania, mc.cod_sucursal,
+       concat_ws('|', trim(mc.cod_compania), trim(mc.cod_sucursal)) AS id_sucursal,
+       CASE WHEN mc.cod_zona_postal IS NULL OR mc.cod_zona_postal = '' THEN NULL
+            ELSE concat_ws('|', trim(c.id_pais),
+                           trim(COALESCE(mc.cod_zona_postal, '0')))
+       END AS id_eje_territorial,
+       concat_ws('|', trim(mc.cod_compania), 'SG', trim(mc.cod_subgiro))
+         AS id_clasificacion_cliente,
+       concat_ws('|', trim(mc.cod_compania), trim(mc.cod_lista_precio))
+         AS id_lista_precio,
+       mc.cod_cliente, mc.nomb_cliente,
+       cc.cod_cuenta_clave, cc.descripcion AS nomb_cuenta_clave,
+       CAST(NULL AS VARCHAR) AS cod_segmento,
+       CAST(NULL AS VARCHAR) AS desc_subsegmento,
+       CAST(NULL AS VARCHAR) AS cod_cliente_ref,
+       CAST(NULL AS VARCHAR) AS cod_cliente_ref2,
+       CAST(NULL AS VARCHAR) AS cod_cliente_ref3,
+       CAST(NULL AS VARCHAR) AS cod_cliente_ref4,
+       cn.desc_canal AS desc_canal_local,
+       g.desc_giro AS desc_giro_local,
+       mc.direccion,
+       mc.tipo_documento_identidad AS tipo_documento,
+       mc.nro_documento_identidad AS nro_documento,
+       tc.tipo_cliente,
+       COALESCE(tc.tipo_cliente, 'N') AS cod_tipo_cliente,
+       COALESCE(mc.cod_cliente_principal, '0') AS cod_cliente_principal,
+       CAST(NULL AS VARCHAR) AS cod_cliente_transferencia,
+       co.coord_x, co.coord_y,
+       CAST(NULL AS DATE) AS fecha_baja,
+       mc.es_activo, mc.es_activo AS estado,
+       mc.fecha_creacion, mc.fecha_modificacion
+FROM m_cliente mc
+LEFT JOIN m_tipo_cliente tc
+  ON mc.cod_compania = tc.cod_compania AND mc.cod_cliente = tc.cod_cliente
+ AND lower(tc.tipo_cliente) IN ('a', 'v', 't')
+LEFT JOIN coords co
+  ON mc.cod_compania = co.cod_compania AND mc.cod_cliente = co.cod_cliente
+ AND co.orden = 1
+LEFT JOIN m_cuenta_clave cc
+  ON mc.cod_compania = cc.cod_compania
+ AND mc.cod_cuenta_clave = cc.cod_cuenta_clave
+LEFT JOIN m_canal cn
+  ON cn.cod_compania = mc.cod_compania AND cn.cod_canal = mc.cod_canal
+LEFT JOIN m_giro g
+  ON g.cod_compania = mc.cod_compania AND g.cod_giro = mc.cod_giro
+JOIN conformed c ON mc.cod_compania = c.cod_compania
+"""
+
+
+def test_m_cliente_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+
+    clientes = [
+        ("10", "C1", "01", "15001", "SG1", "LP1", "CLIENTE UNO", "KA1", "CH1",
+         "G1", "CALLE 1", "DNI", "111", "P1", "T", TS, TS),
+        # '00' sucursal → assignment from ANY sucursal; empty postal → NULL
+        # eje; tipo filtered out → 'N' default; NULL principal → '0'
+        ("10", "C2", "00", "", "SG2", "LP2", "CLIENTE DOS", None, "CHX",
+         "G2", "CALLE 2", "RUC", "222", None, "T", TS, TS),
+        # no assignment for its own sucursal → NULL coords; NULL postal
+        ("10", "C3", "02", None, "SG3", "LP3", "CLIENTE TRES", "KAX", "CH1",
+         None, "CALLE 3", "DNI", "333", "P3", "F", TS, TS),
+        ("99", "C9", "01", "1", "SG", "LP", "GHOST", "K", "C", "G", "X",
+         "D", "9", "0", "T", TS, TS),  # ghost company → conformed drop
+    ]
+    cli_schema = (
+        "cod_compania string, cod_cliente string, cod_sucursal string, "
+        "cod_zona_postal string, cod_subgiro string, cod_lista_precio string, "
+        "nomb_cliente string, cod_cuenta_clave string, cod_canal string, "
+        "cod_giro string, direccion string, tipo_documento_identidad string, "
+        "nro_documento_identidad string, cod_cliente_principal string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp"
+    )
+    asignacion = [
+        ("10", "C1", "01", "-77.1", "-12.1", "FV2"),
+        ("10", "C1", "01", "-77.2", "-12.2", "FV1"),   # top-1 by fv asc
+        ("10", "C1", "03", "-99", "-99", "FV0"),       # other sucursal → no match
+        ("10", "C2", "01", "-70.1", "-11.1", "FV2"),
+        ("10", "C2", "02", "-70.2", "-11.2", "FV1"),   # '00' matches across both
+        ("10", "C3", "03", "-60", "-10", "FV1"),       # C3 is '02' → no match
+    ]
+    spark.createDataFrame(clientes, cli_schema).write.parquet(stage("m_cliente"))
+    spark.createDataFrame(
+        asignacion,
+        "cod_compania string, cod_cliente string, cod_sucursal string, "
+        "coord_x string, coord_y string, cod_fuerza_venta string",
+    ).write.parquet(stage("m_asignacion_modulo"))
+    spark.createDataFrame(
+        [("10", "C1", "A"), ("10", "C2", "X"), ("10", "C3", "v")],
+        "cod_compania string, cod_cliente string, tipo_cliente string",
+    ).write.parquet(stage("m_tipo_cliente"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS), ("99", "XX", "GHOST", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+    spark.createDataFrame(
+        [("10", "KA1", "CUENTA CLAVE UNO")],
+        "cod_compania string, cod_cuenta_clave string, descripcion string",
+    ).write.parquet(stage("m_cuenta_clave"))
+    spark.createDataFrame(
+        [("10", "CH1", "BODEGA")],
+        "cod_compania string, cod_canal string, desc_canal string",
+    ).write.parquet(stage("m_canal"))
+    spark.createDataFrame(
+        [("10", "G1", "ABARROTES"), ("10", "G2", "LICORES")],
+        "cod_compania string, cod_giro string, desc_giro string",
+    ).write.parquet(stage("m_giro"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves([JobConfig("domain", "m_cliente_lite", 1)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_cliente")).toPandas()
+
+    con = duck_with_views({t: stage(t) for t in (
+        "m_cliente", "m_asignacion_modulo", "m_tipo_cliente", "m_compania",
+        "m_pais", "m_cuenta_clave", "m_canal", "m_giro",
+    )})
+    odf = con.sql(_MCLIENTE_SQL).df()
+    assert_match(sdf, odf, "m_cliente")
+
+    # hand-computed pins
+    assert len(sdf) == 3
+    c1 = sdf[sdf.cod_cliente == "C1"].iloc[0]
+    assert c1["id_eje_territorial"] == "PE|15001"
+    assert c1["id_clasificacion_cliente"] == "10|SG|SG1"
+    assert (c1["coord_x"], c1["coord_y"]) == ("-77.2", "-12.2")  # FV1 wins
+    assert c1["nomb_cuenta_clave"] == "CUENTA CLAVE UNO"
+    assert c1["cod_tipo_cliente"] == "A"
+    c2 = sdf[sdf.cod_cliente == "C2"].iloc[0]
+    assert c2["id_eje_territorial"] is None          # empty postal
+    assert c2["cod_tipo_cliente"] == "N"             # 'X' filtered → default
+    assert c2["cod_cliente_principal"] == "0"
+    assert (c2["coord_x"], c2["coord_y"]) == ("-70.2", "-11.2")  # cross-sucursal
+    assert c2["desc_canal_local"] is None and c2["desc_giro_local"] == "LICORES"
+    c3 = sdf[sdf.cod_cliente == "C3"].iloc[0]
+    assert c3["coord_x"] is None and c3["id_eje_territorial"] is None
+    assert c3["tipo_cliente"] == "v" and c3["cod_cuenta_clave"] is None
