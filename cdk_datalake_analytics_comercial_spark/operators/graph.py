@@ -48,20 +48,32 @@ def connected_components(
     Deterministic (min-id labeling), so oracle-checkable against a recursive
     transitive-closure CTE.
     """
-    # materialize the pair plan ONCE before symmetrizing — the union's two
-    # branches would otherwise each re-execute the (possibly expensive)
-    # upstream pair pipeline (no exchange reuse across union branches)
-    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    # symmetrize in ONE pass over the pair pipeline: explode each pair into
+    # both directions (a union of two branches would re-execute the possibly
+    # expensive upstream pair plan once per branch — no exchange reuse
+    # across union branches), then checkpoint the edge list once for the
+    # iteration
     edges = (
-        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint()
     )
+    # round 1 reads labels twice (nbr_min join + stepped join); lazy
+    # checkpoint materializes it inside round 1's first job instead of
+    # paying a separate warm-up action
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_iter):
