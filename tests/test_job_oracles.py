@@ -2510,3 +2510,288 @@ def test_m_cliente_duckdb_differential(spark, lake):
     c3 = sdf[sdf.cod_cliente == "C3"].iloc[0]
     assert c3["coord_x"] is None and c3["id_eje_territorial"] is None
     assert c3["tipo_cliente"] == "v" and c3["cod_cuenta_clave"] is None
+
+
+# ===========================================================================
+# 14. t_pedido_detalle — dual-source order-line fact (`code/domain/
+#     t_pedido_detalle.py:24-424`): both detail sources conform + pre-agg
+#     on the 8-part key, ADES anti-join union, article/procedure joins with
+#     the VEN/PRO/EXP/OBS whitelist, then the 7-key re-agg with PRO-split
+#     signed measures and package→case / package→volume conversions through
+#     the article factors (nullif zero guard) — recomputed level-for-level.
+# ===========================================================================
+
+def _tpd_conform_sql(table, doc_col, nro_col, alm_col, docs, qty):
+    cajas, botellas, cajas_a, botellas_a = qty
+    return f"""
+  SELECT b.id_pais, t.cod_compania, t.cod_sucursal,
+         t.{alm_col} AS cod_almacen_emisor,
+         t.{doc_col} AS cod_documento_transaccion,
+         t.{nro_col} AS nro_comprobante,
+         t.cod_cliente, t.cod_articulo, t.cod_procedimiento,
+         t.fecha_pedido,
+         t.{cajas} AS cantidad_cajas, t.{botellas} AS cantidad_botellas,
+         t.{cajas_a} AS cantidad_cajas_asignada,
+         t.{botellas_a} AS cantidad_botellas_asignada,
+         t.fecha_creacion, t.fecha_modificacion
+  FROM {table} t
+  JOIN bridge b ON t.cod_compania = b.cod_compania
+  WHERE strftime(t.fecha_pedido, '%Y%m') IN ({{periods}})
+    AND t.{doc_col} IN ({docs})"""
+
+
+_TPD_KEY = ("cod_compania, cod_sucursal, cod_almacen_emisor, "
+            "cod_documento_transaccion, nro_comprobante, cod_cliente, "
+            "cod_articulo, cod_procedimiento")
+
+_TPD_PREAGG = f"""
+  SELECT {_TPD_KEY},
+         MAX(id_pais) AS id_pais, MAX(fecha_pedido) AS fecha_pedido,
+         SUM(cantidad_cajas) AS cantidad_cajas,
+         SUM(cantidad_botellas) AS cantidad_botellas,
+         SUM(cantidad_cajas_asignada) AS cantidad_cajas_asignada,
+         SUM(cantidad_botellas_asignada) AS cantidad_botellas_asignada,
+         MAX(fecha_creacion) AS fecha_creacion,
+         MAX(fecha_modificacion) AS fecha_modificacion,
+         0 AS es_eliminado
+  FROM {{src}} GROUP BY 1, 2, 3, 4, 5, 6, 7, 8"""
+
+_TPD_MEASURES = [
+    ("cant_cajafisica_ped", "<>", "fis"),
+    ("cant_cajavolumen_ped", "<>", "vol"),
+    ("cant_cajafisica_ped_pro", "=", "fis"),
+    ("cant_cajavolumen_ped_pro", "=", "vol"),
+    ("cant_cajafisica_asignado_ped", "<>", "fis_a"),
+    ("cant_cajavolumen_asignado_ped", "<>", "vol_a"),
+    ("cant_cajafisica_asignado_ped_pro", "=", "fis_a"),
+    ("cant_cajavolumen_asignado_ped_pro", "=", "vol_a"),
+]
+
+_TPD_EXPR = {
+    "fis": "(cantidad_cajas + cantidad_botellas / NULLIF(cant_unidad_paquete, 0)) * cant_paquete_caja",
+    "vol": "(cantidad_cajas * cant_unidad_paquete + cantidad_botellas) * cant_unidad_volumen",
+    "fis_a": "(cantidad_cajas_asignada + cantidad_botellas_asignada / NULLIF(cant_unidad_paquete, 0)) * cant_paquete_caja",
+    "vol_a": "(cantidad_cajas_asignada * cant_unidad_paquete + cantidad_botellas_asignada) * cant_unidad_volumen",
+}
+
+
+def _tpd_sql():
+    main_conform = _tpd_conform_sql(
+        "t_documento_pedido_detalle", "cod_documento_pedido",
+        "nro_documento_pedido", "cod_almacen", "'200'",
+        ("cant_paquete", "cant_unidad", "cant_paquete_asignado",
+         "cant_unidad_asignado"),
+    )
+    ades_conform = _tpd_conform_sql(
+        "t_documento_pedido_ades_detalle", "cod_documento_transaccion",
+        "nro_comprobante", "cod_almacen_emisor", "'200', '300'",
+        ("cantidad_cajas", "cantidad_botellas", "cantidad_cajas_asignada",
+         "cantidad_botellas_asignada"),
+    )
+    measure_out = ",\n         ".join(
+        f"SUM(CASE WHEN op {cmp} 'PRO' THEN 1 ELSE 0 END * sgn * ({_TPD_EXPR[e]}))"
+        f" AS {name}"
+        for name, cmp, e in _TPD_MEASURES
+    )
+    cast_out = ",\n       ".join(
+        f"CAST({name} AS DECIMAL(38,12)) AS {name}"
+        for name, _, _ in _TPD_MEASURES
+    )
+    return f"""
+WITH bridge AS (
+  SELECT mc.cod_compania, mp.id_pais
+  FROM m_compania mc JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+), main AS ({main_conform}
+), main_agg AS ({_TPD_PREAGG.format(src="main")}
+), ades AS ({ades_conform}
+), ades_agg AS ({_TPD_PREAGG.format(src="ades")}
+), ades_new AS (
+  SELECT * FROM ades_agg a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM main_agg m
+    WHERE m.cod_compania = a.cod_compania AND m.cod_sucursal = a.cod_sucursal
+      AND m.cod_almacen_emisor = a.cod_almacen_emisor
+      AND m.cod_documento_transaccion = a.cod_documento_transaccion
+      AND m.nro_comprobante = a.nro_comprobante
+      AND m.cod_cliente = a.cod_cliente AND m.cod_articulo = a.cod_articulo
+      AND m.cod_procedimiento = a.cod_procedimiento)
+), unioned AS (
+  SELECT * FROM main_agg UNION ALL SELECT * FROM ades_new
+), joined AS (
+  SELECT dpd.*, ma.cant_unidad_paquete, ma.cant_paquete_caja,
+         ma.cant_unidad_volumen, upper(mp.cod_tipo_operacion) AS op,
+         CASE WHEN upper(dpd.cod_documento_transaccion) = 'NCC'
+              THEN -1 ELSE 1 END AS sgn
+  FROM unioned dpd
+  JOIN m_articulo ma
+    ON dpd.cod_compania = ma.cod_compania AND dpd.cod_articulo = ma.cod_articulo
+  JOIN m_procedimiento mp
+    ON dpd.cod_compania = mp.cod_compania
+   AND dpd.cod_documento_transaccion = mp.cod_documento_transaccion
+   AND dpd.cod_procedimiento = mp.cod_procedimiento
+  WHERE upper(mp.cod_tipo_operacion) IN ('VEN', 'PRO', 'EXP', 'OBS')
+), agg AS (
+  SELECT cod_compania, cod_sucursal, cod_almacen_emisor,
+         cod_documento_transaccion, nro_comprobante, cod_cliente, cod_articulo,
+         MAX(id_pais) AS id_pais, MAX(fecha_pedido) AS fecha_pedido,
+         {measure_out},
+         MAX(fecha_creacion) AS fecha_creacion,
+         MAX(fecha_modificacion) AS fecha_modificacion,
+         MAX(es_eliminado) AS es_eliminado
+  FROM joined GROUP BY 1, 2, 3, 4, 5, 6, 7
+)
+SELECT CAST(id_pais AS VARCHAR) AS id_pais,
+       strftime(fecha_pedido, '%Y%m') AS id_periodo,
+       concat_ws('|', trim(cod_compania), trim(cod_sucursal),
+                 trim(cod_documento_transaccion), trim(nro_comprobante),
+                 trim(cod_cliente)) AS id_pedido,
+       concat_ws('|', trim(cod_compania), trim(cod_articulo)) AS id_articulo,
+       fecha_pedido,
+       {cast_out},
+       CAST(fecha_creacion AS DATE) AS fecha_creacion,
+       CAST(fecha_modificacion AS DATE) AS fecha_modificacion,
+       CAST(es_eliminado AS INT) AS es_eliminado
+FROM agg
+"""
+
+
+def test_t_pedido_detalle_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    d = dt.date
+    TS1 = dt.datetime(2025, 5, 5, 10)
+    TS2 = dt.datetime(2025, 5, 8, 11)
+
+    def mline(comp, suc, alm, doc, nro, cli, art, proc, fecha,
+              cajas, bot, cajas_a, bot_a, fc, fm):
+        return (comp, suc, alm, doc, nro, cli, art, proc, fecha,
+                D(cajas), D(bot), D(cajas_a), D(bot_a), fc, fm)
+
+    main_rows = [
+        mline("10", "01", "W1", "200", "N1", "C1", "A1", "P01", d(2025, 5, 5),
+              "2", "6", "1", "0", TS1, TS1),
+        # same 8-key → pre-agg merges with the line above
+        mline("10", "01", "W1", "200", "N1", "C1", "A1", "P01", d(2025, 5, 8),
+              "1", "6", "0", "12", TS2, TS2),
+        # PRO procedure, same 7-key → merges at the final agg as _pro
+        mline("10", "01", "W1", "200", "N1", "C1", "A1", "P02", d(2025, 5, 6),
+              "1", "0", "2", "0", TS1, TS1),
+        mline("10", "01", "W1", "100", "NX", "C1", "A1", "P01", d(2025, 5, 5),
+              "9", "9", "9", "9", TS1, TS1),     # doc 100 → filtered
+        mline("10", "01", "W1", "200", "NY", "C1", "A1", "P01", d(2024, 12, 1),
+              "9", "9", "9", "9", TS1, TS1),     # out of window
+        mline("99", "01", "W1", "200", "NZ", "C1", "A1", "P01", d(2025, 5, 5),
+              "9", "9", "9", "9", TS1, TS1),     # ghost company
+        # zero-package article → fisica NULL via nullif, volumen survives
+        mline("10", "01", "W1", "200", "N2", "C2", "A2", "P01", d(2025, 4, 10),
+              "2", "4", "0", "0", TS1, TS1),
+        mline("10", "01", "W1", "200", "N3", "C1", "AX", "P01", d(2025, 5, 5),
+              "9", "9", "9", "9", TS1, TS1),     # unknown article → inner drop
+        mline("10", "01", "W1", "200", "N4", "C1", "A1", "P03", d(2025, 5, 7),
+              "9", "9", "9", "9", TS1, TS1),     # DEV op → whitelist drop
+    ]
+    main_schema = (
+        "cod_compania string, cod_sucursal string, cod_almacen string, "
+        "cod_documento_pedido string, nro_documento_pedido string, "
+        "cod_cliente string, cod_articulo string, cod_procedimiento string, "
+        "fecha_pedido date, cant_paquete decimal(20,4), cant_unidad decimal(20,4), "
+        "cant_paquete_asignado decimal(20,4), cant_unidad_asignado decimal(20,4), "
+        "fecha_creacion timestamp, fecha_modificacion timestamp"
+    )
+    ades_rows = [
+        # duplicate of the main 8-key → anti-joined away
+        mline("10", "01", "W1", "200", "N1", "C1", "A1", "P01", d(2025, 5, 9),
+              "100", "100", "100", "100", TS2, TS2),
+        # genuinely new → unions in through the OBS op
+        mline("10", "02", "W2", "300", "N9", "C3", "A1", "P01", d(2025, 5, 11),
+              "1", "12", "1", "0", TS2, TS2),
+        mline("10", "02", "W2", "400", "NA", "C3", "A1", "P01", d(2025, 5, 11),
+              "9", "9", "9", "9", TS2, TS2),     # doc 400 → filtered
+        mline("10", "02", "W2", "300", "NB", "C3", "A1", "P01", d(2024, 11, 1),
+              "9", "9", "9", "9", TS2, TS2),     # out of window
+    ]
+    ades_schema = (
+        "cod_compania string, cod_sucursal string, cod_almacen_emisor string, "
+        "cod_documento_transaccion string, nro_comprobante string, "
+        "cod_cliente string, cod_articulo string, cod_procedimiento string, "
+        "fecha_pedido date, cantidad_cajas decimal(20,4), "
+        "cantidad_botellas decimal(20,4), cantidad_cajas_asignada decimal(20,4), "
+        "cantidad_botellas_asignada decimal(20,4), "
+        "fecha_creacion timestamp, fecha_modificacion timestamp"
+    )
+    spark.createDataFrame(main_rows, main_schema).write.parquet(
+        stage("t_documento_pedido_detalle")
+    )
+    spark.createDataFrame(ades_rows, ades_schema).write.parquet(
+        stage("t_documento_pedido_ades_detalle")
+    )
+    spark.createDataFrame(
+        [("10", "A1", D("12"), D("2"), D("0.5")), ("10", "A2", D("0"), D("3"), D("2"))],
+        "cod_compania string, cod_articulo string, cant_unidad_paquete decimal(10,2), "
+        "cant_paquete_caja decimal(10,2), cant_unidad_volumen decimal(10,2)",
+    ).write.parquet(stage("m_articulo"))
+    spark.createDataFrame(
+        [("10", "200", "P01", "VEN"), ("10", "200", "P02", "pro"),
+         ("10", "300", "P01", "OBS"), ("10", "200", "P03", "DEV")],
+        "cod_compania string, cod_documento_transaccion string, "
+        "cod_procedimiento string, cod_tipo_operacion string",
+    ).write.parquet(stage("m_procedimiento"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS), ("99", "XX", "GHOST", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("domain", "t_pedido_detalle_lite", 1, periods=3)],
+        DOMAIN_JOBS, mk,
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "t_pedido_detalle")
+    ).toPandas()
+
+    con = duck_with_views({t: stage(t) for t in (
+        "t_documento_pedido_detalle", "t_documento_pedido_ades_detalle",
+        "m_articulo", "m_procedimiento", "m_compania", "m_pais",
+    )})
+    odf = con.sql(
+        _tpd_sql().format(periods="'202503', '202504', '202505'")
+    ).df()
+    assert_match(sdf, odf, "t_pedido_detalle")
+
+    # hand-computed pins: 3 output rows
+    assert len(sdf) == 3
+    g1 = sdf[sdf.id_pedido == "10|01|200|N1|C1"].iloc[0]
+    # non-pro: pre-agg cajas 3, botellas 12 → (3+12/12)*2 = 8 fisica,
+    # (3*12+12)*0.5 = 24 volumen; asignado (1,12) → 4 / 12
+    assert float(g1["cant_cajafisica_ped"]) == 8.0
+    assert float(g1["cant_cajavolumen_ped"]) == 24.0
+    assert float(g1["cant_cajafisica_asignado_ped"]) == 4.0
+    assert float(g1["cant_cajavolumen_asignado_ped"]) == 12.0
+    # pro split (P02: 1 caja, asig 2 cajas)
+    assert float(g1["cant_cajafisica_ped_pro"]) == 2.0
+    assert float(g1["cant_cajavolumen_ped_pro"]) == 6.0
+    assert float(g1["cant_cajafisica_asignado_ped_pro"]) == 4.0
+    assert float(g1["cant_cajavolumen_asignado_ped_pro"]) == 12.0
+    assert g1["fecha_pedido"] == d(2025, 5, 8) and g1["id_periodo"] == "202505"
+    g2 = sdf[sdf.id_pedido == "10|01|200|N2|C2"].iloc[0]
+    # zero-package: fisica NULL (null-on-zero division), volumen = 4*2 = 8;
+    # the pro fisica is NULL too (0-gate times NULL is NULL), pro volumen 0
+    assert pd.isna(g2["cant_cajafisica_ped"])
+    assert float(g2["cant_cajavolumen_ped"]) == 8.0
+    assert pd.isna(g2["cant_cajafisica_ped_pro"])
+    assert float(g2["cant_cajavolumen_ped_pro"]) == 0.0
+    g3 = sdf[sdf.id_pedido == "10|02|300|N9|C3"].iloc[0]
+    # ADES survivor through OBS: (1+12/12)*2 = 4; (1*12+12)*0.5 = 12
+    assert float(g3["cant_cajafisica_ped"]) == 4.0
+    assert float(g3["cant_cajavolumen_ped"]) == 12.0
+    assert float(g3["cant_cajafisica_asignado_ped"]) == 2.0
