@@ -2795,3 +2795,207 @@ def test_t_pedido_detalle_duckdb_differential(spark, lake):
     assert float(g3["cant_cajafisica_ped"]) == 4.0
     assert float(g3["cant_cajavolumen_ped"]) == 12.0
     assert float(g3["cant_cajafisica_asignado_ped"]) == 2.0
+
+
+# ===========================================================================
+# 15. t_visita — visit fact (`code/domain/t_visita.py:20-75`): the 5-part
+#     visit identity (widest composite key in the reference), per-key
+#     surrogate mints, constant audit flags.
+# ===========================================================================
+
+_TVISITA_SQL = """
+WITH compania AS (
+  SELECT mc.cod_compania, trim(mp.id_pais) AS id_pais
+  FROM m_compania mc JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+)
+SELECT c.id_pais,
+       strftime(t.fecha_visita, '%Y%m') AS id_periodo,
+       concat_ws('|', strftime(t.fecha_visita, '%Y%m%d'), trim(t.cod_compania),
+                 trim(t.cod_cliente), trim(t.cod_sucursal),
+                 trim(t.cod_fuerza_venta)) AS id_visita,
+       concat_ws('|', trim(t.cod_compania), trim(t.cod_sucursal)) AS id_sucursal,
+       concat_ws('|', trim(t.cod_compania), trim(t.cod_cliente)) AS id_cliente,
+       concat_ws('|', trim(t.cod_compania), trim(t.cod_sucursal),
+                 trim(t.cod_fuerza_venta)) AS id_fuerza_venta,
+       CAST(NULL AS VARCHAR) AS cod_visita,
+       CAST(t.fecha_visita AS DATE) AS fecha_visita,
+       CAST(1 AS INT) AS es_activo,
+       CAST(t.fecha_visita AS TIMESTAMP) AS fecha_creacion,
+       t.fecha_modificacion,
+       CAST(0 AS INT) AS es_eliminado
+FROM t_historico_visita t
+JOIN compania c ON t.cod_compania = c.cod_compania
+WHERE strftime(t.fecha_visita, '%Y%m') IN ({periods})
+"""
+
+
+def test_t_visita_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    d = dt.date
+    rows = [
+        ("10", "01", "C1", "FV1", dt.datetime(2025, 5, 4, 9, 30), TS),
+        ("10", "02", "C2", "FV2", dt.datetime(2025, 4, 2, 8, 0), TS),
+        ("10", "01", "C1", "FV1", dt.datetime(2024, 12, 25, 9, 0), TS),  # out of window
+        ("99", "01", "C9", "FV1", dt.datetime(2025, 5, 4, 9, 0), TS),   # ghost company
+    ]
+    spark.createDataFrame(
+        rows,
+        "cod_compania string, cod_sucursal string, cod_cliente string, "
+        "cod_fuerza_venta string, fecha_visita timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("t_historico_visita"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS), ("99", "XX", "GHOST", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves([JobConfig("domain", "t_visita_lite", 1, periods=3)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_visita")).toPandas()
+
+    con = duck_with_views({t: stage(t) for t in (
+        "t_historico_visita", "m_compania", "m_pais",
+    )})
+    odf = con.sql(_TVISITA_SQL.format(periods="'202503', '202504', '202505'")).df()
+    assert_match(sdf, odf, "t_visita")
+
+    assert len(sdf) == 2
+    v1 = sdf[sdf.id_periodo == "202505"].iloc[0]
+    assert v1["id_visita"] == "20250504|10|C1|01|FV1"
+    assert v1["id_fuerza_venta"] == "10|01|FV1"
+    assert v1["fecha_visita"] == d(2025, 5, 4)
+    assert v1["es_activo"] == 1 and v1["es_eliminado"] == 0
+
+
+# ===========================================================================
+# 16. m_eje_territorial — geographic hierarchy (`code/domain/
+#     m_eje_territorial.py:20-170`): one adjacency row per level, the
+#     postal level deduped per (pais, postal) by row_number over cod_ng3
+#     DESC, and the deduped district materialized TWICE (NG4 leaf + NG3
+#     parent) — union + distinct recomputed in SQL.
+# ===========================================================================
+
+_MEJE_SQL = """
+WITH p AS (
+  SELECT id_pais, cod_pais FROM m_pais
+), ng1_rows AS (
+  SELECT concat_ws('|', trim(p.id_pais), trim(de.cod_ng1)) AS id_eje_territorial,
+         CAST(NULL AS VARCHAR) AS id_eje_territorial_padre,
+         p.id_pais,
+         trim(de.cod_ng1) AS cod_eje_territorial,
+         CAST(NULL AS VARCHAR) AS cod_eje_territorial_ref,
+         de.desc_ng1 AS nomb_eje_territorial,
+         'NG1' AS cod_tipo_eje_territorial
+  FROM m_ng1 de JOIN p ON de.id_pais = p.cod_pais
+  WHERE de.cod_ng1 IS NOT NULL
+), ng2_rows AS (
+  SELECT concat_ws('|', trim(p.id_pais), trim(pr.cod_ng1), trim(pr.cod_ng2)),
+         concat_ws('|', trim(p.id_pais), trim(pr.cod_ng1)),
+         p.id_pais, trim(pr.cod_ng2), CAST(NULL AS VARCHAR),
+         pr.desc_ng2, 'NG2'
+  FROM m_ng2 pr JOIN p ON pr.id_pais = p.cod_pais
+  WHERE pr.cod_ng2 IS NOT NULL
+), postal AS (
+  SELECT p.id_pais, di.*,
+         ROW_NUMBER() OVER (PARTITION BY p.id_pais, di.cod_zona_postal
+                            ORDER BY di.cod_ng3 DESC) AS rn
+  FROM m_ng3 di JOIN p ON di.id_pais = p.cod_pais
+  WHERE di.cod_zona_postal IS NOT NULL
+), postal1 AS (
+  SELECT * FROM postal WHERE rn = 1
+), ng3_rows AS (
+  SELECT concat_ws('|', trim(id_pais), trim(cod_zona_postal), 'NG3'),
+         concat_ws('|', trim(id_pais), trim(cod_ng1), trim(cod_ng2)),
+         id_pais, trim(cod_zona_postal),
+         concat_ws('|', cod_ng3, cod_zona_postal),
+         desc_ng3, 'NG3'
+  FROM postal1
+), ng4_rows AS (
+  SELECT concat_ws('|', trim(id_pais), trim(cod_zona_postal)),
+         concat_ws('|', trim(id_pais), trim(cod_zona_postal), 'NG3'),
+         id_pais, trim(cod_zona_postal),
+         concat_ws('|', cod_ng3, cod_zona_postal),
+         desc_ng3, 'NG4'
+  FROM postal1
+), unioned AS (
+  SELECT * FROM ng1_rows UNION ALL SELECT * FROM ng2_rows
+  UNION ALL SELECT * FROM ng3_rows UNION ALL SELECT * FROM ng4_rows
+)
+SELECT DISTINCT *, 'A' AS estado, DATE '{as_of}' AS fecha_creacion
+FROM unioned
+"""
+
+
+def test_m_eje_territorial_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    spark.createDataFrame(
+        [("PE", "D1", "DEPARTAMENTO 1"), ("PE", None, "SIN CODIGO"),
+         ("XX", "D9", "GHOST")],
+        "id_pais string, cod_ng1 string, desc_ng1 string",
+    ).write.parquet(stage("m_ng1"))
+    spark.createDataFrame(
+        [("PE", "D1", "PR1", "PROVINCIA 1"), ("PE", "D1", None, "SIN CODIGO")],
+        "id_pais string, cod_ng1 string, cod_ng2 string, desc_ng2 string",
+    ).write.parquet(stage("m_ng2"))
+    spark.createDataFrame(
+        [
+            ("PE", "D1", "PR1", "DI1", "15001", "DISTRITO 1"),
+            # same postal, higher cod_ng3 → W1 winner over DI1
+            ("PE", "D1", "PR1", "DI2", "15001", "DISTRITO 2"),
+            ("PE", "D1", "PR1", "DI3", None, "SIN POSTAL"),
+            ("XX", "D9", "PR9", "DI9", "9", "GHOST"),
+        ],
+        "id_pais string, cod_ng1 string, cod_ng2 string, cod_ng3 string, "
+        "cod_zona_postal string, desc_ng3 string",
+    ).write.parquet(stage("m_ng3"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("domain", "m_eje_territorial_lite", 1)], DOMAIN_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "m_eje_territorial")
+    ).toPandas()
+
+    con = duck_with_views({t: stage(t) for t in (
+        "m_ng1", "m_ng2", "m_ng3", "m_pais",
+    )})
+    odf = con.sql(_MEJE_SQL.format(as_of=AS_OF.isoformat())).df()
+    # DuckDB positional-union column names come from the first branch —
+    # rename to the engine's schema before comparing
+    odf.columns = [
+        "id_eje_territorial", "id_eje_territorial_padre", "id_pais",
+        "cod_eje_territorial", "cod_eje_territorial_ref",
+        "nomb_eje_territorial", "cod_tipo_eje_territorial", "estado",
+        "fecha_creacion",
+    ]
+    assert_match(sdf, odf, "m_eje_territorial")
+
+    # pins: NG1 + NG2 + deduped district twice (NG3 parent + NG4 leaf)
+    assert len(sdf) == 4
+    ng3 = sdf[sdf.cod_tipo_eje_territorial == "NG3"].iloc[0]
+    assert ng3["id_eje_territorial"] == "PE|15001|NG3"
+    assert ng3["id_eje_territorial_padre"] == "PE|D1|PR1"
+    assert ng3["nomb_eje_territorial"] == "DISTRITO 2"      # DI2 wins the W1
+    assert ng3["cod_eje_territorial_ref"] == "DI2|15001"
+    ng4 = sdf[sdf.cod_tipo_eje_territorial == "NG4"].iloc[0]
+    assert ng4["id_eje_territorial"] == "PE|15001"
+    assert ng4["id_eje_territorial_padre"] == "PE|15001|NG3"
