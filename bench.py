@@ -38,6 +38,8 @@ HEADLINE = [
     "text_token_stats",
     "text_lang_id",
     "text_quality",
+    "text_repetition",
+    "doc_pack",
     "emb_cosine_topk",
     "emb_near_dup",
     "events_tumbling",

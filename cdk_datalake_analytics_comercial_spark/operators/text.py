@@ -159,6 +159,23 @@ def shingles(col: Column, k: int = 3) -> Column:
     return let(tokens(col), build)
 
 
+def line_stats(col: Column) -> Column:
+    """struct(n_lines, n_distinct_lines) over the document's non-empty
+    lines — the raw material for Gopher-style repetition filters
+    (``dup_line_fraction = 1 - distinct/total``). Pure Column expressions
+    over one let-bound split; no shuffle, no UDF."""
+
+    def build(ls: Column) -> Column:
+        return F.struct(
+            F.size(ls).alias("n_lines"),
+            F.size(F.array_distinct(ls)).alias("n_distinct_lines"),
+        )
+
+    return let(
+        F.filter(F.split(col, "\n"), lambda l: F.trim(l) != ""), build
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Whole-document fingerprint: md5 of normalized text (content hash;
     md5 chosen for engine portability in differential tests)."""

@@ -635,6 +635,125 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
 """
 
 
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules): duplicate-line fraction
+# and most-common-word-bigram fraction. Line stats are pure Column
+# expressions per row; the bigram mode runs explode → two partial-agg
+# shuffles (doc_id+gram, then doc_id) — the scale-correct shape for a
+# per-document mode (an in-row HOF mode would be O(n_bigrams²) per doc).
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ls = text.line_stats(F.col("text"))
+    lines = d.select(F.col("doc_id"), ls.alias("_ls")).select(
+        "doc_id",
+        F.col("_ls.n_lines").cast("bigint").alias("n_lines"),
+        F.round(
+            F.when(
+                F.col("_ls.n_lines") > 0,
+                F.lit(1.0)
+                - F.col("_ls.n_distinct_lines").cast("double") / F.col("_ls.n_lines"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_fraction"),
+    )
+    bi = d.select(
+        "doc_id", F.explode(text.shingles(F.col("text"), 2)).alias("g")
+    )
+    aggs = (
+        bi.groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").cast("bigint").alias("top_bigram_count"),
+            F.sum("count").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return lines.join(aggs, "doc_id").select(
+        "doc_id",
+        "n_lines",
+        "dup_line_fraction",
+        "top_bigram_count",
+        "n_bigrams",
+        F.round(
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6
+        ).alias("top_bigram_fraction"),
+    )
+
+
+# DuckDB twin of operators.text.shingles(col, k=2) — whole-text fallback for
+# docs shorter than 2 tokens, inclusive-bounds slices otherwise.
+_SQL_BIGRAMS = """
+CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+     ELSE list_transform(range(0, len(toks) - 1), i -> array_to_string(toks[(i+1):(i+2)], ' '))
+END
+"""
+
+_ORACLE_TEXT_REPETITION = f"""
+WITH lines AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS n_lines,
+         len(list_distinct(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''))) AS nd
+  FROM documents
+), base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), bi AS (
+  SELECT doc_id, unnest({_SQL_BIGRAMS}) AS g FROM base
+), cnt AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams
+  FROM cnt GROUP BY 1
+)
+SELECT l.doc_id,
+       CAST(l.n_lines AS BIGINT) AS n_lines,
+       ROUND(CASE WHEN l.n_lines > 0
+                  THEN 1.0 - CAST(l.nd AS DOUBLE) / l.n_lines
+                  ELSE 0.0 END, 6) AS dup_line_fraction,
+       CAST(a.top_bigram_count AS BIGINT) AS top_bigram_count,
+       CAST(a.n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams, 6) AS top_bigram_fraction
+FROM lines l JOIN agg a ON l.doc_id = a.doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Sequence packing: context-window binning per (lang) stratum — see
+# operators.pack for the scale rationale (one window shuffle per stratum,
+# never a global window).
+
+
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pack
+
+    d = t(spark, sf_dir, "documents")
+    withtok = d.select(
+        "doc_id",
+        "lang",
+        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return pack.pack_sequences(
+        withtok, "n_tokens", "doc_id", budget=2048, strata=["lang"]
+    ).select("doc_id", "lang", "n_tokens", "bin_id", "bin_offset")
+
+
+_ORACLE_DOC_PACK = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_TOKS}) END AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tok
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR(CAST(start AS DOUBLE) / 2048) AS BIGINT) AS bin_id,
+       CAST(start % 2048 AS BIGINT) AS bin_offset
+FROM s
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-features plumbing over the fake decoder.
 
@@ -805,6 +924,8 @@ QUERIES = {
     "dedup_canonical": q_dedup_canonical,
     "doc_quantiles": q_doc_quantiles,
     "stratified_sample": q_stratified_sample,
+    "text_repetition": q_text_repetition,
+    "doc_pack": q_doc_pack,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
@@ -828,6 +949,8 @@ ORACLES = {
     "dedup_canonical": _ORACLE_DEDUP_CANONICAL,
     "doc_quantiles": _ORACLE_DOC_QUANTILES,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
+    "text_repetition": _ORACLE_TEXT_REPETITION,
+    "doc_pack": _ORACLE_DOC_PACK,
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
     "multimodal_features": _ORACLE_MULTIMODAL,

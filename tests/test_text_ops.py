@@ -71,3 +71,51 @@ def test_min_shingle_fingerprint_stability(spark):
     a = one(spark, base, T.min_shingle_fingerprint(F.col("text")))
     b = one(spark, edited, T.min_shingle_fingerprint(F.col("text")))
     assert b <= a
+
+
+def test_line_stats_dup_lines(spark):
+    text = "alpha beta\nalpha beta\ngamma\n\n   \ngamma"
+    df = spark.createDataFrame([(text,)], "text string")
+    r = df.select(T.line_stats(F.col("text")).alias("s")).collect()[0]["s"]
+    # 4 non-empty lines (two blanks dropped), 2 distinct
+    assert r["n_lines"] == 4
+    assert r["n_distinct_lines"] == 2
+
+
+def test_line_stats_empty_text(spark):
+    df = spark.createDataFrame([("",), ("\n\n",)], "text string")
+    rows = df.select(T.line_stats(F.col("text")).alias("s")).collect()
+    for r in rows:
+        assert r["s"]["n_lines"] == 0
+
+
+def test_pack_sequences_hand_computed(spark):
+    from cdk_datalake_analytics_comercial_spark.operators.pack import pack_sequences
+
+    rows = [
+        # lang a: tokens 1000, 1000, 500, 2048 → starts 0, 1000, 2000, 2500
+        (1, "a", 1000), (2, "a", 1000), (3, "a", 500), (4, "a", 2048),
+        # lang b independent: starts 0, 2047
+        (5, "b", 2047), (6, "b", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(df, "n_tokens", "doc_id", 2048, ["lang"]).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 1000)
+    assert out[3] == (0, 2000)        # starts at 2000, straddles the cut
+    assert out[4] == (1, 452)         # 2500 = 2048 + 452
+    assert out[5] == (0, 0)           # lang b packs from zero
+    assert out[6] == (0, 2047)
+
+
+def test_pack_sequences_requires_strata(spark):
+    import pytest as _pytest
+
+    from cdk_datalake_analytics_comercial_spark.operators.pack import pack_sequences
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    with _pytest.raises(ValueError):
+        pack_sequences(df, "n_tokens", "doc_id", 2048, [])
