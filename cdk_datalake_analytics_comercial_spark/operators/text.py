@@ -176,6 +176,39 @@ def line_stats(col: Column) -> Column:
     )
 
 
+def chunk_tokens(col: Column, size: int, stride: int) -> Column:
+    """Overlapping token-window chunks for long-document splitting:
+    array<struct(start, n_tokens, chunk)> with window ``size`` and step
+    ``stride`` over the whitespace tokens. Chunk count is the standard
+    ``ceil(max(n - size, 0) / stride) + 1`` (always ≥ 1; the last window
+    may be short). Pure integer arithmetic + array slices per row — no
+    shuffle, no UDF; the chunk explosion happens in the caller so Spark
+    sizes partitions on the EXPLODED rows (a chunk array of a 1M-token doc
+    is fine, 1M one-row-per-chunk inputs are finer)."""
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        n_chunks = (
+            F.floor(
+                (F.greatest(n - size, F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
+            )
+            + 1
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: let(
+                (i * stride).cast("int"),
+                lambda s: F.struct(
+                    s.alias("start"),
+                    F.least(F.lit(size), n - s).alias("n_tokens"),
+                    F.concat_ws(" ", F.slice(tk, s + 1, size)).alias("chunk"),
+                ),
+            ),
+        )
+
+    return let(tokens(col), build)
+
+
 def fingerprint(col: Column) -> Column:
     """Whole-document fingerprint: md5 of normalized text (content hash;
     md5 chosen for engine portability in differential tests)."""

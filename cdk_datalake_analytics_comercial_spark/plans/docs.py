@@ -754,6 +754,46 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# Document chunking: overlapping 256-token windows with stride 128 — the
+# long-document splitting step of a training pipeline. Chunk math is
+# closed-form integer arithmetic so the oracle reproduces it exactly.
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(text.chunk_tokens(F.col("text"), 256, 128)).alias(
+            "chunk_id", "c"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.start").alias("start_token"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.md5("c.chunk").alias("chunk_md5"),
+    )
+
+
+_ORACLE_DOC_CHUNKS = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), meta AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CAST((GREATEST(len(toks) - 256, 0) + 127) // 128 + 1 AS INT) AS n_chunks
+  FROM base
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(i * 128 AS INT) AS start_token,
+       CAST(LEAST(256, n - i * 128) AS INT) AS n_tokens,
+       md5(array_to_string(toks[(i*128+1):(i*128+256)], ' ')) AS chunk_md5
+FROM meta, unnest(range(0, n_chunks)) AS u(i)
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-features plumbing over the fake decoder.
 
@@ -926,6 +966,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "text_repetition": q_text_repetition,
     "doc_pack": q_doc_pack,
+    "doc_chunks": q_doc_chunks,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
@@ -951,6 +992,7 @@ ORACLES = {
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "text_repetition": _ORACLE_TEXT_REPETITION,
     "doc_pack": _ORACLE_DOC_PACK,
+    "doc_chunks": _ORACLE_DOC_CHUNKS,
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
     "multimodal_features": _ORACLE_MULTIMODAL,

@@ -119,3 +119,37 @@ def test_pack_sequences_requires_strata(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
     with _pytest.raises(ValueError):
         pack_sequences(df, "n_tokens", "doc_id", 2048, [])
+
+
+def test_chunk_tokens_hand_computed(spark):
+    # 10 tokens, size 4, stride 3 → chunks at 0,3,6,9: ceil((10-4)/3)+1 = 3? 
+    # ceil(6/3)+1 = 3 chunks (starts 0, 3, 6); last covers tokens 7-10
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(text,)], "text string")
+    rows = df.select(
+        F.posexplode(T.chunk_tokens(F.col("text"), 4, 3)).alias("i", "c")
+    ).collect()
+    got = [(r["i"], r["c"]["start"], r["c"]["n_tokens"], r["c"]["chunk"]) for r in rows]
+    assert got == [
+        (0, 0, 4, "w0 w1 w2 w3"),
+        (1, 3, 4, "w3 w4 w5 w6"),
+        (2, 6, 4, "w6 w7 w8 w9"),
+    ]
+
+
+def test_chunk_tokens_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([("a b",), ("",)], "text string")
+    rows = df.select(
+        F.size(T.chunk_tokens(F.col("text"), 256, 128)).alias("n")
+    ).collect()
+    assert [r["n"] for r in rows] == [1, 1]
+
+
+def test_chunk_tokens_exact_boundary(spark):
+    # n == size → exactly one chunk
+    text = " ".join(f"w{i}" for i in range(4))
+    df = spark.createDataFrame([(text,)], "text string")
+    rows = df.select(
+        F.posexplode(T.chunk_tokens(F.col("text"), 4, 3)).alias("i", "c")
+    ).collect()
+    assert len(rows) == 1 and rows[0]["c"]["n_tokens"] == 4
