@@ -2999,3 +2999,140 @@ def test_m_eje_territorial_duckdb_differential(spark, lake):
     ng4 = sdf[sdf.cod_tipo_eje_territorial == "NG4"].iloc[0]
     assert ng4["id_eje_territorial"] == "PE|15001"
     assert ng4["id_eje_territorial_padre"] == "PE|15001|NG3"
+
+
+# ===========================================================================
+# 17. dim_estructura_comercial — the 8-self-join hierarchy flatten
+#     (`code/analytics/dim_estructura_comercial.py:19-131`): from the module
+#     master, parent pointers walk five levels up with per-level
+#     responsables and the attention model resolved — one wide row per
+#     module, recomputed join-for-join in SQL.
+# ===========================================================================
+
+_DEC_SQL = """
+SELECT mm.id_modulo AS id_estructura_comercial,
+       mm.id_pais,
+       CAST(NULL AS VARCHAR) AS cod_fuerza_venta,
+       mma.cod_modelo_atencion,
+       mp.cod_pais,
+       mec_region.cod_estructura_comercial AS cod_region,
+       mec_subregion.cod_estructura_comercial AS cod_subregion,
+       mec_division.cod_estructura_comercial AS cod_division,
+       mec_zona.cod_estructura_comercial AS cod_zona,
+       mec_ruta.cod_estructura_comercial AS cod_ruta,
+       mm.cod_modulo,
+       mrc_ruta.cod_responsable_comercial AS cod_vendedor,
+       mrc_ruta.nomb_responsable_comercial AS nomb_vendedor,
+       mrc_zona.cod_responsable_comercial AS cod_supervisor,
+       mrc_zona.nomb_responsable_comercial AS nomb_supervisor,
+       mrc_division.cod_responsable_comercial AS cod_jefe_venta,
+       mrc_division.nomb_responsable_comercial AS nomb_jefe_venta,
+       CAST(NULL AS VARCHAR) AS desc_fuerza_venta,
+       mma.desc_modelo_atencion,
+       mec_region.nomb_estructura_comercial AS desc_region,
+       mec_subregion.nomb_estructura_comercial AS desc_subregion,
+       mec_division.nomb_estructura_comercial AS desc_division,
+       mec_zona.nomb_estructura_comercial AS desc_zona,
+       mec_ruta.nomb_estructura_comercial AS desc_ruta,
+       mm.desc_modulo
+FROM m_modulo mm
+LEFT JOIN m_pais mp ON mm.id_pais = mp.id_pais
+LEFT JOIN m_estructura_comercial mec_ruta
+  ON mm.id_estructura_comercial = mec_ruta.id_estructura_comercial
+LEFT JOIN m_responsable_comercial mrc_ruta
+  ON mec_ruta.id_responsable_comercial = mrc_ruta.id_responsable_comercial
+LEFT JOIN m_estructura_comercial mec_zona
+  ON mec_ruta.id_estructura_comercial_padre = mec_zona.id_estructura_comercial
+LEFT JOIN m_responsable_comercial mrc_zona
+  ON mec_zona.id_responsable_comercial = mrc_zona.id_responsable_comercial
+LEFT JOIN m_estructura_comercial mec_division
+  ON mec_zona.id_estructura_comercial_padre = mec_division.id_estructura_comercial
+LEFT JOIN m_responsable_comercial mrc_division
+  ON mec_division.id_responsable_comercial = mrc_division.id_responsable_comercial
+LEFT JOIN m_estructura_comercial mec_subregion
+  ON mec_division.id_estructura_comercial_padre = mec_subregion.id_estructura_comercial
+LEFT JOIN m_estructura_comercial mec_region
+  ON mec_subregion.id_estructura_comercial_padre = mec_region.id_estructura_comercial
+LEFT JOIN m_modelo_atencion mma
+  ON mm.id_modelo_atencion = mma.id_modelo_atencion
+"""
+
+
+def test_dim_estructura_comercial_duckdb_differential(spark, lake):
+    dom = lambda t: lake.table_path(Layer.DOMAIN, t)  # noqa: E731
+    spark.createDataFrame(
+        [
+            ("10|01|M1", "PE", "R1", "MA1", "M1", "MODULO UNO"),
+            # ladder breaks at zona (Z2 absent), no responsable on its ruta,
+            # unknown attention model
+            ("10|01|M2", "PE", "R2", "MAX", "M2", "MODULO DOS"),
+            # no country row, no structure at all
+            ("10|01|M3", "XX", None, None, "M3", "MODULO TRES"),
+        ],
+        "id_modulo string, id_pais string, id_estructura_comercial string, "
+        "id_modelo_atencion string, cod_modulo string, desc_modulo string",
+    ).write.parquet(dom("m_modulo"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")],
+        "id_pais string, cod_pais string, desc_pais string",
+    ).write.parquet(dom("m_pais"))
+    spark.createDataFrame(
+        [
+            ("R1", "Z1", "RESP_V", "RT1", "RUTA UNO"),
+            ("Z1", "D1", "RESP_S", "ZN1", "ZONA UNO"),
+            ("D1", "SR1", "RESP_J", "DV1", "DIVISION UNO"),
+            ("SR1", "RG1", None, "SR1C", "SUBREGION UNO"),
+            ("RG1", None, None, "RG1C", "REGION UNO"),
+            ("R2", "Z2", None, "RT2", "RUTA DOS"),
+        ],
+        "id_estructura_comercial string, id_estructura_comercial_padre string, "
+        "id_responsable_comercial string, cod_estructura_comercial string, "
+        "nomb_estructura_comercial string",
+    ).write.parquet(dom("m_estructura_comercial"))
+    spark.createDataFrame(
+        [("RESP_V", "V001", "VENDEDOR UNO"), ("RESP_S", "S001", "SUPERVISOR UNO"),
+         ("RESP_J", "J001", "JEFE UNO")],
+        "id_responsable_comercial string, cod_responsable_comercial string, "
+        "nomb_responsable_comercial string",
+    ).write.parquet(dom("m_responsable_comercial"))
+    spark.createDataFrame(
+        [("MA1", "PRE", "PREVENTA")],
+        "id_modelo_atencion string, cod_modelo_atencion string, "
+        "desc_modelo_atencion string",
+    ).write.parquet(dom("m_modelo_atencion"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("analytics", "dim_estructura_comercial_lite", 1)],
+        ANALYTICS_JOBS, mk,
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "dim_estructura_comercial")
+    ).toPandas()
+
+    con = duck_with_views({t: dom(t) for t in (
+        "m_modulo", "m_pais", "m_estructura_comercial",
+        "m_responsable_comercial", "m_modelo_atencion",
+    )})
+    odf = con.sql(_DEC_SQL).df()
+    assert_match(sdf, odf, "dim_estructura_comercial")
+
+    assert len(sdf) == 3
+    m1 = sdf[sdf.cod_modulo == "M1"].iloc[0]
+    assert (m1["cod_ruta"], m1["cod_zona"], m1["cod_division"],
+            m1["cod_subregion"], m1["cod_region"]) == (
+        "RT1", "ZN1", "DV1", "SR1C", "RG1C")
+    assert m1["cod_vendedor"] == "V001" and m1["nomb_jefe_venta"] == "JEFE UNO"
+    assert m1["desc_modelo_atencion"] == "PREVENTA"
+    m2 = sdf[sdf.cod_modulo == "M2"].iloc[0]
+    assert m2["cod_ruta"] == "RT2" and m2["cod_zona"] is None
+    assert m2["cod_vendedor"] is None and m2["cod_modelo_atencion"] is None
+    assert m2["cod_region"] is None
+    m3 = sdf[sdf.cod_modulo == "M3"].iloc[0]
+    assert m3["cod_pais"] is None and m3["cod_ruta"] is None
