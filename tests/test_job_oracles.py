@@ -3136,3 +3136,155 @@ def test_dim_estructura_comercial_duckdb_differential(spark, lake):
     assert m2["cod_region"] is None
     m3 = sdf[sdf.cod_modulo == "M3"].iloc[0]
     assert m3["cod_pais"] is None and m3["cod_ruta"] is None
+
+
+# ===========================================================================
+# 18. t_saldos_iniciales — opening balances (`code/domain/
+#     t_saldos_iniciales.py:40-145`): approver existence gate (left_semi),
+#     3-key header⋈detail, package→unit conversion, CPM + purchase-rate
+#     valuation on the narrow numeric(30,4) family — recomputed in SQL.
+# ===========================================================================
+
+_TSI_SQL = """
+WITH gated AS (
+  SELECT tti.* FROM t_toma_inventario tti
+  WHERE EXISTS (
+    SELECT 1 FROM m_empleado e
+    WHERE e.cod_compania = tti.cod_compania
+      AND e.cod_empleado = tti.cod_empleado_aprobador)
+    AND strftime(tti.fecha_inventario, '%Y%m') IN ({periods})
+), base AS (
+  SELECT tti.id_pais, strftime(tti.fecha_inventario, '%Y%m') AS id_periodo,
+         tti.id_compania, tti.id_sucursal, ttid.id_almacen, ttid.id_articulo,
+         tti.fecha_inventario, mon.cod_moneda_mn AS moneda_mn,
+         CAST(ttid.stock_final AS DECIMAL(30,4)) AS cantidad_cajas,
+         CAST(ttid.stock_final * ma.cant_unidad_paquete AS DECIMAL(30,4)) AS unidades,
+         tti.estado, tti.usuario_creacion, tti.fecha_creacion,
+         tti.usuario_modificacion, tti.fecha_modificacion
+  FROM gated tti
+  LEFT JOIN m_parametro mon ON tti.id_compania = mon.id_compania
+  JOIN t_toma_inventario_detalle ttid
+    ON tti.id_sucursal = ttid.id_sucursal
+   AND tti.cod_almacen_emisor = ttid.cod_almacen_emisor
+   AND tti.fecha_inventario = ttid.fecha_inventario
+  JOIN m_articulo ma ON ma.id_articulo = ttid.id_articulo
+)
+SELECT t.id_pais, t.id_compania, t.id_periodo, t.id_sucursal, t.id_almacen,
+       t.id_articulo, t.fecha_inventario,
+       t.cantidad_cajas AS cant_cajafisica_inicial,
+       t.unidades AS cant_unidades_inicial,
+       t.estado,
+       CAST(c.imp_cpm AS DECIMAL(30,4)) AS precio_unitario_mn,
+       CAST(c.imp_cpm / mtc.tc_compra AS DECIMAL(30,4)) AS precio_unitario_me,
+       CAST(t.cantidad_cajas * c.imp_cpm AS DECIMAL(30,4)) AS imp_valorizado_mn,
+       CAST(t.cantidad_cajas * c.imp_cpm / mtc.tc_compra AS DECIMAL(30,4)) AS imp_valorizado_me,
+       CAST(c.imp_saldo_inicial AS DECIMAL(30,4)) AS imp_saldo_inicial,
+       CAST(c.imp_ingreso AS DECIMAL(30,4)) AS imp_valorizado_ingreso,
+       CAST(c.imp_salida AS DECIMAL(30,4)) AS imp_valorizado_salida,
+       CAST(c.imp_saldo_final AS DECIMAL(30,4)) AS imp_saldo_final,
+       t.usuario_creacion, t.fecha_creacion, t.usuario_modificacion,
+       t.fecha_modificacion, '0' AS es_eliminado
+FROM base t
+LEFT JOIN t_cierre_inventario_cpm c
+  ON t.id_sucursal = c.id_sucursal AND t.id_articulo = c.id_articulo
+ AND t.id_periodo = c.id_periodo
+LEFT JOIN m_tipo_cambio mtc
+  ON mtc.cod_compania = t.id_compania AND mtc.fecha = t.fecha_inventario
+ AND mtc.cod_moneda = t.moneda_mn
+"""
+
+
+def test_t_saldos_iniciales_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    d = dt.date
+
+    def header(suc, alm_e, fecha, aprobador, comp="10"):
+        return ("PE", comp, suc, alm_e, fecha, comp, aprobador, "APR",
+                "u.load", TS, "u.load", TS)
+
+    spark.createDataFrame(
+        [
+            header("S1", "AL-E", d(2025, 5, 2), "E1"),
+            header("S1", "AL-E", d(2025, 4, 3), "E9"),    # unknown approver
+            header("S2", "AL-E", d(2024, 12, 30), "E1"),  # out of window
+            header("S2", "ALX", d(2025, 5, 2), "E1"),     # no CPM row
+        ],
+        "id_pais string, id_compania string, id_sucursal string, "
+        "cod_almacen_emisor string, fecha_inventario date, cod_compania string, "
+        "cod_empleado_aprobador string, estado string, usuario_creacion string, "
+        "fecha_creacion timestamp, usuario_modificacion string, "
+        "fecha_modificacion timestamp",
+    ).write.parquet(stage("t_toma_inventario"))
+    spark.createDataFrame(
+        [
+            ("S1", "AL-E", d(2025, 5, 2), "A-1", "A1", D("10")),
+            ("S1", "AL-E", d(2025, 5, 2), "A-1", "A2", D("4")),
+            ("S1", "AL-E", d(2025, 4, 3), "A-1", "A1", D("9")),   # gated header
+            ("S2", "ALX", d(2025, 5, 2), "A-2", "A1", D("3")),
+            ("S1", "AL-E", d(2025, 5, 9), "A-1", "A1", D("9")),   # no header
+            ("S1", "AL-E", d(2025, 5, 2), "A-1", "AX", D("9")),   # unknown article
+        ],
+        "id_sucursal string, cod_almacen_emisor string, fecha_inventario date, "
+        "id_almacen string, id_articulo string, stock_final decimal(20,4)",
+    ).write.parquet(stage("t_toma_inventario_detalle"))
+    spark.createDataFrame(
+        [("A1", D("12")), ("A2", D("6"))],
+        "id_articulo string, cant_unidad_paquete decimal(10,2)",
+    ).write.parquet(stage("m_articulo"))
+    spark.createDataFrame(
+        [("10", "E1", "APROBADOR UNO")],
+        "cod_compania string, cod_empleado string, nomb_empleado string",
+    ).write.parquet(stage("m_empleado"))
+    spark.createDataFrame(
+        [("S1", "A1", "202505", D("7.0"), D("100.5"), D("200.25"),
+          D("50"), D("25"))],
+        "id_sucursal string, id_articulo string, id_periodo string, "
+        "imp_cpm decimal(20,4), imp_saldo_inicial decimal(20,4), "
+        "imp_saldo_final decimal(20,4), imp_ingreso decimal(20,4), "
+        "imp_salida decimal(20,4)",
+    ).write.parquet(stage("t_cierre_inventario_cpm"))
+    spark.createDataFrame(
+        [("10", d(2025, 5, 2), "PEN", D("3.5"))],
+        "cod_compania string, fecha date, cod_moneda string, tc_compra decimal(12,6)",
+    ).write.parquet(stage("m_tipo_cambio"))
+    spark.createDataFrame(
+        [("10", "PEN")], "id_compania string, cod_moneda_mn string"
+    ).write.parquet(stage("m_parametro"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("domain", "t_saldos_iniciales_lite", 1, periods=3)],
+        DOMAIN_JOBS, mk,
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "t_saldos_iniciales")
+    ).toPandas()
+
+    con = duck_with_views({t: stage(t) for t in (
+        "t_toma_inventario", "t_toma_inventario_detalle", "m_articulo",
+        "m_empleado", "t_cierre_inventario_cpm", "m_tipo_cambio", "m_parametro",
+    )})
+    odf = con.sql(_TSI_SQL.format(periods="'202503', '202504', '202505'")).df()
+    assert_match(sdf, odf, "t_saldos_iniciales")
+
+    assert len(sdf) == 3
+    r1 = sdf[(sdf.id_articulo == "A1") & (sdf.id_sucursal == "S1")].iloc[0]
+    assert float(r1["cant_cajafisica_inicial"]) == 10.0
+    assert float(r1["cant_unidades_inicial"]) == 120.0     # 10 × 12
+    assert float(r1["precio_unitario_mn"]) == 7.0
+    assert float(r1["precio_unitario_me"]) == 2.0          # 7 / 3.5
+    assert float(r1["imp_valorizado_mn"]) == 70.0
+    assert float(r1["imp_valorizado_me"]) == 20.0
+    assert float(r1["imp_saldo_final"]) == 200.25
+    r2 = sdf[sdf.id_articulo == "A2"].iloc[0]
+    assert float(r2["cant_unidades_inicial"]) == 24.0      # 4 × 6
+    assert pd.isna(r2["precio_unitario_mn"])               # no CPM row
+    r4 = sdf[sdf.id_sucursal == "S2"].iloc[0]
+    assert pd.isna(r4["imp_valorizado_me"])                # CPM null through fx
+    assert float(r4["cant_unidades_inicial"]) == 36.0
