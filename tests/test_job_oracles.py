@@ -3288,3 +3288,104 @@ def test_t_saldos_iniciales_duckdb_differential(spark, lake):
     r4 = sdf[sdf.id_sucursal == "S2"].iloc[0]
     assert pd.isna(r4["imp_valorizado_me"])                # CPM null through fx
     assert float(r4["cant_unidades_inicial"]) == 36.0
+
+
+# ===========================================================================
+# 19. t_reparto — delivery fact (`code/domain/t_reparto.py:36-93`):
+#     GRA/NIN dispatch filter, latest-movement W1 dedup per delivery id,
+#     J8 company join, surrogate mints — recomputed in SQL.
+# ===========================================================================
+
+_TREP_SQL = """
+WITH bridge AS (
+  SELECT mc.cod_compania, mp.id_pais
+  FROM m_compania mc JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+), filtered AS (
+  SELECT *, concat_ws('|', trim(cod_compania), trim(cod_sucursal),
+            trim(cod_almacen_emisor_origen), trim(cod_documento_transaccion),
+            trim(nro_documento_almacen)) AS id_reparto
+  FROM t_movimiento_inventario
+  WHERE strftime(fecha_almacen, '%Y%m') IN ({periods})
+    AND cod_documento_transaccion IN ('GRA', 'NIN')
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_reparto
+               ORDER BY nro_documento_movimiento DESC) AS rn
+    FROM filtered)
+  WHERE rn = 1
+)
+SELECT b.id_pais,
+       strftime(t.fecha_almacen, '%Y%m') AS id_periodo,
+       t.id_reparto,
+       concat_ws('|', trim(t.cod_compania), trim(t.cod_transportista)) AS id_transportista,
+       concat_ws('|', trim(t.cod_compania), trim(t.cod_vehiculo)) AS id_medio_transporte,
+       concat_ws('|', trim(t.cod_compania), trim(t.cod_chofer)) AS id_chofer,
+       CAST(t.fecha_emision AS DATE) AS fecha_orden_carga,
+       CAST(t.fecha_almacen AS DATE) AS fecha_reparto,
+       t.cod_estado_comprobante AS estado_guia,
+       t.fecha_creacion, t.fecha_modificacion
+FROM latest t
+JOIN bridge b ON t.cod_compania = b.cod_compania
+"""
+
+
+def test_t_reparto_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    d = dt.date
+
+    def mov(comp, suc, alm, doc, nro, nro_mov, fecha, transp, veh, chofer,
+            estado="EMI"):
+        return (comp, suc, alm, doc, nro, nro_mov, fecha, d(2025, 5, 1),
+                transp, veh, chofer, estado, TS, TS)
+
+    rows = [
+        # two movements for the same delivery → highest nro_mov wins
+        mov("10", "01", "AL1", "GRA", "G-1", "005", d(2025, 5, 6), "TR1", "VH1", "CH1"),
+        mov("10", "01", "AL1", "GRA", "G-1", "009", d(2025, 5, 7), "TR2", "VH2", "CH2"),
+        mov("10", "01", "AL1", "NIN", "N-1", "001", d(2025, 4, 2), "TR1", "VH1", "CH1"),
+        mov("10", "01", "AL1", "FAC", "F-1", "001", d(2025, 5, 2), "TR1", "VH1", "CH1"),  # doc filter
+        mov("10", "01", "AL1", "GRA", "G-2", "001", d(2024, 11, 2), "TR1", "VH1", "CH1"),  # window
+        mov("99", "01", "AL1", "GRA", "G-9", "001", d(2025, 5, 2), "TR1", "VH1", "CH1"),  # ghost comp
+    ]
+    spark.createDataFrame(
+        rows,
+        "cod_compania string, cod_sucursal string, cod_almacen_emisor_origen string, "
+        "cod_documento_transaccion string, nro_documento_almacen string, "
+        "nro_documento_movimiento string, fecha_almacen date, fecha_emision date, "
+        "cod_transportista string, cod_vehiculo string, cod_chofer string, "
+        "cod_estado_comprobante string, fecha_creacion timestamp, "
+        "fecha_modificacion timestamp",
+    ).write.parquet(stage("t_movimiento_inventario"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS), ("99", "XX", "GHOST", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("domain", "t_reparto_lite", 1, periods=3)], DOMAIN_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.DOMAIN, "t_reparto")).toPandas()
+
+    con = duck_with_views({t: stage(t) for t in (
+        "t_movimiento_inventario", "m_compania", "m_pais",
+    )})
+    odf = con.sql(_TREP_SQL.format(periods="'202503', '202504', '202505'")).df()
+    assert_match(sdf, odf, "t_reparto")
+
+    assert len(sdf) == 2
+    g1 = sdf[sdf.id_reparto == "10|01|AL1|GRA|G-1"].iloc[0]
+    # movement 009 wins the W1 → TR2/VH2/CH2, fecha 2025-05-07
+    assert g1["id_transportista"] == "10|TR2"
+    assert g1["id_medio_transporte"] == "10|VH2"
+    assert g1["fecha_reparto"] == d(2025, 5, 7)
