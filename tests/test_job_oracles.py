@@ -3389,3 +3389,149 @@ def test_t_reparto_duckdb_differential(spark, lake):
     assert g1["id_transportista"] == "10|TR2"
     assert g1["id_medio_transporte"] == "10|VH2"
     assert g1["fecha_reparto"] == d(2025, 5, 7)
+
+
+# ===========================================================================
+# 20. m_articulo — product master (`code/domain/m_articulo.py:29-172`):
+#     deepening linea→familia→subfamilia join keys, corp-code 0/NULL
+#     fallback with the id minted from the RESOLVED code, '000'/DEFAULT
+#     coalesces, (linea, familia) classification flags — recomputed in SQL.
+# ===========================================================================
+
+_MART_CORP = ("CASE WHEN COALESCE(ma.cod_articulo_corp, 0) = 0 "
+              "THEN ma.cod_articulo "
+              "ELSE CAST(ma.cod_articulo_corp AS VARCHAR) END")
+
+_MART_SQL = f"""
+SELECT concat_ws('|', trim(ma.cod_compania), trim(ma.cod_articulo)) AS id_articulo,
+       mp.id_pais,
+       ma.cod_compania, ma.cod_articulo,
+       {_MART_CORP} AS cod_articulo_corp,
+       concat_ws('|', trim(ma.cod_compania), trim({_MART_CORP})) AS id_articulo_corp,
+       ma.desc_articulo,
+       COALESCE(ml.desc_linea, 'LINEA DEFAULT') AS desc_linea,
+       COALESCE(mf.desc_familia, 'FAMILIA DEFAULT') AS desc_familia,
+       COALESCE(ms.desc_subfamilia, 'SUBFAMILIA DEFAULT') AS desc_subfamilia,
+       COALESCE(mm.cod_marca, '000') AS cod_marca,
+       COALESCE(mm.desc_marca, 'MARCA DEFAULT') AS desc_marca,
+       COALESCE(mca.desc_categoria, 'CATEGORIA DEFAULT') AS desc_categoria,
+       CAST(NULL AS VARCHAR) AS cod_unidad_negocio,
+       CAST(NULL AS VARCHAR) AS desc_unidad_negocio,
+       CASE WHEN COALESCE(ml.cod_linea, '00') = '03'
+             AND COALESCE(mf.cod_familia, '000') = '003' THEN 1 ELSE 0 END AS flg_jarabe,
+       CASE WHEN COALESCE(ml.cod_linea, '00') = '04'
+             AND COALESCE(mf.cod_familia, '000') = '008' THEN 1 ELSE 0 END AS flg_co2,
+       CASE WHEN COALESCE(ml.cod_linea, '00') = '04'
+             AND COALESCE(mf.cod_familia, '000') = '001' THEN 1 ELSE 0 END AS flg_azucar,
+       CAST(ma.cant_unidad_paquete AS DECIMAL(38,12)) AS cant_unidad_paquete,
+       ma.es_activo
+FROM m_articulo ma
+JOIN m_compania mc ON ma.cod_compania = mc.cod_compania
+LEFT JOIN m_pais mp ON mp.cod_pais = mc.cod_pais
+LEFT JOIN m_linea ml
+  ON ma.cod_compania = ml.cod_compania AND ma.cod_linea = ml.cod_linea
+LEFT JOIN m_familia mf
+  ON ma.cod_compania = mf.cod_compania AND ma.cod_linea = mf.cod_linea
+ AND ma.cod_familia = mf.cod_familia
+LEFT JOIN m_subfamilia ms
+  ON ma.cod_compania = ms.cod_compania AND ma.cod_linea = ms.cod_linea
+ AND ma.cod_familia = ms.cod_familia AND ma.cod_subfamilia = ms.cod_subfamilia
+LEFT JOIN m_marca mm
+  ON ma.cod_compania = mm.cod_compania AND ma.cod_marca = mm.cod_marca
+LEFT JOIN m_categoria mca
+  ON ma.cod_compania = mca.cod_compania AND ma.cod_categoria = mca.cod_categoria
+"""
+
+
+def test_m_articulo_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    arts = [
+        # NULL corp → own code; full ladder; 03/003 → jarabe flag
+        ("10", "A1", None, "AGUA CIELO", "03", "003", "SF1", "MK1", "CT1",
+         D("12"), "T"),
+        # explicit corp 777; 04/008 → co2; marca missing → defaults
+        ("10", "A2", 777, "CO2 TANQUE", "04", "008", "SF2", "MKX", "CT1",
+         D("1"), "T"),
+        # corp 0 → own code; linea/familia/subfam unknown → all DEFAULTs
+        ("10", "A3", 0, "OTRO", "09", "999", "SFX", "MK1", "CTX",
+         D("6"), "F"),
+        # company with no pais row → id_pais NULL but row SURVIVES (pais left)
+        ("99", "A4", None, "SIN PAIS", "03", "003", "SF1", "MK1", "CT1",
+         D("3"), "T"),
+        # company absent from m_compania → inner drop
+        ("88", "A5", None, "GHOST", "03", "003", "SF1", "MK1", "CT1",
+         D("3"), "T"),
+    ]
+    spark.createDataFrame(
+        arts,
+        "cod_compania string, cod_articulo string, cod_articulo_corp int, "
+        "desc_articulo string, cod_linea string, cod_familia string, "
+        "cod_subfamilia string, cod_marca string, cod_categoria string, "
+        "cant_unidad_paquete decimal(10,2), es_activo string",
+    ).write.parquet(stage("m_articulo"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS), ("99", "XX", "NOPAIS", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+    spark.createDataFrame(
+        [("10", "03", "JARABES"), ("10", "04", "GASEOSAS"), ("99", "03", "J99")],
+        "cod_compania string, cod_linea string, desc_linea string",
+    ).write.parquet(stage("m_linea"))
+    spark.createDataFrame(
+        [("10", "03", "003", "FAMILIA JARABE"), ("10", "04", "008", "FAMILIA CO2"),
+         ("99", "03", "003", "F99")],
+        "cod_compania string, cod_linea string, cod_familia string, desc_familia string",
+    ).write.parquet(stage("m_familia"))
+    spark.createDataFrame(
+        [("10", "03", "003", "SF1", "SUBFAMILIA UNO"),
+         ("10", "04", "008", "SF2", "SUBFAMILIA DOS")],
+        "cod_compania string, cod_linea string, cod_familia string, "
+        "cod_subfamilia string, desc_subfamilia string",
+    ).write.parquet(stage("m_subfamilia"))
+    spark.createDataFrame(
+        [("10", "MK1", "CIELO")],
+        "cod_compania string, cod_marca string, desc_marca string",
+    ).write.parquet(stage("m_marca"))
+    spark.createDataFrame(
+        [("10", "CT1", "BEBIDAS")],
+        "cod_compania string, cod_categoria string, desc_categoria string",
+    ).write.parquet(stage("m_categoria"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves([JobConfig("domain", "m_articulo_lite", 1)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_articulo")).toPandas()
+
+    con = duck_with_views({t: stage(t) for t in (
+        "m_articulo", "m_compania", "m_pais", "m_linea", "m_familia",
+        "m_subfamilia", "m_marca", "m_categoria",
+    )})
+    odf = con.sql(_MART_SQL).df()
+    assert_match(sdf, odf, "m_articulo")
+
+    assert len(sdf) == 4
+    a1 = sdf[sdf.cod_articulo == "A1"].iloc[0]
+    assert a1["cod_articulo_corp"] == "A1" and a1["id_articulo_corp"] == "10|A1"
+    assert a1["flg_jarabe"] == 1 and a1["flg_co2"] == 0
+    assert a1["desc_subfamilia"] == "SUBFAMILIA UNO"
+    a2 = sdf[sdf.cod_articulo == "A2"].iloc[0]
+    assert a2["cod_articulo_corp"] == "777" and a2["id_articulo_corp"] == "10|777"
+    assert a2["flg_co2"] == 1
+    assert a2["cod_marca"] == "000" and a2["desc_marca"] == "MARCA DEFAULT"
+    a3 = sdf[sdf.cod_articulo == "A3"].iloc[0]
+    assert a3["cod_articulo_corp"] == "A3"                # corp 0 falls back
+    assert a3["desc_linea"] == "LINEA DEFAULT"
+    assert a3["desc_familia"] == "FAMILIA DEFAULT"
+    assert a3["flg_jarabe"] == 0
+    a4 = sdf[sdf.cod_articulo == "A4"].iloc[0]
+    assert a4["id_pais"] is None                          # pais left join miss
+    assert a4["desc_linea"] == "J99"
