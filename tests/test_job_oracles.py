@@ -3535,3 +3535,159 @@ def test_m_articulo_duckdb_differential(spark, lake):
     a4 = sdf[sdf.cod_articulo == "A4"].iloc[0]
     assert a4["id_pais"] is None                          # pais left join miss
     assert a4["desc_linea"] == "J99"
+
+
+# ===========================================================================
+# 21. t_movimiento_inventario — movement header (`code/domain/
+#     t_movimiento_inventario.py:24-145`): procedure whitelist through the
+#     doc-type bridge as an EXISTS (left_semi — a duplicated bridge row must
+#     NOT fan out the fact), transit left join with destination columns +
+#     existence flag, '000'/'' coalesce defaults, hard-coded es_eliminado=1.
+# ===========================================================================
+
+_TMI_SQL = """
+WITH compania AS (
+  SELECT mc.cod_compania, mp.id_pais
+  FROM m_compania mc JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+)
+SELECT c.id_pais,
+       strftime(t.fecha_almacen, '%Y%m') AS id_periodo,
+       t.id_movimiento_almacen, t.id_movimiento_ingreso,
+       t.cod_compania AS id_compania_origen,
+       t.id_sucursal AS id_sucursal_origen,
+       t.id_almacen AS id_almacen_origen,
+       tr.id_compania_destino, tr.id_sucursal_destino, tr.id_almacen_destino,
+       t.id_compania_referencia, t.id_sucursal_referencia, t.id_almacen_referencia,
+       concat_ws('|', trim(t.cod_compania), trim(t.cod_transportista)) AS id_transportista,
+       concat_ws('|', trim(t.cod_compania), trim(t.cod_vehiculo)) AS id_medio_transporte,
+       t.id_vendedor, t.id_persona,
+       t.id_procedimiento AS id_tipo_procedimiento,
+       t.cod_procedimiento,
+       t.fecha_emision, t.fecha_liquidacion, t.fecha_almacen,
+       t.nro_documento_almacen, t.nro_documento_movimiento,
+       COALESCE(t.cod_estado_comprobante, '000') AS cod_estado_comprobante,
+       t.nro_serie_alm AS nro_serie_almacen,
+       t.nropricoal AS nro_comprobante_pre,
+       COALESCE(t.cod_tipo_documento_liquidacion, '000') AS cod_documento_liquidacion,
+       t.nro_documento_liquidacion,
+       t.cod_documento_transaccion,
+       COALESCE(t.cod_documento_transaccion1, '') AS cod_documento_transaccion_ref1,
+       t.nro_documento_almacen1 AS nro_documento_almacen_ref1,
+       t.cod_tipo_documento_referencia2 AS cod_documento_transaccion_ref2,
+       t.nro_documento_almacen_referencia2 AS nro_documento_almacen_ref2,
+       tr.estado AS desc_estado_transito,
+       CASE WHEN tr.id_documento_almacen IS NULL THEN 0 ELSE 1 END AS tiene_transito,
+       t.usuario_creacion, t.fecha_creacion, t.usuario_modificacion,
+       t.fecha_modificacion,
+       CAST(1 AS INT) AS es_eliminado
+FROM t_movimiento_inventario t
+JOIN compania c ON t.cod_compania = c.cod_compania
+LEFT JOIN t_movimiento_inventario_transito tr
+  ON t.id_documento_almacen = tr.id_documento_almacen
+WHERE strftime(t.fecha_almacen, '%Y%m') IN ({periods})
+  AND EXISTS (
+    SELECT 1 FROM m_documento_almacen mda
+    JOIN m_documento_transaccion mdt
+      ON mda.cod_compania = mdt.cod_compania
+     AND mda.cod_transaccion = mdt.cod_documento_transaccion
+    WHERE mda.cod_compania = t.cod_compania
+      AND mda.cod_transaccion = t.cod_procedimiento)
+"""
+
+
+def test_t_movimiento_inventario_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    d = dt.date
+
+    def mov(idm, comp, proc, fecha, doc_id, estado_comp, liq, doc1):
+        return (comp, proc, doc_id, idm, f"{idm}-ING", "S1", "AL1",
+                "CR", "SR", "AR", "TR1", "VH1", "VND1", "PRS1", "PROC-1",
+                d(2025, 5, 1), d(2025, 5, 2), fecha, f"N-{idm}", f"M-{idm}",
+                estado_comp, "SER1", "PRE1", liq, "LIQ-9", "GRA", doc1,
+                "NDA1", "R2C", "NDA2", "u.load", TS, "u.load", TS)
+
+    rows = [
+        # whitelisted via a DUPLICATED bridge (two doc_trans rows) — must not
+        # fan out; has transit row; NULL estado → '000'
+        mov("M1", "10", "ING", d(2025, 5, 6), "DOC1", None, "TDL", "DT1"),
+        # whitelisted once; no transit; every coalesce source NULL
+        mov("M2", "10", "SAL", d(2025, 4, 9), "DOC2", "APR", None, None),
+        mov("M3", "10", "XXX", d(2025, 5, 6), "DOC3", "APR", "TDL", "DT1"),   # not whitelisted
+        mov("M4", "10", "ING", d(2024, 10, 1), "DOC4", "APR", "TDL", "DT1"),  # out of window
+        mov("M5", "99", "ING", d(2025, 5, 6), "DOC5", "APR", "TDL", "DT1"),   # ghost company
+    ]
+    spark.createDataFrame(
+        rows,
+        "cod_compania string, cod_procedimiento string, id_documento_almacen string, "
+        "id_movimiento_almacen string, id_movimiento_ingreso string, "
+        "id_sucursal string, id_almacen string, id_compania_referencia string, "
+        "id_sucursal_referencia string, id_almacen_referencia string, "
+        "cod_transportista string, cod_vehiculo string, id_vendedor string, "
+        "id_persona string, id_procedimiento string, fecha_emision date, "
+        "fecha_liquidacion date, fecha_almacen date, nro_documento_almacen string, "
+        "nro_documento_movimiento string, cod_estado_comprobante string, "
+        "nro_serie_alm string, nropricoal string, "
+        "cod_tipo_documento_liquidacion string, nro_documento_liquidacion string, "
+        "cod_documento_transaccion string, cod_documento_transaccion1 string, "
+        "nro_documento_almacen1 string, cod_tipo_documento_referencia2 string, "
+        "nro_documento_almacen_referencia2 string, usuario_creacion string, "
+        "fecha_creacion timestamp, usuario_modificacion string, "
+        "fecha_modificacion timestamp",
+    ).write.parquet(stage("t_movimiento_inventario"))
+    spark.createDataFrame(
+        [("DOC1", "20", "SD", "AD", "PLI")],
+        "id_documento_almacen string, id_compania_destino string, "
+        "id_sucursal_destino string, id_almacen_destino string, estado string",
+    ).write.parquet(stage("t_movimiento_inventario_transito"))
+    spark.createDataFrame(
+        [("10", "ING"), ("10", "SAL")],
+        "cod_compania string, cod_transaccion string",
+    ).write.parquet(stage("m_documento_almacen"))
+    spark.createDataFrame(
+        [("10", "ING", "INGRESO A"), ("10", "ING", "INGRESO B"),  # dup fan
+         ("10", "SAL", "SALIDA")],
+        "cod_compania string, cod_documento_transaccion string, descripcion string",
+    ).write.parquet(stage("m_documento_transaccion"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS), ("99", "XX", "GHOST", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("domain", "t_movimiento_inventario_lite", 1, periods=3)],
+        DOMAIN_JOBS, mk,
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "t_movimiento_inventario")
+    ).toPandas()
+
+    con = duck_with_views({t: stage(t) for t in (
+        "t_movimiento_inventario", "t_movimiento_inventario_transito",
+        "m_documento_almacen", "m_documento_transaccion", "m_compania", "m_pais",
+    )})
+    odf = con.sql(_TMI_SQL.format(periods="'202503', '202504', '202505'")).df()
+    assert_match(sdf, odf, "t_movimiento_inventario")
+
+    # pins: 2 rows — the duplicated bridge must NOT duplicate M1
+    assert len(sdf) == 2
+    m1 = sdf[sdf.id_movimiento_almacen == "M1"].iloc[0]
+    assert m1["tiene_transito"] == 1 and m1["desc_estado_transito"] == "PLI"
+    assert m1["id_almacen_destino"] == "AD"
+    assert m1["cod_estado_comprobante"] == "000"          # NULL → default
+    assert m1["cod_documento_transaccion_ref1"] == "DT1"
+    assert m1["es_eliminado"] == 1                        # faithful constant
+    m2 = sdf[sdf.id_movimiento_almacen == "M2"].iloc[0]
+    assert m2["tiene_transito"] == 0 and m2["id_compania_destino"] is None
+    assert m2["cod_documento_liquidacion"] == "000"
+    assert m2["cod_documento_transaccion_ref1"] == ""     # NULL → empty string
