@@ -3691,3 +3691,140 @@ def test_t_movimiento_inventario_duckdb_differential(spark, lake):
     assert m2["tiene_transito"] == 0 and m2["id_compania_destino"] is None
     assert m2["cod_documento_liquidacion"] == "000"
     assert m2["cod_documento_transaccion_ref1"] == ""     # NULL → empty string
+
+
+# ===========================================================================
+# 22. dim_sucursal + dim_clasificacion_cliente — the two remaining dim
+#     classes: 2-key company denormalization, and the level-split +
+#     two-left-self-join hierarchy flatten.
+# ===========================================================================
+
+_DSUC_SQL = """
+SELECT CAST(ms.id_sucursal AS VARCHAR) AS id_sucursal,
+       CAST(ms.id_pais AS VARCHAR) AS id_pais,
+       mc.cod_compania, mc.nomb_compania, mc.cod_tipo_compania,
+       ms.cod_sucursal, ms.nomb_sucursal, ms.cod_tipo_sucursal
+FROM m_sucursal ms
+JOIN m_pais mp ON mp.id_pais = ms.id_pais
+JOIN m_compania mc
+  ON ms.id_compania = mc.id_compania AND ms.id_pais = mc.id_pais
+"""
+
+
+def test_dim_sucursal_duckdb_differential(spark, lake):
+    dom = lambda t: lake.table_path(Layer.DOMAIN, t)  # noqa: E731
+    spark.createDataFrame(
+        [
+            ("10|01", "PE", "10", "01", "LIMA NORTE", "DC"),
+            ("10|02", "PE", "10", "02", "LIMA SUR", "CD"),
+            ("10|03", "XX", "10", "03", "SIN PAIS", "DC"),      # pais miss
+            ("20|01", "PE", "20", "01", "SIN COMPANIA", "DC"),  # compania miss
+        ],
+        "id_sucursal string, id_pais string, id_compania string, "
+        "cod_sucursal string, nomb_sucursal string, cod_tipo_sucursal string",
+    ).write.parquet(dom("m_sucursal"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(dom("m_pais"))
+    spark.createDataFrame(
+        [("10", "PE", "10", "AJE PERU", "OP")],
+        "id_compania string, id_pais string, cod_compania string, "
+        "nomb_compania string, cod_tipo_compania string",
+    ).write.parquet(dom("m_compania"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("analytics", "dim_sucursal_lite", 1)], ANALYTICS_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "dim_sucursal")).toPandas()
+    con = duck_with_views({t: dom(t) for t in ("m_sucursal", "m_pais", "m_compania")})
+    odf = con.sql(_DSUC_SQL).df()
+    assert_match(sdf, odf, "dim_sucursal")
+    assert len(sdf) == 2
+    assert set(sdf.nomb_compania) == {"AJE PERU"}
+
+
+_DCC_SQL = """
+WITH su AS (
+  SELECT id_pais, id_clasificacion_cliente AS id_subgiro,
+         id_clasificacion_cliente_padre AS id_giro,
+         cod_clasificacion_cliente AS cod_subgiro,
+         nomb_clasificacion_cliente AS desc_subgiro
+  FROM m_clasificacion_cliente
+  WHERE upper(cod_tipo_clasificacion_cliente) = 'SUBGIRO'
+), gi AS (
+  SELECT id_clasificacion_cliente AS id_giro,
+         id_clasificacion_cliente_padre AS id_canal,
+         cod_clasificacion_cliente AS cod_giro,
+         nomb_clasificacion_cliente AS desc_giro
+  FROM m_clasificacion_cliente
+  WHERE upper(cod_tipo_clasificacion_cliente) = 'GIRO'
+), ca AS (
+  SELECT id_clasificacion_cliente AS id_canal,
+         cod_clasificacion_cliente AS cod_canal,
+         nomb_clasificacion_cliente AS desc_canal
+  FROM m_clasificacion_cliente
+  WHERE upper(cod_tipo_clasificacion_cliente) = 'CANAL'
+)
+SELECT su.id_subgiro AS id_clasificacion_cliente, su.id_pais,
+       su.cod_subgiro, su.desc_subgiro,
+       CAST(NULL AS VARCHAR) AS cod_ocasion_consumo,
+       CAST(NULL AS VARCHAR) AS desc_ocasion_consumo,
+       gi.cod_giro, gi.desc_giro, ca.cod_canal, ca.desc_canal
+FROM su
+LEFT JOIN gi ON gi.id_giro = su.id_giro
+LEFT JOIN ca ON ca.id_canal = gi.id_canal
+"""
+
+
+def test_dim_clasificacion_cliente_duckdb_differential(spark, lake):
+    dom = lambda t: lake.table_path(Layer.DOMAIN, t)  # noqa: E731
+    spark.createDataFrame(
+        [
+            # full three-level chain (lowercase tipo → upper() match)
+            ("SG1", "G1", "PE", "subgiro", "S001", "BODEGA BARRIO"),
+            ("G1", "C1", "PE", "GIRO", "G001", "BODEGAS"),
+            ("C1", None, "PE", "Canal", "C001", "TRADICIONAL"),
+            # subgiro whose giro is missing → NULL giro AND canal
+            ("SG2", "GX", "PE", "SUBGIRO", "S002", "HUERFANO"),
+            # giro whose canal is missing → canal NULLs only
+            ("SG3", "G2", "PE", "SUBGIRO", "S003", "MEDIO"),
+            ("G2", "CX", "PE", "GIRO", "G002", "SIN CANAL"),
+            ("X1", None, "PE", "OTRO", "X", "IGNORADO"),  # unknown level
+        ],
+        "id_clasificacion_cliente string, id_clasificacion_cliente_padre string, "
+        "id_pais string, cod_tipo_clasificacion_cliente string, "
+        "cod_clasificacion_cliente string, nomb_clasificacion_cliente string",
+    ).write.parquet(dom("m_clasificacion_cliente"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("analytics", "dim_clasificacion_cliente_lite", 1)],
+        ANALYTICS_JOBS, mk,
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "dim_clasificacion_cliente")
+    ).toPandas()
+    con = duck_with_views({"m_clasificacion_cliente": dom("m_clasificacion_cliente")})
+    odf = con.sql(_DCC_SQL).df()
+    assert_match(sdf, odf, "dim_clasificacion_cliente")
+
+    assert len(sdf) == 3                       # one row per SUBGIRO
+    s1 = sdf[sdf.cod_subgiro == "S001"].iloc[0]
+    assert s1["desc_giro"] == "BODEGAS" and s1["desc_canal"] == "TRADICIONAL"
+    s2 = sdf[sdf.cod_subgiro == "S002"].iloc[0]
+    assert s2["cod_giro"] is None and s2["cod_canal"] is None
+    s3 = sdf[sdf.cod_subgiro == "S003"].iloc[0]
+    assert s3["desc_giro"] == "SIN CANAL" and s3["cod_canal"] is None
