@@ -3828,3 +3828,76 @@ def test_dim_clasificacion_cliente_duckdb_differential(spark, lake):
     assert s2["cod_giro"] is None and s2["cod_canal"] is None
     s3 = sdf[sdf.cod_subgiro == "S003"].iloc[0]
     assert s3["desc_giro"] == "SIN CANAL" and s3["cod_canal"] is None
+
+
+# ===========================================================================
+# 23. dim_eje_territorial — geographic flatten (`code/analytics/
+#     dim_eje_territorial.py:17-108`): NG4→NG3→NG2→NG1 inner ladder, pais
+#     denormalization, postal recovery via split()[1] — recomputed in SQL.
+# ===========================================================================
+
+_DEJE_SQL = """
+WITH ng4 AS (SELECT * FROM m_eje_territorial WHERE cod_tipo_eje_territorial = 'NG4'),
+     ng3 AS (SELECT * FROM m_eje_territorial WHERE cod_tipo_eje_territorial = 'NG3'),
+     ng2 AS (SELECT * FROM m_eje_territorial WHERE cod_tipo_eje_territorial = 'NG2'),
+     ng1 AS (SELECT * FROM m_eje_territorial WHERE cod_tipo_eje_territorial = 'NG1')
+SELECT ng4.id_eje_territorial, mp.id_pais, mp.cod_pais, mp.desc_pais,
+       ng1.cod_eje_territorial AS cod_ng1, ng1.nomb_eje_territorial AS desc_ng1,
+       ng2.cod_eje_territorial AS cod_ng2, ng2.nomb_eje_territorial AS desc_ng2,
+       ng3.cod_eje_territorial AS cod_ng3, ng3.nomb_eje_territorial AS desc_ng3,
+       ng4.cod_eje_territorial AS cod_ng4, ng4.nomb_eje_territorial AS desc_ng4,
+       split_part(ng4.cod_eje_territorial_ref, '|', 2) AS zona_postal
+FROM ng4
+JOIN ng3 ON ng3.id_eje_territorial = ng4.id_eje_territorial_padre
+JOIN ng2 ON ng2.id_eje_territorial = ng3.id_eje_territorial_padre
+JOIN ng1 ON ng1.id_eje_territorial = ng2.id_eje_territorial_padre
+JOIN m_pais mp ON ng4.id_pais = mp.id_pais
+"""
+
+
+def test_dim_eje_territorial_duckdb_differential(spark, lake):
+    dom = lambda t: lake.table_path(Layer.DOMAIN, t)  # noqa: E731
+
+    def node(id_, padre, cod, ref, nomb, tipo):
+        return (id_, padre, "PE", cod, ref, nomb, tipo)
+
+    spark.createDataFrame(
+        [
+            node("PE|15001", "PE|15001|NG3", "15001", "DI2|15001", "DISTRITO 2", "NG4"),
+            node("PE|15001|NG3", "PE|D1|PR1", "15001", "DI2|15001", "DISTRITO 2", "NG3"),
+            node("PE|D1|PR1", "PE|D1", "PR1", None, "PROVINCIA 1", "NG2"),
+            node("PE|D1", None, "D1", None, "DEPARTAMENTO 1", "NG1"),
+            # orphan postal: its NG3 twin is absent → inner ladder drops it
+            node("PE|99999", "PE|99999|NG3", "99999", "DIX|99999", "HUERFANO", "NG4"),
+        ],
+        "id_eje_territorial string, id_eje_territorial_padre string, "
+        "id_pais string, cod_eje_territorial string, cod_eje_territorial_ref string, "
+        "nomb_eje_territorial string, cod_tipo_eje_territorial string",
+    ).write.parquet(dom("m_eje_territorial"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(dom("m_pais"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("analytics", "dim_eje_territorial_lite", 1)], ANALYTICS_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "dim_eje_territorial")
+    ).toPandas()
+    con = duck_with_views({t: dom(t) for t in ("m_eje_territorial", "m_pais")})
+    odf = con.sql(_DEJE_SQL).df()
+    assert_match(sdf, odf, "dim_eje_territorial")
+
+    assert len(sdf) == 1
+    r = sdf.iloc[0]
+    assert r["zona_postal"] == "15001"                 # split()[1] recovery
+    assert (r["cod_ng1"], r["cod_ng2"], r["cod_ng3"], r["cod_ng4"]) == (
+        "D1", "PR1", "15001", "15001")
+    assert r["desc_pais"] == "PERU"
