@@ -3901,3 +3901,275 @@ def test_dim_eje_territorial_duckdb_differential(spark, lake):
     assert (r["cod_ng1"], r["cod_ng2"], r["cod_ng3"], r["cod_ng4"]) == (
         "D1", "PR1", "15001", "15001")
     assert r["desc_pais"] == "PERU"
+
+
+# ===========================================================================
+# 24. Small masters + summary: fact_venta_resumen, m_transportista,
+#     m_responsable_comercial, m_modulo — value-oracled to finish the
+#     hand-written job surface.
+# ===========================================================================
+
+_FVR_SQL = """
+SELECT id_pais, id_periodo, cod_cliente,
+       CAST(COUNT(*) AS BIGINT) AS n_documentos,
+       CAST(SUM(CAST(imp_venta AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS imp_venta
+FROM t_venta WHERE es_eliminado = 0
+GROUP BY 1, 2, 3
+"""
+
+
+def test_fact_venta_resumen_duckdb_differential(spark, lake):
+    dom = lambda t: lake.table_path(Layer.DOMAIN, t)  # noqa: E731
+    spark.createDataFrame(
+        [
+            ("PE", "202505", "C1", 0, D("10.5")),
+            ("PE", "202505", "C1", 0, D("4.5")),
+            ("PE", "202505", "C1", 1, D("99")),   # soft-deleted
+            ("PE", "202504", "C2", 0, D("7")),
+        ],
+        "id_pais string, id_periodo string, cod_cliente string, "
+        "es_eliminado int, imp_venta decimal(20,4)",
+    ).write.parquet(dom("t_venta"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("analytics", "fact_venta_resumen", 1)], ANALYTICS_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.ANALYTICS, "fact_venta_resumen")
+    ).toPandas()
+    con = duck_with_views({"t_venta": dom("t_venta")})
+    assert_match(sdf, con.sql(_FVR_SQL).df(), "fact_venta_resumen")
+    c1 = sdf[sdf.cod_cliente == "C1"].iloc[0]
+    assert int(c1["n_documentos"]) == 2 and float(c1["imp_venta"]) == 15.0
+
+
+_MTR_SQL = """
+WITH bridge AS (
+  SELECT mc.cod_compania, mp.id_pais
+  FROM m_compania mc JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+)
+SELECT mt.id_transportista, b.id_pais,
+       CAST(mt.cod_transportista AS INT) AS cod_transportista,
+       mpers.nomb_persona AS nomb_transportista,
+       mt.cod_tipo_transportista,
+       mtt.descripcion1 AS desc_tipo_transportista,
+       mpers.nro_documento AS ruc_transportista,
+       CAST(mt.fecha_creacion AS DATE) AS fecha_creacion,
+       CAST(mt.fecha_modificacion AS DATE) AS fecha_modificacion
+FROM m_transportista mt
+JOIN bridge b ON mt.cod_compania = b.cod_compania
+JOIN m_persona mpers ON mpers.id_persona = mt.id_transportista
+LEFT JOIN m_tipo_transportista mtt
+  ON mt.cod_tipo_transportista = mtt.cod_tipo_transportista
+ AND mt.cod_compania = mtt.cod_compania
+"""
+
+
+def test_m_transportista_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    spark.createDataFrame(
+        [
+            ("10", "10|T1", "007", "TC", TS, TS),   # int cast 007 → 7
+            ("10", "10|T2", "12", "TX", TS, TS),    # unknown type → NULL desc
+            ("10", "10|T3", "13", "TC", TS, TS),    # persona missing → drop
+            ("99", "99|T9", "14", "TC", TS, TS),    # ghost company
+        ],
+        "cod_compania string, id_transportista string, cod_transportista string, "
+        "cod_tipo_transportista string, fecha_creacion timestamp, "
+        "fecha_modificacion timestamp",
+    ).write.parquet(stage("m_transportista"))
+    spark.createDataFrame(
+        [("10|T1", "TRANSPORTES UNO", "20100000001"),
+         ("10|T2", "TRANSPORTES DOS", "20100000002")],
+        "id_persona string, nomb_persona string, nro_documento string",
+    ).write.parquet(stage("m_persona"))
+    spark.createDataFrame(
+        [("10", "TC", "CARGA PESADA")],
+        "cod_compania string, cod_tipo_transportista string, descripcion1 string",
+    ).write.parquet(stage("m_tipo_transportista"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS), ("99", "XX", "GHOST", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("domain", "m_transportista_lite", 1)], DOMAIN_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "m_transportista")
+    ).toPandas()
+    con = duck_with_views({t: stage(t) for t in (
+        "m_transportista", "m_persona", "m_tipo_transportista", "m_compania", "m_pais",
+    )})
+    assert_match(sdf, con.sql(_MTR_SQL).df(), "m_transportista")
+    assert len(sdf) == 2
+    t1 = sdf[sdf.id_transportista == "10|T1"].iloc[0]
+    assert int(t1["cod_transportista"]) == 7
+    assert t1["desc_tipo_transportista"] == "CARGA PESADA"
+    t2 = sdf[sdf.id_transportista == "10|T2"].iloc[0]
+    assert t2["desc_tipo_transportista"] is None
+
+
+_MRC_SQL = """
+WITH bridge AS (
+  SELECT mc.cod_compania, mp.id_pais
+  FROM m_compania mc JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+)
+SELECT concat_ws('|', trim(mv.cod_compania), trim(mv.cod_vendedor))
+         AS id_responsable_comercial,
+       b.id_pais,
+       trim(mv.cod_vendedor) AS cod_responsable_comercial,
+       mpe.nomb_persona AS nomb_responsable_comercial,
+       mv.cod_tipo_vendedor AS cod_tipo_responsable_comercial,
+       CAST(NULL AS VARCHAR) AS estado,
+       CAST(DATE '{as_of}' AS TIMESTAMP) AS fecha_creacion,
+       CAST(DATE '{as_of}' AS TIMESTAMP) AS fecha_modificacion
+FROM m_vendedor mv
+JOIN m_persona mpe
+  ON mv.cod_vendedor = mpe.cod_persona AND mv.cod_compania = mpe.cod_compania
+JOIN bridge b ON mv.cod_compania = b.cod_compania
+"""
+
+
+def test_m_responsable_comercial_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    spark.createDataFrame(
+        [(" V1 ", "10", "PRE"), ("V2", "10", "AUT"), ("V3", "99", "PRE")],
+        "cod_vendedor string, cod_compania string, cod_tipo_vendedor string",
+    ).write.parquet(stage("m_vendedor"))
+    spark.createDataFrame(
+        [(" V1 ", "10", "JUAN PEREZ"), ("V2", "10", "MARIA LOPEZ"),
+         ("V3", "99", "GHOST")],
+        "cod_persona string, cod_compania string, nomb_persona string",
+    ).write.parquet(stage("m_persona"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS), ("99", "XX", "GHOST", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("domain", "m_responsable_comercial_lite", 1)], DOMAIN_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "m_responsable_comercial")
+    ).toPandas()
+    con = duck_with_views({t: stage(t) for t in (
+        "m_vendedor", "m_persona", "m_compania", "m_pais",
+    )})
+    assert_match(
+        sdf, con.sql(_MRC_SQL.format(as_of=AS_OF.isoformat())).df(),
+        "m_responsable_comercial",
+    )
+    assert len(sdf) == 2
+    v1 = sdf[sdf.nomb_responsable_comercial == "JUAN PEREZ"].iloc[0]
+    # join on the raw padded code, mint from the TRIMMED one
+    assert v1["id_responsable_comercial"] == "10|V1"
+    assert v1["cod_responsable_comercial"] == "V1"
+
+
+_MMOD_SQL = """
+WITH bridge AS (
+  SELECT mc.cod_compania, mp.id_pais
+  FROM m_compania mc JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+)
+SELECT mm.id_modulo, b.id_pais,
+       concat_ws('|', trim(mm.cod_compania), trim(mm.cod_sucursal)) AS id_sucursal,
+       concat_ws('|', trim(mm.cod_compania), trim(mm.cod_sucursal),
+                 trim(mm.cod_fuerza_venta), trim(mm.cod_ruta))
+         AS id_estructura_comercial,
+       concat_ws('|', trim(mm.cod_compania), trim(mrd.cod_modelo_atencion))
+         AS id_modelo_atencion,
+       mm.cod_modulo, mm.desc_modulo,
+       CAST(NULL AS VARCHAR) AS desc_fuerza_venta,
+       CAST(NULL AS VARCHAR) AS periodo_visita,
+       ms.es_activo AS estado,
+       DATE '{as_of}' AS fecha_creacion,
+       DATE '{as_of}' AS fecha_modificacion
+FROM m_modulo mm
+JOIN m_sucursal ms
+  ON ms.cod_compania = mm.cod_compania AND ms.cod_sucursal = mm.cod_sucursal
+JOIN bridge b ON ms.cod_compania = b.cod_compania
+JOIN m_ruta mrd
+  ON mrd.cod_compania = mm.cod_compania AND mrd.cod_sucursal = mm.cod_sucursal
+ AND mrd.cod_fuerza_venta = mm.cod_fuerza_venta AND mrd.cod_ruta = mm.cod_ruta
+"""
+
+
+def test_m_modulo_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    spark.createDataFrame(
+        [
+            ("10", "01", "F1", "RT1", "10|01|M1", "M1", "MODULO UNO"),
+            ("10", "01", "F1", "RTX", "10|01|M2", "M2", "SIN RUTA"),   # ruta miss
+            ("10", "09", "F1", "RT1", "10|09|M3", "M3", "SIN SUCURSAL"),
+        ],
+        "cod_compania string, cod_sucursal string, cod_fuerza_venta string, "
+        "cod_ruta string, id_modulo string, cod_modulo string, desc_modulo string",
+    ).write.parquet(stage("m_modulo"))
+    spark.createDataFrame(
+        [("10", "01", "F1", "RT1", "MA-PRE")],
+        "cod_compania string, cod_sucursal string, cod_fuerza_venta string, "
+        "cod_ruta string, cod_modelo_atencion string",
+    ).write.parquet(stage("m_ruta"))
+    spark.createDataFrame(
+        [("10", "01", "T")],
+        "cod_compania string, cod_sucursal string, es_activo string",
+    ).write.parquet(stage("m_sucursal"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves([JobConfig("domain", "m_modulo_lite", 1)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_modulo")).toPandas()
+    con = duck_with_views({t: stage(t) for t in (
+        "m_modulo", "m_ruta", "m_sucursal", "m_compania", "m_pais",
+    )})
+    assert_match(
+        sdf, con.sql(_MMOD_SQL.format(as_of=AS_OF.isoformat())).df(), "m_modulo"
+    )
+    assert len(sdf) == 1
+    m1 = sdf.iloc[0]
+    assert m1["id_estructura_comercial"] == "10|01|F1|RT1"
+    assert m1["id_modelo_atencion"] == "10|MA-PRE"
+    assert m1["estado"] == "T"
