@@ -1,26 +1,18 @@
-"""Value-level DuckDB differentials for the three richest jobs.
+"""Value-level DuckDB differentials for EVERY hand-written job.
 
 The 52-job pipeline test proves the layer-contract graph resolves and reruns
-are idempotent; THESE tests prove the heaviest transforms compute the right
-VALUES: every output column of the job is recomputed independently in DuckDB
-SQL from the same input parquet and compared row-by-row (order-insensitive,
+are idempotent; THESE tests prove the transforms compute the right VALUES:
+every output column of each job is recomputed independently in DuckDB SQL
+from the same input parquet and compared row-by-row (order-insensitive,
 numerics normalized to 8dp to absorb decimal-scale differences between
 engines — both engines are exact far beyond that on these fixtures).
 
-Jobs covered (the three richest per the round-1 verdict, plus the
-numerically richest money surface):
-- t_pedido_cumplimiento_lite  (domain)   — oracle over the STAGE inputs
-- fact_cliente_venta_lite     (analytics) — oracle over DOMAIN/ANALYTICS inputs
-- fact_kpi_lite               (analytics) — oracle over DOMAIN inputs
-- t_venta_detalle_lite        (domain)   — 33-aggregate money surface
-- fact_reparto_detalle_lite   (analytics) — 42-col dual-optional-join select
-- t_pedido_lite               (domain)   — dual-branch header ladders + ADES
-- t_venta_lite                (domain)   — flagship sales fact incl. the
-                                           inner company-bridge semantics
-- fact_venta_detalle_lite     (analytics) — 58-col serving fact with the
-                                           whitelist-in-join + backfills
-- dim_cliente_lite            (analytics) — dim class: priority-ladder W1
-- m_estructura_comercial_lite (domain)   — hierarchy class: 5-level union
+Coverage: all 33 hand-written domain + analytics jobs (facts, masters,
+dims). The 20 spec-generated conform/passthrough dims share one program and
+are value-covered by test_dim_factory.py. Each fixture is adversarial —
+orphans, duplicates, out-of-window rows, NULL coalesce sources, zero-divisor
+guards — and each test adds hand-computed pins so engine and oracle cannot
+agree on a shared misreading.
 """
 
 from __future__ import annotations
@@ -4173,3 +4165,336 @@ def test_m_modulo_duckdb_differential(spark, lake):
     assert m1["id_estructura_comercial"] == "10|01|F1|RT1"
     assert m1["id_modelo_atencion"] == "10|MA-PRE"
     assert m1["estado"] == "T"
+
+
+# ===========================================================================
+# 25. The remaining hand-written jobs: m_tipo_venta (DCV whitelist bridge),
+#     m_asignacion_modulo (left-join activity flag), m_clasificacion_cliente
+#     (3-level relation expansion), m_pais (left_semi prune), m_compania.
+#     With these, EVERY hand-written job has a value-level differential.
+# ===========================================================================
+
+_MTV_SQL = """
+WITH bridge AS (
+  SELECT mc.cod_compania, mp.id_pais
+  FROM m_compania mc JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+)
+SELECT concat_ws('|', trim(d.cod_compania), trim(d.cod_documento_transaccion),
+                 trim(d.cod_procedimiento)) AS id_tipo_venta,
+       e.id_pais,
+       d.cod_procedimiento AS cod_tipo_venta,
+       COALESCE(d.desc_procedimiento, 'ninguno') AS nomb_tipo_venta,
+       d.cod_tipo_operacion,
+       DATE '{as_of}' AS fecha_creacion,
+       DATE '{as_of}' AS fecha_modificacion
+FROM m_procedimiento d
+JOIN m_tipo_documento c
+  ON d.cod_compania = c.cod_compania
+ AND d.cod_documento_transaccion = c.cod_tipo_documento
+JOIN bridge e ON d.cod_compania = e.cod_compania
+WHERE EXISTS (
+  SELECT 1 FROM m_tipo_transaccion tt
+  WHERE tt.cod_tipo_transaccion = 'DCV'
+    AND tt.cod_compania = c.cod_compania
+    AND tt.cod_documento_transaccion = c.cod_tipo_documento)
+"""
+
+
+def test_m_tipo_venta_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    spark.createDataFrame(
+        [
+            ("10", "FAC", "P01", "VENTA CONTADO", "VEN"),
+            ("10", "FAC", "P02", None, "PRO"),          # NULL desc → 'ninguno'
+            ("10", "GRA", "P01", "GUIA", "REM"),        # not DCV → dropped
+            ("10", "XXX", "P01", "SIN DOC", "VEN"),     # doc type missing
+        ],
+        "cod_compania string, cod_documento_transaccion string, "
+        "cod_procedimiento string, desc_procedimiento string, "
+        "cod_tipo_operacion string",
+    ).write.parquet(stage("m_procedimiento"))
+    spark.createDataFrame(
+        [("10", "FAC"), ("10", "GRA")],
+        "cod_compania string, cod_tipo_documento string",
+    ).write.parquet(stage("m_tipo_documento"))
+    spark.createDataFrame(
+        [("10", "DCV", "FAC"), ("10", "DCV", "FAC"),    # duplicate whitelist row
+         ("10", "DAL", "GRA")],
+        "cod_compania string, cod_tipo_transaccion string, "
+        "cod_documento_transaccion string",
+    ).write.parquet(stage("m_tipo_transaccion"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves([JobConfig("domain", "m_tipo_venta_lite", 1)], DOMAIN_JOBS, mk)
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_tipo_venta")).toPandas()
+    con = duck_with_views({t: stage(t) for t in (
+        "m_procedimiento", "m_tipo_documento", "m_tipo_transaccion",
+        "m_compania", "m_pais",
+    )})
+    assert_match(
+        sdf, con.sql(_MTV_SQL.format(as_of=AS_OF.isoformat())).df(), "m_tipo_venta"
+    )
+    assert len(sdf) == 2                       # dup whitelist row didn't fan out
+    p2 = sdf[sdf.id_tipo_venta == "10|FAC|P02"].iloc[0]
+    assert p2["nomb_tipo_venta"] == "ninguno"
+
+
+_MAM_SQL = """
+WITH bridge AS (
+  SELECT mc.cod_compania, mp.id_pais
+  FROM m_compania mc JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+)
+SELECT concat_ws('|', trim(mm.cod_compania), trim(mm.cod_sucursal),
+                 trim(mm.cod_fuerza_venta), trim(mm.cod_modulo),
+                 trim(mm.cod_cliente)) AS id_asignacion_modulo,
+       b.id_pais,
+       concat_ws('|', trim(suc.cod_compania), trim(suc.cod_sucursal)) AS id_sucursal,
+       concat_ws('|', trim(suc.cod_compania), trim(mm.cod_cliente)) AS id_cliente,
+       concat_ws('|', trim(mm.cod_compania), trim(mm.cod_sucursal),
+                 trim(mm.cod_fuerza_venta), trim(mm.cod_modulo)) AS id_modulo,
+       CAST(NULL AS TIMESTAMP) AS fecha_inicio,
+       CAST(NULL AS TIMESTAMP) AS fecha_fin,
+       CAST(NULL AS VARCHAR) AS frecuencia_visita,
+       CAST(NULL AS VARCHAR) AS periodo_visita,
+       CASE WHEN mcli.cod_sucursal IS NULL
+              OR mm.cod_sucursal = mcli.cod_sucursal THEN 1 ELSE 0
+       END AS es_activo,
+       CAST(0 AS INT) AS es_eliminado,
+       CAST(DATE '{as_of}' AS TIMESTAMP) AS fecha_creacion,
+       CAST(DATE '{as_of}' AS TIMESTAMP) AS fecha_modificacion
+FROM m_asignacion_modulo mm
+LEFT JOIN m_cliente mcli
+  ON mm.cod_compania = mcli.cod_compania AND mm.cod_cliente = mcli.cod_cliente
+JOIN m_sucursal suc
+  ON suc.cod_compania = mm.cod_compania AND suc.cod_sucursal = mm.cod_sucursal
+JOIN bridge b ON suc.cod_compania = b.cod_compania
+"""
+
+
+def test_m_asignacion_modulo_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    spark.createDataFrame(
+        [
+            ("10", "01", "F1", "MOD1", "C1"),   # client same sucursal → active
+            ("10", "01", "F1", "MOD1", "C2"),   # client other sucursal → 0
+            ("10", "01", "F1", "MOD1", "C9"),   # client unknown → active
+            ("10", "09", "F1", "MOD1", "C1"),   # sucursal master miss → drop
+        ],
+        "cod_compania string, cod_sucursal string, cod_fuerza_venta string, "
+        "cod_modulo string, cod_cliente string",
+    ).write.parquet(stage("m_asignacion_modulo"))
+    spark.createDataFrame(
+        [("10", "C1", "01"), ("10", "C2", "02")],
+        "cod_compania string, cod_cliente string, cod_sucursal string",
+    ).write.parquet(stage("m_cliente"))
+    spark.createDataFrame(
+        [("10", "01", "T")],
+        "cod_compania string, cod_sucursal string, es_activo string",
+    ).write.parquet(stage("m_sucursal"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("domain", "m_asignacion_modulo_lite", 1)], DOMAIN_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "m_asignacion_modulo")
+    ).toPandas()
+    con = duck_with_views({t: stage(t) for t in (
+        "m_asignacion_modulo", "m_cliente", "m_sucursal", "m_compania", "m_pais",
+    )})
+    assert_match(
+        sdf, con.sql(_MAM_SQL.format(as_of=AS_OF.isoformat())).df(),
+        "m_asignacion_modulo",
+    )
+    act = {r["id_asignacion_modulo"]: r["es_activo"] for _, r in sdf.iterrows()}
+    assert act == {
+        "10|01|F1|MOD1|C1": 1, "10|01|F1|MOD1|C2": 0, "10|01|F1|MOD1|C9": 1,
+    }
+
+
+_MCC_SQL = """
+WITH bridge AS (
+  SELECT mc.cod_compania, mp.id_pais
+  FROM m_compania mc JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+), conformed AS (
+  SELECT irc.*, b.id_pais
+  FROM i_relacion_consumo irc JOIN bridge b ON irc.cod_compania = b.cod_compania
+), sg AS (
+  SELECT DISTINCT irc.id_pais,
+         concat_ws('|', trim(irc.cod_compania), 'SG', trim(irc.cod_subgiro))
+           AS id_clasificacion_cliente,
+         concat_ws('|', trim(irc.cod_compania), 'GR', trim(irc.cod_giro),
+                   trim(irc.cod_canal)) AS id_clasificacion_cliente_padre,
+         irc.cod_subgiro AS cod_clasificacion_cliente,
+         mv.desc_subgiro AS nomb_clasificacion_cliente,
+         'Subgiro' AS cod_tipo_clasificacion_cliente,
+         mv.es_activo AS estado
+  FROM conformed irc
+  JOIN m_subgiro mv
+    ON irc.cod_subgiro = mv.cod_subgiro AND irc.cod_compania = mv.cod_compania
+), gr AS (
+  SELECT DISTINCT irc.id_pais,
+         concat_ws('|', trim(irc.cod_compania), 'GR', trim(irc.cod_giro),
+                   trim(irc.cod_canal)) AS id_clasificacion_cliente,
+         concat_ws('|', trim(irc.cod_compania), 'CN', trim(irc.cod_canal))
+           AS id_clasificacion_cliente_padre,
+         irc.cod_giro, mv.desc_giro, 'Giro', mv.es_activo
+  FROM conformed irc
+  JOIN m_giro mv
+    ON irc.cod_giro = mv.cod_giro AND irc.cod_compania = mv.cod_compania
+), cn AS (
+  SELECT DISTINCT irc.id_pais,
+         concat_ws('|', trim(irc.cod_compania), 'CN', trim(irc.cod_canal))
+           AS id_clasificacion_cliente,
+         CAST(NULL AS VARCHAR) AS id_clasificacion_cliente_padre,
+         irc.cod_canal, mv.desc_canal, 'Canal', mv.es_activo
+  FROM conformed irc
+  JOIN m_canal mv
+    ON irc.cod_canal = mv.cod_canal AND irc.cod_compania = mv.cod_compania
+), unioned AS (
+  SELECT * FROM sg UNION ALL SELECT * FROM gr UNION ALL SELECT * FROM cn
+)
+SELECT id_pais, id_clasificacion_cliente, id_clasificacion_cliente_padre,
+       cod_clasificacion_cliente, nomb_clasificacion_cliente,
+       cod_tipo_clasificacion_cliente, estado,
+       DATE '{as_of}' AS fecha_creacion, DATE '{as_of}' AS fecha_modificacion
+FROM unioned
+"""
+
+
+def test_m_clasificacion_cliente_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    spark.createDataFrame(
+        [
+            ("10", "SG1", "G1", "CN1"),
+            ("10", "SG1", "G1", "CN1"),   # exact duplicate → distinct
+            ("10", "SG2", "G1", "CN1"),   # shares giro/canal → they dedup
+            ("10", "SGX", "G2", "CN1"),   # subgiro missing from master
+        ],
+        "cod_compania string, cod_subgiro string, cod_giro string, cod_canal string",
+    ).write.parquet(stage("i_relacion_consumo"))
+    spark.createDataFrame(
+        [("10", "SG1", "BODEGA BARRIO", "T"), ("10", "SG2", "MINIMARKET", "T")],
+        "cod_compania string, cod_subgiro string, desc_subgiro string, es_activo string",
+    ).write.parquet(stage("m_subgiro"))
+    spark.createDataFrame(
+        [("10", "G1", "BODEGAS", "T"), ("10", "G2", "KIOSCOS", "T")],
+        "cod_compania string, cod_giro string, desc_giro string, es_activo string",
+    ).write.parquet(stage("m_giro"))
+    spark.createDataFrame(
+        [("10", "CN1", "TRADICIONAL", "T")],
+        "cod_compania string, cod_canal string, desc_canal string, es_activo string",
+    ).write.parquet(stage("m_canal"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+    spark.createDataFrame(
+        [("PE", "PE", "PERU")], "id_pais string, cod_pais string, desc_pais string"
+    ).write.parquet(stage("m_pais"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("domain", "m_clasificacion_cliente_lite", 1)], DOMAIN_JOBS, mk
+    )
+    assert res[0].status == "succeeded", res[0].error
+    sdf = spark.read.parquet(
+        lake.table_path(Layer.DOMAIN, "m_clasificacion_cliente")
+    ).toPandas()
+    con = duck_with_views({t: stage(t) for t in (
+        "i_relacion_consumo", "m_subgiro", "m_giro", "m_canal",
+        "m_compania", "m_pais",
+    )})
+    assert_match(
+        sdf, con.sql(_MCC_SQL.format(as_of=AS_OF.isoformat())).df(),
+        "m_clasificacion_cliente",
+    )
+    # 2 subgiros + 2 giros (G1 deduped, G2 from the SGX relation) + 1 canal
+    tipos = sdf.groupby("cod_tipo_clasificacion_cliente").size().to_dict()
+    assert tipos == {"Subgiro": 2, "Giro": 2, "Canal": 1}
+    sg1 = sdf[sdf.id_clasificacion_cliente == "10|SG|SG1"].iloc[0]
+    assert sg1["id_clasificacion_cliente_padre"] == "10|GR|G1|CN1"
+
+
+_MPAIS_SQL = """
+SELECT p.id_pais, p.cod_pais, p.desc_pais
+FROM m_pais p
+WHERE EXISTS (SELECT 1 FROM m_compania c WHERE c.cod_pais = p.cod_pais)
+"""
+
+_MCOMP_SQL = """
+SELECT mc.cod_compania AS id_compania,
+       CAST(NULL AS VARCHAR) AS id_compania_ref,
+       mp.id_pais, mc.cod_compania,
+       mc.desc_compania AS nomb_compania,
+       CAST(NULL AS VARCHAR) AS cod_tipo_compania,
+       mc.es_activo AS estado,
+       CAST(mc.fecha_creacion AS DATE) AS fecha_creacion,
+       CAST(mc.fecha_modificacion AS DATE) AS fecha_modificacion
+FROM m_compania mc JOIN m_pais mp ON mc.cod_pais = mp.cod_pais
+"""
+
+
+def test_m_pais_and_m_compania_duckdb_differential(spark, lake):
+    stage = lambda t, inst="pe01": lake.table_path(Layer.STAGE, t, inst)  # noqa: E731
+    spark.createDataFrame(
+        [("PE", "PE", "PERU"), ("CL", "CL", "CHILE"), ("BO", "BO", "BOLIVIA")],
+        "id_pais string, cod_pais string, desc_pais string",
+    ).write.parquet(stage("m_pais"))
+    spark.createDataFrame(
+        [("10", "PE", "AJE PERU", "T", TS, TS), ("30", "CL", "AJE CHILE", "T", TS, TS)],
+        "cod_compania string, cod_pais string, desc_compania string, "
+        "es_activo string, fecha_creacion timestamp, fecha_modificacion timestamp",
+    ).write.parquet(stage("m_compania"))
+
+    def mk(cfg):
+        return JobContext(
+            spark=spark, catalog=lake, registry=SchemaRegistry({}), config=cfg,
+            as_of=AS_OF,
+        )
+
+    res = run_waves(
+        [JobConfig("domain", "m_pais", 1), JobConfig("domain", "m_compania", 2)],
+        DOMAIN_JOBS, mk,
+    )
+    assert all(r.status == "succeeded" for r in res), [r.error for r in res]
+    con = duck_with_views({t: stage(t) for t in ("m_pais", "m_compania")})
+    sdf = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_pais")).toPandas()
+    assert_match(sdf, con.sql(_MPAIS_SQL).df(), "m_pais")
+    assert set(sdf.cod_pais) == {"PE", "CL"}   # BOLIVIA pruned (no company)
+    sdf = spark.read.parquet(lake.table_path(Layer.DOMAIN, "m_compania")).toPandas()
+    assert_match(sdf, con.sql(_MCOMP_SQL).df(), "m_compania")
