@@ -794,6 +794,110 @@ FROM meta, unnest(range(0, n_chunks)) AS u(i)
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus filtering: C4/Gopher-style survivor selection composing the quality
+# signals — per-row Column expressions only, so the filter is a single scan
+# with the predicate evaluated inside codegen (no shuffle at any scale).
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = text.token_count(F.col("text"))
+    ls = text.line_stats(F.col("text"))
+    # mean token length over the single-space-normalized text:
+    # (chars minus separators) / tokens
+    norm_len = F.length(text.normalize(F.col("text")))
+    out = d.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        ls.alias("_ls"),
+        norm_len.alias("_nl"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(
+            F.when(
+                F.col("_ls.n_lines") > 0,
+                F.lit(1.0)
+                - F.col("_ls.n_distinct_lines").cast("double") / F.col("_ls.n_lines"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_fraction"),
+        F.round(
+            (F.col("_nl") - (F.col("n_tokens") - 1)).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("mean_token_len"),
+    )
+    return out.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("dup_line_fraction") < 0.5)
+        & (F.col("mean_token_len") >= 2.0)
+        & (F.col("mean_token_len") <= 12.0)
+    )
+
+
+_SQL_NTOK = f"CAST(CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_TOKS}) END AS BIGINT)"
+
+_ORACLE_CORPUS_FILTER = f"""
+WITH sig AS (
+  SELECT doc_id, lang,
+         {_SQL_NTOK} AS n_tokens,
+         len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS nl,
+         len(list_distinct(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''))) AS nd,
+         length({_SQL_NORM}) AS norm_len
+  FROM documents
+), out AS (
+  SELECT doc_id, lang, n_tokens,
+         ROUND(CASE WHEN nl > 0 THEN 1.0 - CAST(nd AS DOUBLE) / nl
+                    ELSE 0.0 END, 6) AS dup_line_fraction,
+         ROUND(CAST(norm_len - (n_tokens - 1) AS DOUBLE) / n_tokens, 6)
+           AS mean_token_len
+  FROM sig
+)
+SELECT * FROM out
+WHERE n_tokens >= 10 AND n_tokens <= 100000
+  AND dup_line_fraction < 0.5
+  AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+"""
+
+# --------------------------------------------------------------------------
+# Corpus length histogram: log2 token buckets via binary-digit count —
+# integer-exact in both engines (no float log), one partial-agg shuffle.
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = text.token_count(F.col("text")).cast("bigint")
+    bucket = F.length(F.conv(n_tok.cast("string"), 10, 2)).cast("int")
+    return (
+        d.select(bucket.alias("log2_bucket"), n_tok.alias("n"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.min("n").cast("bigint").alias("min_tokens"),
+            F.max("n").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+_ORACLE_DOC_LENGTH_HISTOGRAM = f"""
+WITH tok AS (
+  SELECT {_SQL_NTOK} AS n FROM documents
+)
+SELECT CAST(length(bin(n)) AS INT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(MIN(n) AS BIGINT) AS min_tokens,
+       CAST(MAX(n) AS BIGINT) AS max_tokens
+FROM tok GROUP BY 1
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-features plumbing over the fake decoder.
 
@@ -967,6 +1071,8 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "doc_pack": q_doc_pack,
     "doc_chunks": q_doc_chunks,
+    "corpus_filter": q_corpus_filter,
+    "doc_length_histogram": q_doc_length_histogram,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
@@ -993,6 +1099,8 @@ ORACLES = {
     "text_repetition": _ORACLE_TEXT_REPETITION,
     "doc_pack": _ORACLE_DOC_PACK,
     "doc_chunks": _ORACLE_DOC_CHUNKS,
+    "corpus_filter": _ORACLE_CORPUS_FILTER,
+    "doc_length_histogram": _ORACLE_DOC_LENGTH_HISTOGRAM,
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
     "multimodal_features": _ORACLE_MULTIMODAL,

@@ -125,3 +125,34 @@ def test_embedding_scan_prunes_to_vector_columns(spark):
         assert scans, name
         for ln in scans:
             assert "vec_id" in ln and "embedding" in ln, (name, ln)
+
+
+def test_doc_pack_single_window_shuffle(spark):
+    """Sequence packing is ONE stratum-keyed exchange feeding the window —
+    a second exchange would mean the cumsum re-partitioned needlessly."""
+    plan = _plan(spark, "doc_pack")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
+
+
+def test_doc_chunks_shuffle_free(spark):
+    """Chunk math is per-row: the whole query must run without any
+    exchange (scan → project → explode → project)."""
+    plan = _plan(spark, "doc_chunks")
+    assert "Exchange" not in plan, plan
+
+
+def test_corpus_filter_shuffle_free_single_scan(spark):
+    """The survivor filter composes per-row signals only — no exchange, and
+    unused wide columns (text payload siblings) never reach the output."""
+    plan = _plan(spark, "corpus_filter")
+    assert "Exchange" not in plan, plan
+
+
+def test_text_repetition_two_aggregate_shuffles(spark):
+    """The bigram mode is explode → (doc,gram) agg → (doc) agg: two
+    aggregate exchanges plus the line-stats join — bounded, never a self
+    join. Allow ≤4 exchanges (AQE may add a join-side exchange)."""
+    plan = _plan(spark, "text_repetition")
+    assert plan.count("Exchange") <= 4, plan
+    assert "CartesianProduct" not in plan

@@ -153,3 +153,52 @@ def test_chunk_tokens_exact_boundary(spark):
         F.posexplode(T.chunk_tokens(F.col("text"), 4, 3)).alias("i", "c")
     ).collect()
     assert len(rows) == 1 and rows[0]["c"]["n_tokens"] == 4
+
+
+def test_corpus_filter_drops_each_rule(spark, tmp_path):
+    import shutil
+
+    from cdk_datalake_analytics_comercial_spark.plans.docs import q_corpus_filter
+
+    rows = [
+        (1, "en", "good " + " ".join(f"word{i}" for i in range(50)), "web", 0),
+        (2, "en", "tiny doc", "web", 0),                     # < 10 tokens
+        (3, "en", "\n".join(["same line here always ok"] * 40), "web", 0),  # dup lines
+        (4, "en", " ".join(["a"] * 60), "web", 0),           # mean token len 1
+        (5, "en", " ".join(["pneumonoultramicroscopicx"] * 30), "web", 0),  # len 25
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(d + "/documents.parquet")
+    out = q_corpus_filter(spark, d)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1]
+    shutil.rmtree(d)
+
+
+def test_doc_length_histogram_buckets(spark, tmp_path):
+    import shutil
+
+    from cdk_datalake_analytics_comercial_spark.plans.docs import (
+        q_doc_length_histogram,
+    )
+
+    rows = [
+        (1, "en", " ".join(["w"] * 1), "web", 0),    # 1 token  → bucket 1
+        (2, "en", " ".join(["w"] * 3), "web", 0),    # 3 tokens → bucket 2
+        (3, "en", " ".join(["w"] * 4), "web", 0),    # 4 tokens → bucket 3
+        (4, "en", " ".join(["w"] * 7), "web", 0),    # 7 tokens → bucket 3
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs2")
+    df.write.parquet(d + "/documents.parquet")
+    hist = {
+        r["log2_bucket"]: (r["n_docs"], r["total_tokens"])
+        for r in q_doc_length_histogram(spark, d).collect()
+    }
+    assert hist == {1: (1, 1), 2: (1, 3), 3: (2, 11)}
+    shutil.rmtree(d)
