@@ -40,6 +40,9 @@ HEADLINE = [
     "text_quality",
     "text_repetition",
     "doc_pack",
+    "doc_chunks",
+    "corpus_filter",
+    "doc_length_histogram",
     "emb_cosine_topk",
     "emb_near_dup",
     "events_tumbling",

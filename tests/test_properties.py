@@ -151,3 +151,44 @@ def test_wav_roundtrip_samples(samples, rate):
     assert got_rate == rate
     assert len(decoded) == len(samples)
     assert np.allclose(decoded, np.array(samples) / 32768.0)
+
+
+# ---------------------------------------------------------------------------
+# Chunking / packing invariants (pure-Python mirrors of the Column math,
+# hypothesis-driven; the Spark twin is pinned by test_text_ops hand cases
+# and the doc_chunks/doc_pack oracles).
+
+
+@_given(
+    n=_st.integers(min_value=0, max_value=5000),
+    size=_st.integers(min_value=1, max_value=512),
+    stride_frac=_st.integers(min_value=1, max_value=512),
+)
+def test_chunk_math_covers_every_token(n, size, stride_frac):
+    stride = min(stride_frac, size)  # stride > size would skip tokens
+    n_eff = max(n, 1)  # shingle/token fallback: empty doc still yields 1 token
+    n_chunks = (max(n_eff - size, 0) + stride - 1) // stride + 1
+    covered = set()
+    for i in range(n_chunks):
+        start = i * stride
+        covered.update(range(start, min(start + size, n_eff)))
+    assert covered == set(range(n_eff))
+    # last chunk must be non-empty (its start is inside the doc)
+    assert (n_chunks - 1) * stride < n_eff
+
+
+@_given(
+    tokens=_st.lists(_st.integers(min_value=0, max_value=4096), min_size=1, max_size=200),
+    budget=_st.integers(min_value=1, max_value=8192),
+)
+def test_pack_sequence_invariants(tokens, budget):
+    start = 0
+    prev_bin = 0
+    for t_count in tokens:
+        bin_id = start // budget
+        offset = start % budget
+        assert 0 <= offset < budget
+        assert bin_id >= prev_bin          # bins are monotone in pack order
+        prev_bin = bin_id
+        start += t_count
+    assert start == sum(tokens)            # offsets conserve the token count
