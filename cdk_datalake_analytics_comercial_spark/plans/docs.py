@@ -461,6 +461,43 @@ WHERE {_SQL_DOT} / ({_SQL_NRM.format(s='a')} * {_SQL_NRM.format(s='b')}) >= 0.4
 """
 
 
+# Embedding dedup closed end-to-end: the cosine near-dup pairs feed the same
+# connected-components operator as the text sketches; survivors = min vec_id
+# per cluster plus every untouched row. One more composition point between
+# the similarity and graph families, with a recursive-CTE oracle on top of
+# the integer-exact pair SQL.
+
+
+def q_emb_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_pairs_blockdist
+
+    e = t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blockdist(e, "embedding", "vec_id", threshold=0.4)
+    return graph.connected_components(pairs).select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
+_ORACLE_EMB_CLUSTERS = f"""
+WITH RECURSIVE iv AS (
+  SELECT vec_id, {_SQL_IV} AS iv FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM iv a JOIN iv b ON a.vec_id < b.vec_id
+  WHERE {_SQL_DOT} / ({_SQL_NRM.format(s='a')} * {_SQL_NRM.format(s='b')}) >= 0.4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), walk(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) nodes(u)
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+)
+SELECT u AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u
+"""
+
+
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via sign-LSH buckets (scale path). The bucket bit is
     an exact integer sign test over the scaled vector and quantized
@@ -1077,6 +1114,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
+    "emb_clusters": q_emb_clusters,
     "emb_lsh_topk": q_emb_lsh_topk,
     "emb_ivf_topk": q_emb_ivf_topk,
     "multimodal_features": q_multimodal_features,
@@ -1103,6 +1141,7 @@ ORACLES = {
     "doc_length_histogram": _ORACLE_DOC_LENGTH_HISTOGRAM,
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
+    "emb_clusters": _ORACLE_EMB_CLUSTERS,
     "multimodal_features": _ORACLE_MULTIMODAL,
     "multimodal_audio": _ORACLE_MULTIMODAL_AUDIO,
     "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,
