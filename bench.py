@@ -72,10 +72,10 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # two passes per query, keep the min (timeit-style): damps transient
+    # three passes per query, keep the min (timeit-style): damps transient
     # host noise — the machine is multi-tenant and single runs vary 2-3×
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
