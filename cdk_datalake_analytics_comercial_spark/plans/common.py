@@ -2,12 +2,51 @@
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to the Python workers via ``addPyFile``.
+
+    The Arrow-kernel queries (`mapInPandas`/`pandas_udf`) pickle their
+    closures BY MODULE REFERENCE, so a worker must be able to import
+    ``cdk_datalake_analytics_comercial_spark``. That import works for free when the driver's
+    cwd is the repo (workers inherit it on local mode) but breaks for a
+    harness that imports ``__spark_entry__`` from elsewhere. Zipping the
+    package once per session and ``addPyFile``-ing it makes the contract
+    location-independent; repeated calls are no-ops."""
+    sc = spark.sparkContext
+    if getattr(sc, "_spark_graft_pkg_shipped", False):
+        return
+    import cdk_datalake_analytics_comercial_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    fd, zpath = tempfile.mkstemp(
+        prefix="cdk_datalake_analytics_comercial_spark_pkg_", suffix=".zip"
+    )
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    os.path.basename(pkg_dir), os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._spark_graft_pkg_shipped = True
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table (TESTDATA.md layout)."""
+    ensure_package_on_workers(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) — not readable as a Spark
         # timestamp; read as nanosecond longs (session-safe: set here so the

@@ -49,3 +49,29 @@ def test_queries_deterministic(spark):
         a = sorted(map(tuple, QUERIES[name](spark, SF_SMOKE).collect()))
         b = sorted(map(tuple, QUERIES[name](spark, SF_SMOKE).collect()))
         assert a == b, f"{name} nondeterministic"
+
+
+def test_driver_contract_from_foreign_cwd():
+    """The driver imports __spark_entry__ from ITS OWN cwd, not the repo —
+    Arrow-kernel queries must still run because plans.common ships the
+    package zip to the Python workers (addPyFile). Regression: the
+    multimodal mapInPandas closures died with ModuleNotFoundError on the
+    workers when the driver's cwd was not the repo."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.master('local[2]').getOrCreate()\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "import __spark_entry__ as e\n"
+        "n = e.queries()['multimodal_features'](spark, '/root/testdata/sf0.001').count()\n"
+        "assert n > 0, n\n"
+        "print('FOREIGN_CWD_OK', n)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd="/tmp", capture_output=True, text=True,
+        timeout=300,
+    )
+    assert "FOREIGN_CWD_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
