@@ -832,6 +832,35 @@ FROM meta, unnest(range(0, n_chunks)) AS u(i)
 
 
 # --------------------------------------------------------------------------
+# Weighted mixture sampling: per-SOURCE rates (how training mixtures are
+# drawn — upsample books, downsample crawl), deterministic md5-threshold
+# keep like stratified_sample: shuffle-free, reproducible from the id alone,
+# and the sampled set is STABLE under corpus growth (a doc's fate never
+# depends on other rows).
+
+# rates over the fixture's source domain (src0..src19): upsample src1 to
+# keep-all, src2 heavily, downsample src3; everything else a thin default
+_MIX_RATES = {"src1": "ffff", "src2": "e000", "src3": "0800", "src4": "8000"}
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    thr = F.lit("2000")  # default rate for unlisted sources
+    for src, hexthr in _MIX_RATES.items():
+        thr = F.when(F.col("source") == src, F.lit(hexthr)).otherwise(thr)
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return d.filter(key < thr).select("doc_id", "lang", "source")
+
+
+_ORACLE_CORPUS_MIX = """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE source {cases} ELSE '2000' END
+""".format(
+    cases=" ".join(f"WHEN '{s}' THEN '{h}'" for s, h in _MIX_RATES.items())
+)
+
+# --------------------------------------------------------------------------
 # Corpus filtering: C4/Gopher-style survivor selection composing the quality
 # signals — per-row Column expressions only, so the filter is a single scan
 # with the predicate evaluated inside codegen (no shuffle at any scale).
@@ -1109,6 +1138,7 @@ QUERIES = {
     "doc_pack": q_doc_pack,
     "doc_chunks": q_doc_chunks,
     "corpus_filter": q_corpus_filter,
+    "corpus_mix": q_corpus_mix,
     "doc_length_histogram": q_doc_length_histogram,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1138,6 +1168,7 @@ ORACLES = {
     "doc_pack": _ORACLE_DOC_PACK,
     "doc_chunks": _ORACLE_DOC_CHUNKS,
     "corpus_filter": _ORACLE_CORPUS_FILTER,
+    "corpus_mix": _ORACLE_CORPUS_MIX,
     "doc_length_histogram": _ORACLE_DOC_LENGTH_HISTOGRAM,
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
