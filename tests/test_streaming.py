@@ -188,3 +188,48 @@ def test_stream_dedup_first_arrival_wins(spark, docs_stream_dir):
     surviving_ids = {r["doc_id"] for r in got}
     assert len(surviving_ids & {1, 2, 4}) == 1
     assert {3, 5} <= surviving_ids
+
+
+def test_stream_corpus_filter_matches_batch(spark, tmp_path):
+    """The corpus survivor rules are stateless per-row Column expressions —
+    they apply to a stream unchanged. availableNow over the same files must
+    keep exactly the batch survivor set."""
+    from cdk_datalake_analytics_comercial_spark.operators import text as TX
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2025, 5, 1, 10, 0, 0)
+    good = " ".join(f"word{i}" for i in range(40))
+    rows = [
+        (base, 1, good),
+        (base + dt.timedelta(minutes=1), 2, "too short"),
+        (base + dt.timedelta(minutes=2), 3, " ".join(["a"] * 50)),
+        (base + dt.timedelta(minutes=3), 4, good + " another fine document"),
+    ]
+    path = str(tmp_path / "filter_stream")
+    spark.createDataFrame(rows, DOC_SCHEMA).repartition(2).write.parquet(path)
+
+    def survivors(df):
+        n_tok = TX.token_count(F.col("text"))
+        norm_len = F.length(TX.normalize(F.col("text")))
+        sig = df.select(
+            "*", n_tok.alias("_n"), norm_len.alias("_nl")
+        ).withColumn(
+            "_mean", (F.col("_nl") - (F.col("_n") - 1)).cast("double") / F.col("_n")
+        )
+        return sig.filter(
+            (F.col("_n") >= 10) & (F.col("_mean") >= 2.0) & (F.col("_mean") <= 12.0)
+        ).select("doc_id")
+
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(path)
+    q = (
+        survivors(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_filter_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.table("corpus_filter_stream_t").collect())
+    want = sorted(r["doc_id"] for r in survivors(spark.read.parquet(path)).collect())
+    assert got == want == [1, 4]
