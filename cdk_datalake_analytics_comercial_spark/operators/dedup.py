@@ -1,6 +1,15 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine near-dup.
 
+Sketch lineage (public literature): MinHash resemblance sketches and banded
+LSH follow Broder, "On the resemblance and containment of documents" (1997)
+and the banding analysis in Leskovec/Rajaraman/Ullman, *Mining of Massive
+Datasets* ch. 3; SimHash per Charikar, "Similarity estimation techniques
+from rounding algorithms" (STOC 2002) with the pigeonhole band rotation of
+Manku/Jain/Sarma, "Detecting near-duplicates for web crawling" (WWW 2007);
+corpus-scale near-dedup motivation per Lee et al., "Deduplicating training
+data makes language models better" (ACL 2022).
+
 Scale design: every variant is expressed as DataFrame ops whose shuffles are
 bounded — candidate generation always goes through a *bucketing* key
 (content hash, LSH band hash, SimHash prefix) so the quadratic verification

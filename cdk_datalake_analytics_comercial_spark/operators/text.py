@@ -8,7 +8,13 @@ Operators: normalization, tokenization + token counting (whitespace and a
 BPE-ish regex), quality scoring (length/punct/stopword ratios), language ID
 (stopword-hit heuristic), document fingerprinting (md5 whole-doc + min-shingle
 fingerprint — md5 keeps the fingerprints engine-portable for differential
-testing).
+testing), repetition signals and chunking.
+
+The quality/repetition rule shapes follow the public corpus-curation
+literature: C4's heuristic filters (Raffel et al., "Exploring the limits of
+transfer learning with a unified text-to-text transformer", JMLR 2020 §2.2)
+and Gopher's repetition/quality rules (Rae et al., "Scaling language
+models: methods, analysis & insights from training Gopher", 2021, App. A).
 """
 
 from __future__ import annotations
