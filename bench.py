@@ -43,6 +43,7 @@ HEADLINE = [
     "doc_chunks",
     "corpus_filter",
     "doc_length_histogram",
+    "decontam_overlap",
     "emb_cosine_topk",
     "emb_near_dup",
     "events_tumbling",

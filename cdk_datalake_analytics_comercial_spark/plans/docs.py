@@ -1123,6 +1123,47 @@ FROM base
 """
 
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination: shingle overlap vs a held-out benchmark slice.
+# Here the "benchmark" is a deterministic slice of documents (doc_id % 97
+# == 0) and the corpus is the rest; k=3 because the synthetic docs are
+# short — the operator default is the literature's k=13.
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import contamination
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination.contamination_overlap(
+        corpus, bench, k=3, portable=True
+    )
+
+
+_ORACLE_DECONTAM_OVERLAP = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_SQL_SHINGLES}, s -> {_SQL_MD5KEY})) AS sh
+  FROM base
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+  FROM sh WHERE doc_id % 97 != 0
+)
+SELECT doc_id,
+       CAST(n_shingles AS INT) AS n_shingles,
+       COUNT(*) AS n_hit,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n_shingles, 6) AS contamination
+FROM corpus
+WHERE s IN (SELECT s FROM bench)
+GROUP BY doc_id, n_shingles
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -1140,6 +1181,7 @@ QUERIES = {
     "corpus_filter": q_corpus_filter,
     "corpus_mix": q_corpus_mix,
     "doc_length_histogram": q_doc_length_histogram,
+    "decontam_overlap": q_decontam_overlap,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
@@ -1170,6 +1212,7 @@ ORACLES = {
     "corpus_filter": _ORACLE_CORPUS_FILTER,
     "corpus_mix": _ORACLE_CORPUS_MIX,
     "doc_length_histogram": _ORACLE_DOC_LENGTH_HISTOGRAM,
+    "decontam_overlap": _ORACLE_DECONTAM_OVERLAP,
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
     "emb_clusters": _ORACLE_EMB_CLUSTERS,
