@@ -44,6 +44,8 @@ HEADLINE = [
     "corpus_filter",
     "doc_length_histogram",
     "decontam_overlap",
+    "tfidf_keywords",
+    "quality_classifier",
     "emb_cosine_topk",
     "emb_near_dup",
     "events_tumbling",

@@ -19,7 +19,7 @@ models: methods, analysis & insights from training Gopher", 2021, App. A).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .expr import let
@@ -225,3 +225,107 @@ def min_shingle_fingerprint(col: Column, k: int = 3) -> Column:
     """Robust fingerprint: lexicographic min of shingle md5s — a 1-hash
     MinHash; stable under small edits away from the minimal shingle."""
     return F.array_min(F.transform(shingles(col, k), F.md5))
+
+
+# --------------------------------------------------------------------------
+# Vocabulary, keyword extraction, and hashed linear quality scoring.
+
+# Knuth's multiplicative constant — spreads small bucket indices over the
+# weight range; products stay < 2^42 so the arithmetic is exact BIGINT in
+# any engine.
+_KNUTH = 2654435761
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-token corpus stats: ``(tok, tf, df)`` — total occurrences and
+    document frequency. One shuffle to the (doc, token) grain (which also
+    dedups for df), one tiny shuffle over the vocabulary."""
+    per_doc = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return per_doc.groupBy("tok").agg(
+        F.sum("tf").alias("tf"), F.count(F.lit(1)).alias("df")
+    )
+
+
+def vocab_topk(df: DataFrame, n: int = 100, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-``n`` corpus vocabulary with dense ids: ``(vocab_id, tok, tf,
+    df)`` ordered by total frequency (token string breaks ties — total
+    order, deterministic cutoff). The global sort is a TakeOrdered over the
+    *aggregated* vocabulary (|vocab| rows, not corpus rows); the ranking
+    window runs on the n surviving rows only."""
+    top = token_stats(df, text_col, id_col).orderBy(
+        F.desc("tf"), F.asc("tok")
+    ).limit(n)
+    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
+    return top.select(
+        F.row_number().over(w).alias("vocab_id"), "tok", "tf", "df"
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame, top_per_doc: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document keyword extraction: top tokens by a tf/df relevance
+    score (term frequency damped by corpus document frequency).
+
+    The score is ``tf / (1 + df)`` — the RATIONAL cousin of tf-idf, chosen
+    over ``tf·ln(N/df)`` deliberately: IEEE division of small integers is
+    exactly rounded and bit-identical across engines, while ``ln`` is only
+    accurate to ~1 ulp and engine-dependent, which would make differential
+    hash comparison flaky. Ranking (score desc, token asc) is therefore a
+    total, engine-portable order.
+
+    Plan: one shuffle to (doc, token), vocabulary df re-aggregated from
+    that grain and broadcast back, per-doc ranking window rides the
+    existing (doc, token) partitioning."""
+    per_doc = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = per_doc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = per_doc.join(F.broadcast(dfreq), "tok").withColumn(
+        "score", F.round(F.col("tf") / (F.lit(1) + F.col("df")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_per_doc)
+        .select(id_col, "rank", "tok", "tf", "df", "score")
+    )
+
+
+def hashed_linear_score(
+    col: Column, n_buckets: int = 1024
+) -> Column:
+    """fastText-style hashed linear model margin, shuffle-free.
+
+    Each token hashes (portable 60-bit md5 prefix) into one of
+    ``n_buckets`` feature buckets; bucket ``j`` carries the deterministic
+    weight ``((j·_KNUTH) mod 1000 − 500) / 1000`` — a fixed pseudo-random
+    model standing in for trained weights (swap in a real weight table via
+    :func:`hashed_linear_score_from_weights` semantics without changing the
+    plan shape). The margin is the integer weight sum divided once at the
+    end, so it is exact and engine-portable. Pure per-row Column
+    expression: the corpus never shuffles and never leaves the JVM."""
+
+    def weight(tok: Column) -> Column:
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        )
+        return F.pmod(bucket * F.lit(_KNUTH), F.lit(1000)) - F.lit(500)
+
+    total = F.aggregate(
+        F.filter(tokens(col), lambda t: t != ""),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + weight(t),
+    )
+    return total / F.lit(1000.0)

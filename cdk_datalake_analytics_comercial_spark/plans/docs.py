@@ -1164,6 +1164,95 @@ GROUP BY doc_id, n_shingles
 """
 
 
+# --------------------------------------------------------------------------
+# Vocabulary / keyword extraction / hashed linear quality scoring.
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return text.vocab_topk(d, n=100)
+
+
+_ORACLE_VOCAB_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), per_doc AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok WHERE tok != '' GROUP BY 1, 2
+), stats AS (
+  SELECT tok, CAST(SUM(tf) AS BIGINT) AS tf, COUNT(*) AS df
+  FROM per_doc GROUP BY tok
+), top AS (
+  SELECT * FROM stats ORDER BY tf DESC, tok LIMIT 100
+)
+SELECT CAST(row_number() OVER (ORDER BY tf DESC, tok) AS INT) AS vocab_id,
+       tok, tf, df
+FROM top
+"""
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return text.tfidf_keywords(d, top_per_doc=3)
+
+
+_ORACLE_TFIDF_KEYWORDS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), per_doc AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok WHERE tok != '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM per_doc GROUP BY tok
+), scored AS (
+  SELECT p.doc_id, p.tok, p.tf, d.df,
+         ROUND(CAST(p.tf AS DOUBLE) / (1 + d.df), 6) AS score
+  FROM per_doc p JOIN dfreq d USING (tok)
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, tok, tf, df, score FROM ranked WHERE rank <= 3
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    margin = text.hashed_linear_score(F.col("text"), n_buckets=1024)
+    return d.select(
+        "doc_id",
+        margin.alias("margin"),
+        (margin > 0).alias("keep"),
+    )
+
+
+# The bucket weight ((bucket·KNUTH) mod 1000 − 500) is exact BIGINT math on
+# both engines; the single final /1000 division of identical integers gives
+# identical doubles.
+_SQL_HLS_WEIGHT = (
+    "CAST(((("
+    "list_sum(list_transform(range(1, 16), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)"
+    " << (4 * (15 - i)))) % 1024 + 1024) % 1024) * 2654435761) % 1000"
+    " - 500 AS BIGINT)"
+)
+
+_ORACLE_QUALITY_CLASSIFIER = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), weighted AS (
+  SELECT doc_id, {_SQL_HLS_WEIGHT} AS w FROM tok WHERE tok != ''
+), agg AS (
+  SELECT d.doc_id, COALESCE(SUM(w), 0) AS total
+  FROM documents d LEFT JOIN weighted USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(total AS DOUBLE) / 1000.0 AS margin,
+       total > 0 AS keep
+FROM agg
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -1182,6 +1271,9 @@ QUERIES = {
     "corpus_mix": q_corpus_mix,
     "doc_length_histogram": q_doc_length_histogram,
     "decontam_overlap": q_decontam_overlap,
+    "vocab_topk": q_vocab_topk,
+    "tfidf_keywords": q_tfidf_keywords,
+    "quality_classifier": q_quality_classifier,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
@@ -1213,6 +1305,9 @@ ORACLES = {
     "corpus_mix": _ORACLE_CORPUS_MIX,
     "doc_length_histogram": _ORACLE_DOC_LENGTH_HISTOGRAM,
     "decontam_overlap": _ORACLE_DECONTAM_OVERLAP,
+    "vocab_topk": _ORACLE_VOCAB_TOPK,
+    "tfidf_keywords": _ORACLE_TFIDF_KEYWORDS,
+    "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
     "emb_clusters": _ORACLE_EMB_CLUSTERS,
