@@ -51,6 +51,7 @@ HEADLINE = [
     "events_tumbling",
     "events_sliding",
     "events_sessions",
+    "events_asof_error",
 ]
 
 

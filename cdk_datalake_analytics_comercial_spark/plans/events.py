@@ -136,14 +136,75 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# As-of enrichment: each click event annotated with the user's most recent
+# error event at or before it. Spark side is the union-window as-of join
+# (operators/asof.py — one shuffle, no join operator); the oracle is
+# DuckDB's NATIVE ASOF LEFT JOIN, i.e. the semantics are checked against an
+# independent first-class implementation, not a re-derivation.
+
+
+def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id", "user_id", "event_type", "value", _epoch_us(e).alias("tus")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "tus"
+    )
+    w = Window.partitionBy("user_id", "tus").orderBy(F.desc("event_id"))
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "tus",
+            F.col("event_id").alias("error_event_id"),
+            F.col("value").alias("error_value"),
+        )
+    )
+    return asof_join(
+        clicks,
+        errors,
+        on="tus",
+        by=["user_id"],
+        value_cols=["error_event_id", "error_value"],
+    )
+
+
+_ORACLE_ASOF_ERROR = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tus FROM events
+), clicks AS (
+  SELECT event_id, user_id, tus FROM ev WHERE event_type = 'click'
+), errors AS (
+  SELECT user_id, tus,
+         MAX(event_id) AS error_event_id,
+         max_by(value, event_id) AS error_value
+  FROM ev WHERE event_type = 'error' GROUP BY user_id, tus
+)
+SELECT c.event_id, c.user_id, c.tus,
+       e.tus AS tus_asof,
+       e.error_event_id AS error_event_id_asof,
+       e.error_value AS error_value_asof
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND e.tus <= c.tus
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,
+    "events_asof_error": q_events_asof_error,
 }
 
 ORACLES = {
     "events_tumbling": _ORACLE_TUMBLING,
     "events_sliding": _ORACLE_SLIDING,
     "events_sessions": _ORACLE_SESSIONS,
+    "events_asof_error": _ORACLE_ASOF_ERROR,
 }
