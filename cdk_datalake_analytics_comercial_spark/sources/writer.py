@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -103,16 +103,36 @@ def merge_upsert(
     path: str,
     keys: list[str],
     partition_by: list[str] | None = None,
+    precedence: str | None = None,
 ) -> None:
     """MERGE: matched → update all, not matched → insert all.
 
     Reference K3 (`common_jobs_functions.py:279-304`:
     ``whenMatchedUpdateAll().whenNotMatchedInsertAll()`` on an equality
     condition over ``keys``).
+
+    ``precedence`` names a version/sequence column for CONDITIONAL update —
+    last-writer-wins: a matched target row is replaced only when the source
+    row's precedence is ≥ the target's (Delta's
+    ``whenMatchedUpdate(condition=...)`` shape). This makes the merge
+    commutative over redelivered/reordered batches — the property the
+    at-least-once streaming sink needs to converge; without it the default
+    source-always-wins semantics apply.
     """
     from .reader import table_exists
 
-    source = _dedup_on_keys(source, keys)
+    if precedence is None:
+        source = _dedup_on_keys(source, keys)
+    else:
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(precedence).desc(),
+            F.struct(*[c for c in source.columns if c not in keys]).desc(),
+        )
+        source = (
+            source.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     if not table_exists(spark, path):
         write_table(source, path, partition_by)
@@ -137,8 +157,24 @@ def merge_upsert(
     else:
         target_slice = target
 
-    kept = target_slice.join(source.select(*keys), keys, "left_anti")
-    merged = kept.unionByName(source.select(*target_slice.columns))
+    if precedence is None:
+        kept = target_slice.join(source.select(*keys), keys, "left_anti")
+        merged = kept.unionByName(source.select(*target_slice.columns))
+    else:
+        # conditional update: one W1 pick per key over target ∪ source,
+        # ordered by (precedence, is-source) — source wins precedence ties,
+        # so a same-version re-send still updates (Delta `>=` condition).
+        tagged = target_slice.withColumn("_src", F.lit(0)).unionByName(
+            source.select(*target_slice.columns).withColumn("_src", F.lit(1))
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(precedence).desc(), F.col("_src").desc()
+        )
+        merged = (
+            tagged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_src", "_rn")
+        )
     _stage_and_swap(spark, merged, path, partition_by)
 
 

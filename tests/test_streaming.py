@@ -233,3 +233,84 @@ def test_stream_corpus_filter_matches_batch(spark, tmp_path):
     got = sorted(r["doc_id"] for r in spark.table("corpus_filter_stream_t").collect())
     want = sorted(r["doc_id"] for r in survivors(spark.read.parquet(path)).collect())
     assert got == want == [1, 4]
+
+
+# --------------------------------------------------------------------------
+# Streaming MERGE-upsert sink (foreachBatch → sources/writer.merge_upsert).
+
+
+def test_stream_merge_sink_upserts_and_is_idempotent(spark, tmp_path):
+    from cdk_datalake_analytics_comercial_spark.streaming.sink import merge_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("part", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(checkpoint=ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        merge_stream(
+            stream, tgt, keys=["k"], partition_by=["part"],
+            checkpoint=checkpoint, precedence="seq",
+        )
+
+    def state():
+        return {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+
+    spark.createDataFrame(
+        [(1, 1, "a", "p1"), (2, 1, "b", "p1"), (3, 1, "c", "p2")], schema
+    ).write.mode("append").parquet(src)
+    run()
+    assert state() == {1: "a", 2: "b", 3: "c"}
+
+    # second wave: update key 2 (newer seq), insert key 4
+    spark.createDataFrame(
+        [(2, 2, "B", "p1"), (4, 1, "d", "p2")], schema
+    ).write.mode("append").parquet(src)
+    run()
+    second = state()
+    assert second == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    # drained rerun: no new input → table unchanged (checkpoint skips)
+    run()
+    assert state() == second
+
+    # replay EVERYTHING without checkpoint (simulated lost checkpoint →
+    # at-least-once redelivery, old and new versions of key 2 in ONE
+    # batch): last-writer-wins by seq converges to the same table
+    run(checkpoint=str(tmp_path / "ckpt2"))
+    assert state() == second
+
+
+def test_merge_upsert_precedence_protects_newer_target(spark, tmp_path):
+    """A stale source batch (lower seq than the target row) must NOT
+    overwrite — the conditional-update half of last-writer-wins."""
+    from cdk_datalake_analytics_comercial_spark.sources.writer import merge_upsert
+
+    tgt = str(tmp_path / "tgt2")
+    schema = "k long, seq long, v string"
+    merge_upsert(
+        spark, spark.createDataFrame([(1, 5, "new")], schema), tgt,
+        keys=["k"], precedence="seq",
+    )
+    merge_upsert(
+        spark, spark.createDataFrame([(1, 3, "stale"), (2, 1, "x")], schema),
+        tgt, keys=["k"], precedence="seq",
+    )
+    got = {r["k"]: (r["seq"], r["v"]) for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: (5, "new"), 2: (1, "x")}
+
+    # equal seq re-send: source wins (>= condition) — idempotent re-apply
+    merge_upsert(
+        spark, spark.createDataFrame([(1, 5, "resent")], schema), tgt,
+        keys=["k"], precedence="seq",
+    )
+    got = {r["k"]: (r["seq"], r["v"]) for r in spark.read.parquet(tgt).collect()}
+    assert got[1] == (5, "resent")
