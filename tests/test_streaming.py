@@ -314,3 +314,50 @@ def test_merge_upsert_precedence_protects_newer_target(spark, tmp_path):
     )
     got = {r["k"]: (r["seq"], r["v"]) for r in spark.read.parquet(tgt).collect()}
     assert got[1] == (5, "resent")
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (watermarked, bounded state).
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from cdk_datalake_analytics_comercial_spark.streaming.joins import interval_join
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    base = dt.datetime(2025, 5, 1, 10, 0, 0)
+    rows = []
+    eid = 0
+    for i in range(40):
+        rows.append((eid, base + dt.timedelta(minutes=i), i % 4,
+                     "click" if i % 3 else "error"))
+        eid += 1
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).repartition(2).write.parquet(path)
+
+    def build(df):
+        clicks = df.filter(F.col("event_type") == "click")
+        errors = df.filter(F.col("event_type") == "error")
+        return interval_join(clicks, errors, key="user_id", lookback="15 minutes")
+
+    batch = sorted(tuple(r) for r in build(spark.read.parquet(path)).collect())
+    assert batch  # fixture must actually produce matches
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("ssj").collect())
+    assert got == batch
