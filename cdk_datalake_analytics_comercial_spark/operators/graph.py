@@ -36,11 +36,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def contract_edges(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Local-contraction prepass: per-Arrow-batch union-find collapses the
+    edge set to STAR edges (node → local component root) before the
+    iterative rounds.
+
+    Connectivity-preserving: for every input edge (u, v), u and v share a
+    batch-local root, so the star edges keep them connected; chains that
+    span batches are closed by the iterative phase as before. The payoff is
+    edge-count: near-dup pair generators emit O(k²) pairs per k-clique
+    (every LSH/shingle bucket pair), and a clique co-located in one batch
+    contracts to k−1 star edges — at 100 TB that is the difference between
+    shuffling the quadratic pair list every round and shuffling ~one edge
+    per node. Runs on whatever partitioning the pairs already have — NO
+    extra shuffle; the per-batch union-find is the one place imperative
+    Python touches the data, Arrow-batched via mapInPandas.
+    """
+
+    def contract(batches):
+        for pdf in batches:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in zip(pdf[src], pdf[dst]):
+                a, b = int(a), int(b)
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min keeps labels deterministic pre-symmetrize
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            out = [(n, find(n)) for n in parent]
+            import pandas as pd
+
+            yield pd.DataFrame(
+                [(n, r) for n, r in out if n != r], columns=[src, dst]
+            )
+
+    return pairs.select(
+        F.col(src).cast("long"), F.col(dst).cast("long")
+    ).mapInPandas(contract, schema=f"{src} long, {dst} long")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    pre_contract: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; ``component``
     is the minimum node id reachable through the undirected pair graph.
@@ -48,6 +103,8 @@ def connected_components(
     Deterministic (min-id labeling), so oracle-checkable against a recursive
     transitive-closure CTE.
     """
+    if pre_contract:
+        pairs = contract_edges(pairs, src, dst)
     # symmetrize in ONE pass over the pair pipeline: explode each pair into
     # both directions (a union of two branches would re-execute the possibly
     # expensive upstream pair plan once per branch — no exchange reuse

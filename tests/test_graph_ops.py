@@ -88,3 +88,42 @@ def test_keep_canonical_no_pairs_is_identity(spark):
         F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
     ).limit(0)
     assert graph.keep_canonical(docs, pairs, "doc_id").count() == 2
+
+
+def test_contract_edges_preserves_connectivity(spark):
+    from cdk_datalake_analytics_comercial_spark.operators.graph import (
+        connected_components,
+        contract_edges,
+    )
+
+    # clique {1,2,3,4} (all 6 pairs), chain 10-11-12, isolated pair (20,21)
+    pairs = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    pairs += [(10, 11), (11, 12), (20, 21)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    plain = sorted(map(tuple, connected_components(df).collect()))
+    contracted = sorted(map(tuple, connected_components(df, pre_contract=True).collect()))
+    assert plain == contracted
+
+    # the star form has at most one edge per non-root node per batch
+    stars = contract_edges(df).collect()
+    assert len(stars) <= len(pairs)
+    # clique collapsed: with a single batch, exactly 3 star edges for the
+    # 6-pair clique, all pointing at the min node
+    clique_stars = [(r["id_a"], r["id_b"]) for r in stars if r["id_b"] == 1]
+    assert sorted(clique_stars) == [(2, 1), (3, 1), (4, 1)]
+
+
+def test_contract_edges_cross_partition_chain(spark):
+    from cdk_datalake_analytics_comercial_spark.operators.graph import (
+        connected_components,
+    )
+
+    # a long chain scattered over many partitions — contraction is partial
+    # per batch, the iterative phase must still close the full component
+    n = 200
+    chain = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long").repartition(16)
+    out = connected_components(df, pre_contract=True).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == n + 1
