@@ -46,6 +46,7 @@ HEADLINE = [
     "decontam_overlap",
     "tfidf_keywords",
     "quality_classifier",
+    "pii_scrub",
     "emb_cosine_topk",
     "emb_near_dup",
     "events_tumbling",

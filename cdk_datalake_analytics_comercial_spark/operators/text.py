@@ -329,3 +329,33 @@ def hashed_linear_score(
         lambda acc, t: acc + weight(t),
     )
     return total / F.lit(1000.0)
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction (C4-style corpus scrubbing).
+
+# Patterns restricted to the syntax subset Java regex and RE2 share (no
+# backrefs, no lookaround) so the DuckDB oracle applies the IDENTICAL
+# patterns. Order matters: email before phone (an email's digits must not
+# be half-eaten by the phone pass).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?", "<PHONE>"),
+    ("idnum", r"\b[0-9]{9,}\b", "<ID>"),
+]
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts — pure Column expressions, shuffle-free."""
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_redact(col: Column) -> Column:
+    """Redact all PII patterns (in declaration order) with typed tokens."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -1253,6 +1253,61 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# PII detection / redaction. The synthetic corpus carries no PII, so the
+# query manufactures a deterministic PII-bearing text from customer columns
+# (same construction in both engines) and scrubs it — counts per kind plus
+# the redacted text. Patterns live in operators.text.PII_PATTERNS and are
+# restricted to the Java-regex ∩ RE2 syntax subset so DuckDB applies the
+# identical patterns (with the 'g' flag — DuckDB replaces first-match-only
+# by default, Spark replaces all).
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    txt = F.concat(
+        F.lit("reach "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        key.cast("string"),
+        F.lit("@mail.example.org or +51-555-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "),
+        F.lpad(key.cast("string"), 9, "0"),
+    )
+    counts = text.pii_counts(txt)
+    return c.select(
+        "c_custkey",
+        *[v.alias(k) for k, v in counts.items()],
+        text.pii_redact(txt).alias("redacted"),
+    )
+
+
+_SQL_PII_TEXT = (
+    "'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)"
+    " || '@mail.example.org or +51-555-'"
+    " || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    " || ' ref ' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')"
+)
+
+_ORACLE_PII_SCRUB = f"""
+WITH base AS (
+  SELECT c_custkey, {_SQL_PII_TEXT} AS txt FROM customer
+)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(txt, '{text.PII_PATTERNS[0][1]}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(txt, '{text.PII_PATTERNS[1][1]}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(txt, '{text.PII_PATTERNS[2][1]}')) AS INT) AS n_idnum,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(txt, '{text.PII_PATTERNS[0][1]}', '<EMAIL>', 'g'),
+           '{text.PII_PATTERNS[1][1]}', '<PHONE>', 'g'),
+         '{text.PII_PATTERNS[2][1]}', '<ID>', 'g') AS redacted
+FROM base
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -1274,6 +1329,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "tfidf_keywords": q_tfidf_keywords,
     "quality_classifier": q_quality_classifier,
+    "pii_scrub": q_pii_scrub,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
@@ -1308,6 +1364,7 @@ ORACLES = {
     "vocab_topk": _ORACLE_VOCAB_TOPK,
     "tfidf_keywords": _ORACLE_TFIDF_KEYWORDS,
     "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
+    "pii_scrub": _ORACLE_PII_SCRUB,
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
     "emb_clusters": _ORACLE_EMB_CLUSTERS,

@@ -202,3 +202,39 @@ def test_doc_length_histogram_buckets(spark, tmp_path):
     }
     assert hist == {1: (1, 1), 2: (1, 3), 3: (2, 11)}
     shutil.rmtree(d)
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction.
+
+
+def test_pii_counts_and_redaction(spark):
+    from cdk_datalake_analytics_comercial_spark.operators import text as TX
+
+    rows = [
+        (0, "mail me at jane.doe+x@corp.example.com today"),
+        (1, "call +51-555-0042 or 1-800-555-1234 now"),
+        (2, "ssn-ish 123456789 stays, short 12345678 stays put"),
+        (3, "clean text with no sensitive bits"),
+        (4, "combo a@b.io +1-222-3333 987654321"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    counts = TX.pii_counts(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            *[v.alias(k) for k, v in counts.items()],
+            TX.pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[0]["n_email"], out[0]["n_phone"], out[0]["n_idnum"]) == (1, 0, 0)
+    assert out[0]["red"] == "mail me at <EMAIL> today"
+    assert out[1]["n_phone"] == 2
+    assert out[1]["red"] == "call <PHONE> or <PHONE> now"
+    # only the ≥9-digit standalone run is an id
+    assert out[2]["n_idnum"] == 1
+    assert out[2]["red"] == "ssn-ish <ID> stays, short 12345678 stays put"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_idnum"]) == (0, 0, 0)
+    assert out[3]["red"] == rows[3][1]
+    assert out[4]["red"] == "combo <EMAIL> <PHONE> <ID>"
