@@ -53,6 +53,8 @@ HEADLINE = [
     "events_sliding",
     "events_sessions",
     "events_asof_error",
+    "events_funnel",
+    "small_quantity_revenue",
 ]
 
 

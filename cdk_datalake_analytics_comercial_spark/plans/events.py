@@ -195,11 +195,113 @@ FROM clicks c ASOF LEFT JOIN errors e
 """
 
 
+# --------------------------------------------------------------------------
+# Funnel analysis: per-user ordered step progression (view → click →
+# purchase, each step strictly after the previous step's FIRST qualifying
+# event). Three conditional-min aggregations chained by key joins — each
+# stage shuffles only the users still in the funnel, so the frontier
+# shrinks monotonically (at scale the step-2/3 joins ride broadcast once
+# the survivor set is small).
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    ev = e.select("user_id", "event_type", _epoch_us(e).alias("tus"))
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("tus") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("tus") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+
+    def step(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(name).alias("step"), "n_users"
+        )
+
+    return (
+        step(v, "1_view")
+        .unionByName(step(c, "2_click"))
+        .unionByName(step(p, "3_purchase"))
+    )
+
+
+_ORACLE_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+), v AS (
+  SELECT user_id, MIN(tus) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.tus) AS t2
+  FROM ev e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.tus > v.t1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.tus) AS t3
+  FROM ev e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.tus > c.t2 GROUP BY 1
+)
+SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-to-next-action after an error: lead() over the per-user event
+# sequence — the lag/lead window surface the reference never uses (its
+# window inventory is ranking-only, SURVEY §2.6). One shuffle on user_id;
+# the (tus, event_id) ordering is total, so the result is deterministic
+# even with simultaneous events.
+
+
+def q_events_next_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    ev = e.select("event_id", "user_id", "event_type", _epoch_us(e).alias("tus"))
+    w = Window.partitionBy("user_id").orderBy(F.col("tus"), F.col("event_id"))
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("gap_us", (F.lead("tus").over(w) - F.col("tus")).cast("bigint"))
+        .filter((F.col("event_type") == "error") & F.col("next_type").isNotNull())
+        .select("event_id", "user_id", "next_type", "gap_us")
+    )
+
+
+_ORACLE_NEXT_AFTER_ERROR = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events
+), led AS (
+  SELECT event_id, user_id, event_type,
+         lead(event_type) OVER w AS next_type,
+         CAST(lead(tus) OVER w - tus AS BIGINT) AS gap_us
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+)
+SELECT event_id, user_id, next_type, gap_us
+FROM led WHERE event_type = 'error' AND next_type IS NOT NULL
+"""
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,
     "events_asof_error": q_events_asof_error,
+    "events_funnel": q_events_funnel,
+    "events_next_after_error": q_events_next_after_error,
 }
 
 ORACLES = {
@@ -207,4 +309,6 @@ ORACLES = {
     "events_sliding": _ORACLE_SLIDING,
     "events_sessions": _ORACLE_SESSIONS,
     "events_asof_error": _ORACLE_ASOF_ERROR,
+    "events_funnel": _ORACLE_FUNNEL,
+    "events_next_after_error": _ORACLE_NEXT_AFTER_ERROR,
 }

@@ -926,6 +926,62 @@ LEFT JOIN shipped s
 """
 
 
+# --------------------------------------------------------------------------
+# Correlated-scalar-subquery decorrelation (TPC-H Q17 shape): revenue from
+# lineitems whose quantity is below 20% of the per-part average. The SQL
+# idiom is a correlated scalar subquery per outer row; the Spark-first plan
+# DECORRELATES it — one pre-aggregation per part, joined back on the part
+# key, so the "subquery" runs once per part instead of once per row (the
+# rewrite Catalyst itself applies to correlated scalars, made explicit).
+# The 20%-of-average threshold is exact integer math (5·qty·n < Σqty) —
+# no float division on the comparison path, so the survivor set is
+# bit-identical across engines.
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_extendedprice",
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+    )
+    small = (
+        l.join(per_part, "l_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("n_li") < F.col("sum_qty"))
+    )
+    return (
+        small.join(F.broadcast(p), small.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+            dsum(F.col("l_extendedprice")).alias("lost_revenue"),
+        )
+    )
+
+
+_ORACLE_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+  FROM lineitem
+), per_part AS (
+  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty, COUNT(*) AS n_li
+  FROM li GROUP BY 1
+)
+SELECT p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS lost_revenue
+FROM li
+JOIN per_part USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE p_size < 15 AND 5 * qty * n_li < sum_qty
+GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "sales_enrichment": q_sales_enrichment,
@@ -951,6 +1007,7 @@ QUERIES = {
     "salted_agg": q_salted_agg,
     "conditional_join": q_conditional_join,
     "fulfillment_ratio": q_fulfillment_ratio,
+    "small_quantity_revenue": q_small_quantity_revenue,
 }
 
 ORACLES = {
@@ -978,4 +1035,5 @@ ORACLES = {
     "salted_agg": _ORACLE_SALTED_AGG,
     "conditional_join": _ORACLE_CONDITIONAL_JOIN,
     "fulfillment_ratio": _ORACLE_FULFILLMENT,
+    "small_quantity_revenue": _ORACLE_SMALL_QTY_REVENUE,
 }
