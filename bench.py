@@ -55,6 +55,7 @@ HEADLINE = [
     "events_asof_error",
     "events_funnel",
     "small_quantity_revenue",
+    "sales_rollup",
 ]
 
 

@@ -982,6 +982,53 @@ GROUP BY p_brand
 """
 
 
+# --------------------------------------------------------------------------
+# ROLLUP aggregation (engine extension — the reference has no grouping
+# sets, SURVEY §2.5). One pass computes the (region, nation) hierarchy
+# totals: Catalyst expands the rollup into grouping-set projections inside
+# a single shuffle instead of N re-aggregations + union. Grand-total and
+# subtotal rows mark the rolled-up column with a sentinel (the grouping()
+# bit), so the result is deterministic and join-friendly.
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<ALL>")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("<ALL>")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+_ORACLE_SALES_ROLLUP = """
+SELECT COALESCE(r_name, '<ALL>') AS region,
+       COALESCE(n_name, '<ALL>') AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "sales_enrichment": q_sales_enrichment,
@@ -1008,6 +1055,7 @@ QUERIES = {
     "conditional_join": q_conditional_join,
     "fulfillment_ratio": q_fulfillment_ratio,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "sales_rollup": q_sales_rollup,
 }
 
 ORACLES = {
@@ -1036,4 +1084,5 @@ ORACLES = {
     "conditional_join": _ORACLE_CONDITIONAL_JOIN,
     "fulfillment_ratio": _ORACLE_FULFILLMENT,
     "small_quantity_revenue": _ORACLE_SMALL_QTY_REVENUE,
+    "sales_rollup": _ORACLE_SALES_ROLLUP,
 }

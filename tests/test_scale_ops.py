@@ -112,3 +112,33 @@ def test_replicated_skew_join_matches_plain(spark):
     plain_l = big.join(small, "k", "left").count()
     salted_l = skew.replicated_skew_join(big, small, ["k"], how="left", salt_from="id").count()
     assert plain_l == salted_l == 1200
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates — the 100 TB alternates for exact countDistinct /
+# exact grouped percentiles. Not on the oracle-checked query surface
+# (sketches are engine-specific by design); these tests pin the error
+# contract that makes them substitutable at scale.
+
+
+def test_approx_count_distinct_error_bound(spark):
+    from cdk_datalake_analytics_comercial_spark.plans.common import t
+
+    d = t(spark, "/root/testdata/sf0.01", "lineitem")
+    row = d.select(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    # HLL++ at rsd=2%: generous 3-sigma-ish bound
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06
+
+
+def test_approx_percentile_vs_exact(spark):
+    from cdk_datalake_analytics_comercial_spark.plans.common import t
+
+    d = t(spark, "/root/testdata/sf0.01", "lineitem")
+    row = d.select(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
