@@ -47,6 +47,7 @@ HEADLINE = [
     "tfidf_keywords",
     "quality_classifier",
     "pii_scrub",
+    "dq_report",
     "emb_cosine_topk",
     "emb_near_dup",
     "events_tumbling",

@@ -1,0 +1,111 @@
+"""Data-quality expectation checks — the lakehouse "expectations" pattern
+(dbt tests / Delta constraints / Deequ-style validation) the reference
+lacks entirely: its jobs trust upstream uniqueness (SURVEY §7.3.3 notes the
+merge precondition is *assumed*). A serious pipeline validates it.
+
+Each check returns a ONE-ROW DataFrame ``(check, table_name, violations)``
+so a report is a cheap unionByName of independent aggregates; all checks
+are single-pass aggregations (count of failures), never row dumps — at
+100 TB you page the violation COUNT to a dashboard and drill down with a
+targeted query, you don't materialize the violating rows by default.
+
+Scale shapes:
+- not-null / accepted-values / range: map-side conditional count, one
+  partial-agg shuffle of ONE row per partition.
+- uniqueness: groupBy(keys) count>1 — one shuffle on the keys (the same
+  shuffle a dedup would pay; at scale run it on the merge keys you already
+  cluster by).
+- referential integrity: child left-anti parent on the FK — broadcastable
+  when the parent is a dim; count of orphans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _one(check: str, table_name: str, violations: Column, df: DataFrame) -> DataFrame:
+    return df.agg(violations.cast("bigint").alias("violations")).select(
+        F.lit(check).alias("check"),
+        F.lit(table_name).alias("table_name"),
+        "violations",
+    )
+
+
+def check_not_null(df: DataFrame, table_name: str, cols: list[str]) -> DataFrame:
+    """Rows where ANY of ``cols`` is null."""
+    cond = None
+    for c in cols:
+        n = F.col(c).isNull()
+        cond = n if cond is None else (cond | n)
+    return _one(
+        f"not_null({','.join(cols)})",
+        table_name,
+        F.count(F.when(cond, F.lit(1))),
+        df,
+    )
+
+
+def check_unique(df: DataFrame, table_name: str, keys: list[str]) -> DataFrame:
+    """Rows beyond the first per key tuple (0 = keys are unique)."""
+    dups = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.sum(F.col("n") - 1).alias("extra"))
+        .select(F.coalesce(F.col("extra"), F.lit(0)).alias("extra"))
+    )
+    return dups.select(
+        F.lit(f"unique({','.join(keys)})").alias("check"),
+        F.lit(table_name).alias("table_name"),
+        F.col("extra").cast("bigint").alias("violations"),
+    )
+
+
+def check_referential(
+    child: DataFrame,
+    table_name: str,
+    fk: str,
+    parent: DataFrame,
+    pk: str,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Child rows whose non-null FK has no matching parent PK (orphans)."""
+    keys = parent.select(F.col(pk).alias(fk)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    orphans = child.filter(F.col(fk).isNotNull()).join(keys, fk, "left_anti")
+    return _one(f"ref({fk}->{pk})", table_name, F.count(F.lit(1)), orphans)
+
+
+def check_accepted_values(
+    df: DataFrame, table_name: str, col: str, allowed: list
+) -> DataFrame:
+    """Rows whose ``col`` is outside the allowed set (nulls violate too)."""
+    bad = ~F.col(col).isin(allowed) | F.col(col).isNull()
+    return _one(
+        f"accepted_values({col})", table_name, F.count(F.when(bad, F.lit(1))), df
+    )
+
+
+def check_range(
+    df: DataFrame, table_name: str, col: str, lo=None, hi=None
+) -> DataFrame:
+    """Non-null values outside [lo, hi]."""
+    c = F.col(col)
+    bad = F.lit(False)
+    if lo is not None:
+        bad = bad | (c < F.lit(lo))
+    if hi is not None:
+        bad = bad | (c > F.lit(hi))
+    return _one(
+        f"range({col})", table_name, F.count(F.when(c.isNotNull() & bad, F.lit(1))), df
+    )
+
+
+def dq_report(checks: list[DataFrame]) -> DataFrame:
+    """Union the one-row check results into the violations report."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

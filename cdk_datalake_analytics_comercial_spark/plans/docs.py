@@ -1308,6 +1308,74 @@ FROM base
 """
 
 
+# --------------------------------------------------------------------------
+# Data-quality expectations report: one row per check with its violation
+# count over the TPC-H-ish universe (engine extension — the reference
+# ASSUMES upstream uniqueness, SURVEY §7.3.3; this validates it).
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dq
+
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "part")
+    return dq.dq_report(
+        [
+            dq.check_not_null(l, "lineitem", ["l_orderkey", "l_partkey"]),
+            dq.check_unique(l, "lineitem", ["l_orderkey", "l_linenumber"]),
+            dq.check_unique(o, "orders", ["o_orderkey"]),
+            dq.check_referential(l, "lineitem", "l_orderkey", o, "o_orderkey"),
+            dq.check_referential(o, "orders", "o_custkey", c, "c_custkey"),
+            dq.check_referential(l, "lineitem", "l_partkey", p, "p_partkey"),
+            dq.check_accepted_values(
+                o, "orders", "o_orderstatus", ["O", "F", "P"]
+            ),
+            dq.check_range(l, "lineitem", "l_discount", 0.0, 0.5),
+            dq.check_range(l, "lineitem", "l_quantity", 1.0, 50.0),
+        ]
+    )
+
+
+_ORACLE_DQ_REPORT = """
+SELECT 'not_null(l_orderkey,l_partkey)' AS check, 'lineitem' AS table_name,
+       CAST(COUNT(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL THEN 1 END) AS BIGINT) AS violations
+FROM lineitem
+UNION ALL
+SELECT 'unique(l_orderkey,l_linenumber)', 'lineitem',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'unique(o_orderkey)', 'orders', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'ref(l_orderkey->o_orderkey)', 'lineitem', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey IS NOT NULL
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'ref(o_custkey->c_custkey)', 'orders', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'ref(l_partkey->p_partkey)', 'lineitem', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_partkey IS NOT NULL
+  AND l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'accepted_values(o_orderstatus)', 'orders',
+       CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'range(l_discount)', 'lineitem',
+       CAST(COUNT(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.5) THEN 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'range(l_quantity)', 'lineitem',
+       CAST(COUNT(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 END) AS BIGINT)
+FROM lineitem
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -1330,6 +1398,7 @@ QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "quality_classifier": q_quality_classifier,
     "pii_scrub": q_pii_scrub,
+    "dq_report": q_dq_report,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
@@ -1365,6 +1434,7 @@ ORACLES = {
     "tfidf_keywords": _ORACLE_TFIDF_KEYWORDS,
     "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
     "pii_scrub": _ORACLE_PII_SCRUB,
+    "dq_report": _ORACLE_DQ_REPORT,
     "emb_cosine_topk": _ORACLE_COSINE_TOPK,
     "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
     "emb_clusters": _ORACLE_EMB_CLUSTERS,
