@@ -544,7 +544,7 @@ SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE 
 """
 
 
-def _build_ivf_oracle(sf_dir: str | None = None) -> str | None:
+def _build_ivf_oracle(sf_dir: str | None = None, n_probe: int = 1) -> str | None:
     """IVF oracle: re-run the exact centroid training (same numpy Lloyd code
     over the same first-4096-by-id rows) against the check's parquet, then
     inline the quantized centroids as literals. The driver's differential
@@ -576,8 +576,7 @@ def _build_ivf_oracle(sf_dir: str | None = None) -> str | None:
     cents_sql = (
         "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in cents_int) + "]"
     )
-    return f"""
-WITH iv AS (
+    base_ctes = f"""iv AS (
   SELECT vec_id, {_SQL_IV} AS iv FROM embeddings
 ), d2s AS (
   SELECT vec_id, iv,
@@ -586,11 +585,35 @@ WITH iv AS (
   FROM iv
 ), cells AS (
   SELECT vec_id, iv, list_position(d2, list_min(d2)) AS cell FROM d2s
-), scored AS (
+)"""
+    if n_probe <= 1:
+        return f"""
+WITH {base_ctes}, scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
          {_SQL_DOT} / ({_SQL_NRM.format(s='a')} * {_SQL_NRM.format(s='b')}) AS cosine
   FROM cells a JOIN cells b
     ON a.vec_id < 20 AND a.cell = b.cell AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+    # multi-probe: each query fans out to its n_probe nearest cells (stable
+    # tie-break: distance, then cell index — the engine's stable argsort).
+    return f"""
+WITH {base_ctes}, qd AS (
+  SELECT vec_id, iv, unnest(range(1, {len(cents_int) + 1})) AS cell, unnest(d2) AS dist
+  FROM d2s WHERE vec_id < 20
+), qprobe AS (
+  SELECT vec_id, iv, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM qd
+  ) WHERE rn <= {n_probe}
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+         {_SQL_DOT} / ({_SQL_NRM.format(s='a')} * {_SQL_NRM.format(s='b')}) AS cosine
+  FROM qprobe a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
 ), ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
   FROM scored
@@ -615,6 +638,19 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
     return ivf_topk(e, q, dim=64, k=5, n_cells=8)
+
+
+def q_emb_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (n_probe=2): each query scores the corpus in its TWO
+    nearest cells — the standard recall knob (probing more cells trades
+    linear candidate cost for recall while the corpus stays single-cell
+    partitioned). Probe selection ties break stably (distance, then cell
+    index) on both engines."""
+    from ..operators.similarity import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return ivf_topk(e, q, dim=64, k=5, n_cells=8, n_probe=2)
 
 
 # --------------------------------------------------------------------------
@@ -1406,6 +1442,7 @@ QUERIES = {
     "emb_clusters": q_emb_clusters,
     "emb_lsh_topk": q_emb_lsh_topk,
     "emb_ivf_topk": q_emb_ivf_topk,
+    "emb_ivf_multiprobe": q_emb_ivf_multiprobe,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_frames": q_multimodal_frames,
@@ -1452,3 +1489,6 @@ ORACLES = {
 _IVF_ORACLE = _build_ivf_oracle()
 if _IVF_ORACLE:
     ORACLES["emb_ivf_topk"] = _IVF_ORACLE
+_IVF_MP_ORACLE = _build_ivf_oracle(n_probe=2)
+if _IVF_MP_ORACLE:
+    ORACLES["emb_ivf_multiprobe"] = _IVF_MP_ORACLE

@@ -156,3 +156,31 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     c2 = Counter(q for q, _ in full)
     for qid, n in c1.items():
         assert c2[qid] >= n
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Probing 2 cells must recover at least as many true neighbors as 1
+    cell (per query, the candidate set strictly grows)."""
+    from cdk_datalake_analytics_comercial_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+    from cdk_datalake_analytics_comercial_spark.plans.common import t as tt
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    e = tt(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["corpus_id"])
+        for r in cosine_topk_bruteforce(e, q, k=5).collect()
+    }
+    got1 = {
+        (r["query_id"], r["corpus_id"])
+        for r in ivf_topk(e, q, dim=64, k=5, n_cells=8, n_probe=1).collect()
+    }
+    got2 = {
+        (r["query_id"], r["corpus_id"])
+        for r in ivf_topk(e, q, dim=64, k=5, n_cells=8, n_probe=2).collect()
+    }
+    assert len(got2 & truth) >= len(got1 & truth)
