@@ -1,0 +1,95 @@
+"""Physical-plan audit over the whole query registry.
+
+For every ``queries()`` entry, compiles the plan at the given sf dir (no
+execution) and reports the scale-relevant shape: shuffle count, join
+strategies, parquet filter pushdown, whole-stage-codegen spans, and
+Python/Arrow stages. Writes PLAN_AUDIT.md — the artifact behind the
+"would this plan survive 100×?" review (plan-contract tests pin the
+invariants; this shows the whole surface at a glance).
+
+Usage: python tools/plan_report.py [sf_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def audit_plan(plan: str) -> dict:
+    def count(pat: str) -> int:
+        return len(re.findall(pat, plan))
+
+    return {
+        "exchanges": count(r"Exchange hashpartitioning")
+        + count(r"Exchange rangepartitioning"),
+        "broadcasts": count(r"BroadcastExchange"),
+        "bhj": count(r"BroadcastHashJoin"),
+        "smj": count(r"SortMergeJoin"),
+        "shj": count(r"ShuffledHashJoin"),
+        "bnlj": count(r"BroadcastNestedLoopJoin") + count(r"CartesianProduct"),
+        "pushed": count(r"PushedFilters: \[[^\]]"),
+        # codegen spans print as "WholeStageCodegen (n)" in formatted mode
+        # and as "*(n)" operator prefixes in toString() — count distinct ids
+        "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "python": count(r"ArrowEvalPython")
+        + count(r"MapInPandas")
+        + count(r"FlatMapGroupsInPandas")
+        + count(r"BatchEvalPython"),
+    }
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_md = sys.argv[2] if len(sys.argv) > 2 else "PLAN_AUDIT.md"
+
+    from cdk_datalake_analytics_comercial_spark.core import get_spark
+    from cdk_datalake_analytics_comercial_spark.plans import QUERIES
+
+    spark = get_spark()
+    rows = []
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name](spark, sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            rows.append((name, audit_plan(plan)))
+        except Exception as exc:  # pragma: no cover - report, don't die
+            rows.append((name, {"error": str(exc)[:80]}))
+
+    lines = [
+        "# PLAN_AUDIT — physical-plan shape of every registry query",
+        "",
+        f"Compiled (not executed) against `{sf}`. Columns: shuffle exchanges,",
+        "broadcast exchanges, join strategy counts (BHJ/SMJ/SHJ), quadratic",
+        "joins (BNLJ+cartesian — must be 0), scans with pushed filters,",
+        "whole-stage-codegen spans, Python/Arrow stages (deliberate kernels",
+        "only). Regenerate: `python tools/plan_report.py`.",
+        "",
+        "| query | shuffles | bcast | BHJ | SMJ | SHJ | quadratic | pushed | codegen | python |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, a in rows:
+        if "error" in a:
+            lines.append(f"| {name} | ERROR: {a['error']} | | | | | | | | |")
+            continue
+        lines.append(
+            f"| {name} | {a['exchanges']} | {a['broadcasts']} | {a['bhj']} | "
+            f"{a['smj']} | {a['shj']} | {a['bnlj']} | {a['pushed']} | "
+            f"{a['codegen']} | {a['python']} |"
+        )
+    total_quad = sum(a.get("bnlj", 0) for _, a in rows)
+    lines += [
+        "",
+        f"Total quadratic joins across the registry: **{total_quad}** "
+        "(enforced 0 by tests/test_plan_contracts.py).",
+        "",
+    ]
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out_md}: {len(rows)} queries, quadratic={total_quad}")
+
+
+if __name__ == "__main__":
+    main()
