@@ -103,6 +103,62 @@ def check_range(
     )
 
 
+def not_null_cond(cols: list[str]) -> tuple[str, Column]:
+    cond = None
+    for c in cols:
+        n = F.col(c).isNull()
+        cond = n if cond is None else (cond | n)
+    return f"not_null({','.join(cols)})", cond
+
+
+def accepted_values_cond(col: str, allowed: list) -> tuple[str, Column]:
+    return (
+        f"accepted_values({col})",
+        ~F.col(col).isin(allowed) | F.col(col).isNull(),
+    )
+
+
+def range_cond(col: str, lo=None, hi=None) -> tuple[str, Column]:
+    c = F.col(col)
+    bad = F.lit(False)
+    if lo is not None:
+        bad = bad | (c < F.lit(lo))
+    if hi is not None:
+        bad = bad | (c > F.lit(hi))
+    return f"range({col})", c.isNotNull() & bad
+
+
+def fused_row_checks(
+    df: DataFrame, table_name: str, checks: list[tuple[str, Column]]
+) -> DataFrame:
+    """ALL row-level checks for one table in ONE scan — every check is a
+    conditional count in a single aggregate, then the one result row
+    explodes into report rows. At 100 TB this is the difference between N
+    full table scans and one; only groupBy-shaped checks (uniqueness) still
+    need their own pass."""
+    aggs = [
+        F.count(F.when(cond, F.lit(1))).cast("bigint").alias(f"_c{i}")
+        for i, (_, cond) in enumerate(checks)
+    ]
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"), F.col(f"_c{i}").alias("violations")
+            )
+            for i, (name, _) in enumerate(checks)
+        ]
+    )
+    return (
+        df.agg(*aggs)
+        .select(F.explode(packed).alias("e"))
+        .select(
+            F.col("e.check").alias("check"),
+            F.lit(table_name).alias("table_name"),
+            F.col("e.violations").alias("violations"),
+        )
+    )
+
+
 def dq_report(checks: list[DataFrame]) -> DataFrame:
     """Union the one-row check results into the violations report."""
     out = checks[0]

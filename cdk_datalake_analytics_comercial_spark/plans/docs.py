@@ -1359,17 +1359,24 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     return dq.dq_report(
         [
-            dq.check_not_null(l, "lineitem", ["l_orderkey", "l_partkey"]),
+            # all row-level lineitem checks fuse into ONE scan
+            dq.fused_row_checks(
+                l,
+                "lineitem",
+                [
+                    dq.not_null_cond(["l_orderkey", "l_partkey"]),
+                    dq.range_cond("l_discount", 0.0, 0.5),
+                    dq.range_cond("l_quantity", 1.0, 50.0),
+                ],
+            ),
+            dq.fused_row_checks(
+                o, "orders", [dq.accepted_values_cond("o_orderstatus", ["O", "F", "P"])]
+            ),
             dq.check_unique(l, "lineitem", ["l_orderkey", "l_linenumber"]),
             dq.check_unique(o, "orders", ["o_orderkey"]),
             dq.check_referential(l, "lineitem", "l_orderkey", o, "o_orderkey"),
             dq.check_referential(o, "orders", "o_custkey", c, "c_custkey"),
             dq.check_referential(l, "lineitem", "l_partkey", p, "p_partkey"),
-            dq.check_accepted_values(
-                o, "orders", "o_orderstatus", ["O", "F", "P"]
-            ),
-            dq.check_range(l, "lineitem", "l_discount", 0.0, 0.5),
-            dq.check_range(l, "lineitem", "l_quantity", 1.0, 50.0),
         ]
     )
 

@@ -60,3 +60,32 @@ def test_report_unions_all_checks(spark):
         ("unique(a)", 1),
         ("not_null(a)", 0),
     }
+
+
+def test_fused_row_checks_single_scan_matches_individual(spark):
+    df = spark.createDataFrame(
+        [(1, "O", 0.1), (None, "X", 0.9), (3, None, None)],
+        "k int, st string, d double",
+    )
+    fused = {
+        (r["check"], r["violations"])
+        for r in dq.fused_row_checks(
+            df,
+            "t",
+            [
+                dq.not_null_cond(["k"]),
+                dq.accepted_values_cond("st", ["O", "F"]),
+                dq.range_cond("d", 0.0, 0.5),
+            ],
+        ).collect()
+    }
+    assert fused == {
+        ("not_null(k)", 1),
+        ("accepted_values(st)", 2),
+        ("range(d)", 1),
+    }
+    # plan: exactly one scan of the table feeds all three counts
+    plan = dq.fused_row_checks(
+        df, "t", [dq.not_null_cond(["k"]), dq.range_cond("d", 0.0, 0.5)]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ExistingRDD") <= 1
