@@ -57,6 +57,7 @@ HEADLINE = [
     "events_funnel",
     "small_quantity_revenue",
     "sales_rollup",
+    "late_orders_exists",
 ]
 
 

@@ -983,6 +983,41 @@ GROUP BY p_brand
 
 
 # --------------------------------------------------------------------------
+# EXISTS decorrelation → LEFT SEMI join (TPC-H Q4 shape): orders having at
+# least one lineitem shipped >90 days after the order date, counted per
+# priority. The correlated EXISTS subquery becomes a semi join — one
+# output row per order regardless of how many lineitems qualify (no
+# fan-out, unlike an inner join + distinct), then a tiny aggregate.
+
+
+def q_late_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 90)),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_late_orders")
+    )
+
+
+_ORACLE_LATE_ORDERS = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # ROLLUP aggregation (engine extension — the reference has no grouping
 # sets, SURVEY §2.5). One pass computes the (region, nation) hierarchy
 # totals: Catalyst expands the rollup into grouping-set projections inside
@@ -1056,6 +1091,7 @@ QUERIES = {
     "fulfillment_ratio": q_fulfillment_ratio,
     "small_quantity_revenue": q_small_quantity_revenue,
     "sales_rollup": q_sales_rollup,
+    "late_orders_exists": q_late_orders_exists,
 }
 
 ORACLES = {
@@ -1085,4 +1121,5 @@ ORACLES = {
     "fulfillment_ratio": _ORACLE_FULFILLMENT,
     "small_quantity_revenue": _ORACLE_SMALL_QTY_REVENUE,
     "sales_rollup": _ORACLE_SALES_ROLLUP,
+    "late_orders_exists": _ORACLE_LATE_ORDERS,
 }
