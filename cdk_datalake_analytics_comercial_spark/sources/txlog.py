@@ -1,0 +1,422 @@
+"""Versioned-manifest table format on plain parquet — the engine's answer
+to the reference's Delta surface (SURVEY §2.2 K1-K5:
+`common_jobs_functions.py:279-349` — MERGE, dynamic overwrite, vacuum,
+manifest, time travel) in an environment without delta-spark.
+
+Layout:
+
+    <table>/
+      _txlog/v0000000001.json     one manifest per committed version
+      data/<batch-uuid>/[k=v/...]part-*.parquet
+
+A manifest lists every data file of its snapshot (with parsed partition
+values). Readers resolve ONE manifest and read exactly its files — never a
+directory listing — so they see a consistent snapshot regardless of
+concurrent writers (snapshot isolation), and any older version remains
+readable (time travel) until vacuumed.
+
+Commit protocol: data files are written under a fresh batch dir (invisible
+to readers — nothing references them), then the manifest is written to a
+temp name and RENAMEd to ``v<N>.json``. Rename is atomic on HDFS/posix;
+the implementation refuses to clobber an existing version and retries at
+N+1 (optimistic concurrency). A crash at ANY point before the rename
+leaves the table at the previous version with only orphan data files —
+exactly Delta's failure model — and ``tx_vacuum`` reaps unreferenced
+files later.
+
+Scale notes: manifests carry file paths + partition values, KBs per
+thousand files — the driver handles them; data never moves through the
+driver. MERGE copies FORWARD the untouched partitions' file references
+(no data rewrite) and writes new files only for touched partitions —
+Delta's file-pruned MERGE. Reads group files by batch dir and unionByName
+(partition columns recovered via per-batch basePath); long table histories
+should compact periodically (``tx_write(mode="overwrite")`` of the full
+snapshot collapses to one batch).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG = "_txlog"
+_DATA = "data"
+
+
+# --------------------------------------------------------------------------
+# Hadoop FS helpers (FS-agnostic: local in tests, object store on cluster).
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, p, _ = _fs(spark, path)
+    return fs.exists(p)
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, p, _ = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, p, jvm = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream))
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def _rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, s, jvm = _fs(spark, src)
+    return fs.rename(s, jvm.org.apache.hadoop.fs.Path(dst))
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    fs, p, _ = _fs(spark, path)
+    fs.delete(p, True)
+
+
+def _list_parquet_files(spark: SparkSession, root: str) -> list[str]:
+    """Recursive relative paths of parquet data files under ``root``."""
+    fs, p, _ = _fs(spark, root)
+    out = []
+    it = fs.listFiles(p, True)
+    prefix = fs.makeQualified(p).toString()
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append(full[len(prefix) :].lstrip("/"))
+    return sorted(out)
+
+
+def _partition_of(rel_path: str) -> dict[str, str]:
+    """Parse k=v partition dirs from a relative file path."""
+    parts = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            parts[k] = v
+    return parts
+
+
+# --------------------------------------------------------------------------
+# Manifest resolution.
+
+
+def _version_path(path: str, version: int) -> str:
+    return f"{path.rstrip('/')}/{_LOG}/v{version:010d}.json"
+
+
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    log = f"{path.rstrip('/')}/{_LOG}"
+    if not _exists(spark, log):
+        return []
+    fs, p, _ = _fs(spark, log)
+    versions = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                versions.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(versions)
+
+
+def current_version(spark: SparkSession, path: str) -> int | None:
+    vs = list_versions(spark, path)
+    return vs[-1] if vs else None
+
+
+def read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    return json.loads(_read_text(spark, _version_path(path, version)))
+
+
+def tx_history(spark: SparkSession, path: str) -> list[dict]:
+    """All manifests, oldest first — op, version, file count per commit."""
+    return [read_manifest(spark, path, v) for v in list_versions(spark, path)]
+
+
+def _commit(spark: SparkSession, path: str, manifest: dict) -> int:
+    """Optimistic commit: claim the next version number by atomic rename;
+    on collision (concurrent writer won), retry at the next number."""
+    log = f"{path.rstrip('/')}/{_LOG}"
+    tmp = f"{log}/.tmp-{uuid.uuid4().hex}.json"
+    for _ in range(50):
+        version = (current_version(spark, path) or 0) + 1
+        manifest["version"] = version
+        _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
+        dst = _version_path(path, version)
+        if _exists(spark, dst):
+            continue
+        if _rename(spark, tmp, dst):
+            return version
+    _delete(spark, tmp)
+    raise RuntimeError(f"txlog commit contention at {path}")
+
+
+# --------------------------------------------------------------------------
+# Write paths.
+
+
+def _write_batch(
+    df: DataFrame, path: str, partition_by: list[str] | None
+) -> tuple[str, list[dict]]:
+    """Write ``df`` as a fresh batch dir; return (batch id, file entries)."""
+    batch = uuid.uuid4().hex
+    batch_dir = f"{path.rstrip('/')}/{_DATA}/{batch}"
+    writer = df.write.format("parquet").mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(batch_dir)
+    spark = df.sparkSession
+    files = [
+        {"path": f"{_DATA}/{batch}/{rel}", "partition": _partition_of(rel)}
+        for rel in _list_parquet_files(spark, batch_dir)
+    ]
+    return batch, files
+
+
+def tx_write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Commit a new version. ``mode``:
+
+    - ``overwrite``: snapshot replace (also the compaction op);
+    - ``append``: prior files + new files;
+    - ``overwrite_dynamic``: replace only the partitions present in ``df``
+      (K1 dynamic partition overwrite) — untouched partitions' files are
+      carried forward by reference, no rewrite.
+    """
+    if mode not in ("overwrite", "append", "overwrite_dynamic"):
+        raise ValueError(mode)
+    if mode == "overwrite_dynamic" and not partition_by:
+        raise ValueError("overwrite_dynamic requires partition_by")
+
+    _, new_files = _write_batch(df, path, partition_by)
+
+    carried: list[dict] = []
+    cur = current_version(spark, path)
+    if cur is not None and mode != "overwrite":
+        old = read_manifest(spark, path, cur)["files"]
+        if mode == "append":
+            carried = old
+        else:  # overwrite_dynamic
+            touched = {
+                tuple(sorted(f["partition"].items())) for f in new_files
+            }
+            carried = [
+                f
+                for f in old
+                if tuple(sorted(f["partition"].items())) not in touched
+            ]
+
+    return _commit(
+        spark,
+        path,
+        {"op": mode, "schema": df.schema.json(), "files": carried + new_files},
+    )
+
+
+def tx_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot at ``version`` (default: latest). Reads exactly the
+    manifest's files, grouped per batch dir so partition columns are
+    recovered from the paths; batches union by name."""
+    cur = version if version is not None else current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    manifest = read_manifest(spark, path, cur)
+    by_batch: dict[str, list[str]] = {}
+    root = path.rstrip("/")
+    for f in manifest["files"]:
+        batch_dir = "/".join(f["path"].split("/")[:2])  # data/<batch>
+        by_batch.setdefault(batch_dir, []).append(f"{root}/{f['path']}")
+    out = None
+    for batch_dir, files in sorted(by_batch.items()):
+        part = (
+            spark.read.option("basePath", f"{root}/{batch_dir}")
+            .parquet(*sorted(files))
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:  # empty snapshot — rebuild from the recorded schema
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(manifest["schema"]))
+        )
+    return out
+
+
+def tx_merge(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+    precedence: str | None = None,
+) -> int:
+    """File-pruned MERGE (K3): rewrite only the partitions the source
+    touches; untouched partitions' files are carried forward by reference.
+    Update semantics match ``writer.merge_upsert`` (source wins; with
+    ``precedence`` last-writer-wins)."""
+    from .writer import _dedup_on_keys
+
+    cur = current_version(spark, path)
+    if cur is None:
+        if precedence is None:
+            source = _dedup_on_keys(source, keys)
+        else:
+            source = _precedence_pick(source, keys, precedence, None)
+        return tx_write(spark, source, path, partition_by, "overwrite")
+
+    if partition_by:
+        touched = [
+            r.asDict()
+            for r in source.select(*partition_by).distinct().collect()
+        ]
+        manifest = read_manifest(spark, path, cur)
+        # partition values in file paths use Hive's encoding; null →
+        # __HIVE_DEFAULT_PARTITION__
+        def enc(v):
+            return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+
+        touched_sets = {
+            tuple(sorted((k, enc(t[k])) for k in partition_by)) for t in touched
+        }
+        touched_files = [
+            f
+            for f in manifest["files"]
+            if tuple(sorted(f["partition"].items())) in touched_sets
+        ]
+        root = path.rstrip("/")
+        if touched_files:
+            by_batch: dict[str, list[str]] = {}
+            for f in touched_files:
+                bd = "/".join(f["path"].split("/")[:2])
+                by_batch.setdefault(bd, []).append(f"{root}/{f['path']}")
+            slice_df = None
+            for bd, files in sorted(by_batch.items()):
+                part = (
+                    spark.read.option("basePath", f"{root}/{bd}")
+                    .parquet(*sorted(files))
+                )
+                slice_df = part if slice_df is None else slice_df.unionByName(part)
+        else:
+            slice_df = None
+    else:
+        slice_df = tx_read(spark, path)
+
+    if precedence is None:
+        source = _dedup_on_keys(source, keys)
+        if slice_df is None:
+            merged = source
+        else:
+            kept = slice_df.join(source.select(*keys), keys, "left_anti")
+            merged = kept.unionByName(source.select(*slice_df.columns))
+    else:
+        merged = _precedence_pick(source, keys, precedence, slice_df)
+
+    # the merged slice replaces exactly the touched partitions
+    return tx_write(
+        spark,
+        merged,
+        path,
+        partition_by,
+        "overwrite_dynamic" if partition_by else "overwrite",
+    )
+
+
+def _precedence_pick(
+    source: DataFrame,
+    keys: list[str],
+    precedence: str,
+    target: DataFrame | None,
+) -> DataFrame:
+    """Last-writer-wins resolution over target ∪ source (source wins ties)."""
+    from pyspark.sql import Window
+
+    src = source.withColumn("_src", F.lit(1))
+    tagged = (
+        src
+        if target is None
+        else target.withColumn("_src", F.lit(0)).unionByName(
+            src.select(*target.columns, "_src")
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(precedence).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
+
+
+def tx_vacuum(
+    spark: SparkSession, path: str, keep_versions: int = 2
+) -> list[str]:
+    """Reap data files unreferenced by the newest ``keep_versions``
+    manifests, and drop the older manifests (they would dangle). Returns
+    the deleted file paths. Time travel remains valid for every kept
+    version — the reference's `vacuum(hours)` expressed in versions, which
+    is deterministic (no wall clock) and test-stable."""
+    versions = list_versions(spark, path)
+    if not versions:
+        return []
+    keep = versions[-keep_versions:]
+    drop = versions[: -keep_versions] if keep_versions else versions
+    referenced = set()
+    for v in keep:
+        for f in read_manifest(spark, path, v)["files"]:
+            referenced.add(f["path"])
+    root = path.rstrip("/")
+    data_root = f"{root}/{_DATA}"
+    removed = []
+    if _exists(spark, data_root):
+        fs, p, _ = _fs(spark, data_root)
+        prefix = fs.makeQualified(p).toString()
+        it = fs.listFiles(p, True)
+        to_delete = []
+        while it.hasNext():
+            st = it.next()
+            full = st.getPath().toString()
+            rel = f"{_DATA}/" + full[len(prefix) :].lstrip("/")
+            name = st.getPath().getName()
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            if rel not in referenced:
+                to_delete.append((full, rel))
+        for full, rel in to_delete:
+            _delete(spark, full)
+            removed.append(rel)
+    for v in drop:
+        _delete(spark, _version_path(path, v))
+    return sorted(removed)

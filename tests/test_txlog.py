@@ -1,0 +1,146 @@
+"""Transaction-log table format tests: versioned commits, snapshot
+isolation, time travel, dynamic-partition overwrite by reference,
+file-pruned merge, precedence merge, crash atomicity, vacuum safety."""
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.sources import txlog as TX
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_write_read_append_and_time_travel(spark, tmp_path):
+    p = str(tmp_path / "t1")
+    v1 = TX.tx_write(spark, spark.createDataFrame([(1, "a")], "k long, v string"), p)
+    v2 = TX.tx_write(
+        spark, spark.createDataFrame([(2, "b")], "k long, v string"), p, mode="append"
+    )
+    assert (v1, v2) == (1, 2)
+    assert rows(TX.tx_read(spark, p)) == [(1, "a"), (2, "b")]
+    assert rows(TX.tx_read(spark, p, version=1)) == [(1, "a")]
+    ops = [m["op"] for m in TX.tx_history(spark, p)]
+    assert ops == ["overwrite", "append"]
+
+
+def test_snapshot_isolation_reader_pins_version(spark, tmp_path):
+    p = str(tmp_path / "t2")
+    TX.tx_write(spark, spark.createDataFrame([(1, "a")], "k long, v string"), p)
+    snap = TX.tx_read(spark, p)  # resolves v1's file list NOW
+    TX.tx_write(spark, spark.createDataFrame([(9, "z")], "k long, v string"), p)
+    # the pinned snapshot still reads v1's files even after v2 replaced it
+    assert rows(snap) == [(1, "a")]
+    assert rows(TX.tx_read(spark, p)) == [(9, "z")]
+
+
+def test_overwrite_dynamic_carries_untouched_partitions_by_reference(spark, tmp_path):
+    p = str(tmp_path / "t3")
+    df = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "k long, v string, part string"
+    )
+    TX.tx_write(spark, df, p, partition_by=["part"])
+    m1 = TX.read_manifest(spark, p, 1)
+    p2_files_v1 = {f["path"] for f in m1["files"] if f["partition"]["part"] == "p2"}
+
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(10, "A", "p1")], "k long, v string, part string"),
+        p,
+        partition_by=["part"],
+        mode="overwrite_dynamic",
+    )
+    assert rows(TX.tx_read(spark, p).select("k", "v", "part")) == [
+        (2, "b", "p2"),
+        (10, "A", "p1"),
+    ]
+    # p2's files were carried forward BY REFERENCE (same physical files)
+    m2 = TX.read_manifest(spark, p, 2)
+    p2_files_v2 = {f["path"] for f in m2["files"] if f["partition"]["part"] == "p2"}
+    assert p2_files_v2 == p2_files_v1
+
+
+def test_merge_updates_inserts_and_prunes_untouched_partitions(spark, tmp_path):
+    p = str(tmp_path / "t4")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")],
+        "k long, v string, part string",
+    )
+    TX.tx_merge(spark, base, p, keys=["k"], partition_by=["part"])
+    m1 = TX.read_manifest(spark, p, 1)
+    p2_files = {f["path"] for f in m1["files"] if f["partition"]["part"] == "p2"}
+
+    src = spark.createDataFrame(
+        [(2, "B", "p1"), (4, "d", "p1")], "k long, v string, part string"
+    )
+    TX.tx_merge(spark, src, p, keys=["k"], partition_by=["part"])
+    assert rows(TX.tx_read(spark, p).select("k", "v")) == [
+        (1, "a"), (2, "B"), (3, "c"), (4, "d"),
+    ]
+    # p2 untouched: same file references as v1
+    m2 = TX.read_manifest(spark, p, 2)
+    assert {f["path"] for f in m2["files"] if f["partition"]["part"] == "p2"} == p2_files
+
+
+def test_merge_precedence_stale_source_loses(spark, tmp_path):
+    p = str(tmp_path / "t5")
+    TX.tx_merge(
+        spark,
+        spark.createDataFrame([(1, 5, "new")], "k long, seq long, v string"),
+        p, keys=["k"], precedence="seq",
+    )
+    TX.tx_merge(
+        spark,
+        spark.createDataFrame([(1, 3, "stale"), (2, 1, "x")], "k long, seq long, v string"),
+        p, keys=["k"], precedence="seq",
+    )
+    got = {r["k"]: (r["seq"], r["v"]) for r in TX.tx_read(spark, p).collect()}
+    assert got == {1: (5, "new"), 2: (1, "x")}
+
+
+def test_crash_before_commit_leaves_table_at_old_version(spark, tmp_path):
+    """Simulate a crash between data-file write and manifest commit: orphan
+    batch dirs are invisible to readers and reaped by vacuum."""
+    p = str(tmp_path / "t6")
+    TX.tx_write(spark, spark.createDataFrame([(1, "a")], "k long, v string"), p)
+    # "crashed" writer: data landed, no manifest
+    TX._write_batch(
+        spark.createDataFrame([(99, "junk")], "k long, v string"), p, None
+    )
+    assert TX.current_version(spark, p) == 1
+    assert rows(TX.tx_read(spark, p)) == [(1, "a")]
+    removed = TX.tx_vacuum(spark, p, keep_versions=2)
+    assert removed  # the orphan batch's file went away
+    assert rows(TX.tx_read(spark, p)) == [(1, "a")]
+
+
+def test_vacuum_keeps_recent_versions_readable(spark, tmp_path):
+    p = str(tmp_path / "t7")
+    for i in range(4):
+        TX.tx_write(spark, spark.createDataFrame([(i,)], "k long"), p)
+    removed = TX.tx_vacuum(spark, p, keep_versions=2)
+    assert removed  # v1/v2 data reaped
+    assert TX.list_versions(spark, p) == [3, 4]
+    assert rows(TX.tx_read(spark, p, version=3)) == [(2,)]
+    assert rows(TX.tx_read(spark, p, version=4)) == [(3,)]
+
+
+def test_empty_snapshot_reads_as_empty_with_schema(spark, tmp_path):
+    p = str(tmp_path / "t8")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, v string").filter(F.lit(False)),
+        p,
+    )
+    out = TX.tx_read(spark, p)
+    assert out.columns == ["k", "v"]
+    assert out.count() == 0
+
+
+def test_commit_refuses_to_clobber_existing_version(spark, tmp_path):
+    p = str(tmp_path / "t9")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "k long"), p)
+    # another writer claimed v2 out-of-band
+    TX._write_text(spark, TX._version_path(p, 2), '{"op":"x","files":[],"schema":"{}","version":2}')
+    v = TX.tx_write(spark, spark.createDataFrame([(2,)], "k long"), p)
+    assert v == 3  # retried past the collision
