@@ -35,6 +35,7 @@ def merge_stream(
     checkpoint: str | None = None,
     available_now: bool = True,
     precedence: str | None = None,
+    txlog: bool = False,
 ) -> StreamingQuery:
     """Run ``stream`` into a MERGE-upsert sink at ``path``.
 
@@ -51,7 +52,18 @@ def merge_stream(
     """
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        if not batch.isEmpty():
+        if batch.isEmpty():
+            return
+        if txlog:
+            # each micro-batch is one atomic, time-travelable version:
+            # snapshot-isolated readers never see a half-applied batch
+            from ..sources.txlog import tx_merge
+
+            tx_merge(
+                batch.sparkSession, batch, path, keys, partition_by,
+                precedence=precedence,
+            )
+        else:
             merge_upsert(
                 batch.sparkSession, batch, path, keys, partition_by,
                 precedence=precedence,

@@ -144,3 +144,48 @@ def test_commit_refuses_to_clobber_existing_version(spark, tmp_path):
     TX._write_text(spark, TX._version_path(p, 2), '{"op":"x","files":[],"schema":"{}","version":2}')
     v = TX.tx_write(spark, spark.createDataFrame([(2,)], "k long"), p)
     assert v == 3  # retried past the collision
+
+
+def test_streaming_merge_into_txlog_versions_per_batch(spark, tmp_path):
+    """CDC stream → txlog sink: every micro-batch commits one atomic
+    version; history shows the progression and old versions stay
+    time-travelable."""
+    from pyspark.sql import types as T
+    from cdk_datalake_analytics_comercial_spark.streaming.sink import merge_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+
+    spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], schema).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        merge_stream(
+            stream, tgt, keys=["k"], checkpoint=str(tmp_path / ckpt),
+            precedence="seq", txlog=True,
+        )
+
+    run("c1")
+    assert TX.current_version(spark, tgt) == 1
+    spark.createDataFrame([(2, 2, "B"), (3, 1, "c")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run("c1")
+    assert TX.current_version(spark, tgt) == 2
+    got = {r["k"]: r["v"] for r in TX.tx_read(spark, tgt).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # time travel to the pre-correction state
+    v1 = {r["k"]: r["v"] for r in TX.tx_read(spark, tgt, version=1).collect()}
+    assert v1 == {1: "a", 2: "b"}
+    # lost-checkpoint full replay converges (precedence merge)
+    run("c2")
+    assert {r["k"]: r["v"] for r in TX.tx_read(spark, tgt).collect()} == got
