@@ -97,6 +97,33 @@ def _stage_and_swap(
         _delete_path(spark, staging)
 
 
+def _evolve_schemas(
+    target: DataFrame, source: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution for MERGE (the reference's
+    ``spark.databricks.delta.schema.autoMerge.enabled=true``,
+    `common_jobs_functions.py:116`): the merged schema is the UNION of
+    target and source columns; either side is null-padded (typed) for
+    columns only the other has. Column types come from whichever side owns
+    the column (target wins when both have it — Delta rejects type changes,
+    we keep the target's)."""
+    t_fields = {f.name: f for f in target.schema.fields}
+    s_fields = {f.name: f for f in source.schema.fields}
+    ordered = list(t_fields) + [c for c in s_fields if c not in t_fields]
+
+    def pad(df: DataFrame, have: dict) -> DataFrame:
+        cols = []
+        for name in ordered:
+            if name in have:
+                cols.append(F.col(name))
+            else:
+                other = t_fields.get(name) or s_fields[name]
+                cols.append(F.lit(None).cast(other.dataType).alias(name))
+        return df.select(*cols)
+
+    return pad(target, t_fields), pad(source, s_fields)
+
+
 def merge_upsert(
     spark: SparkSession,
     source: DataFrame,
@@ -104,6 +131,7 @@ def merge_upsert(
     keys: list[str],
     partition_by: list[str] | None = None,
     precedence: str | None = None,
+    schema_evolution: bool = False,
 ) -> None:
     """MERGE: matched → update all, not matched → insert all.
 
@@ -139,6 +167,8 @@ def merge_upsert(
         return
 
     target = spark.read.parquet(path)
+    if schema_evolution:
+        target, source = _evolve_schemas(target, source)
 
     if partition_by:
         # Restrict the rewrite to partitions the source touches (file-pruned

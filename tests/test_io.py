@@ -310,3 +310,54 @@ def test_symlink_manifest_lists_every_data_file(spark, lake):
     assert spark.read.parquet(path).count() == 2
     # regenerating replaces, not appends
     assert write_symlink_manifest(spark, path) == 2
+
+
+def test_merge_schema_evolution_new_source_column(spark, tmp_path):
+    """autoMerge parity (common_jobs_functions.py:116): a source with a NEW
+    column merges cleanly — existing rows null-pad, updated/inserted rows
+    carry the value. Without the flag the new column is dropped (legacy
+    strict behavior preserved)."""
+    from cdk_datalake_analytics_comercial_spark.sources.writer import merge_upsert
+
+    p = str(tmp_path / "evo")
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        p, keys=["k"],
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 20), (3, "c", 30)], "k long, v string, extra int"
+    )
+    merge_upsert(spark, src, p, keys=["k"], schema_evolution=True)
+    got = {r["k"]: (r["v"], r["extra"]) for r in spark.read.parquet(p).collect()}
+    assert got == {1: ("a", None), 2: ("B", 20), 3: ("c", 30)}
+
+    # strict mode: an extra source column is dropped, table schema unchanged
+    merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(4, "d", 40, 1.5)], "k long, v string, extra int, other double"
+        ),
+        p, keys=["k"],
+    )
+    assert set(spark.read.parquet(p).columns) == {"k", "v", "extra"}
+
+
+def test_merge_schema_evolution_missing_source_column(spark, tmp_path):
+    """Source missing a target column: evolution pads it with typed nulls
+    for inserted rows instead of failing."""
+    from cdk_datalake_analytics_comercial_spark.sources.writer import merge_upsert
+
+    p = str(tmp_path / "evo2")
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "a", 10)], "k long, v string, extra int"),
+        p, keys=["k"],
+    )
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(2, "b")], "k long, v string"),
+        p, keys=["k"], schema_evolution=True,
+    )
+    got = {r["k"]: (r["v"], r["extra"]) for r in spark.read.parquet(p).collect()}
+    assert got == {1: ("a", 10), 2: ("b", None)}
