@@ -420,3 +420,40 @@ def tx_vacuum(
     for v in drop:
         _delete(spark, _version_path(path, v))
     return sorted(removed)
+
+
+def tx_diff(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Change data feed between two versions (Delta CDF shape): one row per
+    changed key with ``_change_type`` ∈ insert | update | delete. Inserts
+    and updates carry the POST-image, deletes the PRE-image. Computed as a
+    full-outer key join of the two snapshots with null-safe struct
+    comparison — one shuffle on the keys; at scale diff a partition subset
+    by filtering both snapshots first (partition pruning applies to both
+    file lists)."""
+    old = tx_read(spark, path, v_from)
+    new = tx_read(spark, path, v_to)
+    other = [c for c in new.columns if c not in keys]
+    a = old.select(*keys, F.struct(*other).alias("_a"))
+    b = new.select(*keys, F.struct(*other).alias("_b"))
+    j = a.join(b, keys, "full")
+    change = (
+        F.when(F.col("_a").isNull(), F.lit("insert"))
+        .when(F.col("_b").isNull(), F.lit("delete"))
+        .when(~F.col("_a").eqNullSafe(F.col("_b")), F.lit("update"))
+    )
+    img = F.coalesce(F.col("_b"), F.col("_a"))
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(
+            *keys,
+            *[img[c].alias(c) for c in other],
+            "_change_type",
+        )
+    )

@@ -189,3 +189,36 @@ def test_streaming_merge_into_txlog_versions_per_batch(spark, tmp_path):
     # lost-checkpoint full replay converges (precedence merge)
     run("c2")
     assert {r["k"]: r["v"] for r in TX.tx_read(spark, tgt).collect()} == got
+
+
+def test_tx_diff_change_data_feed(spark, tmp_path):
+    p = str(tmp_path / "cdf")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        p,
+    )
+    TX.tx_merge(
+        spark,
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"),
+        p, keys=["k"],
+    )
+    changes = {
+        r["k"]: (r["v"], r["_change_type"])
+        for r in TX.tx_diff(spark, p, keys=["k"], v_from=1, v_to=2).collect()
+    }
+    assert changes == {2: ("B", "update"), 4: ("d", "insert")}
+
+    # a snapshot overwrite that drops key 1 shows as delete w/ pre-image
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"),
+        p,
+    )
+    changes = {
+        r["k"]: (r["v"], r["_change_type"])
+        for r in TX.tx_diff(spark, p, keys=["k"], v_from=2, v_to=3).collect()
+    }
+    assert changes == {1: ("a", "delete"), 3: ("c", "delete")}
