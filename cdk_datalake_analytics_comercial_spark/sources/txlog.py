@@ -181,9 +181,16 @@ def _commit(spark: SparkSession, path: str, manifest: dict) -> int:
 
 
 def _write_batch(
-    df: DataFrame, path: str, partition_by: list[str] | None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None,
+    stats_for: list[str] | None = None,
 ) -> tuple[str, list[dict]]:
-    """Write ``df`` as a fresh batch dir; return (batch id, file entries)."""
+    """Write ``df`` as a fresh batch dir; return (batch id, file entries).
+
+    ``stats_for`` columns get per-FILE min/max recorded in the manifest
+    (Delta-style data skipping stats) — gathered in ONE Spark job over the
+    written batch grouped by ``input_file_name``, not per-file reads."""
     batch = uuid.uuid4().hex
     batch_dir = f"{path.rstrip('/')}/{_DATA}/{batch}"
     writer = df.write.format("parquet").mode("errorifexists")
@@ -191,11 +198,53 @@ def _write_batch(
         writer = writer.partitionBy(*partition_by)
     writer.save(batch_dir)
     spark = df.sparkSession
+    rels = _list_parquet_files(spark, batch_dir)
+    stats: dict[str, dict] = {}
+    stat_cols = [
+        c for c in (stats_for or []) if partition_by is None or c not in partition_by
+    ]
+    if stat_cols and rels:
+        aggs = []
+        for c in stat_cols:
+            aggs += [
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+            ]
+        rows = (
+            spark.read.parquet(batch_dir)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            # input_file_name is the qualified URI; match on the rel suffix
+            fname = r["_f"]
+            rel = next((x for x in rels if fname.endswith(x)), None)
+            if rel is None:
+                continue
+            stats[rel] = {
+                c: [_json_stat(r[f"min_{c}"]), _json_stat(r[f"max_{c}"])]
+                for c in stat_cols
+            }
     files = [
-        {"path": f"{_DATA}/{batch}/{rel}", "partition": _partition_of(rel)}
-        for rel in _list_parquet_files(spark, batch_dir)
+        {
+            "path": f"{_DATA}/{batch}/{rel}",
+            "partition": _partition_of(rel),
+            **({"stats": stats[rel]} if rel in stats else {}),
+        }
+        for rel in rels
     ]
     return batch, files
+
+
+def _json_stat(v):
+    """Manifest-storable stat value: JSON natives pass through, anything
+    else (timestamps, decimals) via str — comparisons at prune time only
+    happen between values serialized the same way, so ordering survives for
+    the numeric/string columns skipping is meant for."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
 
 
 def tx_write(
@@ -204,6 +253,7 @@ def tx_write(
     path: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    stats_for: list[str] | None = None,
 ) -> int:
     """Commit a new version. ``mode``:
 
@@ -212,13 +262,17 @@ def tx_write(
     - ``overwrite_dynamic``: replace only the partitions present in ``df``
       (K1 dynamic partition overwrite) — untouched partitions' files are
       carried forward by reference, no rewrite.
+
+    ``stats_for``: columns to record per-file min/max for in the manifest —
+    enables file-level data skipping on ``tx_read(where=...)`` beyond
+    partition pruning (Delta-style stats).
     """
     if mode not in ("overwrite", "append", "overwrite_dynamic"):
         raise ValueError(mode)
     if mode == "overwrite_dynamic" and not partition_by:
         raise ValueError("overwrite_dynamic requires partition_by")
 
-    _, new_files = _write_batch(df, path, partition_by)
+    _, new_files = _write_batch(df, path, partition_by, stats_for)
 
     carried: list[dict] = []
     cur = current_version(spark, path)
@@ -243,12 +297,38 @@ def tx_write(
     )
 
 
+def _file_overlaps(f: dict, where: dict) -> bool:
+    """File-skip test: keep the file unless its recorded [min, max] for
+    some predicate column provably misses [lo, hi]. Files without stats
+    for a column are always kept (skipping is sound, never lossy)."""
+    stats = f.get("stats") or {}
+    for col, (lo, hi) in where.items():
+        if col not in stats:
+            continue
+        fmin, fmax = stats[col]
+        if fmin is None and fmax is None:  # all-null file: no value matches
+            return False
+        if lo is not None and fmax is not None and fmax < lo:
+            return False
+        if hi is not None and fmin is not None and fmin > hi:
+            return False
+    return True
+
+
 def tx_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """The snapshot at ``version`` (default: latest). Reads exactly the
     manifest's files, grouped per batch dir so partition columns are
-    recovered from the paths; batches union by name."""
+    recovered from the paths; batches union by name.
+
+    ``where`` maps column → (lo, hi) range (either bound None for
+    open-ended): files whose manifest stats provably miss the range are
+    SKIPPED (never opened), and the row-level filter is applied on top, so
+    the result equals filtering the full snapshot."""
     cur = version if version is not None else current_version(spark, path)
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -256,6 +336,8 @@ def tx_read(
     by_batch: dict[str, list[str]] = {}
     root = path.rstrip("/")
     for f in manifest["files"]:
+        if where and not _file_overlaps(f, where):
+            continue
         batch_dir = "/".join(f["path"].split("/")[:2])  # data/<batch>
         by_batch.setdefault(batch_dir, []).append(f"{root}/{f['path']}")
     out = None
@@ -265,12 +347,18 @@ def tx_read(
             .parquet(*sorted(files))
         )
         out = part if out is None else out.unionByName(part)
-    if out is None:  # empty snapshot — rebuild from the recorded schema
+    if out is None:  # empty snapshot (or every file skipped) — from schema
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(manifest["schema"]))
         )
+    if where:
+        for col, (lo, hi) in where.items():
+            if lo is not None:
+                out = out.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(F.col(col) <= F.lit(hi))
     return out
 
 

@@ -222,3 +222,48 @@ def test_tx_diff_change_data_feed(spark, tmp_path):
         for r in TX.tx_diff(spark, p, keys=["k"], v_from=2, v_to=3).collect()
     }
     assert changes == {1: ("a", "delete"), 3: ("c", "delete")}
+
+
+def test_data_skipping_stats_prune_files(spark, tmp_path):
+    """Per-file min/max stats in the manifest let a ranged read SKIP files
+    that provably miss the predicate — and the result still equals a full
+    filter."""
+    p = str(tmp_path / "skip")
+    # three appends = three file groups with disjoint ts ranges
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, f"r{lo + i}") for i in range(10)], "ts long, v string"
+        ).coalesce(1)
+        TX.tx_write(
+            spark, df, p, mode="append" if lo else "overwrite",
+            stats_for=["ts"],
+        )
+    manifest = TX.read_manifest(spark, p, 3)
+    assert all("stats" in f and "ts" in f["stats"] for f in manifest["files"])
+
+    kept = [
+        f for f in manifest["files"]
+        if TX._file_overlaps(f, {"ts": (100, 150)})
+    ]
+    assert len(kept) == 1  # only the middle file group overlaps
+
+    out = TX.tx_read(spark, p, where={"ts": (100, 150)})
+    assert sorted(r["ts"] for r in out.collect()) == list(range(100, 110))
+    # sanity: unpruned read + filter gives the same rows
+    full = TX.tx_read(spark, p).filter("ts BETWEEN 100 AND 150")
+    assert sorted(r["ts"] for r in full.collect()) == sorted(
+        r["ts"] for r in out.collect()
+    )
+
+
+def test_data_skipping_keeps_statless_files(spark, tmp_path):
+    p = str(tmp_path / "skip2")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1,)], "ts long"), p, stats_for=["ts"]
+    )
+    TX.tx_write(
+        spark, spark.createDataFrame([(500,)], "ts long"), p, mode="append"
+    )  # no stats recorded for this batch
+    # the statless file can never be skipped — row filter still applies
+    out = TX.tx_read(spark, p, where={"ts": (400, None)})
+    assert [r["ts"] for r in out.collect()] == [500]
