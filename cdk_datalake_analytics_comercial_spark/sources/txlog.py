@@ -545,3 +545,26 @@ def tx_diff(
             "_change_type",
         )
     )
+
+
+def tx_compact(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    n_files: int | None = None,
+    stats_for: list[str] | None = None,
+) -> int:
+    """Small-file compaction (OPTIMIZE): rewrite the current snapshot as
+    one fresh batch — collapses the per-commit batch dirs a long history
+    accumulates and re-bins rows into ``n_files`` output files (per
+    partition when partitioned). A normal commit: old versions stay
+    time-travelable until vacuumed, readers never see a half-compacted
+    table."""
+    df = tx_read(spark, path)
+    if n_files:
+        df = (
+            df.repartition(n_files, *partition_by)
+            if partition_by
+            else df.repartition(n_files)
+        )
+    return tx_write(spark, df, path, partition_by, "overwrite", stats_for)

@@ -267,3 +267,26 @@ def test_data_skipping_keeps_statless_files(spark, tmp_path):
     # the statless file can never be skipped — row filter still applies
     out = TX.tx_read(spark, p, where={"ts": (400, None)})
     assert [r["ts"] for r in out.collect()] == [500]
+
+
+def test_compact_collapses_batches_and_preserves_rows(spark, tmp_path):
+    p = str(tmp_path / "opt")
+    for i in range(4):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
+            p, mode="append" if i else "overwrite",
+        )
+    before = rows(TX.tx_read(spark, p))
+    m_before = TX.read_manifest(spark, p, 4)
+    batches_before = {f["path"].split("/")[1] for f in m_before["files"]}
+    assert len(batches_before) == 4
+
+    v = TX.tx_compact(spark, p, n_files=1)
+    assert v == 5
+    assert rows(TX.tx_read(spark, p)) == before
+    m_after = TX.read_manifest(spark, p, 5)
+    batches_after = {f["path"].split("/")[1] for f in m_after["files"]}
+    assert len(batches_after) == 1 and len(m_after["files"]) == 1
+    # history intact pre-vacuum
+    assert rows(TX.tx_read(spark, p, version=4)) == before
