@@ -568,3 +568,115 @@ def tx_compact(
             else df.repartition(n_files)
         )
     return tx_write(spark, df, path, partition_by, "overwrite", stats_for)
+
+
+def _split_files_by_range(
+    manifest: dict, where: dict[str, tuple]
+) -> tuple[list[dict], list[dict]]:
+    """(possibly-affected, provably-untouched) file partition by the stats
+    ranges — the same skip test reads use, applied to DML."""
+    hit, miss = [], []
+    for f in manifest["files"]:
+        (hit if _file_overlaps(f, where) else miss).append(f)
+    return hit, miss
+
+
+def _read_files(spark: SparkSession, path: str, files: list[dict], schema_json: str):
+    root = path.rstrip("/")
+    by_batch: dict[str, list[str]] = {}
+    for f in files:
+        bd = "/".join(f["path"].split("/")[:2])
+        by_batch.setdefault(bd, []).append(f"{root}/{f['path']}")
+    out = None
+    for bd, fl in sorted(by_batch.items()):
+        part = spark.read.option("basePath", f"{root}/{bd}").parquet(*sorted(fl))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
+    return out
+
+
+def _dml_rewrite(
+    spark: SparkSession,
+    path: str,
+    where: dict[str, tuple],
+    transform,
+    op: str,
+    partition_by: list[str] | None,
+    stats_for: list[str] | None,
+) -> int:
+    """Shared DELETE/UPDATE machinery: rewrite only the files whose stats
+    ranges overlap the predicate; every other file is carried forward by
+    reference (Delta's file-pruned DML). ``transform(df, cond)`` produces
+    the rewritten content of the affected files."""
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    manifest = read_manifest(spark, path, cur)
+    hit, miss = _split_files_by_range(manifest, where)
+    if not hit:
+        return cur  # nothing can match — no new version needed
+
+    cond = None
+    for col, (lo, hi) in where.items():
+        c = F.lit(True)
+        if lo is not None:
+            c = c & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            c = c & (F.col(col) <= F.lit(hi))
+        cond = c if cond is None else (cond & c)
+
+    affected = _read_files(spark, path, hit, manifest["schema"])
+    rewritten = transform(affected, cond)
+
+    _, new_files = _write_batch(rewritten, path, partition_by, stats_for)
+    return _commit(
+        spark,
+        path,
+        {"op": op, "schema": manifest["schema"], "files": miss + new_files},
+    )
+
+
+def tx_delete(
+    spark: SparkSession,
+    path: str,
+    where: dict[str, tuple],
+    partition_by: list[str] | None = None,
+    stats_for: list[str] | None = None,
+) -> int:
+    """Row-level DELETE (Delta `DELETE WHERE` over range predicates):
+    files provably missing the predicate carry forward untouched; affected
+    files are rewritten without the matching rows. Returns the committed
+    version (unchanged if no file could match)."""
+    return _dml_rewrite(
+        spark, path, where,
+        lambda df, cond: df.filter(~F.coalesce(cond, F.lit(False))),
+        "delete", partition_by, stats_for,
+    )
+
+
+def tx_update(
+    spark: SparkSession,
+    path: str,
+    where: dict[str, tuple],
+    assignments: dict[str, "F.Column"],
+    partition_by: list[str] | None = None,
+    stats_for: list[str] | None = None,
+) -> int:
+    """Row-level UPDATE: ``assignments`` maps column → new-value Column,
+    applied to rows matching the range predicate; same file-pruned rewrite
+    as delete."""
+
+    def apply(df, cond):
+        out = df
+        for col, expr in assignments.items():
+            out = out.withColumn(
+                col, F.when(F.coalesce(cond, F.lit(False)), expr).otherwise(F.col(col))
+            )
+        return out
+
+    return _dml_rewrite(
+        spark, path, where, apply, "update", partition_by, stats_for
+    )

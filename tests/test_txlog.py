@@ -290,3 +290,56 @@ def test_compact_collapses_batches_and_preserves_rows(spark, tmp_path):
     assert len(batches_after) == 1 and len(m_after["files"]) == 1
     # history intact pre-vacuum
     assert rows(TX.tx_read(spark, p, version=4)) == before
+
+
+def test_delete_where_prunes_files_and_removes_rows(spark, tmp_path):
+    p = str(tmp_path / "del")
+    for lo in (0, 100):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame(
+                [(lo + i, f"r{lo + i}") for i in range(5)], "ts long, v string"
+            ).coalesce(1),
+            p, mode="append" if lo else "overwrite", stats_for=["ts"],
+        )
+    m2 = TX.read_manifest(spark, p, 2)
+    low_files = {f["path"] for f in m2["files"] if f["stats"]["ts"][1] < 100}
+
+    v = TX.tx_delete(spark, p, where={"ts": (102, 103)}, stats_for=["ts"])
+    assert v == 3
+    assert sorted(r["ts"] for r in TX.tx_read(spark, p).collect()) == [
+        0, 1, 2, 3, 4, 100, 101, 104,
+    ]
+    # the low file never rewrote — carried by reference
+    m3 = TX.read_manifest(spark, p, 3)
+    assert low_files <= {f["path"] for f in m3["files"]}
+    # deleting a range no file can contain is a no-op version-wise
+    assert TX.tx_delete(spark, p, where={"ts": (10_000, 20_000)}) == 3
+
+
+def test_update_where_rewrites_matching_rows_only(spark, tmp_path):
+    p = str(tmp_path / "upd")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(i, "old", 1.0) for i in range(6)], "k long, v string, x double"
+        ),
+        p, stats_for=["k"],
+    )
+    TX.tx_update(
+        spark, p, where={"k": (2, 4)},
+        assignments={"v": F.lit("new"), "x": F.col("x") * 10},
+        stats_for=["k"],
+    )
+    got = {r["k"]: (r["v"], r["x"]) for r in TX.tx_read(spark, p).collect()}
+    assert got == {
+        0: ("old", 1.0), 1: ("old", 1.0),
+        2: ("new", 10.0), 3: ("new", 10.0), 4: ("new", 10.0),
+        5: ("old", 1.0),
+    }
+    # CDF over the update shows exactly the three updated keys
+    changes = {
+        r["k"]: r["_change_type"]
+        for r in TX.tx_diff(spark, p, keys=["k"], v_from=1, v_to=2).collect()
+    }
+    assert changes == {2: "update", 3: "update", 4: "update"}
