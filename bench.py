@@ -58,6 +58,7 @@ HEADLINE = [
     "small_quantity_revenue",
     "sales_rollup",
     "late_orders_exists",
+    "latest_order_agg",
 ]
 
 

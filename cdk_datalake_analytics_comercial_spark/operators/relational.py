@@ -94,3 +94,33 @@ def rolling_window(
     for col, name in agg_exprs:
         out = out.withColumn(name, F.sum(col).over(w))
     return out
+
+
+def top1_per_group_agg(
+    df: DataFrame,
+    partition_by: list[str],
+    order_desc: list[str],
+) -> DataFrame:
+    """Scale rewrite of :func:`top1_per_group` for ALL-DESCENDING orders:
+    ``max(struct(order_cols..., rest...))`` per key.
+
+    The window form shuffles EVERY row to its key's partition before
+    ranking; the struct-max form is an ordinary aggregate, so the map side
+    combines down to one candidate row per key per partition and the
+    shuffle carries |keys| rows instead of |rows| — the difference between
+    shuffling a 100 TB fact and shuffling its key space. Struct comparison
+    is field-by-field, so the order columns lead the struct and the
+    remaining columns ride behind (they also serve as the deterministic
+    tie-break; give the order a unique suffix column — e.g. the id — for
+    result-identical equivalence with the window form, since row_number
+    under order ties is arbitrary while struct-max falls through to the
+    payload)."""
+    rest = [c for c in df.columns if c not in partition_by and c not in order_desc]
+    packed = F.struct(
+        *[F.col(c) for c in order_desc], *[F.col(c) for c in rest]
+    )
+    out = df.groupBy(*partition_by).agg(F.max(packed).alias("_top"))
+    return out.select(
+        *partition_by,
+        *[F.col(f"_top.{c}").alias(c) for c in order_desc + rest],
+    )

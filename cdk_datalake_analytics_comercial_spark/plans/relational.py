@@ -983,6 +983,31 @@ GROUP BY p_brand
 
 
 # --------------------------------------------------------------------------
+# W1 scale twin: the same latest-order-per-customer result via struct-max
+# aggregation (operators.relational.top1_per_group_agg) — map-side partial
+# combine shuffles |customers| candidate rows instead of |orders| full
+# rows. Shares the window form's oracle: result-identical because the
+# order ends in the unique o_orderkey.
+
+
+def q_latest_order_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import top1_per_group_agg
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    top = top1_per_group_agg(
+        o, partition_by=["o_custkey"], order_desc=["o_orderdate", "o_orderkey"]
+    )
+    return top.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+# --------------------------------------------------------------------------
 # EXISTS decorrelation → LEFT SEMI join (TPC-H Q4 shape): orders having at
 # least one lineitem shipped >90 days after the order date, counted per
 # priority. The correlated EXISTS subquery becomes a semi join — one
@@ -1092,6 +1117,7 @@ QUERIES = {
     "small_quantity_revenue": q_small_quantity_revenue,
     "sales_rollup": q_sales_rollup,
     "late_orders_exists": q_late_orders_exists,
+    "latest_order_agg": q_latest_order_agg,
 }
 
 ORACLES = {
@@ -1122,4 +1148,5 @@ ORACLES = {
     "small_quantity_revenue": _ORACLE_SMALL_QTY_REVENUE,
     "sales_rollup": _ORACLE_SALES_ROLLUP,
     "late_orders_exists": _ORACLE_LATE_ORDERS,
+    "latest_order_agg": _ORACLE_LATEST_ORDER,
 }

@@ -156,3 +156,13 @@ def test_text_repetition_two_aggregate_shuffles(spark):
     plan = _plan(spark, "text_repetition")
     assert plan.count("Exchange") <= 4, plan
     assert "CartesianProduct" not in plan
+
+
+def test_top1_agg_twin_combines_map_side(spark):
+    """The struct-max W1 rewrite must plan a partial_max BEFORE its
+    exchange (shuffle carries one candidate per key per map partition),
+    while the window form necessarily shuffles every row un-aggregated."""
+    agg_plan = _plan(spark, "latest_order_agg")
+    assert "partial_max(struct" in agg_plan
+    win_plan = _plan(spark, "latest_order_per_customer")
+    assert "partial_" not in win_plan and "RunningWindowFunction" in win_plan or "Window" in win_plan
