@@ -76,3 +76,48 @@ def test_plan_has_no_join_and_single_shuffle(spark):
     )
     assert "Join" not in plan  # union-window form: no join operator at all
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Property check against the canonical implementation: pandas
+    merge_asof over 60 random (key, time) layouts — backward and forward,
+    with unique right (key, t) as the operator requires."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    for trial in range(3):
+        left = [
+            (rng.choice("abc"), rng.randrange(0, 50), i)
+            for i in range(20)
+        ]
+        seen = set()
+        right = []
+        for j in range(15):
+            k, t = rng.choice("abc"), rng.randrange(0, 50)
+            if (k, t) in seen:
+                continue
+            seen.add((k, t))
+            right.append((k, t, float(j)))
+        ldf = spark.createDataFrame(left, "k string, t long, lid long")
+        rdf = spark.createDataFrame(right, "k string, t long, v double")
+        lpd = pd.DataFrame(left, columns=["k", "t", "lid"]).sort_values("t")
+        rpd = pd.DataFrame(right, columns=["k", "t", "v"]).sort_values("t")
+
+        for direction in ("backward", "forward"):
+            got = {
+                r["lid"]: r["v_asof"]
+                for r in asof_join(
+                    ldf, rdf, on="t", by=["k"], value_cols=["v"],
+                    direction=direction,
+                ).collect()
+            }
+            exp_df = pd.merge_asof(
+                lpd, rpd, on="t", by="k", direction=direction
+            )
+            exp = {
+                int(r.lid): (None if pd.isna(r.v) else float(r.v))
+                for r in exp_df.itertuples()
+            }
+            assert got == exp, (trial, direction)
