@@ -1,12 +1,24 @@
-from .relational import top1_per_group, rolling_range_join, rolling_window
-from . import dedup, similarity, text, multimodal
+from .relational import (
+    rolling_range_join,
+    rolling_window,
+    top1_per_group,
+    top1_per_group_agg,
+)
+from . import asof, contamination, dedup, dq, graph, multimodal, pack, similarity, skew, text
 
 __all__ = [
     "top1_per_group",
+    "top1_per_group_agg",
     "rolling_range_join",
     "rolling_window",
+    "asof",
+    "contamination",
     "dedup",
-    "similarity",
-    "text",
+    "dq",
+    "graph",
     "multimodal",
+    "pack",
+    "similarity",
+    "skew",
+    "text",
 ]

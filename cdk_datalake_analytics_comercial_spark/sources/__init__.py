@@ -1,6 +1,7 @@
 from .registry import SchemaRegistry
 from .reader import read_table, read_csv, read_jdbc_partitioned, table_exists
 from .writer import write_table, insert_into_table, merge_upsert, merge_update_only
+from . import txlog
 
 __all__ = [
     "SchemaRegistry",
@@ -12,4 +13,5 @@ __all__ = [
     "insert_into_table",
     "merge_upsert",
     "merge_update_only",
+    "txlog",
 ]

@@ -1,3 +1,3 @@
-from . import stateful, windows
+from . import dedup, joins, sink, stateful, windows
 
-__all__ = ["windows", "stateful"]
+__all__ = ["windows", "stateful", "dedup", "joins", "sink"]
