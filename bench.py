@@ -49,6 +49,7 @@ HEADLINE = [
     "pii_scrub",
     "dq_report",
     "emb_cosine_topk",
+    "emb_pq_topk",
     "emb_near_dup",
     "events_tumbling",
     "events_sliding",

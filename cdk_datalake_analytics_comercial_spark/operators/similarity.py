@@ -423,3 +423,141 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-ANN tier (Jégou et al.,
+# "Product quantization for nearest neighbor search", TPAMI 2011).
+
+
+def pq_codebooks_from_sample(x, n_sub: int, k: int, iters: int = 3):
+    """Per-subspace codebooks via the same deterministic Lloyd trainer the
+    IVF quantizer uses, over a float64 sample matrix. Shared verbatim by
+    the Spark path and the oracle builder so both derive bit-identical
+    (quantized) codebooks."""
+    dim = x.shape[1]
+    sub = dim // n_sub
+    return [
+        lloyd_centroids(x[:, s * sub : (s + 1) * sub], k, iters)
+        for s in range(n_sub)
+    ]
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    n_sub: int = 4,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Train PQ codebooks on the bounded first-4096-by-id sample (same
+    sampling contract as :func:`ivf_centroids`)."""
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(4096)
+        .collect()
+    )
+    x = np.array([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    return pq_codebooks_from_sample(x, n_sub, k)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_sub: int = 4,
+    n_cent: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): corpus vectors
+    compress to ``n_sub`` codebook codes (dim·4 bytes → n_sub bytes — the
+    memory tier below IVF), queries score every corpus row via per-subspace
+    lookup tables instead of full d²  — n_sub table hits per pair instead
+    of ``dim`` multiplies.
+
+    Scale shape: queries + codebooks ride in the Arrow-UDF closure
+    (KBs); the corpus streams through mapInPandas ONCE, each batch emits
+    only its per-query top-k candidates (not n·q pairs), and the global
+    window ranks candidate rows bounded by batches·queries·k. All
+    arithmetic is integer-exact (quantized centroids, scaled vectors), so
+    ranks are engine-reproducible and the DuckDB oracle rebuilds identical
+    scores."""
+    import numpy as np
+    import pandas as pd
+
+    cbs = codebooks if codebooks is not None else pq_codebooks(
+        corpus, dim, n_sub, n_cent, vec_col, id_col
+    )
+    cbs_int = np.array(
+        [[[quantize(v) for v in row] for row in cb] for cb in cbs], dtype=np.int64
+    )  # (n_sub, n_cent, sub_dim)
+    sub = dim // n_sub
+
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), int_scaled(F.col(vec_col)).alias("qiv")
+        )
+        .collect()
+    )
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qiv"] for r in qrows], dtype=np.int64)  # (nq, dim)
+
+    # per-query per-subspace LUT: lut[qi, s, j] = d²(q_sub, cent_sj)
+    lut = np.empty((len(qids), n_sub, cbs_int.shape[1]), dtype=np.int64)
+    for s in range(n_sub):
+        qs = qmat[:, s * sub : (s + 1) * sub]  # (nq, sub)
+        diff = qs[:, None, :] - cbs_int[s][None, :, :]  # (nq, K, sub)
+        lut[:, s, :] = (diff * diff).sum(axis=2)
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["civ"]])
+            ids = pdf["corpus_id"].to_numpy()
+            codes = np.empty((n, n_sub), dtype=np.int64)
+            for s in range(n_sub):
+                xs = X[:, s * sub : (s + 1) * sub]
+                diff = xs[:, None, :] - cbs_int[s][None, :, :]
+                codes[:, s] = (diff * diff).sum(axis=2).argmin(axis=1)
+            # adc[qi, i] = Σ_s lut[qi, s, codes[i, s]]
+            adc = np.zeros((len(qids), n), dtype=np.int64)
+            for s in range(n_sub):
+                adc += lut[:, s, :][:, codes[:, s]]
+            out_q, out_c, out_d = [], [], []
+            for qi in range(len(qids)):
+                d = adc[qi]
+                cand = np.flatnonzero(ids != qids[qi])
+                # batch-local top-k under the GLOBAL order (d², id) — a
+                # plain argpartition breaks d² ties arbitrarily and could
+                # drop the id the global rank keeps
+                order = cand[np.lexsort((ids[cand], d[cand]))[:k]]
+                for i in order:
+                    out_q.append(qids[qi])
+                    out_c.append(ids[i])
+                    out_d.append(d[i])
+            yield pd.DataFrame(
+                {"query_id": out_q, "corpus_id": out_c, "d2": out_d}
+            )
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("corpus_id"),
+        int_scaled(F.col(vec_col)).alias("civ"),
+    )
+    scored = c.mapInPandas(score, schema="query_id long, corpus_id long, d2 long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "d2", "rank")
+    )

@@ -640,6 +640,87 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, dim=64, k=5, n_cells=8)
 
 
+def _build_pq_oracle(sf_dir: str | None = None) -> str | None:
+    """PQ oracle: re-train the per-subspace codebooks with the same Lloyd
+    code on the same first-4096-by-id rows, inline them as literals, and
+    recompute corpus codes + ADC distances with exact integer arithmetic."""
+    import os
+
+    n_sub, n_cent, dim = 16, 16, 64
+    sub = dim // n_sub
+    try:
+        import duckdb
+        import numpy as np
+
+        from ..operators.similarity import pq_codebooks_from_sample, quantize
+
+        sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+        con = duckdb.connect()
+        rows = con.sql(
+            f"SELECT embedding FROM read_parquet('{sf}/embeddings.parquet') "
+            "ORDER BY vec_id LIMIT 4096"
+        ).fetchall()
+        con.close()
+        if not rows:
+            return None
+        x = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+        cbs = pq_codebooks_from_sample(x, n_sub, n_cent)
+        cbs_int = [[[quantize(v) for v in row] for row in cb] for cb in cbs]
+    except Exception:
+        return None
+
+    cents = [
+        "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in cb) + "]"
+        for cb in cbs_int
+    ]
+    dist_cols = ", ".join(
+        f"""list_transform({cents[s]}, c ->
+           list_sum(list_transform(range(1, {sub + 1}), j ->
+             (iv[{s * sub} + j] - c[j]) * (iv[{s * sub} + j] - c[j])))) AS d_{s}"""
+        for s in range(n_sub)
+    )
+    code_cols = ", ".join(
+        f"list_position(d_{s}, list_min(d_{s})) AS code_{s}" for s in range(n_sub)
+    )
+    # reconstruct the decoded vector ONCE per corpus row (literal codebook
+    # lookups are interpreted per evaluation — doing them inside the 20k-pair
+    # join made the oracle ~45× slower)
+    recon = " || ".join(
+        f"list_extract({cents[s]}, code_{s})" for s in range(n_sub)
+    )
+    return f"""
+WITH iv AS (
+  SELECT vec_id, {_SQL_IV} AS iv FROM embeddings
+), dists AS (
+  SELECT vec_id, iv, {dist_cols} FROM iv
+), codes AS (
+  SELECT vec_id, iv, {code_cols} FROM dists
+), recon AS (
+  SELECT vec_id, iv, {recon} AS rv FROM codes
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+         CAST(list_sum(list_transform(range(1, {dim + 1}), j ->
+           (a.iv[j] - b.rv[j]) * (a.iv[j] - b.rv[j]))) AS BIGINT) AS d2
+  FROM recon a JOIN recon b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, d2, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: corpus compressed to 4 codebook
+    codes, queries score via integer lookup tables; codebooks train on the
+    same deterministic sample the oracle re-trains on."""
+    from ..operators.similarity import pq_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return pq_topk(e, q, dim=64, k=5, n_sub=16, n_cent=16)
+
+
 def q_emb_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF (n_probe=2): each query scores the corpus in its TWO
     nearest cells — the standard recall knob (probing more cells trades
@@ -1450,6 +1531,7 @@ QUERIES = {
     "emb_lsh_topk": q_emb_lsh_topk,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_ivf_multiprobe": q_emb_ivf_multiprobe,
+    "emb_pq_topk": q_emb_pq_topk,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_frames": q_multimodal_frames,
@@ -1499,3 +1581,6 @@ if _IVF_ORACLE:
 _IVF_MP_ORACLE = _build_ivf_oracle(n_probe=2)
 if _IVF_MP_ORACLE:
     ORACLES["emb_ivf_multiprobe"] = _IVF_MP_ORACLE
+_PQ_ORACLE = _build_pq_oracle()
+if _PQ_ORACLE:
+    ORACLES["emb_pq_topk"] = _PQ_ORACLE
