@@ -11,11 +11,15 @@ each stage is independently inspectable:
       → stage.corpus_unique        (exact dedup on content fingerprint)
       → domain.corpus_canonical    (MinHash near-dup → connected components
                                     → one canonical doc per cluster)
+      → domain.corpus_clean        (benchmark decontamination: k-gram
+                                    overlap vs raw.benchmark — passthrough
+                                    when no benchmark table is present)
       → analytics.corpus_chunks    (overlapping token windows)
       → analytics.corpus_pack      (context-window binning per lang)
       → analytics.corpus_stats     (log2 length histogram per lang)
 
-Wave order: filter(1) → exact(2) → canonical(3) → {chunks, pack, stats}(4).
+Wave order: filter(1) → exact(2) → canonical(3) → decontam(4) →
+{chunks, pack, stats}(5).
 All writes are dynamic partition overwrites on ``lang`` — rerunning a wave
 replaces only the languages present in its input (same incremental contract
 as the comercial facts' (id_pais, id_periodo) overwrite).
@@ -125,10 +129,34 @@ def job_corpus_dedup_near(ctx: JobContext) -> None:
     )
 
 
+@CORPUS_JOBS.register("corpus_decontam")
+def job_corpus_decontam(ctx: JobContext) -> None:
+    """Benchmark decontamination (GPT-3 App. C policy): drop canonical docs
+    sharing any k-gram shingle with the ``raw.benchmark`` table. k=3 to
+    match the short synthetic docs (operator default is the literature's
+    13). No benchmark table registered → clean passthrough, so the stage is
+    safe to keep in the DAG unconditionally."""
+    from ..operators import contamination
+    from ..sources.reader import table_exists
+
+    d = _read(ctx, Layer.DOMAIN, "corpus_canonical")
+    bench_path = ctx.catalog.table_path(Layer.RAW, "benchmark")
+    if table_exists(ctx.spark, bench_path):
+        bench = ctx.spark.read.parquet(bench_path)
+        out = contamination.decontaminate(d, bench, k=3)
+    else:
+        out = d
+    write_table(
+        out,
+        ctx.catalog.table_path(Layer.DOMAIN, "corpus_clean"),
+        partition_by=["lang"],
+    )
+
+
 @CORPUS_JOBS.register("corpus_chunks")
 def job_corpus_chunks(ctx: JobContext) -> None:
     """Long-document splitting into overlapping token windows."""
-    d = _read(ctx, Layer.DOMAIN, "corpus_canonical")
+    d = _read(ctx, Layer.DOMAIN, "corpus_clean")
     chunks = d.select(
         "doc_id",
         "lang",
@@ -153,7 +181,7 @@ def job_corpus_chunks(ctx: JobContext) -> None:
 @CORPUS_JOBS.register("corpus_pack")
 def job_corpus_pack(ctx: JobContext) -> None:
     """Context-window binning per language stratum."""
-    d = _read(ctx, Layer.DOMAIN, "corpus_canonical")
+    d = _read(ctx, Layer.DOMAIN, "corpus_clean")
     withtok = d.select(
         "doc_id",
         "lang",
@@ -170,7 +198,7 @@ def job_corpus_pack(ctx: JobContext) -> None:
 @CORPUS_JOBS.register("corpus_stats")
 def job_corpus_stats(ctx: JobContext) -> None:
     """Per-language corpus statistics: log2 token-length histogram."""
-    d = _read(ctx, Layer.DOMAIN, "corpus_canonical")
+    d = _read(ctx, Layer.DOMAIN, "corpus_clean")
     n_tok = text.token_count(F.col("text")).cast("bigint")
     bucket = F.length(F.conv(n_tok.cast("string"), 10, 2)).cast("int")
     out = (

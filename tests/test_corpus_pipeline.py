@@ -28,9 +28,10 @@ WAVES = [
     JobConfig("corpus", "corpus_filter", 1),
     JobConfig("corpus", "corpus_dedup_exact", 2),
     JobConfig("corpus", "corpus_dedup_near", 3),
-    JobConfig("corpus", "corpus_chunks", 4),
-    JobConfig("corpus", "corpus_pack", 4),
-    JobConfig("corpus", "corpus_stats", 4),
+    JobConfig("corpus", "corpus_decontam", 4),
+    JobConfig("corpus", "corpus_chunks", 5),
+    JobConfig("corpus", "corpus_pack", 5),
+    JobConfig("corpus", "corpus_stats", 5),
 ]
 
 
@@ -91,6 +92,8 @@ def test_corpus_pipeline_end_to_end(spark, corpus_lake):
     assert _ids(spark, lake, Layer.STAGE, "corpus_unique") == [1, 2, 3, 11]
     # near-dup clustering collapses 11 onto 2
     assert _ids(spark, lake, Layer.DOMAIN, "corpus_canonical") == [1, 2, 3]
+    # no benchmark table in this fixture → decontam is a clean passthrough
+    assert _ids(spark, lake, Layer.DOMAIN, "corpus_clean") == [1, 2, 3]
 
     chunks = (
         spark.read.parquet(lake.table_path(Layer.ANALYTICS, "corpus_chunks"))
@@ -149,3 +152,26 @@ def test_corpus_pipeline_rerun_idempotent(spark, corpus_lake):
         lake.table_path(Layer.ANALYTICS, "corpus_chunks")
     ).count()
     assert n_chunks > 0
+
+
+def test_corpus_decontam_drops_benchmark_overlap(spark, corpus_lake):
+    """With a raw.benchmark table sharing doc 3's shingles, the clean
+    corpus drops doc 3 and every downstream stage excludes it."""
+    lake = corpus_lake
+    bench = spark.createDataFrame(
+        [(900, _body(90, "gamma") + " tercero benchmark variant")],
+        "bench_id long, text string",
+    )
+    bench.write.parquet(lake.table_path(Layer.RAW, "benchmark"))
+
+    res = run_waves(WAVES, CORPUS_JOBS, _mk(spark, lake))
+    assert all(r.status == "succeeded" for r in res)
+    assert _ids(spark, lake, Layer.DOMAIN, "corpus_canonical") == [1, 2, 3]
+    assert _ids(spark, lake, Layer.DOMAIN, "corpus_clean") == [1, 2]
+    chunk_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            lake.table_path(Layer.ANALYTICS, "corpus_chunks")
+        ).collect()
+    }
+    assert 3 not in chunk_docs and {1, 2} <= chunk_docs
