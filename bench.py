@@ -50,6 +50,7 @@ HEADLINE = [
     "dq_report",
     "emb_cosine_topk",
     "emb_pq_topk",
+    "emb_ivfpq_topk",
     "emb_near_dup",
     "events_tumbling",
     "events_sliding",

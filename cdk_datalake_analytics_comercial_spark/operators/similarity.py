@@ -561,3 +561,101 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "d2", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    n_sub: int = 16,
+    n_cent: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: coarse quantizer shortlists candidates (the query's cell),
+    PQ/ADC ranks within — the production ANN composition (FAISS IVFPQ
+    family; this is the NON-residual variant: codes quantize the full
+    vector, not the cell residual — simpler and integer-exact, so the
+    oracle can rebuild identical scores).
+
+    Scale shape: the corpus is assigned to exactly one cell (its partition
+    key on disk) and carries n_sub-byte codes; a query touches
+    corpus/n_cells candidates and scores them with LUT adds. Candidate
+    generation is the IVF broadcast-join; scoring is a vectorized
+    Arrow UDF over (query vector, candidate codes)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = ivf_centroids(corpus, dim, n_cells, vec_col, id_col)
+    cents_int = [[quantize(x) for x in row] for row in cents]
+    cbs = pq_codebooks(corpus, dim, n_sub, n_cent, vec_col, id_col)
+    cbs_int = np.array(
+        [[[quantize(v) for v in row] for row in cb] for cb in cbs], dtype=np.int64
+    )
+    sub = dim // n_sub
+
+    def make_codes_udf():
+        @pandas_udf("array<int>")
+        def codes_of(vs):
+            if len(vs) == 0:
+                return pd.Series([], dtype=object)
+            X = np.array([np.asarray(v, dtype=np.int64) for v in vs])
+            out = np.empty((len(X), n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                xs = X[:, s * sub : (s + 1) * sub]
+                diff = xs[:, None, :] - cbs_int[s][None, :, :]
+                out[:, s] = (diff * diff).sum(axis=2).argmin(axis=1)
+            return pd.Series(list(out))
+
+        return codes_of
+
+    def make_adc_udf():
+        @pandas_udf("long")
+        def adc(qivs, codes):
+            if len(qivs) == 0:
+                return pd.Series([], dtype="int64")
+            Q = np.array([np.asarray(v, dtype=np.int64) for v in qivs])
+            C = np.array([np.asarray(c, dtype=np.int64) for c in codes])
+            total = np.zeros(len(Q), dtype=np.int64)
+            for s in range(n_sub):
+                qs = Q[:, s * sub : (s + 1) * sub]
+                cent = cbs_int[s][C[:, s]]  # (n, sub)
+                d = qs - cent
+                total += (d * d).sum(axis=1)
+            return pd.Series(total)
+
+        return adc
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("corpus_id"),
+        int_scaled(F.col(vec_col)).alias("civ"),
+    )
+    c = c.withColumn("cell", _nearest_cell(F.col("civ"), cents_int)).withColumn(
+        "codes", make_codes_udf()(F.col("civ"))
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        int_scaled(F.col(vec_col)).alias("qiv"),
+    ).withColumn("cell", _nearest_cell(F.col("qiv"), cents_int))
+
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell", "inner")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            make_adc_udf()(F.col("qiv"), F.col("codes")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "d2", "rank")
+    )

@@ -221,3 +221,28 @@ def test_pq_topk_recall_and_determinism(spark):
     got = {(r[0], r[1]) for r in a}
     # 4 bytes per 64-dim vector is heavy compression: demand a floor
     assert len(got & truth) / len(truth) >= 0.3
+
+
+def test_ivfpq_subset_of_pq_candidates(spark):
+    """IVF-PQ hits are PQ hits restricted to the query's cell: every
+    (query, corpus) pair IVF-PQ returns must carry the same ADC distance
+    PQ computes for it (same codebooks, same integer math)."""
+    from cdk_datalake_analytics_comercial_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+    from cdk_datalake_analytics_comercial_spark.plans.common import t as tt
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    e = tt(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    full = {
+        (r["query_id"], r["corpus_id"]): r["d2"]
+        for r in pq_topk(e, q, dim=64, k=500, n_sub=16, n_cent=16).collect()
+    }
+    got = ivf_pq_topk(e, q, dim=64, k=5, n_cells=4, n_sub=16, n_cent=16).collect()
+    assert got
+    for r in got:
+        key = (r["query_id"], r["corpus_id"])
+        assert key in full and full[key] == r["d2"]
