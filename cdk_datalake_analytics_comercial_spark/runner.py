@@ -166,6 +166,7 @@ def run_waves(
     fail_fast: bool = False,
     gate: ConcurrencyGate | None = None,
     country: str = "",
+    retries: int = 0,
 ) -> list[JobResult]:
     """Execute jobs in ``exe_order`` waves; inside a wave, thread-parallel.
 
@@ -174,7 +175,10 @@ def run_waves(
     and waves continue; fail_fast=True stops after the failing wave.
     ``gate`` (shared across concurrent ``run_waves`` calls) serializes runs
     of the same procedure for the same country, like the reference's
-    per-job Lambda gate (SURVEY §3.1 step 2).
+    per-job Lambda gate (SURVEY §3.1 step 2). ``retries`` re-runs a failed
+    job up to that many extra times before recording the failure (engine
+    extension — safe because every job writes via idempotent
+    overwrite/merge, so a partial failed attempt cannot double-apply).
     """
     results: list[JobResult] = []
     waves = sorted({c.exe_order for c in configs})
@@ -189,15 +193,22 @@ def run_waves(
                 gate.acquire(cfg.procedure, country)
             t0 = time.time()
             try:
-                fn(make_context(cfg))
-                return JobResult(cfg.procedure, "succeeded", wave, round(time.time() - t0, 3))
-            except Exception:
+                last_err = None
+                for _attempt in range(retries + 1):
+                    try:
+                        fn(make_context(cfg))
+                        return JobResult(
+                            cfg.procedure, "succeeded", wave,
+                            round(time.time() - t0, 3),
+                        )
+                    except Exception:
+                        last_err = traceback.format_exc(limit=3)
                 return JobResult(
                     cfg.procedure,
                     "failed",
                     wave,
                     round(time.time() - t0, 3),
-                    traceback.format_exc(limit=3),
+                    last_err,
                 )
             finally:
                 if gate is not None:

@@ -1579,3 +1579,32 @@ def test_t_movimiento_inventario_whitelist_and_transito(spark, lake):
     assert rows["MV1"]["cod_documento_transaccion_ref1"] == ""
     assert rows["MV1"]["usuario_creacion"] == "ana"
     assert rows["MV1"]["es_eliminado"] == 1
+
+
+def test_run_waves_retries_flaky_job(spark):
+    """A job that fails on its first attempt succeeds under retries=1; with
+    retries=0 the same job records the failure."""
+    from cdk_datalake_analytics_comercial_spark.runner import (
+        JobConfig,
+        JobRegistry,
+        run_waves,
+    )
+
+    attempts = {"n": 0}
+    reg = JobRegistry()
+
+    @reg.register("flaky")
+    def flaky(ctx):
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise RuntimeError("transient")
+
+    cfgs = [JobConfig("domain", "flaky", 1)]
+
+    attempts["n"] = 0
+    res = run_waves(cfgs, reg, lambda c: None, retries=0)
+    assert res[0].status == "failed" and attempts["n"] == 1
+
+    attempts["n"] = 0
+    res = run_waves(cfgs, reg, lambda c: None, retries=1)
+    assert res[0].status == "succeeded" and attempts["n"] == 2
