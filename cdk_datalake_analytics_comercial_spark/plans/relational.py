@@ -1089,6 +1089,98 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+# --------------------------------------------------------------------------
+# PIVOT / UNPIVOT (engine extensions — classic reshaping the reference
+# lacks). Pivot with an EXPLICIT value list: at scale an unlisted pivot
+# forces an extra distinct-values job AND risks a million-column schema;
+# the explicit list keeps it one shuffle. Unpivot is Spark's native
+# `unpivot` (melt); the oracle is the UNION ALL expansion.
+
+
+def q_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "priority",
+            F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_finished"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_pending"),
+        )
+    )
+
+
+_ORACLE_STATUS_PIVOT = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_finished,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return wide.unpivot(
+        ["p_partkey"], ["size", "retailprice"], "measure", "value"
+    )
+
+
+_ORACLE_MEASURES_UNPIVOT = """
+SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice', p_retailprice FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# ntile deciles: equal-frequency bucketing over a TOTAL order (ties broken
+# by key so the decile boundaries are deterministic) — the window family's
+# distribution member (the reference's windows are ranking-only). The
+# global window necessarily single-partitions, but its input is the
+# AGGREGATED per-customer set (|keys| rows, not |orders|) — at larger key
+# cardinalities switch to percentile-threshold bucketing (doc_quantiles
+# pattern) instead of exact tiling.
+
+
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        dsum(F.col("o_totalprice")).alias("total_value")
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("custkey").asc())
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("total_value"), 4).alias("decile_value"),
+        )
+    )
+
+
+_ORACLE_VALUE_DECILES = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT *, CAST(ntile(10) OVER (ORDER BY total_value DESC, custkey ASC) AS INT) AS decile
+  FROM per_cust
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(total_value), 4) AS decile_value
+FROM tiled GROUP BY decile
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "sales_enrichment": q_sales_enrichment,
@@ -1118,6 +1210,9 @@ QUERIES = {
     "sales_rollup": q_sales_rollup,
     "late_orders_exists": q_late_orders_exists,
     "latest_order_agg": q_latest_order_agg,
+    "status_priority_pivot": q_status_priority_pivot,
+    "measures_unpivot": q_measures_unpivot,
+    "customer_value_deciles": q_customer_value_deciles,
 }
 
 ORACLES = {
@@ -1149,4 +1244,7 @@ ORACLES = {
     "sales_rollup": _ORACLE_SALES_ROLLUP,
     "late_orders_exists": _ORACLE_LATE_ORDERS,
     "latest_order_agg": _ORACLE_LATEST_ORDER,
+    "status_priority_pivot": _ORACLE_STATUS_PIVOT,
+    "measures_unpivot": _ORACLE_MEASURES_UNPIVOT,
+    "customer_value_deciles": _ORACLE_VALUE_DECILES,
 }
