@@ -61,6 +61,8 @@ HEADLINE = [
     "sales_rollup",
     "late_orders_exists",
     "latest_order_agg",
+    "status_priority_pivot",
+    "customer_value_deciles",
 ]
 
 
