@@ -158,21 +158,44 @@ def tx_history(spark: SparkSession, path: str) -> list[dict]:
     return [read_manifest(spark, path, v) for v in list_versions(spark, path)]
 
 
+def _create_no_overwrite(spark: SparkSession, path: str, text: str) -> bool:
+    """Write ``text`` to ``path`` failing if it exists — the putIfAbsent
+    claim. Atomic on HDFS (namenode-arbitrated create); the local
+    filesystem narrows to a check-within-create."""
+    fs, p, _ = _fs(spark, path)
+    try:
+        out = fs.create(p, False)
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
 def _commit(spark: SparkSession, path: str, manifest: dict) -> int:
-    """Optimistic commit: claim the next version number by atomic rename;
-    on collision (concurrent writer won), retry at the next number."""
-    log = f"{path.rstrip('/')}/{_LOG}"
-    tmp = f"{log}/.tmp-{uuid.uuid4().hex}.json"
+    """Optimistic commit: claim the next version number with a
+    create-no-overwrite (putIfAbsent — namenode-atomic on HDFS; swap in the
+    store's conditional put on S3/GCS), then VERIFY by read-back that our
+    token is the one that landed — belt-and-braces for filesystems where
+    the exclusive create is only check-within-create."""
+    token = uuid.uuid4().hex
+    manifest["writer"] = token
     for _ in range(50):
         version = (current_version(spark, path) or 0) + 1
         manifest["version"] = version
-        _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
         dst = _version_path(path, version)
-        if _exists(spark, dst):
-            continue
-        if _rename(spark, tmp, dst):
+        if not _create_no_overwrite(
+            spark, dst, json.dumps(manifest, sort_keys=True)
+        ):
+            continue  # lost the claim — retry at the next version
+        try:
+            landed = json.loads(_read_text(spark, dst))
+        except Exception:
+            continue  # torn read under contention — treat as lost
+        if landed.get("writer") == token:
             return version
-    _delete(spark, tmp)
     raise RuntimeError(f"txlog commit contention at {path}")
 
 

@@ -343,3 +343,28 @@ def test_update_where_rewrites_matching_rows_only(spark, tmp_path):
         for r in TX.tx_diff(spark, p, keys=["k"], v_from=1, v_to=2).collect()
     }
     assert changes == {2: "update", 3: "update", 4: "update"}
+
+
+def test_concurrent_writers_all_commit_distinct_versions(spark, tmp_path):
+    """Optimistic concurrency under real thread contention: N threads
+    append simultaneously; every commit lands, versions are distinct and
+    gapless, and the final snapshot holds every row exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    p = str(tmp_path / "cc")
+    TX.tx_write(spark, spark.createDataFrame([(0,)], "k long"), p)
+
+    def append(i):
+        return TX.tx_write(
+            spark, spark.createDataFrame([(i,)], "k long"), p, mode="append"
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        versions = list(ex.map(append, range(1, 7)))
+
+    assert sorted(versions) == [2, 3, 4, 5, 6, 7]
+    assert TX.list_versions(spark, p) == list(range(1, 8))
+    assert sorted(r["k"] for r in TX.tx_read(spark, p).collect()) == list(range(7))
+    # every intermediate version is a consistent snapshot with one more row
+    for v in range(1, 8):
+        assert TX.tx_read(spark, p, version=v).count() == v
