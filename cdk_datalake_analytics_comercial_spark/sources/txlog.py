@@ -576,15 +576,32 @@ def tx_compact(
     partition_by: list[str] | None = None,
     n_files: int | None = None,
     stats_for: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction (OPTIMIZE): rewrite the current snapshot as
     one fresh batch — collapses the per-commit batch dirs a long history
     accumulates and re-bins rows into ``n_files`` output files (per
     partition when partitioned). A normal commit: old versions stay
     time-travelable until vacuumed, readers never see a half-compacted
-    table."""
+    table.
+
+    ``cluster_by`` (OPTIMIZE ... ZORDER's practical effect for the
+    leading columns): range-repartition + sort on those columns, so each
+    output file owns a DISJOINT value range and the per-file min/max
+    stats become maximally selective — a ranged read then opens ~one file
+    instead of all of them (incremental appends interleave ranges across
+    files; clustering un-interleaves them). Clustered columns are added
+    to ``stats_for`` automatically."""
     df = tx_read(spark, path)
-    if n_files:
+    if cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        df = (
+            df.repartitionByRange(n_files, *cols)
+            if n_files
+            else df.repartitionByRange(*cols)
+        ).sortWithinPartitions(*cols)
+        stats_for = sorted(set(stats_for or []) | set(cluster_by))
+    elif n_files:
         df = (
             df.repartition(n_files, *partition_by)
             if partition_by

@@ -368,3 +368,30 @@ def test_concurrent_writers_all_commit_distinct_versions(spark, tmp_path):
     # every intermediate version is a consistent snapshot with one more row
     for v in range(1, 8):
         assert TX.tx_read(spark, p, version=v).count() == v
+
+
+def test_clustered_compaction_tightens_skipping(spark, tmp_path):
+    """Interleaved appends give every file the full ts range (skipping
+    prunes nothing); clustering compaction re-sorts into disjoint ranges
+    so a ranged read opens exactly one file."""
+    p = str(tmp_path / "zord")
+    # 3 appends, each covering the WHOLE 0..300 range (interleaved)
+    for off in range(3):
+        rows = [(off + 3 * i, f"r{off + 3 * i}") for i in range(100)]
+        TX.tx_write(
+            spark,
+            spark.createDataFrame(rows, "ts long, v string").coalesce(1),
+            p, mode="append" if off else "overwrite", stats_for=["ts"],
+        )
+    m = TX.read_manifest(spark, p, 3)
+    # every file overlaps the probe range — nothing skippable
+    assert all(TX._file_overlaps(f, {"ts": (100, 120)}) for f in m["files"])
+
+    v = TX.tx_compact(spark, p, n_files=3, cluster_by=["ts"])
+    m2 = TX.read_manifest(spark, p, v)
+    kept = [f for f in m2["files"] if TX._file_overlaps(f, {"ts": (100, 120)})]
+    assert len(m2["files"]) == 3 and len(kept) == 1
+    # and the data survived intact
+    out = TX.tx_read(spark, p, where={"ts": (100, 120)})
+    assert sorted(r["ts"] for r in out.collect()) == list(range(100, 121))
+    assert TX.tx_read(spark, p).count() == 300
