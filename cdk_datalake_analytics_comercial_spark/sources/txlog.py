@@ -36,7 +36,10 @@ snapshot collapses to one batch).
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +47,14 @@ from pyspark.sql import functions as F
 
 _LOG = "_txlog"
 _DATA = "data"
+
+
+class TxConflictError(RuntimeError):
+    """A concurrent commit invalidated this transaction's read set — the
+    txlog twin of Delta's ``ConcurrentAppendException`` /
+    ``ConcurrentDeleteReadException``. The caller should re-run the whole
+    operation against the new snapshot (the table is unchanged by the
+    failed attempt; its orphan batch files are reaped by ``tx_vacuum``)."""
 
 
 # --------------------------------------------------------------------------
@@ -174,22 +185,32 @@ def _create_no_overwrite(spark: SparkSession, path: str, text: str) -> bool:
     return True
 
 
-def _commit(spark: SparkSession, path: str, manifest: dict) -> int:
+def _commit(spark: SparkSession, path: str, build) -> int:
     """Optimistic commit: claim the next version number with a
     create-no-overwrite (putIfAbsent — namenode-atomic on HDFS; swap in the
     store's conditional put on S3/GCS), then VERIFY by read-back that our
     token is the one that landed — belt-and-braces for filesystems where
-    the exclusive create is only check-within-create."""
+    the exclusive create is only check-within-create.
+
+    ``build(cur_version_or_None) -> manifest`` is re-invoked on EVERY
+    attempt with the version that is current at that moment, so a lost
+    claim never retries a stale snapshot: carried file lists are
+    recomputed against the concurrent winner's manifest, and operations
+    whose read set the winner invalidated raise :class:`TxConflictError`
+    from inside ``build`` (Delta's logical-conflict check) instead of
+    silently dropping the winner's files."""
     token = uuid.uuid4().hex
-    manifest["writer"] = token
     for _ in range(50):
-        version = (current_version(spark, path) or 0) + 1
+        cur = current_version(spark, path)
+        manifest = build(cur)
+        manifest["writer"] = token
+        version = (cur or 0) + 1
         manifest["version"] = version
         dst = _version_path(path, version)
         if not _create_no_overwrite(
             spark, dst, json.dumps(manifest, sort_keys=True)
         ):
-            continue  # lost the claim — retry at the next version
+            continue  # lost the claim — rebuild against the winner
         try:
             landed = json.loads(_read_text(spark, dst))
         except Exception:
@@ -216,6 +237,12 @@ def _write_batch(
     written batch grouped by ``input_file_name``, not per-file reads."""
     batch = uuid.uuid4().hex
     batch_dir = f"{path.rstrip('/')}/{_DATA}/{batch}"
+    stat_cols = [
+        c for c in (stats_for or []) if partition_by is None or c not in partition_by
+    ]
+    # validate stat column types BEFORE writing — unsupported types would
+    # otherwise poison the manifest with uncomparable values
+    tags = {c: _stat_tag(df.schema[c].dataType) for c in stat_cols}
     writer = df.write.format("parquet").mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -223,9 +250,6 @@ def _write_batch(
     spark = df.sparkSession
     rels = _list_parquet_files(spark, batch_dir)
     stats: dict[str, dict] = {}
-    stat_cols = [
-        c for c in (stats_for or []) if partition_by is None or c not in partition_by
-    ]
     if stat_cols and rels:
         aggs = []
         for c in stat_cols:
@@ -244,11 +268,25 @@ def _write_batch(
             fname = r["_f"]
             rel = next((x for x in rels if fname.endswith(x)), None)
             if rel is None:
-                continue
+                raise RuntimeError(
+                    f"stats row for unknown file {fname} in batch {batch}"
+                )
             stats[rel] = {
-                c: [_json_stat(r[f"min_{c}"]), _json_stat(r[f"max_{c}"])]
+                c: {
+                    "t": tags[c],
+                    "min": _stat_encode(tags[c], r[f"min_{c}"]),
+                    "max": _stat_encode(tags[c], r[f"max_{c}"]),
+                }
                 for c in stat_cols
             }
+        # zero-row files never appear in the groupBy — record explicit
+        # all-null stats (sound: no value in an empty file can match a
+        # predicate, so the skip test may drop it)
+        for rel in rels:
+            if rel not in stats:
+                stats[rel] = {
+                    c: {"t": tags[c], "min": None, "max": None} for c in stat_cols
+                }
     files = [
         {
             "path": f"{_DATA}/{batch}/{rel}",
@@ -260,14 +298,107 @@ def _write_batch(
     return batch, files
 
 
-def _json_stat(v):
-    """Manifest-storable stat value: JSON natives pass through, anything
-    else (timestamps, decimals) via str — comparisons at prune time only
-    happen between values serialized the same way, so ordering survives for
-    the numeric/string columns skipping is meant for."""
-    if v is None or isinstance(v, (int, float, str, bool)):
+def _stat_tag(dtype) -> str:
+    """Type tag governing how a stat column's values are serialized into
+    the manifest and how prune-time bounds are coerced back — guarantees
+    the skip comparison happens in an ORDER-PRESERVING shared
+    representation (a str-serialized decimal would otherwise compare
+    lexicographically: '10' < '9' → wrongly skipped file → missing rows).
+    Unsupported types fail loudly at WRITE time, not silently at prune."""
+    from pyspark.sql import types as T
+
+    if isinstance(
+        dtype,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.BooleanType),
+    ):
+        return "n"
+    if isinstance(dtype, T.StringType):
+        return "s"
+    if isinstance(dtype, T.DecimalType):
+        return "dec"
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dtype, T.DateType):
+        return "date"
+    raise ValueError(
+        f"stats_for unsupported for type {dtype.simpleString()}: only "
+        "numeric/string/decimal/timestamp/date columns have a total order "
+        "the manifest can store faithfully"
+    )
+
+
+def _ts_micros(v: _dt.datetime) -> int:
+    return int(v.timestamp() * 1_000_000)
+
+
+def _stat_encode(tag: str, v):
+    """JSON-storable, order-preserving encoding of a collected stat value."""
+    if v is None:
+        return None
+    if tag == "n":
+        return int(v) if isinstance(v, bool) else v
+    if tag == "s":
         return v
-    return str(v)
+    if tag == "dec":
+        return str(v)  # exact; compared via Decimal at prune time
+    if tag == "ts":
+        return _ts_micros(v)
+    if tag == "date":
+        return v.toordinal()
+    raise ValueError(tag)
+
+
+def _coerce_bound(tag: str, v):
+    """Coerce a user-supplied prune bound into the stored representation.
+    Raises TypeError on bounds the tag cannot order against (instead of
+    the silent lexicographic corruption the untagged format allowed)."""
+    if tag == "n":
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, _decimal.Decimal):
+            return float(v)
+    elif tag == "s":
+        if isinstance(v, str):
+            return v
+    elif tag == "dec":
+        if isinstance(v, (int, float, str, _decimal.Decimal)):
+            return _decimal.Decimal(str(v))
+    elif tag == "ts":
+        if isinstance(v, _dt.datetime):
+            return _ts_micros(v)
+        if isinstance(v, _dt.date):
+            return _ts_micros(_dt.datetime.combine(v, _dt.time.min))
+    elif tag == "date":
+        if isinstance(v, _dt.datetime):
+            return v.date().toordinal()
+        if isinstance(v, _dt.date):
+            return v.toordinal()
+    raise TypeError(
+        f"prune bound {v!r} ({type(v).__name__}) is not comparable with "
+        f"manifest stats of type tag {tag!r}"
+    )
+
+
+def _stat_bounds(entry, user_lo, user_hi):
+    """(fmin, fmax, lo, hi) in the shared comparable representation, or
+    None if the entry cannot be interpreted (legacy/unknown shape → file
+    is kept; skipping must stay sound)."""
+    if not isinstance(entry, dict) or "t" not in entry:
+        return None
+    tag = entry["t"]
+    try:
+        lo = None if user_lo is None else _coerce_bound(tag, user_lo)
+        hi = None if user_hi is None else _coerce_bound(tag, user_hi)
+    except TypeError:
+        raise
+    fmin, fmax = entry.get("min"), entry.get("max")
+    if tag == "dec":
+        fmin = None if fmin is None else _decimal.Decimal(fmin)
+        fmax = None if fmax is None else _decimal.Decimal(fmax)
+    return fmin, fmax, lo, hi
 
 
 def tx_write(
@@ -296,39 +427,44 @@ def tx_write(
         raise ValueError("overwrite_dynamic requires partition_by")
 
     _, new_files = _write_batch(df, path, partition_by, stats_for)
+    schema_json = df.schema.json()
+    touched = {tuple(sorted(f["partition"].items())) for f in new_files}
 
-    carried: list[dict] = []
-    cur = current_version(spark, path)
-    if cur is not None and mode != "overwrite":
-        old = read_manifest(spark, path, cur)["files"]
-        if mode == "append":
-            carried = old
-        else:  # overwrite_dynamic
-            touched = {
-                tuple(sorted(f["partition"].items())) for f in new_files
-            }
-            carried = [
-                f
-                for f in old
-                if tuple(sorted(f["partition"].items())) not in touched
-            ]
+    def build(cur: int | None) -> dict:
+        # re-invoked per commit attempt with the version current AT THAT
+        # MOMENT — a lost claim recomputes the carried list against the
+        # concurrent winner's manifest instead of retrying a stale one
+        # (the lost-update the old bump-and-retry had).
+        carried: list[dict] = []
+        if cur is not None and mode != "overwrite":
+            old = read_manifest(spark, path, cur)["files"]
+            if mode == "append":
+                carried = old
+            else:  # overwrite_dynamic: last writer wins per partition
+                carried = [
+                    f
+                    for f in old
+                    if tuple(sorted(f["partition"].items())) not in touched
+                ]
+        return {"op": mode, "schema": schema_json, "files": carried + new_files}
 
-    return _commit(
-        spark,
-        path,
-        {"op": mode, "schema": df.schema.json(), "files": carried + new_files},
-    )
+    return _commit(spark, path, build)
 
 
 def _file_overlaps(f: dict, where: dict) -> bool:
     """File-skip test: keep the file unless its recorded [min, max] for
     some predicate column provably misses [lo, hi]. Files without stats
-    for a column are always kept (skipping is sound, never lossy)."""
+    for a column (or with stats in a shape this version cannot interpret)
+    are always kept — skipping is sound, never lossy. Bounds whose type
+    cannot be ordered against the stored tag raise TypeError."""
     stats = f.get("stats") or {}
-    for col, (lo, hi) in where.items():
+    for col, (ulo, uhi) in where.items():
         if col not in stats:
             continue
-        fmin, fmax = stats[col]
+        decoded = _stat_bounds(stats[col], ulo, uhi)
+        if decoded is None:
+            continue
+        fmin, fmax, lo, hi = decoded
         if fmin is None and fmax is None:  # all-null file: no value matches
             return False
         if lo is not None and fmax is not None and fmax < lo:
@@ -385,6 +521,34 @@ def tx_read(
     return out
 
 
+# Characters Spark/Hive %-escape in partition path segments
+# (`ExternalCatalogUtils.escapePathName`): ASCII control chars plus this set.
+_HIVE_ESCAPED = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _hive_enc(v) -> str:
+    """Encode a partition VALUE exactly the way Spark writes the ``k=v``
+    path segment — the manifest stores path-side (encoded) values, so
+    matching source values against them must encode, not ``str()``:
+    booleans are lowercased (``True`` → ``true``), nulls become
+    ``__HIVE_DEFAULT_PARTITION__``, and special characters are
+    %-escaped (uppercase hex, Hive's ``escapePathName``). A ``str(v)``
+    comparison silently missed those partitions, so the merge dropped
+    their existing rows (it overwrote without carrying the slice)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    s = str(v)
+    out = []
+    for ch in s:
+        if ch in _HIVE_ESCAPED or ord(ch) < 0x20:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def tx_merge(
     spark: SparkSession,
     source: DataFrame,
@@ -396,7 +560,14 @@ def tx_merge(
     """File-pruned MERGE (K3): rewrite only the partitions the source
     touches; untouched partitions' files are carried forward by reference.
     Update semantics match ``writer.merge_upsert`` (source wins; with
-    ``precedence`` last-writer-wins)."""
+    ``precedence`` last-writer-wins).
+
+    Concurrency: the merge result is computed against the snapshot current
+    at entry. If, by commit time, a concurrent commit changed the files of
+    any TOUCHED partition (or, unpartitioned, changed the table at all),
+    the commit raises :class:`TxConflictError` instead of silently
+    overwriting the concurrent writer's rows; untouched-partition changes
+    are re-carried from the winner's manifest and commit fine."""
     from .writer import _dedup_on_keys
 
     cur = current_version(spark, path)
@@ -407,42 +578,30 @@ def tx_merge(
             source = _precedence_pick(source, keys, precedence, None)
         return tx_write(spark, source, path, partition_by, "overwrite")
 
+    touched_sets: set[tuple] | None = None
     if partition_by:
         touched = [
             r.asDict()
             for r in source.select(*partition_by).distinct().collect()
         ]
         manifest = read_manifest(spark, path, cur)
-        # partition values in file paths use Hive's encoding; null →
-        # __HIVE_DEFAULT_PARTITION__
-        def enc(v):
-            return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
-
         touched_sets = {
-            tuple(sorted((k, enc(t[k])) for k in partition_by)) for t in touched
+            tuple(sorted((k, _hive_enc(t[k])) for k in partition_by))
+            for t in touched
         }
         touched_files = [
             f
             for f in manifest["files"]
             if tuple(sorted(f["partition"].items())) in touched_sets
         ]
-        root = path.rstrip("/")
-        if touched_files:
-            by_batch: dict[str, list[str]] = {}
-            for f in touched_files:
-                bd = "/".join(f["path"].split("/")[:2])
-                by_batch.setdefault(bd, []).append(f"{root}/{f['path']}")
-            slice_df = None
-            for bd, files in sorted(by_batch.items()):
-                part = (
-                    spark.read.option("basePath", f"{root}/{bd}")
-                    .parquet(*sorted(files))
-                )
-                slice_df = part if slice_df is None else slice_df.unionByName(part)
-        else:
-            slice_df = None
+        slice_df = (
+            _read_files(spark, path, touched_files, manifest["schema"])
+            if touched_files
+            else None
+        )
+        base_touched_paths = {f["path"] for f in touched_files}
     else:
-        slice_df = tx_read(spark, path)
+        slice_df = tx_read(spark, path, cur)
 
     if precedence is None:
         source = _dedup_on_keys(source, keys)
@@ -454,14 +613,51 @@ def tx_merge(
     else:
         merged = _precedence_pick(source, keys, precedence, slice_df)
 
-    # the merged slice replaces exactly the touched partitions
-    return tx_write(
-        spark,
-        merged,
-        path,
-        partition_by,
-        "overwrite_dynamic" if partition_by else "overwrite",
-    )
+    # the merged slice replaces exactly the touched partitions; commit with
+    # a conflict check on the read set
+    _, new_files = _write_batch(merged, path, partition_by, None)
+    schema_json = merged.schema.json()
+
+    def build(now: int | None) -> dict:
+        if partition_by:
+            now_files = (
+                read_manifest(spark, path, now)["files"] if now is not None else []
+            )
+            now_touched = {
+                f["path"]
+                for f in now_files
+                if tuple(sorted(f["partition"].items())) in touched_sets
+            }
+            if now_touched != base_touched_paths:
+                raise TxConflictError(
+                    f"merge at {path}: touched partitions changed "
+                    f"concurrently (base v{cur}, now v{now})"
+                )
+            carried = [
+                f
+                for f in now_files
+                if tuple(sorted(f["partition"].items())) not in touched_sets
+            ]
+            return {
+                "op": "merge",
+                "schema": schema_json,
+                "files": carried + new_files,
+            }
+        if now != cur:
+            raise TxConflictError(
+                f"merge at {path}: table changed concurrently "
+                f"(base v{cur}, now v{now})"
+            )
+        return {"op": "merge", "schema": schema_json, "files": new_files}
+
+    try:
+        return _commit(spark, path, build)
+    except TxConflictError:
+        # the failed attempt's batch is unreferenced; reap it now rather
+        # than waiting for vacuum
+        for f in new_files:
+            _delete(spark, f"{path.rstrip('/')}/{f['path']}")
+        raise
 
 
 def _precedence_pick(
@@ -492,22 +688,38 @@ def _precedence_pick(
 
 
 def tx_vacuum(
-    spark: SparkSession, path: str, keep_versions: int = 2
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 2,
+    retain_hours: float = 168.0,
 ) -> list[str]:
     """Reap data files unreferenced by the newest ``keep_versions``
     manifests, and drop the older manifests (they would dangle). Returns
     the deleted file paths. Time travel remains valid for every kept
-    version — the reference's `vacuum(hours)` expressed in versions, which
-    is deterministic (no wall clock) and test-stable."""
+    version.
+
+    ``retain_hours`` (default 7 days, the reference's ``vacuum(hours)``
+    retention, `common_jobs_functions.py:341-349`): unreferenced files
+    YOUNGER than the cutoff are spared. This is the guard against deleting
+    a concurrent writer's freshly written batch before its manifest
+    commits — without it, vacuum racing an in-flight commit yields a
+    committed version with dangling file references. Pass ``0`` only when
+    no writer can be in flight (tests, single-writer maintenance windows).
+    """
+    if keep_versions < 1:
+        # keep_versions=0 would drop EVERY manifest including the current
+        # one — the table would become unreadable
+        raise ValueError("keep_versions must be >= 1")
     versions = list_versions(spark, path)
     if not versions:
         return []
     keep = versions[-keep_versions:]
-    drop = versions[: -keep_versions] if keep_versions else versions
+    drop = versions[: -keep_versions]
     referenced = set()
     for v in keep:
         for f in read_manifest(spark, path, v)["files"]:
             referenced.add(f["path"])
+    cutoff_millis = (time.time() - retain_hours * 3600.0) * 1000.0
     root = path.rstrip("/")
     data_root = f"{root}/{_DATA}"
     removed = []
@@ -523,8 +735,11 @@ def tx_vacuum(
             name = st.getPath().getName()
             if not name.endswith(".parquet") or name.startswith(("_", ".")):
                 continue
-            if rel not in referenced:
-                to_delete.append((full, rel))
+            if rel in referenced:
+                continue
+            if st.getModificationTime() > cutoff_millis:
+                continue  # too young — may belong to an uncommitted batch
+            to_delete.append((full, rel))
         for full, rel in to_delete:
             _delete(spark, full)
             removed.append(rel)
@@ -672,11 +887,38 @@ def _dml_rewrite(
     rewritten = transform(affected, cond)
 
     _, new_files = _write_batch(rewritten, path, partition_by, stats_for)
-    return _commit(
-        spark,
-        path,
-        {"op": op, "schema": manifest["schema"], "files": miss + new_files},
-    )
+    hit_paths = {f["path"] for f in hit}
+    base_paths = hit_paths | {f["path"] for f in miss}
+
+    def build(now: int | None) -> dict:
+        now_files = (
+            read_manifest(spark, path, now)["files"] if now is not None else []
+        )
+        now_paths = {f["path"] for f in now_files}
+        if hit_paths - now_paths:
+            # a concurrent commit rewrote/removed files whose rows we
+            # rewrote — committing would resurrect their pre-images
+            raise TxConflictError(
+                f"{op} at {path}: files in the read set were removed "
+                f"concurrently (base v{cur}, now v{now})"
+            )
+        added = [f for f in now_files if f["path"] not in base_paths]
+        if any(_file_overlaps(f, where) for f in added):
+            # concurrently appended rows may match the predicate; this
+            # rewrite never saw them (Delta's ConcurrentAppendException)
+            raise TxConflictError(
+                f"{op} at {path}: concurrent append overlaps the "
+                f"predicate (base v{cur}, now v{now})"
+            )
+        carried = [f for f in now_files if f["path"] not in hit_paths]
+        return {"op": op, "schema": manifest["schema"], "files": carried + new_files}
+
+    try:
+        return _commit(spark, path, build)
+    except TxConflictError:
+        for f in new_files:
+            _delete(spark, f"{path.rstrip('/')}/{f['path']}")
+        raise
 
 
 def tx_delete(

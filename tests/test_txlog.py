@@ -109,7 +109,7 @@ def test_crash_before_commit_leaves_table_at_old_version(spark, tmp_path):
     )
     assert TX.current_version(spark, p) == 1
     assert rows(TX.tx_read(spark, p)) == [(1, "a")]
-    removed = TX.tx_vacuum(spark, p, keep_versions=2)
+    removed = TX.tx_vacuum(spark, p, keep_versions=2, retain_hours=0)
     assert removed  # the orphan batch's file went away
     assert rows(TX.tx_read(spark, p)) == [(1, "a")]
 
@@ -118,7 +118,7 @@ def test_vacuum_keeps_recent_versions_readable(spark, tmp_path):
     p = str(tmp_path / "t7")
     for i in range(4):
         TX.tx_write(spark, spark.createDataFrame([(i,)], "k long"), p)
-    removed = TX.tx_vacuum(spark, p, keep_versions=2)
+    removed = TX.tx_vacuum(spark, p, keep_versions=2, retain_hours=0)
     assert removed  # v1/v2 data reaped
     assert TX.list_versions(spark, p) == [3, 4]
     assert rows(TX.tx_read(spark, p, version=3)) == [(2,)]
@@ -303,7 +303,7 @@ def test_delete_where_prunes_files_and_removes_rows(spark, tmp_path):
             p, mode="append" if lo else "overwrite", stats_for=["ts"],
         )
     m2 = TX.read_manifest(spark, p, 2)
-    low_files = {f["path"] for f in m2["files"] if f["stats"]["ts"][1] < 100}
+    low_files = {f["path"] for f in m2["files"] if f["stats"]["ts"]["max"] < 100}
 
     v = TX.tx_delete(spark, p, where={"ts": (102, 103)}, stats_for=["ts"])
     assert v == 3
@@ -395,3 +395,247 @@ def test_clustered_compaction_tightens_skipping(spark, tmp_path):
     out = TX.tx_read(spark, p, where={"ts": (100, 120)})
     assert sorted(r["ts"] for r in out.collect()) == list(range(100, 121))
     assert TX.tx_read(spark, p).count() == 300
+
+
+# --------------------------------------------------------------------------
+# Round-4 hardening: lost-update recompute, merge/DML conflict detection,
+# Hive partition-value encoding, typed skipping stats, vacuum retention.
+
+
+def test_lost_claim_append_recomputes_carried_files(spark, tmp_path, monkeypatch):
+    """A writer that loses the create-no-overwrite claim must rebuild its
+    carried file list from the WINNER's manifest — the old bump-and-retry
+    silently dropped the concurrent append's files."""
+    p = str(tmp_path / "race1")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "k long"), p)
+    orig = TX._create_no_overwrite
+    state = {"raced": False}
+
+    def racy(sp, dst, text):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent writer lands an append while our claim is in flight
+            TX.tx_write(
+                spark, spark.createDataFrame([(2,)], "k long"), p, mode="append"
+            )
+            return False  # and our claim loses
+        return orig(sp, dst, text)
+
+    monkeypatch.setattr(TX, "_create_no_overwrite", racy)
+    TX.tx_write(spark, spark.createDataFrame([(3,)], "k long"), p, mode="append")
+    # BOTH appends survive — nothing was lost on the retried commit
+    assert rows(TX.tx_read(spark, p)) == [(1,), (2,), (3,)]
+    assert TX.current_version(spark, p) == 3
+
+
+def test_merge_conflicts_on_concurrent_touched_partition_write(
+    spark, tmp_path, monkeypatch
+):
+    p = str(tmp_path / "race2")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "k long, v string, part string"
+    )
+    TX.tx_merge(spark, base, p, keys=["k"], partition_by=["part"])
+    orig = TX._create_no_overwrite
+    state = {"raced": False}
+
+    def racy(sp, dst, text):
+        if not state["raced"]:
+            state["raced"] = True
+            TX.tx_write(
+                spark,
+                spark.createDataFrame([(9, "X", "p1")], "k long, v string, part string"),
+                p, partition_by=["part"], mode="overwrite_dynamic",
+            )
+            return False
+        return orig(sp, dst, text)
+
+    monkeypatch.setattr(TX, "_create_no_overwrite", racy)
+    import pytest
+
+    src = spark.createDataFrame([(1, "A", "p1")], "k long, v string, part string")
+    with pytest.raises(TX.TxConflictError):
+        TX.tx_merge(spark, src, p, keys=["k"], partition_by=["part"])
+    # the loser's rows never leaked in; the winner's snapshot stands
+    assert rows(TX.tx_read(spark, p).select("k", "v", "part")) == [
+        (2, "b", "p2"), (9, "X", "p1"),
+    ]
+
+
+def test_merge_carries_concurrent_untouched_partition_append(
+    spark, tmp_path, monkeypatch
+):
+    """Concurrent changes to partitions the merge does NOT touch are no
+    conflict: the retried commit re-carries them from the winner."""
+    p = str(tmp_path / "race3")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "k long, v string, part string"
+    )
+    TX.tx_merge(spark, base, p, keys=["k"], partition_by=["part"])
+    orig = TX._create_no_overwrite
+    state = {"raced": False}
+
+    def racy(sp, dst, text):
+        if not state["raced"]:
+            state["raced"] = True
+            TX.tx_write(
+                spark,
+                spark.createDataFrame([(5, "e", "p2")], "k long, v string, part string"),
+                p, partition_by=["part"], mode="overwrite_dynamic",
+            )
+            return False
+        return orig(sp, dst, text)
+
+    monkeypatch.setattr(TX, "_create_no_overwrite", racy)
+    src = spark.createDataFrame([(1, "A", "p1")], "k long, v string, part string")
+    TX.tx_merge(spark, src, p, keys=["k"], partition_by=["part"])
+    assert rows(TX.tx_read(spark, p).select("k", "v", "part")) == [
+        (1, "A", "p1"), (5, "e", "p2"),
+    ]
+
+
+def test_dml_conflicts_on_overlapping_concurrent_append(spark, tmp_path, monkeypatch):
+    p = str(tmp_path / "race4")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1,), (2,)], "k long"), p, stats_for=["k"]
+    )
+    orig = TX._create_no_overwrite
+    state = {"raced": False}
+
+    def racy(sp, dst, text):
+        if not state["raced"]:
+            state["raced"] = True
+            TX.tx_write(
+                spark, spark.createDataFrame([(2,)], "k long"), p,
+                mode="append", stats_for=["k"],
+            )
+            return False
+        return orig(sp, dst, text)
+
+    monkeypatch.setattr(TX, "_create_no_overwrite", racy)
+    import pytest
+
+    with pytest.raises(TX.TxConflictError):
+        TX.tx_delete(spark, p, where={"k": (2, 2)})
+    # winner's append intact, no partial delete
+    assert rows(TX.tx_read(spark, p)) == [(1,), (2,), (2,)]
+
+
+def test_dml_carries_disjoint_concurrent_append(spark, tmp_path, monkeypatch):
+    """A concurrent append whose stats provably miss the DML predicate is
+    no conflict — the retry carries the new file and the delete commits."""
+    p = str(tmp_path / "race5")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1,), (2,)], "k long"), p, stats_for=["k"]
+    )
+    orig = TX._create_no_overwrite
+    state = {"raced": False}
+
+    def racy(sp, dst, text):
+        if not state["raced"]:
+            state["raced"] = True
+            TX.tx_write(
+                spark, spark.createDataFrame([(100,)], "k long"), p,
+                mode="append", stats_for=["k"],
+            )
+            return False
+        return orig(sp, dst, text)
+
+    monkeypatch.setattr(TX, "_create_no_overwrite", racy)
+    TX.tx_delete(spark, p, where={"k": (2, 2)})
+    assert rows(TX.tx_read(spark, p)) == [(1,), (100,)]
+
+
+def test_merge_boolean_and_special_char_partitions(spark, tmp_path):
+    """Partition values are matched in Hive's path encoding: booleans
+    lowercase (True → 'true'), specials %-escaped ('a:b' → 'a%3Ab').
+    str(v) matching missed these partitions, so merge silently dropped
+    their existing rows."""
+    p = str(tmp_path / "hivenc")
+    base = spark.createDataFrame(
+        [(1, "a", True, "a:b"), (2, "b", True, "a:b"), (3, "c", False, "plain")],
+        "k long, v string, flag boolean, tag string",
+    )
+    TX.tx_merge(spark, base, p, keys=["k"], partition_by=["flag", "tag"])
+    src = spark.createDataFrame(
+        [(2, "B", True, "a:b")], "k long, v string, flag boolean, tag string"
+    )
+    TX.tx_merge(spark, src, p, keys=["k"], partition_by=["flag", "tag"])
+    # row k=1 lives in the touched (flag=true, tag=a:b) partition — it must
+    # survive the merge, and k=2 must be updated, k=3 untouched
+    assert rows(TX.tx_read(spark, p).select("k", "v")) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]
+
+
+def test_decimal_and_timestamp_stats_prune_correctly(spark, tmp_path):
+    """Decimal stats must not compare lexicographically ('10' < '9' would
+    wrongly skip the file) and timestamp bounds must be orderable."""
+    import datetime as dt
+
+    p = str(tmp_path / "typstats")
+    df = spark.createDataFrame(
+        [(1, "9.50", dt.datetime(2024, 1, 1)), (2, "10.50", dt.datetime(2024, 6, 1))],
+        "k long, amt string, ts timestamp",
+    ).withColumn("amt", F.col("amt").cast("decimal(10,2)"))
+    # two single-row files → per-file stats distinguish them
+    TX.tx_write(spark, df.filter("k = 1"), p, stats_for=["amt", "ts"])
+    TX.tx_write(
+        spark, df.filter("k = 2"), p, mode="append", stats_for=["amt", "ts"]
+    )
+    from decimal import Decimal
+
+    # amt >= 10: must NOT skip the (10.50) file ('10.50' < '9.50' as str!)
+    got = rows(
+        TX.tx_read(spark, p, where={"amt": (Decimal("10"), None)}).select("k")
+    )
+    assert got == [(2,)]
+    # typed timestamp bound — orderable, prunes to the June file
+    got = rows(
+        TX.tx_read(spark, p, where={"ts": (dt.datetime(2024, 3, 1), None)}).select("k")
+    )
+    assert got == [(2,)]
+    # manifest never opened the wrong file: verify at the skip level
+    m = TX.read_manifest(spark, p, 2)
+    keep = [f for f in m["files"] if TX._file_overlaps(f, {"amt": (Decimal("10"), None)})]
+    assert len(keep) == 1
+
+
+def test_stats_for_unsupported_type_fails_at_write(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "badstats")
+    df = spark.createDataFrame([(1, [1, 2])], "k long, arr array<long>")
+    with pytest.raises(ValueError, match="stats_for unsupported"):
+        TX.tx_write(spark, df, p, stats_for=["arr"])
+
+
+def test_incomparable_prune_bound_raises(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "badbound")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "k long"), p, stats_for=["k"])
+    with pytest.raises(TypeError, match="not comparable"):
+        TX.tx_read(spark, p, where={"k": ("abc", None)}).collect()
+
+
+def test_vacuum_retention_spares_young_files(spark, tmp_path):
+    p = str(tmp_path / "vac_ret")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "k long"), p)
+    # a concurrent writer's uncommitted (orphan) batch, freshly written
+    TX._write_batch(spark.createDataFrame([(9,)], "k long"), p, None)
+    removed = TX.tx_vacuum(spark, p, keep_versions=1, retain_hours=1.0)
+    assert removed == []  # younger than the retention cutoff → spared
+    removed = TX.tx_vacuum(spark, p, keep_versions=1, retain_hours=0)
+    assert len(removed) >= 1  # retention waived → orphan reaped
+
+
+def test_vacuum_rejects_keep_versions_zero(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "vac_zero")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "k long"), p)
+    with pytest.raises(ValueError, match="keep_versions"):
+        TX.tx_vacuum(spark, p, keep_versions=0, retain_hours=0)
+    # table untouched
+    assert rows(TX.tx_read(spark, p)) == [(1,)]
