@@ -12,6 +12,7 @@ instance list is plain filesystem/config discovery).
 from __future__ import annotations
 
 import enum
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -47,12 +48,23 @@ class Catalog:
             p = os.path.join(p, instance)
         return p
 
-    def instances(self, layer: Layer | str, table: str) -> list[str]:
+    def instances(
+        self, layer: Layer | str, table: str, principal_only: bool = False
+    ) -> list[str]:
         """Enumerate instance subdirectories of a multi-instance stage table.
 
         Replaces the DynamoDB endpoint scan (`common_jobs_functions.py:231-268`).
         Only meaningful for local/posix paths; on object stores, pass the
         instance list explicitly to ``read_table``.
+
+        ``principal_only=True`` restricts to endpoints flagged principal in
+        the layer's ``_endpoints.json`` — the reference's ``have_principal``
+        filter on the DynamoDB ``IS_PRINCIPAL`` attribute
+        (`common_jobs_functions.py:241-243`). Shared masters (``m_pais``,
+        ``m_parametro``, …) are replicated to every source endpoint; reading
+        them from all endpoints unions duplicate copies → join fan-out and
+        double-counted aggregates, so those reads must come from the single
+        principal endpoint only.
         """
         base = self.table_path(layer, table)
         if not os.path.isdir(base):
@@ -61,7 +73,28 @@ class Catalog:
             d for d in os.listdir(base)
             if os.path.isdir(os.path.join(base, d)) and not d.startswith(("_", "."))
         )
+        if principal_only:
+            meta = self.endpoint_meta(layer)
+            if meta:  # no registry file → every endpoint counts as principal
+                subdirs = [
+                    d for d in subdirs
+                    if meta.get(d, {}).get("is_principal", False)
+                ]
         return subdirs
+
+    def endpoint_meta(self, layer: Layer | str) -> dict[str, dict]:
+        """Endpoint registry for a layer: ``{endpoint: {"is_principal":
+        bool, ...}}`` from ``{layer}/_endpoints.json`` — the filesystem twin
+        of the reference's DynamoDB endpoint table (``ENDPOINT_NAME`` /
+        ``IS_PRINCIPAL``, `common_jobs_functions.py:231-243`). Missing file
+        → empty dict (single-endpoint lakes need no registry)."""
+        path = os.path.join(self.layer_path(layer), "_endpoints.json")
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            return {}
+        return data if isinstance(data, dict) else {}
 
     def is_table_dir(self, layer: Layer | str, table: str) -> bool:
         base = self.table_path(layer, table)

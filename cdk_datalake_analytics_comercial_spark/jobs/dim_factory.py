@@ -83,7 +83,8 @@ def make_conform_dim_job(spec: ConformDimSpec) -> Callable[[JobContext], None]:
             ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
         )
         m_pais = read_table(
-            ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry
+            ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry,
+            principal_only=True
         )
         bridge = (
             m_compania.alias("mc")

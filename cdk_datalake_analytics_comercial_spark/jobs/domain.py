@@ -69,7 +69,7 @@ def job_m_pais(ctx: JobContext) -> None:
     """Country master: keep countries referenced by any company
     (`code/domain/m_pais.py:14-31`; the driver-side isin list there becomes
     a left_semi join — no collect on the data path)."""
-    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
     m_compania = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
     )
@@ -94,7 +94,7 @@ def job_m_compania(ctx: JobContext) -> None:
     m_compania = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
     )
-    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
     joined = (
         m_compania.alias("mc")
         .join(m_pais.alias("mp"), F.col("mc.cod_pais") == F.col("mp.cod_pais"), "inner")
@@ -197,7 +197,7 @@ def job_t_pedido_cumplimiento_lite(ctx: JobContext) -> None:
     )
     art = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_articulo", registry=ctx.registry)
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
-    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     compania = (
         comp.alias("mc")
@@ -622,23 +622,23 @@ def job_t_saldos_iniciales_lite(ctx: JobContext) -> None:
     (`:43-48` — an inner join used purely as an existence gate, expressed
     here as left_semi so no employee columns leak into the row)."""
     toma = read_table(
-        ctx.spark, ctx.catalog, Layer.STAGE, "t_toma_inventario", registry=ctx.registry
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_toma_inventario", registry=ctx.registry, principal_only=True
     )
     det = read_table(
-        ctx.spark, ctx.catalog, Layer.STAGE, "t_toma_inventario_detalle", registry=ctx.registry
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_toma_inventario_detalle", registry=ctx.registry, principal_only=True
     )
     cpm = read_table(
-        ctx.spark, ctx.catalog, Layer.STAGE, "t_cierre_inventario_cpm", registry=ctx.registry
+        ctx.spark, ctx.catalog, Layer.STAGE, "t_cierre_inventario_cpm", registry=ctx.registry, principal_only=True
     )
-    art = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_articulo", registry=ctx.registry)
+    art = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_articulo", registry=ctx.registry, principal_only=True)
     empleado = read_table(
-        ctx.spark, ctx.catalog, Layer.STAGE, "m_empleado", registry=ctx.registry
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_empleado", registry=ctx.registry, principal_only=True
     )
     m_parametro = read_table(
-        ctx.spark, ctx.catalog, Layer.STAGE, "m_parametro", registry=ctx.registry
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_parametro", registry=ctx.registry, principal_only=True
     )
     m_tipo_cambio = read_table(
-        ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_cambio", registry=ctx.registry
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_cambio", registry=ctx.registry, principal_only=True
     )
 
     dec = lambda c: c.cast("decimal(30,4)")
@@ -787,7 +787,7 @@ def job_t_reparto_lite(ctx: JobContext) -> None:
         ctx.spark, ctx.catalog, Layer.STAGE, "t_movimiento_inventario", registry=ctx.registry
     )
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
-    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     conformed = company_country_bridge(comp, pais)
     filtered = mov.filter(
@@ -879,7 +879,7 @@ def job_m_cliente_lite(ctx: JobContext) -> None:
         ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_cliente", registry=ctx.registry
     )
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
-    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
     cuenta = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_cuenta_clave", registry=ctx.registry
     )
@@ -1078,7 +1078,7 @@ def job_m_eje_territorial_lite(ctx: JobContext) -> None:
     ng1 = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_ng1", registry=ctx.registry)
     ng2 = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_ng2", registry=ctx.registry)
     ng3 = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_ng3", registry=ctx.registry)
-    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
     p = F.broadcast(pais.select("id_pais", "cod_pais")).alias("p")
 
     common = [
@@ -1223,7 +1223,7 @@ def job_m_estructura_comercial_lite(ctx: JobContext) -> None:
     )
     region = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_region", registry=ctx.registry)
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
-    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     conformed = (
         comp.alias("mc")
@@ -1388,7 +1388,7 @@ def job_m_articulo_lite(ctx: JobContext) -> None:
     never breaks (S3). Upsert on id_articulo partitioned by id_pais."""
     art = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_articulo", registry=ctx.registry)
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
-    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
     linea = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_linea", registry=ctx.registry)
     familia = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_familia", registry=ctx.registry)
     subfam = read_table(
@@ -1706,7 +1706,7 @@ def job_t_pedido_lite(ctx: JobContext) -> None:
     m_compania = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
     )
-    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
     m_parametro = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_parametro", registry=ctx.registry
     )
@@ -1715,10 +1715,10 @@ def job_t_pedido_lite(ctx: JobContext) -> None:
     )
     m_zona = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_zona", registry=ctx.registry)
     m_region = read_table(
-        ctx.spark, ctx.catalog, Layer.STAGE, "m_region", registry=ctx.registry
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_region", registry=ctx.registry, principal_only=True
     )
     m_subregion = read_table(
-        ctx.spark, ctx.catalog, Layer.STAGE, "m_subregion", registry=ctx.registry
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_subregion", registry=ctx.registry, principal_only=True
     )
     m_division = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_division", registry=ctx.registry
@@ -2001,7 +2001,7 @@ def job_t_venta_lite(ctx: JobContext) -> None:
     m_compania = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
     )
-    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
     m_parametro = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_parametro", registry=ctx.registry
     )
@@ -2010,10 +2010,10 @@ def job_t_venta_lite(ctx: JobContext) -> None:
     )
     m_zona = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_zona", registry=ctx.registry)
     m_region = read_table(
-        ctx.spark, ctx.catalog, Layer.STAGE, "m_region", registry=ctx.registry
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_region", registry=ctx.registry, principal_only=True
     )
     m_subregion = read_table(
-        ctx.spark, ctx.catalog, Layer.STAGE, "m_subregion", registry=ctx.registry
+        ctx.spark, ctx.catalog, Layer.STAGE, "m_subregion", registry=ctx.registry, principal_only=True
     )
     m_division = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_division", registry=ctx.registry
@@ -2249,7 +2249,7 @@ def job_t_visita_lite(ctx: JobContext) -> None:
     m_compania = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
     )
-    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     filtered = visitas.filter(period_filter(F.col("fecha_visita"), ctx.periods))
     compania = (
@@ -2347,7 +2347,7 @@ def job_t_movimiento_inventario_lite(ctx: JobContext) -> None:
     m_compania = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
     )
-    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     filtered = mov.filter(period_filter(F.col("fecha_almacen"), ctx.periods))
     whitelist = (
@@ -2519,7 +2519,7 @@ def job_m_tipo_venta_lite(ctx: JobContext) -> None:
     m_compania = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
     )
-    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     dcv = tipo_trans.filter(F.col("cod_tipo_transaccion") == "DCV").select(
         "cod_compania", "cod_documento_transaccion"
@@ -2606,7 +2606,7 @@ def job_t_pedido_detalle_lite(ctx: JobContext) -> None:
     m_compania = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
     )
-    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     bridge = company_country_bridge(m_compania, m_pais)
     key = ["cod_compania", "cod_sucursal", "cod_almacen_emisor",
@@ -2808,7 +2808,7 @@ def job_t_movimiento_inventario_detalle_lite(ctx: JobContext) -> None:
     m_compania = read_table(
         ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry
     )
-    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    m_pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     # company bridge carries the local-currency code for the rate join
     bridge = company_country_bridge(m_compania, m_pais, param)
@@ -3090,7 +3090,7 @@ def job_m_transportista_lite(ctx: JobContext) -> None:
         ctx.spark, ctx.catalog, Layer.STAGE, "m_tipo_transportista", registry=ctx.registry
     )
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
-    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     bridge = company_country_bridge(comp, pais)
     out = (
@@ -3152,7 +3152,7 @@ def job_m_responsable_comercial_lite(ctx: JobContext) -> None:
     vend = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_vendedor", registry=ctx.registry)
     persona = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_persona", registry=ctx.registry)
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
-    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     bridge = company_country_bridge(comp, pais)
     out = (
@@ -3211,7 +3211,7 @@ def job_m_modulo_lite(ctx: JobContext) -> None:
     ruta = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_ruta", registry=ctx.registry)
     suc = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_sucursal", registry=ctx.registry)
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
-    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     bridge = company_country_bridge(comp, pais)
     out = (
@@ -3298,7 +3298,7 @@ def job_m_clasificacion_cliente_lite(ctx: JobContext) -> None:
     subgiro = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_subgiro", registry=ctx.registry)
     giro = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_giro", registry=ctx.registry)
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
-    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     conformed = rel.alias("irc").join(
         F.broadcast(company_country_bridge(comp, pais)).alias("b"),
@@ -3385,7 +3385,7 @@ def job_m_asignacion_modulo_lite(ctx: JobContext) -> None:
     cli = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_cliente", registry=ctx.registry)
     suc = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_sucursal", registry=ctx.registry)
     comp = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_compania", registry=ctx.registry)
-    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry)
+    pais = read_table(ctx.spark, ctx.catalog, Layer.STAGE, "m_pais", registry=ctx.registry, principal_only=True)
 
     bridge = company_country_bridge(comp, pais)
     out = (

@@ -43,6 +43,7 @@ def read_table(
     table: str,
     instances: list[str] | None = None,
     registry: SchemaRegistry | None = None,
+    principal_only: bool = False,
 ) -> DataFrame:
     """Read a layer table.
 
@@ -51,6 +52,12 @@ def read_table(
     - Stage: one dir per source endpoint; all instances are read and
       ``unionByName``-ed (reference S2, `:231-268`, union at `:268`).
       ``instances=None`` → discover from the filesystem catalog.
+    - ``principal_only=True``: restrict discovery to endpoints flagged
+      principal in the layer's ``_endpoints.json`` — the reference's
+      ``have_principal=True`` (`common_jobs_functions.py:241-243`), used
+      for shared masters replicated to every endpoint (``m_pais``,
+      ``m_parametro``, …) where unioning all copies would duplicate rows.
+      Ignored when ``instances`` is passed explicitly.
     - Absent everywhere → empty DataFrame with the registered schema
       (reference S3, `:124-217`); raises if no registry can answer.
     """
@@ -58,7 +65,7 @@ def read_table(
 
     if layer == Layer.STAGE:
         if instances is None:
-            instances = catalog.instances(layer, table)
+            instances = catalog.instances(layer, table, principal_only=principal_only)
         paths = [catalog.table_path(layer, table, i) for i in instances]
         dfs = [ _read_parquet(spark, p) for p in paths if table_exists(spark, p) ]
         if not dfs and catalog.is_table_dir(layer, table):
