@@ -49,7 +49,9 @@ PACK_BUDGET = 2048
 
 
 def _read(ctx: JobContext, layer: Layer, table: str):
-    return ctx.spark.read.parquet(ctx.catalog.table_path(layer, table))
+    from ..sources.reader import _read_parquet
+
+    return _read_parquet(ctx.spark, ctx.catalog.table_path(layer, table))
 
 
 @CORPUS_JOBS.register("corpus_filter")
@@ -142,7 +144,9 @@ def job_corpus_decontam(ctx: JobContext) -> None:
     d = _read(ctx, Layer.DOMAIN, "corpus_canonical")
     bench_path = ctx.catalog.table_path(Layer.RAW, "benchmark")
     if table_exists(ctx.spark, bench_path):
-        bench = ctx.spark.read.parquet(bench_path)
+        from ..sources.reader import _read_parquet
+
+        bench = _read_parquet(ctx.spark, bench_path)
         out = contamination.decontaminate(d, bench, k=3)
     else:
         out = d

@@ -23,12 +23,25 @@ from .registry import SchemaRegistry
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Scan one table dir — format-transparent: txlog tables (detected by
+    their ``_txlog`` log, like the reference's ``DeltaTable.isDeltaTable``
+    probe) resolve their current manifest; plain dirs are parquet scans. A
+    raw ``spark.read.parquet`` on a txlog dir would union every batch ever
+    written, including superseded versions — hence the mandatory probe."""
+    from .txlog import is_txlog_table, tx_read
+
+    if is_txlog_table(spark, path):
+        return tx_read(spark, path)
     return spark.read.parquet(path)
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:
     """True if ``path`` holds a readable table (reference ``table_exists``,
     `common_jobs_functions.py:351-356`, done via Delta log probe there)."""
+    from .txlog import is_txlog_table
+
+    if is_txlog_table(spark, path):
+        return True
     try:
         spark.read.parquet(path).schema
         return True

@@ -505,7 +505,9 @@ def tx_read(
             spark.read.option("basePath", f"{root}/{batch_dir}")
             .parquet(*sorted(files))
         )
-        out = part if out is None else out.unionByName(part)
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
     if out is None:  # empty snapshot (or every file skipped) — from schema
         from pyspark.sql.types import StructType
 
@@ -549,6 +551,12 @@ def _hive_enc(v) -> str:
     return "".join(out)
 
 
+def is_txlog_table(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` is a txlog-format table (has a ``_txlog`` dir with
+    at least one committed version)."""
+    return current_version(spark, path) is not None
+
+
 def tx_merge(
     spark: SparkSession,
     source: DataFrame,
@@ -556,6 +564,7 @@ def tx_merge(
     keys: list[str],
     partition_by: list[str] | None = None,
     precedence: str | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """File-pruned MERGE (K3): rewrite only the partitions the source
     touches; untouched partitions' files are carried forward by reference.
@@ -602,6 +611,11 @@ def tx_merge(
         base_touched_paths = {f["path"] for f in touched_files}
     else:
         slice_df = tx_read(spark, path, cur)
+
+    if schema_evolution and slice_df is not None:
+        from .writer import _evolve_schemas
+
+        slice_df, source = _evolve_schemas(slice_df, source)
 
     if precedence is None:
         source = _dedup_on_keys(source, keys)
@@ -845,7 +859,7 @@ def _read_files(spark: SparkSession, path: str, files: list[dict], schema_json: 
     out = None
     for bd, fl in sorted(by_batch.items()):
         part = spark.read.option("basePath", f"{root}/{bd}").parquet(*sorted(fl))
-        out = part if out is None else out.unionByName(part)
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     if out is None:
         from pyspark.sql.types import StructType
 

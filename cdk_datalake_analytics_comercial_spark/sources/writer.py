@@ -27,6 +27,33 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+FORMAT_CONF = "spark.datalake.tableFormat"
+
+
+def _table_format(spark: SparkSession, path: str) -> str:
+    """Resolve the storage format for a write to ``path``:
+
+    - an EXISTING txlog table always stays txlog (format is a property of
+      the table, detected from its ``_txlog`` log — the reference's
+      ``DeltaTable.isDeltaTable`` probe);
+    - otherwise the session conf ``spark.datalake.tableFormat`` decides
+      what NEW tables are created as (``parquet`` default, ``txlog`` for
+      the full Delta-parity surface: versioned commits, time travel, CDF,
+      snapshot isolation — the reference's production tables are all
+      Delta, `common_jobs_functions.py:271-319`).
+
+    One conf switch therefore routes the whole job layer through the
+    transactional format with no job-code changes."""
+    from .txlog import is_txlog_table
+
+    if is_txlog_table(spark, path):
+        return "txlog"
+    fmt = spark.conf.get(FORMAT_CONF, "parquet")
+    if fmt not in ("parquet", "txlog"):
+        raise ValueError(f"{FORMAT_CONF}={fmt!r}: expected parquet or txlog")
+    return fmt
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -34,7 +61,19 @@ def write_table(
     mode: str = "overwrite",
 ) -> None:
     """Overwrite write; with partitions this is a *dynamic* partition
-    overwrite (reference K1, `common_jobs_functions.py:306-319`)."""
+    overwrite (reference K1, `common_jobs_functions.py:306-319`). Routes
+    through the txlog format when the table (or the session default) is
+    txlog — same dynamic-overwrite semantics, transactional commit."""
+    spark = df.sparkSession
+    if _table_format(spark, path) == "txlog":
+        from .txlog import tx_write
+
+        if mode == "append":
+            tx_mode = "append"
+        else:
+            tx_mode = "overwrite_dynamic" if partition_by else "overwrite"
+        tx_write(spark, df, path, partition_by, mode=tx_mode)
+        return
     writer = df.write.format("parquet").mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by).option(
@@ -149,6 +188,17 @@ def merge_upsert(
     """
     from .reader import table_exists
 
+    if _table_format(spark, path) == "txlog":
+        from .txlog import tx_merge
+
+        tx_merge(
+            spark, source, path, keys,
+            partition_by=partition_by,
+            precedence=precedence,
+            schema_evolution=schema_evolution,
+        )
+        return
+
     if precedence is None:
         source = _dedup_on_keys(source, keys)
     else:
@@ -217,11 +267,11 @@ def merge_update_only(
 ) -> None:
     """MERGE with ``whenMatchedUpdateAll`` only — unmatched source rows are
     dropped (reference K4, `common_jobs_functions.py:323-337`)."""
-    from .reader import table_exists
+    from .reader import _read_parquet, table_exists
 
     if not table_exists(spark, path):
         return
-    target = spark.read.parquet(path)
+    target = _read_parquet(spark, path)
     source = _dedup_on_keys(source, keys)
     # rows of source that exist in target (these update), rest of target kept
     matched = source.join(target.select(*keys).distinct(), keys, "left_semi")
