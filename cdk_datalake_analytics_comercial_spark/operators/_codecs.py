@@ -3,12 +3,14 @@
 The engine's multimodal operators decode real payloads where the format is
 parseable without native codec libraries (none are in this environment):
 
-- images: PPM (binary ``P6``) and uncompressed 24-bit BMP (``BM``, BI_RGB)
+- images: PPM (binary ``P6``), uncompressed 24-bit BMP (``BM``, BI_RGB),
+  and 8-bit PNG (all color types, all row filters — PNG is zlib + per-row
+  filtering, fully decodable with stdlib ``zlib`` and numpy)
 - audio:  PCM WAV (``RIFF..WAVE``, 16-bit), parsed from the chunk layout
 - video:  a concatenated-P6 frame stream (an MJPEG-shaped uncompressed
   container: back-to-back PPM frames)
 
-Compressed codecs (JPEG/PNG/MP3/MP4) raise ``NotImplementedError`` — they
+Entropy-coded codecs (JPEG/MP3/MP4) raise ``NotImplementedError`` — they
 need libjpeg/ffmpeg-class dependencies; the operators keep the same
 Arrow-batched plumbing either way, so plugging a real codec in later does
 not change any plan shape.
@@ -20,6 +22,7 @@ unit-testable without Spark.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -111,15 +114,139 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → HxWx3 uint8 RGB, pure stdlib ``zlib`` + numpy.
+
+    PNG is a zlib-deflated stream of per-row-filtered scanlines — fully
+    decodable without native codec libraries. Supported: 8-bit depth, all
+    five color types (grayscale, RGB, palette, gray+alpha, RGBA — alpha is
+    dropped, palette resolved through PLTE), all five row filters
+    (None/Sub/Up/Average/Paeth). Adam7 interlacing and 1/2/4/16-bit depths
+    raise ``NotImplementedError``."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i = len(_PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        row = np.frombuffer(raw, np.uint8, stride, offset=base + 1).astype(np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 255
+        elif ftype == 1:  # Sub — sequential left dependency
+            cur = row.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 255
+        elif ftype == 3:  # Average
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 255
+        elif ftype == 4:  # Paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 255
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+
+    px = out.reshape(h, w, channels)
+    if color == 2:  # truecolor
+        return np.ascontiguousarray(px)
+    if color == 6:  # RGBA → drop alpha
+        return np.ascontiguousarray(px[:, :, :3])
+    if color == 0:  # grayscale
+        return np.repeat(px, 3, axis=2)
+    if color == 4:  # gray+alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(plte[px[:, :, 0]])  # palette
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → PNG (color type 2, filter 0 rows) — the
+    round-trip partner of :func:`decode_png` for property tests."""
+    h, w = img.shape[:2]
+    body = img.astype(np.uint8).reshape(h, w * 3)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     kind = sniff(payload)
     if kind == "ppm":
         return decode_ppm(payload)
     if kind == "bmp":
         return decode_bmp(payload)
+    if kind == "png":
+        return decode_png(payload)
     raise NotImplementedError(
         f"image codec '{kind}' needs a native library not present here; "
-        "supported uncompressed formats: PPM (P6), 24-bit BMP"
+        "supported formats: PPM (P6), 24-bit BMP, 8-bit PNG"
     )
 
 

@@ -13,6 +13,14 @@ The Spark-side contract — schemas, partitioning, Arrow batch shape through
   bytes — the oracle-checkable path the driver-contract queries use
   (documents' text bytes stand in for media payloads).
 
+Failure policy (100 TB corpora always contain some undecodable payloads):
+every decode operator takes ``on_error`` — ``"raise"`` (default: one bad
+payload fails the job, the strict mode tests want) or ``"skip"`` (the scale
+mode: the output schema gains an ``error`` string column; undecodable
+payloads yield one row with the media id, null feature fields and the
+error reason, so a run over a dirty corpus completes and reports exactly
+what it skipped).
+
 Design for 100 TB of media: binary payloads ride in their own column so
 column pruning skips them unless the stage needs bytes; work is
 ``repartition``-ed by a size-aware key before the decode stage so Arrow
@@ -94,6 +102,15 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return w, h, luma
 
 
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error={on_error!r}: expected 'raise' or 'skip'")
+
+
+def _with_error_col(schema: T.StructType) -> T.StructType:
+    return T.StructType(list(schema.fields) + [T.StructField("error", T.StringType())])
+
+
 def image_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -101,16 +118,22 @@ def image_features(
     feature_dim: int = 8,
     fake: bool = False,
     batch_partitions: int | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode + feature-extract images via ``mapInPandas``.
 
-    ``fake=False``: real decode for PPM/24-bit BMP (``_codecs``) — true
-    dimensions, Rec.601 mean luma, normalized ``feature_dim``-bin luma
-    histogram. Compressed codecs raise ``NotImplementedError`` inside the
-    same Arrow-batched iterator (plan shape identical).
+    ``fake=False``: real decode for PPM/24-bit BMP/8-bit PNG (``_codecs``)
+    — true dimensions, Rec.601 mean luma, normalized ``feature_dim``-bin
+    luma histogram. Entropy-coded codecs raise ``NotImplementedError``
+    inside the same Arrow-batched iterator (plan shape identical); with
+    ``on_error="skip"`` they become flagged rows instead (see module
+    docstring).
     """
+    _check_on_error(on_error)
     if batch_partitions:
         df = df.repartition(batch_partitions, F.col(id_col))
+    skip = on_error == "skip"
+    cols = ["media_id", "width", "height", "mean_luma", "features"]
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import _codecs
@@ -119,24 +142,30 @@ def image_features(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                if fake:
-                    w, h, luma = _fake_decode(b)
-                    feats = [
-                        float((w * (i + 1) + h) % 97) / 97.0 for i in range(feature_dim)
-                    ]
-                else:
-                    img = _codecs.decode_image(b)
-                    h, w = img.shape[:2]
-                    luma = float(_codecs.luma(img).mean()) / 255.0
-                    feats = _codecs.luma_histogram(img, feature_dim)
-                rows.append((int(mid), w, h, luma, feats))
-            yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "mean_luma", "features"]
-            )
+                try:
+                    if fake:
+                        w, h, luma = _fake_decode(b)
+                        feats = [
+                            float((w * (i + 1) + h) % 97) / 97.0
+                            for i in range(feature_dim)
+                        ]
+                    else:
+                        img = _codecs.decode_image(b)
+                        h, w = img.shape[:2]
+                        luma = float(_codecs.luma(img).mean()) / 255.0
+                        feats = _codecs.luma_histogram(img, feature_dim)
+                except (NotImplementedError, ValueError) as e:
+                    if not skip:
+                        raise
+                    rows.append((int(mid), None, None, None, None, str(e)))
+                    continue
+                rows.append(
+                    (int(mid), w, h, luma, feats) + ((None,) if skip else ())
+                )
+            yield pd.DataFrame(rows, columns=cols + (["error"] if skip else []))
 
-    return df.select(id_col, payload_col).mapInPandas(
-        decode_batches, schema=IMAGE_FEATURES_SCHEMA
-    )
+    schema = _with_error_col(IMAGE_FEATURES_SCHEMA) if skip else IMAGE_FEATURES_SCHEMA
+    return df.select(id_col, payload_col).mapInPandas(decode_batches, schema=schema)
 
 
 def image_resize(
@@ -146,6 +175,7 @@ def image_resize(
     target_w: int = 224,
     target_h: int = 224,
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Resize stage: payload → resized payload + new dims.
 
@@ -154,6 +184,8 @@ def image_resize(
     deterministic target size so batch shape and schema stay testable
     without image payloads.
     """
+    _check_on_error(on_error)
+    skip = on_error == "skip"
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -162,6 +194,9 @@ def image_resize(
             T.StructField("height", T.IntegerType()),
         ]
     )
+    if skip:
+        out_schema = _with_error_col(out_schema)
+    cols = ["media_id", "payload", "width", "height"]
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import _codecs
@@ -171,15 +206,23 @@ def image_resize(
             target_n = target_w * target_h // 64  # fake stand-in size
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                if fake:
-                    resized = (b * (target_n // max(len(b), 1) + 1))[:target_n]
-                else:
-                    img = _codecs.decode_image(b)
-                    resized = _codecs.encode_ppm(
-                        _codecs.resize_nearest(img, target_w, target_h)
-                    )
-                rows.append((int(mid), resized, target_w, target_h))
-            yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
+                try:
+                    if fake:
+                        resized = (b * (target_n // max(len(b), 1) + 1))[:target_n]
+                    else:
+                        img = _codecs.decode_image(b)
+                        resized = _codecs.encode_ppm(
+                            _codecs.resize_nearest(img, target_w, target_h)
+                        )
+                except (NotImplementedError, ValueError) as e:
+                    if not skip:
+                        raise
+                    rows.append((int(mid), None, None, None, str(e)))
+                    continue
+                rows.append(
+                    (int(mid), resized, target_w, target_h) + ((None,) if skip else ())
+                )
+            yield pd.DataFrame(rows, columns=cols + (["error"] if skip else []))
 
     return df.select(id_col, payload_col).mapInPandas(resize_batches, schema=out_schema)
 
@@ -190,6 +233,7 @@ def audio_features(
     id_col: str = "media_id",
     n_mfcc: int = 8,
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Audio decode + feature stage (duration, rms, MFCC vector).
 
@@ -198,6 +242,8 @@ def audio_features(
     ``NotImplementedError``; the fake derives deterministic values from the
     payload bytes.
     """
+    _check_on_error(on_error)
+    skip = on_error == "skip"
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -206,6 +252,9 @@ def audio_features(
             T.StructField("mfcc", T.ArrayType(T.FloatType())),
         ]
     )
+    if skip:
+        out_schema = _with_error_col(out_schema)
+    cols = ["media_id", "duration_ms", "rms", "mfcc"]
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import _codecs
@@ -214,21 +263,27 @@ def audio_features(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                if fake:
-                    dur = len(b) * 8  # fake: 8ms per byte
-                    rms = (
-                        sum(x * x for x in b[:256]) / max(min(len(b), 256), 1)
-                    ) ** 0.5 / 255.0
-                    coeffs = [
-                        float((len(b) * (i + 3)) % 31) / 31.0 for i in range(n_mfcc)
-                    ]
-                else:
-                    samples, rate = _codecs.decode_wav(b)
-                    dur = int(round(len(samples) / rate * 1000.0))
-                    rms = float((samples ** 2).mean() ** 0.5) if len(samples) else 0.0
-                    coeffs = _codecs.mfcc(samples, rate, n_mfcc=n_mfcc)
-                rows.append((int(mid), dur, rms, coeffs))
-            yield pd.DataFrame(rows, columns=["media_id", "duration_ms", "rms", "mfcc"])
+                try:
+                    if fake:
+                        dur = len(b) * 8  # fake: 8ms per byte
+                        rms = (
+                            sum(x * x for x in b[:256]) / max(min(len(b), 256), 1)
+                        ) ** 0.5 / 255.0
+                        coeffs = [
+                            float((len(b) * (i + 3)) % 31) / 31.0 for i in range(n_mfcc)
+                        ]
+                    else:
+                        samples, rate = _codecs.decode_wav(b)
+                        dur = int(round(len(samples) / rate * 1000.0))
+                        rms = float((samples ** 2).mean() ** 0.5) if len(samples) else 0.0
+                        coeffs = _codecs.mfcc(samples, rate, n_mfcc=n_mfcc)
+                except (NotImplementedError, ValueError) as e:
+                    if not skip:
+                        raise
+                    rows.append((int(mid), None, None, None, str(e)))
+                    continue
+                rows.append((int(mid), dur, rms, coeffs) + ((None,) if skip else ()))
+            yield pd.DataFrame(rows, columns=cols + (["error"] if skip else []))
 
     return df.select(id_col, payload_col).mapInPandas(feat_batches, schema=out_schema)
 
@@ -239,6 +294,7 @@ def frame_sample(
     id_col: str = "media_id",
     every_ms: int = 1000,
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame.
 
@@ -248,6 +304,8 @@ def frame_sample(
     ``NotImplementedError``. The fake derives a deterministic frame count
     from payload size so partitioning/explode behavior is testable.
     """
+    _check_on_error(on_error)
+    skip = on_error == "skip"
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -256,6 +314,9 @@ def frame_sample(
             T.StructField("frame", T.BinaryType()),
         ]
     )
+    if skip:
+        out_schema = _with_error_col(out_schema)
+    cols = ["media_id", "frame_idx", "ts_ms", "frame"]
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import _codecs
@@ -264,22 +325,35 @@ def frame_sample(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                if fake:
-                    n_frames = max(1, len(b) // 100)
-                    for i in range(min(n_frames, 10)):
-                        rows.append((int(mid), i, i * every_ms, b[:16]))
-                else:
-                    # concatenated-P6 stream at a nominal 1 frame/sec: keep
-                    # every (every_ms/1000)th frame
-                    frames = _codecs.split_ppm_stream(b)
-                    if not frames:
-                        raise NotImplementedError(
-                            "compressed video needs ffmpeg-class codecs; "
-                            "supported container: concatenated P6 frames"
-                        )
-                    step = max(1, every_ms // 1000)
-                    for i in range(0, len(frames), step):
-                        rows.append((int(mid), i, i * 1000, frames[i]))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms", "frame"])
+                try:
+                    if fake:
+                        n_frames = max(1, len(b) // 100)
+                        frame_rows = [
+                            (int(mid), i, i * every_ms, b[:16])
+                            for i in range(min(n_frames, 10))
+                        ]
+                    else:
+                        # concatenated-P6 stream at a nominal 1 frame/sec:
+                        # keep every (every_ms/1000)th frame
+                        frames = _codecs.split_ppm_stream(b)
+                        if not frames:
+                            raise NotImplementedError(
+                                "compressed video needs ffmpeg-class codecs; "
+                                "supported container: concatenated P6 frames"
+                            )
+                        step = max(1, every_ms // 1000)
+                        frame_rows = [
+                            (int(mid), i, i * 1000, frames[i])
+                            for i in range(0, len(frames), step)
+                        ]
+                except (NotImplementedError, ValueError) as e:
+                    if not skip:
+                        raise
+                    rows.append((int(mid), None, None, None, str(e)))
+                    continue
+                rows.extend(
+                    r + ((None,) if skip else ()) for r in frame_rows
+                )
+            yield pd.DataFrame(rows, columns=cols + (["error"] if skip else []))
 
     return df.select(id_col, payload_col).mapInPandas(sample_batches, schema=out_schema)

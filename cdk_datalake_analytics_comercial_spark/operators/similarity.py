@@ -101,12 +101,28 @@ def cosine_topk_bruteforce(
     )
 
 
+def _assert_bounded(df: DataFrame, max_rows: int, what: str) -> None:
+    """Fail fast when a documented-small DataFrame is about to be
+    materialized on the driver beyond its contract: a cheap
+    ``limit(max_rows+1)`` count — one extra row is enough to prove the
+    violation — instead of letting ``collect()`` OOM the driver with an
+    opaque heap error."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what} exceeds its driver-side bound of {max_rows} rows; "
+            "use the distributed variant (cosine_pairs_blockdist / a "
+            "bucketed pipeline) or raise max_rows explicitly"
+        )
+
+
 def cosine_pairs_blockwise(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
     scale: int = 1_000_000,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact all-pairs cosine (id_a < id_b, cosine ≥ threshold) via
     block-broadcast numpy matmul.
@@ -119,9 +135,12 @@ def cosine_pairs_blockwise(
     trees (measured 40× on 2000×64).
 
     NOTE: this variant materializes the corpus on the driver — use it only
-    as the in-bucket kernel for pre-bucketed slices. The default all-pairs
-    path is :func:`cosine_pairs_blockdist` (same output, fully distributed).
+    as the in-bucket kernel for pre-bucketed slices; ``max_rows`` enforces
+    that contract (fail-fast instead of a driver OOM). The default
+    all-pairs path is :func:`cosine_pairs_blockdist` (same output, fully
+    distributed).
     """
+    _assert_bounded(df, max_rows, "cosine_pairs_blockwise corpus")
     from pyspark.sql import types as T_
 
     from ._vectorized import make_cosine_pairs_mapper
@@ -475,6 +494,7 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebooks: list | None = None,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance (ADC): corpus vectors
     compress to ``n_sub`` codebook codes (dim·4 bytes → n_sub bytes — the
@@ -492,6 +512,7 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
+    _assert_bounded(queries, max_queries, "pq_topk query side")
     cbs = codebooks if codebooks is not None else pq_codebooks(
         corpus, dim, n_sub, n_cent, vec_col, id_col
     )

@@ -3,6 +3,8 @@ LSH bucket variant sanity (self-bucket always matches)."""
 
 import math
 
+from pyspark.sql import functions as F
+
 from cdk_datalake_analytics_comercial_spark.operators import similarity as S
 
 
@@ -246,3 +248,34 @@ def test_ivfpq_subset_of_pq_candidates(spark):
     for r in got:
         key = (r["query_id"], r["corpus_id"])
         assert key in full and full[key] == r["d2"]
+
+
+def test_blockwise_guard_rejects_oversized_corpus(spark):
+    """cosine_pairs_blockwise materializes the corpus on the driver — its
+    documented-small contract is now ENFORCED: oversize input fails fast
+    with a pointer to the distributed variant, not a driver OOM."""
+    import pytest
+
+    df = spark.range(6).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.1)] * 4).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="driver-side bound"):
+        S.cosine_pairs_blockwise(df, max_rows=5)
+    # within bounds still works
+    assert S.cosine_pairs_blockwise(df, max_rows=6, threshold=0.5).count() > 0
+
+
+def test_pq_topk_guard_rejects_oversized_query_side(spark):
+    import pytest
+
+    corpus = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 3).cast("float")] * 8).alias("embedding"),
+    )
+    queries = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="driver-side bound"):
+        S.pq_topk(corpus, queries, dim=8, max_queries=3)
