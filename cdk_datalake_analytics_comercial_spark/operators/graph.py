@@ -134,45 +134,53 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("node").alias("v"), "label"), "v"
-            )
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        stepped = labels.join(
-            nbr_min.select(F.col("u").alias("node"), "nbr_min"), "node", "left"
-        ).select(
-            "node",
-            F.col("label").alias("old_label"),
-            F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
-        )
-        # pointer jump: label := min(label, label(label)) — path compression
-        jumped = (
-            stepped.alias("a")
-            .join(
-                stepped.select(
-                    F.col("node").alias("label"), F.col("label").alias("hop")
-                ).alias("b"),
-                "label",
-                "left",
-            )
-            .select(
-                "node",
-                "old_label",
-                F.least(F.col("label"), F.coalesce("hop", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
-        )
+        jumped = cc_round(edges, labels).localCheckpoint()
         changed = jumped.filter(F.col("label") != F.col("old_label")).count()
         labels = jumped.select("node", "label")
         if changed == 0:
             break
 
     return labels.select("node", F.col("label").alias("component"))
+
+
+def cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE Hash-Min + pointer-jump round of :func:`connected_components`:
+    (node, old_label, label). Factored out so the per-ROUND physical plan
+    is independently compilable — the converged result the audit tooling
+    would otherwise see is a checkpoint read with zero shuffles, which
+    hides the O(log n) rounds × per-round shuffles the operator really
+    costs (tools/plan_report.py marks these queries ``iterative`` and
+    reports this round's shape)."""
+    nbr_min = (
+        edges.join(labels.select(F.col("node").alias("v"), "label"), "v")
+        .groupBy("u")
+        .agg(F.min("label").alias("nbr_min"))
+    )
+    stepped = labels.join(
+        nbr_min.select(F.col("u").alias("node"), "nbr_min"), "node", "left"
+    ).select(
+        "node",
+        F.col("label").alias("old_label"),
+        F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+    )
+    # pointer jump: label := min(label, label(label)) — path compression
+    return (
+        stepped.alias("a")
+        .join(
+            stepped.select(
+                F.col("node").alias("label"), F.col("label").alias("hop")
+            ).alias("b"),
+            "label",
+            "left",
+        )
+        .select(
+            "node",
+            "old_label",
+            F.least(F.col("label"), F.coalesce("hop", F.col("label"))).alias(
+                "label"
+            ),
+        )
+    )
 
 
 def keep_canonical(
