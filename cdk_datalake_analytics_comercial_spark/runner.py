@@ -37,6 +37,7 @@ from pyspark.sql import SparkSession
 
 from .core.catalog import Catalog
 from .core.periods import get_periods
+from .sources.metrics import collect_writes
 from .sources.registry import SchemaRegistry
 
 
@@ -77,6 +78,8 @@ class JobResult:
     wave: int
     seconds: float
     error: str | None = None
+    rows_written: int | None = None  # observed across the job's table writes
+    writes: int | None = None
 
 
 def parse_config_csv(text: str, layer: str | None = None) -> list[JobConfig]:
@@ -196,10 +199,18 @@ def run_waves(
                 last_err = None
                 for _attempt in range(retries + 1):
                     try:
-                        fn(make_context(cfg))
+                        # rows_written piggybacks on the job's own write
+                        # actions via Observations (sources/metrics.py) —
+                        # the reference logs per-table status to DynamoDB
+                        # (common_jobs_functions.py:608-654); the engine
+                        # adds row counts at zero extra scans
+                        with collect_writes() as wm:
+                            fn(make_context(cfg))
                         return JobResult(
                             cfg.procedure, "succeeded", wave,
                             round(time.time() - t0, 3),
+                            rows_written=wm.rows_written,
+                            writes=wm.writes,
                         )
                     except Exception:
                         last_err = traceback.format_exc(limit=3)
@@ -239,6 +250,8 @@ def write_status_log(results: list[JobResult], path: str, run_id: str | None = N
                         "status": r.status,
                         "wave": r.wave,
                         "seconds": r.seconds,
+                        "rows_written": r.rows_written,
+                        "writes": r.writes,
                         "error": r.error,
                     }
                 )

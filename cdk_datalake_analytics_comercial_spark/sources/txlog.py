@@ -243,10 +243,14 @@ def _write_batch(
     # validate stat column types BEFORE writing — unsupported types would
     # otherwise poison the manifest with uncomparable values
     tags = {c: _stat_tag(df.schema[c].dataType) for c in stat_cols}
+    from .metrics import observe_write
+
+    df, finish = observe_write(df)
     writer = df.write.format("parquet").mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(batch_dir)
+    finish(path)
     spark = df.sparkSession
     rels = _list_parquet_files(spark, batch_dir)
     stats: dict[str, dict] = {}

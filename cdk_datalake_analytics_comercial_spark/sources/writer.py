@@ -74,12 +74,16 @@ def write_table(
             tx_mode = "overwrite_dynamic" if partition_by else "overwrite"
         tx_write(spark, df, path, partition_by, mode=tx_mode)
         return
+    from .metrics import observe_write
+
+    df, finish = observe_write(df)
     writer = df.write.format("parquet").mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by).option(
             "partitionOverwriteMode", "dynamic"
         )
     writer.save(path)
+    finish(path)
 
 
 def insert_into_table(
@@ -128,10 +132,21 @@ def _stage_and_swap(
     partition-scoped). Orphaned ``.__merge_staging__*`` siblings from hard
     kills are junk outside the table path and never read.
     """
+    from .metrics import observe_write
+
     staging = f"{path.rstrip('/')}.__merge_staging__{uuid.uuid4().hex}"
-    merged.write.format("parquet").save(staging)
+    observed, finish = observe_write(merged)
+    observed.write.format("parquet").save(staging)
+    finish(path)
     try:
-        write_table(spark.read.parquet(staging), path, partition_by)
+        # plain parquet swap (not write_table) so the merge counts once
+        restored = spark.read.parquet(staging)
+        writer = restored.write.format("parquet").mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by).option(
+                "partitionOverwriteMode", "dynamic"
+            )
+        writer.save(path)
     finally:
         _delete_path(spark, staging)
 

@@ -24,6 +24,13 @@ def test_full_52_job_pipeline(spark, tmp_path):
     assert not failed, "\n".join(f"{r.name}: {r.error}" for r in failed)
     assert len(dr) == 31 and len(ar) == 22  # 21 reference jobs + fact_venta_resumen
 
+    # per-job observability: every one of the 53 jobs reports the rows it
+    # wrote (observed on its own write actions — no extra scan), and every
+    # job in this universe writes at least one row
+    for r in dr + ar:
+        assert r.rows_written is not None and r.writes >= 1, r.name
+        assert r.rows_written >= 1, f"{r.name} reported zero rows written"
+
     lake = Catalog(root=root)
     # every domain table landed with rows (stage universe is coherent)
     for table in [

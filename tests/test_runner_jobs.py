@@ -1608,3 +1608,47 @@ def test_run_waves_retries_flaky_job(spark):
     attempts["n"] = 0
     res = run_waves(cfgs, reg, lambda c: None, retries=1)
     assert res[0].status == "succeeded" and attempts["n"] == 2
+
+
+def test_rows_written_observed_per_job(spark, lake, tmp_path):
+    """Every job's status-log line carries the rows it wrote, observed by
+    piggybacking count metrics on the job's own write actions (no extra
+    scan) — for both the parquet and txlog write paths."""
+    import json
+
+    from cdk_datalake_analytics_comercial_spark.runner import write_status_log
+    from cdk_datalake_analytics_comercial_spark.sources.writer import (
+        FORMAT_CONF, merge_upsert, write_table,
+    )
+
+    def writer_job(ctx):
+        df = ctx.spark.range(7).select(F.col("id").alias("k"))
+        write_table(df, ctx.catalog.table_path(Layer.DOMAIN, "obs_plain"))
+        merge_upsert(
+            ctx.spark,
+            ctx.spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("v")),
+            ctx.catalog.table_path(Layer.DOMAIN, "obs_merged"),
+            keys=["k"],
+        )
+
+    reg = JobRegistry()
+    reg.add("writer_job", writer_job)
+    results = run_waves([JobConfig("domain", "writer_job", 1)], reg, make_ctx(spark, lake))
+    assert results[0].status == "succeeded"
+    assert results[0].rows_written == 12  # 7 overwrite + 5 merge
+    assert results[0].writes == 2
+    log = tmp_path / "status.jsonl"
+    write_status_log(results, str(log), run_id="r1")
+    line = json.loads(log.read_text().splitlines()[0])
+    assert line["rows_written"] == 12 and line["writes"] == 2
+
+    # txlog path observes identically
+    spark.conf.set(FORMAT_CONF, "txlog")
+    try:
+        results = run_waves(
+            [JobConfig("domain", "writer_job", 1)], reg, make_ctx(spark, lake)
+        )
+    finally:
+        spark.conf.unset(FORMAT_CONF)
+    assert results[0].status == "succeeded"
+    assert results[0].rows_written == 12
