@@ -803,6 +803,63 @@ def tx_diff(
     )
 
 
+_Z_BITS = 8  # quantile buckets per column: 2^8 ranks, interleaved
+
+
+def _zorder_key(df: DataFrame, cols: list[str]) -> "F.Column":
+    """Morton (Z-order) key over ``cols``: each column is quantile-ranked
+    into 2^8 buckets (equi-DEPTH, so skew cannot collapse the key space),
+    and the per-column bucket bits are interleaved. Sorting by this key
+    gives every output file a small hyper-RECTANGLE of the value space, so
+    per-file min/max stats are selective for predicates on ANY clustered
+    column — lexicographic sort is selective only for the leading one.
+
+    Bucket thresholds come from one ``approxQuantile`` pass (driver-side
+    list of 2^8 floats per column — bounded metadata, not data). Numeric
+    columns only: ranking needs a total order the quantile sketch
+    understands."""
+    from pyspark.sql import types as T
+
+    n_buckets = 1 << _Z_BITS
+    for c in cols:
+        if not isinstance(
+            df.schema[c].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType),
+        ):
+            raise ValueError(
+                f"zorder column {c!r} must be numeric "
+                f"(got {df.schema[c].dataType.simpleString()})"
+            )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    thresholds = df.stat.approxQuantile(list(cols), probs, 0.001)
+    bucket_cols = []
+    for c, ts in zip(cols, thresholds):
+        # dedup thresholds (constant-ish columns) keeping sort order
+        uniq = sorted(set(ts))
+        arr = F.array(*[F.lit(float(v)) for v in uniq])
+        # bucket = how many thresholds the value passed — an O(|uniq|)
+        # aggregate per row, fine for a compaction rewrite
+        bucket_cols.append(
+            F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, t: acc + F.when(
+                    F.col(c).cast("double") >= t, 1
+                ).otherwise(0),
+            )
+        )
+    # interleave: bit i of column j lands at position i*len(cols)+j
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        for j, b in enumerate(bucket_cols):
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                i * len(bucket_cols) + j,
+            )
+    return z
+
+
 def tx_compact(
     spark: SparkSession,
     path: str,
@@ -810,6 +867,7 @@ def tx_compact(
     n_files: int | None = None,
     stats_for: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> int:
     """Small-file compaction (OPTIMIZE): rewrite the current snapshot as
     one fresh batch — collapses the per-commit batch dirs a long history
@@ -824,15 +882,29 @@ def tx_compact(
     stats become maximally selective — a ranged read then opens ~one file
     instead of all of them (incremental appends interleave ranges across
     files; clustering un-interleaves them). Clustered columns are added
-    to ``stats_for`` automatically."""
+    to ``stats_for`` automatically.
+
+    ``zorder=True`` (with ≥2 ``cluster_by`` columns): cluster on the
+    interleaved-bit Morton key instead of the lexicographic tuple, so
+    2-column predicates skip files on BOTH columns — lexicographic
+    clustering leaves the second column's per-file ranges near-full-width
+    (every file spans all of col2 within its col1 slice)."""
     df = tx_read(spark, path)
     if cluster_by:
-        cols = [F.col(c) for c in cluster_by]
-        df = (
-            df.repartitionByRange(n_files, *cols)
-            if n_files
-            else df.repartitionByRange(*cols)
-        ).sortWithinPartitions(*cols)
+        if zorder and len(cluster_by) >= 2:
+            df = df.withColumn("_zkey", _zorder_key(df, cluster_by))
+            df = (
+                df.repartitionByRange(n_files, F.col("_zkey"))
+                if n_files
+                else df.repartitionByRange(F.col("_zkey"))
+            ).sortWithinPartitions("_zkey").drop("_zkey")
+        else:
+            cols = [F.col(c) for c in cluster_by]
+            df = (
+                df.repartitionByRange(n_files, *cols)
+                if n_files
+                else df.repartitionByRange(*cols)
+            ).sortWithinPartitions(*cols)
         stats_for = sorted(set(stats_for or []) | set(cluster_by))
     elif n_files:
         df = (

@@ -639,3 +639,75 @@ def test_vacuum_rejects_keep_versions_zero(spark, tmp_path):
         TX.tx_vacuum(spark, p, keep_versions=0, retain_hours=0)
     # table untouched
     assert rows(TX.tx_read(spark, p)) == [(1,)]
+
+
+def test_zorder_compaction_skips_on_both_columns(spark, tmp_path):
+    """Interleaved-bit (Morton) clustering: a 2-column box predicate must
+    skip files on BOTH columns. Lexicographic clustering on (x, y) makes
+    y-stats useless (every file spans y's full width inside its x slice);
+    the z-ordered layout bounds both, so a small box opens a small
+    fraction of the files."""
+    import random
+
+    rng = random.Random(11)
+    grid = [(x, y, x * 100 + y) for x in range(64) for y in range(64)]
+    rng.shuffle(grid)
+
+    def seed(path):
+        # 8 interleaved appends — the worst-case un-clustered history
+        for i in range(8):
+            chunk = grid[i * 512 : (i + 1) * 512]
+            TX.tx_write(
+                spark,
+                spark.createDataFrame(chunk, "x long, y long, v long").coalesce(1),
+                path, mode="append" if i else "overwrite", stats_for=["x", "y"],
+            )
+
+    def opened(path, where):
+        m = TX.read_manifest(spark, path, TX.current_version(spark, path))
+        return (
+            sum(1 for f in m["files"] if TX._file_overlaps(f, where)),
+            len(m["files"]),
+        )
+
+    p_lex = str(tmp_path / "lex")
+    seed(p_lex)
+    TX.tx_compact(spark, p_lex, n_files=16, cluster_by=["x", "y"])
+
+    p_z = str(tmp_path / "zord")
+    seed(p_z)
+    TX.tx_compact(spark, p_z, n_files=16, cluster_by=["x", "y"], zorder=True)
+
+    # THE z-order case: a predicate on the SECOND column only. Under
+    # lexicographic (x, y) clustering every file spans y's full width
+    # (y-stats are useless), so all files open; the Morton layout bounds
+    # y per file too.
+    y_only = {"y": (8, 15)}
+    lex_opened, lex_total = opened(p_lex, y_only)
+    z_opened, z_total = opened(p_z, y_only)
+    assert lex_opened == lex_total  # lexicographic cannot skip on y
+    assert z_opened < lex_opened, (z_opened, lex_opened)
+    assert z_opened <= z_total // 2
+
+    # a 2-column box also stays far from open-everything
+    box = {"x": (8, 15), "y": (8, 15)}
+    z_box, _ = opened(p_z, box)
+    assert z_box <= z_total // 2
+
+    # correctness: the pruned reads return exactly the predicate rows
+    got = sorted(
+        (r["x"], r["y"]) for r in TX.tx_read(spark, p_z, where=box).collect()
+    )
+    assert got == sorted((x, y) for x in range(8, 16) for y in range(8, 16))
+    assert TX.tx_read(spark, p_z, where=y_only).count() == 64 * 8
+
+
+def test_zorder_rejects_non_numeric_columns(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "zbad")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "a")], "x long, s string"), p
+    )
+    with pytest.raises(ValueError, match="must be numeric"):
+        TX.tx_compact(spark, p, cluster_by=["x", "s"], zorder=True)
