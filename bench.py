@@ -51,6 +51,7 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_pq_topk",
     "emb_ivfpq_topk",
+    "emb_ivfpq_residual_topk",
     "emb_near_dup",
     "events_tumbling",
     "events_sliding",

@@ -798,6 +798,100 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(e, q, dim=64, k=5, n_cells=8, n_sub=16, n_cent=16)
 
 
+def _build_ivfpq_residual_oracle(sf_dir: str | None = None) -> str | None:
+    """Residual IVF-PQ oracle: retrain the coarse quantizer AND the
+    residual-space codebooks with the shared trainer
+    (``residual_codebooks_from_sample``), inline all literals. Every row's
+    residual is taken against its own cell's centroid; the equal-cell join
+    makes that identical to the engine's probed-cell residual."""
+    import os
+
+    n_cells, n_sub, n_cent, dim = 8, 16, 16, 64
+    sub = dim // n_sub
+    try:
+        import duckdb
+        import numpy as np
+
+        from ..operators.similarity import (
+            lloyd_centroids,
+            quantize,
+            residual_codebooks_from_sample,
+        )
+
+        sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+        con = duckdb.connect()
+        rows = con.sql(
+            f"SELECT embedding FROM read_parquet('{sf}/embeddings.parquet') "
+            "ORDER BY vec_id LIMIT 4096"
+        ).fetchall()
+        con.close()
+        if not rows:
+            return None
+        x = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+        ivf = [[quantize(v) for v in row] for row in lloyd_centroids(x, n_cells, 3)]
+        rcb_int = residual_codebooks_from_sample(x, ivf, n_sub, n_cent)
+    except Exception:
+        return None
+
+    ivf_sql = (
+        "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in ivf) + "]"
+    )
+    cents = [
+        "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in cb) + "]"
+        for cb in rcb_int
+    ]
+    dist_cols = ", ".join(
+        f"""list_transform({cents[s]}, c ->
+           list_sum(list_transform(range(1, {sub + 1}), j ->
+             (riv[{s * sub} + j] - c[j]) * (riv[{s * sub} + j] - c[j])))) AS d_{s}"""
+        for s in range(n_sub)
+    )
+    code_cols = ", ".join(
+        f"list_position(d_{s}, list_min(d_{s})) AS code_{s}" for s in range(n_sub)
+    )
+    recon = " || ".join(f"list_extract({cents[s]}, code_{s})" for s in range(n_sub))
+    return f"""
+WITH iv AS (
+  SELECT vec_id, {_SQL_IV} AS iv FROM embeddings
+), celld AS (
+  SELECT vec_id, iv,
+         list_transform({ivf_sql}, c ->
+           list_sum(list_transform(range(1, {dim + 1}), j -> (iv[j] - c[j]) * (iv[j] - c[j])))) AS cd
+  FROM iv
+), resid AS (
+  SELECT vec_id, list_position(cd, list_min(cd)) AS cell,
+         list_transform(range(1, {dim + 1}), j ->
+           iv[j] - list_extract(list_extract({ivf_sql}, list_position(cd, list_min(cd))), j)) AS riv
+  FROM celld
+), dists AS (
+  SELECT vec_id, cell, riv, {dist_cols} FROM resid
+), codes AS (
+  SELECT vec_id, cell, riv, {code_cols} FROM dists
+), recon AS (
+  SELECT vec_id, cell, riv, {recon} AS rrv FROM codes
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+         CAST(list_sum(list_transform(range(1, {dim + 1}), j ->
+           (a.riv[j] - b.rrv[j]) * (a.riv[j] - b.rrv[j]))) AS BIGINT) AS d2
+  FROM recon a JOIN recon b
+    ON a.vec_id < 20 AND a.cell = b.cell AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, d2, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ: codes quantize v − centroid(cell) (FAISS default)."""
+    from ..operators.similarity import ivf_pq_residual_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return ivf_pq_residual_topk(e, q, dim=64, k=5, n_cells=8, n_sub=16, n_cent=16)
+
+
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k: corpus compressed to 4 codebook
     codes, queries score via integer lookup tables; codebooks train on the
@@ -1621,6 +1715,7 @@ QUERIES = {
     "emb_ivf_multiprobe": q_emb_ivf_multiprobe,
     "emb_pq_topk": q_emb_pq_topk,
     "emb_ivfpq_topk": q_emb_ivfpq_topk,
+    "emb_ivfpq_residual_topk": q_emb_ivfpq_residual_topk,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_frames": q_multimodal_frames,
@@ -1676,3 +1771,6 @@ if _PQ_ORACLE:
 _IVFPQ_ORACLE = _build_ivfpq_oracle()
 if _IVFPQ_ORACLE:
     ORACLES["emb_ivfpq_topk"] = _IVFPQ_ORACLE
+_IVFPQ_RES_ORACLE = _build_ivfpq_residual_oracle()
+if _IVFPQ_RES_ORACLE:
+    ORACLES["emb_ivfpq_residual_topk"] = _IVFPQ_RES_ORACLE

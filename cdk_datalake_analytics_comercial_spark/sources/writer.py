@@ -139,16 +139,28 @@ def _stage_and_swap(
     observed.write.format("parquet").save(staging)
     finish(path)
     try:
-        # plain parquet swap (not write_table) so the merge counts once
-        restored = spark.read.parquet(staging)
-        writer = restored.write.format("parquet").mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by).option(
-                "partitionOverwriteMode", "dynamic"
-            )
-        writer.save(path)
+        _overwrite_from_staging(spark, staging, path, partition_by)
     finally:
         _delete_path(spark, staging)
+
+
+def _overwrite_from_staging(
+    spark: SparkSession,
+    staging: str,
+    path: str,
+    partition_by: list[str] | None,
+) -> None:
+    """The swap half of the merge commit: plain parquet overwrite of the
+    target from the durable staging copy (not ``write_table`` — the merge
+    already counted its rows at the staging write). Module-level so the
+    crash-safety test can kill the process exactly between stage and swap."""
+    restored = spark.read.parquet(staging)
+    writer = restored.write.format("parquet").mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by).option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    writer.save(path)
 
 
 def _evolve_schemas(

@@ -183,20 +183,20 @@ def test_merge_crash_before_swap_leaves_target_intact(spark, lake):
     write_table(target, path, ["id_pais"])
     src = spark.createDataFrame([("k2", "PE", 20)], "id string, id_pais string, v int")
 
-    real_write_table = W.write_table
     calls = {"n": 0}
 
-    def dying_write_table(df, p, partition_by=None, mode="overwrite"):
-        # the swap call targets the table path — die right before it
-        if p == path:
-            calls["n"] += 1
-            raise RuntimeError("simulated crash before target overwrite")
-        return real_write_table(df, p, partition_by, mode)
+    def dying_swap(spark_, staging, p, partition_by=None):
+        # die right before the target overwrite; the staging write already
+        # happened (asserted below) so this is the stage/swap boundary
+        calls["n"] += 1
+        calls["staging_rows"] = spark_.read.parquet(staging).count()
+        raise RuntimeError("simulated crash before target overwrite")
 
-    with mock.patch.object(W, "write_table", side_effect=dying_write_table):
+    with mock.patch.object(W, "_overwrite_from_staging", side_effect=dying_swap):
         with pytest.raises(RuntimeError, match="simulated crash"):
             merge_upsert(spark, src, path, keys=["id"], partition_by=["id_pais"])
-    assert calls["n"] == 1  # the staged write happened, the swap was attempted
+    assert calls["n"] == 1  # the swap was attempted
+    assert calls["staging_rows"] == 2  # ...with the full merged result staged
     # target untouched by the failed merge
     out = spark.read.parquet(path).select("id", "id_pais", "v")
     assert rows(out) == [("k1", "PE", 1), ("k2", "PE", 2)]

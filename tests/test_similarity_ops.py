@@ -250,6 +250,80 @@ def test_ivfpq_subset_of_pq_candidates(spark):
         assert key in full and full[key] == r["d2"]
 
 
+def test_ivfpq_residual_matches_numpy_rederivation(spark):
+    """Residual IVF-PQ against a from-scratch numpy re-derivation: retrain
+    both quantizers with the shared trainers, assign cells and residual
+    codes for the whole corpus, compute every equal-cell ADC distance, and
+    demand the operator's top-5 (with the (d2, corpus_id) tie-break) match
+    EXACTLY — this exercises the Spark plumbing (cell assignment, code UDF,
+    broadcast join, ranking) end-to-end, not just the trainer."""
+    import numpy as np
+
+    from cdk_datalake_analytics_comercial_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        lloyd_centroids,
+        quantize,
+        residual_codebooks_from_sample,
+    )
+    from cdk_datalake_analytics_comercial_spark.plans.common import t as tt
+
+    sf = "/root/testdata/sf0.001"
+    e = tt(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    n_cells, n_sub, n_cent, dim, k = 4, 16, 16, 64, 5
+    sub = dim // n_sub
+
+    rows_ = sorted(e.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    ids = np.array([r["vec_id"] for r in rows_])
+    x = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows_])
+
+    cents_int = np.array(
+        [[quantize(v) for v in row] for row in lloyd_centroids(x[:4096], n_cells, 3)],
+        dtype=np.int64,
+    )
+    rcb = np.array(
+        residual_codebooks_from_sample(x[:4096], cents_int.tolist(), n_sub, n_cent),
+        dtype=np.int64,
+    )
+    # int-scaled corpus (same rounding as int_scaled/quantize), cells, codes
+    xi = np.array([[quantize(v) for v in row] for row in x], dtype=np.int64)
+    cell = ((xi[:, None, :] - cents_int[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    R = xi - cents_int[cell]
+    codes = np.empty((len(xi), n_sub), dtype=np.int64)
+    for s in range(n_sub):
+        diff = R[:, s * sub : (s + 1) * sub][:, None, :] - rcb[s][None, :, :]
+        codes[:, s] = (diff * diff).sum(axis=2).argmin(axis=1)
+
+    expected = {}
+    for qi in range(5):
+        qrow = np.where(ids == qi)[0][0]
+        qr = R[qrow]
+        cand = [
+            i for i in range(len(ids)) if cell[i] == cell[qrow] and ids[i] != qi
+        ]
+        scored = []
+        for i in cand:
+            d2 = 0
+            for s in range(n_sub):
+                d = qr[s * sub : (s + 1) * sub] - rcb[s][codes[i, s]]
+                d2 += int((d * d).sum())
+            scored.append((d2, int(ids[i])))
+        scored.sort()
+        expected[qi] = [
+            (qi, cid, d2, r + 1) for r, (d2, cid) in enumerate(scored[:k])
+        ]
+
+    got = ivf_pq_residual_topk(
+        e, q, dim=dim, k=k, n_cells=n_cells, n_sub=n_sub, n_cent=n_cent
+    ).collect()
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["query_id"], r["corpus_id"], r["d2"], r["rank"])
+        )
+    assert got_by_q == expected
+
+
 def test_blockwise_guard_rejects_oversized_corpus(spark):
     """cosine_pairs_blockwise materializes the corpus on the driver — its
     documented-small contract is now ENFORCED: oversize input fails fast
