@@ -4,7 +4,7 @@ from .relational import (
     top1_per_group,
     top1_per_group_agg,
 )
-from . import asof, contamination, dedup, dq, graph, multimodal, pack, similarity, skew, text
+from . import asof, contamination, dedup, dq, graph, multimodal, pack, similarity, sketches, skew, text, timeseries
 
 __all__ = [
     "top1_per_group",
@@ -19,6 +19,8 @@ __all__ = [
     "multimodal",
     "pack",
     "similarity",
+    "sketches",
     "skew",
     "text",
+    "timeseries",
 ]

@@ -1,0 +1,76 @@
+"""Mergeable-sketch operators with oracle-portable determinism.
+
+The built-in ``approx_count_distinct`` (HLL++) is the right default on a
+cluster, but its sketch is engine-specific — no external system can
+reproduce the estimate, so it can only ever be rows-checked. The KMV
+(k-minimum-values) sketch here is the portable alternative: the hash is
+the engine's shared 60-bit md5 prefix (`operators/dedup.py` portable
+mode), so DuckDB rebuilds the identical sketch and the differential
+harness hash-matches the *estimate itself*, not just row counts.
+
+Reference parity note: the reference has no sketch layer (its distinct
+counts are exact, `fact_kpi_detalle.py` COUNT DISTINCT style); this module
+is part of the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# hashes are 60-bit md5 prefixes: uniform on [0, 2^60)
+_HASH_SPACE = float(2**60)
+
+
+def portable_hash60(col: Column) -> Column:
+    """Shared 60-bit hash (15 md5 hex digits — exact in long): the same
+    construction every portable-mode sketch in this engine uses, bit-equal
+    to DuckDB's shift-sum twin."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) per group via the k-minimum-values
+    sketch: keep the k smallest distinct hash values per group; if the
+    sketch saturated, the k-th smallest hash at fraction f of the hash
+    space estimates (k-1)/f distinct values; an unsaturated sketch IS the
+    exact count.
+
+    Output: group cols + ``n_kept`` (sketch fill), ``kth_hash`` (the
+    sketch boundary), ``kmv_estimate``.
+
+    Scale shape: one distinct shuffle on (group, value) then one bounded
+    window shuffle on the group key — per-group state after the filter is
+    ≤ k rows regardless of cardinality, which is the point: the sketch
+    (k longs) is what a 1000-executor rollup ships per group, not the
+    value set. The two shuffles share the group-key partitioning. KMV
+    sketches are also trivially mergeable (union the hash sets, re-take
+    the k smallest) — re-aggregation to coarser groups never rescans."""
+    vals = df.select(*group_cols, F.col(value_col).alias("_v")).distinct()
+    hashed = vals.withColumn("_h", portable_hash60(F.col("_v")))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_h").asc(), F.col("_v").asc()
+    )
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth_hash").cast("double") / F.lit(_HASH_SPACE))
+    )
+    return (
+        kept.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.max("_h").alias("kth_hash"),
+        )
+        .withColumn("kmv_estimate", F.round(est, 4))
+    )

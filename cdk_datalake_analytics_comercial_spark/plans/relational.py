@@ -1181,6 +1181,195 @@ FROM tiled GROUP BY decile
 """
 
 
+# --------------------------------------------------------------------------
+# CUBE + grouping_id: every aggregation level of (status, priority) in one
+# pass (Spark plans one Expand + one shuffle, not 4 scans). gid
+# disambiguates a subtotal row from a natural value (the reference's
+# multi-level union ladders, e.g. fact_kpi levels, get this for free here).
+
+
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<ALL>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<ALL>")).alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+_ORACLE_CUBE = """
+SELECT COALESCE(o_orderstatus, '<ALL>') AS status,
+       COALESCE(o_orderpriority, '<ALL>') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+# --------------------------------------------------------------------------
+# Window navigation breadth: lag/lead/first_value/percent_rank/cume_dist in
+# one window pass per customer timeline. One shuffle serves every function
+# (they share the window spec); days_to_next reuses the lead expression.
+
+
+def q_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    next_date = F.lead("o_orderdate").over(w)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.lag("o_totalprice").over(w).alias("prev_total"),
+        next_date.alias("next_orderdate"),
+        F.first("o_orderdate").over(w).alias("first_orderdate"),
+        F.round(F.percent_rank().over(w), 10).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 10).alias("cume"),
+        F.datediff(next_date.cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_next"),
+    )
+
+
+_ORACLE_TIMELINE = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_orderdate AS orderdate,
+       LAG(o_totalprice) OVER w AS prev_total,
+       LEAD(o_orderdate) OVER w AS next_orderdate,
+       FIRST_VALUE(o_orderdate) OVER w AS first_orderdate,
+       ROUND(PERCENT_RANK() OVER w, 10) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 10) AS cume,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                      CAST(LEAD(o_orderdate) OVER w AS DATE)) AS INT) AS days_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+# --------------------------------------------------------------------------
+# Calendar gap-fill + forward fill (operators/timeseries.py): dense monthly
+# revenue per nation — months with no orders appear as 0-revenue rows, and
+# carried_revenue repeats the last observed month (null before the first).
+
+
+def q_monthly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import forward_fill, month_grid
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("obs_revenue"))
+    )
+    grid = month_grid(n.select(F.col("n_name").alias("nation")), monthly, "month")
+    joined = grid.join(monthly, ["nation", "month"], "left")
+    filled = forward_fill(joined, ["nation"], "month", "obs_revenue", "carried_revenue")
+    return filled.select(
+        "nation",
+        "month",
+        F.coalesce("obs_revenue", F.lit(0.0)).alias("revenue"),
+        "carried_revenue",
+    )
+
+
+_ORACLE_GAP_FILL = """
+WITH monthly AS (
+  SELECT n_name AS nation, date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS obs_revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(month) AS lo, MAX(month) AS hi FROM monthly
+), months AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+  FROM bounds
+), grid AS (
+  SELECT n_name AS nation, month FROM nation, months
+)
+SELECT g.nation, g.month,
+       COALESCE(m.obs_revenue, 0.0) AS revenue,
+       LAST_VALUE(m.obs_revenue IGNORE NULLS) OVER (
+         PARTITION BY g.nation ORDER BY g.month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_revenue
+FROM grid g
+LEFT JOIN monthly m ON g.nation = m.nation AND g.month = m.month
+"""
+
+# --------------------------------------------------------------------------
+# KMV approximate distinct (operators/sketches.py): portable sketch whose
+# ESTIMATE hash-matches the oracle (HLL can only ever be rows-checked).
+# exact_distinct rides along so the result exposes the estimation error.
+
+_KMV_K = 64
+_SQL_KMV_HASH = (
+    "CAST(list_sum(list_transform(range(1, 16), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(CAST(custkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)"
+    " << (4 * (15 - i)))) AS BIGINT)"
+)
+
+
+def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_distinct
+
+    o = t(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").alias("custkey"),
+    )
+    sketch = kmv_distinct(pairs, ["priority"], "custkey", k=_KMV_K)
+    exact = (
+        pairs.groupBy("priority")
+        .agg(F.countDistinct("custkey").cast("bigint").alias("exact_distinct"))
+    )
+    return sketch.join(exact, "priority").select(
+        "priority", "n_kept", "kth_hash", "kmv_estimate", "exact_distinct"
+    )
+
+
+_ORACLE_KMV = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_orderpriority AS priority, o_custkey AS custkey FROM orders
+), hashed AS (
+  SELECT priority, custkey, {_SQL_KMV_HASH} AS h FROM pairs
+), kept AS (
+  SELECT * FROM (
+    SELECT priority, custkey, h,
+           ROW_NUMBER() OVER (PARTITION BY priority ORDER BY h ASC, custkey ASC) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K}
+), agg AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth_hash
+  FROM kept GROUP BY priority
+), exact AS (
+  SELECT priority, CAST(COUNT(DISTINCT custkey) AS BIGINT) AS exact_distinct
+  FROM pairs GROUP BY priority
+)
+SELECT a.priority, n_kept, kth_hash,
+       ROUND(CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)
+             ELSE {float(_KMV_K - 1)} / (CAST(kth_hash AS DOUBLE) / 1152921504606846976.0)
+             END, 4) AS kmv_estimate,
+       exact_distinct
+FROM agg a JOIN exact USING (priority)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "sales_enrichment": q_sales_enrichment,
@@ -1213,6 +1402,10 @@ QUERIES = {
     "status_priority_pivot": q_status_priority_pivot,
     "measures_unpivot": q_measures_unpivot,
     "customer_value_deciles": q_customer_value_deciles,
+    "cube_status_priority": q_cube_status_priority,
+    "order_timeline": q_order_timeline,
+    "monthly_gap_fill": q_monthly_gap_fill,
+    "approx_distinct_kmv": q_approx_distinct_kmv,
 }
 
 ORACLES = {
@@ -1247,4 +1440,8 @@ ORACLES = {
     "status_priority_pivot": _ORACLE_STATUS_PIVOT,
     "measures_unpivot": _ORACLE_MEASURES_UNPIVOT,
     "customer_value_deciles": _ORACLE_VALUE_DECILES,
+    "cube_status_priority": _ORACLE_CUBE,
+    "order_timeline": _ORACLE_TIMELINE,
+    "monthly_gap_fill": _ORACLE_GAP_FILL,
+    "approx_distinct_kmv": _ORACLE_KMV,
 }

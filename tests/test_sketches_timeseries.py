@@ -1,0 +1,92 @@
+"""KMV sketch and time-series gap-fill/forward-fill operator tests."""
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.operators.sketches import kmv_distinct
+from cdk_datalake_analytics_comercial_spark.operators.timeseries import (
+    forward_fill,
+    month_grid,
+)
+
+
+def test_kmv_unsaturated_is_exact(spark):
+    # fewer distinct values than k → the sketch IS the exact count
+    df = spark.createDataFrame(
+        [("g", f"v{i % 10}") for i in range(100)], "grp string, val string"
+    )
+    row = kmv_distinct(df, ["grp"], "val", k=64).collect()[0]
+    assert row["n_kept"] == 10
+    assert row["kmv_estimate"] == 10.0
+
+
+def test_kmv_saturated_estimate_accuracy(spark):
+    # 2000 distinct values, k=64 → estimate should land within the sketch's
+    # expected relative error band (~1/sqrt(k-1) ≈ 12.6%; allow 3 sigma)
+    df = spark.createDataFrame(
+        [("g", f"value_{i}") for i in range(2000)], "grp string, val string"
+    )
+    row = kmv_distinct(df, ["grp"], "val", k=64).collect()[0]
+    assert row["n_kept"] == 64
+    assert abs(row["kmv_estimate"] - 2000) / 2000 < 0.38
+    # duplicates never change the sketch (distinct-first contract)
+    dup = df.union(df).union(df)
+    row2 = kmv_distinct(dup, ["grp"], "val", k=64).collect()[0]
+    assert row2["kmv_estimate"] == row["kmv_estimate"]
+
+
+def test_kmv_groups_are_independent(spark):
+    df = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(500)] + [("b", f"x{i}") for i in range(5)],
+        "grp string, val string",
+    )
+    out = {r["grp"]: r for r in kmv_distinct(df, ["grp"], "val", k=64).collect()}
+    assert out["b"]["kmv_estimate"] == 5.0  # unsaturated group stays exact
+    assert abs(out["a"]["kmv_estimate"] - 500) / 500 < 0.38
+
+
+def test_month_grid_is_dense(spark):
+    keys = spark.createDataFrame([("k1",), ("k2",)], "nation string")
+    obs = spark.createDataFrame(
+        [("k1", "2020-01-15"), ("k2", "2020-05-02")], "nation string, d string"
+    ).select("nation", F.date_trunc("month", F.col("d").cast("timestamp")).alias("month"))
+    grid = month_grid(keys, obs, "month")
+    rows = grid.collect()
+    assert len(rows) == 2 * 5  # Jan..May inclusive × 2 keys
+    months = sorted({r["month"].month for r in rows})
+    assert months == [1, 2, 3, 4, 5]
+
+
+def test_forward_fill_carries_last_observation(spark):
+    df = spark.createDataFrame(
+        [
+            ("k", 1, None),
+            ("k", 2, 10.0),
+            ("k", 3, None),
+            ("k", 4, None),
+            ("k", 5, 20.0),
+            ("k", 6, None),
+        ],
+        "key string, t int, v double",
+    )
+    out = forward_fill(df, ["key"], "t", "v", "filled")
+    got = {r["t"]: r["filled"] for r in out.collect()}
+    assert got == {1: None, 2: 10.0, 3: 10.0, 4: 10.0, 5: 20.0, 6: 20.0}
+
+
+def test_cube_gid_semantics(spark):
+    # the gid=3 grand-total row of the cube equals the raw count; gid bit
+    # order is (leftmost col = MSB) on both engines (oracle-checked too)
+    from cdk_datalake_analytics_comercial_spark.plans.relational import (
+        q_cube_status_priority,
+    )
+
+    out = q_cube_status_priority(spark, "/root/testdata/sf0.001").collect()
+    total = [r for r in out if r["gid"] == 3]
+    assert len(total) == 1
+    assert total[0]["status"] == "<ALL>" and total[0]["priority"] == "<ALL>"
+    n = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
+    assert total[0]["n_orders"] == n
+    # gid=1 rows aggregate over priority only (status is concrete)
+    by_status = [r for r in out if r["gid"] == 1]
+    assert all(r["priority"] == "<ALL>" and r["status"] != "<ALL>" for r in by_status)
+    assert sum(r["n_orders"] for r in by_status) == n
