@@ -4,16 +4,18 @@ The engine's multimodal operators decode real payloads where the format is
 parseable without native codec libraries (none are in this environment):
 
 - images: PPM (binary ``P6``), uncompressed 24-bit BMP (``BM``, BI_RGB),
-  and 8-bit PNG (all color types, all row filters — PNG is zlib + per-row
-  filtering, fully decodable with stdlib ``zlib`` and numpy)
+  8-bit PNG (all color types, all row filters — PNG is zlib + per-row
+  filtering, fully decodable with stdlib ``zlib`` and numpy), and
+  baseline JPEG (full T.81 sequential decoder in ``_jpeg.py`` — Huffman,
+  IDCT, subsampling, restart markers; progressive raises)
 - audio:  PCM WAV (``RIFF..WAVE``, 16-bit), parsed from the chunk layout
 - video:  a concatenated-P6 frame stream (an MJPEG-shaped uncompressed
   container: back-to-back PPM frames)
 
-Entropy-coded codecs (JPEG/MP3/MP4) raise ``NotImplementedError`` — they
-need libjpeg/ffmpeg-class dependencies; the operators keep the same
-Arrow-batched plumbing either way, so plugging a real codec in later does
-not change any plan shape.
+Remaining env-blocked codecs (MP3/MP4/progressive JPEG) raise
+``NotImplementedError`` — they need ffmpeg-class dependencies; the
+operators keep the same Arrow-batched plumbing either way, so plugging a
+real codec in later does not change any plan shape.
 
 All functions take/return plain ``bytes``/numpy so they are directly
 unit-testable without Spark.
@@ -244,9 +246,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if kind == "png":
         return decode_png(payload)
+    if kind == "jpeg":
+        from ._jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"image codec '{kind}' needs a native library not present here; "
-        "supported formats: PPM (P6), 24-bit BMP, 8-bit PNG"
+        "supported formats: PPM (P6), 24-bit BMP, 8-bit PNG, baseline JPEG"
     )
 
 

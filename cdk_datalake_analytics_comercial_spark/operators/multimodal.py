@@ -3,12 +3,12 @@
 The Spark-side contract — schemas, partitioning, Arrow batch shape through
 ``mapInPandas`` — is identical for both decode paths:
 
-- ``fake=False`` (default): REAL decoding for uncompressed formats via
-  :mod:`._codecs` (pure numpy/stdlib — PPM/24-bit-BMP images, PCM-16 WAV
-  audio incl. an FFT/mel/DCT MFCC, concatenated-P6 frame streams).
-  Compressed codecs (JPEG/PNG/MP3/MP4) raise ``NotImplementedError`` —
-  they need native libraries absent from this environment; plugging one in
-  later changes no plan shape.
+- ``fake=False`` (default): REAL decoding via :mod:`._codecs` (pure
+  numpy/stdlib — PPM/24-bit-BMP/8-bit-PNG/baseline-JPEG images, PCM-16
+  WAV audio incl. an FFT/mel/DCT MFCC, concatenated-P6 frame streams).
+  Codecs needing ffmpeg-class native libraries (MP3/MP4, progressive
+  JPEG) raise ``NotImplementedError``; plugging one in later changes no
+  plan shape.
 - ``fake=True``: a deterministic closed-form "decode" over the payload
   bytes — the oracle-checkable path the driver-contract queries use
   (documents' text bytes stand in for media payloads).

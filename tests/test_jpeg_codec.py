@@ -1,0 +1,145 @@
+"""Baseline JPEG codec tests: table structure, DCT identity, round-trip
+PSNR bounds across qualities/shapes/subsampling, and the Spark multimodal
+integration (sniff → decode_jpeg inside image_features)."""
+
+import numpy as np
+import pytest
+
+from cdk_datalake_analytics_comercial_spark.operators import _jpeg as J
+from cdk_datalake_analytics_comercial_spark.operators import _codecs
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def gradient_image(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(w + h - 2, 1),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_huffman_tables_complete_and_canonical():
+    # _self_check runs at import; re-run explicitly so a regression has a
+    # named test, and pin the canonical first codes of the luma DC table
+    J._self_check()
+    codes = J._canonical_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    assert codes[0] == (0b00, 2)  # T.81 table K.3: size-0 symbol = '00'
+    assert all(length <= 16 for _, length in codes.values())
+
+
+def test_zigzag_is_the_standard_permutation():
+    # first diagonal steps of the T.81 zigzag in natural (row*8+col) index
+    assert J.ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(J.ZIGZAG.tolist()) == list(range(64))
+
+
+def test_dct_idct_identity():
+    rng = np.random.default_rng(3)
+    b = rng.uniform(-128, 127, size=(8, 8))
+    assert np.allclose(J.idct2(J.dct2(b)), b, atol=1e-9)
+    # orthonormality: DC coefficient of a flat block is 8×the level
+    flat = np.full((8, 8), 10.0)
+    coef = J.dct2(flat)
+    assert abs(coef[0, 0] - 80.0) < 1e-9
+    assert np.all(np.abs(coef.reshape(-1)[1:]) < 1e-9)
+
+
+@pytest.mark.parametrize("quality,floor", [(95, 48), (85, 42), (60, 36)])
+def test_roundtrip_psnr_444(quality, floor):
+    img = gradient_image(48, 64)
+    dec = J.decode_jpeg(J.encode_jpeg(img, quality=quality))
+    assert dec.shape == img.shape
+    assert psnr(img, dec) > floor
+
+
+def test_roundtrip_psnr_420_subsampled():
+    img = gradient_image(40, 56)
+    enc444 = J.encode_jpeg(img, quality=85)
+    enc420 = J.encode_jpeg(img, quality=85, subsample=True)
+    dec = J.decode_jpeg(enc420)
+    assert dec.shape == img.shape
+    assert psnr(img, dec) > 35
+    assert len(enc420) < len(enc444)  # subsampling must actually save bytes
+
+
+def test_roundtrip_odd_sizes_and_noise():
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (7, 9), (8, 8), (17, 23)]:
+        img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg(img, quality=90))
+        assert dec.shape == img.shape
+        assert psnr(img, dec) > 22  # noise is the worst case for JPEG
+
+
+def test_flat_image_is_exact():
+    flat = np.full((17, 23, 3), 130, dtype=np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg(flat, quality=85))
+    assert np.array_equal(dec, flat)
+
+
+def test_grayscale_input():
+    g = gradient_image(32, 32)[:, :, 0]
+    dec = J.decode_jpeg(J.encode_jpeg(g, quality=90))
+    assert dec.shape == (32, 32, 3)
+    assert psnr(np.stack([g, g, g], axis=2), dec) > 45
+
+
+def test_decode_rejects_progressive_and_truncated():
+    img = gradient_image(16, 16)
+    enc = bytearray(J.encode_jpeg(img, quality=85))
+    # flip SOF0 (0xC0) to SOF2 (progressive): honest NotImplementedError
+    sof = enc.find(b"\xff\xc0")
+    prog = enc[:sof] + b"\xff\xc2" + enc[sof + 2 :]
+    with pytest.raises(NotImplementedError, match="0xc2"):
+        J.decode_jpeg(bytes(prog))
+    with pytest.raises((EOFError, ValueError)):
+        J.decode_jpeg(bytes(enc[: len(enc) // 2]))
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"not a jpeg")
+
+
+def test_sniff_and_decode_image_dispatch():
+    img = gradient_image(8, 8)
+    enc = J.encode_jpeg(img, quality=95)
+    assert _codecs.sniff(enc) == "jpeg"
+    assert psnr(_codecs.decode_image(enc), img) > 45
+
+
+def test_spark_image_features_on_jpeg(spark):
+    from cdk_datalake_analytics_comercial_spark.operators import multimodal as M
+
+    red = np.zeros((12, 10, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    enc = J.encode_jpeg(red, quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(enc))], "media_id long, payload binary"
+    )
+    row = M.image_features(df, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (10, 12)
+    # Rec.601 red luma ≈ 0.299 (JPEG quantization gives small slack)
+    assert abs(row["mean_luma"] - 0.299) < 0.01
+
+
+def test_spark_skip_and_flag_on_broken_jpeg(spark):
+    from cdk_datalake_analytics_comercial_spark.operators import multimodal as M
+
+    good = J.encode_jpeg(gradient_image(8, 8), quality=85)
+    broken = good[: len(good) // 2]
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(broken))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in M.image_features(df, fake=False, on_error="skip").collect()
+    }
+    assert rows[1]["error"] is None and rows[1]["width"] == 8
+    assert rows[2]["error"] is not None and rows[2]["width"] is None
