@@ -64,6 +64,10 @@ HEADLINE = [
     "latest_order_agg",
     "status_priority_pivot",
     "customer_value_deciles",
+    "cube_status_priority",
+    "order_timeline",
+    "monthly_gap_fill",
+    "approx_distinct_kmv",
 ]
 
 

@@ -224,17 +224,77 @@ def _commit(spark: SparkSession, path: str, build) -> int:
 # Write paths.
 
 
+# Bloom index geometry: m bits / k hashes per (file, column). 1024 bits is
+# 256 hex chars in the manifest; with k=4 the false-positive rate stays
+# under ~1% up to ~100 distinct values per file and degrades gracefully —
+# a false positive only costs opening one extra file, never correctness.
+_BLOOM_BITS = 1024
+_BLOOM_K = 4
+_BLOOM_TYPES = ("LongType", "IntegerType", "ShortType", "ByteType", "StringType")
+
+
+def _bloom_positions_col(col: str, m: int = _BLOOM_BITS, k: int = _BLOOM_K):
+    """JVM-side Column: the k bloom bit positions of a row's value. Built
+    on md5-of-"seed:value" so the Python probe (`_bloom_positions_py`)
+    reproduces the positions exactly without any JVM round trip."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col(col).cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+
+
+def _bloom_positions_py(value, m: int = _BLOOM_BITS, k: int = _BLOOM_K) -> list[int]:
+    """Driver-side twin of :func:`_bloom_positions_col` for probe values.
+    Integer/string rendering matches Spark's cast-to-string for the
+    supported types (int family and strings)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16) % m
+        for i in range(k)
+    ]
+
+
+def _bloom_hex(bits: list[int], m: int = _BLOOM_BITS) -> str:
+    acc = 0
+    for b in bits:
+        acc |= 1 << b
+    return f"{acc:0{m // 4}x}"
+
+
+def _bloom_might_contain(hexset: str, positions: list[int]) -> bool:
+    acc = int(hexset, 16)
+    return all((acc >> p) & 1 for p in positions)
+
+
 def _write_batch(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None,
     stats_for: list[str] | None = None,
+    bloom_for: list[str] | None = None,
 ) -> tuple[str, list[dict]]:
     """Write ``df`` as a fresh batch dir; return (batch id, file entries).
 
     ``stats_for`` columns get per-FILE min/max recorded in the manifest
     (Delta-style data skipping stats) — gathered in ONE Spark job over the
-    written batch grouped by ``input_file_name``, not per-file reads."""
+    written batch grouped by ``input_file_name``, not per-file reads.
+    ``bloom_for`` columns additionally get a per-file Bloom bitset for
+    EQUALITY skipping (Delta's bloom filter index): the right tool for
+    high-cardinality point-lookup keys where min/max covers everything."""
     batch = uuid.uuid4().hex
     batch_dir = f"{path.rstrip('/')}/{_DATA}/{batch}"
     stat_cols = [
@@ -243,6 +303,16 @@ def _write_batch(
     # validate stat column types BEFORE writing — unsupported types would
     # otherwise poison the manifest with uncomparable values
     tags = {c: _stat_tag(df.schema[c].dataType) for c in stat_cols}
+    bloom_cols = [
+        c for c in (bloom_for or []) if partition_by is None or c not in partition_by
+    ]
+    for c in bloom_cols:
+        tname = type(df.schema[c].dataType).__name__
+        if tname not in _BLOOM_TYPES:
+            raise TypeError(
+                f"bloom_for column {c!r} has type {tname}; only integer and "
+                "string columns have a cast-stable probe rendering"
+            )
     from .metrics import observe_write
 
     df, finish = observe_write(df)
@@ -291,11 +361,53 @@ def _write_batch(
                 stats[rel] = {
                     c: {"t": tags[c], "min": None, "max": None} for c in stat_cols
                 }
+    blooms: dict[str, dict[str, str]] = {}
+    if bloom_cols and rels:
+        # one job: explode each row's k positions per column, distinct,
+        # collect ≤ m set-bit positions per (file, column) — the driver
+        # only ever sees files × columns × m ints, never values
+        def _tagged_positions(c: str):
+            # single-arg lambda only: a 2-arg transform lambda would be
+            # called as (element, index) and shadow the captured name
+            return F.when(
+                F.col(c).isNotNull(),
+                F.transform(
+                    _bloom_positions_col(c),
+                    lambda p: F.struct(F.lit(c).alias("c"), p.alias("b")),
+                ),
+            ).otherwise(F.array().cast("array<struct<c:string,b:int>>"))
+
+        structs = [_tagged_positions(c) for c in bloom_cols]
+        rows = (
+            spark.read.parquet(batch_dir)
+            .select(
+                F.input_file_name().alias("_f"),
+                F.explode(F.flatten(F.array(*structs))).alias("s"),
+            )
+            .select("_f", F.col("s.c").alias("c"), F.col("s.b").alias("b"))
+            .distinct()
+            .groupBy("_f", "c")
+            .agg(F.collect_set("b").alias("bits"))
+            .collect()
+        )
+        for r in rows:
+            rel = next((x for x in rels if r["_f"].endswith(x)), None)
+            if rel is None:
+                raise RuntimeError(f"bloom row for unknown file {r['_f']}")
+            blooms.setdefault(rel, {})[r["c"]] = _bloom_hex(r["bits"])
+        # files with only-null (or zero) rows for a column keep NO bloom
+        # entry → a missing bitset means "never skip", which stays sound;
+        # record an explicit empty bitset instead so equality probes CAN
+        # skip all-null files
+        for rel in rels:
+            for c in bloom_cols:
+                blooms.setdefault(rel, {}).setdefault(c, _bloom_hex([]))
     files = [
         {
             "path": f"{_DATA}/{batch}/{rel}",
             "partition": _partition_of(rel),
             **({"stats": stats[rel]} if rel in stats else {}),
+            **({"bloom": blooms[rel]} if rel in blooms else {}),
         }
         for rel in rels
     ]
@@ -412,6 +524,7 @@ def tx_write(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     stats_for: list[str] | None = None,
+    bloom_for: list[str] | None = None,
 ) -> int:
     """Commit a new version. ``mode``:
 
@@ -423,14 +536,17 @@ def tx_write(
 
     ``stats_for``: columns to record per-file min/max for in the manifest —
     enables file-level data skipping on ``tx_read(where=...)`` beyond
-    partition pruning (Delta-style stats).
+    partition pruning (Delta-style stats). ``bloom_for``: columns to record
+    a per-file Bloom bitset for — enables EQUALITY skipping on
+    ``tx_read(where_equals=...)`` for high-cardinality keys whose min/max
+    span everything (Delta's bloom filter index).
     """
     if mode not in ("overwrite", "append", "overwrite_dynamic"):
         raise ValueError(mode)
     if mode == "overwrite_dynamic" and not partition_by:
         raise ValueError("overwrite_dynamic requires partition_by")
 
-    _, new_files = _write_batch(df, path, partition_by, stats_for)
+    _, new_files = _write_batch(df, path, partition_by, stats_for, bloom_for)
     schema_json = df.schema.json()
     touched = {tuple(sorted(f["partition"].items())) for f in new_files}
 
@@ -478,11 +594,26 @@ def _file_overlaps(f: dict, where: dict) -> bool:
     return True
 
 
+def _bloom_rejects(f: dict, where_equals: dict) -> bool:
+    """Equality-skip test: True when some probe value's bloom bits are not
+    all set in the file's bitset (the value provably is not in the file).
+    Files without a bitset for a column are always kept — sound."""
+    bloom = f.get("bloom") or {}
+    for col, val in where_equals.items():
+        hexset = bloom.get(col)
+        if hexset is None:
+            continue
+        if not _bloom_might_contain(hexset, _bloom_positions_py(val)):
+            return True
+    return False
+
+
 def tx_read(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     where: dict[str, tuple] | None = None,
+    where_equals: dict | None = None,
 ) -> DataFrame:
     """The snapshot at ``version`` (default: latest). Reads exactly the
     manifest's files, grouped per batch dir so partition columns are
@@ -491,15 +622,23 @@ def tx_read(
     ``where`` maps column → (lo, hi) range (either bound None for
     open-ended): files whose manifest stats provably miss the range are
     SKIPPED (never opened), and the row-level filter is applied on top, so
-    the result equals filtering the full snapshot."""
+    the result equals filtering the full snapshot. ``where_equals`` maps
+    column → value (non-null): files whose Bloom bitset (written via
+    ``tx_write(bloom_for=...)``) provably lacks the value are skipped the
+    same way — the point-lookup path for keys whose min/max stats span
+    every file."""
     cur = version if version is not None else current_version(spark, path)
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
+    if where_equals is not None and any(v is None for v in where_equals.values()):
+        raise ValueError("where_equals probes must be non-null; use `where`")
     manifest = read_manifest(spark, path, cur)
     by_batch: dict[str, list[str]] = {}
     root = path.rstrip("/")
     for f in manifest["files"]:
         if where and not _file_overlaps(f, where):
+            continue
+        if where_equals and _bloom_rejects(f, where_equals):
             continue
         batch_dir = "/".join(f["path"].split("/")[:2])  # data/<batch>
         by_batch.setdefault(batch_dir, []).append(f"{root}/{f['path']}")
@@ -524,6 +663,9 @@ def tx_read(
                 out = out.filter(F.col(col) >= F.lit(lo))
             if hi is not None:
                 out = out.filter(F.col(col) <= F.lit(hi))
+    if where_equals:
+        for col, val in where_equals.items():
+            out = out.filter(F.col(col) == F.lit(val))
     return out
 
 

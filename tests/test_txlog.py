@@ -711,3 +711,91 @@ def test_zorder_rejects_non_numeric_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="must be numeric"):
         TX.tx_compact(spark, p, cluster_by=["x", "s"], zorder=True)
+
+
+def test_bloom_index_skips_files_on_point_lookup(spark, tmp_path):
+    """High-cardinality string keys: min/max stats span every file, so only
+    the Bloom bitset can skip — a point lookup must open (far) fewer files
+    than the snapshot holds, and still equal a full filter."""
+    p = str(tmp_path / "bloom")
+    # 4 appends × disjoint key sets; keys interleave lexically so min/max
+    # ranges OVERLAP across files (stats skipping would keep everything)
+    for g in range(4):
+        df = spark.createDataFrame(
+            [(f"user_{i:04d}_{g}", g * 1000 + i) for i in range(50)],
+            "uid string, v long",
+        ).coalesce(1)
+        TX.tx_write(
+            spark, df, p, mode="append" if g else "overwrite",
+            bloom_for=["uid"],
+        )
+    manifest = TX.read_manifest(spark, p, 4)
+    assert all("bloom" in f and "uid" in f["bloom"] for f in manifest["files"])
+
+    probe = "user_0007_2"  # lives in exactly one file group
+    kept = [
+        f for f in manifest["files"]
+        if not TX._bloom_rejects(f, {"uid": probe})
+    ]
+    assert 1 <= len(kept) <= 2  # the owner + at most one false positive
+
+    out = TX.tx_read(spark, p, where_equals={"uid": probe})
+    assert [(r["uid"], r["v"]) for r in out.collect()] == [(probe, 2007)]
+    # absent key: every file provably lacks it (allow 1 FP), zero rows
+    kept_absent = [
+        f for f in manifest["files"]
+        if not TX._bloom_rejects(f, {"uid": "user_9999_9"})
+    ]
+    assert len(kept_absent) <= 1
+    assert TX.tx_read(spark, p, where_equals={"uid": "user_9999_9"}).count() == 0
+
+
+def test_bloom_index_integer_keys_and_null_probe_rejected(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "bloom_int")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(i, i * 2) for i in range(100)], "k long, v long")
+        .repartition(4, "k"),
+        p,
+        bloom_for=["k"],
+    )
+    out = TX.tx_read(spark, p, where_equals={"k": 42})
+    assert [(r["k"], r["v"]) for r in out.collect()] == [(42, 84)]
+    with pytest.raises(ValueError, match="non-null"):
+        TX.tx_read(spark, p, where_equals={"k": None})
+    # unsupported probe type at WRITE time fails fast
+    with pytest.raises(TypeError, match="cast-stable"):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([(1.5, 1)], "f double, v long"),
+            str(tmp_path / "bloom_bad"),
+            bloom_for=["f"],
+        )
+
+
+def test_bloom_null_only_file_is_skippable(spark, tmp_path):
+    """A file whose bloom column is entirely null gets an EMPTY bitset —
+    every equality probe skips it (no value can match a null)."""
+    p = str(tmp_path / "bloom_null")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("a", 1)], "uid string, v long").coalesce(1),
+        p,
+        bloom_for=["uid"],
+    )
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(None, 2)], "uid string, v long").coalesce(1),
+        p,
+        mode="append",
+        bloom_for=["uid"],
+    )
+    manifest = TX.read_manifest(spark, p, 2)
+    null_files = [
+        f for f in manifest["files"] if TX._bloom_rejects(f, {"uid": "a"})
+    ]
+    assert len(null_files) == 1  # the all-null file rejects every probe
+    out = TX.tx_read(spark, p, where_equals={"uid": "a"})
+    assert [(r["uid"], r["v"]) for r in out.collect()] == [("a", 1)]

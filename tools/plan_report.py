@@ -41,6 +41,13 @@ def audit_plan(plan: str) -> dict:
     }
 
 
+# Bounded-grid cross joins declared intentional (mirror of
+# tests/test_plan_contracts.INTENTIONAL_CROSS): both sides metadata-sized
+# by construction, the product IS the intended output.
+INTENTIONAL_CROSS = {
+    "monthly_gap_fill": "keys × exploded-bounds month axis (dense calendar grid)",
+}
+
 # Queries whose result comes from a DRIVER LOOP over checkpointed rounds
 # (connected components): the converged DataFrame compiles to a checkpoint
 # scan with ~zero shuffles, which would misreport the real cost. These rows
@@ -128,11 +135,24 @@ def main() -> None:
             f"{a['smj']} | {a['shj']} | {a['bnlj']} | {a['pushed']} | "
             f"{a['codegen']} | {a['python']} |"
         )
-    total_quad = sum(a.get("bnlj", 0) for _, a in rows)
+    total_quad = sum(
+        a.get("bnlj", 0) for name, a in rows if name not in INTENTIONAL_CROSS
+    )
+    intentional = sum(
+        a.get("bnlj", 0) for name, a in rows if name in INTENTIONAL_CROSS
+    )
     lines += [
         "",
         f"Total quadratic joins across the registry: **{total_quad}** "
-        "(enforced 0 by tests/test_plan_contracts.py).",
+        "(enforced 0 by tests/test_plan_contracts.py)"
+        + (
+            f", plus {intentional} INTENTIONAL bounded-grid cross join(s): "
+            + "; ".join(f"{k} — {v}" for k, v in INTENTIONAL_CROSS.items())
+            + " (sides proven metadata-sized by "
+            "tests/test_plan_contracts.test_gap_fill_grid_sides_are_bounded)."
+            if intentional
+            else "."
+        ),
         "",
     ]
     with open(out_md, "w") as f:
