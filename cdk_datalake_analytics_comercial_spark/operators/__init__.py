@@ -4,7 +4,7 @@ from .relational import (
     top1_per_group,
     top1_per_group_agg,
 )
-from . import asof, contamination, dedup, dq, graph, multimodal, pack, similarity, sketches, skew, text, timeseries
+from . import asof, contamination, dedup, dq, graph, incremental, multimodal, pack, similarity, sketches, skew, text, timeseries
 
 __all__ = [
     "top1_per_group",
@@ -16,6 +16,7 @@ __all__ = [
     "dedup",
     "dq",
     "graph",
+    "incremental",
     "multimodal",
     "pack",
     "similarity",

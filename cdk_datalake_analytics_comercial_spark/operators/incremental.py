@@ -1,0 +1,103 @@
+"""Incremental view maintenance: keep an aggregate table current by
+applying a change feed instead of recomputing from the base table.
+
+The 100 TB pattern this serves: a rollup (revenue per customer, counts
+per partition, ...) over a txlog/Delta base table that receives merges.
+Full recompute scans the whole base every cycle; with the CDF
+(`sources.txlog.tx_diff(images="split")` — Delta's `table_changes`
+shape), the maintenance cost is proportional to the CHANGED rows only:
+
+    insert           → +post-image contribution
+    delete           → −pre-image contribution
+    update_preimage  → −pre-image contribution
+    update_postimage → +post-image contribution
+
+Works for the self-maintainable (additive) aggregates — SUM and COUNT;
+AVG derives as sum/count. MIN/MAX are NOT self-maintainable under deletes
+(a removed extremum needs a rescan of its group) and are deliberately not
+offered here — that is the standard IVM boundary, stated rather than
+papered over.
+
+Scale shape: one shuffle of the (small) change feed on the group key,
+then a key join against the aggregate table — never touches the base.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def _sign():
+    return F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
+
+
+def cdf_agg_delta(
+    cdf: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Net per-group contribution of a split-image change feed: signed sums
+    of ``sum_cols`` and a signed row count. Unknown ``_change_type`` values
+    fail loudly (null sign would silently drop contributions)."""
+    signed = cdf.withColumn("_sign", _sign())
+    bad = F.when(F.col("_sign").isNull(), F.lit(1)).otherwise(F.lit(0))
+    aggs = [
+        F.sum(F.col("_sign") * F.col(c)).alias(f"_d_{c}") for c in sum_cols
+    ] + [
+        F.sum("_sign").alias(f"_d_{count_col}"),
+        F.sum(bad).alias("_n_bad"),
+    ]
+    out = signed.groupBy(*group_cols).agg(*aggs)
+    # surface unknown change types as an error column the apply step checks
+    return out
+
+
+def apply_agg_delta(
+    agg: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Merge a :func:`cdf_agg_delta` result into the aggregate table:
+    full-outer key join, null-safe addition, and groups whose maintained
+    count reaches zero DISAPPEAR (exactly like a recompute). The output is
+    the new aggregate snapshot — write it back with ``tx_write`` /
+    ``merge_upsert`` as the pipeline dictates."""
+    zero = F.lit(0)
+    joined = agg.join(delta, group_cols, "full")
+    cols = [
+        (F.coalesce(F.col(c), zero) + F.coalesce(F.col(f"_d_{c}"), zero)).alias(c)
+        for c in sum_cols
+    ]
+    n = (
+        (F.coalesce(F.col(count_col), zero) + F.coalesce(F.col(f"_d_{count_col}"), zero))
+        .cast("long")
+        .alias(count_col)
+    )
+    out = joined.select(*group_cols, *cols, n)
+    return out.filter(F.col(count_col) > 0)
+
+
+def maintain_agg(
+    agg: DataFrame,
+    cdf: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """One maintenance step: aggregate the change feed and apply it.
+    Raises if the feed contains change types this maintainer cannot
+    handle (anything outside the four split-image types)."""
+    known = ("insert", "delete", "update_preimage", "update_postimage")
+    n_bad = cdf.filter(~F.col("_change_type").isin(*known)).limit(1).count()
+    if n_bad:
+        raise ValueError(
+            "change feed contains non-split-image change types; produce it "
+            'with tx_diff(images="split")'
+        )
+    delta = cdf_agg_delta(cdf, group_cols, sum_cols, count_col).drop("_n_bad")
+    return apply_agg_delta(agg, delta, group_cols, sum_cols, count_col)

@@ -914,33 +914,74 @@ def tx_diff(
     keys: list[str],
     v_from: int,
     v_to: int | None = None,
+    images: str = "post",
 ) -> DataFrame:
-    """Change data feed between two versions (Delta CDF shape): one row per
-    changed key with ``_change_type`` ∈ insert | update | delete. Inserts
-    and updates carry the POST-image, deletes the PRE-image. Computed as a
-    full-outer key join of the two snapshots with null-safe struct
+    """Change data feed between two versions (Delta CDF shape), computed as
+    a full-outer key join of the two snapshots with null-safe struct
     comparison — one shuffle on the keys; at scale diff a partition subset
     by filtering both snapshots first (partition pruning applies to both
-    file lists)."""
+    file lists).
+
+    ``images="post"`` (compact): one row per changed key,
+    ``_change_type`` ∈ insert | update | delete — inserts/updates carry
+    the POST-image, deletes the PRE-image.
+    ``images="split"`` (Delta parity — what `table_changes` emits): an
+    update becomes TWO rows, ``update_preimage`` and ``update_postimage``,
+    so downstream consumers that need both sides (incremental aggregate
+    maintenance, audit sinks) get them without re-reading the snapshots."""
+    if images not in ("post", "split"):
+        raise ValueError(images)
     old = tx_read(spark, path, v_from)
     new = tx_read(spark, path, v_to)
     other = [c for c in new.columns if c not in keys]
     a = old.select(*keys, F.struct(*other).alias("_a"))
     b = new.select(*keys, F.struct(*other).alias("_b"))
     j = a.join(b, keys, "full")
-    change = (
-        F.when(F.col("_a").isNull(), F.lit("insert"))
-        .when(F.col("_b").isNull(), F.lit("delete"))
-        .when(~F.col("_a").eqNullSafe(F.col("_b")), F.lit("update"))
+    if images == "post":
+        change = (
+            F.when(F.col("_a").isNull(), F.lit("insert"))
+            .when(F.col("_b").isNull(), F.lit("delete"))
+            .when(~F.col("_a").eqNullSafe(F.col("_b")), F.lit("update"))
+        )
+        img = F.coalesce(F.col("_b"), F.col("_a"))
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                *keys,
+                *[img[c].alias(c) for c in other],
+                "_change_type",
+            )
+        )
+    # split mode: explode each changed key into its (change_type, image)
+    # rows in one pass — updates yield both sides, insert/delete one
+    pairs = (
+        F.when(
+            F.col("_a").isNull(),
+            F.array(F.struct(F.lit("insert").alias("t"), F.col("_b").alias("i"))),
+        )
+        .when(
+            F.col("_b").isNull(),
+            F.array(F.struct(F.lit("delete").alias("t"), F.col("_a").alias("i"))),
+        )
+        .when(
+            ~F.col("_a").eqNullSafe(F.col("_b")),
+            F.array(
+                F.struct(F.lit("update_preimage").alias("t"), F.col("_a").alias("i")),
+                F.struct(
+                    F.lit("update_postimage").alias("t"), F.col("_b").alias("i")
+                ),
+            ),
+        )
     )
-    img = F.coalesce(F.col("_b"), F.col("_a"))
     return (
-        j.withColumn("_change_type", change)
-        .filter(F.col("_change_type").isNotNull())
+        j.withColumn("_p", pairs)
+        .filter(F.col("_p").isNotNull())
+        .select(*keys, F.explode("_p").alias("_e"))
         .select(
             *keys,
-            *[img[c].alias(c) for c in other],
-            "_change_type",
+            *[F.col("_e.i")[c].alias(c) for c in other],
+            F.col("_e.t").alias("_change_type"),
         )
     )
 

@@ -1,0 +1,102 @@
+"""Incremental view maintenance tests: a rollup maintained purely from the
+txlog change feed must equal a full recompute at every version — through
+inserts, updates (both images), deletes, and group birth/death."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.operators.incremental import (
+    maintain_agg,
+)
+from cdk_datalake_analytics_comercial_spark.sources import txlog as TX
+
+
+def full_agg(df):
+    return df.groupBy("grp").agg(
+        F.sum("amount").alias("amount"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def as_map(df):
+    return {
+        r["grp"]: (round(r["amount"], 6), r["n_rows"]) for r in df.collect()
+    }
+
+
+def test_cdf_maintained_rollup_equals_recompute(spark, tmp_path):
+    p = str(tmp_path / "base")
+    v1 = [("k1", "a", 10.0), ("k2", "a", 20.0), ("k3", "b", 30.0)]
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(v1, "id string, grp string, amount double"),
+        p,
+    )
+    agg = full_agg(TX.tx_read(spark, p, 1))
+
+    # v2: update k1 (a: 10→15), insert k4 (new group c), delete k3 (group
+    # b dies)
+    v2 = [("k1", "a", 15.0), ("k2", "a", 20.0), ("k4", "c", 5.0)]
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(v2, "id string, grp string, amount double"),
+        p,
+    )
+    cdf = TX.tx_diff(spark, p, ["id"], v_from=1, v_to=2, images="split")
+    types = {r["_change_type"] for r in cdf.collect()}
+    assert types == {"insert", "delete", "update_preimage", "update_postimage"}
+
+    agg = maintain_agg(agg, cdf, ["grp"], ["amount"])
+    assert as_map(agg) == as_map(full_agg(TX.tx_read(spark, p, 2)))
+    assert "b" not in as_map(agg)  # dead group disappeared, like recompute
+
+    # v3: group b reborn, another update in a
+    v3 = [("k1", "a", 18.0), ("k2", "a", 20.0), ("k4", "c", 5.0), ("k5", "b", 7.0)]
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(v3, "id string, grp string, amount double"),
+        p,
+    )
+    cdf = TX.tx_diff(spark, p, ["id"], v_from=2, v_to=3, images="split")
+    agg = maintain_agg(agg, cdf, ["grp"], ["amount"])
+    assert as_map(agg) == as_map(full_agg(TX.tx_read(spark, p, 3)))
+
+
+def test_split_images_carry_both_sides(spark, tmp_path):
+    p = str(tmp_path / "base2")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("k", "g", 1.0)], "id string, grp string, amount double"),
+        p,
+    )
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("k", "g", 9.0)], "id string, grp string, amount double"),
+        p,
+    )
+    rows = {
+        r["_change_type"]: r["amount"]
+        for r in TX.tx_diff(spark, p, ["id"], 1, 2, images="split").collect()
+    }
+    assert rows == {"update_preimage": 1.0, "update_postimage": 9.0}
+    # compact mode unchanged: one update row, post-image
+    compact = TX.tx_diff(spark, p, ["id"], 1, 2).collect()
+    assert [(r["_change_type"], r["amount"]) for r in compact] == [("update", 9.0)]
+
+
+def test_maintainer_rejects_compact_feed(spark, tmp_path):
+    p = str(tmp_path / "base3")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("k", "g", 1.0)], "id string, grp string, amount double"),
+        p,
+    )
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("k", "g", 2.0)], "id string, grp string, amount double"),
+        p,
+    )
+    compact = TX.tx_diff(spark, p, ["id"], 1, 2)  # has "update" rows
+    agg = full_agg(TX.tx_read(spark, p, 1))
+    with pytest.raises(ValueError, match="split"):
+        maintain_agg(agg, compact, ["grp"], ["amount"])
