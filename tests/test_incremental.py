@@ -100,3 +100,64 @@ def test_maintainer_rejects_compact_feed(spark, tmp_path):
     agg = full_agg(TX.tx_read(spark, p, 1))
     with pytest.raises(ValueError, match="split"):
         maintain_agg(agg, compact, ["grp"], ["amount"])
+
+
+def test_streaming_cdc_drives_incremental_rollup(spark, tmp_path):
+    """The full pipeline story: CDC stream → txlog versions → split-image
+    CDF per version → rollup maintained incrementally. The maintained
+    rollup must equal a recompute of the final snapshot, while only ever
+    aggregating per-version deltas."""
+    from pyspark.sql import types as T
+
+    from cdk_datalake_analytics_comercial_spark.streaming.sink import merge_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        merge_stream(
+            stream, tgt, keys=["id"], checkpoint=str(tmp_path / "ck"),
+            precedence="seq", txlog=True,
+        )
+
+    spark.createDataFrame(
+        [(1, 1, "a", 10.0), (2, 1, "b", 20.0)], schema
+    ).write.mode("append").parquet(src)
+    run()
+    # bootstrap the rollup from v1 (the only full-scan ever needed)
+    agg = (
+        TX.tx_read(spark, tgt, 1)
+        .groupBy("grp")
+        .agg(
+            F.sum("amount").alias("amount"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    spark.createDataFrame(
+        [(1, 2, "a", 11.0), (3, 1, "a", 5.0)], schema
+    ).write.mode("append").parquet(src)
+    run()
+    assert TX.current_version(spark, tgt) == 2
+    cdf = TX.tx_diff(spark, tgt, ["id"], 1, 2, images="split")
+    agg = maintain_agg(agg, cdf, ["grp"], ["amount"])
+    expect = {
+        r["grp"]: (r["amount"], r["n_rows"])
+        for r in TX.tx_read(spark, tgt, 2)
+        .groupBy("grp")
+        .agg(
+            F.sum("amount").alias("amount"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .collect()
+    }
+    got = {r["grp"]: (r["amount"], r["n_rows"]) for r in agg.collect()}
+    assert got == expect == {"a": (16.0, 2), "b": (20.0, 1)}
