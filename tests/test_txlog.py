@@ -799,3 +799,20 @@ def test_bloom_null_only_file_is_skippable(spark, tmp_path):
     assert len(null_files) == 1  # the all-null file rejects every probe
     out = TX.tx_read(spark, p, where_equals={"uid": "a"})
     assert [(r["uid"], r["v"]) for r in out.collect()] == [("a", 1)]
+
+
+def test_bloom_soundness_no_false_negatives(spark, tmp_path):
+    """Bloom skipping may keep extra files (false positives) but must NEVER
+    drop the file holding a probed value: every written key's point lookup
+    returns exactly its row."""
+    p = str(tmp_path / "bloom_sound")
+    rows_ = [(f"id_{i:03d}", i) for i in range(60)]
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(rows_, "uid string, v long").repartition(6, "uid"),
+        p,
+        bloom_for=["uid"],
+    )
+    for uid, v in rows_[::7]:  # sample across the key space
+        got = TX.tx_read(spark, p, where_equals={"uid": uid}).collect()
+        assert [(r["uid"], r["v"]) for r in got] == [(uid, v)], uid
