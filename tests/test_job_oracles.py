@@ -8,8 +8,10 @@ numerics normalized to 8dp to absorb decimal-scale differences between
 engines — both engines are exact far beyond that on these fixtures).
 
 Coverage: all 33 hand-written domain + analytics jobs (facts, masters,
-dims). The 20 spec-generated conform/passthrough dims share one program and
-are value-covered by test_dim_factory.py. Each fixture is adversarial —
+dims). The 20 spec-generated conform/passthrough dims get their own
+spec-derived DuckDB differentials in test_dim_factory_oracles.py (plus the
+hand-pinned family tests in test_dim_factory.py) — every job in the
+engine is value-checked. Each fixture is adversarial —
 orphans, duplicates, out-of-window rows, NULL coalesce sources, zero-divisor
 guards — and each test adds hand-computed pins so engine and oracle cannot
 agree on a shared misreading.
