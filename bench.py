@@ -52,6 +52,7 @@ HEADLINE = [
     "emb_pq_topk",
     "emb_ivfpq_topk",
     "emb_ivfpq_residual_topk",
+    "emb_lsh_multitable",
     "emb_near_dup",
     "events_tumbling",
     "events_sliding",

@@ -444,6 +444,67 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_multitable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table sign-LSH — the production recall fix for the single-table
+    variant: L independent hash tables (plane sets seeded ``seed + t``);
+    a candidate only needs to collide with the query in ONE table, so
+    recall goes from p to 1−(1−p)^L at L× candidate cost (the classic
+    Indyk–Motwani amplification; what FAISS/Annoy ship as multi-table /
+    forest).
+
+    Plan shape: one bucket broadcast-join per table over the SAME corpus
+    scan lineage, union of the candidate pair streams, one distinct
+    shuffle on the (query, candidate) pair (a vector pair rides along —
+    identical copies, so distinct stays exact), then score + rank.
+    Candidate volume ≈ L · corpus/2^planes per query; the corpus is never
+    shuffled on anything but the bucket id."""
+    cs = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        int_scaled(F.col(vec_col)).alias("civ"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        int_scaled(F.col(vec_col)).alias("qiv"),
+    )
+    pairs = None
+    for t in range(n_tables):
+        planes_int = [
+            [quantize(x) for x in row] for row in _hyperplanes(dim, n_planes, seed + t)
+        ]
+        c = cs.withColumn("bucket", lsh_signature(F.col("civ"), planes_int))
+        q = qs.withColumn("bucket", lsh_signature(F.col("qiv"), planes_int))
+        p = (
+            F.broadcast(q)
+            .join(c, "bucket", "inner")
+            .filter(F.col("query_id") != F.col("corpus_id"))
+            .select("query_id", "corpus_id", "qiv", "civ")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    scored = pairs.distinct().select(
+        "query_id",
+        "corpus_id",
+        int_cosine(F.col("qiv"), F.col("civ")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ) — the compressed-ANN tier (Jégou et al.,
 # "Product quantization for nearest neighbor search", TPAMI 2011).

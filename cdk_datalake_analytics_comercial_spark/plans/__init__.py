@@ -21,6 +21,7 @@ for mod in (relational, docs, events):
 # enumeration-order sampler toward the least-externally-confirmed entries.
 _SAMPLE_FIRST = [
     "emb_ivfpq_residual_topk",
+    "emb_lsh_multitable",
     "quality_classifier",
     "pii_scrub",
     "dq_report",

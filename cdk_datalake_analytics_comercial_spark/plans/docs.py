@@ -510,12 +510,12 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(e, q, dim=64, k=5, n_planes=6)
 
 
-def _lsh_bucket_sql() -> str:
+def _lsh_bucket_sql(seed: int = 42) -> str:
     """Bucket expression over an ``iv`` integer-vector column: the same
     quantized hyperplanes the Spark plan carries as literals."""
     from ..operators.similarity import _hyperplanes, quantize
 
-    planes_int = [[quantize(x) for x in row] for row in _hyperplanes(64, 6, 42)]
+    planes_int = [[quantize(x) for x in row] for row in _hyperplanes(64, 6, seed)]
     bits = []
     for i, p in enumerate(planes_int):
         lit = "[" + ", ".join(str(v) for v in p) + "]"
@@ -536,6 +536,46 @@ WITH iv AS (
          {_SQL_DOT} / ({_SQL_NRM.format(s='a')} * {_SQL_NRM.format(s='b')}) AS cosine
   FROM sigs a JOIN sigs b
     ON a.vec_id < 20 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_emb_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH: 4 independent plane sets; a candidate only has to
+    collide in one table (recall amplification 1−(1−p)^4)."""
+    from ..operators.similarity import lsh_multitable_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return lsh_multitable_topk(e, q, dim=64, k=5, n_planes=6, n_tables=4)
+
+
+_LSH_MT_BUCKETS = ",\n         ".join(
+    f"{_lsh_bucket_sql(seed=42 + t)} AS bucket{t}" for t in range(4)
+)
+_LSH_MT_COLLIDE = " OR ".join(f"a.bucket{t} = b.bucket{t}" for t in range(4))
+
+_ORACLE_LSH_MULTITABLE = f"""
+WITH iv AS (
+  SELECT vec_id, {_SQL_IV} AS iv FROM embeddings
+), sigs AS (
+  SELECT vec_id, iv,
+         {_LSH_MT_BUCKETS}
+  FROM iv
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+  FROM sigs a JOIN sigs b
+    ON a.vec_id < 20 AND a.vec_id <> b.vec_id AND ({_LSH_MT_COLLIDE})
+), scored AS (
+  SELECT p.qid AS query_id, p.cid AS corpus_id,
+         {_SQL_DOT} / ({_SQL_NRM.format(s='a')} * {_SQL_NRM.format(s='b')}) AS cosine
+  FROM pairs p
+  JOIN iv a ON a.vec_id = p.qid
+  JOIN iv b ON b.vec_id = p.cid
 ), ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
   FROM scored
@@ -1711,6 +1751,7 @@ QUERIES = {
     "emb_near_dup": q_emb_near_dup,
     "emb_clusters": q_emb_clusters,
     "emb_lsh_topk": q_emb_lsh_topk,
+    "emb_lsh_multitable": q_emb_lsh_multitable,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_ivf_multiprobe": q_emb_ivf_multiprobe,
     "emb_pq_topk": q_emb_pq_topk,
@@ -1755,6 +1796,7 @@ ORACLES = {
     "dedup_minhash": _ORACLE_DEDUP_MINHASH,
     "dedup_simhash_pairs": _ORACLE_DEDUP_SIMHASH,
     "emb_lsh_topk": _ORACLE_LSH_TOPK,
+    "emb_lsh_multitable": _ORACLE_LSH_MULTITABLE,
 }
 
 # IVF needs the trained centroids as literals — built against the check's

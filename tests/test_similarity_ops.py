@@ -353,3 +353,29 @@ def test_pq_topk_guard_rejects_oversized_query_side(spark):
     )
     with pytest.raises(ValueError, match="driver-side bound"):
         S.pq_topk(corpus, queries, dim=8, max_queries=3)
+
+
+def test_lsh_multitable_dominates_single_table(spark):
+    """Every single-table candidate pair is also a multi-table candidate
+    (table 0 is the same plane set), so multi-table recall can only be
+    >= — and its result must carry identical cosines for shared pairs."""
+    from cdk_datalake_analytics_comercial_spark.operators.similarity import (
+        lsh_bucket_topk,
+        lsh_multitable_topk,
+    )
+    from cdk_datalake_analytics_comercial_spark.plans.common import t as tt
+
+    sf = "/root/testdata/sf0.001"
+    e = tt(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    single = lsh_bucket_topk(e, q, dim=64, k=200, n_planes=6).collect()
+    multi = lsh_multitable_topk(
+        e, q, dim=64, k=200, n_planes=6, n_tables=4
+    ).collect()
+    # k far above bucket size → both return their FULL candidate sets
+    s_pairs = {(r["query_id"], r["corpus_id"]): r["cosine"] for r in single}
+    m_pairs = {(r["query_id"], r["corpus_id"]): r["cosine"] for r in multi}
+    assert set(s_pairs) <= set(m_pairs)
+    assert len(m_pairs) > len(s_pairs)  # extra tables surfaced new candidates
+    for pair, cos in s_pairs.items():
+        assert m_pairs[pair] == cos

@@ -74,6 +74,12 @@ def main():
             truth_cos,
         ),
         (
+            "sign-LSH multi-table (6 planes x 4 tables)",
+            "cosine",
+            lambda: S.lsh_multitable_topk(e, q, dim=64, k=K, n_planes=6, n_tables=4),
+            truth_cos,
+        ),
+        (
             "IVF (8 cells, 1 probe)",
             "L2",
             lambda: S.ivf_topk(e, q, dim=64, k=K, n_cells=8),
