@@ -1126,6 +1126,15 @@ def _read_files(spark: SparkSession, path: str, files: list[dict], schema_json: 
     return out
 
 
+def _file_can_match(f: dict, where: dict, where_equals: dict) -> bool:
+    """Combined skip test for reads and DML: range stats AND bloom."""
+    if where and not _file_overlaps(f, where):
+        return False
+    if where_equals and _bloom_rejects(f, where_equals):
+        return False
+    return True
+
+
 def _dml_rewrite(
     spark: SparkSession,
     path: str,
@@ -1134,16 +1143,27 @@ def _dml_rewrite(
     op: str,
     partition_by: list[str] | None,
     stats_for: list[str] | None,
+    where_equals: dict | None = None,
+    bloom_for: list[str] | None = None,
 ) -> int:
     """Shared DELETE/UPDATE machinery: rewrite only the files whose stats
-    ranges overlap the predicate; every other file is carried forward by
-    reference (Delta's file-pruned DML). ``transform(df, cond)`` produces
-    the rewritten content of the affected files."""
+    ranges (and bloom bitsets, for equality predicates) can match the
+    predicate; every other file is carried forward by reference (Delta's
+    file-pruned DML). ``transform(df, cond)`` produces the rewritten
+    content of the affected files."""
+    where = where or {}
+    where_equals = where_equals or {}
+    if not where and not where_equals:
+        raise ValueError(f"{op} needs a predicate (where and/or where_equals)")
+    if any(v is None for v in where_equals.values()):
+        raise ValueError("where_equals probes must be non-null; use `where`")
     cur = current_version(spark, path)
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
     manifest = read_manifest(spark, path, cur)
-    hit, miss = _split_files_by_range(manifest, where)
+    hit, miss = [], []
+    for f in manifest["files"]:
+        (hit if _file_can_match(f, where, where_equals) else miss).append(f)
     if not hit:
         return cur  # nothing can match — no new version needed
 
@@ -1155,11 +1175,14 @@ def _dml_rewrite(
         if hi is not None:
             c = c & (F.col(col) <= F.lit(hi))
         cond = c if cond is None else (cond & c)
+    for col, val in where_equals.items():
+        c = F.col(col) == F.lit(val)
+        cond = c if cond is None else (cond & c)
 
     affected = _read_files(spark, path, hit, manifest["schema"])
     rewritten = transform(affected, cond)
 
-    _, new_files = _write_batch(rewritten, path, partition_by, stats_for)
+    _, new_files = _write_batch(rewritten, path, partition_by, stats_for, bloom_for)
     hit_paths = {f["path"] for f in hit}
     base_paths = hit_paths | {f["path"] for f in miss}
 
@@ -1176,7 +1199,7 @@ def _dml_rewrite(
                 f"concurrently (base v{cur}, now v{now})"
             )
         added = [f for f in now_files if f["path"] not in base_paths]
-        if any(_file_overlaps(f, where) for f in added):
+        if any(_file_can_match(f, where, where_equals) for f in added):
             # concurrently appended rows may match the predicate; this
             # rewrite never saw them (Delta's ConcurrentAppendException)
             raise TxConflictError(
@@ -1197,32 +1220,46 @@ def _dml_rewrite(
 def tx_delete(
     spark: SparkSession,
     path: str,
-    where: dict[str, tuple],
+    where: dict[str, tuple] | None = None,
     partition_by: list[str] | None = None,
     stats_for: list[str] | None = None,
+    where_equals: dict | None = None,
+    bloom_for: list[str] | None = None,
 ) -> int:
-    """Row-level DELETE (Delta `DELETE WHERE` over range predicates):
-    files provably missing the predicate carry forward untouched; affected
-    files are rewritten without the matching rows. Returns the committed
-    version (unchanged if no file could match)."""
+    """Row-level DELETE (Delta `DELETE WHERE`): files provably missing the
+    predicate carry forward untouched; affected files are rewritten
+    without the matching rows. Returns the committed version (unchanged if
+    no file could match).
+
+    ``where`` prunes by range stats; ``where_equals`` prunes by the Bloom
+    index — the GDPR point-delete path: removing one subject's rows from
+    a bloom-indexed table rewrites only the file(s) that can contain the
+    key, not the table. Pass ``bloom_for`` so rewritten files keep their
+    bitsets."""
     return _dml_rewrite(
         spark, path, where,
         lambda df, cond: df.filter(~F.coalesce(cond, F.lit(False))),
         "delete", partition_by, stats_for,
+        where_equals=where_equals, bloom_for=bloom_for,
     )
 
 
 def tx_update(
     spark: SparkSession,
     path: str,
-    where: dict[str, tuple],
-    assignments: dict[str, "F.Column"],
+    where: dict[str, tuple] | None = None,
+    assignments: dict[str, "F.Column"] | None = None,
     partition_by: list[str] | None = None,
     stats_for: list[str] | None = None,
+    where_equals: dict | None = None,
+    bloom_for: list[str] | None = None,
 ) -> int:
     """Row-level UPDATE: ``assignments`` maps column → new-value Column,
-    applied to rows matching the range predicate; same file-pruned rewrite
-    as delete."""
+    applied to rows matching the predicate; same file-pruned rewrite as
+    delete (ranges via stats, equalities via the Bloom index — the
+    point-redaction path)."""
+    if not assignments:
+        raise ValueError("update needs assignments")
 
     def apply(df, cond):
         out = df
@@ -1233,5 +1270,6 @@ def tx_update(
         return out
 
     return _dml_rewrite(
-        spark, path, where, apply, "update", partition_by, stats_for
+        spark, path, where, apply, "update", partition_by, stats_for,
+        where_equals=where_equals, bloom_for=bloom_for,
     )

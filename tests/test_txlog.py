@@ -816,3 +816,69 @@ def test_bloom_soundness_no_false_negatives(spark, tmp_path):
     for uid, v in rows_[::7]:  # sample across the key space
         got = TX.tx_read(spark, p, where_equals={"uid": uid}).collect()
         assert [(r["uid"], r["v"]) for r in got] == [(uid, v)], uid
+
+
+def test_point_delete_via_bloom_rewrites_one_file(spark, tmp_path):
+    """GDPR-style point delete: on a bloom-indexed table, deleting one
+    subject's rows rewrites only the file(s) that can contain the key —
+    every other file carries forward BY REFERENCE (same path strings in
+    the new manifest)."""
+    p = str(tmp_path / "gdpr")
+    for g in range(3):
+        df = spark.createDataFrame(
+            [(f"user_{i:03d}_{g}", g * 100 + i) for i in range(30)],
+            "uid string, v long",
+        ).coalesce(1)
+        TX.tx_write(
+            spark, df, p, mode="append" if g else "overwrite",
+            bloom_for=["uid"],
+        )
+    before = TX.read_manifest(spark, p, 3)
+    target = "user_005_1"  # lives in batch 1's single file
+
+    v = TX.tx_delete(spark, p, where_equals={"uid": target}, bloom_for=["uid"])
+    assert v == 4
+    after = TX.read_manifest(spark, p, 4)
+    kept_paths = {f["path"] for f in before["files"]} & {
+        f["path"] for f in after["files"]
+    }
+    # at least one untouched file carried by reference; at most 2 rewritten
+    # (owner + possible bloom false positive)
+    assert len(kept_paths) >= 1
+    assert len({f["path"] for f in before["files"]} - kept_paths) <= 2
+    rows_ = TX.tx_read(spark, p).collect()
+    assert len(rows_) == 89
+    assert not [r for r in rows_ if r["uid"] == target]
+    # rewritten files keep bloom entries (bloom_for threaded through)
+    assert all("bloom" in f for f in after["files"])
+    # time travel still shows the pre-delete row
+    assert (
+        TX.tx_read(spark, p, version=3).filter(F.col("uid") == target).count() == 1
+    )
+
+
+def test_point_update_via_bloom(spark, tmp_path):
+    p = str(tmp_path / "redact")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(f"u{i}", f"email_{i}@x.com") for i in range(20)],
+            "uid string, email string",
+        ).repartition(4, "uid"),
+        p,
+        bloom_for=["uid"],
+    )
+    TX.tx_update(
+        spark, p,
+        assignments={"email": F.lit("<REDACTED>")},
+        where_equals={"uid": "u7"},
+        bloom_for=["uid"],
+    )
+    got = {r["uid"]: r["email"] for r in TX.tx_read(spark, p).collect()}
+    assert got["u7"] == "<REDACTED>"
+    assert got["u3"] == "email_3@x.com"
+    # predicate required
+    import pytest
+
+    with pytest.raises(ValueError, match="predicate"):
+        TX.tx_delete(spark, p)
