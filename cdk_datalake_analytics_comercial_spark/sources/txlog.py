@@ -1051,6 +1051,7 @@ def tx_compact(
     stats_for: list[str] | None = None,
     cluster_by: list[str] | None = None,
     zorder: bool = False,
+    bloom_for: list[str] | None = None,
 ) -> int:
     """Small-file compaction (OPTIMIZE): rewrite the current snapshot as
     one fresh batch — collapses the per-commit batch dirs a long history
@@ -1095,7 +1096,7 @@ def tx_compact(
             if partition_by
             else df.repartition(n_files)
         )
-    return tx_write(spark, df, path, partition_by, "overwrite", stats_for)
+    return tx_write(spark, df, path, partition_by, "overwrite", stats_for, bloom_for)
 
 
 def _split_files_by_range(

@@ -882,3 +882,22 @@ def test_point_update_via_bloom(spark, tmp_path):
 
     with pytest.raises(ValueError, match="predicate"):
         TX.tx_delete(spark, p)
+
+
+def test_compact_preserves_bloom_index(spark, tmp_path):
+    p = str(tmp_path / "compact_bloom")
+    for g in range(3):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame(
+                [(f"k{g}_{i}", i) for i in range(20)], "uid string, v long"
+            ).coalesce(1),
+            p,
+            mode="append" if g else "overwrite",
+            bloom_for=["uid"],
+        )
+    TX.tx_compact(spark, p, n_files=2, bloom_for=["uid"])
+    manifest = TX.read_manifest(spark, p, 4)
+    assert all("bloom" in f and "uid" in f["bloom"] for f in manifest["files"])
+    out = TX.tx_read(spark, p, where_equals={"uid": "k1_7"}).collect()
+    assert [(r["uid"], r["v"]) for r in out] == [("k1_7", 7)]
