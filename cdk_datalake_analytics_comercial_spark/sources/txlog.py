@@ -49,6 +49,12 @@ _LOG = "_txlog"
 _DATA = "data"
 
 
+class TxCheckViolation(RuntimeError):
+    """A write violated a declared CHECK constraint — the txlog twin of
+    Delta's ``CHECK`` table constraints / InvariantViolationException.
+    Nothing is committed; the table is unchanged."""
+
+
 class TxConflictError(RuntimeError):
     """A concurrent commit invalidated this transaction's read set — the
     txlog twin of Delta's ``ConcurrentAppendException`` /
@@ -525,6 +531,7 @@ def tx_write(
     mode: str = "overwrite",
     stats_for: list[str] | None = None,
     bloom_for: list[str] | None = None,
+    checks: dict[str, str] | None = None,
 ) -> int:
     """Commit a new version. ``mode``:
 
@@ -539,12 +546,19 @@ def tx_write(
     partition pruning (Delta-style stats). ``bloom_for``: columns to record
     a per-file Bloom bitset for — enables EQUALITY skipping on
     ``tx_read(where_equals=...)`` for high-cardinality keys whose min/max
-    span everything (Delta's bloom filter index).
+    span everything (Delta's bloom filter index). ``checks``: named CHECK
+    constraints (name → boolean SQL expr) enforced BEFORE any data lands —
+    a violating batch raises :class:`TxCheckViolation` with per-constraint
+    violation counts and commits nothing (Delta's table CHECK constraints;
+    a row where the expr is NULL counts as violating, like SQL CHECK with
+    Delta's null-rejecting enforcement).
     """
     if mode not in ("overwrite", "append", "overwrite_dynamic"):
         raise ValueError(mode)
     if mode == "overwrite_dynamic" and not partition_by:
         raise ValueError("overwrite_dynamic requires partition_by")
+    if checks:
+        _enforce_checks(df, checks)
 
     _, new_files = _write_batch(df, path, partition_by, stats_for, bloom_for)
     schema_json = df.schema.json()
@@ -608,6 +622,22 @@ def _bloom_rejects(f: dict, where_equals: dict) -> bool:
     return False
 
 
+def _resolve_file(root: str, fpath: str) -> tuple[str, str]:
+    """(full path, batch dir) for a manifest file entry. Entries are
+    normally RELATIVE (``data/<batch>/...``); shallow clones reference the
+    source's files ABSOLUTELY — the batch dir (the basePath that recovers
+    partition columns) is the prefix through ``data/<batch>`` either way."""
+    # a URI scheme may qualify with ONE slash (Hadoop's file:/tmp/...), so
+    # detect "scheme:" in the first path segment, not just "://"
+    absolute = fpath.startswith("/") or ":" in fpath.split("/", 1)[0]
+    full = fpath if absolute else f"{root}/{fpath}"
+    parts = full.split("/")
+    for i in range(len(parts) - 1, -1, -1):
+        if parts[i] == _DATA and i + 1 < len(parts):
+            return full, "/".join(parts[: i + 2])
+    return full, "/".join(parts[:-1])
+
+
 def tx_read(
     spark: SparkSession,
     path: str,
@@ -640,12 +670,12 @@ def tx_read(
             continue
         if where_equals and _bloom_rejects(f, where_equals):
             continue
-        batch_dir = "/".join(f["path"].split("/")[:2])  # data/<batch>
-        by_batch.setdefault(batch_dir, []).append(f"{root}/{f['path']}")
+        full, batch_dir = _resolve_file(root, f["path"])
+        by_batch.setdefault(batch_dir, []).append(full)
     out = None
     for batch_dir, files in sorted(by_batch.items()):
         part = (
-            spark.read.option("basePath", f"{root}/{batch_dir}")
+            spark.read.option("basePath", batch_dir)
             .parquet(*sorted(files))
         )
         out = part if out is None else out.unionByName(
@@ -845,6 +875,61 @@ def _precedence_pick(
         .filter(F.col("_rn") == 1)
         .drop("_src", "_rn")
     )
+
+
+def tx_restore(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION (Delta's RESTORE): commit a NEW version
+    whose file list is the target version's — metadata-only, no data
+    movement, and the restore itself is time-travelable/undoable like any
+    other commit. Fails if the target's files were already vacuumed."""
+    target = read_manifest(spark, path, version)
+    root = path.rstrip("/")
+    for f in target["files"]:
+        if not _exists(spark, _resolve_file(root, f["path"])[0]):
+            raise FileNotFoundError(
+                f"cannot restore to v{version}: {f['path']} was vacuumed"
+            )
+
+    def build(cur: int | None) -> dict:
+        return {
+            "op": "restore",
+            "restore_of": version,
+            "schema": target["schema"],
+            "files": target["files"],
+        }
+
+    return _commit(spark, path, build)
+
+
+def tx_clone(spark: SparkSession, src: str, dst: str, version: int | None = None) -> int:
+    """Shallow clone (Delta's CLONE): create a NEW table whose v1 manifest
+    references the source snapshot's data files by ABSOLUTE path — zero
+    data copied; the clone then evolves independently (its own commits
+    write its own batch dirs). Vacuuming the SOURCE can invalidate a
+    shallow clone — same caveat Delta documents; deep-copy with
+    ``tx_write(spark, tx_read(spark, src), dst)`` when lifetimes differ."""
+    cur = version if version is not None else current_version(spark, src)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {src}")
+    if current_version(spark, dst) is not None:
+        raise FileExistsError(f"clone target {dst} already has a txlog")
+    manifest = read_manifest(spark, src, cur)
+    src_root = src.rstrip("/")
+    fs, p, _ = _fs(spark, src_root)
+    abs_root = fs.makeQualified(p).toString()
+    files = [
+        {**f, "path": f"{abs_root}/{f['path']}"} for f in manifest["files"]
+    ]
+
+    def build(_cur: int | None) -> dict:
+        return {
+            "op": "clone",
+            "clone_of": {"source": abs_root, "version": cur},
+            "schema": manifest["schema"],
+            "files": files,
+        }
+
+    return _commit(spark, dst, build)
 
 
 def tx_vacuum(
@@ -1114,17 +1199,35 @@ def _read_files(spark: SparkSession, path: str, files: list[dict], schema_json: 
     root = path.rstrip("/")
     by_batch: dict[str, list[str]] = {}
     for f in files:
-        bd = "/".join(f["path"].split("/")[:2])
-        by_batch.setdefault(bd, []).append(f"{root}/{f['path']}")
+        full, bd = _resolve_file(root, f["path"])
+        by_batch.setdefault(bd, []).append(full)
     out = None
     for bd, fl in sorted(by_batch.items()):
-        part = spark.read.option("basePath", f"{root}/{bd}").parquet(*sorted(fl))
+        part = spark.read.option("basePath", bd).parquet(*sorted(fl))
         out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     if out is None:
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
     return out
+
+
+def _enforce_checks(df: DataFrame, checks: dict[str, str]) -> None:
+    """One aggregate pass counting violations of every named constraint;
+    raises :class:`TxCheckViolation` listing the offenders."""
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1).otherwise(0)
+        ).alias(name)
+        for name, expr in checks.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {name: int(row[name] or 0) for name in checks if row[name]}
+    if bad:
+        raise TxCheckViolation(
+            "CHECK constraint(s) violated, nothing committed: "
+            + ", ".join(f"{n} ({c} rows)" for n, c in sorted(bad.items()))
+        )
 
 
 def _file_can_match(f: dict, where: dict, where_equals: dict) -> bool:

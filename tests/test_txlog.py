@@ -901,3 +901,75 @@ def test_compact_preserves_bloom_index(spark, tmp_path):
     assert all("bloom" in f and "uid" in f["bloom"] for f in manifest["files"])
     out = TX.tx_read(spark, p, where_equals={"uid": "k1_7"}).collect()
     assert [(r["uid"], r["v"]) for r in out] == [("k1_7", 7)]
+
+
+def test_restore_is_a_new_time_travelable_commit(spark, tmp_path):
+    p = str(tmp_path / "restore")
+    TX.tx_write(spark, spark.createDataFrame([(1, "a")], "k long, v string"), p)
+    TX.tx_write(spark, spark.createDataFrame([(1, "B"), (2, "c")], "k long, v string"), p)
+    v = TX.tx_restore(spark, p, 1)
+    assert v == 3
+    assert rows(TX.tx_read(spark, p)) == [(1, "a")]          # back to v1 content
+    assert rows(TX.tx_read(spark, p, version=2)) == [(1, "B"), (2, "c")]  # v2 intact
+    # the restore is itself undoable
+    TX.tx_restore(spark, p, 2)
+    assert rows(TX.tx_read(spark, p)) == [(1, "B"), (2, "c")]
+    assert TX.read_manifest(spark, p, 3)["restore_of"] == 1
+
+
+def test_shallow_clone_shares_files_then_diverges(spark, tmp_path):
+    src = str(tmp_path / "src_tbl")
+    dst = str(tmp_path / "dst_tbl")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("PE", 1), ("CL", 2)], "id_pais string, v long"),
+        src,
+        partition_by=["id_pais"],
+    )
+    TX.tx_clone(spark, src, dst)
+    # zero data copied: the clone's manifest references the source's files
+    m = TX.read_manifest(spark, dst, 1)
+    assert all(f["path"].startswith("file:/") or f["path"].startswith("/") for f in m["files"])
+    assert rows(TX.tx_read(spark, dst).select("id_pais", "v")) == [("CL", 2), ("PE", 1)]
+    # clone evolves independently — source unchanged
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("BR", 3)], "id_pais string, v long"),
+        dst, partition_by=["id_pais"], mode="append",
+    )
+    assert rows(TX.tx_read(spark, dst).select("id_pais", "v")) == [
+        ("BR", 3), ("CL", 2), ("PE", 1)
+    ]
+    assert rows(TX.tx_read(spark, src).select("id_pais", "v")) == [("CL", 2), ("PE", 1)]
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        TX.tx_clone(spark, src, dst)
+
+
+def test_check_constraints_reject_bad_batch_atomically(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "checked")
+    checks = {"positive_v": "v > 0", "pais_known": "id_pais IN ('PE','CL')"}
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("PE", 5)], "id_pais string, v long"),
+        p, checks=checks,
+    )
+    with pytest.raises(TX.TxCheckViolation, match="positive_v \\(1 rows\\)"):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([("PE", -1), ("XX", 2)], "id_pais string, v long"),
+            p, mode="append", checks=checks,
+        )
+    # nothing committed, table unchanged
+    assert TX.current_version(spark, p) == 1
+    assert rows(TX.tx_read(spark, p)) == [("PE", 5)]
+    # NULL in the checked expr counts as violating (SQL CHECK + Delta style)
+    with pytest.raises(TX.TxCheckViolation, match="positive_v"):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([("PE", None)], "id_pais string, v long"),
+            p, mode="append", checks=checks,
+        )
