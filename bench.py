@@ -69,6 +69,7 @@ HEADLINE = [
     "order_timeline",
     "monthly_gap_fill",
     "approx_distinct_kmv",
+    "approx_distinct_hll",
 ]
 
 

@@ -74,3 +74,74 @@ def kmv_distinct(
         )
         .withColumn("kmv_estimate", F.round(est, 4))
     )
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet's bias-correction constant for m ≥ 128."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) per group via a REAL HyperLogLog
+    (Flajolet et al. 2007) built on the portable hash, so — unlike the
+    engine-opaque ``approx_count_distinct`` sketch — DuckDB reproduces the
+    registers and the ESTIMATE hash-matches in the differential harness.
+
+    Register math is kept integer-exact so partition order cannot perturb
+    the result: the harmonic denominator Σ 2^(−M_j) is computed as the
+    INTEGER Σ 2^(53−M_j) (every term and the sum fit in int64), divided
+    once at the end. Relative standard error ≈ 1.04/√m (m = 2^p; 6.5%
+    at the default p=8). Small-range linear counting applies below 2.5·m
+    with empty registers.
+
+    Scale shape: two partial-aggregating shuffles — (group, bucket) max
+    then group sum — with state m registers per group, CONSTANT in the
+    number of distinct values (the entire point vs KMV's k rows is that m
+    never grows and registers merge by max, so re-aggregation to coarser
+    groups is a max over registers)."""
+    m = 1 << p
+    vals = df.select(*group_cols, F.col(value_col).alias("_v")).distinct()
+    hashed = vals.withColumn("_h", portable_hash60(F.col("_v")))
+    # bucket = low p bits; rho = leading-zero rank of the remaining 60−p
+    # bits + 1 (conv-to-binary length is an exact integer bit_length)
+    w = F.shiftright(F.col("_h"), p)
+    rho = F.when(
+        w > 0, F.lit(61 - p) - F.length(F.conv(w, 10, 2))
+    ).otherwise(F.lit(61 - p)).cast("int")
+    regs = (
+        hashed.select(
+            *group_cols,
+            F.col("_h").bitwiseAND(m - 1).alias("_bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.max("_rho").alias("_reg"))
+    )
+    rmax = 61 - p  # max register value; scale exponent keeps shifts ≥ 0
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - _reg)")).alias("_s_int"),
+        F.count(F.lit(1)).cast("long").alias("_present"),
+    )
+    denom_int = (
+        (F.lit(m).cast("long") - F.col("_present"))
+        * F.lit(1 << rmax).cast("long")
+        + F.col("_s_int")
+    )
+    raw = (
+        F.lit(hll_alpha(m) * m * m * float(1 << rmax)) / denom_int.cast("double")
+    )
+    zeros = F.lit(m).cast("long") - F.col("_present")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.col("_present").alias("hll_buckets_used"),
+        F.round(est, 4).alias("hll_estimate"),
+    )

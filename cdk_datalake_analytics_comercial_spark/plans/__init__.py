@@ -22,6 +22,7 @@ for mod in (relational, docs, events):
 _SAMPLE_FIRST = [
     "emb_ivfpq_residual_topk",
     "emb_lsh_multitable",
+    "approx_distinct_hll",
     "quality_classifier",
     "pii_scrub",
     "dq_report",

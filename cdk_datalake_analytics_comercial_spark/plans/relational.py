@@ -1370,6 +1370,71 @@ FROM agg a JOIN exact USING (priority)
 """
 
 
+# --------------------------------------------------------------------------
+# HyperLogLog (operators/sketches.py): constant-size registers vs KMV's k
+# rows — and still estimate-level hash-matched against the oracle.
+
+
+def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_distinct
+
+    o = t(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").alias("custkey"),
+    )
+    sketch = hll_distinct(pairs, ["priority"], "custkey", p=8)
+    exact = (
+        pairs.groupBy("priority")
+        .agg(F.countDistinct("custkey").cast("bigint").alias("exact_distinct"))
+    )
+    return sketch.join(exact, "priority").select(
+        "priority", "hll_buckets_used", "hll_estimate", "exact_distinct"
+    )
+
+
+def _hll_oracle() -> str:
+    from ..operators.sketches import hll_alpha
+
+    m, rmax = 256, 53
+    alpha_num = repr(hll_alpha(m) * m * m * float(1 << rmax))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_orderpriority AS priority, o_custkey AS custkey FROM orders
+), hashed AS (
+  SELECT priority, {_SQL_KMV_HASH} AS h FROM pairs
+), rhos AS (
+  SELECT priority, h & {m - 1} AS bucket,
+         CASE WHEN (h >> 8) > 0 THEN {rmax} - length(bin(h >> 8)) ELSE {rmax} END AS rho
+  FROM hashed
+), regs AS (
+  SELECT priority, bucket, MAX(rho) AS reg FROM rhos GROUP BY priority, bucket
+), agg AS (
+  SELECT priority,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rmax} - reg)) AS BIGINT) AS s_int,
+         CAST(COUNT(*) AS BIGINT) AS present
+  FROM regs GROUP BY priority
+), est AS (
+  SELECT priority, present,
+         {alpha_num} / CAST(({m} - present) * {1 << rmax} + s_int AS DOUBLE) AS raw,
+         {m} - present AS zeros
+  FROM agg
+), exact AS (
+  SELECT priority, CAST(COUNT(DISTINCT custkey) AS BIGINT) AS exact_distinct
+  FROM pairs GROUP BY priority
+)
+SELECT e.priority, present AS hll_buckets_used,
+       ROUND(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+             THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
+             ELSE raw END, 4) AS hll_estimate,
+       exact_distinct
+FROM est e JOIN exact USING (priority)
+"""
+
+
+_ORACLE_HLL = _hll_oracle()
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "sales_enrichment": q_sales_enrichment,
@@ -1406,6 +1471,7 @@ QUERIES = {
     "order_timeline": q_order_timeline,
     "monthly_gap_fill": q_monthly_gap_fill,
     "approx_distinct_kmv": q_approx_distinct_kmv,
+    "approx_distinct_hll": q_approx_distinct_hll,
 }
 
 ORACLES = {
@@ -1444,4 +1510,5 @@ ORACLES = {
     "order_timeline": _ORACLE_TIMELINE,
     "monthly_gap_fill": _ORACLE_GAP_FILL,
     "approx_distinct_kmv": _ORACLE_KMV,
+    "approx_distinct_hll": _ORACLE_HLL,
 }

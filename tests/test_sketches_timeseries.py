@@ -90,3 +90,33 @@ def test_cube_gid_semantics(spark):
     by_status = [r for r in out if r["gid"] == 1]
     assert all(r["priority"] == "<ALL>" and r["status"] != "<ALL>" for r in by_status)
     assert sum(r["n_orders"] for r in by_status) == n
+
+
+def test_hll_estimate_accuracy_and_merge_semantics(spark):
+    from cdk_datalake_analytics_comercial_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    # 2000 distinct values, m=256 registers → RSE ≈ 1.04/16 = 6.5%; 3σ
+    df = spark.createDataFrame(
+        [("g", f"value_{i}") for i in range(2000)], "grp string, val string"
+    )
+    row = hll_distinct(df, ["grp"], "val", p=8).collect()[0]
+    assert abs(row["hll_estimate"] - 2000) / 2000 < 0.20
+    # duplicates never move a register (distinct-first + max semantics)
+    row2 = hll_distinct(df.union(df), ["grp"], "val", p=8).collect()[0]
+    assert row2["hll_estimate"] == row["hll_estimate"]
+
+
+def test_hll_small_range_linear_counting(spark):
+    from cdk_datalake_analytics_comercial_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(30)], "grp string, val string"
+    )
+    row = hll_distinct(df, ["grp"], "val", p=8).collect()[0]
+    # linear counting regime: near-exact for n << m
+    assert abs(row["hll_estimate"] - 30) <= 3
+    assert row["hll_buckets_used"] <= 30
