@@ -178,14 +178,25 @@ def test_real_frame_sample_ppm_stream(spark):
 def test_compressed_formats_still_raise(spark):
     import pytest as _pytest
 
+    # codecs with no pure-python implementation (MP3/MP4 class) still
+    # raise NotImplementedError...
     df = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8fakejpeg"))], "media_id long, payload binary"
+        [(1, bytearray(b"ID3mp3junk"))], "media_id long, payload binary"
     )
     with _pytest.raises(Exception) as exc:
         M.image_features(df, fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+    # ...but JPEG now has a REAL baseline decoder: garbage after the SOI
+    # magic is a decode error (truncated/invalid stream), not an
+    # unimplemented-codec error
+    df2 = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8fakejpeg"))], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception) as exc2:
+        M.image_features(df2, fake=False).collect()
+    assert "NotImplementedError" not in str(exc2.value)
 
 
 def test_attach_media_meta_sniffs_formats_jvm_side(spark):
@@ -393,7 +404,8 @@ def test_skip_and_flag_completes_dirty_corpus(spark):
     assert out.columns[-1] == "error"
     got = {r["media_id"]: r for r in out.collect()}
     assert got[1]["error"] is None and got[1]["width"] == 4
-    assert got[2]["error"] is not None and "jpeg" in got[2]["error"]
+    # the broken payload is flagged with the real decoder's error text
+    assert got[2]["error"] is not None
     assert got[2]["width"] is None
 
     with pytest.raises(Exception):
