@@ -176,3 +176,28 @@ def make_nearest_cell_udf(centroids_int):
         return pd.Series(d2.argmin(axis=1).astype("int32"))
 
     return nearest
+
+
+def make_multitable_lsh_udf(tables_int):
+    """All L tables' sign-LSH bucket ids in one Arrow batch: for each
+    table, bucket bit i = (X @ plane_i) > 0 — a single int64 matmul per
+    table (exact: |terms| < 2^41, 64-dim sums < 2^47), weights 1 << i
+    matching ``similarity.lsh_signature`` and the oracle's CASE chain.
+    Replaces L × planes interpreted higher-order aggregate() expressions
+    per row (the repo-documented 10-60× HOF trap) with numpy."""
+    planes = [np.asarray(t, dtype=np.int64) for t in tables_int]
+
+    @pandas_udf("array<long>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(v, dtype=np.int64) for v in vs])
+        out = np.zeros((len(x), len(planes)), dtype=np.int64)
+        for t, pl in enumerate(planes):
+            sign = (x @ pl.T) > 0  # (n, n_planes)
+            out[:, t] = (sign * (1 << np.arange(pl.shape[0], dtype=np.int64))).sum(
+                axis=1
+            )
+        return pd.Series(list(out))
+
+    return buckets

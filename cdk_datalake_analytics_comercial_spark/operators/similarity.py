@@ -462,34 +462,52 @@ def lsh_multitable_topk(
     Indyk–Motwani amplification; what FAISS/Annoy ship as multi-table /
     forest).
 
-    Plan shape: one bucket broadcast-join per table over the SAME corpus
-    scan lineage, union of the candidate pair streams, one distinct
-    shuffle on the (query, candidate) pair (a vector pair rides along —
-    identical copies, so distinct stays exact), then score + rank.
-    Candidate volume ≈ L · corpus/2^planes per query; the corpus is never
-    shuffled on anything but the bucket id."""
-    cs = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        int_scaled(F.col(vec_col)).alias("civ"),
-    )
-    qs = queries.select(
-        F.col(id_col).alias("query_id"),
-        int_scaled(F.col(vec_col)).alias("qiv"),
-    )
-    pairs = None
-    for t in range(n_tables):
-        planes_int = [
-            [quantize(x) for x in row] for row in _hyperplanes(dim, n_planes, seed + t)
-        ]
-        c = cs.withColumn("bucket", lsh_signature(F.col("civ"), planes_int))
-        q = qs.withColumn("bucket", lsh_signature(F.col("qiv"), planes_int))
-        p = (
-            F.broadcast(q)
-            .join(c, "bucket", "inner")
-            .filter(F.col("query_id") != F.col("corpus_id"))
-            .select("query_id", "corpus_id", "qiv", "civ")
+    Plan shape: ONE corpus scan — every table's bucket id is computed in
+    the same projection and exploded to (table, bucket) join keys, so the
+    L tables cost one broadcast hash join on the composite key instead of
+    L scan+join rounds (at 100 TB: one pass over the corpus, not L).
+    Then one distinct shuffle on the (query, candidate) pair (the vector
+    pair rides along — identical copies, so distinct stays exact) and the
+    score + rank. Candidate volume ≈ L · corpus/2^planes per query; the
+    corpus is never shuffled on anything but (table, bucket)."""
+    from ._vectorized import make_multitable_lsh_udf
+
+    tables = [
+        [[quantize(x) for x in row] for row in _hyperplanes(dim, n_planes, seed + t)]
+        for t in range(n_tables)
+    ]
+    buckets_udf = make_multitable_lsh_udf(tables)
+
+    def with_table_buckets(df, idname, vname):
+        # all L bucket ids in one Arrow matmul kernel, then posexplode to
+        # (table, bucket) join keys — bit-identical to lsh_signature per
+        # table (exact integer sign tests), L× cheaper than the HOF form
+        return df.select(
+            idname, vname, F.posexplode(buckets_udf(F.col(vname))).alias("t", "b")
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
+
+    cs = with_table_buckets(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            int_scaled(F.col(vec_col)).alias("civ"),
+        ),
+        "corpus_id",
+        "civ",
+    )
+    qs = with_table_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            int_scaled(F.col(vec_col)).alias("qiv"),
+        ),
+        "query_id",
+        "qiv",
+    )
+    pairs = (
+        F.broadcast(qs)
+        .join(cs, ["t", "b"], "inner")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id", "qiv", "civ")
+    )
     scored = pairs.distinct().select(
         "query_id",
         "corpus_id",
