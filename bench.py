@@ -59,6 +59,7 @@ HEADLINE = [
     "events_sessions",
     "events_asof_error",
     "events_funnel",
+    "events_hll_users",
     "small_quantity_revenue",
     "sales_rollup",
     "late_orders_exists",

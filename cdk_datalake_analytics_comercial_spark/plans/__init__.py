@@ -23,6 +23,7 @@ _SAMPLE_FIRST = [
     "emb_ivfpq_residual_topk",
     "emb_lsh_multitable",
     "approx_distinct_hll",
+    "events_hll_users",
     "quality_classifier",
     "pii_scrub",
     "dq_report",

@@ -87,3 +87,45 @@ def dmul2(a: Column, b: Column) -> Column:
     """Exact two-factor product in decimal(12,6) — covers TPC-H-ish money
     magnitudes (< 10^6) with 6dp, exact in both Spark and DuckDB."""
     return a.cast("decimal(12,6)") * b.cast("decimal(12,6)")
+
+
+def hll_oracle_sql(pairs_sql: str, group_col: str, p: int = 8) -> str:
+    """DuckDB twin of ``operators.sketches.hll_distinct`` over an arbitrary
+    pairs CTE: ``pairs_sql`` must SELECT ``{group_col}`` and a value column
+    ``v`` (already DISTINCT per group). Output columns: the group col,
+    hll_buckets_used, hll_estimate — same integer-exact register math as
+    the Spark side (shared quantities, same literal constants)."""
+    from ..operators.sketches import hll_alpha
+
+    m = 1 << p
+    rmax = 61 - p
+    alpha_num = repr(hll_alpha(m) * m * m * float(1 << rmax))
+    h60 = (
+        "CAST(list_sum(list_transform(range(1, 16), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5(CAST(v AS VARCHAR)), i, 1)) - 1 AS BIGINT)"
+        " << (4 * (15 - i)))) AS BIGINT)"
+    )
+    return f"""
+WITH pairs AS ({pairs_sql}
+), hashed AS (
+  SELECT {group_col}, {h60} AS h FROM pairs
+), rhos AS (
+  SELECT {group_col}, h & {m - 1} AS bucket,
+         CASE WHEN (h >> {p}) > 0 THEN {rmax} - length(bin(h >> {p})) ELSE {rmax} END AS rho
+  FROM hashed
+), regs AS (
+  SELECT {group_col}, bucket, MAX(rho) AS reg FROM rhos GROUP BY {group_col}, bucket
+), hagg AS (
+  SELECT {group_col},
+         CAST(SUM(CAST(1 AS BIGINT) << ({rmax} - reg)) AS BIGINT) AS s_int,
+         CAST(COUNT(*) AS BIGINT) AS present
+  FROM regs GROUP BY {group_col}
+)
+SELECT {group_col}, present AS hll_buckets_used,
+       ROUND(CASE WHEN ({alpha_num} / CAST(({m} - present) * {1 << rmax} + s_int AS DOUBLE)) <= {2.5 * m}
+                   AND ({m} - present) > 0
+             THEN {float(m)} * ln({float(m)} / CAST({m} - present AS DOUBLE))
+             ELSE {alpha_num} / CAST(({m} - present) * {1 << rmax} + s_int AS DOUBLE)
+             END, 4) AS hll_estimate
+FROM hagg
+"""

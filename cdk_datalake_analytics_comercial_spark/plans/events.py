@@ -295,7 +295,48 @@ FROM led WHERE event_type = 'error' AND next_type IS NOT NULL
 """
 
 
+def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per hour via the portable HyperLogLog —
+    the streaming-shaped sketch use (per-window registers merge by max, so
+    a live pipeline keeps m longs per open window, not a user set);
+    exact count rides along to expose the estimation error."""
+    from ..operators.sketches import hll_distinct
+
+    e = t(spark, sf_dir, "events")
+    es = _epoch_s(e)
+    bucket = (es - (es % 3600)).cast("bigint")
+    pairs = e.select(bucket.alias("bucket_start"), F.col("user_id").alias("v"))
+    sketch = hll_distinct(pairs, ["bucket_start"], "v", p=8)
+    exact = pairs.groupBy("bucket_start").agg(
+        F.countDistinct("v").cast("bigint").alias("exact_users")
+    )
+    return sketch.join(exact, "bucket_start").select(
+        "bucket_start", "hll_buckets_used", "hll_estimate", "exact_users"
+    )
+
+
+def _hll_users_oracle() -> str:
+    from .common import hll_oracle_sql
+
+    pairs = (
+        "SELECT DISTINCT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 "
+        "AS bucket_start, user_id AS v FROM events"
+    )
+    inner = hll_oracle_sql(pairs, "bucket_start")
+    return f"""
+WITH sketch AS ({inner}
+), exact AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_start,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT s.bucket_start, hll_buckets_used, hll_estimate, exact_users
+FROM sketch s JOIN exact USING (bucket_start)
+"""
+
+
 QUERIES = {
+    "events_hll_users": q_events_hll_users,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,
@@ -305,6 +346,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_hll_users": _hll_users_oracle(),
     "events_tumbling": _ORACLE_TUMBLING,
     "events_sliding": _ORACLE_SLIDING,
     "events_sessions": _ORACLE_SESSIONS,
