@@ -192,3 +192,66 @@ def test_pack_sequence_invariants(tokens, budget):
         prev_bin = bin_id
         start += t_count
     assert start == sum(tokens)            # offsets conserve the token count
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec properties (pure numpy — no Spark in the hypothesis loop)
+
+from hypothesis import given as _g2, settings as _s2
+import numpy as _np
+
+
+@_s2(max_examples=20, deadline=None)
+@_g2(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([60, 85, 95]),
+    st.booleans(),
+)
+def test_jpeg_roundtrip_any_shape(h, w, seed_, quality, subsample):
+    """decode(encode(img)) must preserve shape exactly and content within
+    JPEG's lossy envelope for ANY image size (odd sizes exercise the MCU
+    edge padding) — and never crash or loop."""
+    from cdk_datalake_analytics_comercial_spark.operators import _jpeg as J
+
+    rng = _np.random.default_rng(seed_)
+    # smooth-ish content (random low-res upsampled): JPEG's intended regime
+    base = rng.integers(0, 256, size=(max(1, h // 4), max(1, w // 4), 3))
+    img = _np.repeat(_np.repeat(base, 4, axis=0), 4, axis=1)[:h, :w, :].astype(
+        _np.uint8
+    )
+    dec = J.decode_jpeg(J.encode_jpeg(img, quality=quality, subsample=subsample))
+    assert dec.shape == img.shape
+    mse = _np.mean((dec.astype(float) - img.astype(float)) ** 2)
+    assert mse < 900  # PSNR > ~18.6 dB even at q60 4:2:0 on blocky content
+
+
+@_s2(max_examples=30, deadline=None)
+@_g2(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=300, unique=True))
+def test_kmv_hll_sketch_invariants(values):
+    """Pure-python twins of the sketch math: KMV is exactly right below
+    saturation, HLL's linear-counting regime is near-exact for n << m, and
+    both are duplicate-invariant by construction (hash sets)."""
+    import hashlib
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    hs = sorted({h60(v) for v in values})
+    n = len(hs)
+    # KMV (k=64): unsaturated == exact
+    if n < 64:
+        assert len(hs[:64]) == n
+    else:
+        kth = hs[63]
+        est = 63.0 / (kth / float(2**60))
+        assert abs(est - n) / n < 0.75  # 3-ish sigma at k=64 plus slack
+    # HLL p=8 linear counting for n << m: registers-used ≈ distinct
+    m = 256
+    buckets = {h & (m - 1) for h in hs}
+    if n <= 25:
+        import math
+
+        est = m * math.log(m / (m - len(buckets)))
+        assert abs(est - n) <= max(3, 0.25 * n)

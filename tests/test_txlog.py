@@ -973,3 +973,24 @@ def test_check_constraints_reject_bad_batch_atomically(spark, tmp_path):
             spark.createDataFrame([("PE", None)], "id_pais string, v long"),
             p, mode="append", checks=checks,
         )
+
+
+def test_append_with_evolved_schema_unions_on_read(spark, tmp_path):
+    """Appending a batch that carries an extra column: the snapshot read
+    unions by name with null padding (the manifest records the LATEST
+    write's schema; per-batch files keep their own) — the reference's
+    schema.autoMerge behavior for plain appends."""
+    p = str(tmp_path / "evolve")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), p
+    )
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, extra double"),
+        p,
+        mode="append",
+    )
+    got = {r["k"]: (r["v"], r["extra"]) for r in TX.tx_read(spark, p).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    # time travel to v1 still shows the original narrow schema
+    assert TX.tx_read(spark, p, version=1).columns == ["k", "v"]
