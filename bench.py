@@ -69,6 +69,7 @@ HEADLINE = [
     "cube_status_priority",
     "order_timeline",
     "monthly_gap_fill",
+    "monthly_interpolate",
     "approx_distinct_kmv",
     "approx_distinct_hll",
 ]

@@ -45,3 +45,49 @@ def forward_fill(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Linear interpolation across gaps: a null ``value_col`` STRICTLY
+    BETWEEN two observations becomes the time-weighted blend
+    ``prev + (next − prev)·(t − t_prev)/(t_next − t_prev)``; leading and
+    trailing gaps (only one side observed) stay null — interpolation never
+    invents a trend beyond the data (pair with :func:`forward_fill` when
+    carry-out is wanted).
+
+    ``time_col`` must be castable to long (timestamp/date/numeric); the
+    weight uses actual elapsed time, so unevenly spaced observations
+    interpolate correctly. Two window passes over ONE shuffle partitioning
+    (backward-looking ``last`` + forward-looking ``first``, same key+order
+    spec — Spark reuses the sort)."""
+    t = F.col(time_col).cast("timestamp").cast("long")
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col(value_col).isNotNull(), t)
+    prev_v = F.last(value_col, ignorenulls=True).over(wb)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wb)
+    next_v = F.first(value_col, ignorenulls=True).over(wf)
+    next_t = F.first(obs_t, ignorenulls=True).over(wf)
+    blend = prev_v + (next_v - prev_v) * (
+        (t - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    )
+    out = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col).cast("double"))
+        .when(prev_v.isNull() | next_v.isNull(), F.lit(None).cast("double"))
+        .otherwise(blend)
+    )
+    return df.withColumn(out_col, F.round(out, 6))

@@ -24,6 +24,7 @@ _SAMPLE_FIRST = [
     "emb_lsh_multitable",
     "approx_distinct_hll",
     "events_hll_users",
+    "monthly_interpolate",
     "quality_classifier",
     "pii_scrub",
     "dq_report",

@@ -1371,6 +1371,72 @@ FROM agg a JOIN exact USING (priority)
 
 
 # --------------------------------------------------------------------------
+# Linear interpolation across calendar gaps (operators/timeseries.py):
+# missing months blend their neighbors time-weighted; edges stay null.
+
+
+def q_monthly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import interpolate_linear, month_grid
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("obs_revenue"))
+    )
+    grid = month_grid(n.select(F.col("n_name").alias("nation")), monthly, "month")
+    joined = grid.join(monthly, ["nation", "month"], "left")
+    return interpolate_linear(
+        joined, ["nation"], "month", "obs_revenue", "interp_revenue"
+    ).select("nation", "month", "obs_revenue", "interp_revenue")
+
+
+_ORACLE_INTERPOLATE = """
+WITH monthly AS (
+  SELECT n_name AS nation, date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS obs_revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(month) AS lo, MAX(month) AS hi FROM monthly
+), months AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM bounds
+), grid AS (
+  SELECT n_name AS nation, month FROM nation, months
+), joined AS (
+  SELECT g.nation, g.month, m.obs_revenue,
+         CAST(epoch(g.month) AS BIGINT) AS t
+  FROM grid g LEFT JOIN monthly m ON g.nation = m.nation AND g.month = m.month
+), ctx AS (
+  SELECT nation, month, obs_revenue, t,
+         LAST_VALUE(obs_revenue IGNORE NULLS) OVER wb AS prev_v,
+         LAST_VALUE(CASE WHEN obs_revenue IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS prev_t,
+         FIRST_VALUE(obs_revenue IGNORE NULLS) OVER wf AS next_v,
+         FIRST_VALUE(CASE WHEN obs_revenue IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS next_t
+  FROM joined
+  WINDOW wb AS (PARTITION BY nation ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY nation ORDER BY month
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT nation, month, obs_revenue,
+       ROUND(CASE WHEN obs_revenue IS NOT NULL THEN obs_revenue
+             WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+             ELSE prev_v + (next_v - prev_v) *
+                  (CAST(t - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+             END, 6) AS interp_revenue
+FROM ctx
+"""
+
+# --------------------------------------------------------------------------
 # HyperLogLog (operators/sketches.py): constant-size registers vs KMV's k
 # rows — and still estimate-level hash-matched against the oracle.
 
@@ -1472,6 +1538,7 @@ QUERIES = {
     "monthly_gap_fill": q_monthly_gap_fill,
     "approx_distinct_kmv": q_approx_distinct_kmv,
     "approx_distinct_hll": q_approx_distinct_hll,
+    "monthly_interpolate": q_monthly_interpolate,
 }
 
 ORACLES = {
@@ -1511,4 +1578,5 @@ ORACLES = {
     "monthly_gap_fill": _ORACLE_GAP_FILL,
     "approx_distinct_kmv": _ORACLE_KMV,
     "approx_distinct_hll": _ORACLE_HLL,
+    "monthly_interpolate": _ORACLE_INTERPOLATE,
 }

@@ -30,6 +30,7 @@ INTENTIONAL_CROSS = {
     # — derived from ONE aggregated row exploded); the product is the gap-
     # filled axis itself, |keys|·|months| rows, broadcast NLJ on purpose
     "monthly_gap_fill",
+    "monthly_interpolate",  # same grid construction, interpolation on top
 }
 
 

@@ -120,3 +120,30 @@ def test_hll_small_range_linear_counting(spark):
     # linear counting regime: near-exact for n << m
     assert abs(row["hll_estimate"] - 30) <= 3
     assert row["hll_buckets_used"] <= 30
+
+
+def test_interpolate_linear_blends_and_leaves_edges_null(spark):
+    from cdk_datalake_analytics_comercial_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    # uneven spacing: gap of 3 units then 1; observations at t=1 (10),
+    # t=4 (40), t=5 (nulls trailing)
+    df = spark.createDataFrame(
+        [
+            ("k", "2020-01-01 00:00:01", None),   # leading gap → null
+            ("k", "2020-01-01 00:00:02", 10.0),
+            ("k", "2020-01-01 00:00:03", None),   # 1/3 of the way 10→40
+            ("k", "2020-01-01 00:00:04", None),   # 2/3
+            ("k", "2020-01-01 00:00:05", 40.0),
+            ("k", "2020-01-01 00:00:06", None),   # trailing gap → null
+        ],
+        "key string, ts string, v double",
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {
+        r["ts"].second: r["filled"]
+        for r in interpolate_linear(df, ["key"], "ts", "v", "filled").collect()
+    }
+    assert out[1] is None and out[6] is None
+    assert out[2] == 10.0 and out[5] == 40.0
+    assert out[3] == 20.0 and out[4] == 30.0  # time-weighted thirds

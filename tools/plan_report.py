@@ -46,6 +46,7 @@ def audit_plan(plan: str) -> dict:
 # by construction, the product IS the intended output.
 INTENTIONAL_CROSS = {
     "monthly_gap_fill": "keys × exploded-bounds month axis (dense calendar grid)",
+    "monthly_interpolate": "keys × exploded-bounds month axis (dense calendar grid)",
 }
 
 # Queries whose result comes from a DRIVER LOOP over checkpointed rounds
