@@ -44,6 +44,7 @@ HEADLINE = [
     "corpus_filter",
     "doc_length_histogram",
     "decontam_overlap",
+    "stratified_fixed_k",
     "tfidf_keywords",
     "quality_classifier",
     "pii_scrub",

@@ -25,6 +25,7 @@ _SAMPLE_FIRST = [
     "approx_distinct_hll",
     "events_hll_users",
     "monthly_interpolate",
+    "stratified_fixed_k",
     "quality_classifier",
     "pii_scrub",
     "dq_report",

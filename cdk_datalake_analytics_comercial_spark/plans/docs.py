@@ -1011,6 +1011,42 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
 """
 
 
+def q_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k docs per stratum (vs the rate-based sample above, whose
+    per-stratum size floats with the data): deterministic hash-rank — the
+    k smallest md5 keys per lang. Growth-stable the way a training-data
+    eval split needs to be: adding new docs can only displace, never
+    reshuffle, the selection (a doc leaves only when a smaller-keyed doc
+    arrives). One window shuffle on the stratum key."""
+    from ..operators.sketches import portable_hash60
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        portable_hash60(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= 20)
+    )
+
+
+_ORACLE_STRATIFIED_FIXED_K = """
+SELECT doc_id, lang, source, CAST(rn AS INT) AS sample_rank
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(list_sum(list_transform(range(1, 16), i ->
+             CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+             << (4 * (15 - i)))) AS BIGINT) ASC, doc_id ASC) AS rn
+  FROM documents
+)
+WHERE rn <= 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Repetition signals (Gopher-style quality rules): duplicate-line fraction
 # and most-common-word-bigram fraction. Line stats are pure Column
@@ -1733,6 +1769,7 @@ QUERIES = {
     "dedup_canonical": q_dedup_canonical,
     "doc_quantiles": q_doc_quantiles,
     "stratified_sample": q_stratified_sample,
+    "stratified_fixed_k": q_stratified_fixed_k,
     "text_repetition": q_text_repetition,
     "doc_pack": q_doc_pack,
     "doc_chunks": q_doc_chunks,
@@ -1774,6 +1811,7 @@ ORACLES = {
     "dedup_canonical": _ORACLE_DEDUP_CANONICAL,
     "doc_quantiles": _ORACLE_DOC_QUANTILES,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
+    "stratified_fixed_k": _ORACLE_STRATIFIED_FIXED_K,
     "text_repetition": _ORACLE_TEXT_REPETITION,
     "doc_pack": _ORACLE_DOC_PACK,
     "doc_chunks": _ORACLE_DOC_CHUNKS,

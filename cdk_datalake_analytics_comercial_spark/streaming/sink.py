@@ -36,6 +36,7 @@ def merge_stream(
     available_now: bool = True,
     precedence: str | None = None,
     txlog: bool = False,
+    checks: dict[str, str] | None = None,
 ) -> StreamingQuery:
     """Run ``stream`` into a MERGE-upsert sink at ``path``.
 
@@ -49,11 +50,21 @@ def merge_stream(
     With ``available_now`` (tests, catch-up runs) the query drains all
     available input and stops; otherwise it runs continuously until
     stopped.
+
+    ``checks`` (named CHECK constraints, see ``txlog.tx_write``): a
+    poison micro-batch FAILS the query before any data lands — the table
+    stays at its last good version, and after fixing/removing the bad
+    input a restart from the same checkpoint resumes cleanly (the failed
+    batch was never committed, so replay is safe).
     """
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if checks:
+            from ..sources.txlog import _enforce_checks
+
+            _enforce_checks(batch, checks)
         if txlog:
             # each micro-batch is one atomic, time-travelable version:
             # snapshot-isolated readers never see a half-applied batch

@@ -161,3 +161,56 @@ def test_streaming_cdc_drives_incremental_rollup(spark, tmp_path):
     }
     got = {r["grp"]: (r["amount"], r["n_rows"]) for r in agg.collect()}
     assert got == expect == {"a": (16.0, 2), "b": (20.0, 1)}
+
+
+def test_streaming_poison_batch_rejected_atomically(spark, tmp_path):
+    """CHECK constraints on the streaming sink: a poison micro-batch fails
+    the query BEFORE anything lands; the table stays at its last good
+    version and a restart after removing the bad input resumes from the
+    same checkpoint."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from cdk_datalake_analytics_comercial_spark.streaming.sink import merge_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    checks = {"positive_amount": "amount > 0"}
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        merge_stream(
+            stream, tgt, keys=["id"], checkpoint=str(tmp_path / "ck"),
+            precedence="seq", txlog=True, checks=checks,
+        )
+
+    spark.createDataFrame([(1, 1, 10.0)], schema).write.mode("append").parquet(src)
+    run()
+    assert TX.current_version(spark, tgt) == 1
+
+    poison = str(tmp_path / "poison.parquet")
+    spark.createDataFrame([(2, 1, -5.0)], schema).write.parquet(poison)
+    for f in glob.glob(f"{poison}/part-*.parquet"):
+        os.rename(f, os.path.join(src, os.path.basename(f)))
+    with pytest.raises(Exception, match="positive_amount"):
+        run()
+    # nothing committed by the failed batch
+    assert TX.current_version(spark, tgt) == 1
+
+    # operator removes the poison file; restart drains cleanly
+    for f in glob.glob(os.path.join(src, "part-*")):
+        os.remove(f)
+    spark.createDataFrame([(3, 1, 7.0)], schema).write.mode("append").parquet(src)
+    run()
+    got = {r["id"]: r["amount"] for r in TX.tx_read(spark, tgt).collect()}
+    assert got == {1: 10.0, 3: 7.0}
