@@ -994,3 +994,38 @@ def test_append_with_evolved_schema_unions_on_read(spark, tmp_path):
     assert got == {1: ("a", None), 2: ("b", 9.5)}
     # time travel to v1 still shows the original narrow schema
     assert TX.tx_read(spark, p, version=1).columns == ["k", "v"]
+
+
+def test_table_doctor_healthy_and_broken(spark, tmp_path):
+    """The consistency checker passes a healthy table (orphans from an
+    uncommitted batch are a WARNING), and flags a dangling file reference
+    in the current version as an ERROR."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.table_doctor import doctor
+
+    p = str(tmp_path / "doctored")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1),
+        p,
+        stats_for=["k"],
+        bloom_for=["v"],
+    )
+    rep = doctor(spark, p)
+    assert rep["errors"] == [] and rep["current_rows"] == 2
+
+    # orphan: a batch dir written but never committed (crash model)
+    spark.createDataFrame([(9, "z")], "k long, v string").coalesce(1).write.parquet(
+        f"{p}/data/deadbeef_uncommitted"
+    )
+    rep = doctor(spark, p)
+    assert rep["errors"] == []
+    assert any("orphan" in w for w in rep["warnings"])
+
+    # dangling reference: delete a referenced data file behind the log
+    m = TX.read_manifest(spark, p, 1)
+    TX._delete(spark, f"{p}/{m['files'][0]['path']}")
+    rep = doctor(spark, p)
+    assert any("dangling" in e for e in rep["errors"])
