@@ -232,6 +232,12 @@ class _BitReader:
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+            # marker; skip them so FF FF D0 reads as marker 0xD0 (not a
+            # bogus marker 0xFF), and FF FF 00 as a stuffed 0xFF data byte
+            # after a fill (libjpeg's jdhuff semantics)
+            while self.pos < len(self.data) and self.data[self.pos] == 0xFF:
+                self.pos += 1
             nxt = self.data[self.pos] if self.pos < len(self.data) else None
             if nxt == 0x00:
                 self.pos += 1
@@ -262,14 +268,15 @@ class _BitReader:
         if self.marker is not None:
             m, self.marker = self.marker, None
             return m
-        if (
-            self.pos + 1 < len(self.data)
-            and self.data[self.pos] == 0xFF
-            and self.data[self.pos + 1] != 0x00
-        ):
-            m = self.data[self.pos + 1]
-            self.pos += 2
-            return m
+        if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            # skip 0xFF fill bytes preceding the marker (T.81 B.1.1.2); a
+            # trailing 0x00 after the fills means stuffed data, not a marker
+            j = self.pos + 1
+            while j < len(self.data) and self.data[j] == 0xFF:
+                j += 1
+            if j < len(self.data) and self.data[j] != 0x00:
+                self.pos = j + 1
+                return self.data[j]
         return None
 
 

@@ -68,6 +68,15 @@ def apply_agg_delta(
     the new aggregate snapshot — write it back with ``tx_write`` /
     ``merge_upsert`` as the pipeline dictates."""
     zero = F.lit(0)
+    if "_n_bad" in delta.columns:
+        # the delta carries per-group counts of unrecognized change types;
+        # applying them would silently drop their contributions (null sign)
+        if delta.filter(F.col("_n_bad") > 0).limit(1).count():
+            raise ValueError(
+                "change feed contains non-split-image change types; produce "
+                'it with tx_diff(images="split")'
+            )
+        delta = delta.drop("_n_bad")
     joined = agg.join(delta, group_cols, "full")
     cols = [
         (F.coalesce(F.col(c), zero) + F.coalesce(F.col(f"_d_{c}"), zero)).alias(c)

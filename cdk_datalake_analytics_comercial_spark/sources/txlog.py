@@ -622,6 +622,53 @@ def _bloom_rejects(f: dict, where_equals: dict) -> bool:
     return False
 
 
+_INT_TYPES = ("LongType", "IntegerType", "ShortType", "ByteType")
+
+
+def _bloomable_probes(schema_json: str, where_equals: dict) -> dict:
+    """Validate ``where_equals`` probe values against the table schema and
+    return the subset allowed to consult Bloom bitsets.
+
+    The bitsets were built from Spark's cast-to-string rendering of the
+    column; a probe whose Python ``str()`` differs (``1.0`` or ``True``
+    against a long column, an ``int`` against a string column) hashes
+    differently, so the skip test would UNSOUNDLY drop files that do
+    contain matching rows — ``tx_read`` silently missing rows and
+    ``tx_delete``/``tx_update`` (the GDPR path) silently leaving rows
+    behind. Mirrors the ``bloom_for`` type check at write time: int-family
+    columns require a Python int (bool rejected — Spark renders ``true``,
+    Python ``True``), string columns require ``str``. Columns of any other
+    type never get a bitset written, so they are excluded from skipping
+    (the row-level filter still applies)."""
+    from pyspark.sql.types import StructType
+
+    by_name = {
+        f.name: type(f.dataType).__name__
+        for f in StructType.fromJson(json.loads(schema_json)).fields
+    }
+    allowed = {}
+    for col, val in where_equals.items():
+        t = by_name.get(col)
+        if t is None:
+            continue  # not in current schema — no bitset consulted
+        if t in _INT_TYPES:
+            if not isinstance(val, int) or isinstance(val, bool):
+                raise TypeError(
+                    f"where_equals probe for {col!r} ({t}) must be a Python "
+                    f"int, got {type(val).__name__} {val!r}: a mismatched "
+                    "rendering would hash differently and unsoundly skip files"
+                )
+            allowed[col] = val
+        elif t == "StringType":
+            if not isinstance(val, str):
+                raise TypeError(
+                    f"where_equals probe for {col!r} (StringType) must be a "
+                    f"str, got {type(val).__name__} {val!r}"
+                )
+            allowed[col] = val
+    return allowed
+
+
 def _resolve_file(root: str, fpath: str) -> tuple[str, str]:
     """(full path, batch dir) for a manifest file entry. Entries are
     normally RELATIVE (``data/<batch>/...``); shallow clones reference the
@@ -663,12 +710,17 @@ def tx_read(
     if where_equals is not None and any(v is None for v in where_equals.values()):
         raise ValueError("where_equals probes must be non-null; use `where`")
     manifest = read_manifest(spark, path, cur)
+    bloom_probes = (
+        _bloomable_probes(manifest["schema"], where_equals)
+        if where_equals
+        else None
+    )
     by_batch: dict[str, list[str]] = {}
     root = path.rstrip("/")
     for f in manifest["files"]:
         if where and not _file_overlaps(f, where):
             continue
-        if where_equals and _bloom_rejects(f, where_equals):
+        if bloom_probes and _bloom_rejects(f, bloom_probes):
             continue
         full, batch_dir = _resolve_file(root, f["path"])
         by_batch.setdefault(batch_dir, []).append(full)
@@ -1265,9 +1317,10 @@ def _dml_rewrite(
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
     manifest = read_manifest(spark, path, cur)
+    bloom_probes = _bloomable_probes(manifest["schema"], where_equals)
     hit, miss = [], []
     for f in manifest["files"]:
-        (hit if _file_can_match(f, where, where_equals) else miss).append(f)
+        (hit if _file_can_match(f, where, bloom_probes) else miss).append(f)
     if not hit:
         return cur  # nothing can match — no new version needed
 
@@ -1303,7 +1356,7 @@ def _dml_rewrite(
                 f"concurrently (base v{cur}, now v{now})"
             )
         added = [f for f in now_files if f["path"] not in base_paths]
-        if any(_file_can_match(f, where, where_equals) for f in added):
+        if any(_file_can_match(f, where, bloom_probes) for f in added):
             # concurrently appended rows may match the predicate; this
             # rewrite never saw them (Delta's ConcurrentAppendException)
             raise TxConflictError(

@@ -214,3 +214,31 @@ def test_streaming_poison_batch_rejected_atomically(spark, tmp_path):
     run()
     got = {r["id"]: r["amount"] for r in TX.tx_read(spark, tgt).collect()}
     assert got == {1: 10.0, 3: 7.0}
+
+
+def test_apply_agg_delta_rejects_unknown_change_types(spark):
+    """ADVICE r4: calling cdf_agg_delta/apply_agg_delta directly (not via
+    maintain_agg) must still fail loudly on unknown _change_type values —
+    the _n_bad column the delta carries is CHECKED at apply time, not
+    silently dropped."""
+    from cdk_datalake_analytics_comercial_spark.operators.incremental import (
+        apply_agg_delta,
+        cdf_agg_delta,
+    )
+
+    agg = spark.createDataFrame(
+        [("a", 10.0, 2)], "grp string, amount double, n_rows long"
+    )
+    bad_feed = spark.createDataFrame(
+        [("k1", "a", 5.0, "insert"), ("k2", "a", 7.0, "upsert")],
+        "id string, grp string, amount double, _change_type string",
+    )
+    delta = cdf_agg_delta(bad_feed, ["grp"], ["amount"])
+    with pytest.raises(ValueError, match="non-split-image"):
+        apply_agg_delta(agg, delta, ["grp"], ["amount"]).collect()
+
+    good_feed = bad_feed.filter("_change_type = 'insert'")
+    out = apply_agg_delta(
+        agg, cdf_agg_delta(good_feed, ["grp"], ["amount"]), ["grp"], ["amount"]
+    )
+    assert as_map(out) == {"a": (15.0, 3)}

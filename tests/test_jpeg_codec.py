@@ -143,3 +143,34 @@ def test_spark_skip_and_flag_on_broken_jpeg(spark):
     }
     assert rows[1]["error"] is None and rows[1]["width"] == 8
     assert rows[2]["error"] is not None and rows[2]["width"] is None
+
+
+def test_bitreader_skips_marker_fill_bytes():
+    """T.81 B.1.1.2: any run of 0xFF fill bytes may pad before a marker.
+    The reader must report the first non-0xFF byte as the marker (a padded
+    RST previously surfaced as bogus marker 0xFF), and treat FF FF 00 as a
+    fill byte followed by a stuffed 0xFF data byte (libjpeg semantics)."""
+    import pytest
+
+    # entropy byte 0xAB, then fill-padded RST0 (FF FF FF D0)
+    r = J._BitReader(bytes([0xAB, 0xFF, 0xFF, 0xFF, 0xD0]), 0)
+    assert r.bits(8) == 0xAB
+    with pytest.raises(EOFError):
+        r.bits(8)
+    assert r.align_to_marker() == 0xD0
+
+    # fill byte then stuffed data byte: FF FF 00 decodes as data 0xFF
+    r = J._BitReader(bytes([0xFF, 0xFF, 0x00, 0x12]), 0)
+    assert r.bits(8) == 0xFF
+    assert r.bits(8) == 0x12
+
+    # align_to_marker at a fill-padded boundary
+    r = J._BitReader(bytes([0xFF, 0xFF, 0xD9]), 0)
+    assert r.align_to_marker() == 0xD9
+
+    # plain unstuffed path still intact
+    r = J._BitReader(bytes([0xFF, 0x00, 0xFF, 0xD0]), 0)
+    assert r.bits(8) == 0xFF
+    with pytest.raises(EOFError):
+        r.bit()
+    assert r.align_to_marker() == 0xD0

@@ -1015,6 +1015,10 @@ def test_table_doctor_healthy_and_broken(spark, tmp_path):
     )
     rep = doctor(spark, p)
     assert rep["errors"] == [] and rep["current_rows"] == 2
+    # a healthy table has ZERO orphans — the r4 doctor compared qualified
+    # listing URIs against unqualified manifest paths and reported every
+    # live file as an orphan
+    assert rep["orphans"] == [] and rep["warnings"] == []
 
     # orphan: a batch dir written but never committed (crash model)
     spark.createDataFrame([(9, "z")], "k long, v string").coalesce(1).write.parquet(
@@ -1023,9 +1027,40 @@ def test_table_doctor_healthy_and_broken(spark, tmp_path):
     rep = doctor(spark, p)
     assert rep["errors"] == []
     assert any("orphan" in w for w in rep["warnings"])
+    # only the uncommitted batch's file is flagged, never committed data
+    assert rep["orphans"] and all(
+        "deadbeef_uncommitted" in o for o in rep["orphans"]
+    )
 
     # dangling reference: delete a referenced data file behind the log
     m = TX.read_manifest(spark, p, 1)
     TX._delete(spark, f"{p}/{m['files'][0]['path']}")
     rep = doctor(spark, p)
     assert any("dangling" in e for e in rep["errors"])
+
+
+def test_bloom_probe_type_validation(spark, tmp_path):
+    """ADVICE r4: a probe whose Python str() differs from Spark's
+    cast-to-string rendering (1.0 / True against a long column, an int
+    against a string column) hashes to different bloom positions, so the
+    skip test would unsoundly drop files containing matching rows. Such
+    probes must raise TypeError — on reads AND on the DML (GDPR) path."""
+    import pytest
+
+    p = str(tmp_path / "probetypes")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1),
+        p,
+        bloom_for=["k", "v"],
+    )
+    for bad in ({"k": 1.0}, {"k": True}, {"v": 5}, {"k": "1"}):
+        with pytest.raises(TypeError, match="probe"):
+            TX.tx_read(spark, p, where_equals=bad).collect()
+        with pytest.raises(TypeError, match="probe"):
+            TX.tx_delete(spark, p, where_equals=bad, bloom_for=["k", "v"])
+    # well-typed probes keep working (and still skip soundly)
+    assert rows(TX.tx_read(spark, p, where_equals={"k": 2})) == [(2, "b")]
+    assert rows(TX.tx_read(spark, p, where_equals={"v": "a"})) == [(1, "a")]
+    TX.tx_delete(spark, p, where_equals={"k": 1}, bloom_for=["k", "v"])
+    assert rows(TX.tx_read(spark, p)) == [(2, "b")]

@@ -44,7 +44,13 @@ def doctor(spark, path: str) -> dict:
 
     fs, root_p, _ = TX._fs(spark, path.rstrip("/"))
     root = path.rstrip("/")
+    # manifest-side paths are relative (data/<batch>/...) or absolute for
+    # shallow clones; keep BOTH forms so the orphan test below can compare
+    # the listing's qualified URIs against the same normalization tx_vacuum
+    # uses (a qualified-vs-unqualified mismatch previously reported every
+    # live file as an orphan)
     referenced: set[str] = set()
+    referenced_rel: set[str] = set()
     for v in versions:
         try:
             m = TX.read_manifest(spark, path, v)
@@ -56,6 +62,7 @@ def doctor(spark, path: str) -> dict:
         for f in m.get("files", []):
             full, _bd = TX._resolve_file(root, f["path"])
             referenced.add(full)
+            referenced_rel.add(f["path"])
             if not TX._exists(spark, full):
                 sev = "errors" if v == versions[-1] else "warnings"
                 report[sev].append(f"v{v}: dangling file reference {f['path']}")
@@ -86,7 +93,8 @@ def doctor(spark, path: str) -> dict:
             name = st.getPath().getName()
             if not name.endswith(".parquet") or name.startswith(("_", ".")):
                 continue
-            if full not in referenced:
+            rel = f"{TX._DATA}/" + full[len(prefix) :].lstrip("/")
+            if rel not in referenced_rel and full not in referenced:
                 orphans.append(full[len(prefix) :].lstrip("/"))
                 orphan_bytes += st.getLen()
     if orphans:
