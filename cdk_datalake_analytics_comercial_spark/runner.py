@@ -44,13 +44,40 @@ from .sources.registry import SchemaRegistry
 @dataclass
 class JobConfig:
     """One config row (mirrors ``domain.csv``/``analytics.csv`` columns the
-    runner consumes; worker sizing columns are cluster-submit concerns)."""
+    runner consumes, including the per-job resource sizing pair
+    ``worker_type;num_workers`` the reference feeds to Glue job creation —
+    `artifacts/aws-glue/config/domain.csv:2-32`, stack ``worker_type``/
+    ``worker_count`` at `stacks/cdk_datalake_analytics_stack.py:439-443`)."""
 
     layer: str
     procedure: str
     exe_order: int
     periods: int = 2
     process_id: int = 0
+    worker_type: str = "G.1X"
+    num_workers: int = 2
+
+
+# Public AWS Glue worker specs: vCPUs per worker by type (G.1X = 1 DPU =
+# 4 vCPU, G.2X = 2 DPU = 8 vCPU, …). Used to translate the config's
+# ``worker_type;num_workers`` into a per-job parallelism budget.
+_GLUE_VCPUS = {
+    "Standard": 4,
+    "G.025X": 2,
+    "G.1X": 4,
+    "G.2X": 8,
+    "G.4X": 16,
+    "G.8X": 32,
+}
+
+
+def shuffle_partitions_for(cfg: JobConfig) -> int:
+    """Per-job ``spark.sql.shuffle.partitions`` from the config sizing:
+    2 tasks per provisioned vCPU (the standard slight-oversubscription so
+    stragglers rebalance), floored at 4. A G.1X×2 master job gets 16
+    partitions; a G.1X×4 fact job 32 — small dims stop paying the fact
+    jobs' shuffle width, fact jobs stop being capped by the masters'."""
+    return max(4, _GLUE_VCPUS.get(cfg.worker_type, 4) * cfg.num_workers * 2)
 
 
 @dataclass
@@ -97,6 +124,8 @@ def parse_config_csv(text: str, layer: str | None = None) -> list[JobConfig]:
                 exe_order=int(r["exe_order"]),
                 periods=int(r.get("periods") or 2),
                 process_id=int(r.get("process_id") or 0),
+                worker_type=r.get("worker_type") or "G.1X",
+                num_workers=int(r.get("num_workers") or 2),
             )
         )
     return rows
@@ -170,8 +199,20 @@ def run_waves(
     gate: ConcurrencyGate | None = None,
     country: str = "",
     retries: int = 0,
+    size_jobs: bool = False,
 ) -> list[JobResult]:
     """Execute jobs in ``exe_order`` waves; inside a wave, thread-parallel.
+
+    ``size_jobs=True`` applies the config's per-job resource sizing
+    (``worker_type;num_workers`` — the reference provisions each Glue job
+    with exactly this pair, `stacks/cdk_datalake_analytics_stack.py:439-443`):
+    each job runs in its OWN ``spark.newSession()`` (same SparkContext and
+    cached data, isolated SQLConf) with ``spark.sql.shuffle.partitions``
+    derived from the provisioned vCPUs (:func:`shuffle_partitions_for`)
+    and a ``spark.scheduler.pool`` named after the worker class, so under
+    FAIR scheduling a wave's big fact jobs cannot starve the small master
+    jobs. Parent-session conf overrides (table format routing, etc.) are
+    copied into the child session first.
 
     A failed job marks its result and (fail_fast=False, the reference's
     behavior — each SF branch fails independently) lets the remaining jobs
@@ -183,6 +224,32 @@ def run_waves(
     extension — safe because every job writes via idempotent
     overwrite/merge, so a partial failed attempt cannot double-apply).
     """
+    import dataclasses
+
+    def _sized(ctx: JobContext) -> JobContext:
+        """Rebind the context to a per-job child session sized from the
+        config row; local properties (scheduler pool) are THREAD-local on
+        the shared SparkContext, so each wave thread tags only its own
+        jobs."""
+        parent = ctx.spark
+        child = parent.newSession()
+        # newSession starts from SparkConf defaults: carry over the
+        # parent's explicit runtime overrides (e.g. the txlog format
+        # routing conf) before applying the sizing
+        for r in parent.sql("SET").collect():
+            try:
+                child.conf.set(r["key"], r["value"])
+            except Exception:
+                continue  # static/non-settable entries
+        child.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions_for(ctx.config)),
+        )
+        child.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"glue-{ctx.config.worker_type}"
+        )
+        return dataclasses.replace(ctx, spark=child)
+
     results: list[JobResult] = []
     waves = sorted({c.exe_order for c in configs})
     for wave in waves:
@@ -205,7 +272,8 @@ def run_waves(
                         # (common_jobs_functions.py:608-654); the engine
                         # adds row counts at zero extra scans
                         with collect_writes() as wm:
-                            fn(make_context(cfg))
+                            ctx = make_context(cfg)
+                            fn(_sized(ctx) if size_jobs else ctx)
                         return JobResult(
                             cfg.procedure, "succeeded", wave,
                             round(time.time() - t0, 3),

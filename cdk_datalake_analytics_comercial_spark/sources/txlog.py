@@ -6,32 +6,44 @@ manifest, time travel) in an environment without delta-spark.
 Layout:
 
     <table>/
-      _txlog/v0000000001.json     one manifest per committed version
+      _txlog/v0000000001.json     one DELTA record per committed version
+      _txlog/c0000000010.json     full-snapshot CHECKPOINT every N commits
+      _txlog/_last_checkpoint     hint: newest checkpoint version
       data/<batch-uuid>/[k=v/...]part-*.parquet
 
-A manifest lists every data file of its snapshot (with parsed partition
-values). Readers resolve ONE manifest and read exactly its files — never a
-directory listing — so they see a consistent snapshot regardless of
-concurrent writers (snapshot isolation), and any older version remains
-readable (time travel) until vacuumed.
+Each commit record is a DELTA of file actions — ``add`` (file entries with
+partition values / stats / bloom bitsets), ``remove`` (paths), and
+``truncate`` (drop everything prior: overwrite/restore) — so an append to
+a 100k-file table writes a record proportional to the APPENDED files, not
+the table. Every ``_CHECKPOINT_EVERY`` commits a checkpoint manifest with
+the fully-resolved file listing + schema is written (plus the
+``_last_checkpoint`` hint), exactly the Delta transaction-log shape the
+reference's tables rely on at scale (`common_jobs_functions.py:271-319` —
+Delta's ``_last_checkpoint`` + multi-part checkpoints). Readers resolve a
+snapshot from ONE checkpoint plus the ≤ N tail deltas — never a directory
+listing of data, never O(versions) JSON — so they see a consistent
+snapshot regardless of concurrent writers (snapshot isolation), and any
+older version remains readable (time travel) until vacuumed.
 
 Commit protocol: data files are written under a fresh batch dir (invisible
-to readers — nothing references them), then the manifest is written to a
-temp name and RENAMEd to ``v<N>.json``. Rename is atomic on HDFS/posix;
-the implementation refuses to clobber an existing version and retries at
-N+1 (optimistic concurrency). A crash at ANY point before the rename
-leaves the table at the previous version with only orphan data files —
-exactly Delta's failure model — and ``tx_vacuum`` reaps unreferenced
-files later.
+to readers — nothing references them), then the delta record is claimed as
+``v<N>.json`` via create-no-overwrite; the implementation refuses to
+clobber an existing version and retries at N+1 (optimistic concurrency).
+A crash at ANY point before the claim leaves the table at the previous
+version with only orphan data files — exactly Delta's failure model — and
+``tx_vacuum`` reaps unreferenced files later. Checkpoints are written
+AFTER the commit, best-effort: a missed checkpoint only lengthens the
+delta tail the next reader replays, never affects correctness.
 
-Scale notes: manifests carry file paths + partition values, KBs per
+Scale notes: checkpoints carry file paths + partition values, KBs per
 thousand files — the driver handles them; data never moves through the
-driver. MERGE copies FORWARD the untouched partitions' file references
-(no data rewrite) and writes new files only for touched partitions —
-Delta's file-pruned MERGE. Reads group files by batch dir and unionByName
-(partition columns recovered via per-batch basePath); long table histories
-should compact periodically (``tx_write(mode="overwrite")`` of the full
-snapshot collapses to one batch).
+driver. MERGE leaves untouched partitions' file references in place
+(no data rewrite, no re-listing) and writes new files only for touched
+partitions — Delta's file-pruned MERGE. Reads group files by batch dir
+and unionByName (partition columns recovered via per-batch basePath);
+long table histories should compact periodically (``tx_compact``
+collapses the batch dirs; ``tx_vacuum`` truncates the log, writing a
+checkpoint at the oldest kept version so resolution stays grounded).
 """
 
 from __future__ import annotations
@@ -141,24 +153,72 @@ def _partition_of(rel_path: str) -> dict[str, str]:
 # Manifest resolution.
 
 
+# Checkpoint cadence: every Nth commit writes a full-snapshot checkpoint.
+# Delta's default is every 10 commits (spark.databricks.delta.checkpointInterval);
+# resolution cost is bounded by 1 checkpoint read + <N delta reads.
+_CHECKPOINT_EVERY = 10
+
+
 def _version_path(path: str, version: int) -> str:
     return f"{path.rstrip('/')}/{_LOG}/v{version:010d}.json"
 
 
-def list_versions(spark: SparkSession, path: str) -> list[int]:
+def _checkpoint_path(path: str, version: int) -> str:
+    return f"{path.rstrip('/')}/{_LOG}/c{version:010d}.json"
+
+
+def _last_checkpoint_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{_LOG}/_last_checkpoint"
+
+
+def _as_local_dir(path: str) -> str | None:
+    """The posix directory behind ``path`` if it addresses the local
+    filesystem (``/…``, ``file:/…``, ``file:///…``), else None."""
+    p = path
+    if p.startswith("file:"):
+        p = p[5:]
+        if p.startswith("//"):  # file://host/… — host must be empty/localhost
+            p = p[2:]
+            p = p[p.index("/"):] if "/" in p else ""
+    return p if p.startswith("/") else None
+
+
+def _log_listing(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
+    """(committed versions, checkpoint versions) from ONE log-dir listing.
+
+    Local-FS fast path: one ``os.listdir`` instead of per-entry py4j round
+    trips — on a long log the JVM FileStatus iteration costs O(versions)
+    driver round trips PER listing, which turns a 1,000-commit history
+    into O(versions²) overhead. Object-store paths use the Hadoop listing
+    (one RPC there; the py4j cost is a local-mode artifact)."""
     log = f"{path.rstrip('/')}/{_LOG}"
-    if not _exists(spark, log):
-        return []
-    fs, p, _ = _fs(spark, log)
-    versions = []
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if name.startswith("v") and name.endswith(".json"):
+    local = _as_local_dir(log)
+    if local is not None:
+        import os
+
+        try:
+            names = os.listdir(local)
+        except (FileNotFoundError, NotADirectoryError):
+            return [], []
+    else:
+        if not _exists(spark, log):
+            return [], []
+        fs, p, _ = _fs(spark, log)
+        names = [st.getPath().getName() for st in fs.listStatus(p)]
+    versions, checkpoints = [], []
+    for name in names:
+        if name.endswith(".json") and name[:1] in ("v", "c"):
             try:
-                versions.append(int(name[1:-5]))
+                (versions if name[0] == "v" else checkpoints).append(
+                    int(name[1:-5])
+                )
             except ValueError:
                 continue
-    return sorted(versions)
+    return sorted(versions), sorted(checkpoints)
+
+
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    return _log_listing(spark, path)[0]
 
 
 def current_version(spark: SparkSession, path: str) -> int | None:
@@ -166,13 +226,113 @@ def current_version(spark: SparkSession, path: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+def read_commit(spark: SparkSession, path: str, version: int) -> dict:
+    """The RAW delta record of one commit (op, schema, add/remove/truncate
+    actions) — O(record), no resolution. Legacy full-manifest records
+    (pre-checkpoint format, carrying ``files``) pass through unchanged."""
     return json.loads(_read_text(spark, _version_path(path, version)))
 
 
+def _apply_commit(files: dict[str, dict], rec: dict) -> dict[str, dict]:
+    """Apply one commit record to a path→entry snapshot state."""
+    if "files" in rec:  # legacy full-snapshot manifest: authoritative
+        return {f["path"]: f for f in rec["files"]}
+    if rec.get("truncate"):
+        files = {}
+    for p in rec.get("remove", ()):
+        files.pop(p, None)
+    for f in rec.get("add", ()):
+        files[f["path"]] = f
+    return files
+
+
+def read_manifest(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    _listing: tuple[list[int], list[int]] | None = None,
+) -> dict:
+    """The RESOLVED snapshot at ``version``: ``{"op", "schema", "files",
+    "version"}`` with the full file listing — reconstructed from the
+    newest checkpoint at-or-below ``version`` plus the tail delta records,
+    reading ≤ 1 + ``_CHECKPOINT_EVERY`` log files regardless of how many
+    commits the table has (the Delta ``_last_checkpoint`` resolution
+    model, `common_jobs_functions.py:271-319`)."""
+    versions, checkpoints = (
+        _listing if _listing is not None else _log_listing(spark, path)
+    )
+    if version not in versions and version not in checkpoints:
+        raise FileNotFoundError(
+            f"version {version} not available at {path} (vacuumed or never "
+            f"committed; retained: {versions[:3]}..{versions[-3:]})"
+            if versions
+            else f"no committed version at {path}"
+        )
+    base = max((c for c in checkpoints if c <= version), default=None)
+    files: dict[str, dict] = {}
+    schema = None
+    op = None
+    extra: dict = {}
+    if base is not None:
+        cp = json.loads(_read_text(spark, _checkpoint_path(path, base)))
+        files = {f["path"]: f for f in cp["files"]}
+        schema, op = cp.get("schema"), cp.get("op", "checkpoint")
+    tail = [v for v in versions if (base if base is not None else 0) < v <= version]
+    for i, v in enumerate(tail):
+        rec = read_commit(spark, path, v)
+        if base is None and i == 0 and v != 1:
+            # the chain is not grounded: no checkpoint below, and the
+            # earliest surviving delta is not the table's first commit —
+            # unless it re-establishes the full state itself
+            if "files" not in rec and not rec.get("truncate"):
+                raise FileNotFoundError(
+                    f"cannot resolve v{version} at {path}: log history "
+                    f"before v{v} was removed without a checkpoint"
+                )
+        files = _apply_commit(files, rec)
+        schema = rec.get("schema", schema)
+        op = rec.get("op", op)
+        extra = {
+            k: rec[k] for k in ("restore_of", "clone_of") if k in rec
+        }
+    return {
+        "op": op,
+        "schema": schema,
+        "files": list(files.values()),
+        "version": version,
+        **extra,
+    }
+
+
+def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
+    """Materialize the resolved snapshot at ``version`` as a checkpoint
+    manifest + the ``_last_checkpoint`` hint. Idempotent (same content for
+    the same version) and safe to lose — readers fall back to an older
+    checkpoint with a longer delta tail."""
+    snap = read_manifest(spark, path, version)
+    _write_text(
+        spark,
+        _checkpoint_path(path, version),
+        json.dumps(
+            {
+                "op": "checkpoint",
+                "version": version,
+                "schema": snap["schema"],
+                "files": snap["files"],
+            },
+            sort_keys=True,
+        ),
+    )
+    _write_text(
+        spark, _last_checkpoint_path(path), json.dumps({"version": version})
+    )
+
+
 def tx_history(spark: SparkSession, path: str) -> list[dict]:
-    """All manifests, oldest first — op, version, file count per commit."""
-    return [read_manifest(spark, path, v) for v in list_versions(spark, path)]
+    """All commit records, oldest first — op, version, add/remove counts
+    per commit (raw delta records: O(changed files) each, like Delta's
+    DESCRIBE HISTORY, not O(snapshot))."""
+    return [read_commit(spark, path, v) for v in list_versions(spark, path)]
 
 
 def _create_no_overwrite(spark: SparkSession, path: str, text: str) -> bool:
@@ -198,30 +358,39 @@ def _commit(spark: SparkSession, path: str, build) -> int:
     token is the one that landed — belt-and-braces for filesystems where
     the exclusive create is only check-within-create.
 
-    ``build(cur_version_or_None) -> manifest`` is re-invoked on EVERY
-    attempt with the version that is current at that moment, so a lost
-    claim never retries a stale snapshot: carried file lists are
-    recomputed against the concurrent winner's manifest, and operations
-    whose read set the winner invalidated raise :class:`TxConflictError`
-    from inside ``build`` (Delta's logical-conflict check) instead of
-    silently dropping the winner's files."""
+    ``build(cur_version_or_None) -> delta record`` (keys ``op``,
+    ``schema``, ``add``, ``remove``, ``truncate``, plus any op metadata)
+    is re-invoked on EVERY attempt with the version that is current at
+    that moment, so a lost claim never retries a stale snapshot: remove
+    sets are recomputed against the concurrent winner's snapshot, and
+    operations whose read set the winner invalidated raise
+    :class:`TxConflictError` from inside ``build`` (Delta's
+    logical-conflict check) instead of silently dropping the winner's
+    files.
+
+    After a successful claim, every ``_CHECKPOINT_EVERY``-th version
+    writes a checkpoint manifest — best-effort (a failure only lengthens
+    the next reader's delta tail)."""
     token = uuid.uuid4().hex
     for _ in range(50):
         cur = current_version(spark, path)
-        manifest = build(cur)
-        manifest["writer"] = token
+        rec = dict(build(cur))
+        rec["writer"] = token
         version = (cur or 0) + 1
-        manifest["version"] = version
+        rec["version"] = version
         dst = _version_path(path, version)
-        if not _create_no_overwrite(
-            spark, dst, json.dumps(manifest, sort_keys=True)
-        ):
+        if not _create_no_overwrite(spark, dst, json.dumps(rec, sort_keys=True)):
             continue  # lost the claim — rebuild against the winner
         try:
             landed = json.loads(_read_text(spark, dst))
         except Exception:
             continue  # torn read under contention — treat as lost
         if landed.get("writer") == token:
+            if version % _CHECKPOINT_EVERY == 0:
+                try:
+                    _write_checkpoint(spark, path, version)
+                except Exception:
+                    pass  # commit already durable; checkpoint is an optimization
             return version
     raise RuntimeError(f"txlog commit contention at {path}")
 
@@ -566,21 +735,26 @@ def tx_write(
 
     def build(cur: int | None) -> dict:
         # re-invoked per commit attempt with the version current AT THAT
-        # MOMENT — a lost claim recomputes the carried list against the
-        # concurrent winner's manifest instead of retrying a stale one
-        # (the lost-update the old bump-and-retry had).
-        carried: list[dict] = []
-        if cur is not None and mode != "overwrite":
+        # MOMENT — a lost claim recomputes the remove set against the
+        # concurrent winner's snapshot instead of retrying a stale one
+        # (the lost-update the old bump-and-retry had). An append touches
+        # NO prior state at all (a blind-append delta, Delta's cheap path);
+        # a dynamic overwrite removes exactly the touched partitions' files.
+        remove: list[str] = []
+        if cur is not None and mode == "overwrite_dynamic":
             old = read_manifest(spark, path, cur)["files"]
-            if mode == "append":
-                carried = old
-            else:  # overwrite_dynamic: last writer wins per partition
-                carried = [
-                    f
-                    for f in old
-                    if tuple(sorted(f["partition"].items())) not in touched
-                ]
-        return {"op": mode, "schema": schema_json, "files": carried + new_files}
+            remove = [
+                f["path"]
+                for f in old
+                if tuple(sorted(f["partition"].items())) in touched
+            ]
+        return {
+            "op": mode,
+            "schema": schema_json,
+            "add": new_files,
+            "remove": remove,
+            "truncate": mode == "overwrite",
+        }
 
     return _commit(spark, path, build)
 
@@ -704,12 +878,13 @@ def tx_read(
     ``tx_write(bloom_for=...)``) provably lacks the value are skipped the
     same way — the point-lookup path for keys whose min/max stats span
     every file."""
-    cur = version if version is not None else current_version(spark, path)
+    listing = _log_listing(spark, path)
+    cur = version if version is not None else (listing[0][-1] if listing[0] else None)
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
     if where_equals is not None and any(v is None for v in where_equals.values()):
         raise ValueError("where_equals probes must be non-null; use `where`")
-    manifest = read_manifest(spark, path, cur)
+    manifest = read_manifest(spark, path, cur, _listing=listing)
     bloom_probes = (
         _bloomable_probes(manifest["schema"], where_equals)
         if where_equals
@@ -875,22 +1050,27 @@ def tx_merge(
                     f"merge at {path}: touched partitions changed "
                     f"concurrently (base v{cur}, now v{now})"
                 )
-            carried = [
-                f
-                for f in now_files
-                if tuple(sorted(f["partition"].items())) not in touched_sets
-            ]
+            # untouched partitions stay in place — the delta removes only
+            # the touched partitions' files and adds their replacements
             return {
                 "op": "merge",
                 "schema": schema_json,
-                "files": carried + new_files,
+                "add": new_files,
+                "remove": sorted(now_touched),
+                "truncate": False,
             }
         if now != cur:
             raise TxConflictError(
                 f"merge at {path}: table changed concurrently "
                 f"(base v{cur}, now v{now})"
             )
-        return {"op": "merge", "schema": schema_json, "files": new_files}
+        return {
+            "op": "merge",
+            "schema": schema_json,
+            "add": new_files,
+            "remove": [],
+            "truncate": True,
+        }
 
     try:
         return _commit(spark, path, build)
@@ -947,7 +1127,9 @@ def tx_restore(spark: SparkSession, path: str, version: int) -> int:
             "op": "restore",
             "restore_of": version,
             "schema": target["schema"],
-            "files": target["files"],
+            "add": target["files"],
+            "remove": [],
+            "truncate": True,
         }
 
     return _commit(spark, path, build)
@@ -978,7 +1160,9 @@ def tx_clone(spark: SparkSession, src: str, dst: str, version: int | None = None
             "op": "clone",
             "clone_of": {"source": abs_root, "version": cur},
             "schema": manifest["schema"],
-            "files": files,
+            "add": files,
+            "remove": [],
+            "truncate": True,
         }
 
     return _commit(spark, dst, build)
@@ -1007,15 +1191,27 @@ def tx_vacuum(
         # keep_versions=0 would drop EVERY manifest including the current
         # one — the table would become unreadable
         raise ValueError("keep_versions must be >= 1")
-    versions = list_versions(spark, path)
+    versions, checkpoints = _log_listing(spark, path)
     if not versions:
         return []
     keep = versions[-keep_versions:]
     drop = versions[: -keep_versions]
-    referenced = set()
-    for v in keep:
-        for f in read_manifest(spark, path, v)["files"]:
-            referenced.add(f["path"])
+    # ground the truncated log: kept versions must resolve without the
+    # deltas being dropped, so materialize a checkpoint at the OLDEST kept
+    # version first (then every kept version resolves from it + its tail)
+    if drop and keep[0] not in checkpoints:
+        _write_checkpoint(spark, path, keep[0])
+        checkpoints = sorted(checkpoints + [keep[0]])
+    # referenced files of the kept versions: resolve the oldest once, then
+    # roll the snapshot forward one delta at a time — O(checkpoint + tail),
+    # not O(keep_versions * snapshot)
+    state = {
+        f["path"]: f for f in read_manifest(spark, path, keep[0])["files"]
+    }
+    referenced = set(state)
+    for v in keep[1:]:
+        state = _apply_commit(state, read_commit(spark, path, v))
+        referenced.update(state)
     cutoff_millis = (time.time() - retain_hours * 3600.0) * 1000.0
     root = path.rstrip("/")
     data_root = f"{root}/{_DATA}"
@@ -1042,6 +1238,11 @@ def tx_vacuum(
             removed.append(rel)
     for v in drop:
         _delete(spark, _version_path(path, v))
+    for c in checkpoints:
+        # checkpoints below the oldest kept version are superseded (the
+        # grounding checkpoint at keep[0] replaces them)
+        if c < keep[0]:
+            _delete(spark, _checkpoint_path(path, c))
     return sorted(removed)
 
 
@@ -1363,8 +1564,13 @@ def _dml_rewrite(
                 f"{op} at {path}: concurrent append overlaps the "
                 f"predicate (base v{cur}, now v{now})"
             )
-        carried = [f for f in now_files if f["path"] not in hit_paths]
-        return {"op": op, "schema": manifest["schema"], "files": carried + new_files}
+        return {
+            "op": op,
+            "schema": manifest["schema"],
+            "add": new_files,
+            "remove": sorted(hit_paths),
+            "truncate": False,
+        }
 
     try:
         return _commit(spark, path, build)

@@ -230,18 +230,25 @@ def test_domain_then_analytics_chain(spark, lake):
     from test_runner_jobs import make_ctx, registry as stage_registry, seed_stage
 
     seed_stage(spark, lake)
+    # worker sizing straight from the reference's config shape (masters
+    # G.1X x2, facts wider) and size_jobs=True: the chain must produce
+    # identical results under per-job sized sessions
     domain_cfgs = [
-        JobConfig("domain", "m_pais", 1),
-        JobConfig("domain", "m_compania", 1),
-        JobConfig("domain", "t_venta_lite", 2, periods=3),
+        JobConfig("domain", "m_pais", 1, worker_type="G.1X", num_workers=2),
+        JobConfig("domain", "m_compania", 1, worker_type="G.1X", num_workers=2),
+        JobConfig(
+            "domain", "t_venta_lite", 2, periods=3,
+            worker_type="G.1X", num_workers=4,
+        ),
     ]
-    dr = run_waves(domain_cfgs, DOMAIN_JOBS, make_ctx(spark, lake))
+    dr = run_waves(domain_cfgs, DOMAIN_JOBS, make_ctx(spark, lake), size_jobs=True)
     assert all(r.status == "succeeded" for r in dr), dr
 
     ar = run_waves(
-        [JobConfig("analytics", "fact_venta_resumen", 1)],
+        [JobConfig("analytics", "fact_venta_resumen", 1, worker_type="G.2X", num_workers=4)],
         ANALYTICS_JOBS,
         _ctx_factory(spark, lake),
+        size_jobs=True,
     )
     assert all(r.status == "succeeded" for r in ar), ar
     fact = spark.read.parquet(lake.table_path(Layer.ANALYTICS, "fact_venta_resumen"))

@@ -1,38 +1,60 @@
 """txlog table consistency checker (operational FSCK).
 
-Validates a versioned-manifest table the way an on-call runbook would
+Validates a versioned delta-log table the way an on-call runbook would
 before/after maintenance:
 
-- version chain: contiguous numbering, each manifest parseable, schema
-  present
-- file references: every file in every kept manifest exists on disk
-  (a dangling reference means a vacuum raced a reader or a restore
-  target was reaped)
-- orphans: data files no kept manifest references (uncommitted crash
+- version chain: contiguous numbering, each commit record parseable,
+  schema present
+- snapshot grounding: the oldest retained version resolves (checkpoint +
+  tail), and the snapshot can be rolled forward through every delta
+- checkpoints: each checkpoint's file listing matches the incrementally
+  resolved snapshot at its version (drift = a broken checkpoint writer)
+- file references: every file of the CURRENT snapshot exists on disk
+  (errors); files referenced only by older kept versions that are missing
+  are warnings (a vacuum raced a reader or a restore target was reaped)
+- orphans: data files no kept version references (uncommitted crash
   leftovers — normal, reaped by tx_vacuum; reported with total bytes)
 - stats/bloom entries: structurally well-formed (tagged min/max, hex
   bitsets of the expected width)
 
 Exit 0 when the CURRENT version is fully readable (orphans are a
 warning, not an error); exit 1 on dangling references or malformed
-manifests.
+records.
 
 Usage: python tools/table_doctor.py <table_path>
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 sys.path.insert(0, ".")
+
+
+def _validate_entry(report: dict, TX, v: int, f: dict) -> None:
+    bloom = f.get("bloom") or {}
+    for col, hexset in bloom.items():
+        if len(hexset) != TX._BLOOM_BITS // 4 or any(
+            c not in "0123456789abcdef" for c in hexset
+        ):
+            report["errors"].append(
+                f"v{v}: malformed bloom bitset for {col} in {f['path']}"
+            )
+    for col, st in (f.get("stats") or {}).items():
+        if "t" not in st or "min" not in st or "max" not in st:
+            report["errors"].append(
+                f"v{v}: malformed stats entry for {col} in {f['path']}"
+            )
 
 
 def doctor(spark, path: str) -> dict:
     from cdk_datalake_analytics_comercial_spark.sources import txlog as TX
 
     report: dict = {"path": path, "errors": [], "warnings": []}
-    versions = TX.list_versions(spark, path)
+    versions, checkpoints = TX._log_listing(spark, path)
     report["versions"] = versions
+    report["checkpoints"] = checkpoints
     if not versions:
         report["errors"].append("no committed versions")
         return report
@@ -42,43 +64,54 @@ def doctor(spark, path: str) -> dict:
             f"version chain has gaps (vacuumed history?): {versions}"
         )
 
-    fs, root_p, _ = TX._fs(spark, path.rstrip("/"))
     root = path.rstrip("/")
-    # manifest-side paths are relative (data/<batch>/...) or absolute for
-    # shallow clones; keep BOTH forms so the orphan test below can compare
-    # the listing's qualified URIs against the same normalization tx_vacuum
-    # uses (a qualified-vs-unqualified mismatch previously reported every
-    # live file as an orphan)
-    referenced: set[str] = set()
-    referenced_rel: set[str] = set()
-    for v in versions:
+
+    # ground at the oldest retained version (checkpoint + tail when the
+    # log was vacuumed), then roll the snapshot forward one delta record
+    # at a time — O(checkpoint + versions), never O(versions * snapshot)
+    try:
+        state = {
+            f["path"]: f
+            for f in TX.read_manifest(spark, path, versions[0])["files"]
+        }
+    except Exception as e:
+        report["errors"].append(f"v{versions[0]}: unresolvable snapshot: {e}")
+        return report
+    for f in state.values():
+        _validate_entry(report, TX, versions[0], f)
+    referenced_all: set[str] = set(state)
+    for v in versions[1:]:
         try:
-            m = TX.read_manifest(spark, path, v)
+            rec = TX.read_commit(spark, path, v)
         except Exception as e:
-            report["errors"].append(f"v{v}: unreadable manifest: {e}")
+            report["errors"].append(f"v{v}: unreadable commit record: {e}")
             continue
-        if "schema" not in m:
-            report["errors"].append(f"v{v}: manifest missing schema")
-        for f in m.get("files", []):
-            full, _bd = TX._resolve_file(root, f["path"])
-            referenced.add(full)
-            referenced_rel.add(f["path"])
-            if not TX._exists(spark, full):
-                sev = "errors" if v == versions[-1] else "warnings"
-                report[sev].append(f"v{v}: dangling file reference {f['path']}")
-            bloom = f.get("bloom") or {}
-            for col, hexset in bloom.items():
-                if len(hexset) != TX._BLOOM_BITS // 4 or any(
-                    c not in "0123456789abcdef" for c in hexset
-                ):
+        if "schema" not in rec:
+            report["errors"].append(f"v{v}: commit record missing schema")
+        for f in rec.get("add", []) + rec.get("files", []):
+            _validate_entry(report, TX, v, f)
+        state = TX._apply_commit(state, rec)
+        referenced_all.update(state)
+        if v in checkpoints:
+            try:
+                cp = json.loads(_read_checkpoint(spark, TX, path, v))
+                cp_paths = {f["path"] for f in cp.get("files", [])}
+                if cp_paths != set(state):
                     report["errors"].append(
-                        f"v{v}: malformed bloom bitset for {col} in {f['path']}"
+                        f"c{v}: checkpoint drifts from the delta chain "
+                        f"(+{len(cp_paths - set(state))}/"
+                        f"-{len(set(state) - cp_paths)} files)"
                     )
-            for col, st in (f.get("stats") or {}).items():
-                if "t" not in st or "min" not in st or "max" not in st:
-                    report["errors"].append(
-                        f"v{v}: malformed stats entry for {col} in {f['path']}"
-                    )
+            except Exception as e:
+                report["errors"].append(f"c{v}: unreadable checkpoint: {e}")
+
+    # one existence probe per distinct referenced path; severity depends
+    # on whether the CURRENT snapshot still needs the file
+    for pth in sorted(referenced_all):
+        full, _bd = TX._resolve_file(root, pth)
+        if not TX._exists(spark, full):
+            sev = "errors" if pth in state else "warnings"
+            report[sev].append(f"dangling file reference {pth}")
 
     data_root = f"{root}/{TX._DATA}"
     orphans = []
@@ -93,8 +126,10 @@ def doctor(spark, path: str) -> dict:
             name = st.getPath().getName()
             if not name.endswith(".parquet") or name.startswith(("_", ".")):
                 continue
+            # manifest paths are relative (data/<batch>/...); normalize the
+            # listing's qualified URI the same way tx_vacuum does
             rel = f"{TX._DATA}/" + full[len(prefix) :].lstrip("/")
-            if rel not in referenced_rel and full not in referenced:
+            if rel not in referenced_all and full not in referenced_all:
                 orphans.append(full[len(prefix) :].lstrip("/"))
                 orphan_bytes += st.getLen()
     if orphans:
@@ -113,9 +148,11 @@ def doctor(spark, path: str) -> dict:
     return report
 
 
-def main() -> None:
-    import json
+def _read_checkpoint(spark, TX, path: str, version: int) -> str:
+    return TX._read_text(spark, TX._checkpoint_path(path, version))
 
+
+def main() -> None:
     from cdk_datalake_analytics_comercial_spark.core import get_spark
 
     if len(sys.argv) < 2:
