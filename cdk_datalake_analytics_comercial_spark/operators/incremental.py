@@ -18,6 +18,13 @@ AVG derives as sum/count. MIN/MAX are NOT self-maintainable under deletes
 offered here — that is the standard IVM boundary, stated rather than
 papered over.
 
+COUNT(DISTINCT) is maintained approximately via HyperLogLog register
+state (:func:`maintain_hll_distinct`): registers merge by max, so
+inserts (and updates that do not change the counted value) apply in
+O(changed rows) and the maintained estimate is BIT-IDENTICAL to a
+recompute's. Deletes and value-changing updates hit the same boundary as
+MIN/MAX (a register cannot be decremented) and are refused loudly.
+
 Scale shape: one shuffle of the (small) change feed on the group key,
 then a key join against the aggregate table — never touches the base.
 """
@@ -110,3 +117,84 @@ def maintain_agg(
         )
     delta = cdf_agg_delta(cdf, group_cols, sum_cols, count_col).drop("_n_bad")
     return apply_agg_delta(agg, delta, group_cols, sum_cols, count_col)
+
+
+def maintain_hll_distinct(
+    state: DataFrame,
+    cdf: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Maintain per-group approximate COUNT(DISTINCT ``value_col``) HLL
+    register state (``operators.sketches.hll_registers`` shape:
+    ``group_cols + (_bucket, _reg)``) from a split-image change feed
+    (VERDICT r4 #7).
+
+    Inserts and update post-images fold in by register max — the HLL
+    merge — so the maintained state equals the recompute's registers
+    EXACTLY (and therefore the estimate from
+    ``hll_estimate_from_registers`` hash-matches a recompute; pinned by
+    ``tests/test_incremental.py``). The error contract is the sketch's
+    own: relative standard error ≈ 1.04/√(2^p) (6.5% at p=8) against
+    the true distinct count.
+
+    Not self-maintainable (refused with ValueError, the same stated
+    boundary as MIN/MAX under deletes): DELETE rows, and updates whose
+    pre/post images disagree on ``value_col`` — a register cannot be
+    decremented, so a removed value would need a group rescan.
+
+    Scale shape: registers for the CHANGED rows only (≤ changed-rows
+    shuffle), then one merge shuffle on (group, bucket) against the
+    state — per-group state is ≤ 2^p rows regardless of cardinality, and
+    the base table is never touched."""
+    from .sketches import hll_registers
+
+    known = ("insert", "delete", "update_preimage", "update_postimage")
+    if cdf.filter(~F.col("_change_type").isin(*known)).limit(1).count():
+        raise ValueError(
+            "change feed contains non-split-image change types; produce it "
+            'with tx_diff(images="split")'
+        )
+    if cdf.filter(F.col("_change_type") == "delete").limit(1).count():
+        raise ValueError(
+            "HLL distinct state cannot be maintained under DELETEs (a "
+            "register cannot be decremented) — recompute the group or use "
+            "an exact distinct"
+        )
+    # updates are fine only if they did not change the counted value:
+    # compare the (group, value) multisets of the two image sides
+    pre = (
+        cdf.filter(F.col("_change_type") == "update_preimage")
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("_n_pre"))
+    )
+    post = (
+        cdf.filter(F.col("_change_type") == "update_postimage")
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("_n_post"))
+    )
+    drift = (
+        pre.join(post, [*group_cols, value_col], "full")
+        .filter(
+            ~F.coalesce(F.col("_n_pre"), F.lit(0)).eqNullSafe(
+                F.coalesce(F.col("_n_post"), F.lit(0))
+            )
+        )
+        .limit(1)
+        .count()
+    )
+    if drift:
+        raise ValueError(
+            f"updates changed {value_col!r}: HLL distinct state cannot "
+            "forget the pre-image value — recompute the affected groups"
+        )
+    adds = cdf.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    )
+    delta_regs = hll_registers(adds, group_cols, value_col, p)
+    return (
+        state.unionByName(delta_regs)
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.max("_reg").alias("_reg"))
+    )

@@ -104,6 +104,22 @@ def hll_distinct(
     number of distinct values (the entire point vs KMV's k rows is that m
     never grows and registers merge by max, so re-aggregation to coarser
     groups is a max over registers)."""
+    regs = hll_registers(df, group_cols, value_col, p)
+    return hll_estimate_from_registers(regs, group_cols, p)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """The per-group HLL register state: ``group_cols + (_bucket, _reg)``
+    rows, one per NON-EMPTY register (≤ 2^p per group). This is the
+    mergeable representation — two register sets merge by
+    ``groupBy(group, _bucket).max(_reg)``, which is what incremental view
+    maintenance persists between change-feed applications
+    (`operators/incremental.py`)."""
     m = 1 << p
     vals = df.select(*group_cols, F.col(value_col).alias("_v")).distinct()
     hashed = vals.withColumn("_h", portable_hash60(F.col("_v")))
@@ -113,7 +129,7 @@ def hll_distinct(
     rho = F.when(
         w > 0, F.lit(61 - p) - F.length(F.conv(w, 10, 2))
     ).otherwise(F.lit(61 - p)).cast("int")
-    regs = (
+    return (
         hashed.select(
             *group_cols,
             F.col("_h").bitwiseAND(m - 1).alias("_bucket"),
@@ -122,6 +138,15 @@ def hll_distinct(
         .groupBy(*group_cols, "_bucket")
         .agg(F.max("_rho").alias("_reg"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Estimate from a :func:`hll_registers` state — the second stage of
+    :func:`hll_distinct`, exposed so maintained register state produces
+    estimates identical to a recompute."""
+    m = 1 << p
     rmax = 61 - p  # max register value; scale exponent keeps shifts ≥ 0
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - _reg)")).alias("_s_int"),

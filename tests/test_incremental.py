@@ -242,3 +242,115 @@ def test_apply_agg_delta_rejects_unknown_change_types(spark):
         agg, cdf_agg_delta(good_feed, ["grp"], ["amount"]), ["grp"], ["amount"]
     )
     assert as_map(out) == {"a": (15.0, 3)}
+
+
+def test_hll_distinct_maintained_from_cdf_equals_recompute(spark, tmp_path):
+    """VERDICT r4 #7: per-group approx COUNT(DISTINCT) maintained as HLL
+    register state through the streaming-CDC chain. Register merge is max,
+    so the maintained estimate must be BIT-IDENTICAL to a recompute at
+    every version (insert-only + value-preserving-update feed)."""
+    from cdk_datalake_analytics_comercial_spark.operators.incremental import (
+        maintain_hll_distinct,
+    )
+    from cdk_datalake_analytics_comercial_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    p = str(tmp_path / "hllbase")
+    v1 = [(f"k{i}", "a" if i % 3 else "b", f"u{i % 40}", 1.0) for i in range(60)]
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(v1, "id string, grp string, user string, amt double"),
+        p,
+    )
+    state = hll_registers(TX.tx_read(spark, p, 1), ["grp"], "user")
+
+    def est(regs):
+        return {
+            r["grp"]: (r["hll_buckets_used"], r["hll_estimate"])
+            for r in hll_estimate_from_registers(regs, ["grp"]).collect()
+        }
+
+    def recompute(version):
+        return {
+            r["grp"]: (r["hll_buckets_used"], r["hll_estimate"])
+            for r in hll_distinct(
+                TX.tx_read(spark, p, version), ["grp"], "user"
+            ).collect()
+        }
+
+    assert est(state) == recompute(1)
+
+    # v2: new rows with new AND repeated users, plus updates that change
+    # amt but NOT the counted value column
+    v2 = v1[:50] + [
+        (f"k{i}", "a" if i % 3 else "b", f"u{i % 55}", 2.0) for i in range(60, 90)
+    ]
+    v2 = [(i_, g, u, 9.0 if i_ == "k3" else a) for (i_, g, u, a) in v2]
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(v2, "id string, grp string, user string, amt double"),
+        p,
+    )
+    cdf = TX.tx_diff(spark, p, ["id"], v_from=1, v_to=2, images="split")
+    types = {r["_change_type"] for r in cdf.collect()}
+    assert "delete" in types and "update_preimage" in types
+    # deletes present -> refused loudly (the stated IVM boundary)
+    import pytest
+
+    with pytest.raises(ValueError, match="DELETE"):
+        maintain_hll_distinct(state, cdf, ["grp"], "user").collect()
+
+    # drop the deletes (e.g. an append+update-only ingest), maintain, and
+    # the estimate must equal the recompute of the same logical content
+    feed = cdf.filter(F.col("_change_type") != "delete")
+    state2 = maintain_hll_distinct(state, feed, ["grp"], "user")
+    base2 = TX.tx_read(spark, p, 1).unionByName(
+        TX.tx_read(spark, p, 2).join(
+            TX.tx_read(spark, p, 1).select("id"), "id", "left_anti"
+        )
+    )
+    expect = {
+        r["grp"]: (r["hll_buckets_used"], r["hll_estimate"])
+        for r in hll_distinct(base2, ["grp"], "user").collect()
+    }
+    assert est(state2) == expect
+
+    # a feed whose update CHANGES the counted value is refused
+    bad = spark.createDataFrame(
+        [
+            ("k1", "a", "u1", "update_preimage"),
+            ("k1", "a", "uX", "update_postimage"),
+        ],
+        "id string, grp string, user string, _change_type string",
+    )
+    with pytest.raises(ValueError, match="cannot forget"):
+        maintain_hll_distinct(state, bad, ["grp"], "user").collect()
+
+
+def test_hll_maintenance_error_contract(spark):
+    """The maintained estimate inherits the sketch's own error contract:
+    |est - truth| / truth within ~3 standard errors (3 * 1.04/sqrt(m),
+    ~19.5% at p=8) on a 5000-distinct insert-only feed applied in two
+    batches."""
+    from cdk_datalake_analytics_comercial_spark.operators.incremental import (
+        maintain_hll_distinct,
+    )
+    from cdk_datalake_analytics_comercial_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    rows1 = [("g", f"user-{i}") for i in range(2500)]
+    rows2 = [("g", f"user-{i}") for i in range(2000, 5000)]
+    base = spark.createDataFrame(rows1, "grp string, user string")
+    state = hll_registers(base, ["grp"], "user")
+    feed = spark.createDataFrame(
+        [(g, u, "insert") for g, u in rows2],
+        "grp string, user string, _change_type string",
+    )
+    state = maintain_hll_distinct(state, feed, ["grp"], "user")
+    got = hll_estimate_from_registers(state, ["grp"]).collect()[0]["hll_estimate"]
+    assert abs(got - 5000) / 5000 < 3 * 1.04 / (256 ** 0.5), got
