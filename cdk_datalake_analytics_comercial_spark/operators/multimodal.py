@@ -7,8 +7,12 @@ The Spark-side contract — schemas, partitioning, Arrow batch shape through
   numpy/stdlib — PPM/24-bit-BMP/8-bit-PNG/baseline-JPEG images, PCM-16
   WAV audio incl. an FFT/mel/DCT MFCC, concatenated-P6 frame streams).
   Codecs needing ffmpeg-class native libraries (MP3/MP4, progressive
-  JPEG) raise ``NotImplementedError``; plugging one in later changes no
-  plan shape.
+  JPEG) raise ``NotImplementedError`` — UNLESS a native decoder plugin
+  handles them: ``register_image_decoder`` / ``register_audio_decoder``
+  / ``register_video_decoder`` add fallbacks tried after the portable
+  codec refuses, and PIL is auto-discovered on the executors when
+  importable. Plugging one in changes no plan shape, and formats the
+  portable codecs DO support never touch a plugin (oracle-stable).
 - ``fake=True``: a deterministic closed-form "decode" over the payload
   bytes — the oracle-checkable path the driver-contract queries use
   (documents' text bytes stand in for media payloads).
@@ -90,6 +94,98 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Native decoder plug-in registry (VERDICT r4 #5). The pure-numpy codecs
+# stay the FIRST path — supported formats (PPM/BMP/PNG/baseline JPEG/WAV/
+# P6 streams) never touch a plugin, so the oracle-checked portable
+# behavior is unchanged. Only when the portable codec refuses a format
+# (NotImplementedError: progressive JPEG, MP3/MP4, ...) are registered
+# decoders tried, in order; the executors ALSO auto-discover PIL when it
+# is importable there. Registered callables ride to the executors inside
+# the mapInPandas closure (cloudpickle), so keep them self-contained.
+
+_IMAGE_DECODERS: list = []  # payload bytes -> HxWx3 (or HxW) uint8 ndarray
+_AUDIO_DECODERS: list = []  # payload bytes -> (float ndarray samples, rate)
+_VIDEO_DECODERS: list = []  # payload bytes -> list[HxWx3 uint8 ndarray]
+
+
+def register_image_decoder(fn) -> None:
+    """Register a native image decoder (e.g. PIL/libvips-backed) tried when
+    the pure-numpy codec raises NotImplementedError. Must be picklable."""
+    _IMAGE_DECODERS.append(fn)
+
+
+def register_audio_decoder(fn) -> None:
+    _AUDIO_DECODERS.append(fn)
+
+
+def register_video_decoder(fn) -> None:
+    _VIDEO_DECODERS.append(fn)
+
+
+def _pil_image_decoder():
+    """PIL-backed fallback, auto-discovered ON THE EXECUTOR — returns None
+    when Pillow is not importable there (this container)."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(payload: bytes):
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+
+    return decode
+
+
+def _decode_image_any(codecs_mod, payload: bytes, plugins: list):
+    """Portable decode first; on NotImplementedError fall through the
+    registered plugins, then the executor-local PIL auto-discovery. The
+    original refusal is re-raised when nothing handles the format (so
+    ``on_error="skip"`` flags the row with the codec's reason)."""
+    try:
+        return codecs_mod.decode_image(payload)
+    except NotImplementedError as refusal:
+        auto = _pil_image_decoder()
+        for dec in [*plugins, *([auto] if auto else [])]:
+            try:
+                return dec(payload)
+            except Exception:
+                continue
+        raise refusal
+
+
+def _decode_audio_any(codecs_mod, payload: bytes, plugins: list):
+    try:
+        return codecs_mod.decode_wav(payload)
+    except NotImplementedError as refusal:
+        for dec in plugins:
+            try:
+                return dec(payload)
+            except Exception:
+                continue
+        raise refusal
+
+
+def _decode_frames_any(codecs_mod, payload: bytes, plugins: list):
+    frames = codecs_mod.split_ppm_stream(payload)
+    if frames:
+        return frames
+    for dec in plugins:
+        try:
+            frames = dec(payload)
+            if frames:
+                return frames
+        except Exception:
+            continue
+    raise NotImplementedError(
+        "compressed video needs ffmpeg-class codecs; "
+        "supported container: concatenated P6 frames"
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     """Deterministic fake decode: dimensions/luma derived from payload bytes.
 
@@ -134,6 +230,7 @@ def image_features(
         df = df.repartition(batch_partitions, F.col(id_col))
     skip = on_error == "skip"
     cols = ["media_id", "width", "height", "mean_luma", "features"]
+    plugins = list(_IMAGE_DECODERS)  # captured into the executor closure
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import _codecs
@@ -150,7 +247,7 @@ def image_features(
                             for i in range(feature_dim)
                         ]
                     else:
-                        img = _codecs.decode_image(b)
+                        img = _decode_image_any(_codecs, b, plugins)
                         h, w = img.shape[:2]
                         luma = float(_codecs.luma(img).mean()) / 255.0
                         feats = _codecs.luma_histogram(img, feature_dim)
@@ -197,6 +294,7 @@ def image_resize(
     if skip:
         out_schema = _with_error_col(out_schema)
     cols = ["media_id", "payload", "width", "height"]
+    plugins = list(_IMAGE_DECODERS)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import _codecs
@@ -210,7 +308,7 @@ def image_resize(
                     if fake:
                         resized = (b * (target_n // max(len(b), 1) + 1))[:target_n]
                     else:
-                        img = _codecs.decode_image(b)
+                        img = _decode_image_any(_codecs, b, plugins)
                         resized = _codecs.encode_ppm(
                             _codecs.resize_nearest(img, target_w, target_h)
                         )
@@ -255,6 +353,7 @@ def audio_features(
     if skip:
         out_schema = _with_error_col(out_schema)
     cols = ["media_id", "duration_ms", "rms", "mfcc"]
+    plugins = list(_AUDIO_DECODERS)
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import _codecs
@@ -273,7 +372,7 @@ def audio_features(
                             float((len(b) * (i + 3)) % 31) / 31.0 for i in range(n_mfcc)
                         ]
                     else:
-                        samples, rate = _codecs.decode_wav(b)
+                        samples, rate = _decode_audio_any(_codecs, b, plugins)
                         dur = int(round(len(samples) / rate * 1000.0))
                         rms = float((samples ** 2).mean() ** 0.5) if len(samples) else 0.0
                         coeffs = _codecs.mfcc(samples, rate, n_mfcc=n_mfcc)
@@ -317,6 +416,7 @@ def frame_sample(
     if skip:
         out_schema = _with_error_col(out_schema)
     cols = ["media_id", "frame_idx", "ts_ms", "frame"]
+    plugins = list(_VIDEO_DECODERS)
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import _codecs
@@ -334,13 +434,9 @@ def frame_sample(
                         ]
                     else:
                         # concatenated-P6 stream at a nominal 1 frame/sec:
-                        # keep every (every_ms/1000)th frame
-                        frames = _codecs.split_ppm_stream(b)
-                        if not frames:
-                            raise NotImplementedError(
-                                "compressed video needs ffmpeg-class codecs; "
-                                "supported container: concatenated P6 frames"
-                            )
+                        # keep every (every_ms/1000)th frame; plugins may
+                        # hand back frames for compressed containers
+                        frames = _decode_frames_any(_codecs, b, plugins)
                         step = max(1, every_ms // 1000)
                         frame_rows = [
                             (int(mid), i, i * 1000, frames[i])

@@ -196,7 +196,11 @@ def test_compressed_formats_still_raise(spark):
     )
     with _pytest.raises(Exception) as exc2:
         M.image_features(df2, fake=False).collect()
-    assert "NotImplementedError" not in str(exc2.value)
+    # match raised-exception lines ("NotImplementedError: ..."), not the
+    # decode path's `except NotImplementedError` source line that the
+    # traceback text also contains
+    assert "NotImplementedError:" not in str(exc2.value)
+    assert "ValueError" in str(exc2.value)
 
 
 def test_attach_media_meta_sniffs_formats_jvm_side(spark):
@@ -435,3 +439,90 @@ def test_skip_and_flag_audio_and_frames(spark):
 def test_on_error_validated(spark):
     with pytest.raises(ValueError, match="on_error"):
         M.image_features(media_df(spark), on_error="ignore")
+
+
+def _make_fake_pil_decoder():
+    """Stand-in for a PIL-backed plugin (Pillow is not in this container):
+    accepts the progressive JPEGs the portable codec refuses and returns a
+    fixed 4x5 RGB array. Built as a CLOSURE so cloudpickle ships it by
+    value — a module-level test function would pickle by reference and the
+    executors cannot import the test module."""
+
+    def fake_pil_decoder(payload: bytes):
+        import numpy as np
+
+        if not payload.startswith(b"\xff\xd8"):
+            raise ValueError("not a JPEG")
+        arr = np.zeros((4, 5, 3), dtype=np.uint8)
+        arr[..., 0], arr[..., 1], arr[..., 2] = 120, 130, 140
+        return arr
+
+    return fake_pil_decoder
+
+
+def _progressive_jpeg() -> bytes:
+    """A structurally real JPEG whose SOF0 marker is flipped to SOF2 —
+    exactly the format the pure-numpy codec refuses as progressive."""
+    import numpy as np
+
+    from cdk_datalake_analytics_comercial_spark.operators import _jpeg as J
+
+    enc = bytearray(J.encode_jpeg(np.full((8, 8, 3), 128, dtype=np.uint8)))
+    i = enc.find(b"\xff\xc0")
+    assert i > 0
+    enc[i + 1] = 0xC2
+    return bytes(enc)
+
+
+def test_native_decoder_registry_handles_progressive_jpeg(spark):
+    """VERDICT r4 #5: with a PIL-like plugin registered, a progressive
+    JPEG decodes through the SAME image_features API; without it, the
+    payload lands as a flagged skip row (or raises in strict mode). The
+    portable path stays first: payloads the numpy codecs support never
+    touch a plugin."""
+    prog = _progressive_jpeg()
+    df = spark.createDataFrame(
+        [(1, bytearray(prog))], "media_id long, payload binary"
+    )
+
+    # without a plugin: strict mode raises, skip mode flags
+    with pytest.raises(PythonException, match="progressive"):
+        M.image_features(df, fake=False).collect()
+    flagged = M.image_features(df, fake=False, on_error="skip").collect()[0]
+    assert flagged["width"] is None and "progressive" in flagged["error"]
+
+    dec = _make_fake_pil_decoder()
+    M.register_image_decoder(dec)
+    try:
+        got = M.image_features(df, fake=False, feature_dim=4).collect()[0]
+        assert (got["width"], got["height"]) == (5, 4)
+        # Rec.601 luma of the constant (120,130,140) image
+        expect = (0.299 * 120 + 0.587 * 130 + 0.114 * 140) / 255.0
+        assert abs(got["mean_luma"] - expect) < 0.01
+        # resize rides the same hook
+        rz = M.image_resize(df, target_w=2, target_h=2, fake=False).collect()[0]
+        assert (rz["width"], rz["height"]) == (2, 2) and rz["payload"]
+    finally:
+        M._IMAGE_DECODERS.remove(dec)
+
+
+def test_portable_formats_never_touch_plugins(spark):
+    """Oracle stability: a PPM decodes via the pure-numpy path even with
+    a plugin registered — plugins are only a fallback after refusal."""
+    import numpy as np
+
+    from cdk_datalake_analytics_comercial_spark.operators import _codecs
+
+    def never_called(payload: bytes):
+        raise AssertionError("plugin consulted for a portable-codec format")
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(_codecs.encode_ppm(img)))], "media_id long, payload binary"
+    )
+    M.register_image_decoder(never_called)
+    try:
+        got = M.image_features(df, fake=False).collect()[0]
+        assert (got["width"], got["height"]) == (3, 2)
+    finally:
+        M._IMAGE_DECODERS.remove(never_called)
