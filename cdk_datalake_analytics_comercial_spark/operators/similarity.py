@@ -101,6 +101,61 @@ def cosine_topk_bruteforce(
     )
 
 
+def rerank_exact(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage retrieval, stage 2 (the standard FAISS usage pattern):
+    join an ANN shortlist (``candidates``: query_id, corpus_id — e.g.
+    ``pq_topk(..., k=50)``) back to the FULL vectors and re-rank by exact
+    distance, keeping the true top-``k`` per query. Coded (PQ) distances
+    produce a good shortlist but misorder near-ties — within tight
+    clusters quantization error exceeds the neighbor gaps — so ADC
+    shortlist → exact re-rank is how the compressed tiers reach high
+    recall (measured in SCALE.md's clustered ladder).
+
+    Scale shape: candidate volume is queries × k′ rows, so both joins and
+    the window are tiny next to stage 1; the corpus join is a key lookup
+    (broadcast the candidate set on a cluster). Exact math stays JVM-side
+    (``zip_with``/``aggregate``), no Python round trip.
+    """
+    if metric not in ("l2", "cosine"):
+        raise ValueError(metric)
+    cand = candidates.select("query_id", "corpus_id").distinct()
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    j = cand.join(q, "query_id").join(c, "corpus_id")
+    if metric == "l2":
+        d2 = F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = j.select("query_id", "corpus_id", d2.alias("d2"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("corpus_id").asc()
+        )
+        score_col = "d2"
+    else:
+        scored = j.select(
+            "query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("corpus_id").asc()
+        )
+        score_col = "cosine"
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", score_col, "rank")
+    )
+
+
 def _assert_bounded(df: DataFrame, max_rows: int, what: str) -> None:
     """Fail fast when a documented-small DataFrame is about to be
     materialized on the driver beyond its contract: a cheap

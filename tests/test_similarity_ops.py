@@ -379,3 +379,61 @@ def test_lsh_multitable_dominates_single_table(spark):
     assert len(m_pairs) > len(s_pairs)  # extra tables surfaced new candidates
     for pair, cos in s_pairs.items():
         assert m_pairs[pair] == cos
+
+
+def test_rerank_exact_recovers_true_topk_from_shortlist(spark):
+    """Two-stage retrieval: re-ranking ANY shortlist that contains the
+    true neighbors by exact distance must return exactly the brute-force
+    top-k — and re-ranking a PQ shortlist can only improve (or tie) the
+    raw ADC ranking's recall."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    C = rng.standard_normal((4, 8))
+    X = C[rng.integers(0, 4, size=120)] + 0.1 * rng.standard_normal((120, 8))
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 5)
+
+    # exact truth (L2) in numpy, excluding self
+    def true_topk(qid, k=3):
+        d = ((X - X[qid]) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(X)), d))
+        return [int(i) for i in order if i != qid][:k]
+
+    # a generous exact shortlist (top-20 cosine) re-ranked by L2 equals
+    # the true L2 top-3
+    shortlist = S.cosine_topk_bruteforce(df, q, k=20)
+    rr = S.rerank_exact(shortlist, df, q, k=3, metric="l2")
+    got = {}
+    for r in rr.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["corpus_id"]))
+    for qid in range(5):
+        ranked = [cid for _, cid in sorted(got[qid])]
+        assert ranked == true_topk(qid), (qid, ranked, true_topk(qid))
+
+    # PQ shortlist-25 -> exact re-rank: recall >= raw PQ top-3 recall
+    def recall(out, k=3):
+        byq = {}
+        for r in out.collect():
+            byq.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        return sum(
+            len(byq.get(qid, set()) & set(true_topk(qid))) for qid in range(5)
+        ) / (3 * 5)
+
+    raw = S.pq_topk(df, q, dim=8, k=3, n_sub=4, n_cent=8)
+    two_stage = S.rerank_exact(
+        S.pq_topk(df, q, dim=8, k=25, n_sub=4, n_cent=8), df, q, k=3, metric="l2"
+    )
+    assert recall(two_stage) >= recall(raw)
+
+    # cosine metric path: re-ranking the full corpus as a "shortlist"
+    # reproduces brute-force exactly
+    allpairs = df.crossJoin(q.select(F.col("vec_id").alias("query_id"))).select(
+        "query_id", F.col("vec_id").alias("corpus_id")
+    ).filter("query_id != corpus_id")
+    rr_cos = S.rerank_exact(allpairs, df, q, k=2, metric="cosine")
+    bf = S.cosine_topk_bruteforce(df, q, k=2)
+    assert sorted(
+        (r["query_id"], r["rank"], r["corpus_id"]) for r in rr_cos.collect()
+    ) == sorted((r["query_id"], r["rank"], r["corpus_id"]) for r in bf.collect())
