@@ -51,6 +51,7 @@ HEADLINE = [
     "dq_report",
     "emb_cosine_topk",
     "emb_pq_topk",
+    "emb_rerank_topk",
     "emb_ivfpq_topk",
     "emb_ivfpq_residual_topk",
     "emb_lsh_multitable",

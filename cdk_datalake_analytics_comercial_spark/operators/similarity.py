@@ -109,6 +109,7 @@ def rerank_exact(
     metric: str = "l2",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    integer_scaled: bool = False,
 ) -> DataFrame:
     """Two-stage retrieval, stage 2 (the standard FAISS usage pattern):
     join an ANN shortlist (``candidates``: query_id, corpus_id — e.g.
@@ -123,17 +124,28 @@ def rerank_exact(
     the window are tiny next to stage 1; the corpus join is a key lookup
     (broadcast the candidate set on a cluster). Exact math stays JVM-side
     (``zip_with``/``aggregate``), no Python round trip.
+
+    ``integer_scaled=True`` (L2 only) computes d² on the same
+    ``int_scaled`` grid the ANN family quantizes to, yielding a BIGINT
+    score that is bit-reproducible across engines — the oracle-checkable
+    mode (float-sum d² is exact too, but its cross-engine summation order
+    is not pinned).
     """
     if metric not in ("l2", "cosine"):
         raise ValueError(metric)
     cand = candidates.select("query_id", "corpus_id").distinct()
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    if integer_scaled:
+        if metric != "l2":
+            raise ValueError("integer_scaled rerank supports metric='l2' only")
+        q = q.withColumn("qv", int_scaled(F.col("qv")))
+        c = c.withColumn("cv", int_scaled(F.col("cv")))
     j = cand.join(q, "query_id").join(c, "corpus_id")
     if metric == "l2":
         d2 = F.aggregate(
             F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
+            F.lit(0).cast("long") if integer_scaled else F.lit(0.0),
             lambda acc, x: acc + x,
         )
         scored = j.select("query_id", "corpus_id", d2.alias("d2"))

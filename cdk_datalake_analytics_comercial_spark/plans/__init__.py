@@ -26,6 +26,8 @@ _SAMPLE_FIRST = [
     "cube_status_priority",
     "monthly_gap_fill",
     "order_timeline",
+    # new in r5 (no driver row yet)
+    "emb_rerank_topk",
     # judge-named rotation targets
     "conditional_join",
     "fulfillment_ratio",

@@ -680,10 +680,17 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, dim=64, k=5, n_cells=8)
 
 
-def _build_pq_oracle(sf_dir: str | None = None) -> str | None:
+def _build_pq_oracle(
+    sf_dir: str | None = None, rerank: bool = False
+) -> str | None:
     """PQ oracle: re-train the per-subspace codebooks with the same Lloyd
     code on the same first-4096-by-id rows, inline them as literals, and
-    recompute corpus codes + ADC distances with exact integer arithmetic."""
+    recompute corpus codes + ADC distances with exact integer arithmetic.
+
+    ``rerank=True`` builds the TWO-STAGE oracle instead (emb_rerank_topk):
+    ADC shortlist of 20, then exact integer-grid d² on the full vectors,
+    final top-5 — the same composition ``similarity.rerank_exact(...,
+    integer_scaled=True)`` executes."""
     import os
 
     n_sub, n_cent, dim = 16, 16, 64
@@ -728,7 +735,7 @@ def _build_pq_oracle(sf_dir: str | None = None) -> str | None:
     recon = " || ".join(
         f"list_extract({cents[s]}, code_{s})" for s in range(n_sub)
     )
-    return f"""
+    prefix = f"""
 WITH iv AS (
   SELECT vec_id, {_SQL_IV} AS iv FROM embeddings
 ), dists AS (
@@ -745,9 +752,32 @@ WITH iv AS (
 ), ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, corpus_id ASC) AS rank
   FROM scored
+)"""
+    if not rerank:
+        return (
+            prefix
+            + "\nSELECT query_id, corpus_id, d2, CAST(rank AS INT) AS rank "
+            "FROM ranked WHERE rank <= 5\n"
+        )
+    return (
+        prefix
+        + f"""
+, short AS (
+  SELECT query_id, corpus_id FROM ranked WHERE rank <= 20
+), exact AS (
+  SELECT s.query_id, s.corpus_id,
+         CAST(list_sum(list_transform(range(1, {dim + 1}), j ->
+           (qa.iv[j] - ca.iv[j]) * (qa.iv[j] - ca.iv[j]))) AS BIGINT) AS d2
+  FROM short s
+  JOIN iv qa ON qa.vec_id = s.query_id
+  JOIN iv ca ON ca.vec_id = s.corpus_id
+), rranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, corpus_id ASC) AS rank
+  FROM exact
 )
-SELECT query_id, corpus_id, d2, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+SELECT query_id, corpus_id, d2, CAST(rank AS INT) AS rank FROM rranked WHERE rank <= 5
 """
+    )
 
 
 def _build_ivfpq_oracle(sf_dir: str | None = None) -> str | None:
@@ -941,6 +971,19 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
     return pq_topk(e, q, dim=64, k=5, n_sub=16, n_cent=16)
+
+
+def q_emb_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (the recommended PQ usage, SCALE.md clustered
+    ladder): PQ-ADC shortlist of 20 candidates per query, exact
+    integer-grid L2 re-rank to the final top-5. Stage 1 scans compressed
+    codes only; stage 2 touches queries x 20 full vectors."""
+    from ..operators.similarity import pq_topk, rerank_exact
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    shortlist = pq_topk(e, q, dim=64, k=20, n_sub=16, n_cent=16)
+    return rerank_exact(shortlist, e, q, k=5, metric="l2", integer_scaled=True)
 
 
 def q_emb_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1792,6 +1835,7 @@ QUERIES = {
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_ivf_multiprobe": q_emb_ivf_multiprobe,
     "emb_pq_topk": q_emb_pq_topk,
+    "emb_rerank_topk": q_emb_rerank_topk,
     "emb_ivfpq_topk": q_emb_ivfpq_topk,
     "emb_ivfpq_residual_topk": q_emb_ivfpq_residual_topk,
     "multimodal_features": q_multimodal_features,
@@ -1848,6 +1892,9 @@ if _IVF_MP_ORACLE:
 _PQ_ORACLE = _build_pq_oracle()
 if _PQ_ORACLE:
     ORACLES["emb_pq_topk"] = _PQ_ORACLE
+_RERANK_ORACLE = _build_pq_oracle(rerank=True)
+if _RERANK_ORACLE:
+    ORACLES["emb_rerank_topk"] = _RERANK_ORACLE
 _IVFPQ_ORACLE = _build_ivfpq_oracle()
 if _IVFPQ_ORACLE:
     ORACLES["emb_ivfpq_topk"] = _IVFPQ_ORACLE
