@@ -51,6 +51,7 @@ from __future__ import annotations
 import datetime as _dt
 import decimal as _decimal
 import json
+import os
 import time
 import uuid
 
@@ -85,12 +86,29 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
+# Local-FS fast paths: the log layer's tiny-JSON I/O costs several py4j
+# round trips per call through the Hadoop API; on posix paths plain
+# python I/O is both faster (matters at one call per commit attempt) and
+# STRONGER for the claim (O_CREAT|O_EXCL is kernel-atomic, where Hadoop's
+# RawLocalFileSystem create(overwrite=false) is check-within-create).
+# Object-store paths keep the Hadoop route untouched.
+
+
 def _exists(spark: SparkSession, path: str) -> bool:
+    local = _as_local_dir(path)
+    if local is not None:
+        return os.path.exists(local)
     fs, p, _ = _fs(spark, path)
     return fs.exists(p)
 
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    local = _as_local_dir(path)
+    if local is not None:
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        with open(local, "w", encoding="utf-8") as f:
+            f.write(text)
+        return
     fs, p, _ = _fs(spark, path)
     out = fs.create(p, True)
     try:
@@ -100,6 +118,10 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
 
 
 def _read_text(spark: SparkSession, path: str) -> str:
+    local = _as_local_dir(path)
+    if local is not None:
+        with open(local, encoding="utf-8") as f:
+            return f.read()
     fs, p, jvm = _fs(spark, path)
     stream = fs.open(p)
     try:
@@ -194,8 +216,6 @@ def _log_listing(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
     log = f"{path.rstrip('/')}/{_LOG}"
     local = _as_local_dir(log)
     if local is not None:
-        import os
-
         try:
             names = os.listdir(local)
         except (FileNotFoundError, NotADirectoryError):
@@ -337,8 +357,21 @@ def tx_history(spark: SparkSession, path: str) -> list[dict]:
 
 def _create_no_overwrite(spark: SparkSession, path: str, text: str) -> bool:
     """Write ``text`` to ``path`` failing if it exists — the putIfAbsent
-    claim. Atomic on HDFS (namenode-arbitrated create); the local
-    filesystem narrows to a check-within-create."""
+    claim. Kernel-atomic O_CREAT|O_EXCL on posix paths; namenode-atomic
+    on HDFS; Hadoop's local-FS fallback narrows to check-within-create
+    (which the commit protocol's read-back verify covers either way)."""
+    local = _as_local_dir(path)
+    if local is not None:
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, text.encode("utf-8"))
+        finally:
+            os.close(fd)
+        return True
     fs, p, _ = _fs(spark, path)
     try:
         out = fs.create(p, False)
