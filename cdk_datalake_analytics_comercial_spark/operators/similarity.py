@@ -141,7 +141,9 @@ def rerank_exact(
             raise ValueError("integer_scaled rerank supports metric='l2' only")
         q = q.withColumn("qv", int_scaled(F.col("qv")))
         c = c.withColumn("cv", int_scaled(F.col("cv")))
-    j = cand.join(q, "query_id").join(c, "corpus_id")
+    # candidates x query-vectors is queries x k' rows — broadcast it into
+    # the corpus join so the (huge) corpus side never shuffles
+    j = F.broadcast(cand.join(q, "query_id")).join(c, "corpus_id")
     if metric == "l2":
         d2 = F.aggregate(
             F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
