@@ -6,9 +6,10 @@ manifest, time travel) in an environment without delta-spark.
 Layout:
 
     <table>/
-      _txlog/v0000000001.json     one DELTA record per committed version
-      _txlog/c0000000010.json     full-snapshot CHECKPOINT every N commits
-      _txlog/_last_checkpoint     hint: newest checkpoint version
+      _txlog/v0000000001.json           one DELTA record per committed version
+      _txlog/c0000000010.json           full-snapshot CHECKPOINT every N commits
+      _txlog/c0000000010.part0000.json  checkpoint shard (snapshots > 50k files)
+      _txlog/_last_checkpoint           hint: newest checkpoint version
       data/<batch-uuid>/[k=v/...]part-*.parquet
 
 Each commit record is a DELTA of file actions — ``add`` (file entries with
@@ -180,6 +181,17 @@ def _partition_of(rel_path: str) -> dict[str, str]:
 # resolution cost is bounded by 1 checkpoint read + <N delta reads.
 _CHECKPOINT_EVERY = 10
 
+# Multi-part checkpoints (Delta's multi-part checkpoint files): above this
+# many file entries the checkpoint manifest shards into
+# ``c<N>.part0000.json`` slices under a small header, so no single JSON
+# document grows with the table — a 1M-file table checkpoints as ~20
+# bounded parts instead of one ~100 MB blob.
+_CHECKPOINT_MAX_PART = 50_000
+
+
+def _checkpoint_part_path(path: str, version: int, part: int) -> str:
+    return f"{path.rstrip('/')}/{_LOG}/c{version:010d}.part{part:04d}.json"
+
 
 def _version_path(path: str, version: int) -> str:
     return f"{path.rstrip('/')}/{_LOG}/v{version:010d}.json"
@@ -294,7 +306,7 @@ def read_manifest(
     op = None
     extra: dict = {}
     if base is not None:
-        cp = json.loads(_read_text(spark, _checkpoint_path(path, base)))
+        cp = _load_checkpoint(spark, path, base)
         files = {f["path"]: f for f in cp["files"]}
         schema, op = cp.get("schema"), cp.get("op", "checkpoint")
     tail = [v for v in versions if (base if base is not None else 0) < v <= version]
@@ -324,28 +336,76 @@ def read_manifest(
     }
 
 
+def _load_checkpoint(spark: SparkSession, path: str, version: int) -> dict:
+    """A checkpoint's full content. Single-file checkpoints carry their
+    ``files`` inline; multi-part checkpoints carry a ``parts`` count in
+    the header and the file entries in ``c<N>.partNNNN.json`` slices
+    (written BEFORE the header, so a torn writer never leaves a readable
+    header pointing at missing parts)."""
+    cp = json.loads(_read_text(spark, _checkpoint_path(path, version)))
+    if "parts" in cp:
+        files: list[dict] = []
+        for i in range(int(cp["parts"])):
+            part = json.loads(
+                _read_text(spark, _checkpoint_part_path(path, version, i))
+            )
+            files.extend(part["files"])
+        cp = {**cp, "files": files}
+    return cp
+
+
 def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     """Materialize the resolved snapshot at ``version`` as a checkpoint
     manifest + the ``_last_checkpoint`` hint. Idempotent (same content for
     the same version) and safe to lose — readers fall back to an older
-    checkpoint with a longer delta tail."""
+    checkpoint with a longer delta tail. Snapshots larger than
+    ``_CHECKPOINT_MAX_PART`` entries shard into part files (header last,
+    so readers never see a half-written multi-part checkpoint)."""
     snap = read_manifest(spark, path, version)
+    header = {
+        "op": "checkpoint",
+        "version": version,
+        "schema": snap["schema"],
+    }
+    fl = snap["files"]
+    if len(fl) <= _CHECKPOINT_MAX_PART:
+        header["files"] = fl
+    else:
+        n_parts = (len(fl) + _CHECKPOINT_MAX_PART - 1) // _CHECKPOINT_MAX_PART
+        for i in range(n_parts):
+            _write_text(
+                spark,
+                _checkpoint_part_path(path, version, i),
+                json.dumps(
+                    {
+                        "version": version,
+                        "part": i,
+                        "files": fl[
+                            i * _CHECKPOINT_MAX_PART : (i + 1) * _CHECKPOINT_MAX_PART
+                        ],
+                    },
+                    sort_keys=True,
+                ),
+            )
+        header["parts"] = n_parts
     _write_text(
-        spark,
-        _checkpoint_path(path, version),
-        json.dumps(
-            {
-                "op": "checkpoint",
-                "version": version,
-                "schema": snap["schema"],
-                "files": snap["files"],
-            },
-            sort_keys=True,
-        ),
+        spark, _checkpoint_path(path, version), json.dumps(header, sort_keys=True)
     )
     _write_text(
         spark, _last_checkpoint_path(path), json.dumps({"version": version})
     )
+
+
+def _delete_checkpoint(spark: SparkSession, path: str, version: int) -> None:
+    """Remove a checkpoint and any part slices it shards into."""
+    try:
+        cp = json.loads(_read_text(spark, _checkpoint_path(path, version)))
+        n_parts = int(cp.get("parts", 0))
+    except Exception:
+        n_parts = 0
+    for i in range(n_parts):
+        _delete(spark, _checkpoint_part_path(path, version, i))
+    _delete(spark, _checkpoint_path(path, version))
 
 
 def tx_history(spark: SparkSession, path: str) -> list[dict]:
@@ -1275,7 +1335,7 @@ def tx_vacuum(
         # checkpoints below the oldest kept version are superseded (the
         # grounding checkpoint at keep[0] replaces them)
         if c < keep[0]:
-            _delete(spark, _checkpoint_path(path, c))
+            _delete_checkpoint(spark, path, c)
     return sorted(removed)
 
 

@@ -1193,3 +1193,73 @@ def test_doctor_detects_checkpoint_drift(spark, tmp_path):
     TX._write_text(spark, cp_path, _json.dumps(cp))
     rep = doctor(spark, p)
     assert any("drift" in e for e in rep["errors"])
+
+
+def test_multipart_checkpoints(spark, tmp_path, monkeypatch):
+    """Snapshots larger than _CHECKPOINT_MAX_PART entries shard the
+    checkpoint into part slices (Delta's multi-part checkpoint files): no
+    single log JSON grows with the table. Resolution, vacuum grounding +
+    superseded-part cleanup, and the doctor all handle the sharded form."""
+    import json as _json
+
+    from tools.table_doctor import doctor
+
+    monkeypatch.setattr(TX, "_CHECKPOINT_MAX_PART", 3)
+    p = str(tmp_path / "multipart")
+    # metadata-only commits through the real _commit path: 25 appends of
+    # one file entry each -> checkpoints at 10 and 20 exceed 3 entries
+    for v in range(1, 26):
+        entry = {"path": f"data/b{v:04d}/part-0.parquet", "partition": {}}
+        TX._commit(
+            spark,
+            p,
+            lambda cur, e=entry, first=(v == 1): {
+                "op": "overwrite" if first else "append",
+                "schema": '{"type":"struct","fields":[]}',
+                "add": [e],
+                "remove": [],
+                "truncate": first,
+            },
+        )
+    versions, checkpoints = TX._log_listing(spark, p)
+    assert versions == list(range(1, 26)) and checkpoints == [10, 20]
+    # the c10 header carries a parts count, not inline files
+    hdr = _json.loads(TX._read_text(spark, TX._checkpoint_path(p, 10)))
+    assert "files" not in hdr and hdr["parts"] == 4  # ceil(10/3)
+    assert _json.loads(
+        TX._read_text(spark, TX._checkpoint_part_path(p, 10, 0))
+    )["files"]
+
+    # resolution reads header + parts + tail and reconstructs everything
+    counts = _count_log_reads(monkeypatch)
+    snap = TX.read_manifest(spark, p, 25)
+    assert len(snap["files"]) == 25
+    # 1 header + 7 parts (ceil(20/3)) + 5 tail deltas
+    assert counts["n"] <= 1 + 7 + TX._CHECKPOINT_EVERY
+
+    # vacuum: grounding checkpoint at keep[0]=24 is itself multi-part;
+    # superseded c10/c20 AND their part slices are reaped
+    TX.tx_vacuum(spark, p, keep_versions=2, retain_hours=0)
+    versions, checkpoints = TX._log_listing(spark, p)
+    assert versions == [24, 25] and checkpoints == [24]
+    assert not TX._exists(spark, TX._checkpoint_path(p, 10))
+    assert not TX._exists(spark, TX._checkpoint_part_path(p, 10, 0))
+    assert not TX._exists(spark, TX._checkpoint_part_path(p, 20, 0))
+    assert len(TX.read_manifest(spark, p, 25)["files"]) == 25
+    assert len(TX.read_manifest(spark, p, 24)["files"]) == 24
+
+    # doctor walks the sharded log clean (file-existence danglings are
+    # expected: the entries are metadata-only fixtures)
+    rep = doctor(spark, p)
+    # expected errors: the metadata-only fixture files don't exist on
+    # disk; what must NOT appear is checkpoint drift / unreadable
+    # checkpoints / unresolvable snapshots
+    bad = [
+        e
+        for e in rep["errors"]
+        if "drift" in e
+        or "unreadable commit record" in e
+        or "unreadable checkpoint" in e
+        or "unresolvable" in e
+    ]
+    assert not bad, bad

@@ -94,7 +94,7 @@ def doctor(spark, path: str) -> dict:
         referenced_all.update(state)
         if v in checkpoints:
             try:
-                cp = json.loads(_read_checkpoint(spark, TX, path, v))
+                cp = TX._load_checkpoint(spark, path, v)
                 cp_paths = {f["path"] for f in cp.get("files", [])}
                 if cp_paths != set(state):
                     report["errors"].append(
@@ -146,10 +146,6 @@ def doctor(spark, path: str) -> dict:
     except Exception as e:
         report["errors"].append(f"current snapshot unreadable: {e}")
     return report
-
-
-def _read_checkpoint(spark, TX, path: str, version: int) -> str:
-    return TX._read_text(spark, TX._checkpoint_path(path, version))
 
 
 def main() -> None:
