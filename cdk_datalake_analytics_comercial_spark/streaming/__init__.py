@@ -1,3 +1,3 @@
-from . import dedup, joins, sink, stateful, windows
+from . import dedup, joins, sink, source, stateful, windows
 
-__all__ = ["windows", "stateful", "dedup", "joins", "sink"]
+__all__ = ["windows", "stateful", "dedup", "joins", "sink", "source"]

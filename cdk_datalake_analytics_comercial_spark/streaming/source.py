@@ -1,0 +1,363 @@
+"""txlog STREAMING SOURCE — stream a txlog table's commits as micro-batches.
+
+The Delta-parity gap this closes: the reference's tables are Delta, and
+Delta tables are directly usable as Structured Streaming SOURCES
+(``spark.readStream.format("delta")`` — the standard CDC-fanout pattern:
+one job writes a table, downstream jobs tail it incrementally instead of
+re-reading snapshots). txlog already had the sink side (``streaming/
+sink.merge_stream``) and pull-based diffs (``tx_diff``); this module makes
+a txlog table a first-class streaming source via PySpark 4's Python Data
+Source API (`pyspark.sql.datasource`):
+
+    register_txlog_source(spark)
+    df = spark.readStream.format("txlog").load("/path/to/table")
+
+Semantics mirror Delta's streaming source:
+
+- **Offsets are log versions.** The stream's offset is the last consumed
+  commit version; Spark checkpoints it, so restarts resume exactly after
+  the last committed micro-batch (exactly-once with an idempotent sink).
+- **Initial snapshot, then tail.** By default the first micro-batch is the
+  RESOLVED snapshot at stream start (removes already applied), and every
+  later batch is the add-files of the new commits — Delta's default
+  behavior. ``startingVersion=N`` skips the snapshot and replays commit
+  adds from version N; ``startingVersion=latest`` streams only commits
+  made after the stream starts.
+- **Append-only contract.** A tailed commit that REMOVES files (overwrite,
+  DELETE/UPDATE, compaction, restore) is not expressible as an append;
+  the stream FAILS on it unless ``skipChangeCommits=true`` (Delta's
+  option of the same name), which skips those commits entirely.
+- **Admission control.** ``maxFilesPerTrigger`` caps how many data files a
+  micro-batch admits (version boundaries are respected: a commit's files
+  never split across batches, so each batch is a prefix of the log).
+  Scope, dictated by the Python API (``latestOffset()`` receives no start
+  offset, and Python sources don't participate in ``SupportsAdmissionControl``):
+  the cap engages from the SECOND micro-batch of a run — the first batch
+  of a fresh/restarted query, and an ``availableNow`` drain (one planned
+  batch), admit everything available. A steady continuously-triggered
+  stream is capped; a catch-up run is not.
+
+Scale shape: the driver side touches only log JSON (O(changed files) per
+batch, bounded by the checkpointed-log resolution of ``read_manifest``);
+data files are read EXECUTOR-side, one input partition per file, via
+pyarrow — rows never pass through the driver. Partition columns are
+reconstructed from the hive-style ``k=v`` path segments exactly like
+``tx_read``'s basePath read, cast to the table schema's types.
+
+Limit (stated, like the txlog commit claim): the log-reading fast path is
+plain-python file I/O, so the source addresses LOCAL paths (``/…`` or
+``file:…``). An object-store deployment would swap the same four helpers
+behind an fsspec shim; the offset/batch logic is storage-agnostic.
+
+Reference parity: Delta streaming-source semantics the reference's tables
+expose (`common_jobs_functions.py` writes plain Delta tables; any of them
+can be tailed). Public API shape: `pyspark.sql.datasource` (Spark 4).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ..sources import txlog as TX
+
+
+class TxChangeCommitError(RuntimeError):
+    """A tailed commit removed or rewrote files — not representable in an
+    append-only stream. Mirrors Delta's 'Detected a data update/delete'
+    streaming error; pass ``skipChangeCommits=true`` to skip such commits."""
+
+
+def _require_local(path: str) -> str:
+    if TX._as_local_dir(path) is None:
+        raise NotImplementedError(
+            "the txlog streaming source reads the log with plain-python "
+            f"I/O and supports local paths only (got {path!r}); an object "
+            "store needs an fsspec shim for the four log helpers"
+        )
+    return path
+
+
+def _snapshot_schema(path: str) -> tuple[int, str]:
+    """(current version, schema JSON) of the table — driver-side, no
+    SparkSession (the Data Source API resolves schemas in a bare Python
+    process)."""
+    cur = TX.current_version(None, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed txlog version at {path}")
+    return cur, TX.read_manifest(None, path, cur)["schema"]
+
+
+class _TxFilesPartition(InputPartition):
+    """One micro-batch input split: data files (relative paths) under one
+    table root, read executor-side."""
+
+    def __init__(self, root: str, rel_paths: list[str], schema_json: str):
+        self.root = root
+        self.rel_paths = rel_paths
+        self.schema_json = schema_json
+
+
+def _hive_dec(seg: str):
+    """Decode one ``k=v`` partition VALUE the way Spark escapes it
+    (inverse of ``txlog._hive_enc``)."""
+    if seg == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    out, i = [], 0
+    while i < len(seg):
+        ch = seg[i]
+        if ch == "%" and i + 3 <= len(seg):
+            try:
+                out.append(chr(int(seg[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _read_partition(part: _TxFilesPartition) -> Iterator:
+    """Executor-side read of one split: pyarrow parquet scan + partition
+    columns reconstructed from the hive path segments, aligned and cast to
+    the table schema (Spark validates the Arrow batches against it)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    spark_schema = StructType.fromJson(json.loads(part.schema_json))
+    target = to_arrow_schema(spark_schema)
+    for rel in part.rel_paths:
+        table = pq.read_table(f"{part.root}/{rel}")
+        n = table.num_rows
+        part_vals = {
+            k: _hive_dec(v) for k, v in TX._partition_of(rel).items()
+        }
+        cols = []
+        for field in target:
+            if field.name in table.column_names:
+                col = table.column(field.name)
+            elif field.name in part_vals:
+                raw = part_vals[field.name]
+                col = pa.array([raw] * n, type=pa.string())
+                if not pa.types.is_string(field.type):
+                    col = pc.cast(col, field.type)
+            else:  # schema-evolved column absent from an old file
+                col = pa.nulls(n, type=field.type)
+            if col.type != field.type:
+                col = pc.cast(
+                    col.combine_chunks()
+                    if isinstance(col, pa.ChunkedArray)
+                    else col,
+                    field.type,
+                )
+            cols.append(col)
+        out = pa.table(cols, schema=target)
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class TxLogStreamReader(DataSourceStreamReader):
+    """Version-offset micro-batch planner over a txlog table's commit log.
+
+    Offset format: ``{"version": N}`` = commits through N consumed.
+    ``{"version": -1}`` is the pre-initial-snapshot sentinel: the first
+    planned batch reads the RESOLVED snapshot at its end version instead
+    of tailing commit deltas.
+    """
+
+    def __init__(self, schema_json: str, options: dict):
+        self.path = _require_local(options["path"]).rstrip("/")
+        self.schema_json = schema_json
+        self.skip_change_commits = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        start = options.get("startingversion")
+        if start is None:
+            self._initial = {"version": -1}  # snapshot-first (Delta default)
+        elif str(start).lower() == "latest":
+            self._initial = {"version": TX.current_version(None, self.path) or 0}
+        else:
+            sv = int(start)
+            if sv < 1:
+                raise ValueError("startingVersion must be >= 1 or 'latest'")
+            self._initial = {"version": sv - 1}
+        # Admission control caps how far latestOffset advances past the
+        # last PLANNED end. That base is only known from this run's own
+        # initialOffset/partitions calls (observed call order on a fresh
+        # query: latestOffset FIRST, then initialOffset, then partitions;
+        # on a restart Spark replans from its checkpoint without telling
+        # latestOffset where that is). While the base is unknown the
+        # offset advances uncapped — capping from a guessed base could
+        # move the offset BACKWARD past the checkpoint, which would
+        # replay files into the sink. Hence: cap from the second planned
+        # batch of a run, never the first.
+        self._last_end: int | None = None
+
+    # -- offsets ----------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        self._last_end = int(self._initial["version"])
+        return self._initial
+
+    def latestOffset(self) -> dict:
+        cur = TX.current_version(None, self.path)
+        if cur is None:
+            return dict(self._initial)
+        last = self._last_end
+        # never cap the initial snapshot (last == -1): it is one resolved
+        # manifest, not a commit range — admitted whole, like a fresh
+        # Delta stream's initial snapshot version.
+        if self.max_files is not None and last is not None and last >= 0:
+            end, admitted = last, 0
+            for v in TX.list_versions(None, self.path):
+                if v <= last:
+                    continue
+                # count without enforcing the append-only contract —
+                # partitions() raises with full context if the commit is
+                # actually planned; a skipped change commit admits 0 files
+                rec = TX.read_commit(None, self.path, v)
+                is_change = bool(
+                    rec.get("truncate") or rec.get("remove") or "files" in rec
+                )
+                if not (is_change and self.skip_change_commits):
+                    admitted += len(rec.get("add", ()))
+                end = v  # a commit never splits across batches
+                if admitted >= self.max_files:
+                    break
+            cur = max(end, last)
+        return {"version": cur}
+
+    def commit(self, end: dict) -> None:  # log retention is tx_vacuum's job
+        pass
+
+    # -- batch planning ----------------------------------------------------
+
+    def _tail_adds(self, rec: dict, v: int) -> list[dict]:
+        """The add-file entries a tailed commit contributes, enforcing the
+        append-only contract. Like Delta (which flags RemoveFile actions,
+        not the op name), a truncate that clears an EMPTY prior snapshot —
+        the v1 table creation, or an overwrite of a vacant table — removes
+        nothing and passes as a pure append."""
+        truncates = bool(rec.get("truncate")) and v > 1
+        if truncates:
+            try:  # an overwrite of a VACANT snapshot removes nothing
+                truncates = bool(
+                    TX.read_manifest(None, self.path, v - 1)["files"]
+                )
+            except FileNotFoundError:  # prior version vacuumed: conservative
+                pass
+        if truncates or rec.get("remove") or "files" in rec:
+            if self.skip_change_commits:
+                return []
+            raise TxChangeCommitError(
+                f"commit v{v} at {self.path} ({rec.get('op')}) removes or "
+                "rewrites files; an append-only stream cannot represent it. "
+                "Set skipChangeCommits=true to skip such commits, or start "
+                "a fresh stream (new checkpoint) to re-read the snapshot."
+            )
+        return list(rec.get("add", ()))
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        s, e = int(start["version"]), int(end["version"])
+        self._last_end = max(e, self._last_end or -1)
+        if s < 0:  # initial snapshot at e (removes already applied)
+            files = TX.read_manifest(None, self.path, e)["files"]
+        else:
+            files = []
+            for v in TX.list_versions(None, self.path):
+                if s < v <= e:
+                    files.extend(
+                        self._tail_adds(TX.read_commit(None, self.path, v), v)
+                    )
+        parts = [
+            _TxFilesPartition(self.path, [f["path"]], self.schema_json)
+            for f in files
+        ]
+        # Spark requires >=1 partition per planned batch (an all-skipped
+        # change-commit range yields zero files)
+        return parts or [_TxFilesPartition(self.path, [], self.schema_json)]
+
+    def read(self, partition: _TxFilesPartition) -> Iterator:
+        return _read_partition(partition)
+
+
+class TxLogStreamDataSource(DataSource):
+    """``spark.readStream.format("txlog").load(path)`` — txlog tables as
+    Structured Streaming sources (register with
+    :func:`register_txlog_source`)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txlog source needs a path: .load('/table/dir')")
+        _, schema_json = _snapshot_schema(_require_local(path))
+        return StructType.fromJson(json.loads(schema_json))
+
+    def streamReader(self, schema: StructType) -> TxLogStreamReader:
+        return TxLogStreamReader(schema.json(), dict(self.options))
+
+    def reader(self, schema: StructType):
+        raise NotImplementedError(
+            "batch reads go through txlog.tx_read (native parquet scan with "
+            "stats/bloom skipping — faster than a Python data source); this "
+            "format is the STREAMING source"
+        )
+
+
+def register_txlog_source(spark: SparkSession) -> None:
+    """Register the ``txlog`` streaming source on this session (idempotent).
+
+    The Data Source API pickles the source/reader into separate Python
+    processes: the task workers (``read``) AND the streaming-source runner
+    (offset planning) — the latter does not see ``addPyFile`` includes, so
+    shipping the package zip is not enough. Registering this module and the
+    txlog module for cloudpickle BY-VALUE serialization makes the pickled
+    source self-contained: no process ever needs the package importable."""
+    from pyspark import cloudpickle
+
+    import cdk_datalake_analytics_comercial_spark.sources.txlog as _txmod
+    import cdk_datalake_analytics_comercial_spark.streaming.source as _me
+
+    cloudpickle.register_pickle_by_value(_me)
+    cloudpickle.register_pickle_by_value(_txmod)
+    from ..plans.common import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(TxLogStreamDataSource)
+
+
+def stream_txlog(
+    spark: SparkSession,
+    path: str,
+    starting_version: int | str | None = None,
+    skip_change_commits: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """A streaming DataFrame tailing the txlog table at ``path``."""
+    register_txlog_source(spark)
+    reader = spark.readStream.format("txlog")
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    if skip_change_commits:
+        reader = reader.option("skipChangeCommits", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)

@@ -1,0 +1,281 @@
+"""txlog streaming SOURCE (streaming/source.py): a txlog table tailed as a
+Structured Streaming input — Delta's `readStream.format("delta")` parity
+(initial snapshot → commit tail, version offsets in the checkpoint,
+append-only contract with skipChangeCommits, admission control)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.sources import txlog as TX
+from cdk_datalake_analytics_comercial_spark.streaming.source import (
+    TxChangeCommitError,
+    TxLogStreamReader,
+    stream_txlog,
+)
+
+
+def _mk(spark, i, region="us"):
+    return spark.createDataFrame(
+        [(i, f"v{i}", region)], "id long, s string, region string"
+    ).repartition(1)
+
+
+def _drain(spark, tbl, out, chk, **opts):
+    """One availableNow drain of the stream into a parquet sink; returns
+    the sink's full contents as a sorted list of (id, s, region)."""
+    q = (
+        stream_txlog(spark, tbl, **opts)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return sorted(
+        (r.id, r.s, r.region) for r in spark.read.parquet(out).collect()
+    )
+
+
+def test_initial_snapshot_matches_tx_read(spark, tmp_path):
+    """The first micro-batch is the RESOLVED snapshot (removes applied),
+    with hive partition columns reconstructed — row-identical to tx_read."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "us"), (2, "b", "eu"), (3, "c", "us")],
+        "id long, s string, region string",
+    )
+    TX.tx_write(spark, df, tbl, partition_by=["region"])
+    TX.tx_write(spark, _mk(spark, 4, "ap"), tbl, mode="append")
+    TX.tx_delete(spark, tbl, where={"id": (2, 2)})  # pre-stream remove
+
+    got = _drain(spark, tbl, str(tmp_path / "out"), str(tmp_path / "chk"))
+    exp = sorted(
+        (r.id, r.s, r.region) for r in TX.tx_read(spark, tbl).collect()
+    )
+    assert got == exp and (2, "b", "eu") not in got
+    # dtypes survive the arrow path
+    assert dict(spark.read.parquet(str(tmp_path / "out")).dtypes) == {
+        "id": "bigint",
+        "s": "string",
+        "region": "string",
+    }
+
+
+def test_incremental_tail_exactly_once(spark, tmp_path):
+    """Re-running from the same checkpoint delivers each commit exactly
+    once: appends arrive incrementally, an unchanged log adds nothing."""
+    tbl, out, chk = (str(tmp_path / d) for d in ("t", "out", "chk"))
+    TX.tx_write(spark, _mk(spark, 1), tbl)
+    assert _drain(spark, tbl, out, chk) == [(1, "v1", "us")]
+
+    TX.tx_write(spark, _mk(spark, 2), tbl, mode="append")
+    TX.tx_write(spark, _mk(spark, 3, "eu"), tbl, mode="append")
+    got = _drain(spark, tbl, out, chk)
+    assert got == [(1, "v1", "us"), (2, "v2", "us"), (3, "v3", "eu")]
+    # idempotent: no new commits -> no new rows (no duplicate replay)
+    assert _drain(spark, tbl, out, chk) == got
+
+
+def test_starting_version_and_latest(spark, tmp_path):
+    """startingVersion=N skips the snapshot and replays commit adds from
+    version N (the v1 creation commit truncates an EMPTY table — pure
+    append, replayable); 'latest' sees only post-start commits."""
+    tbl = str(tmp_path / "t")
+    TX.tx_write(spark, _mk(spark, 1), tbl)  # v1
+    TX.tx_write(spark, _mk(spark, 2), tbl, mode="append")  # v2
+    TX.tx_write(spark, _mk(spark, 3), tbl, mode="append")  # v3
+
+    assert _drain(
+        spark, tbl, str(tmp_path / "o1"), str(tmp_path / "c1"),
+        starting_version=1,
+    ) == [(1, "v1", "us"), (2, "v2", "us"), (3, "v3", "us")]
+    assert _drain(
+        spark, tbl, str(tmp_path / "o2"), str(tmp_path / "c2"),
+        starting_version=3,
+    ) == [(3, "v3", "us")]
+
+    # 'latest': drain now is empty; only commits made after stream setup
+    got = _drain(
+        spark, tbl, str(tmp_path / "o3"), str(tmp_path / "c3"),
+        starting_version="latest",
+    )
+    assert got == []
+    TX.tx_write(spark, _mk(spark, 4), tbl, mode="append")
+    got = _drain(
+        spark, tbl, str(tmp_path / "o3"), str(tmp_path / "c3"),
+        starting_version="latest",
+    )
+    assert got == [(4, "v4", "us")]
+
+
+def test_change_commit_fails_unless_skipped(spark, tmp_path):
+    """A tailed DELETE/overwrite commit fails the stream (append-only
+    contract, Delta's error); skipChangeCommits=true skips the commit
+    entirely and the stream continues past it."""
+    tbl = str(tmp_path / "t")
+    TX.tx_write(spark, _mk(spark, 1), tbl)
+    TX.tx_write(spark, _mk(spark, 2), tbl, mode="append")
+    TX.tx_delete(spark, tbl, where={"id": (2, 2)})  # v3: change commit
+    TX.tx_write(spark, _mk(spark, 3), tbl, mode="append")  # v4
+
+    with pytest.raises(Exception, match="append-only|skipChangeCommits"):
+        _drain(
+            spark, tbl, str(tmp_path / "o1"), str(tmp_path / "c1"),
+            starting_version=1,
+        )
+    # skipping: replayed adds include the later-deleted row (the delete is
+    # simply not represented), plus commits after the change commit
+    got = _drain(
+        spark, tbl, str(tmp_path / "o2"), str(tmp_path / "c2"),
+        starting_version=1, skip_change_commits=True,
+    )
+    assert got == [(1, "v1", "us"), (2, "v2", "us"), (3, "v3", "us")]
+
+
+def test_partition_values_roundtrip(spark, tmp_path):
+    """Typed + hive-escaped + null partition values reconstruct exactly
+    (int partition cast back from the path, %XX unescaped, NULL from
+    __HIVE_DEFAULT_PARTITION__)."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, "a:b"), (2, 20, None), (3, 10, "plain")],
+        "id long, bucket int, tag string",
+    )
+    TX.tx_write(spark, df, tbl, partition_by=["bucket", "tag"])
+    q = (
+        stream_txlog(spark, tbl)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert dict(out.dtypes)["bucket"] == "int"
+    assert sorted((r.id, r.bucket, r.tag) for r in out.collect()) == [
+        (1, 10, "a:b"),
+        (2, 20, None),
+        (3, 10, "plain"),
+    ]
+
+
+def test_schema_evolution_null_pads_old_files(spark, tmp_path):
+    """After the table schema gains a column, snapshot reads null-pad the
+    pre-evolution files (same contract as tx_read's unionByName)."""
+    tbl = str(tmp_path / "t")
+    TX.tx_write(spark, spark.createDataFrame([(1, "a")], "id long, s string"), tbl)
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double"),
+        tbl,
+        mode="append",
+    )
+    q = (
+        stream_txlog(spark, tbl)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.id, r.s, r.score)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", 9.5)]
+
+
+def test_admission_control_caps_steady_state(spark, tmp_path):
+    """maxFilesPerTrigger, at the reader level with the observed fresh-query
+    call order (latestOffset BEFORE initialOffset): the first planned batch
+    is uncapped (unknown base — capping could regress past a restart's
+    checkpoint), every later batch admits <= cap files on commit
+    boundaries, and offsets never move backward."""
+    tbl = str(tmp_path / "t")
+    TX.tx_write(spark, _mk(spark, 1), tbl)
+    reader = TxLogStreamReader(
+        TX.read_manifest(spark, tbl, 1)["schema"],
+        {"path": tbl, "maxfilespertrigger": "2"},
+    )
+    # fresh-query sequence
+    first = reader.latestOffset()
+    start = reader.initialOffset()
+    assert (start["version"], first["version"]) == (-1, 1)
+    parts = reader.partitions(start, first)
+    assert sum(len(p.rel_paths) for p in parts) == 1
+
+    # 5 single-file commits accumulate; steady state caps at 2 per batch
+    for i in range(2, 7):
+        TX.tx_write(spark, _mk(spark, i), tbl, mode="append")
+    sizes, last = [], first
+    for _ in range(5):
+        nxt = reader.latestOffset()
+        assert nxt["version"] >= last["version"]  # monotonic
+        if nxt["version"] == last["version"]:
+            break
+        parts = reader.partitions(last, nxt)
+        sizes.append(sum(len(p.rel_paths) for p in parts))
+        last = nxt
+    assert sizes == [2, 2, 1]  # 5 pending files -> 2+2+1, never splitting a commit
+
+
+def test_integration_steady_state_capped(spark, tmp_path):
+    """End-to-end continuous trigger: after the initial snapshot batch,
+    appended commits arrive in order with every steady-state batch within
+    the cap."""
+    tbl = str(tmp_path / "t")
+    TX.tx_write(spark, _mk(spark, 1), tbl)
+    batches: list[list[int]] = []
+
+    def sink(bdf, _bid):
+        rows = sorted(r.id for r in bdf.collect())
+        if rows:
+            batches.append(rows)
+
+    q = (
+        stream_txlog(spark, tbl, max_files_per_trigger=2)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not batches:
+            time.sleep(0.5)
+        for i in range(2, 7):
+            TX.tx_write(spark, _mk(spark, i), tbl, mode="append")
+        deadline = time.time() + 120
+        while time.time() < deadline and sum(map(len, batches)) < 6:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(x for b in batches for x in b) == list(range(1, 7))
+    assert all(len(b) <= 2 for b in batches[1:])  # steady state capped
+
+
+def test_guardrails(spark, tmp_path):
+    """Batch reads are refused (tx_read is the fast path); non-local paths
+    are refused with the fsspec-shim pointer; empty tables have no schema."""
+    tbl = str(tmp_path / "t")
+    TX.tx_write(spark, _mk(spark, 1), tbl)
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    with pytest.raises(Exception, match="tx_read"):
+        spark.read.format("txlog").load(tbl).collect()
+    # surfaces wrapped as AnalysisException (raised during schema resolution
+    # inside the data source runner), message preserved
+    with pytest.raises(Exception, match="local paths"):
+        stream_txlog(spark, "s3://bucket/table")
+    with pytest.raises(Exception, match="no committed txlog version"):
+        stream_txlog(spark, str(tmp_path / "nope")).schema
