@@ -78,6 +78,117 @@ class TxConflictError(RuntimeError):
 
 
 # --------------------------------------------------------------------------
+# LogStore: pluggable transaction-LOG storage — the txlog twin of Delta's
+# public LogStore plugin interface (delta-io LogStore API). Every byte of
+# commit/checkpoint JSON funnels through six primitives, so an object-store
+# deployment swaps in a store whose ``put_if_absent`` uses the store's
+# conditional write (S3 ``If-None-Match: *``, GCS ``if-generation-match=0``,
+# ABFS ETag preconditions) without touching the commit protocol. DATA files
+# are deliberately NOT routed through it — they are parquet written by Spark
+# executors; only the log (driver-side, tiny JSON) needs the stronger
+# primitive. When no store is registered, log I/O uses the local-posix /
+# Hadoop-FS paths below.
+
+
+class LogStore:
+    """Six primitives the commit protocol needs from the ``_txlog`` dir.
+
+    ``put_if_absent`` MUST be atomic (the version claim); the remaining
+    five only need read-after-write consistency, which every current
+    object store provides. Paths are the full log-file paths txlog
+    constructs (``<table>/_txlog/v….json`` etc.)."""
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def read_text(self, path: str) -> str:
+        raise NotImplementedError
+
+    def write_text(self, path: str, text: str) -> None:
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    def list_names(self, log_dir: str) -> list[str]:
+        """Direct child names of ``log_dir`` ([] if it doesn't exist)."""
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, text: str) -> bool:
+        """Atomically create ``path`` with ``text`` iff absent; False if it
+        already exists (the conditional put backing the version claim)."""
+        raise NotImplementedError
+
+
+class InMemoryCASLogStore(LogStore):
+    """Reference LogStore over a process-local dict with a lock-guarded
+    compare-and-set ``put_if_absent`` — models an object store's
+    conditional put (claim atomicity comes from the CAS itself, not from
+    the posix O_EXCL the default path uses). Used by the contention tests;
+    also the template a real S3/GCS store would follow."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._files: dict[str, str] = {}
+        self._lock = threading.Lock()
+
+    def exists(self, path: str) -> bool:
+        return path in self._files
+
+    def read_text(self, path: str) -> str:
+        try:
+            return self._files[path]
+        except KeyError:
+            raise FileNotFoundError(path) from None
+
+    def write_text(self, path: str, text: str) -> None:
+        self._files[path] = text
+
+    def delete(self, path: str) -> None:
+        self._files.pop(path, None)
+
+    def list_names(self, log_dir: str) -> list[str]:
+        pre = log_dir.rstrip("/") + "/"
+        return [
+            p[len(pre):]
+            for p in list(self._files)
+            if p.startswith(pre) and "/" not in p[len(pre):]
+        ]
+
+    def put_if_absent(self, path: str, text: str) -> bool:
+        with self._lock:
+            if path in self._files:
+                return False
+            self._files[path] = text
+            return True
+
+
+_LOG_STORE: LogStore | None = None
+
+
+def set_log_store(store: LogStore | None) -> None:
+    """Register (or with None, clear) the process-wide LogStore routing all
+    transaction-log I/O. Like Delta's ``spark.delta.logStore.class``, this
+    is deployment configuration: set it once before touching tables."""
+    global _LOG_STORE
+    _LOG_STORE = store
+
+
+def get_log_store() -> LogStore | None:
+    return _LOG_STORE
+
+
+def _store_for(path: str) -> LogStore | None:
+    """The registered store iff ``path`` lies in a ``_txlog`` log dir —
+    data-file paths keep the filesystem route."""
+    if _LOG_STORE is None:
+        return None
+    p = path.rstrip("/")
+    return _LOG_STORE if (f"/{_LOG}/" in p or p.endswith(f"/{_LOG}")) else None
+
+
+# --------------------------------------------------------------------------
 # Hadoop FS helpers (FS-agnostic: local in tests, object store on cluster).
 
 
@@ -96,6 +207,9 @@ def _fs(spark: SparkSession, path: str):
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
+    st = _store_for(path)
+    if st is not None:
+        return st.exists(path)
     local = _as_local_dir(path)
     if local is not None:
         return os.path.exists(local)
@@ -104,6 +218,9 @@ def _exists(spark: SparkSession, path: str) -> bool:
 
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    st = _store_for(path)
+    if st is not None:
+        return st.write_text(path, text)
     local = _as_local_dir(path)
     if local is not None:
         os.makedirs(os.path.dirname(local), exist_ok=True)
@@ -119,6 +236,9 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
 
 
 def _read_text(spark: SparkSession, path: str) -> str:
+    st = _store_for(path)
+    if st is not None:
+        return st.read_text(path)
     local = _as_local_dir(path)
     if local is not None:
         with open(local, encoding="utf-8") as f:
@@ -143,6 +263,9 @@ def _rename(spark: SparkSession, src: str, dst: str) -> bool:
 
 
 def _delete(spark: SparkSession, path: str) -> None:
+    st = _store_for(path)
+    if st is not None:
+        return st.delete(path)
     fs, p, _ = _fs(spark, path)
     fs.delete(p, True)
 
@@ -226,8 +349,10 @@ def _log_listing(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
     into O(versions²) overhead. Object-store paths use the Hadoop listing
     (one RPC there; the py4j cost is a local-mode artifact)."""
     log = f"{path.rstrip('/')}/{_LOG}"
-    local = _as_local_dir(log)
-    if local is not None:
+    st = _store_for(log)
+    if st is not None:
+        names = st.list_names(log)
+    elif (local := _as_local_dir(log)) is not None:
         try:
             names = os.listdir(local)
         except (FileNotFoundError, NotADirectoryError):
@@ -236,7 +361,7 @@ def _log_listing(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
         if not _exists(spark, log):
             return [], []
         fs, p, _ = _fs(spark, log)
-        names = [st.getPath().getName() for st in fs.listStatus(p)]
+        names = [fstat.getPath().getName() for fstat in fs.listStatus(p)]
     versions, checkpoints = [], []
     for name in names:
         if name.endswith(".json") and name[:1] in ("v", "c"):
@@ -417,9 +542,14 @@ def tx_history(spark: SparkSession, path: str) -> list[dict]:
 
 def _create_no_overwrite(spark: SparkSession, path: str, text: str) -> bool:
     """Write ``text`` to ``path`` failing if it exists — the putIfAbsent
-    claim. Kernel-atomic O_CREAT|O_EXCL on posix paths; namenode-atomic
-    on HDFS; Hadoop's local-FS fallback narrows to check-within-create
-    (which the commit protocol's read-back verify covers either way)."""
+    claim. A registered :class:`LogStore` supplies the store's conditional
+    put; otherwise kernel-atomic O_CREAT|O_EXCL on posix paths,
+    namenode-atomic on HDFS; Hadoop's local-FS fallback narrows to
+    check-within-create (which the commit protocol's read-back verify
+    covers either way)."""
+    st = _store_for(path)
+    if st is not None:
+        return st.put_if_absent(path, text)
     local = _as_local_dir(path)
     if local is not None:
         os.makedirs(os.path.dirname(local), exist_ok=True)
@@ -446,10 +576,11 @@ def _create_no_overwrite(spark: SparkSession, path: str, text: str) -> bool:
 
 def _commit(spark: SparkSession, path: str, build) -> int:
     """Optimistic commit: claim the next version number with a
-    create-no-overwrite (putIfAbsent — namenode-atomic on HDFS; swap in the
-    store's conditional put on S3/GCS), then VERIFY by read-back that our
-    token is the one that landed — belt-and-braces for filesystems where
-    the exclusive create is only check-within-create.
+    create-no-overwrite (putIfAbsent — namenode-atomic on HDFS; on S3/GCS
+    register a :class:`LogStore` whose ``put_if_absent`` is the store's
+    conditional put, see :func:`set_log_store`), then VERIFY by read-back
+    that our token is the one that landed — belt-and-braces for
+    filesystems where the exclusive create is only check-within-create.
 
     ``build(cur_version_or_None) -> delta record`` (keys ``op``,
     ``schema``, ``add``, ``remove``, ``truncate``, plus any op metadata)
