@@ -28,6 +28,8 @@ _SAMPLE_FIRST = [
     "order_timeline",
     # new in r5 (no driver row yet)
     "emb_rerank_topk",
+    "importance_sample",
+    "corpus_resample",
     # judge-named rotation targets
     "conditional_join",
     "fulfillment_ratio",

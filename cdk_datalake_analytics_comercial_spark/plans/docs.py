@@ -1279,6 +1279,112 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
 )
 
 # --------------------------------------------------------------------------
+# Importance-weighted sampling: keep-probability computed from CONTENT
+# (longer documents kept proportionally more often, capped at 1) instead of
+# a per-group rate table — the "weight by quality/length" downsampling step
+# of a training mixer. Deterministic Bernoulli via the shared 60-bit hash:
+# u = h/2^60 < min(1, n_tokens/2000). Every op here (long→double cast,
+# divide, compare) is IEEE-correctly-rounded, so Spark and DuckDB agree
+# bit-for-bit — no pow/log (whose last-ulp behavior is libm-specific) near
+# the selection boundary. Single scan, shuffle-free, reproducible from the
+# doc_id alone at any corpus size.
+
+_TWO_POW_60 = float(1 << 60)
+
+# DuckDB twin of operators.sketches.portable_hash60 over doc_id
+_SQL_H60_DOCID = (
+    "list_sum(list_transform(range(1, 16), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)"
+    " << (4 * (15 - i))))"
+)
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import portable_hash60
+
+    d = t(spark, sf_dir, "documents")
+    n_tok = text.token_count(F.col("text")).cast("bigint")
+    base = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    p = F.least(F.lit(1.0), F.col("n_tokens").cast("double") / F.lit(2000.0))
+    u = portable_hash60(F.col("doc_id")).cast("double") / F.lit(_TWO_POW_60)
+    return (
+        base.withColumn("keep_p", F.round(p, 6))
+        .filter(u < p)
+        .select("doc_id", "source", "n_tokens", "keep_p")
+    )
+
+
+_ORACLE_IMPORTANCE_SAMPLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_TOKS}) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       ROUND(LEAST(1.0, CAST(n_tokens AS DOUBLE) / 2000.0), 6) AS keep_p
+FROM base
+WHERE CAST({_SQL_H60_DOCID} AS DOUBLE) / {_TWO_POW_60!r}
+      < LEAST(1.0, CAST(n_tokens AS DOUBLE) / 2000.0)
+"""
+
+# --------------------------------------------------------------------------
+# Epoch resampling: deterministic UP-sampling with fractional repeat
+# factors — how training mixtures realize "books ×3.25 epochs, crawl ×0.5":
+# every doc yields floor(w) copies plus one more for a hash-selected
+# frac(w) slice of its source. Integer/string comparisons only (the
+# fractional coin is the same md5-prefix threshold idiom as corpus_mix),
+# zero float ops. The explode is sequence(1, n) — row count scales with
+# the OUTPUT (sum of weights), data never shuffles.
+
+# source → (whole epochs, fractional-coin hex threshold: frac·0x10000)
+_RESAMPLE = {"src1": (3, "4000"), "src2": (0, "8000"), "src3": (2, "0000")}
+_RESAMPLE_DEFAULT = (1, "0000")
+
+
+def q_corpus_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    base = F.lit(_RESAMPLE_DEFAULT[0])
+    thr = F.lit(_RESAMPLE_DEFAULT[1])
+    for src, (b, frac) in _RESAMPLE.items():
+        base = F.when(F.col("source") == src, F.lit(b)).otherwise(base)
+        thr = F.when(F.col("source") == src, F.lit(frac)).otherwise(thr)
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    n = (base + (key < thr).cast("int")).alias("n_copies")
+    return (
+        d.select(F.col("doc_id"), F.col("source"), n)
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_copies").cast("int").alias("n_copies"),
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_copies"))
+            ).alias("epoch"),
+        )
+        .withColumn("epoch", F.col("epoch").cast("int"))
+    )
+
+
+_ORACLE_CORPUS_RESAMPLE = """
+WITH meta AS (
+  SELECT doc_id, source,
+         (CASE source {bases} ELSE {db} END
+          + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      < (CASE source {fracs} ELSE '{df}' END)
+                 THEN 1 ELSE 0 END) AS n_copies
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_copies AS INT) AS n_copies, CAST(e AS INT) AS epoch
+FROM meta, unnest(range(1, n_copies + 1)) AS u(e)
+WHERE n_copies >= 1
+""".format(
+    bases=" ".join(f"WHEN '{s}' THEN {b}" for s, (b, _) in _RESAMPLE.items()),
+    db=_RESAMPLE_DEFAULT[0],
+    fracs=" ".join(f"WHEN '{s}' THEN '{h}'" for s, (_, h) in _RESAMPLE.items()),
+    df=_RESAMPLE_DEFAULT[1],
+)
+
+# --------------------------------------------------------------------------
 # Corpus filtering: C4/Gopher-style survivor selection composing the quality
 # signals — per-row Column expressions only, so the filter is a single scan
 # with the predicate evaluated inside codegen (no shuffle at any scale).
@@ -1818,6 +1924,8 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "corpus_filter": q_corpus_filter,
     "corpus_mix": q_corpus_mix,
+    "importance_sample": q_importance_sample,
+    "corpus_resample": q_corpus_resample,
     "doc_length_histogram": q_doc_length_histogram,
     "decontam_overlap": q_decontam_overlap,
     "vocab_topk": q_vocab_topk,
@@ -1861,6 +1969,8 @@ ORACLES = {
     "doc_chunks": _ORACLE_DOC_CHUNKS,
     "corpus_filter": _ORACLE_CORPUS_FILTER,
     "corpus_mix": _ORACLE_CORPUS_MIX,
+    "importance_sample": _ORACLE_IMPORTANCE_SAMPLE,
+    "corpus_resample": _ORACLE_CORPUS_RESAMPLE,
     "doc_length_histogram": _ORACLE_DOC_LENGTH_HISTOGRAM,
     "decontam_overlap": _ORACLE_DECONTAM_OVERLAP,
     "vocab_topk": _ORACLE_VOCAB_TOPK,
