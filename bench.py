@@ -42,6 +42,8 @@ HEADLINE = [
     "doc_pack",
     "doc_chunks",
     "corpus_filter",
+    "importance_sample",
+    "corpus_resample",
     "doc_length_histogram",
     "decontam_overlap",
     "stratified_fixed_k",

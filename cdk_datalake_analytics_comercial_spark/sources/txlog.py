@@ -69,6 +69,15 @@ class TxCheckViolation(RuntimeError):
     Nothing is committed; the table is unchanged."""
 
 
+class TxSchemaMismatch(RuntimeError):
+    """A write's schema drifts from the table schema — the txlog twin of
+    Delta's schema enforcement (``AnalysisException: A schema mismatch
+    detected``). New columns need an explicit ``schema_evolution=True``
+    (Delta's ``mergeSchema``); a type change on an existing column is
+    always refused (so is Delta's default — rewrite the table instead).
+    Nothing is committed; the table is unchanged."""
+
+
 class TxConflictError(RuntimeError):
     """A concurrent commit invalidated this transaction's read set — the
     txlog twin of Delta's ``ConcurrentAppendException`` /
@@ -916,6 +925,45 @@ def _stat_bounds(entry, user_lo, user_hi):
     return fmin, fmax, lo, hi
 
 
+def _merge_table_schema(
+    old_json: str, new_json: str, allow_new: bool, op: str
+) -> str:
+    """Schema enforcement at the commit boundary (Delta's write-time schema
+    check): a type change on an existing column always raises; NEW columns
+    raise unless ``allow_new`` (mergeSchema), in which case they append to
+    the table schema. A write may OMIT existing columns freely — every
+    txlog column is nullable and the read path null-pads old files
+    (unionByName semantics), matching Delta's nullable-subset rule. The
+    returned schema is the MERGE (old field order + genuinely new fields),
+    never the writer's frame schema verbatim — a narrow append must not
+    narrow the TABLE schema out from under streaming readers and
+    empty-snapshot reads. Only field types are compared (nullable/metadata
+    differences are not drift)."""
+    old, new = json.loads(old_json), json.loads(new_json)
+    old_by = {f["name"]: f for f in old["fields"]}
+    tkey = lambda f: json.dumps(f["type"], sort_keys=True)  # noqa: E731
+    changed = [
+        f["name"]
+        for f in new["fields"]
+        if f["name"] in old_by and tkey(f) != tkey(old_by[f["name"]])
+    ]
+    if changed:
+        raise TxSchemaMismatch(
+            f"{op}: column type change for {changed} — txlog never evolves "
+            "types in place (rewrite via overwrite, which replaces the schema)"
+        )
+    added = [f for f in new["fields"] if f["name"] not in old_by]
+    if added and not allow_new:
+        raise TxSchemaMismatch(
+            f"{op}: new column(s) {[f['name'] for f in added]} not in the "
+            "table schema; pass schema_evolution=True to add them "
+            "(Delta mergeSchema)"
+        )
+    if not added:
+        return old_json
+    return json.dumps({**old, "fields": old["fields"] + added})
+
+
 def tx_write(
     spark: SparkSession,
     df: DataFrame,
@@ -925,6 +973,7 @@ def tx_write(
     stats_for: list[str] | None = None,
     bloom_for: list[str] | None = None,
     checks: dict[str, str] | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """Commit a new version. ``mode``:
 
@@ -945,6 +994,15 @@ def tx_write(
     violation counts and commits nothing (Delta's table CHECK constraints;
     a row where the expr is NULL counts as violating, like SQL CHECK with
     Delta's null-rejecting enforcement).
+
+    Schema enforcement (Delta's write-time check): ``append`` and
+    ``overwrite_dynamic`` validate the frame against the table schema
+    inside the commit attempt — type changes raise
+    :class:`TxSchemaMismatch`, new columns require
+    ``schema_evolution=True`` (mergeSchema) and extend the table schema,
+    omitted columns are fine (nullable, null-padded on read). A full
+    ``overwrite`` replaces the schema outright (Delta's
+    ``overwriteSchema`` is implied by the truncate semantics).
     """
     if mode not in ("overwrite", "append", "overwrite_dynamic"):
         raise ValueError(mode)
@@ -965,16 +1023,28 @@ def tx_write(
         # NO prior state at all (a blind-append delta, Delta's cheap path);
         # a dynamic overwrite removes exactly the touched partitions' files.
         remove: list[str] = []
-        if cur is not None and mode == "overwrite_dynamic":
-            old = read_manifest(spark, path, cur)["files"]
-            remove = [
-                f["path"]
-                for f in old
-                if tuple(sorted(f["partition"].items())) in touched
-            ]
+        schema_out = schema_json
+        if cur is not None and mode != "overwrite":
+            # appends/dynamic overwrites resolve the current snapshot per
+            # attempt: the schema check must run against the schema that is
+            # current AT COMMIT TIME (a concurrent winner may have evolved
+            # it) — Delta pays the same snapshot resolution on every
+            # commit; the checkpointed log bounds it to <=11 log reads
+            snap = read_manifest(spark, path, cur)
+            if snap["schema"]:
+                schema_out = _merge_table_schema(
+                    snap["schema"], schema_json, schema_evolution,
+                    f"tx_write({mode})",
+                )
+            if mode == "overwrite_dynamic":
+                remove = [
+                    f["path"]
+                    for f in snap["files"]
+                    if tuple(sorted(f["partition"].items())) in touched
+                ]
         return {
             "op": mode,
-            "schema": schema_json,
+            "schema": schema_out,
             "add": new_files,
             "remove": remove,
             "truncate": mode == "overwrite",

@@ -976,10 +976,12 @@ def test_check_constraints_reject_bad_batch_atomically(spark, tmp_path):
 
 
 def test_append_with_evolved_schema_unions_on_read(spark, tmp_path):
-    """Appending a batch that carries an extra column: the snapshot read
-    unions by name with null padding (the manifest records the LATEST
-    write's schema; per-batch files keep their own) — the reference's
-    schema.autoMerge behavior for plain appends."""
+    """Appending a batch that carries an extra column under
+    schema_evolution=True: the snapshot read unions by name with null
+    padding (the manifest records the MERGED schema; per-batch files keep
+    their own) — the reference's Delta ``schema.autoMerge`` behavior,
+    which it opts into globally (`common_jobs_functions.py:116`); txlog
+    makes the same opt-in per write."""
     p = str(tmp_path / "evolve")
     TX.tx_write(
         spark, spark.createDataFrame([(1, "a")], "k long, v string"), p
@@ -989,6 +991,7 @@ def test_append_with_evolved_schema_unions_on_read(spark, tmp_path):
         spark.createDataFrame([(2, "b", 9.5)], "k long, v string, extra double"),
         p,
         mode="append",
+        schema_evolution=True,
     )
     got = {r["k"]: (r["v"], r["extra"]) for r in TX.tx_read(spark, p).collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
@@ -1263,3 +1266,54 @@ def test_multipart_checkpoints(spark, tmp_path, monkeypatch):
         or "unresolvable" in e
     ]
     assert not bad, bad
+
+
+def test_schema_enforcement_on_append(spark, tmp_path):
+    """Delta's write-time schema check at the commit boundary: a type
+    change always raises, a new column needs schema_evolution=True (and
+    then EXTENDS the table schema), an omitted nullable column is fine —
+    and a narrow append never narrows the TABLE schema (the regression
+    that silently dropped columns from streaming readers / empty reads)."""
+    import json as _json
+
+    import pytest
+
+    p = str(tmp_path / "t")
+    TX.tx_write(spark, spark.createDataFrame([(1, "a")], "id long, s string"), p)
+
+    # type change: always refused
+    with pytest.raises(TX.TxSchemaMismatch, match="type change"):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([("x", "b")], "id string, s string"),
+            p,
+            mode="append",
+        )
+    # new column: refused without the flag, schema extends with it
+    wide = spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double")
+    with pytest.raises(TX.TxSchemaMismatch, match="schema_evolution=True"):
+        TX.tx_write(spark, wide, p, mode="append")
+    TX.tx_write(spark, wide, p, mode="append", schema_evolution=True)
+    fields = [
+        f["name"]
+        for f in _json.loads(TX.read_manifest(spark, p, 2)["schema"])["fields"]
+    ]
+    assert fields == ["id", "s", "score"]
+
+    # narrow append: allowed, and the table schema STAYS wide
+    TX.tx_write(spark, spark.createDataFrame([(3,)], "id long"), p, mode="append")
+    fields = [
+        f["name"]
+        for f in _json.loads(TX.read_manifest(spark, p, 3)["schema"])["fields"]
+    ]
+    assert fields == ["id", "s", "score"]
+    got = {r.id: (r.s, r.score) for r in TX.tx_read(spark, p).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5), 3: (None, None)}
+
+    # full overwrite replaces the schema outright (overwriteSchema implied)
+    TX.tx_write(spark, spark.createDataFrame([(9, 1)], "id long, flag int"), p)
+    fields = [
+        f["name"]
+        for f in _json.loads(TX.read_manifest(spark, p, 4)["schema"])["fields"]
+    ]
+    assert fields == ["id", "flag"]

@@ -175,6 +175,7 @@ def test_schema_evolution_null_pads_old_files(spark, tmp_path):
         spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double"),
         tbl,
         mode="append",
+        schema_evolution=True,
     )
     q = (
         stream_txlog(spark, tbl)
@@ -279,3 +280,56 @@ def test_guardrails(spark, tmp_path):
         stream_txlog(spark, "s3://bucket/table")
     with pytest.raises(Exception, match="no committed txlog version"):
         stream_txlog(spark, str(tmp_path / "nope")).schema
+
+
+def test_cdc_fanout_rollup(spark, tmp_path):
+    """The fanout pattern the source exists for: an upstream job appends to
+    table A; a downstream stream tails A and maintains a per-region rollup
+    table B (foreachBatch: aggregate the batch delta, fold into B). Across
+    multiple drains from one checkpoint — i.e. restarts — B equals a full
+    recompute of A: exactly-once delivery means no contribution is ever
+    double-counted."""
+    from pyspark.sql import functions as F
+
+    a, b, chk = (str(tmp_path / d) for d in ("a", "b", "chk"))
+    TX.tx_write(spark, _mk(spark, 1, "us"), a)
+    TX.tx_write(spark, _mk(spark, 2, "eu"), a, mode="append")
+
+    def fold(bdf, _bid):
+        delta = bdf.groupBy("region").agg(F.count(F.lit(1)).alias("n"))
+        if TX.is_txlog_table(spark, b):
+            delta = (
+                TX.tx_read(spark, b)
+                .unionByName(delta)
+                .groupBy("region")
+                .agg(F.sum("n").alias("n"))
+            )
+        TX.tx_write(spark, delta, b)  # one atomic rollup version per batch
+
+    def drain_into_b():
+        q = (
+            stream_txlog(spark, a)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def recompute():
+        return sorted(
+            (r.region, r.n)
+            for r in TX.tx_read(spark, a)
+            .groupBy("region")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    drain_into_b()
+    assert sorted((r.region, r.n) for r in TX.tx_read(spark, b).collect()) == recompute()
+
+    for i in range(3, 6):
+        TX.tx_write(spark, _mk(spark, i, "us" if i % 2 else "ap"), a, mode="append")
+    drain_into_b()
+    drain_into_b()  # restart with nothing new: must not double-count
+    assert sorted((r.region, r.n) for r in TX.tx_read(spark, b).collect()) == recompute()
