@@ -72,7 +72,19 @@ def write_table(
             tx_mode = "append"
         else:
             tx_mode = "overwrite_dynamic" if partition_by else "overwrite"
-        tx_write(spark, df, path, partition_by, mode=tx_mode)
+        # the reference opts into Delta schema.autoMerge GLOBALLY for its
+        # jobs (`common_jobs_functions.py:116`), so the job layer defaults
+        # to evolution-on; flip the conf to get write-time enforcement
+        # (direct tx_write callers enforce by default)
+        auto = (
+            str(
+                spark.conf.get("spark.datalake.schemaAutoMerge", "true")
+            ).lower()
+            == "true"
+        )
+        tx_write(
+            spark, df, path, partition_by, mode=tx_mode, schema_evolution=auto
+        )
         return
     from .metrics import observe_write
 
