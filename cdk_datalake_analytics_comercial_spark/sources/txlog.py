@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 
 _LOG = "_txlog"
 _DATA = "data"
+_DV = "_dv"  # deletion-vector sidecar batches (parquet: rel, ri)
 
 
 class TxCheckViolation(RuntimeError):
@@ -1184,30 +1185,13 @@ def tx_read(
         if where_equals
         else None
     )
-    by_batch: dict[str, list[str]] = {}
-    root = path.rstrip("/")
-    for f in manifest["files"]:
-        if where and not _file_overlaps(f, where):
-            continue
-        if bloom_probes and _bloom_rejects(f, bloom_probes):
-            continue
-        full, batch_dir = _resolve_file(root, f["path"])
-        by_batch.setdefault(batch_dir, []).append(full)
-    out = None
-    for batch_dir, files in sorted(by_batch.items()):
-        part = (
-            spark.read.option("basePath", batch_dir)
-            .parquet(*sorted(files))
-        )
-        out = part if out is None else out.unionByName(
-            part, allowMissingColumns=True
-        )
-    if out is None:  # empty snapshot (or every file skipped) — from schema
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(manifest["schema"]))
-        )
+    kept = [
+        f
+        for f in manifest["files"]
+        if not (where and not _file_overlaps(f, where))
+        and not (bloom_probes and _bloom_rejects(f, bloom_probes))
+    ]
+    out = _read_files(spark, path, kept, manifest["schema"])
     if where:
         for col, (lo, hi) in where.items():
             if lo is not None:
@@ -1503,9 +1487,13 @@ def tx_vacuum(
         f["path"]: f for f in read_manifest(spark, path, keep[0])["files"]
     }
     referenced = set(state)
+    referenced_dv = {r for f in state.values() for r in (f.get("dv") or ())}
     for v in keep[1:]:
         state = _apply_commit(state, read_commit(spark, path, v))
         referenced.update(state)
+        referenced_dv.update(
+            r for f in state.values() for r in (f.get("dv") or ())
+        )
     cutoff_millis = (time.time() - retain_hours * 3600.0) * 1000.0
     root = path.rstrip("/")
     data_root = f"{root}/{_DATA}"
@@ -1530,6 +1518,32 @@ def tx_vacuum(
         for full, rel in to_delete:
             _delete(spark, full)
             removed.append(rel)
+    # deletion-vector sidecars: a DV batch dir stays while ANY kept version
+    # references it; unreferenced ones past the retention cutoff are reaped
+    # whole (same young-file guard as data: an in-flight DV delete's
+    # sidecar lands before its commit record)
+    dv_root = f"{root}/{_DV}"
+    if _exists(spark, dv_root):
+        local = _as_local_dir(dv_root)
+        if local is not None:
+            children = [
+                (e.name, e.stat().st_mtime * 1000.0)
+                for e in os.scandir(local)
+                if e.is_dir()
+            ]
+        else:
+            fs, p, _ = _fs(spark, dv_root)
+            children = [
+                (st.getPath().getName(), st.getModificationTime())
+                for st in fs.listStatus(p)
+                if st.isDirectory()
+            ]
+        for name, mtime in children:
+            ref = f"{_DV}/{name}"
+            if ref in referenced_dv or mtime > cutoff_millis:
+                continue
+            _delete(spark, f"{dv_root}/{name}")
+            removed.append(ref)
     for v in drop:
         _delete(spark, _version_path(path, v))
     for c in checkpoints:
@@ -1742,16 +1756,45 @@ def _split_files_by_range(
     return hit, miss
 
 
+def _dv_rel_expr(fp_col):
+    """The manifest-relative path (``data/<batch-hex>/…``) of a row's
+    source file, from the ``_metadata.file_path`` URI — scheme/prefix
+    agnostic (greedy ``.*/`` pins the match to the LAST batch-dir-shaped
+    segment, so a table root that itself contains ``data/`` never
+    confuses it; batch dirs are uuid4 hex, 32 chars)."""
+    return F.regexp_extract(fp_col, "^.*/(data/[0-9a-f]{32}/.+)$", 1)
+
+
 def _read_files(spark: SparkSession, path: str, files: list[dict], schema_json: str):
+    """The LIVE rows of the given manifest entries: per-batch basePath
+    reads unioned by name, with deletion-vector entries anti-joined
+    against their DV sidecars on (file, row_index) — every internal
+    consumer (snapshot read, DML rewrite, MERGE, compaction) sees
+    DV-deleted rows as gone, so a rewrite can never resurrect them."""
     root = path.rstrip("/")
+    plain = [f for f in files if not f.get("dv")]
+    dved = [f for f in files if f.get("dv")]
     by_batch: dict[str, list[str]] = {}
-    for f in files:
+    for f in plain:
         full, bd = _resolve_file(root, f["path"])
         by_batch.setdefault(bd, []).append(full)
     out = None
     for bd, fl in sorted(by_batch.items()):
         part = spark.read.option("basePath", bd).parquet(*sorted(fl))
-        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
+    if dved:
+        live = _read_files_with_position(spark, path, dved).drop(
+            "_txlog_fp", "_txlog_ri"
+        )
+        out = (
+            live
+            if out is None
+            else out.unionByName(live, allowMissingColumns=True)
+        )
     if out is None:
         from pyspark.sql.types import StructType
 
@@ -1819,17 +1862,7 @@ def _dml_rewrite(
     if not hit:
         return cur  # nothing can match — no new version needed
 
-    cond = None
-    for col, (lo, hi) in where.items():
-        c = F.lit(True)
-        if lo is not None:
-            c = c & (F.col(col) >= F.lit(lo))
-        if hi is not None:
-            c = c & (F.col(col) <= F.lit(hi))
-        cond = c if cond is None else (cond & c)
-    for col, val in where_equals.items():
-        c = F.col(col) == F.lit(val)
-        cond = c if cond is None else (cond & c)
+    cond = _dml_predicate(where, where_equals)
 
     affected = _read_files(spark, path, hit, manifest["schema"])
     rewritten = transform(affected, cond)
@@ -1874,6 +1907,22 @@ def _dml_rewrite(
         raise
 
 
+def _dml_predicate(where: dict, where_equals: dict):
+    """The row-level Column predicate of a DML where/where_equals spec."""
+    cond = None
+    for col, (lo, hi) in where.items():
+        c = F.lit(True)
+        if lo is not None:
+            c = c & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            c = c & (F.col(col) <= F.lit(hi))
+        cond = c if cond is None else (cond & c)
+    for col, val in where_equals.items():
+        c = F.col(col) == F.lit(val)
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
 def tx_delete(
     spark: SparkSession,
     path: str,
@@ -1882,6 +1931,7 @@ def tx_delete(
     stats_for: list[str] | None = None,
     where_equals: dict | None = None,
     bloom_for: list[str] | None = None,
+    use_dv: bool = False,
 ) -> int:
     """Row-level DELETE (Delta `DELETE WHERE`): files provably missing the
     predicate carry forward untouched; affected files are rewritten
@@ -1892,13 +1942,160 @@ def tx_delete(
     index — the GDPR point-delete path: removing one subject's rows from
     a bloom-indexed table rewrites only the file(s) that can contain the
     key, not the table. Pass ``bloom_for`` so rewritten files keep their
-    bitsets."""
+    bitsets.
+
+    ``use_dv=True`` takes Delta's DELETION VECTOR path instead of the
+    rewrite: matching rows are soft-deleted by (file, row_index) in a
+    parquet sidecar under ``_dv/`` and the affected entries gain a ``dv``
+    reference — NO data file is rewritten (a point delete on a gigabyte
+    file writes KBs). Reads, DML, MERGE, CDF, and compaction all resolve
+    through the DV (compaction materializes it away); ``tx_vacuum`` reaps
+    unreferenced sidecars. The trade: each read of a DV'd file pays the
+    (file, row_index) anti-join until compaction."""
+    if use_dv:
+        return _dv_delete(
+            spark, path, where, where_equals=where_equals
+        )
     return _dml_rewrite(
         spark, path, where,
         lambda df, cond: df.filter(~F.coalesce(cond, F.lit(False))),
         "delete", partition_by, stats_for,
         where_equals=where_equals, bloom_for=bloom_for,
     )
+
+
+def _dv_delete(
+    spark: SparkSession,
+    path: str,
+    where: dict[str, tuple] | None,
+    where_equals: dict | None = None,
+) -> int:
+    """DELETE via deletion vectors: compute the matching (file, row_index)
+    pairs among the LIVE rows of the prunable files (prior DVs applied, so
+    counts are exact and never double-marked), write them as one parquet
+    sidecar batch, and commit updated entries that reference it — file
+    contents untouched. Concurrency contract matches the rewrite path:
+    the read set must survive, and a concurrent append overlapping the
+    predicate conflicts."""
+    where = where or {}
+    where_equals = where_equals or {}
+    if not where and not where_equals:
+        raise ValueError("delete needs a predicate (where and/or where_equals)")
+    if any(v is None for v in where_equals.values()):
+        raise ValueError("where_equals probes must be non-null; use `where`")
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    manifest = read_manifest(spark, path, cur)
+    bloom_probes = _bloomable_probes(manifest["schema"], where_equals)
+    hit = [
+        f
+        for f in manifest["files"]
+        if _file_can_match(f, where, bloom_probes)
+    ]
+    if not hit:
+        return cur
+    cond = _dml_predicate(where, where_equals)
+    root = path.rstrip("/")
+    pairs = (
+        _read_files_with_position(spark, path, hit)
+        .filter(F.coalesce(cond, F.lit(False)))
+        .select(
+            _dv_rel_expr(F.col("_txlog_fp")).alias("rel"),
+            F.col("_txlog_ri").alias("ri"),
+        )
+    )
+    batch = uuid.uuid4().hex
+    dv_ref = f"{_DV}/{batch}"
+    pairs.write.parquet(f"{root}/{dv_ref}")
+    counts = {
+        r["rel"]: r["n"]
+        for r in spark.read.parquet(f"{root}/{dv_ref}")
+        .groupBy("rel")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:  # predicate matched no live row
+        _delete(spark, f"{root}/{dv_ref}")
+        return cur
+    base_paths = {f["path"] for f in manifest["files"]}
+
+    def build(now: int | None) -> dict:
+        now_files = (
+            read_manifest(spark, path, now)["files"] if now is not None else []
+        )
+        now_by = {f["path"]: f for f in now_files}
+        if set(counts) - set(now_by):
+            raise TxConflictError(
+                f"delete at {path}: files in the read set were removed "
+                f"concurrently (base v{cur}, now v{now})"
+            )
+        added = [f for f in now_files if f["path"] not in base_paths]
+        if any(_file_can_match(f, where, bloom_probes) for f in added):
+            raise TxConflictError(
+                f"delete at {path}: concurrent append overlaps the "
+                f"predicate (base v{cur}, now v{now})"
+            )
+        # entries are rebuilt from the CURRENT snapshot per attempt, so a
+        # concurrent DV delete's references merge instead of being lost
+        add_entries = []
+        for rel, n in sorted(counts.items()):
+            entry = dict(now_by[rel])
+            entry["dv"] = list(entry.get("dv", ())) + [dv_ref]
+            entry["dv_count"] = int(entry.get("dv_count", 0)) + int(n)
+            add_entries.append(entry)
+        return {
+            "op": "delete",
+            "schema": manifest["schema"],
+            "add": add_entries,
+            "remove": [],
+            "truncate": False,
+        }
+
+    try:
+        return _commit(spark, path, build)
+    except TxConflictError:
+        _delete(spark, f"{root}/{dv_ref}")
+        raise
+
+
+def _read_files_with_position(
+    spark: SparkSession, path: str, files: list[dict]
+):
+    """LIVE rows of the entries (prior DVs applied) with their physical
+    position kept as ``_txlog_fp``/``_txlog_ri`` — the input a DV writer
+    needs."""
+    root = path.rstrip("/")
+    by_batch: dict[str, list[str]] = {}
+    for f in files:
+        full, bd = _resolve_file(root, f["path"])
+        by_batch.setdefault(bd, []).append(full)
+    out = None
+    for bd, fl in sorted(by_batch.items()):
+        part = spark.read.option("basePath", bd).parquet(*sorted(fl)).select(
+            "*",
+            F.col("_metadata.file_path").alias("_txlog_fp"),
+            F.col("_metadata.row_index").alias("_txlog_ri"),
+        )
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
+    dv_refs = sorted({ref for f in files for ref in (f.get("dv") or ())})
+    if dv_refs:
+        deleted = spark.read.parquet(*(f"{root}/{r}" for r in dv_refs))
+        out = (
+            out.withColumn("_txlog_rel", _dv_rel_expr(F.col("_txlog_fp")))
+            .join(
+                deleted.withColumnRenamed("rel", "_txlog_rel")
+                .withColumnRenamed("ri", "_txlog_ri"),
+                ["_txlog_rel", "_txlog_ri"],
+                "left_anti",
+            )
+            .drop("_txlog_rel")
+        )
+    return out
 
 
 def tx_update(

@@ -98,12 +98,20 @@ def _snapshot_schema(path: str) -> tuple[int, str]:
 
 class _TxFilesPartition(InputPartition):
     """One micro-batch input split: data files (relative paths) under one
-    table root, read executor-side."""
+    table root, read executor-side. ``dv`` maps rel path → deletion-vector
+    sidecar refs (snapshot reads must not emit soft-deleted rows)."""
 
-    def __init__(self, root: str, rel_paths: list[str], schema_json: str):
+    def __init__(
+        self,
+        root: str,
+        rel_paths: list[str],
+        schema_json: str,
+        dv: dict[str, list[str]] | None = None,
+    ):
         self.root = root
         self.rel_paths = rel_paths
         self.schema_json = schema_json
+        self.dv = dv or {}
 
 
 def _hive_dec(seg: str):
@@ -139,6 +147,27 @@ def _read_partition(part: _TxFilesPartition) -> Iterator:
     target = to_arrow_schema(spark_schema)
     for rel in part.rel_paths:
         table = pq.read_table(f"{part.root}/{rel}")
+        if part.dv.get(rel):
+            # deletion vectors: drop soft-deleted row positions (sidecar
+            # parquet of (rel, ri); pq.read_table preserves file order, so
+            # position == _metadata.row_index)
+            import numpy as np
+
+            dead: set[int] = set()
+            for ref in part.dv[rel]:
+                side = pq.read_table(f"{part.root}/{ref}")
+                for rel2, ri in zip(
+                    side.column("rel").to_pylist(),
+                    side.column("ri").to_pylist(),
+                ):
+                    if rel2 == rel:
+                        dead.add(ri)
+            if dead:
+                table = table.filter(
+                    pa.array(
+                        ~np.isin(np.arange(table.num_rows), sorted(dead))
+                    )
+                )
         n = table.num_rows
         part_vals = {
             k: _hive_dec(v) for k, v in TX._partition_of(rel).items()
@@ -231,7 +260,10 @@ class TxLogStreamReader(DataSourceStreamReader):
                 # actually planned; a skipped change commit admits 0 files
                 rec = TX.read_commit(None, self.path, v)
                 is_change = bool(
-                    rec.get("truncate") or rec.get("remove") or "files" in rec
+                    rec.get("truncate")
+                    or rec.get("remove")
+                    or "files" in rec
+                    or any(f.get("dv") for f in rec.get("add", ()))
                 )
                 if not (is_change and self.skip_change_commits):
                     admitted += len(rec.get("add", ()))
@@ -260,7 +292,11 @@ class TxLogStreamReader(DataSourceStreamReader):
                 )
             except FileNotFoundError:  # prior version vacuumed: conservative
                 pass
-        if truncates or rec.get("remove") or "files" in rec:
+        # a deletion-vector commit re-adds EXISTING entries with a dv ref —
+        # streaming its adds would replay whole files; it is a change
+        # commit exactly like a rewrite delete
+        dv_marks = any(f.get("dv") for f in rec.get("add", ()))
+        if truncates or dv_marks or rec.get("remove") or "files" in rec:
             if self.skip_change_commits:
                 return []
             raise TxChangeCommitError(
@@ -284,7 +320,12 @@ class TxLogStreamReader(DataSourceStreamReader):
                         self._tail_adds(TX.read_commit(None, self.path, v), v)
                     )
         parts = [
-            _TxFilesPartition(self.path, [f["path"]], self.schema_json)
+            _TxFilesPartition(
+                self.path,
+                [f["path"]],
+                self.schema_json,
+                {f["path"]: list(f["dv"])} if f.get("dv") else None,
+            )
             for f in files
         ]
         # Spark requires >=1 partition per planned batch (an all-skipped

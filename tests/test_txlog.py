@@ -1351,3 +1351,93 @@ def test_job_layer_schema_automerge_conf(spark, tmp_path):
     finally:
         spark.conf.unset("spark.datalake.schemaAutoMerge")
         spark.conf.unset("spark.datalake.tableFormat")
+
+
+def test_deletion_vectors(spark, tmp_path):
+    """DELETE via deletion vectors (Delta's DV path): no data file is
+    rewritten — matching rows are soft-deleted by (file, row_index) in a
+    parquet sidecar, entries gain a dv reference. Reads, time travel, a
+    later rewrite-DML, CDF, compaction, and vacuum all resolve the DV."""
+    import os as _os
+
+    p = str(tmp_path / "dv")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "p1" if i <= 3 else "p2") for i in range(1, 7)],
+        "k long, v string, part string",
+    )
+    TX.tx_write(spark, df, p, partition_by=["part"], stats_for=["k"])
+
+    def data_files():
+        return sorted(
+            _os.path.join(r, f)
+            for r, _, fs in _os.walk(_os.path.join(p, "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = data_files()
+    v2 = TX.tx_delete(spark, p, where={"k": (2, 3)}, use_dv=True)
+    assert v2 == 2
+    assert data_files() == before  # NO rewrite: same physical files
+    assert rows(TX.tx_read(spark, p).select("k")) == [(1,), (4,), (5,), (6,)]
+    assert rows(TX.tx_read(spark, p, version=1).select("k")) == [
+        (i,) for i in range(1, 7)
+    ]  # time travel sees the pre-DV snapshot
+    m = TX.read_manifest(spark, p, 2)
+    dv_entries = [f for f in m["files"] if f.get("dv")]
+    assert dv_entries and all(f["dv_count"] >= 1 for f in dv_entries)
+    assert sum(f["dv_count"] for f in dv_entries) == 2
+
+    # stacked DV: a second soft delete appends a reference; re-deleting an
+    # already-deleted row is a no-op (counts come from LIVE rows)
+    v3 = TX.tx_delete(spark, p, where={"k": (3, 4)}, use_dv=True)
+    assert v3 == 3
+    assert rows(TX.tx_read(spark, p).select("k")) == [(1,), (5,), (6,)]
+    m3 = TX.read_manifest(spark, p, 3)
+    assert sum(f.get("dv_count", 0) for f in m3["files"]) == 3
+    # predicate matching nothing live: version unchanged, no sidecar litter
+    n_dv_batches = len(_os.listdir(_os.path.join(p, "_dv")))
+    assert TX.tx_delete(spark, p, where={"k": (2, 2)}, use_dv=True) == 3
+    assert len(_os.listdir(_os.path.join(p, "_dv"))) == n_dv_batches
+
+    # a REWRITE delete on other rows must not resurrect DV-deleted ones
+    TX.tx_delete(spark, p, where={"k": (6, 6)})
+    assert rows(TX.tx_read(spark, p).select("k")) == [(1,), (5,)]
+
+    # CDF across the DV commit reports the deletes
+    d = TX.tx_diff(spark, p, ["k"], 1, 3)
+    assert sorted((r.k, r._change_type) for r in d.collect()) == [
+        (2, "delete"), (3, "delete"), (4, "delete"),
+    ]
+
+    # compaction materializes DVs away; vacuum then reaps the sidecars
+    TX.tx_compact(spark, p, partition_by=["part"])
+    assert rows(TX.tx_read(spark, p).select("k")) == [(1,), (5,)]
+    assert not any(
+        f.get("dv") for f in TX.read_manifest(
+            spark, p, TX.current_version(spark, p)
+        )["files"]
+    )
+    TX.tx_vacuum(spark, p, keep_versions=1, retain_hours=0)
+    assert _os.listdir(_os.path.join(p, "_dv")) == []
+    assert rows(TX.tx_read(spark, p).select("k")) == [(1,), (5,)]
+
+
+def test_deletion_vector_point_delete_with_bloom(spark, tmp_path):
+    """The GDPR point-delete on the DV path: bloom pruning picks the
+    file(s), the DV marks just those rows — KBs written, nothing moved."""
+    p = str(tmp_path / "dvb")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(100)], "id long, payload string"
+        ).repartition(4),
+        p,
+        bloom_for=["id"],
+    )
+    TX.tx_delete(spark, p, where_equals={"id": 42}, use_dv=True)
+    got = [r.id for r in TX.tx_read(spark, p).collect()]
+    assert len(got) == 99 and 42 not in got
+    m = TX.read_manifest(spark, p, 2)
+    # only the file(s) whose bloom can contain 42 carry a DV
+    assert sum(1 for f in m["files"] if f.get("dv")) <= 2

@@ -333,3 +333,28 @@ def test_cdc_fanout_rollup(spark, tmp_path):
     drain_into_b()
     drain_into_b()  # restart with nothing new: must not double-count
     assert sorted((r.region, r.n) for r in TX.tx_read(spark, b).collect()) == recompute()
+
+
+def test_dv_delete_is_a_change_commit(spark, tmp_path):
+    """A deletion-vector commit re-adds existing entries with a dv ref —
+    streaming its adds would replay whole files, so the source treats it
+    exactly like a rewrite delete: fail, or skip under skipChangeCommits."""
+    tbl = str(tmp_path / "t")
+    TX.tx_write(spark, _mk(spark, 1), tbl)
+    TX.tx_write(spark, _mk(spark, 2), tbl, mode="append")
+    TX.tx_delete(spark, tbl, where={"id": (2, 2)}, use_dv=True)  # v3
+    TX.tx_write(spark, _mk(spark, 3), tbl, mode="append")  # v4
+
+    with pytest.raises(Exception, match="append-only|skipChangeCommits"):
+        _drain(
+            spark, tbl, str(tmp_path / "o1"), str(tmp_path / "c1"),
+            starting_version=1,
+        )
+    got = _drain(
+        spark, tbl, str(tmp_path / "o2"), str(tmp_path / "c2"),
+        starting_version=1, skip_change_commits=True,
+    )
+    assert got == [(1, "v1", "us"), (2, "v2", "us"), (3, "v3", "us")]
+    # snapshot-first stream resolves the DV (id=2 gone)
+    got = _drain(spark, tbl, str(tmp_path / "o3"), str(tmp_path / "c3"))
+    assert got == [(1, "v1", "us"), (3, "v3", "us")]

@@ -113,6 +113,15 @@ def doctor(spark, path: str) -> dict:
             sev = "errors" if pth in state else "warnings"
             report[sev].append(f"dangling file reference {pth}")
 
+    # deletion-vector sidecars the CURRENT snapshot depends on must exist
+    for pth, entry in sorted(state.items()):
+        for ref in entry.get("dv", ()) if isinstance(entry, dict) else ():
+            if not TX._exists(spark, f"{root}/{ref}"):
+                report["errors"].append(
+                    f"missing deletion-vector sidecar {ref} (referenced by "
+                    f"{pth}) — reads would resurrect deleted rows"
+                )
+
     data_root = f"{root}/{TX._DATA}"
     orphans = []
     orphan_bytes = 0
