@@ -1953,9 +1953,7 @@ def tx_delete(
     unreferenced sidecars. The trade: each read of a DV'd file pays the
     (file, row_index) anti-join until compaction."""
     if use_dv:
-        return _dv_delete(
-            spark, path, where, where_equals=where_equals
-        )
+        return _dv_dml(spark, path, where, where_equals=where_equals)
     return _dml_rewrite(
         spark, path, where,
         lambda df, cond: df.filter(~F.coalesce(cond, F.lit(False))),
@@ -1964,23 +1962,31 @@ def tx_delete(
     )
 
 
-def _dv_delete(
+def _dv_dml(
     spark: SparkSession,
     path: str,
     where: dict[str, tuple] | None,
     where_equals: dict | None = None,
+    assignments: dict | None = None,
+    partition_by: list[str] | None = None,
+    stats_for: list[str] | None = None,
+    bloom_for: list[str] | None = None,
 ) -> int:
-    """DELETE via deletion vectors: compute the matching (file, row_index)
-    pairs among the LIVE rows of the prunable files (prior DVs applied, so
-    counts are exact and never double-marked), write them as one parquet
-    sidecar batch, and commit updated entries that reference it — file
-    contents untouched. Concurrency contract matches the rewrite path:
-    the read set must survive, and a concurrent append overlapping the
-    predicate conflicts."""
+    """DELETE/UPDATE via deletion vectors: compute the matching
+    (file, row_index) pairs among the LIVE rows of the prunable files
+    (prior DVs applied, so counts are exact and never double-marked),
+    write them as one parquet sidecar batch, and commit updated entries
+    that reference it — touched files' contents stay untouched. With
+    ``assignments`` (UPDATE), the matching rows' POST-images are appended
+    as a fresh data batch in the SAME commit (Delta's DV update: old image
+    soft-deleted, new image appended). Concurrency contract matches the
+    rewrite path: the read set must survive, and a concurrent append
+    overlapping the predicate conflicts."""
+    op = "update" if assignments else "delete"
     where = where or {}
     where_equals = where_equals or {}
     if not where and not where_equals:
-        raise ValueError("delete needs a predicate (where and/or where_equals)")
+        raise ValueError(f"{op} needs a predicate (where and/or where_equals)")
     if any(v is None for v in where_equals.values()):
         raise ValueError("where_equals probes must be non-null; use `where`")
     cur = current_version(spark, path)
@@ -1997,13 +2003,12 @@ def _dv_delete(
         return cur
     cond = _dml_predicate(where, where_equals)
     root = path.rstrip("/")
-    pairs = (
-        _read_files_with_position(spark, path, hit)
-        .filter(F.coalesce(cond, F.lit(False)))
-        .select(
-            _dv_rel_expr(F.col("_txlog_fp")).alias("rel"),
-            F.col("_txlog_ri").alias("ri"),
-        )
+    matching = _read_files_with_position(spark, path, hit).filter(
+        F.coalesce(cond, F.lit(False))
+    )
+    pairs = matching.select(
+        _dv_rel_expr(F.col("_txlog_fp")).alias("rel"),
+        F.col("_txlog_ri").alias("ri"),
     )
     batch = uuid.uuid4().hex
     dv_ref = f"{_DV}/{batch}"
@@ -2018,6 +2023,14 @@ def _dv_delete(
     if not counts:  # predicate matched no live row
         _delete(spark, f"{root}/{dv_ref}")
         return cur
+    new_files: list[dict] = []
+    if assignments:
+        updated = matching.drop("_txlog_fp", "_txlog_ri")
+        for col, expr in assignments.items():
+            updated = updated.withColumn(col, expr)
+        _, new_files = _write_batch(
+            updated, path, partition_by, stats_for, bloom_for
+        )
     base_paths = {f["path"] for f in manifest["files"]}
 
     def build(now: int | None) -> dict:
@@ -2027,13 +2040,13 @@ def _dv_delete(
         now_by = {f["path"]: f for f in now_files}
         if set(counts) - set(now_by):
             raise TxConflictError(
-                f"delete at {path}: files in the read set were removed "
+                f"{op} at {path}: files in the read set were removed "
                 f"concurrently (base v{cur}, now v{now})"
             )
         added = [f for f in now_files if f["path"] not in base_paths]
         if any(_file_can_match(f, where, bloom_probes) for f in added):
             raise TxConflictError(
-                f"delete at {path}: concurrent append overlaps the "
+                f"{op} at {path}: concurrent append overlaps the "
                 f"predicate (base v{cur}, now v{now})"
             )
         # entries are rebuilt from the CURRENT snapshot per attempt, so a
@@ -2045,9 +2058,9 @@ def _dv_delete(
             entry["dv_count"] = int(entry.get("dv_count", 0)) + int(n)
             add_entries.append(entry)
         return {
-            "op": "delete",
+            "op": op,
             "schema": manifest["schema"],
-            "add": add_entries,
+            "add": add_entries + new_files,
             "remove": [],
             "truncate": False,
         }
@@ -2056,6 +2069,8 @@ def _dv_delete(
         return _commit(spark, path, build)
     except TxConflictError:
         _delete(spark, f"{root}/{dv_ref}")
+        for f in new_files:
+            _delete(spark, f"{root}/{f['path']}")
         raise
 
 
@@ -2107,13 +2122,26 @@ def tx_update(
     stats_for: list[str] | None = None,
     where_equals: dict | None = None,
     bloom_for: list[str] | None = None,
+    use_dv: bool = False,
 ) -> int:
     """Row-level UPDATE: ``assignments`` maps column → new-value Column,
     applied to rows matching the predicate; same file-pruned rewrite as
     delete (ranges via stats, equalities via the Bloom index — the
-    point-redaction path)."""
+    point-redaction path).
+
+    ``use_dv=True``: Delta's deletion-vector UPDATE — the matching rows'
+    OLD images are soft-deleted in a sidecar and their POST-images are
+    appended as a fresh batch in the same commit; untouched rows of the
+    affected files are never rewritten (the point-redaction of one
+    subject's rows in gigabyte files moves only the changed rows)."""
     if not assignments:
         raise ValueError("update needs assignments")
+    if use_dv:
+        return _dv_dml(
+            spark, path, where, where_equals=where_equals,
+            assignments=assignments, partition_by=partition_by,
+            stats_for=stats_for, bloom_for=bloom_for,
+        )
 
     def apply(df, cond):
         out = df

@@ -1441,3 +1441,56 @@ def test_deletion_vector_point_delete_with_bloom(spark, tmp_path):
     m = TX.read_manifest(spark, p, 2)
     # only the file(s) whose bloom can contain 42 carry a DV
     assert sum(1 for f in m["files"] if f.get("dv")) <= 2
+
+
+def test_deletion_vector_update(spark, tmp_path):
+    """UPDATE via deletion vectors: the old images are soft-deleted, the
+    post-images appended in the SAME commit — affected files untouched,
+    time travel sees the pre-update rows, CDF reports updates."""
+    import os as _os
+
+    p = str(tmp_path / "dvu")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(i, f"u{i}", 0) for i in range(1, 6)], "k long, v string, hits int"
+        ),
+        p,
+        stats_for=["k"],
+    )
+
+    def data_files():
+        return sorted(
+            _os.path.join(r, f)
+            for r, _, fs in _os.walk(_os.path.join(p, "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = set(data_files())
+    TX.tx_update(
+        spark,
+        p,
+        where={"k": (2, 3)},
+        assignments={"v": F.lit("REDACTED"), "hits": F.col("hits") + 1},
+        use_dv=True,
+    )
+    after = set(data_files())
+    assert before < after  # old files intact, ONE new batch appended
+    got = {r.k: (r.v, r.hits) for r in TX.tx_read(spark, p).collect()}
+    assert got == {
+        1: ("u1", 0), 2: ("REDACTED", 1), 3: ("REDACTED", 1),
+        4: ("u4", 0), 5: ("u5", 0),
+    }
+    # pre-update snapshot intact
+    v1 = {r.k: r.v for r in TX.tx_read(spark, p, version=1).collect()}
+    assert v1 == {i: f"u{i}" for i in range(1, 6)}
+    d = TX.tx_diff(spark, p, ["k"], 1, 2)
+    assert sorted((r.k, r._change_type) for r in d.collect()) == [
+        (2, "update"), (3, "update"),
+    ]
+    # compaction materializes; the updated values survive
+    TX.tx_compact(spark, p)
+    m = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    assert not any(f.get("dv") for f in m["files"])
+    assert {r.k: r.v for r in TX.tx_read(spark, p).collect()}[2] == "REDACTED"
