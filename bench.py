@@ -64,6 +64,8 @@ HEADLINE = [
     "events_asof_error",
     "events_funnel",
     "events_hll_users",
+    "events_retention",
+    "customer_rfm",
     "small_quantity_revenue",
     "sales_rollup",
     "late_orders_exists",

@@ -30,6 +30,8 @@ _SAMPLE_FIRST = [
     "emb_rerank_topk",
     "importance_sample",
     "corpus_resample",
+    "customer_rfm",
+    "events_retention",
     # judge-named rotation targets
     "conditional_join",
     "fulfillment_ratio",

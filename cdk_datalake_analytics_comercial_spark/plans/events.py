@@ -335,7 +335,52 @@ FROM sketch s JOIN exact USING (bucket_start)
 """
 
 
+# --------------------------------------------------------------------------
+# Cohort retention — the activity matrix behind every retention curve: each
+# user's cohort is their first active epoch-week (fixed 7-day buckets from
+# the epoch, integer math per the module's time policy — no calendar-week
+# ambiguity between engines), and cell (cohort_week, week_offset) counts the
+# cohort's users active that many weeks later. Shape at scale: groupBy user
+# then an equi-join back on user reuses the same hash partitioning (no extra
+# shuffle), then one final agg shuffle on the bounded (cohort, offset) grid.
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    weeks = e.select(
+        F.col("user_id"), _epoch_s(e).alias("_es")
+    ).select("user_id", F.expr("_es div 604800").alias("wk")).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("bigint").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort_week")).cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+_ORACLE_EVENTS_RETENTION = """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(w.wk - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM weeks w JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "events_retention": q_events_retention,
     "events_hll_users": q_events_hll_users,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
@@ -346,6 +391,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_retention": _ORACLE_EVENTS_RETENTION,
     "events_hll_users": _hll_users_oracle(),
     "events_tumbling": _ORACLE_TUMBLING,
     "events_sliding": _ORACLE_SLIDING,

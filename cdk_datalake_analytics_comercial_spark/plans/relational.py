@@ -1501,7 +1501,85 @@ FROM est e JOIN exact USING (priority)
 _ORACLE_HLL = _hll_oracle()
 
 
+# --------------------------------------------------------------------------
+# RFM segmentation — the flagship commercial-analytics cut for a
+# sales-and-distribution platform like the reference: per customer, Recency
+# (days since last order vs the table's anchor date), Frequency (orders),
+# Monetary (exact decimal revenue), quintile-scored and bucketed into the
+# marketing segments. Scores are global ntile(5) windows with a custkey
+# tiebreak so both engines rank identically; at 100 TB the exact global
+# sort becomes approx-quantile thresholds (documented trade — same as
+# customer_value_deciles).
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("_anchor"))
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    per = per.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.datediff(F.col("_anchor").cast("date"), F.col("_last").cast("date"))
+        .cast("int"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("custkey").asc())
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("custkey").asc())
+    scored = (
+        per.withColumn("r_score", F.ntile(5).over(w_r).cast("int"))
+        .withColumn("f_score", F.ntile(5).over(w_f).cast("int"))
+        .withColumn("m_score", F.ntile(5).over(w_m).cast("int"))
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("r_score") >= 4, "recent")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey", "recency_days", "frequency",
+        F.round(F.col("monetary"), 4).alias("monetary"),
+        "r_score", "f_score", "m_score", seg.alias("segment"),
+    )
+
+
+_ORACLE_CUSTOMER_RFM = """
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), rec AS (
+  SELECT custkey, frequency, monetary,
+         CAST(date_diff('day', CAST(last_order AS DATE),
+              CAST((SELECT MAX(o_orderdate) FROM orders) AS DATE)) AS INT)
+           AS recency_days
+  FROM per
+), scored AS (
+  SELECT custkey, recency_days, frequency, monetary,
+         CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey ASC) AS INT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency ASC, custkey ASC) AS INT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary ASC, custkey ASC) AS INT) AS m_score
+  FROM rec
+)
+SELECT custkey, recency_days, frequency, ROUND(monetary, 4) AS monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
 QUERIES = {
+    "customer_rfm": q_customer_rfm,
     "pricing_summary": q_pricing_summary,
     "sales_enrichment": q_sales_enrichment,
     "full_outer_coalesce": q_full_outer_coalesce,
@@ -1542,6 +1620,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customer_rfm": _ORACLE_CUSTOMER_RFM,
     "pricing_summary": _ORACLE_PRICING,
     "sales_enrichment": _ORACLE_ENRICH,
     "full_outer_coalesce": _ORACLE_FULL_OUTER,
