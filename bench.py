@@ -48,6 +48,7 @@ HEADLINE = [
     "decontam_overlap",
     "stratified_fixed_k",
     "tfidf_keywords",
+    "doc_rarity",
     "quality_classifier",
     "pii_scrub",
     "dq_report",

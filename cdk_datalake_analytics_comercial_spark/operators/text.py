@@ -302,6 +302,65 @@ def tfidf_keywords(
     )
 
 
+def rarity_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-informed per-document RARITY score — the engine's
+    perplexity-filtering analogue: each distinct token scores
+    ``N_docs / (1 + df)`` (inverse document frequency in RATIONAL form —
+    ln-free for the same engine-exactness reason as ``tfidf_keywords``),
+    and a document reports the mean and max over its token types. Both
+    tails are filter candidates, exactly like LM-perplexity filtering:
+    high mean = jargon/garbage-heavy, low mean = stopword soup.
+
+    Exactness: per-token scores are 6dp-rounded doubles (one IEEE
+    division); the per-doc mean is computed ENTIRELY in integers — the
+    exact decimal(38,6) sum's scaled integer S (millionths), then
+    round-half-up(S/n) as ``(2S + n) div 2n`` — because a final
+    ``ROUND(double, 6)`` is NOT engine-portable (the two engines' double
+    rounding can differ by the 6th decimal at half-ulp boundaries;
+    observed at sf0.1). The only float op on the mean is one exact
+    division by 10^6 at the end — bit-identical everywhere.
+
+    Plan: explode → (doc, token) agg; df re-aggregated from that grain and
+    broadcast back with the scalar doc count; one final per-doc agg. Two
+    data shuffles; vocabulary and the scalar ride broadcasts."""
+    per_doc = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = per_doc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(
+        F.countDistinct(F.col(id_col)).alias("_n_docs")
+    )
+    scored = (
+        per_doc.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_score",
+            F.round(
+                F.col("_n_docs").cast("double") / (F.lit(1) + F.col("df")), 6
+            ),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (F.sum(F.col("_score").cast("decimal(38,6)")) * F.lit(1000000))
+        .cast("long")
+        .alias("_s_e6"),
+        F.max("_score").alias("max_rarity"),
+    )
+    mean_e6 = F.expr("(2 * _s_e6 + n_types) div (2 * n_types)")
+    return agg.select(
+        id_col,
+        "n_types",
+        (mean_e6.cast("double") / F.lit(1000000.0)).alias("mean_rarity"),
+        "max_rarity",
+    )
+
+
 def hashed_linear_score(
     col: Column, n_buckets: int = 1024
 ) -> Column:

@@ -32,6 +32,7 @@ _SAMPLE_FIRST = [
     "corpus_resample",
     "customer_rfm",
     "events_retention",
+    "doc_rarity",
     # judge-named rotation targets
     "conditional_join",
     "fulfillment_ratio",

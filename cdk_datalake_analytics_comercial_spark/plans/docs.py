@@ -1739,6 +1739,38 @@ SELECT doc_id, rank, tok, tf, df, score FROM ranked WHERE rank <= 3
 """
 
 
+def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return text.rarity_scores(d)
+
+
+_ORACLE_DOC_RARITY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), per_doc AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok WHERE tok != '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM per_doc GROUP BY tok
+), scored AS (
+  SELECT p.doc_id,
+         ROUND(CAST((SELECT COUNT(DISTINCT doc_id) FROM documents) AS DOUBLE)
+               / (1 + d.df), 6) AS score
+  FROM per_doc p JOIN dfreq d USING (tok)
+)
+SELECT doc_id, n_types,
+       CAST((2 * s_e6 + n_types) // (2 * n_types) AS DOUBLE) / 1000000.0
+         AS mean_rarity,
+       max_rarity
+FROM (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CAST(score AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS s_e6,
+         MAX(score) AS max_rarity
+  FROM scored GROUP BY doc_id
+)
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     margin = text.hashed_linear_score(F.col("text"), n_buckets=1024)
@@ -1930,6 +1962,7 @@ QUERIES = {
     "decontam_overlap": q_decontam_overlap,
     "vocab_topk": q_vocab_topk,
     "tfidf_keywords": q_tfidf_keywords,
+    "doc_rarity": q_doc_rarity,
     "quality_classifier": q_quality_classifier,
     "pii_scrub": q_pii_scrub,
     "dq_report": q_dq_report,
@@ -1975,6 +2008,7 @@ ORACLES = {
     "decontam_overlap": _ORACLE_DECONTAM_OVERLAP,
     "vocab_topk": _ORACLE_VOCAB_TOPK,
     "tfidf_keywords": _ORACLE_TFIDF_KEYWORDS,
+    "doc_rarity": _ORACLE_DOC_RARITY,
     "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
     "pii_scrub": _ORACLE_PII_SCRUB,
     "dq_report": _ORACLE_DQ_REPORT,
