@@ -31,6 +31,11 @@ INTENTIONAL_CROSS = {
     # filled axis itself, |keys|·|months| rows, broadcast NLJ on purpose
     "monthly_gap_fill",
     "monthly_interpolate",  # same grid construction, interpolation on top
+    # scalar-broadcast crossJoins: the build side is ONE aggregated row
+    # (anchor date / corpus doc count), so the "nested loop" is a linear
+    # stream-side pass — the standard Spark idiom for decorrelated scalars
+    "customer_rfm",
+    "doc_rarity",
 }
 
 

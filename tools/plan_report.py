@@ -47,6 +47,8 @@ def audit_plan(plan: str) -> dict:
 INTENTIONAL_CROSS = {
     "monthly_gap_fill": "keys × exploded-bounds month axis (dense calendar grid)",
     "monthly_interpolate": "keys × exploded-bounds month axis (dense calendar grid)",
+    "customer_rfm": "scalar anchor date: 1-row broadcast crossJoin (O(n) stream side)",
+    "doc_rarity": "scalar corpus doc count: 1-row broadcast crossJoin (O(n) stream side)",
 }
 
 # Queries whose result comes from a DRIVER LOOP over checkpointed rounds
