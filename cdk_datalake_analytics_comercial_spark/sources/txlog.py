@@ -1246,11 +1246,19 @@ def tx_merge(
     partition_by: list[str] | None = None,
     precedence: str | None = None,
     schema_evolution: bool = False,
+    use_dv: bool = False,
 ) -> int:
     """File-pruned MERGE (K3): rewrite only the partitions the source
     touches; untouched partitions' files are carried forward by reference.
     Update semantics match ``writer.merge_upsert`` (source wins; with
     ``precedence`` last-writer-wins).
+
+    ``use_dv=True`` is Delta's MERGE-with-deletion-vectors (the fix for
+    merge write amplification): instead of rewriting every file of the
+    touched partitions, the matched target rows are soft-deleted by
+    (file, row_index) sidecar and only the WINNER rows (source updates +
+    inserts, precedence-resolved) are appended — unmatched rows in
+    affected files never move. Not combinable with ``schema_evolution``.
 
     Concurrency: the merge result is computed against the snapshot current
     at entry. If, by commit time, a concurrent commit changed the files of
@@ -1260,6 +1268,11 @@ def tx_merge(
     are re-carried from the winner's manifest and commit fine."""
     from .writer import _dedup_on_keys
 
+    if use_dv and schema_evolution:
+        raise ValueError(
+            "tx_merge: schema_evolution with use_dv is not supported — "
+            "evolve the schema with a regular merge first"
+        )
     cur = current_version(spark, path)
     if cur is None:
         if precedence is None:
@@ -1267,6 +1280,8 @@ def tx_merge(
         else:
             source = _precedence_pick(source, keys, precedence, None)
         return tx_write(spark, source, path, partition_by, "overwrite")
+    if use_dv:
+        return _dv_merge(spark, source, path, keys, partition_by, precedence, cur)
 
     touched_sets: set[tuple] | None = None
     if partition_by:
@@ -1357,6 +1372,124 @@ def tx_merge(
         # than waiting for vacuum
         for f in new_files:
             _delete(spark, f"{path.rstrip('/')}/{f['path']}")
+        raise
+
+
+def _dv_merge(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None,
+    precedence: str | None,
+    cur: int,
+) -> int:
+    """MERGE via deletion vectors: soft-delete the target's MATCHED live
+    rows (semi-join on the merge keys, positions kept) and append the
+    winner row per source key — source wins, or last-writer-wins under
+    ``precedence`` against the matched target rows. Unmatched rows in
+    affected files are untouched; write volume is O(matched + source),
+    not O(touched partitions)."""
+    from .writer import _dedup_on_keys
+
+    manifest = read_manifest(spark, path, cur)
+    if partition_by:
+        touched = [
+            r.asDict()
+            for r in source.select(*partition_by).distinct().collect()
+        ]
+        touched_sets = {
+            tuple(sorted((k, _hive_enc(t[k])) for k in partition_by))
+            for t in touched
+        }
+        cand = [
+            f
+            for f in manifest["files"]
+            if tuple(sorted(f["partition"].items())) in touched_sets
+        ]
+    else:
+        touched_sets = None
+        cand = manifest["files"]
+    base_cand_paths = {f["path"] for f in cand}
+
+    tgt_cols = [
+        fld["name"] for fld in json.loads(manifest["schema"])["fields"]
+    ]
+    matched = None
+    if cand:
+        tgt = _read_files_with_position(spark, path, cand)
+        matched = tgt.join(source.select(*keys).distinct(), keys, "semi")
+    if precedence is None:
+        winners = _dedup_on_keys(source, keys).select(*tgt_cols)
+    else:
+        winners = _precedence_pick(
+            source, keys, precedence,
+            matched.drop("_txlog_fp", "_txlog_ri") if matched is not None else None,
+        ).select(*tgt_cols)
+
+    root = path.rstrip("/")
+    batch = uuid.uuid4().hex
+    dv_ref = f"{_DV}/{batch}"
+    counts: dict[str, int] = {}
+    if matched is not None:
+        pairs = matched.select(
+            _dv_rel_expr(F.col("_txlog_fp")).alias("rel"),
+            F.col("_txlog_ri").alias("ri"),
+        )
+        pairs.write.parquet(f"{root}/{dv_ref}")
+        counts = {
+            r["rel"]: int(r["n"])
+            for r in spark.read.parquet(f"{root}/{dv_ref}")
+            .groupBy("rel")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not counts:  # pure-insert merge: no sidecar needed
+            _delete(spark, f"{root}/{dv_ref}")
+    _, new_files = _write_batch(winners, path, partition_by, None)
+
+    def build(now: int | None) -> dict:
+        now_files = (
+            read_manifest(spark, path, now)["files"] if now is not None else []
+        )
+        if touched_sets is not None:
+            now_cand = {
+                f["path"]
+                for f in now_files
+                if tuple(sorted(f["partition"].items())) in touched_sets
+            }
+            if now_cand != base_cand_paths:
+                raise TxConflictError(
+                    f"merge at {path}: touched partitions changed "
+                    f"concurrently (base v{cur}, now v{now})"
+                )
+        elif now != cur:
+            raise TxConflictError(
+                f"merge at {path}: table changed concurrently "
+                f"(base v{cur}, now v{now})"
+            )
+        now_by = {f["path"]: f for f in now_files}
+        add_entries = []
+        for rel, n in sorted(counts.items()):
+            entry = dict(now_by[rel])
+            entry["dv"] = list(entry.get("dv", ())) + [dv_ref]
+            entry["dv_count"] = int(entry.get("dv_count", 0)) + n
+            add_entries.append(entry)
+        return {
+            "op": "merge",
+            "schema": manifest["schema"],
+            "add": add_entries + new_files,
+            "remove": [],
+            "truncate": False,
+        }
+
+    try:
+        return _commit(spark, path, build)
+    except TxConflictError:
+        if counts:
+            _delete(spark, f"{root}/{dv_ref}")
+        for f in new_files:
+            _delete(spark, f"{root}/{f['path']}")
         raise
 
 

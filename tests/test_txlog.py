@@ -1494,3 +1494,63 @@ def test_deletion_vector_update(spark, tmp_path):
     m = TX.read_manifest(spark, p, TX.current_version(spark, p))
     assert not any(f.get("dv") for f in m["files"])
     assert {r.k: r.v for r in TX.tx_read(spark, p).collect()}[2] == "REDACTED"
+
+
+def test_deletion_vector_merge(spark, tmp_path):
+    """MERGE with deletion vectors (Delta's merge-with-DV): matched target
+    rows are soft-deleted, winner rows appended — affected files keep
+    their paths (no partition rewrite), untouched partitions carry no DV."""
+    p = str(tmp_path / "dvm")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")],
+        "k long, v string, part string",
+    )
+    TX.tx_merge(spark, base, p, keys=["k"], partition_by=["part"])
+    m1 = TX.read_manifest(spark, p, 1)
+    p1_paths = {f["path"] for f in m1["files"] if f["partition"]["part"] == "p1"}
+    p2_paths = {f["path"] for f in m1["files"] if f["partition"]["part"] == "p2"}
+
+    src = spark.createDataFrame(
+        [(2, "B", "p1"), (4, "d", "p1"), (5, "e", "p3")],
+        "k long, v string, part string",
+    )
+    TX.tx_merge(spark, src, p, keys=["k"], partition_by=["part"], use_dv=True)
+    got = {r.k: (r.v, r.part) for r in TX.tx_read(spark, p).collect()}
+    assert got == {
+        1: ("a", "p1"), 2: ("B", "p1"), 3: ("c", "p2"),
+        4: ("d", "p1"), 5: ("e", "p3"),
+    }
+    m2 = TX.read_manifest(spark, p, 2)
+    by_path = {f["path"]: f for f in m2["files"]}
+    # p1's original files survive BY PATH, the matched one carries a DV
+    assert p1_paths <= set(by_path)
+    assert sum(f.get("dv_count", 0) for f in m2["files"]) == 1
+    # untouched partition p2: same entries, no DV
+    assert all(not by_path[pp].get("dv") for pp in p2_paths)
+    # time travel pre-merge
+    assert {r.k: r.v for r in TX.tx_read(spark, p, version=1).collect()} == {
+        1: "a", 2: "b", 3: "c",
+    }
+
+    # precedence: stale source loses, matched row survives via re-append
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(10, 5, "new")], "k long, seq long, v string"),
+        str(tmp_path / "dvp"),
+    )
+    p2t = str(tmp_path / "dvp")
+    TX.tx_merge(
+        spark,
+        spark.createDataFrame(
+            [(10, 3, "stale"), (11, 1, "x")], "k long, seq long, v string"
+        ),
+        p2t, keys=["k"], precedence="seq", use_dv=True,
+    )
+    got = {r.k: (r.seq, r.v) for r in TX.tx_read(spark, p2t).collect()}
+    assert got == {10: (5, "new"), 11: (1, "x")}
+
+    # compaction materializes the merge DVs away
+    TX.tx_compact(spark, p, partition_by=["part"])
+    m = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    assert not any(f.get("dv") for f in m["files"])
+    assert {r.k: r.v for r in TX.tx_read(spark, p).collect()}[2] == "B"
