@@ -543,6 +543,46 @@ def _delete_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     _delete(spark, _checkpoint_path(path, version))
 
 
+def version_at_timestamp(spark: SparkSession, path: str, ts) -> int:
+    """The newest version committed at-or-before ``ts`` — Delta's
+    ``TIMESTAMP AS OF`` resolution. ``ts`` is epoch seconds (int/float) or
+    an ISO-8601 string (naive = UTC). Commit wall-clock stamps are
+    monotonicized on read (``max(ts, prev)`` — Delta applies the same
+    adjustment for writer clock skew); pre-timestamp commit records (older
+    tables) inherit the previous effective stamp. Raises ValueError when
+    ``ts`` precedes the earliest RETAINED commit (vacuumed history — same
+    error Delta gives). O(retained versions) record reads, the same cost
+    class as ``tx_history``."""
+    if isinstance(ts, str):
+        import datetime as dt
+
+        parsed = dt.datetime.fromisoformat(ts)
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=dt.timezone.utc)
+        target_ms = int(parsed.timestamp() * 1000)
+    else:
+        target_ms = int(float(ts) * 1000)
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed version at {path}")
+    best = None
+    prev = 0
+    for v in versions:
+        rec = read_commit(spark, path, v)
+        eff = max(int(rec.get("ts_ms", 0)), prev)
+        prev = eff
+        if eff <= target_ms:
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts!r} is before the earliest retained commit at "
+            f"{path} (v{versions[0]}); older history was vacuumed"
+        )
+    return best
+
+
 def tx_history(spark: SparkSession, path: str) -> list[dict]:
     """All commit records, oldest first — op, version, add/remove counts
     per commit (raw delta records: O(changed files) each, like Delta's
@@ -610,6 +650,7 @@ def _commit(spark: SparkSession, path: str, build) -> int:
         cur = current_version(spark, path)
         rec = dict(build(cur))
         rec["writer"] = token
+        rec["ts_ms"] = int(time.time() * 1000)  # TIMESTAMP AS OF resolution
         version = (cur or 0) + 1
         rec["version"] = version
         dst = _version_path(path, version)
@@ -1160,10 +1201,15 @@ def tx_read(
     version: int | None = None,
     where: dict[str, tuple] | None = None,
     where_equals: dict | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """The snapshot at ``version`` (default: latest). Reads exactly the
     manifest's files, grouped per batch dir so partition columns are
     recovered from the paths; batches union by name.
+
+    ``timestamp`` (exclusive with ``version``): Delta's ``TIMESTAMP AS
+    OF`` — epoch seconds or ISO-8601 string, resolved to the newest
+    version committed at-or-before it (:func:`version_at_timestamp`).
 
     ``where`` maps column → (lo, hi) range (either bound None for
     open-ended): files whose manifest stats provably miss the range are
@@ -1173,6 +1219,10 @@ def tx_read(
     ``tx_write(bloom_for=...)``) provably lacks the value are skipped the
     same way — the point-lookup path for keys whose min/max stats span
     every file."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(spark, path, timestamp)
     listing = _log_listing(spark, path)
     cur = version if version is not None else (listing[0][-1] if listing[0] else None)
     if cur is None:

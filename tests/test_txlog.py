@@ -1554,3 +1554,45 @@ def test_deletion_vector_merge(spark, tmp_path):
     m = TX.read_manifest(spark, p, TX.current_version(spark, p))
     assert not any(f.get("dv") for f in m["files"])
     assert {r.k: r.v for r in TX.tx_read(spark, p).collect()}[2] == "B"
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF (Delta parity): commits carry wall-clock stamps,
+    reads resolve a timestamp to the newest at-or-before version; stamps
+    are monotonicized on read, pre-timestamp records inherit, and a
+    timestamp before the earliest retained commit raises."""
+    import json as _json
+    import time as _time
+
+    import pytest
+
+    p = str(tmp_path / "tt")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "k long"), p)
+    t_after_v1 = _time.time()
+    _time.sleep(0.05)
+    TX.tx_write(spark, spark.createDataFrame([(2,)], "k long"), p, mode="append")
+    TX.tx_write(spark, spark.createDataFrame([(3,)], "k long"), p, mode="append")
+
+    assert TX.version_at_timestamp(spark, p, t_after_v1) == 1
+    assert rows(TX.tx_read(spark, p, timestamp=t_after_v1)) == [(1,)]
+    # after the latest commit: resolves to latest
+    assert TX.version_at_timestamp(spark, p, _time.time() + 60) == 3
+    # before the first commit: Delta's earliest-version error
+    with pytest.raises(ValueError, match="earliest retained"):
+        TX.version_at_timestamp(spark, p, t_after_v1 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        TX.tx_read(spark, p, version=1, timestamp=t_after_v1)
+    # ISO-8601 form resolves too (UTC)
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(
+        t_after_v1, tz=_dt.timezone.utc
+    ).isoformat()
+    assert TX.version_at_timestamp(spark, p, iso) == 1
+
+    # a legacy record without ts_ms inherits the previous effective stamp
+    rec = _json.loads(TX._read_text(spark, TX._version_path(p, 2)))
+    del rec["ts_ms"]
+    TX._write_text(spark, TX._version_path(p, 2), _json.dumps(rec))
+    assert TX.version_at_timestamp(spark, p, _time.time()) == 3
+    assert TX.version_at_timestamp(spark, p, t_after_v1) >= 1
