@@ -280,8 +280,10 @@ def _delete(spark: SparkSession, path: str) -> None:
     fs.delete(p, True)
 
 
-def _list_parquet_files(spark: SparkSession, root: str) -> list[str]:
-    """Recursive relative paths of parquet data files under ``root``."""
+def _list_parquet_files(spark: SparkSession, root: str) -> list[tuple[str, int]]:
+    """Recursive (relative path, size bytes) of parquet data files under
+    ``root`` — sizes flow into the manifest entries so maintenance ops
+    (small-file OPTIMIZE) can bin-pack without re-listing storage."""
     fs, p, _ = _fs(spark, root)
     out = []
     it = fs.listFiles(p, True)
@@ -291,7 +293,7 @@ def _list_parquet_files(spark: SparkSession, root: str) -> list[str]:
         full = st.getPath().toString()
         name = st.getPath().getName()
         if name.endswith(".parquet") and not name.startswith(("_", ".")):
-            out.append(full[len(prefix) :].lstrip("/"))
+            out.append((full[len(prefix) :].lstrip("/"), int(st.getLen())))
     return sorted(out)
 
 
@@ -772,7 +774,9 @@ def _write_batch(
     writer.save(batch_dir)
     finish(path)
     spark = df.sparkSession
-    rels = _list_parquet_files(spark, batch_dir)
+    listed = _list_parquet_files(spark, batch_dir)
+    sizes = dict(listed)
+    rels = [r for r, _ in listed]
     stats: dict[str, dict] = {}
     if stat_cols and rels:
         aggs = []
@@ -856,6 +860,7 @@ def _write_batch(
         {
             "path": f"{_DATA}/{batch}/{rel}",
             "partition": _partition_of(rel),
+            "bytes": sizes[rel],
             **({"stats": stats[rel]} if rel in stats else {}),
             **({"bloom": blooms[rel]} if rel in blooms else {}),
         }
@@ -1881,6 +1886,7 @@ def tx_compact(
     cluster_by: list[str] | None = None,
     zorder: bool = False,
     bloom_for: list[str] | None = None,
+    small_bytes: int | None = None,
 ) -> int:
     """Small-file compaction (OPTIMIZE): rewrite the current snapshot as
     one fresh batch — collapses the per-commit batch dirs a long history
@@ -1888,6 +1894,14 @@ def tx_compact(
     partition when partitioned). A normal commit: old versions stay
     time-travelable until vacuumed, readers never see a half-compacted
     table.
+
+    ``small_bytes`` switches to INCREMENTAL OPTIMIZE (Delta's bin-packing
+    behavior — the only form that survives 100 TB: a full rewrite of a
+    petabyte table is not a maintenance op): only files SMALLER than the
+    threshold are rewritten — plus any file carrying a deletion vector or
+    predating size stamps (both must materialize) — and every
+    right-sized file is carried forward BY REFERENCE. Not combinable
+    with ``cluster_by`` (clustering is a global re-sort by definition).
 
     ``cluster_by`` (OPTIMIZE ... ZORDER's practical effect for the
     leading columns): range-repartition + sort on those columns, so each
@@ -1902,6 +1916,16 @@ def tx_compact(
     2-column predicates skip files on BOTH columns — lexicographic
     clustering leaves the second column's per-file ranges near-full-width
     (every file spans all of col2 within its col1 slice)."""
+    if small_bytes is not None:
+        if cluster_by:
+            raise ValueError(
+                "small_bytes (incremental OPTIMIZE) cannot cluster — "
+                "clustering is a global re-sort; run them separately"
+            )
+        return _compact_small(
+            spark, path, partition_by, n_files, stats_for, bloom_for,
+            small_bytes,
+        )
     df = tx_read(spark, path)
     if cluster_by:
         if zorder and len(cluster_by) >= 2:
@@ -1926,6 +1950,68 @@ def tx_compact(
             else df.repartition(n_files)
         )
     return tx_write(spark, df, path, partition_by, "overwrite", stats_for, bloom_for)
+
+
+def _compact_small(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None,
+    n_files: int | None,
+    stats_for: list[str] | None,
+    bloom_for: list[str] | None,
+    small_bytes: int,
+) -> int:
+    """Incremental OPTIMIZE: rewrite only the under-threshold files (plus
+    DV'd or unsized entries), carry every right-sized file forward by
+    reference. Conflict contract: the rewritten read set must survive to
+    commit time (a concurrent commit touching any of those files raises
+    TxConflictError); files added concurrently are re-carried from the
+    winner's manifest and commit fine."""
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    manifest = read_manifest(spark, path, cur)
+    small = [
+        f
+        for f in manifest["files"]
+        if f.get("dv") or f.get("bytes") is None or f["bytes"] < small_bytes
+    ]
+    if len(small) <= 1 and not any(f.get("dv") for f in small):
+        return cur  # nothing to bin-pack
+    df = _read_files(spark, path, small, manifest["schema"])
+    if n_files:
+        df = (
+            df.repartition(n_files, *partition_by)
+            if partition_by
+            else df.repartition(n_files)
+        )
+    _, new_files = _write_batch(df, path, partition_by, stats_for, bloom_for)
+    small_paths = {f["path"] for f in small}
+
+    def build(now: int | None) -> dict:
+        now_files = (
+            read_manifest(spark, path, now)["files"] if now is not None else []
+        )
+        now_paths = {f["path"] for f in now_files}
+        if small_paths - now_paths:
+            raise TxConflictError(
+                f"compact at {path}: files in the read set were removed "
+                f"concurrently (base v{cur}, now v{now})"
+            )
+        return {
+            "op": "compact",
+            "schema": manifest["schema"],
+            "add": new_files,
+            "remove": sorted(small_paths),
+            "truncate": False,
+        }
+
+    try:
+        return _commit(spark, path, build)
+    except TxConflictError:
+        for f in new_files:
+            _delete(spark, f"{path.rstrip('/')}/{f['path']}")
+        raise
 
 
 def _split_files_by_range(

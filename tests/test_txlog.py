@@ -1596,3 +1596,49 @@ def test_timestamp_time_travel(spark, tmp_path):
     TX._write_text(spark, TX._version_path(p, 2), _json.dumps(rec))
     assert TX.version_at_timestamp(spark, p, _time.time()) == 3
     assert TX.version_at_timestamp(spark, p, t_after_v1) >= 1
+
+
+def test_incremental_optimize_small_files(spark, tmp_path):
+    """small_bytes (incremental OPTIMIZE / Delta bin-packing): only
+    under-threshold files rewrite; right-sized files carry forward BY
+    REFERENCE — the only compaction shape that survives a petabyte table.
+    DV'd files rewrite regardless (materialization)."""
+    import pytest
+
+    p = str(tmp_path / "opt")
+    big = spark.createDataFrame(
+        [(i, "x" * 200) for i in range(2000)], "k long, pad string"
+    ).repartition(1)
+    TX.tx_write(spark, big, p)  # v1: one big file
+    for i in range(3):  # v2-v4: three tiny single-row files
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([(10000 + i, "t")], "k long, pad string")
+            .repartition(1),
+            p,
+            mode="append",
+        )
+    m = TX.read_manifest(spark, p, 4)
+    assert all(isinstance(f.get("bytes"), int) for f in m["files"])
+    big_paths = {f["path"] for f in m["files"] if f["bytes"] >= 4096}
+    assert len(m["files"]) == 4 and len(big_paths) == 1
+
+    v = TX.tx_compact(spark, p, small_bytes=4096, n_files=1)
+    assert v == 5
+    m5 = TX.read_manifest(spark, p, 5)
+    assert big_paths <= {f["path"] for f in m5["files"]}  # carried by ref
+    assert len(m5["files"]) == 2  # big + ONE packed file
+    assert TX.tx_read(spark, p).count() == 2003
+
+    # a DV'd big file is rewritten even above the threshold
+    TX.tx_delete(spark, p, where={"k": (0, 9)}, use_dv=True)
+    TX.tx_compact(spark, p, small_bytes=4096, n_files=1)
+    mf = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    assert not any(f.get("dv") for f in mf["files"])
+    assert TX.tx_read(spark, p).count() == 1993
+
+    # threshold finding nothing to pack: version unchanged
+    cur = TX.current_version(spark, p)
+    assert TX.tx_compact(spark, p, small_bytes=1) == cur
+    with pytest.raises(ValueError, match="cannot cluster"):
+        TX.tx_compact(spark, p, small_bytes=4096, cluster_by=["k"])
