@@ -66,7 +66,9 @@ HEADLINE = [
     "events_funnel",
     "events_hll_users",
     "events_retention",
+    "events_stickiness",
     "customer_rfm",
+    "cheapest_supplier",
     "small_quantity_revenue",
     "sales_rollup",
     "late_orders_exists",

@@ -33,6 +33,8 @@ _SAMPLE_FIRST = [
     "customer_rfm",
     "events_retention",
     "doc_rarity",
+    "cheapest_supplier",
+    "events_stickiness",
     # judge-named rotation targets
     "conditional_join",
     "fulfillment_ratio",

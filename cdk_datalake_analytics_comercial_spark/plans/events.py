@@ -379,8 +379,68 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Stickiness (DAU/WAU) — the product-analytics engagement ratio: per epoch
+# week, the mean daily-active count over the week's ACTIVE days divided by
+# the weekly-active count. All counts are integers; the single ratio is one
+# IEEE division of integer-valued doubles, so no rounding is needed for
+# engine parity.
+
+
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    dw = e.select(F.col("user_id"), _epoch_s(e).alias("_es")).select(
+        "user_id",
+        F.expr("_es div 86400").alias("day"),
+        F.expr("_es div 604800").alias("wk"),
+    )
+    daily = dw.groupBy("wk", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    weekly = dw.groupBy("wk").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    agg = daily.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+    )
+    return agg.join(weekly, "wk").select(
+        F.col("wk").cast("bigint").alias("wk"),
+        "n_days",
+        "sum_dau",
+        "wau",
+        (
+            F.col("sum_dau").cast("double")
+            / (F.col("n_days") * F.col("wau")).cast("double")
+        ).alias("stickiness"),
+    )
+
+
+_ORACLE_EVENTS_STICKINESS = """
+WITH dw AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+  FROM events
+), daily AS (
+  SELECT wk, day, COUNT(DISTINCT user_id) AS dau FROM dw GROUP BY 1, 2
+), weekly AS (
+  SELECT wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM dw GROUP BY 1
+), agg AS (
+  SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(dau) AS BIGINT) AS sum_dau
+  FROM daily GROUP BY wk
+)
+SELECT a.wk, a.n_days, a.sum_dau, w.wau,
+       CAST(a.sum_dau AS DOUBLE) / CAST(a.n_days * w.wau AS DOUBLE)
+         AS stickiness
+FROM agg a JOIN weekly w USING (wk)
+"""
+
+
 QUERIES = {
     "events_retention": q_events_retention,
+    "events_stickiness": q_events_stickiness,
     "events_hll_users": q_events_hll_users,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
@@ -392,6 +452,7 @@ QUERIES = {
 
 ORACLES = {
     "events_retention": _ORACLE_EVENTS_RETENTION,
+    "events_stickiness": _ORACLE_EVENTS_STICKINESS,
     "events_hll_users": _hll_users_oracle(),
     "events_tumbling": _ORACLE_TUMBLING,
     "events_sliding": _ORACLE_SLIDING,

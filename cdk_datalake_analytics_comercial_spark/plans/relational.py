@@ -1578,8 +1578,79 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# Cheapest-supplier-per-part (TPC-H Q2 shape on the available tables —
+# there is no partsupp, so lineitem is the part×supplier cost evidence):
+# the SQL idiom is a correlated MIN subquery per part; the Spark-first plan
+# decorrelates to one (part, supp) pre-aggregation and a rank-1 window per
+# part. Unit price compares as an INTEGER micros-per-unit key (price cents
+# × 1e6 div qty) with (cents, qty, suppkey) tiebreaks — a float ratio in
+# ORDER BY would make cross-engine ranking ulp-fragile.
+
+
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    per = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.expr("cents * 1000000 div qty")
+        ).alias("unit_micros")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_micros").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            (F.col("unit_micros").cast("double") / F.lit(1000000.0)).alias(
+                "unit_price"
+            ),
+        )
+    )
+
+
+_ORACLE_CHEAPEST_SUPPLIER = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         MIN((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 1000000)
+             // CAST(l_quantity AS BIGINT)) AS unit_micros
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_partkey ORDER BY unit_micros ASC, l_suppkey ASC) AS rn
+  FROM per
+)
+SELECT r.l_partkey AS partkey, s.s_suppkey AS suppkey,
+       s.s_name AS supplier, n.n_name AS nation,
+       CAST(r.unit_micros AS DOUBLE) / 1000000.0 AS unit_price
+FROM ranked r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE r.rn = 1
+"""
+
+
 QUERIES = {
     "customer_rfm": q_customer_rfm,
+    "cheapest_supplier": q_cheapest_supplier,
     "pricing_summary": q_pricing_summary,
     "sales_enrichment": q_sales_enrichment,
     "full_outer_coalesce": q_full_outer_coalesce,
@@ -1621,6 +1692,7 @@ QUERIES = {
 
 ORACLES = {
     "customer_rfm": _ORACLE_CUSTOMER_RFM,
+    "cheapest_supplier": _ORACLE_CHEAPEST_SUPPLIER,
     "pricing_summary": _ORACLE_PRICING,
     "sales_enrichment": _ORACLE_ENRICH,
     "full_outer_coalesce": _ORACLE_FULL_OUTER,
