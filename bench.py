@@ -69,6 +69,8 @@ HEADLINE = [
     "events_stickiness",
     "customer_rfm",
     "cheapest_supplier",
+    "orders_abc_pareto",
+    "part_affinity",
     "small_quantity_revenue",
     "sales_rollup",
     "late_orders_exists",

@@ -35,6 +35,8 @@ _SAMPLE_FIRST = [
     "doc_rarity",
     "cheapest_supplier",
     "events_stickiness",
+    "orders_abc_pareto",
+    "part_affinity",
     # judge-named rotation targets
     "conditional_join",
     "fulfillment_ratio",

@@ -1648,9 +1648,165 @@ WHERE r.rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# ABC / Pareto classification — the inventory-analytics cut the reference's
+# valuation jobs feed: parts ranked by exact-decimal revenue, cumulative
+# share thresholds 80/95% → A/B/C classes. The cumulative sum runs in
+# DECIMAL over the ordered window (exact, order-independent); shares
+# surface through decimal(24,4) → double: the 2dp×2dp products are EXACTLY
+# 4dp, so that rescale is LOSSLESS (no rounding mode in play — a 2dp
+# rescale would hit half-boundaries where Spark HALF_UP and DuckDB differ)
+# and the scaled integer stays under 2^53, so the one division per row is
+# bit-identical across engines and the threshold CASE can never flip.
+
+
+def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = t(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(
+            dmul2(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount"))
+        ).alias("_rev_dec")
+    )
+    w = Window.orderBy(F.col("_rev_dec").desc(), F.col("l_partkey").asc())
+    total = rev.agg(F.sum("_rev_dec").alias("_tot_dec"))
+    scored = (
+        rev.withColumn(
+            "_cum_dec",
+            F.sum("_rev_dec").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("_rev_dec").cast("decimal(24,4)").cast("double").alias(
+                "revenue"
+            ),
+            (
+                F.col("_cum_dec").cast("decimal(24,4)").cast("double")
+                / F.col("_tot_dec").cast("decimal(24,4)").cast("double")
+            ).alias("cum_share"),
+        )
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return scored.select("partkey", "revenue", "cum_share", cls.alias("abc"))
+
+
+_ORACLE_ABC_PARETO = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,6))
+             * CAST(1 - l_discount AS DECIMAL(12,6))) AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+), scored AS (
+  SELECT l_partkey,
+         CAST(CAST(rev_dec AS DECIMAL(24,4)) AS DOUBLE) AS revenue,
+         CAST(CAST(SUM(rev_dec) OVER (
+             ORDER BY rev_dec DESC, l_partkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(24,4)) AS DOUBLE)
+         / CAST(CAST((SELECT SUM(rev_dec) FROM rev) AS DECIMAL(24,4)) AS DOUBLE)
+           AS cum_share
+  FROM rev
+)
+SELECT l_partkey AS partkey, revenue, cum_share,
+       CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# Market-basket affinity — co-occurrence of part pairs within an order,
+# with support and lift. The pair generation is an EQUI self-join on
+# l_orderkey over the deduped (order, part) grain with p1 < p2 — globally
+# linear in Σ(order_size²) with order sizes bounded ~7 in TPC-H shape,
+# never a cartesian. All counts integer; support/lift are single IEEE
+# divisions of integer-valued doubles (bit-identical, no rounding).
+
+
+def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().count()
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    per_part = op.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_p")
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_part.withColumnsRenamed({"p": "p1", "n_p": "n1"})),
+            "p1",
+        )
+        .join(
+            F.broadcast(per_part.withColumnsRenamed({"p": "p2", "n_p": "n2"})),
+            "p2",
+        )
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            (F.col("n_both").cast("double") / F.lit(float(n_orders))).alias(
+                "support"
+            ),
+            (
+                (F.col("n_both") * F.lit(n_orders)).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+_ORACLE_PART_AFFINITY = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+), per_part AS (
+  SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS n_p FROM op GROUP BY 1
+)
+SELECT pr.p1, pr.p2, pr.n_both,
+       CAST(pr.n_both AS DOUBLE)
+         / CAST((SELECT n_orders FROM n) AS DOUBLE) AS support,
+       CAST(pr.n_both * (SELECT n_orders FROM n) AS DOUBLE)
+         / CAST(c1.n_p * c2.n_p AS DOUBLE) AS lift
+FROM pairs pr
+JOIN per_part c1 ON pr.p1 = c1.p
+JOIN per_part c2 ON pr.p2 = c2.p
+"""
+
+
 QUERIES = {
     "customer_rfm": q_customer_rfm,
     "cheapest_supplier": q_cheapest_supplier,
+    "orders_abc_pareto": q_orders_abc_pareto,
+    "part_affinity": q_part_affinity,
     "pricing_summary": q_pricing_summary,
     "sales_enrichment": q_sales_enrichment,
     "full_outer_coalesce": q_full_outer_coalesce,
@@ -1693,6 +1849,8 @@ QUERIES = {
 ORACLES = {
     "customer_rfm": _ORACLE_CUSTOMER_RFM,
     "cheapest_supplier": _ORACLE_CHEAPEST_SUPPLIER,
+    "orders_abc_pareto": _ORACLE_ABC_PARETO,
+    "part_affinity": _ORACLE_PART_AFFINITY,
     "pricing_summary": _ORACLE_PRICING,
     "sales_enrichment": _ORACLE_ENRICH,
     "full_outer_coalesce": _ORACLE_FULL_OUTER,

@@ -36,6 +36,7 @@ INTENTIONAL_CROSS = {
     # stream-side pass — the standard Spark idiom for decorrelated scalars
     "customer_rfm",
     "doc_rarity",
+    "orders_abc_pareto",
 }
 
 

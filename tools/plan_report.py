@@ -49,6 +49,7 @@ INTENTIONAL_CROSS = {
     "monthly_interpolate": "keys × exploded-bounds month axis (dense calendar grid)",
     "customer_rfm": "scalar anchor date: 1-row broadcast crossJoin (O(n) stream side)",
     "doc_rarity": "scalar corpus doc count: 1-row broadcast crossJoin (O(n) stream side)",
+    "orders_abc_pareto": "scalar revenue total: 1-row broadcast crossJoin (O(n) stream side)",
 }
 
 # Queries whose result comes from a DRIVER LOOP over checkpointed rounds
