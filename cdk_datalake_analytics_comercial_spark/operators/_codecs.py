@@ -6,13 +6,14 @@ parseable without native codec libraries (none are in this environment):
 - images: PPM (binary ``P6``), uncompressed 24-bit BMP (``BM``, BI_RGB),
   8-bit PNG (all color types, all row filters — PNG is zlib + per-row
   filtering, fully decodable with stdlib ``zlib`` and numpy), and
-  baseline JPEG (full T.81 sequential decoder in ``_jpeg.py`` — Huffman,
-  IDCT, subsampling, restart markers; progressive raises)
+  JPEG — baseline sequential AND progressive (full T.81 decoder in
+  ``_jpeg.py`` — Huffman, IDCT, subsampling, restart markers, spectral
+  selection + successive approximation; arithmetic coding raises)
 - audio:  PCM WAV (``RIFF..WAVE``, 16-bit), parsed from the chunk layout
 - video:  a concatenated-P6 frame stream (an MJPEG-shaped uncompressed
   container: back-to-back PPM frames)
 
-Remaining env-blocked codecs (MP3/MP4/progressive JPEG) raise
+Remaining env-blocked codecs (MP3/MP4/arithmetic JPEG) raise
 ``NotImplementedError`` — they need ffmpeg-class dependencies; the
 operators keep the same Arrow-batched plumbing either way, so plugging a
 real codec in later does not change any plan shape.

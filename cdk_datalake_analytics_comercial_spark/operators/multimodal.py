@@ -4,10 +4,11 @@ The Spark-side contract — schemas, partitioning, Arrow batch shape through
 ``mapInPandas`` — is identical for both decode paths:
 
 - ``fake=False`` (default): REAL decoding via :mod:`._codecs` (pure
-  numpy/stdlib — PPM/24-bit-BMP/8-bit-PNG/baseline-JPEG images, PCM-16
-  WAV audio incl. an FFT/mel/DCT MFCC, concatenated-P6 frame streams).
-  Codecs needing ffmpeg-class native libraries (MP3/MP4, progressive
-  JPEG) raise ``NotImplementedError`` — UNLESS a native decoder plugin
+  numpy/stdlib — PPM/24-bit-BMP/8-bit-PNG images, baseline AND
+  progressive JPEG, PCM-16 WAV audio incl. an FFT/mel/DCT MFCC,
+  concatenated-P6 frame streams). Codecs needing ffmpeg-class native
+  libraries (MP3/MP4, arithmetic-coded JPEG) raise
+  ``NotImplementedError`` — UNLESS a native decoder plugin
   handles them: ``register_image_decoder`` / ``register_audio_decoder``
   / ``register_video_decoder`` add fallbacks tried after the portable
   codec refuses, and PIL is auto-discovered on the executors when
@@ -34,6 +35,7 @@ output schema (no schema inference at runtime).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -251,7 +253,7 @@ def image_features(
                         h, w = img.shape[:2]
                         luma = float(_codecs.luma(img).mean()) / 255.0
                         feats = _codecs.luma_histogram(img, feature_dim)
-                except (NotImplementedError, ValueError) as e:
+                except (NotImplementedError, ValueError, EOFError, struct.error) as e:
                     if not skip:
                         raise
                     rows.append((int(mid), None, None, None, None, str(e)))
@@ -312,7 +314,7 @@ def image_resize(
                         resized = _codecs.encode_ppm(
                             _codecs.resize_nearest(img, target_w, target_h)
                         )
-                except (NotImplementedError, ValueError) as e:
+                except (NotImplementedError, ValueError, EOFError, struct.error) as e:
                     if not skip:
                         raise
                     rows.append((int(mid), None, None, None, str(e)))
@@ -376,7 +378,7 @@ def audio_features(
                         dur = int(round(len(samples) / rate * 1000.0))
                         rms = float((samples ** 2).mean() ** 0.5) if len(samples) else 0.0
                         coeffs = _codecs.mfcc(samples, rate, n_mfcc=n_mfcc)
-                except (NotImplementedError, ValueError) as e:
+                except (NotImplementedError, ValueError, EOFError, struct.error) as e:
                     if not skip:
                         raise
                     rows.append((int(mid), None, None, None, str(e)))
@@ -442,7 +444,7 @@ def frame_sample(
                             (int(mid), i, i * 1000, frames[i])
                             for i in range(0, len(frames), step)
                         ]
-                except (NotImplementedError, ValueError) as e:
+                except (NotImplementedError, ValueError, EOFError, struct.error) as e:
                     if not skip:
                         raise
                     rows.append((int(mid), None, None, None, str(e)))

@@ -92,18 +92,124 @@ def test_grayscale_input():
     assert psnr(np.stack([g, g, g], axis=2), dec) > 45
 
 
-def test_decode_rejects_progressive_and_truncated():
+def test_decode_rejects_arithmetic_and_truncated():
     img = gradient_image(16, 16)
     enc = bytearray(J.encode_jpeg(img, quality=85))
-    # flip SOF0 (0xC0) to SOF2 (progressive): honest NotImplementedError
+    # flip SOF0 (0xC0) to SOF9 (arithmetic): honest NotImplementedError
     sof = enc.find(b"\xff\xc0")
+    arith = enc[:sof] + b"\xff\xc9" + enc[sof + 2 :]
+    with pytest.raises(NotImplementedError, match="0xc9"):
+        J.decode_jpeg(bytes(arith))
+    # flipping to SOF2 makes the baseline full-band SOS header invalid as
+    # a progressive scan (Ss=0 requires Se=0) — rejected, not misdecoded
     prog = enc[:sof] + b"\xff\xc2" + enc[sof + 2 :]
-    with pytest.raises(NotImplementedError, match="0xc2"):
+    with pytest.raises(ValueError, match="Se=0"):
         J.decode_jpeg(bytes(prog))
     with pytest.raises((EOFError, ValueError)):
         J.decode_jpeg(bytes(enc[: len(enc) // 2]))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"not a jpeg")
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2)
+
+
+@pytest.mark.parametrize(
+    "shape,subsample,quality",
+    [((48, 64), False, 85), ((40, 56), True, 85), ((17, 23), False, 40),
+     ((25, 33), True, 95), ((1, 1), False, 90)],
+)
+def test_progressive_decodes_bit_identical_to_baseline(shape, subsample, quality):
+    """Baseline and progressive encoders quantize through the identical
+    expression, so after a COMPLETE scan script the decoded pixels must
+    match bit for bit — any coefficient lost anywhere in the progressive
+    path (EOB runs, refinement bits, band bookkeeping) breaks this."""
+    rng = np.random.default_rng(shape[0] * 100 + shape[1])
+    img = rng.integers(0, 256, size=(*shape, 3)).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=quality, subsample=subsample))
+    prog = J.decode_jpeg(
+        J.encode_jpeg_progressive(img, quality=quality, subsample=subsample)
+    )
+    assert np.array_equal(base, prog)
+    # noise + subsampling is JPEG's worst case; this is only a sanity floor
+    assert psnr(img, prog) > 10
+
+
+def test_progressive_spectral_selection_only_script():
+    # no successive approximation at all: DC scan + per-component AC bands
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(30, 42, 3)).astype(np.uint8)
+    scans = [(None, 0, 0, 0, 0), (0, 1, 8, 0, 0), (0, 9, 63, 0, 0),
+             (1, 1, 63, 0, 0), (2, 1, 63, 0, 0)]
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=80))
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=80, scans=scans))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_restart_intervals():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(30, 42, 3)).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=80))
+    for ri in (1, 2, 7):
+        enc = J.encode_jpeg_progressive(img, quality=80, restart_interval=ri)
+        assert np.array_equal(base, J.decode_jpeg(enc))
+
+
+def test_progressive_flat_image_exercises_long_eob_runs():
+    # every AC block is empty → EOBn with n>0 across whole scans
+    flat = np.full((33, 47, 3), 130, dtype=np.uint8)
+    enc = J.encode_jpeg_progressive(flat, quality=85)
+    assert np.array_equal(J.decode_jpeg(enc), flat)
+
+
+def test_progressive_grayscale_and_gradient():
+    g = gradient_image(32, 32)[:, :, 0]
+    base = J.decode_jpeg(J.encode_jpeg(g, quality=90))
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(g, quality=90))
+    assert np.array_equal(base, prog)
+    img = gradient_image(48, 64)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(img, quality=85, subsample=True)),
+        J.decode_jpeg(J.encode_jpeg_progressive(img, quality=85, subsample=True)),
+    )
+
+
+def test_progressive_truncated_raises():
+    img = gradient_image(24, 24)
+    enc = J.encode_jpeg_progressive(img, quality=85)
+    with pytest.raises((EOFError, ValueError)):
+        J.decode_jpeg(enc[: len(enc) // 2])
+
+
+def test_optimal_huffman_is_complete_and_canonical():
+    # skewed frequencies over a handful of symbols, incl. a singleton
+    freq = [0] * 256
+    freq[0x01], freq[0x11], freq[0x00], freq[0xF0], freq[0x21] = 500, 120, 80, 3, 1
+    bits, vals = J._optimal_huffman(freq)
+    assert sorted(vals) == sorted([0x01, 0x11, 0x00, 0xF0, 0x21])
+    codes = J._canonical_codes(bits, vals)  # raises if not canonical
+    assert all(length <= 16 for _, length in codes.values())
+    # prefix-freedom: no code is a prefix of another
+    as_bits = {format(c, f"0{l}b") for c, l in codes.values()}
+    for a in as_bits:
+        for b in as_bits:
+            if a != b:
+                assert not b.startswith(a)
+
+
+def test_spark_image_features_on_progressive_jpeg(spark):
+    from cdk_datalake_analytics_comercial_spark.operators import multimodal as M
+
+    red = np.zeros((12, 10, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    enc = J.encode_jpeg_progressive(red, quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(enc))], "media_id long, payload binary"
+    )
+    row = M.image_features(df, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (10, 12)
+    assert abs(row["mean_luma"] - 0.299) < 0.01
 
 
 def test_sniff_and_decode_image_dispatch():

@@ -443,10 +443,10 @@ def test_on_error_validated(spark):
 
 def _make_fake_pil_decoder():
     """Stand-in for a PIL-backed plugin (Pillow is not in this container):
-    accepts the progressive JPEGs the portable codec refuses and returns a
-    fixed 4x5 RGB array. Built as a CLOSURE so cloudpickle ships it by
-    value — a module-level test function would pickle by reference and the
-    executors cannot import the test module."""
+    accepts the arithmetic-coded JPEGs the portable codec refuses and
+    returns a fixed 4x5 RGB array. Built as a CLOSURE so cloudpickle ships
+    it by value — a module-level test function would pickle by reference
+    and the executors cannot import the test module."""
 
     def fake_pil_decoder(payload: bytes):
         import numpy as np
@@ -460,9 +460,11 @@ def _make_fake_pil_decoder():
     return fake_pil_decoder
 
 
-def _progressive_jpeg() -> bytes:
-    """A structurally real JPEG whose SOF0 marker is flipped to SOF2 —
-    exactly the format the pure-numpy codec refuses as progressive."""
+def _arithmetic_jpeg() -> bytes:
+    """A structurally real JPEG whose SOF0 marker is flipped to SOF9
+    (arithmetic coding) — a format the pure-numpy codec refuses.
+    (Progressive SOF2 is no longer a refusal: the portable decoder
+    handles it, see test_jpeg_codec.py.)"""
     import numpy as np
 
     from cdk_datalake_analytics_comercial_spark.operators import _jpeg as J
@@ -470,26 +472,26 @@ def _progressive_jpeg() -> bytes:
     enc = bytearray(J.encode_jpeg(np.full((8, 8, 3), 128, dtype=np.uint8)))
     i = enc.find(b"\xff\xc0")
     assert i > 0
-    enc[i + 1] = 0xC2
+    enc[i + 1] = 0xC9
     return bytes(enc)
 
 
-def test_native_decoder_registry_handles_progressive_jpeg(spark):
-    """VERDICT r4 #5: with a PIL-like plugin registered, a progressive
-    JPEG decodes through the SAME image_features API; without it, the
-    payload lands as a flagged skip row (or raises in strict mode). The
-    portable path stays first: payloads the numpy codecs support never
-    touch a plugin."""
-    prog = _progressive_jpeg()
+def test_native_decoder_registry_handles_refused_jpeg(spark):
+    """VERDICT r4 #5: with a PIL-like plugin registered, a JPEG variant
+    the portable codec refuses (arithmetic-coded) decodes through the
+    SAME image_features API; without it, the payload lands as a flagged
+    skip row (or raises in strict mode). The portable path stays first:
+    payloads the numpy codecs support never touch a plugin."""
+    prog = _arithmetic_jpeg()
     df = spark.createDataFrame(
         [(1, bytearray(prog))], "media_id long, payload binary"
     )
 
     # without a plugin: strict mode raises, skip mode flags
-    with pytest.raises(PythonException, match="progressive"):
+    with pytest.raises(PythonException, match="arithmetic"):
         M.image_features(df, fake=False).collect()
     flagged = M.image_features(df, fake=False, on_error="skip").collect()[0]
-    assert flagged["width"] is None and "progressive" in flagged["error"]
+    assert flagged["width"] is None and "arithmetic" in flagged["error"]
 
     dec = _make_fake_pil_decoder()
     M.register_image_decoder(dec)
