@@ -304,6 +304,166 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+# --------------------------------------------------------------------------
+# incremental dedup against a persisted fingerprint index.
+#
+# At 100 TB you do not re-minhash the corpus per ingest: the historical
+# batches live as an (id, hs, sig) fingerprint table (txlog/parquet — ~5-10%
+# of text volume) and each NEW batch is sketched once, probed against the
+# index's band buckets, and the survivors' fingerprints are APPENDED. The
+# index side never recomputes and never rescans its text. Reference pattern:
+# Broder-style sketch stores in web-crawl dedup (Manku et al., WWW 2007 §4,
+# "a Hamming-distance store queried by each newly crawled page").
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Fingerprint-index rows ``(id, hs: array<long>, sig: array<long>)``
+    for a corpus batch — what an incremental dedup pipeline persists.
+    ``hs`` (the distinct shingle hashes) enables exact-Jaccard verification
+    of future candidates without the original text; drop it and pass
+    ``verify="estimate"`` to :func:`minhash_dedup_incremental` if index
+    size matters more than verification exactness."""
+    hashed = hashed_shingles(df, text_col, id_col, k, portable)
+    return hashed.select(
+        "id",
+        F.col("_h").alias("hs"),
+        minhash_signature_pandas(num_hashes)(F.col("_h")).alias("sig"),
+    )
+
+
+def band_keys(
+    idx: DataFrame, num_hashes: int = 64, bands: int = 16, portable: bool = False
+) -> DataFrame:
+    """Explode index rows to ``(id, band, band_hash)`` probe keys. Persist
+    this (txlog ``cluster_by`` on band_hash, or bucketed parquet) to make
+    the incremental probe join bucket-colocated — the new batch's keys then
+    shuffle to the index's layout and the index moves nothing."""
+    rows = num_hashes // bands
+    if portable:
+        band_key = lambda b: F.slice(F.col("sig"), b * rows + 1, rows)  # noqa: E731
+    else:
+        band_key = lambda b: F.hash(F.slice(F.col("sig"), b * rows + 1, rows))  # noqa: E731
+    return idx.select(
+        "id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
+        ).alias("band", "band_hash"),
+    )
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    portable: bool = False,
+    verify: str = "exact",
+    index_banded: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against itself and a fingerprint index, without
+    touching historical text. Returns ``(survivors, new_index_rows)``:
+    ``survivors`` are the new rows to keep, ``new_index_rows`` their
+    ``(id, hs, sig)`` fingerprints to APPEND to the index table.
+
+    Semantics — history always wins: a new doc verified-similar to ANY
+    indexed doc is dropped regardless of id order; within the batch the
+    smaller id wins (so with monotonically increasing ids across batches,
+    one increment reproduces :func:`minhash_dedup` over the union,
+    restricted to the new rows). The index is assumed deduped (its own
+    survivors), so index-index pairs never arise.
+
+    ``verify="exact"`` computes true Jaccard from the stored shingle-hash
+    sets; ``"estimate"`` compares signature components only (index may omit
+    ``hs``) — the standard sketch-store tradeoff. ``index_banded`` accepts
+    a pre-exploded :func:`band_keys` table so a persisted, band-clustered
+    index skips the explode entirely.
+
+    Scale shape: ONE sketch pass over the new batch; the only corpus-sized
+    join is new-keys × index-keys on (band, band_hash) — bucket-bounded,
+    broadcastable when the new batch is small (AQE picks it), and the
+    verification join touches candidate pairs only."""
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    new_idx = minhash_index(
+        new_df, text_col, id_col, num_hashes, k, portable
+    ).localCheckpoint(eager=False)
+    nb = band_keys(new_idx, num_hashes, bands, portable).localCheckpoint(eager=False)
+
+    # candidate (loser, other) pairs: loser is always the new-batch doc
+    a, b = nb.alias("a"), nb.alias("b")
+    cand_new = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") > F.col("b.id")),
+        "inner",
+    ).select(F.col("a.id").alias("loser"), F.col("b.id").alias("other"))
+    cand = cand_new
+    if index_df is not None or index_banded is not None:
+        ob = (
+            index_banded
+            if index_banded is not None
+            else band_keys(index_df, num_hashes, bands, portable)
+        )
+        cand_old = nb.alias("a").join(
+            ob.alias("o"),
+            (F.col("a.band") == F.col("o.band"))
+            & (F.col("a.band_hash") == F.col("o.band_hash")),
+            "inner",
+        ).select(F.col("a.id").alias("loser"), F.col("o.id").alias("other"))
+        cand = cand.unionByName(cand_old)
+    cand = cand.distinct()
+
+    if verify == "exact":
+        feats = new_idx.select("id", F.col("hs").alias("_f"))
+        if index_df is not None:
+            feats = feats.unionByName(index_df.select("id", F.col("hs").alias("_f")))
+        from .expr import let
+
+        score = let(
+            F.size(F.array_intersect(F.col("_fl"), F.col("_fo"))).cast("double"),
+            lambda inter: inter / (F.size("_fl") + F.size("_fo") - inter),
+        )
+    else:
+        feats = new_idx.select("id", F.col("sig").alias("_f"))
+        if index_df is not None:
+            feats = feats.unionByName(index_df.select("id", F.col("sig").alias("_f")))
+        score = (
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("_fl"), F.col("_fo"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / F.lit(float(num_hashes))
+        )
+    fl = feats.select(F.col("id").alias("loser"), F.col("_f").alias("_fl"))
+    fo = feats.select(F.col("id").alias("other"), F.col("_f").alias("_fo"))
+    losers = (
+        cand.join(fl, "loser")
+        .join(fo, "other")
+        .filter(score >= F.lit(threshold))
+        .select(F.col("loser").alias(id_col))
+        .distinct()
+    )
+    survivors = new_df.join(losers, id_col, "left_anti")
+    new_rows = new_idx.join(
+        losers.withColumnRenamed(id_col, "id"), "id", "left_anti"
+    )
+    return survivors, new_rows
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -37,6 +37,7 @@ _SAMPLE_FIRST = [
     "events_stickiness",
     "orders_abc_pareto",
     "part_affinity",
+    "dedup_incremental",
     # judge-named rotation targets
     "conditional_join",
     "fulfillment_ratio",

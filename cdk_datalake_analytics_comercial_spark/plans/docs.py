@@ -297,6 +297,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup against a fingerprint index: even doc_ids
+    play the already-indexed history, odd doc_ids the newly ingested batch.
+    History always wins (even when an indexed id is larger); within the
+    batch the smaller id wins. Output = the new batch's survivors."""
+    d = t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    idx = dedup.minhash_index(old, "text", "doc_id", portable=True)
+    surv, _ = dedup.minhash_dedup_incremental(
+        new, idx, "text", "doc_id", threshold=0.5, portable=True
+    )
+    return surv.select("doc_id", "lang", "source")
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(d, "text", "doc_id", max_hamming=3, portable=True)
@@ -346,6 +361,40 @@ WITH {_SQL_HSETS}, sigs AS (
 )
 SELECT doc_id, lang, source FROM documents
 WHERE doc_id NOT IN (SELECT id_b FROM verified)
+"""
+
+# Incremental dedup: same sketch/band/verify CTEs over ALL docs; the loser
+# of a verified pair is the NEW (odd) doc whenever the pair crosses the
+# index boundary (history wins, id order irrelevant), else the greater id;
+# index-internal (even-even) pairs never drop anything.
+_ORACLE_DEDUP_INCREMENTAL = f"""
+WITH {_SQL_HSETS}, sigs AS (
+  SELECT id, list_transform({_minhash_params_sql(64)}, p ->
+           list_min(list_transform(hs, x -> (p.a * x + p.b) % 2147483647))) AS sig
+  FROM hsets
+), banded AS (
+  SELECT id, t.band AS band, sig[(t.band * 4 + 1):(t.band * 4 + 4)] AS key
+  FROM sigs, range(0, 16) t(band)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN hsets ha ON ha.id = c.id_a
+  JOIN hsets hb ON hb.id = c.id_b
+  WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+        / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= 0.5
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (
+    SELECT CASE WHEN id_a % 2 = 1 AND id_b % 2 = 0 THEN id_a
+                WHEN id_a % 2 = 0 AND id_b % 2 = 1 THEN id_b
+                ELSE id_b END
+    FROM verified
+    WHERE id_a % 2 = 1 OR id_b % 2 = 1
+  )
 """
 
 # SimHash: bit i of the fingerprint is the majority vote over the shingle
@@ -1967,6 +2016,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "dq_report": q_dq_report,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
@@ -2020,6 +2070,7 @@ ORACLES = {
     "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,
     "multimodal_resize": _ORACLE_MULTIMODAL_RESIZE,
     "dedup_minhash": _ORACLE_DEDUP_MINHASH,
+    "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
     "dedup_simhash_pairs": _ORACLE_DEDUP_SIMHASH,
     "emb_lsh_topk": _ORACLE_LSH_TOPK,
     "emb_lsh_multitable": _ORACLE_LSH_MULTITABLE,

@@ -138,3 +138,90 @@ def test_vectorized_kernels_match_hof(spark):
     vec_fp = {r["id"]: r["fp"] for r in hashed.select(
         "id", make_simhash_udf(31)(F.col("_h")).alias("fp")).collect()}
     assert hof_fp == vec_fp
+
+
+# --------------------------------------------------------------------------
+# incremental dedup against a fingerprint index
+
+
+NEAR_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+NEAR_B = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda nu"
+FAR_1 = "one two three four five six seven eight nine ten eleven twelve"
+FAR_2 = "red orange yellow green blue indigo violet pink brown black white grey"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_equals_batch_on_monotonic_ids(spark):
+    """With ids increasing across batches, one increment must reproduce
+    minhash_dedup over the union, restricted to the new rows."""
+    old = _docs(spark, [(0, NEAR_A), (1, FAR_1)])
+    new = _docs(spark, [(2, NEAR_B), (3, FAR_2), (4, FAR_2 + " extra")])
+    idx = D.minhash_index(old)
+    surv, new_rows = D.minhash_dedup_incremental(new, idx)
+    got = sorted(r["doc_id"] for r in surv.collect())
+    batch = D.minhash_dedup(old.unionByName(new))
+    want = sorted(
+        r["doc_id"] for r in batch.collect() if r["doc_id"] >= 2
+    )
+    assert got == want
+    # 2 dropped (dup of indexed 0); 4 dropped (near-dup of in-batch 3)
+    assert got == [3]
+    assert sorted(r["id"] for r in new_rows.collect()) == [3]
+
+
+def test_incremental_history_wins_regardless_of_id_order(spark):
+    """An indexed doc with a HIGHER id than its new duplicate still wins:
+    the new doc is dropped (batch semantics would drop the indexed one)."""
+    old = _docs(spark, [(10, NEAR_A)])
+    new = _docs(spark, [(1, NEAR_B)])
+    surv, new_rows = D.minhash_dedup_incremental(new, D.minhash_index(old))
+    assert surv.count() == 0
+    assert new_rows.count() == 0
+
+
+def test_incremental_first_batch_no_index(spark):
+    new = _docs(spark, [(0, NEAR_A), (1, NEAR_B), (2, FAR_1)])
+    surv, new_rows = D.minhash_dedup_incremental(new, None)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [0, 2]
+    rows = {r["id"]: r for r in new_rows.collect()}
+    assert sorted(rows) == [0, 2]
+    assert len(rows[0]["sig"]) == 64 and len(rows[0]["hs"]) > 0
+
+
+def test_incremental_estimate_verify_and_banded_index(spark):
+    """verify='estimate' works from signatures alone, and a pre-exploded
+    band_keys() table can stand in for the index."""
+    old = _docs(spark, [(0, NEAR_A), (1, FAR_1)])
+    idx = D.minhash_index(old)
+    banded = D.band_keys(idx)
+    new = _docs(spark, [(2, NEAR_A), (3, FAR_2)])  # 2 = EXACT dup of 0
+    surv, _ = D.minhash_dedup_incremental(
+        new, idx, verify="estimate", index_banded=banded
+    )
+    assert sorted(r["doc_id"] for r in surv.collect()) == [3]
+
+
+def test_incremental_chain_over_txlog_index(spark, tmp_path):
+    """Three-batch pipeline with the fingerprint index persisted in a
+    txlog table: sketch once per batch, append survivors' fingerprints
+    transactionally, end state equals the expected survivor set."""
+    from cdk_datalake_analytics_comercial_spark.sources import txlog as X
+
+    path = str(tmp_path / "fp_index")
+    batches = [
+        [(0, NEAR_A), (1, FAR_1)],
+        [(2, NEAR_B), (3, FAR_2)],          # 2 dups indexed 0
+        [(4, FAR_1 + " !"), (5, FAR_2), (6, "totally fresh words appear here now")],
+    ]  # 4 dups indexed 1, 5 dups indexed 3
+    kept = []
+    for i, rows in enumerate(batches):
+        new = _docs(spark, rows)
+        idx = X.tx_read(spark, path) if i else None
+        surv, new_rows = D.minhash_dedup_incremental(new, idx)
+        kept += [r["doc_id"] for r in surv.collect()]
+        X.tx_write(spark, new_rows, path, mode="append")
+    assert sorted(kept) == [0, 1, 3, 6]
+    assert sorted(r["id"] for r in X.tx_read(spark, path).collect()) == [0, 1, 3, 6]
