@@ -38,6 +38,8 @@ _SAMPLE_FIRST = [
     "orders_abc_pareto",
     "part_affinity",
     "dedup_incremental",
+    "regional_supplier_volume",
+    "large_orders",
     # judge-named rotation targets
     "conditional_join",
     "fulfillment_ratio",

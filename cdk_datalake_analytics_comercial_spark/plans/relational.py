@@ -1802,7 +1802,110 @@ JOIN per_part c2 ON pr.p2 = c2.p
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape — regional same-nation supplier volume: the heaviest classic
+# multi-join (fact × fact × 4 dims) with a non-key equality (customer and
+# supplier must share a nation). Engine shape: dims filtered FIRST and
+# broadcast; the only big shuffles are the two fact joins on their keys.
+
+
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey, "inner"))
+    out = (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"), "inner")
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+            "inner",
+        )
+        .join(nr, F.col("s_nationkey") == F.col("n_nationkey"), "inner")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum_to_double(
+                F.sum(
+                    dmul2(
+                        F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")
+                    ).cast("decimal(38,12)")
+                )
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+    return out
+
+
+_ORACLE_REGIONAL_VOLUME = """
+SELECT n_name AS nation,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS DECIMAL(20,6)) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume orders: group-aggregate a fact, HAVING-
+# filter the groups, then enrich the survivors through two dimension joins.
+# Engine shape: the HAVING prunes before any join; the orders join reuses
+# the aggregation's orderkey partitioning, customer broadcasts.
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_q"))
+        .filter(F.col("_q") > 150)
+    )
+    out = (
+        o.join(big, o.o_orderkey == big.l_orderkey, "inner")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("_q").cast("double").alias("sum_qty"),
+        )
+    )
+    return out
+
+
+_ORACLE_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS q
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 150
+)
+SELECT c_custkey AS custkey, c_name AS name, o_orderkey AS orderkey,
+       o_orderdate AS orderdate, o_totalprice AS totalprice,
+       CAST(q AS DOUBLE) AS sum_qty
+FROM orders
+JOIN big      ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES = {
+    "regional_supplier_volume": q_regional_supplier_volume,
+    "large_orders": q_large_orders,
     "customer_rfm": q_customer_rfm,
     "cheapest_supplier": q_cheapest_supplier,
     "orders_abc_pareto": q_orders_abc_pareto,
@@ -1847,6 +1950,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "regional_supplier_volume": _ORACLE_REGIONAL_VOLUME,
+    "large_orders": _ORACLE_LARGE_ORDERS,
     "customer_rfm": _ORACLE_CUSTOMER_RFM,
     "cheapest_supplier": _ORACLE_CHEAPEST_SUPPLIER,
     "orders_abc_pareto": _ORACLE_ABC_PARETO,
