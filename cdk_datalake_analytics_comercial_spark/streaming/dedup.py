@@ -27,6 +27,7 @@ Scale notes (100 TB/day ingest):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import text as T
 from .windows import with_event_time
@@ -58,3 +59,68 @@ def dedup_stream(
             ["fp"]
         )
     return e.dropDuplicates(["fp"])
+
+
+def near_dedup_ingest(
+    stream: DataFrame,
+    survivors_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous NEAR-duplicate dedup on ingest: each micro-batch is
+    MinHash-sketched once, probed against the txlog fingerprint index at
+    ``index_path`` via :func:`operators.dedup.minhash_dedup_incremental`,
+    and the surviving documents + their fingerprints land in two txlog
+    tables. History always wins; the index never recomputes.
+
+    Delivery semantics (exactly-once-in-effect under at-least-once
+    replay): both tables are written with ``tx_merge`` on the document id
+    — idempotent per batch — and the index probe EXCLUDES rows whose ids
+    are in the incoming batch, so a replayed batch sees exactly the index
+    its first run saw (its own fingerprints, committed by the interrupted
+    attempt, cannot make replayed documents self-match or shadow their
+    in-batch comparisons). Either table committing before a crash
+    therefore converges on restart.
+
+    Scale notes: state lives in the index table, not the state store —
+    the stream itself is stateless and restarts cheaply; the per-batch
+    cost is one sketch pass over the batch plus a band-bucket probe join
+    against the index (broadcastable batch side). Unlike the watermark-
+    bounded exact :func:`dedup_stream`, the horizon here is the whole
+    indexed history."""
+    from ..operators.dedup import minhash_dedup_incremental
+    from ..sources.txlog import current_version, tx_merge, tx_read
+
+    from pyspark.sql import functions as F
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        idx = None
+        if current_version(spark, index_path) is not None:
+            idx = tx_read(spark, index_path).join(
+                batch.select(F.col(id_col).alias("id")).distinct(),
+                "id",
+                "left_anti",
+            )
+        surv, rows = minhash_dedup_incremental(
+            batch, idx, text_col, id_col,
+            threshold=threshold, num_hashes=num_hashes, bands=bands, k=k,
+        )
+        tx_merge(spark, surv, survivors_path, [id_col])
+        tx_merge(spark, rows, index_path, ["id"])
+
+    writer = stream.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

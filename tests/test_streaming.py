@@ -361,3 +361,63 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.table("ssj").collect())
     assert got == batch
+
+
+def test_near_dedup_ingest_incremental_and_replay_safe(spark, tmp_path):
+    """Streaming near-dup dedup against a txlog fingerprint index:
+    catch-up runs (availableNow) dedup each new batch against history,
+    history wins, and a full replay from a lost checkpoint converges to
+    the same two tables (tx_merge idempotence + batch-id exclusion)."""
+    from cdk_datalake_analytics_comercial_spark.sources import txlog as X
+    from cdk_datalake_analytics_comercial_spark.streaming.dedup import (
+        near_dedup_ingest,
+    )
+
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda nu"
+    far_1 = "one two three four five six seven eight nine ten eleven twelve"
+    far_2 = "red orange yellow green blue indigo violet pink brown black white"
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    surv_path = str(tmp_path / "survivors")
+    idx_path = str(tmp_path / "fp_index")
+    schema = "doc_id long, text string"
+
+    def land(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    def run(checkpoint=ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = near_dedup_ingest(
+            stream, surv_path, idx_path, checkpoint=checkpoint
+        )
+        q.awaitTermination(120)
+
+    def ids(path, col):
+        return sorted(r[col] for r in X.tx_read(spark, path).collect())
+
+    land([(0, near_a), (1, far_1)], "b0")
+    run()
+    assert ids(surv_path, "doc_id") == [0, 1]
+    assert ids(idx_path, "id") == [0, 1]
+
+    land([(2, near_b), (3, far_2)], "b1")  # 2 near-dups indexed 0
+    run()
+    assert ids(surv_path, "doc_id") == [0, 1, 3]
+
+    land([(4, far_2 + " extra"), (5, "totally fresh words appear here today")], "b2")
+    run()  # 4 near-dups indexed 3
+    assert ids(surv_path, "doc_id") == [0, 1, 3, 5]
+    assert ids(idx_path, "id") == [0, 1, 3, 5]
+
+    # lost checkpoint: full replay of every file must converge, not duplicate
+    run(checkpoint=str(tmp_path / "ckpt2"))
+    assert ids(surv_path, "doc_id") == [0, 1, 3, 5]
+    assert ids(idx_path, "id") == [0, 1, 3, 5]
