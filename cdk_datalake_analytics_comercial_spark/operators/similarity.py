@@ -469,6 +469,141 @@ def ivf_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# persisted IVF index. ivf_topk trains and assigns per run — right for
+# benchmarks, wrong for serving: at 100 TB you build the index ONCE
+# (centroids + cell-partitioned assignments as txlog tables), append new
+# vectors by assigning them with the FROZEN centroids (no retrain — the
+# FAISS IndexIVF add() contract), and each search reads only the probed
+# cells' partitions. Versioned via txlog: snapshot-isolated readers,
+# time travel across index generations.
+
+
+def ivf_build_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+) -> None:
+    """Build a persisted IVF index at ``path``: ``<path>/centroids`` (one
+    row per cell) and ``<path>/cells`` (corpus ids + int-scaled vectors,
+    hive-partitioned by cell so a probe reads only its cells' files)."""
+    from ..sources.txlog import tx_write
+
+    cents = ivf_centroids(corpus, dim, n_cells, vec_col, id_col, iters)
+    cents_df = spark.createDataFrame(
+        [(i, row) for i, row in enumerate(cents)], "cell int, centroid array<double>"
+    )
+    tx_write(spark, cents_df, f"{path}/centroids", mode="overwrite")
+    tx_write(
+        spark,
+        _assign_cells(corpus, cents, vec_col, id_col),
+        f"{path}/cells",
+        partition_by=["cell"],
+        mode="overwrite",
+    )
+
+
+def _assign_cells(vectors: DataFrame, cents, vec_col, id_col) -> DataFrame:
+    cents_int = [[quantize(x) for x in row] for row in cents]
+    return (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), int_scaled(F.col(vec_col)).alias("iv")
+        )
+        .withColumn("cell", _nearest_cell(F.col("iv"), cents_int))
+    )
+
+
+def _load_centroids(spark, path: str) -> list[list[float]]:
+    from ..sources.txlog import tx_read
+
+    rows = tx_read(spark, f"{path}/centroids").collect()  # n_cells rows
+    return [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["cell"])]
+
+
+def ivf_append_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append vectors to a persisted IVF index WITHOUT retraining: assign
+    with the frozen centroids and tx-append to the cells table (one atomic
+    version; only the touched cells' partitions gain files). Centroid
+    drift under heavy appends is handled the standard way — rebuild the
+    index generation, which txlog makes an atomic overwrite."""
+    from ..sources.txlog import tx_write
+
+    cents = _load_centroids(spark, path)
+    tx_write(
+        spark,
+        _assign_cells(new_vectors, cents, vec_col, id_col),
+        f"{path}/cells",
+        partition_by=["cell"],
+        mode="append",
+    )
+
+
+def ivf_search_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a persisted IVF index: same scoring as :func:`ivf_topk`
+    (exact integer cosine within probed cells) but the corpus side comes
+    from the index's cell table, pre-filtered to the union of probed
+    cells — with hive-partitioning by cell, files of unprobed cells are
+    never read. Query fan-out stays query-side (explode over probes);
+    the index moves nothing."""
+    from ..sources.txlog import tx_read
+
+    cents = _load_centroids(spark, path)
+    cents_int = [[quantize(x) for x in row] for row in cents]
+    if n_probe <= 1:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), int_scaled(F.col(vec_col)).alias("qiv")
+        ).withColumn("cell", _nearest_cell(F.col("qiv"), cents_int))
+    else:
+        from ._vectorized import make_probe_cells_udf
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"), int_scaled(F.col(vec_col)).alias("qiv")
+        ).withColumn(
+            "cell",
+            F.explode(make_probe_cells_udf(cents_int, n_probe)(F.col("qiv"))),
+        )
+    q = q.localCheckpoint(eager=False)  # probe set read twice below
+    probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    c = tx_read(spark, f"{path}/cells").filter(F.col("cell").isin(probed))
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell", "inner")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            int_cosine(F.col("qiv"), F.col("iv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

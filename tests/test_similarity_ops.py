@@ -437,3 +437,93 @@ def test_rerank_exact_recovers_true_topk_from_shortlist(spark):
     assert sorted(
         (r["query_id"], r["rank"], r["corpus_id"]) for r in rr_cos.collect()
     ) == sorted((r["query_id"], r["rank"], r["corpus_id"]) for r in bf.collect())
+
+
+# --------------------------------------------------------------------------
+# persisted IVF index (build / append / search)
+
+
+def test_ivf_index_search_matches_inmemory(spark, tmp_path):
+    """Searching the persisted index must return exactly what ivf_topk
+    returns with the same centroids — persistence changes no results."""
+    df = vec_df(spark)
+    path = str(tmp_path / "ivf")
+    S.ivf_build_index(spark, df, path, dim=4, n_cells=3)
+    cents = S._load_centroids(spark, path)
+    for n_probe in (1, 2):
+        got = sorted(
+            map(
+                tuple,
+                S.ivf_search_index(spark, df, path, k=2, n_probe=n_probe)
+                .drop("cosine")
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                S.ivf_topk(
+                    df, df, dim=4, k=2, n_cells=3, n_probe=n_probe, centroids=cents
+                )
+                .drop("cosine")
+                .collect(),
+            )
+        )
+        assert got == want and got
+
+
+def test_ivf_index_append_without_retrain(spark, tmp_path):
+    """Appending assigns with the frozen centroids: search results equal a
+    fresh assignment of the full corpus under the SAME centroids, and the
+    centroids table is untouched by the append."""
+    old = spark.createDataFrame(VECS[:4], "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(VECS[4:], "vec_id long, embedding array<float>")
+    full = vec_df(spark)
+    path = str(tmp_path / "ivf")
+    S.ivf_build_index(spark, old, path, dim=4, n_cells=3)
+    cents_before = S._load_centroids(spark, path)
+    S.ivf_append_index(spark, new, path)
+    assert S._load_centroids(spark, path) == cents_before
+    got = sorted(
+        map(
+            tuple,
+            S.ivf_search_index(spark, full, path, k=2, n_probe=2)
+            .drop("cosine")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            S.ivf_topk(
+                full, full, dim=4, k=2, n_cells=3, n_probe=2, centroids=cents_before
+            )
+            .drop("cosine")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_ivf_index_is_cell_partitioned_and_versioned(spark, tmp_path):
+    """The cells table is hive-partitioned by cell (probe-side file
+    pruning) and the append created a new txlog version (time travel
+    back to the pre-append index works)."""
+    import os
+
+    from cdk_datalake_analytics_comercial_spark.sources import txlog as X
+
+    old = spark.createDataFrame(VECS[:4], "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(VECS[4:], "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    S.ivf_build_index(spark, old, path, dim=4, n_cells=3)
+    v0 = X.current_version(spark, f"{path}/cells")
+    S.ivf_append_index(spark, new, path)
+    assert X.current_version(spark, f"{path}/cells") > v0
+    assert X.tx_read(spark, f"{path}/cells", version=v0).count() == 4
+    assert X.tx_read(spark, f"{path}/cells").count() == len(VECS)
+    data_root = os.path.join(path, "cells", "data")
+    batches = os.listdir(data_root)
+    assert any(
+        d.startswith("cell=") for b in batches for d in os.listdir(os.path.join(data_root, b))
+    )
