@@ -23,6 +23,8 @@ HEADLINE = [
     "pricing_summary",
     "sales_enrichment",
     "multikey_join",
+    "regional_supplier_volume",
+    "large_orders",
     "rolling_3m_window",
     "rolling_12m_window",
     "top1_join",
@@ -33,6 +35,7 @@ HEADLINE = [
     "salted_agg",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_incremental",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "text_token_stats",

@@ -856,17 +856,40 @@ def _write_batch(
         for rel in rels:
             for c in bloom_cols:
                 blooms.setdefault(rel, {}).setdefault(c, _bloom_hex([]))
+    rowcounts = _footer_rows(batch_dir, rels)
     files = [
         {
             "path": f"{_DATA}/{batch}/{rel}",
             "partition": _partition_of(rel),
             "bytes": sizes[rel],
+            **({"rows": rowcounts[rel]} if rowcounts is not None else {}),
             **({"stats": stats[rel]} if rel in stats else {}),
             **({"bloom": blooms[rel]} if rel in blooms else {}),
         }
         for rel in rels
     ]
     return batch, files
+
+
+def _footer_rows(batch_dir: str, rels: list[str]) -> dict[str, int] | None:
+    """Per-file row counts from the parquet FOOTERS (metadata-only driver
+    reads — no data pages touched; Delta records the same ``numRecords``
+    per AddFile). Returns None when the footers are unreachable from the
+    driver (non-posix storage without a mounted path) — entries then
+    carry no ``rows`` and :func:`tx_count` falls back to scanning."""
+    base = batch_dir
+    if base.startswith("file:"):
+        base = "/" + base[5:].lstrip("/")
+    try:
+        import pyarrow.parquet as pq
+
+        return {
+            rel: pq.ParquetFile(f"{base}/{rel}").metadata.num_rows for rel in rels
+        }
+    except Exception:
+        # degrade to "no counts recorded" rather than failing the commit —
+        # tx_count detects the absence and scans instead
+        return None
 
 
 def _stat_tag(dtype) -> str:
@@ -1257,6 +1280,34 @@ def tx_read(
         for col, val in where_equals.items():
             out = out.filter(F.col(col) == F.lit(val))
     return out
+
+
+def tx_count(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp=None,
+) -> int:
+    """Exact ``COUNT(*)`` of a snapshot from MANIFEST METADATA — no data
+    scan: every commit records each file's footer row count (the Delta
+    ``numRecords``-per-AddFile model, which is how Delta answers
+    ``SELECT COUNT(*)`` from the log) and deletion vectors carry their
+    exact ``dv_count``, so the live total is ``Σ(rows − dv_count)``. At
+    100 TB this is a driver-side sum over the manifest versus a scan of
+    every file. Falls back to counting the snapshot scan when any live
+    entry predates row recording (or footers were unreachable at write
+    time)."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(spark, path, timestamp)
+    cur = current_version(spark, path) if version is None else version
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    files = read_manifest(spark, path, cur)["files"]
+    if all("rows" in f for f in files):
+        return sum(int(f["rows"]) - int(f.get("dv_count", 0)) for f in files)
+    return tx_read(spark, path, version=cur).count()
 
 
 # Characters Spark/Hive %-escape in partition path segments

@@ -1642,3 +1642,64 @@ def test_incremental_optimize_small_files(spark, tmp_path):
     assert TX.tx_compact(spark, p, small_bytes=1) == cur
     with pytest.raises(ValueError, match="cannot cluster"):
         TX.tx_compact(spark, p, small_bytes=4096, cluster_by=["k"])
+
+
+# --------------------------------------------------------------------------
+# metadata-only COUNT(*)
+
+
+def test_tx_count_metadata_only_across_dml(spark, tmp_path):
+    """tx_count answers from the manifest (rows − dv_count per file) with
+    NO data scan — proven by making tx_read explode — and stays exact
+    through append, DV delete, DV update, compaction, and time travel."""
+    import pytest
+
+    p = str(tmp_path / "cnt")
+    df = spark.createDataFrame([(i, "x" * (i % 3)) for i in range(10)], "k long, v string")
+    TX.tx_write(spark, df, p)
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(i, "y") for i in range(10, 15)], "k long, v string"),
+        p,
+        mode="append",
+    )
+    assert TX.tx_count(spark, p) == 15
+    assert TX.tx_count(spark, p, version=1) == 10
+
+    TX.tx_delete(spark, p, where={"k": (None, 2)}, use_dv=True)  # soft-delete 3
+    assert TX.tx_count(spark, p) == 12
+    TX.tx_update(
+        spark, p, where={"k": (5, 5)}, assignments={"v": F.lit("upd")}, use_dv=True
+    )
+    assert TX.tx_count(spark, p) == 12  # update: −1 soft-deleted, +1 appended
+    TX.tx_compact(spark, p)  # materializes the DVs away
+    assert TX.tx_count(spark, p) == 12
+    assert TX.tx_read(spark, p).count() == 12  # cross-check vs a real scan
+
+    # the fast path never touches data: a scan would raise here
+    import cdk_datalake_analytics_comercial_spark.sources.txlog as xmod
+
+    real = xmod.tx_read
+    try:
+        def boom(*a, **kw):
+            raise AssertionError("tx_count scanned data on the fast path")
+
+        xmod.tx_read = boom
+        assert TX.tx_count(spark, p) == 12
+    finally:
+        xmod.tx_read = real
+
+
+def test_tx_count_falls_back_to_scan_without_footer_rows(spark, tmp_path, monkeypatch):
+    """Entries written where footers were unreachable carry no `rows`;
+    tx_count must detect that and count the snapshot scan instead."""
+    import cdk_datalake_analytics_comercial_spark.sources.txlog as xmod
+
+    monkeypatch.setattr(xmod, "_footer_rows", lambda batch_dir, rels: None)
+    p = str(tmp_path / "cnt_fb")
+    TX.tx_write(
+        spark, spark.createDataFrame([(i, "a") for i in range(7)], "k long, v string"), p
+    )
+    files = TX.read_manifest(spark, p, 1)["files"]
+    assert files and all("rows" not in f for f in files)
+    assert TX.tx_count(spark, p) == 7
