@@ -25,6 +25,9 @@ HEADLINE = [
     "multikey_join",
     "regional_supplier_volume",
     "large_orders",
+    "shipping_priority",
+    "nation_trade",
+    "returned_customers",
     "rolling_3m_window",
     "rolling_12m_window",
     "top1_join",

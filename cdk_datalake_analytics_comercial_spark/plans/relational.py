@@ -1903,9 +1903,294 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape — shipping priority: segment-filtered customers, unshipped
+# orders as of a cut date, top-10 by exact revenue. Engine shape: the
+# customer dim filters FIRST and broadcasts; both date filters reach the
+# fact scans (sargable); the global top-10 is a TakeOrderedAndProject (no
+# full sort). Ties broken on orderkey so the cut is engine-deterministic.
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit("1997-06-01").cast("timestamp")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    out = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            dsum_to_double(
+                F.sum(
+                    dmul2(
+                        F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")
+                    ).cast("decimal(38,12)")
+                )
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+    return out
+
+
+_ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey AS orderkey, o_orderdate AS orderdate,
+       o_orderpriority AS priority,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS DECIMAL(20,6)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape — order-priority checking: orders in one quarter that had at
+# least one SLOW line (shipped >30 days after the order date), counted per
+# priority class. The reference's schema has no commitdate, so "late" is
+# expressed against the order date. Engine shape: EXISTS compiles to a
+# LEFT SEMI join — no row duplication, count stays order-grained; the
+# quarter filter prunes the orders scan before the shuffle.
+
+
+def q_order_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_late_orders"))
+    )
+
+
+_ORACLE_ORDER_PRIORITY_LATE = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_late_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape — volume shipping between two nations: cross-border flows
+# where (supplier nation, customer nation) is one of the two directed pairs,
+# grouped by flow direction and ship year. Engine shape: nation is broadcast
+# onto BOTH fact sides (aliased), the directed-pair predicate is evaluated
+# pre-aggregation, and the only large shuffles are the two fact-key joins.
+
+
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    out = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"), "inner")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"), "inner")
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            dsum_to_double(
+                F.sum(
+                    dmul2(
+                        F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")
+                    ).cast("decimal(38,12)")
+                )
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+    return out
+
+
+_ORACLE_NATION_TRADE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS DECIMAL(20,6)) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item reporting: top-20 customers by revenue
+# lost to returns in one quarter, enriched with the customer dim and nation
+# name. Engine shape: the returnflag + quarter filters prune the two fact
+# scans; aggregation keys on custkey only (the dim attributes ride along
+# via a post-agg broadcast join, keeping the shuffle narrow).
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            dsum_to_double(
+                F.sum(
+                    dmul2(
+                        F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")
+                    ).cast("decimal(38,12)")
+                )
+            ).alias("lost_revenue")
+        )
+    )
+    out = (
+        per_cust.join(F.broadcast(c), F.col("custkey") == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .select(
+            "custkey",
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal").alias("acctbal"),
+            "lost_revenue",
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("custkey"))
+        .limit(20)
+    )
+    return out
+
+
+_ORACLE_RETURNED_CUSTOMERS = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS DECIMAL(20,6)) AS DOUBLE) AS lost_revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-07-01'
+    AND o_orderdate <  TIMESTAMP '1997-10-01'
+  GROUP BY 1
+)
+SELECT custkey, c_name AS name, n_name AS nation, c_acctbal AS acctbal,
+       lost_revenue
+FROM per_cust
+JOIN customer ON custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+ORDER BY lost_revenue DESC, custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape — promotion effect: per ship-month share of revenue coming
+# from PROMO-type parts. Numeric policy: both the promo and total sums are
+# exact decimals surfaced as doubles; the share is then 2 IEEE ops
+# (multiply, divide) on exact inputs — identical on both engines. Engine
+# shape: part broadcasts; one fact shuffle (the group-by).
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1998)
+    p = t(spark, sf_dir, "part")
+    rev = dmul2(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(38,12)"
+    )
+    out = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "inner")
+        .groupBy(period_yyyymm("l_shipdate").alias("ship_month"))
+        .agg(
+            dsum_to_double(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            ).alias("promo_revenue"),
+            dsum_to_double(F.sum(rev)).alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share_pct",
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"),
+        )
+    )
+    return out
+
+
+_ORACLE_PROMO_SHARE = """
+WITH m AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS VARCHAR) AS ship_month,
+         CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))
+                   ELSE CAST(0 AS DECIMAL(38,12)) END) AS DECIMAL(20,6)) AS DOUBLE) AS promo_revenue,
+         CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS DECIMAL(20,6)) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1998
+  GROUP BY 1
+)
+SELECT ship_month, promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_share_pct
+FROM m
+"""
+
+
 QUERIES = {
     "regional_supplier_volume": q_regional_supplier_volume,
     "large_orders": q_large_orders,
+    "shipping_priority": q_shipping_priority,
+    "order_priority_late": q_order_priority_late,
+    "nation_trade": q_nation_trade,
+    "returned_customers": q_returned_customers,
+    "promo_revenue_share": q_promo_revenue_share,
     "customer_rfm": q_customer_rfm,
     "cheapest_supplier": q_cheapest_supplier,
     "orders_abc_pareto": q_orders_abc_pareto,
@@ -1952,6 +2237,11 @@ QUERIES = {
 ORACLES = {
     "regional_supplier_volume": _ORACLE_REGIONAL_VOLUME,
     "large_orders": _ORACLE_LARGE_ORDERS,
+    "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
+    "order_priority_late": _ORACLE_ORDER_PRIORITY_LATE,
+    "nation_trade": _ORACLE_NATION_TRADE,
+    "returned_customers": _ORACLE_RETURNED_CUSTOMERS,
+    "promo_revenue_share": _ORACLE_PROMO_SHARE,
     "customer_rfm": _ORACLE_CUSTOMER_RFM,
     "cheapest_supplier": _ORACLE_CHEAPEST_SUPPLIER,
     "orders_abc_pareto": _ORACLE_ABC_PARETO,
