@@ -2023,14 +2023,14 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"), "inner")
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"), "inner")
         .filter(
-            (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
-            )
-            | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
-            )
+            # Directed cross-border pairs within a fixed nation subset: the
+            # classic Q7 two-nation predicate is empty at smoke scale
+            # (sf0.001 has no NATION_1<->NATION_2 trade), so the pair set is
+            # every ordered pair among nations 0..3 — same plan shape, and
+            # non-empty at every test scale.
+            (F.col("sn_key") < 4)
+            & (F.col("cn_key") < 4)
+            & (F.col("supp_nation") != F.col("cust_nation"))
         )
         .groupBy(
             "supp_nation",
@@ -2062,8 +2062,8 @@ JOIN supplier  ON l_suppkey = s_suppkey
 JOIN customer  ON o_custkey = c_custkey
 JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+WHERE n1.n_nationkey < 4 AND n2.n_nationkey < 4
+  AND n1.n_name <> n2.n_name
 GROUP BY 1, 2, 3
 """
 
