@@ -87,6 +87,111 @@ class TxConflictError(RuntimeError):
     failed attempt; its orphan batch files are reaped by ``tx_vacuum``)."""
 
 
+class TxProtocolError(RuntimeError):
+    """The table requires a feature this reader/writer does not implement —
+    the txlog twin of Delta's protocol action (minReaderVersion /
+    readerFeatures; reference tables inherit it from Delta,
+    `common_jobs_functions.py:271`). A table written with deletion vectors
+    must be UNREADABLE-LOUDLY, never silently-wrong, to a reader that does
+    not know deletion vectors."""
+
+
+# --------------------------------------------------------------------------
+# Protocol / table features: commit records (and checkpoint headers) may
+# carry a ``protocol`` action — ``{"reader_features": [...],
+# "writer_features": [...]}``. Features are MONOTONE (a table never drops
+# one), so resolution is set-union along the log. Every commit that USES a
+# feature embeds the full accumulated protocol (not just the first), so any
+# grounded log suffix that contains such a commit also declares it — a
+# vacuumed prefix can never hide a requirement.
+
+FEATURE_DELETION_VECTORS = "deletion-vectors"
+FEATURE_MULTIPART_CHECKPOINT = "multipart-checkpoint"
+FEATURE_IDEMPOTENT_TXN = "idempotent-txn"  # writer-only: `txn` dedup records
+FEATURE_COLUMN_MAPPING = "column-mapping"
+
+SUPPORTED_READER_FEATURES = frozenset(
+    {
+        FEATURE_DELETION_VECTORS,
+        FEATURE_MULTIPART_CHECKPOINT,
+        FEATURE_COLUMN_MAPPING,
+        FEATURE_IDEMPOTENT_TXN,  # txn records are invisible to readers
+    }
+)
+SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        FEATURE_DELETION_VECTORS,
+        FEATURE_MULTIPART_CHECKPOINT,
+        FEATURE_COLUMN_MAPPING,
+        FEATURE_IDEMPOTENT_TXN,
+    }
+)
+
+
+def _is_abs_ref(ref: str) -> bool:
+    """True for absolute / scheme-qualified paths (``/x``, ``file:/x``,
+    ``s3://b/x``) vs table-root-relative manifest refs."""
+    return ref.startswith("/") or ":" in ref.split("/", 1)[0]
+
+
+def _merge_protocol(base: dict | None, action: dict | None) -> dict | None:
+    """Union two protocol records (feature sets are monotone)."""
+    if not action:
+        return base
+    base = base or {}
+    return {
+        "reader_features": sorted(
+            set(base.get("reader_features", ()))
+            | set(action.get("reader_features", ()))
+        ),
+        "writer_features": sorted(
+            set(base.get("writer_features", ()))
+            | set(action.get("writer_features", ()))
+        ),
+    }
+
+
+def check_reader_protocol(protocol: dict | None, path: str = "") -> None:
+    """Raise :class:`TxProtocolError` if the table declares a reader
+    feature this build does not implement (Delta: unknown readerFeatures
+    make the table unreadable, never silently wrong)."""
+    unknown = set((protocol or {}).get("reader_features", ())) - set(
+        SUPPORTED_READER_FEATURES
+    )
+    if unknown:
+        raise TxProtocolError(
+            f"table {path or '<txlog>'} requires reader feature(s) "
+            f"{sorted(unknown)} this reader does not implement "
+            f"(supported: {sorted(SUPPORTED_READER_FEATURES)})"
+        )
+
+
+def check_writer_protocol(protocol: dict | None, path: str = "") -> None:
+    """Raise :class:`TxProtocolError` if the table declares a writer
+    feature this build does not implement — an old writer must refuse to
+    commit to a table whose invariants it cannot maintain."""
+    unknown = set((protocol or {}).get("writer_features", ())) - set(
+        SUPPORTED_WRITER_FEATURES
+    )
+    if unknown:
+        raise TxProtocolError(
+            f"table {path or '<txlog>'} requires writer feature(s) "
+            f"{sorted(unknown)} this writer does not implement "
+            f"(supported: {sorted(SUPPORTED_WRITER_FEATURES)})"
+        )
+
+
+def _protocol_with(
+    existing: dict | None, reader: tuple = (), writer: tuple = ()
+) -> dict:
+    """The full accumulated protocol after adding the given features —
+    what a feature-using commit embeds as its ``protocol`` action."""
+    return _merge_protocol(
+        existing or {"reader_features": [], "writer_features": []},
+        {"reader_features": sorted(reader), "writer_features": sorted(writer)},
+    )
+
+
 # --------------------------------------------------------------------------
 # LogStore: pluggable transaction-LOG storage — the txlog twin of Delta's
 # public LogStore plugin interface (delta-io LogStore API). Every byte of
@@ -395,11 +500,21 @@ def current_version(spark: SparkSession, path: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def read_commit(spark: SparkSession, path: str, version: int) -> dict:
+def read_commit(
+    spark: SparkSession, path: str, version: int, check_protocol: bool = True
+) -> dict:
     """The RAW delta record of one commit (op, schema, add/remove/truncate
     actions) — O(record), no resolution. Legacy full-manifest records
-    (pre-checkpoint format, carrying ``files``) pass through unchanged."""
-    return json.loads(_read_text(spark, _version_path(path, version)))
+    (pre-checkpoint format, carrying ``files``) pass through unchanged.
+    A record whose ``protocol`` action requires unknown reader features
+    raises loudly (every consumer applying commits incrementally — tail
+    resolution, the streaming source, CDF — must not half-interpret it);
+    ``check_protocol=False`` is for metadata-only display (history,
+    doctor)."""
+    rec = json.loads(_read_text(spark, _version_path(path, version)))
+    if check_protocol:
+        check_reader_protocol(rec.get("protocol"), path)
+    return rec
 
 
 def _apply_commit(files: dict[str, dict], rec: dict) -> dict[str, dict]:
@@ -441,11 +556,13 @@ def read_manifest(
     files: dict[str, dict] = {}
     schema = None
     op = None
+    protocol: dict | None = None
     extra: dict = {}
     if base is not None:
         cp = _load_checkpoint(spark, path, base)
         files = {f["path"]: f for f in cp["files"]}
         schema, op = cp.get("schema"), cp.get("op", "checkpoint")
+        protocol = cp.get("protocol")
     tail = [v for v in versions if (base if base is not None else 0) < v <= version]
     for i, v in enumerate(tail):
         rec = read_commit(spark, path, v)
@@ -461,14 +578,17 @@ def read_manifest(
         files = _apply_commit(files, rec)
         schema = rec.get("schema", schema)
         op = rec.get("op", op)
+        protocol = _merge_protocol(protocol, rec.get("protocol"))
         extra = {
             k: rec[k] for k in ("restore_of", "clone_of") if k in rec
         }
+    check_reader_protocol(protocol, path)
     return {
         "op": op,
         "schema": schema,
         "files": list(files.values()),
         "version": version,
+        "protocol": protocol,
         **extra,
     }
 
@@ -480,6 +600,9 @@ def _load_checkpoint(spark: SparkSession, path: str, version: int) -> dict:
     (written BEFORE the header, so a torn writer never leaves a readable
     header pointing at missing parts)."""
     cp = json.loads(_read_text(spark, _checkpoint_path(path, version)))
+    # fail loudly BEFORE interpreting the body — a reader that does not
+    # know the part format must not half-read a sharded checkpoint
+    check_reader_protocol(cp.get("protocol"), path)
     if "parts" in cp:
         files: list[dict] = []
         for i in range(int(cp["parts"])):
@@ -504,10 +627,17 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         "version": version,
         "schema": snap["schema"],
     }
+    if snap.get("protocol"):
+        header["protocol"] = snap["protocol"]
     fl = snap["files"]
     if len(fl) <= _CHECKPOINT_MAX_PART:
         header["files"] = fl
     else:
+        # readers of a sharded checkpoint must know the part format —
+        # declare it so an older reader fails loudly on the header
+        header["protocol"] = _protocol_with(
+            snap.get("protocol"), reader=(FEATURE_MULTIPART_CHECKPOINT,)
+        )
         n_parts = (len(fl) + _CHECKPOINT_MAX_PART - 1) // _CHECKPOINT_MAX_PART
         for i in range(n_parts):
             _write_text(
@@ -588,8 +718,65 @@ def version_at_timestamp(spark: SparkSession, path: str, ts) -> int:
 def tx_history(spark: SparkSession, path: str) -> list[dict]:
     """All commit records, oldest first — op, version, add/remove counts
     per commit (raw delta records: O(changed files) each, like Delta's
-    DESCRIBE HISTORY, not O(snapshot))."""
-    return [read_commit(spark, path, v) for v in list_versions(spark, path)]
+    DESCRIBE HISTORY, not O(snapshot)). Metadata-only display: works even
+    when the table requires reader features this build lacks (like
+    DESCRIBE HISTORY does)."""
+    return [
+        read_commit(spark, path, v, check_protocol=False)
+        for v in list_versions(spark, path)
+    ]
+
+
+def tx_protocol(spark: SparkSession, path: str) -> dict:
+    """The table's accumulated protocol (reader/writer feature sets) at
+    the current version — empty sets for a pre-protocol table."""
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    return read_manifest(spark, path, cur).get("protocol") or {
+        "reader_features": [],
+        "writer_features": [],
+    }
+
+
+def tx_upgrade_protocol(
+    spark: SparkSession,
+    path: str,
+    reader_features: tuple = (),
+    writer_features: tuple = (),
+) -> int:
+    """Explicitly declare features on a table (Delta's ``ALTER TABLE ...
+    SET TBLPROPERTIES (delta.feature.X = 'supported')`` twin) via a
+    metadata-only commit. Features are monotone — there is no downgrade.
+    This writer refuses to declare a feature it does not itself implement
+    (it could not then maintain the table)."""
+    unknown = (set(reader_features) - SUPPORTED_READER_FEATURES) | (
+        set(writer_features) - SUPPORTED_WRITER_FEATURES
+    )
+    if unknown:
+        raise TxProtocolError(
+            f"cannot declare feature(s) {sorted(unknown)} this build does "
+            f"not implement"
+        )
+
+    def build(now: int | None) -> dict:
+        if now is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        snap = read_manifest(spark, path, now)
+        return {
+            "op": "upgrade_protocol",
+            "schema": snap["schema"],
+            "add": [],
+            "remove": [],
+            "truncate": False,
+            "protocol": _protocol_with(
+                snap.get("protocol"),
+                reader=tuple(reader_features),
+                writer=tuple(writer_features),
+            ),
+        }
+
+    return _commit(spark, path, build)
 
 
 def _create_no_overwrite(spark: SparkSession, path: str, text: str) -> bool:
@@ -648,6 +835,13 @@ def _commit(spark: SparkSession, path: str, build) -> int:
     writes a checkpoint manifest — best-effort (a failure only lengthens
     the next reader's delta tail)."""
     token = uuid.uuid4().hex
+    cur0 = current_version(spark, path)
+    if cur0 is not None:
+        # an old writer must refuse to commit to a table whose invariants
+        # it cannot maintain (Delta: minWriterVersion / writerFeatures)
+        check_writer_protocol(
+            read_manifest(spark, path, cur0).get("protocol"), path
+        )
     for _ in range(50):
         cur = current_version(spark, path)
         rec = dict(build(cur))
@@ -1555,9 +1749,10 @@ def _dv_merge(
     _, new_files = _write_batch(winners, path, partition_by, None)
 
     def build(now: int | None) -> dict:
-        now_files = (
-            read_manifest(spark, path, now)["files"] if now is not None else []
+        now_manifest = (
+            read_manifest(spark, path, now) if now is not None else {}
         )
+        now_files = now_manifest.get("files", [])
         if touched_sets is not None:
             now_cand = {
                 f["path"]
@@ -1581,13 +1776,20 @@ def _dv_merge(
             entry["dv"] = list(entry.get("dv", ())) + [dv_ref]
             entry["dv_count"] = int(entry.get("dv_count", 0)) + n
             add_entries.append(entry)
-        return {
+        rec = {
             "op": "merge",
             "schema": manifest["schema"],
             "add": add_entries + new_files,
             "remove": [],
             "truncate": False,
         }
+        if counts:  # this merge soft-deletes via a DV sidecar
+            rec["protocol"] = _protocol_with(
+                now_manifest.get("protocol"),
+                reader=(FEATURE_DELETION_VECTORS,),
+                writer=(FEATURE_DELETION_VECTORS,),
+            )
+        return rec
 
     try:
         return _commit(spark, path, build)
@@ -1640,7 +1842,7 @@ def tx_restore(spark: SparkSession, path: str, version: int) -> int:
             )
 
     def build(cur: int | None) -> dict:
-        return {
+        rec = {
             "op": "restore",
             "restore_of": version,
             "schema": target["schema"],
@@ -1648,6 +1850,18 @@ def tx_restore(spark: SparkSession, path: str, version: int) -> int:
             "remove": [],
             "truncate": True,
         }
+        # the restore record truncate-grounds the log, so it must carry
+        # the table's accumulated protocol forward (features are monotone
+        # — restoring to a pre-feature version does not downgrade)
+        cur_proto = (
+            read_manifest(spark, path, cur).get("protocol")
+            if cur is not None
+            else None
+        )
+        proto = _merge_protocol(cur_proto, target.get("protocol"))
+        if proto:
+            rec["protocol"] = proto
+        return rec
 
     return _commit(spark, path, build)
 
@@ -1668,12 +1882,19 @@ def tx_clone(spark: SparkSession, src: str, dst: str, version: int | None = None
     src_root = src.rstrip("/")
     fs, p, _ = _fs(spark, src_root)
     abs_root = fs.makeQualified(p).toString()
-    files = [
-        {**f, "path": f"{abs_root}/{f['path']}"} for f in manifest["files"]
-    ]
+    files = []
+    for f in manifest["files"]:
+        e = {**f, "path": f"{abs_root}/{f['path']}"}
+        if f.get("dv"):
+            # DV sidecars also live at the SOURCE — absolutize their refs
+            # so the clone's reads resolve them there
+            e["dv"] = [
+                r if _is_abs_ref(r) else f"{abs_root}/{r}" for r in f["dv"]
+            ]
+        files.append(e)
 
     def build(_cur: int | None) -> dict:
-        return {
+        rec = {
             "op": "clone",
             "clone_of": {"source": abs_root, "version": cur},
             "schema": manifest["schema"],
@@ -1681,6 +1902,11 @@ def tx_clone(spark: SparkSession, src: str, dst: str, version: int | None = None
             "remove": [],
             "truncate": True,
         }
+        if manifest.get("protocol"):
+            # the clone's fresh log must declare every feature its
+            # inherited entries use (DVs, column mapping, ...)
+            rec["protocol"] = manifest["protocol"]
+        return rec
 
     return _commit(spark, dst, build)
 
@@ -2354,9 +2580,10 @@ def _dv_dml(
     base_paths = {f["path"] for f in manifest["files"]}
 
     def build(now: int | None) -> dict:
-        now_files = (
-            read_manifest(spark, path, now)["files"] if now is not None else []
+        now_manifest = (
+            read_manifest(spark, path, now) if now is not None else {}
         )
+        now_files = now_manifest.get("files", [])
         now_by = {f["path"]: f for f in now_files}
         if set(counts) - set(now_by):
             raise TxConflictError(
@@ -2383,6 +2610,13 @@ def _dv_dml(
             "add": add_entries + new_files,
             "remove": [],
             "truncate": False,
+            # every DV-using commit embeds the full accumulated protocol,
+            # so any grounded log suffix containing it declares the feature
+            "protocol": _protocol_with(
+                now_manifest.get("protocol"),
+                reader=(FEATURE_DELETION_VECTORS,),
+                writer=(FEATURE_DELETION_VECTORS,),
+            ),
         }
 
     try:
@@ -2419,7 +2653,11 @@ def _read_files_with_position(
         )
     dv_refs = sorted({ref for f in files for ref in (f.get("dv") or ())})
     if dv_refs:
-        deleted = spark.read.parquet(*(f"{root}/{r}" for r in dv_refs))
+        # shallow clones carry ABSOLUTE dv refs (sidecars live at the
+        # source); native entries carry root-relative ones
+        deleted = spark.read.parquet(
+            *(r if _is_abs_ref(r) else f"{root}/{r}" for r in dv_refs)
+        )
         out = (
             out.withColumn("_txlog_rel", _dv_rel_expr(F.col("_txlog_fp")))
             .join(

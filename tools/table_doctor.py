@@ -74,15 +74,37 @@ def doctor(spark, path: str) -> dict:
             f["path"]: f
             for f in TX.read_manifest(spark, path, versions[0])["files"]
         }
+    except TX.TxProtocolError as e:
+        report["errors"].append(f"protocol: {e}")
+        return report
     except Exception as e:
         report["errors"].append(f"v{versions[0]}: unresolvable snapshot: {e}")
         return report
     for f in state.values():
         _validate_entry(report, TX, versions[0], f)
+    try:
+        proto = TX.tx_protocol(spark, path)
+        report["protocol"] = proto
+        unknown_r = set(proto.get("reader_features", ())) - set(
+            TX.SUPPORTED_READER_FEATURES
+        )
+        unknown_w = set(proto.get("writer_features", ())) - set(
+            TX.SUPPORTED_WRITER_FEATURES
+        )
+        if unknown_r:
+            report["errors"].append(
+                f"table requires unknown reader feature(s): {sorted(unknown_r)}"
+            )
+        if unknown_w:
+            report["warnings"].append(
+                f"table requires unknown writer feature(s): {sorted(unknown_w)}"
+            )
+    except TX.TxProtocolError as e:
+        report["errors"].append(str(e))
     referenced_all: set[str] = set(state)
     for v in versions[1:]:
         try:
-            rec = TX.read_commit(spark, path, v)
+            rec = TX.read_commit(spark, path, v, check_protocol=False)
         except Exception as e:
             report["errors"].append(f"v{v}: unreadable commit record: {e}")
             continue
