@@ -87,6 +87,12 @@ class TxConflictError(RuntimeError):
     failed attempt; its orphan batch files are reaped by ``tx_vacuum``)."""
 
 
+class _TxAlreadyApplied(Exception):
+    """Internal: a ``txn``-tagged write found its version already at or
+    below the table's per-app high-water mark at commit time — the replay
+    must become a no-op, not a duplicate."""
+
+
 class TxProtocolError(RuntimeError):
     """The table requires a feature this reader/writer does not implement —
     the txlog twin of Delta's protocol action (minReaderVersion /
@@ -558,11 +564,13 @@ def read_manifest(
     op = None
     protocol: dict | None = None
     extra: dict = {}
+    txns: dict[str, int] = {}
     if base is not None:
         cp = _load_checkpoint(spark, path, base)
         files = {f["path"]: f for f in cp["files"]}
         schema, op = cp.get("schema"), cp.get("op", "checkpoint")
         protocol = cp.get("protocol")
+        txns = dict(cp.get("txns", {}))
     tail = [v for v in versions if (base if base is not None else 0) < v <= version]
     for i, v in enumerate(tail):
         rec = read_commit(spark, path, v)
@@ -579,6 +587,9 @@ def read_manifest(
         schema = rec.get("schema", schema)
         op = rec.get("op", op)
         protocol = _merge_protocol(protocol, rec.get("protocol"))
+        if "txn" in rec:  # idempotent-writer high-water mark (Delta txn)
+            app = rec["txn"]["app"]
+            txns[app] = max(txns.get(app, -1), int(rec["txn"]["version"]))
         extra = {
             k: rec[k] for k in ("restore_of", "clone_of") if k in rec
         }
@@ -589,6 +600,7 @@ def read_manifest(
         "files": list(files.values()),
         "version": version,
         "protocol": protocol,
+        "txns": txns,
         **extra,
     }
 
@@ -629,6 +641,10 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     }
     if snap.get("protocol"):
         header["protocol"] = snap["protocol"]
+    if snap.get("txns"):
+        # idempotent-writer marks must survive log truncation at this
+        # checkpoint, or a vacuum would re-open the door to replays
+        header["txns"] = snap["txns"]
     fl = snap["files"]
     if len(fl) <= _CHECKPOINT_MAX_PART:
         header["files"] = fl
@@ -737,6 +753,16 @@ def tx_protocol(spark: SparkSession, path: str) -> dict:
         "reader_features": [],
         "writer_features": [],
     }
+
+
+def tx_txn_version(spark: SparkSession, path: str, app: str) -> int | None:
+    """The highest ``txn`` version committed for ``app`` (Delta's
+    ``txnVersion``): a restarted writer asks this to know which batches
+    already landed. ``None`` when the app never committed."""
+    cur = current_version(spark, path)
+    if cur is None:
+        return None
+    return read_manifest(spark, path, cur).get("txns", {}).get(app)
 
 
 def tx_upgrade_protocol(
@@ -1238,6 +1264,7 @@ def tx_write(
     bloom_for: list[str] | None = None,
     checks: dict[str, str] | None = None,
     schema_evolution: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit a new version. ``mode``:
 
@@ -1267,11 +1294,32 @@ def tx_write(
     omitted columns are fine (nullable, null-padded on read). A full
     ``overwrite`` replaces the schema outright (Delta's
     ``overwriteSchema`` is implied by the truncate semantics).
+
+    ``txn=(app_id, version)`` makes the commit IDEMPOTENT (Delta's
+    ``txnAppId``/``txnVersion`` SetTransaction twin): the log tracks the
+    per-app high-water mark, and a write whose version is at or below it
+    is a NO-OP that commits nothing — so a restarted streaming sink can
+    replay a micro-batch as a PLAIN APPEND without duplicating rows, no
+    keyed merge needed. Versions must be monotonically increasing per app
+    (a streaming sink passes its batch id). The mark survives
+    checkpointing and vacuum; shallow clones do NOT inherit it (clone is
+    a new table — same caveat Delta documents for cloned streaming sinks).
     """
     if mode not in ("overwrite", "append", "overwrite_dynamic"):
         raise ValueError(mode)
     if mode == "overwrite_dynamic" and not partition_by:
         raise ValueError("overwrite_dynamic requires partition_by")
+    if txn is not None:
+        app, txv = txn
+        if not isinstance(app, str) or not app:
+            raise ValueError("txn app id must be a non-empty string")
+        txv = int(txv)
+        # cheap pre-check: an already-applied replay skips the batch write
+        cur0 = current_version(spark, path)
+        if cur0 is not None:
+            snap0 = read_manifest(spark, path, cur0)
+            if snap0.get("txns", {}).get(app, -1) >= txv:
+                return cur0
     if checks:
         _enforce_checks(df, checks)
 
@@ -1288,6 +1336,7 @@ def tx_write(
         # a dynamic overwrite removes exactly the touched partitions' files.
         remove: list[str] = []
         schema_out = schema_json
+        snap: dict | None = None
         if cur is not None and mode != "overwrite":
             # appends/dynamic overwrites resolve the current snapshot per
             # attempt: the schema check must run against the schema that is
@@ -1306,15 +1355,38 @@ def tx_write(
                     for f in snap["files"]
                     if tuple(sorted(f["partition"].items())) in touched
                 ]
-        return {
+        if txn is not None and cur is not None:
+            # re-checked per attempt AT COMMIT TIME: two racing replays of
+            # the same batch cannot both land (the loser sees the winner's
+            # mark when it rebuilds against the new snapshot)
+            if snap is None:
+                snap = read_manifest(spark, path, cur)
+            if snap.get("txns", {}).get(app, -1) >= txv:
+                raise _TxAlreadyApplied()
+        rec = {
             "op": mode,
             "schema": schema_out,
             "add": new_files,
             "remove": remove,
             "truncate": mode == "overwrite",
         }
+        if txn is not None:
+            rec["txn"] = {"app": app, "version": txv}
+            rec["protocol"] = _protocol_with(
+                (snap or {}).get("protocol"),
+                writer=(FEATURE_IDEMPOTENT_TXN,),
+            )
+        return rec
 
-    return _commit(spark, path, build)
+    if txn is None:
+        return _commit(spark, path, build)
+    try:
+        return _commit(spark, path, build)
+    except _TxAlreadyApplied:
+        root = path.rstrip("/")
+        for f in new_files:  # the replay's batch never became referenced
+            _delete(spark, f"{root}/{f['path']}")
+        return current_version(spark, path)
 
 
 def _file_overlaps(f: dict, where: dict) -> bool:

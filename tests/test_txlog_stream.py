@@ -358,3 +358,58 @@ def test_dv_delete_is_a_change_commit(spark, tmp_path):
     # snapshot-first stream resolves the DV (id=2 gone)
     got = _drain(spark, tbl, str(tmp_path / "o3"), str(tmp_path / "c3"))
     assert got == [(1, "v1", "us"), (3, "v3", "us")]
+
+
+def test_lost_checkpoint_plain_append_sink_exactly_once_with_txn(
+    spark, tmp_path
+):
+    """THE idempotent-commit contract (Delta foreachBatch + txnAppId):
+    a foreachBatch sink that PLAIN-APPENDS each micro-batch tagged
+    ``txn=(app, batch_id)`` survives a LOST SINK CHECKPOINT — the full
+    replay re-offers every batch, and every one commits as a no-op. Zero
+    duplicates, no keyed merge."""
+    src, snk = str(tmp_path / "src"), str(tmp_path / "snk")
+    TX.tx_write(spark, _mk(spark, 1), src)
+    for i in range(2, 6):
+        TX.tx_write(spark, _mk(spark, i), src, mode="append")
+
+    def append_batch(bdf, bid):
+        TX.tx_write(
+            bdf.sparkSession, bdf, snk, mode="append", txn=("sink-app", bid)
+        )
+
+    def drain(chk):
+        q = (
+            stream_txlog(spark, src)
+            .writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain(str(tmp_path / "chk1"))
+    want = sorted((r.id, r.s) for r in TX.tx_read(spark, src).select("id", "s").collect())
+    got = lambda: sorted(  # noqa: E731
+        (r.id, r.s) for r in TX.tx_read(spark, snk).select("id", "s").collect()
+    )
+    assert got() == want
+    v_after_first = TX.current_version(spark, snk)
+    # the replay-safety contract below assumes batch ids line up across
+    # checkpoint generations, which holds because the source is
+    # snapshot-first (the whole backlog is ONE batch 0). If batching ever
+    # changes, fail HERE, not silently below (Delta documents the same
+    # caveat: txn versions must be deterministic per batch content).
+    assert TX.tx_txn_version(spark, snk, "sink-app") == 0
+
+    # catastrophic restart: the sink checkpoint is GONE — a fresh drain
+    # replays the whole source from scratch into the same sink table
+    drain(str(tmp_path / "chk2"))
+    assert got() == want  # zero duplicates
+    assert TX.current_version(spark, snk) == v_after_first  # all no-ops
+
+    # new upstream data after the restart still flows through
+    TX.tx_write(spark, _mk(spark, 6), src, mode="append")
+    drain(str(tmp_path / "chk2"))
+    want = sorted((r.id, r.s) for r in TX.tx_read(spark, src).select("id", "s").collect())
+    assert got() == want
