@@ -134,6 +134,89 @@ SUPPORTED_WRITER_FEATURES = frozenset(
 )
 
 
+# --------------------------------------------------------------------------
+# Column mapping (Delta's columnMapping name-mode twin): each schema field
+# may carry ``metadata.txlog_physical`` — the IMMUTABLE name the column has
+# inside data files. Rename changes only the logical name; drop removes the
+# field from the schema while its physical data stays dormant in old files;
+# columns added later get FRESH physical ids so a re-added logical name can
+# never resurrect a dropped column's data. All public predicates, keys, and
+# column lists are LOGICAL; translation to physical happens at the file
+# boundary. Tables with a non-identity mapping declare the column-mapping
+# feature (reader AND writer).
+
+
+def _schema_mapping(schema_json: str | None) -> dict[str, str]:
+    """logical name → physical name (identity for unstamped fields)."""
+    if not schema_json:
+        return {}
+    sch = json.loads(schema_json)
+    return {
+        f["name"]: (f.get("metadata") or {}).get("txlog_physical", f["name"])
+        for f in sch.get("fields", ())
+    }
+
+
+def _mapping_is_identity(mapping: dict[str, str]) -> bool:
+    return all(k == v for k, v in mapping.items())
+
+
+def _mapping_active(schema_json: str | None) -> bool:
+    """True once any field carries a stamped physical name — the mapping
+    can be IDENTITY yet active (e.g. after a drop), and an active table
+    must keep assigning fresh physical ids to new columns so dropped
+    data stays dormant."""
+    if not schema_json:
+        return False
+    return any(
+        (f.get("metadata") or {}).get("txlog_physical")
+        for f in json.loads(schema_json).get("fields", ())
+    )
+
+
+def _map_names(names, mapping: dict[str, str]):
+    return [mapping.get(n, n) for n in names] if names else names
+
+
+def _map_keys(d, mapping: dict[str, str]):
+    return {mapping.get(k, k): v for k, v in d.items()} if d else d
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename a logical-named frame to physical file names for writing."""
+    if _mapping_is_identity(mapping):
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def _to_logical(df: DataFrame, schema_json: str) -> DataFrame:
+    """Project a physical-named frame onto the schema's logical names.
+    Physical columns absent from the frame (added after these files were
+    written) null-pad; dormant dropped columns are simply not selected.
+    Internal ``_txlog_*`` position columns ride along untouched."""
+    from pyspark.sql.types import StructType
+
+    sch = StructType.fromJson(json.loads(schema_json))
+    have = set(df.columns)
+    cols = []
+    for fld in sch.fields:
+        phys = (fld.metadata or {}).get("txlog_physical", fld.name)
+        if phys in have:
+            cols.append(F.col(phys).alias(fld.name))
+        else:
+            cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+    for extra in ("_txlog_fp", "_txlog_ri"):
+        if extra in have:
+            cols.append(F.col(extra))
+    return df.select(*cols)
+
+
+def _fresh_physical() -> str:
+    return f"col-{uuid.uuid4().hex[:12]}"
+
+
 def _is_abs_ref(ref: str) -> bool:
     """True for absolute / scheme-qualified paths (``/x``, ``file:/x``,
     ``s3://b/x``) vs table-root-relative manifest refs."""
@@ -755,6 +838,83 @@ def tx_protocol(spark: SparkSession, path: str) -> dict:
     }
 
 
+def _stamp_physicals(sch: dict) -> dict:
+    """Freeze every field's physical name to its current name (the
+    moment column mapping activates — Delta's upgrade-to-name-mode)."""
+    fields = []
+    for f in sch["fields"]:
+        md = dict(f.get("metadata") or {})
+        md.setdefault("txlog_physical", f["name"])
+        fields.append({**f, "metadata": md})
+    return {**sch, "fields": fields}
+
+
+def _schema_change_commit(spark: SparkSession, path: str, op: str, transform):
+    """Metadata-only schema commit: stamp physicals, apply ``transform``
+    to the field list, declare the column-mapping feature. No data file
+    moves."""
+
+    def build(now: int | None) -> dict:
+        if now is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        snap = read_manifest(spark, path, now)
+        if not snap["schema"]:
+            raise ValueError(f"{op}: table at {path} has no schema record")
+        sch = _stamp_physicals(json.loads(snap["schema"]))
+        sch = {**sch, "fields": transform(sch["fields"])}
+        return {
+            "op": op,
+            "schema": json.dumps(sch),
+            "add": [],
+            "remove": [],
+            "truncate": False,
+            "protocol": _protocol_with(
+                snap.get("protocol"),
+                reader=(FEATURE_COLUMN_MAPPING,),
+                writer=(FEATURE_COLUMN_MAPPING,),
+            ),
+        }
+
+    return _commit(spark, path, build)
+
+
+def tx_rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
+    """METADATA-ONLY column rename (Delta's ``ALTER TABLE RENAME COLUMN``
+    under column mapping): the logical name changes, the immutable
+    physical name inside data files does not — zero files rewritten, and
+    time travel to pre-rename versions shows the old name (each version
+    reads through its own schema record). Activates the column-mapping
+    feature, so pre-mapping readers fail loudly rather than serving
+    physical names."""
+
+    def transform(fields):
+        names = [f["name"] for f in fields]
+        if old not in names:
+            raise ValueError(f"rename: no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"rename: column {new!r} already exists")
+        return [{**f, "name": new} if f["name"] == old else f for f in fields]
+
+    return _schema_change_commit(spark, path, "rename_column", transform)
+
+
+def tx_drop_column(spark: SparkSession, path: str, col: str) -> int:
+    """METADATA-ONLY column drop: the field leaves the schema; its
+    physical data stays dormant in existing files (never selected). A
+    later column added with the same logical name gets a FRESH physical
+    id, so the dropped data can never be resurrected."""
+
+    def transform(fields):
+        names = [f["name"] for f in fields]
+        if col not in names:
+            raise ValueError(f"drop: no column {col!r} (have {names})")
+        if len(fields) == 1:
+            raise ValueError("drop: cannot drop the only column")
+        return [f for f in fields if f["name"] != col]
+
+    return _schema_change_commit(spark, path, "drop_column", transform)
+
+
 def tx_txn_version(spark: SparkSession, path: str, app: str) -> int | None:
     """The highest ``txn`` version committed for ``app`` (Delta's
     ``txnVersion``): a restarted writer asks this to know which batches
@@ -1323,8 +1483,38 @@ def tx_write(
     if checks:
         _enforce_checks(df, checks)
 
-    _, new_files = _write_batch(df, path, partition_by, stats_for, bloom_for)
-    schema_json = df.schema.json()
+    schema_json = df.schema.json()  # the LOGICAL schema of this write
+    # Column mapping: appends to a mapped table write PHYSICAL names.
+    # Physical names are immutable once assigned, so reading the mapping
+    # before the batch write cannot go stale (a concurrent rename changes
+    # only logical names); brand-new columns get fresh physical ids HERE
+    # so a re-added logical name never collides with a dropped column's
+    # dormant data.
+    mapping: dict[str, str] = {}
+    pre_schema: str | None = None
+    if mode != "overwrite":
+        _curv = current_version(spark, path)
+        if _curv is not None:
+            pre_schema = read_manifest(spark, path, _curv)["schema"]
+            mapping = _schema_mapping(pre_schema)
+    new_col_phys: dict[str, str] = {}
+    if _mapping_active(pre_schema):
+        for fld in json.loads(schema_json)["fields"]:
+            if fld["name"] not in mapping:
+                new_col_phys[fld["name"]] = _fresh_physical()
+        write_map = {**mapping, **new_col_phys}
+        df_w = _to_physical(df, write_map)
+        w_partition_by = _map_names(partition_by, write_map)
+        w_stats, w_bloom = (
+            _map_names(stats_for, write_map),
+            _map_names(bloom_for, write_map),
+        )
+    else:
+        df_w, w_partition_by, w_stats, w_bloom = (
+            df, partition_by, stats_for, bloom_for,
+        )
+
+    _, new_files = _write_batch(df_w, path, w_partition_by, w_stats, w_bloom)
     touched = {tuple(sorted(f["partition"].items())) for f in new_files}
 
     def build(cur: int | None) -> dict:
@@ -1344,11 +1534,35 @@ def tx_write(
             # it) — Delta pays the same snapshot resolution on every
             # commit; the checkpointed log bounds it to <=11 log reads
             snap = read_manifest(spark, path, cur)
+            if new_col_phys and snap["schema"] != pre_schema:
+                # the batch was written under physical ids assigned against
+                # pre_schema; a concurrent schema change may have assigned
+                # the same logical name a DIFFERENT physical — refuse
+                # rather than commit files under the wrong identity
+                raise TxConflictError(
+                    f"tx_write({mode}) at {path}: concurrent schema change "
+                    f"while adding mapped columns — retry the write"
+                )
             if snap["schema"]:
                 schema_out = _merge_table_schema(
                     snap["schema"], schema_json, schema_evolution,
                     f"tx_write({mode})",
                 )
+                if new_col_phys:
+                    d = json.loads(schema_out)
+                    d["fields"] = [
+                        {
+                            **f,
+                            "metadata": {
+                                **(f.get("metadata") or {}),
+                                "txlog_physical": new_col_phys[f["name"]],
+                            },
+                        }
+                        if f["name"] in new_col_phys
+                        else f
+                        for f in d["fields"]
+                    ]
+                    schema_out = json.dumps(d)
             if mode == "overwrite_dynamic":
                 remove = [
                     f["path"]
@@ -1524,18 +1738,29 @@ def tx_read(
     if where_equals is not None and any(v is None for v in where_equals.values()):
         raise ValueError("where_equals probes must be non-null; use `where`")
     manifest = read_manifest(spark, path, cur, _listing=listing)
+    # predicates arrive LOGICAL; file stats/bloom keys are PHYSICAL —
+    # validate types against the logical schema, prune with physical keys
+    mapping = _schema_mapping(manifest["schema"])
     bloom_probes = (
-        _bloomable_probes(manifest["schema"], where_equals)
+        _map_keys(_bloomable_probes(manifest["schema"], where_equals), mapping)
         if where_equals
         else None
     )
+    p_where = _map_keys(where, mapping)
     kept = [
         f
         for f in manifest["files"]
-        if not (where and not _file_overlaps(f, where))
+        if not (p_where and not _file_overlaps(f, p_where))
         and not (bloom_probes and _bloom_rejects(f, bloom_probes))
     ]
     out = _read_files(spark, path, kept, manifest["schema"])
+    # project onto the schema whenever the files carry anything else:
+    # renamed physicals (mapping) OR dormant dropped columns (the files
+    # keep a dropped column's data; the snapshot must not serve it)
+    if manifest["schema"] and out.columns != [
+        f["name"] for f in json.loads(manifest["schema"])["fields"]
+    ]:
+        out = _to_logical(out, manifest["schema"])
     if where:
         for col, (lo, hi) in where.items():
             if lo is not None:
@@ -1655,27 +1880,45 @@ def tx_merge(
     if use_dv:
         return _dv_merge(spark, source, path, keys, partition_by, precedence, cur)
 
+    manifest0 = read_manifest(spark, path, cur)
+    mapping = _schema_mapping(manifest0["schema"])
+    mapped = not _mapping_is_identity(mapping)
+    if mapped and schema_evolution:
+        raise ValueError(
+            "tx_merge: schema_evolution on a column-mapped table is not "
+            "supported — add the column with tx_write(schema_evolution=True) "
+            "first, then merge"
+        )
     touched_sets: set[tuple] | None = None
     if partition_by:
         touched = [
             r.asDict()
             for r in source.select(*partition_by).distinct().collect()
         ]
-        manifest = read_manifest(spark, path, cur)
+        # partition dict keys in manifests are PHYSICAL names
         touched_sets = {
-            tuple(sorted((k, _hive_enc(t[k])) for k in partition_by))
+            tuple(
+                sorted(
+                    (mapping.get(k, k), _hive_enc(t[k]))
+                    for k in partition_by
+                )
+            )
             for t in touched
         }
         touched_files = [
             f
-            for f in manifest["files"]
+            for f in manifest0["files"]
             if tuple(sorted(f["partition"].items())) in touched_sets
         ]
         slice_df = (
-            _read_files(spark, path, touched_files, manifest["schema"])
+            _read_files(spark, path, touched_files, manifest0["schema"])
             if touched_files
             else None
         )
+        if slice_df is not None:
+            # always project onto the schema: covers renamed physicals AND
+            # dormant dropped columns in the raw files
+            slice_df = _to_logical(slice_df, manifest0["schema"])
         base_touched_paths = {f["path"] for f in touched_files}
     else:
         slice_df = tx_read(spark, path, cur)
@@ -1696,9 +1939,14 @@ def tx_merge(
         merged = _precedence_pick(source, keys, precedence, slice_df)
 
     # the merged slice replaces exactly the touched partitions; commit with
-    # a conflict check on the read set
-    _, new_files = _write_batch(merged, path, partition_by, None)
-    schema_json = merged.schema.json()
+    # a conflict check on the read set. Mapped tables write physical names
+    # and keep the table's metadata-carrying schema record (no evolution
+    # under mapping, so the logical shape is unchanged).
+    _, new_files = _write_batch(
+        _to_physical(merged, mapping), path,
+        _map_names(partition_by, mapping), None,
+    )
+    schema_json = manifest0["schema"] if mapped else merged.schema.json()
 
     def build(now: int | None) -> dict:
         if partition_by:
@@ -1765,13 +2013,20 @@ def _dv_merge(
     from .writer import _dedup_on_keys
 
     manifest = read_manifest(spark, path, cur)
+    mapping = _schema_mapping(manifest["schema"])
+    mapped = not _mapping_is_identity(mapping)
     if partition_by:
         touched = [
             r.asDict()
             for r in source.select(*partition_by).distinct().collect()
         ]
         touched_sets = {
-            tuple(sorted((k, _hive_enc(t[k])) for k in partition_by))
+            tuple(
+                sorted(
+                    (mapping.get(k, k), _hive_enc(t[k]))
+                    for k in partition_by
+                )
+            )
             for t in touched
         }
         cand = [
@@ -1790,6 +2045,8 @@ def _dv_merge(
     matched = None
     if cand:
         tgt = _read_files_with_position(spark, path, cand)
+        # merge logic runs in LOGICAL space (also drops dormant columns)
+        tgt = _to_logical(tgt, manifest["schema"])
         matched = tgt.join(source.select(*keys).distinct(), keys, "semi")
     if precedence is None:
         winners = _dedup_on_keys(source, keys).select(*tgt_cols)
@@ -1798,6 +2055,8 @@ def _dv_merge(
             source, keys, precedence,
             matched.drop("_txlog_fp", "_txlog_ri") if matched is not None else None,
         ).select(*tgt_cols)
+    if mapped:
+        winners = _to_physical(winners, mapping)
 
     root = path.rstrip("/")
     batch = uuid.uuid4().hex
@@ -1818,7 +2077,9 @@ def _dv_merge(
         }
         if not counts:  # pure-insert merge: no sidecar needed
             _delete(spark, f"{root}/{dv_ref}")
-    _, new_files = _write_batch(winners, path, partition_by, None)
+    _, new_files = _write_batch(
+        winners, path, _map_names(partition_by, mapping), None
+    )
 
     def build(now: int | None) -> dict:
         now_manifest = (
@@ -2264,7 +2525,13 @@ def tx_compact(
     interleaved-bit Morton key instead of the lexicographic tuple, so
     2-column predicates skip files on BOTH columns — lexicographic
     clustering leaves the second column's per-file ranges near-full-width
-    (every file spans all of col2 within its col1 slice)."""
+    (every file spans all of col2 within its col1 slice).
+
+    Column-mapped tables: a FULL compaction reads logically and
+    overwrites, which MATERIALIZES renames/drops into the data files and
+    resets the mapping to identity (time travel still reads old versions
+    through their own schema records); incremental ``small_bytes``
+    compaction preserves physical names untouched."""
     if small_bytes is not None:
         if cluster_by:
             raise ValueError(
@@ -2320,6 +2587,13 @@ def _compact_small(
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
     manifest = read_manifest(spark, path, cur)
+    # incremental OPTIMIZE stays in PHYSICAL space end-to-end (it reads
+    # raw files and rewrites them unchanged) — only the user-facing
+    # column params need translation
+    mapping = _schema_mapping(manifest["schema"])
+    partition_by = _map_names(partition_by, mapping)
+    stats_for = _map_names(stats_for, mapping)
+    bloom_for = _map_names(bloom_for, mapping)
     small = [
         f
         for f in manifest["files"]
@@ -2473,7 +2747,16 @@ def _dml_rewrite(
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
     manifest = read_manifest(spark, path, cur)
-    bloom_probes = _bloomable_probes(manifest["schema"], where_equals)
+    # predicates arrive logical; stats/bloom/file columns are physical
+    mapping = _schema_mapping(manifest["schema"])
+    bloom_probes = _map_keys(
+        _bloomable_probes(manifest["schema"], where_equals), mapping
+    )
+    where = _map_keys(where, mapping)
+    where_equals = _map_keys(where_equals, mapping)
+    partition_by = _map_names(partition_by, mapping)
+    stats_for = _map_names(stats_for, mapping)
+    bloom_for = _map_names(bloom_for, mapping)
     hit, miss = [], []
     for f in manifest["files"]:
         (hit if _file_can_match(f, where, bloom_probes) else miss).append(f)
@@ -2483,7 +2766,7 @@ def _dml_rewrite(
     cond = _dml_predicate(where, where_equals)
 
     affected = _read_files(spark, path, hit, manifest["schema"])
-    rewritten = transform(affected, cond)
+    rewritten = transform(affected, cond, mapping)
 
     _, new_files = _write_batch(rewritten, path, partition_by, stats_for, bloom_for)
     hit_paths = {f["path"] for f in hit}
@@ -2574,7 +2857,7 @@ def tx_delete(
         return _dv_dml(spark, path, where, where_equals=where_equals)
     return _dml_rewrite(
         spark, path, where,
-        lambda df, cond: df.filter(~F.coalesce(cond, F.lit(False))),
+        lambda df, cond, _m: df.filter(~F.coalesce(cond, F.lit(False))),
         "delete", partition_by, stats_for,
         where_equals=where_equals, bloom_for=bloom_for,
     )
@@ -2611,7 +2894,20 @@ def _dv_dml(
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
     manifest = read_manifest(spark, path, cur)
-    bloom_probes = _bloomable_probes(manifest["schema"], where_equals)
+    mapping = _schema_mapping(manifest["schema"])
+    bloom_probes = _map_keys(
+        _bloomable_probes(manifest["schema"], where_equals), mapping
+    )
+    where = _map_keys(where, mapping)
+    where_equals = _map_keys(where_equals, mapping)
+    partition_by = _map_names(partition_by, mapping)
+    stats_for = _map_names(stats_for, mapping)
+    bloom_for = _map_names(bloom_for, mapping)
+    assignments = (
+        {mapping.get(k, k): v for k, v in assignments.items()}
+        if assignments
+        else assignments
+    )
     hit = [
         f
         for f in manifest["files"]
@@ -2773,11 +3069,18 @@ def tx_update(
             stats_for=stats_for, bloom_for=bloom_for,
         )
 
-    def apply(df, cond):
+    def apply(df, cond, mapping):
+        # assignment KEYS are logical; the frame is physical. Assignment
+        # EXPRESSIONS referencing a renamed column's logical name fail at
+        # analysis (column not found) — loud, never silently wrong.
         out = df
         for col, expr in assignments.items():
+            phys = mapping.get(col, col)
             out = out.withColumn(
-                col, F.when(F.coalesce(cond, F.lit(False)), expr).otherwise(F.col(col))
+                phys,
+                F.when(F.coalesce(cond, F.lit(False)), expr).otherwise(
+                    F.col(phys)
+                ),
             )
         return out
 

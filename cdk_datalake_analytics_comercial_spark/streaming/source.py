@@ -93,7 +93,17 @@ def _snapshot_schema(path: str) -> tuple[int, str]:
     cur = TX.current_version(None, path)
     if cur is None:
         raise FileNotFoundError(f"no committed txlog version at {path}")
-    return cur, TX.read_manifest(None, path, cur)["schema"]
+    manifest = TX.read_manifest(None, path, cur)
+    mapping = TX._schema_mapping(manifest["schema"])
+    if not TX._mapping_is_identity(mapping):
+        # the file-based reader would serve PHYSICAL column names; refuse
+        # loudly rather than stream wrong names (consume mapped tables via
+        # streaming/cdf.drain_cdf, which reads through tx_read)
+        raise NotImplementedError(
+            f"txlog streaming source does not support column-mapped "
+            f"tables yet ({path}); use streaming.cdf.drain_cdf"
+        )
+    return cur, manifest["schema"]
 
 
 class _TxFilesPartition(InputPartition):

@@ -1,0 +1,251 @@
+"""Column mapping (Delta columnMapping name-mode twin): RENAME and DROP
+are metadata-only commits — zero data files rewritten — with immutable
+physical names inside files. Public predicates/keys/columns stay logical;
+time travel reads each version through its own schema record; a re-added
+logical name can never resurrect a dropped column's dormant data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.sources import txlog as TX
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _files(spark, p):
+    cur = TX.current_version(spark, p)
+    return sorted(f["path"] for f in TX.read_manifest(spark, p, cur)["files"])
+
+
+def _mk(spark, tmp_path, name="t"):
+    p = str(tmp_path / name)
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, v string, amt long"
+        ),
+        p,
+        stats_for=["k"],
+    )
+    return p
+
+
+def test_rename_is_metadata_only_and_time_travel_keeps_old_name(
+    spark, tmp_path
+):
+    p = _mk(spark, tmp_path)
+    before = _files(spark, p)
+    TX.tx_rename_column(spark, p, "v", "label")
+    assert _files(spark, p) == before  # ZERO files rewritten
+    got = TX.tx_read(spark, p)
+    assert got.columns == ["k", "label", "amt"]
+    assert rows(got) == [(1, "a", 10), (2, "b", 20)]
+    # time travel to v1 shows the ORIGINAL name (schema is per-version)
+    old = TX.tx_read(spark, p, version=1)
+    assert old.columns == ["k", "v", "amt"]
+    proto = TX.tx_protocol(spark, p)
+    assert TX.FEATURE_COLUMN_MAPPING in proto["reader_features"]
+    assert TX.FEATURE_COLUMN_MAPPING in proto["writer_features"]
+
+
+def test_rename_collision_and_missing_column_refused(spark, tmp_path):
+    p = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="already exists"):
+        TX.tx_rename_column(spark, p, "v", "k")
+    with pytest.raises(ValueError, match="no column"):
+        TX.tx_rename_column(spark, p, "nope", "x")
+
+
+def test_append_and_filters_after_rename(spark, tmp_path):
+    p = _mk(spark, tmp_path)
+    TX.tx_rename_column(spark, p, "k", "id")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(3, "c", 30)], "id long, label string, amt long"
+        ).withColumnRenamed("label", "v"),
+        p,
+        mode="append",
+        stats_for=["id"],
+    )
+    got = TX.tx_read(spark, p, where={"id": (2, 3)})
+    assert rows(got.select("id", "amt")) == [(2, 20), (3, 30)]
+    # stats pruning still keys on the physical name underneath — the
+    # logical predicate must not silently stop matching
+    assert rows(TX.tx_read(spark, p, where={"id": (3, 3)}).select("v")) == [
+        ("c",)
+    ]
+
+
+def test_merge_after_rename_without_rewriting_files(spark, tmp_path):
+    p = _mk(spark, tmp_path)
+    TX.tx_rename_column(spark, p, "v", "label")
+    TX.tx_merge(
+        spark,
+        spark.createDataFrame(
+            [(2, "B", 99), (4, "d", 40)], "k long, label string, amt long"
+        ),
+        p,
+        keys=["k"],
+    )
+    assert rows(TX.tx_read(spark, p)) == [
+        (1, "a", 10),
+        (2, "B", 99),
+        (4, "d", 40),
+    ]
+    # DV merge too: only winners move
+    TX.tx_merge(
+        spark,
+        spark.createDataFrame([(4, "D", 44)], "k long, label string, amt long"),
+        p,
+        keys=["k"],
+        use_dv=True,
+    )
+    assert rows(TX.tx_read(spark, p)) == [
+        (1, "a", 10),
+        (2, "B", 99),
+        (4, "D", 44),
+    ]
+
+
+def test_merge_partitioned_mapped_table(spark, tmp_path):
+    p = str(tmp_path / "pt")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "us", 10), (2, "eu", 20)], "k long, region string, amt long"
+        ),
+        p,
+        partition_by=["region"],
+    )
+    TX.tx_rename_column(spark, p, "region", "geo")
+    us_files_before = [
+        f["path"]
+        for f in TX.read_manifest(spark, p, TX.current_version(spark, p))["files"]
+        if "region=us" in f["path"]
+    ]
+    TX.tx_merge(
+        spark,
+        spark.createDataFrame([(2, "eu", 99)], "k long, geo string, amt long"),
+        p,
+        keys=["k"],
+        partition_by=["geo"],
+    )
+    assert rows(TX.tx_read(spark, p).select("k", "geo", "amt")) == [
+        (1, "us", 10),
+        (2, "eu", 99),
+    ]
+    # the untouched us partition was carried by reference
+    us_files_after = [
+        f["path"]
+        for f in TX.read_manifest(spark, p, TX.current_version(spark, p))["files"]
+        if "region=us" in f["path"]
+    ]
+    assert us_files_after == us_files_before
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tmp_path):
+    p = _mk(spark, tmp_path)
+    TX.tx_drop_column(spark, p, "v")
+    assert TX.tx_read(spark, p).columns == ["k", "amt"]
+    # re-add the same logical name: fresh physical id → old rows NULL
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(3, 30, "NEW")], "k long, amt long, v string"),
+        p,
+        mode="append",
+        schema_evolution=True,
+    )
+    got = rows(TX.tx_read(spark, p).select("k", "v"))
+    assert got == [(1, None), (2, None), (3, "NEW")]
+
+
+def test_delete_and_update_on_renamed_column(spark, tmp_path):
+    p = _mk(spark, tmp_path)
+    TX.tx_rename_column(spark, p, "k", "id")
+    TX.tx_update(
+        spark,
+        p,
+        where={"id": (2, 2)},
+        assignments={"amt": F.lit(999)},
+    )
+    assert rows(TX.tx_read(spark, p).select("id", "amt")) == [
+        (1, 10),
+        (2, 999),
+    ]
+    TX.tx_delete(spark, p, where={"id": (1, 1)})
+    assert rows(TX.tx_read(spark, p).select("id")) == [(2,)]
+    # DV paths too
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(5, "e", 50)], "id long, v string, amt long"),
+        p,
+        mode="append",
+    )
+    TX.tx_delete(spark, p, where={"id": (5, 5)}, use_dv=True)
+    assert rows(TX.tx_read(spark, p).select("id")) == [(2,)]
+
+
+def test_old_reader_refuses_mapped_table(spark, tmp_path, monkeypatch):
+    p = _mk(spark, tmp_path)
+    TX.tx_rename_column(spark, p, "v", "label")
+    monkeypatch.setattr(
+        TX,
+        "SUPPORTED_READER_FEATURES",
+        TX.SUPPORTED_READER_FEATURES - {TX.FEATURE_COLUMN_MAPPING},
+    )
+    with pytest.raises(TX.TxProtocolError, match="column-mapping"):
+        TX.tx_read(spark, p)
+
+
+def test_full_compaction_materializes_renames(spark, tmp_path):
+    p = _mk(spark, tmp_path)
+    TX.tx_rename_column(spark, p, "v", "label")
+    TX.tx_compact(spark, p, n_files=1)
+    got = TX.tx_read(spark, p)
+    assert got.columns == ["k", "label", "amt"]
+    assert rows(got) == [(1, "a", 10), (2, "b", 20)]
+    # the mapping is identity again (renames baked into the files)
+    cur = TX.current_version(spark, p)
+    m = TX._schema_mapping(TX.read_manifest(spark, p, cur)["schema"])
+    assert TX._mapping_is_identity(m)
+
+
+def test_streaming_source_refuses_mapped_table(spark, tmp_path):
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        stream_txlog,
+    )
+
+    p = _mk(spark, tmp_path)
+    TX.tx_rename_column(spark, p, "v", "label")
+    with pytest.raises(Exception, match="column-mapped"):
+        stream_txlog(spark, p).schema
+
+
+def test_cdf_drain_consumes_mapped_table(spark, tmp_path):
+    from cdk_datalake_analytics_comercial_spark.streaming.cdf import drain_cdf
+
+    p = _mk(spark, tmp_path)
+    TX.tx_rename_column(spark, p, "amt", "value")
+    sink = str(tmp_path / "sink")
+
+    def fold(changes, state):
+        inc = changes.groupBy().agg(F.sum("value").alias("total"))
+        if state is None:
+            return inc
+        return (
+            state.unionByName(inc).groupBy().agg(F.sum("total").alias("total"))
+        )
+
+    drain_cdf(spark, p, sink, fold, ["k"])
+    assert rows(TX.tx_read(spark, sink)) == [(30,)]
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(7, "g", 70)], "k long, v string, value long"),
+        p,
+        mode="append",
+    )
+    drain_cdf(spark, p, sink, fold, ["k"])
+    assert rows(TX.tx_read(spark, sink)) == [(100,)]
