@@ -28,6 +28,8 @@ HEADLINE = [
     "shipping_priority",
     "nation_trade",
     "returned_customers",
+    "order_priority_late",
+    "promo_revenue_share",
     "rolling_3m_window",
     "rolling_12m_window",
     "top1_join",
@@ -63,6 +65,7 @@ HEADLINE = [
     "emb_rerank_topk",
     "emb_ivfpq_topk",
     "emb_ivfpq_residual_topk",
+    "emb_ivfpq_search_index",
     "emb_lsh_multitable",
     "emb_near_dup",
     "events_tumbling",

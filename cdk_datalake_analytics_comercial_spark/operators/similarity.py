@@ -985,6 +985,89 @@ def residual_codebooks_from_sample(
     return [[[quantize(v, 1) for v in row] for row in cb] for cb in cbs]
 
 
+def _train_residual_quantizers(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int,
+    n_sub: int,
+    n_cent: int,
+    vec_col: str,
+    id_col: str,
+):
+    """Coarse centroids (int grid) + residual PQ codebooks from the SAME
+    bounded deterministic sample — shared by the in-memory
+    :func:`ivf_pq_residual_topk`, the persisted-index builder, and the
+    oracle builder, so all three derive bit-identical quantizers."""
+    import numpy as np
+
+    cents = ivf_centroids(corpus, dim, n_cells, vec_col, id_col)
+    cents_int_l = [[quantize(x) for x in row] for row in cents]
+    sample = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(4096)
+        .collect()
+    )
+    x = np.array([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    rcb_int = np.array(
+        residual_codebooks_from_sample(x, cents_int_l, n_sub, n_cent),
+        dtype=np.int64,
+    )
+    return cents_int_l, rcb_int
+
+
+def _residual_codes_udf(cents_int_l, rcb_int, n_sub: int, sub: int):
+    """Arrow UDF: residual PQ codes of (vector, cell) batches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents_int = np.array(cents_int_l, dtype=np.int64)
+    rcb = np.asarray(rcb_int, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def codes_of(vs, cells):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array([np.asarray(v, dtype=np.int64) for v in vs])
+        R = X - cents_int[cells.to_numpy()]
+        out = np.empty((len(X), n_sub), dtype=np.int32)
+        for s in range(n_sub):
+            xs = R[:, s * sub : (s + 1) * sub]
+            diff = xs[:, None, :] - rcb[s][None, :, :]
+            out[:, s] = (diff * diff).sum(axis=2).argmin(axis=1)
+        return pd.Series(list(out))
+
+    return codes_of
+
+
+def _residual_adc_udf(cents_int_l, rcb_int, n_sub: int, sub: int):
+    """Arrow UDF: integer ADC distance of (query vector, cell, codes)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents_int = np.array(cents_int_l, dtype=np.int64)
+    rcb = np.asarray(rcb_int, dtype=np.int64)
+
+    @pandas_udf("long")
+    def adc(qivs, cells, codes):
+        if len(qivs) == 0:
+            return pd.Series([], dtype="int64")
+        Q = np.array([np.asarray(v, dtype=np.int64) for v in qivs])
+        QR = Q - cents_int[cells.to_numpy()]
+        C = np.array([np.asarray(c, dtype=np.int64) for c in codes])
+        total = np.zeros(len(Q), dtype=np.int64)
+        for s in range(n_sub):
+            qs = QR[:, s * sub : (s + 1) * sub]
+            cent = rcb[s][C[:, s]]
+            d = qs - cent
+            total += (d * d).sum(axis=1)
+        return pd.Series(total)
+
+    return adc
+
+
 def ivf_pq_residual_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1013,59 +1096,16 @@ def ivf_pq_residual_topk(
     partition key, candidates ≈ corpus/n_cells per query, codes are n_sub
     small ints per row, vectorized ADC in Arrow batches. The two trainer
     samples are bounded (4096 rows) regardless of corpus size."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    cents = ivf_centroids(corpus, dim, n_cells, vec_col, id_col)
-    cents_int_l = [[quantize(x) for x in row] for row in cents]
-    cents_int = np.array(cents_int_l, dtype=np.int64)
-    sample = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .limit(4096)
-        .collect()
-    )
-    x = np.array([np.asarray(r["v"], dtype=np.float64) for r in sample])
-    rcb_int = np.array(
-        residual_codebooks_from_sample(x, cents_int_l, n_sub, n_cent),
-        dtype=np.int64,
+    cents_int_l, rcb_int = _train_residual_quantizers(
+        corpus, dim, n_cells, n_sub, n_cent, vec_col, id_col
     )
     sub = dim // n_sub
-
-    def make_codes_udf():
-        @pandas_udf("array<int>")
-        def codes_of(vs, cells):
-            if len(vs) == 0:
-                return pd.Series([], dtype=object)
-            X = np.array([np.asarray(v, dtype=np.int64) for v in vs])
-            R = X - cents_int[cells.to_numpy()]
-            out = np.empty((len(X), n_sub), dtype=np.int32)
-            for s in range(n_sub):
-                xs = R[:, s * sub : (s + 1) * sub]
-                diff = xs[:, None, :] - rcb_int[s][None, :, :]
-                out[:, s] = (diff * diff).sum(axis=2).argmin(axis=1)
-            return pd.Series(list(out))
-
-        return codes_of
-
-    def make_adc_udf():
-        @pandas_udf("long")
-        def adc(qivs, cells, codes):
-            if len(qivs) == 0:
-                return pd.Series([], dtype="int64")
-            Q = np.array([np.asarray(v, dtype=np.int64) for v in qivs])
-            QR = Q - cents_int[cells.to_numpy()]
-            C = np.array([np.asarray(c, dtype=np.int64) for c in codes])
-            total = np.zeros(len(Q), dtype=np.int64)
-            for s in range(n_sub):
-                qs = QR[:, s * sub : (s + 1) * sub]
-                cent = rcb_int[s][C[:, s]]
-                d = qs - cent
-                total += (d * d).sum(axis=1)
-            return pd.Series(total)
-
-        return adc
+    make_codes_udf = lambda: _residual_codes_udf(  # noqa: E731
+        cents_int_l, rcb_int, n_sub, sub
+    )
+    make_adc_udf = lambda: _residual_adc_udf(  # noqa: E731
+        cents_int_l, rcb_int, n_sub, sub
+    )
 
     c = corpus.select(
         F.col(id_col).cast("long").alias("corpus_id"),
@@ -1097,3 +1137,231 @@ def ivf_pq_residual_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "d2", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF-PQ index: the 100 TB tier below the raw-vector IVF index.
+# The cells table stores n_sub-byte PQ CODES instead of dim x 8-byte raw
+# vectors (16x+ smaller scans at dim=64/n_sub=16), hive-partitioned by
+# cell so a probe's file reads prune to its cells. Optional raw side table
+# for exact re-rank (reference semantics: FAISS IVFPQ + refine).
+
+
+def ivf_pq_build_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_cells: int = 8,
+    n_sub: int = 16,
+    n_cent: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    store_raw: bool = False,
+) -> None:
+    """Build a persisted IVF-PQ index at ``path``:
+
+    - ``<path>/centroids`` — coarse cells on the integer grid;
+    - ``<path>/codebooks`` — residual PQ codebooks (integer, scale 1);
+    - ``<path>/codes`` — (vec_id, codes) hive-partitioned by cell: the
+      ONLY table a search scans, n_sub small ints per vector;
+    - ``<path>/raw`` (``store_raw=True``) — int-scaled full vectors for
+      the optional exact re-rank stage.
+
+    Quantizers train on the same bounded deterministic sample as
+    :func:`ivf_pq_residual_topk`, so a search of this index reproduces its
+    results bit-for-bit (the oracle-equivalence contract)."""
+    from ..sources.txlog import tx_write
+
+    cents_int_l, rcb_int = _train_residual_quantizers(
+        corpus, dim, n_cells, n_sub, n_cent, vec_col, id_col
+    )
+    sub = dim // n_sub
+    cents_df = spark.createDataFrame(
+        [(i, [int(v) for v in row]) for i, row in enumerate(cents_int_l)],
+        "cell int, centroid array<long>",
+    )
+    tx_write(spark, cents_df, f"{path}/centroids", mode="overwrite")
+    cb_rows = [
+        (s, j, [int(v) for v in rcb_int[s][j]])
+        for s in range(n_sub)
+        for j in range(len(rcb_int[s]))
+    ]
+    tx_write(
+        spark,
+        spark.createDataFrame(cb_rows, "sub int, code int, vec array<long>"),
+        f"{path}/codebooks",
+        mode="overwrite",
+    )
+    encoded = _encode_pq(corpus, cents_int_l, rcb_int, n_sub, sub, vec_col, id_col)
+    tx_write(
+        spark,
+        encoded.select("vec_id", "cell", "codes"),
+        f"{path}/codes",
+        partition_by=["cell"],
+        mode="overwrite",
+    )
+    if store_raw:
+        tx_write(
+            spark,
+            encoded.select("vec_id", "iv"),
+            f"{path}/raw",
+            mode="overwrite",
+        )
+
+
+def _encode_pq(
+    vectors: DataFrame, cents_int_l, rcb_int, n_sub, sub, vec_col, id_col
+) -> DataFrame:
+    return (
+        vectors.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            int_scaled(F.col(vec_col)).alias("iv"),
+        )
+        .withColumn("cell", _nearest_cell(F.col("iv"), cents_int_l))
+        .withColumn(
+            "codes",
+            _residual_codes_udf(cents_int_l, rcb_int, n_sub, sub)(
+                F.col("iv"), F.col("cell")
+            ),
+        )
+    )
+
+
+def _load_pq_index_meta(spark, path: str):
+    """(cents_int_l, rcb_int ndarray, n_sub, sub) from the index tables —
+    driver-side, KBs."""
+    import numpy as np
+
+    from ..sources.txlog import tx_read
+
+    cents_rows = tx_read(spark, f"{path}/centroids").collect()
+    cents_int_l = [
+        [int(v) for v in r["centroid"]]
+        for r in sorted(cents_rows, key=lambda r: r["cell"])
+    ]
+    cb_rows = tx_read(spark, f"{path}/codebooks").collect()
+    n_sub = 1 + max(r["sub"] for r in cb_rows)
+    n_cent = 1 + max(r["code"] for r in cb_rows)
+    by = {(r["sub"], r["code"]): [int(v) for v in r["vec"]] for r in cb_rows}
+    rcb_int = np.array(
+        [[by[(s, j)] for j in range(n_cent)] for s in range(n_sub)],
+        dtype=np.int64,
+    )
+    sub = len(cents_int_l[0]) // n_sub
+    return cents_int_l, rcb_int, n_sub, sub
+
+
+def ivf_pq_append_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append vectors WITHOUT retraining: encode with the frozen
+    quantizers, tx-append to the codes table (and the raw side table when
+    the index has one) — only the touched cells' partitions gain files.
+    Quantizer drift under heavy appends → rebuild the index generation
+    (an atomic overwrite, like :func:`ivf_append_index`)."""
+    from ..sources.txlog import is_txlog_table, tx_write
+
+    cents_int_l, rcb_int, n_sub, sub = _load_pq_index_meta(spark, path)
+    encoded = _encode_pq(
+        new_vectors, cents_int_l, rcb_int, n_sub, sub, vec_col, id_col
+    )
+    tx_write(
+        spark,
+        encoded.select("vec_id", "cell", "codes"),
+        f"{path}/codes",
+        partition_by=["cell"],
+        mode="append",
+    )
+    if is_txlog_table(spark, f"{path}/raw"):
+        tx_write(
+            spark, encoded.select("vec_id", "iv"), f"{path}/raw", mode="append"
+        )
+
+
+def ivf_pq_search_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    n_probe: int = 1,
+    rerank: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a persisted IVF-PQ index: probe the query's ``n_probe``
+    nearest cells, score candidates by integer ADC over the stored CODES
+    (the scan touches n_sub bytes per candidate, never raw vectors, and
+    unprobed cells' files are never read thanks to the hive partitioning).
+    At ``n_probe=1`` with quantizers trained from the same corpus this
+    returns exactly what :func:`ivf_pq_residual_topk` returns — the
+    persisted form changes no results.
+
+    ``rerank=k'`` adds the refine stage: ADC shortlists ``k'`` candidates
+    per query, then exact integer-grid L2 against the ``raw`` side table
+    re-ranks to the final top-``k`` (requires ``store_raw=True`` at build;
+    output column is ``d2`` of the EXACT distance)."""
+    from ..sources.txlog import is_txlog_table, tx_read
+
+    cents_int_l, rcb_int, n_sub, sub = _load_pq_index_meta(spark, path)
+    if n_probe <= 1:
+        q = queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            int_scaled(F.col(vec_col)).alias("qiv"),
+        ).withColumn("cell", _nearest_cell(F.col("qiv"), cents_int_l))
+    else:
+        from ._vectorized import make_probe_cells_udf
+
+        q = queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            int_scaled(F.col(vec_col)).alias("qiv"),
+        ).withColumn(
+            "cell",
+            F.explode(make_probe_cells_udf(cents_int_l, n_probe)(F.col("qiv"))),
+        )
+    q = q.localCheckpoint(eager=False)  # probe set read twice below
+    probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    c = tx_read(spark, f"{path}/codes").filter(F.col("cell").isin(probed))
+    shortlist_k = rerank if rerank else k
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell", "inner")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            _residual_adc_udf(cents_int_l, rcb_int, n_sub, sub)(
+                F.col("qiv"), F.col("cell"), F.col("codes")
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("corpus_id").asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_k)
+        .select("query_id", "corpus_id", "d2", "rank")
+    )
+    if not rerank:
+        return top
+    if not is_txlog_table(spark, f"{path}/raw"):
+        raise ValueError(
+            f"rerank requested but {path} was built without store_raw=True"
+        )
+    raw = tx_read(spark, f"{path}/raw").select(
+        F.col("vec_id"), F.col("iv").alias("embedding")
+    )
+    rq = queries.select(
+        F.col(id_col).cast("long").alias(id_col),
+        int_scaled(F.col(vec_col)).alias("embedding"),
+    )
+    # vectors already live on the int grid — rerank WITHOUT re-scaling
+    return rerank_exact(
+        top.select("query_id", "corpus_id"), raw, rq, k=k,
+        metric="l2", integer_scaled=False,
+    ).withColumnRenamed("dist", "d2")

@@ -1011,6 +1011,25 @@ def q_emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_residual_topk(e, q, dim=64, k=5, n_cells=8, n_sub=16, n_cent=16)
 
 
+def q_emb_ivfpq_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF-PQ index (FAISS IVFPQ's on-disk form): centroids +
+    residual codebooks + a cell-partitioned CODES table (n_sub bytes per
+    vector — the 100 TB tier below raw-vector cells) built into a scratch
+    dir, then searched via partition-pruned integer ADC. The quantizers
+    train on the same deterministic sample as the in-memory
+    ivf_pq_residual_topk, so results are bit-identical and this query
+    shares its oracle."""
+    import tempfile
+
+    from ..operators.similarity import ivf_pq_build_index, ivf_pq_search_index
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    path = tempfile.mkdtemp(prefix="spark_graft_ivfpq_")
+    ivf_pq_build_index(spark, e, path, dim=64, n_cells=8, n_sub=16, n_cent=16)
+    return ivf_pq_search_index(spark, q, path, k=5)
+
+
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k: corpus compressed to 4 codebook
     codes, queries score via integer lookup tables; codebooks train on the
@@ -2029,6 +2048,7 @@ QUERIES = {
     "emb_rerank_topk": q_emb_rerank_topk,
     "emb_ivfpq_topk": q_emb_ivfpq_topk,
     "emb_ivfpq_residual_topk": q_emb_ivfpq_residual_topk,
+    "emb_ivfpq_search_index": q_emb_ivfpq_search_index,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_frames": q_multimodal_frames,
@@ -2096,3 +2116,6 @@ if _IVFPQ_ORACLE:
 _IVFPQ_RES_ORACLE = _build_ivfpq_residual_oracle()
 if _IVFPQ_RES_ORACLE:
     ORACLES["emb_ivfpq_residual_topk"] = _IVFPQ_RES_ORACLE
+    # the persisted index is bit-identical to the in-memory residual
+    # IVF-PQ (shared deterministic trainer sample) — same oracle
+    ORACLES["emb_ivfpq_search_index"] = _IVFPQ_RES_ORACLE

