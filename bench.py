@@ -30,6 +30,12 @@ HEADLINE = [
     "returned_customers",
     "order_priority_late",
     "promo_revenue_share",
+    "nation_market_share",
+    "product_margin",
+    "customer_order_distribution",
+    "supplier_part_variety",
+    "disjunctive_revenue",
+    "idle_rich_customers",
     "rolling_3m_window",
     "rolling_12m_window",
     "top1_join",

@@ -2183,8 +2183,327 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape — national market share: the share of one nation's
+# suppliers in a region's revenue, per order year. Engine shape: dims
+# (region→nation, nation-of-supplier) broadcast; the conditional share
+# numerator and the total are ONE aggregation pass (no second scan); the
+# share divides two identically-derived doubles (engine-portable).
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    n_supp = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rev = dmul2(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(38,12)"
+    )
+    out = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"), "inner")
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"), "inner")
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"), "inner")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            dsum_to_double(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                        F.lit(0).cast("decimal(38,12)")
+                    )
+                )
+            ).alias("nation_revenue"),
+            dsum_to_double(F.sum(rev)).alias("total_revenue"),
+        )
+        .withColumn(
+            "mkt_share", F.col("nation_revenue") / F.col("total_revenue")
+        )
+    )
+    return out
+
+
+_ORACLE_MARKET_SHARE = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+               THEN CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))
+               ELSE CAST(0 AS DECIMAL(38,12)) END) AS DECIMAL(20,6)) AS DOUBLE) AS nation_revenue,
+         CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS DECIMAL(20,6)) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1
+)
+SELECT order_year, nation_revenue, total_revenue,
+       nation_revenue / total_revenue AS mkt_share
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape — product-line margin by supplier nation and year (no
+# partsupp table in this schema, so supply cost is modeled as half the
+# part's retail price — the join/aggregate SHAPE is Q9's: line items x
+# orders x parts x supplier-nation, grouped (nation, year)). Margin stays
+# decimal-exact end to end.
+
+
+def q_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = dmul2(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount"))
+    # halving a double is exact (exponent decrement), so p_retailprice*0.5
+    # is bit-identical on both engines BEFORE the decimal cast — keeping
+    # the decimal arithmetic to one two-factor product per term
+    cost = dmul2(F.col("l_quantity"), F.col("p_retailprice") * F.lit(0.5))
+    margin = (rev - cost).cast("decimal(38,12)")
+    out = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "inner")
+        .join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey, "inner")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("sn_key"), "inner")
+        .groupBy(
+            "supp_nation", F.year("o_orderdate").cast("int").alias("order_year")
+        )
+        .agg(
+            dsum_to_double(F.sum(margin)).alias("margin"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+    return out
+
+
+_ORACLE_PRODUCT_MARGIN = """
+SELECT n_name AS supp_nation,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(CAST(SUM(CAST(
+         CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6))
+         - CAST(l_quantity AS DECIMAL(12,6)) * CAST(p_retailprice * 0.5 AS DECIMAL(12,6))
+       AS DECIMAL(38,12))) AS DECIMAL(20,6)) AS DOUBLE) AS margin,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'STANDARD'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape — customer order-count distribution: LEFT join customers
+# to a filtered order class, count per customer (zeros kept — the LEFT
+# join is the point), then histogram the counts. Two aggregations, both on
+# narrow integer keys.
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("order_count"))
+    )
+    return (
+        per_cust.groupBy("order_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+_ORACLE_CUSTOMER_ORDER_DIST = """
+SELECT order_count, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS order_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY order_count
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape — supplier variety per part class: how many DISTINCT
+# suppliers ship each (brand, type) of small parts, EXCLUDING a supplier
+# blacklist (negative account balance stands in for Q16's complaint
+# filter) via a broadcast anti-join. The part-supplier relation is
+# lineitem (this schema has no partsupp).
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "inner")
+        .join(
+            F.broadcast(bad),
+            l.l_suppkey == bad.bad_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+_ORACLE_SUPPLIER_VARIETY = """
+SELECT p_brand, p_type,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape — disjunctive predicate revenue: OR-of-ANDs across
+# (brand, size, quantity) branches, evaluated in the join condition's
+# spirit but grouped BY BRANCH so each disjunct's contribution is visible
+# (and the result is non-vacuous at smoke scale). The OR still pushes as
+# one combined filter below the aggregation.
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    rev = dmul2(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(38,12)"
+    )
+    branch = (
+        F.when(b1, F.lit("b1")).when(b2, F.lit("b2")).when(b3, F.lit("b3"))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "inner")
+        .filter(b1 | b2 | b3)
+        .groupBy(branch.alias("branch"))
+        .agg(
+            dsum_to_double(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+_ORACLE_DISJUNCTIVE = """
+WITH matched AS (
+  SELECT CASE
+           WHEN p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20 THEN 'b1'
+           WHEN p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30 THEN 'b2'
+           WHEN p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40 THEN 'b3'
+         END AS branch,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12)) AS rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+)
+SELECT branch,
+       CAST(CAST(SUM(rev) AS DECIMAL(20,6)) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM matched
+WHERE branch IS NOT NULL
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape — idle rich customers: balance above the global average
+# of positive balances (scalar subquery, computed ONCE and broadcast) and
+# no high-value orders (anti-join). The average divides a decimal-exact
+# sum by a count — identical doubles on both engines, so the threshold
+# comparison is engine-portable.
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            dsum_to_double(F.sum(F.col("c_acctbal").cast("decimal(38,6)")))
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    big_orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(pos))  # 1-row scalar broadcast
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big_orders, c.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            dsum_to_double(
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            ).alias("total_balance"),
+        )
+    )
+
+
+_ORACLE_IDLE_RICH = """
+WITH avg_bal AS (
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(20,6)) AS DOUBLE)
+         / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(20,6)) AS DOUBLE) AS total_balance
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "regional_supplier_volume": q_regional_supplier_volume,
+    "nation_market_share": q_nation_market_share,
+    "product_margin": q_product_margin,
+    "customer_order_distribution": q_customer_order_distribution,
+    "supplier_part_variety": q_supplier_part_variety,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
     "large_orders": q_large_orders,
     "shipping_priority": q_shipping_priority,
     "order_priority_late": q_order_priority_late,
@@ -2240,6 +2559,12 @@ ORACLES = {
     "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
     "order_priority_late": _ORACLE_ORDER_PRIORITY_LATE,
     "nation_trade": _ORACLE_NATION_TRADE,
+    "nation_market_share": _ORACLE_MARKET_SHARE,
+    "product_margin": _ORACLE_PRODUCT_MARGIN,
+    "customer_order_distribution": _ORACLE_CUSTOMER_ORDER_DIST,
+    "supplier_part_variety": _ORACLE_SUPPLIER_VARIETY,
+    "disjunctive_revenue": _ORACLE_DISJUNCTIVE,
+    "idle_rich_customers": _ORACLE_IDLE_RICH,
     "returned_customers": _ORACLE_RETURNED_CUSTOMERS,
     "promo_revenue_share": _ORACLE_PROMO_SHARE,
     "customer_rfm": _ORACLE_CUSTOMER_RFM,

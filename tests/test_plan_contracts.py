@@ -37,6 +37,7 @@ INTENTIONAL_CROSS = {
     "customer_rfm",
     "doc_rarity",
     "orders_abc_pareto",
+    "idle_rich_customers",  # scalar avg balance: 1-row build side
 }
 
 

@@ -75,3 +75,65 @@ def test_driver_contract_from_foreign_cwd():
         timeout=300,
     )
     assert "FOREIGN_CWD_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_committed_artifacts_cover_full_registry():
+    """The audit trail must be regenerated at the commit that changes the
+    registry (round-5 verdict directive): the newest committed two-scale
+    correctness artifacts, the plan audit, the bench history, and the
+    README/COVERAGE counts must all cover exactly the queries the registry
+    exposes at HEAD. A red run here means a registry-changing commit
+    shipped with stale artifacts."""
+    import glob
+    import json
+    import os
+    import re
+
+    from cdk_datalake_analytics_comercial_spark.plans import QUERIES
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names = set(QUERIES)
+
+    def round_no(p):
+        return int(re.search(r"_r(\d+)_", os.path.basename(p)).group(1))
+
+    for scale in ("sf0.01", "sf0.1"):
+        files = sorted(
+            glob.glob(os.path.join(root, f"CORRECTNESS_LOCAL_r*_{scale}.json")),
+            key=round_no,
+        )
+        assert files, f"no committed local correctness artifact for {scale}"
+        with open(files[-1]) as f:
+            data = json.load(f)
+        assert set(data) == names, (
+            f"{os.path.basename(files[-1])} is stale: "
+            f"missing {sorted(names - set(data))[:5]}, "
+            f"extra {sorted(set(data) - names)[:5]}"
+        )
+
+    with open(os.path.join(root, "PLAN_AUDIT.md")) as f:
+        audit = f.read()
+    rows = {m.group(1) for m in re.finditer(r"^\| (\w+) \|", audit, re.M)}
+    assert names <= rows, f"PLAN_AUDIT.md missing {sorted(names - rows)[:5]}"
+
+    from bench import HEADLINE
+
+    assert set(HEADLINE) <= names, "bench headline names a missing query"
+    with open(os.path.join(root, "BENCH_HISTORY.jsonl")) as f:
+        last = json.loads(f.readlines()[-1])
+    assert set(HEADLINE) <= set(last["queries"]), (
+        "BENCH_HISTORY's latest record predates the current headline set: "
+        f"missing {sorted(set(HEADLINE) - set(last['queries']))[:5]}"
+    )
+
+    n = len(QUERIES)
+    for doc in ("README.md", "COVERAGE.md"):
+        with open(os.path.join(root, doc)) as f:
+            text = f.read()
+        counts = {
+            int(m)
+            for m in re.findall(r"\b(\d+)\s+(?:named|registry)\s+quer", text)
+        }
+        assert counts == {n}, (
+            f"{doc} states query count(s) {sorted(counts)}, registry has {n}"
+        )

@@ -61,6 +61,14 @@ elif mode == "merge":
         print("MERGE_OK")
     except TX.TxConflictError as e:
         print("MERGE_CONFLICT")
+elif mode == "txn":
+    # both processes replay the SAME tagged batches — the txn high-water
+    # mark must land each batch exactly once across JVMs
+    for i in range(n):
+        df = spark.createDataFrame(
+            [(i, f"batch-{{i}}")], "b long, v string"
+        ).coalesce(1)
+        TX.tx_write(spark, df, table, mode="append", txn=("replayer", i))
 print("WORKER_DONE")
 """
 
@@ -165,6 +173,35 @@ def test_cross_process_merge_conflict_on_overlapping_partition(
     # failed attempt's batch was reaped immediately (no orphans)
     monkeypatch.undo()
     time.sleep(0.1)
+    sys.path.insert(0, REPO)
+    from tools.table_doctor import doctor
+
+    rep = doctor(spark, table)
+    assert rep["errors"] == [] and rep["orphans"] == []
+
+
+def test_two_process_txn_replays_land_exactly_once(spark, tmp_path):
+    """Two separate Spark processes replay the SAME txn-tagged batch
+    sequence concurrently (the restarted-sink-races-its-zombie scenario):
+    every batch must land exactly once, the per-app high-water mark must
+    equal the last batch id, and any loser's orphan batch files must have
+    been cleaned up."""
+    table = str(tmp_path / "txnrace")
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    n = 5
+    procs = [
+        _spawn(tmp_path, wid, table, barrier, n, "txn") for wid in (1, 2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+        assert "WORKER_DONE" in out
+
+    got = sorted((r["b"], r["v"]) for r in TX.tx_read(spark, table).collect())
+    assert got == [(i, f"batch-{i}") for i in range(n)]  # exactly once
+    assert TX.tx_txn_version(spark, table, "replayer") == n - 1
+
     sys.path.insert(0, REPO)
     from tools.table_doctor import doctor
 

@@ -50,6 +50,7 @@ INTENTIONAL_CROSS = {
     "customer_rfm": "scalar anchor date: 1-row broadcast crossJoin (O(n) stream side)",
     "doc_rarity": "scalar corpus doc count: 1-row broadcast crossJoin (O(n) stream side)",
     "orders_abc_pareto": "scalar revenue total: 1-row broadcast crossJoin (O(n) stream side)",
+    "idle_rich_customers": "scalar avg balance: 1-row broadcast crossJoin (O(n) stream side)",
 }
 
 # Queries whose result comes from a DRIVER LOOP over checkpointed rounds
