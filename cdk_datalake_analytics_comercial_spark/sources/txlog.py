@@ -87,6 +87,13 @@ class TxConflictError(RuntimeError):
     failed attempt; its orphan batch files are reaped by ``tx_vacuum``)."""
 
 
+class TxPropertyViolation(RuntimeError):
+    """An operation is forbidden by a table property — the txlog twin of
+    Delta's ``delta.appendOnly`` enforcement (an append-only table refuses
+    any commit that removes, truncates, or soft-deletes rows). Nothing is
+    committed; the table is unchanged."""
+
+
 class _TxAlreadyApplied(Exception):
     """Internal: a ``txn``-tagged write found its version already at or
     below the table's per-app high-water mark at commit time — the replay
@@ -648,12 +655,14 @@ def read_manifest(
     protocol: dict | None = None
     extra: dict = {}
     txns: dict[str, int] = {}
+    properties: dict = {}
     if base is not None:
         cp = _load_checkpoint(spark, path, base)
         files = {f["path"]: f for f in cp["files"]}
         schema, op = cp.get("schema"), cp.get("op", "checkpoint")
         protocol = cp.get("protocol")
         txns = dict(cp.get("txns", {}))
+        properties = dict(cp.get("properties", {}))
     tail = [v for v in versions if (base if base is not None else 0) < v <= version]
     for i, v in enumerate(tail):
         rec = read_commit(spark, path, v)
@@ -673,6 +682,12 @@ def read_manifest(
         if "txn" in rec:  # idempotent-writer high-water mark (Delta txn)
             app = rec["txn"]["app"]
             txns[app] = max(txns.get(app, -1), int(rec["txn"]["version"]))
+        if "properties" in rec:  # last-write-wins per key; None unsets
+            for k, v in rec["properties"].items():
+                if v is None:
+                    properties.pop(k, None)
+                else:
+                    properties[k] = v
         extra = {
             k: rec[k] for k in ("restore_of", "clone_of") if k in rec
         }
@@ -684,6 +699,7 @@ def read_manifest(
         "version": version,
         "protocol": protocol,
         "txns": txns,
+        "properties": properties,
         **extra,
     }
 
@@ -728,6 +744,8 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         # idempotent-writer marks must survive log truncation at this
         # checkpoint, or a vacuum would re-open the door to replays
         header["txns"] = snap["txns"]
+    if snap.get("properties"):
+        header["properties"] = snap["properties"]
     fl = snap["files"]
     if len(fl) <= _CHECKPOINT_MAX_PART:
         header["files"] = fl
@@ -915,6 +933,60 @@ def tx_drop_column(spark: SparkSession, path: str, col: str) -> int:
     return _schema_change_commit(spark, path, "drop_column", transform)
 
 
+def tx_properties(spark: SparkSession, path: str) -> dict:
+    """The table's properties at the current version (Delta's SHOW
+    TBLPROPERTIES) — empty dict for a table that never set any."""
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    return dict(read_manifest(spark, path, cur).get("properties", {}))
+
+
+def tx_set_properties(spark: SparkSession, path: str, props: dict) -> int:
+    """SET/UNSET TBLPROPERTIES as a metadata-only commit: last write wins
+    per key; a ``None`` value unsets the key. The enforced property is
+    ``appendOnly`` (Delta's ``delta.appendOnly``): while true, any commit
+    that removes files, truncates, or soft-deletes rows (DELETE, UPDATE,
+    MERGE, overwrite, compaction, RESTORE) raises
+    :class:`TxPropertyViolation`; plain appends — including ``txn``-tagged
+    idempotent ones — proceed."""
+    if not props:
+        raise ValueError("tx_set_properties needs at least one key")
+
+    def build(now: int | None) -> dict:
+        if now is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        snap = read_manifest(spark, path, now)
+        return {
+            "op": "set_properties",
+            "schema": snap["schema"],
+            "add": [],
+            "remove": [],
+            "truncate": False,
+            "properties": dict(props),
+        }
+
+    return _commit(spark, path, build)
+
+
+def _check_append_only(properties: dict, rec: dict, path: str) -> None:
+    """Refuse non-append commits on an appendOnly table. Soft deletes are
+    caught by op (a DV commit removes nothing but IS a delete)."""
+    if str(properties.get("appendOnly", "")).lower() != "true":
+        return
+    op = rec.get("op", "")
+    if (
+        rec.get("remove")
+        or rec.get("truncate")
+        or op in ("delete", "update", "merge", "restore")
+    ):
+        raise TxPropertyViolation(
+            f"table {path} is appendOnly=true: commit op {op!r} "
+            f"removes/truncates/soft-deletes rows; unset the property first "
+            f"(tx_set_properties(..., {{'appendOnly': None}}))"
+        )
+
+
 def tx_txn_version(spark: SparkSession, path: str, app: str) -> int | None:
     """The highest ``txn`` version committed for ``app`` (Delta's
     ``txnVersion``): a restarted writer asks this to know which batches
@@ -1022,15 +1094,18 @@ def _commit(spark: SparkSession, path: str, build) -> int:
     the next reader's delta tail)."""
     token = uuid.uuid4().hex
     cur0 = current_version(spark, path)
+    properties: dict = {}
     if cur0 is not None:
         # an old writer must refuse to commit to a table whose invariants
         # it cannot maintain (Delta: minWriterVersion / writerFeatures)
-        check_writer_protocol(
-            read_manifest(spark, path, cur0).get("protocol"), path
-        )
+        snap0 = read_manifest(spark, path, cur0)
+        check_writer_protocol(snap0.get("protocol"), path)
+        properties = snap0.get("properties", {})
     for _ in range(50):
         cur = current_version(spark, path)
         rec = dict(build(cur))
+        if "properties" not in rec:  # a set_properties commit may change them
+            _check_append_only(properties, rec, path)
         rec["writer"] = token
         rec["ts_ms"] = int(time.time() * 1000)  # TIMESTAMP AS OF resolution
         version = (cur or 0) + 1
@@ -1987,7 +2062,7 @@ def tx_merge(
 
     try:
         return _commit(spark, path, build)
-    except TxConflictError:
+    except (TxConflictError, TxPropertyViolation):
         # the failed attempt's batch is unreferenced; reap it now rather
         # than waiting for vacuum
         for f in new_files:
@@ -2126,7 +2201,7 @@ def _dv_merge(
 
     try:
         return _commit(spark, path, build)
-    except TxConflictError:
+    except (TxConflictError, TxPropertyViolation):
         if counts:
             _delete(spark, f"{root}/{dv_ref}")
         for f in new_files:
@@ -2631,7 +2706,7 @@ def _compact_small(
 
     try:
         return _commit(spark, path, build)
-    except TxConflictError:
+    except (TxConflictError, TxPropertyViolation):
         for f in new_files:
             _delete(spark, f"{path.rstrip('/')}/{f['path']}")
         raise
@@ -2802,7 +2877,7 @@ def _dml_rewrite(
 
     try:
         return _commit(spark, path, build)
-    except TxConflictError:
+    except (TxConflictError, TxPropertyViolation):
         for f in new_files:
             _delete(spark, f"{path.rstrip('/')}/{f['path']}")
         raise
@@ -2989,7 +3064,7 @@ def _dv_dml(
 
     try:
         return _commit(spark, path, build)
-    except TxConflictError:
+    except (TxConflictError, TxPropertyViolation):
         _delete(spark, f"{root}/{dv_ref}")
         for f in new_files:
             _delete(spark, f"{root}/{f['path']}")

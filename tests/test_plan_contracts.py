@@ -38,6 +38,7 @@ INTENTIONAL_CROSS = {
     "doc_rarity",
     "orders_abc_pareto",
     "idle_rich_customers",  # scalar avg balance: 1-row build side
+    "temperature_mix",  # scalar max-group count: 1-row build side
 }
 
 

@@ -1,0 +1,83 @@
+"""Table properties (Delta TBLPROPERTIES twin) with enforced appendOnly
+(delta.appendOnly): while true, every row-removing commit — DELETE,
+UPDATE, MERGE, overwrite, compaction, RESTORE, and the DV soft-delete
+paths — refuses loudly; plain appends proceed. Properties are last-write-
+wins per key, unset by None, and survive checkpointing and vacuum."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.sources import txlog as TX
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _df(spark, *ks):
+    return spark.createDataFrame([(k, f"v{k}") for k in ks], "k long, v string")
+
+
+def _tbl(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TX.tx_write(spark, _df(spark, 1, 2, 3), p)
+    TX.tx_set_properties(spark, p, {"appendOnly": "true", "owner": "ingest"})
+    return p
+
+
+def test_properties_roundtrip_and_unset(spark, tmp_path):
+    p = _tbl(spark, tmp_path)
+    assert TX.tx_properties(spark, p) == {
+        "appendOnly": "true",
+        "owner": "ingest",
+    }
+    TX.tx_set_properties(spark, p, {"owner": None, "team": "ml"})
+    assert TX.tx_properties(spark, p) == {"appendOnly": "true", "team": "ml"}
+
+
+def test_append_only_allows_appends_blocks_everything_else(spark, tmp_path):
+    p = _tbl(spark, tmp_path)
+    TX.tx_write(spark, _df(spark, 4), p, mode="append")  # appends fine
+    TX.tx_write(spark, _df(spark, 5), p, mode="append", txn=("job", 1))
+    with pytest.raises(TX.TxPropertyViolation, match="appendOnly"):
+        TX.tx_delete(spark, p, where={"k": (1, 1)})
+    with pytest.raises(TX.TxPropertyViolation, match="appendOnly"):
+        TX.tx_delete(spark, p, where={"k": (1, 1)}, use_dv=True)
+    with pytest.raises(TX.TxPropertyViolation, match="appendOnly"):
+        TX.tx_update(spark, p, where={"k": (1, 1)}, assignments={"v": F.lit("X")})
+    with pytest.raises(TX.TxPropertyViolation, match="appendOnly"):
+        TX.tx_merge(spark, _df(spark, 1), p, keys=["k"])
+    with pytest.raises(TX.TxPropertyViolation, match="appendOnly"):
+        TX.tx_merge(spark, _df(spark, 1), p, keys=["k"], use_dv=True)
+    with pytest.raises(TX.TxPropertyViolation, match="appendOnly"):
+        TX.tx_write(spark, _df(spark, 9), p, mode="overwrite")
+    with pytest.raises(TX.TxPropertyViolation, match="appendOnly"):
+        TX.tx_compact(spark, p, n_files=1)
+    with pytest.raises(TX.TxPropertyViolation, match="appendOnly"):
+        TX.tx_restore(spark, p, 1)
+    # nothing above committed; the table is intact
+    assert rows(TX.tx_read(spark, p).select("k")) == [(1,), (2,), (3,), (4,), (5,)]
+
+
+def test_unset_append_only_reenables_dml(spark, tmp_path):
+    p = _tbl(spark, tmp_path)
+    TX.tx_set_properties(spark, p, {"appendOnly": None})
+    TX.tx_delete(spark, p, where={"k": (2, 2)})
+    assert rows(TX.tx_read(spark, p).select("k")) == [(1,), (3,)]
+
+
+def test_properties_survive_checkpoint_and_vacuum(spark, tmp_path):
+    p = _tbl(spark, tmp_path)
+    for i in range(TX._CHECKPOINT_EVERY + 2):
+        TX.tx_write(spark, _df(spark, 100 + i), p, mode="append")
+    TX.tx_vacuum(spark, p, keep_versions=2, retain_hours=0)
+    assert TX.tx_properties(spark, p)["appendOnly"] == "true"
+    with pytest.raises(TX.TxPropertyViolation):
+        TX.tx_delete(spark, p, where={"k": (1, 1)})
+
+
+def test_set_properties_requires_keys_and_table(spark, tmp_path):
+    with pytest.raises(ValueError):
+        TX.tx_set_properties(spark, str(tmp_path / "t"), {})
+    with pytest.raises(FileNotFoundError):
+        TX.tx_set_properties(spark, str(tmp_path / "nope"), {"a": "1"})

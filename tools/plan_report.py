@@ -51,6 +51,7 @@ INTENTIONAL_CROSS = {
     "doc_rarity": "scalar corpus doc count: 1-row broadcast crossJoin (O(n) stream side)",
     "orders_abc_pareto": "scalar revenue total: 1-row broadcast crossJoin (O(n) stream side)",
     "idle_rich_customers": "scalar avg balance: 1-row broadcast crossJoin (O(n) stream side)",
+    "temperature_mix": "scalar max-group count: 1-row broadcast crossJoin (5-row stream side)",
 }
 
 # Queries whose result comes from a DRIVER LOOP over checkpointed rounds

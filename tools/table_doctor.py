@@ -85,6 +85,7 @@ def doctor(spark, path: str) -> dict:
     try:
         proto = TX.tx_protocol(spark, path)
         report["protocol"] = proto
+        report["properties"] = TX.tx_properties(spark, path)
         unknown_r = set(proto.get("reader_features", ())) - set(
             TX.SUPPORTED_READER_FEATURES
         )
