@@ -53,6 +53,7 @@ import datetime as _dt
 import decimal as _decimal
 import json
 import os
+import re
 import time
 import uuid
 
@@ -867,10 +868,14 @@ def _stamp_physicals(sch: dict) -> dict:
     return {**sch, "fields": fields}
 
 
-def _schema_change_commit(spark: SparkSession, path: str, op: str, transform):
+def _schema_change_commit(
+    spark: SparkSession, path: str, op: str, transform, col: str
+):
     """Metadata-only schema commit: stamp physicals, apply ``transform``
     to the field list, declare the column-mapping feature. No data file
-    moves."""
+    moves. A column referenced by a stored CHECK constraint cannot be
+    renamed or dropped (Delta refuses the same way — the constraint expr
+    would silently stop binding); drop the constraint first."""
 
     def build(now: int | None) -> dict:
         if now is None:
@@ -878,6 +883,18 @@ def _schema_change_commit(spark: SparkSession, path: str, op: str, transform):
         snap = read_manifest(spark, path, now)
         if not snap["schema"]:
             raise ValueError(f"{op}: table at {path} has no schema record")
+        constrained = [
+            name
+            for name, expr in _stored_checks(
+                snap.get("properties", {})
+            ).items()
+            if re.search(rf"\b{re.escape(col)}\b", expr)
+        ]
+        if constrained:
+            raise ValueError(
+                f"{op}: column {col!r} is referenced by CHECK constraint(s) "
+                f"{constrained}; drop them first (tx_drop_constraint)"
+            )
         sch = _stamp_physicals(json.loads(snap["schema"]))
         sch = {**sch, "fields": transform(sch["fields"])}
         return {
@@ -913,7 +930,7 @@ def tx_rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
             raise ValueError(f"rename: column {new!r} already exists")
         return [{**f, "name": new} if f["name"] == old else f for f in fields]
 
-    return _schema_change_commit(spark, path, "rename_column", transform)
+    return _schema_change_commit(spark, path, "rename_column", transform, old)
 
 
 def tx_drop_column(spark: SparkSession, path: str, col: str) -> int:
@@ -930,7 +947,7 @@ def tx_drop_column(spark: SparkSession, path: str, col: str) -> int:
             raise ValueError("drop: cannot drop the only column")
         return [f for f in fields if f["name"] != col]
 
-    return _schema_change_commit(spark, path, "drop_column", transform)
+    return _schema_change_commit(spark, path, "drop_column", transform, col)
 
 
 def tx_properties(spark: SparkSession, path: str) -> dict:
@@ -967,6 +984,38 @@ def tx_set_properties(spark: SparkSession, path: str, props: dict) -> int:
         }
 
     return _commit(spark, path, build)
+
+
+_CHECK_PROP_PREFIX = "check."
+
+
+def _stored_checks(properties: dict) -> dict[str, str]:
+    """Persistent CHECK constraints stored as ``check.<name>`` properties
+    (Delta's ALTER TABLE ADD CONSTRAINT model)."""
+    return {
+        k[len(_CHECK_PROP_PREFIX):]: v
+        for k, v in properties.items()
+        if k.startswith(_CHECK_PROP_PREFIX)
+    }
+
+
+def tx_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT: validate that EVERY existing row
+    satisfies ``expr`` (Delta does the same full-table validation), then
+    persist it as the ``check.<name>`` property — enforced on every
+    subsequent write (tx_write any mode, MERGE winners, UPDATE
+    post-images) until :func:`tx_drop_constraint`."""
+    if not name or "." in name:
+        raise ValueError("constraint name must be non-empty, without dots")
+    _enforce_checks(tx_read(spark, path), {name: expr})
+    return tx_set_properties(spark, path, {_CHECK_PROP_PREFIX + name: expr})
+
+
+def tx_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: unset the stored check."""
+    return tx_set_properties(spark, path, {_CHECK_PROP_PREFIX + name: None})
 
 
 def _check_append_only(properties: dict, rec: dict, path: str) -> None:
@@ -1544,19 +1593,32 @@ def tx_write(
         raise ValueError(mode)
     if mode == "overwrite_dynamic" and not partition_by:
         raise ValueError("overwrite_dynamic requires partition_by")
+    _curv = current_version(spark, path)
+    pre_manifest = (
+        read_manifest(spark, path, _curv) if _curv is not None else None
+    )
     if txn is not None:
         app, txv = txn
         if not isinstance(app, str) or not app:
             raise ValueError("txn app id must be a non-empty string")
         txv = int(txv)
         # cheap pre-check: an already-applied replay skips the batch write
-        cur0 = current_version(spark, path)
-        if cur0 is not None:
-            snap0 = read_manifest(spark, path, cur0)
-            if snap0.get("txns", {}).get(app, -1) >= txv:
-                return cur0
-    if checks:
-        _enforce_checks(df, checks)
+        if (
+            pre_manifest is not None
+            and pre_manifest.get("txns", {}).get(app, -1) >= txv
+        ):
+            return _curv
+    # stored CHECK constraints (tx_add_constraint / Delta ALTER TABLE ADD
+    # CONSTRAINT) enforce on EVERY write incl. full overwrites; call-site
+    # checks compose on top
+    all_checks = dict(
+        _stored_checks(pre_manifest.get("properties", {}))
+        if pre_manifest is not None
+        else {}
+    )
+    all_checks.update(checks or {})
+    if all_checks:
+        _enforce_checks(df, all_checks)
 
     schema_json = df.schema.json()  # the LOGICAL schema of this write
     # Column mapping: appends to a mapped table write PHYSICAL names.
@@ -1567,11 +1629,9 @@ def tx_write(
     # dormant data.
     mapping: dict[str, str] = {}
     pre_schema: str | None = None
-    if mode != "overwrite":
-        _curv = current_version(spark, path)
-        if _curv is not None:
-            pre_schema = read_manifest(spark, path, _curv)["schema"]
-            mapping = _schema_mapping(pre_schema)
+    if mode != "overwrite" and pre_manifest is not None:
+        pre_schema = pre_manifest["schema"]
+        mapping = _schema_mapping(pre_schema)
     new_col_phys: dict[str, str] = {}
     if _mapping_active(pre_schema):
         for fld in json.loads(schema_json)["fields"]:
@@ -2013,6 +2073,9 @@ def tx_merge(
     else:
         merged = _precedence_pick(source, keys, precedence, slice_df)
 
+    stored = _stored_checks(manifest0.get("properties", {}))
+    if stored:  # persistent constraints bind MERGE output too
+        _enforce_checks(merged, stored)
     # the merged slice replaces exactly the touched partitions; commit with
     # a conflict check on the read set. Mapped tables write physical names
     # and keep the table's metadata-carrying schema record (no evolution
@@ -2130,6 +2193,9 @@ def _dv_merge(
             source, keys, precedence,
             matched.drop("_txlog_fp", "_txlog_ri") if matched is not None else None,
         ).select(*tgt_cols)
+    stored = _stored_checks(manifest.get("properties", {}))
+    if stored:  # persistent constraints bind DV-merge winners too
+        _enforce_checks(winners, stored)
     if mapped:
         winners = _to_physical(winners, mapping)
 
@@ -2842,6 +2908,12 @@ def _dml_rewrite(
 
     affected = _read_files(spark, path, hit, manifest["schema"])
     rewritten = transform(affected, cond, mapping)
+    if op == "update":  # a delete can only remove rows, never violate
+        stored = _stored_checks(manifest.get("properties", {}))
+        if stored:
+            # constrained columns can never be renamed (refused at
+            # rename time), so the exprs bind on the physical frame too
+            _enforce_checks(rewritten, stored)
 
     _, new_files = _write_batch(rewritten, path, partition_by, stats_for, bloom_for)
     hit_paths = {f["path"] for f in hit}
@@ -3017,6 +3089,13 @@ def _dv_dml(
         updated = matching.drop("_txlog_fp", "_txlog_ri")
         for col, expr in assignments.items():
             updated = updated.withColumn(col, expr)
+        stored = _stored_checks(manifest.get("properties", {}))
+        if stored:  # persistent constraints bind DV-update post-images
+            try:
+                _enforce_checks(updated, stored)
+            except TxCheckViolation:
+                _delete(spark, f"{root}/{dv_ref}")  # reap the orphan sidecar
+                raise
         _, new_files = _write_batch(
             updated, path, partition_by, stats_for, bloom_for
         )

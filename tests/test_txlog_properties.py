@@ -81,3 +81,93 @@ def test_set_properties_requires_keys_and_table(spark, tmp_path):
         TX.tx_set_properties(spark, str(tmp_path / "t"), {})
     with pytest.raises(FileNotFoundError):
         TX.tx_set_properties(spark, str(tmp_path / "nope"), {"a": "1"})
+
+
+# --------------------------------------------------------------------------
+# Persistent CHECK constraints (ALTER TABLE ADD CONSTRAINT twin): stored as
+# check.<name> properties, enforced on EVERY write path until dropped.
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TX.tx_write(spark, _df(spark, 1, 2, -3), p)
+    with pytest.raises(TX.TxCheckViolation, match="positive"):
+        TX.tx_add_constraint(spark, p, "positive", "k > 0")
+    # the failed attempt stored nothing
+    assert TX.tx_properties(spark, p) == {}
+    TX.tx_delete(spark, p, where={"k": (-3, -3)})
+    TX.tx_add_constraint(spark, p, "positive", "k > 0")
+    assert TX.tx_properties(spark, p) == {"check.positive": "k > 0"}
+
+
+def _constrained(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TX.tx_write(spark, _df(spark, 1, 2), p)
+    TX.tx_add_constraint(spark, p, "positive", "k > 0")
+    return p
+
+
+def test_constraint_binds_every_write_path(spark, tmp_path):
+    p = _constrained(spark, tmp_path)
+    with pytest.raises(TX.TxCheckViolation):
+        TX.tx_write(spark, _df(spark, -4), p, mode="append")
+    with pytest.raises(TX.TxCheckViolation):
+        TX.tx_write(spark, _df(spark, -4), p, mode="overwrite")
+    with pytest.raises(TX.TxCheckViolation):
+        TX.tx_merge(spark, _df(spark, -4), p, keys=["k"])
+    with pytest.raises(TX.TxCheckViolation):
+        TX.tx_merge(spark, _df(spark, -4), p, keys=["k"], use_dv=True)
+    with pytest.raises(TX.TxCheckViolation):
+        TX.tx_update(
+            spark, p, where={"k": (2, 2)}, assignments={"k": F.lit(-9)}
+        )
+    with pytest.raises(TX.TxCheckViolation):
+        TX.tx_update(
+            spark, p, where={"k": (2, 2)}, assignments={"k": F.lit(-9)},
+            use_dv=True,
+        )
+    # nothing committed, no orphans left behind
+    assert rows(TX.tx_read(spark, p).select("k")) == [(1,), (2,)]
+    from tools.table_doctor import doctor
+
+    rep = doctor(spark, p)
+    assert rep["errors"] == [] and rep["orphans"] == []
+    # valid writes still flow (call-site checks compose on top)
+    TX.tx_write(spark, _df(spark, 5), p, mode="append")
+    TX.tx_merge(spark, _df(spark, 6), p, keys=["k"])
+    TX.tx_update(spark, p, where={"k": (5, 5)}, assignments={"k": F.lit(7)})
+    assert rows(TX.tx_read(spark, p).select("k")) == [(1,), (2,), (6,), (7,)]
+
+
+def test_drop_constraint_reenables(spark, tmp_path):
+    p = _constrained(spark, tmp_path)
+    TX.tx_drop_constraint(spark, p, "positive")
+    TX.tx_write(spark, _df(spark, -4), p, mode="append")
+    assert (-4, "v-4") in set(tuple(r) for r in TX.tx_read(spark, p).collect())
+
+
+def test_constrained_column_cannot_be_renamed_or_dropped(spark, tmp_path):
+    p = _constrained(spark, tmp_path)
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        TX.tx_rename_column(spark, p, "k", "id")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        TX.tx_drop_column(spark, p, "k")
+    # an unconstrained column still renames freely, and the constraint
+    # keeps binding afterwards (its column name stayed physical==logical)
+    TX.tx_rename_column(spark, p, "v", "label")
+    with pytest.raises(TX.TxCheckViolation):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([(-1, "x")], "k long, label string"),
+            p,
+            mode="append",
+        )
+
+
+def test_constraint_name_validation(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TX.tx_write(spark, _df(spark, 1), p)
+    with pytest.raises(ValueError):
+        TX.tx_add_constraint(spark, p, "a.b", "k > 0")
+    with pytest.raises(ValueError):
+        TX.tx_add_constraint(spark, p, "", "k > 0")
