@@ -836,13 +836,35 @@ def version_at_timestamp(spark: SparkSession, path: str, ts) -> int:
 def tx_history(spark: SparkSession, path: str) -> list[dict]:
     """All commit records, oldest first — op, version, add/remove counts
     per commit (raw delta records: O(changed files) each, like Delta's
-    DESCRIBE HISTORY, not O(snapshot)). Metadata-only display: works even
-    when the table requires reader features this build lacks (like
-    DESCRIBE HISTORY does)."""
-    return [
-        read_commit(spark, path, v, check_protocol=False)
-        for v in list_versions(spark, path)
-    ]
+    DESCRIBE HISTORY, not O(snapshot)). Each record gains an
+    ``operation_metrics`` dict (Delta's operationMetrics): files added /
+    removed, rows written (from the footer-recorded per-file ``rows``),
+    and rows soft-deleted by new DV references in this commit. Metadata-
+    only display: works even when the table requires reader features this
+    build lacks (like DESCRIBE HISTORY does)."""
+    out = []
+    seen_dv_counts: dict[str, int] = {}
+    for v in list_versions(spark, path):
+        rec = read_commit(spark, path, v, check_protocol=False)
+        adds = rec.get("add", rec.get("files", []))
+        fresh = [f for f in adds if not f.get("dv_count")]
+        dv_delta = 0
+        for f in adds:
+            if f.get("dv_count"):
+                prev = seen_dv_counts.get(f["path"], 0)
+                dv_delta += max(0, int(f["dv_count"]) - prev)
+            seen_dv_counts[f["path"]] = int(f.get("dv_count", 0))
+        rec["operation_metrics"] = {
+            "num_added_files": len(adds),
+            "num_removed_files": len(rec.get("remove", [])),
+            "truncated": bool(rec.get("truncate")),
+            "num_output_rows": sum(
+                int(f["rows"]) for f in fresh if "rows" in f
+            ),
+            "num_dv_deleted_rows": dv_delta,
+        }
+        out.append(rec)
+    return out
 
 
 def tx_protocol(spark: SparkSession, path: str) -> dict:
@@ -2390,11 +2412,13 @@ def tx_vacuum(
     path: str,
     keep_versions: int = 2,
     retain_hours: float = 168.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Reap data files unreferenced by the newest ``keep_versions``
     manifests, and drop the older manifests (they would dangle). Returns
     the deleted file paths. Time travel remains valid for every kept
-    version.
+    version. ``dry_run=True`` (Delta's VACUUM DRY RUN) returns the same
+    list without deleting anything or touching the log.
 
     ``retain_hours`` (default 7 days, the reference's ``vacuum(hours)``
     retention, `common_jobs_functions.py:341-349`): unreferenced files
@@ -2416,7 +2440,7 @@ def tx_vacuum(
     # ground the truncated log: kept versions must resolve without the
     # deltas being dropped, so materialize a checkpoint at the OLDEST kept
     # version first (then every kept version resolves from it + its tail)
-    if drop and keep[0] not in checkpoints:
+    if drop and keep[0] not in checkpoints and not dry_run:
         _write_checkpoint(spark, path, keep[0])
         checkpoints = sorted(checkpoints + [keep[0]])
     # referenced files of the kept versions: resolve the oldest once, then
@@ -2455,7 +2479,8 @@ def tx_vacuum(
                 continue  # too young — may belong to an uncommitted batch
             to_delete.append((full, rel))
         for full, rel in to_delete:
-            _delete(spark, full)
+            if not dry_run:
+                _delete(spark, full)
             removed.append(rel)
     # deletion-vector sidecars: a DV batch dir stays while ANY kept version
     # references it; unreferenced ones past the retention cutoff are reaped
@@ -2481,8 +2506,11 @@ def tx_vacuum(
             ref = f"{_DV}/{name}"
             if ref in referenced_dv or mtime > cutoff_millis:
                 continue
-            _delete(spark, f"{dv_root}/{name}")
+            if not dry_run:
+                _delete(spark, f"{dv_root}/{name}")
             removed.append(ref)
+    if dry_run:
+        return sorted(removed)
     for v in drop:
         _delete(spark, _version_path(path, v))
     for c in checkpoints:

@@ -1703,3 +1703,38 @@ def test_tx_count_falls_back_to_scan_without_footer_rows(spark, tmp_path, monkey
     files = TX.read_manifest(spark, p, 1)["files"]
     assert files and all("rows" not in f for f in files)
     assert TX.tx_count(spark, p) == 7
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
+    """VACUUM DRY RUN parity: the dry run returns exactly what a real
+    vacuum would reap, deletes nothing, writes no grounding checkpoint,
+    and the subsequent real vacuum reaps exactly that list."""
+    p = str(tmp_path / "t")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "k long"), p)
+    TX.tx_write(spark, spark.createDataFrame([(2,)], "k long"), p)  # orphan v1
+    TX.tx_delete(spark, p, where={"k": (2, 2)}, use_dv=True)
+    TX.tx_write(spark, spark.createDataFrame([(3,)], "k long"), p)  # drop DV
+    versions_before = TX._log_listing(spark, p)
+    planned = TX.tx_vacuum(spark, p, keep_versions=1, retain_hours=0, dry_run=True)
+    assert planned  # v1's and v2's files + the orphaned DV sidecar
+    assert any(r.startswith("_dv/") for r in planned)
+    # nothing changed: log intact, every old version still readable
+    assert TX._log_listing(spark, p) == versions_before
+    assert TX.tx_read(spark, p, version=1).count() == 1
+    real = TX.tx_vacuum(spark, p, keep_versions=1, retain_hours=0)
+    assert real == planned
+
+
+def test_history_operation_metrics(spark, tmp_path):
+    """DESCRIBE HISTORY operationMetrics parity: per-commit file/row
+    counts, incl. rows soft-deleted by NEW deletion-vector refs only
+    (a later commit re-adding the same DV'd entry adds no delta)."""
+    p = str(tmp_path / "t")
+    TX.tx_write(spark, spark.createDataFrame([(i,) for i in range(10)], "k long"), p)
+    TX.tx_write(spark, spark.createDataFrame([(10,), (11,)], "k long"), p, mode="append")
+    TX.tx_delete(spark, p, where={"k": (0, 2)}, use_dv=True)
+    hist = TX.tx_history(spark, p)
+    m1, m2, m3 = (h["operation_metrics"] for h in hist)
+    assert m1["num_output_rows"] == 10 and m1["truncated"]
+    assert m2["num_output_rows"] == 2 and m2["num_added_files"] >= 1
+    assert m3["num_dv_deleted_rows"] == 3 and m3["num_output_rows"] == 0
