@@ -2402,6 +2402,11 @@ def tx_clone(spark: SparkSession, src: str, dst: str, version: int | None = None
             # the clone's fresh log must declare every feature its
             # inherited entries use (DVs, column mapping, ...)
             rec["protocol"] = manifest["protocol"]
+        if manifest.get("properties"):
+            # Delta's CLONE copies table properties — constraints and
+            # appendOnly follow the data; txn marks deliberately do NOT
+            # (a clone is a new table; Delta documents the same)
+            rec["properties"] = manifest["properties"]
         return rec
 
     return _commit(spark, dst, build)

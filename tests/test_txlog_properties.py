@@ -171,3 +171,20 @@ def test_constraint_name_validation(spark, tmp_path):
         TX.tx_add_constraint(spark, p, "a.b", "k > 0")
     with pytest.raises(ValueError):
         TX.tx_add_constraint(spark, p, "", "k > 0")
+
+
+def test_clone_copies_properties_and_constraints_not_txn_marks(
+    spark, tmp_path
+):
+    """Delta CLONE parity: table properties (and therefore stored CHECK
+    constraints and appendOnly) follow the clone; txn high-water marks do
+    NOT (a clone is a new table — replaying a sink into it must not
+    silently no-op, the same caveat Delta documents)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    TX.tx_write(spark, _df(spark, 1, 2), src, txn=("sink", 5))
+    TX.tx_add_constraint(spark, src, "positive", "k > 0")
+    TX.tx_clone(spark, src, dst)
+    assert TX.tx_properties(spark, dst) == {"check.positive": "k > 0"}
+    with pytest.raises(TX.TxCheckViolation):
+        TX.tx_write(spark, _df(spark, -1), dst, mode="append")
+    assert TX.tx_txn_version(spark, dst, "sink") is None
