@@ -111,3 +111,50 @@ def test_dml_and_diff_through_store(spark, tmp_path, cas_store):
     assert sorted(r.id for r in TX.tx_read(spark, tbl).collect()) == [1]
     diff = TX.tx_diff(spark, tbl, ["id"], 2, 3)
     assert [(r.id, r._change_type) for r in diff.collect()] == [(2, "delete")]
+
+
+def test_round6_features_flow_through_store(spark, tmp_path, cas_store):
+    """Protocol flags, txn marks, properties/constraints, DV deletes, and
+    column mapping all resolve through the SAME six log primitives — with
+    the log entirely in the store (no _txlog on disk), every round-6
+    surface behaves identically to the filesystem path."""
+    import pyspark.sql.functions as F
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k long, v string"
+    )
+    TX.tx_write(spark, df, tbl, txn=("sink", 1))
+    # txn replay no-ops through the store
+    v = TX.current_version(spark, tbl)
+    assert TX.tx_write(spark, df, tbl, mode="append", txn=("sink", 1)) == v
+    # constraint + appendOnly round trip
+    TX.tx_add_constraint(spark, tbl, "positive", "k >= 0")
+    with pytest.raises(TX.TxCheckViolation):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([(-1, "x")], "k long, v string"),
+            tbl,
+            mode="append",
+        )
+    TX.tx_set_properties(spark, tbl, {"appendOnly": "true"})
+    with pytest.raises(TX.TxPropertyViolation):
+        TX.tx_delete(spark, tbl, where={"k": (0, 0)})
+    TX.tx_set_properties(spark, tbl, {"appendOnly": None})
+    # DV delete declares the protocol feature in the store-resident log
+    TX.tx_delete(spark, tbl, where={"k": (1, 1)}, use_dv=True)
+    assert (
+        TX.FEATURE_DELETION_VECTORS
+        in TX.tx_protocol(spark, tbl)["reader_features"]
+    )
+    # column mapping: metadata-only rename via the store
+    TX.tx_rename_column(spark, tbl, "v", "label")
+    got = sorted(
+        (r.k, r.label) for r in TX.tx_read(spark, tbl).collect()
+    )
+    assert got == [(i, f"v{i}") for i in range(6) if i != 1]
+    assert TX.tx_txn_version(spark, tbl, "sink") == 1
+    # the whole log — incl. every new action type — lives in the store
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(tbl, "_txlog"))
