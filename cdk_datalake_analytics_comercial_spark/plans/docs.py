@@ -1032,8 +1032,21 @@ def q_emb_ivfpq_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
+    # the cache key folds in a cheap content fingerprint (size + mtime of
+    # the embeddings parquet) — a regenerated corpus at the SAME path must
+    # not silently reuse a stale index built from the old vectors
+    emb = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    files = (
+        sorted(os.path.join(emb, f) for f in os.listdir(emb))
+        if os.path.isdir(emb)
+        else [emb]
+    )
+    parts = []
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
     key = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|dim=64|c=8|s=16|k=16|v1".encode()
+        f"{emb}|{'|'.join(parts)}|dim=64|c=8|s=16|k=16|v1".encode()
     ).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{key}")
     if not is_txlog_table(spark, f"{path}/codes"):

@@ -841,10 +841,24 @@ def tx_history(spark: SparkSession, path: str) -> list[dict]:
     removed, rows written (from the footer-recorded per-file ``rows``),
     and rows soft-deleted by new DV references in this commit. Metadata-
     only display: works even when the table requires reader features this
-    build lacks (like DESCRIBE HISTORY does)."""
+    build lacks (like DESCRIBE HISTORY does).
+
+    On a vacuum-truncated log (oldest surviving version > 1) the DV
+    replay is seeded from the grounding snapshot so later commits are
+    charged only their true delta — without the seed, the first commit
+    re-adding a DV'd entry would be charged its full cumulative dv_count.
+    The grounding commit's own pre-state is gone, so ITS
+    num_dv_deleted_rows reads 0 and the record carries
+    ``dv_metrics_approximate: true``."""
     out = []
     seen_dv_counts: dict[str, int] = {}
-    for v in list_versions(spark, path):
+    versions = list_versions(spark, path)
+    truncated_ground = versions[0] if versions and versions[0] > 1 else None
+    if truncated_ground is not None:
+        for f in read_manifest(spark, path, truncated_ground)["files"]:
+            if f.get("dv_count"):
+                seen_dv_counts[f["path"]] = int(f["dv_count"])
+    for v in versions:
         rec = read_commit(spark, path, v, check_protocol=False)
         adds = rec.get("add", rec.get("files", []))
         fresh = [f for f in adds if not f.get("dv_count")]
@@ -863,6 +877,8 @@ def tx_history(spark: SparkSession, path: str) -> list[dict]:
             ),
             "num_dv_deleted_rows": dv_delta,
         }
+        if v == truncated_ground:
+            rec["operation_metrics"]["dv_metrics_approximate"] = True
         out.append(rec)
     return out
 
@@ -1164,19 +1180,22 @@ def _commit(spark: SparkSession, path: str, build) -> int:
     writes a checkpoint manifest — best-effort (a failure only lengthens
     the next reader's delta tail)."""
     token = uuid.uuid4().hex
-    cur0 = current_version(spark, path)
-    properties: dict = {}
-    if cur0 is not None:
-        # an old writer must refuse to commit to a table whose invariants
-        # it cannot maintain (Delta: minWriterVersion / writerFeatures)
-        snap0 = read_manifest(spark, path, cur0)
-        check_writer_protocol(snap0.get("protocol"), path)
-        properties = snap0.get("properties", {})
     for _ in range(50):
         cur = current_version(spark, path)
         rec = dict(build(cur))
-        if "properties" not in rec:  # a set_properties commit may change them
-            _check_append_only(properties, rec, path)
+        if cur is not None:
+            # re-resolved on EVERY attempt, not once pre-loop: a concurrent
+            # tx_set_properties(appendOnly=true) or protocol upgrade landing
+            # during the CAS retry window must gate THIS attempt — an old
+            # writer must refuse to commit to a table whose invariants it
+            # cannot maintain (Delta: minWriterVersion / writerFeatures)
+            snap = read_manifest(spark, path, cur)
+            check_writer_protocol(snap.get("protocol"), path)
+            # only the metadata-only set_properties op is exempt (it is how
+            # appendOnly gets unset); a clone/restore record that merely
+            # CARRIES properties still cannot truncate an appendOnly table
+            if rec.get("op") != "set_properties":
+                _check_append_only(snap.get("properties", {}), rec, path)
         rec["writer"] = token
         rec["ts_ms"] = int(time.time() * 1000)  # TIMESTAMP AS OF resolution
         version = (cur or 0) + 1
@@ -2944,9 +2963,13 @@ def _dml_rewrite(
     if op == "update":  # a delete can only remove rows, never violate
         stored = _stored_checks(manifest.get("properties", {}))
         if stored:
-            # constrained columns can never be renamed (refused at
-            # rename time), so the exprs bind on the physical frame too
-            _enforce_checks(rewritten, stored)
+            # constraint exprs are written (and validated at add time)
+            # against LOGICAL names; the rewritten frame carries physical
+            # names. A constraint added after a rename would fail to bind —
+            # or, after rename-then-re-add, silently bind a dormant
+            # physical name of a DIFFERENT column — so enforce on the
+            # logical projection, exactly the frame tx_read would serve.
+            _enforce_checks(_to_logical(rewritten, manifest["schema"]), stored)
 
     _, new_files = _write_batch(rewritten, path, partition_by, stats_for, bloom_for)
     hit_paths = {f["path"] for f in hit}
@@ -3125,7 +3148,11 @@ def _dv_dml(
         stored = _stored_checks(manifest.get("properties", {}))
         if stored:  # persistent constraints bind DV-update post-images
             try:
-                _enforce_checks(updated, stored)
+                # enforce on the logical projection: exprs bind logical
+                # names (see the rewrite-path comment on rename hazards)
+                _enforce_checks(
+                    _to_logical(updated, manifest["schema"]), stored
+                )
             except TxCheckViolation:
                 _delete(spark, f"{root}/{dv_ref}")  # reap the orphan sidecar
                 raise

@@ -137,3 +137,26 @@ def test_committed_artifacts_cover_full_registry():
         assert counts == {n}, (
             f"{doc} states query count(s) {sorted(counts)}, registry has {n}"
         )
+
+
+def test_bench_stdout_line_fits_driver_tail():
+    """The driver stores a 2000-char stdout tail and parses the bench JSON
+    out of it; rounds 5-6 recorded parsed=null because the line outgrew the
+    buffer. The line builder must emit valid JSON under the limit for the
+    CURRENT headline set even with worst-case (5-digit) timings."""
+    import json
+
+    from bench import HEADLINE, _stdout_line
+
+    timings = {name: 99999.99 for name in HEADLINE}
+    line = _stdout_line(timings, sum(timings.values()), "0.1", 5, 12.345)
+    assert len(line) <= 1980, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["queries"]
+    # realistic timings must keep (nearly) every query on the line
+    realistic = {name: 1.23 for name in HEADLINE}
+    parsed2 = json.loads(
+        _stdout_line(realistic, sum(realistic.values()), "0.1", 5, 1.0)
+    )
+    assert len(parsed2["queries"]) >= len(HEADLINE) - 5

@@ -629,3 +629,44 @@ def test_ivfpq_index_codes_partitioned_by_cell(spark, tmp_path):
         for b in batches
         for d in os.listdir(os.path.join(data_root, b))
     )
+
+
+def test_search_index_cache_keyed_by_corpus_content(spark, tmp_path, monkeypatch):
+    """The build-once cache of q_emb_ivfpq_search_index must key on the
+    corpus CONTENT (size+mtime fingerprint), not just the path — a corpus
+    regenerated in place must trigger a rebuild, never silently reuse the
+    stale index built from the old vectors."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from cdk_datalake_analytics_comercial_spark.plans.docs import (
+        q_emb_ivfpq_search_index,
+    )
+
+    sf_dir = tmp_path / "sfX"
+    sf_dir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        sf_dir / "embeddings.parquet",
+    )
+    # route the index scratch space into this test's tmp dir
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path / "scratch"))
+    os.makedirs(str(tmp_path / "scratch"), exist_ok=True)
+
+    first = sorted(
+        tuple(r) for r in q_emb_ivfpq_search_index(spark, str(sf_dir)).collect()
+    )
+    built = glob.glob(str(tmp_path / "scratch" / "spark_graft_ivfpq_*"))
+    assert len(built) == 1
+    # same content → same key → reuse (no second index dir)
+    q_emb_ivfpq_search_index(spark, str(sf_dir)).collect()
+    assert len(glob.glob(str(tmp_path / "scratch" / "spark_graft_ivfpq_*"))) == 1
+    # "regenerate" the corpus in place: same path, new mtime → new key
+    os.utime(sf_dir / "embeddings.parquet", (1, 1))
+    again = sorted(
+        tuple(r) for r in q_emb_ivfpq_search_index(spark, str(sf_dir)).collect()
+    )
+    assert len(glob.glob(str(tmp_path / "scratch" / "spark_graft_ivfpq_*"))) == 2
+    assert again == first  # identical bytes → identical results

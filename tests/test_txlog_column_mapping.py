@@ -249,3 +249,81 @@ def test_cdf_drain_consumes_mapped_table(spark, tmp_path):
     )
     drain_cdf(spark, p, sink, fold, ["k"])
     assert rows(TX.tx_read(spark, sink)) == [(100,)]
+
+
+def test_constraint_added_after_rename_enforced_on_dml(spark, tmp_path):
+    """A CHECK constraint added AFTER a rename references the NEW logical
+    name; DML enforcement must bind it on the logical projection of the
+    rewritten rows (the physical frame has no such column — enforcement
+    there raised AnalysisException on perfectly valid data)."""
+    p = _mk(spark, tmp_path)
+    TX.tx_rename_column(spark, p, "amt", "amount")
+    TX.tx_add_constraint(spark, p, "amount_pos", "amount > 0")
+    # valid update passes on both the rewrite and the DV path
+    TX.tx_update(
+        spark, p, where={"k": (1, 1)}, assignments={"amount": F.lit(11)}
+    )
+    TX.tx_update(
+        spark,
+        p,
+        where={"k": (2, 2)},
+        assignments={"amount": F.lit(22)},
+        use_dv=True,
+    )
+    assert rows(TX.tx_read(spark, p).select("k", "amount")) == [
+        (1, 11),
+        (2, 22),
+    ]
+    # violating post-images refuse on both paths, nothing committed
+    with pytest.raises(TX.TxCheckViolation, match="amount_pos"):
+        TX.tx_update(
+            spark, p, where={"k": (1, 1)}, assignments={"amount": F.lit(-5)}
+        )
+    with pytest.raises(TX.TxCheckViolation, match="amount_pos"):
+        TX.tx_update(
+            spark,
+            p,
+            where={"k": (2, 2)},
+            assignments={"amount": F.lit(-5)},
+            use_dv=True,
+        )
+    assert rows(TX.tx_read(spark, p).select("k", "amount")) == [
+        (1, 11),
+        (2, 22),
+    ]
+
+
+def test_constraint_never_binds_dormant_physical_name(spark, tmp_path):
+    """Rename k->id, then evolve a NEW logical column named k (fresh
+    physical id, old rows NULL). A constraint on the new k must validate
+    the NEW column — enforcement on the physical frame would silently bind
+    the name 'k' to logical id's data (the dormant physical name)."""
+    p = _mk(spark, tmp_path)
+    TX.tx_rename_column(spark, p, "k", "id")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(7, "g", 70, 1000)], "id long, v string, amt long, k long"
+        ),
+        p,
+        mode="append",
+        schema_evolution=True,
+    )
+    # new logical k: NULL on old rows, 1000 on the new one; logical id
+    # holds 1, 2, 7 — an expr binding the dormant physical 'k' would see
+    # those small values and reject this valid update
+    TX.tx_add_constraint(spark, p, "k_big", "k IS NULL OR k >= 1000")
+    TX.tx_update(
+        spark, p, where={"id": (7, 7)}, assignments={"amt": F.lit(71)}
+    )
+    assert rows(TX.tx_read(spark, p).select("id", "amt", "k")) == [
+        (1, 10, None),
+        (2, 20, None),
+        (7, 71, 1000),
+    ]
+    # and a genuinely violating write on the new column still refuses
+    with pytest.raises(TX.TxCheckViolation, match="k_big"):
+        TX.tx_update(
+            spark, p, where={"id": (7, 7)}, assignments={"k": F.lit(5)},
+            use_dv=True,
+        )

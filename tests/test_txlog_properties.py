@@ -188,3 +188,82 @@ def test_clone_copies_properties_and_constraints_not_txn_marks(
     with pytest.raises(TX.TxCheckViolation):
         TX.tx_write(spark, _df(spark, -1), dst, mode="append")
     assert TX.tx_txn_version(spark, dst, "sink") is None
+
+
+def test_append_only_rechecked_per_commit_attempt(spark, tmp_path):
+    """A tx_set_properties(appendOnly=true) landing DURING another writer's
+    CAS retry window must gate that writer's NEXT attempt — the check runs
+    against each attempt's snapshot, never a stale pre-loop one. Simulated
+    deterministically: the racing delete's build callback commits the
+    property flip right before returning its first record, so its claim
+    loses and the retry re-validates under the new properties."""
+    p = str(tmp_path / "t")
+    TX.tx_write(spark, _df(spark, 1, 2, 3), p)
+    injected = {"done": False}
+
+    def build(cur):
+        if not injected["done"]:
+            injected["done"] = True
+            TX.tx_set_properties(spark, p, {"appendOnly": "true"})
+        return {
+            "op": "delete",
+            "schema": TX.read_manifest(spark, p, cur)["schema"],
+            "add": [],
+            "remove": [f["path"] for f in TX.read_manifest(spark, p, cur)["files"]],
+            "truncate": False,
+        }
+
+    with pytest.raises(TX.TxPropertyViolation, match="appendOnly"):
+        TX._commit(spark, p, build)
+    # nothing committed by the loser; data intact, property in force
+    assert rows(TX.tx_read(spark, p).select("k")) == [(1,), (2,), (3,)]
+
+
+def test_record_carrying_properties_cannot_bypass_append_only(spark, tmp_path):
+    """Only the metadata-only set_properties op skips the appendOnly gate.
+    A clone/restore-shaped record that merely CARRIES properties (tx_clone
+    racing into a just-created appendOnly destination) must still refuse
+    to truncate it."""
+    p = _tbl(spark, tmp_path)  # appendOnly=true
+
+    def build(cur):
+        return {
+            "op": "clone",
+            "schema": TX.read_manifest(spark, p, cur)["schema"],
+            "add": [],
+            "remove": [],
+            "truncate": True,
+            "properties": {"owner": "other"},
+        }
+
+    with pytest.raises(TX.TxPropertyViolation, match="appendOnly"):
+        TX._commit(spark, p, build)
+    assert rows(TX.tx_read(spark, p).select("k")) == [(1,), (2,), (3,)]
+
+
+def test_history_dv_metrics_seeded_across_vacuum_truncation(spark, tmp_path):
+    """DESCRIBE HISTORY's num_dv_deleted_rows replays dv_count deltas; on a
+    vacuum-truncated log the replay must seed from the grounding snapshot
+    so a later commit re-adding a DV'd entry is charged only its true
+    delta, and the grounding record flags its own DV metric approximate."""
+    p = str(tmp_path / "t")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(k, f"v{k}") for k in range(10)], "k long, v string"),
+        p,
+    )
+    TX.tx_delete(spark, p, where={"k": (0, 2)}, use_dv=True)  # dv_count=3
+    pre = TX.tx_history(spark, p)
+    assert pre[-1]["operation_metrics"]["num_dv_deleted_rows"] == 3
+    TX.tx_vacuum(spark, p, keep_versions=1, retain_hours=0.0)
+    TX.tx_delete(spark, p, where={"k": (3, 4)}, use_dv=True)  # cumulative 5
+    hist = TX.tx_history(spark, p)
+    assert [h["version"] for h in hist] == [2, 3]
+    ground, newer = hist
+    # grounding commit's pre-state is gone: metric reads 0, flagged approx
+    assert ground["operation_metrics"]["num_dv_deleted_rows"] == 0
+    assert ground["operation_metrics"]["dv_metrics_approximate"] is True
+    # the post-vacuum delete is charged its TRUE delta (2), not the
+    # cumulative dv_count (5) its manifest entry carries
+    assert newer["operation_metrics"]["num_dv_deleted_rows"] == 2
+    assert "dv_metrics_approximate" not in newer["operation_metrics"]
