@@ -82,11 +82,23 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(magic(b"RIFF") & magic(b"WAVE", 9), F.lit("wav"))
         .when(magic(b"\x89PNG"), F.lit("png"))
         .when(magic(b"\xff\xd8"), F.lit("jpeg"))
+        .when(magic(b"ftyp", 5), F.lit("mp4"))
+        .when(
+            # ID3v2 tag, or a bare MPEG frame sync (0xFF + top 3 bits of
+            # the next byte set — unsigned lexicographic binary compare)
+            magic(b"ID3")
+            | (
+                (F.substring(p, 1, 1) == F.lit(b"\xff"))
+                & (F.substring(p, 2, 1) >= F.lit(b"\xe0"))
+            ),
+            F.lit("mp3"),
+        )
         .otherwise(F.lit("unknown"))
     )
     media_type = (
         F.when(fmt.isin("ppm", "bmp", "png", "jpeg"), F.lit("image"))
-        .when(fmt == "wav", F.lit("audio"))
+        .when(fmt.isin("wav", "mp3"), F.lit("audio"))
+        .when(fmt == "mp4", F.lit("video"))
         .otherwise(F.lit("unknown"))
     )
     return (
@@ -455,3 +467,244 @@ def frame_sample(
             yield pd.DataFrame(rows, columns=cols + (["error"] if skip else []))
 
     return df.select(id_col, payload_col).mapInPandas(sample_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Container-level operators (no codec decode): MP4 box parsing and MPEG
+# audio frame walking are pure byte-range work (_mp4.py / _mp3.py — public
+# ISO/IEC 14496-12 and 11172-3 layouts), so metadata probing and keyframe
+# extraction are REAL here, not plugin-gated; only decoding the extracted
+# payloads to pixels/PCM still needs a registered native decoder.
+
+CONTAINER_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),   # mp4 | mp3 | wav
+        T.StructField("media_type", T.StringType()),  # video | audio
+        T.StructField("codec", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),      # samples / frames
+        T.StructField("n_sync_frames", T.LongType()),
+    ]
+)
+
+
+def _probe_one(b: bytes) -> dict:
+    """Dispatch on magic bytes → one CONTAINER_PROBE_SCHEMA row (dict)."""
+    from . import _mp3, _mp4
+
+    if len(b) >= 8 and b[4:8] == b"ftyp":
+        p = _mp4.probe(b)
+        trk = next(
+            (t for t in p["tracks"] if t.get("handler") == "vide"),
+            p["tracks"][0] if p["tracks"] else {},
+        )
+        handler = trk.get("handler", "")
+        return {
+            "container": "mp4",
+            "media_type": "video" if handler == "vide" else "audio",
+            "codec": trk.get("codec"),
+            "duration_ms": int(round(p["duration_sec"] * 1000)),
+            "width": trk.get("width"),
+            "height": trk.get("height"),
+            "sample_rate": trk.get("sample_rate"),
+            "channels": trk.get("channels"),
+            "n_frames": trk.get("n_samples"),
+            "n_sync_frames": trk.get(
+                "n_sync_samples", trk.get("n_samples")
+            ),
+        }
+    if b[:3] == b"ID3" or (
+        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+    ):
+        p = _mp3.probe(b)
+        return {
+            "container": "mp3",
+            "media_type": "audio",
+            "codec": f"mpeg{p['version']}-layer{p['layer']}",
+            "duration_ms": int(round(p["duration_sec"] * 1000)),
+            "width": None,
+            "height": None,
+            "sample_rate": p["sample_rate"],
+            "channels": 1 if p["mode"] == "mono" else 2,
+            "n_frames": p["n_frames"],
+            "n_sync_frames": p["n_frames"],  # every MPEG frame self-syncs
+        }
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        # fmt chunk fields only — no sample decode
+        o = 12
+        rate = channels = bits = None
+        data_len = 0
+        while o + 8 <= len(b):
+            cid, clen = b[o : o + 4], int.from_bytes(b[o + 4 : o + 8], "little")
+            if cid == b"fmt " and o + 24 <= len(b):
+                channels = int.from_bytes(b[o + 10 : o + 12], "little")
+                rate = int.from_bytes(b[o + 12 : o + 16], "little")
+                bits = int.from_bytes(b[o + 22 : o + 24], "little")
+            elif cid == b"data":
+                data_len = clen
+            o += 8 + clen + (clen & 1)
+        if not rate or not channels or not bits:
+            raise ValueError("WAV without a complete fmt chunk")
+        n = data_len // (channels * (bits // 8))
+        return {
+            "container": "wav",
+            "media_type": "audio",
+            "codec": f"pcm_s{bits}le",
+            "duration_ms": int(round(n * 1000 / rate)),
+            "width": None,
+            "height": None,
+            "sample_rate": rate,
+            "channels": channels,
+            "n_frames": n,
+            "n_sync_frames": n,
+        }
+    raise NotImplementedError(
+        f"unrecognized container (leading bytes {b[:8]!r})"
+    )
+
+
+def container_probe(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
+    """ffprobe-shaped metadata pass over a binary media column: MP4 box
+    tree, MPEG audio frame walk, WAV fmt chunk — all container-level, no
+    codec. The routing pass a 100 TB media corpus runs FIRST (filter by
+    duration/codec/dimensions before any expensive decode); payloads ride
+    a pruned binary column and each Arrow batch parses headers only."""
+    _check_on_error(on_error)
+    skip = on_error == "skip"
+    names = [f.name for f in CONTAINER_PROBE_SCHEMA.fields]
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    d = _probe_one(bytes(payload))
+                    d["media_id"] = int(mid)
+                    rows.append(
+                        tuple(d.get(c) for c in names)
+                        + ((None,) if skip else ())
+                    )
+                except (NotImplementedError, ValueError, EOFError, struct.error) as e:
+                    if not skip:
+                        raise
+                    rows.append(
+                        (int(mid),) + (None,) * (len(names) - 1) + (str(e),)
+                    )
+            yield pd.DataFrame(
+                rows, columns=names + (["error"] if skip else [])
+            )
+
+    schema = (
+        _with_error_col(CONTAINER_PROBE_SCHEMA) if skip else CONTAINER_PROBE_SCHEMA
+    )
+    return df.select(id_col, payload_col).mapInPandas(probe_batches, schema=schema)
+
+
+KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("pts_ms", T.LongType()),
+        T.StructField("is_sync", T.BooleanType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def keyframe_extract(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    sync_only: bool = True,
+    every_n: int = 1,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Container-level frame extraction: one output row per kept frame
+    with its RAW payload bytes (MP4 sample byte ranges via the stbl
+    tables, keyframes per stss; MPEG audio frames by header walk). The
+    sampled-frame corpus feeds a downstream decode stage (plugin or
+    external) that then touches only keyframes instead of whole files —
+    at 100 TB the byte-range discipline is the difference between
+    sampling and re-reading the corpus. ``sync_only`` keeps MP4 sync
+    samples; ``every_n`` further thins (every n-th kept frame)."""
+    _check_on_error(on_error)
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    skip = on_error == "skip"
+    names = [f.name for f in KEYFRAME_SCHEMA.fields]
+
+    def frames_of(b: bytes) -> list[tuple]:
+        from . import _mp3, _mp4
+
+        if len(b) >= 8 and b[4:8] == b"ftyp":
+            p = _mp4.probe(b)
+            ts = next(
+                (
+                    t.get("timescale", 1000)
+                    for t in p["tracks"]
+                    if t.get("handler") == "vide"
+                ),
+                1000,
+            )
+            table = _mp4.sample_table(b, 0)
+            out = []
+            for i, s in enumerate(table):
+                if sync_only and not s["is_sync"]:
+                    continue
+                out.append(
+                    (
+                        i,
+                        int(s["pts"] * 1000 // ts),
+                        bool(s["is_sync"]),
+                        b[s["offset"] : s["offset"] + s["size"]],
+                    )
+                )
+            return out[::every_n]
+        if b[:3] == b"ID3" or (
+            len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+        ):
+            fr = _mp3.frame_offsets(b)
+            acc = 0
+            out = []
+            for i, f in enumerate(fr):
+                pts = acc * 1000 // f["sample_rate"]
+                acc += f["n_samples"]
+                out.append(
+                    (i, pts, True, b[f["offset"] : f["offset"] + f["size"]])
+                )
+            return out[::every_n]
+        raise NotImplementedError(
+            f"unrecognized container (leading bytes {b[:8]!r})"
+        )
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    got = frames_of(bytes(payload))
+                except (NotImplementedError, ValueError, EOFError, struct.error) as e:
+                    if not skip:
+                        raise
+                    rows.append((int(mid), None, None, None, None, str(e)))
+                    continue
+                rows.extend(
+                    (int(mid), i, pts, sync, fb) + ((None,) if skip else ())
+                    for i, pts, sync, fb in got
+                )
+            yield pd.DataFrame(
+                rows, columns=names + (["error"] if skip else [])
+            )
+
+    schema = _with_error_col(KEYFRAME_SCHEMA) if skip else KEYFRAME_SCHEMA
+    return df.select(id_col, payload_col).mapInPandas(extract_batches, schema=schema)
