@@ -302,9 +302,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError("only 16-bit PCM WAV supported")
-    samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if audio_format == 6 and bits == 8:  # WAVE_FORMAT_ALAW
+        samples = decode_g711_alaw(data)
+    elif audio_format == 7 and bits == 8:  # WAVE_FORMAT_MULAW
+        samples = decode_g711_ulaw(data)
+    elif audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        raise NotImplementedError(
+            "WAV formats supported: 16-bit PCM, 8-bit G.711 A-law/µ-law"
+        )
     if channels > 1:
         samples = samples[: len(samples) - len(samples) % channels]
         samples = samples.reshape(-1, channels).mean(axis=1)
@@ -369,3 +376,134 @@ def split_ppm_stream(payload: bytes) -> list[bytes]:
         frames.append(payload[i:end])
         i = end
     return frames
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded audio (ITU-T G.711 µ-law / A-law — pure table math, the
+# one compressed-audio family that needs no entropy coding). Decode targets
+# the conventional 16-bit linear scale (the audioop/Sun table: µ-law 0x00 →
+# -32124, 0x7F/0xFF → 0).
+
+
+def decode_g711_ulaw(data: bytes) -> np.ndarray:
+    """µ-law bytes → float64 samples in [-1, 1] (16-bit linear scale:
+    0x00 → -32124, 0x7F/0xFF → 0 — the Sun/CCITT table)."""
+    u = (~np.frombuffer(data, dtype=np.uint8)).astype(np.int32)
+    sign = u & 0x80
+    exponent = (u >> 4) & 7
+    mantissa = u & 0xF
+    t = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    lin = np.where(sign != 0, -t, t)
+    return lin.astype(np.float64) / 32768.0
+
+
+def decode_g711_alaw(data: bytes) -> np.ndarray:
+    """A-law bytes → float64 samples in [-1, 1] (16-bit linear scale:
+    0xD5 → +8, the Sun/CCITT table; sign bit SET means positive)."""
+    a = (np.frombuffer(data, dtype=np.uint8) ^ 0x55).astype(np.int32)
+    sign = a & 0x80
+    exponent = (a >> 4) & 7
+    mantissa = a & 0xF
+    t = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    lin = np.where(sign != 0, t, -t)
+    return lin.astype(np.float64) / 32768.0
+
+
+def encode_g711_ulaw(samples: np.ndarray) -> bytes:
+    """Float [-1, 1] → µ-law bytes (segmented companding on the 16-bit
+    scale, Sun's linear2ulaw) — the exact inverse family of
+    :func:`decode_g711_ulaw`."""
+    x = np.clip((samples * 32768.0).round().astype(np.int32), -32768, 32767)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    v = mag >> 7
+    exponent = np.minimum(
+        np.floor(np.log2(np.maximum(v, 1))).astype(np.int32), 7
+    )
+    mantissa = (mag >> (exponent + 3)) & 0xF
+    return ((~(sign | (exponent << 4) | mantissa)) & 0xFF).astype(
+        np.uint8
+    ).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO-BMFF) media decode: container parsing is fully handled by
+# operators._mp4; samples decode HERE when the sample codec is one this
+# repo genuinely implements — MJPEG video ('jpeg'/'mjpa' fourcc: every
+# sample is a baseline/progressive JPEG, decoded by operators._jpeg) and
+# uncompressed / G.711 audio ('sowt'/'twos'/'ulaw'/'alaw'). Entropy-coded
+# A/V (avc1/hevc/mp4a-AAC) still raises toward the plugin chain.
+
+
+def decode_mp4_frames(payload: bytes) -> list[np.ndarray]:
+    """MP4 video samples → list of HxWx3 uint8 frames (MJPEG tracks)."""
+    from . import _mp4
+
+    p = _mp4.probe(payload)
+    idx_codec = [
+        (i, t.get("codec", "")) for i, t in enumerate(p["tracks"])
+        if t.get("handler") == "vide"
+    ]
+    if not idx_codec:
+        raise ValueError("MP4 has no video track")
+    track, codec = idx_codec[0]
+    if codec not in ("jpeg", "mjpa", "mjpb"):
+        raise NotImplementedError(
+            f"MP4 video codec '{codec}' needs a native decoder; "
+            "in-repo decodable: MJPEG ('jpeg'/'mjpa' — JPEG per sample)"
+        )
+    return [
+        decode_image(b) for _i, _pts, b in _mp4.extract_samples(payload, track)
+    ]
+
+
+def decode_mp4_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """MP4 audio samples → (float64 mono samples in [-1, 1], rate) for
+    PCM ('sowt' LE / 'twos' BE, 16-bit) and G.711 ('ulaw'/'alaw')."""
+    from . import _mp4
+
+    p = _mp4.probe(payload)
+    tracks = [
+        (i, t) for i, t in enumerate(p["tracks"]) if t.get("handler") == "soun"
+    ]
+    if not tracks:
+        raise ValueError("MP4 has no audio track")
+    track, meta = tracks[0]
+    codec = meta.get("codec", "")
+    rate = int(meta.get("sample_rate") or 8000)
+    channels = int(meta.get("channels") or 1)
+    data = b"".join(b for _i, _pts, b in _mp4.extract_samples(payload, track))
+    if codec == "sowt":
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif codec == "twos":
+        samples = np.frombuffer(data, dtype=">i2").astype(np.float64) / 32768.0
+    elif codec == "ulaw":
+        samples = decode_g711_ulaw(data)
+    elif codec == "alaw":
+        samples = decode_g711_alaw(data)
+    else:
+        raise NotImplementedError(
+            f"MP4 audio codec '{codec}' needs a native decoder; "
+            "in-repo decodable: sowt/twos PCM, ulaw/alaw G.711"
+        )
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels]
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return samples, rate
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Audio container dispatch: WAV (PCM-16 + G.711 format codes) or MP4
+    (PCM/G.711 tracks)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        return decode_mp4_audio(payload)
+    raise NotImplementedError(
+        "audio container not recognized (WAV and MP4 supported; MP3 frame "
+        "payloads need a native MDCT decoder)"
+    )

@@ -173,7 +173,8 @@ def _decode_image_any(codecs_mod, payload: bytes, plugins: list):
 
 def _decode_audio_any(codecs_mod, payload: bytes, plugins: list):
     try:
-        return codecs_mod.decode_wav(payload)
+        # WAV (PCM-16 / G.711) or MP4 (sowt/twos PCM, ulaw/alaw tracks)
+        return codecs_mod.decode_audio(payload)
     except NotImplementedError as refusal:
         for dec in plugins:
             try:
@@ -184,9 +185,19 @@ def _decode_audio_any(codecs_mod, payload: bytes, plugins: list):
 
 
 def _decode_frames_any(codecs_mod, payload: bytes, plugins: list):
-    frames = codecs_mod.split_ppm_stream(payload)
-    if frames:
-        return frames
+    refusal = None
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        try:
+            # MJPEG-in-MP4 decodes fully in-repo (container via _mp4,
+            # samples via the pure-numpy JPEG codec); other video codecs
+            # fall through to the plugin chain with the codec named
+            return codecs_mod.decode_mp4_frames(payload)
+        except NotImplementedError as e:
+            refusal = e
+    else:
+        frames = codecs_mod.split_ppm_stream(payload)
+        if frames:
+            return frames
     for dec in plugins:
         try:
             frames = dec(payload)
@@ -194,9 +205,9 @@ def _decode_frames_any(codecs_mod, payload: bytes, plugins: list):
                 return frames
         except Exception:
             continue
-    raise NotImplementedError(
-        "compressed video needs ffmpeg-class codecs; "
-        "supported container: concatenated P6 frames"
+    raise refusal or NotImplementedError(
+        "compressed video needs ffmpeg-class codecs; in-repo containers: "
+        "concatenated P6 frames, MJPEG-in-MP4"
     )
 
 
@@ -448,9 +459,14 @@ def frame_sample(
                         ]
                     else:
                         # concatenated-P6 stream at a nominal 1 frame/sec:
-                        # keep every (every_ms/1000)th frame; plugins may
-                        # hand back frames for compressed containers
-                        frames = _decode_frames_any(_codecs, b, plugins)
+                        # keep every (every_ms/1000)th frame; MJPEG-in-MP4
+                        # decodes in-repo; plugins may hand back frames for
+                        # other compressed containers. Decoded ndarrays
+                        # normalize to P6 bytes (the binary frame contract).
+                        frames = [
+                            _codecs.encode_ppm(fr) if hasattr(fr, "shape") else fr
+                            for fr in _decode_frames_any(_codecs, b, plugins)
+                        ]
                         step = max(1, every_ms // 1000)
                         frame_rows = [
                             (int(mid), i, i * 1000, frames[i])

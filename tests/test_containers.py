@@ -306,3 +306,131 @@ def test_attach_media_meta_sniffs_containers(spark):
         [(9, _mp3.build_mp3(2))], "media_id long, payload binary"
     )
     assert M.attach_media_meta(bare).collect()[0]["format"] == "mp3"
+
+
+# ---------------------------------------------------------------------------
+# Compressed A/V decoded END-TO-END in-repo: MJPEG-in-MP4 video (container
+# via _mp4, samples via the pure-numpy JPEG codec) and G.711/PCM audio in
+# MP4 and WAV — through the REAL (fake=False) multimodal operators.
+
+
+def test_g711_anchors_and_roundtrip():
+    import numpy as np
+
+    from cdk_datalake_analytics_comercial_spark.operators import _codecs as C
+
+    # Sun/CCITT 16-bit table anchors
+    assert C.decode_g711_ulaw(b"\x00")[0] * 32768 == -32124
+    assert C.decode_g711_ulaw(b"\x7f")[0] == 0.0
+    assert C.decode_g711_ulaw(b"\xff")[0] == 0.0
+    assert C.decode_g711_alaw(b"\xd5")[0] * 32768 == 8
+    a = C.decode_g711_alaw(bytes(range(256)))
+    assert a.max() * 32768 == 32256 and a.min() * 32768 == -32256
+    # encode/decode roundtrip error bounded by the largest companding step
+    x = np.linspace(-0.95, 0.95, 2001)
+    err = np.abs(x - C.decode_g711_ulaw(C.encode_g711_ulaw(x))).max()
+    assert err < 0.031, err
+
+
+def _mjpeg_mp4(n=4, w=24, h=16, seed=3):
+    import numpy as np
+
+    from cdk_datalake_analytics_comercial_spark.operators._jpeg import (
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(n)
+    ]
+    payload = _mp4.build_mp4(
+        [encode_jpeg(f, quality=95) for f in frames],
+        codec=b"jpeg", width=w, height=h, sync_every=0,
+    )
+    return payload, frames
+
+
+def test_mjpeg_mp4_decodes_end_to_end(spark):
+    import numpy as np
+
+    payload, frames = _mjpeg_mp4()
+    df = spark.createDataFrame(
+        [(1, payload)], "media_id long, payload binary"
+    )
+    rows = sorted(
+        (r["frame_idx"], bytes(r["frame"]))
+        for r in M.frame_sample(df, every_ms=1000).collect()
+    )
+    assert [i for i, _ in rows] == [0, 1, 2, 3]
+    from cdk_datalake_analytics_comercial_spark.operators import _codecs as C
+
+    for (_, p6), orig in zip(rows, frames):
+        img = C.decode_ppm(p6)
+        assert img.shape == orig.shape
+        # JPEG q95 on random noise: lossy but close
+        mse = float(np.mean((img.astype(float) - orig.astype(float)) ** 2))
+        assert mse < 600, mse
+
+
+def test_mp4_audio_tracks_feed_audio_features(spark):
+    import numpy as np
+
+    from cdk_datalake_analytics_comercial_spark.operators import _codecs as C
+
+    t = np.sin(np.linspace(0, 40 * np.pi, 8000)) * 0.5
+    pcm = (t * 32767).astype("<i2").tobytes()
+    mk = lambda codec, body: _mp4.build_mp4(
+        [body], handler=b"soun", codec=codec,
+        sample_rate=8000, channels=1, timescale=8000, sample_delta=8000,
+    )
+    df = spark.createDataFrame(
+        [
+            (1, mk(b"sowt", pcm)),
+            (2, mk(b"ulaw", C.encode_g711_ulaw(t))),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {
+        r["media_id"]: r.asDict() for r in M.audio_features(df).collect()
+    }
+    # 8000 samples at 8 kHz = 1000 ms through both codecs
+    assert out[1]["duration_ms"] == 1000 and out[2]["duration_ms"] == 1000
+    # same sine through PCM and G.711: nearly identical energy (~0.5/√2)
+    assert abs(out[1]["rms"] - 0.3536) < 0.01
+    assert abs(out[1]["rms"] - out[2]["rms"]) < 0.01
+    assert len(out[1]["mfcc"]) == len(out[2]["mfcc"]) == 8
+
+
+def test_wav_g711_format_codes_decode(spark):
+    import numpy as np
+
+    from cdk_datalake_analytics_comercial_spark.operators import _codecs as C
+
+    t = np.sin(np.linspace(0, 16 * np.pi, 4000)) * 0.4
+    mu = C.encode_g711_ulaw(t)
+
+    def wav(fmt_code, body):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+
+    samples, rate = C.decode_wav(wav(7, mu))
+    assert rate == 8000
+    assert np.abs(samples - t).max() < 0.02
+    # unsupported code still refuses loudly
+    with pytest.raises(NotImplementedError):
+        C.decode_wav(wav(3, mu))
+
+
+def test_mp4_avc_still_refuses_toward_plugins(spark):
+    from pyspark.sql.utils import PythonException
+
+    payload = _mp4.build_mp4([b"nal" * 5], codec=b"avc1")
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    with pytest.raises(PythonException, match="avc1"):
+        M.frame_sample(df).collect()
+    flagged = M.frame_sample(df, on_error="skip").collect()
+    assert len(flagged) == 1 and "avc1" in flagged[0]["error"]
