@@ -36,6 +36,9 @@ HEADLINE = [
     "supplier_part_variety",
     "disjunctive_revenue",
     "idle_rich_customers",
+    "top_supplier",
+    "part_promo_suppliers",
+    "waiting_suppliers",
     "rolling_3m_window",
     "rolling_12m_window",
     "top1_join",
@@ -45,6 +48,7 @@ HEADLINE = [
     "period_pruned_sales",
     "salted_agg",
     "dedup_exact",
+    "dedup_paragraphs",
     "dedup_minhash",
     "dedup_incremental",
     "dedup_ngram_jaccard",
@@ -74,6 +78,7 @@ HEADLINE = [
     "emb_ivfpq_search_index",
     "emb_lsh_multitable",
     "emb_near_dup",
+    "multimodal_mp4_probe",
     "events_tumbling",
     "events_sliding",
     "events_sessions",
@@ -181,8 +186,8 @@ def _stdout_line(
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
-        "protocol": f"median_of_{passes}",
-        "noise_floor_sec": noise_floor,
+        "mo": passes,  # median-of-N protocol; full mad/cpu in the history
+        "nf": noise_floor,
     }
     line = json.dumps(payload, separators=(",", ":"))
     while len(line) > limit and payload["queries"]:

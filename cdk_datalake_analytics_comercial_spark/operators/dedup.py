@@ -79,6 +79,67 @@ def exact_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Sub-document (paragraph/line-level) exact dedup with positional
+    reassembly — the CCNet/RefinedWeb pipeline stage that removes the
+    boilerplate repeated ACROSS documents while keeping each document's
+    unique remainder. This corpus has no line structure, so "paragraphs"
+    are consecutive ``chunk_words``-word windows (the standard fallback
+    for unstructured text).
+
+    Per doc: tokenize → fixed windows → md5 fingerprint per chunk → keep
+    the globally FIRST occurrence of each fingerprint (min (doc, position)
+    — deterministic) → reassemble surviving chunks in document order.
+    Docs whose every chunk was seen earlier vanish (fully-boilerplate).
+
+    Scale shape: one shuffle on the 128-bit chunk fingerprint (first-wins
+    needs a global group per fingerprint — irreducible for exact
+    sub-document dedup) + one shuffle back on doc id for reassembly. No
+    joins against the corpus, no skew beyond true boilerplate chunks (a
+    hot chunk's group is exactly its duplication factor).
+
+    Output: ``(id_col, clean_text, n_kept, n_dropped)``."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), n_chunks.alias("_n_chunks"), F.posexplode(chunks)
+    ).select(
+        id_col,
+        "_n_chunks",
+        F.col("pos").alias("_idx"),
+        F.col("col").alias("_chunk"),
+        F.md5(F.encode(F.col("col"), "utf-8")).alias("_fp"),
+    )
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc(), F.col("_idx").asc())
+    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_chunk"))),
+                lambda s: s["_chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (F.first("_n_chunks").cast("bigint") - F.count(F.lit(1))).alias(
+            "n_dropped"
+        ),
+    )
+
+
 def shingle_hashes(col: Column, k: int = 3, portable: bool = False) -> Column:
     """Shingles → stable integers in [0, 2^31-1).
 

@@ -2189,12 +2189,186 @@ FROM lineitem
 """
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (CCNet/RefinedWeb line-dedup stage): keep
+    the globally first occurrence of each 10-word chunk, reassemble each
+    document from its surviving chunks."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup(d, "text", "doc_id", chunk_words=10)
+
+
+_ORACLE_DEDUP_PARAGRAPHS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS idx,
+         array_to_string(w[CAST(i AS INT) * 10 + 1 : CAST(i AS INT) * 10 + 10], ' ') AS chunk,
+         CAST(ceil(len(w) / 10.0) AS BIGINT) AS n_chunks
+  FROM toks, UNNEST(range(0, CAST(ceil(len(w) / 10.0) AS INT))) AS u(i)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(any_value(n_chunks) - COUNT(*) AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Container-level media queries: a deterministic MP4/MP3 corpus is BUILT
+# from the documents' text bytes (operators._mp4.build_mp4 /
+# operators._mp3.build_mp3 — spec-valid containers), then parsed back
+# through the REAL container operators (no fake mode): probe routes on the
+# box tree / frame walk, keyframe extraction pulls raw sample byte ranges.
+# Every parsed field is closed-form in the text length, so DuckDB
+# recomputes the expected outputs without parsing anything.
+
+
+def _mp4_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one spec-valid single-track MP4 per doc: 1+(len%7)
+    eight-byte samples sliced from the text (stride 1, space-padded),
+    16+(len%64) × 16+(len%48) avc1 track, keyframe every 3rd sample."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+
+    def build(batches):
+        from ..operators import _mp4
+
+        for pdf in batches:
+            rows = []
+            for mid, txt in zip(pdf["media_id"], pdf["text"]):
+                s = str(txt)
+                n = len(s)
+                padded = s + " " * 16
+                samples = [
+                    padded[i : i + 8].encode() for i in range(1 + n % 7)
+                ]
+                rows.append(
+                    (
+                        int(mid),
+                        _mp4.build_mp4(
+                            samples,
+                            width=16 + n % 64,
+                            height=16 + n % 48,
+                            codec=b"avc1",
+                            sync_every=3,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return d.mapInPandas(build, schema="media_id long, payload binary")
+
+
+def q_multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF metadata probe (the route-before-decode pass): box-tree
+    parse of the built corpus, integer fields only so the row set hashes
+    identically on both engines."""
+    probe = multimodal.container_probe(_mp4_corpus(spark, sf_dir))
+    return probe.select(
+        "media_id",
+        "container",
+        "codec",
+        "width",
+        "height",
+        "n_frames",
+        "n_sync_frames",
+        "duration_ms",
+    )
+
+
+_ORACLE_MP4_PROBE = """
+SELECT doc_id AS media_id, 'mp4' AS container, 'avc1' AS codec,
+       CAST(16 + length(text) % 64 AS INT) AS width,
+       CAST(16 + length(text) % 48 AS INT) AS height,
+       CAST(1 + length(text) % 7 AS BIGINT) AS n_frames,
+       CAST((1 + length(text) % 7 + 2) // 3 AS BIGINT) AS n_sync_frames,
+       CAST((1 + length(text) % 7) * 40 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+def q_multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level keyframe extraction: sync samples (stss) pulled as
+    raw byte ranges from mdat; the samples are ASCII text slices, so the
+    frame BYTES themselves are oracle-comparable as strings."""
+    kf = multimodal.keyframe_extract(_mp4_corpus(spark, sf_dir))
+    return kf.select(
+        "media_id",
+        "frame_idx",
+        "pts_ms",
+        F.decode(F.col("frame"), "utf-8").alias("frame_txt"),
+    )
+
+
+_ORACLE_MP4_KEYFRAMES = """
+WITH d AS (
+  SELECT doc_id AS media_id, text, 1 + length(text) % 7 AS ns FROM documents
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx, CAST(i * 40 AS BIGINT) AS pts_ms,
+       substr(text || repeat(' ', 16), CAST(i AS INT) + 1, 8) AS frame_txt
+FROM d, UNNEST(range(0, ns, 3)) AS u(i)
+"""
+
+
+def q_multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG audio frame-walk probe over a built CBR corpus: 4+(len%9)
+    MPEG-1 Layer III frames at 44100 Hz — frame count, rate, channel
+    count, and exact PCM sample total, all integers."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+
+    def build(batches):
+        from ..operators import _mp3
+
+        for pdf in batches:
+            rows = []
+            for mid, txt in zip(pdf["media_id"], pdf["text"]):
+                n = len(str(txt))
+                rows.append(
+                    (int(mid), _mp3.build_mp3(4 + n % 9, id3v2_bytes=n % 32))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    corpus = d.mapInPandas(build, schema="media_id long, payload binary")
+    probe = multimodal.container_probe(corpus)
+    return probe.select(
+        "media_id",
+        "container",
+        "codec",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        (F.col("n_frames") * 1152).cast("long").alias("total_pcm_samples"),
+    )
+
+
+_ORACLE_MP3_PROBE = """
+SELECT doc_id AS media_id, 'mp3' AS container, 'mpeg1-layer3' AS codec,
+       CAST(44100 AS INT) AS sample_rate, CAST(2 AS INT) AS channels,
+       CAST(4 + length(text) % 9 AS BIGINT) AS n_frames,
+       CAST((4 + length(text) % 9) * 1152 AS BIGINT) AS total_pcm_samples
+FROM documents
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
@@ -2238,6 +2412,9 @@ QUERIES = {
     "multimodal_audio": q_multimodal_audio,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_mp4_probe": q_multimodal_mp4_probe,
+    "multimodal_mp4_keyframes": q_multimodal_mp4_keyframes,
+    "multimodal_mp3_probe": q_multimodal_mp3_probe,
 }
 
 ORACLES = {
@@ -2246,6 +2423,7 @@ ORACLES = {
     "text_lang_id": _ORACLE_LANG_ID,
     "text_fingerprint": _ORACLE_FINGERPRINT,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_paragraphs": _ORACLE_DEDUP_PARAGRAPHS,
     "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
     "dedup_canonical": _ORACLE_DEDUP_CANONICAL,
@@ -2277,6 +2455,9 @@ ORACLES = {
     "multimodal_audio": _ORACLE_MULTIMODAL_AUDIO,
     "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,
     "multimodal_resize": _ORACLE_MULTIMODAL_RESIZE,
+    "multimodal_mp4_probe": _ORACLE_MP4_PROBE,
+    "multimodal_mp4_keyframes": _ORACLE_MP4_KEYFRAMES,
+    "multimodal_mp3_probe": _ORACLE_MP3_PROBE,
     "dedup_minhash": _ORACLE_DEDUP_MINHASH,
     "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
     "dedup_simhash_pairs": _ORACLE_DEDUP_SIMHASH,

@@ -2496,6 +2496,163 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier by windowed revenue (CREATE VIEW revenue +
+# MAX join). The per-supplier revenue aggregate shuffles once on suppkey;
+# the scalar max broadcasts back (one row), and the supplier dim broadcasts
+# — at 100 TB only the lineitem scan + one agg shuffle are data-sized.
+# Revenue stays DECIMAL through the max-equality so the tie comparison is
+# exact and engine-portable (float max equality would be order-dependent).
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1995) & (F.month("l_shipdate") <= 3)
+    )
+    rev = dmul2(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(38,12)"
+    )
+    per = l.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_dec"))
+    mx = per.agg(F.max("rev_dec").alias("mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.join(F.broadcast(mx), per.rev_dec == mx.mx, "inner")
+        .join(F.broadcast(s), per.l_suppkey == s.s_suppkey, "inner")
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("suppkey"),
+            "s_name",
+            F.col("rev_dec").cast("decimal(20,6)").cast("double").alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+_ORACLE_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS rev_dec
+  FROM lineitem
+  WHERE year(l_shipdate) = 1995 AND month(l_shipdate) <= 3
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name,
+       CAST(CAST(rev_dec AS DECIMAL(20,6)) AS DOUBLE) AS total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM r)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape — suppliers with heavy availability of promo-candidate
+# parts (the partsupp correlated-subquery decorrelated into a grouped
+# semi-aggregate; the testdata has no partsupp, so shipped quantity stands
+# in for availqty). Part filter broadcasts; one shuffle on (supp, part)
+# with map-side partial sums; supplier dim broadcasts. Quantities are
+# integer-valued doubles — cast BIGINT before summing so both engines
+# aggregate exactly.
+
+
+def q_part_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget"))
+        .select("p_partkey")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1995)
+    qual = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "inner")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_heavy_parts"),
+            F.sum("qty").cast("bigint").alias("total_qty"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey, "inner")
+        .select("s_name", "n_heavy_parts", "total_qty")
+    )
+
+
+_ORACLE_PART_PROMO_SUPPLIERS = """
+WITH qual AS (
+  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget' AND year(l_shipdate) = 1995
+  GROUP BY 1, 2
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+)
+SELECT s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_heavy_parts,
+       CAST(SUM(qty) AS BIGINT) AS total_qty
+FROM qual JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape — suppliers who kept finished orders waiting: the sole
+# late supplier in a multi-supplier order. The classic form is a 4-way
+# self-join with EXISTS/NOT EXISTS; decorrelated here into ONE grouped
+# pass per order (countDistinct suppliers / late suppliers + the lone late
+# suppkey via null-skipping MAX) — a single lineitem-orders shuffle join
+# plus one agg shuffle, no self-joins. "Late" adapts to this schema as
+# shipped > 60 days after order date (no l_commitdate/l_receiptdate).
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+    late_supp = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60),
+        F.col("l_suppkey"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late_supp"),
+        F.max(late_supp).alias("blamed"),
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("blamed") == s.s_suppkey, "inner")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+_ORACLE_WAITING_SUPPLIERS = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN l_suppkey END AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), p AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT late_supp) AS n_late_supp,
+         MAX(late_supp) AS blamed
+  FROM j GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM p JOIN supplier ON blamed = s_suppkey
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_name
+"""
+
+
 QUERIES = {
     "regional_supplier_volume": q_regional_supplier_volume,
     "nation_market_share": q_nation_market_share,
@@ -2551,6 +2708,9 @@ QUERIES = {
     "approx_distinct_kmv": q_approx_distinct_kmv,
     "approx_distinct_hll": q_approx_distinct_hll,
     "monthly_interpolate": q_monthly_interpolate,
+    "top_supplier": q_top_supplier,
+    "part_promo_suppliers": q_part_promo_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
 }
 
 ORACLES = {
@@ -2608,4 +2768,7 @@ ORACLES = {
     "approx_distinct_kmv": _ORACLE_KMV,
     "approx_distinct_hll": _ORACLE_HLL,
     "monthly_interpolate": _ORACLE_INTERPOLATE,
+    "top_supplier": _ORACLE_TOP_SUPPLIER,
+    "part_promo_suppliers": _ORACLE_PART_PROMO_SUPPLIERS,
+    "waiting_suppliers": _ORACLE_WAITING_SUPPLIERS,
 }

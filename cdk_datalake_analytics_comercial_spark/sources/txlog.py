@@ -921,17 +921,27 @@ def _schema_change_commit(
         snap = read_manifest(spark, path, now)
         if not snap["schema"]:
             raise ValueError(f"{op}: table at {path} has no schema record")
+        props = snap.get("properties", {})
         constrained = [
             name
-            for name, expr in _stored_checks(
-                snap.get("properties", {})
-            ).items()
+            for name, expr in _stored_checks(props).items()
             if re.search(rf"\b{re.escape(col)}\b", expr)
         ]
         if constrained:
             raise ValueError(
                 f"{op}: column {col!r} is referenced by CHECK constraint(s) "
                 f"{constrained}; drop them first (tx_drop_constraint)"
+            )
+        generated = [
+            gcol
+            for gcol, expr in _generated_cols(props).items()
+            if gcol == col or re.search(rf"\b{re.escape(col)}\b", expr)
+        ]
+        if generated:
+            raise ValueError(
+                f"{op}: column {col!r} is a generated column or referenced "
+                f"by generated column(s) {generated}; drop the declaration "
+                f"first (tx_drop_generated)"
             )
         sch = _stamp_physicals(json.loads(snap["schema"]))
         sch = {**sch, "fields": transform(sch["fields"])}
@@ -1035,6 +1045,75 @@ def _stored_checks(properties: dict) -> dict[str, str]:
         for k, v in properties.items()
         if k.startswith(_CHECK_PROP_PREFIX)
     }
+
+
+_GEN_PROP_PREFIX = "generated."
+
+
+def _generated_cols(properties: dict) -> dict[str, str]:
+    """GENERATED ALWAYS AS expressions stored as ``generated.<col>``
+    properties (Delta's generated-columns model)."""
+    return {
+        k[len(_GEN_PROP_PREFIX):]: v
+        for k, v in properties.items()
+        if k.startswith(_GEN_PROP_PREFIX)
+    }
+
+
+def _generated_checks(properties: dict, only: list[str] | None = None) -> dict:
+    """Generated-column invariants as named check exprs (null-safe
+    equality): a row that CARRIES a generated column must carry exactly
+    the generated value — Delta refuses mismatching explicit values the
+    same way."""
+    return {
+        _GEN_PROP_PREFIX + c: f"{c} <=> ({e})"
+        for c, e in _generated_cols(properties).items()
+        if only is None or c in only
+    }
+
+
+def _write_invariants(properties: dict) -> dict:
+    """Everything a committed row set must satisfy: stored CHECK
+    constraints + generated-column equalities. Enforced on UPDATE
+    post-images and MERGE winners (tx_write composes its own set because
+    it also COMPUTES missing generated columns first)."""
+    return {**_stored_checks(properties), **_generated_checks(properties)}
+
+
+def tx_add_generated_column(
+    spark: SparkSession, path: str, col: str, expr: str
+) -> int:
+    """Declare ``col`` GENERATED ALWAYS AS ``expr`` (Delta generated
+    columns): writes that OMIT the column get it computed; writes that
+    SUPPLY it must supply exactly the generated value (validated with the
+    constraints, nothing commits on mismatch); UPDATE post-images and
+    MERGE winners are validated too, so the invariant can never silently
+    break — where Delta recomputes on UPDATE, this engine
+    validates-or-refuses (the caller updates both sides consistently).
+    The column must already exist; existing rows are validated now, like
+    ``tx_add_constraint``. The column and every column its expr references
+    refuse rename/drop while the declaration stands
+    (:func:`tx_drop_generated`)."""
+    if not col or "." in col:
+        raise ValueError("generated column name must be non-empty, without dots")
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    snap = read_manifest(spark, path, cur)
+    fields = [f["name"] for f in json.loads(snap["schema"])["fields"]]
+    if col not in fields:
+        raise ValueError(
+            f"generated column {col!r} is not in the table schema {fields}"
+        )
+    _enforce_checks(
+        tx_read(spark, path), {_GEN_PROP_PREFIX + col: f"{col} <=> ({expr})"}
+    )
+    return tx_set_properties(spark, path, {_GEN_PROP_PREFIX + col: expr})
+
+
+def tx_drop_generated(spark: SparkSession, path: str, col: str) -> int:
+    """Drop a generated-column declaration (the column itself stays)."""
+    return tx_set_properties(spark, path, {_GEN_PROP_PREFIX + col: None})
 
 
 def tx_add_constraint(
@@ -1651,12 +1730,16 @@ def tx_write(
             return _curv
     # stored CHECK constraints (tx_add_constraint / Delta ALTER TABLE ADD
     # CONSTRAINT) enforce on EVERY write incl. full overwrites; call-site
-    # checks compose on top
-    all_checks = dict(
-        _stored_checks(pre_manifest.get("properties", {}))
-        if pre_manifest is not None
-        else {}
-    )
+    # checks compose on top. Generated columns (tx_add_generated_column)
+    # COMPUTE when omitted; when supplied they validate like a constraint.
+    props0 = pre_manifest.get("properties", {}) if pre_manifest is not None else {}
+    gens = _generated_cols(props0)
+    supplied = [c for c in gens if c in df.columns]
+    for c, e in gens.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(e))
+    all_checks = dict(_stored_checks(props0))
+    all_checks.update(_generated_checks(props0, only=supplied))
     all_checks.update(checks or {})
     if all_checks:
         _enforce_checks(df, all_checks)
@@ -2114,7 +2197,7 @@ def tx_merge(
     else:
         merged = _precedence_pick(source, keys, precedence, slice_df)
 
-    stored = _stored_checks(manifest0.get("properties", {}))
+    stored = _write_invariants(manifest0.get("properties", {}))
     if stored:  # persistent constraints bind MERGE output too
         _enforce_checks(merged, stored)
     # the merged slice replaces exactly the touched partitions; commit with
@@ -2234,7 +2317,7 @@ def _dv_merge(
             source, keys, precedence,
             matched.drop("_txlog_fp", "_txlog_ri") if matched is not None else None,
         ).select(*tgt_cols)
-    stored = _stored_checks(manifest.get("properties", {}))
+    stored = _write_invariants(manifest.get("properties", {}))
     if stored:  # persistent constraints bind DV-merge winners too
         _enforce_checks(winners, stored)
     if mapped:
@@ -2961,7 +3044,7 @@ def _dml_rewrite(
     affected = _read_files(spark, path, hit, manifest["schema"])
     rewritten = transform(affected, cond, mapping)
     if op == "update":  # a delete can only remove rows, never violate
-        stored = _stored_checks(manifest.get("properties", {}))
+        stored = _write_invariants(manifest.get("properties", {}))
         if stored:
             # constraint exprs are written (and validated at add time)
             # against LOGICAL names; the rewritten frame carries physical
@@ -3145,7 +3228,7 @@ def _dv_dml(
         updated = matching.drop("_txlog_fp", "_txlog_ri")
         for col, expr in assignments.items():
             updated = updated.withColumn(col, expr)
-        stored = _stored_checks(manifest.get("properties", {}))
+        stored = _write_invariants(manifest.get("properties", {}))
         if stored:  # persistent constraints bind DV-update post-images
             try:
                 # enforce on the logical projection: exprs bind logical

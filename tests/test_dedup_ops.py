@@ -225,3 +225,34 @@ def test_incremental_chain_over_txlog_index(spark, tmp_path):
         X.tx_write(spark, new_rows, path, mode="append")
     assert sorted(kept) == [0, 1, 3, 6]
     assert sorted(r["id"] for r in X.tx_read(spark, path).collect()) == [0, 1, 3, 6]
+
+
+def test_paragraph_dedup_first_wins_and_reassembles(spark):
+    from cdk_datalake_analytics_comercial_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    w = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    boiler = w("b", 10)          # one full chunk of boilerplate
+    uniq1, uniq2 = w("x", 10), w("y", 7)  # y: a short trailing chunk
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq1} {uniq2}"),   # chunks: boiler, x, y
+            (2, f"{uniq1} {boiler}"),           # both already seen
+            (3, boiler),                        # fully boilerplate
+            (4, f"{boiler} {w('z', 10)}"),      # keeps only z
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in paragraph_dedup(docs, chunk_words=10).collect()
+    }
+    # doc 1 is first for every chunk: keeps all 3, in document order
+    assert out[1]["clean_text"] == f"{boiler} {uniq1} {uniq2}"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (3, 0)
+    # docs 2 and 3 contributed nothing new
+    assert 2 not in out and 3 not in out
+    # doc 4 keeps its unique second chunk only
+    assert out[4]["clean_text"] == w("z", 10)
+    assert (out[4]["n_kept"], out[4]["n_dropped"]) == (1, 1)

@@ -154,9 +154,13 @@ def test_bench_stdout_line_fits_driver_tail():
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total"
     assert parsed["queries"]
-    # realistic timings must keep (nearly) every query on the line
+    # realistic timings must keep the overwhelming majority of queries on
+    # the line (the fastest few may be dropped; they stay in the history)
     realistic = {name: 1.23 for name in HEADLINE}
     parsed2 = json.loads(
         _stdout_line(realistic, sum(realistic.values()), "0.1", 5, 1.0)
     )
-    assert len(parsed2["queries"]) >= len(HEADLINE) - 5
+    kept = len(parsed2["queries"])
+    assert kept >= min(len(HEADLINE), 75), kept
+    if kept < len(HEADLINE):
+        assert parsed2["queries_omitted"] == len(HEADLINE) - kept
