@@ -1047,6 +1047,32 @@ def _stored_checks(properties: dict) -> dict[str, str]:
     }
 
 
+def _skipping_defaults(
+    properties: dict,
+    stats_for: list[str] | None,
+    bloom_for: list[str] | None,
+) -> tuple[list[str] | None, list[str] | None]:
+    """Table-level data-skipping defaults (the Delta dataSkippingStatsColumns
+    idea): ``dataSkippingColumns`` / ``bloomFilterColumns`` properties name
+    the columns every write and rewrite records stats/bloom bitsets for
+    when the caller passes none — so an OPTIMIZE, DML rewrite, or sink that
+    forgot ``stats_for`` can never silently strip the table's skipping
+    indexes. Explicit arguments always win."""
+    if stats_for is None and properties.get("dataSkippingColumns"):
+        stats_for = [
+            c.strip()
+            for c in str(properties["dataSkippingColumns"]).split(",")
+            if c.strip()
+        ]
+    if bloom_for is None and properties.get("bloomFilterColumns"):
+        bloom_for = [
+            c.strip()
+            for c in str(properties["bloomFilterColumns"]).split(",")
+            if c.strip()
+        ]
+    return stats_for, bloom_for
+
+
 _GEN_PROP_PREFIX = "generated."
 
 
@@ -1733,6 +1759,7 @@ def tx_write(
     # checks compose on top. Generated columns (tx_add_generated_column)
     # COMPUTE when omitted; when supplied they validate like a constraint.
     props0 = pre_manifest.get("properties", {}) if pre_manifest is not None else {}
+    stats_for, bloom_for = _skipping_defaults(props0, stats_for, bloom_for)
     gens = _generated_cols(props0)
     supplied = [c for c in gens if c in df.columns]
     for c, e in gens.items():
@@ -2103,6 +2130,7 @@ def tx_merge(
     precedence: str | None = None,
     schema_evolution: bool = False,
     use_dv: bool = False,
+    not_matched_by_source: str | None = None,
 ) -> int:
     """File-pruned MERGE (K3): rewrite only the partitions the source
     touches; untouched partitions' files are carried forward by reference.
@@ -2115,6 +2143,14 @@ def tx_merge(
     (file, row_index) sidecar and only the WINNER rows (source updates +
     inserts, precedence-resolved) are appended — unmatched rows in
     affected files never move. Not combinable with ``schema_evolution``.
+
+    ``not_matched_by_source="delete"`` is Delta's WHEN NOT MATCHED BY
+    SOURCE THEN DELETE clause (full-sync merge): target rows whose keys
+    the source does not carry are DELETED. The clause is GLOBAL by
+    definition — an unmatched row in any partition must go — so it
+    forfeits partition pruning: the whole table is read and replaced
+    (truncate commit), exactly the cost Delta pays for the same clause.
+    Not combinable with ``use_dv``.
 
     Concurrency: the merge result is computed against the snapshot current
     at entry. If, by commit time, a concurrent commit changed the files of
@@ -2129,6 +2165,16 @@ def tx_merge(
             "tx_merge: schema_evolution with use_dv is not supported — "
             "evolve the schema with a regular merge first"
         )
+    if not_matched_by_source not in (None, "delete"):
+        raise ValueError(
+            "not_matched_by_source: only 'delete' is supported"
+        )
+    if not_matched_by_source and use_dv:
+        raise ValueError(
+            "tx_merge: not_matched_by_source with use_dv is not supported "
+            "— the clause replaces the table; run the sync as a rewrite"
+        )
+    global_replace = not_matched_by_source is not None
     cur = current_version(spark, path)
     if cur is None:
         if precedence is None:
@@ -2149,7 +2195,7 @@ def tx_merge(
             "first, then merge"
         )
     touched_sets: set[tuple] | None = None
-    if partition_by:
+    if partition_by and not global_replace:
         touched = [
             r.asDict()
             for r in source.select(*partition_by).distinct().collect()
@@ -2187,6 +2233,13 @@ def tx_merge(
 
         slice_df, source = _evolve_schemas(slice_df, source)
 
+    if global_replace and slice_df is not None:
+        # WHEN NOT MATCHED BY SOURCE DELETE: the target contributes only
+        # its MATCHED rows — unmatched-by-source rows are deleted by
+        # omission (the commit truncates the base snapshot)
+        slice_df = slice_df.join(
+            source.select(*keys).distinct(), keys, "left_semi"
+        )
     if precedence is None:
         source = _dedup_on_keys(source, keys)
         if slice_df is None:
@@ -2211,7 +2264,7 @@ def tx_merge(
     schema_json = manifest0["schema"] if mapped else merged.schema.json()
 
     def build(now: int | None) -> dict:
-        if partition_by:
+        if partition_by and not global_replace:
             now_files = (
                 read_manifest(spark, path, now)["files"] if now is not None else []
             )
@@ -2867,6 +2920,9 @@ def _compact_small(
     # raw files and rewrites them unchanged) — only the user-facing
     # column params need translation
     mapping = _schema_mapping(manifest["schema"])
+    stats_for, bloom_for = _skipping_defaults(
+        manifest.get("properties", {}), stats_for, bloom_for
+    )
     partition_by = _map_names(partition_by, mapping)
     stats_for = _map_names(stats_for, mapping)
     bloom_for = _map_names(bloom_for, mapping)
@@ -3030,6 +3086,9 @@ def _dml_rewrite(
     )
     where = _map_keys(where, mapping)
     where_equals = _map_keys(where_equals, mapping)
+    stats_for, bloom_for = _skipping_defaults(
+        manifest.get("properties", {}), stats_for, bloom_for
+    )
     partition_by = _map_names(partition_by, mapping)
     stats_for = _map_names(stats_for, mapping)
     bloom_for = _map_names(bloom_for, mapping)
@@ -3186,6 +3245,9 @@ def _dv_dml(
     )
     where = _map_keys(where, mapping)
     where_equals = _map_keys(where_equals, mapping)
+    stats_for, bloom_for = _skipping_defaults(
+        manifest.get("properties", {}), stats_for, bloom_for
+    )
     partition_by = _map_names(partition_by, mapping)
     stats_for = _map_names(stats_for, mapping)
     bloom_for = _map_names(bloom_for, mapping)

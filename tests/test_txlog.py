@@ -1738,3 +1738,70 @@ def test_history_operation_metrics(spark, tmp_path):
     assert m1["num_output_rows"] == 10 and m1["truncated"]
     assert m2["num_output_rows"] == 2 and m2["num_added_files"] >= 1
     assert m3["num_dv_deleted_rows"] == 3 and m3["num_output_rows"] == 0
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE: target rows absent
+    from the source are deleted — globally, including rows in partitions
+    the source never touches (the clause forfeits partition pruning)."""
+    p = str(tmp_path / "t")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p3")],
+            "k long, v string, part string",
+        ),
+        p,
+        partition_by=["part"],
+    )
+    src = spark.createDataFrame(
+        [(2, "B", "p1"), (5, "E", "p2")], "k long, v string, part string"
+    )
+    TX.tx_merge(
+        spark, src, p, keys=["k"], partition_by=["part"],
+        not_matched_by_source="delete",
+    )
+    got = sorted(tuple(r) for r in TX.tx_read(spark, p).select("k", "v").collect())
+    # 1 (touched p1), 3 (untouched p2), 4 (untouched p3) all deleted;
+    # 2 updated; 5 inserted
+    assert got == [(2, "B"), (5, "E")]
+    # time travel still shows the pre-sync snapshot
+    pre = TX.tx_read(spark, p, version=1).select("k").collect()
+    assert sorted(r["k"] for r in pre) == [1, 2, 3, 4]
+
+
+def test_merge_not_matched_by_source_with_precedence(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, 9, "keep"), (2, 9, "hi")], "k long, pri long, v string"
+        ),
+        p,
+    )
+    src = spark.createDataFrame(
+        [(2, 1, "lo"), (7, 1, "new")], "k long, pri long, v string"
+    )
+    TX.tx_merge(
+        spark, src, p, keys=["k"], precedence="pri",
+        not_matched_by_source="delete",
+    )
+    got = sorted(tuple(r) for r in TX.tx_read(spark, p).select("k", "v").collect())
+    # k=1 unmatched → deleted even though precedence favors the target;
+    # k=2 matched → target wins on precedence; k=7 inserted
+    assert got == [(2, "hi"), (7, "new")]
+
+
+def test_merge_not_matched_by_source_validation(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "t")
+    TX.tx_write(spark, spark.createDataFrame([(1, "a")], "k long, v string"), p)
+    src = spark.createDataFrame([(1, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="only 'delete'"):
+        TX.tx_merge(spark, src, p, keys=["k"], not_matched_by_source="update")
+    with pytest.raises(ValueError, match="use_dv"):
+        TX.tx_merge(
+            spark, src, p, keys=["k"], use_dv=True,
+            not_matched_by_source="delete",
+        )

@@ -267,3 +267,42 @@ def test_history_dv_metrics_seeded_across_vacuum_truncation(spark, tmp_path):
     # cumulative dv_count (5) its manifest entry carries
     assert newer["operation_metrics"]["num_dv_deleted_rows"] == 2
     assert "dv_metrics_approximate" not in newer["operation_metrics"]
+
+
+def test_data_skipping_columns_property_defaults(spark, tmp_path):
+    """dataSkippingColumns / bloomFilterColumns table properties: every
+    write and rewrite that passes no stats_for/bloom_for records stats
+    for the declared columns — OPTIMIZE and DML can never silently strip
+    the table's skipping indexes. Explicit arguments still win."""
+    p = str(tmp_path / "t")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(k, f"v{k}") for k in range(20)], "k long, v string"),
+        p,
+    )
+    TX.tx_set_properties(
+        spark, p, {"dataSkippingColumns": "k", "bloomFilterColumns": "v"}
+    )
+
+    def entries():
+        cur = TX.current_version(spark, p)
+        return TX.read_manifest(spark, p, cur)["files"]
+
+    # v1's files predate the property: no stats. A plain append records both.
+    TX.tx_write(spark, _df(spark, 100), p, mode="append")
+    fresh = [f for f in entries() if f.get("stats")]
+    assert fresh and all("k" in f["stats"] for f in fresh)
+    assert all(f.get("bloom", {}).get("v") for f in fresh)
+    # full OPTIMIZE (tx_write overwrite underneath) keeps them
+    TX.tx_compact(spark, p, n_files=2)
+    assert all("k" in f.get("stats", {}) for f in entries())
+    assert all(f.get("bloom", {}).get("v") for f in entries())
+    # DML rewrite keeps them too
+    TX.tx_update(spark, p, where={"k": (3, 3)}, assignments={"v": F.lit("X")})
+    assert all("k" in f.get("stats", {}) for f in entries())
+    # and a ranged read actually skips: only one file can contain k=100
+    hit = [
+        f for f in entries()
+        if TX._file_overlaps(f, {"k": (100, 100)})
+    ]
+    assert len(hit) < len(entries())
