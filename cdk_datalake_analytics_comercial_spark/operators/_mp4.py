@@ -16,9 +16,10 @@ any codec dependency:
 
 Decoding extracted samples to pixels/PCM still needs a real codec and
 stays behind the multimodal plugin registries (`multimodal.py`); parsing
-and extraction here are complete and real. Reference behavior twin:
-the reference pipeline's media-metadata pass (artifacts/media_meta, see
-SURVEY.md §2.11) routes on exactly these fields.
+and extraction here are complete and real. This module has NO reference
+counterpart: it is an LLM-data-pipeline extension (the reference is a
+tabular AWS Glue pipeline with no media handling), built from the public
+ISO/IEC 14496-12 specification only.
 
 Box layout note: a box is ``uint32 size + fourcc type + payload``;
 ``size == 1`` switches to a trailing uint64 largesize (huge mdat),
@@ -322,6 +323,19 @@ def extract_samples(
     return out
 
 
+_TRACK_DEFAULTS = {
+    "timescale": 1000,
+    "sample_delta": 40,
+    "handler": b"vide",
+    "codec": b"mp4v",
+    "width": 64,
+    "height": 48,
+    "sample_rate": 48000,
+    "channels": 2,
+    "sync_every": 5,
+}
+
+
 def build_mp4(
     samples: list[bytes],
     timescale: int = 1000,
@@ -334,11 +348,37 @@ def build_mp4(
     channels: int = 2,
     sync_every: int = 5,
 ) -> bytes:
-    """Minimal spec-valid single-track MP4: ftyp + moov(mvhd, trak(tkhd,
+    """Minimal spec-valid single-track MP4 (see :func:`build_mp4_multi`)."""
+    return build_mp4_multi(
+        [
+            {
+                "samples": samples,
+                "timescale": timescale,
+                "sample_delta": sample_delta,
+                "handler": handler,
+                "codec": codec,
+                "width": width,
+                "height": height,
+                "sample_rate": sample_rate,
+                "channels": channels,
+                "sync_every": sync_every,
+            }
+        ]
+    )
+
+
+def build_mp4_multi(tracks: list[dict]) -> bytes:
+    """Minimal spec-valid MULTI-track MP4: ftyp + moov(mvhd, trak* (tkhd,
     mdia(mdhd, hdlr, minf(stbl(stsd stts stsc stsz stco [stss]))))) +
-    mdat, all samples in ONE chunk. Deterministic bytes for fixtures and
-    sink plumbing; every field round-trips through :func:`probe` /
-    :func:`sample_table`."""
+    mdat. Each track dict carries ``samples`` plus any of the
+    ``_TRACK_DEFAULTS`` keys; each track's samples land in ONE chunk,
+    chunks concatenated in track order inside mdat. Deterministic bytes
+    for fixtures and sink plumbing; every field round-trips through
+    :func:`probe` / :func:`sample_table`. Multi-track files exercise the
+    track-index resolution paths (video track not at index 0)."""
+    if not tracks:
+        raise ValueError("need at least one track")
+    cfgs = [{**_TRACK_DEFAULTS, **t} for t in tracks]
 
     def box(typ: bytes, body: bytes) -> bytes:
         return struct.pack(">I", 8 + len(body)) + typ + body
@@ -346,39 +386,36 @@ def build_mp4(
     def full(typ: bytes, ver: int, flags: int, body: bytes) -> bytes:
         return box(typ, struct.pack(">I", (ver << 24) | flags) + body)
 
-    n = len(samples)
-    duration = n * sample_delta
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
-
-    def moov_bytes(chunk_offset: int) -> bytes:
-        mvhd = full(
-            b"mvhd", 0, 0,
-            struct.pack(">II", 0, 0)
-            + struct.pack(">II", timescale, duration)
-            + struct.pack(">I", 0x00010000)  # rate 1.0
-            + struct.pack(">H", 0x0100)      # volume 1.0
-            + b"\x00" * 10
-            + struct.pack(
-                ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
-            )
-            + b"\x00" * 24
-            + struct.pack(">I", 2),          # next track id
+    # movie duration in the mvhd timescale (first track's), longest track
+    mv_ts = cfgs[0]["timescale"]
+    mv_dur = max(
+        int(
+            len(c["samples"]) * c["sample_delta"] * mv_ts // (c["timescale"] or 1)
         )
+        for c in cfgs
+    )
+
+    def trak_bytes(c: dict, track_id: int, chunk_offset: int) -> bytes:
+        samples = c["samples"]
+        n = len(samples)
+        duration = n * c["sample_delta"]
+        handler, codec = c["handler"], c["codec"]
         tkhd = full(
             b"tkhd", 0, 7,
-            struct.pack(">III", 0, 0, 1)     # times + track id
+            struct.pack(">III", 0, 0, track_id)
             + b"\x00" * 4
             + struct.pack(">I", duration)
             + b"\x00" * 16
             + struct.pack(
                 ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
             )
-            + struct.pack(">II", width << 16, height << 16),
+            + struct.pack(">II", c["width"] << 16, c["height"] << 16),
         )
         mdhd = full(
             b"mdhd", 0, 0,
             struct.pack(">II", 0, 0)
-            + struct.pack(">II", timescale, duration)
+            + struct.pack(">II", c["timescale"], duration)
             + struct.pack(">HH", 0x55C4, 0),  # 'und' language
         )
         hdlr = full(
@@ -390,7 +427,7 @@ def build_mp4(
                 b"\x00" * 6
                 + struct.pack(">H", 1)            # data_reference_index
                 + b"\x00" * 16
-                + struct.pack(">HH", width, height)
+                + struct.pack(">HH", c["width"], c["height"])
                 + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
                 + b"\x00" * 4
                 + struct.pack(">H", 1)            # frame count
@@ -403,9 +440,9 @@ def build_mp4(
                 b"\x00" * 6
                 + struct.pack(">H", 1)
                 + b"\x00" * 8
-                + struct.pack(">HH", channels, 16)
+                + struct.pack(">HH", c["channels"], 16)
                 + b"\x00" * 4
-                + struct.pack(">I", sample_rate << 16)
+                + struct.pack(">I", c["sample_rate"] << 16)
             )
             mhd = full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
         stsd = full(
@@ -413,7 +450,7 @@ def build_mp4(
             struct.pack(">I", 1) + box(codec, entry),
         )
         stts = full(
-            b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta)
+            b"stts", 0, 0, struct.pack(">III", 1, n, c["sample_delta"])
         )
         stsc = full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
         stsz = full(
@@ -423,8 +460,8 @@ def build_mp4(
         )
         stco = full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
         stbl_children = [stsd, stts, stsc, stsz, stco]
-        if handler == b"vide" and sync_every > 0:
-            syncs = list(range(1, n + 1, sync_every))
+        if handler == b"vide" and c["sync_every"] > 0:
+            syncs = list(range(1, n + 1, c["sync_every"]))
             stbl_children.append(
                 full(
                     b"stss", 0, 0,
@@ -439,14 +476,39 @@ def build_mp4(
         )
         minf = box(b"minf", mhd + dinf + stbl)
         mdia = box(b"mdia", mdhd + hdlr + minf)
-        trak = box(b"trak", tkhd + mdia)
-        return box(b"moov", mvhd + trak)
+        return box(b"trak", tkhd + mdia)
+
+    def moov_bytes(chunk_offsets: list[int]) -> bytes:
+        mvhd = full(
+            b"mvhd", 0, 0,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", mv_ts, mv_dur)
+            + struct.pack(">I", 0x00010000)  # rate 1.0
+            + struct.pack(">H", 0x0100)      # volume 1.0
+            + b"\x00" * 10
+            + struct.pack(
+                ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + b"\x00" * 24
+            + struct.pack(">I", len(cfgs) + 1),  # next track id
+        )
+        traks = b"".join(
+            trak_bytes(c, i + 1, off)
+            for i, (c, off) in enumerate(zip(cfgs, chunk_offsets))
+        )
+        return box(b"moov", mvhd + traks)
 
     # stco is 4 bytes whatever the offset value, so the moov length is
     # offset-independent: build once to size it, once more with the real
-    # mdat payload position
-    moov_len = len(moov_bytes(0))
-    chunk_offset = len(ftyp) + moov_len + 8  # + mdat header
-    moov = moov_bytes(chunk_offset)
-    mdat = box(b"mdat", b"".join(samples))
+    # mdat payload positions
+    moov_len = len(moov_bytes([0] * len(cfgs)))
+    base = len(ftyp) + moov_len + 8  # + mdat header
+    offsets, cur = [], base
+    for c in cfgs:
+        offsets.append(cur)
+        cur += sum(len(s) for s in c["samples"])
+    moov = moov_bytes(offsets)
+    mdat = box(
+        b"mdat", b"".join(s for c in cfgs for s in c["samples"])
+    )
     return ftyp + moov + mdat

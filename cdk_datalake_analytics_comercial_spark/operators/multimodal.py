@@ -553,11 +553,12 @@ def _probe_one(b: bytes) -> dict:
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         # fmt chunk fields only — no sample decode
         o = 12
-        rate = channels = bits = None
+        rate = channels = bits = fmt_code = None
         data_len = 0
         while o + 8 <= len(b):
             cid, clen = b[o : o + 4], int.from_bytes(b[o + 4 : o + 8], "little")
             if cid == b"fmt " and o + 24 <= len(b):
+                fmt_code = int.from_bytes(b[o + 8 : o + 10], "little")
                 channels = int.from_bytes(b[o + 10 : o + 12], "little")
                 rate = int.from_bytes(b[o + 12 : o + 16], "little")
                 bits = int.from_bytes(b[o + 22 : o + 24], "little")
@@ -566,11 +567,18 @@ def _probe_one(b: bytes) -> dict:
             o += 8 + clen + (clen & 1)
         if not rate or not channels or not bits:
             raise ValueError("WAV without a complete fmt chunk")
-        n = data_len // (channels * (bits // 8))
+        # Format code (RFC 2361 / WAVEFORMATEX wFormatTag): 1 = integer
+        # PCM, 6 = G.711 A-law, 7 = G.711 µ-law — the three decode_wav
+        # handles. G.711 is always 8-bit, so the duration basis below
+        # (bytes per sample frame) stays exact.
+        codec = {1: f"pcm_s{bits}le", 6: "pcm_alaw", 7: "pcm_mulaw"}.get(
+            fmt_code, f"wav_fmt_{fmt_code}"
+        )
+        n = data_len // (channels * max(bits // 8, 1))
         return {
             "container": "wav",
             "media_type": "audio",
-            "codec": f"pcm_s{bits}le",
+            "codec": codec,
             "duration_ms": int(round(n * 1000 / rate)),
             "width": None,
             "height": None,
@@ -664,15 +672,21 @@ def keyframe_extract(
 
         if len(b) >= 8 and b[4:8] == b"ftyp":
             p = _mp4.probe(b)
-            ts = next(
+            # Resolve the video track INDEX (like decode_mp4_frames does) so
+            # samples and timescale come from the same track; fall back to
+            # track 0 (audio-only MP4) rather than failing the routing pass.
+            vidx = next(
                 (
-                    t.get("timescale", 1000)
-                    for t in p["tracks"]
+                    i
+                    for i, t in enumerate(p["tracks"])
                     if t.get("handler") == "vide"
                 ),
-                1000,
+                0,
             )
-            table = _mp4.sample_table(b, 0)
+            if not p["tracks"]:
+                raise ValueError("MP4 has no tracks")
+            ts = p["tracks"][vidx].get("timescale") or 1000
+            table = _mp4.sample_table(b, vidx)
             out = []
             for i, s in enumerate(table):
                 if sync_only and not s["is_sync"]:
@@ -693,7 +707,7 @@ def keyframe_extract(
             acc = 0
             out = []
             for i, f in enumerate(fr):
-                pts = acc * 1000 // f["sample_rate"]
+                pts = acc * 1000 // (f["sample_rate"] or 1)
                 acc += f["n_samples"]
                 out.append(
                     (i, pts, True, b[f["offset"] : f["offset"] + f["size"]])
@@ -709,7 +723,13 @@ def keyframe_extract(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     got = frames_of(bytes(payload))
-                except (NotImplementedError, ValueError, EOFError, struct.error) as e:
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    EOFError,
+                    struct.error,
+                    ArithmeticError,
+                ) as e:
                     if not skip:
                         raise
                     rows.append((int(mid), None, None, None, None, str(e)))

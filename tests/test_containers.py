@@ -434,3 +434,111 @@ def test_mp4_avc_still_refuses_toward_plugins(spark):
         M.frame_sample(df).collect()
     flagged = M.frame_sample(df, on_error="skip").collect()
     assert len(flagged) == 1 and "avc1" in flagged[0]["error"]
+
+
+# ---------------------------------------------------------------------------
+# Round-8 regressions (r7 ADVICE): multi-track track resolution, WAV
+# format-code probing, zero-timescale robustness.
+
+
+def _two_track_mp4():
+    """Audio track at index 0, video track at index 1 — the layout that
+    used to make keyframe_extract pull audio samples with a video
+    timescale."""
+    audio = [b"A%d" % i * 4 for i in range(6)]
+    video = [b"V%d" % i * 4 for i in range(8)]
+    return _mp4.build_mp4_multi(
+        [
+            {
+                "samples": audio,
+                "handler": b"soun",
+                "codec": b"ulaw",
+                "timescale": 8000,
+                "sample_delta": 160,
+                "sample_rate": 8000,
+                "channels": 1,
+            },
+            {
+                "samples": video,
+                "handler": b"vide",
+                "codec": b"jpeg",
+                "timescale": 600,
+                "sample_delta": 30,
+                "width": 32,
+                "height": 24,
+                "sync_every": 4,
+            },
+        ]
+    )
+
+
+def test_build_mp4_multi_probe_and_sample_tables():
+    b = _two_track_mp4()
+    p = _mp4.probe(b)
+    assert [t["handler"] for t in p["tracks"]] == ["soun", "vide"]
+    assert p["tracks"][0]["timescale"] == 8000
+    assert p["tracks"][1]["timescale"] == 600
+    assert (p["tracks"][1]["width"], p["tracks"][1]["height"]) == (32, 24)
+    # each track's byte ranges resolve to ITS OWN payload bytes
+    t0 = _mp4.sample_table(b, 0)
+    t1 = _mp4.sample_table(b, 1)
+    assert [b[s["offset"] : s["offset"] + s["size"]] for s in t0] == [
+        b"A%d" % i * 4 for i in range(6)
+    ]
+    assert [b[s["offset"] : s["offset"] + s["size"]] for s in t1] == [
+        b"V%d" % i * 4 for i in range(8)
+    ]
+    assert [s["is_sync"] for s in t1] == [True, False, False, False] * 2
+
+
+def test_keyframe_extract_resolves_video_track_index(spark):
+    df = spark.createDataFrame(
+        [(7, _two_track_mp4())], "media_id long, payload binary"
+    )
+    rows = sorted(
+        (r["frame_idx"], r["pts_ms"], bytes(r["frame"]))
+        for r in M.keyframe_extract(df).collect()
+    )
+    # sync samples 0 and 4 of the VIDEO track, pts in the VIDEO timescale
+    # (600 units/s, delta 30 -> 50 ms/frame)
+    assert [(i, p) for i, p, _ in rows] == [(0, 0), (4, 200)]
+    assert [fb for _, _, fb in rows] == [b"V0" * 4, b"V4" * 4]
+
+
+def test_container_probe_wav_g711_format_codes(spark):
+    def wav(fmt_code, bits, body):
+        block = max(bits // 8, 1)
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000 * block, block, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+
+    df = spark.createDataFrame(
+        [
+            (1, wav(7, 8, bytes(80))),
+            (2, wav(6, 8, bytes(40))),
+            (3, wav(1, 16, bytes(64))),
+            (4, wav(2, 4, bytes(32))),  # ADPCM: probed, named, not decodable
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r.asDict() for r in M.container_probe(df).collect()}
+    assert out[1]["codec"] == "pcm_mulaw" and out[1]["n_frames"] == 80
+    assert out[2]["codec"] == "pcm_alaw" and out[2]["n_frames"] == 40
+    assert out[3]["codec"] == "pcm_s16le" and out[3]["n_frames"] == 32
+    assert out[4]["codec"] == "wav_fmt_2"
+    assert out[1]["duration_ms"] == 10  # 80 samples @ 8 kHz
+
+
+def test_keyframe_extract_zero_timescale_does_not_fail(spark):
+    payload = _mp4.build_mp4_multi(
+        [{"samples": [b"x" * 8, b"y" * 8], "timescale": 0, "sync_every": 1}]
+    )
+    df = spark.createDataFrame(
+        [(1, payload)], "media_id long, payload binary"
+    )
+    # guarded fallback timescale: runs in strict mode, no ZeroDivisionError
+    rows = M.keyframe_extract(df).collect()
+    assert len(rows) == 2 and all(r["pts_ms"] is not None for r in rows)
