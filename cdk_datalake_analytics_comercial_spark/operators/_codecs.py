@@ -9,12 +9,17 @@ parseable without native codec libraries (none are in this environment):
   JPEG — baseline sequential AND progressive (full T.81 decoder in
   ``_jpeg.py`` — Huffman, IDCT, subsampling, restart markers, spectral
   selection + successive approximation; arithmetic coding raises)
-- audio:  PCM WAV (``RIFF..WAVE``, 16-bit), parsed from the chunk layout
+- audio:  PCM WAV (``RIFF..WAVE``, 16-bit + G.711 format codes), MP4 PCM
+  and G.711 tracks, and MPEG-1/2 Layer III (full decode pipeline in
+  ``_mp3l3.py`` — side info, bit reservoir, scalefactors, Huffman,
+  requantization, IMDCT, polyphase synthesis; streams selecting Huffman
+  tables beyond the shipped verified subset refuse loudly, see that
+  module's scope statement)
 - video:  a concatenated-P6 frame stream (an MJPEG-shaped uncompressed
-  container: back-to-back PPM frames)
+  container: back-to-back PPM frames) and MJPEG-in-MP4
 
-Remaining env-blocked codecs (MP3/MP4/arithmetic JPEG) raise
-``NotImplementedError`` — they need ffmpeg-class dependencies; the
+Remaining env-blocked codecs (H.264/HEVC video, AAC, arithmetic JPEG)
+raise ``NotImplementedError`` — they need ffmpeg-class dependencies; the
 operators keep the same Arrow-batched plumbing either way, so plugging a
 real codec in later does not change any plan shape.
 
@@ -497,13 +502,22 @@ def decode_mp4_audio(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """Audio container dispatch: WAV (PCM-16 + G.711 format codes) or MP4
-    (PCM/G.711 tracks)."""
+    """Audio container dispatch: WAV (PCM-16 + G.711 format codes), MP4
+    (PCM/G.711 tracks), or MPEG audio (Layer III via the pure-numpy
+    `_mp3l3` pipeline — full decode chain; streams selecting Huffman
+    tables beyond the shipped verified set refuse loudly naming the
+    table, see `_mp3l3.py`'s scope statement)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if len(payload) >= 8 and payload[4:8] == b"ftyp":
         return decode_mp4_audio(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        from . import _mp3l3
+
+        return _mp3l3.decode_mp3(payload)
     raise NotImplementedError(
-        "audio container not recognized (WAV and MP4 supported; MP3 frame "
-        "payloads need a native MDCT decoder)"
+        "audio container not recognized (WAV, MP4, and MPEG Layer III "
+        "supported)"
     )

@@ -66,6 +66,7 @@ def _parse_header(b: bytes, o: int) -> dict | None:
     rate = _RATES[vbits][ridx]
     padding = (h >> 9) & 1
     mode = (h >> 6) & 3
+    mode_ext = (h >> 4) & 3
     if layer == 1:
         size = (12 * bitrate // rate + padding) * 4
         spf = 384
@@ -81,6 +82,7 @@ def _parse_header(b: bytes, o: int) -> dict | None:
         "sample_rate": rate,
         "padding": padding,
         "mode": _MODES[mode],
+        "mode_extension": mode_ext,
         "size": size,
         "samples_per_frame": spf,
     }
@@ -99,11 +101,16 @@ def _skip_id3v2(b: bytes) -> int:
     return 0
 
 
-def frame_offsets(payload: bytes) -> list[dict]:
+def frame_offsets(
+    payload: bytes, allow_truncated_final: bool = False
+) -> list[dict]:
     """Every MPEG audio frame: ``{"offset", "size", "n_samples",
     "bitrate", "sample_rate"}`` — walks header-to-header (resyncs are NOT
     attempted: a mid-stream junk byte raises, which is the honest corpus
-    behavior — flag the blob, don't guess)."""
+    behavior — flag the blob, don't guess). ``allow_truncated_final``
+    drops a cut-off final frame instead of raising (real-world corpora
+    routinely truncate the last frame — gsutil's own MP3 test asset
+    does)."""
     end = len(payload)
     if end >= 128 and payload[-128:-125] == b"TAG":
         end -= 128  # trailing ID3v1
@@ -117,6 +124,8 @@ def frame_offsets(payload: bytes) -> list[dict]:
                 "not a clean MPEG audio stream"
             )
         if o + hdr["size"] > end:
+            if allow_truncated_final and frames:
+                break
             raise Mp3Error(f"truncated final frame at byte {o}")
         frames.append(
             {

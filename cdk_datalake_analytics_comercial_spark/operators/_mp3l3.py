@@ -1,0 +1,890 @@
+"""Pure-numpy MPEG-1/2 Layer III (MP3) decoder — full pipeline, honestly
+scoped entropy tables.
+
+Implements the published ISO/IEC 11172-3 / 13818-3 Layer III decode chain
+end-to-end with zero native dependencies:
+
+  frame walk → side info (MPEG-1 and MPEG-2-LSF layouts) → bit-reservoir
+  assembly → scalefactor decode → Huffman decode (big_values pairs with
+  linbits/sign machinery, count1 quads) → requantization → MS stereo →
+  short-block reorder → alias reduction → hybrid IMDCT (36/12-point, all
+  four block types) → frequency inversion → 32-band polyphase synthesis.
+
+Scope statement (read before citing this module as "MP3 support"):
+
+- The PIPELINE is complete: every stage of the spec's decode flowgraph is
+  implemented and unit-tested, and the bitstream layers (header, side
+  info, reservoir, scalefactors) handle both MPEG-1 and MPEG-2 LSF.
+- The HUFFMAN CODE TABLES are spec DATA, not algorithms. Unlike JPEG
+  (where T.81 streams carry their own entropy tables in DHT segments, so
+  `_jpeg.py` could be complete), Layer III's 34 code tables live only in
+  the spec text (Table B.7), and this container has no network and no
+  copy of them. Fabricating ~1500 code values from memory would be
+  silently wrong in a way no self-consistent test could catch, so this
+  module ships only the tables that are small enough to transcribe AND
+  structurally validate (prefix-free + Kraft-complete, enforced by
+  tests): tables 0-3 and the fixed-length count1 table B. Streams that
+  select any other table raise ``UnsupportedMp3Table`` naming the table
+  id — the same loud-refusal contract the repo's codec layer uses for
+  avc1/AAC. Drop-in completion: populate ``HUFFMAN_TABLES`` /
+  ``COUNT1_TABLES`` with the remaining spec data; nothing else changes.
+- The POLYPHASE SYNTHESIS WINDOW (spec Table B.3, 512 values) is also
+  table-only data with no closed form. The default window here is a
+  derived Kaiser-prototype PQMF window, gain-calibrated at import, which
+  reconstructs tones cleanly (validated by spectral-purity tests) but is
+  NOT bit-identical to a conformance decoder. Install the spec table
+  with :func:`set_synthesis_window` when available.
+- :func:`build_mp3_l3` is a minimal CBR MPEG-1 encoder that emits
+  spec-valid frames restricted to the verified tables; the
+  encoder/decoder pair gives deterministic roundtrip fixtures (sine-tone
+  corpus → frequency-bin energy asserts) without circular trust in the
+  unverifiable table data, because the fixtures never select it.
+
+The real-world anchor: the one genuine MP3 in this container (gsutil's
+MPEG-2-LSF test asset) is used by tests to validate the side-info layer
+structurally (field ranges, reservoir arithmetic) — see
+``tests/test_mp3_decode.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import _mp3
+
+
+class Mp3DecodeError(ValueError):
+    """Bitstream violates the Layer III layout."""
+
+
+class UnsupportedMp3Table(NotImplementedError):
+    """Stream selects a Huffman table whose spec data is not shipped."""
+
+
+# ---------------------------------------------------------------------------
+# bit reader
+
+
+class _Bits:
+    """MSB-first bit reader over bytes."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # bit position
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise Mp3DecodeError("bitstream overrun")
+        v = 0
+        p = self.pos
+        while n:
+            byte = self.data[p >> 3]
+            avail = 8 - (p & 7)
+            take = min(avail, n)
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            p += take
+            n -= take
+        self.pos = p
+        return v
+
+    def read1(self) -> int:
+        return self.read(1)
+
+
+# ---------------------------------------------------------------------------
+# side info (MPEG-1 two-granule and MPEG-2-LSF one-granule layouts)
+
+_GR_FIELDS = (
+    "part2_3_length big_values global_gain scalefac_compress "
+    "window_switching block_type mixed_block table_select subblock_gain "
+    "region0_count region1_count preflag scalefac_scale count1table_select"
+).split()
+
+
+def side_info(frame: bytes, hdr: dict) -> dict:
+    """Parse the side-info block that follows the 4-byte header (and the
+    2-byte CRC when present). ``hdr`` is `_mp3._parse_header` output.
+    Returns {"main_data_begin", "granules": [[gr0ch0, gr0ch1], ...]} with
+    per-granule-channel dicts of the `_GR_FIELDS`."""
+    lsf = hdr["version"] != "1"
+    nch = 1 if hdr["mode"] == "mono" else 2
+    off = 4 + (0 if _crc_absent(frame) else 2)
+    bits = _Bits(frame, off * 8)
+    out: dict = {}
+    if lsf:
+        out["main_data_begin"] = bits.read(8)
+        bits.read(1 if nch == 1 else 2)  # private
+        out["scfsi"] = [[0, 0, 0, 0]] * nch
+        ngr = 1
+    else:
+        out["main_data_begin"] = bits.read(9)
+        bits.read(5 if nch == 1 else 3)  # private
+        out["scfsi"] = [[bits.read1() for _ in range(4)] for _ in range(nch)]
+        ngr = 2
+    grans = []
+    for _g in range(ngr):
+        chans = []
+        for _c in range(nch):
+            gr: dict = {
+                "part2_3_length": bits.read(12),
+                "big_values": bits.read(9),
+                "global_gain": bits.read(8),
+                "scalefac_compress": bits.read(9 if lsf else 4),
+                "window_switching": bits.read1(),
+            }
+            if gr["window_switching"]:
+                gr["block_type"] = bits.read(2)
+                gr["mixed_block"] = bits.read1()
+                gr["table_select"] = [bits.read(5), bits.read(5), 0]
+                gr["subblock_gain"] = [bits.read(3) for _ in range(3)]
+                if gr["block_type"] == 0:
+                    raise Mp3DecodeError(
+                        "window_switching with block_type 0 is reserved"
+                    )
+                # spec-fixed region split when window switching is on
+                gr["region0_count"] = (
+                    8 if (gr["block_type"] == 2 and not gr["mixed_block"]) else 7
+                )
+                gr["region1_count"] = 20 - gr["region0_count"]
+            else:
+                gr["block_type"] = 0
+                gr["mixed_block"] = 0
+                gr["table_select"] = [bits.read(5) for _ in range(3)]
+                gr["subblock_gain"] = [0, 0, 0]
+                gr["region0_count"] = bits.read(4)
+                gr["region1_count"] = bits.read(3)
+            gr["preflag"] = 0 if lsf else bits.read1()
+            gr["scalefac_scale"] = bits.read1()
+            gr["count1table_select"] = bits.read1()
+            if gr["big_values"] > 288:
+                raise Mp3DecodeError(f"big_values {gr['big_values']} > 288")
+            chans.append(gr)
+        grans.append(chans)
+    out["granules"] = grans
+    out["side_info_bits"] = bits.pos - off * 8
+    out["main_data_offset"] = (off * 8 + out["side_info_bits"]) // 8
+    return out
+
+
+def _crc_absent(frame: bytes) -> bool:
+    return bool(frame[1] & 0x01)
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables — transcribed spec data, structurally validated
+#
+# HUFFMAN_TABLES[id] = (xlen, ylen, linbits, {(hlen, hcod): (x, y)}).
+# Only tables whose full code set is small enough to transcribe with
+# confidence are shipped; `validate_tables()` (called by tests) asserts
+# every shipped table is prefix-free and Kraft-complete, which catches
+# any structural mis-transcription.  Missing ids raise
+# UnsupportedMp3Table at select time.
+
+
+def _tab(xlen, ylen, hlen_rows, hcod_rows, linbits=0):
+    codes = {}
+    for x in range(xlen):
+        for y in range(ylen):
+            codes[(hlen_rows[x][y], hcod_rows[x][y])] = (x, y)
+    return (xlen, ylen, linbits, codes)
+
+
+HUFFMAN_TABLES: dict[int, tuple] = {
+    0: (1, 1, 0, {}),  # table 0: no data, all-zero region
+    1: _tab(2, 2, [[1, 3], [2, 3]], [[1, 1], [1, 0]]),
+    2: _tab(3, 3, [[1, 3, 6], [3, 3, 5], [5, 5, 6]],
+            [[1, 2, 1], [3, 1, 1], [3, 2, 0]]),
+    3: _tab(3, 3, [[2, 2, 6], [3, 2, 5], [5, 5, 6]],
+            [[3, 2, 1], [1, 1, 1], [3, 2, 0]]),
+}
+
+# count1 tables decode (v, w, x, y) quads. Table B (id 1) is the spec's
+# fixed-length table: 4-bit code = bitwise complement of the quad.
+COUNT1_TABLES: dict[int, dict] = {
+    1: {(4, (~v) & 0xF): ((v >> 3) & 1, (v >> 2) & 1, (v >> 1) & 1, v & 1)
+        for v in range(16)},
+}
+
+
+def validate_tables() -> None:
+    """Assert every shipped table is a complete prefix code (Kraft sum
+    exactly 1 over its symbol set, no code a prefix of another)."""
+    for tid, (xlen, ylen, _lb, codes) in HUFFMAN_TABLES.items():
+        if tid == 0:
+            continue
+        _check_prefix_code(codes, xlen * ylen, f"table {tid}")
+    for tid, codes in COUNT1_TABLES.items():
+        _check_prefix_code(codes, 16, f"count1 table {tid}")
+
+
+def _check_prefix_code(codes: dict, n_symbols: int, name: str) -> None:
+    if len(codes) != n_symbols:
+        raise AssertionError(f"{name}: {len(codes)} codes for {n_symbols} symbols")
+    kraft = sum(2.0 ** -l for l, _c in codes)
+    if abs(kraft - 1.0) > 1e-12:
+        raise AssertionError(f"{name}: Kraft sum {kraft} != 1")
+    as_str = [format(c, f"0{l}b") for l, c in codes]
+    for i, a in enumerate(as_str):
+        for j, b in enumerate(as_str):
+            if i != j and b.startswith(a):
+                raise AssertionError(f"{name}: '{a}' is a prefix of '{b}'")
+
+
+def _huff_decode(bits: _Bits, table: tuple, limit: int) -> tuple[int, int]:
+    """Decode one (x, y) pair; `limit` is the absolute bit position the
+    granule may not cross."""
+    _xl, _yl, linbits, codes = table
+    if not codes:
+        return 0, 0
+    length = 0
+    acc = 0
+    while True:
+        if bits.pos >= limit:
+            raise Mp3DecodeError("Huffman code ran past part2_3_length")
+        acc = (acc << 1) | bits.read1()
+        length += 1
+        if (length, acc) in codes:
+            x, y = codes[(length, acc)]
+            break
+        if length > 19:
+            raise Mp3DecodeError("Huffman code longer than 19 bits")
+    if linbits and x == 15:
+        x += bits.read(linbits)
+    if x and bits.read1():
+        x = -x
+    if linbits and y == 15:
+        y += bits.read(linbits)
+    if y and bits.read1():
+        y = -y
+    return x, y
+
+
+def _count1_decode(bits: _Bits, table: dict, limit: int) -> tuple:
+    length = 0
+    acc = 0
+    while True:
+        if bits.pos >= limit:
+            raise Mp3DecodeError("count1 code ran past part2_3_length")
+        acc = (acc << 1) | bits.read1()
+        length += 1
+        if (length, acc) in table:
+            quad = table[(length, acc)]
+            break
+        if length > 6:
+            raise Mp3DecodeError("count1 code longer than 6 bits")
+    out = []
+    for v in quad:
+        if v and bits.read1():
+            v = -v
+        out.append(v)
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# scalefactor-band boundaries (spec Table B.8) and pretab
+#
+# Used for scalefactor application, short-block reorder, and region
+# boundaries. Transcribed from the public spec; tone fixtures from
+# `build_mp3_l3` deliberately avoid depending on them (all-zero
+# scalefactors, uniform table_select), so a transcription slip here
+# cannot silently corrupt the oracle-checked paths.
+
+SFB_LONG = {
+    44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576],
+    48000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576],
+    32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576],
+}
+SFB_SHORT = {
+    44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
+    48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
+    32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+}
+PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+
+_SLEN1 = [0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4]
+_SLEN2 = [0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3]
+
+
+def read_scalefactors_mpeg1(
+    bits: _Bits, gr: dict, scfsi: list, prev: dict | None
+) -> dict:
+    """MPEG-1 scalefactor decode. Returns {"long": [21], "short": [[3]x12]}
+    (zeros where not applicable). `prev` is granule 0's result for scfsi
+    reuse in granule 1."""
+    s1, s2 = _SLEN1[gr["scalefac_compress"]], _SLEN2[gr["scalefac_compress"]]
+    long_sf = [0] * 22
+    short_sf = [[0, 0, 0] for _ in range(13)]
+    if gr["window_switching"] and gr["block_type"] == 2:
+        if gr["mixed_block"]:
+            for sfb in range(8):
+                long_sf[sfb] = bits.read(s1)
+            for sfb in range(3, 12):
+                for w in range(3):
+                    short_sf[sfb][w] = bits.read(s1 if sfb < 6 else s2)
+        else:
+            for sfb in range(12):
+                for w in range(3):
+                    short_sf[sfb][w] = bits.read(s1 if sfb < 6 else s2)
+    else:
+        groups = [(0, 6), (6, 11), (11, 16), (16, 21)]
+        for gi, (lo, hi) in enumerate(groups):
+            if scfsi[gi] and prev is not None:
+                for sfb in range(lo, hi):
+                    long_sf[sfb] = prev["long"][sfb]
+            else:
+                for sfb in range(lo, hi):
+                    long_sf[sfb] = bits.read(s1 if sfb < 11 else s2)
+    return {"long": long_sf, "short": short_sf}
+
+
+# MPEG-2 LSF scalefactor layout (spec 13818-3 / dist10 structure): the
+# 9-bit scalefac_compress selects slen[0..3] and a block-number row of
+# per-slen scalefactor counts.
+_LSF_NSFB = {
+    # blocknumber -> [long, short, mixed] -> counts per slen group
+    0: {"long": [6, 5, 5, 5], "short": [9, 9, 9, 9], "mixed": [6, 9, 9, 9]},
+    1: {"long": [6, 5, 7, 3], "short": [9, 9, 12, 6], "mixed": [6, 9, 12, 6]},
+    2: {"long": [11, 10, 0, 0], "short": [18, 18, 0, 0], "mixed": [15, 18, 0, 0]},
+}
+
+
+def lsf_scalefactor_bits(gr: dict) -> int:
+    """Number of scalefactor (part2) bits for an LSF granule-channel
+    (non-intensity path)."""
+    sc = gr["scalefac_compress"]
+    if sc < 400:
+        slen = [(sc >> 4) // 5, (sc >> 4) % 5, (sc & 15) >> 2, sc & 3]
+        bn = 0
+    elif sc < 500:
+        s = sc - 400
+        slen = [(s >> 2) // 5, (s >> 2) % 5, s & 3, 0]
+        bn = 1
+    else:
+        s = sc - 500
+        slen = [s // 3, s % 3, 0, 0]
+        bn = 2
+    if gr["window_switching"] and gr["block_type"] == 2:
+        kind = "mixed" if gr["mixed_block"] else "short"
+    else:
+        kind = "long"
+    counts = _LSF_NSFB[bn][kind]
+    return sum(s * c for s, c in zip(slen, counts))
+
+
+# ---------------------------------------------------------------------------
+# Huffman region decode → 576 quantized values
+
+
+def decode_spectrum(
+    bits: _Bits, gr: dict, sample_rate: int, part2_start: int
+) -> np.ndarray:
+    """Decode big_values pairs + count1 quads into is[576] (quantized
+    integers). `part2_start` is the absolute bit position where part2
+    (scalefactors) began, so the part2_3_length budget can be enforced
+    and verified."""
+    limit = part2_start + gr["part2_3_length"]
+    out = np.zeros(576, dtype=np.int64)
+    nbig = gr["big_values"] * 2
+    if bits.pos == limit and nbig == 0:
+        return out  # silent granule: nothing to decode, no tables needed
+    if gr["window_switching"]:
+        region1_start = 36 if (gr["block_type"] == 2 and not gr["mixed_block"]) else 54
+        region2_start = 576
+    elif nbig == 0:
+        region1_start = region2_start = 0
+    else:
+        sfb = SFB_LONG.get(sample_rate)
+        if sfb is None:
+            raise Mp3DecodeError(f"no sfb table for sample rate {sample_rate}")
+        region1_start = sfb[min(gr["region0_count"] + 1, len(sfb) - 1)]
+        region2_start = sfb[
+            min(gr["region0_count"] + gr["region1_count"] + 2, len(sfb) - 1)
+        ]
+    tables = []
+    for rid, tsel in enumerate(gr["table_select"]):
+        if tsel not in HUFFMAN_TABLES:
+            if (rid == 0 and nbig > 0) or (
+                rid == 1 and nbig > region1_start
+            ) or (rid == 2 and nbig > region2_start):
+                raise UnsupportedMp3Table(
+                    f"Huffman table {tsel} selected; shipped spec data "
+                    f"covers tables {sorted(HUFFMAN_TABLES)} only (see "
+                    "_mp3l3.py scope statement)"
+                )
+            tables.append(HUFFMAN_TABLES[0])
+        else:
+            tables.append(HUFFMAN_TABLES[tsel])
+    i = 0
+    while i < nbig:
+        t = tables[0] if i < region1_start else (
+            tables[1] if i < region2_start else tables[2]
+        )
+        x, y = _huff_decode(bits, t, limit)
+        out[i], out[i + 1] = x, y
+        i += 2
+    c1sel = gr["count1table_select"]
+    if c1sel not in COUNT1_TABLES:
+        if bits.pos < limit:
+            raise UnsupportedMp3Table(
+                f"count1 table {'A' if c1sel == 0 else c1sel} selected; "
+                "shipped spec data covers table B only"
+            )
+    else:
+        table = COUNT1_TABLES[c1sel]
+        while bits.pos < limit and i + 4 <= 576:
+            v, w, x, y = _count1_decode(bits, table, limit)
+            out[i : i + 4] = (v, w, x, y)
+            i += 4
+    if bits.pos != limit:
+        # spec allows the last count1 quad to overshoot; anything else is
+        # a real desync
+        raise Mp3DecodeError(
+            f"granule consumed {bits.pos - part2_start} bits, "
+            f"part2_3_length says {gr['part2_3_length']}"
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# requantization
+
+
+def requantize(
+    is_vals: np.ndarray, gr: dict, sf: dict, sample_rate: int
+) -> np.ndarray:
+    """is[576] → xr[576] floats per the spec power law."""
+    if not is_vals.any():
+        return np.zeros(576)  # silent granule: no sfb tables needed
+    xr = np.sign(is_vals) * np.abs(is_vals).astype(np.float64) ** (4.0 / 3.0)
+    gain = 2.0 ** (0.25 * (gr["global_gain"] - 210))
+    scale_mult = gr["scalefac_scale"] + 1  # exponent multiplier /2 in spec
+    if gr["window_switching"] and gr["block_type"] == 2 and not gr["mixed_block"]:
+        bounds = SFB_SHORT[sample_rate]
+        for sfb in range(12):
+            w0, w1 = bounds[sfb], bounds[sfb + 1]
+            n = w1 - w0
+            for w in range(3):
+                lo = w0 * 3 + w * n
+                sfac = sf["short"][sfb][w]
+                fac = gain * 2.0 ** (
+                    -2.0 * gr["subblock_gain"][w]
+                    - 0.5 * scale_mult * sfac
+                )
+                xr[lo : lo + n] *= fac
+    else:
+        bounds = SFB_LONG[sample_rate]
+        for sfb in range(21):
+            lo, hi = bounds[sfb], bounds[sfb + 1]
+            sfac = sf["long"][sfb] + gr["preflag"] * PRETAB[sfb]
+            xr[lo:hi] *= gain * 2.0 ** (-0.5 * scale_mult * sfac)
+        xr[bounds[21] :] *= gain
+    return xr
+
+
+def reorder_short(xr: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Short-block line reorder: Huffman order is (sfb, window, line);
+    the filterbank wants (subband, window-interleaved)."""
+    out = np.zeros_like(xr)
+    bounds = SFB_SHORT[sample_rate]
+    for sfb in range(12):
+        w0, w1 = bounds[sfb], bounds[sfb + 1]
+        n = w1 - w0
+        src = w0 * 3
+        for w in range(3):
+            for l in range(n):
+                # destination: window-major within each 18-line subband run
+                line = w0 + l
+                out[(line // 6) * 18 + w * 6 + line % 6] = xr[src]
+                src += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# alias reduction
+
+_CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037])
+_CS = 1.0 / np.sqrt(1.0 + _CI**2)
+_CA = _CI * _CS
+
+
+def antialias(xr: np.ndarray, n_subbands: int = 32) -> np.ndarray:
+    """Butterflies across each adjacent-subband boundary (long blocks);
+    vectorized over all boundaries and all 8 butterflies at once."""
+    out = xr.copy()
+    b = np.arange(1, n_subbands)[:, None] * 18  # boundary line per subband
+    i = np.arange(8)[None, :]
+    lo_idx = b - 1 - i
+    hi_idx = b + i
+    lo = out[lo_idx]
+    hi = out[hi_idx]
+    out[lo_idx] = lo * _CS[None, :] - hi * _CA[None, :]
+    out[hi_idx] = hi * _CS[None, :] + lo * _CA[None, :]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# hybrid IMDCT (closed-form windows from the spec)
+
+
+def _imdct(X: np.ndarray, n: int) -> np.ndarray:
+    """n-point IMDCT: x[i] = Σ_k X[k] cos(π/(2n)·(2i+1+n/2)·(2k+1))."""
+    i = np.arange(n)[:, None]
+    k = np.arange(n // 2)[None, :]
+    M = np.cos(np.pi / (2 * n) * (2 * i + 1 + n / 2) * (2 * k + 1))
+    return M @ X
+
+
+def _win_normal() -> np.ndarray:
+    i = np.arange(36)
+    return np.sin(np.pi / 36 * (i + 0.5))
+
+
+def _win_start() -> np.ndarray:
+    w = np.zeros(36)
+    i = np.arange(18)
+    w[:18] = np.sin(np.pi / 36 * (i + 0.5))
+    w[18:24] = 1.0
+    w[24:30] = np.sin(np.pi / 12 * (np.arange(24, 30) - 18 + 0.5))
+    return w
+
+
+def _win_stop() -> np.ndarray:
+    return _win_start()[::-1].copy()
+
+
+_WIN_SHORT12 = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+_WINDOWS = {0: _win_normal(), 1: _win_start(), 3: _win_stop()}
+
+
+_M36 = np.cos(
+    np.pi / 72.0
+    * (2 * np.arange(36)[:, None] + 1 + 18)
+    * (2 * np.arange(18)[None, :] + 1)
+)
+_M12 = np.cos(
+    np.pi / 24.0
+    * (2 * np.arange(12)[:, None] + 1 + 6)
+    * (2 * np.arange(6)[None, :] + 1)
+)
+
+
+def imdct_granule(
+    xr: np.ndarray, gr: dict, overlap: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-subband IMDCT + windowing + overlap-add. `overlap` is the
+    carried 32×18 state; returns (timeslots 18×32, new overlap).
+    The common long-block path is one 32×18 @ 18×36 matmul."""
+    short = gr["window_switching"] and gr["block_type"] == 2
+    mixed = short and gr["mixed_block"]
+    X = xr.reshape(32, 18)
+    if not short:
+        blocks = (X @ _M36.T) * _WINDOWS.get(gr["block_type"], _WINDOWS[0])
+    else:
+        blocks = np.zeros((32, 36))
+        lo = 0
+        if mixed:
+            lo = 2
+            blocks[:2] = (X[:2] @ _M36.T) * _WINDOWS[0]
+        # three 12-point IMDCTs per subband, windows at offsets 6/12/18
+        for w in range(3):
+            y = (X[lo:, w::3] @ _M12.T) * _WIN_SHORT12
+            blocks[lo:, 6 + w * 6 : 18 + w * 6] += y
+    out = blocks[:, :18].T + overlap.T
+    new_overlap = blocks[:, 18:].copy()
+    # frequency inversion: odd subbands, odd time samples
+    out[1::2, 1::2] = -out[1::2, 1::2]
+    return out, new_overlap
+
+
+# ---------------------------------------------------------------------------
+# polyphase synthesis filterbank
+#
+# Direct polyphase form of the 32-band MPEG synthesis bank: filter k is
+# g_k[n] = h[n]·cos((2k+1)(n+16)π/64), n = 0..511, and the output is the
+# 32×-upsampled sum  x[32m+j] = Σ_k Σ_{l=0}^{15} S_k(m−l)·g_k[32l+j].
+# The modulation structure is the published closed form; the PROTOTYPE
+# h is table-only spec data (Table B.3 via D[i] = 32·C[i]) that is not
+# available offline, so the default is a DERIVED Kaiser lowpass
+# (cutoff π/64, β=9, unit-gain calibrated) — spectrally clean (the
+# purity tests measure ≥0.999 in-band energy) but not bit-identical to
+# a conformance decoder. Install the spec prototype with
+# :func:`set_synthesis_window` when its data is available.
+
+
+def _derived_prototype() -> np.ndarray:
+    n = np.arange(512)
+    h = np.sinc((n - 255.5) / 64.0) / 64.0 * np.kaiser(512, 9.0)
+    return h * 64.0  # unit passband gain through the bank (measured)
+
+
+def _filters(h: np.ndarray) -> np.ndarray:
+    n = np.arange(512)[None, :]
+    k = np.arange(32)[:, None]
+    g = h[None, :] * np.cos((2 * k + 1) * (n + 16) * np.pi / 64.0)
+    return np.ascontiguousarray(g.reshape(32, 16, 32))  # [k, l, j]
+
+
+_SYNTH_FILTERS = _filters(_derived_prototype())
+_WINDOW_IS_SPEC = False
+
+
+def set_synthesis_window(h512) -> None:
+    """Install the spec prototype (Table B.3's D values, as the 512-tap
+    lowpass h with D[i] = 32·h[i]·(sign pattern) unwound — pass plain
+    h)."""
+    global _SYNTH_FILTERS, _WINDOW_IS_SPEC
+    w = np.asarray(h512, dtype=np.float64)
+    if w.shape != (512,):
+        raise ValueError("synthesis prototype must have 512 values")
+    _SYNTH_FILTERS = _filters(w)
+    _WINDOW_IS_SPEC = True
+
+
+class _Synth:
+    """Per-channel synthesis state: the last 16 subband slices."""
+
+    def __init__(self, filters: np.ndarray | None = None):
+        self.hist = np.zeros((16, 32))  # hist[l] = S(m - l)
+        self.filters = _SYNTH_FILTERS if filters is None else filters
+
+    def run(self, timeslots: np.ndarray) -> np.ndarray:
+        """timeslots: (n, 32) subband samples → (n*32,) PCM. Vectorized
+        across slices: one windowed view + one einsum per call."""
+        n = timeslots.shape[0]
+        g = self.filters  # [k, l, j]
+        # sequence of slices oldest→newest: hist (reversed) then new
+        seq = np.concatenate([self.hist[::-1], timeslots], axis=0)
+        win = np.lib.stride_tricks.sliding_window_view(seq, 16, axis=0)
+        # output slice m needs S(m-l), l=0..15 → seq[m+1 .. m+16] =
+        # win[m+1], with window offset q ↔ l = 15-q (flip the axis)
+        hist_all = win[1 : n + 1, :, ::-1]  # [m, k, lback]
+        out = np.einsum("mkl,klj->mj", hist_all, g)
+        self.hist = seq[-16:][::-1].copy()
+        return out.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# top-level decode
+
+
+def decode_granule_channel(
+    main: bytes,
+    bit_pos: int,
+    gr: dict,
+    scfsi: list,
+    prev_sf: dict | None,
+    sample_rate: int,
+    lsf: bool,
+) -> tuple[np.ndarray, dict, int]:
+    """Scalefactors + Huffman + requantize + reorder + antialias for one
+    granule-channel from the reservoir bitstream. Returns (xr, sf,
+    end_bit_pos)."""
+    bits = _Bits(main, bit_pos)
+    part2_start = bits.pos
+    if lsf:
+        nbits = lsf_scalefactor_bits(gr)
+        bits.read(nbits)  # structural skip: LSF fixtures use sc=0 → 0 bits
+        sf = {"long": [0] * 22, "short": [[0, 0, 0] for _ in range(13)]}
+    else:
+        sf = read_scalefactors_mpeg1(bits, gr, scfsi, prev_sf)
+    is_vals = decode_spectrum(bits, gr, sample_rate, part2_start)
+    xr = requantize(is_vals, gr, sf, sample_rate)
+    if gr["window_switching"] and gr["block_type"] == 2:
+        xr = reorder_short(xr, sample_rate)
+        if gr["mixed_block"]:
+            xr = antialias(xr, n_subbands=2)
+    else:
+        xr = antialias(xr)
+    return xr, sf, bits.pos
+
+
+def decode_mp3(payload: bytes) -> tuple[np.ndarray, int]:
+    """Full-stream Layer III decode → (float64 mono PCM in [-1, 1],
+    sample_rate). Stereo is decoded per channel (MS stereo applied) and
+    averaged to mono, matching the repo's other audio decoders."""
+    frames = _mp3.frame_offsets(payload, allow_truncated_final=True)
+    hdr0 = _mp3._parse_header(payload, frames[0]["offset"])
+    if hdr0["layer"] != 3:
+        raise NotImplementedError(f"Layer {hdr0['layer']} decode not shipped")
+    rate = hdr0["sample_rate"]
+    lsf = hdr0["version"] != "1"
+    nch = 1 if hdr0["mode"] == "mono" else 2
+    reservoir = b""
+    synths = [_Synth() for _ in range(nch)]
+    overlaps = [np.zeros((32, 18)) for _ in range(nch)]
+    pcm = [[] for _ in range(nch)]
+    for f in frames:
+        frame = payload[f["offset"] : f["offset"] + f["size"]]
+        hdr = _mp3._parse_header(payload, f["offset"])
+        si = side_info(frame, hdr)
+        main_part = frame[si["main_data_offset"] :]
+        if si["main_data_begin"] > len(reservoir):
+            raise Mp3DecodeError(
+                f"main_data_begin {si['main_data_begin']} exceeds reservoir "
+                f"({len(reservoir)} bytes)"
+            )
+        main = (
+            reservoir[len(reservoir) - si["main_data_begin"] :] + main_part
+            if si["main_data_begin"]
+            else main_part
+        )
+        bit_pos = 0
+        # mode_extension bit 1 = MS stereo (intensity stereo, bit 0, is
+        # not shipped — streams using it refuse at the Huffman layer
+        # anyway since intensity encoders pair it with the big tables)
+        ms = hdr["mode"] == "joint_stereo" and bool(hdr["mode_extension"] & 2)
+        for g, chans in enumerate(si["granules"]):
+            xrs = []
+            prev_sf = None
+            for c, gr in enumerate(chans):
+                xr, sf, bit_pos = decode_granule_channel(
+                    main, bit_pos, gr, si["scfsi"][c], prev_sf, rate, lsf
+                )
+                if c == 0:
+                    prev_sf = sf
+                xrs.append(xr)
+            if ms and len(xrs) == 2:
+                m, s = xrs
+                xrs = [(m + s) / np.sqrt(2.0), (m - s) / np.sqrt(2.0)]
+            for c, xr in enumerate(xrs):
+                slots, overlaps[c] = imdct_granule(xr, chans[c], overlaps[c])
+                pcm[c].append(synths[c].run(slots))
+        # reservoir carries the tail of main data for the next frame
+        reservoir = (reservoir + main_part)[-4096:]
+    chans = [np.concatenate(p) if p else np.zeros(0) for p in pcm]
+    mono = chans[0] if nch == 1 else (chans[0] + chans[1]) / 2.0
+    return mono, rate
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder — minimal CBR MPEG-1 mono Layer III
+#
+# Emits spec-valid frames restricted to the VERIFIED tables (big_values
+# region coded with table 1 uniformly; count1 region with table B; no
+# scalefactors; long blocks; no reservoir). A tone is placed as ±1
+# quantized values at a chosen spectral line; global_gain sets amplitude.
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def to_bytes(self, pad_to: int | None = None) -> bytes:
+        bits = self.bits[:]
+        while len(bits) % 8:
+            bits.append(0)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            raw.append(b)
+        if pad_to is not None:
+            if len(raw) > pad_to:
+                raise ValueError("payload exceeds frame budget")
+            raw += b"\xaa" * (pad_to - len(raw))
+        return bytes(raw)
+
+
+def _encode_granule(tone_line: int, global_gain: int) -> tuple[_BitWriter, dict]:
+    """One granule-channel: is[tone_line] = +1, everything else 0."""
+    w = _BitWriter()
+    nbig_pairs = tone_line // 2 + 1
+    # scalefactors: scalefac_compress=0 → slen 0/0 → zero part2 bits
+    for pair in range(nbig_pairs):
+        x = 1 if 2 * pair == tone_line else 0
+        y = 1 if 2 * pair + 1 == tone_line else 0
+        # table 1 codes: (0,0)='1', (0,1)='001', (1,0)='01', (1,1)='000'
+        if (x, y) == (0, 0):
+            w.write(0b1, 1)
+        elif (x, y) == (1, 0):
+            w.write(0b01, 2)
+            w.write(0, 1)  # sign +
+        elif (x, y) == (0, 1):
+            w.write(0b001, 3)
+            w.write(0, 1)
+    gr = {
+        "part2_3_length": len(w.bits),
+        "big_values": nbig_pairs,
+        "global_gain": global_gain,
+        "scalefac_compress": 0,
+        "window_switching": 0,
+        "block_type": 0,
+        "mixed_block": 0,
+        "table_select": [1, 1, 1],
+        "subblock_gain": [0, 0, 0],
+        "region0_count": 5,
+        "region1_count": 5,
+        "preflag": 0,
+        "scalefac_scale": 0,
+        "count1table_select": 1,
+    }
+    return w, gr
+
+
+def build_mp3_l3(
+    n_frames: int = 8,
+    tone_line: int = 32,
+    global_gain: int = 210,
+    sample_rate: int = 44100,
+    bitrate_kbps: int = 64,
+) -> bytes:
+    """Deterministic CBR MPEG-1 mono Layer III stream whose every granule
+    encodes a single +1 quantized value at `tone_line` — decodes to a
+    steady tone near (tone_line + 0.5)·rate/1152 Hz."""
+    if not 0 <= tone_line < 576:
+        raise ValueError("tone_line must be in [0, 576)")
+    import struct as _s
+
+    bidx = _mp3._BITRATES[(0, 3)].index(bitrate_kbps)
+    ridx = _mp3._RATES[3].index(sample_rate)
+    frame_size = 144 * bitrate_kbps * 1000 // sample_rate  # no padding frames
+    out = bytearray()
+    for _fi in range(n_frames):
+        h = (
+            0x7FF << 21
+            | 3 << 19        # MPEG-1
+            | 1 << 17        # Layer III
+            | 1 << 16        # no CRC
+            | bidx << 12
+            | ridx << 10
+            | 0 << 9         # no padding
+            | 3 << 6         # mono
+        )
+        side = _BitWriter()
+        side.write(0, 9)     # main_data_begin = 0 (no reservoir)
+        side.write(0, 5)     # private
+        side.write(0, 4)     # scfsi
+        main = _BitWriter()
+        for _g in range(2):
+            gw, gr = _encode_granule(tone_line, global_gain)
+            side.write(gr["part2_3_length"], 12)
+            side.write(gr["big_values"], 9)
+            side.write(gr["global_gain"], 8)
+            side.write(gr["scalefac_compress"], 4)
+            side.write(0, 1)  # window_switching
+            for t in gr["table_select"]:
+                side.write(t, 5)
+            side.write(gr["region0_count"], 4)
+            side.write(gr["region1_count"], 3)
+            side.write(gr["preflag"], 1)
+            side.write(gr["scalefac_scale"], 1)
+            side.write(gr["count1table_select"], 1)
+            main.bits.extend(gw.bits)
+        side_bytes = side.to_bytes()
+        assert len(side_bytes) == 17, len(side_bytes)
+        main_bytes = main.to_bytes(pad_to=frame_size - 4 - 17)
+        out += _s.pack(">I", h) + side_bytes + main_bytes
+    return bytes(out)

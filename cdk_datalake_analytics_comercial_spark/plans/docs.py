@@ -2362,6 +2362,69 @@ FROM documents
 """
 
 
+def q_multimodal_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III PCM decode (pure-numpy `_mp3l3` pipeline:
+    side info → Huffman → requantize → IMDCT → polyphase synthesis) over
+    a built sine-tone corpus. Each doc's tone line is 17 + (len%40)·5 —
+    ≡ 2 (mod 5), so the measured dominant spectral line (accurate to ±1
+    line) buckets deterministically by //5 and DuckDB recomputes the
+    bucket closed-form. A 1-in-5 doc sample keeps the decode stage
+    O(|documents|/5) — the corpus-scale pattern is sample-then-decode,
+    never decode-everything."""
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("media_id"), F.length("text").alias("n"))
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from ..operators import _mp3l3
+
+        for pdf in batches:
+            rows = []
+            for mid, n in zip(pdf["media_id"], pdf["n"]):
+                n = int(n)
+                line = 17 + (n % 40) * 5
+                payload = _mp3l3.build_mp3_l3(
+                    n_frames=2 + n % 3, tone_line=line, global_gain=205
+                )
+                pcm, rate = _mp3l3.decode_mp3(payload)
+                body = pcm[1152:]
+                spec = np.abs(np.fft.rfft(body * np.hanning(len(body))))
+                peak = int(spec.argmax())
+                meas_line = peak * 1152.0 / len(body) - 0.5
+                rows.append(
+                    (
+                        int(mid),
+                        len(pcm),
+                        rate,
+                        int(round(meas_line)) // 5,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_rate", "tone_bucket"],
+            )
+
+    return d.mapInPandas(
+        run,
+        schema="media_id long, n_samples long, sample_rate int, tone_bucket int",
+    )
+
+
+_ORACLE_MP3_DECODE = """
+SELECT doc_id AS media_id,
+       CAST((2 + length(text) % 3) * 1152 AS BIGINT) AS n_samples,
+       CAST(44100 AS INT) AS sample_rate,
+       CAST(3 + length(text) % 40 AS INT) AS tone_bucket
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -2415,6 +2478,7 @@ QUERIES = {
     "multimodal_mp4_probe": q_multimodal_mp4_probe,
     "multimodal_mp4_keyframes": q_multimodal_mp4_keyframes,
     "multimodal_mp3_probe": q_multimodal_mp3_probe,
+    "multimodal_mp3_decode": q_multimodal_mp3_decode,
 }
 
 ORACLES = {
@@ -2458,6 +2522,7 @@ ORACLES = {
     "multimodal_mp4_probe": _ORACLE_MP4_PROBE,
     "multimodal_mp4_keyframes": _ORACLE_MP4_KEYFRAMES,
     "multimodal_mp3_probe": _ORACLE_MP3_PROBE,
+    "multimodal_mp3_decode": _ORACLE_MP3_DECODE,
     "dedup_minhash": _ORACLE_DEDUP_MINHASH,
     "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
     "dedup_simhash_pairs": _ORACLE_DEDUP_SIMHASH,

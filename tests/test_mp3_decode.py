@@ -1,0 +1,282 @@
+"""MPEG Layer III decode pipeline (`operators/_mp3l3.py`).
+
+Three evidence classes, per the module's scope statement:
+1. structural validation of the shipped entropy tables (prefix-free,
+   Kraft-complete) — catches mis-transcription of the spec data;
+2. deterministic encoder/decoder roundtrips on sine-tone fixtures that
+   use only the verified tables (frequency-bin energy + sample counts);
+3. the one genuine real-world MP3 in this container (gsutil's
+   MPEG-2-LSF test asset) decoded end-to-end — digital silence, which a
+   conformant decoder reproduces sample-exactly regardless of the
+   unavailable spec tables, so this is a true conformance point for the
+   framing/side-info/reservoir/granule layers.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from cdk_datalake_analytics_comercial_spark.operators import _codecs, _mp3, _mp3l3 as L
+
+REAL_MP3 = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+
+
+# ---------------------------------------------------------------------------
+# entropy-table structure
+
+
+def test_shipped_tables_are_complete_prefix_codes():
+    L.validate_tables()
+
+
+def test_huffman_table_1_codes():
+    _xl, _yl, _lb, codes = L.HUFFMAN_TABLES[1]
+    assert codes == {(1, 1): (0, 0), (3, 1): (0, 1), (2, 1): (1, 0), (3, 0): (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# bit reader / writer
+
+
+def test_bits_msb_first():
+    b = L._Bits(bytes([0b10110100, 0xFF]))
+    assert b.read(3) == 0b101
+    assert b.read(6) == 0b101001
+    assert b.read1() == 1
+
+
+def test_bitwriter_roundtrip():
+    w = L._BitWriter()
+    w.write(0b101, 3)
+    w.write(0b0110, 4)
+    raw = w.to_bytes(pad_to=3)
+    assert len(raw) == 3
+    r = L._Bits(raw)
+    assert r.read(3) == 0b101 and r.read(4) == 0b0110
+
+
+# ---------------------------------------------------------------------------
+# side info
+
+
+def test_side_info_mpeg1_mono_layout():
+    payload = L.build_mp3_l3(n_frames=1, tone_line=10)
+    hdr = _mp3._parse_header(payload, 0)
+    si = L.side_info(payload, hdr)
+    assert si["side_info_bits"] == 136  # 17 bytes, MPEG-1 mono
+    assert si["main_data_begin"] == 0
+    assert len(si["granules"]) == 2 and len(si["granules"][0]) == 1
+    gr = si["granules"][0][0]
+    assert gr["big_values"] == 10 // 2 + 1
+    assert gr["table_select"] == [1, 1, 1]
+    assert gr["count1table_select"] == 1
+
+
+def test_side_info_rejects_reserved_block_type():
+    # window_switching=1 with block_type=0 is a spec violation
+    w = L._BitWriter()
+    w.write(0, 9)  # main_data_begin
+    w.write(0, 5)  # private
+    w.write(0, 4)  # scfsi
+    for _ in range(2):
+        w.write(0, 12)  # part2_3
+        w.write(0, 9)   # big_values
+        w.write(210, 8)
+        w.write(0, 4)
+        w.write(1, 1)   # window_switching
+        w.write(0, 2)   # block_type 0 — reserved
+        w.write(0, 1)
+        w.write(0, 10)  # table_select x2
+        w.write(0, 9)   # subblock_gain
+        w.write(0, 3)   # pre/scale/count1
+    frame = L.build_mp3_l3(1, 10)[:4] + w.to_bytes(pad_to=17) + b"\x00" * 100
+    hdr = _mp3._parse_header(frame, 0)
+    with pytest.raises(L.Mp3DecodeError, match="reserved"):
+        L.side_info(frame, hdr)
+
+
+# ---------------------------------------------------------------------------
+# scalefactors
+
+
+def test_mpeg1_scalefactors_scfsi_reuse():
+    gr = {"scalefac_compress": 4, "window_switching": 0, "block_type": 0,
+          "mixed_block": 0}
+    # slen1=3, slen2=0 → 11 bands * 3 bits
+    w = L._BitWriter()
+    for v in [1, 2, 3, 4, 5, 6, 7, 0, 1, 2, 3]:
+        w.write(v, 3)
+    bits = L._Bits(w.to_bytes(pad_to=8))
+    sf0 = L.read_scalefactors_mpeg1(bits, gr, [0, 0, 0, 0], None)
+    assert sf0["long"][:11] == [1, 2, 3, 4, 5, 6, 7, 0, 1, 2, 3]
+    # granule 1 with scfsi group 0 set reuses bands 0-5 with no bits read
+    bits2 = L._Bits(b"", 0)
+    sf1 = L.read_scalefactors_mpeg1(
+        bits2, {**gr, "scalefac_compress": 0}, [1, 1, 1, 1], sf0
+    )
+    assert sf1["long"][:6] == sf0["long"][:6] and bits2.pos == 0
+
+
+def test_lsf_scalefactor_bits_ranges():
+    base = {"window_switching": 0, "block_type": 0, "mixed_block": 0}
+    assert L.lsf_scalefactor_bits({**base, "scalefac_compress": 0}) == 0
+    # sc=170: slen=[2,0,2,2] → 6*2+5*0+5*2+5*2 = 32 bits
+    assert L.lsf_scalefactor_bits({**base, "scalefac_compress": 170}) == 32
+
+
+# ---------------------------------------------------------------------------
+# DSP stages
+
+
+def test_antialias_preserves_energy():
+    rng = np.random.default_rng(7)
+    xr = rng.normal(size=576)
+    out = L.antialias(xr)
+    # butterflies are rotations (cs^2 + ca^2 = 1): energy is preserved
+    assert np.isclose((out**2).sum(), (xr**2).sum())
+    # lines far from subband boundaries are untouched (each boundary's
+    # butterflies reach 8 lines to either side of multiples of 18)
+    assert np.allclose(out[0:10], xr[0:10])
+    assert np.allclose(out[26:28], xr[26:28])
+
+
+def test_imdct_tdac_overlap_reconstructs():
+    # two consecutive identical granules: the overlap-add of the 36-point
+    # windowed IMDCT must be time-aliasing-cancelling (steady state)
+    X = np.zeros(576)
+    X[4 * 18 + 3] = 1.0  # subband 4, bin 3
+    gr = {"window_switching": 0, "block_type": 0, "mixed_block": 0}
+    overlap = np.zeros((32, 18))
+    s1, overlap = L.imdct_granule(X, gr, overlap)
+    s2, overlap = L.imdct_granule(X, gr, overlap)
+    s3, _ = L.imdct_granule(X, gr, overlap)
+    # steady state reached after the first granule
+    assert np.allclose(s2, s3)
+
+
+def test_synthesis_tone_purity_all_bands():
+    for sb in [0, 1, 8, 19, 31]:
+        s = L._Synth()
+        n = 192
+        ts = np.zeros((n, 32))
+        ts[:, sb] = np.cos(np.arange(n) * np.pi / 2)
+        pcm = s.run(ts)[1024:]
+        spec = np.abs(np.fft.rfft(pcm * np.hanning(len(pcm)))) ** 2
+        peak = int(spec.argmax())
+        purity = spec[max(0, peak - 3) : peak + 4].sum() / spec.sum()
+        assert purity > 0.999, (sb, purity)
+        # peak lands inside subband sb's frequency range
+        frac = peak / len(pcm) * 2  # of Nyquist
+        assert sb / 32 - 0.02 <= frac <= (sb + 1) / 32 + 0.02
+
+
+def test_short_block_reorder_is_permutation():
+    xr = np.arange(576, dtype=float)
+    out = L.reorder_short(xr, 44100)
+    # reorder touches only the short-block region (192*3 lines)
+    assert sorted(out[: 192 * 3 // 1]) != []  # smoke
+    assert set(out[:576]) <= set(xr)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end roundtrips (fixture encoder → decoder)
+
+
+@pytest.mark.parametrize("line", [3, 32, 100, 299])
+def test_roundtrip_tone_frequency_and_length(line):
+    payload = L.build_mp3_l3(n_frames=8, tone_line=line, global_gain=205)
+    pcm, rate = L.decode_mp3(payload)
+    assert rate == 44100
+    assert len(pcm) == 8 * 1152
+    body = pcm[1152:]
+    spec = np.abs(np.fft.rfft(body * np.hanning(len(body)))) ** 2
+    peak = int(spec.argmax())
+    freq = peak / len(body) * rate
+    expected = (line + 0.5) * rate / 1152
+    assert abs(freq - expected) <= rate / 1152, (freq, expected)
+    purity = spec[max(0, peak - 4) : peak + 5].sum() / spec.sum()
+    assert purity > 0.95
+
+
+def test_roundtrip_global_gain_scales_amplitude():
+    quiet, _ = L.decode_mp3(L.build_mp3_l3(4, 32, global_gain=198))
+    loud, _ = L.decode_mp3(L.build_mp3_l3(4, 32, global_gain=210))
+    # 12 gain steps = 2^3 amplitude
+    ratio = np.abs(loud).max() / np.abs(quiet).max()
+    assert np.isclose(ratio, 8.0, rtol=1e-6)
+
+
+def test_roundtrip_through_codecs_dispatch():
+    payload = L.build_mp3_l3(4, 64, global_gain=205)
+    pcm, rate = _codecs.decode_audio(payload)
+    assert rate == 44100 and len(pcm) == 4 * 1152
+
+
+def test_roundtrip_other_sample_rates():
+    for sr in [32000, 48000]:
+        pcm, rate = L.decode_mp3(
+            L.build_mp3_l3(3, 50, global_gain=205, sample_rate=sr)
+        )
+        assert rate == sr and len(pcm) == 3 * 1152
+
+
+# ---------------------------------------------------------------------------
+# loud refusal on unshipped spec data
+
+
+def test_unsupported_big_value_table_refuses_with_table_id():
+    gr = {"part2_3_length": 50, "big_values": 4, "global_gain": 210,
+          "scalefac_compress": 0, "window_switching": 0, "block_type": 0,
+          "mixed_block": 0, "table_select": [16, 0, 0],
+          "subblock_gain": [0, 0, 0], "region0_count": 5, "region1_count": 5,
+          "preflag": 0, "scalefac_scale": 0, "count1table_select": 1}
+    bits = L._Bits(bytes(64))
+    with pytest.raises(L.UnsupportedMp3Table, match="table 16"):
+        L.decode_spectrum(bits, gr, 44100, 0)
+
+
+def test_unsupported_count1_table_a_refuses():
+    gr = {"part2_3_length": 20, "big_values": 0, "global_gain": 210,
+          "scalefac_compress": 0, "window_switching": 0, "block_type": 0,
+          "mixed_block": 0, "table_select": [0, 0, 0],
+          "subblock_gain": [0, 0, 0], "region0_count": 5, "region1_count": 5,
+          "preflag": 0, "scalefac_scale": 0, "count1table_select": 0}
+    bits = L._Bits(bytes(64))
+    with pytest.raises(L.UnsupportedMp3Table, match="count1 table A"):
+        L.decode_spectrum(bits, gr, 44100, 0)
+
+
+# ---------------------------------------------------------------------------
+# the real-world anchor
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_MP3), reason="gsutil asset absent")
+def test_real_mpeg2_lsf_file_decodes_end_to_end():
+    payload = open(REAL_MP3, "rb").read()
+    frames = _mp3.frame_offsets(payload, allow_truncated_final=True)
+    assert len(frames) == 22
+    hdr = _mp3._parse_header(payload, frames[0]["offset"])
+    assert hdr["version"] == "2" and hdr["layer"] == 3
+    # every frame's LSF side info parses with consistent reservoir math
+    reservoir = 0
+    for f in frames:
+        frame = payload[f["offset"] : f["offset"] + f["size"]]
+        si = L.side_info(frame, _mp3._parse_header(payload, f["offset"]))
+        assert si["side_info_bits"] == 72  # 9-byte LSF mono layout
+        assert si["main_data_begin"] <= reservoir
+        reservoir = min(reservoir + len(frame) - si["main_data_offset"], 511)
+    # full decode: digital silence, sample-exact for ANY conformant decoder
+    pcm, rate = L.decode_mp3(payload)
+    assert rate == 22050
+    assert len(pcm) == 22 * 576
+    assert np.abs(pcm).max() == 0.0
+
+
+def test_truncated_final_frame_tolerated_only_when_asked():
+    payload = L.build_mp3_l3(3, 32)[:-10]
+    with pytest.raises(_mp3.Mp3Error, match="truncated"):
+        _mp3.frame_offsets(payload)
+    frames = _mp3.frame_offsets(payload, allow_truncated_final=True)
+    assert len(frames) == 2
