@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "dedup_minhash",
     "dedup_incremental",
+    "dedup_incremental_probe",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "text_token_stats",

@@ -312,6 +312,76 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.select("doc_id", "lang", "source")
 
 
+def _incremental_index_path(sf_dir: str) -> str:
+    """Deterministic scratch dir for the persisted dedup index, keyed by
+    a content fingerprint of the documents parquet (size + mtime per
+    file) — a regenerated corpus must never reuse a stale index."""
+    import hashlib
+    import os
+    import tempfile
+
+    doc = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    files = (
+        sorted(os.path.join(doc, f) for f in os.listdir(doc))
+        if os.path.isdir(doc)
+        else [doc]
+    )
+    parts = []
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    key = hashlib.sha1(
+        f"{doc}|{'|'.join(parts)}|mh=64|b=16|k=3|v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_mhidx_{key}")
+
+
+def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AMORTIZED shape of incremental dedup: the history index (even
+    doc_ids) is fingerprinted, band-exploded, and PERSISTED band-clustered
+    ONCE per corpus (atomic build-into-tmp + rename, content-keyed like
+    the IVF-PQ cache); the measured query is the probe alone — sketch the
+    new batch, join its band keys against the stored layout, verify
+    candidates. This is what a production pipeline pays per increment
+    (the build cost amortizes over every batch), and it is the row
+    SCALING.md contrasts with `dedup_incremental`, which rebuilds the
+    index inside the measured window. Results are identical — the query
+    shares `dedup_incremental`'s oracle."""
+    import os
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    path = _incremental_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS_ALL")):
+        old = d.filter(F.col("doc_id") % 2 == 0)
+        idx = dedup.minhash_index(old, "text", "doc_id", portable=True)
+        tmp = tempfile.mkdtemp(prefix="spark_graft_mhidx_build_")
+        idx.write.mode("overwrite").parquet(os.path.join(tmp, "feats"))
+        # band-clustered layout: the probe joins on (band, band_hash), so
+        # the stored side is already partitioned by its join key
+        dedup.band_keys(idx, portable=True).repartition(
+            32, "band", "band_hash"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "banded"))
+        open(os.path.join(tmp, "_SUCCESS_ALL"), "w").close()
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            pass  # concurrent builder won — use its index
+    feats = spark.read.parquet(os.path.join(path, "feats"))
+    banded = spark.read.parquet(os.path.join(path, "banded"))
+    surv, _ = dedup.minhash_dedup_incremental(
+        new,
+        feats,
+        "text",
+        "doc_id",
+        threshold=0.5,
+        portable=True,
+        index_banded=banded,
+    )
+    return surv.select("doc_id", "lang", "source")
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(d, "text", "doc_id", max_hamming=3, portable=True)
@@ -2458,6 +2528,7 @@ QUERIES = {
     "dq_report": q_dq_report,
     "dedup_minhash": q_dedup_minhash,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_probe": q_dedup_incremental_probe,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
@@ -2525,6 +2596,7 @@ ORACLES = {
     "multimodal_mp3_decode": _ORACLE_MP3_DECODE,
     "dedup_minhash": _ORACLE_DEDUP_MINHASH,
     "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
+    "dedup_incremental_probe": _ORACLE_DEDUP_INCREMENTAL,
     "dedup_simhash_pairs": _ORACLE_DEDUP_SIMHASH,
     "emb_lsh_topk": _ORACLE_LSH_TOPK,
     "emb_lsh_multitable": _ORACLE_LSH_MULTITABLE,
