@@ -123,6 +123,12 @@ FEATURE_DELETION_VECTORS = "deletion-vectors"
 FEATURE_MULTIPART_CHECKPOINT = "multipart-checkpoint"
 FEATURE_IDEMPOTENT_TXN = "idempotent-txn"  # writer-only: `txn` dedup records
 FEATURE_COLUMN_MAPPING = "column-mapping"
+# writer-only (Delta: identityColumns / allowColumnDefaults): an old
+# writer that ignores the `identity.<col>` / `default.<col>` properties
+# would append rows without allocating ids or applying defaults — it must
+# refuse; readers see ordinary columns.
+FEATURE_IDENTITY_COLUMNS = "identity-columns"
+FEATURE_COLUMN_DEFAULTS = "column-defaults"
 
 SUPPORTED_READER_FEATURES = frozenset(
     {
@@ -138,6 +144,8 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         FEATURE_MULTIPART_CHECKPOINT,
         FEATURE_COLUMN_MAPPING,
         FEATURE_IDEMPOTENT_TXN,
+        FEATURE_IDENTITY_COLUMNS,
+        FEATURE_COLUMN_DEFAULTS,
     }
 )
 
@@ -657,6 +665,7 @@ def read_manifest(
     extra: dict = {}
     txns: dict[str, int] = {}
     properties: dict = {}
+    identity: dict[str, int] = {}
     if base is not None:
         cp = _load_checkpoint(spark, path, base)
         files = {f["path"]: f for f in cp["files"]}
@@ -664,6 +673,7 @@ def read_manifest(
         protocol = cp.get("protocol")
         txns = dict(cp.get("txns", {}))
         properties = dict(cp.get("properties", {}))
+        identity = dict(cp.get("identity", {}))
     tail = [v for v in versions if (base if base is not None else 0) < v <= version]
     for i, v in enumerate(tail):
         rec = read_commit(spark, path, v)
@@ -683,6 +693,12 @@ def read_manifest(
         if "txn" in rec:  # idempotent-writer high-water mark (Delta txn)
             app = rec["txn"]["app"]
             txns[app] = max(txns.get(app, -1), int(rec["txn"]["version"]))
+        if "identity" in rec:
+            # identity high-water marks: last-write-wins per column is
+            # correct because the tail applies in version order and every
+            # commit's recorded mark is re-validated against the snapshot
+            # it won against (allocation conflicts rewrite, never reuse)
+            identity.update({c: int(v) for c, v in rec["identity"].items()})
         if "properties" in rec:  # last-write-wins per key; None unsets
             for k, v in rec["properties"].items():
                 if v is None:
@@ -701,6 +717,7 @@ def read_manifest(
         "protocol": protocol,
         "txns": txns,
         "properties": properties,
+        "identity": identity,
         **extra,
     }
 
@@ -747,6 +764,10 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         header["txns"] = snap["txns"]
     if snap.get("properties"):
         header["properties"] = snap["properties"]
+    if snap.get("identity"):
+        # identity allocation marks must survive log truncation, or a
+        # vacuumed prefix would reset allocation and reuse ids
+        header["identity"] = snap["identity"]
     fl = snap["files"]
     if len(fl) <= _CHECKPOINT_MAX_PART:
         header["files"] = fl
@@ -1140,6 +1161,244 @@ def tx_add_generated_column(
 def tx_drop_generated(spark: SparkSession, path: str, col: str) -> int:
     """Drop a generated-column declaration (the column itself stays)."""
     return tx_set_properties(spark, path, {_GEN_PROP_PREFIX + col: None})
+
+
+_IDENTITY_PROP_PREFIX = "identity."
+_DEFAULT_PROP_PREFIX = "default."
+
+
+def _identity_cols(properties: dict) -> dict[str, dict]:
+    """Identity declarations stored as ``identity.<col>`` properties:
+    value is a JSON ``{"start": s, "step": k}`` (Delta's identityColumns
+    model — GENERATED BY DEFAULT AS IDENTITY: omitted values are
+    allocated, supplied values are kept and bump the high-water mark)."""
+    return {
+        k[len(_IDENTITY_PROP_PREFIX):]: json.loads(v)
+        for k, v in properties.items()
+        if k.startswith(_IDENTITY_PROP_PREFIX)
+    }
+
+
+def _column_defaults(properties: dict) -> dict[str, str]:
+    """Column DEFAULT expressions stored as ``default.<col>`` properties
+    (Delta's allowColumnDefaults model): a write that OMITS the column
+    gets the expression computed; a write that supplies it keeps its
+    values (unlike generated columns, no equality is enforced)."""
+    return {
+        k[len(_DEFAULT_PROP_PREFIX):]: v
+        for k, v in properties.items()
+        if k.startswith(_DEFAULT_PROP_PREFIX)
+    }
+
+
+def tx_add_identity(
+    spark: SparkSession, path: str, col: str, start: int = 1, step: int = 1
+) -> int:
+    """Declare ``col`` GENERATED BY DEFAULT AS IDENTITY (START WITH
+    ``start`` INCREMENT BY ``step``): writes that omit the column get
+    monotone ids allocated from the table's high-water mark — allocation
+    is atomic with the commit (a CAS loser whose watermark moved rewrites
+    its batch with fresh ids, so two racing writers can never commit
+    overlapping ranges); writes that supply the column keep their values
+    and advance the mark past them. The mark lives in the manifest like
+    txn marks (survives checkpoint + vacuum, follows CLONE) and is
+    initialized past any existing values now. Declaring the feature
+    upgrades the writer protocol so pre-identity writers refuse instead
+    of appending unallocated rows."""
+    if not col or "." in col:
+        raise ValueError("identity column name must be non-empty, without dots")
+    if step == 0:
+        raise ValueError("identity step must be nonzero")
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    snap = read_manifest(spark, path, cur)
+    fields = {
+        f["name"]: f["type"] for f in json.loads(snap["schema"])["fields"]
+    }
+    if col not in fields:
+        raise ValueError(f"identity column {col!r} is not in the table schema")
+    if fields[col] not in ("long", "integer"):
+        raise ValueError(
+            f"identity column {col!r} must be long/integer (got {fields[col]})"
+        )
+    if _generated_cols(snap.get("properties", {})).get(col) is not None:
+        raise ValueError(f"column {col!r} is already a generated column")
+    # initialize the mark past existing data: the next allocated value is
+    # mark + step, so an empty table starts exactly at `start`
+    agg = tx_read(spark, path).agg(
+        F.max(col).alias("mx"), F.min(col).alias("mn")
+    ).collect()[0]
+    mark = start - step
+    if agg["mx"] is not None:
+        mark = max(mark, int(agg["mx"])) if step > 0 else min(
+            mark, int(agg["mn"])
+        )
+    mark = int(mark)
+
+    def build(now: int | None) -> dict:
+        if now is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        s = read_manifest(spark, path, now)
+        return {
+            "op": "add_identity",
+            "schema": s["schema"],
+            "add": [],
+            "remove": [],
+            "truncate": False,
+            "properties": {
+                _IDENTITY_PROP_PREFIX + col: json.dumps(
+                    {"start": int(start), "step": int(step)}
+                )
+            },
+            "identity": {col: mark},
+            "protocol": _protocol_with(
+                s.get("protocol"), writer=(FEATURE_IDENTITY_COLUMNS,)
+            ),
+        }
+
+    return _commit(spark, path, build)
+
+
+def tx_drop_identity(spark: SparkSession, path: str, col: str) -> int:
+    """Drop an identity declaration (column and its values stay; the
+    high-water mark stays in the manifest so re-declaring resumes past
+    every id ever allocated)."""
+    return tx_set_properties(spark, path, {_IDENTITY_PROP_PREFIX + col: None})
+
+
+def tx_set_default(spark: SparkSession, path: str, col: str, expr: str) -> int:
+    """Declare ``col``'s DEFAULT expression (ALTER TABLE ALTER COLUMN SET
+    DEFAULT): applied when a write omits the column; existing rows are
+    untouched (the standard SQL semantic). Upgrades the writer protocol —
+    a pre-defaults writer appending without the column would silently
+    write nulls where the table contract says default."""
+    if not col or "." in col:
+        raise ValueError("default column name must be non-empty, without dots")
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    snap = read_manifest(spark, path, cur)
+    fields = [f["name"] for f in json.loads(snap["schema"])["fields"]]
+    if col not in fields:
+        raise ValueError(f"default column {col!r} is not in the table schema")
+    if _generated_cols(snap.get("properties", {})).get(col) is not None:
+        raise ValueError(
+            f"column {col!r} is a generated column — it computes, "
+            "it does not default"
+        )
+    # the expression must evaluate against the table schema NOW (catch
+    # typos at declaration, not at the next write)
+    from pyspark.sql.types import StructType
+
+    spark.createDataFrame(
+        [], StructType.fromJson(json.loads(snap["schema"]))
+    ).select(F.expr(expr)).schema
+
+    def build(now: int | None) -> dict:
+        if now is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        s = read_manifest(spark, path, now)
+        return {
+            "op": "set_default",
+            "schema": s["schema"],
+            "add": [],
+            "remove": [],
+            "truncate": False,
+            "properties": {_DEFAULT_PROP_PREFIX + col: expr},
+            "protocol": _protocol_with(
+                s.get("protocol"), writer=(FEATURE_COLUMN_DEFAULTS,)
+            ),
+        }
+
+    return _commit(spark, path, build)
+
+
+def tx_drop_default(spark: SparkSession, path: str, col: str) -> int:
+    """ALTER TABLE ALTER COLUMN DROP DEFAULT."""
+    return tx_set_properties(spark, path, {_DEFAULT_PROP_PREFIX + col: None})
+
+
+class _IdentityMoved(Exception):
+    """A concurrent commit advanced an identity watermark this write
+    allocated from — the batch must be rewritten with fresh ids."""
+
+
+def _allocate_identity(
+    df: DataFrame, col: str, last: int, step: int
+) -> tuple[DataFrame, int, DataFrame]:
+    """Assign ``last + step·(1..n)`` to ``col`` across the frame with NO
+    global shuffle: pin the frame (localCheckpoint), count rows per
+    Spark partition (a metadata-sized driver list), and give each
+    partition a prefix-sum offset + a partition-local row_number — the
+    distributed id-assignment shape that survives any frame size.
+    Returns (frame-with-ids, new mark, pinned base frame for reuse)."""
+    from pyspark.sql import Window
+
+    pinned = df.localCheckpoint(eager=True)
+    counts = {
+        r["p"]: r["c"]
+        for r in pinned.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    if not counts:
+        return pinned.withColumn(col, F.lit(None).cast("long")), last, pinned
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_id_pid").orderBy(F.monotonically_increasing_id())
+    out = (
+        pinned.withColumn("_id_pid", F.spark_partition_id())
+        .withColumn("_id_rn", F.row_number().over(w))
+        .withColumn(
+            col,
+            (
+                F.lit(int(last))
+                + F.lit(int(step))
+                * (off_map[F.col("_id_pid")] + F.col("_id_rn"))
+            ).cast("long"),
+        )
+        .drop("_id_pid", "_id_rn")
+    )
+    return out, last + step * acc, pinned
+
+
+def _identity_marks_from_stats(
+    idents: dict[str, dict],
+    new_files: list[dict],
+    mapping: dict[str, str],
+    base: dict[str, int],
+) -> dict[str, int]:
+    """Advance each identity mark past the values the batch actually
+    wrote, read from the freshly recorded per-file stats — driver-side,
+    zero extra jobs (the write paths force identity columns into
+    ``stats_for``)."""
+    out: dict[str, int] = {}
+    for c, decl in idents.items():
+        phys = mapping.get(c, c)
+        step = int(decl.get("step", 1))
+        vals = []
+        for f in new_files:
+            st = (f.get("stats") or {}).get(phys)
+            if st is not None:
+                v = st["max"] if step > 0 else st["min"]
+                if v is not None:
+                    vals.append(int(v))
+        mark = base.get(c)
+        if vals:
+            ext = max(vals) if step > 0 else min(vals)
+            mark = ext if mark is None else (
+                max(mark, ext) if step > 0 else min(mark, ext)
+            )
+        if mark is not None:
+            out[c] = mark
+    return out
 
 
 def tx_add_constraint(
@@ -1695,6 +1954,7 @@ def tx_write(
     checks: dict[str, str] | None = None,
     schema_evolution: bool = False,
     txn: tuple[str, int] | None = None,
+    _identity_retries: int = 24,
 ) -> int:
     """Commit a new version. ``mode``:
 
@@ -1739,6 +1999,7 @@ def tx_write(
         raise ValueError(mode)
     if mode == "overwrite_dynamic" and not partition_by:
         raise ValueError("overwrite_dynamic requires partition_by")
+    df_in, stats_for_in = df, stats_for  # for identity-conflict rewrites
     _curv = current_version(spark, path)
     pre_manifest = (
         read_manifest(spark, path, _curv) if _curv is not None else None
@@ -1758,8 +2019,44 @@ def tx_write(
     # CONSTRAINT) enforce on EVERY write incl. full overwrites; call-site
     # checks compose on top. Generated columns (tx_add_generated_column)
     # COMPUTE when omitted; when supplied they validate like a constraint.
+    # Column DEFAULTS fill omitted columns FIRST (generated exprs may
+    # reference them); identity allocation runs next so generated exprs
+    # and checks can reference the ids.
     props0 = pre_manifest.get("properties", {}) if pre_manifest is not None else {}
     stats_for, bloom_for = _skipping_defaults(props0, stats_for, bloom_for)
+    defaults0 = _column_defaults(props0)
+    if defaults0:
+        from pyspark.sql.types import StructType
+
+        tbl_fields = {
+            f.name: f.dataType
+            for f in StructType.fromJson(
+                json.loads(pre_manifest["schema"])
+            ).fields
+        }
+        for c, e in defaults0.items():
+            if c not in df.columns:
+                # cast to the TABLE column's type — the default literal's
+                # parsed type (e.g. INT for "2") must not drift the schema
+                df = df.withColumn(c, F.expr(e).cast(tbl_fields[c]))
+    idents = _identity_cols(props0)
+    base_marks: dict[str, int] = {}
+    alloc_cols: list[str] = []
+    if idents:
+        # identity columns ride stats_for so the post-write watermark
+        # advance is read from recorded file stats — no extra jobs
+        stats_for = sorted(set(stats_for or []) | set(idents))
+        marks0 = pre_manifest.get("identity", {}) if pre_manifest else {}
+        for c, decl in idents.items():
+            step = int(decl.get("step", 1))
+            base_marks[c] = int(
+                marks0.get(c, int(decl.get("start", 1)) - step)
+            )
+            if c not in df.columns:
+                df, _new_mark, _ = _allocate_identity(
+                    df, c, base_marks[c], step
+                )
+                alloc_cols.append(c)
     gens = _generated_cols(props0)
     supplied = [c for c in gens if c in df.columns]
     for c, e in gens.items():
@@ -1795,10 +2092,12 @@ def tx_write(
             _map_names(stats_for, write_map),
             _map_names(bloom_for, write_map),
         )
+        _phys_map = write_map
     else:
         df_w, w_partition_by, w_stats, w_bloom = (
             df, partition_by, stats_for, bloom_for,
         )
+        _phys_map = {}
 
     _, new_files = _write_batch(df_w, path, w_partition_by, w_stats, w_bloom)
     touched = {tuple(sorted(f["partition"].items())) for f in new_files}
@@ -1870,6 +2169,25 @@ def tx_write(
             "remove": remove,
             "truncate": mode == "overwrite",
         }
+        if idents and cur is not None:
+            # re-validated per CAS attempt: if a concurrent commit advanced
+            # a mark this write ALLOCATED from, the written ids may collide
+            # with the winner's — the batch must be rewritten, not merely
+            # the commit retried (Delta aborts the txn the same way)
+            if snap is None:
+                snap = read_manifest(spark, path, cur)
+            now_marks = snap.get("identity", {})
+            for c in alloc_cols:
+                if int(now_marks.get(c, base_marks[c])) != base_marks[c]:
+                    raise _IdentityMoved()
+            rec["identity"] = _identity_marks_from_stats(
+                idents, new_files, _phys_map,
+                {c: int(v) for c, v in now_marks.items()},
+            )
+        elif idents:
+            rec["identity"] = _identity_marks_from_stats(
+                idents, new_files, _phys_map, dict(base_marks)
+            )
         if txn is not None:
             rec["txn"] = {"app": app, "version": txv}
             rec["protocol"] = _protocol_with(
@@ -1878,15 +2196,34 @@ def tx_write(
             )
         return rec
 
-    if txn is None:
-        return _commit(spark, path, build)
+    def _reap_batch():
+        root = path.rstrip("/")
+        for f in new_files:  # this batch never became referenced
+            _delete(spark, f"{root}/{f['path']}")
+
     try:
         return _commit(spark, path, build)
     except _TxAlreadyApplied:
-        root = path.rstrip("/")
-        for f in new_files:  # the replay's batch never became referenced
-            _delete(spark, f"{root}/{f['path']}")
+        _reap_batch()
         return current_version(spark, path)
+    except _IdentityMoved:
+        _reap_batch()
+        if _identity_retries <= 0:
+            raise TxConflictError(
+                f"tx_write({mode}) at {path}: identity watermark kept "
+                "moving under concurrent writers — giving up"
+            )
+        # jittered backoff de-synchronizes racing allocators (without it,
+        # N writers that all lost to the same winner rewrite in lockstep
+        # and can starve each other through the whole retry budget)
+        import random as _random
+
+        time.sleep(_random.uniform(0.01, 0.08) * (25 - _identity_retries))
+        return tx_write(
+            spark, df_in, path, partition_by, mode, stats_for_in, bloom_for,
+            checks, schema_evolution, txn,
+            _identity_retries=_identity_retries - 1,
+        )
 
 
 def _file_overlaps(f: dict, where: dict) -> bool:
@@ -2253,13 +2590,19 @@ def tx_merge(
     stored = _write_invariants(manifest0.get("properties", {}))
     if stored:  # persistent constraints bind MERGE output too
         _enforce_checks(merged, stored)
+    # identity columns: MERGE never allocates (sources supply their keys),
+    # but explicit values it lands must advance the high-water mark or a
+    # later tx_write allocation would mint duplicates — ride the stats
+    idents = _identity_cols(manifest0.get("properties", {}))
+    id_stats = sorted(c for c in idents if c in merged.columns)
     # the merged slice replaces exactly the touched partitions; commit with
     # a conflict check on the read set. Mapped tables write physical names
     # and keep the table's metadata-carrying schema record (no evolution
     # under mapping, so the logical shape is unchanged).
     _, new_files = _write_batch(
         _to_physical(merged, mapping), path,
-        _map_names(partition_by, mapping), None,
+        _map_names(partition_by, mapping),
+        _map_names(id_stats, mapping) or None,
     )
     schema_json = manifest0["schema"] if mapped else merged.schema.json()
 
@@ -2286,6 +2629,7 @@ def tx_merge(
                 "add": new_files,
                 "remove": sorted(now_touched),
                 "truncate": False,
+                **_id_extra(now),
             }
         if now != cur:
             raise TxConflictError(
@@ -2298,6 +2642,25 @@ def tx_merge(
             "add": new_files,
             "remove": [],
             "truncate": True,
+            **_id_extra(now),
+        }
+
+    def _id_extra(now: int | None) -> dict:
+        # advance identity marks past explicit values the merge landed
+        # (from the recorded file stats), re-based per attempt against the
+        # snapshot current at that moment
+        if not id_stats:
+            return {}
+        nowm = (
+            read_manifest(spark, path, now).get("identity", {})
+            if now is not None
+            else {}
+        )
+        return {
+            "identity": _identity_marks_from_stats(
+                {c: idents[c] for c in id_stats}, new_files, mapping,
+                {c: int(v) for c, v in nowm.items()},
+            )
         }
 
     try:
@@ -2562,6 +2925,11 @@ def tx_clone(spark: SparkSession, src: str, dst: str, version: int | None = None
             # appendOnly follow the data; txn marks deliberately do NOT
             # (a clone is a new table; Delta documents the same)
             rec["properties"] = manifest["properties"]
+        if manifest.get("identity"):
+            # identity marks FOLLOW the data (unlike txn marks): the clone
+            # carries the source's rows, so re-allocating from scratch
+            # would mint duplicate ids on the first append
+            rec["identity"] = manifest["identity"]
         return rec
 
     return _commit(spark, dst, build)

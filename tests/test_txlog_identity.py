@@ -1,0 +1,266 @@
+"""Identity columns and column DEFAULTs on the txlog twin (Delta's
+identityColumns / allowColumnDefaults writer features): monotone
+allocation with the high-water mark in the manifest, concurrency-proof
+via batch rewrite on watermark conflict, defaults applied when a write
+omits the column."""
+
+import json
+import threading
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.sources import txlog as TX
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _ids(spark, p):
+    return sorted(r["id"] for r in TX.tx_read(spark, p).select("id").collect())
+
+
+def test_identity_allocates_on_omitted_column(spark, tmp_path):
+    p = str(tmp_path / "id1")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(10, "a"), (20, "b")], "id long, v string"),
+        p,
+    )
+    TX.tx_add_identity(spark, p, "id", start=1, step=1)
+    # mark initialized past existing data (max=20): next alloc is 21..
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("c",), ("d",), ("e",)], "v string"),
+        p,
+        mode="append",
+    )
+    assert _ids(spark, p) == [10, 20, 21, 22, 23]
+    # ids pair with the right rows (dense, in order per batch)
+    got = {
+        r["v"]: r["id"] for r in TX.tx_read(spark, p).collect() if r["id"] > 20
+    }
+    assert set(got) == {"c", "d", "e"} and len(set(got.values())) == 3
+
+
+def test_identity_start_step_and_negative_step(spark, tmp_path):
+    p = str(tmp_path / "id2")
+    TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), p)
+    TX.tx_add_identity(spark, p, "id", start=100, step=10)
+    TX.tx_write(
+        spark, spark.createDataFrame([("a",), ("b",)], "v string"), p, mode="append"
+    )
+    assert _ids(spark, p) == [100, 110]
+
+    n = str(tmp_path / "idneg")
+    TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), n)
+    TX.tx_add_identity(spark, n, "id", start=-1, step=-1)
+    TX.tx_write(
+        spark, spark.createDataFrame([("a",), ("b",)], "v string"), n, mode="append"
+    )
+    assert _ids(spark, n) == [-2, -1]
+
+
+def test_identity_explicit_values_advance_the_mark(spark, tmp_path):
+    p = str(tmp_path / "id3")
+    TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), p)
+    TX.tx_add_identity(spark, p, "id")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(500, "x")], "id long, v string"),
+        p,
+        mode="append",
+    )
+    TX.tx_write(
+        spark, spark.createDataFrame([("y",)], "v string"), p, mode="append"
+    )
+    assert _ids(spark, p) == [500, 501]  # allocation resumed past 500
+
+
+def test_identity_survives_overwrite_checkpoint_vacuum(spark, tmp_path):
+    p = str(tmp_path / "id4")
+    TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), p)
+    TX.tx_add_identity(spark, p, "id")
+    TX.tx_write(spark, spark.createDataFrame([("a",)], "v string"), p, mode="append")
+    assert _ids(spark, p) == [1]
+    # full overwrite truncates the data, NOT the allocation history
+    TX.tx_write(spark, spark.createDataFrame([("b",)], "v string"), p)
+    assert _ids(spark, p) == [2]
+    # roll past a checkpoint boundary, then vacuum the log prefix
+    for i in range(TX._CHECKPOINT_EVERY + 1):
+        TX.tx_write(
+            spark, spark.createDataFrame([(f"r{i}",)], "v string"), p, mode="append"
+        )
+    TX.tx_vacuum(spark, p, keep_versions=2, retain_hours=0)
+    TX.tx_write(spark, spark.createDataFrame([("z",)], "v string"), p, mode="append")
+    ids = _ids(spark, p)
+    assert len(ids) == len(set(ids)), "duplicate ids after checkpoint+vacuum"
+    assert max(ids) == 2 + TX._CHECKPOINT_EVERY + 2
+
+
+def test_identity_follows_clone(spark, tmp_path):
+    src = str(tmp_path / "id5src")
+    TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), src)
+    TX.tx_add_identity(spark, src, "id")
+    TX.tx_write(
+        spark, spark.createDataFrame([("a",), ("b",)], "v string"), src, mode="append"
+    )
+    dst = str(tmp_path / "id5dst")
+    TX.tx_clone(spark, src, dst)
+    TX.tx_write(spark, spark.createDataFrame([("c",)], "v string"), dst, mode="append")
+    assert _ids(spark, dst) == [1, 2, 3]  # continued, no reuse of 1/2
+
+
+def test_identity_concurrent_writers_never_collide(spark, tmp_path):
+    """The CAS race: concurrent appends that all allocate must end with
+    all-unique dense ids — a loser whose watermark moved rewrites its
+    batch (_IdentityMoved) instead of committing overlapping ids."""
+    p = str(tmp_path / "id6")
+    TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), p)
+    TX.tx_add_identity(spark, p, "id")
+    errs = []
+
+    def writer(tag):
+        try:
+            for i in range(3):
+                TX.tx_write(
+                    spark,
+                    spark.createDataFrame(
+                        [(f"{tag}{i}a",), (f"{tag}{i}b",)], "v string"
+                    ),
+                    p,
+                    mode="append",
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in "wxyz"]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    ids = _ids(spark, p)
+    assert len(ids) == 4 * 3 * 2
+    assert len(set(ids)) == len(ids), "duplicate identity values"
+    assert ids == list(range(1, 25)), "allocation left holes"
+
+
+def test_identity_declaration_validates(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "id7")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1.0, "a")], "x double, v string"), p
+    )
+    with pytest.raises(ValueError, match="long/integer"):
+        TX.tx_add_identity(spark, p, "x")
+    with pytest.raises(ValueError, match="not in the table schema"):
+        TX.tx_add_identity(spark, p, "nope")
+    with pytest.raises(ValueError, match="nonzero"):
+        TX.tx_add_identity(spark, p, "x", step=0)
+
+
+def test_identity_declares_writer_feature(spark, tmp_path):
+    p = str(tmp_path / "id8")
+    TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), p)
+    TX.tx_add_identity(spark, p, "id")
+    m = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    assert TX.FEATURE_IDENTITY_COLUMNS in m["protocol"]["writer_features"]
+
+
+def test_identity_drop_then_plain_append_null_fills(spark, tmp_path):
+    p = str(tmp_path / "id9")
+    TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), p)
+    TX.tx_add_identity(spark, p, "id")
+    TX.tx_write(spark, spark.createDataFrame([("a",)], "v string"), p, mode="append")
+    TX.tx_drop_identity(spark, p, "id")
+    TX.tx_write(spark, spark.createDataFrame([("b",)], "v string"), p, mode="append")
+    got = {r["v"]: r["id"] for r in TX.tx_read(spark, p).collect()}
+    assert got == {"a": 1, "b": None}
+    # re-declare: the mark survived the drop — no reuse of id 1
+    TX.tx_add_identity(spark, p, "id")
+    TX.tx_write(spark, spark.createDataFrame([("c",)], "v string"), p, mode="append")
+    assert {r["v"]: r["id"] for r in TX.tx_read(spark, p).collect()}["c"] == 2
+
+
+def test_identity_merge_explicit_values_bump_mark(spark, tmp_path):
+    p = str(tmp_path / "id10")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), p
+    )
+    TX.tx_add_identity(spark, p, "id")
+    TX.tx_merge(
+        spark,
+        spark.createDataFrame([(40, "m")], "id long, v string"),
+        p,
+        keys=["id"],
+    )
+    TX.tx_write(spark, spark.createDataFrame([("n",)], "v string"), p, mode="append")
+    assert _ids(spark, p) == [1, 40, 41]
+
+
+# ---------------------------------------------------------------------------
+# column DEFAULTs
+
+
+def test_default_applied_when_column_omitted(spark, tmp_path):
+    p = str(tmp_path / "d1")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("a", "manual")], "v string, src string"),
+        p,
+    )
+    TX.tx_set_default(spark, p, "src", "'ingest'")
+    TX.tx_write(spark, spark.createDataFrame([("b",)], "v string"), p, mode="append")
+    # supplied values win; existing rows untouched
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("c", "explicit")], "v string, src string"),
+        p,
+        mode="append",
+    )
+    got = {r["v"]: r["src"] for r in TX.tx_read(spark, p).collect()}
+    assert got == {"a": "manual", "b": "ingest", "c": "explicit"}
+
+
+def test_default_expression_validated_at_declaration(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "d2")
+    TX.tx_write(spark, spark.createDataFrame([("a",)], "v string"), p)
+    with pytest.raises(Exception):
+        TX.tx_set_default(spark, p, "v", "no_such_col + 1")
+    with pytest.raises(ValueError, match="not in the table schema"):
+        TX.tx_set_default(spark, p, "nope", "'x'")
+
+
+def test_default_survives_clone_and_feeds_generated(spark, tmp_path):
+    src = str(tmp_path / "d3src")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, 2, 3)], "a long, b long, a_plus_b long"
+        ),
+        src,
+    )
+    TX.tx_set_default(spark, src, "b", "2")
+    TX.tx_add_generated_column(spark, src, "a_plus_b", "a + b")
+    dst = str(tmp_path / "d3dst")
+    TX.tx_clone(spark, src, dst)
+    # omitted b defaults to 2 FIRST, then the generated column computes
+    TX.tx_write(spark, spark.createDataFrame([(7,)], "a long"), dst, mode="append")
+    got = rows(TX.tx_read(spark, dst))
+    assert got == [(1, 2, 3), (7, 2, 9)]
+    m = TX.read_manifest(spark, dst, TX.current_version(spark, dst))
+    assert TX.FEATURE_COLUMN_DEFAULTS in m["protocol"]["writer_features"]
+
+
+def test_default_drop(spark, tmp_path):
+    p = str(tmp_path / "d4")
+    TX.tx_write(spark, spark.createDataFrame([("a", "x")], "v string, s string"), p)
+    TX.tx_set_default(spark, p, "s", "'dflt'")
+    TX.tx_drop_default(spark, p, "s")
+    TX.tx_write(spark, spark.createDataFrame([("b",)], "v string"), p, mode="append")
+    got = {r["v"]: r["s"] for r in TX.tx_read(spark, p).collect()}
+    assert got == {"a": "x", "b": None}
