@@ -264,3 +264,36 @@ def test_default_drop(spark, tmp_path):
     TX.tx_write(spark, spark.createDataFrame([("b",)], "v string"), p, mode="append")
     got = {r["v"]: r["s"] for r in TX.tx_read(spark, p).collect()}
     assert got == {"a": "x", "b": None}
+
+
+def test_identity_no_reuse_after_restore(spark, tmp_path):
+    """RESTORE rewinds the data, never the allocator: ids minted after the
+    restore point must not collide with ids the restore discarded (Delta
+    keeps the identity high watermark monotone across RESTORE the same
+    way)."""
+    p = str(tmp_path / "id11")
+    TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), p)
+    TX.tx_add_identity(spark, p, "id")
+    TX.tx_write(spark, spark.createDataFrame([("a",)], "v string"), p, mode="append")
+    v_before = TX.current_version(spark, p)
+    TX.tx_write(spark, spark.createDataFrame([("b",)], "v string"), p, mode="append")
+    assert _ids(spark, p) == [1, 2]
+    TX.tx_restore(spark, p, v_before)  # discards the row holding id 2
+    assert _ids(spark, p) == [1]
+    TX.tx_write(spark, spark.createDataFrame([("c",)], "v string"), p, mode="append")
+    # id 2 was burned by the discarded row — allocation continues at 3
+    assert _ids(spark, p) == [1, 3]
+
+
+def test_identity_survives_compaction(spark, tmp_path):
+    p = str(tmp_path / "id12")
+    TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), p)
+    TX.tx_add_identity(spark, p, "id")
+    for tag in "abc":
+        TX.tx_write(
+            spark, spark.createDataFrame([(tag,)], "v string"), p, mode="append"
+        )
+    TX.tx_compact(spark, p, n_files=2)
+    assert _ids(spark, p) == [1, 2, 3]  # values rewritten verbatim
+    TX.tx_write(spark, spark.createDataFrame([("d",)], "v string"), p, mode="append")
+    assert _ids(spark, p) == [1, 2, 3, 4]  # mark unmoved by the rewrite
