@@ -637,9 +637,11 @@ _WINDOW_IS_SPEC = False
 
 
 def set_synthesis_window(h512) -> None:
-    """Install the spec prototype (Table B.3's D values, as the 512-tap
-    lowpass h with D[i] = 32·h[i]·(sign pattern) unwound — pass plain
-    h)."""
+    """Install the spec's synthesis prototype when its data is available:
+    pass the plain 512-tap lowpass h (the spec's Table B.3 lists
+    D[i] = 32·h[i] with a block-sign pattern folded in for its V-FIFO
+    flowgraph; this module's direct polyphase form wants the unfolded
+    prototype)."""
     global _SYNTH_FILTERS, _WINDOW_IS_SPEC
     w = np.asarray(h512, dtype=np.float64)
     if w.shape != (512,):
@@ -691,7 +693,17 @@ def decode_granule_channel(
     part2_start = bits.pos
     if lsf:
         nbits = lsf_scalefactor_bits(gr)
-        bits.read(nbits)  # structural skip: LSF fixtures use sc=0 → 0 bits
+        if nbits:
+            # refusing is honest; skipping would decode with silently
+            # wrong (zeroed) scalefactors. Unreachable for real corpora
+            # in practice — nonzero-scalefactor streams pair with the
+            # unshipped big Huffman tables — but the guard must not
+            # depend on that.
+            raise UnsupportedMp3Table(
+                "LSF scalefactor application not shipped (scalefac_compress"
+                f"={gr['scalefac_compress']} needs {nbits} scalefactor bits)"
+            )
+        bits.read(nbits)
         sf = {"long": [0] * 22, "short": [[0, 0, 0] for _ in range(13)]}
     else:
         sf = read_scalefactors_mpeg1(bits, gr, scfsi, prev_sf)

@@ -311,3 +311,15 @@ def test_imdct_mixed_block_long_low_subbands():
     slots, _ = L.imdct_granule(X, gr, np.zeros((32, 18)))
     assert np.isfinite(slots).all()
     assert (slots[:, 0] ** 2).sum() > 0 and (slots[:, 10] ** 2).sum() > 0
+
+
+def test_lsf_nonzero_scalefactors_refuse_loudly():
+    """An LSF granule with scalefactor bits must refuse, not decode with
+    silently zeroed scalefactors."""
+    gr = {"part2_3_length": 40, "big_values": 0, "global_gain": 210,
+          "scalefac_compress": 170, "window_switching": 0, "block_type": 0,
+          "mixed_block": 0, "table_select": [0, 0, 0],
+          "subblock_gain": [0, 0, 0], "region0_count": 0, "region1_count": 0,
+          "preflag": 0, "scalefac_scale": 0, "count1table_select": 1}
+    with pytest.raises(L.UnsupportedMp3Table, match="LSF scalefactor"):
+        L.decode_granule_channel(bytes(64), 0, gr, [0, 0, 0, 0], None, 22050, True)
