@@ -1319,6 +1319,76 @@ def tx_drop_default(spark: SparkSession, path: str, col: str) -> int:
     return tx_set_properties(spark, path, {_DEFAULT_PROP_PREFIX + col: None})
 
 
+_ROW_TRACKING_PROP = "rowTracking"
+
+
+def tx_enable_row_tracking(
+    spark: SparkSession, path: str, col: str = "_row_id"
+) -> int:
+    """ROW TRACKING (Delta's rowTracking writer feature, materialized
+    form): give every row a STABLE id that survives OPTIMIZE, UPDATE
+    rewrites, and dynamic overwrites — the key that lets the CDF pair
+    update images precisely across file rewrites (:func:`tx_diff_rows`)
+    and makes incremental-view-maintenance keys rewrite-proof.
+
+    Enablement is Delta's backfill shape: one rewrite materializes ids
+    for existing rows (monotone, via the identity allocator — no global
+    shuffle), then the column is declared GENERATED BY DEFAULT AS
+    IDENTITY so every future write that omits it gets fresh ids atomically
+    with its commit, and a stored CHECK refuses explicit NULL ids. DML
+    rewrites carry the column like any other (values rewritten verbatim),
+    so ids persist by construction; allocation-vs-allocation races are the
+    identity machinery's conflict-rewrite. Explicit non-null ids are
+    allowed (Delta: BY DEFAULT) and advance the mark — uniqueness under
+    explicit supply is the writer's contract, as in Delta."""
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    snap = read_manifest(spark, path, cur)
+    fields = [f["name"] for f in json.loads(snap["schema"])["fields"]]
+    if col in fields:
+        raise ValueError(
+            f"column {col!r} already exists — row tracking needs a fresh "
+            "column it can own"
+        )
+    # backfill: materialize ids for every existing row in one rewrite
+    # (partition layout is not preserved — enablement is a maintenance op
+    # like OPTIMIZE; run it before, not after, clustering)
+    backfilled, _mark, _ = _allocate_identity(tx_read(spark, path), col, 0, 1)
+    tx_write(spark, backfilled, path, mode="overwrite")
+    tx_add_identity(spark, path, col, start=1, step=1)
+    tx_add_constraint(spark, path, f"row_tracking_{col}", f"{col} IS NOT NULL")
+    return tx_set_properties(spark, path, {_ROW_TRACKING_PROP: col})
+
+
+def tx_diff_rows(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int | None = None,
+    images: str = "post",
+) -> DataFrame:
+    """Change data feed keyed by the table's TRACKED ROW ID — exact
+    row-level changes across any rewrite: an OPTIMIZE/compaction between
+    the versions emits ZERO change rows (same ids, same values — where a
+    key-based CDF on a rewritten table would have to re-emit or re-read
+    everything), an UPDATE emits exactly its touched rows as
+    update pre/post pairs, a DELETE its rows. The scan cost is the
+    key-join of the two snapshots (one shuffle), same as
+    :func:`tx_diff`."""
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    props = read_manifest(spark, path, cur).get("properties", {})
+    col = props.get(_ROW_TRACKING_PROP)
+    if not col:
+        raise ValueError(
+            f"row tracking is not enabled at {path} "
+            "(tx_enable_row_tracking first)"
+        )
+    return tx_diff(spark, path, [col], v_from, v_to, images)
+
+
 class _IdentityMoved(Exception):
     """A concurrent commit advanced an identity watermark this write
     allocated from — the batch must be rewritten with fresh ids."""
