@@ -297,3 +297,33 @@ def test_identity_survives_compaction(spark, tmp_path):
     assert _ids(spark, p) == [1, 2, 3]  # values rewritten verbatim
     TX.tx_write(spark, spark.createDataFrame([("d",)], "v string"), p, mode="append")
     assert _ids(spark, p) == [1, 2, 3, 4]  # mark unmoved by the rewrite
+
+
+def test_table_doctor_flags_identity_mark_behind_data(spark, tmp_path):
+    import json as _json
+
+    from tools.table_doctor import doctor
+
+    p = str(tmp_path / "id13")
+    TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), p)
+    TX.tx_add_identity(spark, p, "id")
+    TX.tx_write(spark, spark.createDataFrame([("a",)], "v string"), p, mode="append")
+    rep = doctor(spark, p)
+    assert not rep["errors"] and rep["identity"] == {"id": 1}
+    # corrupt: land an explicit id ABOVE the mark without bumping it, by
+    # writing a raw commit record (simulates a foreign/buggy writer)
+    v = TX.current_version(spark, p)
+    batch, files = TX._write_batch(
+        spark.createDataFrame([(99, "z")], "id long, v string"), p, None
+    )
+    rec = {
+        "op": "append", "version": v + 1,
+        "schema": TX.read_manifest(spark, p, v)["schema"],
+        "add": files, "remove": [], "truncate": False, "writer": "x",
+        "ts_ms": 0,
+    }
+    TX._create_no_overwrite(
+        spark, TX._version_path(p, v + 1), _json.dumps(rec)
+    )
+    rep = doctor(spark, p)
+    assert any("behind the data" in e for e in rep["errors"])

@@ -102,6 +102,38 @@ def doctor(spark, path: str) -> dict:
             )
     except TX.TxProtocolError as e:
         report["errors"].append(str(e))
+    # identity allocator consistency: a mark BEHIND the data means the
+    # next allocation would mint duplicate ids — that is corruption, not
+    # style (one max/min aggregate per declared column)
+    try:
+        cur = versions[-1]
+        snap = TX.read_manifest(spark, path, cur)
+        idents = TX._identity_cols(snap.get("properties", {}))
+        marks = snap.get("identity", {})
+        if idents:
+            report["identity"] = dict(marks)
+            from pyspark.sql import functions as F
+
+            live = TX.tx_read(spark, path)
+            for c, decl in idents.items():
+                step = int(decl.get("step", 1))
+                agg = live.agg(F.max(c).alias("mx"), F.min(c).alias("mn")).collect()[0]
+                ext = agg["mx"] if step > 0 else agg["mn"]
+                if c not in marks:
+                    report["errors"].append(
+                        f"identity column {c!r} declared but no allocation "
+                        "mark in the manifest"
+                    )
+                elif ext is not None and (
+                    (step > 0 and int(ext) > int(marks[c]))
+                    or (step < 0 and int(ext) < int(marks[c]))
+                ):
+                    report["errors"].append(
+                        f"identity mark for {c!r} ({marks[c]}) is behind the "
+                        f"data ({ext}) — next allocation would duplicate ids"
+                    )
+    except Exception as e:  # doctor must report, never crash
+        report["warnings"].append(f"identity check skipped: {e}")
     referenced_all: set[str] = set(state)
     for v in versions[1:]:
         try:
