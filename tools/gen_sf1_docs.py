@@ -91,6 +91,44 @@ def generate(out_dir: str) -> str:
     return out_dir
 
 
+N_VECS = 20_000  # 10x the sf0.1 embeddings table
+
+
+def generate_embeddings(out_dir: str) -> str:
+    """Deterministic sf1 `embeddings` table (10x sf0.1, same shape): the
+    driver's vectors are uniform random unit 64-dim floats with ~balanced
+    labels 0-9 (measured: cosine of a vector to its own label centroid is
+    ~0.07 ≈ chance — the labels carry no geometry), so the honest 10x
+    instrument is exactly that, seed-fixed. The ANN-family scaling decade
+    keeps the query set FIXED (vec_id < 20) and grows only the corpus —
+    the production question is corpus growth, not query growth."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SEED + 1)
+    v = rng.standard_normal((N_VECS, 64)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), type=pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in v], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                (np.arange(N_VECS) % 10).astype(np.int32)
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+    return out_dir
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
     print(generate(out))
+    print(generate_embeddings(out))
