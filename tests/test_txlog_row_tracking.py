@@ -101,3 +101,59 @@ def test_enable_refuses_existing_column_and_diff_requires_enable(spark, tmp_path
         TX.tx_diff_rows(spark, p, 1)
     with pytest.raises(ValueError, match="already exists"):
         TX.tx_enable_row_tracking(spark, p, col="v")
+
+
+def test_ivm_over_row_keyed_cdf_survives_optimize(spark, tmp_path):
+    """The row-tracking + IVM payoff, end to end: an aggregate maintained
+    from tx_diff_rows stays recompute-equal through update/delete/append
+    AND an interleaved OPTIMIZE — the compaction contributes zero change
+    rows, so the maintainer does zero work for it (where a rewrite-blind
+    feed would have to re-emit every row as delete+insert)."""
+    from cdk_datalake_analytics_comercial_spark.operators.incremental import (
+        maintain_agg,
+    )
+
+    p = str(tmp_path / "rt7")
+    _table(spark, p)  # k 0..7, part = k % 2
+    TX.tx_enable_row_tracking(spark, p)
+    v0 = TX.current_version(spark, p)
+    agg = (
+        TX.tx_read(spark, p)
+        .groupBy("part")
+        .agg(
+            F.sum("k").alias("k"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+    # a real mutation burst with a compaction in the middle
+    TX.tx_update(spark, p, where={"k": (2, 2)}, assignments={"k": F.lit(200)})
+    TX.tx_compact(spark, p, n_files=2)
+    TX.tx_delete(spark, p, where={"k": (5, 5)})
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(50, "x", 0)], "k long, v string, part long"),
+        p,
+        mode="append",
+    )
+    v1 = TX.current_version(spark, p)
+
+    cdf = TX.tx_diff_rows(spark, p, v0, v1, images="split")
+    # the compaction is invisible: only the 3 real mutations appear
+    assert sorted(
+        (r["_change_type"], r["k"]) for r in cdf.select("_change_type", "k").collect()
+    ) == [
+        ("delete", 5),
+        ("insert", 50),
+        ("update_postimage", 200),
+        ("update_preimage", 2),
+    ]
+    maintained = maintain_agg(agg, cdf, ["part"], ["k"])
+    recomputed = (
+        TX.tx_read(spark, p)
+        .groupBy("part")
+        .agg(F.sum("k").alias("k"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    assert sorted(tuple(r) for r in maintained.collect()) == sorted(
+        tuple(r) for r in recomputed.collect()
+    )
