@@ -40,7 +40,7 @@ def drain_cdf(
     source: str,
     sink: str,
     fold: Callable[[DataFrame, DataFrame | None], DataFrame],
-    keys: list[str],
+    keys: list[str] | None,
     app: str = "cdf-maintainer",
     images: str = "split",
 ) -> tuple[int, int] | None:
@@ -54,7 +54,14 @@ def drain_cdf(
     ``txn=(app, v_to)``. A racing or replayed drain of the same range
     commits nothing (txn high-water mark) — the offset and the data are
     one atomic commit, so there is no window where one moved without the
-    other."""
+    other.
+
+    ``keys=None`` diffs on the source's TRACKED ROW ID
+    (:func:`~..sources.txlog.tx_enable_row_tracking`): maintenance
+    rewrites (OPTIMIZE) between drains then contribute ZERO change rows —
+    a key-based diff on a rewritten table is already value-correct, but
+    only the row-keyed feed lets the fold skip them as the no-ops they
+    are, and it stays exact when the logical key itself is updated."""
     cur = TX.current_version(spark, source)
     if cur is None:
         raise FileNotFoundError(f"no committed version at {source}")
@@ -67,6 +74,12 @@ def drain_cdf(
         )
         state: DataFrame | None = None
         v_from = 0
+    elif keys is None:
+        changes = TX.tx_diff_rows(
+            spark, source, v_from=last, v_to=cur, images=images
+        )
+        state = TX.tx_read(spark, sink)
+        v_from = last
     else:
         changes = TX.tx_diff(
             spark, source, keys, v_from=last, v_to=cur, images=images

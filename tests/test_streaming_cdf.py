@@ -111,3 +111,45 @@ def test_cdf_drain_requires_source(spark, tmp_path):
         drain_cdf(
             spark, str(tmp_path / "nope"), str(tmp_path / "b"), _fold, ["id"]
         )
+
+
+def test_drain_cdf_row_keyed_skips_optimize(spark, tmp_path):
+    """keys=None drains on the source's tracked row id: an OPTIMIZE
+    between drains contributes ZERO change rows (the fold sees an empty
+    feed for that range), and the maintained rollup stays recompute-equal
+    through a mutation burst around it — including an UPDATE of the
+    logical key itself, which a key-based diff would see as
+    delete+insert of two different entities."""
+    src = str(tmp_path / "src")
+    snk = str(tmp_path / "snk")
+    TX.tx_write(
+        spark,
+        _src(spark, [(1, "eu", 10), (2, "us", 20), (3, "eu", 30)]),
+        src,
+    )
+    TX.tx_enable_row_tracking(spark, src)
+    seen: list[int] = []
+
+    def fold(changes, state):
+        if state is not None:
+            seen.append(changes.count())
+        return _fold(changes, state)
+
+    args = (spark, src, snk, fold, None)
+    assert drain_cdf(*args) is not None  # snapshot drain
+    # maintenance rewrite only: the row-keyed feed must be EMPTY
+    TX.tx_compact(spark, src, n_files=2)
+    assert drain_cdf(*args) is not None
+    assert seen[-1] == 0
+    # real mutations incl. an id (logical-key) update, then another
+    # compaction inside the same drained range
+    TX.tx_update(
+        spark, src, where={"id": (2, 2)}, assignments={"id": F.lit(99)}
+    )
+    TX.tx_write(spark, _src(spark, [(4, "ap", 5)]), src, mode="append")
+    TX.tx_compact(spark, src, n_files=1)
+    assert drain_cdf(*args) is not None
+    assert seen[-1] == 3  # update pre+post (id 2->99, same row id) + insert
+    assert sorted(
+        (r.region, r.amount, r.n_rows) for r in TX.tx_read(spark, snk).collect()
+    ) == _recompute(spark, src)
