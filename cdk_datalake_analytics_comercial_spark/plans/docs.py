@@ -329,11 +329,32 @@ def _incremental_index_path(sf_dir: str) -> str:
     parts = []
     for p in files:
         st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+        # nanosecond mtime: a same-size corpus regenerated within the same
+        # SECOND must still change the key (1s granularity reused a stale
+        # index in exactly that window)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.sha1(
         f"{doc}|{'|'.join(parts)}|mh=64|b=16|k=3|v1".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"spark_graft_mhidx_{key}")
+
+
+def _publish_index_dir(tmp: str, path: str, ready_marker: str) -> None:
+    """Atomically publish a built scratch index: rename tmp -> path. A
+    failed rename is only acceptable when a concurrent builder already
+    published a COMPLETE index (ready marker present) — any other failure
+    re-raises instead of leaving no index and a confusing downstream read
+    error. The loser's tmp tree is always removed (it used to leak)."""
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.exists(os.path.join(path, ready_marker)):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,10 +385,7 @@ def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             32, "band", "band_hash"
         ).write.mode("overwrite").parquet(os.path.join(tmp, "banded"))
         open(os.path.join(tmp, "_SUCCESS_ALL"), "w").close()
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            pass  # concurrent builder won — use its index
+        _publish_index_dir(tmp, path, "_SUCCESS_ALL")
     feats = spark.read.parquet(os.path.join(path, "feats"))
     banded = spark.read.parquet(os.path.join(path, "banded"))
     surv, _ = dedup.minhash_dedup_incremental(
@@ -1114,12 +1132,14 @@ def q_emb_ivfpq_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for p in files:
         st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.sha1(
         f"{emb}|{'|'.join(parts)}|dim=64|c=8|s=16|k=16|v1".encode()
     ).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{key}")
     if not is_txlog_table(spark, f"{path}/codes"):
+        import shutil
+
         tmp = tempfile.mkdtemp(prefix="spark_graft_ivfpq_build_")
         ivf_pq_build_index(
             spark, e, tmp, dim=64, n_cells=8, n_sub=16, n_cent=16
@@ -1127,7 +1147,13 @@ def q_emb_ivfpq_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(tmp, path)
         except OSError:
-            pass  # a concurrent builder won the rename — use its index
+            # acceptable only when a concurrent builder already published
+            # a COMPLETE index; otherwise re-raise rather than leave no
+            # index and a confusing downstream read failure
+            if not is_txlog_table(spark, f"{path}/codes"):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     return ivf_pq_search_index(spark, q, path, k=5)
 
 

@@ -211,16 +211,25 @@ def _to_logical(df: DataFrame, schema_json: str) -> DataFrame:
     """Project a physical-named frame onto the schema's logical names.
     Physical columns absent from the frame (added after these files were
     written) null-pad; dormant dropped columns are simply not selected.
-    Internal ``_txlog_*`` position columns ride along untouched."""
+    A column whose FRAME type differs from the table schema is cast to
+    the schema type — partition columns are recovered from hive path
+    segments as strings (the session pins
+    ``partitionColumnTypeInference.enabled=false``), and the snapshot
+    must serve them with their DECLARED type, exactly as Delta casts
+    log-stored partition string values to the table schema. Internal
+    ``_txlog_*`` position columns ride along untouched."""
     from pyspark.sql.types import StructType
 
     sch = StructType.fromJson(json.loads(schema_json))
-    have = set(df.columns)
+    have = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for fld in sch.fields:
         phys = (fld.metadata or {}).get("txlog_physical", fld.name)
         if phys in have:
-            cols.append(F.col(phys).alias(fld.name))
+            c = F.col(phys)
+            if have[phys] != fld.dataType:
+                c = c.cast(fld.dataType)
+            cols.append(c.alias(fld.name))
         else:
             cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
     for extra in ("_txlog_fp", "_txlog_ri"):
@@ -1340,7 +1349,16 @@ def tx_enable_row_tracking(
     so ids persist by construction; allocation-vs-allocation races are the
     identity machinery's conflict-rewrite. Explicit non-null ids are
     allowed (Delta: BY DEFAULT) and advance the mark — uniqueness under
-    explicit supply is the writer's contract, as in Delta."""
+    explicit supply is the writer's contract, as in Delta.
+
+    Concurrency: the backfill overwrite is CONDITIONAL on the snapshot
+    version it read (``require_version``) — a commit racing in between
+    raises :class:`TxConflictError` instead of being silently discarded
+    by the rewrite. Enablement is still a multi-commit sequence
+    (backfill → identity → constraint → property), so run it on a
+    QUIESCED table: a writer that appends between the backfill and
+    ``tx_add_identity`` lands null ids and the constraint step fails
+    loudly on them (nothing silent either way)."""
     cur = current_version(spark, path)
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -1354,8 +1372,10 @@ def tx_enable_row_tracking(
     # backfill: materialize ids for every existing row in one rewrite
     # (partition layout is not preserved — enablement is a maintenance op
     # like OPTIMIZE; run it before, not after, clustering)
-    backfilled, _mark, _ = _allocate_identity(tx_read(spark, path), col, 0, 1)
-    tx_write(spark, backfilled, path, mode="overwrite")
+    backfilled, _mark, _ = _allocate_identity(
+        tx_read(spark, path, version=cur), col, 0, 1
+    )
+    tx_write(spark, backfilled, path, mode="overwrite", require_version=cur)
     tx_add_identity(spark, path, col, start=1, step=1)
     tx_add_constraint(spark, path, f"row_tracking_{col}", f"{col} IS NOT NULL")
     return tx_set_properties(spark, path, {_ROW_TRACKING_PROP: col})
@@ -1397,14 +1417,17 @@ class _IdentityMoved(Exception):
 def _allocate_identity(
     df: DataFrame, col: str, last: int, step: int
 ) -> tuple[DataFrame, int, DataFrame]:
-    """Assign ``last + step·(1..n)`` to ``col`` across the frame with NO
-    global shuffle: pin the frame (localCheckpoint), count rows per
-    Spark partition (a metadata-sized driver list), and give each
-    partition a prefix-sum offset + a partition-local row_number — the
-    distributed id-assignment shape that survives any frame size.
-    Returns (frame-with-ids, new mark, pinned base frame for reuse)."""
-    from pyspark.sql import Window
-
+    """Assign ``last + step·(1..n)`` to ``col`` across the frame with ZERO
+    exchange: pin the frame (localCheckpoint — partition layout frozen,
+    so the per-partition counts stay valid for the second pass), count
+    rows per Spark partition (one metadata-sized driver list), then stamp
+    ids in a single Arrow pass where each task enumerates its own
+    partition from its broadcast prefix-sum offset
+    (``TaskContext.partitionId()``). No shuffle of any kind — the earlier
+    window-over-partition-id form paid a full (balanced) hash Exchange of
+    the batch; this is the distributed id-assignment shape that survives
+    any frame size. Returns (frame-with-ids, new mark, pinned base frame
+    for reuse)."""
     pinned = df.localCheckpoint(eager=True)
     counts = {
         r["p"]: r["c"]
@@ -1419,23 +1442,34 @@ def _allocate_identity(
         acc += counts[p]
     if not counts:
         return pinned.withColumn(col, F.lit(None).cast("long")), last, pinned
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(pinned.schema.fields) + [StructField(col, LongType(), True)]
     )
-    w = Window.partitionBy("_id_pid").orderBy(F.monotonically_increasing_id())
-    out = (
-        pinned.withColumn("_id_pid", F.spark_partition_id())
-        .withColumn("_id_rn", F.row_number().over(w))
-        .withColumn(
-            col,
-            (
-                F.lit(int(last))
-                + F.lit(int(step))
-                * (off_map[F.col("_id_pid")] + F.col("_id_rn"))
-            ).cast("long"),
-        )
-        .drop("_id_pid", "_id_rn")
-    )
+    last_i, step_i = int(last), int(step)
+
+    def stamp(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        base = offsets.get(pid, 0)
+        for b in batches:
+            n = b.num_rows
+            ids = pa.array(
+                [
+                    last_i + step_i * (base + seen + i + 1)
+                    for i in range(n)
+                ],
+                type=pa.int64(),
+            )
+            seen += n
+            yield b.append_column(col, ids)
+
+    out = pinned.mapInArrow(stamp, out_schema)
     return out, last + step * acc, pinned
 
 
@@ -1448,7 +1482,12 @@ def _identity_marks_from_stats(
     """Advance each identity mark past the values the batch actually
     wrote, read from the freshly recorded per-file stats — driver-side,
     zero extra jobs (the write paths force identity columns into
-    ``stats_for``)."""
+    ``stats_for``). An identity column that is ALSO a partition column
+    records no file stats (``_write_batch`` drops partition columns from
+    ``stats_for`` — their per-file min==max==the partition value), so the
+    mark is derived from each file's hive ``partition`` values instead;
+    without that fallback the mark would never advance and the next
+    append would silently re-allocate the same ids."""
     out: dict[str, int] = {}
     for c, decl in idents.items():
         phys = mapping.get(c, c)
@@ -1460,6 +1499,10 @@ def _identity_marks_from_stats(
                 v = st["max"] if step > 0 else st["min"]
                 if v is not None:
                     vals.append(int(v))
+                continue
+            pv = (f.get("partition") or {}).get(phys)
+            if pv is not None and pv != "__HIVE_DEFAULT_PARTITION__":
+                vals.append(int(pv))
         mark = base.get(c)
         if vals:
             ext = max(vals) if step > 0 else min(vals)
@@ -2017,6 +2060,7 @@ def tx_write(
     spark: SparkSession,
     df: DataFrame,
     path: str,
+    *,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     stats_for: list[str] | None = None,
@@ -2024,6 +2068,7 @@ def tx_write(
     checks: dict[str, str] | None = None,
     schema_evolution: bool = False,
     txn: tuple[str, int] | None = None,
+    require_version: int | None = None,
     _identity_retries: int = 24,
 ) -> int:
     """Commit a new version. ``mode``:
@@ -2064,6 +2109,14 @@ def tx_write(
     (a streaming sink passes its batch id). The mark survives
     checkpointing and vacuum; shallow clones do NOT inherit it (clone is
     a new table — same caveat Delta documents for cloned streaming sinks).
+
+    ``require_version=N`` makes the commit CONDITIONAL on the table still
+    being at version N when it lands (optimistic CAS against a snapshot
+    the caller read): a concurrent commit in between raises
+    :class:`TxConflictError` and nothing lands — the read-modify-write
+    guard that keeps a snapshot-derived overwrite (row-tracking backfill,
+    compaction of a specific snapshot) from silently discarding a racing
+    writer's rows.
     """
     if mode not in ("overwrite", "append", "overwrite_dynamic"):
         raise ValueError(mode)
@@ -2179,6 +2232,12 @@ def tx_write(
         # (the lost-update the old bump-and-retry had). An append touches
         # NO prior state at all (a blind-append delta, Delta's cheap path);
         # a dynamic overwrite removes exactly the touched partitions' files.
+        if require_version is not None and cur != require_version:
+            raise TxConflictError(
+                f"tx_write({mode}) at {path}: table advanced to "
+                f"v{cur} while this write required v{require_version} — "
+                "a concurrent commit would be discarded; re-read and retry"
+            )
         remove: list[str] = []
         schema_out = schema_json
         snap: dict | None = None
@@ -2283,15 +2342,21 @@ def tx_write(
                 f"tx_write({mode}) at {path}: identity watermark kept "
                 "moving under concurrent writers — giving up"
             )
-        # jittered backoff de-synchronizes racing allocators (without it,
-        # N writers that all lost to the same winner rewrite in lockstep
-        # and can starve each other through the whole retry budget)
+        # jittered EXPONENTIAL backoff (full-jitter, ceiling-bounded)
+        # de-synchronizes racing allocators: under N-writer contention each
+        # retry doubles the window a loser re-enters in, so the expected
+        # number of simultaneous re-attempts halves per round — the linear
+        # backoff this replaces starved 8 of 24 retries under a mere
+        # 4-thread race. The 2s ceiling bounds worst-case commit latency.
         import random as _random
 
-        time.sleep(_random.uniform(0.01, 0.08) * (25 - _identity_retries))
+        attempt = 24 - _identity_retries  # 0-based retry count so far
+        time.sleep(_random.uniform(0.0, min(2.0, 0.02 * (2 ** attempt))))
         return tx_write(
-            spark, df_in, path, partition_by, mode, stats_for_in, bloom_for,
-            checks, schema_evolution, txn,
+            spark, df_in, path, partition_by=partition_by, mode=mode,
+            stats_for=stats_for_in, bloom_for=bloom_for, checks=checks,
+            schema_evolution=schema_evolution, txn=txn,
+            require_version=require_version,
             _identity_retries=_identity_retries - 1,
         )
 
@@ -2448,10 +2513,16 @@ def tx_read(
     ]
     out = _read_files(spark, path, kept, manifest["schema"])
     # project onto the schema whenever the files carry anything else:
-    # renamed physicals (mapping) OR dormant dropped columns (the files
-    # keep a dropped column's data; the snapshot must not serve it)
-    if manifest["schema"] and out.columns != [
-        f["name"] for f in json.loads(manifest["schema"])["fields"]
+    # renamed physicals (mapping), dormant dropped columns (the files
+    # keep a dropped column's data; the snapshot must not serve it), OR
+    # type drift (partition columns recover from hive paths as strings
+    # under the pinned inference=false conf and must cast to the
+    # declared type)
+    if manifest["schema"] and [
+        (f.name, f.dataType.json()) for f in out.schema.fields
+    ] != [
+        (f["name"], json.dumps(f["type"]))
+        for f in json.loads(manifest["schema"])["fields"]
     ]:
         out = _to_logical(out, manifest["schema"])
     if where:
@@ -2533,6 +2604,7 @@ def tx_merge(
     source: DataFrame,
     path: str,
     keys: list[str],
+    *,
     partition_by: list[str] | None = None,
     precedence: str | None = None,
     schema_evolution: bool = False,
@@ -2588,7 +2660,9 @@ def tx_merge(
             source = _dedup_on_keys(source, keys)
         else:
             source = _precedence_pick(source, keys, precedence, None)
-        return tx_write(spark, source, path, partition_by, "overwrite")
+        return tx_write(
+            spark, source, path, partition_by=partition_by, mode="overwrite"
+        )
     if use_dv:
         return _dv_merge(spark, source, path, keys, partition_by, precedence, cur)
 
@@ -3332,7 +3406,10 @@ def tx_compact(
             if partition_by
             else df.repartition(n_files)
         )
-    return tx_write(spark, df, path, partition_by, "overwrite", stats_for, bloom_for)
+    return tx_write(
+        spark, df, path, partition_by=partition_by, mode="overwrite",
+        stats_for=stats_for, bloom_for=bloom_for,
+    )
 
 
 def _compact_small(
@@ -3610,6 +3687,7 @@ def _dml_predicate(where: dict, where_equals: dict):
 def tx_delete(
     spark: SparkSession,
     path: str,
+    *,
     where: dict[str, tuple] | None = None,
     partition_by: list[str] | None = None,
     stats_for: list[str] | None = None,
@@ -3839,6 +3917,7 @@ def _read_files_with_position(
 def tx_update(
     spark: SparkSession,
     path: str,
+    *,
     where: dict[str, tuple] | None = None,
     assignments: dict[str, "F.Column"] | None = None,
     partition_by: list[str] | None = None,

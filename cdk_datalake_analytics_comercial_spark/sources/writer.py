@@ -83,7 +83,8 @@ def write_table(
             == "true"
         )
         tx_write(
-            spark, df, path, partition_by, mode=tx_mode, schema_evolution=auto
+            spark, df, path, partition_by=partition_by, mode=tx_mode,
+            schema_evolution=auto,
         )
         return
     from .metrics import observe_write

@@ -71,8 +71,8 @@ def merge_stream(
             from ..sources.txlog import tx_merge
 
             tx_merge(
-                batch.sparkSession, batch, path, keys, partition_by,
-                precedence=precedence,
+                batch.sparkSession, batch, path, keys,
+                partition_by=partition_by, precedence=precedence,
             )
         else:
             merge_upsert(

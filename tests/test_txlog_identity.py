@@ -327,3 +327,147 @@ def test_table_doctor_flags_identity_mark_behind_data(spark, tmp_path):
     )
     rep = doctor(spark, p)
     assert any("behind the data" in e for e in rep["errors"])
+
+
+# ---------------------------------------------------------------------------
+# round 9: keyword-only API, exchange-free allocation, partition-column
+# identity marks, conditional commits, 8-thread contention budget
+
+
+def test_txlog_dml_api_is_keyword_only(spark, tmp_path):
+    """The positional footgun is dead: `tx_write(spark, df, p, "append")`
+    used to bind "append" to partition_by (chars became partition columns
+    -> COLUMN_ALREADY_EXISTS); now every option past the address is
+    keyword-only and the old call cannot even bind."""
+    import pytest
+
+    p = str(tmp_path / "kw1")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    TX.tx_write(spark, df, p)
+    with pytest.raises(TypeError):
+        TX.tx_write(spark, df, p, "append")
+    with pytest.raises(TypeError):
+        TX.tx_write(spark, df, p, ["id"], "append")
+    with pytest.raises(TypeError):
+        TX.tx_merge(spark, df, p, ["id"], ["v"])  # positional partition_by
+    with pytest.raises(TypeError):
+        TX.tx_delete(spark, p, {"id": (1, 1)})  # positional where
+    with pytest.raises(TypeError):
+        TX.tx_update(spark, p, {"id": (1, 1)}, {"v": F.lit("x")})
+
+
+def test_identity_allocation_plan_has_zero_exchange(spark):
+    """The id-stamping job is a single narrow Arrow pass over the pinned
+    frame — no Exchange of any kind (the old window-over-partition-id
+    form paid a full hash Exchange of the batch). The per-partition count
+    job is a separate metadata-sized aggregation; the DATA never
+    shuffles."""
+    df = spark.range(0, 10_000, 1, 8).selectExpr("id * 2 as x")
+    out, mark, _ = TX._allocate_identity(df.drop("id"), "rid", 0, 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = [r["rid"] for r in out.collect()]
+    assert sorted(got) == list(range(1, 10_001))
+    assert mark == 10_000
+
+
+def test_identity_column_as_partition_column_advances_mark(spark, tmp_path):
+    """An identity column that is ALSO a partition column records no file
+    stats (partition columns are excluded from stats_for), so the mark
+    must advance from the hive partition values — without that, every
+    append re-allocates the same ids."""
+    p = str(tmp_path / "idpart")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([], "id long, v string"),
+        p,
+        partition_by=["id"],
+    )
+    TX.tx_add_identity(spark, p, "id")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("a",), ("b",)], "v string"),
+        p,
+        mode="append",
+        partition_by=["id"],
+    )
+    assert _ids(spark, p) == [1, 2]
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("c",)], "v string"),
+        p,
+        mode="append",
+        partition_by=["id"],
+    )
+    ids = _ids(spark, p)
+    assert ids == [1, 2, 3], f"identity mark failed to advance: {ids}"
+
+
+def test_require_version_guards_snapshot_overwrites(spark, tmp_path):
+    """tx_write(require_version=N) is an optimistic CAS on the snapshot
+    the caller derived the batch from: a commit racing in between raises
+    TxConflictError and nothing lands (the row-tracking backfill uses
+    exactly this so a concurrent append is never silently discarded)."""
+    import pytest
+
+    p = str(tmp_path / "reqv")
+    TX.tx_write(spark, spark.createDataFrame([("a",)], "v string"), p)
+    v = TX.current_version(spark, p)
+    # a concurrent writer advances the table past the snapshot we read
+    TX.tx_write(
+        spark, spark.createDataFrame([("b",)], "v string"), p, mode="append"
+    )
+    with pytest.raises(TX.TxConflictError, match="advanced"):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([("stale",)], "v string"),
+            p,
+            mode="overwrite",
+            require_version=v,
+        )
+    # nothing landed; the racing append's row is intact
+    assert {r["v"] for r in TX.tx_read(spark, p).collect()} == {"a", "b"}
+    # the happy path commits when the version still matches
+    v2 = TX.current_version(spark, p)
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("fresh",)], "v string"),
+        p,
+        mode="overwrite",
+        require_version=v2,
+    )
+    assert {r["v"] for r in TX.tx_read(spark, p).collect()} == {"fresh"}
+
+
+def test_identity_8_thread_race_within_bounded_retry_budget(spark, tmp_path):
+    """Contention fairness: 8 racing allocators must all land within a
+    12-retry budget under the full-jitter exponential backoff (the linear
+    backoff this replaced starved 8 of 24 retries at FOUR threads). Every
+    id unique and dense — no loser ever commits overlapping ranges."""
+    p = str(tmp_path / "id8t")
+    TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), p)
+    TX.tx_add_identity(spark, p, "id")
+    errs = []
+
+    def writer(tag):
+        try:
+            TX.tx_write(
+                spark,
+                spark.createDataFrame([(f"{tag}a",), (f"{tag}b",)], "v string"),
+                p,
+                mode="append",
+                _identity_retries=12,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(str(t),)) for t in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    ids = _ids(spark, p)
+    assert ids == list(range(1, 17)), f"holes or duplicates: {ids}"
