@@ -264,12 +264,15 @@ def _huff_decode(bits: _Bits, table: tuple, limit: int) -> tuple[int, int]:
     return x, y
 
 
-def _count1_decode(bits: _Bits, table: dict, limit: int) -> tuple:
+def _count1_decode(bits: _Bits, table: dict) -> tuple:
+    """Decode one count1 quad. No per-bit part2_3_length check: the spec
+    explicitly permits the LAST count1 quad to start inside the budget
+    and overshoot it — the caller detects ``bits.pos > limit`` after the
+    quad and discards it (dist10 rewinds and drops the quad the same
+    way). The end-of-BUFFER guard stays in ``_Bits.read``."""
     length = 0
     acc = 0
     while True:
-        if bits.pos >= limit:
-            raise Mp3DecodeError("count1 code ran past part2_3_length")
         acc = (acc << 1) | bits.read1()
         length += 1
         if (length, acc) in table:
@@ -440,12 +443,18 @@ def decode_spectrum(
     else:
         table = COUNT1_TABLES[c1sel]
         while bits.pos < limit and i + 4 <= 576:
-            v, w, x, y = _count1_decode(bits, table, limit)
+            v, w, x, y = _count1_decode(bits, table)
+            if bits.pos > limit:
+                # the final quad started inside the budget and overshot —
+                # spec-permitted; dist10's decoder rewinds to the budget
+                # and DROPS the quad, and so do we (the overrun bits
+                # belong to ancillary data / the next granule)
+                bits.pos = limit
+                break
             out[i : i + 4] = (v, w, x, y)
             i += 4
     if bits.pos != limit:
-        # spec allows the last count1 quad to overshoot; anything else is
-        # a real desync
+        # under-consumption (or a big_values overrun) is a real desync
         raise Mp3DecodeError(
             f"granule consumed {bits.pos - part2_start} bits, "
             f"part2_3_length says {gr['part2_3_length']}"
@@ -466,10 +475,25 @@ def requantize(
     xr = np.sign(is_vals) * np.abs(is_vals).astype(np.float64) ** (4.0 / 3.0)
     gain = 2.0 ** (0.25 * (gr["global_gain"] - 210))
     scale_mult = gr["scalefac_scale"] + 1  # exponent multiplier /2 in spec
-    if gr["window_switching"] and gr["block_type"] == 2 and not gr["mixed_block"]:
-        bounds = SFB_SHORT[sample_rate]
-        for sfb in range(12):
-            w0, w1 = bounds[sfb], bounds[sfb + 1]
+    if gr["window_switching"] and gr["block_type"] == 2:
+        sbounds = SFB_SHORT[sample_rate]
+        if gr["mixed_block"]:
+            # mixed granule: lines 0..36 are LONG-coded (long sfbs 0..7 —
+            # SFB_LONG[..][8] == 36 at every MPEG-1 rate), lines 36..576
+            # are short-coded from short sfb 3 (SFB_SHORT[..][3]*3 == 36)
+            lbounds = SFB_LONG[sample_rate]
+            for sfb in range(8):
+                lo, hi = lbounds[sfb], lbounds[sfb + 1]
+                sfac = sf["long"][sfb] + gr["preflag"] * PRETAB[sfb]
+                xr[lo:hi] *= gain * 2.0 ** (-0.5 * scale_mult * sfac)
+            first_short = 3
+        else:
+            first_short = 0
+        # through sfb 12 (the last band): no scalefactor is transmitted
+        # for it (sf stays 0) but global gain and subblock_gain still
+        # apply — the earlier range(12) left lines 408.. unscaled
+        for sfb in range(first_short, 13):
+            w0, w1 = sbounds[sfb], sbounds[sfb + 1]
             n = w1 - w0
             for w in range(3):
                 lo = w0 * 3 + w * n
@@ -489,12 +513,20 @@ def requantize(
     return xr
 
 
-def reorder_short(xr: np.ndarray, sample_rate: int) -> np.ndarray:
+def reorder_short(
+    xr: np.ndarray, sample_rate: int, start_sfb: int = 0
+) -> np.ndarray:
     """Short-block line reorder: Huffman order is (sfb, window, line);
-    the filterbank wants (subband, window-interleaved)."""
+    the filterbank wants (subband, window-interleaved). ``start_sfb=3``
+    is the MIXED-block form: the long-coded lines 0..36 stay in place and
+    only the short region reorders (source and destination indices for
+    sfb >= 3 both live in [36, 576), so the regions never cross)."""
     out = np.zeros_like(xr)
     bounds = SFB_SHORT[sample_rate]
-    for sfb in range(12):
+    out[: bounds[start_sfb] * 3] = xr[: bounds[start_sfb] * 3]
+    # through sfb 12: the last short band reorders like any other (the
+    # earlier range(12) zeroed lines 408.. instead of permuting them)
+    for sfb in range(start_sfb, 13):
         w0, w1 = bounds[sfb], bounds[sfb + 1]
         n = w1 - w0
         src = w0 * 3
@@ -710,9 +742,14 @@ def decode_granule_channel(
     is_vals = decode_spectrum(bits, gr, sample_rate, part2_start)
     xr = requantize(is_vals, gr, sf, sample_rate)
     if gr["window_switching"] and gr["block_type"] == 2:
-        xr = reorder_short(xr, sample_rate)
         if gr["mixed_block"]:
+            # long lines 0..35 stay; short region reorders from sfb 3;
+            # alias butterflies apply only at the one long-long subband
+            # boundary (between subbands 0 and 1)
+            xr = reorder_short(xr, sample_rate, start_sfb=3)
             xr = antialias(xr, n_subbands=2)
+        else:
+            xr = reorder_short(xr, sample_rate)
     else:
         xr = antialias(xr)
     return xr, sf, bits.pos
@@ -810,8 +847,13 @@ class _BitWriter:
         return bytes(raw)
 
 
-def _encode_granule(tone_line: int, global_gain: int) -> tuple[_BitWriter, dict]:
-    """One granule-channel: is[tone_line] = +1, everything else 0."""
+def _encode_granule(
+    tone_line: int, global_gain: int, block: str = "long"
+) -> tuple[_BitWriter, dict]:
+    """One granule-channel: is[tone_line] = +1, everything else 0.
+    ``block="mixed"`` emits a window-switching block_type-2 granule with
+    mixed_block=1 (scalefac_compress=0 → zero scalefactor bits on the
+    mixed read path too, so part2 stays empty)."""
     w = _BitWriter()
     nbig_pairs = tone_line // 2 + 1
     # scalefactors: scalefac_compress=0 → slen 0/0 → zero part2 bits
@@ -843,6 +885,17 @@ def _encode_granule(tone_line: int, global_gain: int) -> tuple[_BitWriter, dict]
         "scalefac_scale": 0,
         "count1table_select": 1,
     }
+    if block == "mixed":
+        gr.update(
+            window_switching=1,
+            block_type=2,
+            mixed_block=1,
+            # window-switching side info carries only two table selects;
+            # regions are spec-fixed (region1_start=54 for mixed)
+            table_select=[1, 1, 0],
+        )
+    elif block != "long":
+        raise ValueError(f"unsupported fixture block kind {block!r}")
     return w, gr
 
 
@@ -852,10 +905,14 @@ def build_mp3_l3(
     global_gain: int = 210,
     sample_rate: int = 44100,
     bitrate_kbps: int = 64,
+    block: str = "long",
 ) -> bytes:
     """Deterministic CBR MPEG-1 mono Layer III stream whose every granule
     encodes a single +1 quantized value at `tone_line` — decodes to a
-    steady tone near (tone_line + 0.5)·rate/1152 Hz."""
+    steady tone near (tone_line + 0.5)·rate/1152 Hz for long blocks.
+    ``block="mixed"`` emits every granule as a mixed block (block_type 2,
+    mixed_block=1): lines < 36 decode through the long path (subbands
+    0-1, normal windows), lines >= 36 through the short reorder."""
     if not 0 <= tone_line < 576:
         raise ValueError("tone_line must be in [0, 576)")
     import struct as _s
@@ -881,16 +938,27 @@ def build_mp3_l3(
         side.write(0, 4)     # scfsi
         main = _BitWriter()
         for _g in range(2):
-            gw, gr = _encode_granule(tone_line, global_gain)
+            gw, gr = _encode_granule(tone_line, global_gain, block)
             side.write(gr["part2_3_length"], 12)
             side.write(gr["big_values"], 9)
             side.write(gr["global_gain"], 8)
             side.write(gr["scalefac_compress"], 4)
-            side.write(0, 1)  # window_switching
-            for t in gr["table_select"]:
-                side.write(t, 5)
-            side.write(gr["region0_count"], 4)
-            side.write(gr["region1_count"], 3)
+            side.write(gr["window_switching"], 1)
+            if gr["window_switching"]:
+                # switching layout: block_type(2) mixed(1) 2×table(5) 3×
+                # subblock_gain(3) = 22 bits — same total as the
+                # non-switching 3×table(5) + region0(4) + region1(3)
+                side.write(gr["block_type"], 2)
+                side.write(gr["mixed_block"], 1)
+                for t in gr["table_select"][:2]:
+                    side.write(t, 5)
+                for sg in gr["subblock_gain"]:
+                    side.write(sg, 3)
+            else:
+                for t in gr["table_select"]:
+                    side.write(t, 5)
+                side.write(gr["region0_count"], 4)
+                side.write(gr["region1_count"], 3)
             side.write(gr["preflag"], 1)
             side.write(gr["scalefac_scale"], 1)
             side.write(gr["count1table_select"], 1)

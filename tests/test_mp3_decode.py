@@ -323,3 +323,128 @@ def test_lsf_nonzero_scalefactors_refuse_loudly():
           "preflag": 0, "scalefac_scale": 0, "count1table_select": 1}
     with pytest.raises(L.UnsupportedMp3Table, match="LSF scalefactor"):
         L.decode_granule_channel(bytes(64), 0, gr, [0, 0, 0, 0], None, 22050, True)
+
+
+# ---------------------------------------------------------------------------
+# round 9: mixed-block decode (ADVICE fix — was silently mis-decoded) and
+# the spec-permitted final count1 quad overrun
+
+
+def test_roundtrip_mixed_block_long_region_equals_long_decode():
+    """A mixed-block granule whose only line lives in the LONG region
+    (line 4, subband 0) must decode EXACTLY like the plain long-block
+    encode of the same tone: the low two subbands of a mixed block use
+    the normal long windows, no reorder applies below line 36, and the
+    single long-long alias boundary touches lines 10..25 only."""
+    long_pcm, _ = L.decode_mp3(L.build_mp3_l3(4, 4, global_gain=205))
+    mixed_pcm, rate = L.decode_mp3(
+        L.build_mp3_l3(4, 4, global_gain=205, block="mixed")
+    )
+    assert rate == 44100 and len(mixed_pcm) == 4 * 1152
+    assert np.array_equal(long_pcm, mixed_pcm)
+
+
+def test_roundtrip_mixed_block_short_region_tone():
+    """A mixed-block tone in the SHORT region (Huffman line 100 -> short
+    sfb 6, window 1, per-window line 30 -> subband 5, bin 0) must land
+    its energy in subband 5's frequency band — the old code scrambled
+    the long lines through reorder_short and scaled with long
+    scalefactor bands, so nothing guaranteed this."""
+    payload = L.build_mp3_l3(n_frames=8, tone_line=100, global_gain=205,
+                             block="mixed")
+    pcm, rate = L.decode_mp3(payload)
+    assert len(pcm) == 8 * 1152
+    body = pcm[1152:]
+    assert np.abs(body).max() > 0
+    spec = np.abs(np.fft.rfft(body * np.hanning(len(body)))) ** 2
+    peak = int(spec.argmax())
+    freq = peak / len(body) * rate
+    # subband 5 spans [5, 6) * rate/64 = [3445, 4134) Hz; short windows
+    # smear but the peak must sit inside the subband
+    assert 5 * rate / 64 - 200 <= freq <= 6 * rate / 64 + 200, freq
+
+
+def test_mixed_block_side_info_parses():
+    payload = L.build_mp3_l3(1, 100, block="mixed")
+    hdr = L._mp3._parse_header(payload, 0)
+    si = L.side_info(payload[: 4 + 17 + 200], hdr)
+    gr = si["granules"][0][0]
+    assert gr["window_switching"] == 1 and gr["block_type"] == 2
+    assert gr["mixed_block"] == 1
+    assert gr["region0_count"] == 7 and gr["region1_count"] == 13
+
+
+def test_mixed_requantize_splits_long_and_short_scalefactors():
+    """Long sfbs 0-7 scale lines 0..36; short sfbs 3+ (with
+    subblock_gain) scale lines 36.. — verified by planting distinct
+    scalefactors on each side."""
+    gr = {"window_switching": 1, "block_type": 2, "mixed_block": 1,
+          "global_gain": 210, "scalefac_scale": 0, "preflag": 0,
+          "subblock_gain": [0, 1, 0]}
+    sf = {"long": [0] * 22, "short": [[0, 0, 0] for _ in range(13)]}
+    sf["long"][1] = 2          # lines 4..8 get 2^-1
+    sf["short"][3][1] = 2      # short sfb 3 window 1: lines 40..44
+    is_vals = np.ones(576, dtype=np.int64)
+    xr = L.requantize(is_vals, gr, sf, 44100)
+    assert np.isclose(xr[0], 1.0)            # long sfb 0: untouched
+    assert np.isclose(xr[4], 0.5)            # long sfb 1: 2^(-0.5*2)
+    assert np.isclose(xr[36], 1.0)           # short sfb3 w0: untouched
+    # short sfb3 (w0=12, n=4): window 1 lines = 36+4..36+8, scalefac 2
+    # AND subblock_gain[1]=1 -> 2^(-2) * 2^(-1)
+    assert np.isclose(xr[40], 0.125)
+    # short sfb12 tail (lines 408..576): gain only for window 0
+    assert np.isclose(xr[136 * 3], 1.0)
+
+
+def test_count1_final_quad_overrun_is_clean_termination():
+    """Spec-valid streams may let the LAST count1 quad start inside
+    part2_3_length and overshoot it; the quad is dropped (dist10
+    rewinds the same way) and decode terminates cleanly instead of
+    raising mid-quad."""
+    gr = {"part2_3_length": 10, "big_values": 0, "global_gain": 210,
+          "scalefac_compress": 0, "window_switching": 0, "block_type": 0,
+          "mixed_block": 0, "table_select": [1, 1, 1],
+          "subblock_gain": [0, 0, 0], "region0_count": 5,
+          "region1_count": 5, "preflag": 0, "scalefac_scale": 0,
+          "count1table_select": 1}
+    # '1111' = quad (0,0,0,0) [4 bits], then '0000' = quad (1,1,1,1)
+    # + 4 sign bits: starts at bit 4 < 10, ends at 12 > 10 -> dropped
+    bits = L._Bits(bytes([0b11110000, 0b00000000, 0, 0]))
+    out = L.decode_spectrum(bits, gr, 44100, 0)
+    assert not out.any()
+    assert bits.pos == 10  # clamped to the budget, not mid-quad
+
+
+def test_count1_underrun_still_raises():
+    gr = {"part2_3_length": 9, "big_values": 0, "global_gain": 210,
+          "scalefac_compress": 0, "window_switching": 0, "block_type": 0,
+          "mixed_block": 0, "table_select": [1, 1, 1],
+          "subblock_gain": [0, 0, 0], "region0_count": 5,
+          "region1_count": 5, "preflag": 0, "scalefac_scale": 0,
+          "count1table_select": 1}
+    # two zero quads consume 8 bits; the 9th budget bit is never a
+    # complete quad start... 8 < pos 9 would need another quad that
+    # ends at 12 -> dropped -> pos clamps to 9? No: the third quad
+    # STARTS at 8 (<9) and ends at 12 (>9) -> dropped, pos=9: clean.
+    # A real underrun needs the loop to EXIT below the budget: fill
+    # 576 lines first. big_values=288 pairs of table-1 '1' codes = 576
+    # lines in 288 bits, budget 300 -> 12 bits under.
+    gr2 = dict(gr, big_values=288, part2_3_length=300)
+    bits = L._Bits(b"\xff" * 80)  # '1' = (0,0) pair in table 1
+    with pytest.raises(L.Mp3DecodeError, match="consumed"):
+        L.decode_spectrum(bits, gr2, 44100, 0)
+
+
+def test_short_block_reorder_covers_last_band():
+    """sfb 12 (lines 408..576) must permute like every other short band —
+    the earlier range(12) loop silently ZEROED those lines."""
+    xr = np.arange(576, dtype=float) + 1.0
+    out = L.reorder_short(xr, 44100)
+    assert sorted(out) == sorted(xr), "reorder is no longer a permutation"
+
+
+def test_mixed_reorder_keeps_long_lines_in_place():
+    xr = np.arange(576, dtype=float) + 1.0
+    out = L.reorder_short(xr, 44100, start_sfb=3)
+    assert np.array_equal(out[:36], xr[:36])
+    assert sorted(out) == sorted(xr)
