@@ -24,6 +24,7 @@ HEADLINE = [
     "sales_enrichment",
     "multikey_join",
     "regional_supplier_volume",
+    "sql_regional_supplier_volume",
     "large_orders",
     "shipping_priority",
     "nation_trade",
@@ -63,6 +64,7 @@ HEADLINE = [
     "corpus_filter",
     "importance_sample",
     "corpus_resample",
+    "corpus_shuffle",
     "doc_length_histogram",
     "decontam_overlap",
     "stratified_fixed_k",

@@ -1,0 +1,235 @@
+"""Name-based SQL serving surface — the Athena-catalog twin.
+
+The reference's consumption model is Glue crawler → Athena catalog → SQL
+by table name: every downstream consumer queries
+``SELECT … FROM analytics.fact_venta_detalle`` by NAME, never by path
+(`stacks/cdk_datalake_analytics_stack.py:483-522,654-688` wires one Glue
+database per layer and crawls each layer prefix into it). This module
+gives the engine the same surface on Spark's session catalog:
+
+    from cdk_datalake_analytics_comercial_spark.core.sql_serving import register_sql
+    register_sql(spark, catalog)            # one database per layer
+    spark.sql("SELECT … FROM domain.t_venta JOIN analytics.fact_… ")
+
+- **Plain parquet tables** register as EXTERNAL datasource tables
+  (``CREATE TABLE … USING parquet LOCATION``): metadata-only, full
+  Catalyst pushdown/pruning, and hive-partitioned layouts get their
+  partitions recovered (``MSCK REPAIR TABLE`` — the Glue-crawler step).
+- **txlog tables** register as ``USING txlog`` tables through the Python
+  Data Source batch reader (`streaming/source.TxLogBatchReader`): the
+  snapshot is re-resolved at every query plan, so SQL always reads the
+  current committed version (stale-batch unions are impossible — a raw
+  parquet table over a txlog dir would serve superseded files).
+- **Multi-instance stage tables** (one subdir per source endpoint)
+  register one table per instance plus a UNION-ALL VIEW under the plain
+  table name, null-padding by name — the SQL twin of
+  ``reader.read_table``'s unionByName.
+
+Scale: registration is metadata-only (no data job is ever run — MSCK
+lists directories); at 100 TB this is the same O(partitions) catalog
+walk the Glue crawler performs, and query plans over the registered
+tables are identical to path-based reads (same datasource relation).
+
+Everything is idempotent: re-running refreshes the registration
+(drop+create of metadata; table DATA is external and never touched).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import SparkSession
+
+from .catalog import Catalog, Layer
+
+_NAME_OK = re.compile(r"[^a-z0-9_]")
+
+
+def _ident(name: str) -> str:
+    """A safe SQL identifier from a filesystem name (lowercase,
+    [a-z0-9_], no leading digit)."""
+    s = _NAME_OK.sub("_", name.lower())
+    if not s or s[0].isdigit():
+        s = "t_" + s
+    return s
+
+
+def _sq(path: str) -> str:
+    """Single-quote a path literal for SQL."""
+    return path.replace("'", "''")
+
+
+def ensure_database(spark: SparkSession, db: str, location: str | None = None) -> None:
+    """CREATE DATABASE IF NOT EXISTS with an explicit location (keeps the
+    default warehouse dir — the driver's CWD — out of the picture)."""
+    loc = location or os.path.join(
+        tempfile.gettempdir(), "spark_graft_warehouse", db
+    )
+    os.makedirs(loc, exist_ok=True)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{_sq(loc)}'")
+
+
+def _drop_any(spark: SparkSession, fq: str) -> None:
+    """Drop ``fq`` whether it currently exists as a view or a table
+    (DROP TABLE on a VIEW raises WRONG_COMMAND_FOR_OBJECT_TYPE even with
+    IF EXISTS, and vice versa — re-registration must survive both)."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    for stmt in (f"DROP VIEW IF EXISTS {fq}", f"DROP TABLE IF EXISTS {fq}"):
+        try:
+            spark.sql(stmt)
+        except AnalysisException:
+            pass
+
+
+def _is_partitioned_dir(path: str) -> bool:
+    try:
+        return any(
+            "=" in e and os.path.isdir(os.path.join(path, e))
+            for e in os.listdir(path)
+        )
+    except OSError:
+        return False
+
+
+def register_parquet_table(
+    spark: SparkSession, db: str, name: str, path: str
+) -> str:
+    """(Re-)register one parquet location as ``db.name`` (external,
+    metadata-only; hive partitions recovered)."""
+    ensure_database(spark, db)
+    _drop_any(spark, f"{db}.{name}")
+    spark.sql(
+        f"CREATE TABLE {db}.{name} USING parquet LOCATION '{_sq(path)}'"
+    )
+    if _is_partitioned_dir(path):
+        spark.sql(f"MSCK REPAIR TABLE {db}.{name}")
+    return f"{db}.{name}"
+
+
+def register_txlog_table(
+    spark: SparkSession, db: str, name: str, path: str
+) -> str:
+    """(Re-)register one txlog table as ``db.name`` via a table-pinned
+    ``txlog`` Python Data Source format (current snapshot resolved at
+    every query plan, deletion vectors applied). The format carries the
+    path because Spark hands catalog-table scans an EMPTY option map —
+    see :func:`~..streaming.source.pinned_txlog_source`."""
+    from ..streaming.source import pinned_txlog_source
+
+    fmt = pinned_txlog_source(spark, path)
+    ensure_database(spark, db)
+    _drop_any(spark, f"{db}.{name}")
+    spark.sql(f"CREATE TABLE {db}.{name} USING {fmt}")
+    return f"{db}.{name}"
+
+
+def _register_union_view(
+    spark: SparkSession, db: str, name: str, member_names: list[str]
+) -> str:
+    """A UNION-ALL-by-name view over per-instance tables: each branch
+    projects the UNION of all member columns (missing ones null-pad) so
+    endpoints with drifted schemas still union — the SQL twin of
+    ``unionByName(allowMissingColumns=True)``."""
+    all_cols: list[str] = []
+    col_type: dict[str, str] = {}
+    member_cols: dict[str, list[str]] = {}
+    for m in member_names:
+        fields = spark.table(m).schema.fields
+        member_cols[m] = [f.name for f in fields]
+        for f in fields:
+            if f.name not in col_type:
+                all_cols.append(f.name)
+                col_type[f.name] = f.dataType.simpleString()
+    branches = []
+    for m in member_names:
+        have = set(member_cols[m])
+        sel = ", ".join(
+            f"`{c}`"
+            if c in have
+            else f"CAST(NULL AS {col_type[c]}) AS `{c}`"
+            for c in all_cols
+        )
+        branches.append(f"SELECT {sel} FROM {m}")
+    _drop_any(spark, f"{db}.{name}")
+    spark.sql(
+        f"CREATE OR REPLACE VIEW {db}.{name} AS "
+        + " UNION ALL ".join(branches)
+    )
+    return f"{db}.{name}"
+
+
+def register_sql(
+    spark: SparkSession,
+    catalog: Catalog,
+    layers: list[Layer | str] | None = None,
+    db_prefix: str = "",
+) -> dict[str, list[str]]:
+    """Register every discoverable table of the lake in the session
+    catalog: one database per layer (``db_prefix`` to namespace multiple
+    lakes in one session), one external table per table dir (txlog
+    detected by its ``_txlog`` log), and a union view per multi-instance
+    stage table. Returns ``{database: [qualified table names]}``."""
+    from ..sources.txlog import is_txlog_table
+
+    layers = [Layer(x) for x in (layers or list(Layer))]
+    out: dict[str, list[str]] = {}
+    for layer in layers:
+        base = catalog.layer_path(layer)
+        if not os.path.isdir(base):
+            continue
+        db = _ident(db_prefix + layer.value)
+        registered: list[str] = []
+        for entry in sorted(os.listdir(base)):
+            tdir = os.path.join(base, entry)
+            if not os.path.isdir(tdir) or entry.startswith(("_", ".")):
+                continue
+            name = _ident(entry)
+            if is_txlog_table(spark, tdir):
+                registered.append(register_txlog_table(spark, db, name, tdir))
+            elif catalog.is_table_dir(layer, entry):
+                registered.append(register_parquet_table(spark, db, name, tdir))
+            else:
+                # multi-instance stage table: one table per endpoint
+                # subdir + a union view under the plain name
+                members = []
+                for inst in catalog.instances(layer, entry):
+                    idir = os.path.join(tdir, inst)
+                    iname = _ident(f"{entry}__{inst}")
+                    if is_txlog_table(spark, idir):
+                        members.append(
+                            register_txlog_table(spark, db, iname, idir)
+                        )
+                    else:
+                        members.append(
+                            register_parquet_table(spark, db, iname, idir)
+                        )
+                if members:
+                    registered.extend(members)
+                    registered.append(
+                        _register_union_view(spark, db, name, members)
+                    )
+        if registered:
+            out[db] = registered
+    return out
+
+
+def register_sql_dir(
+    spark: SparkSession, data_dir: str, database: str
+) -> list[str]:
+    """Register every ``*.parquet`` table under a flat directory (the
+    testdata layout) as ``database.<name>`` external tables. Metadata
+    only; idempotent."""
+    out = []
+    for entry in sorted(os.listdir(data_dir)):
+        if not entry.endswith(".parquet"):
+            continue
+        name = _ident(entry[: -len(".parquet")])
+        out.append(
+            register_parquet_table(
+                spark, database, name, os.path.join(data_dir, entry)
+            )
+        )
+    return out

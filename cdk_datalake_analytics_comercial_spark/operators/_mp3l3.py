@@ -6,9 +6,12 @@ end-to-end with zero native dependencies:
 
   frame walk → side info (MPEG-1 and MPEG-2-LSF layouts) → bit-reservoir
   assembly → scalefactor decode → Huffman decode (big_values pairs with
-  linbits/sign machinery, count1 quads) → requantization → MS stereo →
-  short-block reorder → alias reduction → hybrid IMDCT (36/12-point, all
-  four block types) → frequency inversion → 32-band polyphase synthesis.
+  linbits/sign machinery, count1 quads incl. the spec-permitted final-quad
+  overrun) → requantization → MS stereo → short-block reorder → alias
+  reduction → hybrid IMDCT (36/12-point, all four block types INCLUDING
+  mixed blocks: long scalefactor bands 0-7 / lines 0..36 down the long
+  path, short bands 3-11 reordered from line 36) → frequency inversion →
+  32-band polyphase synthesis.
 
 Scope statement (read before citing this module as "MP3 support"):
 

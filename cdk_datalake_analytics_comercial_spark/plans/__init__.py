@@ -22,6 +22,12 @@ for mod in (relational, docs, events):
 # (CORRECTNESS_LOCAL_r*); this ordering just steers the bounded sampler
 # toward the least-externally-confirmed entries.
 _SAMPLE_FIRST = [
+    # new in round 9 (never driver-sampled)
+    "sql_regional_supplier_volume",
+    "sql_txlog_snapshot",
+    # new in round 8 (driver-sampled once at most)
+    "dedup_incremental_probe",
+    "multimodal_mp3_decode",
     # never driver-sampled in rounds 1-6
     "disjunctive_revenue",
     "idle_rich_customers",

@@ -2521,7 +2521,83 @@ FROM documents WHERE doc_id % 5 = 0
 """
 
 
+def q_sql_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SERVING over a TXLOG table: a transactional table (built once
+    per corpus, then a row-level DELETE committed on it) is registered in
+    the session catalog under a layer database and aggregated by NAME
+    with pure ``spark.sql`` — the full Athena-twin path for the engine's
+    own table format. The SQL read resolves the CURRENT snapshot at plan
+    time through the pinned Python Data Source
+    (`streaming/source.TxLogBatchReader`), so the feed reflects the
+    delete; the oracle replays the same subset + delete predicate on the
+    raw parquet. Build-once cache keyed by corpus content
+    (size + mtime_ns), atomic publish via rename."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import is_txlog_table, tx_delete, tx_write
+
+    doc = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    files = (
+        sorted(os.path.join(doc, f) for f in os.listdir(doc))
+        if os.path.isdir(doc)
+        else [doc]
+    )
+    parts = []
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.sha1(
+        f"{doc}|{'|'.join(parts)}|txdocs|v1".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_txdocs_{key}")
+    if not is_txlog_table(spark, path):
+        tmp = tempfile.mkdtemp(prefix="spark_graft_txdocs_build_")
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                "doc_id", "lang", "source", "n_chars"
+            ),
+            tmp,
+        )
+        # a committed row-level DELETE the SQL read must reflect
+        tx_delete(spark, tmp, where={"lang": ("de", "de")})
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not is_txlog_table(spark, path):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    db = "lake_" + hashlib.sha1(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
+    register_txlog_table(spark, db, "documents_tx", path)
+    return spark.sql(f"""
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM {db}.documents_tx
+        GROUP BY lang, source
+    """)
+
+
+_ORACLE_SQL_TXLOG_SNAPSHOT = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id % 7 = 0 AND lang <> 'de'
+GROUP BY lang, source
+"""
+
+
 QUERIES = {
+    "sql_txlog_snapshot": q_sql_txlog_snapshot,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -2579,6 +2655,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_txlog_snapshot": _ORACLE_SQL_TXLOG_SNAPSHOT,
     "text_token_stats": _ORACLE_TOKEN_STATS,
     "text_quality": _ORACLE_QUALITY,
     "text_lang_id": _ORACLE_LANG_ID,

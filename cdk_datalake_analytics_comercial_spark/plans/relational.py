@@ -2653,8 +2653,58 @@ GROUP BY s_name
 """
 
 
+# --------------------------------------------------------------------------
+# SQL SERVING SURFACE — the reference's actual consumption model: tables
+# addressed BY NAME in a SQL catalog (Glue crawler → Athena database per
+# layer, `stacks/cdk_datalake_analytics_stack.py:483-522`), not by path. This
+# query is `regional_supplier_volume` re-expressed as pure spark.sql over
+# catalog-registered names and hash-matched against the SAME oracle: it
+# proves the serving path end-to-end (register → name-resolve → identical
+# results). Registration is metadata-only (core/sql_serving.py).
+
+
+def _serving_db(spark: SparkSession, sf_dir: str) -> str:
+    """Register the testdata tables of ``sf_dir`` as external tables in a
+    per-directory database; returns the database name. Idempotent and
+    metadata-only — re-registration never touches data."""
+    import hashlib
+    import os
+
+    from ..core.sql_serving import register_sql_dir
+
+    db = "lake_" + hashlib.sha1(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
+    register_sql_dir(spark, sf_dir, db)
+    return db
+
+
+def q_sql_regional_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    db = _serving_db(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT n_name AS nation,
+               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,6))
+                    * CAST(1.0 - l_discount AS DECIMAL(12,6))
+                    AS DECIMAL(38,12))) AS DECIMAL(20,6)) AS DOUBLE)
+                    AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM {db}.customer
+        JOIN {db}.orders   ON c_custkey = o_custkey
+        JOIN {db}.lineitem ON o_orderkey = l_orderkey
+        JOIN {db}.supplier ON l_suppkey = s_suppkey
+                          AND c_nationkey = s_nationkey
+        JOIN {db}.nation   ON s_nationkey = n_nationkey
+        JOIN {db}.region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+        GROUP BY n_name
+    """)
+
+
 QUERIES = {
     "regional_supplier_volume": q_regional_supplier_volume,
+    "sql_regional_supplier_volume": q_sql_regional_supplier_volume,
     "nation_market_share": q_nation_market_share,
     "product_margin": q_product_margin,
     "customer_order_distribution": q_customer_order_distribution,
@@ -2715,6 +2765,7 @@ QUERIES = {
 
 ORACLES = {
     "regional_supplier_volume": _ORACLE_REGIONAL_VOLUME,
+    "sql_regional_supplier_volume": _ORACLE_REGIONAL_VOLUME,
     "large_orders": _ORACLE_LARGE_ORDERS,
     "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
     "order_priority_late": _ORACLE_ORDER_PRIORITY_LATE,

@@ -145,3 +145,113 @@ def read_jdbc_partitioned(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def _parse_extract_dt(v):
+    """The extractor's fixed-position datetime parse
+    (`utils/extract_data/load_with_query_python.py:223-233`,
+    ``transform_to_dt``): 'YYYY-MM-DD HH:MM:SS' by slicing."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime.combine(v, _dt.time.min)
+    s = str(v)
+    return _dt.datetime(
+        year=int(s[:4]), month=int(s[5:7]), day=int(s[8:10]),
+        hour=int(s[11:13]), minute=int(s[14:16]), second=int(s[17:19]),
+    )
+
+
+def _render_bound(dtv, filter_type):
+    """Render one range boundary as a source-dialect SQL literal — the
+    extractor's ``change_date_format`` (`load_with_query_python.py:
+    379-395`: CONVERT(smalldatetime,…) / TO_DATE(…) per FILTER_TYPE) plus
+    the BigMagic integer-day encoding its ``aje_date`` filters use."""
+    s = str(dtv)[:19]
+    if callable(filter_type):
+        return filter_type(dtv)
+    if filter_type == "timestamp":  # ANSI / Derby / Postgres
+        return f"TIMESTAMP('{s}')"
+    if filter_type == "timestamp_literal":  # ANSI standard literal form
+        return f"TIMESTAMP '{s}'"
+    if filter_type == "smalldatetime":  # SQL Server (reference :382)
+        return f"CONVERT(smalldatetime, '{s}', 120)"
+    if filter_type == "DATE":  # Oracle (reference :385)
+        return f"TO_DATE('{s}', 'YYYY-MM-DD HH24:MI:SS')"
+    if filter_type == "magic_1900":  # BigMagic integer days
+        from ..core.magic_dates import py_date_to_magic_1900
+
+        return str(py_date_to_magic_1900(dtv.date()))
+    raise ValueError(f"unknown filter_type {filter_type!r}")
+
+
+def read_jdbc_between_date(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    filter_column: str,
+    start,
+    end,
+    num_partitions: int = 1,
+    filter_type="timestamp",
+    secondary_column: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """The reference's ``between-date`` incremental extraction strategy
+    (`utils/extract_data/load_with_query_python.py:485-517`): the
+    [start, end] window splits into ``num_partitions`` equal time slices
+    (``delta = (end-start)/threads``, `:508-517`), each pushed into the
+    source as a WHERE range on ``filter_column`` (`:357-377`,
+    ``get_query_for_date_range``) — here as Spark JDBC ``predicates``,
+    one source-side query per partition, instead of a hand-rolled
+    ThreadPool.
+
+    Two deliberate fixes over the reference's task generation:
+
+    - slices are HALF-OPEN ``[lo, hi)`` (the last closes at ``end``): the
+      reference's inclusive ``BETWEEN`` with second-truncated boundaries
+      extracts a row sitting exactly on a slice boundary TWICE;
+    - the two-column form (reference: ``(c1 BETWEEN …) OR (c2 BETWEEN
+      …)`` with the SAME slice on both columns, which also duplicates
+      across slices) partitions on the primary column and routes rows
+      matching only on ``secondary_column`` through the slice where the
+      secondary falls, excluded when the primary already matched — same
+      overall row set, each row exactly once.
+
+    ``filter_type`` renders boundaries in the source dialect
+    (``timestamp`` | ``timestamp_literal`` | ``smalldatetime`` |
+    ``DATE`` | ``magic_1900`` | a callable ``datetime -> SQL literal``).
+    """
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    s_dt, e_dt = _parse_extract_dt(start), _parse_extract_dt(end)
+    if e_dt <= s_dt:
+        raise ValueError(f"end {e_dt} must be after start {s_dt}")
+    delta = (e_dt - s_dt) / num_partitions
+    bounds = [s_dt + delta * i for i in range(num_partitions)] + [e_dt]
+    lit = [_render_bound(b, filter_type) for b in bounds]
+    lo_all, hi_all = lit[0], lit[-1]
+
+    def _rng(col, lo, hi, last):
+        cmp_hi = "<=" if last else "<"
+        return f"{col} IS NOT NULL AND {col} >= {lo} AND {col} {cmp_hi} {hi}"
+
+    preds = []
+    for i in range(num_partitions):
+        last = i == num_partitions - 1
+        p = _rng(filter_column, lit[i], lit[i + 1], last)
+        if secondary_column:
+            primary_in = (
+                f"{filter_column} IS NOT NULL AND {filter_column} >= "
+                f"{lo_all} AND {filter_column} <= {hi_all}"
+            )
+            p = (
+                f"({p}) OR ({_rng(secondary_column, lit[i], lit[i + 1], last)}"
+                f" AND NOT ({primary_in}))"
+            )
+        preds.append(p)
+    return spark.read.jdbc(
+        url, table, predicates=preds, properties=dict(properties or {})
+    )

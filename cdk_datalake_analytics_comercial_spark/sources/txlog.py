@@ -1375,7 +1375,14 @@ def tx_enable_row_tracking(
     backfilled, _mark, _ = _allocate_identity(
         tx_read(spark, path, version=cur), col, 0, 1
     )
-    tx_write(spark, backfilled, path, mode="overwrite", require_version=cur)
+    # stats_for the id column explicitly: the identity declaration lands
+    # AFTER this write, so the automatic identity-rides-stats rule has not
+    # kicked in yet — without per-file id ranges the row-keyed CDF stream
+    # cannot range-group the enablement rewrite (catch-all diff instead)
+    tx_write(
+        spark, backfilled, path, mode="overwrite", require_version=cur,
+        stats_for=[col],
+    )
     tx_add_identity(spark, path, col, start=1, step=1)
     tx_add_constraint(spark, path, f"row_tracking_{col}", f"{col} IS NOT NULL")
     return tx_set_properties(spark, path, {_ROW_TRACKING_PROP: col})

@@ -62,8 +62,11 @@ from typing import Iterator, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -346,31 +349,622 @@ class TxLogStreamReader(DataSourceStreamReader):
         return _read_partition(partition)
 
 
+class TxLogBatchReader(DataSourceReader):
+    """Snapshot batch read through the Python Data Source — the
+    NAME-ADDRESSABLE SQL path: ``CREATE TABLE db.t USING txlog LOCATION
+    '/path'`` resolves here, so txlog tables join the SQL serving catalog
+    next to plain-parquet external tables (the reference's consumption
+    model is exactly this: tables addressed by name in a SQL catalog,
+    `stacks/cdk_datalake_analytics_stack.py:483-522`). The snapshot — current
+    version, deletion vectors applied — is re-resolved at every query
+    plan, so SQL reads always see the latest commit with no REFRESH.
+
+    ``tx_read`` stays the fast path for programmatic reads (native
+    parquet scan, stats/bloom file skipping, where-pushdown); this reader
+    scans every live file through Arrow. The schema served is the one
+    captured when Spark planned the table (for SQL tables: at CREATE
+    TIME) — ``_read_partition`` null-pads/casts per file, so
+    schema-evolved files still read; re-create the table to surface new
+    columns."""
+
+    def __init__(self, schema_json: str, options: dict):
+        self.path = _require_local(options["path"]).rstrip("/")
+        self.schema_json = schema_json
+        v = options.get("versionasof")
+        self.version = int(v) if v is not None else None
+
+    def partitions(self) -> Sequence[InputPartition]:
+        cur = (
+            self.version
+            if self.version is not None
+            else TX.current_version(None, self.path)
+        )
+        if cur is None:
+            raise FileNotFoundError(f"no committed txlog version at {self.path}")
+        manifest = TX.read_manifest(None, self.path, cur)
+        mapping = TX._schema_mapping(manifest["schema"])
+        if not TX._mapping_is_identity(mapping):
+            raise NotImplementedError(
+                f"txlog SQL serving does not support column-mapped tables "
+                f"yet ({self.path}); read through tx_read"
+            )
+        parts = [
+            _TxFilesPartition(
+                self.path,
+                [f["path"]],
+                self.schema_json,
+                {f["path"]: list(f["dv"])} if f.get("dv") else None,
+            )
+            for f in manifest["files"]
+        ]
+        return parts or [_TxFilesPartition(self.path, [], self.schema_json)]
+
+    def read(self, partition: _TxFilesPartition) -> Iterator:
+        return _read_partition(partition)
+
+
+class _TxWriteMessage(WriterCommitMessage):
+    """One task's written files: manifest-ready add entries."""
+
+    def __init__(self, entries: list[dict]):
+        self.entries = entries
+
+
+class TxLogBatchWriter(DataSourceArrowWriter):
+    """SQL DML INTO a txlog table by name: ``INSERT INTO domain.t …`` /
+    ``INSERT OVERWRITE`` route here through the pinned format. Tasks
+    write parquet files executor-side (with per-file min/max stats for
+    the table's ``dataSkippingColumns``, so SQL inserts never strip the
+    skipping index); the driver-side ``commit`` makes ONE atomic txlog
+    commit through the same optimistic CAS as ``tx_write`` — a crash
+    before commit leaves only unreferenced files for vacuum.
+
+    Honesty gates (checked against the CURRENT manifest at commit time,
+    inside the CAS loop): tables declaring invariants this writer cannot
+    enforce — identity columns, column defaults, generated columns,
+    stored CHECK constraints, row tracking, bloom index columns, column
+    mapping — REFUSE loudly (use ``tx_write``, which enforces them);
+    hive-partitioned tables refuse (SQL inserts write unpartitioned
+    files). Schema is validated with the same write-time rule as
+    ``tx_write`` (no type changes, no new columns).
+
+    ``INSERT OVERWRITE`` is the full-truncate form and needs
+    ``spark.sql.sources.partitionOverwriteMode=static`` for the
+    statement (under the engine default ``dynamic``, Spark plans
+    OverwritePartitionsDynamic, which the Python Data Source API cannot
+    express — partition-scoped replaces go through
+    ``tx_write(mode="overwrite_dynamic")``)."""
+
+    def __init__(self, schema_json: str, options: dict, overwrite: bool):
+        path = options.get("path") or options.get("_pinned_path")
+        if not path:
+            raise ValueError("txlog writer needs a table path")
+        self.path = _require_local(path).rstrip("/")
+        self.schema_json = schema_json
+        self.overwrite = overwrite
+        self.batch = __import__("uuid").uuid4().hex
+        cur = TX.current_version(None, self.path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed txlog version at {self.path}")
+        manifest = TX.read_manifest(None, self.path, cur)
+        props = manifest.get("properties", {})
+        blockers = []
+        if TX._identity_cols(props):
+            blockers.append("identity columns")
+        if TX._column_defaults(props):
+            blockers.append("column defaults")
+        if TX._generated_cols(props):
+            blockers.append("generated columns")
+        if TX._stored_checks(props):
+            blockers.append("CHECK constraints")
+        if props.get(TX._ROW_TRACKING_PROP):
+            blockers.append("row tracking")
+        if props.get("bloomFilterColumns"):
+            blockers.append("bloom index columns")
+        if not TX._mapping_is_identity(TX._schema_mapping(manifest["schema"])):
+            blockers.append("column mapping")
+        if blockers:
+            raise NotImplementedError(
+                f"SQL INSERT cannot enforce {', '.join(blockers)} declared "
+                f"on {self.path}; write through txlog.tx_write"
+            )
+        if any(f.get("partition") for f in manifest["files"]):
+            raise NotImplementedError(
+                f"SQL INSERT writes unpartitioned files; {self.path} is "
+                "hive-partitioned — write through txlog.tx_write"
+            )
+        stats_for, _ = TX._skipping_defaults(props, None, None)
+        fields = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(self.schema_json)).fields
+        }
+        self.stat_tags = {
+            c: TX._stat_tag(fields[c])
+            for c in (stats_for or [])
+            if c in fields
+        }
+
+    def write(self, iterator) -> _TxWriteMessage:
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _TxWriteMessage([])
+        table = pa.Table.from_batches(batches)
+        rel = f"{TX._DATA}/{self.batch}/sql-{_uuid.uuid4().hex}.snappy.parquet"
+        full = f"{self.path}/{rel}"
+        local = TX._as_local_dir(full)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        pq.write_table(table, local, compression="snappy")
+        entry = {
+            "path": rel,
+            "partition": {},
+            "bytes": os.path.getsize(local),
+            "rows": table.num_rows,
+        }
+        if self.stat_tags:
+            stats = {}
+            for c, tag in self.stat_tags.items():
+                mm = pc.min_max(table[c])
+                stats[c] = {
+                    "t": tag,
+                    "min": TX._stat_encode(tag, mm["min"].as_py()),
+                    "max": TX._stat_encode(tag, mm["max"].as_py()),
+                }
+            entry["stats"] = stats
+        return _TxWriteMessage([entry])
+
+    def commit(self, messages) -> None:
+        entries = [
+            e for m in messages if m is not None for e in m.entries
+        ]
+        schema_json = self.schema_json
+        overwrite = self.overwrite
+
+        def build(cur):
+            if cur is None:
+                raise FileNotFoundError(
+                    f"txlog table vanished at {self.path}"
+                )
+            snap = TX.read_manifest(None, self.path, cur)
+            out_schema = schema_json
+            if not overwrite and snap["schema"]:
+                out_schema = TX._merge_table_schema(
+                    snap["schema"], schema_json, False, "sql INSERT"
+                )
+            return {
+                "op": "overwrite" if overwrite else "append",
+                "schema": out_schema,
+                "add": entries,
+                "remove": [],
+                "truncate": overwrite,
+            }
+
+        TX._commit(None, self.path, build)
+
+    def abort(self, messages) -> None:
+        import contextlib
+        import os
+
+        for m in messages or []:
+            if m is None:
+                continue
+            for e in m.entries:
+                local = TX._as_local_dir(f"{self.path}/{e['path']}")
+                if local is not None:
+                    with contextlib.suppress(OSError):
+                        os.remove(local)
+
+
 class TxLogStreamDataSource(DataSource):
     """``spark.readStream.format("txlog").load(path)`` — txlog tables as
-    Structured Streaming sources (register with
-    :func:`register_txlog_source`)."""
+    Structured Streaming sources — and ``spark.read.format("txlog")``
+    batch snapshot reads (register with :func:`register_txlog_source`).
+
+    ``_pinned_path`` supports the SQL-catalog form: Spark 4.1 does not
+    round-trip a catalog table's LOCATION/OPTIONS back into a Python
+    data source at scan planning (the provider is re-created with an
+    EMPTY option map), so ``CREATE TABLE … USING txlog`` cannot learn
+    its path. :func:`pinned_txlog_source` bakes the path into a
+    dynamically registered subclass instead — the format name itself is
+    the address."""
+
+    _pinned_path: str | None = None
 
     @classmethod
     def name(cls) -> str:
         return "txlog"
 
+    def _opts(self) -> dict:
+        o = dict(self.options)
+        if not o.get("path") and self._pinned_path:
+            o["path"] = self._pinned_path
+        return o
+
+    def _read_change_feed(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower() == "true"
+        )
+
     def schema(self) -> StructType:
-        path = self.options.get("path")
+        path = self._opts().get("path")
         if not path:
             raise ValueError("txlog source needs a path: .load('/table/dir')")
         _, schema_json = _snapshot_schema(_require_local(path))
+        if self._read_change_feed():
+            schema_json = _cdf_schema_json(schema_json)
         return StructType.fromJson(json.loads(schema_json))
 
-    def streamReader(self, schema: StructType) -> TxLogStreamReader:
-        return TxLogStreamReader(schema.json(), dict(self.options))
+    def streamReader(
+        self, schema: StructType
+    ) -> "TxLogStreamReader | TxCdfStreamReader":
+        if self._read_change_feed():
+            # the reader plans from the TABLE schema; Spark validates the
+            # emitted batches against the CDF schema it got from schema()
+            _, table_json = _snapshot_schema(self._opts()["path"])
+            return TxCdfStreamReader(table_json, self._opts())
+        return TxLogStreamReader(schema.json(), self._opts())
 
-    def reader(self, schema: StructType):
-        raise NotImplementedError(
-            "batch reads go through txlog.tx_read (native parquet scan with "
-            "stats/bloom skipping — faster than a Python data source); this "
-            "format is the STREAMING source"
+    def reader(self, schema: StructType) -> TxLogBatchReader:
+        return TxLogBatchReader(schema.json(), self._opts())
+
+    def writer(self, schema: StructType, overwrite: bool) -> TxLogBatchWriter:
+        return TxLogBatchWriter(schema.json(), self._opts(), overwrite)
+
+
+# ---------------------------------------------------------------------------
+# CHANGE-DATA-FEED streaming source — Delta's
+# ``readStream.option("readChangeFeed", "true")`` twin: change ROWS as a
+# stream, version offsets in the Spark checkpoint.
+#
+# Two modes, both planned driver-side from log JSON only:
+#
+# - DEFAULT (file-action reconstruction, Delta's no-CDC-action shape): a
+#   commit's added files stream as ``insert`` rows, its removed files as
+#   ``delete`` rows carrying the pre-image (for commits that rewrite
+#   files — merge/update/compaction — the feed is the net-equivalent
+#   delete+insert of the touched files, exactly what Delta reconstructs
+#   for operations without materialized ``_change_data``).
+# - ROW-KEYED (``rowKeyed=true``, requires
+#   :func:`~..sources.txlog.tx_enable_row_tracking`): each rewrite
+#   commit's touched files are DIFFED on the tracked row id, so
+#   unchanged rows cancel — an OPTIMIZE between micro-batches
+#   contributes ZERO rows, an UPDATE emits exactly its touched rows as
+#   ``update_preimage``/``update_postimage`` pairs. The diff runs
+#   executor-side per STATS GROUP: the row-id column is an identity
+#   column, so every file carries its min/max in the manifest, and files
+#   of one commit are grouped by overlapping row-id ranges (interval
+#   connected components — an appended file's fresh monotone range never
+#   overlaps a compacted bin's, so groups stay rewrite-sized). Files
+#   without row-id stats (pre-enablement legacy) fall into one catch-all
+#   group.
+#
+# Scale shape: driver touches O(changed files) of log JSON per batch;
+# each group reads only its own files through Arrow; rows never pass
+# through the driver. The diff within a group is bounded by the rewrite
+# granularity (an OPTIMIZE bin / the files one UPDATE touched).
+
+
+_CDF_TYPE = "_change_type"
+_CDF_VERSION = "_commit_version"
+
+
+def _cdf_schema_json(table_schema_json: str) -> str:
+    d = json.loads(table_schema_json)
+    d["fields"] = list(d["fields"]) + [
+        {"name": _CDF_TYPE, "type": "string", "nullable": False, "metadata": {}},
+        {"name": _CDF_VERSION, "type": "long", "nullable": False, "metadata": {}},
+    ]
+    return json.dumps(d)
+
+
+class _TxCdfPartition(InputPartition):
+    """One CDF split: ``pre``/``post`` are ``[(rel_path, dv_refs)]`` file
+    lists of ONE commit (or the initial snapshot). ``kind``:
+
+    - ``insert``: post files stream as insert rows
+    - ``filecdf``: pre files as delete rows + post files as insert rows
+    - ``diff``: row-keyed local diff of pre vs post on ``row_key``
+    """
+
+    def __init__(
+        self,
+        root: str,
+        version: int,
+        pre: list[tuple[str, list[str]]],
+        post: list[tuple[str, list[str]]],
+        table_schema_json: str,
+        kind: str,
+        row_key: str | None = None,
+    ):
+        self.root = root
+        self.version = version
+        self.pre = pre
+        self.post = post
+        self.table_schema_json = table_schema_json
+        self.kind = kind
+        self.row_key = row_key
+
+
+def _tag_batches(batches, change_type: str, version: int):
+    import pyarrow as pa
+
+    for b in batches:
+        b = b.append_column(
+            _CDF_TYPE, pa.array([change_type] * b.num_rows, type=pa.string())
         )
+        yield b.append_column(
+            _CDF_VERSION, pa.array([version] * b.num_rows, type=pa.int64())
+        )
+
+
+def _read_cdf_partition(part: _TxCdfPartition):
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    def _rows_of(files):
+        inner = _TxFilesPartition(
+            part.root,
+            [rel for rel, _ in files],
+            part.table_schema_json,
+            {rel: dv for rel, dv in files if dv},
+        )
+        return _read_partition(inner)
+
+    if part.kind == "insert":
+        yield from _tag_batches(_rows_of(part.post), "insert", part.version)
+        return
+    if part.kind == "filecdf":
+        yield from _tag_batches(_rows_of(part.pre), "delete", part.version)
+        yield from _tag_batches(_rows_of(part.post), "insert", part.version)
+        return
+    # row-keyed diff: unchanged (id, values) pairs cancel
+    spark_schema = StructType.fromJson(json.loads(part.table_schema_json))
+    names = [f.name for f in spark_schema.fields]
+    ki = names.index(part.row_key)
+
+    def _as_map(files):
+        out = {}
+        for b in files:
+            cols = [b.column(i).to_pylist() for i in range(b.num_columns)]
+            for row in zip(*cols):
+                out[row[ki]] = row
+        return out
+
+    pre = _as_map(_rows_of(part.pre))
+    post = _as_map(_rows_of(part.post))
+    changes: list[tuple[str, tuple]] = []
+    for k, row in post.items():
+        if k not in pre:
+            changes.append(("insert", row))
+        elif pre[k] != row:
+            changes.append(("update_preimage", pre[k]))
+            changes.append(("update_postimage", row))
+    for k, row in pre.items():
+        if k not in post:
+            changes.append(("delete", row))
+    if not changes:
+        return
+    target = to_arrow_schema(
+        StructType.fromJson(json.loads(_cdf_schema_json(part.table_schema_json)))
+    )
+    data = {
+        name: [c[1][i] for c in changes] for i, name in enumerate(names)
+    }
+    data[_CDF_TYPE] = [c[0] for c in changes]
+    data[_CDF_VERSION] = [part.version] * len(changes)
+    yield from pa.table(data, schema=target).to_batches(max_chunksize=1 << 16)
+
+
+class TxCdfStreamReader(DataSourceStreamReader):
+    """Version-offset micro-batch planner emitting CHANGE ROWS. Offset
+    format matches :class:`TxLogStreamReader` (``{"version": N}``; -1 =
+    pre-initial-snapshot sentinel: the first batch streams the resolved
+    snapshot as ``insert`` rows, Delta's CDF initial-snapshot shape)."""
+
+    def __init__(self, table_schema_json: str, options: dict):
+        self.path = _require_local(options["path"]).rstrip("/")
+        self.table_schema_json = table_schema_json
+        self.row_keyed = (
+            str(options.get("rowkeyed", "false")).lower() == "true"
+        )
+        self.row_key: str | None = None
+        if self.row_keyed:
+            cur = TX.current_version(None, self.path)
+            props = TX.read_manifest(None, self.path, cur).get("properties", {})
+            self.row_key = props.get(TX._ROW_TRACKING_PROP)
+            if not self.row_key:
+                raise ValueError(
+                    f"rowKeyed change feed needs row tracking enabled at "
+                    f"{self.path} (tx_enable_row_tracking first)"
+                )
+        start = options.get("startingversion")
+        if start is None:
+            self._initial = {"version": -1}
+        elif str(start).lower() == "latest":
+            self._initial = {"version": TX.current_version(None, self.path) or 0}
+        else:
+            sv = int(start)
+            if sv < 1:
+                raise ValueError("startingVersion must be >= 1 or 'latest'")
+            self._initial = {"version": sv - 1}
+
+    def initialOffset(self) -> dict:
+        return dict(self._initial)
+
+    def latestOffset(self) -> dict:
+        cur = TX.current_version(None, self.path)
+        return {"version": cur} if cur is not None else dict(self._initial)
+
+    def commit(self, end: dict) -> None:  # log retention is tx_vacuum's job
+        pass
+
+    # -- planning -----------------------------------------------------------
+
+    def _entry_files(self, entries) -> list[tuple[str, list[str]]]:
+        return [(f["path"], list(f.get("dv") or [])) for f in entries]
+
+    def _commit_partitions(self, v: int) -> list[_TxCdfPartition]:
+        rec = TX.read_commit(None, self.path, v)
+        if "files" in rec:  # legacy full-snapshot record: total replace
+            prior = (
+                TX.read_manifest(None, self.path, v - 1)["files"]
+                if v > 1
+                else []
+            )
+            pre_entries, post_entries = prior, rec["files"]
+        else:
+            prior_by: dict[str, dict] = {}
+            adds = rec.get("add", [])
+            readds = {f["path"] for f in adds}
+            needs_prior = bool(rec.get("truncate") and v > 1) or bool(
+                rec.get("remove")
+            )
+            if not needs_prior:
+                # dv-only re-adds still diff against the prior entry
+                needs_prior = any(f.get("dv") for f in adds)
+            if needs_prior:
+                try:
+                    prior_by = {
+                        f["path"]: f
+                        for f in TX.read_manifest(None, self.path, v - 1)[
+                            "files"
+                        ]
+                    }
+                except FileNotFoundError:
+                    raise RuntimeError(
+                        f"change feed needs version {v - 1} of {self.path} "
+                        "but it was vacuumed — start a fresh stream"
+                    )
+            if rec.get("truncate") and v > 1:
+                pre_entries = list(prior_by.values())
+            else:
+                pre_entries = [
+                    prior_by[p] for p in rec.get("remove", ()) if p in prior_by
+                ]
+                # a DV commit re-adds an existing path with a new dv: the
+                # prior entry is the pre-image side
+                pre_entries += [
+                    prior_by[p]
+                    for p in sorted(readds & set(prior_by))
+                    if p not in rec.get("remove", ())
+                ]
+            post_entries = adds
+        pre = self._entry_files(pre_entries)
+        post = self._entry_files(post_entries)
+        if not pre:  # pure append
+            if not post:
+                return []
+            return [
+                _TxCdfPartition(
+                    self.path, v, [], [(rel, dv)],
+                    self.table_schema_json, "insert",
+                )
+                for rel, dv in post
+            ]
+        if not self.row_keyed:
+            return [
+                _TxCdfPartition(
+                    self.path, v, pre, post, self.table_schema_json, "filecdf"
+                )
+            ]
+        return self._diff_groups(v, pre_entries, post_entries)
+
+    def _diff_groups(
+        self, v: int, pre_entries: list[dict], post_entries: list[dict]
+    ) -> list[_TxCdfPartition]:
+        """Group one commit's touched files by overlapping row-id stat
+        ranges; each group diffs locally. A file WITHOUT row-id stats may
+        overlap any range, so its presence collapses the commit to ONE
+        group (splitting would let a pre-file and its overlapping
+        post-file land in different groups — every row would look
+        deleted in one and inserted in the other)."""
+        items = []  # (side, entry, lo, hi)
+        stats_missing = False
+        for side, entries in (("pre", pre_entries), ("post", post_entries)):
+            for f in entries:
+                st = (f.get("stats") or {}).get(self.row_key)
+                if st is None or st.get("min") is None:
+                    stats_missing = True
+                    items.append((side, f, None, None))
+                else:
+                    items.append((side, f, int(st["min"]), int(st["max"])))
+        if stats_missing:
+            groups: list[list] = [items]
+        else:
+            items.sort(key=lambda x: (x[2], x[3]))
+            groups = []
+            hi = None
+            for it in items:
+                if hi is None or it[2] > hi:
+                    groups.append([it])
+                    hi = it[3]
+                else:
+                    groups[-1].append(it)
+                    hi = max(hi, it[3])
+        parts = []
+        for g in groups:
+            pre = self._entry_files([e for s, e, _, _ in g if s == "pre"])
+            post = self._entry_files([e for s, e, _, _ in g if s == "post"])
+            parts.append(
+                _TxCdfPartition(
+                    self.path, v, pre, post, self.table_schema_json,
+                    "diff", self.row_key,
+                )
+            )
+        return parts
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        s, e = int(start["version"]), int(end["version"])
+        parts: list[_TxCdfPartition] = []
+        if s < 0:  # initial snapshot as insert rows
+            files = TX.read_manifest(None, self.path, e)["files"]
+            parts = [
+                _TxCdfPartition(
+                    self.path, e, [], [(f["path"], list(f.get("dv") or []))],
+                    self.table_schema_json, "insert",
+                )
+                for f in files
+            ]
+        else:
+            for v in TX.list_versions(None, self.path):
+                if s < v <= e:
+                    parts.extend(self._commit_partitions(v))
+        return parts or [
+            _TxCdfPartition(
+                self.path, e, [], [], self.table_schema_json, "insert"
+            )
+        ]
+
+    def read(self, partition: _TxCdfPartition):
+        return _read_cdf_partition(partition)
+
+
+def pinned_txlog_source(spark: SparkSession, path: str) -> str:
+    """Register a TABLE-PINNED txlog format and return its name — the
+    SQL-serving shim: ``CREATE TABLE db.t USING <returned name>`` then
+    resolves the snapshot at every query plan with no options needed
+    (catalog tables hand Python data sources an empty option map).
+    Deterministic per path and idempotent (re-registering replaces the
+    entry). The dynamic subclass is pickled by value (cloudpickle), so
+    executors never need it importable."""
+    import hashlib
+
+    register_txlog_source(spark)  # module-by-value pickling + package zip
+    norm = path.rstrip("/")
+    fmt = "txlog_t_" + hashlib.sha1(norm.encode()).hexdigest()[:12]
+    cls = type(
+        f"TxLogPinned_{fmt}",
+        (TxLogStreamDataSource,),
+        {"_pinned_path": norm, "name": classmethod(lambda c, _f=fmt: _f)},
+    )
+    spark.dataSource.register(cls)
+    return fmt
 
 
 def register_txlog_source(spark: SparkSession) -> None:
@@ -411,4 +1005,25 @@ def stream_txlog(
         reader = reader.option("skipChangeCommits", "true")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def stream_txlog_changes(
+    spark: SparkSession,
+    path: str,
+    row_keyed: bool = False,
+    starting_version: int | str | None = None,
+) -> DataFrame:
+    """A streaming CHANGE FEED of the txlog table at ``path`` (Delta's
+    ``readChangeFeed`` twin): table columns + ``_change_type`` +
+    ``_commit_version``, exactly-once under the Spark checkpoint.
+    ``row_keyed=True`` (requires row tracking) diffs rewrites on the
+    tracked row id so an OPTIMIZE contributes zero rows and an UPDATE
+    emits exactly its touched rows as pre/post image pairs."""
+    register_txlog_source(spark)
+    reader = spark.readStream.format("txlog").option("readChangeFeed", "true")
+    if row_keyed:
+        reader = reader.option("rowKeyed", "true")
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
     return reader.load(path)

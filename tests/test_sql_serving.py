@@ -1,0 +1,273 @@
+"""Name-based SQL serving surface (Athena-catalog twin): one database per
+layer, external parquet tables with partition recovery, txlog tables
+through the Python Data Source batch reader, multi-instance union views,
+and the domain→analytics by-name chain (CTAS) the reference's consumers
+run (`stacks/cdk_datalake_analytics_stack.py:483-522`)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.core.catalog import Catalog
+from cdk_datalake_analytics_comercial_spark.core.sql_serving import (
+    register_parquet_table,
+    register_sql,
+    register_sql_dir,
+    register_txlog_table,
+)
+from cdk_datalake_analytics_comercial_spark.sources import txlog as TX
+
+
+@pytest.fixture()
+def lake_fs(spark, tmp_path):
+    """A small lake: partitioned parquet in domain, flat parquet in
+    analytics, a txlog table in domain, a two-instance stage table with
+    schema drift."""
+    root = str(tmp_path / "lake")
+    cat = Catalog(root=root)
+    spark.createDataFrame(
+        [(1, "a", "202401"), (2, "b", "202401"), (3, "c", "202402")],
+        "id long, v string, id_periodo string",
+    ).write.partitionBy("id_periodo").parquet(f"{root}/domain/t_venta")
+    spark.createDataFrame(
+        [(10, 99.5), (20, 1.25)], "fact_id long, amount double"
+    ).write.parquet(f"{root}/analytics/fact_venta_detalle")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, "PE"), (2, "CL")], "pais_id long, iso string"),
+        f"{root}/domain/m_pais",
+    )
+    spark.createDataFrame([(1, 5)], "k long, ep1_only int").write.parquet(
+        f"{root}/stage/m_cliente/ep1"
+    )
+    spark.createDataFrame([(2,)], "k long").write.parquet(
+        f"{root}/stage/m_cliente/ep2"
+    )
+    return cat
+
+
+def test_register_sql_per_layer_databases(spark, lake_fs):
+    reg = register_sql(spark, lake_fs, db_prefix="s1_")
+    assert set(reg) == {"s1_domain", "s1_analytics", "s1_stage"}
+    assert "s1_domain.t_venta" in reg["s1_domain"]
+    assert "s1_domain.m_pais" in reg["s1_domain"]
+    # name-addressable, partition columns recovered with values
+    got = {
+        (r["id"], r["id_periodo"])
+        for r in spark.sql("SELECT id, id_periodo FROM s1_domain.t_venta").collect()
+    }
+    assert got == {(1, "202401"), (2, "202401"), (3, "202402")}
+    assert spark.sql("SELECT count(*) c FROM s1_analytics.fact_venta_detalle").collect()[0]["c"] == 2
+
+
+def test_sql_txlog_table_serves_current_snapshot(spark, lake_fs):
+    register_sql(spark, lake_fs, db_prefix="s2_")
+    assert {
+        r["iso"] for r in spark.sql("SELECT iso FROM s2_domain.m_pais").collect()
+    } == {"PE", "CL"}
+    # a new commit is visible WITHOUT re-registration (snapshot resolved
+    # per query plan — the raw-parquet stale-batch trap cannot happen)
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(3, "AR")], "pais_id long, iso string"),
+        lake_fs.table_path("domain", "m_pais"),
+        mode="append",
+    )
+    assert {
+        r["iso"] for r in spark.sql("SELECT iso FROM s2_domain.m_pais").collect()
+    } == {"PE", "CL", "AR"}
+    # a DV soft delete is honored by the SQL read
+    TX.tx_delete(
+        spark,
+        lake_fs.table_path("domain", "m_pais"),
+        where={"pais_id": (2, 2)},
+        use_dv=True,
+    )
+    assert {
+        r["iso"] for r in spark.sql("SELECT iso FROM s2_domain.m_pais").collect()
+    } == {"PE", "AR"}
+
+
+def test_stage_union_view_null_pads_by_name(spark, lake_fs):
+    register_sql(spark, lake_fs, db_prefix="s3_")
+    rows = {
+        (r["k"], r["ep1_only"])
+        for r in spark.sql("SELECT k, ep1_only FROM s3_stage.m_cliente").collect()
+    }
+    assert rows == {(1, 5), (2, None)}
+    # per-instance tables also addressable
+    assert spark.sql("SELECT count(*) c FROM s3_stage.m_cliente__ep2").collect()[0]["c"] == 1
+
+
+def test_domain_to_analytics_chain_by_name(spark, lake_fs, tmp_path):
+    """The reference's consumption chain: analytics tables are DEFINED in
+    SQL over domain names (CTAS), then queried by name."""
+    register_sql(spark, lake_fs, db_prefix="s4_")
+    loc = str(tmp_path / "lake/analytics/agg_venta")
+    spark.sql("DROP TABLE IF EXISTS s4_analytics.agg_venta")
+    spark.sql(f"""
+        CREATE TABLE s4_analytics.agg_venta USING parquet LOCATION '{loc}'
+        AS SELECT id_periodo, CAST(count(*) AS BIGINT) AS n
+        FROM s4_domain.t_venta GROUP BY id_periodo
+    """)
+    got = {
+        (r["id_periodo"], r["n"])
+        for r in spark.sql(
+            "SELECT v.id_periodo, a.n FROM s4_domain.t_venta v "
+            "JOIN s4_analytics.agg_venta a USING (id_periodo) "
+            "WHERE v.id = 1"
+        ).collect()
+    }
+    assert got == {("202401", 2)}
+    # the CTAS landed in the lake: re-registration picks it up as a table
+    reg = register_sql(spark, lake_fs, db_prefix="s4b_")
+    assert "s4b_analytics.agg_venta" in reg["s4b_analytics"]
+
+
+def test_register_sql_dir_testdata(spark):
+    sf = "/root/testdata/sf0.001"
+    names = register_sql_dir(spark, sf, "tdx")
+    assert "tdx.region" in names and "tdx.lineitem" in names
+    n = spark.sql(
+        "SELECT count(*) c FROM tdx.nation JOIN tdx.region "
+        "ON n_regionkey = r_regionkey"
+    ).collect()[0]["c"]
+    assert n == 25
+
+
+def test_sql_query_matches_dataframe_twin(spark):
+    """sql_regional_supplier_volume (pure spark.sql over registered
+    names) returns exactly the DataFrame twin's rows."""
+    from cdk_datalake_analytics_comercial_spark.plans.relational import (
+        q_regional_supplier_volume,
+        q_sql_regional_supplier_volume,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in q_regional_supplier_volume(spark, sf).collect()}
+    b = {tuple(r) for r in q_sql_regional_supplier_volume(spark, sf).collect()}
+    assert a == b and a
+
+
+def test_registration_is_idempotent_and_external(spark, lake_fs):
+    """Re-registering drops/recreates METADATA only; the data survives."""
+    register_sql(spark, lake_fs, db_prefix="s5_")
+    register_sql(spark, lake_fs, db_prefix="s5_")
+    assert spark.sql("SELECT count(*) c FROM s5_domain.t_venta").collect()[0]["c"] == 3
+    # dropping the table never deletes lake data (external semantics)
+    spark.sql("DROP TABLE s5_domain.t_venta")
+    p = lake_fs.table_path("domain", "t_venta")
+    assert os.path.isdir(p) and any("id_periodo=" in e for e in os.listdir(p))
+    register_parquet_table(spark, "s5_domain", "t_venta", p)
+    assert spark.sql("SELECT count(*) c FROM s5_domain.t_venta").collect()[0]["c"] == 3
+
+
+def test_txlog_batch_read_format(spark, tmp_path):
+    """spark.read.format('txlog') — the DataFrame face of the same batch
+    reader — matches tx_read, including partition columns and types."""
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        register_txlog_source,
+    )
+
+    p = str(tmp_path / "txb")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 8)], "id long, v string, part long"
+        ),
+        p,
+        partition_by=["part"],
+    )
+    register_txlog_source(spark)
+    got = spark.read.format("txlog").load(p)
+    assert dict(got.dtypes) == dict(TX.tx_read(spark, p).dtypes)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in TX.tx_read(spark, p).collect()
+    }
+    # versionAsOf time travel through the batch reader
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(3, "c", 9)], "id long, v string, part long"),
+        p,
+        mode="append",
+        partition_by=["part"],
+    )
+    v1 = spark.read.format("txlog").option("versionAsOf", "1").load(p)
+    assert v1.count() == 2 and spark.read.format("txlog").load(p).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# SQL DML INTO txlog tables (INSERT INTO / INSERT OVERWRITE by name)
+
+
+def test_sql_insert_into_txlog_table(spark, tmp_path):
+    p = str(tmp_path / "ins")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), p
+    )
+    register_txlog_table(spark, "insdb", "t", p)
+    v0 = TX.current_version(spark, p)
+    spark.sql("INSERT INTO insdb.t VALUES (2, 'b'), (3, 'c')")
+    assert TX.current_version(spark, p) == v0 + 1  # ONE atomic commit
+    assert {tuple(r) for r in spark.sql("SELECT id, v FROM insdb.t").collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    # the same rows through the native fast path + time travel intact
+    assert TX.tx_read(spark, p).count() == 3
+    assert TX.tx_read(spark, p, version=v0).count() == 1
+    # INSERT OVERWRITE truncates in one commit (static mode: the dynamic
+    # default plans OverwritePartitionsDynamic, inexpressible in the
+    # Python Data Source API — see TxLogBatchWriter docstring)
+    mode0 = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.sql("INSERT OVERWRITE insdb.t VALUES (9, 'z')")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode0)
+    assert {tuple(r) for r in spark.sql("SELECT id, v FROM insdb.t").collect()} == {
+        (9, "z"),
+    }
+
+
+def test_sql_insert_records_skipping_stats(spark, tmp_path):
+    """SQL inserts must not strip the table's skipping index: files carry
+    min/max for the declared dataSkippingColumns."""
+    p = str(tmp_path / "insstats")
+    TX.tx_write(
+        spark, spark.createDataFrame([(5, "a")], "id long, v string"), p
+    )
+    TX.tx_set_properties(spark, p, {"dataSkippingColumns": "id"})
+    register_txlog_table(spark, "insdb2", "t", p)
+    spark.sql("INSERT INTO insdb2.t VALUES (100, 'x'), (200, 'y')")
+    m = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    new = [f for f in m["files"] if f["path"].split("/")[-1].startswith("sql-")]
+    assert new and all("id" in (f.get("stats") or {}) for f in new)
+    assert min(f["stats"]["id"]["min"] for f in new) == 100
+    assert max(f["stats"]["id"]["max"] for f in new) == 200
+    # and the skipping read proves the stats are live (file-pruned scan)
+    assert TX.tx_read(spark, p, where={"id": (150, 300)}).count() == 1
+
+
+def test_sql_insert_refuses_unenforceable_tables(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "insref")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), p
+    )
+    TX.tx_add_identity(spark, p, "id")
+    register_txlog_table(spark, "insdb3", "t", p)
+    with pytest.raises(Exception, match="identity columns"):
+        spark.sql("INSERT INTO insdb3.t (v) VALUES ('b')")
+
+    q = str(tmp_path / "inspart")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, "a", "p1")], "id long, v string, part string"),
+        q,
+        partition_by=["part"],
+    )
+    register_txlog_table(spark, "insdb3", "tp", q)
+    with pytest.raises(Exception, match="hive-partitioned"):
+        spark.sql("INSERT INTO insdb3.tp VALUES (2, 'b', 'p2')")

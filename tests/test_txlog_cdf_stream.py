@@ -1,0 +1,214 @@
+"""Streaming CHANGE-DATA-FEED source (streaming/source.py,
+readChangeFeed=true): change ROWS as a stream with version offsets in the
+Spark checkpoint — Delta's `readStream.option("readChangeFeed")` twin —
+plus the row-keyed mode over row tracking where rewrites cancel
+(OPTIMIZE contributes ZERO rows, UPDATE emits exact pre/post pairs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_analytics_comercial_spark.sources import txlog as TX
+from cdk_datalake_analytics_comercial_spark.streaming.source import (
+    stream_txlog_changes,
+)
+
+
+def _drain(spark, tbl, out, chk, row_keyed=False):
+    """One availableNow drain of the change feed into a parquet sink;
+    returns every change row accumulated so far, sorted."""
+    q = (
+        stream_txlog_changes(spark, tbl, row_keyed=row_keyed)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    df = spark.read.parquet(out)
+    cols = [c for c in df.columns]
+    return sorted(tuple(r) for r in df.select(*sorted(cols)).collect())
+
+
+def _rows(spark, out):
+    return spark.read.parquet(out)
+
+
+def test_cdf_initial_snapshot_then_appends_exactly_once(spark, tmp_path):
+    tbl, out, chk = (str(tmp_path / d) for d in ("t", "out", "chk"))
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        tbl,
+    )
+    _drain(spark, tbl, out, chk)
+    got = _rows(spark, out)
+    assert {tuple(r) for r in got.select("id", "v", "_change_type").collect()} == {
+        (1, "a", "insert"),
+        (2, "b", "insert"),
+    }
+    # incremental: a new append arrives once, replays add nothing
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        tbl,
+        mode="append",
+    )
+    _drain(spark, tbl, out, chk)
+    _drain(spark, tbl, out, chk)  # no new commits -> no duplicate rows
+    got = _rows(spark, out)
+    assert got.count() == 3
+    v3 = got.filter(F.col("id") == 3).collect()[0]
+    assert v3["_change_type"] == "insert"
+    assert v3["_commit_version"] == TX.current_version(spark, tbl)
+
+
+def test_cdf_default_mode_rewrite_streams_net_equivalent_feed(spark, tmp_path):
+    """Without row tracking, a rewrite commit streams its touched files
+    as delete(pre) + insert(post) rows — Delta's reconstruction for
+    commits without materialized change data. Folding the feed
+    reproduces the table state."""
+    tbl, out, chk = (str(tmp_path / d) for d in ("t", "out", "chk"))
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        tbl,
+    )
+    _drain(spark, tbl, out, chk)
+    TX.tx_delete(spark, tbl, where={"id": (2, 2)})
+    _drain(spark, tbl, out, chk)
+    feed = _rows(spark, out).collect()
+    # fold: apply versions in order; deletes drop keys, inserts add them
+    state: dict[int, str] = {}
+    for r in sorted(feed, key=lambda r: (r["_commit_version"],
+                                         r["_change_type"] != "delete")):
+        if r["_change_type"] == "delete":
+            state.pop(r["id"], None)
+        else:
+            state[r["id"]] = r["v"]
+    assert state == {1: "a", 3: "c"}
+    assert {r["id"] for r in feed if r["_change_type"] == "delete"} >= {2}
+
+
+@pytest.fixture()
+def tracked(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        tbl,
+    )
+    TX.tx_enable_row_tracking(spark, tbl)
+    return tbl
+
+
+def test_cdf_row_keyed_update_emits_exact_pairs(spark, tracked, tmp_path):
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    _drain(spark, tracked, out, chk, row_keyed=True)
+    n0 = _rows(spark, out).count()  # initial snapshot inserts
+    TX.tx_update(
+        spark, tracked, where={"id": (2, 2)}, assignments={"v": F.lit("B!")}
+    )
+    _drain(spark, tracked, out, chk, row_keyed=True)
+    new = (
+        _rows(spark, out)
+        .filter(F.col("_change_type") != "insert")
+        .select("id", "v", "_change_type")
+        .collect()
+    )
+    assert _rows(spark, out).count() == n0 + 2
+    assert {tuple(r) for r in new} == {
+        (2, "b", "update_preimage"),
+        (2, "B!", "update_postimage"),
+    }
+
+
+def test_cdf_row_keyed_optimize_contributes_zero_rows(spark, tracked, tmp_path):
+    """The verdict's gate: an OPTIMIZE (compaction rewrite) between
+    micro-batches contributes ZERO change rows in row-keyed mode — same
+    ids, same values, everything cancels — while a later real append
+    still arrives."""
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    _drain(spark, tracked, out, chk, row_keyed=True)
+    n0 = _rows(spark, out).count()
+    TX.tx_compact(spark, tracked, n_files=1)
+    _drain(spark, tracked, out, chk, row_keyed=True)
+    assert _rows(spark, out).count() == n0, "OPTIMIZE leaked change rows"
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([("d",)], "v string"),
+        tracked,
+        mode="append",
+    )
+    _drain(spark, tracked, out, chk, row_keyed=True)
+    extra = (
+        _rows(spark, out)
+        .filter(F.col("v") == "d")
+        .select("_change_type")
+        .collect()
+    )
+    assert [r["_change_type"] for r in extra] == ["insert"]
+    assert _rows(spark, out).count() == n0 + 1
+
+
+def test_cdf_row_keyed_dv_delete_emits_exact_delete(spark, tracked, tmp_path):
+    """A deletion-vector soft delete re-adds the file with a DV sidecar:
+    the row-keyed diff of prior entry vs dv'd entry is exactly the
+    newly-dead row."""
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    _drain(spark, tracked, out, chk, row_keyed=True)
+    n0 = _rows(spark, out).count()
+    TX.tx_delete(spark, tracked, where={"id": (3, 3)}, use_dv=True)
+    _drain(spark, tracked, out, chk, row_keyed=True)
+    new = (
+        _rows(spark, out)
+        .filter(F.col("_change_type") == "delete")
+        .select("id", "v")
+        .collect()
+    )
+    assert _rows(spark, out).count() == n0 + 1
+    assert {tuple(r) for r in new} == {(3, "c")}
+
+
+def test_cdf_row_keyed_requires_row_tracking(spark, tmp_path):
+    tbl = str(tmp_path / "plain")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "id long"), tbl)
+    q = None
+    with pytest.raises(Exception, match="row tracking"):
+        q = (
+            stream_txlog_changes(spark, tbl, row_keyed=True)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+    if q is not None:
+        q.stop()
+
+
+def test_cdf_restart_after_rewrite_is_exactly_once(spark, tracked, tmp_path):
+    """Kill-and-restart around a rewrite commit: the checkpointed version
+    offset resumes exactly after the last delivered commit — the update
+    pair is delivered once, never replayed."""
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    _drain(spark, tracked, out, chk, row_keyed=True)
+    TX.tx_update(
+        spark, tracked, where={"id": (1, 1)}, assignments={"v": F.lit("A2")}
+    )
+    _drain(spark, tracked, out, chk, row_keyed=True)
+    first = _rows(spark, out).count()
+    _drain(spark, tracked, out, chk, row_keyed=True)  # restart, no new commits
+    assert _rows(spark, out).count() == first
+    pairs = (
+        _rows(spark, out)
+        .filter(F.col("_change_type").startswith("update"))
+        .count()
+    )
+    assert pairs == 2

@@ -263,8 +263,9 @@ def test_integration_steady_state_capped(spark, tmp_path):
 
 
 def test_guardrails(spark, tmp_path):
-    """Batch reads are refused (tx_read is the fast path); non-local paths
-    are refused with the fsspec-shim pointer; empty tables have no schema."""
+    """Batch reads serve the snapshot (SQL-serving path — since round 9;
+    tx_read remains the fast programmatic path); non-local paths are
+    refused with the fsspec-shim pointer; empty tables have no schema."""
     tbl = str(tmp_path / "t")
     TX.tx_write(spark, _mk(spark, 1), tbl)
     from cdk_datalake_analytics_comercial_spark.streaming.source import (
@@ -272,8 +273,7 @@ def test_guardrails(spark, tmp_path):
     )
 
     register_txlog_source(spark)
-    with pytest.raises(Exception, match="tx_read"):
-        spark.read.format("txlog").load(tbl).collect()
+    assert spark.read.format("txlog").load(tbl).count() == 1
     # surfaces wrapped as AnalysisException (raised during schema resolution
     # inside the data source runner), message preserved
     with pytest.raises(Exception, match="local paths"):
