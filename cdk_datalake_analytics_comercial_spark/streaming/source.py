@@ -92,20 +92,13 @@ def _require_local(path: str) -> str:
 def _snapshot_schema(path: str) -> tuple[int, str]:
     """(current version, schema JSON) of the table — driver-side, no
     SparkSession (the Data Source API resolves schemas in a bare Python
-    process)."""
+    process). Column-mapped tables are fine: the schema keeps its
+    ``txlog_physical`` field metadata and ``_read_partition`` resolves
+    physical file names per field, serving LOGICAL names."""
     cur = TX.current_version(None, path)
     if cur is None:
         raise FileNotFoundError(f"no committed txlog version at {path}")
     manifest = TX.read_manifest(None, path, cur)
-    mapping = TX._schema_mapping(manifest["schema"])
-    if not TX._mapping_is_identity(mapping):
-        # the file-based reader would serve PHYSICAL column names; refuse
-        # loudly rather than stream wrong names (consume mapped tables via
-        # streaming/cdf.drain_cdf, which reads through tx_read)
-        raise NotImplementedError(
-            f"txlog streaming source does not support column-mapped "
-            f"tables yet ({path}); use streaming.cdf.drain_cdf"
-        )
     return cur, manifest["schema"]
 
 
@@ -150,7 +143,12 @@ def _hive_dec(seg: str):
 def _read_partition(part: _TxFilesPartition) -> Iterator:
     """Executor-side read of one split: pyarrow parquet scan + partition
     columns reconstructed from the hive path segments, aligned and cast to
-    the table schema (Spark validates the Arrow batches against it)."""
+    the table schema (Spark validates the Arrow batches against it).
+    Column-MAPPED tables are served under their LOGICAL names: each
+    target field resolves its physical file/path name from the schema's
+    ``txlog_physical`` metadata, so renames are invisible to consumers
+    and a re-added column (fresh physical id) null-pads over dormant
+    dropped data instead of resurrecting it."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -158,6 +156,10 @@ def _read_partition(part: _TxFilesPartition) -> Iterator:
 
     spark_schema = StructType.fromJson(json.loads(part.schema_json))
     target = to_arrow_schema(spark_schema)
+    phys_of = {
+        f.name: (f.metadata or {}).get("txlog_physical", f.name)
+        for f in spark_schema.fields
+    }
     for rel in part.rel_paths:
         table = pq.read_table(f"{part.root}/{rel}")
         if part.dv.get(rel):
@@ -187,10 +189,11 @@ def _read_partition(part: _TxFilesPartition) -> Iterator:
         }
         cols = []
         for field in target:
-            if field.name in table.column_names:
-                col = table.column(field.name)
-            elif field.name in part_vals:
-                raw = part_vals[field.name]
+            phys = phys_of.get(field.name, field.name)
+            if phys in table.column_names:
+                col = table.column(phys)
+            elif phys in part_vals:
+                raw = part_vals[phys]
                 col = pa.array([raw] * n, type=pa.string())
                 if not pa.types.is_string(field.type):
                     col = pc.cast(col, field.type)
@@ -382,22 +385,32 @@ class TxLogBatchReader(DataSourceReader):
         if cur is None:
             raise FileNotFoundError(f"no committed txlog version at {self.path}")
         manifest = TX.read_manifest(None, self.path, cur)
+        # SQL catalog tables may strip field METADATA from the schema Spark
+        # hands back, which would silently drop the logical→physical column
+        # mapping (reads would null-pad mapped columns): re-inject
+        # txlog_physical from the current manifest, joined on logical name.
         mapping = TX._schema_mapping(manifest["schema"])
+        schema_json = self.schema_json
         if not TX._mapping_is_identity(mapping):
-            raise NotImplementedError(
-                f"txlog SQL serving does not support column-mapped tables "
-                f"yet ({self.path}); read through tx_read"
-            )
+            d = json.loads(schema_json)
+            for f in d["fields"]:
+                phys = mapping.get(f["name"])
+                if phys and phys != f["name"]:
+                    f["metadata"] = {
+                        **(f.get("metadata") or {}),
+                        "txlog_physical": phys,
+                    }
+            schema_json = json.dumps(d)
         parts = [
             _TxFilesPartition(
                 self.path,
                 [f["path"]],
-                self.schema_json,
+                schema_json,
                 {f["path"]: list(f["dv"])} if f.get("dv") else None,
             )
             for f in manifest["files"]
         ]
-        return parts or [_TxFilesPartition(self.path, [], self.schema_json)]
+        return parts or [_TxFilesPartition(self.path, [], schema_json)]
 
     def read(self, partition: _TxFilesPartition) -> Iterator:
         return _read_partition(partition)
@@ -681,6 +694,8 @@ class _TxCdfPartition(InputPartition):
         table_schema_json: str,
         kind: str,
         row_key: str | None = None,
+        key_lo: int | None = None,
+        key_hi: int | None = None,
     ):
         self.root = root
         self.version = version
@@ -689,6 +704,11 @@ class _TxCdfPartition(InputPartition):
         self.table_schema_json = table_schema_json
         self.kind = kind
         self.row_key = row_key
+        # half-open row-id sub-range [key_lo, key_hi) when a big diff
+        # group was split for parallelism — each split keeps only its
+        # own ids, so splits never double-emit a change row
+        self.key_lo = key_lo
+        self.key_hi = key_hi
 
 
 def _tag_batches(batches, change_type: str, version: int):
@@ -733,7 +753,12 @@ def _read_cdf_partition(part: _TxCdfPartition):
         for b in files:
             cols = [b.column(i).to_pylist() for i in range(b.num_columns)]
             for row in zip(*cols):
-                out[row[ki]] = row
+                k = row[ki]
+                if part.key_lo is not None and (
+                    k < part.key_lo or k >= part.key_hi
+                ):
+                    continue  # another split owns this id
+                out[k] = row
         return out
 
     pre = _as_map(_rows_of(part.pre))
@@ -774,15 +799,33 @@ class TxCdfStreamReader(DataSourceStreamReader):
             str(options.get("rowkeyed", "false")).lower() == "true"
         )
         self.row_key: str | None = None
+        self.row_key_phys: str | None = None
         if self.row_keyed:
             cur = TX.current_version(None, self.path)
-            props = TX.read_manifest(None, self.path, cur).get("properties", {})
-            self.row_key = props.get(TX._ROW_TRACKING_PROP)
+            manifest = TX.read_manifest(None, self.path, cur)
+            self.row_key = manifest.get("properties", {}).get(
+                TX._ROW_TRACKING_PROP
+            )
             if not self.row_key:
                 raise ValueError(
                     f"rowKeyed change feed needs row tracking enabled at "
                     f"{self.path} (tx_enable_row_tracking first)"
                 )
+            # per-file stats are keyed by PHYSICAL name on mapped tables
+            self.row_key_phys = TX._schema_mapping(manifest["schema"]).get(
+                self.row_key, self.row_key
+            )
+        # a diff group bigger than this splits into row-id sub-ranges so
+        # a full-table compaction diffs in PARALLEL tasks instead of one;
+        # per-split read amplification is bounded by the files whose stat
+        # range overlaps the split (an OPTIMIZE output file spanning the
+        # whole range is re-read once per split — the price of bounding
+        # per-task memory at scale)
+        self.split_bytes = int(
+            options.get("diffsplitbytes", str(128 << 20))
+        )
+        if self.split_bytes < 1:
+            raise ValueError("diffSplitBytes must be >= 1")
         start = options.get("startingversion")
         if start is None:
             self._initial = {"version": -1}
@@ -888,7 +931,9 @@ class TxCdfStreamReader(DataSourceStreamReader):
         stats_missing = False
         for side, entries in (("pre", pre_entries), ("post", post_entries)):
             for f in entries:
-                st = (f.get("stats") or {}).get(self.row_key)
+                if f.get("rows") == 0:
+                    continue  # an empty file contributes nothing to a diff
+                st = (f.get("stats") or {}).get(self.row_key_phys)
                 if st is None or st.get("min") is None:
                     stats_missing = True
                     items.append((side, f, None, None))
@@ -911,13 +956,57 @@ class TxCdfStreamReader(DataSourceStreamReader):
         for g in groups:
             pre = self._entry_files([e for s, e, _, _ in g if s == "pre"])
             post = self._entry_files([e for s, e, _, _ in g if s == "post"])
-            parts.append(
-                _TxCdfPartition(
-                    self.path, v, pre, post, self.table_schema_json,
-                    "diff", self.row_key,
+            splits = self._range_splits(g)
+            if splits is None:
+                parts.append(
+                    _TxCdfPartition(
+                        self.path, v, pre, post, self.table_schema_json,
+                        "diff", self.row_key,
+                    )
                 )
-            )
+                continue
+            for slo, shi in splits:
+                sp = self._entry_files(
+                    [e for s, e, lo, hi in g
+                     if s == "pre" and lo < shi and hi >= slo]
+                )
+                so = self._entry_files(
+                    [e for s, e, lo, hi in g
+                     if s == "post" and lo < shi and hi >= slo]
+                )
+                if sp or so:
+                    parts.append(
+                        _TxCdfPartition(
+                            self.path, v, sp, so, self.table_schema_json,
+                            "diff", self.row_key, key_lo=slo, key_hi=shi,
+                        )
+                    )
         return parts
+
+    _DIFF_SPLIT_MAX = 64
+
+    def _range_splits(self, g) -> list[tuple[int, int]] | None:
+        """Half-open row-id sub-ranges for an oversized stats-grouped
+        diff, or None when the group is small enough to diff whole."""
+        size = max(
+            sum(e.get("bytes", 0) for s, e, _, _ in g if s == "pre"),
+            sum(e.get("bytes", 0) for s, e, _, _ in g if s == "post"),
+        )
+        if size <= self.split_bytes:
+            return None
+        if any(x[2] is None for x in g):
+            return None  # stats-less member: range splitting impossible
+        lo = min(x[2] for x in g)
+        hi = max(x[3] for x in g) + 1  # half-open end
+        k = min(
+            (size + self.split_bytes - 1) // self.split_bytes,
+            self._DIFF_SPLIT_MAX,
+            max(hi - lo, 1),
+        )
+        step = (hi - lo + k - 1) // k
+        return [
+            (lo + i * step, min(lo + (i + 1) * step, hi)) for i in range(k)
+        ]
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = int(start["version"]), int(end["version"])
@@ -1013,6 +1102,7 @@ def stream_txlog_changes(
     path: str,
     row_keyed: bool = False,
     starting_version: int | str | None = None,
+    diff_split_bytes: int | None = None,
 ) -> DataFrame:
     """A streaming CHANGE FEED of the txlog table at ``path`` (Delta's
     ``readChangeFeed`` twin): table columns + ``_change_type`` +
@@ -1026,4 +1116,6 @@ def stream_txlog_changes(
         reader = reader.option("rowKeyed", "true")
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
+    if diff_split_bytes is not None:
+        reader = reader.option("diffSplitBytes", str(diff_split_bytes))
     return reader.load(path)

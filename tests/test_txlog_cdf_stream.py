@@ -212,3 +212,41 @@ def test_cdf_restart_after_rewrite_is_exactly_once(spark, tracked, tmp_path):
         .count()
     )
     assert pairs == 2
+
+
+def test_cdf_row_keyed_oversized_group_splits_and_stays_exact(
+    spark, tracked, tmp_path
+):
+    """A diff group over the split threshold parallelizes into row-id
+    sub-ranges: with a 1-byte threshold every id diffs in its own split,
+    and the feed is UNCHANGED — OPTIMIZE still contributes zero rows, an
+    update still exactly its pair (splits never double-emit: each owns a
+    half-open id range)."""
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    def drain():
+        q = (
+            stream_txlog_changes(
+                spark, tracked, row_keyed=True, diff_split_bytes=1
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out)
+
+    drain()
+    n0 = drain().count()
+    TX.tx_compact(spark, tracked, n_files=1)
+    assert drain().count() == n0, "split OPTIMIZE diff leaked change rows"
+    TX.tx_update(
+        spark, tracked, where={"id": (2, 2)}, assignments={"v": F.lit("B2")}
+    )
+    new = drain().filter(F.col("_change_type").startswith("update")).collect()
+    assert {(r["id"], r["v"], r["_change_type"]) for r in new} == {
+        (2, "b", "update_preimage"),
+        (2, "B2", "update_postimage"),
+    }

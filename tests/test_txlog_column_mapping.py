@@ -213,15 +213,57 @@ def test_full_compaction_materializes_renames(spark, tmp_path):
     assert TX._mapping_is_identity(m)
 
 
-def test_streaming_source_refuses_mapped_table(spark, tmp_path):
+def test_streaming_source_serves_mapped_table_logical_names(spark, tmp_path):
+    """Since round 9 the file-based readers resolve the logical→physical
+    column mapping per field, so mapped tables stream and batch-read
+    under their LOGICAL names (they used to refuse)."""
     from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        register_txlog_source,
         stream_txlog,
     )
 
     p = _mk(spark, tmp_path)
     TX.tx_rename_column(spark, p, "v", "label")
-    with pytest.raises(Exception, match="column-mapped"):
-        stream_txlog(spark, p).schema
+    assert stream_txlog(spark, p).schema.names == ["k", "label", "amt"]
+    register_txlog_source(spark)
+    got = spark.read.format("txlog").load(p)
+    assert got.columns == ["k", "label", "amt"]
+    assert rows(got) == rows(TX.tx_read(spark, p))
+    # initial streaming snapshot row-identical to tx_read
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = (
+        stream_txlog(spark, p)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert rows(spark.read.parquet(out)) == rows(TX.tx_read(spark, p))
+
+
+def test_sql_serving_mapped_table_and_rename_reregister(spark, tmp_path):
+    """A mapped table registered by name serves logical columns; after a
+    further RENAME, re-registration refreshes the served names (the SQL
+    schema is CREATE-time, the column mapping is injected from the
+    current manifest at every scan)."""
+    from cdk_datalake_analytics_comercial_spark.core.sql_serving import (
+        register_txlog_table,
+    )
+
+    p = _mk(spark, tmp_path)
+    TX.tx_rename_column(spark, p, "v", "label")
+    register_txlog_table(spark, "mapdb", "t", p)
+    assert {
+        tuple(r) for r in spark.sql("SELECT k, label FROM mapdb.t").collect()
+    } == {(1, "a"), (2, "b")}
+    TX.tx_rename_column(spark, p, "label", "etiqueta")
+    register_txlog_table(spark, "mapdb", "t", p)
+    assert {
+        tuple(r)
+        for r in spark.sql("SELECT k, etiqueta FROM mapdb.t").collect()
+    } == {(1, "a"), (2, "b")}
 
 
 def test_cdf_drain_consumes_mapped_table(spark, tmp_path):
