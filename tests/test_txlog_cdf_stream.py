@@ -250,3 +250,92 @@ def test_cdf_row_keyed_oversized_group_splits_and_stays_exact(
         (2, "b", "update_preimage"),
         (2, "B2", "update_postimage"),
     }
+
+
+def test_cdf_stream_drives_incremental_view_maintenance(spark, tmp_path):
+    """The full production chain: a row-keyed CHANGE-FEED STREAM feeds
+    incremental aggregate maintenance (operators/incremental.maintain_agg)
+    through foreachBatch — the rollup equals a full recompute after
+    appends, an UPDATE, and an OPTIMIZE (which contributes zero change
+    rows, so the maintainer does no work for it)."""
+    from cdk_datalake_analytics_comercial_spark.operators.incremental import (
+        maintain_agg,
+    )
+
+    src = str(tmp_path / "src")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "us", 10.0), (2, "eu", 20.0), (3, "us", 5.0)],
+            "id long, region string, amount double",
+        ),
+        src,
+    )
+    TX.tx_enable_row_tracking(spark, src)
+    state = {"agg": None}
+
+    def fold(batch, batch_id):
+        changes = batch.filter(F.col("_change_type").isNotNull()).drop(
+            "_commit_version"
+        )
+        if changes.isEmpty():
+            return
+        prior = state["agg"]
+        if prior is None:
+            prior = (
+                changes.filter(F.col("_change_type") == "insert")
+                .limit(0)
+                .groupBy("region")
+                .agg(
+                    F.sum("amount").alias("amount"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                )
+            ).localCheckpoint(eager=True)
+        new = maintain_agg(prior, changes, ["region"], ["amount"])
+        state["agg"] = new.localCheckpoint(eager=True)
+
+    def drain():
+        q = (
+            stream_txlog_changes(spark, src, row_keyed=True)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def recompute():
+        return sorted(
+            tuple(r)
+            for r in TX.tx_read(spark, src)
+            .groupBy("region")
+            .agg(
+                F.sum("amount").alias("amount"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        )
+
+    def maintained():
+        return sorted(
+            tuple(r)
+            for r in state["agg"].filter(F.col("n_rows") > 0).collect()
+        )
+
+    drain()
+    assert maintained() == recompute()
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(4, "eu", 7.5)], "id long, region string, amount double"),
+        src,
+        mode="append",
+    )
+    TX.tx_update(
+        spark, src, where={"id": (1, 1)}, assignments={"amount": F.lit(11.0)}
+    )
+    drain()
+    assert maintained() == recompute()
+    before = maintained()
+    TX.tx_compact(spark, src, n_files=1)
+    drain()  # zero change rows: the fold sees nothing, state unchanged
+    assert maintained() == before == recompute()
