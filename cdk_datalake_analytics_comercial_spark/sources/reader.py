@@ -180,10 +180,14 @@ def _render_bound(dtv, filter_type):
         return f"CONVERT(smalldatetime, '{s}', 120)"
     if filter_type == "DATE":  # Oracle (reference :385)
         return f"TO_DATE('{s}', 'YYYY-MM-DD HH24:MI:SS')"
-    if filter_type == "magic_1900":  # BigMagic integer days
+    if filter_type == "magic_1900":  # BigMagic integer days, 1900 pivot
         from ..core.magic_dates import py_date_to_magic_1900
 
         return str(py_date_to_magic_1900(dtv.date()))
+    if filter_type == "magic_2008":  # BigMagic integer days, 2008 pivot
+        from ..core.magic_dates import py_date_to_magic_2008
+
+        return str(py_date_to_magic_2008(dtv.date()))
     raise ValueError(f"unknown filter_type {filter_type!r}")
 
 

@@ -102,6 +102,62 @@ def _snapshot_schema(path: str) -> tuple[int, str]:
     return cur, manifest["schema"]
 
 
+def _initial_offset_from_options(path: str, options: dict) -> dict:
+    """Resolve the stream's initial offset from ``startingVersion`` /
+    ``startingTimestamp`` (mutually exclusive — Delta errors the same
+    way). ``{"version": -1}`` = snapshot-first default.
+
+    ``startingTimestamp`` means: replay commits whose (monotonicized)
+    wall-clock stamp is AT-OR-AFTER the timestamp (Delta's semantics) —
+    the offset lands just before the first such commit. A timestamp
+    preceding the earliest RETAINED commit of a vacuumed log raises
+    (the pruned commits may postdate it — replaying only the retained
+    suffix would silently drop changes)."""
+    sv, st = options.get("startingversion"), options.get("startingtimestamp")
+    if sv is not None and st is not None:
+        raise ValueError(
+            "pass startingVersion OR startingTimestamp, not both"
+        )
+    if st is not None:
+        import datetime as dt
+
+        if isinstance(st, str) and not st.replace(".", "").isdigit():
+            parsed = dt.datetime.fromisoformat(st)
+            if parsed.tzinfo is None:
+                parsed = parsed.replace(tzinfo=dt.timezone.utc)
+            target_ms = int(parsed.timestamp() * 1000)
+        else:
+            target_ms = int(float(st) * 1000)
+        versions = TX.list_versions(None, path)
+        if not versions:
+            raise FileNotFoundError(f"no committed version at {path}")
+        eff = 0
+        first_at_or_after = None
+        for v in versions:
+            rec = TX.read_commit(None, path, v, check_protocol=False)
+            eff = max(eff, int(rec.get("ts_ms", 0)))
+            if eff >= target_ms:
+                first_at_or_after = v
+                break
+        if first_at_or_after is None:
+            return {"version": versions[-1]}  # nothing at/after: tail only
+        if first_at_or_after == versions[0] and versions[0] > 1:
+            raise ValueError(
+                f"startingTimestamp {st!r} is not covered by the retained "
+                f"log at {path} (earliest retained version is "
+                f"{versions[0]}; earlier commits were vacuumed)"
+            )
+        return {"version": first_at_or_after - 1}
+    if sv is None:
+        return {"version": -1}  # snapshot-first (Delta default)
+    if str(sv).lower() == "latest":
+        return {"version": TX.current_version(None, path) or 0}
+    v = int(sv)
+    if v < 1:
+        raise ValueError("startingVersion must be >= 1 or 'latest'")
+    return {"version": v - 1}
+
+
 class _TxFilesPartition(InputPartition):
     """One micro-batch input split: data files (relative paths) under one
     table root, read executor-side. ``dv`` maps rel path → deletion-vector
@@ -230,16 +286,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft is not None else None
         if self.max_files is not None and self.max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
-        start = options.get("startingversion")
-        if start is None:
-            self._initial = {"version": -1}  # snapshot-first (Delta default)
-        elif str(start).lower() == "latest":
-            self._initial = {"version": TX.current_version(None, self.path) or 0}
-        else:
-            sv = int(start)
-            if sv < 1:
-                raise ValueError("startingVersion must be >= 1 or 'latest'")
-            self._initial = {"version": sv - 1}
+        self._initial = _initial_offset_from_options(self.path, options)
         # Admission control caps how far latestOffset advances past the
         # last PLANNED end. That base is only known from this run's own
         # initialOffset/partitions calls (observed call order on a fresh
@@ -826,23 +873,33 @@ class TxCdfStreamReader(DataSourceStreamReader):
         )
         if self.split_bytes < 1:
             raise ValueError("diffSplitBytes must be >= 1")
-        start = options.get("startingversion")
-        if start is None:
-            self._initial = {"version": -1}
-        elif str(start).lower() == "latest":
-            self._initial = {"version": TX.current_version(None, self.path) or 0}
-        else:
-            sv = int(start)
-            if sv < 1:
-                raise ValueError("startingVersion must be >= 1 or 'latest'")
-            self._initial = {"version": sv - 1}
+        self._initial = _initial_offset_from_options(self.path, options)
+        mct = options.get("maxcommitspertrigger")
+        self.max_commits = int(mct) if mct is not None else None
+        if self.max_commits is not None and self.max_commits < 1:
+            raise ValueError("maxCommitsPerTrigger must be >= 1")
+        # admission base: known only from this run's own planning calls —
+        # same first-batch-uncapped caveat as the append reader (capping
+        # from a guessed base could move the offset backward past the
+        # checkpoint and replay change rows)
+        self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
+        self._last_end = int(self._initial["version"])
         return dict(self._initial)
 
     def latestOffset(self) -> dict:
         cur = TX.current_version(None, self.path)
-        return {"version": cur} if cur is not None else dict(self._initial)
+        if cur is None:
+            return dict(self._initial)
+        last = self._last_end
+        if (
+            self.max_commits is not None
+            and last is not None
+            and last >= 0
+        ):
+            cur = min(cur, last + self.max_commits)
+        return {"version": cur}
 
     def commit(self, end: dict) -> None:  # log retention is tx_vacuum's job
         pass
@@ -1010,6 +1067,7 @@ class TxCdfStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = int(start["version"]), int(end["version"])
+        self._last_end = max(e, self._last_end if self._last_end is not None else -1)
         parts: list[_TxCdfPartition] = []
         if s < 0:  # initial snapshot as insert rows
             files = TX.read_manifest(None, self.path, e)["files"]
@@ -1084,12 +1142,15 @@ def stream_txlog(
     starting_version: int | str | None = None,
     skip_change_commits: bool = False,
     max_files_per_trigger: int | None = None,
+    starting_timestamp: str | float | None = None,
 ) -> DataFrame:
     """A streaming DataFrame tailing the txlog table at ``path``."""
     register_txlog_source(spark)
     reader = spark.readStream.format("txlog")
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
+    if starting_timestamp is not None:
+        reader = reader.option("startingTimestamp", str(starting_timestamp))
     if skip_change_commits:
         reader = reader.option("skipChangeCommits", "true")
     if max_files_per_trigger is not None:
@@ -1102,7 +1163,9 @@ def stream_txlog_changes(
     path: str,
     row_keyed: bool = False,
     starting_version: int | str | None = None,
+    starting_timestamp: str | float | None = None,
     diff_split_bytes: int | None = None,
+    max_commits_per_trigger: int | None = None,
 ) -> DataFrame:
     """A streaming CHANGE FEED of the txlog table at ``path`` (Delta's
     ``readChangeFeed`` twin): table columns + ``_change_type`` +
@@ -1116,6 +1179,12 @@ def stream_txlog_changes(
         reader = reader.option("rowKeyed", "true")
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
+    if starting_timestamp is not None:
+        reader = reader.option("startingTimestamp", str(starting_timestamp))
     if diff_split_bytes is not None:
         reader = reader.option("diffSplitBytes", str(diff_split_bytes))
+    if max_commits_per_trigger is not None:
+        reader = reader.option(
+            "maxCommitsPerTrigger", str(max_commits_per_trigger)
+        )
     return reader.load(path)

@@ -203,3 +203,32 @@ def test_between_date_magic_1900_rendering(spark, tmp_path):
         num_partitions=2, filter_type="magic_1900",
     )
     assert sorted(r["ID"] for r in df.collect()) == [2, 3, 4, 5, 6, 7]
+
+
+def test_between_date_magic_2008_rendering(spark, tmp_path):
+    """The 2008-pivot BigMagic encoding (offset 733042 — the redshift-load
+    codec) renders boundaries for sources storing that pivot."""
+    import datetime as dt
+
+    from cdk_datalake_analytics_comercial_spark.core.magic_dates import (
+        py_date_to_magic_2008,
+    )
+    from cdk_datalake_analytics_comercial_spark.sources.reader import (
+        read_jdbc_between_date,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/magic08db;create=true"
+    d0 = py_date_to_magic_2008(dt.date(2024, 3, 1))
+    _exec(
+        spark,
+        url,
+        "CREATE TABLE mv (id INT, fecha INT)",
+        "INSERT INTO mv VALUES "
+        + ", ".join(f"({i}, {d0 + i})" for i in range(10)),
+    )
+    df = read_jdbc_between_date(
+        spark, url, "mv", "fecha",
+        "2024-03-02 00:00:00", "2024-03-06 00:00:00",
+        num_partitions=2, filter_type="magic_2008",
+    )
+    assert sorted(r["ID"] for r in df.collect()) == [1, 2, 3, 4, 5]

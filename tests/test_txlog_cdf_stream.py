@@ -339,3 +339,66 @@ def test_cdf_stream_drives_incremental_view_maintenance(spark, tmp_path):
     TX.tx_compact(spark, src, n_files=1)
     drain()  # zero change rows: the fold sees nothing, state unchanged
     assert maintained() == before == recompute()
+
+
+def test_cdf_starting_timestamp_and_admission_control(spark, tmp_path):
+    """startingTimestamp replays commits stamped at-or-after the
+    timestamp (no initial snapshot); maxCommitsPerTrigger bounds how far
+    each micro-batch advances (first batch of a run uncapped — same
+    checkpoint-safety caveat as the append reader's maxFilesPerTrigger)."""
+    tbl, out, chk = (str(tmp_path / d) for d in ("t", "out", "chk"))
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), tbl
+    )
+    v_cut = TX.current_version(spark, tbl)
+    for i, tag in enumerate(["b", "c", "d", "e"]):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([(2 + i, tag)], "id long, v string"),
+            tbl,
+            mode="append",
+        )
+    # timestamp boundary: just after v_cut's commit stamp
+    rec = TX.read_commit(spark, tbl, v_cut)
+    ts = (rec["ts_ms"] + 1) / 1000.0
+
+    q = (
+        stream_txlog_changes(
+            spark, tbl, starting_timestamp=ts, max_commits_per_trigger=1
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    # only the four post-cut commits stream (no snapshot, id=1 absent);
+    # availableNow planned multiple capped batches until caught up
+    assert {r["id"] for r in got.collect()} == {2, 3, 4, 5}
+    assert got.count() == 4
+    versions = {r["_commit_version"] for r in got.collect()}
+    assert len(versions) == 4  # one commit per row, all replayed
+
+
+def test_stream_starting_version_and_timestamp_are_exclusive(spark, tmp_path):
+    import pytest
+
+    tbl = str(tmp_path / "t2")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "id long"), tbl)
+    q = None
+    with pytest.raises(Exception, match="not both"):
+        q = (
+            stream_txlog_changes(
+                spark, tbl, starting_version=1,
+                starting_timestamp="2024-01-01",
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+    if q is not None:
+        q.stop()
