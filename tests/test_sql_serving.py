@@ -271,3 +271,51 @@ def test_sql_insert_refuses_unenforceable_tables(spark, tmp_path):
     register_txlog_table(spark, "insdb3", "tp", q)
     with pytest.raises(Exception, match="hive-partitioned"):
         spark.sql("INSERT INTO insdb3.tp VALUES (2, 'b', 'p2')")
+
+
+def test_sql_insert_races_tx_write_gapless(spark, tmp_path):
+    """A SQL INSERT (whose commit runs in the Python Data Source worker
+    process) racing a driver-side tx_write append goes through the SAME
+    optimistic CAS: both land, versions stay gapless, no rows lost."""
+    import threading
+
+    p = str(tmp_path / "race")
+    TX.tx_write(
+        spark, spark.createDataFrame([(0, "seed")], "id long, v string"), p
+    )
+    register_txlog_table(spark, "racedb", "t", p)
+    errs = []
+
+    def sql_writer():
+        try:
+            for i in range(3):
+                spark.sql(f"INSERT INTO racedb.t VALUES ({10 + i}, 'sql{i}')")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def py_writer():
+        try:
+            for i in range(3):
+                TX.tx_write(
+                    spark,
+                    spark.createDataFrame(
+                        [(20 + i, f"py{i}")], "id long, v string"
+                    ),
+                    p,
+                    mode="append",
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=sql_writer), threading.Thread(target=py_writer)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    ids = sorted(r["id"] for r in TX.tx_read(spark, p).collect())
+    assert ids == [0, 10, 11, 12, 20, 21, 22]
+    vs = TX.list_versions(spark, p)
+    assert vs == list(range(1, len(vs) + 1)), f"version gap: {vs}"
+    # and the SQL face agrees
+    assert spark.sql("SELECT count(*) c FROM racedb.t").collect()[0]["c"] == 7
