@@ -421,7 +421,23 @@ class TxLogBatchReader(DataSourceReader):
         self.path = _require_local(options["path"]).rstrip("/")
         self.schema_json = schema_json
         v = options.get("versionasof")
-        self.version = int(v) if v is not None else None
+        ts = options.get("timestampasof")
+        if v is not None and ts is not None:
+            raise ValueError("pass versionAsOf OR timestampAsOf, not both")
+        if ts is not None:
+            # TIMESTAMP AS OF through the SQL/batch face — same
+            # resolution as tx_read(timestamp=...), local-path log walk.
+            # Options arrive as strings: numeric = epoch seconds,
+            # otherwise ISO-8601 (what version_at_timestamp expects).
+            try:
+                ts = float(ts)
+            except (TypeError, ValueError):
+                pass
+            self.version: int | None = TX.version_at_timestamp(
+                None, self.path, ts
+            )
+        else:
+            self.version = int(v) if v is not None else None
 
     def partitions(self) -> Sequence[InputPartition]:
         cur = (

@@ -319,3 +319,27 @@ def test_sql_insert_races_tx_write_gapless(spark, tmp_path):
     assert vs == list(range(1, len(vs) + 1)), f"version gap: {vs}"
     # and the SQL face agrees
     assert spark.sql("SELECT count(*) c FROM racedb.t").collect()[0]["c"] == 7
+
+
+def test_txlog_batch_read_timestamp_as_of(spark, tmp_path):
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        register_txlog_source,
+    )
+
+    p = str(tmp_path / "txts")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "id long"), p)
+    rec = TX.read_commit(spark, p, TX.current_version(spark, p))
+    cut = (rec["ts_ms"] + 1) / 1000.0
+    TX.tx_write(
+        spark, spark.createDataFrame([(2,)], "id long"), p, mode="append"
+    )
+    register_txlog_source(spark)
+    old = spark.read.format("txlog").option("timestampAsOf", str(cut)).load(p)
+    assert [r["id"] for r in old.collect()] == [1]
+    assert spark.read.format("txlog").load(p).count() == 2
+    import pytest
+
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("txlog").option("timestampAsOf", str(cut)).option(
+            "versionAsOf", "1"
+        ).load(p).collect()
