@@ -343,3 +343,34 @@ def test_txlog_batch_read_timestamp_as_of(spark, tmp_path):
         spark.read.format("txlog").option("timestampAsOf", str(cut)).option(
             "versionAsOf", "1"
         ).load(p).collect()
+
+
+def test_stage_union_view_with_txlog_instance(spark, tmp_path):
+    """A stage endpoint may itself be a txlog table: the union view
+    composes the pinned-format member with plain parquet members, and a
+    new commit to the txlog instance is visible through the VIEW without
+    re-registration (views re-resolve their member tables, and the
+    pinned member re-resolves its snapshot per plan)."""
+    root = str(tmp_path / "lake")
+    cat = Catalog(root=root)
+    spark.createDataFrame([(1, "ep1")], "k long, src string").write.parquet(
+        f"{root}/stage/m_mixed/ep1"
+    )
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(2, "ep2")], "k long, src string"),
+        f"{root}/stage/m_mixed/ep2",
+    )
+    register_sql(spark, cat, db_prefix="s6_")
+    assert {
+        tuple(r) for r in spark.sql("SELECT k, src FROM s6_stage.m_mixed").collect()
+    } == {(1, "ep1"), (2, "ep2")}
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(3, "ep2b")], "k long, src string"),
+        f"{root}/stage/m_mixed/ep2",
+        mode="append",
+    )
+    assert {
+        r["k"] for r in spark.sql("SELECT k FROM s6_stage.m_mixed").collect()
+    } == {1, 2, 3}
