@@ -56,6 +56,30 @@ def _ident(name: str) -> str:
     return s
 
 
+class _IdentClaims:
+    """Identifier registry for one ``register_sql``/``register_sql_dir``
+    run: ``_ident`` is lossy (``'T-1'`` and ``'t_1'`` both map to
+    ``t_1``), and registration drop-and-recreates, so an unnoticed
+    collision would silently replace the first table with the second.
+    Claiming the same identifier for two DIFFERENT source entries
+    raises; re-claiming for the same entry (idempotent re-run) is
+    fine."""
+
+    def __init__(self):
+        self._owner: dict[str, str] = {}
+
+    def claim(self, db: str, ident: str, source: str) -> str:
+        key = f"{db}.{ident}"
+        prev = self._owner.setdefault(key, source)
+        if prev != source:
+            raise ValueError(
+                f"SQL identifier collision: {source!r} and {prev!r} both "
+                f"map to {key} — rename one source directory (identifiers "
+                "are lowercased [a-z0-9_])"
+            )
+        return ident
+
+
 def _sq(path: str) -> str:
     """Single-quote a path literal for SQL."""
     return path.replace("'", "''")
@@ -176,6 +200,7 @@ def register_sql(
 
     layers = [Layer(x) for x in (layers or list(Layer))]
     out: dict[str, list[str]] = {}
+    claims = _IdentClaims()
     for layer in layers:
         base = catalog.layer_path(layer)
         if not os.path.isdir(base):
@@ -186,7 +211,7 @@ def register_sql(
             tdir = os.path.join(base, entry)
             if not os.path.isdir(tdir) or entry.startswith(("_", ".")):
                 continue
-            name = _ident(entry)
+            name = claims.claim(db, _ident(entry), tdir)
             if is_txlog_table(spark, tdir):
                 registered.append(register_txlog_table(spark, db, name, tdir))
             elif catalog.is_table_dir(layer, entry):
@@ -197,7 +222,7 @@ def register_sql(
                 members = []
                 for inst in catalog.instances(layer, entry):
                     idir = os.path.join(tdir, inst)
-                    iname = _ident(f"{entry}__{inst}")
+                    iname = claims.claim(db, _ident(f"{entry}__{inst}"), idir)
                     if is_txlog_table(spark, idir):
                         members.append(
                             register_txlog_table(spark, db, iname, idir)
@@ -223,10 +248,13 @@ def register_sql_dir(
     testdata layout) as ``database.<name>`` external tables. Metadata
     only; idempotent."""
     out = []
+    claims = _IdentClaims()
     for entry in sorted(os.listdir(data_dir)):
         if not entry.endswith(".parquet"):
             continue
-        name = _ident(entry[: -len(".parquet")])
+        name = claims.claim(
+            database, _ident(entry[: -len(".parquet")]), entry
+        )
         out.append(
             register_parquet_table(
                 spark, database, name, os.path.join(data_dir, entry)

@@ -121,11 +121,27 @@ def _initial_offset_from_options(path: str, options: dict) -> dict:
     if st is not None:
         import datetime as dt
 
-        if isinstance(st, str) and not st.replace(".", "").isdigit():
-            parsed = dt.datetime.fromisoformat(st)
-            if parsed.tzinfo is None:
-                parsed = parsed.replace(tzinfo=dt.timezone.utc)
-            target_ms = int(parsed.timestamp() * 1000)
+        # ISO-8601 first, epoch seconds second: a compact date like
+        # '20260816' IS valid ISO (basic format) and must read as the
+        # date it looks like, never as epoch 20260816 (year 1970);
+        # epoch strings ('1786844175', '1786844175.5') are not valid
+        # ISO and fall through to the float branch. Anything parsable
+        # by neither raises, naming both accepted forms.
+        if isinstance(st, str):
+            try:
+                parsed = dt.datetime.fromisoformat(st)
+            except ValueError:
+                try:
+                    target_ms = int(float(st) * 1000)
+                except ValueError:
+                    raise ValueError(
+                        f"startingTimestamp {st!r} is neither ISO-8601 "
+                        "(e.g. '2026-08-16T00:00:00') nor epoch seconds"
+                    ) from None
+            else:
+                if parsed.tzinfo is None:
+                    parsed = parsed.replace(tzinfo=dt.timezone.utc)
+                target_ms = int(parsed.timestamp() * 1000)
         else:
             target_ms = int(float(st) * 1000)
         versions = TX.list_versions(None, path)
@@ -156,6 +172,27 @@ def _initial_offset_from_options(path: str, options: dict) -> dict:
     if v < 1:
         raise ValueError("startingVersion must be >= 1 or 'latest'")
     return {"version": v - 1}
+
+
+def _retained_span(path: str, s: int, e: int) -> list[int]:
+    """The commit versions in ``(s, e]`` the log still retains, verified
+    GAPLESS: txlog versions are consecutive integers, so every version
+    ``s+1..e`` must be present in ``list_versions``. A gap means
+    ``tx_vacuum`` pruned commits between a stream's checkpointed offset
+    and the retained horizon — replaying only the retained suffix would
+    silently drop the pruned commits' rows (Delta fails loudly here;
+    so do we, same contract as the missing ``v-1`` manifest path)."""
+    span = [v for v in TX.list_versions(None, path) if s < v <= e]
+    expected = list(range(s + 1, e + 1))
+    if span != expected:
+        missing = sorted(set(expected) - set(span))
+        raise RuntimeError(
+            f"stream needs commit versions {s + 1}..{e} of {path} but "
+            f"{missing[:8]}{'…' if len(missing) > 8 else ''} "
+            "were vacuumed — start a fresh stream (new checkpoint) to "
+            "re-read the snapshot"
+        )
+    return span
 
 
 class _TxFilesPartition(InputPartition):
@@ -377,11 +414,10 @@ class TxLogStreamReader(DataSourceStreamReader):
             files = TX.read_manifest(None, self.path, e)["files"]
         else:
             files = []
-            for v in TX.list_versions(None, self.path):
-                if s < v <= e:
-                    files.extend(
-                        self._tail_adds(TX.read_commit(None, self.path, v), v)
-                    )
+            for v in _retained_span(self.path, s, e):
+                files.extend(
+                    self._tail_adds(TX.read_commit(None, self.path, v), v)
+                )
         parts = [
             _TxFilesPartition(
                 self.path,
@@ -486,6 +522,33 @@ class _TxWriteMessage(WriterCommitMessage):
         self.entries = entries
 
 
+def _sql_insert_blockers(manifest: dict) -> list[str]:
+    """Invariants declared on a table that ``INSERT INTO … USING txlog``
+    cannot enforce (``tx_write`` can). A non-empty list blocks the
+    write."""
+    props = manifest.get("properties", {})
+    blockers = []
+    if TX._identity_cols(props):
+        blockers.append("identity columns")
+    if TX._column_defaults(props):
+        blockers.append("column defaults")
+    if TX._generated_cols(props):
+        blockers.append("generated columns")
+    if TX._stored_checks(props):
+        blockers.append("CHECK constraints")
+    if props.get(TX._ROW_TRACKING_PROP):
+        blockers.append("row tracking")
+    if props.get("bloomFilterColumns"):
+        blockers.append("bloom index columns")
+    if not TX._mapping_is_identity(TX._schema_mapping(manifest["schema"])):
+        blockers.append("column mapping")
+    if any(f.get("partition") for f in manifest["files"]):
+        blockers.append(
+            "a hive-partitioned layout (SQL inserts write unpartitioned files)"
+        )
+    return blockers
+
+
 class TxLogBatchWriter(DataSourceArrowWriter):
     """SQL DML INTO a txlog table by name: ``INSERT INTO domain.t …`` /
     ``INSERT OVERWRITE`` route here through the pinned format. Tasks
@@ -495,14 +558,19 @@ class TxLogBatchWriter(DataSourceArrowWriter):
     commit through the same optimistic CAS as ``tx_write`` — a crash
     before commit leaves only unreferenced files for vacuum.
 
-    Honesty gates (checked against the CURRENT manifest at commit time,
-    inside the CAS loop): tables declaring invariants this writer cannot
+    Honesty gates: tables declaring invariants this writer cannot
     enforce — identity columns, column defaults, generated columns,
     stored CHECK constraints, row tracking, bloom index columns, column
     mapping — REFUSE loudly (use ``tx_write``, which enforces them);
     hive-partitioned tables refuse (SQL inserts write unpartitioned
-    files). Schema is validated with the same write-time rule as
-    ``tx_write`` (no type changes, no new columns).
+    files). The gates run TWICE: at plan time against the snapshot
+    (fail fast, before any task writes files) and again against the
+    CURRENT manifest inside the CAS ``build`` callback — a concurrent
+    ``tx_add_identity``/``tx_add_constraint``/``tx_enable_row_tracking``
+    landing between planning and commit raises ``TxConflictError``
+    instead of committing rows that violate the new invariant. Schema is
+    validated with the same write-time rule as ``tx_write`` (no type
+    changes, no new columns).
 
     ``INSERT OVERWRITE`` is the full-truncate form and needs
     ``spark.sql.sources.partitionOverwriteMode=static`` for the
@@ -524,30 +592,11 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             raise FileNotFoundError(f"no committed txlog version at {self.path}")
         manifest = TX.read_manifest(None, self.path, cur)
         props = manifest.get("properties", {})
-        blockers = []
-        if TX._identity_cols(props):
-            blockers.append("identity columns")
-        if TX._column_defaults(props):
-            blockers.append("column defaults")
-        if TX._generated_cols(props):
-            blockers.append("generated columns")
-        if TX._stored_checks(props):
-            blockers.append("CHECK constraints")
-        if props.get(TX._ROW_TRACKING_PROP):
-            blockers.append("row tracking")
-        if props.get("bloomFilterColumns"):
-            blockers.append("bloom index columns")
-        if not TX._mapping_is_identity(TX._schema_mapping(manifest["schema"])):
-            blockers.append("column mapping")
+        blockers = _sql_insert_blockers(manifest)
         if blockers:
             raise NotImplementedError(
                 f"SQL INSERT cannot enforce {', '.join(blockers)} declared "
                 f"on {self.path}; write through txlog.tx_write"
-            )
-        if any(f.get("partition") for f in manifest["files"]):
-            raise NotImplementedError(
-                f"SQL INSERT writes unpartitioned files; {self.path} is "
-                "hive-partitioned — write through txlog.tx_write"
             )
         stats_for, _ = TX._skipping_defaults(props, None, None)
         fields = {
@@ -608,6 +657,17 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                     f"txlog table vanished at {self.path}"
                 )
             snap = TX.read_manifest(None, self.path, cur)
+            # re-run the honesty gates against the CURRENT snapshot: a
+            # concurrent DDL that declared an invariant after this INSERT
+            # was planned must not be bypassed (re-checked per CAS retry)
+            blockers = _sql_insert_blockers(snap)
+            if blockers:
+                raise TX.TxConflictError(
+                    f"a concurrent commit declared {', '.join(blockers)} on "
+                    f"{self.path} after this SQL INSERT was planned; the "
+                    "writer cannot enforce them — re-run through "
+                    "txlog.tx_write"
+                )
             out_schema = schema_json
             if not overwrite and snap["schema"]:
                 out_schema = TX._merge_table_schema(
@@ -786,6 +846,27 @@ def _tag_batches(batches, change_type: str, version: int):
         )
 
 
+def _canon_value(v):
+    """Canonicalize one cell for NaN-aware row comparison: float NaN maps
+    to a fixed sentinel (Python's ``nan != nan`` would otherwise make
+    every NaN-bearing UNCHANGED row look updated on every rewrite,
+    defeating the 'OPTIMIZE contributes zero rows' guarantee); containers
+    recurse so array/map columns with NaN elements compare the same way.
+    Spark-side diffs (``tx_diff``) already get this via SQL's NaN-equal
+    grouping semantics — this keeps the local diff consistent."""
+    if isinstance(v, float):
+        return ("__nan__",) if v != v else v
+    if isinstance(v, list):
+        return [_canon_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _canon_value(x) for k, x in v.items()}
+    return v
+
+
+def _rows_equal(a: tuple, b: tuple) -> bool:
+    return all(_canon_value(x) == _canon_value(y) for x, y in zip(a, b))
+
+
 def _read_cdf_partition(part: _TxCdfPartition):
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -830,7 +911,7 @@ def _read_cdf_partition(part: _TxCdfPartition):
     for k, row in post.items():
         if k not in pre:
             changes.append(("insert", row))
-        elif pre[k] != row:
+        elif not _rows_equal(pre[k], row):
             changes.append(("update_preimage", pre[k]))
             changes.append(("update_postimage", row))
     for k, row in pre.items():
@@ -1095,9 +1176,8 @@ class TxCdfStreamReader(DataSourceStreamReader):
                 for f in files
             ]
         else:
-            for v in TX.list_versions(None, self.path):
-                if s < v <= e:
-                    parts.extend(self._commit_partitions(v))
+            for v in _retained_span(self.path, s, e):
+                parts.extend(self._commit_partitions(v))
         return parts or [
             _TxCdfPartition(
                 self.path, e, [], [], self.table_schema_json, "insert"

@@ -374,3 +374,40 @@ def test_stage_union_view_with_txlog_instance(spark, tmp_path):
     assert {
         r["k"] for r in spark.sql("SELECT k FROM s6_stage.m_mixed").collect()
     } == {1, 2, 3}
+
+
+def test_sql_insert_blockers_rechecked_at_commit_time(spark, tmp_path):
+    """The honesty gates run AGAIN inside the CAS build callback: a
+    concurrent DDL that declares an invariant after the INSERT was
+    planned (but before its commit) raises TxConflictError instead of
+    committing rows that violate it (e.g. null identity ids)."""
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        TxLogBatchWriter,
+        _TxWriteMessage,
+    )
+
+    p = str(tmp_path / "insddl")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), p
+    )
+    m = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    w = TxLogBatchWriter(m["schema"], {"path": p}, False)  # plan-time: clean
+    v_ddl_before = TX.current_version(spark, p)
+    TX.tx_add_identity(spark, p, "id")  # concurrent DDL lands mid-flight
+    with pytest.raises(TX.TxConflictError, match="identity columns"):
+        w.commit([_TxWriteMessage([])])
+    # nothing landed after the DDL commit
+    assert TX.current_version(spark, p) == v_ddl_before + 1
+
+
+def test_register_sql_dir_raises_on_identifier_collision(spark, tmp_path):
+    """_ident is lossy ('T-1' and 't_1' both map to t_1); registration
+    drop-and-recreates, so a collision must raise instead of silently
+    replacing the first table with the second."""
+    d = str(tmp_path / "flat")
+    os.makedirs(d)
+    df = spark.createDataFrame([(1,)], "id long")
+    df.write.parquet(os.path.join(d, "T-1.parquet"))
+    df.write.parquet(os.path.join(d, "t_1.parquet"))
+    with pytest.raises(ValueError, match="collision"):
+        register_sql_dir(spark, d, "colldb")

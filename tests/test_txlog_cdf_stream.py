@@ -402,3 +402,88 @@ def test_stream_starting_version_and_timestamp_are_exclusive(spark, tmp_path):
         q.awaitTermination(60)
     if q is not None:
         q.stop()
+
+
+def test_cdf_vacuumed_gap_fails_loudly_even_for_pure_appends(spark, tmp_path):
+    """A checkpointed change-feed restart after tx_vacuum pruned commits
+    in its replay range raises 'vacuumed — start a fresh stream' — the
+    pure-append case included (rewrite commits already failed via the
+    missing v-1 manifest; appends used to slip through silently)."""
+    tbl, out, chk = (str(tmp_path / d) for d in ("t", "out", "chk"))
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), tbl
+    )
+    _drain(spark, tbl, out, chk)  # checkpoint offset = v1
+    for i, tag in ((2, "b"), (3, "c")):  # v2, v3: pure appends
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([(i, tag)], "id long, v string"),
+            tbl,
+            mode="append",
+        )
+    TX.tx_vacuum(spark, tbl, keep_versions=1, retain_hours=0)  # only v3 kept
+    with pytest.raises(Exception, match="vacuumed"):
+        _drain(spark, tbl, out, chk)
+
+
+def test_cdf_row_keyed_nan_rows_do_not_leak_on_optimize(spark, tmp_path):
+    """Python's nan != nan would make every NaN-bearing UNCHANGED row look
+    updated on each rewrite; the diff is NaN-aware, so OPTIMIZE still
+    contributes ZERO change rows — while a REAL update of a NaN row still
+    emits its exact pre/post pair."""
+    tbl, out, chk = (str(tmp_path / d) for d in ("t", "out", "chk"))
+    nan = float("nan")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, nan), (2, 2.5)], "id long, x double"),
+        tbl,
+    )
+    TX.tx_enable_row_tracking(spark, tbl)
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(3, nan)], "id long, x double"),
+        tbl,
+        mode="append",
+    )
+    _drain(spark, tbl, out, chk, row_keyed=True)
+    n0 = _rows(spark, out).count()
+    TX.tx_compact(spark, tbl, n_files=1)  # rewrite of every row
+    _drain(spark, tbl, out, chk, row_keyed=True)
+    assert _rows(spark, out).count() == n0, "NaN rows leaked as updates"
+    # a real 2.5 -> NaN update is NOT cancelled by NaN-awareness
+    TX.tx_update(
+        spark, tbl, where={"id": (2, 2)}, assignments={"x": F.lit(nan)}
+    )
+    _drain(spark, tbl, out, chk, row_keyed=True)
+    new = (
+        _rows(spark, out)
+        .filter(F.col("_change_type") != "insert")
+        .select("id", "_change_type")
+        .collect()
+    )
+    assert {tuple(r) for r in new} == {
+        (2, "update_preimage"),
+        (2, "update_postimage"),
+    }
+
+
+def test_starting_timestamp_iso_first_epoch_fallback(spark, tmp_path):
+    """A compact digit-only date like '99990101' is valid ISO basic format
+    and must read as the DATE it looks like, never as epoch seconds
+    (which would land in 1973 and replay everything); real epoch-second
+    strings still route to epoch; garbage raises naming both forms."""
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        _initial_offset_from_options,
+    )
+
+    tbl = str(tmp_path / "t")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "id long"), tbl)
+    cur = TX.current_version(spark, tbl)
+    # far-future ISO date: nothing at/after it -> tail-only offset
+    got = _initial_offset_from_options(tbl, {"startingtimestamp": "99990101"})
+    assert got == {"version": cur}
+    # epoch seconds (not valid ISO): near-zero epoch replays everything
+    got = _initial_offset_from_options(tbl, {"startingtimestamp": "1.0"})
+    assert got == {"version": 0}
+    with pytest.raises(ValueError, match="neither ISO-8601.*nor epoch"):
+        _initial_offset_from_options(tbl, {"startingtimestamp": "not-a-time"})

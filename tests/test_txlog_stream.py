@@ -413,3 +413,22 @@ def test_lost_checkpoint_plain_append_sink_exactly_once_with_txn(
     drain(str(tmp_path / "chk2"))
     want = sorted((r.id, r.s) for r in TX.tx_read(spark, src).select("id", "s").collect())
     assert got() == want
+
+
+def test_vacuumed_gap_between_offset_and_horizon_fails_loudly(spark, tmp_path):
+    """Commit versions vacuumed BETWEEN a stream's checkpointed offset and
+    the retained horizon must fail the restart, never be silently skipped
+    (Delta's contract). Pure appends are the dangerous shape: their data
+    files survive the vacuum (still referenced by the kept manifests), so
+    nothing else would error — the stream would just drop those rows."""
+    tbl, out, chk = (str(tmp_path / d) for d in ("t", "out", "chk"))
+    TX.tx_write(spark, _mk(spark, 1), tbl)  # v1
+    _drain(spark, tbl, out, chk)  # checkpoint offset = v1
+    for i in (2, 3, 4):
+        TX.tx_write(spark, _mk(spark, i), tbl, mode="append")  # v2..v4
+    TX.tx_vacuum(spark, tbl, keep_versions=2, retain_hours=0)  # drops v1,v2
+    with pytest.raises(Exception, match="vacuumed"):
+        _drain(spark, tbl, out, chk)
+    # a fresh stream (new checkpoint) recovers via the initial snapshot
+    got = _drain(spark, tbl, str(tmp_path / "out2"), str(tmp_path / "chk2"))
+    assert [g[0] for g in got] == [1, 2, 3, 4]
