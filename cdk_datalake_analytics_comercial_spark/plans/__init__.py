@@ -22,7 +22,9 @@ for mod in (relational, docs, events):
 # (CORRECTNESS_LOCAL_r*); this ordering just steers the bounded sampler
 # toward the least-externally-confirmed entries.
 _SAMPLE_FIRST = [
-    # new in round 9 (never driver-sampled)
+    # new in round 10 (never driver-sampled)
+    "txlog_changes_batch",
+    # new in round 9 (driver-sampled once at most)
     "sql_regional_supplier_volume",
     "sql_txlog_snapshot",
     # new in round 8 (driver-sampled once at most)

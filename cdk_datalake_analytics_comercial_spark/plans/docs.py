@@ -2586,6 +2586,127 @@ def q_sql_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_txlog_changes_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH CHANGE-FEED read over a txlog table (Delta's
+    ``table_changes(t, start, end)`` twin, `streaming/source.py
+    TxCdfBatchReader`): a transactional table is built once per corpus
+    (subset write → row tracking → DELETE → append → UPDATE), then the
+    change rows of the three DML commits are read as a plain DataFrame
+    via ``read_txlog_changes(starting_version=…, row_keyed=True)`` and
+    aggregated by (change type, lang). Row-keyed mode makes the feed
+    EXACT — deletes carry only the deleted rows' pre-images, the update
+    emits precisely its touched rows as pre/post pairs — so DuckDB can
+    recompute every group closed-form from the raw corpus. The starting
+    version is pinned in a sidecar meta file at build time (never
+    inferred from the current version). Cache keyed by corpus content,
+    atomic publish via rename."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import (
+        is_txlog_table,
+        tx_delete,
+        tx_enable_row_tracking,
+        tx_update,
+        tx_write,
+    )
+    from ..streaming.source import read_txlog_changes
+
+    doc = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    files = (
+        sorted(os.path.join(doc, f) for f in os.listdir(doc))
+        if os.path.isdir(doc)
+        else [doc]
+    )
+    parts = []
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.sha1(
+        f"{doc}|{'|'.join(parts)}|txchanges|v1".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_txchg_{key}")
+    meta_p = os.path.join(path, "graft_query_meta.json")
+    if not is_txlog_table(spark, path):
+        tmp = tempfile.mkdtemp(prefix="spark_graft_txchg_build_")
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                "doc_id", "lang", "n_chars"
+            ),
+            tmp,
+        )
+        tx_enable_row_tracking(spark, tmp)
+        from ..sources.txlog import current_version
+
+        v_before_dml = current_version(spark, tmp)
+        tx_delete(spark, tmp, where={"lang": ("de", "de")})
+        tx_write(
+            spark,
+            d.filter(F.col("doc_id") % 7 == 1).select(
+                "doc_id", "lang", "n_chars"
+            ),
+            tmp,
+            mode="append",
+        )
+        tx_update(
+            spark,
+            tmp,
+            where={"doc_id": (0, 500)},
+            assignments={"n_chars": F.col("n_chars") + F.lit(1000)},
+        )
+        with open(os.path.join(tmp, "graft_query_meta.json"), "w") as fh:
+            _json.dump({"v_start": v_before_dml + 1}, fh)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not is_txlog_table(spark, path):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    with open(meta_p) as fh:
+        v_start = _json.load(fh)["v_start"]
+    ch = read_txlog_changes(
+        spark, path, starting_version=v_start, row_keyed=True
+    )
+    return ch.groupBy("_change_type", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+_ORACLE_TXLOG_CHANGES_BATCH = """
+WITH base AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 = 0
+), appended AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 = 1
+), updated AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, n_chars FROM base WHERE lang <> 'de'
+    UNION ALL SELECT doc_id, lang, n_chars FROM appended
+  ) WHERE doc_id <= 500
+), changes AS (
+  SELECT 'delete' AS _change_type, lang, n_chars
+    FROM base WHERE lang = 'de'
+  UNION ALL
+  SELECT 'insert' AS _change_type, lang, n_chars FROM appended
+  UNION ALL
+  SELECT 'update_preimage' AS _change_type, lang, n_chars FROM updated
+  UNION ALL
+  SELECT 'update_postimage' AS _change_type, lang, n_chars + 1000
+    FROM updated
+)
+SELECT _change_type, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM changes GROUP BY _change_type, lang
+"""
+
+
 _ORACLE_SQL_TXLOG_SNAPSHOT = """
 SELECT lang, source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2598,6 +2719,7 @@ GROUP BY lang, source
 
 QUERIES = {
     "sql_txlog_snapshot": q_sql_txlog_snapshot,
+    "txlog_changes_batch": q_txlog_changes_batch,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -2656,6 +2778,7 @@ QUERIES = {
 
 ORACLES = {
     "sql_txlog_snapshot": _ORACLE_SQL_TXLOG_SNAPSHOT,
+    "txlog_changes_batch": _ORACLE_TXLOG_CHANGES_BATCH,
     "text_token_stats": _ORACLE_TOKEN_STATS,
     "text_quality": _ORACLE_QUALITY,
     "text_lang_id": _ORACLE_LANG_ID,

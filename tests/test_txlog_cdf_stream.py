@@ -487,3 +487,120 @@ def test_starting_timestamp_iso_first_epoch_fallback(spark, tmp_path):
     assert got == {"version": 0}
     with pytest.raises(ValueError, match="neither ISO-8601.*nor epoch"):
         _initial_offset_from_options(tbl, {"startingtimestamp": "not-a-time"})
+
+
+# ---------------------------------------------------------------------------
+# BATCH change-feed reads (Delta's table_changes twin)
+
+
+def test_batch_changes_row_keyed_exact_rows(spark, tmp_path):
+    """read_txlog_changes(start..end) returns exactly the change rows of
+    the version range: appends as inserts, a row-keyed UPDATE as its
+    exact pre/post pair, version bounds inclusive of start."""
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        read_txlog_changes,
+    )
+
+    tbl = str(tmp_path / "t")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        tbl,
+    )  # v1
+    TX.tx_enable_row_tracking(spark, tbl)  # property + backfill commits
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        tbl,
+        mode="append",
+    )
+    v_append = TX.current_version(spark, tbl)
+    TX.tx_update(
+        spark, tbl, where={"id": (2, 2)}, assignments={"v": F.lit("B!")}
+    )
+    v_update = TX.current_version(spark, tbl)
+
+    ch = read_txlog_changes(
+        spark, tbl, starting_version=v_append, row_keyed=True
+    )
+    got = {
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in ch.select("id", "v", "_change_type", "_commit_version").collect()
+    }
+    assert got == {
+        (3, "c", "insert", v_append),
+        (2, "b", "update_preimage", v_update),
+        (2, "B!", "update_postimage", v_update),
+    }
+    # ending bound excludes the update
+    ch3 = read_txlog_changes(
+        spark, tbl, starting_version=v_append, ending_version=v_append,
+        row_keyed=True,
+    )
+    assert {r._change_type for r in ch3.collect()} == {"insert"}
+
+
+def test_batch_changes_default_mode_is_net_equivalent(spark, tmp_path):
+    """Default (file-action) mode: applying the change rows of (v_s, v_e]
+    to the v_s snapshot reproduces the v_e snapshot — whole-file churn is
+    allowed, net effect must be exact."""
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        read_txlog_changes,
+    )
+
+    tbl = str(tmp_path / "t")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        tbl,
+    )  # v1
+    TX.tx_delete(spark, tbl, where={"id": (2, 2)})  # v2: rewrite
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(4, "d")], "id long, v string"),
+        tbl,
+        mode="append",
+    )  # v3
+
+    base = {(r.id, r.v) for r in TX.tx_read(spark, tbl, version=1).collect()}
+    ch = read_txlog_changes(spark, tbl, starting_version=2).collect()
+    for r in ch:
+        if r._change_type == "delete":
+            base.discard((r.id, r.v))
+    for r in ch:
+        if r._change_type in ("insert", "update_postimage"):
+            base.add((r.id, r.v))
+    assert base == {(r.id, r.v) for r in TX.tx_read(spark, tbl).collect()}
+
+
+def test_batch_changes_guardrails(spark, tmp_path):
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        read_txlog_changes,
+    )
+
+    tbl = str(tmp_path / "t")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "id long"), tbl)  # v1
+    TX.tx_write(
+        spark, spark.createDataFrame([(2,)], "id long"), tbl, mode="append"
+    )  # v2
+    # no start: ambiguous, refused (Delta raises the same way)
+    with pytest.raises(Exception, match="startingVersion or"):
+        read_txlog_changes(spark, tbl).collect()
+    # ending beyond current / before start
+    with pytest.raises(Exception, match="beyond the current"):
+        read_txlog_changes(
+            spark, tbl, starting_version=1, ending_version=9
+        ).collect()
+    with pytest.raises(Exception, match="precedes startingVersion"):
+        read_txlog_changes(
+            spark, tbl, starting_version=2, ending_version=1
+        ).collect()
+    # vacuumed range raises, same contract as the stream
+    TX.tx_write(
+        spark, spark.createDataFrame([(3,)], "id long"), tbl, mode="append"
+    )  # v3
+    TX.tx_vacuum(spark, tbl, keep_versions=1, retain_hours=0)
+    with pytest.raises(Exception, match="vacuumed"):
+        read_txlog_changes(spark, tbl, starting_version=2).collect()
