@@ -64,6 +64,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -435,6 +436,90 @@ class TxLogStreamReader(DataSourceStreamReader):
         return _read_partition(partition)
 
 
+def _typed_partition_value(raw: str, type_json):
+    """A hive partition value decoded to the column's declared type for
+    ordered comparison against a pushed-filter bound — or None when the
+    type has no safe conversion (the file is then kept; pruning must stay
+    sound)."""
+    import datetime as _dt
+
+    if not isinstance(type_json, str):
+        return None
+    if type_json in ("long", "integer", "short", "byte"):
+        return int(raw)
+    if type_json in ("double", "float"):
+        return float(raw)
+    if type_json == "string":
+        return raw
+    if type_json == "date":
+        return _dt.date.fromisoformat(raw)
+    return None
+
+
+def _prune_files(
+    files: list[dict],
+    ranges: dict[str, tuple],
+    equals: dict,
+    mapping: dict[str, str],
+    schema_json: str,
+) -> list[dict]:
+    """File-skipping for pushed filters: drop manifest entries whose
+    per-file min/max stats, Bloom bitsets, or hive partition values
+    PROVABLY miss the predicates. Sound by construction — every check
+    only ever removes files that cannot contain a matching row, and any
+    uninterpretable stat/value keeps the file."""
+    p_where = {mapping.get(c, c): rng for c, rng in ranges.items()}
+    bloom_probes: dict = {}
+    if equals:
+        try:
+            bloom_probes = {
+                mapping.get(c, c): v
+                for c, v in TX._bloomable_probes(schema_json, equals).items()
+            }
+        except Exception:
+            bloom_probes = {}
+    types = {
+        f["name"]: f["type"] for f in json.loads(schema_json)["fields"]
+    } if schema_json else {}
+
+    def keep(f: dict) -> bool:
+        if p_where:
+            try:
+                if not TX._file_overlaps(f, p_where):
+                    return False
+            except TypeError:
+                pass  # bound not orderable against the stat tag: keep
+        if bloom_probes and TX._bloom_rejects(f, bloom_probes):
+            return False
+        part = f.get("partition") or {}
+        if part:
+            for c, (lo, hi) in ranges.items():
+                pv = part.get(mapping.get(c, c))
+                if pv is None:
+                    continue
+                raw = _hive_dec(pv)
+                if raw is None:  # null partition: no value matches a bound
+                    if lo is not None or hi is not None:
+                        return False
+                    continue
+                try:
+                    val = _typed_partition_value(raw, types.get(c))
+                except (ValueError, TypeError):
+                    continue
+                if val is None:
+                    continue
+                try:
+                    if lo is not None and val < lo:
+                        return False
+                    if hi is not None and val > hi:
+                        return False
+                except TypeError:
+                    continue
+        return True
+
+    return [f for f in files if keep(f)]
+
+
 class TxLogBatchReader(DataSourceReader):
     """Snapshot batch read through the Python Data Source — the
     NAME-ADDRESSABLE SQL path: ``CREATE TABLE db.t USING txlog LOCATION
@@ -474,6 +559,72 @@ class TxLogBatchReader(DataSourceReader):
             )
         else:
             self.version = int(v) if v is not None else None
+        # pushed-filter pruning state (pushFilters may never be called)
+        self._ranges: dict[str, tuple] = {}
+        self._equals: dict = {}
+
+    def pushFilters(self, filters):
+        """Filter pushdown for the SQL serving path (Spark 4.1 Python
+        Data Source API): the pushable subset becomes per-column [lo, hi]
+        ranges and equality probes that ``partitions()`` uses for FILE
+        SKIPPING — manifest min/max stats, Bloom bitsets
+        (``tx_write(bloom_for=…)``), and hive partition values — so
+        ``SELECT … FROM domain.t WHERE id = 7`` opens only the files that
+        can contain id 7, the same pruning ``tx_read(where=…,
+        where_equals=…)`` does natively. ALL filters are returned to
+        Spark (skipping is advisory; every predicate is still evaluated
+        row-level post-scan), so pruning can never change results."""
+        from pyspark.sql.datasource import (
+            EqualNullSafe,
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+            StringStartsWith,
+        )
+
+        ranges: dict[str, list] = {}
+
+        def bound(col, lo=None, hi=None):
+            cur = ranges.setdefault(col, [None, None])
+            try:
+                if lo is not None and (cur[0] is None or lo > cur[0]):
+                    cur[0] = lo
+                if hi is not None and (cur[1] is None or hi < cur[1]):
+                    cur[1] = hi
+            except TypeError:
+                pass  # mixed bound types across filters: keep the first
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not (isinstance(attr, tuple) and len(attr) == 1):
+                continue  # nested column: not prunable against flat stats
+            col = attr[0]
+            if isinstance(f, (EqualTo, EqualNullSafe)):
+                if f.value is not None:
+                    bound(col, f.value, f.value)
+                    self._equals.setdefault(col, f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                # strict > treated as >= : sound (over-keeps, never drops)
+                bound(col, lo=f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                bound(col, hi=f.value)
+            elif isinstance(f, In):
+                vals = [v for v in f.value if v is not None]
+                if vals:
+                    try:
+                        bound(col, min(vals), max(vals))
+                    except TypeError:
+                        pass
+            elif isinstance(f, IsNotNull):
+                bound(col)  # all-null files (stats min=max=null) prune
+            elif isinstance(f, StringStartsWith):
+                bound(col, lo=f.value)  # prefix is a sound lower bound
+        self._ranges = {k: (v[0], v[1]) for k, v in ranges.items()}
+        return filters
 
     def partitions(self) -> Sequence[InputPartition]:
         cur = (
@@ -500,6 +651,11 @@ class TxLogBatchReader(DataSourceReader):
                         "txlog_physical": phys,
                     }
             schema_json = json.dumps(d)
+        files = manifest["files"]
+        if self._ranges or self._equals:
+            files = _prune_files(
+                files, self._ranges, self._equals, mapping, manifest["schema"]
+            )
         parts = [
             _TxFilesPartition(
                 self.path,
@@ -507,7 +663,7 @@ class TxLogBatchReader(DataSourceReader):
                 schema_json,
                 {f["path"]: list(f["dv"])} if f.get("dv") else None,
             )
-            for f in manifest["files"]
+            for f in files
         ]
         return parts or [_TxFilesPartition(self.path, [], schema_json)]
 
@@ -579,6 +735,8 @@ class TxLogBatchWriter(DataSourceArrowWriter):
     express — partition-scoped replaces go through
     ``tx_write(mode="overwrite_dynamic")``)."""
 
+    _kind = "SQL INSERT"
+
     def __init__(self, schema_json: str, options: dict, overwrite: bool):
         path = options.get("path") or options.get("_pinned_path")
         if not path:
@@ -595,7 +753,7 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         blockers = _sql_insert_blockers(manifest)
         if blockers:
             raise NotImplementedError(
-                f"SQL INSERT cannot enforce {', '.join(blockers)} declared "
+                f"{self._kind} cannot enforce {', '.join(blockers)} declared "
                 f"on {self.path}; write through txlog.tx_write"
             )
         stats_for, _ = TX._skipping_defaults(props, None, None)
@@ -664,7 +822,7 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             if blockers:
                 raise TX.TxConflictError(
                     f"a concurrent commit declared {', '.join(blockers)} on "
-                    f"{self.path} after this SQL INSERT was planned; the "
+                    f"{self.path} after this {self._kind} was planned; the "
                     "writer cannot enforce them — re-run through "
                     "txlog.tx_write"
                 )
@@ -695,6 +853,124 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 if local is not None:
                     with contextlib.suppress(OSError):
                         os.remove(local)
+
+
+class TxLogStreamWriter(TxLogBatchWriter, DataSourceStreamArrowWriter):
+    """STREAMING SINK into a txlog table — Delta's
+    ``writeStream.format("delta").start(path)`` twin:
+
+        df.writeStream.format("txlog").option("checkpointLocation", chk)
+          .start(path)
+
+    Micro-batch tasks write parquet executor-side (same stats-tagged
+    files as the batch writer); the driver-side ``commit(messages,
+    batchId)`` makes ONE atomic txlog commit carrying ``txn=(app,
+    batchId)`` — the Delta-sink exactly-once contract: a batch replayed
+    after a checkpoint rollback or a racing duplicate finds the
+    per-app high-water mark at-or-past its id and becomes a NO-OP (its
+    orphan files are removed immediately). ``app`` comes from the
+    ``txnAppId`` option, else is derived from ``checkpointLocation``
+    (distinct queries have distinct checkpoints; two queries sharing an
+    app id would wrongly skip each other's batches — exactly Delta's
+    txnAppId contract).
+
+    ``outputMode("append")`` appends; ``outputMode("complete")``
+    (``overwrite=True``) truncate-replaces per batch. A table that does
+    not exist yet is CREATED by the first committed batch (Delta sink
+    parity). The batch writer's honesty gates apply at plan time and
+    again inside the CAS loop."""
+
+    _kind = "streaming sink"
+
+    def __init__(self, schema_json: str, options: dict, overwrite: bool):
+        path = options.get("path") or options.get("_pinned_path")
+        if not path:
+            raise ValueError("txlog streaming sink needs a table path")
+        if TX.current_version(None, _require_local(path).rstrip("/")) is None:
+            # sink CREATES the table on its first committed batch: no
+            # manifest yet, so no gates/stats to resolve at plan time
+            self.path = path.rstrip("/")
+            self.schema_json = schema_json
+            self.overwrite = overwrite
+            self.batch = __import__("uuid").uuid4().hex
+            self.stat_tags = {}
+        else:
+            super().__init__(schema_json, options, overwrite)
+        app = options.get("txnappid")
+        if not app:
+            chk = options.get("checkpointlocation")
+            if chk:
+                import hashlib
+
+                app = (
+                    "txlog-sink-"
+                    + hashlib.sha1(chk.rstrip("/").encode()).hexdigest()[:12]
+                )
+        if not app:
+            raise ValueError(
+                "txlog streaming sink needs a txnAppId option (or a "
+                "checkpointLocation to derive one) — the per-app txn "
+                "high-water mark is what makes batch replays no-ops"
+            )
+        self.txn_app = app
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        entries = [e for m in messages if m is not None for e in m.entries]
+        schema_json = self.schema_json
+        overwrite = self.overwrite
+        app = self.txn_app
+
+        def build(cur):
+            if cur is None:  # first batch creates the table
+                return {
+                    "op": "overwrite" if overwrite else "append",
+                    "schema": schema_json,
+                    "add": entries,
+                    "remove": [],
+                    "truncate": False,
+                    "txn": {"app": app, "version": batchId},
+                    "protocol": TX._protocol_with(
+                        None, writer=(TX.FEATURE_IDEMPOTENT_TXN,)
+                    ),
+                }
+            snap = TX.read_manifest(None, self.path, cur)
+            # replay check AT COMMIT TIME, per CAS attempt: two racing
+            # replays of the same batch cannot both land
+            if snap.get("txns", {}).get(app, -1) >= batchId:
+                raise TX._TxAlreadyApplied()
+            blockers = _sql_insert_blockers(snap)
+            if blockers:
+                raise TX.TxConflictError(
+                    f"a concurrent commit declared {', '.join(blockers)} on "
+                    f"{self.path}; the streaming sink cannot enforce them — "
+                    "fold through streaming/sink.merge_stream + tx_write"
+                )
+            out_schema = schema_json
+            if not overwrite and snap["schema"]:
+                out_schema = TX._merge_table_schema(
+                    snap["schema"], schema_json, False, "streaming sink"
+                )
+            return {
+                "op": "overwrite" if overwrite else "append",
+                "schema": out_schema,
+                "add": entries,
+                "remove": [],
+                "truncate": overwrite,
+                "txn": {"app": app, "version": batchId},
+                "protocol": TX._protocol_with(
+                    snap.get("protocol"), writer=(TX.FEATURE_IDEMPOTENT_TXN,)
+                ),
+            }
+
+        try:
+            TX._commit(None, self.path, build)
+        except TX._TxAlreadyApplied:
+            # the batch already landed (replay after checkpoint loss or a
+            # racing duplicate): reap this attempt's orphan files now
+            TxLogBatchWriter.abort(self, messages)
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        TxLogBatchWriter.abort(self, messages)
 
 
 class TxLogStreamDataSource(DataSource):
@@ -746,11 +1022,19 @@ class TxLogStreamDataSource(DataSource):
             return TxCdfStreamReader(table_json, self._opts())
         return TxLogStreamReader(schema.json(), self._opts())
 
-    def reader(self, schema: StructType) -> TxLogBatchReader:
+    def reader(self, schema: StructType) -> "TxLogBatchReader | TxCdfBatchReader":
+        if self._read_change_feed():
+            # plan from the TABLE schema; Spark validates emitted batches
+            # against the CDF schema it got from schema()
+            _, table_json = _snapshot_schema(self._opts()["path"])
+            return TxCdfBatchReader(table_json, self._opts())
         return TxLogBatchReader(schema.json(), self._opts())
 
     def writer(self, schema: StructType, overwrite: bool) -> TxLogBatchWriter:
         return TxLogBatchWriter(schema.json(), self._opts(), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> TxLogStreamWriter:
+        return TxLogStreamWriter(schema.json(), self._opts(), overwrite)
 
 
 # ---------------------------------------------------------------------------
@@ -1188,6 +1472,78 @@ class TxCdfStreamReader(DataSourceStreamReader):
         return _read_cdf_partition(partition)
 
 
+class TxCdfBatchReader(DataSourceReader):
+    """BATCH change-feed read — Delta's ``spark.read.format("delta")
+    .option("readChangeFeed", "true").option("startingVersion", N)`` /
+    ``table_changes(t, N, M)`` twin: the change rows of commits
+    ``startingVersion..endingVersion`` (ending defaults to current) as a
+    plain DataFrame, same schema and modes as the streaming feed
+    (``rowKeyed=true`` diffs rewrites on the tracked row id). Planning
+    delegates to the stream planner — one code path for both faces.
+
+    Delta-parity contracts: one of ``startingVersion``/
+    ``startingTimestamp`` is REQUIRED (a CDF read with no start is
+    ambiguous — Delta raises the same way); an ending bound before the
+    start raises; a range the log no longer retains raises 'vacuumed'."""
+
+    def __init__(self, table_schema_json: str, options: dict):
+        if (
+            options.get("startingversion") is None
+            and options.get("startingtimestamp") is None
+        ):
+            raise ValueError(
+                "batch readChangeFeed requires startingVersion or "
+                "startingTimestamp (the stream form checkpoints its own "
+                "offset; a batch read must say where to start)"
+            )
+        self._planner = TxCdfStreamReader(table_schema_json, options)
+        self.path = self._planner.path
+        ev = options.get("endingversion")
+        et = options.get("endingtimestamp")
+        if ev is not None and et is not None:
+            raise ValueError("pass endingVersion OR endingTimestamp, not both")
+        self._end: int | None = int(ev) if ev is not None else None
+        self._end_ts = et
+
+    def partitions(self) -> Sequence[InputPartition]:
+        s = int(self._planner._initial["version"])
+        cur = TX.current_version(None, self.path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed txlog version at {self.path}")
+        if self._end_ts is not None:
+            et = self._end_ts
+            try:
+                et = float(et)
+            except (TypeError, ValueError):
+                pass
+            e = TX.version_at_timestamp(None, self.path, et)
+        elif self._end is not None:
+            e = self._end
+            if e > cur:
+                raise ValueError(
+                    f"endingVersion {e} is beyond the current version {cur} "
+                    f"of {self.path}"
+                )
+        else:
+            e = cur
+        if e < s + 1:  # ending before starting: a user error, not an empty feed
+            raise ValueError(
+                f"endingVersion {e} precedes startingVersion {s + 1} at "
+                f"{self.path}"
+            )
+        parts: list[_TxCdfPartition] = []
+        for v in _retained_span(self.path, s, e):
+            parts.extend(self._planner._commit_partitions(v))
+        return parts or [
+            _TxCdfPartition(
+                self.path, e, [], [], self._planner.table_schema_json, "insert"
+            )
+        ]
+
+    def read(self, partition: _TxCdfPartition):
+        return _read_cdf_partition(partition)
+
+
 def pinned_txlog_source(spark: SparkSession, path: str) -> str:
     """Register a TABLE-PINNED txlog format and return its name — the
     SQL-serving shim: ``CREATE TABLE db.t USING <returned name>`` then
@@ -1229,6 +1585,12 @@ def register_txlog_source(spark: SparkSession) -> None:
     from ..plans.common import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
+    # TxLogBatchReader implements pushFilters (stats/bloom/partition file
+    # skipping); with the gate conf left at its false default, Spark FAILS
+    # any scan of a pushdown-capable Python source instead of ignoring the
+    # hook — so registration (the one path every txlog consumer takes)
+    # turns it on. Runtime-settable; harmless for the other readers.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxLogStreamDataSource)
 
 
@@ -1283,4 +1645,40 @@ def stream_txlog_changes(
         reader = reader.option(
             "maxCommitsPerTrigger", str(max_commits_per_trigger)
         )
+    return reader.load(path)
+
+
+def read_txlog_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int | str | None = None,
+    ending_version: int | None = None,
+    starting_timestamp: str | float | None = None,
+    ending_timestamp: str | float | None = None,
+    row_keyed: bool = False,
+    diff_split_bytes: int | None = None,
+) -> DataFrame:
+    """BATCH change feed of the txlog table at ``path`` — Delta's
+    ``table_changes(t, start, end)`` twin: the change rows of commits
+    ``starting_version..ending_version`` (ending defaults to the current
+    version) as a plain DataFrame with ``_change_type`` +
+    ``_commit_version``. One of ``starting_version``/
+    ``starting_timestamp`` is required. ``row_keyed=True`` (requires
+    :func:`~..sources.txlog.tx_enable_row_tracking`) diffs rewrites on
+    the tracked row id, so compactions cancel and updates emit exact
+    pre/post pairs."""
+    register_txlog_source(spark)
+    reader = spark.read.format("txlog").option("readChangeFeed", "true")
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    if ending_version is not None:
+        reader = reader.option("endingVersion", str(ending_version))
+    if starting_timestamp is not None:
+        reader = reader.option("startingTimestamp", str(starting_timestamp))
+    if ending_timestamp is not None:
+        reader = reader.option("endingTimestamp", str(ending_timestamp))
+    if row_keyed:
+        reader = reader.option("rowKeyed", "true")
+    if diff_split_bytes is not None:
+        reader = reader.option("diffSplitBytes", str(diff_split_bytes))
     return reader.load(path)
