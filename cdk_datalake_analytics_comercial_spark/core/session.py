@@ -35,6 +35,11 @@ _DEFAULTS = {
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     # Arrow for any pandas interchange (multimodal / sketch verification paths).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python Data Source filter pushdown: TxLogBatchReader prunes files by
+    # manifest stats/bloom/partition values from pushed WHERE clauses; with
+    # the gate off Spark FAILS pushdown-capable sources rather than ignoring
+    # them (also set at register_txlog_source for foreign sessions).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Deterministic timestamp semantics matching the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
     # Modern calendar only (reference pins LEGACY at common_jobs_functions.py:117-119

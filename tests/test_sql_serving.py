@@ -411,3 +411,83 @@ def test_register_sql_dir_raises_on_identifier_collision(spark, tmp_path):
     df.write.parquet(os.path.join(d, "t_1.parquet"))
     with pytest.raises(ValueError, match="collision"):
         register_sql_dir(spark, d, "colldb")
+
+
+# ---------------------------------------------------------------------------
+# Filter pushdown through the SQL face (file skipping in TxLogBatchReader)
+
+
+def test_sql_pushdown_prunes_files_by_stats_bloom_and_partition(
+    spark, tmp_path
+):
+    """Pushed WHERE clauses skip files through the Python Data Source:
+    manifest min/max stats (range + equality), Bloom bitsets (equality on
+    high-cardinality keys), and hive partition values — the same pruning
+    tx_read does natively, now reachable from `SELECT … FROM db.t`."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        TxLogBatchReader,
+    )
+
+    p = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame(
+                [(lo + i, f"s{lo + i}") for i in range(3)],
+                "id long, v string",
+            ).coalesce(1),
+            p,
+            mode="append" if lo else "overwrite",
+            stats_for=["id"],
+            bloom_for=["v"],
+        )
+    m = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    assert len(m["files"]) == 3
+
+    def parts(*filters):
+        r = TxLogBatchReader(m["schema"], {"path": p})
+        leftover = r.pushFilters(list(filters))
+        assert list(leftover) == list(filters)  # Spark still evaluates all
+        return r.partitions()
+
+    assert len(parts(EqualTo(("id",), 101))) == 1  # stats equality
+    assert len(parts(GreaterThan(("id",), 99))) == 2  # stats range
+    assert len(parts(EqualTo(("v",), "s201"))) == 1  # bloom (no v stats)
+    assert len(parts()) == 3  # no filters: every file
+
+    # end-to-end: the registered table answers WHERE queries exactly
+    register_txlog_table(spark, "pddb", "t", p)
+    assert [
+        tuple(r)
+        for r in spark.sql("SELECT id, v FROM pddb.t WHERE id = 101").collect()
+    ] == [(101, "s101")]
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM pddb.t WHERE id > 99").collect()[0].n
+        == 6
+    )
+
+    # hive partition pruning: per-partition files, equality on the
+    # partition column opens only its partition's file
+    q = str(tmp_path / "part")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "us"), (2, "eu"), (3, "apac")], "id long, region string"
+        ).repartition(3),
+        q,
+        partition_by=["region"],
+    )
+    mq = TX.read_manifest(spark, q, TX.current_version(spark, q))
+    assert len(mq["files"]) == 3
+    r = TxLogBatchReader(mq["schema"], {"path": q})
+    r.pushFilters([EqualTo(("region",), "us")])
+    assert len(r.partitions()) == 1
+    register_txlog_table(spark, "pddb", "tp", q)
+    assert [
+        tuple(x)
+        for x in spark.sql(
+            "SELECT id, region FROM pddb.tp WHERE region = 'us'"
+        ).collect()
+    ] == [(1, "us")]
