@@ -27,9 +27,11 @@ Semantics mirror Delta's streaming source:
   DELETE/UPDATE, compaction, restore) is not expressible as an append;
   the stream FAILS on it unless ``skipChangeCommits=true`` (Delta's
   option of the same name), which skips those commits entirely.
-- **Admission control.** ``maxFilesPerTrigger`` caps how many data files a
-  micro-batch admits (version boundaries are respected: a commit's files
-  never split across batches, so each batch is a prefix of the log).
+- **Admission control.** ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``
+  cap how many data files (bytes) a micro-batch admits — whichever limit
+  trips first ends the batch (version boundaries are respected: a
+  commit's files never split across batches, so each batch is a prefix
+  of the log).
   Scope, dictated by the Python API (``latestOffset()`` receives no start
   offset, and Python sources don't participate in ``SupportsAdmissionControl``):
   the cap engages from the SECOND micro-batch of a run — the first batch
@@ -324,6 +326,10 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft is not None else None
         if self.max_files is not None and self.max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
+        mbt = options.get("maxbytespertrigger")
+        self.max_bytes = int(mbt) if mbt is not None else None
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
         self._initial = _initial_offset_from_options(self.path, options)
         # Admission control caps how far latestOffset advances past the
         # last PLANNED end. That base is only known from this run's own
@@ -351,8 +357,9 @@ class TxLogStreamReader(DataSourceStreamReader):
         # never cap the initial snapshot (last == -1): it is one resolved
         # manifest, not a commit range — admitted whole, like a fresh
         # Delta stream's initial snapshot version.
-        if self.max_files is not None and last is not None and last >= 0:
-            end, admitted = last, 0
+        capped = self.max_files is not None or self.max_bytes is not None
+        if capped and last is not None and last >= 0:
+            end, admitted, admitted_b = last, 0, 0
             for v in TX.list_versions(None, self.path):
                 if v <= last:
                     continue
@@ -367,9 +374,13 @@ class TxLogStreamReader(DataSourceStreamReader):
                     or any(f.get("dv") for f in rec.get("add", ()))
                 )
                 if not (is_change and self.skip_change_commits):
-                    admitted += len(rec.get("add", ()))
+                    adds = rec.get("add", ())
+                    admitted += len(adds)
+                    admitted_b += sum(f.get("bytes", 0) for f in adds)
                 end = v  # a commit never splits across batches
-                if admitted >= self.max_files:
+                if (self.max_files is not None and admitted >= self.max_files) or (
+                    self.max_bytes is not None and admitted_b >= self.max_bytes
+                ):
                     break
             cur = max(end, last)
         return {"version": cur}
@@ -1601,6 +1612,7 @@ def stream_txlog(
     skip_change_commits: bool = False,
     max_files_per_trigger: int | None = None,
     starting_timestamp: str | float | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """A streaming DataFrame tailing the txlog table at ``path``."""
     register_txlog_source(spark)
@@ -1613,6 +1625,8 @@ def stream_txlog(
         reader = reader.option("skipChangeCommits", "true")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     return reader.load(path)
 
 

@@ -527,3 +527,66 @@ def test_stream_sink_refuses_unenforceable_tables(spark, tmp_path):
     TX.tx_add_identity(spark, dst, "id")
     with pytest.raises(Exception, match="streaming sink cannot enforce"):
         _sink_drain(spark, src, dst, str(tmp_path / "chk"))
+
+
+def test_admission_control_max_bytes_per_trigger(spark, tmp_path):
+    """maxBytesPerTrigger (Delta's byte-based admission twin): steady-state
+    batches end at the first commit that reaches the byte budget —
+    commit-boundary-respecting, offsets monotonic. A tiny budget still
+    admits at least one commit per batch (progress is guaranteed)."""
+    tbl = str(tmp_path / "t")
+    TX.tx_write(spark, _mk(spark, 1), tbl)
+    reader = TxLogStreamReader(
+        TX.read_manifest(spark, tbl, 1)["schema"],
+        {"path": tbl, "maxbytespertrigger": "1"},  # < any file: 1 commit/batch
+    )
+    first = reader.latestOffset()
+    start = reader.initialOffset()
+    parts = reader.partitions(start, first)  # initial snapshot uncapped
+    assert sum(len(p.rel_paths) for p in parts) == 1
+
+    for i in range(2, 5):
+        TX.tx_write(spark, _mk(spark, i), tbl, mode="append")
+    sizes, last = [], first
+    for _ in range(5):
+        nxt = reader.latestOffset()
+        assert nxt["version"] >= last["version"]
+        if nxt["version"] == last["version"]:
+            break
+        sizes.append(
+            sum(len(p.rel_paths) for p in reader.partitions(last, nxt))
+        )
+        last = nxt
+    assert sizes == [1, 1, 1]  # 3 pending commits, byte budget -> one each
+
+
+def test_stream_sink_races_tx_write_gapless(spark, tmp_path):
+    """The streaming sink's per-batch commit runs in the Python Data
+    Source worker process; racing a driver-side tx_write append goes
+    through the same optimistic CAS — both land, versions stay gapless,
+    no rows lost."""
+    import threading
+
+    src, dst, chk = (str(tmp_path / d) for d in ("src", "dst", "chk"))
+    TX.tx_write(spark, _mk(spark, 1), src)
+    TX.tx_write(spark, _mk(spark, 0), dst)  # sink table pre-exists
+    errs = []
+
+    def py_writer():
+        try:
+            for i in range(3):
+                TX.tx_write(
+                    spark, _mk(spark, 100 + i), dst, mode="append"
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = threading.Thread(target=py_writer)
+    th.start()
+    _sink_drain(spark, src, dst, chk, app="race-sink")
+    th.join(120)
+    assert not errs
+    ids = sorted(r.id for r in TX.tx_read(spark, dst).select("id").collect())
+    assert ids == [0, 1, 100, 101, 102]  # all writers' rows landed
+    vers = TX.list_versions(spark, dst)
+    assert vers == list(range(1, len(vers) + 1))  # gapless
