@@ -25,6 +25,7 @@ HEADLINE = [
     "multikey_join",
     "regional_supplier_volume",
     "sql_regional_supplier_volume",
+    "sql_pushdown_lookup",
     "txlog_changes_batch",
     "large_orders",
     "shipping_priority",

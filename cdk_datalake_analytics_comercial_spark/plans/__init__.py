@@ -24,6 +24,7 @@ for mod in (relational, docs, events):
 _SAMPLE_FIRST = [
     # new in round 10 (never driver-sampled)
     "txlog_changes_batch",
+    "sql_pushdown_lookup",
     # new in round 9 (driver-sampled once at most)
     "sql_regional_supplier_volume",
     "sql_txlog_snapshot",

@@ -2586,6 +2586,86 @@ def q_sql_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sql_pushdown_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-PUSHDOWN SQL lookup over a txlog table: the corpus subset
+    is written range-clustered on ``doc_id`` (8 files with disjoint
+    ranges, per-file min/max stats), registered by name, and queried
+    with a pure ``spark.sql`` range predicate. The WHERE clause reaches
+    `streaming/source.TxLogBatchReader.pushFilters`, which prunes the
+    scan to the files whose stat range intersects [40, 260] — at 100 TB
+    this is the difference between opening 2 files and opening every
+    live file (SCALE.md round-10). The oracle recomputes the aggregate
+    from the raw parquet; results must match exactly because pruning is
+    advisory (Spark still filters row-level). Build-once cache keyed by
+    corpus content, atomic publish via rename."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import is_txlog_table, tx_write
+
+    doc = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    files = (
+        sorted(os.path.join(doc, f) for f in os.listdir(doc))
+        if os.path.isdir(doc)
+        else [doc]
+    )
+    parts = []
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.sha1(
+        f"{doc}|{'|'.join(parts)}|txpd|v1".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_txpd_{key}")
+    if not is_txlog_table(spark, path):
+        tmp = tempfile.mkdtemp(prefix="spark_graft_txpd_build_")
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.select("doc_id", "lang", "n_chars")
+            .repartitionByRange(8, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            tmp,
+            stats_for=["doc_id"],
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not is_txlog_table(spark, path):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    db = "lake_" + hashlib.sha1(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
+    register_txlog_table(spark, db, "documents_pd", path)
+    return spark.sql(f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_id
+        FROM {db}.documents_pd
+        WHERE doc_id BETWEEN 40 AND 260
+        GROUP BY lang
+    """)
+
+
+_ORACLE_SQL_PUSHDOWN_LOOKUP = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents
+WHERE doc_id BETWEEN 40 AND 260
+GROUP BY lang
+"""
+
+
 def q_txlog_changes_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCH CHANGE-FEED read over a txlog table (Delta's
     ``table_changes(t, start, end)`` twin, `streaming/source.py
@@ -2719,6 +2799,7 @@ GROUP BY lang, source
 
 QUERIES = {
     "sql_txlog_snapshot": q_sql_txlog_snapshot,
+    "sql_pushdown_lookup": q_sql_pushdown_lookup,
     "txlog_changes_batch": q_txlog_changes_batch,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -2778,6 +2859,7 @@ QUERIES = {
 
 ORACLES = {
     "sql_txlog_snapshot": _ORACLE_SQL_TXLOG_SNAPSHOT,
+    "sql_pushdown_lookup": _ORACLE_SQL_PUSHDOWN_LOOKUP,
     "txlog_changes_batch": _ORACLE_TXLOG_CHANGES_BATCH,
     "text_token_stats": _ORACLE_TOKEN_STATS,
     "text_quality": _ORACLE_QUALITY,
