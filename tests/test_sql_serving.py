@@ -491,3 +491,89 @@ def test_sql_pushdown_prunes_files_by_stats_bloom_and_partition(
             "SELECT id, region FROM pddb.tp WHERE region = 'us'"
         ).collect()
     ] == [(1, "us")]
+
+
+def test_sql_pushdown_in_filter_and_column_mapping(spark, tmp_path):
+    """IN-list predicates prune by [min, max] envelope, and pruning keys
+    translate logical -> physical on column-MAPPED tables: after a
+    metadata-only RENAME the pushed filter names the new logical column,
+    while per-file stats stay keyed by the immutable physical name."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        TxLogBatchReader,
+    )
+
+    p = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame(
+                [(lo + i, f"s{lo + i}") for i in range(3)],
+                "id long, v string",
+            ).coalesce(1),
+            p,
+            mode="append" if lo else "overwrite",
+            stats_for=["id"],
+        )
+    m = TX.read_manifest(spark, p, TX.current_version(spark, p))
+
+    r = TxLogBatchReader(m["schema"], {"path": p})
+    r.pushFilters([In(("id",), (0, 2, 102))])  # envelope [0, 102]: 2 files
+    assert len(r.partitions()) == 2
+
+    # metadata-only rename; stats in old files stay keyed by physical 'id'
+    TX.tx_rename_column(spark, p, "id", "ident")
+    m2 = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    r2 = TxLogBatchReader(m2["schema"], {"path": p})
+    r2.pushFilters([EqualTo(("ident",), 201)])
+    [part] = r2.partitions()
+    assert part.rel_paths, "got the empty-fallback partition, not a real file"
+
+    # a value no file can contain: every file provably misses -> the scan
+    # is the zero-file fallback partition (and SQL returns no rows)
+    r3 = TxLogBatchReader(m2["schema"], {"path": p})
+    r3.pushFilters([EqualTo(("ident",), 999)])
+    [fallback] = r3.partitions()
+    assert not fallback.rel_paths
+
+    # end-to-end through SQL: the renamed logical name answers exactly
+    register_txlog_table(spark, "pdmapdb", "t", p)
+    assert [
+        tuple(x)
+        for x in spark.sql(
+            "SELECT ident, v FROM pdmapdb.t WHERE ident = 201"
+        ).collect()
+    ] == [(201, "s201")]
+
+
+def test_batch_changes_on_column_mapped_table(spark, tmp_path):
+    """The batch change feed serves LOGICAL column names on mapped
+    tables: changes made before and after a RENAME both stream under the
+    current logical schema."""
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        read_txlog_changes,
+    )
+
+    tbl = str(tmp_path / "t")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), tbl
+    )  # v1
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        tbl,
+        mode="append",
+    )  # v2
+    TX.tx_rename_column(spark, tbl, "v", "val")  # v3 metadata-only
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(3, "c")], "id long, val string"),
+        tbl,
+        mode="append",
+    )  # v4
+    ch = read_txlog_changes(spark, tbl, starting_version=2)
+    got = {
+        (r.id, r.val, r._change_type, r._commit_version) for r in ch.collect()
+    }
+    assert got == {(2, "b", "insert", 2), (3, "c", "insert", 4)}
