@@ -1028,6 +1028,70 @@ def tx_drop_column(spark: SparkSession, path: str, col: str) -> int:
     return _schema_change_commit(spark, path, "drop_column", transform, col)
 
 
+def tx_add_column(
+    spark: SparkSession, path: str, col: str, dtype, *, nullable: bool = True
+) -> int:
+    """METADATA-ONLY ``ALTER TABLE ADD COLUMN`` (Delta's twin): the field
+    joins the table schema in one commit, no data file moves. Existing
+    files simply lack the column, so every read path null-pads it (the
+    same mechanics schema-evolving writes already rely on); later writes
+    may populate it. ``dtype`` is a Spark DataType or a DDL string
+    (``"decimal(10,2)"``). On column-MAPPED tables the new field gets a
+    FRESH physical id, so it can never resurrect a dropped column's
+    dormant data; unmapped tables keep identity naming (a drop activates
+    mapping, so a same-name collision cannot exist there). The column
+    must be nullable unless the table is empty — existing rows have no
+    value for it (Delta refuses NOT NULL adds the same way)."""
+    from pyspark.sql.types import DataType
+
+    dt = DataType.fromDDL(dtype) if isinstance(dtype, str) else dtype
+    type_json = json.loads(dt.json())
+
+    def build(now: int | None) -> dict:
+        if now is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        snap = read_manifest(spark, path, now)
+        if not snap["schema"]:
+            raise ValueError(f"add_column: table at {path} has no schema record")
+        sch = json.loads(snap["schema"])
+        names = [f["name"] for f in sch["fields"]]
+        if col in names:
+            raise ValueError(f"add_column: column {col!r} already exists")
+        if not nullable and any(f.get("rows", 0) for f in snap["files"]):
+            raise ValueError(
+                f"add_column: cannot add NOT NULL column {col!r} to a "
+                "non-empty table (existing rows have no value for it)"
+            )
+        # fresh-physical decision keys off the column-mapping PROTOCOL
+        # feature, not the current mapping shape: after a DROP the live
+        # mapping looks identity again, but the dropped column's data is
+        # dormant in old files under its physical name — re-adding that
+        # name without a fresh id would resurrect it
+        proto = snap.get("protocol") or {}
+        mapped = FEATURE_COLUMN_MAPPING in (
+            list(proto.get("reader_features", []))
+            + list(proto.get("writer_features", []))
+        )
+        md = {"txlog_physical": _fresh_physical()} if mapped else {}
+        sch["fields"] = list(sch["fields"]) + [
+            {
+                "name": col,
+                "type": type_json,
+                "nullable": nullable,
+                "metadata": md,
+            }
+        ]
+        return {
+            "op": "add_column",
+            "schema": json.dumps(sch),
+            "add": [],
+            "remove": [],
+            "truncate": False,
+        }
+
+    return _commit(spark, path, build)
+
+
 def tx_properties(spark: SparkSession, path: str) -> dict:
     """The table's properties at the current version (Delta's SHOW
     TBLPROPERTIES) — empty dict for a table that never set any."""
@@ -2525,12 +2589,19 @@ def tx_read(
     # type drift (partition columns recover from hive paths as strings
     # under the pinned inference=false conf and must cast to the
     # declared type)
-    if manifest["schema"] and [
-        (f.name, f.dataType.json()) for f in out.schema.fields
-    ] != [
-        (f["name"], json.dumps(f["type"]))
-        for f in json.loads(manifest["schema"])["fields"]
-    ]:
+    # Under a non-identity mapping the projection is UNCONDITIONAL: a
+    # name/type comparison alone cannot catch the add-after-drop trap,
+    # where a dropped column's dormant PHYSICAL name equals a re-added
+    # column's LOGICAL name — the frame looks schema-shaped while
+    # serving the dropped data.
+    if manifest["schema"] and (
+        not _mapping_is_identity(mapping)
+        or [(f.name, f.dataType.json()) for f in out.schema.fields]
+        != [
+            (f["name"], json.dumps(f["type"]))
+            for f in json.loads(manifest["schema"])["fields"]
+        ]
+    ):
         out = _to_logical(out, manifest["schema"])
     if where:
         for col, (lo, hi) in where.items():

@@ -369,3 +369,72 @@ def test_constraint_never_binds_dormant_physical_name(spark, tmp_path):
             spark, p, where={"id": (7, 7)}, assignments={"k": F.lit(5)},
             use_dv=True,
         )
+
+
+def test_add_column_metadata_only(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN twin: one metadata commit, zero files
+    moved; old files null-pad the new column, later appends populate it,
+    time travel shows the pre-add schema."""
+    p = str(tmp_path / "t")
+    TX.tx_write(spark, spark.createDataFrame([(1, "a")], "id long, v string"), p)
+    v1 = TX.current_version(spark, p)
+    files_before = TX.read_manifest(spark, p, v1)["files"]
+    TX.tx_add_column(spark, p, "score", "double")
+    v2 = TX.current_version(spark, p)
+    assert v2 == v1 + 1
+    assert TX.read_manifest(spark, p, v2)["files"] == files_before  # no data moved
+    got = TX.tx_read(spark, p).collect()
+    assert [(r.id, r.v, r.score) for r in got] == [(1, "a", None)]
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(2, "b", 0.5)], "id long, v string, score double"),
+        p,
+        mode="append",
+    )
+    rows = {(r.id, r.score) for r in TX.tx_read(spark, p).collect()}
+    assert rows == {(1, None), (2, 0.5)}
+    # time travel: pre-add schema has no 'score'
+    assert "score" not in TX.tx_read(spark, p, version=v1).columns
+    # duplicate add refused; NOT NULL add on non-empty refused
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        TX.tx_add_column(spark, p, "score", "double")
+    with pytest.raises(ValueError, match="NOT NULL"):
+        TX.tx_add_column(spark, p, "req", "long", nullable=False)
+
+
+def test_add_column_never_resurrects_dropped_data(spark, tmp_path):
+    """Dropping a column leaves its data dormant; re-adding the same
+    logical name on the (now mapped) table stamps a FRESH physical id,
+    so the old values stay invisible."""
+    p = str(tmp_path / "t")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "secret")], "id long, note string"), p
+    )
+    TX.tx_drop_column(spark, p, "note")  # activates column mapping
+    TX.tx_add_column(spark, p, "note", "string")
+    got = TX.tx_read(spark, p).collect()
+    assert [(r.id, r.note) for r in got] == [(1, None)], "dropped data resurrected!"
+    m = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    import json as _json
+
+    fld = [f for f in _json.loads(m["schema"])["fields"] if f["name"] == "note"][0]
+    assert fld["metadata"]["txlog_physical"].startswith("col-")  # fresh id
+
+
+def test_add_column_visible_through_sql_face(spark, tmp_path):
+    """The SQL serving path sees the added column after re-registration
+    (catalog tables pin their CREATE-time schema) and null-pads it for
+    pre-add files."""
+    from cdk_datalake_analytics_comercial_spark.core.sql_serving import (
+        register_txlog_table,
+    )
+
+    p = str(tmp_path / "t")
+    TX.tx_write(spark, spark.createDataFrame([(1, "a")], "id long, v string"), p)
+    TX.tx_add_column(spark, p, "score", "double")
+    register_txlog_table(spark, "addcoldb", "t", p)
+    assert [tuple(r) for r in spark.sql(
+        "SELECT id, v, score FROM addcoldb.t"
+    ).collect()] == [(1, "a", None)]
