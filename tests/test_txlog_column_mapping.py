@@ -438,3 +438,24 @@ def test_add_column_visible_through_sql_face(spark, tmp_path):
     assert [tuple(r) for r in spark.sql(
         "SELECT id, v, score FROM addcoldb.t"
     ).collect()] == [(1, "a", None)]
+
+
+def test_add_column_then_default_composes(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN then SET DEFAULT (the Delta evolution
+    recipe): pre-add rows stay null (standard SQL semantic), writes that
+    omit the column get the default, explicit values win."""
+    p = str(tmp_path / "t")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "id long"), p)
+    TX.tx_add_column(spark, p, "tier", "string")
+    TX.tx_set_default(spark, p, "tier", "'std'")
+    TX.tx_write(
+        spark, spark.createDataFrame([(2,)], "id long"), p, mode="append"
+    )  # omits tier -> default
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(3, "vip")], "id long, tier string"),
+        p,
+        mode="append",
+    )  # explicit wins
+    got = {(r.id, r.tier) for r in TX.tx_read(spark, p).collect()}
+    assert got == {(1, None), (2, "std"), (3, "vip")}

@@ -590,3 +590,28 @@ def test_stream_sink_races_tx_write_gapless(spark, tmp_path):
     assert ids == [0, 1, 100, 101, 102]  # all writers' rows landed
     vers = TX.list_versions(spark, dst)
     assert vers == list(range(1, len(vers) + 1))  # gapless
+
+
+def test_stream_sink_refuses_schema_widening(spark, tmp_path):
+    """The sink validates schema at the commit boundary with tx_write's
+    rule: a stream whose rows carry a column the sink table lacks fails
+    LOUDLY (no silent widening, no partial commit) — evolve the table
+    first (tx_add_column), then the same stream flows."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", "us")], "id long, s string, region string"
+        ),
+        src,
+    )
+    TX.tx_write(spark, spark.createDataFrame([(0,)], "id long"), dst)
+    v0 = TX.current_version(spark, dst)
+    with pytest.raises(Exception, match="new column|schema"):
+        _sink_drain(spark, src, dst, str(tmp_path / "chk1"), app="wide")
+    assert TX.current_version(spark, dst) == v0  # nothing landed
+    TX.tx_add_column(spark, dst, "s", "string")
+    TX.tx_add_column(spark, dst, "region", "string")
+    _sink_drain(spark, src, dst, str(tmp_path / "chk2"), app="wide")
+    got = {(r.id, r.s, r.region) for r in TX.tx_read(spark, dst).collect()}
+    assert got == {(0, None, None), (1, "a", "us")}
