@@ -150,6 +150,39 @@ def register_txlog_table(
     return f"{db}.{name}"
 
 
+def register_txlog_changes_table(
+    spark: SparkSession,
+    db: str,
+    name: str,
+    path: str,
+    starting_version: int,
+    row_keyed: bool = False,
+) -> str:
+    """Delta's ``table_changes(t, start)`` as a NAMED catalog object:
+    ``SELECT … FROM db.name`` serves the change rows (table columns +
+    ``_change_type`` + ``_commit_version``) of commits
+    ``starting_version..current``, re-resolved at every query plan — new
+    commits appear in the next SELECT with no re-registration. The
+    starting version and modes bake into a pinned format
+    (:func:`~..streaming.source.pinned_txlog_source` with extra
+    options), because catalog-table scans hand Python data sources an
+    empty option map. ``row_keyed=True`` (requires row tracking) makes
+    rewrites cancel, so the named feed shows only real changes."""
+    from ..streaming.source import pinned_txlog_source
+
+    extra = {
+        "readchangefeed": "true",
+        "startingversion": str(starting_version),
+    }
+    if row_keyed:
+        extra["rowkeyed"] = "true"
+    fmt = pinned_txlog_source(spark, path, extra)
+    ensure_database(spark, db)
+    _drop_any(spark, f"{db}.{name}")
+    spark.sql(f"CREATE TABLE {db}.{name} USING {fmt}")
+    return f"{db}.{name}"
+
+
 def _register_union_view(
     spark: SparkSession, db: str, name: str, member_names: list[str]
 ) -> str:

@@ -998,20 +998,22 @@ class TxLogStreamDataSource(DataSource):
     the address."""
 
     _pinned_path: str | None = None
+    _pinned_extra: dict | None = None  # lowercase keys; runtime options win
 
     @classmethod
     def name(cls) -> str:
         return "txlog"
 
     def _opts(self) -> dict:
-        o = dict(self.options)
+        o = dict(self._pinned_extra or {})
+        o.update(self.options)
         if not o.get("path") and self._pinned_path:
             o["path"] = self._pinned_path
         return o
 
     def _read_change_feed(self) -> bool:
         return (
-            str(self.options.get("readchangefeed", "false")).lower() == "true"
+            str(self._opts().get("readchangefeed", "false")).lower() == "true"
         )
 
     def schema(self) -> StructType:
@@ -1555,23 +1557,34 @@ class TxCdfBatchReader(DataSourceReader):
         return _read_cdf_partition(partition)
 
 
-def pinned_txlog_source(spark: SparkSession, path: str) -> str:
+def pinned_txlog_source(
+    spark: SparkSession, path: str, extra_options: dict | None = None
+) -> str:
     """Register a TABLE-PINNED txlog format and return its name — the
     SQL-serving shim: ``CREATE TABLE db.t USING <returned name>`` then
     resolves the snapshot at every query plan with no options needed
     (catalog tables hand Python data sources an empty option map).
-    Deterministic per path and idempotent (re-registering replaces the
-    entry). The dynamic subclass is pickled by value (cloudpickle), so
-    executors never need it importable."""
+    ``extra_options`` (lowercase keys) bake additional reader options
+    into the format the same way — e.g. ``readchangefeed``/
+    ``startingversion`` for a named CHANGE-FEED table. Deterministic per
+    (path, options) and idempotent (re-registering replaces the entry).
+    The dynamic subclass is pickled by value (cloudpickle), so executors
+    never need it importable."""
     import hashlib
 
     register_txlog_source(spark)  # module-by-value pickling + package zip
     norm = path.rstrip("/")
-    fmt = "txlog_t_" + hashlib.sha1(norm.encode()).hexdigest()[:12]
+    extra = {str(k).lower(): str(v) for k, v in (extra_options or {}).items()}
+    tag = norm + "|" + json.dumps(extra, sort_keys=True)
+    fmt = "txlog_t_" + hashlib.sha1(tag.encode()).hexdigest()[:12]
     cls = type(
         f"TxLogPinned_{fmt}",
         (TxLogStreamDataSource,),
-        {"_pinned_path": norm, "name": classmethod(lambda c, _f=fmt: _f)},
+        {
+            "_pinned_path": norm,
+            "_pinned_extra": extra,
+            "name": classmethod(lambda c, _f=fmt: _f),
+        },
     )
     spark.dataSource.register(cls)
     return fmt

@@ -577,3 +577,48 @@ def test_batch_changes_on_column_mapped_table(spark, tmp_path):
         (r.id, r.val, r._change_type, r._commit_version) for r in ch.collect()
     }
     assert got == {(2, "b", "insert", 2), (3, "c", "insert", 4)}
+
+
+def test_named_change_feed_table(spark, tmp_path):
+    """table_changes as a catalog NAME: SELECT from the registered
+    change-feed table serves the commits since the pinned starting
+    version, re-resolved per plan — a commit made AFTER registration
+    appears in the next SELECT with no re-registration."""
+    from cdk_datalake_analytics_comercial_spark.core.sql_serving import (
+        register_txlog_changes_table,
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    p = str(tmp_path / "t")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), p
+    )  # v1
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        p,
+        mode="append",
+    )  # v2
+    register_txlog_changes_table(spark, "cfdb", "t_changes", p, 2)
+    got = {
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in spark.sql("SELECT * FROM cfdb.t_changes").collect()
+    }
+    assert got == {(2, "b", "insert", 2)}
+    # a new commit appears with no re-registration
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        p,
+        mode="append",
+    )  # v3
+    got = {
+        (r.id, r._commit_version)
+        for r in spark.sql("SELECT id, _commit_version FROM cfdb.t_changes").collect()
+    }
+    assert got == {(2, 2), (3, 3)}
+    # SQL aggregation over the named feed
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM cfdb.t_changes WHERE _change_type = 'insert'"
+    ).collect()[0].n
+    assert n == 2
