@@ -157,11 +157,13 @@ def register_txlog_changes_table(
     path: str,
     starting_version: int,
     row_keyed: bool = False,
+    ending_version: int | None = None,
 ) -> str:
     """Delta's ``table_changes(t, start)`` as a NAMED catalog object:
     ``SELECT … FROM db.name`` serves the change rows (table columns +
     ``_change_type`` + ``_commit_version``) of commits
-    ``starting_version..current``, re-resolved at every query plan — new
+    ``starting_version..current`` (or ``..ending_version`` when given —
+    a frozen audit window), re-resolved at every query plan — new
     commits appear in the next SELECT with no re-registration. The
     starting version and modes bake into a pinned format
     (:func:`~..streaming.source.pinned_txlog_source` with extra
@@ -174,6 +176,8 @@ def register_txlog_changes_table(
         "readchangefeed": "true",
         "startingversion": str(starting_version),
     }
+    if ending_version is not None:
+        extra["endingversion"] = str(ending_version)
     if row_keyed:
         extra["rowkeyed"] = "true"
     fmt = pinned_txlog_source(spark, path, extra)

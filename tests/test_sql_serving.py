@@ -622,3 +622,14 @@ def test_named_change_feed_table(spark, tmp_path):
         "SELECT COUNT(*) AS n FROM cfdb.t_changes WHERE _change_type = 'insert'"
     ).collect()[0].n
     assert n == 2
+    # bounded window: ending_version freezes the feed (an audit table)
+    from cdk_datalake_analytics_comercial_spark.core.sql_serving import (
+        register_txlog_changes_table as _reg,
+    )
+
+    _reg(spark, "cfdb", "t_changes_w", p, 2, ending_version=2)
+    got = {
+        (r.id, r._commit_version)
+        for r in spark.sql("SELECT id, _commit_version FROM cfdb.t_changes_w").collect()
+    }
+    assert got == {(2, 2)}
