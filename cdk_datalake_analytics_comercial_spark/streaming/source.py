@@ -1539,11 +1539,25 @@ class TxCdfBatchReader(DataSourceReader):
                 )
         else:
             e = cur
-        if e < s + 1:  # ending before starting: a user error, not an empty feed
-            raise ValueError(
-                f"endingVersion {e} precedes startingVersion {s + 1} at "
-                f"{self.path}"
-            )
+        if e < s + 1:
+            # default end: startingVersion may sit EXACTLY ONE past the
+            # current version (a feed registered 'from the next commit
+            # on', queried before anything new lands) — an EMPTY feed,
+            # not an error. Further-out starts and explicit inverted
+            # windows are user errors.
+            explicit = self._end is not None or self._end_ts is not None
+            if not explicit and s == cur:
+                e = s  # (s, s]: empty replay range
+            elif not explicit:
+                raise ValueError(
+                    f"startingVersion {s + 1} is more than one beyond the "
+                    f"current version {cur} of {self.path}"
+                )
+            else:
+                raise ValueError(
+                    f"endingVersion {e} precedes startingVersion {s + 1} "
+                    f"at {self.path}"
+                )
         parts: list[_TxCdfPartition] = []
         for v in _retained_span(self.path, s, e):
             parts.extend(self._planner._commit_partitions(v))

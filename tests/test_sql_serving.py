@@ -633,3 +633,38 @@ def test_named_change_feed_table(spark, tmp_path):
         for r in spark.sql("SELECT id, _commit_version FROM cfdb.t_changes_w").collect()
     }
     assert got == {(2, 2)}
+
+
+def test_named_change_feed_row_keyed_through_sql(spark, tmp_path):
+    """Row-keyed mode through the NAMED feed: an OPTIMIZE between
+    SELECTs contributes zero rows to the registered change table, an
+    UPDATE shows as its exact pre/post pair — all by SQL name."""
+    from cdk_datalake_analytics_comercial_spark.core.sql_serving import (
+        register_txlog_changes_table,
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    p = str(tmp_path / "t")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        p,
+    )
+    TX.tx_enable_row_tracking(spark, p)
+    v0 = TX.current_version(spark, p)
+    register_txlog_changes_table(
+        spark, "cfrk", "t_changes", p, v0 + 1, row_keyed=True
+    )
+    assert spark.sql("SELECT * FROM cfrk.t_changes").count() == 0
+    TX.tx_compact(spark, p, n_files=1)  # rewrite: cancels row-keyed
+    assert spark.sql("SELECT * FROM cfrk.t_changes").count() == 0
+    TX.tx_update(
+        spark, p, where={"id": (2, 2)}, assignments={"v": F.lit("B!")}
+    )
+    got = {
+        (r.id, r.v, r._change_type)
+        for r in spark.sql(
+            "SELECT id, v, _change_type FROM cfrk.t_changes"
+        ).collect()
+    }
+    assert got == {(2, "b", "update_preimage"), (2, "B!", "update_postimage")}

@@ -604,3 +604,29 @@ def test_batch_changes_guardrails(spark, tmp_path):
     TX.tx_vacuum(spark, tbl, keep_versions=1, retain_hours=0)
     with pytest.raises(Exception, match="vacuumed"):
         read_txlog_changes(spark, tbl, starting_version=2).collect()
+
+
+def test_batch_changes_by_timestamp_bounds(spark, tmp_path):
+    """Batch change feed with TIMESTAMP bounds: startingTimestamp is
+    at-or-after (Delta), endingTimestamp resolves to the newest commit
+    at-or-before — the window between two wall-clock points."""
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        read_txlog_changes,
+    )
+
+    tbl = str(tmp_path / "t")
+    for i, tag in enumerate(["a", "b", "c"]):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([(i, tag)], "id long, v string"),
+            tbl,
+            mode="append" if i else "overwrite",
+        )
+    ts2 = TX.read_commit(spark, tbl, 2)["ts_ms"]
+    ch = read_txlog_changes(
+        spark,
+        tbl,
+        starting_timestamp=ts2 / 1000.0,
+        ending_timestamp=ts2 / 1000.0,
+    )
+    assert {(r.id, r._commit_version) for r in ch.collect()} == {(1, 2)}
