@@ -630,3 +630,45 @@ def test_batch_changes_by_timestamp_bounds(spark, tmp_path):
         ending_timestamp=ts2 / 1000.0,
     )
     assert {(r.id, r._commit_version) for r in ch.collect()} == {(1, 2)}
+
+
+def test_rows_equal_nan_awareness_unit():
+    """The row-keyed diff's equality kernel: NaN equals NaN (top-level
+    and nested in arrays/maps), but NaN never equals a number or None,
+    and element order still matters."""
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        _rows_equal,
+    )
+
+    nan = float("nan")
+    assert _rows_equal((1, nan), (1, nan))
+    assert not _rows_equal((1, nan), (1, 2.0))
+    assert _rows_equal(([nan, 1.0], {"k": nan}), ([nan, 1.0], {"k": nan}))
+    assert not _rows_equal(([nan, 1.0],), ([1.0, nan],))
+    assert _rows_equal((None,), (None,))
+    assert not _rows_equal((nan,), (None,))
+    assert _rows_equal((0.0,), (0.0,)) and not _rows_equal((0.0,), (1.0,))
+
+
+def test_retained_span_unit(spark, tmp_path):
+    """_retained_span: gapless ranges pass through; a vacuumed hole in
+    the middle raises naming the missing versions; empty ranges are
+    fine."""
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        _retained_span,
+    )
+
+    tbl = str(tmp_path / "t")
+    for i in range(4):  # v1..v4
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([(i,)], "id long"),
+            tbl,
+            mode="append" if i else "overwrite",
+        )
+    assert _retained_span(tbl, 1, 4) == [2, 3, 4]
+    assert _retained_span(tbl, 4, 4) == []  # caught up
+    TX.tx_vacuum(spark, tbl, keep_versions=2, retain_hours=0)  # keeps v3,v4
+    assert _retained_span(tbl, 2, 4) == [3, 4]  # fully retained suffix
+    with pytest.raises(RuntimeError, match=r"\[2\].*vacuumed"):
+        _retained_span(tbl, 1, 4)
