@@ -136,7 +136,9 @@ def _initial_offset_from_options(path: str, options: dict) -> dict:
             except ValueError:
                 try:
                     target_ms = int(float(st) * 1000)
-                except ValueError:
+                except (ValueError, OverflowError):
+                    # OverflowError: 'inf'/'Infinity' pass float() but
+                    # int(inf) overflows — still garbage input.
                     raise ValueError(
                         f"startingTimestamp {st!r} is neither ISO-8601 "
                         "(e.g. '2026-08-16T00:00:00') nor epoch seconds"
@@ -598,6 +600,11 @@ class TxLogBatchReader(DataSourceReader):
         )
 
         ranges: dict[str, list] = {}
+        # Rebuild BOTH pruning states from scratch: if Spark re-invokes
+        # pushFilters with a different predicate set, stale equality
+        # probes from the previous call must not Bloom-prune files the
+        # new predicates still need.
+        self._equals = {}
 
         def bound(col, lo=None, hi=None):
             cur = ranges.setdefault(col, [None, None])
@@ -1155,8 +1162,13 @@ def _canon_value(v):
         return ("__nan__",) if v != v else v
     if isinstance(v, list):
         return [_canon_value(x) for x in v]
+    if isinstance(v, tuple):
+        # pyarrow's to_pylist renders map<k, v> cells as lists of
+        # (key, value) TUPLES — without this branch a NaN map value
+        # slips through uncanonicalized and nan != nan resurfaces.
+        return tuple(_canon_value(x) for x in v)
     if isinstance(v, dict):
-        return {k: _canon_value(x) for k, x in v.items()}
+        return {_canon_value(k): _canon_value(x) for k, x in v.items()}
     return v
 
 

@@ -547,6 +547,46 @@ def test_sql_pushdown_in_filter_and_column_mapping(spark, tmp_path):
     ] == [(201, "s201")]
 
 
+def test_pushdown_reinvocation_resets_equality_probes(spark, tmp_path):
+    """pushFilters must be idempotent per-call: a second invocation with
+    a DIFFERENT filter set on the same reader must not let the first
+    call's equality probes keep Bloom/stats-pruning files the new
+    predicates still need."""
+    from pyspark.sql.datasource import EqualTo
+
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        TxLogBatchReader,
+    )
+
+    p = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame(
+                [(lo + i, f"s{lo + i}") for i in range(3)],
+                "id long, v string",
+            ).coalesce(1),
+            p,
+            mode="append" if lo else "overwrite",
+            stats_for=["id"],
+            bloom_for=["v"],
+        )
+    m = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    r = TxLogBatchReader(m["schema"], {"path": p})
+
+    r.pushFilters([EqualTo(("v",), "s201")])
+    assert len(r.partitions()) == 1  # Bloom narrows to the third file
+
+    # Re-plan with a different predicate: the stale v='s201' probe must
+    # be discarded, or the second call would unsoundly open 1 file
+    # instead of the 1 matching-by-stats + keep semantics for v='s001'.
+    r.pushFilters([EqualTo(("v",), "s1")])
+    [part] = r.partitions()
+    assert part.rel_paths  # a real file survived — id 1 lives in file 1
+    r.pushFilters([])  # no predicates: all files again, no residue
+    assert len(r.partitions()) == 3
+
+
 def test_batch_changes_on_column_mapped_table(spark, tmp_path):
     """The batch change feed serves LOGICAL column names on mapped
     tables: changes made before and after a RENAME both stream under the

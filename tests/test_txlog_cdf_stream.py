@@ -648,6 +648,33 @@ def test_rows_equal_nan_awareness_unit():
     assert _rows_equal((None,), (None,))
     assert not _rows_equal((nan,), (None,))
     assert _rows_equal((0.0,), (0.0,)) and not _rows_equal((0.0,), (1.0,))
+    # map<k, double> cells arrive from pyarrow.to_pylist as lists of
+    # (key, value) TUPLES — NaN inside a tuple must still self-compare,
+    # or unchanged NaN-map rows emit spurious updates on every OPTIMIZE.
+    assert _rows_equal(([("a", nan)],), ([("a", nan)],))
+    assert not _rows_equal(([("a", nan)],), ([("a", 1.0)],))
+    assert not _rows_equal(([("a", nan)],), ([("b", nan)],))
+
+
+def test_starting_timestamp_garbage_inputs_unit(spark, tmp_path):
+    """'inf' passes float() but overflows int(); it must surface the
+    same descriptive 'neither ISO-8601 nor epoch seconds' error as any
+    other unparsable string, not a bare OverflowError."""
+    tbl = str(tmp_path / "t")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1,)], "id long"), tbl, mode="overwrite"
+    )
+    for i, bad in enumerate(("inf", "Infinity", "-inf", "nan-ish", "")):
+        with pytest.raises(Exception, match="neither ISO-8601"):
+            (
+                stream_txlog_changes(spark, tbl, starting_timestamp=bad)
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / f"out_{i}"))
+                .option("checkpointLocation", str(tmp_path / f"cp_{i}"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
 
 
 def test_retained_span_unit(spark, tmp_path):
