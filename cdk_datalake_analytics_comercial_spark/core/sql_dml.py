@@ -1,0 +1,556 @@
+"""SQL DML by TABLE NAME over txlog tables — the serving layer's write
+face.
+
+The reference's consumption surface is SQL-by-name (Glue catalog →
+Athena, `stacks/cdk_datalake_analytics_stack.py:483-522`); Delta gives that
+persona ``UPDATE``/``DELETE``/``MERGE INTO``/``INSERT OVERWRITE`` by
+table name. The engine has every writer already —
+``txlog.tx_update/tx_delete/tx_merge/tx_write`` — but until this module
+a SQL-only consumer could not express the engine's own GDPR
+point-delete. :func:`sql_dml` parses the statement head, resolves the
+catalog name back to its txlog path through the pinned-format registry,
+and dispatches to the native writer; anything it does not recognize
+passes through ``spark.sql`` unchanged, so it can serve as the single
+SQL entry point.
+
+Supported statements (``db.table`` names registered by
+``sql_serving.register_txlog_table`` / ``register_sql``):
+
+- ``DELETE FROM db.t WHERE <pred>``
+- ``UPDATE db.t SET c = <expr>, ... [WHERE <pred>]``
+- ``MERGE INTO db.t [AS a] USING <table|(query)> [AS b] ON <equi-keys>
+  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  [WHEN NOT MATCHED BY SOURCE THEN DELETE]``
+- ``INSERT INTO db.t [(cols)] <query|VALUES …>`` — atomic append via
+  ``tx_write`` (unlike the Python-Data-Source INSERT path, this honors
+  identity/default/generated columns, CHECK constraints, bloom
+  upkeep, row tracking and column mapping, because ``tx_write`` is the
+  enforcing writer).
+- ``INSERT OVERWRITE [TABLE] db.t [(cols)] <query|VALUES …>`` — on a
+  hive-partitioned table this is DYNAMIC partition overwrite (K1,
+  `common_jobs_functions.py:312`): ONLY the partitions present in the
+  incoming rows are replaced, in one atomic commit; unpartitioned
+  tables get the full snapshot replace.
+
+Scale: the WHERE clause is decomposed into top-level conjuncts;
+sargable ones (``col = lit``, ``col >|>=|<|<= lit``, ``col BETWEEN a
+AND b``, ``col IN (lits)``) become the structured ``where``/
+``where_equals`` specs that drive FILE PRUNING (range stats + Bloom
+bitsets — a point DELETE on a bloom-indexed 100 TB table rewrites only
+the files that can contain the key), and the FULL predicate text rides
+along as the row-level ``condition``. Non-sargable predicates still
+execute correctly — they just scan every live file, exactly Delta's
+behavior for an unselective DELETE.
+
+Concurrency: every dispatched statement inherits the writer's
+optimistic CAS — a racing ``tx_write`` overlapping the predicate raises
+``TxConflictError``, never silent loss (tested in
+``tests/test_sql_dml.py``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"
+_TBL = rf"(?:{_IDENT})(?:\.(?:{_IDENT}))?"
+
+
+def _unquote(ident: str) -> str:
+    ident = ident.strip()
+    return ident[1:-1] if ident.startswith("`") else ident
+
+
+class SqlDmlError(ValueError):
+    """A DML statement addressed a txlog table but could not be routed."""
+
+
+def txlog_table_path(spark: SparkSession, table: str) -> tuple[str, dict] | None:
+    """Resolve ``db.t`` to its txlog ``(path, pinned extra options)`` via
+    the in-process pinned-format registry, or ``None`` when the name is
+    not a txlog-backed catalog table (plain parquet tables, views, CTEs
+    all return None and take the passthrough path)."""
+    from ..streaming.source import _PINNED_SOURCES
+
+    parts = [_unquote(p) for p in table.split(".")]
+    fq = ".".join(parts)
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {fq}").collect()
+    except Exception:
+        return None
+    provider = next(
+        (
+            r.data_type
+            for r in rows
+            if r.col_name in ("Provider", "Name")
+            and str(r.data_type).startswith("txlog")
+        ),
+        None,
+    )
+    if provider is None:
+        return None
+    pinned = _PINNED_SOURCES.get(provider)
+    if pinned is None:
+        raise SqlDmlError(
+            f"{fq} is a txlog table (provider {provider}) but its pinned "
+            "format is not registered in this process — re-run "
+            "register_sql/register_txlog_table first (registration is "
+            "metadata-only and idempotent)"
+        )
+    return pinned
+
+
+def _split_top(text: str, sep: str) -> list[str]:
+    """Split on a top-level keyword/char ``sep`` (regex, case-insens.),
+    respecting single-quoted strings, backquoted identifiers and
+    parentheses. ``BETWEEN … AND …`` keeps its AND."""
+    out, depth, last, i = [], 0, 0, 0
+    between = 0
+    rx = re.compile(sep, re.IGNORECASE)
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "`":
+            j = text.find("`", i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0:
+            m = re.match(r"BETWEEN\b", text[i:], re.IGNORECASE)
+            if m and _at_word_boundary(text, i):
+                between += 1
+                i += m.end()
+                continue
+            m = rx.match(text, i)
+            if m and (
+                not m.group()[:1].isalpha() or _at_word_boundary(text, i)
+            ):
+                if between and re.match(r"AND\b", text[i:], re.IGNORECASE):
+                    between -= 1  # the AND belongs to BETWEEN
+                    i = m.end()
+                    continue
+                out.append(text[last:i])
+                last = m.end()
+                i = m.end()
+                continue
+        i += 1
+    out.append(text[last:])
+    return out
+
+
+def _at_word_boundary(text: str, i: int) -> bool:
+    return i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_`")
+
+
+def _parse_literal(tok: str):
+    """A SQL literal as a Python value, or the sentinel None for
+    'not a literal' (NULL itself is not sargable for pruning)."""
+    tok = tok.strip()
+    if re.fullmatch(r"-?\d+", tok):
+        return int(tok)
+    if re.fullmatch(r"-?\d*\.\d+([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", tok):
+        return float(tok)
+    if (
+        len(tok) >= 2
+        and tok.startswith("'")
+        and tok.endswith("'")
+        and "'" not in tok[1:-1].replace("''", "")
+    ):
+        return tok[1:-1].replace("''", "'")
+    return None
+
+
+_CMP = re.compile(
+    rf"^\s*({_IDENT})\s*(=|>=|<=|>|<)\s*(.+?)\s*$", re.DOTALL
+)
+_BETWEEN = re.compile(
+    rf"^\s*({_IDENT})\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_IN = re.compile(
+    rf"^\s*({_IDENT})\s+IN\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def parse_predicate(pred: str) -> tuple[dict, dict, str | None]:
+    """Decompose a WHERE clause into file-pruning hints + the residual
+    row-level condition: ``(where ranges, where_equals probes,
+    condition)``. Sargable top-level conjuncts feed the hints; the FULL
+    predicate is returned as ``condition`` unless every conjunct was
+    captured structurally (then ``None`` — the structured spec alone is
+    complete, and keeps working on column-mapped tables where free-form
+    text cannot be soundly rebound)."""
+    where: dict[str, tuple] = {}
+    where_equals: dict = {}
+    all_sargable = True
+    for conj in _split_top(pred, r"AND\b"):
+        conj = conj.strip()
+        while (
+            conj.startswith("(")
+            and conj.endswith(")")
+            and _balanced(conj[1:-1])  # parens wrap the WHOLE conjunct
+        ):
+            conj = conj[1:-1].strip()
+        m = _BETWEEN.match(conj)
+        if m:
+            col, lo, hi = _unquote(m.group(1)), *m.group(2, 3)
+            lo_v, hi_v = _parse_literal(lo), _parse_literal(hi)
+            if lo_v is not None and hi_v is not None:
+                _merge_range(where, col, lo_v, hi_v)
+                continue
+            all_sargable = False
+            continue
+        m = _IN.match(conj)
+        if m:
+            col = _unquote(m.group(1))
+            vals = [_parse_literal(v) for v in _split_top(m.group(2), r",")]
+            if vals and all(v is not None for v in vals):
+                try:
+                    # the [min, max] ENVELOPE is a pruning hint only —
+                    # it over-keeps, so the IN itself must always stay
+                    # in the row-level residual condition
+                    _merge_range(where, col, min(vals), max(vals))
+                except TypeError:
+                    pass
+            all_sargable = False
+            continue
+        m = _CMP.match(conj)
+        if m:
+            col, op, rhs = _unquote(m.group(1)), m.group(2), m.group(3)
+            v = _parse_literal(rhs)
+            if v is not None:
+                if op == "=":
+                    where_equals.setdefault(col, v)
+                    _merge_range(where, col, v, v)
+                elif op in (">", ">="):
+                    # strict treated as inclusive: sound (over-keeps),
+                    # but the residual condition must then re-apply it
+                    _merge_range(where, col, v, None)
+                    all_sargable = all_sargable and op == ">="
+                elif op in ("<", "<="):
+                    _merge_range(where, col, None, v)
+                    all_sargable = all_sargable and op == "<="
+                continue
+        all_sargable = False  # unparsed conjunct stays row-level only
+    condition = None if all_sargable and (where or where_equals) else pred
+    return where, where_equals, condition
+
+
+def _balanced(s: str) -> bool:
+    d = 0
+    for c in s:
+        d += c == "("
+        d -= c == ")"
+        if d < 0:
+            return False
+    return d == 0
+
+
+def _merge_range(where: dict, col: str, lo, hi) -> None:
+    cur = where.setdefault(col, (None, None))
+    new_lo, new_hi = cur
+    try:
+        if lo is not None and (new_lo is None or lo > new_lo):
+            new_lo = lo
+        if hi is not None and (new_hi is None or hi < new_hi):
+            new_hi = hi
+    except TypeError:
+        return  # mixed types across conjuncts: keep the first bound
+    where[col] = (new_lo, new_hi)
+
+
+_DELETE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+({_TBL})\s*(?:WHERE\s+(.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE = re.compile(
+    rf"^\s*UPDATE\s+({_TBL})\s+SET\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+_MERGE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_TBL})(?:\s+AS)?(?:\s+({_IDENT}))?\s+USING\s+",
+    re.IGNORECASE,
+)
+_INSERT = re.compile(
+    rf"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_TBL})\s*"
+    rf"(\((?:\s*(?:{_IDENT})\s*,?)+\))?\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def sql_dml(spark: SparkSession, statement: str):
+    """Execute one SQL statement by table name. DML targeting a
+    registered txlog table dispatches to the native transactional
+    writer and returns the committed VERSION (int); everything else —
+    including all reads — passes through ``spark.sql`` and returns its
+    DataFrame."""
+    stmt = statement.strip().rstrip(";")
+    m = _DELETE.match(stmt)
+    if m:
+        r = _delete(spark, m.group(1), m.group(2))
+        return r if r is not None else spark.sql(statement)
+    m = _UPDATE.match(stmt)
+    if m:
+        r = _update(spark, m.group(1), m.group(2))
+        return r if r is not None else spark.sql(statement)
+    m = _MERGE.match(stmt)
+    if m:
+        return _merge(spark, stmt, m)
+    m = _INSERT.match(stmt)
+    if m:
+        r = _insert(spark, *m.group(1, 2, 3, 4))
+        return r if r is not None else spark.sql(statement)
+    return spark.sql(statement)
+
+
+def _delete(spark: SparkSession, table: str, pred: str | None):
+    pinned = txlog_table_path(spark, table)
+    if pinned is None:
+        return None
+    path, extra = _writable(table, pinned)
+    from ..sources.txlog import tx_delete
+
+    if not pred or not pred.strip():
+        raise SqlDmlError(
+            f"DELETE FROM {table} without WHERE would truncate the table; "
+            "say WHERE true to mean it"
+        )
+    where, where_equals, condition = parse_predicate(pred)
+    return tx_delete(
+        spark,
+        path,
+        where=where or None,
+        where_equals=where_equals or None,
+        condition=condition,
+    )
+
+
+def _update(spark: SparkSession, table: str, set_and_where: str):
+    pinned = txlog_table_path(spark, table)
+    if pinned is None:
+        return None
+    path, extra = _writable(table, pinned)
+    from ..sources.txlog import tx_update
+
+    parts = _split_top(set_and_where, r"WHERE\b")
+    set_part = parts[0]
+    pred = parts[1].strip() if len(parts) > 1 else None
+    if len(parts) > 2:
+        raise SqlDmlError(f"UPDATE {table}: more than one top-level WHERE")
+    assignments: dict[str, F.Column] = {}
+    for item in _split_top(set_part, r","):
+        m = re.match(
+            rf"^\s*({_IDENT})\s*=\s*(.+?)\s*$", item, re.DOTALL
+        )
+        if not m:
+            raise SqlDmlError(
+                f"UPDATE {table}: cannot parse assignment {item.strip()!r}"
+            )
+        assignments[_unquote(m.group(1))] = F.expr(m.group(2))
+    if pred:
+        where, where_equals, condition = parse_predicate(pred)
+    else:
+        # SQL UPDATE without WHERE touches every row
+        where, where_equals, condition = {}, {}, "true"
+    return tx_update(
+        spark,
+        path,
+        assignments=assignments,
+        where=where or None,
+        where_equals=where_equals or None,
+        condition=condition,
+    )
+
+
+_MERGE_TAIL = re.compile(
+    r"^ON\s+(.*?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*"
+    r"(WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE\s*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _merge(spark: SparkSession, stmt: str, head: re.Match):
+    """``MERGE INTO t USING s ON <equi-keys> WHEN MATCHED THEN UPDATE
+    SET * WHEN NOT MATCHED THEN INSERT *`` — the upsert shape
+    ``tx_merge`` implements (source wins on every column; K3). The
+    optional ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` maps to
+    ``not_matched_by_source='delete'`` (full-sync semantics)."""
+    table, tgt_alias = head.group(1), head.group(2)
+    pinned = txlog_table_path(spark, table)
+    if pinned is None:
+        raise SqlDmlError(
+            f"MERGE INTO {table}: not a registered txlog table (MERGE is "
+            "only routable to the transactional writer)"
+        )
+    path, extra = _writable(table, pinned)
+    rest = stmt[head.end():].strip()
+    # source: `(subquery)` or a table name, optionally aliased
+    if rest.startswith("("):
+        depth, j = 0, 0
+        for j, c in enumerate(rest):
+            depth += c == "("
+            depth -= c == ")"
+            if depth == 0:
+                break
+        src_sql, rest2 = rest[1:j], rest[j + 1:]
+    else:
+        m = re.match(rf"\s*({_TBL})", rest)
+        if not m:
+            raise SqlDmlError(f"MERGE INTO {table}: cannot parse USING source")
+        src_sql, rest2 = f"SELECT * FROM {m.group(1)}", rest[m.end():]
+    m = re.match(rf"\s*(?:AS\s+)?({_IDENT})\s+(?=ON\b)", rest2, re.IGNORECASE)
+    src_alias = None
+    if m:
+        src_alias = _unquote(m.group(1))
+        rest2 = rest2[m.end():]
+    tail = _MERGE_TAIL.match(rest2.strip())
+    if not tail:
+        raise SqlDmlError(
+            f"MERGE INTO {table}: supported shape is ON <equi-keys> WHEN "
+            "MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
+            "[WHEN NOT MATCHED BY SOURCE THEN DELETE]"
+        )
+    on, nmbs = tail.group(1), tail.group(2)
+    keys = []
+    for conj in _split_top(on, r"AND\b"):
+        m = re.match(
+            rf"^\s*(?:({_IDENT})\.)?({_IDENT})\s*=\s*"
+            rf"(?:({_IDENT})\.)?({_IDENT})\s*$",
+            conj,
+        )
+        ok = False
+        if m:
+            lq, lc, rq, rc = (
+                _unquote(g) if g else None for g in m.groups()
+            )
+            # same column name on both sides, and when both sides are
+            # qualified they must name DIFFERENT relations (t.k = t.k
+            # is a self-comparison, not a join key)
+            ok = lc == rc and not (lq is not None and lq == rq)
+        if not ok:
+            raise SqlDmlError(
+                f"MERGE INTO {table}: ON must be equi-join conjuncts "
+                f"t.k = s.k on the same column name (got {conj.strip()!r})"
+            )
+        keys.append(lc)
+    source = spark.sql(src_sql)
+    from ..sources.txlog import tx_merge
+
+    return tx_merge(
+        spark,
+        source,
+        path,
+        keys=keys,
+        not_matched_by_source="delete" if nmbs else None,
+    )
+
+
+def _insert(
+    spark: SparkSession,
+    kind: str,
+    table: str,
+    col_list: str | None,
+    query: str,
+):
+    pinned = txlog_table_path(spark, table)
+    if pinned is None:
+        return None
+    path, extra = _writable(table, pinned)
+    from ..sources import txlog as TX
+
+    query = query.strip()
+    if not query:
+        raise SqlDmlError(f"INSERT {kind.upper()} {table}: missing query")
+    df = spark.sql(query)
+    cur = TX.current_version(spark, path)
+    if cur is None:
+        raise SqlDmlError(f"{table}: no committed txlog version at {path}")
+    manifest = TX.read_manifest(spark, path, cur)
+    import json
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    target_cols = [f.name for f in schema.fields]
+    types = {f.name: f.dataType for f in schema.fields}
+    # partition columns in LAYOUT order (k=v dir nesting), recovered
+    # from any partitioned file's path-ordered partition dict
+    partition_by = next(
+        (
+            list(f["partition"])
+            for f in manifest["files"]
+            if f.get("partition")
+        ),
+        [],
+    )
+    if col_list:
+        names = [
+            _unquote(c) for c in _split_top(col_list.strip()[1:-1], r",")
+        ]
+        unknown = [c for c in names if c not in target_cols]
+        if unknown:
+            raise SqlDmlError(
+                f"INSERT into {table}: unknown column(s) {unknown}"
+            )
+    else:
+        names = target_cols
+    if len(df.columns) != len(names):
+        raise SqlDmlError(
+            f"INSERT into {table}: query produces {len(df.columns)} "
+            f"column(s), target list has {len(names)}"
+        )
+    # positional rename + cast to the target type (SQL INSERT semantics)
+    aligned = df.select(
+        *(
+            F.col(f"`{src}`").cast(types[dst]).alias(dst)
+            for src, dst in zip(df.columns, names)
+        )
+    )
+    if kind.lower() == "into":
+        mode = "append"
+    elif partition_by:
+        # K1 by name: replace ONLY the partitions present in the rows
+        mode = "overwrite_dynamic"
+    else:
+        mode = "overwrite"
+    return TX.tx_write(
+        spark, aligned, path, mode=mode,
+        partition_by=partition_by or None,
+    )
+
+
+def _writable(table: str, pinned: tuple[str, dict]) -> tuple[str, dict]:
+    path, extra = pinned
+    if str(extra.get("readchangefeed", "false")).lower() == "true":
+        raise SqlDmlError(
+            f"{table} is a CHANGE-FEED table — change rows are a derived "
+            "read surface, not a writable relation"
+        )
+    if "versionasof" in extra or "timestampasof" in extra:
+        raise SqlDmlError(
+            f"{table} is a FROZEN time-travel table — DML must target "
+            "the live table registration"
+        )
+    return path, extra

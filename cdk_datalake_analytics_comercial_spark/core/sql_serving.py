@@ -134,16 +134,38 @@ def register_parquet_table(
 
 
 def register_txlog_table(
-    spark: SparkSession, db: str, name: str, path: str
+    spark: SparkSession,
+    db: str,
+    name: str,
+    path: str,
+    version: int | None = None,
+    timestamp: str | float | None = None,
 ) -> str:
     """(Re-)register one txlog table as ``db.name`` via a table-pinned
     ``txlog`` Python Data Source format (current snapshot resolved at
     every query plan, deletion vectors applied). The format carries the
     path because Spark hands catalog-table scans an EMPTY option map —
-    see :func:`~..streaming.source.pinned_txlog_source`."""
+    see :func:`~..streaming.source.pinned_txlog_source`.
+
+    ``version``/``timestamp`` pin TIME TRAVEL into the name: the table
+    serves the frozen snapshot (``VERSION AS OF`` / ``TIMESTAMP AS OF``
+    by catalog name — Delta's SQL travel; :func:`sql` rewrites the
+    literal syntax onto this). The DML router (`core.sql_dml`) resolves
+    the name back to storage through the pinned-format registry — the
+    same in-process registration a catalog SCAN of the table needs
+    (Spark 4.1 neither persists TBLPROPERTIES for Python data source
+    tables nor re-registers their provider classes across processes, so
+    a fresh session re-runs ``register_sql`` either way)."""
     from ..streaming.source import pinned_txlog_source
 
-    fmt = pinned_txlog_source(spark, path)
+    if version is not None and timestamp is not None:
+        raise ValueError("pass version OR timestamp, not both")
+    extra: dict = {}
+    if version is not None:
+        extra["versionasof"] = str(int(version))
+    if timestamp is not None:
+        extra["timestampasof"] = str(timestamp)
+    fmt = pinned_txlog_source(spark, path, extra or None)
     ensure_database(spark, db)
     _drop_any(spark, f"{db}.{name}")
     spark.sql(f"CREATE TABLE {db}.{name} USING {fmt}")

@@ -3656,16 +3656,22 @@ def _dml_rewrite(
     stats_for: list[str] | None,
     where_equals: dict | None = None,
     bloom_for: list[str] | None = None,
+    condition=None,
 ) -> int:
     """Shared DELETE/UPDATE machinery: rewrite only the files whose stats
     ranges (and bloom bitsets, for equality predicates) can match the
     predicate; every other file is carried forward by reference (Delta's
     file-pruned DML). ``transform(df, cond)`` produces the rewritten
-    content of the affected files."""
+    content of the affected files. A free-form ``condition`` joins the
+    row-level predicate but contributes NO pruning — with no structured
+    spec beside it, every live file is a rewrite candidate (documented:
+    sargable conjuncts belong in where/where_equals)."""
     where = where or {}
     where_equals = where_equals or {}
-    if not where and not where_equals:
-        raise ValueError(f"{op} needs a predicate (where and/or where_equals)")
+    if not where and not where_equals and condition is None:
+        raise ValueError(
+            f"{op} needs a predicate (where, where_equals and/or condition)"
+        )
     if any(v is None for v in where_equals.values()):
         raise ValueError("where_equals probes must be non-null; use `where`")
     cur = current_version(spark, path)
@@ -3674,6 +3680,7 @@ def _dml_rewrite(
     manifest = read_manifest(spark, path, cur)
     # predicates arrive logical; stats/bloom/file columns are physical
     mapping = _schema_mapping(manifest["schema"])
+    _check_condition_mapping(condition, mapping)
     bloom_probes = _map_keys(
         _bloomable_probes(manifest["schema"], where_equals), mapping
     )
@@ -3691,7 +3698,7 @@ def _dml_rewrite(
     if not hit:
         return cur  # nothing can match — no new version needed
 
-    cond = _dml_predicate(where, where_equals)
+    cond = _dml_predicate(where, where_equals, condition)
 
     affected = _read_files(spark, path, hit, manifest["schema"])
     rewritten = transform(affected, cond, mapping)
@@ -3746,8 +3753,11 @@ def _dml_rewrite(
         raise
 
 
-def _dml_predicate(where: dict, where_equals: dict):
-    """The row-level Column predicate of a DML where/where_equals spec."""
+def _dml_predicate(where: dict, where_equals: dict, condition=None):
+    """The row-level Column predicate of a DML where/where_equals spec,
+    AND-composed with the optional free-form ``condition`` (a SQL
+    expression string or Column — the `DELETE WHERE <any expr>` path;
+    structured specs stay the file-pruning hints)."""
     cond = None
     for col, (lo, hi) in where.items():
         c = F.lit(True)
@@ -3759,7 +3769,25 @@ def _dml_predicate(where: dict, where_equals: dict):
     for col, val in where_equals.items():
         c = F.col(col) == F.lit(val)
         cond = c if cond is None else (cond & c)
+    if condition is not None:
+        c = F.expr(condition) if isinstance(condition, str) else condition
+        cond = c if cond is None else (cond & c)
     return cond
+
+
+def _check_condition_mapping(condition, mapping: dict) -> None:
+    """Free-form DML conditions bind column names AS WRITTEN against the
+    physical frame; on a column-MAPPED table (post-RENAME) a logical
+    name in the expression would either fail analysis or — worse, after
+    rename-then-re-add — silently bind a different column. Refuse loudly;
+    ``where``/``where_equals`` remap and stay available."""
+    if condition is not None and not _mapping_is_identity(mapping):
+        raise ValueError(
+            "free-form `condition` DML is not supported on column-mapped "
+            "tables (a renamed column's logical name cannot be soundly "
+            "rebound in an opaque expression) — use where/where_equals, "
+            "which remap logical names to physical storage names"
+        )
 
 
 def tx_delete(
@@ -3772,6 +3800,7 @@ def tx_delete(
     where_equals: dict | None = None,
     bloom_for: list[str] | None = None,
     use_dv: bool = False,
+    condition: "str | F.Column | None" = None,
 ) -> int:
     """Row-level DELETE (Delta `DELETE WHERE`): files provably missing the
     predicate carry forward untouched; affected files are rewritten
@@ -3793,12 +3822,16 @@ def tx_delete(
     unreferenced sidecars. The trade: each read of a DV'd file pays the
     (file, row_index) anti-join until compaction."""
     if use_dv:
-        return _dv_dml(spark, path, where, where_equals=where_equals)
+        return _dv_dml(
+            spark, path, where, where_equals=where_equals,
+            condition=condition,
+        )
     return _dml_rewrite(
         spark, path, where,
         lambda df, cond, _m: df.filter(~F.coalesce(cond, F.lit(False))),
         "delete", partition_by, stats_for,
         where_equals=where_equals, bloom_for=bloom_for,
+        condition=condition,
     )
 
 
@@ -3811,6 +3844,7 @@ def _dv_dml(
     partition_by: list[str] | None = None,
     stats_for: list[str] | None = None,
     bloom_for: list[str] | None = None,
+    condition=None,
 ) -> int:
     """DELETE/UPDATE via deletion vectors: compute the matching
     (file, row_index) pairs among the LIVE rows of the prunable files
@@ -3825,8 +3859,10 @@ def _dv_dml(
     op = "update" if assignments else "delete"
     where = where or {}
     where_equals = where_equals or {}
-    if not where and not where_equals:
-        raise ValueError(f"{op} needs a predicate (where and/or where_equals)")
+    if not where and not where_equals and condition is None:
+        raise ValueError(
+            f"{op} needs a predicate (where, where_equals and/or condition)"
+        )
     if any(v is None for v in where_equals.values()):
         raise ValueError("where_equals probes must be non-null; use `where`")
     cur = current_version(spark, path)
@@ -3834,6 +3870,7 @@ def _dv_dml(
         raise FileNotFoundError(f"no committed version at {path}")
     manifest = read_manifest(spark, path, cur)
     mapping = _schema_mapping(manifest["schema"])
+    _check_condition_mapping(condition, mapping)
     bloom_probes = _map_keys(
         _bloomable_probes(manifest["schema"], where_equals), mapping
     )
@@ -3857,7 +3894,7 @@ def _dv_dml(
     ]
     if not hit:
         return cur
-    cond = _dml_predicate(where, where_equals)
+    cond = _dml_predicate(where, where_equals, condition)
     root = path.rstrip("/")
     matching = _read_files_with_position(spark, path, hit).filter(
         F.coalesce(cond, F.lit(False))
@@ -4003,6 +4040,7 @@ def tx_update(
     where_equals: dict | None = None,
     bloom_for: list[str] | None = None,
     use_dv: bool = False,
+    condition: "str | F.Column | None" = None,
 ) -> int:
     """Row-level UPDATE: ``assignments`` maps column → new-value Column,
     applied to rows matching the predicate; same file-pruned rewrite as
@@ -4021,6 +4059,7 @@ def tx_update(
             spark, path, where, where_equals=where_equals,
             assignments=assignments, partition_by=partition_by,
             stats_for=stats_for, bloom_for=bloom_for,
+            condition=condition,
         )
 
     def apply(df, cond, mapping):
@@ -4041,4 +4080,5 @@ def tx_update(
     return _dml_rewrite(
         spark, path, where, apply, "update", partition_by, stats_for,
         where_equals=where_equals, bloom_for=bloom_for,
+        condition=condition,
     )

@@ -92,17 +92,36 @@ def _require_local(path: str) -> str:
     return path
 
 
-def _snapshot_schema(path: str) -> tuple[int, str]:
-    """(current version, schema JSON) of the table — driver-side, no
+def _snapshot_schema(path: str, version: int | None = None) -> tuple[int, str]:
+    """(resolved version, schema JSON) of the table — driver-side, no
     SparkSession (the Data Source API resolves schemas in a bare Python
-    process). Column-mapped tables are fine: the schema keeps its
+    process). ``version`` pins time travel: a frozen table serves the
+    schema AS OF that commit, not the current one (a later
+    ``tx_add_column`` must not leak into a pinned historical read).
+    Column-mapped tables are fine: the schema keeps its
     ``txlog_physical`` field metadata and ``_read_partition`` resolves
     physical file names per field, serving LOGICAL names."""
-    cur = TX.current_version(None, path)
+    cur = TX.current_version(None, path) if version is None else int(version)
     if cur is None:
         raise FileNotFoundError(f"no committed txlog version at {path}")
     manifest = TX.read_manifest(None, path, cur)
     return cur, manifest["schema"]
+
+
+def _asof_version(opts: dict) -> int | None:
+    """The pinned time-travel version of an option map (versionasof /
+    timestampasof), or None for the live snapshot."""
+    v = opts.get("versionasof")
+    ts = opts.get("timestampasof")
+    if v is not None and ts is not None:
+        raise ValueError("pass versionAsOf OR timestampAsOf, not both")
+    if ts is not None:
+        try:
+            ts = float(ts)
+        except (TypeError, ValueError):
+            pass
+        return TX.version_at_timestamp(None, opts["path"], ts)
+    return int(v) if v is not None else None
 
 
 def _initial_offset_from_options(path: str, options: dict) -> dict:
@@ -554,24 +573,11 @@ class TxLogBatchReader(DataSourceReader):
     def __init__(self, schema_json: str, options: dict):
         self.path = _require_local(options["path"]).rstrip("/")
         self.schema_json = schema_json
-        v = options.get("versionasof")
-        ts = options.get("timestampasof")
-        if v is not None and ts is not None:
-            raise ValueError("pass versionAsOf OR timestampAsOf, not both")
-        if ts is not None:
-            # TIMESTAMP AS OF through the SQL/batch face — same
-            # resolution as tx_read(timestamp=...), local-path log walk.
-            # Options arrive as strings: numeric = epoch seconds,
-            # otherwise ISO-8601 (what version_at_timestamp expects).
-            try:
-                ts = float(ts)
-            except (TypeError, ValueError):
-                pass
-            self.version: int | None = TX.version_at_timestamp(
-                None, self.path, ts
-            )
-        else:
-            self.version = int(v) if v is not None else None
+        # TIMESTAMP/VERSION AS OF through the SQL/batch face — same
+        # resolution as tx_read(version=/timestamp=), local log walk.
+        self.version: int | None = _asof_version(
+            {**options, "path": self.path}
+        )
         # pushed-filter pruning state (pushFilters may never be called)
         self._ranges: dict[str, tuple] = {}
         self._equals: dict = {}
@@ -1024,10 +1030,14 @@ class TxLogStreamDataSource(DataSource):
         )
 
     def schema(self) -> StructType:
-        path = self._opts().get("path")
+        opts = self._opts()
+        path = opts.get("path")
         if not path:
             raise ValueError("txlog source needs a path: .load('/table/dir')")
-        _, schema_json = _snapshot_schema(_require_local(path))
+        path = _require_local(path)
+        _, schema_json = _snapshot_schema(
+            path, _asof_version({**opts, "path": path})
+        )
         if self._read_change_feed():
             schema_json = _cdf_schema_json(schema_json)
         return StructType.fromJson(json.loads(schema_json))
@@ -1583,6 +1593,13 @@ class TxCdfBatchReader(DataSourceReader):
         return _read_cdf_partition(partition)
 
 
+# format name -> (table path, baked extra options); filled by
+# pinned_txlog_source so the SQL DML router (`core.sql_dml`) can resolve
+# a catalog table name back to its txlog path in-process. Cross-process
+# resolution goes through the TBLPROPERTIES the registration also writes.
+_PINNED_SOURCES: dict[str, tuple[str, dict]] = {}
+
+
 def pinned_txlog_source(
     spark: SparkSession, path: str, extra_options: dict | None = None
 ) -> str:
@@ -1613,6 +1630,7 @@ def pinned_txlog_source(
         },
     )
     spark.dataSource.register(cls)
+    _PINNED_SOURCES[fmt] = (norm, extra)
     return fmt
 
 
