@@ -298,29 +298,88 @@ _INSERT = re.compile(
 )
 
 
+_TRAVEL = re.compile(
+    rf"\b(FROM|JOIN)\s+({_TBL})\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"('(?:[^']|'')*'|[0-9][-0-9.:TZ+]*)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_time_travel(spark: SparkSession, stmt: str) -> str:
+    """Delta's SQL time travel — ``SELECT … FROM db.t VERSION AS OF 3``
+    / ``TIMESTAMP AS OF '2026-08-16'`` — rewritten onto FROZEN catalog
+    twins: each travel clause auto-registers ``db.t__asof_…`` pinned at
+    that version (idempotent, metadata-only) and the statement text is
+    substituted to read from it. Works anywhere a table reference can
+    appear (plain SELECTs, MERGE USING sources, INSERT SELECT)."""
+
+    def sub(m: re.Match) -> str:
+        kw, tbl, kind, lit = m.groups()
+        pinned = txlog_table_path(spark, tbl)
+        if pinned is None:
+            raise SqlDmlError(
+                f"{tbl}: {kind.upper()} AS OF needs a registered txlog "
+                "table (plain parquet tables keep no version history)"
+            )
+        path, _ = pinned
+        from .sql_serving import register_txlog_table
+
+        parts = [_unquote(p) for p in tbl.split(".")]
+        db = (
+            parts[0]
+            if len(parts) == 2
+            else spark.catalog.currentDatabase()
+        )
+        base = parts[-1]
+        val = _parse_literal(lit)
+        if val is None:
+            raise SqlDmlError(
+                f"{tbl}: cannot parse {kind.upper()} AS OF literal {lit!r}"
+            )
+        if kind.lower() == "version":
+            if not isinstance(val, int):
+                raise SqlDmlError(
+                    f"{tbl}: VERSION AS OF takes an integer, got {lit!r}"
+                )
+            frozen = f"{base}__asof_v{val}"
+            register_txlog_table(spark, db, frozen, path, version=val)
+        else:
+            import hashlib
+
+            tag = hashlib.sha1(str(val).encode()).hexdigest()[:10]
+            frozen = f"{base}__asof_t{tag}"
+            register_txlog_table(spark, db, frozen, path, timestamp=val)
+        return f"{kw} {db}.{frozen}"
+
+    return _TRAVEL.sub(sub, stmt)
+
+
 def sql_dml(spark: SparkSession, statement: str):
     """Execute one SQL statement by table name. DML targeting a
     registered txlog table dispatches to the native transactional
     writer and returns the committed VERSION (int); everything else —
     including all reads — passes through ``spark.sql`` and returns its
-    DataFrame."""
+    DataFrame. ``VERSION AS OF`` / ``TIMESTAMP AS OF`` table clauses
+    are rewritten onto frozen catalog twins first."""
     stmt = statement.strip().rstrip(";")
+    if _TRAVEL.search(stmt):
+        stmt = _rewrite_time_travel(spark, stmt)
     m = _DELETE.match(stmt)
     if m:
         r = _delete(spark, m.group(1), m.group(2))
-        return r if r is not None else spark.sql(statement)
+        return r if r is not None else spark.sql(stmt)
     m = _UPDATE.match(stmt)
     if m:
         r = _update(spark, m.group(1), m.group(2))
-        return r if r is not None else spark.sql(statement)
+        return r if r is not None else spark.sql(stmt)
     m = _MERGE.match(stmt)
     if m:
         return _merge(spark, stmt, m)
     m = _INSERT.match(stmt)
     if m:
         r = _insert(spark, *m.group(1, 2, 3, 4))
-        return r if r is not None else spark.sql(statement)
-    return spark.sql(statement)
+        return r if r is not None else spark.sql(stmt)
+    return spark.sql(stmt)
 
 
 def _delete(spark: SparkSession, table: str, pred: str | None):

@@ -22,7 +22,11 @@ for mod in (relational, docs, events):
 # (CORRECTNESS_LOCAL_r*); this ordering just steers the bounded sampler
 # toward the least-externally-confirmed entries.
 _SAMPLE_FIRST = [
-    # new in round 10 (never driver-sampled)
+    # new in round 11 (never driver-sampled)
+    "sql_txlog_dml",
+    "sql_insert_overwrite_dynamic",
+    "sql_time_travel",
+    # new in round 10
     "txlog_changes_batch",
     "sql_pushdown_lookup",
     # new in round 9 (driver-sampled once at most)

@@ -2797,8 +2797,280 @@ GROUP BY lang, source
 """
 
 
+def _corpus_tx_fixture(spark, sf_dir: str, tag: str, build):
+    """Build-once txlog fixture keyed by corpus content (file sizes +
+    mtimes): ``build(tmp_dir)`` constructs the table (writes + DML) in a
+    scratch dir, which is atomically published via rename. Returns the
+    published path. The same cache pattern as the older ``txdocs`` /
+    ``txpd`` fixtures; bench.py's min-of-N keeps cold builds out of the
+    reported numbers."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import is_txlog_table
+
+    doc = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    files = (
+        sorted(os.path.join(doc, f) for f in os.listdir(doc))
+        if os.path.isdir(doc)
+        else [doc]
+    )
+    parts = []
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.sha1(
+        f"{doc}|{'|'.join(parts)}|{tag}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{key}")
+    if not is_txlog_table(spark, path):
+        tmp = tempfile.mkdtemp(prefix=f"spark_graft_{tag}_build_")
+        build(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not is_txlog_table(spark, path):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def _lake_db(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    return "lake_" + hashlib.sha1(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
+
+
+def q_sql_txlog_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML PARITY BY TABLE NAME (`core/sql_dml.py`): the full
+    write-statement surface a SQL-only consumer gets — ``DELETE``,
+    ``UPDATE`` and ``MERGE INTO`` addressed at a registered catalog
+    table and routed to the engine's transactional writers
+    (`txlog.tx_delete/tx_update/tx_merge`), the face Delta gives the
+    Athena persona of `stacks/cdk_datalake_analytics_stack.py:483-522`. The
+    statements run ONCE at fixture build (point delete prunes by stats,
+    the update's equality predicate is fully sargable, the merge
+    upserts a transformed source — insert-after-delete included); the
+    query then aggregates the final state by name. DuckDB replays the
+    identical statement algebra closed-form on the raw corpus."""
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import tx_write
+
+    def build(tmp: str) -> None:
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                "doc_id", "lang", "source", "n_chars"
+            ),
+            tmp,
+            stats_for=["doc_id"],
+        )
+        register_txlog_table(spark, "lake_dml_build", "t", tmp)
+        sql_dml(spark, "DELETE FROM lake_dml_build.t WHERE lang = 'de'")
+        sql_dml(
+            spark,
+            "UPDATE lake_dml_build.t SET n_chars = n_chars + 1000 "
+            "WHERE source = 'src3' AND n_chars < 500",
+        )
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id",
+            "lang",
+            "source",
+            (F.col("n_chars") % 100).alias("n_chars"),
+        ).createOrReplaceTempView("graft_dml_merge_src")
+        sql_dml(
+            spark,
+            """MERGE INTO lake_dml_build.t AS t
+               USING (SELECT * FROM graft_dml_merge_src) AS s
+               ON t.doc_id = s.doc_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""",
+        )
+        spark.sql("DROP TABLE IF EXISTS lake_dml_build.t")
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txdmlv1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_dml", path)
+    return sql_dml(
+        spark,
+        f"""SELECT lang, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_id
+            FROM {db}.documents_dml
+            GROUP BY lang, source""",
+    )
+
+
+_ORACLE_SQL_TXLOG_DML = """
+WITH t1 AS (
+  SELECT doc_id, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0 AND lang <> 'de'
+),
+t2 AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN source = 'src3' AND n_chars < 500
+              THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM t1
+),
+s AS (
+  SELECT doc_id, lang, source, n_chars % 100 AS n_chars
+  FROM documents WHERE doc_id % 3 = 0
+),
+fin AS (
+  SELECT * FROM s
+  UNION ALL
+  SELECT * FROM t2 WHERE doc_id NOT IN (SELECT doc_id FROM s)
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM fin GROUP BY lang, source
+"""
+
+
+def q_sql_insert_overwrite_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K1 (dynamic partition overwrite, the reference's signature write
+    mode — `utils/common_jobs_functions.py:312`) reached FROM SQL:
+    ``INSERT OVERWRITE TABLE db.t SELECT …`` on a hive-partitioned
+    txlog table replaces ONLY the partitions present in the incoming
+    rows, one atomic commit — here the ``lang='en'`` partition is
+    rebuilt with doubled char counts for even doc ids while every other
+    partition's files carry forward by reference (isolation asserted in
+    `tests/test_sql_dml.py`). DuckDB recomputes the surviving state
+    closed-form."""
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import tx_write
+
+    def build(tmp: str) -> None:
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.select("doc_id", "lang", "n_chars"),
+            tmp,
+            partition_by=["lang"],
+        )
+        register_txlog_table(spark, "lake_dyn_build", "t", tmp)
+        d.createOrReplaceTempView("graft_dyn_src")
+        sql_dml(
+            spark,
+            "INSERT OVERWRITE TABLE lake_dyn_build.t "
+            "SELECT doc_id, lang, n_chars * 2 AS n_chars "
+            "FROM graft_dyn_src WHERE lang = 'en' AND doc_id % 2 = 0",
+        )
+        spark.sql("DROP TABLE IF EXISTS lake_dyn_build.t")
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txdynv1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_dyn", path)
+    return spark.sql(f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_id
+        FROM {db}.documents_dyn
+        GROUP BY lang
+    """)
+
+
+_ORACLE_SQL_INSERT_OVERWRITE_DYNAMIC = """
+WITH fin AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'
+  UNION ALL
+  SELECT doc_id, lang, n_chars * 2 AS n_chars
+  FROM documents WHERE lang = 'en' AND doc_id % 2 = 0
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM fin GROUP BY lang
+"""
+
+
+def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL THROUGH THE SQL CATALOG (`core/sql_dml.py`
+    ``VERSION AS OF`` rewrite + `sql_serving.register_txlog_table`
+    version pinning): the fixture commits a snapshot (v1) then a
+    row-level DELETE (v2); one statement reads the FROZEN v1 twin and
+    the live table side by side — Delta's ``SELECT … FROM t VERSION AS
+    OF`` — proving a later delete never leaks into the pinned read.
+    DuckDB recomputes both states from the raw corpus."""
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import tx_delete, tx_write
+
+    def build(tmp: str) -> None:
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                "doc_id", "lang", "n_chars"
+            ),
+            tmp,
+        )
+        tx_delete(spark, tmp, where={"lang": ("en", "en")})
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txttv1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_tt", path)
+    return sql_dml(
+        spark,
+        f"""SELECT v1.lang,
+                   v1.n_v1,
+                   v1.sum_v1,
+                   CAST(COALESCE(live.n_live, 0) AS BIGINT) AS n_live
+            FROM (
+              SELECT lang,
+                     CAST(COUNT(*) AS BIGINT) AS n_v1,
+                     CAST(SUM(n_chars) AS BIGINT) AS sum_v1
+              FROM {db}.documents_tt VERSION AS OF 1
+              GROUP BY lang
+            ) v1
+            LEFT JOIN (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_live
+              FROM {db}.documents_tt
+              GROUP BY lang
+            ) live ON v1.lang = live.lang""",
+    )
+
+
+_ORACLE_SQL_TIME_TRAVEL = """
+WITH v1 AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_v1,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_v1
+  FROM documents WHERE doc_id % 5 = 0 GROUP BY lang
+),
+live AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_live
+  FROM documents WHERE doc_id % 5 = 0 AND lang <> 'en' GROUP BY lang
+)
+SELECT v1.lang, v1.n_v1, v1.sum_v1,
+       CAST(COALESCE(live.n_live, 0) AS BIGINT) AS n_live
+FROM v1 LEFT JOIN live ON v1.lang = live.lang
+"""
+
+
 QUERIES = {
     "sql_txlog_snapshot": q_sql_txlog_snapshot,
+    "sql_txlog_dml": q_sql_txlog_dml,
+    "sql_insert_overwrite_dynamic": q_sql_insert_overwrite_dynamic,
+    "sql_time_travel": q_sql_time_travel,
     "sql_pushdown_lookup": q_sql_pushdown_lookup,
     "txlog_changes_batch": q_txlog_changes_batch,
     "text_token_stats": q_text_token_stats,
@@ -2859,6 +3131,9 @@ QUERIES = {
 
 ORACLES = {
     "sql_txlog_snapshot": _ORACLE_SQL_TXLOG_SNAPSHOT,
+    "sql_txlog_dml": _ORACLE_SQL_TXLOG_DML,
+    "sql_insert_overwrite_dynamic": _ORACLE_SQL_INSERT_OVERWRITE_DYNAMIC,
+    "sql_time_travel": _ORACLE_SQL_TIME_TRAVEL,
     "sql_pushdown_lookup": _ORACLE_SQL_PUSHDOWN_LOOKUP,
     "txlog_changes_batch": _ORACLE_TXLOG_CHANGES_BATCH,
     "text_token_stats": _ORACLE_TOKEN_STATS,

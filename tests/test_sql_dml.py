@@ -401,3 +401,40 @@ def test_sql_time_travel_by_name(spark, tmp_path):
     # frozen schema is as-of: no 'extra' column at v2
     assert spark.table("dmldb.tt_v2").columns == ["id", "v"]
     assert "extra" in spark.table("dmldb.tt").columns
+
+
+def test_sql_time_travel_literal_syntax(spark, tmp_path):
+    """`SELECT … FROM db.t VERSION AS OF n` / `TIMESTAMP AS OF` parse
+    directly (Delta's SQL travel): the clause is rewritten onto an
+    auto-registered frozen twin, anywhere a table ref appears —
+    including joined against the live table."""
+    p = str(tmp_path / "ttl")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        p,
+    )
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        p,
+        mode="append",
+    )
+    TX.tx_delete(spark, p, where={"id": (1, 1)})
+    register_txlog_table(spark, "dmldb", "ttl", p)
+    assert rows(sql_dml(spark, "SELECT id FROM dmldb.ttl")) == [(2,), (3,)]
+    assert rows(
+        sql_dml(spark, "SELECT id FROM dmldb.ttl VERSION AS OF 1")
+    ) == [(1,), (2,)]
+    ts = TX.read_commit(spark, p, 2)["ts_ms"] / 1000.0
+    assert rows(
+        sql_dml(spark, f"SELECT id FROM dmldb.ttl TIMESTAMP AS OF {ts}")
+    ) == [(1,), (2,), (3,)]
+    # live JOIN frozen: only id=2 is in both
+    assert sql_dml(
+        spark,
+        "SELECT COUNT(*) AS n FROM dmldb.ttl a "
+        "JOIN dmldb.ttl VERSION AS OF 1 b ON a.id = b.id",
+    ).collect()[0].n == 1
+    with pytest.raises(SqlDmlError, match="integer"):
+        sql_dml(spark, "SELECT id FROM dmldb.ttl VERSION AS OF 'x'")
