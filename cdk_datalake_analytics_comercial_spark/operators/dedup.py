@@ -533,6 +533,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     portable: bool = False,
+    max_postings: int | None = 1024,
+    return_dropped: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs.
 
@@ -543,12 +545,45 @@ def ngram_jaccard_pairs(
     verify path). Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
     ``portable=True`` keys on the md5-derived hash so the SQL oracle can
     rebuild the identical postings.
+
+    ``max_postings`` is the SCALE CONTRACT (default 1024): a shingle
+    shared by m documents contributes m²/2 pairs from ONE reducer — one
+    boilerplate sentence across a 100 TB corpus would otherwise build an
+    m-element array in a single task and go quadratic. Shingles whose
+    document frequency exceeds the cap are DROPPED from the index before
+    any per-shingle array materializes (standard CCNet-style df capping:
+    ubiquitous shingles carry no dedup signal; pairs that relied on them
+    lose only that contribution, everything else is exact). The observed
+    max df on the synthetic corpus is 25 at sf0.1 (~250 extrapolated at
+    sf1), so the default cap is invisible at every tested scale;
+    ``max_postings=None`` restores the uncapped exact semantics.
+    ``return_dropped=True`` additionally returns the accounting frame
+    ``(s, df)`` of capped-out shingles as ``(pairs, dropped)``.
     """
     sh = spread_rows(df, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingle_keys(F.col(text_col), k, portable)).alias("sh"),
     )
     exploded = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    dropped = None
+    if max_postings is not None:
+        # df-count pass BEFORE the array aggregation, so an over-cap
+        # shingle never reaches a collect_set reducer. The md5 shingle
+        # pipeline feeds two consumers — materialize it once behind a
+        # lazy localCheckpoint (the dedup_minhash precedent; interpreted
+        # higher-order functions recomputed per consumer are 10-60×).
+        exploded = exploded.localCheckpoint(eager=False)
+        dropped = (
+            exploded.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_postings)
+        )
+        # no broadcast hint: overflow is tiny by construction (bounded
+        # by shingles/cap), but its size is data-dependent — let AQE
+        # pick the strategy
+        exploded = exploded.join(
+            dropped.select("s"), "s", "left_anti"
+        )
     # inverted index WITHOUT a self-join: group the postings per shingle,
     # keep only shingles shared by ≥2 docs (the overwhelming majority have
     # one posting and drop here), generate the ordered id pairs per shingle
@@ -602,6 +637,8 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if return_dropped:
+        return out, dropped
     return out
 
 
