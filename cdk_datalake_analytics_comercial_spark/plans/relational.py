@@ -1735,7 +1735,11 @@ FROM scored
 def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
     op = l.select("l_orderkey", "l_partkey").distinct()
-    n_orders = op.select("l_orderkey").distinct().count()
+    # order count as a 1-row crossJoin scalar anchor (the house idiom) —
+    # never an eager .count() during plan build
+    n_orders_anchor = op.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
     a = op.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
     )
@@ -1752,24 +1756,25 @@ def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = op.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_p")
     )
+    # per_part has one row per DISTINCT PART — it grows with the data, so
+    # no broadcast hint: AQE applies its size check at runtime and keeps
+    # the join a shuffle join once the dimension outgrows the threshold
     return (
         pairs.join(
-            F.broadcast(per_part.withColumnsRenamed({"p": "p1", "n_p": "n1"})),
-            "p1",
+            per_part.withColumnsRenamed({"p": "p1", "n_p": "n1"}), "p1"
         )
-        .join(
-            F.broadcast(per_part.withColumnsRenamed({"p": "p2", "n_p": "n2"})),
-            "p2",
-        )
+        .join(per_part.withColumnsRenamed({"p": "p2", "n_p": "n2"}), "p2")
+        .crossJoin(F.broadcast(n_orders_anchor))
         .select(
             "p1",
             "p2",
             "n_both",
-            (F.col("n_both").cast("double") / F.lit(float(n_orders))).alias(
-                "support"
-            ),
             (
-                (F.col("n_both") * F.lit(n_orders)).cast("double")
+                F.col("n_both").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("support"),
+            (
+                (F.col("n_both") * F.col("n_orders")).cast("double")
                 / (F.col("n1") * F.col("n2")).cast("double")
             ).alias("lift"),
         )
