@@ -1294,6 +1294,40 @@ class TxCdfStreamReader(DataSourceStreamReader):
         self.max_commits = int(mct) if mct is not None else None
         if self.max_commits is not None and self.max_commits < 1:
             raise ValueError("maxCommitsPerTrigger must be >= 1")
+        # endingVersion/endingTimestamp: BOUNDED-REPLAY AUDIT MODE —
+        # batch-reader parity for streams. latestOffset never advances
+        # past the cap, so an availableNow run drains exactly the pinned
+        # window (s, end] once and terminates; a continuous stream idles
+        # at the cap. Commits landing after the cap are never emitted.
+        ev = options.get("endingversion")
+        et = options.get("endingtimestamp")
+        if ev is not None and et is not None:
+            raise ValueError("pass endingVersion OR endingTimestamp, not both")
+        self.end_version: int | None = None
+        if ev is not None or et is not None:
+            s = int(self._initial["version"])
+            if s < 0:
+                raise ValueError(
+                    "endingVersion/endingTimestamp needs an explicit "
+                    "startingVersion or startingTimestamp (a bounded "
+                    "audit window must pin BOTH edges; the snapshot-"
+                    "first default resolves its start at run time)"
+                )
+            if ev is not None:
+                self.end_version = int(ev)
+            else:
+                try:
+                    et = float(et)
+                except (TypeError, ValueError):
+                    pass
+                self.end_version = TX.version_at_timestamp(
+                    None, self.path, et
+                )
+            if self.end_version < s + 1:
+                raise ValueError(
+                    f"endingVersion {self.end_version} precedes "
+                    f"startingVersion {s + 1} at {self.path}"
+                )
         # admission base: known only from this run's own planning calls —
         # same first-batch-uncapped caveat as the append reader (capping
         # from a guessed base could move the offset backward past the
@@ -1315,6 +1349,8 @@ class TxCdfStreamReader(DataSourceStreamReader):
             and last >= 0
         ):
             cur = min(cur, last + self.max_commits)
+        if self.end_version is not None:
+            cur = min(cur, self.end_version)  # bounded-replay cap
         return {"version": cur}
 
     def commit(self, end: dict) -> None:  # log retention is tx_vacuum's job
@@ -1695,13 +1731,19 @@ def stream_txlog_changes(
     starting_timestamp: str | float | None = None,
     diff_split_bytes: int | None = None,
     max_commits_per_trigger: int | None = None,
+    ending_version: int | None = None,
+    ending_timestamp: str | float | None = None,
 ) -> DataFrame:
     """A streaming CHANGE FEED of the txlog table at ``path`` (Delta's
     ``readChangeFeed`` twin): table columns + ``_change_type`` +
     ``_commit_version``, exactly-once under the Spark checkpoint.
     ``row_keyed=True`` (requires row tracking) diffs rewrites on the
     tracked row id so an OPTIMIZE contributes zero rows and an UPDATE
-    emits exactly its touched rows as pre/post image pairs."""
+    emits exactly its touched rows as pre/post image pairs.
+    ``ending_version``/``ending_timestamp`` (with an explicit start)
+    bound the replay — batch-reader parity: an ``availableNow`` run
+    drains exactly the pinned audit window once and terminates; a
+    continuous stream idles at the cap."""
     register_txlog_source(spark)
     reader = spark.readStream.format("txlog").option("readChangeFeed", "true")
     if row_keyed:
@@ -1716,6 +1758,10 @@ def stream_txlog_changes(
         reader = reader.option(
             "maxCommitsPerTrigger", str(max_commits_per_trigger)
         )
+    if ending_version is not None:
+        reader = reader.option("endingVersion", str(ending_version))
+    if ending_timestamp is not None:
+        reader = reader.option("endingTimestamp", str(ending_timestamp))
     return reader.load(path)
 
 

@@ -677,6 +677,73 @@ def test_starting_timestamp_garbage_inputs_unit(spark, tmp_path):
             )
 
 
+def test_cdf_stream_ending_version_bounded_audit(spark, tmp_path):
+    """Batch-reader parity (r10 verdict #7): a stream with BOTH edges
+    pinned drains exactly the audit window (s, e] once — commits beyond
+    endingVersion never emit, replays add nothing, and a commit landing
+    AFTER the drain stays invisible to the capped checkpoint."""
+    tbl, out, chk = (str(tmp_path / d) for d in ("t", "out", "chk"))
+    for i in range(5):  # v1..v5
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([(i,)], "id long"),
+            tbl,
+            mode="append" if i else "overwrite",
+        )
+
+    def drain():
+        q = (
+            stream_txlog_changes(
+                spark, tbl, starting_version=2, ending_version=4
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r.id, r._commit_version)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    window = [(1, 2), (2, 3), (3, 4)]  # v2..v4 inclusive, never v1/v5
+    assert drain() == window
+    assert drain() == window  # replay adds nothing (exactly-once)
+    TX.tx_write(
+        spark, spark.createDataFrame([(99,)], "id long"), tbl, mode="append"
+    )
+    assert drain() == window  # post-cap commit stays invisible
+
+
+def test_cdf_stream_ending_version_validation(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    for i in range(3):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([(i,)], "id long"),
+            tbl,
+            mode="append" if i else "overwrite",
+        )
+
+    def start(**kw):
+        return (
+            stream_txlog_changes(spark, tbl, **kw)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "o"))
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    with pytest.raises(Exception, match="explicit.*starting"):
+        start(ending_version=2)  # snapshot-first default has no start edge
+    with pytest.raises(Exception, match="precedes"):
+        start(starting_version=3, ending_version=1)
+
+
 def test_retained_span_unit(spark, tmp_path):
     """_retained_span: gapless ranges pass through; a vacuumed hole in
     the middle raises naming the missing versions; empty ranges are
