@@ -51,6 +51,18 @@ TXSQL_FAMILY = [
     "txlog_changes_batch",
 ]
 
+# events/sketch family probed one decade further (generated sf1 events +
+# orders/customer/nation — both the fact AND the user/customer key
+# population grow 10x, the production regime for sessionization and
+# cardinality sketches)
+EVENTS_FAMILY = [
+    "events_hll_users",
+    "events_funnel",
+    "events_sessions",
+    "approx_distinct_hll",
+    "monthly_gap_fill",
+]
+
 # ANN family probed one decade further too (generated sf1 embeddings,
 # 10x vectors, FIXED query set — corpus growth is the production axis)
 EMB_FAMILY = [
@@ -101,10 +113,17 @@ def main() -> None:
     # corpus's shape (tools/gen_sf1_docs.py — same vocab/length/lang mix
     # and planted-dup RATE, not an upsample, so candidate density scales
     # honestly)
-    from tools.gen_sf1_docs import generate, generate_embeddings
+    from tools.gen_sf1_docs import (
+        generate,
+        generate_embeddings,
+        generate_events,
+        generate_orders_dims,
+    )
 
     sf1_dir = generate("/tmp/spark_graft_sf1")
     generate_embeddings(sf1_dir)
+    generate_events(sf1_dir)
+    generate_orders_dims(sf1_dir)
     sf1_times: dict[str, float] = {}
     # the sf1 cells pay big first-touch costs (page-cache cold 10x corpus,
     # persisted-index reads, GC pressure from the preceding family) that
@@ -112,7 +131,9 @@ def main() -> None:
     # on the SAME query/session; these 13 cells are cheap, so give min
     # one extra pass to find steady state
     sf1_passes = max(n_passes, 3)
-    for name in DEDUP_FAMILY + TEXT_FAMILY + TXSQL_FAMILY + EMB_FAMILY:
+    for name in (
+        DEDUP_FAMILY + TEXT_FAMILY + TXSQL_FAMILY + EVENTS_FAMILY + EMB_FAMILY
+    ):
         best = float("inf")
         for _ in range(sf1_passes):
             t0 = time.time()
@@ -239,6 +260,38 @@ def main() -> None:
     lines.append(
         f"| **total** | {sql_tot[0]} | {sql_tot[1]} | "
         f"{round(sql_tot[1] / sql_tot[0], 2)} |"
+    )
+    lines += [
+        "",
+        "## Events/sketch family: one more decade (generated sf1 events + orders)",
+        "",
+        "1,000,000 events over 15,000 users (10× sf0.1 on BOTH axes —",
+        "growing only events would shrink per-user gaps 10× and flatter",
+        "the sessionization unrealistically) and 1,500,000 orders over",
+        "150,000 customers. `events_sessions`/`events_funnel` shuffle once",
+        "on user_id and window within the partition; `events_hll_users` and",
+        "`approx_distinct_hll` are mergeable-register sketches whose state",
+        "is CONSTANT-SIZE per group (map-side partial merge — the decade",
+        "step measures the scan, not the sketch); `monthly_gap_fill`'s",
+        "nation × month grid is constant across the decade, only the",
+        "aggregated fact grows. Ratios ≈ 10 are data-bound linear; the",
+        "sketch rows should sit well below the raw 10×.",
+        "",
+        "| query | sf0.1 s | sf1 s | 1/0.1 |",
+        "|---|---|---|---|",
+    ]
+    for name in EVENTS_FAMILY:
+        t3, t4 = times[name]["0.1"], sf1_times[name]
+        lines.append(
+            f"| {name} | {t3} | {t4} | {round(t4 / t3, 2) if t3 > 0 else float('nan')} |"
+        )
+    ev_tot = [
+        round(sum(times[q]["0.1"] for q in EVENTS_FAMILY), 1),
+        round(sum(sf1_times[q] for q in EVENTS_FAMILY), 1),
+    ]
+    lines.append(
+        f"| **total** | {ev_tot[0]} | {ev_tot[1]} | "
+        f"{round(ev_tot[1] / ev_tot[0], 2)} |"
     )
     lines += [
         "",
