@@ -26,6 +26,9 @@ HEADLINE = [
     "regional_supplier_volume",
     "sql_regional_supplier_volume",
     "sql_pushdown_lookup",
+    "sql_txlog_dml",
+    "sql_insert_overwrite_dynamic",
+    "sql_time_travel",
     "txlog_changes_batch",
     "large_orders",
     "shipping_priority",

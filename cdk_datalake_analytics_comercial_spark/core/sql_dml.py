@@ -31,6 +31,15 @@ Supported statements (``db.table`` names registered by
   `common_jobs_functions.py:312`): ONLY the partitions present in the
   incoming rows are replaced, in one atomic commit; unpartitioned
   tables get the full snapshot replace.
+- Maintenance by name (Delta's SQL utility surface): ``OPTIMIZE db.t
+  [ZORDER BY (cols)]`` (incremental bin-pack / re-cluster via
+  ``tx_compact``), ``VACUUM db.t [RETAIN n HOURS] [DRY RUN]``
+  (→ reaped-paths DataFrame), ``DESCRIBE HISTORY db.t`` (commit log +
+  operation metrics as a DataFrame), ``RESTORE TABLE db.t TO VERSION
+  AS OF n`` (metadata-only restore commit).
+- ``SELECT … FROM db.t VERSION AS OF n | TIMESTAMP AS OF ts`` anywhere
+  a table reference appears — rewritten onto auto-registered frozen
+  catalog twins.
 
 Scale: the WHERE clause is decomposed into top-level conjuncts;
 sargable ones (``col = lit``, ``col >|>=|<|<= lit``, ``col BETWEEN a
@@ -284,6 +293,24 @@ _DELETE = re.compile(
     rf"^\s*DELETE\s+FROM\s+({_TBL})\s*(?:WHERE\s+(.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_OPTIMIZE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_TBL})\s*"
+    rf"(?:ZORDER\s+BY\s*\(((?:\s*(?:{_IDENT})\s*,?)+)\))?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM = re.compile(
+    rf"^\s*VACUUM\s+({_TBL})"
+    r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY = re.compile(
+    rf"^\s*DESCRIBE\s+HISTORY\s+({_TBL})\s*$", re.IGNORECASE
+)
+_RESTORE = re.compile(
+    rf"^\s*RESTORE\s+(?:TABLE\s+)?({_TBL})\s+TO\s+VERSION\s+AS\s+OF\s+"
+    r"(\d+)\s*$",
+    re.IGNORECASE,
+)
 _UPDATE = re.compile(
     rf"^\s*UPDATE\s+({_TBL})\s+SET\s+(.*)$", re.IGNORECASE | re.DOTALL
 )
@@ -362,8 +389,22 @@ def sql_dml(spark: SparkSession, statement: str):
     DataFrame. ``VERSION AS OF`` / ``TIMESTAMP AS OF`` table clauses
     are rewritten onto frozen catalog twins first."""
     stmt = statement.strip().rstrip(";")
+    m = _RESTORE.match(stmt)  # before _TRAVEL: RESTORE … VERSION AS OF
+    if m:
+        return _restore(spark, m.group(1), int(m.group(2)))
     if _TRAVEL.search(stmt):
         stmt = _rewrite_time_travel(spark, stmt)
+    m = _OPTIMIZE.match(stmt)
+    if m:
+        return _optimize(spark, m.group(1), m.group(2))
+    m = _VACUUM.match(stmt)
+    if m:
+        return _vacuum(spark, m.group(1), m.group(2), bool(m.group(3)))
+    m = _HISTORY.match(stmt)
+    if m:
+        r = _history(spark, m.group(1))
+        if r is not None:
+            return r
     m = _DELETE.match(stmt)
     if m:
         r = _delete(spark, m.group(1), m.group(2))
@@ -598,6 +639,100 @@ def _insert(
         spark, aligned, path, mode=mode,
         partition_by=partition_by or None,
     )
+
+
+def _require_txlog(spark: SparkSession, table: str, what: str) -> str:
+    pinned = txlog_table_path(spark, table)
+    if pinned is None:
+        raise SqlDmlError(
+            f"{what} {table}: not a registered txlog table (plain parquet "
+            "tables have no transaction log)"
+        )
+    return _writable(table, pinned)[0]
+
+
+def _optimize(spark: SparkSession, table: str, zorder_cols: str | None) -> int:
+    """``OPTIMIZE db.t [ZORDER BY (c1, c2)]`` → ``tx_compact``: plain
+    form bin-packs small files incrementally (128 MiB threshold —
+    right-sized files carry forward by reference, the only OPTIMIZE that
+    survives 100 TB); ZORDER re-clusters on the named columns (Morton
+    key for ≥2, lexicographic for 1) so ranged reads prune files."""
+    from ..sources import txlog as TX
+
+    path = _require_txlog(spark, table, "OPTIMIZE")
+    if zorder_cols:
+        cols = [_unquote(c) for c in _split_top(zorder_cols, r",")]
+        return TX.tx_compact(
+            spark, path, cluster_by=cols, zorder=len(cols) >= 2
+        )
+    # size-targeted bin count (Delta's binPacking): the under-threshold
+    # bytes decide how many right-sized outputs the rewrite packs into
+    thr = 128 << 20
+    cur = TX.current_version(spark, path)
+    if cur is None:
+        raise SqlDmlError(f"{table}: no committed txlog version at {path}")
+    small_total = sum(
+        int(f.get("bytes") or 0)
+        for f in TX.read_manifest(spark, path, cur)["files"]
+        if f.get("dv") or f.get("bytes") is None or f["bytes"] < thr
+    )
+    n_files = max(1, -(-small_total // thr))
+    return TX.tx_compact(spark, path, small_bytes=thr, n_files=n_files)
+
+
+def _vacuum(
+    spark: SparkSession, table: str, hours: str | None, dry: bool
+) -> DataFrame:
+    """``VACUUM db.t [RETAIN n HOURS] [DRY RUN]`` → ``tx_vacuum``;
+    returns the reaped (or reapable, for DRY RUN) paths as a 1-column
+    DataFrame, Delta-style."""
+    from ..sources.txlog import tx_vacuum
+
+    path = _require_txlog(spark, table, "VACUUM")
+    reaped = tx_vacuum(
+        spark,
+        path,
+        retain_hours=float(hours) if hours is not None else 168.0,
+        dry_run=dry,
+    )
+    return spark.createDataFrame(
+        [(p,) for p in reaped], "path string"
+    )
+
+
+def _history(spark: SparkSession, table: str) -> DataFrame | None:
+    pinned = txlog_table_path(spark, table)
+    if pinned is None:
+        return None  # plain DESCRIBE HISTORY on non-txlog: passthrough
+    from ..sources.txlog import tx_history
+
+    path, _ = pinned
+    import json as _json
+
+    rows = [
+        (
+            int(r.get("version", -1)),
+            str(r.get("op", "")),
+            int(r.get("ts_ms", 0)),
+            _json.dumps(r.get("operation_metrics", {}), sort_keys=True),
+        )
+        for r in tx_history(spark, path)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, operation string, ts_ms long, "
+        "operation_metrics string",
+    )
+
+
+def _restore(spark: SparkSession, table: str, version: int) -> int:
+    """``RESTORE TABLE db.t TO VERSION AS OF n`` → ``tx_restore``
+    (metadata-only: commits a NEW version whose file list is the
+    target's; the restore itself is time-travelable and undoable)."""
+    from ..sources.txlog import tx_restore
+
+    path = _require_txlog(spark, table, "RESTORE")
+    return tx_restore(spark, path, version)
 
 
 def _writable(table: str, pinned: tuple[str, dict]) -> tuple[str, dict]:

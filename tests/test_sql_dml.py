@@ -403,6 +403,71 @@ def test_sql_time_travel_by_name(spark, tmp_path):
     assert "extra" in spark.table("dmldb.tt").columns
 
 
+def test_sql_maintenance_statements(spark, tmp_path):
+    """Delta's SQL utility surface by name: OPTIMIZE (bin-pack +
+    ZORDER), VACUUM (incl. RETAIN/DRY RUN → reaped-paths DataFrame),
+    DESCRIBE HISTORY, RESTORE TO VERSION AS OF."""
+    p = str(tmp_path / "mt")
+    for i in range(4):  # many small files across v1..v4
+        TX.tx_write(
+            spark,
+            spark.createDataFrame([(i, i * 10)], "id long, v long"),
+            p,
+            mode="append" if i else "overwrite",
+            stats_for=["id"],
+        )
+    register_txlog_table(spark, "dmldb", "mt", p)
+
+    v = sql_dml(spark, "OPTIMIZE dmldb.mt")
+    assert isinstance(v, int) and v == 5
+    n_files = len(
+        TX.read_manifest(spark, p, TX.current_version(spark, p))["files"]
+    )
+    assert n_files < 4  # small files bin-packed
+    assert rows(spark.sql("SELECT id FROM dmldb.mt")) == [
+        (0,),
+        (1,),
+        (2,),
+        (3,),
+    ]
+
+    # ZORDER form re-clusters on the named columns
+    sql_dml(spark, "OPTIMIZE dmldb.mt ZORDER BY (id, v)")
+    assert rows(spark.sql("SELECT COUNT(*) AS n FROM dmldb.mt")) == [(4,)]
+
+    # DESCRIBE HISTORY: one row per commit, metrics attached
+    hist = sql_dml(spark, "DESCRIBE HISTORY dmldb.mt")
+    ops = [r.operation for r in hist.orderBy("version").collect()]
+    assert ops[0] == "overwrite" and ops.count("append") == 3
+    assert len(ops) == 6  # 4 writes + 2 optimizes
+
+    # RESTORE: metadata-only commit whose file list is v4's
+    sql_dml(spark, "RESTORE TABLE dmldb.mt TO VERSION AS OF 4")
+    assert rows(spark.sql("SELECT id FROM dmldb.mt")) == [
+        (0,),
+        (1,),
+        (2,),
+        (3,),
+    ]
+    assert TX.current_version(spark, p) == 7
+
+    # VACUUM DRY RUN lists without deleting; real VACUUM reaps
+    dry = sql_dml(spark, "VACUUM dmldb.mt RETAIN 0 HOURS DRY RUN")
+    assert dry.count() > 0
+    listed = {r.path for r in dry.collect()}
+    reaped = sql_dml(spark, "VACUUM dmldb.mt RETAIN 0 HOURS")
+    assert {r.path for r in reaped.collect()} == listed
+    assert rows(spark.sql("SELECT id FROM dmldb.mt")) == [
+        (0,),
+        (1,),
+        (2,),
+        (3,),
+    ]
+
+    with pytest.raises(SqlDmlError, match="transaction log"):
+        sql_dml(spark, "OPTIMIZE nonexistent_db.nope")
+
+
 def test_sql_time_travel_literal_syntax(spark, tmp_path):
     """`SELECT … FROM db.t VERSION AS OF n` / `TIMESTAMP AS OF` parse
     directly (Delta's SQL travel): the clause is rewritten onto an
