@@ -311,6 +311,17 @@ _RESTORE = re.compile(
     r"(\d+)\s*$",
     re.IGNORECASE,
 )
+_CTAS = re.compile(
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_TBL})\s+USING\s+txlog\b"
+    r"(.*?)\s+AS\s+(SELECT|WITH|VALUES|TABLE)\b(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CTAS_LOCATION = re.compile(
+    r"LOCATION\s+'((?:[^']|'')*)'", re.IGNORECASE
+)
+_CTAS_PARTITIONED = re.compile(
+    rf"PARTITIONED\s+BY\s*\(((?:\s*(?:{_IDENT})\s*,?)+)\)", re.IGNORECASE
+)
 _UPDATE = re.compile(
     rf"^\s*UPDATE\s+({_TBL})\s+SET\s+(.*)$", re.IGNORECASE | re.DOTALL
 )
@@ -394,6 +405,15 @@ def sql_dml(spark: SparkSession, statement: str):
         return _restore(spark, m.group(1), int(m.group(2)))
     if _TRAVEL.search(stmt):
         stmt = _rewrite_time_travel(spark, stmt)
+    m = _CTAS.match(stmt)
+    if m:
+        return _ctas(
+            spark,
+            bool(m.group(1)),
+            m.group(2),
+            m.group(3),
+            m.group(4) + m.group(5),
+        )
     m = _OPTIMIZE.match(stmt)
     if m:
         return _optimize(spark, m.group(1), m.group(2))
@@ -639,6 +659,73 @@ def _insert(
         spark, aligned, path, mode=mode,
         partition_by=partition_by or None,
     )
+
+
+def _ctas(
+    spark: SparkSession,
+    replace: bool,
+    table: str,
+    opts_text: str,
+    query: str,
+) -> str:
+    """``CREATE [OR REPLACE] TABLE db.t USING txlog [LOCATION '…']
+    [PARTITIONED BY (cols)] AS <query>`` — the SQL-only table
+    lifecycle's missing first step: run the query, commit it as version
+    1 (or a replace) through ``tx_write``, and register the catalog
+    name over the pinned format. Without LOCATION the table is MANAGED:
+    data lands under the layer database's directory (Delta's managed
+    CTAS), still a plain txlog dir that survives the catalog. Returns
+    the fully-qualified registered name."""
+    import os
+
+    from ..sources import txlog as TX
+    from .sql_serving import ensure_database, register_txlog_table
+
+    parts = [_unquote(p) for p in table.split(".")]
+    db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+    name = parts[-1]
+    mloc = _CTAS_LOCATION.search(opts_text)
+    mpart = _CTAS_PARTITIONED.search(opts_text)
+    partition_by = (
+        [_unquote(c) for c in _split_top(mpart.group(1), r",")]
+        if mpart
+        else None
+    )
+    leftover = _CTAS_LOCATION.sub(
+        "", _CTAS_PARTITIONED.sub("", opts_text)
+    ).strip()
+    if leftover:
+        raise SqlDmlError(
+            f"CREATE TABLE {table} USING txlog: unsupported clause(s) "
+            f"{leftover!r} (supported: LOCATION, PARTITIONED BY)"
+        )
+    if mloc:
+        path = mloc.group(1).replace("''", "'")
+    else:
+        ensure_database(spark, db)
+        db_loc = (
+            spark.sql(f"DESCRIBE DATABASE {db}")
+            .filter("info_name = 'Location'")
+            .collect()[0]
+            .info_value
+        )
+        # "__txlog"-suffixed so the data dir never collides with the
+        # catalog's default managed-table location for db.name (Spark
+        # refuses CREATE TABLE when that exact dir already exists)
+        path = os.path.join(db_loc.removeprefix("file:"), f"{name}__txlog")
+    exists_in_catalog = spark.catalog.tableExists(f"{db}.{name}")
+    has_commits = TX.current_version(spark, path) is not None
+    if not replace and (exists_in_catalog or has_commits):
+        raise SqlDmlError(
+            f"CREATE TABLE {db}.{name}: already exists "
+            f"({'catalog entry' if exists_in_catalog else path}) — use "
+            "CREATE OR REPLACE TABLE to overwrite"
+        )
+    df = spark.sql(query)
+    TX.tx_write(
+        spark, df, path, mode="overwrite", partition_by=partition_by
+    )
+    return register_txlog_table(spark, db, name, path)
 
 
 def _require_txlog(spark: SparkSession, table: str, what: str) -> str:

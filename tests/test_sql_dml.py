@@ -403,6 +403,73 @@ def test_sql_time_travel_by_name(spark, tmp_path):
     assert "extra" in spark.table("dmldb.tt").columns
 
 
+def test_sql_ctas_external_and_managed(spark, tmp_path):
+    """CREATE [OR REPLACE] TABLE … USING txlog … AS SELECT: the SQL-only
+    lifecycle's first step — query result committed as a txlog table and
+    registered by name (external via LOCATION; managed under the layer
+    database without one); partitioned form writes hive layout; plain
+    CREATE refuses to clobber."""
+    loc = str(tmp_path / "ctas_ext")
+    fq = sql_dml(
+        spark,
+        f"CREATE TABLE dmldb.ctas USING txlog LOCATION '{loc}' AS "
+        "SELECT id, id % 3 AS g FROM range(9)",
+    )
+    assert fq == "dmldb.ctas"
+    assert spark.sql("SELECT COUNT(*) AS n FROM dmldb.ctas").collect()[0].n == 9
+    assert TX.current_version(spark, loc) == 1
+    with pytest.raises(SqlDmlError, match="OR REPLACE"):
+        sql_dml(
+            spark,
+            f"CREATE TABLE dmldb.ctas USING txlog LOCATION '{loc}' AS "
+            "SELECT 1 AS x",
+        )
+    sql_dml(
+        spark,
+        f"CREATE OR REPLACE TABLE dmldb.ctas USING txlog LOCATION '{loc}' "
+        "AS SELECT id, id % 2 AS g FROM range(4)",
+    )
+    assert spark.sql("SELECT COUNT(*) AS n FROM dmldb.ctas").collect()[0].n == 4
+    # the replace is a normal commit: v1 remains travelable
+    assert sql_dml(
+        spark, "SELECT COUNT(*) AS n FROM dmldb.ctas VERSION AS OF 1"
+    ).collect()[0].n == 9
+
+    # partitioned CTAS + the full SQL loop: dynamic overwrite after
+    loc2 = str(tmp_path / "ctas_part")
+    sql_dml(
+        spark,
+        f"CREATE TABLE dmldb.ctasp USING txlog LOCATION '{loc2}' "
+        "PARTITIONED BY (g) AS SELECT id, CAST(id % 2 AS STRING) AS g "
+        "FROM range(6)",
+    )
+    m = TX.read_manifest(spark, loc2, TX.current_version(spark, loc2))
+    assert all(f["partition"].get("g") in ("0", "1") for f in m["files"])
+    sql_dml(
+        spark,
+        "INSERT OVERWRITE TABLE dmldb.ctasp SELECT id + 100, '1' AS g "
+        "FROM range(2)",
+    )
+    got = rows(spark.sql("SELECT id, g FROM dmldb.ctasp"))
+    assert got == [(0, "0"), (2, "0"), (4, "0"), (100, "1"), (101, "1")]
+
+    # managed form: no LOCATION, data under the database directory (OR
+    # REPLACE: the managed dir persists across test sessions by design)
+    sql_dml(
+        spark,
+        "CREATE OR REPLACE TABLE dmldb.ctas_managed USING txlog "
+        "AS SELECT 42 AS v",
+    )
+    assert rows(spark.sql("SELECT v FROM dmldb.ctas_managed")) == [(42,)]
+
+    with pytest.raises(SqlDmlError, match="unsupported clause"):
+        sql_dml(
+            spark,
+            "CREATE TABLE dmldb.ctas_bad USING txlog TBLPROPERTIES "
+            "('a'='b') AS SELECT 1 AS x",
+        )
+
+
 def test_sql_maintenance_statements(spark, tmp_path):
     """Delta's SQL utility surface by name: OPTIMIZE (bin-pack +
     ZORDER), VACUUM (incl. RETAIN/DRY RUN → reaped-paths DataFrame),
