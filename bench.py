@@ -29,6 +29,7 @@ HEADLINE = [
     "sql_txlog_dml",
     "sql_insert_overwrite_dynamic",
     "sql_time_travel",
+    "sql_ddl_lifecycle",
     "txlog_changes_batch",
     "large_orders",
     "shipping_priority",

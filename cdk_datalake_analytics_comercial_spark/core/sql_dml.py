@@ -37,6 +37,13 @@ Supported statements (``db.table`` names registered by
   (→ reaped-paths DataFrame), ``DESCRIBE HISTORY db.t`` (commit log +
   operation metrics as a DataFrame), ``RESTORE TABLE db.t TO VERSION
   AS OF n`` (metadata-only restore commit).
+- DDL by name: ``ALTER TABLE db.t ADD COLUMN(s) … | RENAME COLUMN a TO
+  b | DROP COLUMN c | ADD CONSTRAINT n CHECK (…) | DROP CONSTRAINT n |
+  SET TBLPROPERTIES (…)`` — the metadata-only schema writers, with
+  automatic catalog re-registration so SELECT sees the new shape; and
+  ``SHOW TBLPROPERTIES db.t`` served from the txlog property record.
+- ``CREATE [OR REPLACE] TABLE db.t USING txlog [LOCATION '…']
+  [PARTITIONED BY (…)] AS <query>`` — CTAS, external or managed.
 - ``SELECT … FROM db.t VERSION AS OF n | TIMESTAMP AS OF ts`` anywhere
   a table reference appears — rewritten onto auto-registered frozen
   catalog twins.
@@ -311,6 +318,12 @@ _RESTORE = re.compile(
     r"(\d+)\s*$",
     re.IGNORECASE,
 )
+_ALTER = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+_SHOW_PROPS = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+({_TBL})\s*$", re.IGNORECASE
+)
 _CTAS = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_TBL})\s+USING\s+txlog\b"
     r"(.*?)\s+AS\s+(SELECT|WITH|VALUES|TABLE)\b(.*)$",
@@ -393,12 +406,14 @@ def _rewrite_time_travel(spark: SparkSession, stmt: str) -> str:
 
 
 def sql_dml(spark: SparkSession, statement: str):
-    """Execute one SQL statement by table name. DML targeting a
+    """Execute one SQL statement by table name. DML/DDL targeting a
     registered txlog table dispatches to the native transactional
-    writer and returns the committed VERSION (int); everything else —
-    including all reads — passes through ``spark.sql`` and returns its
-    DataFrame. ``VERSION AS OF`` / ``TIMESTAMP AS OF`` table clauses
-    are rewritten onto frozen catalog twins first."""
+    writer and returns the committed VERSION (int) — except CTAS
+    (returns the registered name) and VACUUM / DESCRIBE HISTORY / SHOW
+    TBLPROPERTIES (return DataFrames). Everything else — including all
+    reads — passes through ``spark.sql`` and returns its DataFrame.
+    ``VERSION AS OF`` / ``TIMESTAMP AS OF`` table clauses are rewritten
+    onto frozen catalog twins first."""
     stmt = statement.strip().rstrip(";")
     m = _RESTORE.match(stmt)  # before _TRAVEL: RESTORE … VERSION AS OF
     if m:
@@ -423,6 +438,16 @@ def sql_dml(spark: SparkSession, statement: str):
     m = _HISTORY.match(stmt)
     if m:
         r = _history(spark, m.group(1))
+        if r is not None:
+            return r
+    m = _ALTER.match(stmt)
+    if m:
+        r = _alter(spark, m.group(1), m.group(2))
+        if r is not None:
+            return r
+    m = _SHOW_PROPS.match(stmt)
+    if m:
+        r = _show_properties(spark, m.group(1))
         if r is not None:
             return r
     m = _DELETE.match(stmt)
@@ -726,6 +751,156 @@ def _ctas(
         spark, df, path, mode="overwrite", partition_by=partition_by
     )
     return register_txlog_table(spark, db, name, path)
+
+
+_ALTER_FORMS = [
+    (
+        re.compile(
+            r"^ADD\s+COLUMNS?\s+(.*)$", re.IGNORECASE | re.DOTALL
+        ),
+        "add_column",
+    ),
+    (
+        re.compile(
+            rf"^RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$",
+            re.IGNORECASE,
+        ),
+        "rename_column",
+    ),
+    (
+        re.compile(
+            rf"^DROP\s+COLUMN\s+({_IDENT})\s*$", re.IGNORECASE
+        ),
+        "drop_column",
+    ),
+    (
+        re.compile(
+            rf"^ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.*)\)\s*$",
+            re.IGNORECASE | re.DOTALL,
+        ),
+        "add_constraint",
+    ),
+    (
+        re.compile(
+            rf"^DROP\s+CONSTRAINT\s+({_IDENT})\s*$", re.IGNORECASE
+        ),
+        "drop_constraint",
+    ),
+    (
+        re.compile(
+            r"^SET\s+TBLPROPERTIES\s*\((.*)\)\s*$",
+            re.IGNORECASE | re.DOTALL,
+        ),
+        "set_properties",
+    ),
+]
+
+
+def _alter(spark: SparkSession, table: str, action: str):
+    """``ALTER TABLE db.t <action>`` routed to the metadata-only DDL
+    writers: ADD COLUMN(s) (null-padded on read, zero files moved),
+    RENAME/DROP COLUMN (column mapping — physical names immutable),
+    ADD/DROP CONSTRAINT (full-table validation then persisted
+    ``check.<name>``), SET TBLPROPERTIES. Schema-changing forms
+    RE-REGISTER the catalog entry afterwards (the Python Data Source
+    captures the schema at CREATE time), so ``SELECT`` by name sees the
+    new shape immediately. Non-txlog targets return None → Spark's own
+    ALTER handles external parquet tables."""
+    pinned = txlog_table_path(spark, table)
+    if pinned is None:
+        return None
+    path, extra = _writable(table, pinned)
+    from ..sources import txlog as TX
+    from .sql_serving import register_txlog_table
+
+    action = action.strip().rstrip(";")
+    for rx, kind in _ALTER_FORMS:
+        m = rx.match(action)
+        if not m:
+            continue
+        reregister = True
+        if kind == "add_column":
+            spec = m.group(1).strip()
+            if spec.startswith("(") and spec.endswith(")"):
+                spec = spec[1:-1]
+            v = None
+            for item in _split_top(spec, r","):
+                cm = re.match(
+                    rf"^\s*({_IDENT})\s+(.+?)\s*$", item, re.DOTALL
+                )
+                if not cm:
+                    raise SqlDmlError(
+                        f"ALTER TABLE {table} ADD COLUMN: cannot parse "
+                        f"{item.strip()!r} (expected: name type)"
+                    )
+                v = TX.tx_add_column(
+                    spark, path, _unquote(cm.group(1)), cm.group(2)
+                )
+            if v is None:
+                raise SqlDmlError(
+                    f"ALTER TABLE {table} ADD COLUMN: empty column list"
+                )
+        elif kind == "rename_column":
+            v = TX.tx_rename_column(
+                spark, path, _unquote(m.group(1)), _unquote(m.group(2))
+            )
+        elif kind == "drop_column":
+            v = TX.tx_drop_column(spark, path, _unquote(m.group(1)))
+        elif kind == "add_constraint":
+            v = TX.tx_add_constraint(
+                spark, path, _unquote(m.group(1)), m.group(2).strip()
+            )
+            reregister = False
+        elif kind == "drop_constraint":
+            v = TX.tx_drop_constraint(spark, path, _unquote(m.group(1)))
+            reregister = False
+        else:  # set_properties
+            props = {}
+            for item in _split_top(m.group(1), r","):
+                pm = re.match(
+                    r"^\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$",
+                    item,
+                )
+                if not pm:
+                    raise SqlDmlError(
+                        f"ALTER TABLE {table} SET TBLPROPERTIES: cannot "
+                        f"parse {item.strip()!r} (expected 'k' = 'v')"
+                    )
+                props[pm.group(1).replace("''", "'")] = pm.group(2).replace(
+                    "''", "'"
+                )
+            v = TX.tx_set_properties(spark, path, props)
+            reregister = False
+        if reregister:
+            parts = [_unquote(p) for p in table.split(".")]
+            db = (
+                parts[0]
+                if len(parts) == 2
+                else spark.catalog.currentDatabase()
+            )
+            register_txlog_table(spark, db, parts[-1], path)
+        return v
+    raise SqlDmlError(
+        f"ALTER TABLE {table}: unsupported action {action!r} (supported: "
+        "ADD COLUMN, RENAME COLUMN, DROP COLUMN, ADD CONSTRAINT name "
+        "CHECK (expr), DROP CONSTRAINT, SET TBLPROPERTIES)"
+    )
+
+
+def _show_properties(spark: SparkSession, table: str) -> DataFrame | None:
+    """``SHOW TBLPROPERTIES db.t`` served from the TXLOG property record
+    (the catalog's own store drops properties for Python data source
+    tables)."""
+    pinned = txlog_table_path(spark, table)
+    if pinned is None:
+        return None
+    from ..sources.txlog import tx_properties
+
+    props = tx_properties(spark, pinned[0])
+    return spark.createDataFrame(
+        sorted((str(k), str(v)) for k, v in props.items()),
+        "key string, value string",
+    )
 
 
 def _require_txlog(spark: SparkSession, table: str, what: str) -> str:

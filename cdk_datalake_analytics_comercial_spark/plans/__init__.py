@@ -26,6 +26,7 @@ _SAMPLE_FIRST = [
     "sql_txlog_dml",
     "sql_insert_overwrite_dynamic",
     "sql_time_travel",
+    "sql_ddl_lifecycle",
     # new in round 10
     "txlog_changes_batch",
     "sql_pushdown_lookup",

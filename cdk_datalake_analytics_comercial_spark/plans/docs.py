@@ -3002,6 +3002,66 @@ FROM fin GROUP BY lang
 """
 
 
+def q_sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE SQL-ONLY TABLE LIFECYCLE (`core/sql_dml.py`): a table that
+    exists purely through SQL statements by name — ``CREATE TABLE …
+    USING txlog PARTITIONED BY … AS SELECT`` (CTAS), ``ALTER TABLE ADD
+    COLUMN`` (metadata-only: existing rows null-pad), then ``INSERT
+    INTO`` populating the evolved schema — and is aggregated by name.
+    No DataFrame writer API is ever touched; every step is the routed
+    statement surface a catalog-only consumer (the reference's Athena
+    persona) would use. DuckDB replays the lifecycle closed-form."""
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+
+    def build(tmp: str) -> None:
+        d = t(spark, sf_dir, "documents")
+        d.createOrReplaceTempView("graft_ddl_src")
+        sql_dml(
+            spark,
+            f"CREATE OR REPLACE TABLE lake_ddl_build.t USING txlog "
+            f"LOCATION '{tmp}' PARTITIONED BY (lang) AS "
+            "SELECT doc_id, lang, n_chars FROM graft_ddl_src "
+            "WHERE doc_id % 4 = 0",
+        )
+        sql_dml(spark, "ALTER TABLE lake_ddl_build.t ADD COLUMN flag string")
+        sql_dml(
+            spark,
+            "INSERT INTO lake_ddl_build.t "
+            "SELECT doc_id, lang, n_chars, 'new' AS flag FROM graft_ddl_src "
+            "WHERE doc_id % 4 = 1 AND lang = 'en'",
+        )
+        spark.sql("DROP TABLE IF EXISTS lake_ddl_build.t")
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txddlv1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_ddl", path)
+    return spark.sql(f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(flag) AS BIGINT) AS n_flagged
+        FROM {db}.documents_ddl
+        GROUP BY lang
+    """)
+
+
+_ORACLE_SQL_DDL_LIFECYCLE = """
+WITH fin AS (
+  SELECT doc_id, lang, n_chars, NULL AS flag
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars, 'new' AS flag
+  FROM documents WHERE doc_id % 4 = 1 AND lang = 'en'
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(flag) AS BIGINT) AS n_flagged
+FROM fin GROUP BY lang
+"""
+
+
 def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME TRAVEL THROUGH THE SQL CATALOG (`core/sql_dml.py`
     ``VERSION AS OF`` rewrite + `sql_serving.register_txlog_table`
@@ -3071,6 +3131,7 @@ QUERIES = {
     "sql_txlog_dml": q_sql_txlog_dml,
     "sql_insert_overwrite_dynamic": q_sql_insert_overwrite_dynamic,
     "sql_time_travel": q_sql_time_travel,
+    "sql_ddl_lifecycle": q_sql_ddl_lifecycle,
     "sql_pushdown_lookup": q_sql_pushdown_lookup,
     "txlog_changes_batch": q_txlog_changes_batch,
     "text_token_stats": q_text_token_stats,
@@ -3134,6 +3195,7 @@ ORACLES = {
     "sql_txlog_dml": _ORACLE_SQL_TXLOG_DML,
     "sql_insert_overwrite_dynamic": _ORACLE_SQL_INSERT_OVERWRITE_DYNAMIC,
     "sql_time_travel": _ORACLE_SQL_TIME_TRAVEL,
+    "sql_ddl_lifecycle": _ORACLE_SQL_DDL_LIFECYCLE,
     "sql_pushdown_lookup": _ORACLE_SQL_PUSHDOWN_LOOKUP,
     "txlog_changes_batch": _ORACLE_TXLOG_CHANGES_BATCH,
     "text_token_stats": _ORACLE_TOKEN_STATS,

@@ -535,6 +535,63 @@ def test_sql_maintenance_statements(spark, tmp_path):
         sql_dml(spark, "OPTIMIZE nonexistent_db.nope")
 
 
+def test_sql_alter_table_ddl(spark, tmp_path):
+    """ALTER TABLE by name: metadata-only column DDL (with automatic
+    catalog re-registration so SELECT sees the new shape immediately),
+    constraints, and properties round-tripping through SHOW
+    TBLPROPERTIES (the txlog record, since the Spark catalog drops
+    properties for Python data source tables)."""
+    p = str(tmp_path / "ddl")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, 10)], "id long, qty long"), p
+    )
+    register_txlog_table(spark, "dmldb", "ddl", p)
+
+    sql_dml(spark, "ALTER TABLE dmldb.ddl ADD COLUMN note string")
+    assert spark.table("dmldb.ddl").columns == ["id", "qty", "note"]
+    assert rows(spark.sql("SELECT id, note FROM dmldb.ddl")) == [(1, None)]
+
+    sql_dml(
+        spark,
+        "ALTER TABLE dmldb.ddl ADD COLUMNS (w decimal(10,2), z string)",
+    )
+    assert spark.table("dmldb.ddl").columns == ["id", "qty", "note", "w", "z"]
+    sql_dml(spark, "ALTER TABLE dmldb.ddl DROP COLUMN w")
+    sql_dml(spark, "ALTER TABLE dmldb.ddl DROP COLUMN z")
+
+    sql_dml(spark, "ALTER TABLE dmldb.ddl RENAME COLUMN qty TO amount")
+    assert rows(spark.sql("SELECT amount FROM dmldb.ddl")) == [(10,)]
+
+    sql_dml(spark, "ALTER TABLE dmldb.ddl DROP COLUMN note")
+    assert spark.table("dmldb.ddl").columns == ["id", "amount"]
+
+    sql_dml(
+        spark,
+        "ALTER TABLE dmldb.ddl ADD CONSTRAINT amt_pos CHECK (amount > 0)",
+    )
+    with pytest.raises(TX.TxCheckViolation):
+        sql_dml(spark, "INSERT INTO dmldb.ddl VALUES (2, -1)")
+    sql_dml(spark, "ALTER TABLE dmldb.ddl DROP CONSTRAINT amt_pos")
+    sql_dml(spark, "INSERT INTO dmldb.ddl VALUES (2, -1)")
+    assert rows(spark.sql("SELECT id, amount FROM dmldb.ddl")) == [
+        (1, 10),
+        (2, -1),
+    ]
+
+    sql_dml(
+        spark,
+        "ALTER TABLE dmldb.ddl SET TBLPROPERTIES ('owner' = 'data''team')",
+    )
+    props = {
+        r.key: r.value
+        for r in sql_dml(spark, "SHOW TBLPROPERTIES dmldb.ddl").collect()
+    }
+    assert props["owner"] == "data'team"
+
+    with pytest.raises(SqlDmlError, match="unsupported action"):
+        sql_dml(spark, "ALTER TABLE dmldb.ddl CLUSTER BY (id)")
+
+
 def test_sql_time_travel_literal_syntax(spark, tmp_path):
     """`SELECT … FROM db.t VERSION AS OF n` / `TIMESTAMP AS OF` parse
     directly (Delta's SQL travel): the clause is rewritten onto an
