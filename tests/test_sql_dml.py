@@ -369,6 +369,52 @@ def test_sql_dml_condition_on_mapped_table_refuses(spark, tmp_path):
     }
 
 
+def test_stream_by_catalog_name(spark, tmp_path):
+    """`spark.readStream.table("db.t")` works on the pinned txlog
+    formats: the PLAIN registration streams snapshot-then-tail rows and
+    a CHANGE-FEED registration streams its change rows — Delta's
+    streaming-by-name, no path in user code."""
+    p = str(tmp_path / "s")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), p
+    )
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        p,
+        mode="append",
+    )
+    register_txlog_table(spark, "dmldb", "s", p)
+    register_txlog_changes_table(spark, "dmldb", "s_feed", p, 1)
+
+    q = (
+        spark.readStream.table("dmldb.s_feed")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o"))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in spark.read.parquet(str(tmp_path / "o")).collect()
+    ) == [(1, "insert", 1), (2, "insert", 2)]
+
+    q = (
+        spark.readStream.table("dmldb.s")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o2"))
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(
+        r.id for r in spark.read.parquet(str(tmp_path / "o2")).collect()
+    ) == [1, 2]
+
+
 def test_sql_time_travel_by_name(spark, tmp_path):
     """VERSION AS OF through the catalog: a frozen registration serves
     the pinned snapshot while the live name reflects later DML, and the
