@@ -52,6 +52,7 @@ INTENTIONAL_CROSS = {
     "orders_abc_pareto": "scalar revenue total: 1-row broadcast crossJoin (O(n) stream side)",
     "idle_rich_customers": "scalar avg balance: 1-row broadcast crossJoin (O(n) stream side)",
     "temperature_mix": "scalar max-group count: 1-row broadcast crossJoin (5-row stream side)",
+    "part_affinity": "scalar order count: 1-row broadcast crossJoin (O(n) stream side; replaced the r10 eager .count())",
 }
 
 # Queries whose result comes from a DRIVER LOOP over checkpointed rounds
