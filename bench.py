@@ -30,6 +30,7 @@ HEADLINE = [
     "sql_insert_overwrite_dynamic",
     "sql_time_travel",
     "sql_ddl_lifecycle",
+    "sql_zorder_pruning",
     "txlog_changes_batch",
     "large_orders",
     "shipping_priority",

@@ -27,6 +27,7 @@ _SAMPLE_FIRST = [
     "sql_insert_overwrite_dynamic",
     "sql_time_travel",
     "sql_ddl_lifecycle",
+    "sql_zorder_pruning",
     # new in round 10
     "txlog_changes_batch",
     "sql_pushdown_lookup",

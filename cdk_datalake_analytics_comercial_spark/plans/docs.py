@@ -3062,6 +3062,61 @@ FROM fin GROUP BY lang
 """
 
 
+def q_sql_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE … ZORDER BY from SQL, then a 2-column range lookup by
+    name: the fixture writes the corpus subset INTERLEAVED (hash-bucketed
+    by a surrogate, so every file initially spans both columns' full
+    ranges — the shape incremental appends produce), runs
+    ``OPTIMIZE … ZORDER BY (doc_id, n_chars)`` through the statement
+    router (`core/sql_dml.py` → `tx_compact` Morton clustering), and the
+    query's conjunctive WHERE then prunes files on BOTH columns through
+    `TxLogBatchReader.pushFilters` (file-count assertion in
+    `tests/test_sql_dml.py`; at 100 TB this is the difference between a
+    2-D range probe opening ~1 file and opening all of them). Results
+    hash-match DuckDB because pruning is advisory."""
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import tx_write
+
+    def build(tmp: str) -> None:
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.select("doc_id", "lang", "n_chars").repartition(
+                8, (F.col("doc_id") * 2654435761) % 97
+            ),
+            tmp,
+            stats_for=["doc_id", "n_chars"],
+        )
+        register_txlog_table(spark, "lake_z_build", "t", tmp)
+        sql_dml(
+            spark, "OPTIMIZE lake_z_build.t ZORDER BY (doc_id, n_chars)"
+        )
+        spark.sql("DROP TABLE IF EXISTS lake_z_build.t")
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txzv1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_z", path)
+    return spark.sql(f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM {db}.documents_z
+        WHERE doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 50 AND 400
+        GROUP BY lang
+    """)
+
+
+_ORACLE_SQL_ZORDER_PRUNING = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 50 AND 400
+GROUP BY lang
+"""
+
+
 def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME TRAVEL THROUGH THE SQL CATALOG (`core/sql_dml.py`
     ``VERSION AS OF`` rewrite + `sql_serving.register_txlog_table`
@@ -3132,6 +3187,7 @@ QUERIES = {
     "sql_insert_overwrite_dynamic": q_sql_insert_overwrite_dynamic,
     "sql_time_travel": q_sql_time_travel,
     "sql_ddl_lifecycle": q_sql_ddl_lifecycle,
+    "sql_zorder_pruning": q_sql_zorder_pruning,
     "sql_pushdown_lookup": q_sql_pushdown_lookup,
     "txlog_changes_batch": q_txlog_changes_batch,
     "text_token_stats": q_text_token_stats,
@@ -3196,6 +3252,7 @@ ORACLES = {
     "sql_insert_overwrite_dynamic": _ORACLE_SQL_INSERT_OVERWRITE_DYNAMIC,
     "sql_time_travel": _ORACLE_SQL_TIME_TRAVEL,
     "sql_ddl_lifecycle": _ORACLE_SQL_DDL_LIFECYCLE,
+    "sql_zorder_pruning": _ORACLE_SQL_ZORDER_PRUNING,
     "sql_pushdown_lookup": _ORACLE_SQL_PUSHDOWN_LOOKUP,
     "txlog_changes_batch": _ORACLE_TXLOG_CHANGES_BATCH,
     "text_token_stats": _ORACLE_TOKEN_STATS,

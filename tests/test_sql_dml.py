@@ -369,6 +369,59 @@ def test_sql_dml_condition_on_mapped_table_refuses(spark, tmp_path):
     }
 
 
+def test_sql_optimize_zorder_enables_two_column_pruning(spark, tmp_path):
+    """The maintenance loop pays off in the scan: an interleaved table
+    (every file spans both columns' full ranges) prunes NOTHING on a
+    2-D range probe; after ``OPTIMIZE … ZORDER BY`` through the
+    statement router, the same probe opens a fraction of the files."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from cdk_datalake_analytics_comercial_spark.streaming.source import (
+        TxLogBatchReader,
+    )
+
+    p = str(tmp_path / "z")
+    df = spark.range(4096).select(
+        F.col("id").alias("x"), (F.col("id") * 37 % 4096).alias("y")
+    )
+    TX.tx_write(
+        spark,
+        df.repartition(16, (F.col("x") * 2654435761) % 97),
+        p,
+        stats_for=["x", "y"],
+    )
+    register_txlog_table(spark, "dmldb", "z", p)
+
+    def probe_files():
+        m = TX.read_manifest(spark, p, TX.current_version(spark, p))
+        r = TxLogBatchReader(m["schema"], {"path": p})
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("x",), 1000),
+                LessThanOrEqual(("x",), 1200),
+                GreaterThanOrEqual(("y",), 1000),
+                LessThanOrEqual(("y",), 1200),
+            ]
+        )
+        return len(r.partitions()), len(m["files"])
+
+    opened, total = probe_files()
+    assert opened == total  # interleaved: stats prune nothing
+
+    sql_dml(spark, "OPTIMIZE dmldb.z ZORDER BY (x, y)")
+    opened_z, total_z = probe_files()
+    assert opened_z <= max(1, total_z // 4)  # Morton clustering prunes
+    # and the answer is unchanged
+    assert spark.sql(
+        "SELECT COUNT(*) AS n FROM dmldb.z "
+        "WHERE x BETWEEN 1000 AND 1200 AND y BETWEEN 1000 AND 1200"
+    ).collect()[0].n == spark.sql(
+        "SELECT COUNT(*) FROM (SELECT id AS x, id*37 % 4096 AS y "
+        "FROM range(4096)) WHERE x BETWEEN 1000 AND 1200 "
+        "AND y BETWEEN 1000 AND 1200"
+    ).collect()[0][0]
+
+
 def test_stream_by_catalog_name(spark, tmp_path):
     """`spark.readStream.table("db.t")` works on the pinned txlog
     formats: the PLAIN registration streams snapshot-then-tail rows and
