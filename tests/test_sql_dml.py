@@ -81,6 +81,58 @@ def test_parse_predicate_residuals_never_lost():
     assert eq == {"v": "x AND y", "id": 1} and cond is None
 
 
+TRICKY_PREDICATES = [
+    "id = 7",
+    "id > 3",
+    "id >= 3 AND id < 9",
+    "id BETWEEN 3 AND 9",
+    "id BETWEEN 3 AND 9 AND v LIKE 'v1%'",
+    "id IN (2, 8, 5)",
+    "id IN (2, 8, 5) AND g = 1",
+    "v = 'v7' OR id = 2",
+    "(id = 1 OR id = 2) AND g >= 0",
+    "id = g",
+    "NOT (id = 3)",
+    "v LIKE '%1' AND id <= 10",
+    "id % 2 = 0",
+    "v = 'x AND y' OR v = 'v3'",
+    "id IS NOT NULL AND id < 4",
+    "length(v) = 2",
+    "true",
+    "id <> 5",
+    "g IN (0, 2) AND id BETWEEN 1 AND 11 AND v >= 'v1'",
+    "upper(v) = 'V4'",
+]
+
+
+@pytest.mark.parametrize("pred", TRICKY_PREDICATES)
+def test_predicate_split_never_changes_semantics(spark, pred):
+    """The soundness property behind the DML router: for ANY WHERE
+    clause, the rows selected by (structured pruning hints AND residual
+    condition) — exactly what `_dml_predicate` evaluates — must equal
+    the rows the original predicate selects. Hints may only ever
+    OVER-approximate at the file level; at the row level nothing may be
+    lost or gained."""
+    from cdk_datalake_analytics_comercial_spark.sources.txlog import (
+        _dml_predicate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(12)] + [(None, None, None)],
+        "id long, v string, g long",
+    )
+    expected = {
+        tuple(r) for r in df.filter(F.coalesce(F.expr(pred), F.lit(False))).collect()
+    }
+    where, where_equals, condition = parse_predicate(pred)
+    combined = _dml_predicate(where, where_equals, condition)
+    got = {
+        tuple(r)
+        for r in df.filter(F.coalesce(combined, F.lit(False))).collect()
+    }
+    assert got == expected, (pred, where, where_equals, condition)
+
+
 # ------------------------------------------------------------- statements
 
 
