@@ -44,6 +44,9 @@ Supported statements (``db.table`` names registered by
   ``SHOW TBLPROPERTIES db.t`` served from the txlog property record.
 - ``CREATE [OR REPLACE] TABLE db.t USING txlog [LOCATION '…']
   [PARTITIONED BY (…)] AS <query>`` — CTAS, external or managed.
+- ``CREATE TABLE db.t2 SHALLOW CLONE db.t [VERSION AS OF n]
+  [LOCATION '…']`` — metadata-only branch via ``tx_clone`` (zero data
+  copied even for a petabyte source; the clone evolves independently).
 - ``SELECT … FROM db.t VERSION AS OF n | TIMESTAMP AS OF ts`` anywhere
   a table reference appears — rewritten onto auto-registered frozen
   catalog twins.
@@ -324,6 +327,12 @@ _ALTER = re.compile(
 _SHOW_PROPS = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+({_TBL})\s*$", re.IGNORECASE
 )
+_CLONE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+({_TBL})\s+SHALLOW\s+CLONE\s+({_TBL})"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+    r"(?:\s+LOCATION\s+'((?:[^']|'')*)')?\s*$",
+    re.IGNORECASE,
+)
 _CTAS = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_TBL})\s+USING\s+txlog\b"
     r"(.*?)\s+AS\s+(SELECT|WITH|VALUES|TABLE)\b(.*)$",
@@ -420,6 +429,9 @@ def sql_dml(spark: SparkSession, statement: str):
         return _restore(spark, m.group(1), int(m.group(2)))
     if _TRAVEL.search(stmt):
         stmt = _rewrite_time_travel(spark, stmt)
+    m = _CLONE.match(stmt)
+    if m:
+        return _clone(spark, *m.group(1, 2, 3, 4))
     m = _CTAS.match(stmt)
     if m:
         return _ctas(
@@ -684,6 +696,52 @@ def _insert(
         spark, aligned, path, mode=mode,
         partition_by=partition_by or None,
     )
+
+
+def _clone(
+    spark: SparkSession,
+    target: str,
+    source: str,
+    version: str | None,
+    location: str | None,
+) -> str:
+    """``CREATE TABLE db.t2 SHALLOW CLONE db.t [VERSION AS OF n]
+    [LOCATION '…']`` → ``tx_clone``: a NEW table whose v1 references the
+    source snapshot's files by absolute path — zero data copied,
+    metadata-only even for a petabyte source; the clone then evolves
+    independently (Delta's SHALLOW CLONE, including the documented
+    vacuum-the-source caveat). Without LOCATION the clone is managed
+    under the target's layer database."""
+    import os
+
+    from ..sources import txlog as TX
+    from .sql_serving import ensure_database, register_txlog_table
+
+    pinned = txlog_table_path(spark, source)
+    if pinned is None:
+        raise SqlDmlError(
+            f"SHALLOW CLONE {source}: not a registered txlog table"
+        )
+    src_path, _ = pinned
+    parts = [_unquote(p) for p in target.split(".")]
+    db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+    name = parts[-1]
+    if location:
+        dst = location.replace("''", "'")
+    else:
+        ensure_database(spark, db)
+        db_loc = (
+            spark.sql(f"DESCRIBE DATABASE {db}")
+            .filter("info_name = 'Location'")
+            .collect()[0]
+            .info_value
+        )
+        dst = os.path.join(db_loc.removeprefix("file:"), f"{name}__txlog")
+    TX.tx_clone(
+        spark, src_path, dst,
+        version=int(version) if version is not None else None,
+    )
+    return register_txlog_table(spark, db, name, dst)
 
 
 def _ctas(

@@ -257,6 +257,15 @@ def _hive_dec(seg: str):
     return "".join(out)
 
 
+def _ref_local(root: str, ref: str) -> str:
+    """A manifest file ref as a local filesystem path: refs are
+    table-root-relative normally; SHALLOW CLONES reference the source's
+    files ABSOLUTELY, possibly Hadoop-qualified (``file:/x``) — the
+    same resolution ``txlog._resolve_file`` gives the native reader."""
+    full = ref if TX._is_abs_ref(ref) else f"{root}/{ref}"
+    return TX._as_local_dir(full) or full
+
+
 def _read_partition(part: _TxFilesPartition) -> Iterator:
     """Executor-side read of one split: pyarrow parquet scan + partition
     columns reconstructed from the hive path segments, aligned and cast to
@@ -278,7 +287,7 @@ def _read_partition(part: _TxFilesPartition) -> Iterator:
         for f in spark_schema.fields
     }
     for rel in part.rel_paths:
-        table = pq.read_table(f"{part.root}/{rel}")
+        table = pq.read_table(_ref_local(part.root, rel))
         if part.dv.get(rel):
             # deletion vectors: drop soft-deleted row positions (sidecar
             # parquet of (rel, ri); pq.read_table preserves file order, so
@@ -287,7 +296,7 @@ def _read_partition(part: _TxFilesPartition) -> Iterator:
 
             dead: set[int] = set()
             for ref in part.dv[rel]:
-                side = pq.read_table(f"{part.root}/{ref}")
+                side = pq.read_table(_ref_local(part.root, ref))
                 for rel2, ri in zip(
                     side.column("rel").to_pylist(),
                     side.column("ri").to_pylist(),

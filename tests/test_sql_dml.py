@@ -621,6 +621,55 @@ def test_sql_ctas_external_and_managed(spark, tmp_path):
         )
 
 
+def test_sql_shallow_clone(spark, tmp_path):
+    """CREATE TABLE … SHALLOW CLONE …: metadata-only branch of a table
+    by name — the clone serves the pinned snapshot instantly (zero data
+    copied) and then evolves independently of the source; VERSION AS OF
+    clones a historical snapshot."""
+    p = str(tmp_path / "src")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        p,
+    )
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        p,
+        mode="append",
+    )
+    register_txlog_table(spark, "dmldb", "clsrc", p)
+    fq = sql_dml(
+        spark,
+        "CREATE TABLE dmldb.clone1 SHALLOW CLONE dmldb.clsrc "
+        f"LOCATION '{tmp_path / 'dst1'}'",
+    )
+    assert fq == "dmldb.clone1"
+    assert rows(spark.sql("SELECT id FROM dmldb.clone1")) == [(1,), (2,), (3,)]
+    # historical clone
+    sql_dml(
+        spark,
+        "CREATE TABLE dmldb.clone_v1 SHALLOW CLONE dmldb.clsrc "
+        f"VERSION AS OF 1 LOCATION '{tmp_path / 'dstv1'}'",
+    )
+    assert rows(spark.sql("SELECT id FROM dmldb.clone_v1")) == [(1,), (2,)]
+    # divergence: DML on the clone never touches the source
+    sql_dml(spark, "DELETE FROM dmldb.clone1 WHERE id = 2")
+    assert rows(spark.sql("SELECT id FROM dmldb.clone1")) == [(1,), (3,)]
+    assert rows(spark.sql("SELECT id FROM dmldb.clsrc")) == [
+        (1,),
+        (2,),
+        (3,),
+    ]
+    # a clone target that already has a log refuses
+    with pytest.raises(Exception, match="already has a txlog"):
+        sql_dml(
+            spark,
+            "CREATE TABLE dmldb.clone1b SHALLOW CLONE dmldb.clsrc "
+            f"LOCATION '{tmp_path / 'dst1'}'",
+        )
+
+
 def test_sql_maintenance_statements(spark, tmp_path):
     """Delta's SQL utility surface by name: OPTIMIZE (bin-pack +
     ZORDER), VACUUM (incl. RETAIN/DRY RUN → reaped-paths DataFrame),
