@@ -36,7 +36,10 @@ Supported statements (``db.table`` names registered by
   ``tx_compact``), ``VACUUM db.t [RETAIN n HOURS] [DRY RUN]``
   (→ reaped-paths DataFrame), ``DESCRIBE HISTORY db.t`` (commit log +
   operation metrics as a DataFrame), ``RESTORE TABLE db.t TO VERSION
-  AS OF n`` (metadata-only restore commit).
+  AS OF n`` (metadata-only restore commit), ``DESCRIBE DETAIL db.t``
+  (snapshot facts: version, files, bytes, live rows, partitioning,
+  properties), ``TRUNCATE TABLE db.t`` (an all-rows delete COMMIT —
+  time-travelable/undoable, properties and constraints survive).
 - DDL by name: ``ALTER TABLE db.t ADD COLUMN(s) … | RENAME COLUMN a TO
   b | DROP COLUMN c | ADD CONSTRAINT n CHECK (…) | DROP CONSTRAINT n |
   SET TBLPROPERTIES (…)`` — the metadata-only schema writers, with
@@ -316,6 +319,12 @@ _VACUUM = re.compile(
 _HISTORY = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+({_TBL})\s*$", re.IGNORECASE
 )
+_DETAIL = re.compile(
+    rf"^\s*DESCRIBE\s+DETAIL\s+({_TBL})\s*$", re.IGNORECASE
+)
+_TRUNCATE = re.compile(
+    rf"^\s*TRUNCATE\s+TABLE\s+({_TBL})\s*$", re.IGNORECASE
+)
 _RESTORE = re.compile(
     rf"^\s*RESTORE\s+(?:TABLE\s+)?({_TBL})\s+TO\s+VERSION\s+AS\s+OF\s+"
     r"(\d+)\s*$",
@@ -450,6 +459,16 @@ def sql_dml(spark: SparkSession, statement: str):
     m = _HISTORY.match(stmt)
     if m:
         r = _history(spark, m.group(1))
+        if r is not None:
+            return r
+    m = _DETAIL.match(stmt)
+    if m:
+        r = _detail(spark, m.group(1))
+        if r is not None:
+            return r
+    m = _TRUNCATE.match(stmt)
+    if m:
+        r = _truncate(spark, m.group(1))
         if r is not None:
             return r
     m = _ALTER.match(stmt)
@@ -1043,6 +1062,57 @@ def _history(spark: SparkSession, table: str) -> DataFrame | None:
         "version long, operation string, ts_ms long, "
         "operation_metrics string",
     )
+
+
+def _detail(spark: SparkSession, table: str) -> DataFrame | None:
+    """``DESCRIBE DETAIL db.t`` (Delta's twin): one row of snapshot
+    facts from the manifest — version, live file count, total bytes,
+    rows (footer-recorded), partition columns, properties — all
+    metadata-only."""
+    pinned = txlog_table_path(spark, table)
+    if pinned is None:
+        return None
+    import json as _json
+
+    from ..sources import txlog as TX
+
+    path, _ = pinned
+    cur = TX.current_version(spark, path)
+    m = TX.read_manifest(spark, path, cur)
+    files = m["files"]
+    part_cols = next(
+        (list(f["partition"]) for f in files if f.get("partition")), []
+    )
+    row = (
+        path,
+        int(cur),
+        len(files),
+        int(sum(int(f.get("bytes") or 0) for f in files)),
+        int(sum(int(f.get("rows") or 0) for f in files))
+        - int(sum(int(f.get("dv_count") or 0) for f in files)),
+        _json.dumps(part_cols),
+        _json.dumps(m.get("properties", {}), sort_keys=True),
+    )
+    return spark.createDataFrame(
+        [row],
+        "location string, version long, num_files long, "
+        "size_bytes long, num_rows long, partition_columns string, "
+        "properties string",
+    )
+
+
+def _truncate(spark: SparkSession, table: str):
+    """``TRUNCATE TABLE db.t``: one committed version with zero live
+    rows — a normal (undoable, time-travelable) delete commit, never a
+    log wipe. Routed as an all-rows delete so table properties,
+    constraints and identity state survive."""
+    pinned = txlog_table_path(spark, table)
+    if pinned is None:
+        return None
+    path, _ = _writable(table, pinned)
+    from ..sources.txlog import tx_delete
+
+    return tx_delete(spark, path, condition="true")
 
 
 def _restore(spark: SparkSession, table: str, version: int) -> int:

@@ -621,6 +621,36 @@ def test_sql_ctas_external_and_managed(spark, tmp_path):
         )
 
 
+def test_sql_truncate_and_describe_detail(spark, tmp_path):
+    """TRUNCATE TABLE is a normal delete commit (time-travelable, props
+    survive); DESCRIBE DETAIL reports the snapshot facts metadata-only."""
+    p = str(tmp_path / "tr")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(i, i * 2) for i in range(6)], "id long, v long"),
+        p,
+        partition_by=None,
+    )
+    TX.tx_set_properties(spark, p, {"owner": "me"})
+    register_txlog_table(spark, "dmldb", "tr", p)
+
+    d = sql_dml(spark, "DESCRIBE DETAIL dmldb.tr").collect()[0]
+    assert d.version == 2 and d.num_files >= 1 and d.num_rows == 6
+    assert '"owner": "me"' in d.properties
+
+    v = sql_dml(spark, "TRUNCATE TABLE dmldb.tr")
+    assert isinstance(v, int)
+    assert spark.sql("SELECT COUNT(*) AS n FROM dmldb.tr").collect()[0].n == 0
+    # undoable: the pre-truncate snapshot still travels, and props survive
+    assert sql_dml(
+        spark, "SELECT COUNT(*) AS n FROM dmldb.tr VERSION AS OF 2"
+    ).collect()[0].n == 6
+    assert TX.tx_properties(spark, p).get("owner") == "me"
+    # the table stays writable with its schema intact
+    sql_dml(spark, "INSERT INTO dmldb.tr VALUES (100, 200)")
+    assert rows(spark.sql("SELECT id, v FROM dmldb.tr")) == [(100, 200)]
+
+
 def test_sql_shallow_clone(spark, tmp_path):
     """CREATE TABLE … SHALLOW CLONE …: metadata-only branch of a table
     by name — the clone serves the pinned snapshot instantly (zero data
