@@ -223,6 +223,14 @@ def parse_predicate(pred: str) -> tuple[dict, dict, str | None]:
     captured structurally (then ``None`` — the structured spec alone is
     complete, and keeps working on column-mapped tables where free-form
     text cannot be soundly rebound)."""
+    if len(_split_top(pred, r"OR\b")) > 1:
+        # SQL precedence: AND binds tighter than OR, so NO top-level-AND
+        # conjunct of an OR-bearing clause is unconditional — `a OR b AND
+        # c` means `a OR (b AND c)`, and pruning on `c` alone would lose
+        # `a`-rows. Any top-level OR therefore suppresses ALL hints: file
+        # pruning degrades to scan-every-live-file (sound, just
+        # unselective) and the whole clause rides as the row condition.
+        return {}, {}, pred
     where: dict[str, tuple] = {}
     where_equals: dict = {}
     all_sargable = True
@@ -239,7 +247,8 @@ def parse_predicate(pred: str) -> tuple[dict, dict, str | None]:
             col, lo, hi = _unquote(m.group(1)), *m.group(2, 3)
             lo_v, hi_v = _parse_literal(lo), _parse_literal(hi)
             if lo_v is not None and hi_v is not None:
-                _merge_range(where, col, lo_v, hi_v)
+                if not _merge_range(where, col, lo_v, hi_v):
+                    all_sargable = False
                 continue
             all_sargable = False
             continue
@@ -263,15 +272,23 @@ def parse_predicate(pred: str) -> tuple[dict, dict, str | None]:
             v = _parse_literal(rhs)
             if v is not None:
                 if op == "=":
-                    where_equals.setdefault(col, v)
-                    _merge_range(where, col, v, v)
+                    prior = where_equals.setdefault(col, v)
+                    if prior != v or not _merge_range(where, col, v, v):
+                        # conflicting equality probes (a = 1 AND a = 'x'):
+                        # same-type conflicts leave an empty range that
+                        # prunes soundly, but MIXED-type ones cannot merge
+                        # — keep the full predicate row-level so the
+                        # original (vacuous) semantics are re-applied
+                        all_sargable = False
                 elif op in (">", ">="):
                     # strict treated as inclusive: sound (over-keeps),
                     # but the residual condition must then re-apply it
-                    _merge_range(where, col, v, None)
+                    if not _merge_range(where, col, v, None):
+                        all_sargable = False
                     all_sargable = all_sargable and op == ">="
                 elif op in ("<", "<="):
-                    _merge_range(where, col, None, v)
+                    if not _merge_range(where, col, None, v):
+                        all_sargable = False
                     all_sargable = all_sargable and op == "<="
                 continue
         all_sargable = False  # unparsed conjunct stays row-level only
@@ -289,7 +306,12 @@ def _balanced(s: str) -> bool:
     return d == 0
 
 
-def _merge_range(where: dict, col: str, lo, hi) -> None:
+def _merge_range(where: dict, col: str, lo, hi) -> bool:
+    """Intersect ``[lo, hi]`` into ``where[col]``. Returns False when the
+    bounds are type-incomparable with the existing ones (mixed-type
+    conjuncts): the first bound is kept as an over-keeping hint, and the
+    CALLER must then demote the clause to row-level-only — the structured
+    spec alone no longer captures the predicate."""
     cur = where.setdefault(col, (None, None))
     new_lo, new_hi = cur
     try:
@@ -298,8 +320,9 @@ def _merge_range(where: dict, col: str, lo, hi) -> None:
         if hi is not None and (new_hi is None or hi < new_hi):
             new_hi = hi
     except TypeError:
-        return  # mixed types across conjuncts: keep the first bound
+        return False  # mixed types across conjuncts: keep the first bound
     where[col] = (new_lo, new_hi)
+    return True
 
 
 _DELETE = re.compile(

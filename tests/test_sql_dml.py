@@ -102,7 +102,48 @@ TRICKY_PREDICATES = [
     "id <> 5",
     "g IN (0, 2) AND id BETWEEN 1 AND 11 AND v >= 'v1'",
     "upper(v) = 'V4'",
+    # --- mixed OR/AND precedence (AND binds tighter): the OR branch must
+    # suppress every pruning hint or rows are silently lost. The fixture
+    # carries an adversarial row (100, 'v7', 0) that matches the OR branch
+    # while VIOLATING the AND conjuncts a naive splitter would emit.
+    "v = 'v7' OR id = 2 AND g = 1",
+    "id = 2 AND g = 1 OR v = 'v7'",
+    "g = 1 AND id = 2 OR v = 'v7'",
+    "NOT (id = 3 OR g = 0)",
+    "id BETWEEN 3 AND 5 OR g = 0",
+    "v = 'v7' OR id BETWEEN 2 AND 4 AND g = 1",
+    "g = 1 AND (id = 2 OR v = 'v7')",  # parenthesized OR: g-hint is sound
+    # --- conflicting same-type equality conjuncts: the empty range
+    # intersection prunes soundly and the row-level spec stays vacuous
+    "g = 1 AND g = 2",
 ]
+
+
+def test_parse_predicate_or_suppresses_all_hints():
+    """Top-level OR means NO conjunct is unconditional: zero hints, the
+    whole clause rides row-level (file pruning degrades to scan-all)."""
+    for pred in (
+        "v = 'v7' OR id = 2 AND g = 1",
+        "id = 2 AND g = 1 OR v = 'v7'",
+        "id = 7 OR id = 9",
+    ):
+        assert parse_predicate(pred) == ({}, {}, pred)
+    # parenthesized OR is NOT top-level: the sibling conjunct still prunes
+    w, eq, cond = parse_predicate("g = 1 AND (id = 2 OR v = 'v7')")
+    assert eq == {"g": 1} and cond is not None
+
+
+def test_parse_predicate_mixed_type_conflict_demotes():
+    """`a = 1 AND a = 'x'` (mixed types): the range bounds cannot merge,
+    so the clause MUST stay row-level — under ANSI SQL the original
+    predicate errs (or matches nothing, non-ANSI); silently routing it
+    as the structured probe {a: 1} would delete a=1 rows instead."""
+    for pred in ("id = 1 AND id = 'x'", "id = 'x' AND id = 1"):
+        w, eq, cond = parse_predicate(pred)
+        assert cond == pred, (pred, w, eq, cond)
+    # BETWEEN bounds that cannot intersect the equality probe: same rule
+    w, eq, cond = parse_predicate("id = 1 AND id BETWEEN 'a' AND 'b'")
+    assert cond is not None
 
 
 @pytest.mark.parametrize("pred", TRICKY_PREDICATES)
@@ -118,7 +159,8 @@ def test_predicate_split_never_changes_semantics(spark, pred):
     )
 
     df = spark.createDataFrame(
-        [(i, f"v{i}", i % 3) for i in range(12)] + [(None, None, None)],
+        [(i, f"v{i}", i % 3) for i in range(12)]
+        + [(None, None, None), (100, "v7", 0)],
         "id long, v string, g long",
     )
     expected = {
@@ -200,6 +242,54 @@ def test_sql_point_delete_prunes_files(spark, tmp_path):
     # exactly one file replaced; the other two carried forward
     assert len(before & after) == 2 and len(after - before) == 1
     assert rows(spark.sql("SELECT COUNT(*) AS n FROM dmldb.pd")) == [(14,)]
+
+
+def test_sql_delete_or_and_precedence_multifile(spark, tmp_path):
+    """End-to-end proof of the OR-precedence fix on the FILE-PRUNED
+    path: a DELETE whose WHERE mixes top-level OR with AND must delete
+    the OR-branch rows even when they live in files a naive conjunct
+    splitter would have pruned away (the spurious `g = 1` hint). Three
+    files with disjoint id/g stats; the `v = 'sentinel'` row sits in a
+    file where g = 0 everywhere."""
+    p = str(tmp_path / "orand")
+    frames = [
+        # file A: ids 0-4, g = 0 — holds the OR-branch sentinel row
+        [(i, "sentinel" if i == 3 else f"a{i}", 0) for i in range(5)],
+        # file B: ids 100-104, g = 1 — holds the AND-branch rows
+        [(100 + i, f"b{i}", 1) for i in range(5)],
+        # file C: ids 200-204, g = 2 — matches neither branch
+        [(200 + i, f"c{i}", 2) for i in range(5)],
+    ]
+    for i, data in enumerate(frames):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame(
+                data, "id long, v string, g long"
+            ).coalesce(1),
+            p,
+            mode="append" if i else "overwrite",
+            stats_for=["id", "g"],
+        )
+    register_txlog_table(spark, "dmldb", "orand", p)
+    for stmt_pred in (
+        "v = 'sentinel' OR id = 102 AND g = 1",
+        "id = 102 AND g = 1 OR v = 'sentinel'",
+    ):
+        sql_dml(spark, f"DELETE FROM dmldb.orand WHERE {stmt_pred}")
+        left = {r.id for r in spark.sql("SELECT id FROM dmldb.orand").collect()}
+        assert 3 not in left, stmt_pred  # the OR-branch row MUST go
+        assert 102 not in left, stmt_pred
+        assert {0, 1, 2, 4, 100, 101, 103, 104} <= left, stmt_pred
+        # restore for the symmetric form
+        TX.tx_restore(spark, p, 2)
+    # UPDATE takes the same parse path: flip the OR-branch row's v
+    sql_dml(
+        spark,
+        "UPDATE dmldb.orand SET v = 'hit' "
+        "WHERE v = 'sentinel' OR id = 102 AND g = 1",
+    )
+    got = {r.id: r.v for r in spark.sql("SELECT id, v FROM dmldb.orand").collect()}
+    assert got[3] == "hit" and got[102] == "hit" and got[100] == "b0"
 
 
 def test_sql_merge_upsert_and_full_sync(spark, tmp_path):
