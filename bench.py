@@ -30,6 +30,8 @@ HEADLINE = [
     "sql_insert_overwrite_dynamic",
     "sql_time_travel",
     "sql_ddl_lifecycle",
+    "sql_merge_conditional",
+    "sql_delete_in_subquery",
     "sql_zorder_pruning",
     "txlog_changes_batch",
     "large_orders",

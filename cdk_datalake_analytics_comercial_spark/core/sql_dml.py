@@ -16,21 +16,35 @@ SQL entry point.
 Supported statements (``db.table`` names registered by
 ``sql_serving.register_txlog_table`` / ``register_sql``):
 
-- ``DELETE FROM db.t WHERE <pred>``
+- ``DELETE FROM db.t WHERE <pred>`` — including the GDPR
+  bulk-delete-by-list shape ``WHERE k IN (SELECT …) [AND …]``: small
+  key sets inline to a literal IN-list (file pruning intact), large
+  ones route as a distributed merge-delete (``_delete_subquery``).
 - ``UPDATE db.t SET c = <expr>, ... [WHERE <pred>]``
 - ``MERGE INTO db.t [AS a] USING <table|(query)> [AS b] ON <equi-keys>
   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-  [WHEN NOT MATCHED BY SOURCE THEN DELETE]``
+  [WHEN NOT MATCHED BY SOURCE THEN DELETE]`` — plus Delta's GENERAL
+  clause forms (``_merge_general`` → ``tx_merge(clauses=…)``):
+  ``WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, … | DELETE``,
+  ``WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)``,
+  ``WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | UPDATE SET …``
+  — first-match clause order, expressions over both sides, the whole
+  merge one Catalyst plan. (CASE expressions inside clause conditions
+  are not parseable — their inner WHEN collides with the clause
+  splitter — and are refused loudly.)
 - ``INSERT INTO db.t [(cols)] <query|VALUES …>`` — atomic append via
   ``tx_write`` (unlike the Python-Data-Source INSERT path, this honors
   identity/default/generated columns, CHECK constraints, bloom
   upkeep, row tracking and column mapping, because ``tx_write`` is the
   enforcing writer).
-- ``INSERT OVERWRITE [TABLE] db.t [(cols)] <query|VALUES …>`` — on a
-  hive-partitioned table this is DYNAMIC partition overwrite (K1,
-  `common_jobs_functions.py:312`): ONLY the partitions present in the
-  incoming rows are replaced, in one atomic commit; unpartitioned
-  tables get the full snapshot replace.
+- ``INSERT OVERWRITE [TABLE] db.t [PARTITION (p = v [, q])] [(cols)]
+  <query|VALUES …>`` — on a hive-partitioned table this is DYNAMIC
+  partition overwrite (K1, `common_jobs_functions.py:312`): ONLY the
+  partitions present in the incoming rows are replaced, in one atomic
+  commit; unpartitioned tables get the full snapshot replace (column
+  subsets NULL-fill the unlisted columns, SQL semantics). A static
+  ``PARTITION (p = v)`` spec pins the literal (the query omits the
+  column) and replaces exactly that partition.
 - Maintenance by name (Delta's SQL utility surface): ``OPTIMIZE db.t
   [ZORDER BY (cols)]`` (incremental bin-pack / re-cluster via
   ``tx_compact``), ``VACUUM db.t [RETAIN n HOURS] [DRY RUN]``
@@ -76,6 +90,8 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..sources.txlog import _quoted_spans, _sub_outside_quotes  # noqa: F401
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"
 _TBL = rf"(?:{_IDENT})(?:\.(?:{_IDENT}))?"
@@ -385,16 +401,19 @@ _MERGE = re.compile(
 )
 _INSERT = re.compile(
     rf"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_TBL})\s*"
+    rf"(?:PARTITION\s*\(([^)]*)\)\s*)?"
     rf"(\((?:\s*(?:{_IDENT})\s*,?)+\))?\s*(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
 _TRAVEL = re.compile(
-    rf"\b(FROM|JOIN)\s+({_TBL})\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    rf"\b(FROM|JOIN|USING)\s+({_TBL})\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
     r"('(?:[^']|'')*'|[0-9][-0-9.:TZ+]*)",
     re.IGNORECASE,
 )
+
+
 
 
 def _rewrite_time_travel(spark: SparkSession, stmt: str) -> str:
@@ -443,7 +462,7 @@ def _rewrite_time_travel(spark: SparkSession, stmt: str) -> str:
             register_txlog_table(spark, db, frozen, path, timestamp=val)
         return f"{kw} {db}.{frozen}"
 
-    return _TRAVEL.sub(sub, stmt)
+    return _sub_outside_quotes(_TRAVEL, sub, stmt)
 
 
 def sql_dml(spark: SparkSession, statement: str):
@@ -517,7 +536,7 @@ def sql_dml(spark: SparkSession, statement: str):
         return _merge(spark, stmt, m)
     m = _INSERT.match(stmt)
     if m:
-        r = _insert(spark, *m.group(1, 2, 3, 4))
+        r = _insert(spark, *m.group(1, 2, 4, 5), part_spec=m.group(3))
         return r if r is not None else spark.sql(stmt)
     return spark.sql(stmt)
 
@@ -534,6 +553,8 @@ def _delete(spark: SparkSession, table: str, pred: str | None):
             f"DELETE FROM {table} without WHERE would truncate the table; "
             "say WHERE true to mean it"
         )
+    if re.search(r"\bSELECT\b", pred, re.IGNORECASE):
+        return _delete_subquery(spark, table, path, pred)
     where, where_equals, condition = parse_predicate(pred)
     return tx_delete(
         spark,
@@ -542,6 +563,158 @@ def _delete(spark: SparkSession, table: str, pred: str | None):
         where_equals=where_equals or None,
         condition=condition,
     )
+
+
+_IN_SUBQ = re.compile(
+    rf"^\s*({_IDENT})\s+(NOT\s+)?IN\s*\(\s*(SELECT\b.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# the point-delete-by-list path stays file-pruned up to this many keys;
+# larger subquery results route through the distributed merge-delete
+_SUBQ_INLINE_MAX = 1000
+
+
+def _delete_subquery(spark: SparkSession, table: str, path: str, pred: str):
+    """``DELETE FROM t WHERE k IN (SELECT …) [AND …]`` — the GDPR
+    bulk-delete-by-list shape. Two-tier:
+
+    - ≤ ``_SUBQ_INLINE_MAX`` distinct keys: inlined as a literal IN-list
+      and routed through the normal predicate path, so range-stats +
+      Bloom FILE PRUNING still applies (a bulk point-delete on a
+      bloom-indexed 100 TB table rewrites only the files that can
+      contain the keys);
+    - larger: routed as ``MERGE INTO t USING keys ON t.k = s.k WHEN
+      MATCHED THEN DELETE`` — a distributed hash semi-join delete, no
+      driver materialization beyond the probe.
+
+    ``NOT IN (SELECT …)`` and ``EXISTS`` are refused loudly (NOT IN's
+    null semantics are a trap; express the intent as WHEN NOT MATCHED BY
+    SOURCE THEN DELETE via MERGE)."""
+    from ..sources.txlog import tx_delete, tx_merge
+
+    if len(_split_top(pred, r"OR\b")) > 1:
+        raise SqlDmlError(
+            f"DELETE FROM {table}: subquery predicates cannot combine "
+            "with top-level OR — split the statement"
+        )
+    if re.search(r"\bEXISTS\s*\(", pred, re.IGNORECASE):
+        raise SqlDmlError(
+            f"DELETE FROM {table}: EXISTS subqueries are not routable — "
+            "rewrite as k IN (SELECT …) or as MERGE … WHEN MATCHED THEN "
+            "DELETE"
+        )
+    subq = None
+    residual: list[str] = []
+    for conj in _split_top(pred, r"AND\b"):
+        m = _IN_SUBQ.match(conj.strip())
+        if m:
+            if m.group(2):
+                raise SqlDmlError(
+                    f"DELETE FROM {table}: NOT IN (SELECT …) is refused "
+                    "(NULL in the subquery silently matches nothing in "
+                    "SQL) — use MERGE … WHEN NOT MATCHED BY SOURCE THEN "
+                    "DELETE for anti-join deletes"
+                )
+            if subq is not None:
+                raise SqlDmlError(
+                    f"DELETE FROM {table}: at most one IN (SELECT …) "
+                    "conjunct is routable per statement"
+                )
+            subq = (_unquote(m.group(1)), m.group(3))
+            continue
+        if re.search(r"\bSELECT\b", conj, re.IGNORECASE):
+            raise SqlDmlError(
+                f"DELETE FROM {table}: cannot route subquery in "
+                f"{conj.strip()!r} (supported: one top-level "
+                "k IN (SELECT …) conjunct)"
+            )
+        residual.append(conj.strip())
+    assert subq is not None  # re.search saw SELECT; conjuncts covered it
+    col, sql = subq
+    keys_df = spark.sql(sql)
+    if len(keys_df.columns) != 1:
+        raise SqlDmlError(
+            f"DELETE FROM {table}: IN subquery must produce exactly one "
+            f"column, got {len(keys_df.columns)}"
+        )
+    sample = keys_df.distinct().limit(_SUBQ_INLINE_MAX + 1).collect()
+    vals = [r[0] for r in sample if r[0] is not None]
+    if len(sample) <= _SUBQ_INLINE_MAX:
+        if not vals:
+            # empty / all-NULL key list: IN matches nothing
+            from ..sources.txlog import current_version
+
+            return current_version(spark, path)
+        lits = [_render_literal(v) for v in vals]
+        if all(s is not None for s in lits):
+            inlined = f"{col} IN ({', '.join(lits)})"
+            where, where_equals, condition = parse_predicate(
+                " AND ".join([inlined] + residual)
+            )
+            return tx_delete(
+                spark, path,
+                where=where or None,
+                where_equals=where_equals or None,
+                condition=condition,
+            )
+    # large or non-inlinable key set: distributed merge-delete
+    cond = (
+        " AND ".join(f"({_qualify_target(c)})" for c in residual)
+        if residual
+        else None
+    )
+    return tx_merge(
+        spark,
+        keys_df.toDF(col).distinct(),
+        path,
+        keys=[col],
+        clauses={"matched": [{"cond": cond, "action": "delete"}]},
+    )
+
+
+def _render_literal(v) -> str | None:
+    """A Python value as a SQL literal, or None when not renderable."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return None
+
+
+def _qualify_target(conj: str) -> str:
+    """Qualify bare column references of a residual DELETE conjunct onto
+    the merge's target side (``t.``) — identifiers not followed by ``(``
+    or preceded/followed by ``.``; quoted regions are data. SQL keywords
+    that survive (AND/OR/NULL/…) are not column references and keep
+    working because ``t.``-qualification is only applied to names the
+    expression binds as columns."""
+    kw = {
+        "and", "or", "not", "null", "true", "false", "is", "in", "like",
+        "between", "case", "when", "then", "else", "end", "cast", "as",
+        "distinct", "interval", "current_date", "current_timestamp",
+        "date", "timestamp", "rlike", "div", "escape",
+    }
+
+    def sub(m: re.Match) -> str:
+        first, dot, _second = m.group(1), m.group(2), m.group(3)
+        if dot:
+            return m.group(0)  # already qualified — leave as written
+        name = _unquote(first)
+        if name.lower() in kw:
+            return m.group(0)
+        return f"t.`{name}`"
+
+    def guarded(m: re.Match) -> str:
+        rest = conj[m.end():].lstrip()
+        if rest.startswith("("):
+            return m.group(0)  # function call
+        return sub(m)
+
+    return _sub_outside_quotes(_EXPR_REF, guarded, conj)
 
 
 def _update(spark: SparkSession, table: str, set_and_where: str):
@@ -624,14 +797,27 @@ def _merge(spark: SparkSession, stmt: str, head: re.Match):
     if m:
         src_alias = _unquote(m.group(1))
         rest2 = rest2[m.end():]
+    from ..sources.txlog import tx_merge
+
     tail = _MERGE_TAIL.match(rest2.strip())
-    if not tail:
-        raise SqlDmlError(
-            f"MERGE INTO {table}: supported shape is ON <equi-keys> WHEN "
-            "MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
-            "[WHEN NOT MATCHED BY SOURCE THEN DELETE]"
+    if tail:
+        # the upsert-all fast path (K3): source wins every column
+        on, nmbs = tail.group(1), tail.group(2)
+        keys = _merge_on_keys(on, table)
+        source = spark.sql(src_sql)
+        return tx_merge(
+            spark,
+            source,
+            path,
+            keys=keys,
+            not_matched_by_source="delete" if nmbs else None,
         )
-    on, nmbs = tail.group(1), tail.group(2)
+    return _merge_general(
+        spark, table, path, rest2.strip(), src_sql, tgt_alias, src_alias
+    )
+
+
+def _merge_on_keys(on: str, table: str) -> list[str]:
     keys = []
     for conj in _split_top(on, r"AND\b"):
         m = re.match(
@@ -654,15 +840,234 @@ def _merge(spark: SparkSession, stmt: str, head: re.Match):
                 f"t.k = s.k on the same column name (got {conj.strip()!r})"
             )
         keys.append(lc)
-    source = spark.sql(src_sql)
+    return keys
+
+
+_M_WHEN = re.compile(
+    r"^MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?:UPDATE\s+SET\s+(?P<set>.+)|(?P<delete>DELETE))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NMBS_WHEN = re.compile(
+    r"^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?:UPDATE\s+SET\s+(?P<set>.+)|(?P<delete>DELETE))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NM_WHEN = re.compile(
+    r"^NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"INSERT\s+(?P<ins>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INS_COLS_VALS = re.compile(
+    rf"^\((?P<cols>(?:\s*(?:{_IDENT})\s*,?)+)\)\s*"
+    r"VALUES\s*\((?P<vals>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXPR_REF = re.compile(
+    rf"(?<![\w.`])({_IDENT})(\s*\.\s*({_IDENT}))?"
+)
+
+
+def _make_rebinder(
+    table: str,
+    tgt_names: set,
+    src_names: set,
+    tgt_cols: list[str],
+    src_cols: list[str],
+):
+    """Expression canonicalizer for WHEN-clause conditions/assignments:
+    alias-qualified references rewrite onto the fixed ``t.``/``s.``
+    namespace ``tx_merge`` binds; BARE references resolve by schema
+    membership (one side → qualified to it; both → refused as ambiguous;
+    neither → left alone: function names, SQL keywords, type names).
+    Quoted literals are data and never rewritten."""
+    t_low = {c.lower(): c for c in tgt_cols}
+    s_low = {c.lower(): c for c in src_cols}
+
+    def rebind(expr: str) -> str:
+        def sub(m: re.Match) -> str:
+            first, dot, second = m.group(1), m.group(2), m.group(3)
+            rest = expr[m.end():].lstrip()
+            if dot:
+                q = _unquote(first).lower()
+                col = _unquote(second)
+                if q in tgt_names:
+                    return f"t.`{col}`"
+                if q in src_names:
+                    return f"s.`{col}`"
+                raise SqlDmlError(
+                    f"MERGE INTO {table}: unknown qualifier {q!r} in "
+                    f"{expr.strip()!r} (target: {sorted(tgt_names)}, "
+                    f"source: {sorted(src_names)})"
+                )
+            if rest.startswith("("):
+                return m.group(0)  # function call
+            name = _unquote(first)
+            in_t, in_s = name.lower() in t_low, name.lower() in s_low
+            if in_t and in_s:
+                raise SqlDmlError(
+                    f"MERGE INTO {table}: reference {name!r} in "
+                    f"{expr.strip()!r} is ambiguous — qualify it with the "
+                    "target or source alias"
+                )
+            if in_t:
+                return f"t.`{t_low[name.lower()]}`"
+            if in_s:
+                return f"s.`{s_low[name.lower()]}`"
+            return m.group(0)  # keyword / literal-adjacent token
+
+        return _sub_outside_quotes(_EXPR_REF, sub, expr)
+
+    return rebind
+
+
+def _merge_general(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    tail_text: str,
+    src_sql: str,
+    tgt_alias: str | None,
+    src_alias: str | None,
+):
+    """Delta's general MERGE: ``ON <equi-keys>`` followed by any mix of
+    ``WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, … | UPDATE SET
+    * | DELETE``, ``WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT
+    (cols) VALUES (exprs) | INSERT *`` and ``WHEN NOT MATCHED BY SOURCE
+    [AND cond] THEN DELETE | UPDATE SET …`` — first matching clause per
+    row, routed onto ``tx_merge(clauses=…)``. Conditions/expressions may
+    reference columns bare (when unambiguous) or qualified by the
+    statement's aliases; both forms canonicalize to ``t.``/``s.``."""
     from ..sources.txlog import tx_merge
 
+    pieces = _split_top(tail_text, r"WHEN\b")
+    on_part = pieces[0].strip()
+    if not on_part.upper().startswith("ON") or len(pieces) < 2:
+        raise SqlDmlError(
+            f"MERGE INTO {table}: expected ON <equi-keys> followed by "
+            "WHEN clauses"
+        )
+    keys = _merge_on_keys(on_part[2:], table)
+    source = spark.sql(src_sql)
+    tgt_parts = [_unquote(p) for p in table.split(".")]
+    tgt_names = {tgt_parts[-1].lower(), ".".join(tgt_parts).lower()}
+    if tgt_alias:
+        tgt_names.add(_unquote(tgt_alias).lower())
+    src_names = set()
+    if src_alias:
+        src_names.add(_unquote(src_alias).lower())
+    sm = re.match(rf"^SELECT \* FROM ({_TBL})$", src_sql)
+    if sm:  # direct table source: its (unqualified) name also qualifies
+        sp = [_unquote(x) for x in sm.group(1).split(".")]
+        src_names.update({sp[-1].lower(), ".".join(sp).lower()})
+    overlap = tgt_names & src_names
+    if overlap:
+        raise SqlDmlError(
+            f"MERGE INTO {table}: alias {sorted(overlap)} names both "
+            "sides — give the source a distinct alias"
+        )
+    tgt_cols = spark.table(".".join(tgt_parts)).columns
+    rebind = _make_rebinder(
+        table, tgt_names, src_names, tgt_cols, source.columns
+    )
+    tgt_low = {c.lower(): c for c in tgt_cols}
+
+    def parse_set(set_text: str) -> dict[str, str]:
+        if set_text.strip() == "*":
+            return {c: f"s.`{c}`" for c in tgt_cols}
+        out: dict[str, str] = {}
+        for item in _split_top(set_text, r","):
+            m = re.match(
+                rf"^\s*(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*=\s*(.+?)\s*$",
+                item,
+                re.DOTALL,
+            )
+            if not m:
+                raise SqlDmlError(
+                    f"MERGE INTO {table}: cannot parse assignment "
+                    f"{item.strip()!r}"
+                )
+            if m.group(1) and _unquote(m.group(1)).lower() not in tgt_names:
+                raise SqlDmlError(
+                    f"MERGE INTO {table}: SET target {item.strip()!r} must "
+                    "name a TARGET column"
+                )
+            col = tgt_low.get(_unquote(m.group(2)).lower())
+            if col is None:
+                raise SqlDmlError(
+                    f"MERGE INTO {table}: SET names unknown column "
+                    f"{_unquote(m.group(2))!r}"
+                )
+            out[col] = rebind(m.group(3))
+        return out
+
+    clauses: dict[str, list] = {
+        "matched": [], "not_matched": [], "not_matched_by_source": [],
+    }
+    for piece in pieces[1:]:
+        piece = piece.strip()
+        m = _NMBS_WHEN.match(piece)
+        if m:
+            clauses["not_matched_by_source"].append({
+                "cond": rebind(m.group("cond")) if m.group("cond") else None,
+                "action": "delete" if m.group("delete") else "update",
+                "set": parse_set(m.group("set")) if m.group("set") else None,
+            })
+            continue
+        m = _NM_WHEN.match(piece)
+        if m:
+            ins = m.group("ins").strip()
+            if ins == "*":
+                values = {c: f"s.`{c}`" for c in tgt_cols}
+            else:
+                cm = _INS_COLS_VALS.match(ins)
+                if not cm:
+                    raise SqlDmlError(
+                        f"MERGE INTO {table}: INSERT clause must be "
+                        f"INSERT * or INSERT (cols) VALUES (exprs), got "
+                        f"{ins[:80]!r}"
+                    )
+                cols = [
+                    _unquote(c)
+                    for c in _split_top(cm.group("cols"), r",")
+                ]
+                vals = _split_top(cm.group("vals"), r",")
+                if len(cols) != len(vals):
+                    raise SqlDmlError(
+                        f"MERGE INTO {table}: INSERT lists {len(cols)} "
+                        f"column(s) but {len(vals)} value(s)"
+                    )
+                unknown = [c for c in cols if c.lower() not in tgt_low]
+                if unknown:
+                    raise SqlDmlError(
+                        f"MERGE INTO {table}: INSERT names unknown "
+                        f"column(s) {unknown}"
+                    )
+                values = {
+                    tgt_low[c.lower()]: rebind(v)
+                    for c, v in zip(cols, vals)
+                }
+            clauses["not_matched"].append({
+                "cond": rebind(m.group("cond")) if m.group("cond") else None,
+                "action": "insert",
+                "values": values,
+            })
+            continue
+        m = _M_WHEN.match(piece)
+        if m:
+            clauses["matched"].append({
+                "cond": rebind(m.group("cond")) if m.group("cond") else None,
+                "action": "delete" if m.group("delete") else "update",
+                "set": parse_set(m.group("set")) if m.group("set") else None,
+            })
+            continue
+        raise SqlDmlError(
+            f"MERGE INTO {table}: cannot parse WHEN clause "
+            f"{('WHEN ' + piece)[:120]!r}"
+        )
     return tx_merge(
-        spark,
-        source,
-        path,
-        keys=keys,
-        not_matched_by_source="delete" if nmbs else None,
+        spark, source, path, keys=keys,
+        clauses={k: v for k, v in clauses.items() if v},
     )
 
 
@@ -672,6 +1077,7 @@ def _insert(
     table: str,
     col_list: str | None,
     query: str,
+    part_spec: str | None = None,
 ):
     pinned = txlog_table_path(spark, table)
     if pinned is None:
@@ -694,16 +1100,42 @@ def _insert(
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     target_cols = [f.name for f in schema.fields]
     types = {f.name: f.dataType for f in schema.fields}
-    # partition columns in LAYOUT order (k=v dir nesting), recovered
-    # from any partitioned file's path-ordered partition dict
-    partition_by = next(
-        (
-            list(f["partition"])
-            for f in manifest["files"]
-            if f.get("partition")
-        ),
-        [],
-    )
+    # partition columns are TABLE metadata (property-recorded, survives
+    # TRUNCATE's zero-file state; legacy tables derive from file paths)
+    partition_by = TX.table_partition_columns(manifest)
+    # static/dynamic PARTITION spec: `PARTITION (p = v [, q])` pins the
+    # static columns to literals (the query must NOT produce them) and
+    # declares the rest dynamic; the spec must name exactly the table's
+    # partition columns (Spark/Hive static-partition INSERT semantics)
+    static: dict[str, object] = {}
+    if part_spec is not None:
+        dyn: list[str] = []
+        for item in _split_top(part_spec, r","):
+            item = item.strip()
+            if not item:
+                continue
+            pm = re.match(rf"^({_IDENT})\s*=\s*(.+)$", item, re.DOTALL)
+            if pm:
+                v = _parse_literal(pm.group(2))
+                if v is None:
+                    raise SqlDmlError(
+                        f"INSERT {table} PARTITION: cannot parse literal "
+                        f"{pm.group(2).strip()!r}"
+                    )
+                static[_unquote(pm.group(1))] = v
+            elif re.fullmatch(_IDENT, item):
+                dyn.append(_unquote(item))
+            else:
+                raise SqlDmlError(
+                    f"INSERT {table} PARTITION: cannot parse spec item "
+                    f"{item!r} (expected col = literal, or col for dynamic)"
+                )
+        spec_cols = sorted(list(static) + dyn)
+        if spec_cols != sorted(partition_by):
+            raise SqlDmlError(
+                f"INSERT {table} PARTITION: spec names {spec_cols} but "
+                f"the table's partition columns are {sorted(partition_by)}"
+            )
     if col_list:
         names = [
             _unquote(c) for c in _split_top(col_list.strip()[1:-1], r",")
@@ -713,20 +1145,42 @@ def _insert(
             raise SqlDmlError(
                 f"INSERT into {table}: unknown column(s) {unknown}"
             )
+        clash = [c for c in names if c in static]
+        if clash:
+            raise SqlDmlError(
+                f"INSERT into {table}: column(s) {clash} are pinned by the "
+                "static PARTITION spec and cannot appear in the column list"
+            )
     else:
-        names = target_cols
+        names = [c for c in target_cols if c not in static]
     if len(df.columns) != len(names):
         raise SqlDmlError(
             f"INSERT into {table}: query produces {len(df.columns)} "
             f"column(s), target list has {len(names)}"
         )
-    # positional rename + cast to the target type (SQL INSERT semantics)
-    aligned = df.select(
-        *(
-            F.col(f"`{src}`").cast(types[dst]).alias(dst)
-            for src, dst in zip(df.columns, names)
+    if len(set(names)) != len(names):
+        raise SqlDmlError(
+            f"INSERT into {table}: duplicate target column in {names}"
         )
+    # positional rename + cast to the target type (SQL INSERT semantics).
+    # toDF renames BY POSITION — by-name alignment breaks when the query
+    # emits duplicate auto-generated names (SELECT CAST(2 AS BIGINT),
+    # CAST(2 AS BIGINT) names both columns identically)
+    aligned = df.toDF(*names).select(
+        *(F.col(f"`{c}`").cast(types[c]).alias(c) for c in names)
     )
+    if static:
+        provided = set(names) | set(static)
+        aligned = aligned.select(
+            *(
+                F.lit(static[c]).cast(types[c]).alias(c)
+                if c in static
+                else F.col(f"`{c}`")
+                for c in target_cols
+                if c in provided
+            )
+        )
+        names = [c for c in target_cols if c in provided]
     if kind.lower() == "into":
         mode = "append"
     elif partition_by:
@@ -734,6 +1188,26 @@ def _insert(
         mode = "overwrite_dynamic"
     else:
         mode = "overwrite"
+    if mode == "overwrite" and len(names) < len(target_cols):
+        # plain overwrite replaces the table schema with the frame's, so
+        # unlisted columns must NULL-fill here (SQL semantics) or they
+        # would silently vanish from the table — EXCEPT columns with a
+        # DEFAULT / IDENTITY / GENERATED definition, which the enforcing
+        # writer fills when omitted (padding would mask them). Append and
+        # dynamic overwrite keep unlisted columns via schema merge.
+        props = manifest.get("properties", {})
+        special = (
+            set(TX._column_defaults(props))
+            | set(TX._identity_cols(props))
+            | set(TX._generated_cols(props))
+        )
+        aligned = aligned.select(
+            *(
+                F.col(c) if c in names else F.lit(None).cast(types[c]).alias(c)
+                for c in target_cols
+                if c in names or c not in special
+            )
+        )
     return TX.tx_write(
         spark, aligned, path, mode=mode,
         partition_by=partition_by or None,
@@ -824,8 +1298,25 @@ def _ctas(
             f"CREATE TABLE {table} USING txlog: unsupported clause(s) "
             f"{leftover!r} (supported: LOCATION, PARTITIONED BY)"
         )
+    # CREATE OR REPLACE of an EXISTING txlog registration must land as a
+    # commit in the SAME log (Delta reuses the table's location): prior
+    # versions stay travelable through the name and nothing is orphaned.
+    # Only the live registration counts — replacing over a frozen/CDF
+    # twin is refused by _writable.
+    existing = txlog_table_path(spark, f"{db}.{name}") if replace else None
+    if existing is not None:
+        existing_path = _writable(f"{db}.{name}", existing)[0]
     if mloc:
         path = mloc.group(1).replace("''", "'")
+        if existing is not None and path.rstrip("/") != existing_path.rstrip("/"):
+            raise SqlDmlError(
+                f"CREATE OR REPLACE TABLE {db}.{name}: LOCATION {path!r} "
+                f"differs from the table's current location "
+                f"{existing_path!r} — a replace is a commit in the same "
+                "log (drop the table first to relocate it)"
+            )
+    elif existing is not None:
+        path = existing_path
     else:
         ensure_database(spark, db)
         db_loc = (
@@ -1103,9 +1594,7 @@ def _detail(spark: SparkSession, table: str) -> DataFrame | None:
     cur = TX.current_version(spark, path)
     m = TX.read_manifest(spark, path, cur)
     files = m["files"]
-    part_cols = next(
-        (list(f["partition"]) for f in files if f.get("partition")), []
-    )
+    part_cols = TX.table_partition_columns(m)
     row = (
         path,
         int(cur),

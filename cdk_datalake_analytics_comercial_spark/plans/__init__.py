@@ -22,7 +22,10 @@ for mod in (relational, docs, events):
 # (CORRECTNESS_LOCAL_r*); this ordering just steers the bounded sampler
 # toward the least-externally-confirmed entries.
 _SAMPLE_FIRST = [
-    # new in round 11 (never driver-sampled)
+    # new in round 12 (never driver-sampled)
+    "sql_merge_conditional",
+    "sql_delete_in_subquery",
+    # new in round 11 (driver-sampled once at most)
     "sql_txlog_dml",
     "sql_insert_overwrite_dynamic",
     "sql_time_travel",

@@ -3062,6 +3062,161 @@ FROM fin GROUP BY lang
 """
 
 
+def q_sql_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITIONAL / COLUMN-LEVEL MERGE BY NAME (`core/sql_dml.py`
+    `_merge_general` → `txlog.tx_merge(clauses=…)`): Delta's general
+    WHEN-clause surface — ``WHEN MATCHED AND <cond> THEN UPDATE SET col
+    = expr``, ``WHEN MATCHED THEN DELETE``, ``WHEN NOT MATCHED AND
+    <cond> THEN INSERT (cols) VALUES (exprs)`` — applied first-match per
+    row, the whole merge ONE Catalyst plan (full-outer join + when
+    chains, no per-row Python). The statement runs once at fixture
+    build; the query aggregates the final state by name. DuckDB replays
+    the clause algebra closed-form on the raw corpus."""
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import tx_write
+
+    def build(tmp: str) -> None:
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                "doc_id", "lang", "source", "n_chars"
+            ),
+            tmp,
+            stats_for=["doc_id"],
+        )
+        register_txlog_table(spark, "lake_mc_build", "t", tmp)
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", (F.col("n_chars") % 700).alias("n_chars")
+        ).createOrReplaceTempView("graft_mc_src")
+        sql_dml(
+            spark,
+            """MERGE INTO lake_mc_build.t AS t
+               USING (SELECT * FROM graft_mc_src) AS s
+               ON t.doc_id = s.doc_id
+               WHEN MATCHED AND s.n_chars > t.n_chars
+                 THEN UPDATE SET n_chars = s.n_chars, source = 'upd'
+               WHEN MATCHED AND t.lang = 'de' THEN DELETE
+               WHEN NOT MATCHED AND s.lang = 'en'
+                 THEN INSERT (doc_id, lang, source, n_chars)
+                      VALUES (s.doc_id, s.lang, 'ins', s.n_chars)""",
+        )
+        spark.sql("DROP TABLE IF EXISTS lake_mc_build.t")
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txmcv1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_mc", path)
+    return spark.sql(f"""
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id
+        FROM {db}.documents_mc
+        GROUP BY lang, source
+    """)
+
+
+_ORACLE_SQL_MERGE_CONDITIONAL = """
+WITH t0 AS (
+  SELECT doc_id, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+),
+s AS (
+  SELECT doc_id, lang, n_chars % 700 AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+),
+matched AS (
+  SELECT t0.doc_id,
+         t0.lang,
+         CASE WHEN s.n_chars > t0.n_chars THEN 'upd'
+              ELSE t0.source END AS source,
+         CASE WHEN s.n_chars > t0.n_chars THEN s.n_chars
+              ELSE t0.n_chars END AS n_chars,
+         (NOT (s.n_chars > t0.n_chars)) AND t0.lang = 'de' AS deleted
+  FROM t0 JOIN s ON t0.doc_id = s.doc_id
+),
+fin AS (
+  SELECT doc_id, lang, source, n_chars FROM matched WHERE NOT deleted
+  UNION ALL
+  SELECT doc_id, lang, source, n_chars FROM t0
+  WHERE doc_id NOT IN (SELECT doc_id FROM s)
+  UNION ALL
+  SELECT s.doc_id, s.lang, 'ins' AS source, s.n_chars FROM s
+  WHERE s.lang = 'en' AND s.doc_id NOT IN (SELECT doc_id FROM t0)
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM fin GROUP BY lang, source
+"""
+
+
+def q_sql_delete_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DELETE FROM t WHERE k IN (SELECT …) AND <residual>`` — the GDPR
+    bulk-delete-by-list shape (`core/sql_dml.py` `_delete_subquery`).
+    Two-tier by construction: a small key set inlines to a literal
+    IN-list and stays FILE-PRUNED (range stats + Bloom); a large one
+    routes as a distributed merge-delete (hash semi-join). Both tiers
+    produce identical state, so the oracle holds at every scale factor
+    regardless of which tier fired. DuckDB replays the delete
+    closed-form."""
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import tx_write
+
+    def build(tmp: str) -> None:
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                "doc_id", "lang", "n_chars"
+            ),
+            tmp,
+            stats_for=["doc_id"],
+        )
+        register_txlog_table(spark, "lake_dsq_build", "t", tmp)
+        d.createOrReplaceTempView("graft_dsq_src")
+        sql_dml(
+            spark,
+            "DELETE FROM lake_dsq_build.t WHERE doc_id IN "
+            "(SELECT doc_id FROM graft_dsq_src WHERE lang = 'de') "
+            "AND n_chars < 2000",
+        )
+        spark.sql("DROP TABLE IF EXISTS lake_dsq_build.t")
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txdsqv1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_dsq", path)
+    return spark.sql(f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id
+        FROM {db}.documents_dsq
+        GROUP BY lang
+    """)
+
+
+_ORACLE_SQL_DELETE_IN_SUBQUERY = """
+WITH fin AS (
+  SELECT doc_id, lang, n_chars
+  FROM documents
+  WHERE doc_id % 3 = 0
+    AND NOT (
+      doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de')
+      AND n_chars < 2000
+    )
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM fin GROUP BY lang
+"""
+
+
 def q_sql_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE … ZORDER BY from SQL, then a 2-column range lookup by
     name: the fixture writes the corpus subset INTERLEAVED (hash-bucketed
@@ -3187,6 +3342,8 @@ QUERIES = {
     "sql_insert_overwrite_dynamic": q_sql_insert_overwrite_dynamic,
     "sql_time_travel": q_sql_time_travel,
     "sql_ddl_lifecycle": q_sql_ddl_lifecycle,
+    "sql_merge_conditional": q_sql_merge_conditional,
+    "sql_delete_in_subquery": q_sql_delete_in_subquery,
     "sql_zorder_pruning": q_sql_zorder_pruning,
     "sql_pushdown_lookup": q_sql_pushdown_lookup,
     "txlog_changes_batch": q_txlog_changes_batch,
@@ -3252,6 +3409,8 @@ ORACLES = {
     "sql_insert_overwrite_dynamic": _ORACLE_SQL_INSERT_OVERWRITE_DYNAMIC,
     "sql_time_travel": _ORACLE_SQL_TIME_TRAVEL,
     "sql_ddl_lifecycle": _ORACLE_SQL_DDL_LIFECYCLE,
+    "sql_merge_conditional": _ORACLE_SQL_MERGE_CONDITIONAL,
+    "sql_delete_in_subquery": _ORACLE_SQL_DELETE_IN_SUBQUERY,
     "sql_zorder_pruning": _ORACLE_SQL_ZORDER_PRUNING,
     "sql_pushdown_lookup": _ORACLE_SQL_PUSHDOWN_LOOKUP,
     "txlog_changes_batch": _ORACLE_TXLOG_CHANGES_BATCH,

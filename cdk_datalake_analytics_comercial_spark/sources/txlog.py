@@ -198,6 +198,49 @@ def _map_keys(d, mapping: dict[str, str]):
     return {mapping.get(k, k): v for k, v in d.items()} if d else d
 
 
+def _quoted_spans(text: str) -> list[tuple[int, int]]:
+    """(start, end) spans of single-quoted literals ('' escapes) and
+    backquoted identifiers — regions expression rewriting must not
+    touch (shared by the SQL DML router's statement rewrites)."""
+    spans, i, n = [], 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        elif c == "`":
+            j = text.find("`", i + 1)
+            j = n - 1 if j == -1 else j
+            spans.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _sub_outside_quotes(rx: "re.Pattern", repl, text: str) -> str:
+    """``rx.sub`` that skips matches starting inside quoted regions —
+    text spelled inside a string literal is DATA, not syntax."""
+    spans = _quoted_spans(text)
+    out, last = [], 0
+    for m in rx.finditer(text):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(text[last:m.start()])
+        out.append(repl(m) if callable(repl) else m.expand(repl))
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     """Rename a logical-named frame to physical file names for writing."""
     if _mapping_is_identity(mapping):
@@ -1165,6 +1208,51 @@ def _skipping_defaults(
             if c.strip()
         ]
     return stats_for, bloom_for
+
+
+_PARTCOLS_PROP = "partitionColumns"
+
+
+def _partition_default(
+    manifest: dict | None, partition_by: list[str] | None
+) -> list[str] | None:
+    """Table-level partition columns (Delta records ``partitionColumns``
+    as table METADATA — the writer never chooses). An explicit argument
+    wins (``[]`` means explicitly unpartitioned); ``None`` INHERITS the
+    table's layout: first from the ``partitionColumns`` property (written
+    by partitioned ``tx_write``s, survives TRUNCATE's zero-file state),
+    else — legacy tables written before the property existed — from any
+    partitioned file's path-ordered partition dict, mapped back to
+    LOGICAL names. This is what keeps DML rewrites, MERGE slices and
+    OPTIMIZE output inside the hive layout: a file written unpartitioned
+    into a partitioned table is invisible to dynamic-overwrite remove
+    sets and to partition pruning."""
+    if partition_by is not None:
+        return list(partition_by) or None
+    if manifest is None:
+        return None
+    raw = (manifest.get("properties") or {}).get(_PARTCOLS_PROP)
+    if raw is not None:
+        return [c.strip() for c in str(raw).split(",") if c.strip()] or None
+    phys = next(
+        (
+            list(f["partition"])
+            for f in manifest.get("files", [])
+            if f.get("partition")
+        ),
+        None,
+    )
+    if not phys:
+        return None
+    inv = {p: l for l, p in _schema_mapping(manifest.get("schema")).items()}
+    return [inv.get(p, p) for p in phys]
+
+
+def table_partition_columns(manifest: dict) -> list[str]:
+    """The table's partition columns (LOGICAL names, layout order) from a
+    resolved manifest; ``[]`` when unpartitioned. Property-recorded
+    metadata wins; legacy tables fall back to file-path derivation."""
+    return _partition_default(manifest, None) or []
 
 
 _GEN_PROP_PREFIX = "generated."
@@ -2191,13 +2279,38 @@ def tx_write(
     """
     if mode not in ("overwrite", "append", "overwrite_dynamic"):
         raise ValueError(mode)
-    if mode == "overwrite_dynamic" and not partition_by:
-        raise ValueError("overwrite_dynamic requires partition_by")
     df_in, stats_for_in = df, stats_for  # for identity-conflict rewrites
+    parts_in = partition_by  # pre-default, for identity-conflict rewrites
     _curv = current_version(spark, path)
     pre_manifest = (
         read_manifest(spark, path, _curv) if _curv is not None else None
     )
+    # partitioning is TABLE metadata (Delta's partitionColumns): on
+    # append/dynamic, None INHERITS the recorded layout and an explicit
+    # spec must MATCH it (files written under a different layout would
+    # escape dynamic-overwrite remove sets and partition pruning). A
+    # full overwrite REDEFINES the layout from its arguments (Delta's
+    # replace semantics — OPTIMIZE/compaction, which must preserve the
+    # layout, resolves it explicitly in tx_compact before calling here).
+    recorded_parts = _partition_default(pre_manifest, None)
+    if (
+        partition_by is not None
+        and mode != "overwrite"
+        and recorded_parts
+        and list(partition_by) != recorded_parts
+    ):
+        raise ValueError(
+            f"tx_write({mode}) at {path}: partition_by {list(partition_by)} "
+            f"does not match the table's partition columns "
+            f"{recorded_parts} — partitioning is table metadata; "
+            "overwrite the table to change it"
+        )
+    if partition_by is not None:
+        partition_by = list(partition_by) or None
+    elif mode != "overwrite":
+        partition_by = recorded_parts
+    if mode == "overwrite_dynamic" and not partition_by:
+        raise ValueError("overwrite_dynamic requires partition_by")
     if txn is not None:
         app, txv = txn
         if not isinstance(app, str) or not app:
@@ -2218,6 +2331,16 @@ def tx_write(
     # and checks can reference the ids.
     props0 = pre_manifest.get("properties", {}) if pre_manifest is not None else {}
     stats_for, bloom_for = _skipping_defaults(props0, stats_for, bloom_for)
+    # record the layout as a carried-forward property: an overwrite
+    # (re)defines it; append/dynamic heal tables created before the
+    # property existed (file-derived layout becomes durable metadata, so
+    # it survives a later TRUNCATE's zero-file state)
+    _new_parts_val = ",".join(partition_by or [])
+    part_rec = (
+        _new_parts_val
+        if _new_parts_val != str(props0.get(_PARTCOLS_PROP, ""))
+        else None
+    )
     defaults0 = _column_defaults(props0)
     if defaults0:
         from pyspark.sql.types import StructType
@@ -2369,6 +2492,8 @@ def tx_write(
             "remove": remove,
             "truncate": mode == "overwrite",
         }
+        if part_rec is not None:
+            rec["properties"] = {_PARTCOLS_PROP: part_rec}
         if idents and cur is not None:
             # re-validated per CAS attempt: if a concurrent commit advanced
             # a mark this write ALLOCATED from, the written ids may collide
@@ -2424,7 +2549,7 @@ def tx_write(
         attempt = 24 - _identity_retries  # 0-based retry count so far
         time.sleep(_random.uniform(0.0, min(2.0, 0.02 * (2 ** attempt))))
         return tx_write(
-            spark, df_in, path, partition_by=partition_by, mode=mode,
+            spark, df_in, path, partition_by=parts_in, mode=mode,
             stats_for=stats_for_in, bloom_for=bloom_for, checks=checks,
             schema_evolution=schema_evolution, txn=txn,
             require_version=require_version,
@@ -2677,6 +2802,127 @@ def is_txlog_table(spark: SparkSession, path: str) -> bool:
     return current_version(spark, path) is not None
 
 
+_ALIAS_REF = re.compile(r"\b([ts])\s*\.\s*(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _rebind_clause_expr(expr: str) -> str:
+    """Rewrite canonical ``t.col`` / ``s.col`` references in a MERGE
+    clause expression onto the prefixed join namespace (``__t_col`` /
+    ``__s_col``). Quoted regions are data; anything unqualified is left
+    for Spark's analyzer, which fails LOUDLY on the prefixed frame (no
+    bare column names exist there) instead of silently mis-binding."""
+
+    def sub(m: "re.Match") -> str:
+        side, col = m.group(1).lower(), m.group(2)
+        name = col[1:-1] if col.startswith("`") else col
+        return f"`__{side}_{name}`"
+
+    return _sub_outside_quotes(_ALIAS_REF, sub, expr)
+
+
+def _merge_apply_clauses(
+    spark: SparkSession,
+    slice_df: DataFrame | None,
+    source: DataFrame,
+    keys: list[str],
+    clauses: dict,
+    schema_json: str,
+) -> DataFrame:
+    """Delta's general WHEN-clause MERGE semantics over the target slice:
+
+    - ``matched`` clauses (UPDATE SET col=expr / DELETE), first-match
+      order, conditions over ``t.``/``s.``-qualified references;
+    - ``not_matched`` clauses (INSERT * / INSERT (cols) VALUES (exprs)):
+      a source row unmatched by any target lands via its FIRST applying
+      clause, or is dropped;
+    - ``not_matched_by_source`` clauses (DELETE / UPDATE SET …): target
+      rows whose key the source does not carry.
+
+    One full-outer join on the merge keys; every clause condition and
+    assignment is a Column expression over the prefixed joined frame —
+    no per-row Python, the whole merge stays one Catalyst plan. Matched
+    rows with no applying clause keep their target values; source rows
+    with no applying insert clause are dropped (Delta's semantics)."""
+    from pyspark.sql.types import StructType
+
+    fields = StructType.fromJson(json.loads(schema_json)).fields
+    tgt_cols = [f.name for f in fields]
+    types = {f.name: f.dataType for f in fields}
+    if slice_df is None:
+        slice_df = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json))
+        )
+    t = slice_df.select(
+        *(F.col(f"`{c}`").alias(f"__t_{c}") for c in slice_df.columns)
+    ).withColumn("__t_present", F.lit(True))
+    s = source.select(
+        *(F.col(f"`{c}`").alias(f"__s_{c}") for c in source.columns)
+    ).withColumn("__s_present", F.lit(True))
+    joined = t.join(
+        s,
+        [F.col(f"`__t_{k}`") == F.col(f"`__s_{k}`") for k in keys],
+        "full_outer",
+    )
+    t_here = F.coalesce(F.col("__t_present"), F.lit(False))
+    s_here = F.coalesce(F.col("__s_present"), F.lit(False))
+    groups = {
+        "matched": t_here & s_here,
+        "not_matched": s_here & ~t_here,
+        "not_matched_by_source": t_here & ~s_here,
+    }
+
+    def first_match(group: str) -> list[tuple]:
+        """[(applies_flag, clause)] in declaration order — each flag is
+        'group holds, this condition holds, no earlier condition held'."""
+        out, prior = [], F.lit(False)
+        for cl in clauses.get(group) or []:
+            c = (
+                F.coalesce(F.expr(_rebind_clause_expr(cl["cond"])), F.lit(False))
+                if cl.get("cond")
+                else F.lit(True)
+            )
+            out.append((groups[group] & ~prior & c, cl))
+            prior = prior | c
+        return out
+
+    m_cl = first_match("matched")
+    nm_cl = first_match("not_matched")
+    nmbs_cl = first_match("not_matched_by_source")
+
+    drop = F.lit(False)
+    for flag, cl in m_cl + nmbs_cl:
+        if cl["action"] == "delete":
+            drop = drop | flag
+    inserted = F.lit(False)
+    for flag, _cl in nm_cl:
+        inserted = inserted | flag
+    keep = (
+        (groups["matched"] & ~drop)
+        | (groups["not_matched_by_source"] & ~drop)
+        | (groups["not_matched"] & inserted)
+    )
+
+    def value_of(c: str):
+        col = None
+        for flag, cl in m_cl + nmbs_cl:
+            if cl["action"] == "update" and c in (cl.get("set") or {}):
+                v = F.expr(_rebind_clause_expr(cl["set"][c]))
+                col = (col if col is not None else F).when(flag, v)
+        for flag, cl in nm_cl:
+            vals = cl.get("values")
+            v = (
+                F.expr(_rebind_clause_expr(vals[c]))
+                if vals and c in vals
+                else F.lit(None)
+            )
+            col = (col if col is not None else F).when(flag, v)
+        base = F.col(f"`__t_{c}`")
+        out = base if col is None else col.otherwise(base)
+        return out.cast(types[c]).alias(c)
+
+    return joined.filter(keep).select(*(value_of(c) for c in tgt_cols))
+
+
 def tx_merge(
     spark: SparkSession,
     source: DataFrame,
@@ -2688,6 +2934,7 @@ def tx_merge(
     schema_evolution: bool = False,
     use_dv: bool = False,
     not_matched_by_source: str | None = None,
+    clauses: dict | None = None,
 ) -> int:
     """File-pruned MERGE (K3): rewrite only the partitions the source
     touches; untouched partitions' files are carried forward by reference.
@@ -2714,7 +2961,25 @@ def tx_merge(
     any TOUCHED partition (or, unpartitioned, changed the table at all),
     the commit raises :class:`TxConflictError` instead of silently
     overwriting the concurrent writer's rows; untouched-partition changes
-    are re-carried from the winner's manifest and commit fine."""
+    are re-carried from the winner's manifest and commit fine.
+
+    ``clauses`` is Delta's general WHEN-clause form (conditional /
+    column-level actions) — see :func:`_merge_apply_clauses` for the
+    semantics and ``core.sql_dml`` for the SQL shapes that produce it::
+
+        {"matched": [{"cond": "s.v > t.v", "action": "update",
+                      "set": {"v": "s.v"}},
+                     {"cond": None, "action": "delete"}],
+         "not_matched": [{"cond": None, "action": "insert",
+                          "values": {"id": "s.id", "v": "s.v"}}],
+         "not_matched_by_source": [{"cond": None, "action": "delete"}]}
+
+    Conditions and assignments are SQL expressions over ``t.``/``s.``-
+    qualified column references. Not combinable with ``precedence``,
+    ``use_dv``, ``schema_evolution``, the ``not_matched_by_source``
+    string parameter, or column-mapped tables. A ``not_matched_by_source``
+    clause — or a source missing any partition column — forfeits
+    partition pruning (global rewrite), never correctness."""
     from .writer import _dedup_on_keys
 
     if use_dv and schema_evolution:
@@ -2731,9 +2996,31 @@ def tx_merge(
             "tx_merge: not_matched_by_source with use_dv is not supported "
             "— the clause replaces the table; run the sync as a rewrite"
         )
-    global_replace = not_matched_by_source is not None
+    if clauses is not None:
+        bad = [
+            k for k, v in (
+                ("precedence", precedence),
+                ("use_dv", use_dv),
+                ("schema_evolution", schema_evolution),
+                ("not_matched_by_source", not_matched_by_source),
+            ) if v
+        ]
+        if bad:
+            raise ValueError(
+                f"tx_merge: clauses is not combinable with {bad} — "
+                "express the behavior as WHEN clauses instead"
+            )
+    global_replace = not_matched_by_source is not None or bool(
+        clauses and clauses.get("not_matched_by_source")
+    )
     cur = current_version(spark, path)
     if cur is None:
+        if clauses is not None:
+            raise ValueError(
+                "tx_merge: WHEN-clause merge needs an existing table "
+                "(the clause expressions bind the TABLE schema) — create "
+                "it with tx_write first"
+            )
         if precedence is None:
             source = _dedup_on_keys(source, keys)
         else:
@@ -2753,8 +3040,23 @@ def tx_merge(
             "supported — add the column with tx_write(schema_evolution=True) "
             "first, then merge"
         )
+    if mapped and clauses is not None:
+        raise ValueError(
+            "tx_merge: WHEN-clause merge on a column-mapped table is not "
+            "supported — free-form clause expressions cannot be soundly "
+            "rebound to renamed physical columns"
+        )
+    # partitioning is table metadata: the merged slice must be written
+    # back INSIDE the hive layout even when the caller passes nothing.
+    # Partition PRUNING additionally needs the source to carry the
+    # partition columns (to name the touched partitions) — a source
+    # without them forfeits pruning (global path), never the layout.
+    partition_by = _partition_default(manifest0, partition_by)
+    prunable = bool(partition_by) and all(
+        c in source.columns for c in partition_by or []
+    )
     touched_sets: set[tuple] | None = None
-    if partition_by and not global_replace:
+    if prunable and not global_replace:
         touched = [
             r.asDict()
             for r in source.select(*partition_by).distinct().collect()
@@ -2792,14 +3094,19 @@ def tx_merge(
 
         slice_df, source = _evolve_schemas(slice_df, source)
 
-    if global_replace and slice_df is not None:
+    if global_replace and slice_df is not None and clauses is None:
         # WHEN NOT MATCHED BY SOURCE DELETE: the target contributes only
         # its MATCHED rows — unmatched-by-source rows are deleted by
         # omission (the commit truncates the base snapshot)
         slice_df = slice_df.join(
             source.select(*keys).distinct(), keys, "left_semi"
         )
-    if precedence is None:
+    if clauses is not None:
+        merged = _merge_apply_clauses(
+            spark, slice_df, _dedup_on_keys(source, keys), keys, clauses,
+            manifest0["schema"],
+        )
+    elif precedence is None:
         source = _dedup_on_keys(source, keys)
         if slice_df is None:
             merged = source
@@ -2829,7 +3136,7 @@ def tx_merge(
     schema_json = manifest0["schema"] if mapped else merged.schema.json()
 
     def build(now: int | None) -> dict:
-        if partition_by and not global_replace:
+        if prunable and not global_replace:
             now_files = (
                 read_manifest(spark, path, now)["files"] if now is not None else []
             )
@@ -2915,6 +3222,7 @@ def _dv_merge(
     manifest = read_manifest(spark, path, cur)
     mapping = _schema_mapping(manifest["schema"])
     mapped = not _mapping_is_identity(mapping)
+    partition_by = _partition_default(manifest, partition_by)
     if partition_by:
         touched = [
             r.asDict()
@@ -3461,6 +3769,11 @@ def tx_compact(
             spark, path, partition_by, n_files, stats_for, bloom_for,
             small_bytes,
         )
+    _curv = current_version(spark, path)
+    if _curv is not None:  # OPTIMIZE preserves the table's hive layout
+        partition_by = _partition_default(
+            read_manifest(spark, path, _curv), partition_by
+        )
     df = tx_read(spark, path)
     if cluster_by:
         if zorder and len(cluster_by) >= 2:
@@ -3516,6 +3829,9 @@ def _compact_small(
     stats_for, bloom_for = _skipping_defaults(
         manifest.get("properties", {}), stats_for, bloom_for
     )
+    # rewrites stay INSIDE the table's hive layout: an unpartitioned
+    # rewrite would escape dynamic-overwrite remove sets and pruning
+    partition_by = _partition_default(manifest, partition_by)
     partition_by = _map_names(partition_by, mapping)
     stats_for = _map_names(stats_for, mapping)
     bloom_for = _map_names(bloom_for, mapping)
@@ -3689,6 +4005,9 @@ def _dml_rewrite(
     stats_for, bloom_for = _skipping_defaults(
         manifest.get("properties", {}), stats_for, bloom_for
     )
+    # rewrites stay INSIDE the table's hive layout: an unpartitioned
+    # rewrite would escape dynamic-overwrite remove sets and pruning
+    partition_by = _partition_default(manifest, partition_by)
     partition_by = _map_names(partition_by, mapping)
     stats_for = _map_names(stats_for, mapping)
     bloom_for = _map_names(bloom_for, mapping)
@@ -3879,6 +4198,9 @@ def _dv_dml(
     stats_for, bloom_for = _skipping_defaults(
         manifest.get("properties", {}), stats_for, bloom_for
     )
+    # rewrites stay INSIDE the table's hive layout: an unpartitioned
+    # rewrite would escape dynamic-overwrite remove sets and pruning
+    partition_by = _partition_default(manifest, partition_by)
     partition_by = _map_names(partition_by, mapping)
     stats_for = _map_names(stats_for, mapping)
     bloom_for = _map_names(bloom_for, mapping)

@@ -711,6 +711,109 @@ def test_sql_ctas_external_and_managed(spark, tmp_path):
         )
 
 
+def test_sql_replace_without_location_reuses_existing(spark, tmp_path):
+    """CREATE OR REPLACE TABLE without LOCATION on an existing txlog
+    registration must land as a commit in the SAME log (Delta reuses the
+    table's location) — prior versions stay travelable through the name
+    and nothing is orphaned elsewhere."""
+    loc = str(tmp_path / "rep_ext")
+    sql_dml(
+        spark,
+        f"CREATE TABLE dmldb.rep USING txlog LOCATION '{loc}' AS "
+        "SELECT id FROM range(5)",
+    )
+    # replace WITHOUT location: reuses the external path, not a managed dir
+    sql_dml(
+        spark,
+        "CREATE OR REPLACE TABLE dmldb.rep USING txlog AS "
+        "SELECT id FROM range(2)",
+    )
+    assert TX.current_version(spark, loc) == 2  # same log advanced
+    assert spark.sql("SELECT COUNT(*) AS n FROM dmldb.rep").collect()[0].n == 2
+    assert sql_dml(
+        spark, "SELECT COUNT(*) AS n FROM dmldb.rep VERSION AS OF 1"
+    ).collect()[0].n == 5
+    # replace WITH a different location: refused (relocation is a drop)
+    with pytest.raises(SqlDmlError, match="current location"):
+        sql_dml(
+            spark,
+            f"CREATE OR REPLACE TABLE dmldb.rep USING txlog LOCATION "
+            f"'{tmp_path / 'elsewhere'}' AS SELECT 1 AS x",
+        )
+    # replace WITH the same location: fine
+    sql_dml(
+        spark,
+        f"CREATE OR REPLACE TABLE dmldb.rep USING txlog LOCATION '{loc}' "
+        "AS SELECT id FROM range(3)",
+    )
+    assert TX.current_version(spark, loc) == 3
+
+
+def test_sql_insert_overwrite_column_subset_null_pads(spark, tmp_path):
+    """INSERT OVERWRITE t (col subset) on an UNPARTITIONED table must
+    null-fill the unlisted columns (SQL semantics), never silently drop
+    them from the table schema."""
+    p = str(tmp_path / "subset")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, v string, x long"
+        ),
+        p,
+    )
+    register_txlog_table(spark, "dmldb", "subset", p)
+    sql_dml(
+        spark,
+        "INSERT OVERWRITE dmldb.subset (id, v) SELECT 9, 'z'",
+    )
+    got = spark.sql("SELECT id, v, x FROM dmldb.subset").collect()
+    assert [tuple(r) for r in got] == [(9, "z", None)]
+    # the column survived in the schema, typed
+    assert dict(spark.table("dmldb.subset").dtypes)["x"] == "bigint"
+
+
+def test_sql_merge_using_travel_direct_form(spark, tmp_path):
+    """MERGE INTO t USING db.s VERSION AS OF n ON … — the travel clause
+    on a DIRECT table source (no subquery wrapping) is rewritten onto a
+    frozen twin; a travel spelled inside a string literal is data."""
+    p = str(tmp_path / "mt")
+    s = str(tmp_path / "ms")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        p,
+    )
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(2, "OLD")], "id long, v string"),
+        s,
+    )
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(2, "NEW"), (3, "n3")], "id long, v string"),
+        s,
+        mode="overwrite",
+    )
+    register_txlog_table(spark, "dmldb", "mt", p)
+    register_txlog_table(spark, "dmldb", "ms", s)
+    sql_dml(
+        spark,
+        "MERGE INTO dmldb.mt AS t USING dmldb.ms VERSION AS OF 1 AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert rows(spark.sql("SELECT id, v FROM dmldb.mt")) == [
+        (1, "a"),
+        (2, "OLD"),  # v1 of the source, not the current NEW
+    ]
+    # quoted pseudo-travel is untouched: the literal passes through
+    got = sql_dml(
+        spark,
+        "SELECT 'FROM dmldb.ms VERSION AS OF 99' AS s",
+    ).collect()
+    assert got[0].s == "FROM dmldb.ms VERSION AS OF 99"
+
+
 def test_sql_truncate_and_describe_detail(spark, tmp_path):
     """TRUNCATE TABLE is a normal delete commit (time-travelable, props
     survive); DESCRIBE DETAIL reports the snapshot facts metadata-only."""
@@ -947,3 +1050,298 @@ def test_sql_time_travel_literal_syntax(spark, tmp_path):
     ).collect()[0].n == 1
     with pytest.raises(SqlDmlError, match="integer"):
         sql_dml(spark, "SELECT id FROM dmldb.ttl VERSION AS OF 'x'")
+
+
+# ------------------------------------------- conditional / clause MERGE
+
+
+def _merge_fixture(spark, tmp_path, name):
+    p = str(tmp_path / name)
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 5), (2, "b", 1), (3, "c", 9)],
+            "id long, v string, x long",
+        ),
+        p,
+    )
+    register_txlog_table(spark, "dmldb", name, p)
+    spark.sql(
+        "SELECT * FROM VALUES (1,'A',7),(2,'B',0),(4,'D',4) "
+        "AS src(id, v, x)"
+    ).createOrReplaceTempView(f"{name}_src")
+    return p
+
+
+def test_sql_merge_conditional_clauses(spark, tmp_path):
+    """Delta's general WHEN-clause MERGE by name: conditional
+    column-level UPDATE, MATCHED DELETE, conditional partial INSERT —
+    first-match clause order, expressions over both sides."""
+    _merge_fixture(spark, tmp_path, "mc")
+    sql_dml(
+        spark,
+        """MERGE INTO dmldb.mc AS tgt USING (SELECT * FROM mc_src) AS u
+           ON tgt.id = u.id
+           WHEN MATCHED AND u.x > tgt.x THEN UPDATE SET v = upper(u.v), x = u.x
+           WHEN MATCHED THEN DELETE
+           WHEN NOT MATCHED AND u.x >= 4 THEN INSERT (id, v) VALUES (u.id, u.v)""",
+    )
+    assert rows(spark.sql("SELECT id, v, x FROM dmldb.mc")) == [
+        (1, "A", 7),   # matched, source x wins (7 > 5)
+        (3, "c", 9),   # untouched: no source row
+        (4, "D", None),  # conditional insert, x unlisted -> NULL
+    ]
+
+
+def test_sql_merge_not_matched_by_source_update(spark, tmp_path):
+    _merge_fixture(spark, tmp_path, "mnbs")
+    sql_dml(
+        spark,
+        """MERGE INTO dmldb.mnbs USING (SELECT * FROM mnbs_src) AS u
+           ON mnbs.id = u.id
+           WHEN MATCHED THEN UPDATE SET x = coalesce(u.x, 0) + 100
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""",
+    )
+    assert rows(spark.sql("SELECT id, v, x FROM dmldb.mnbs")) == [
+        (1, "a", 107),
+        (2, "b", 100),
+        (3, "stale", 9),  # unmatched-by-source: flagged, x kept
+    ]
+
+
+def test_sql_merge_bare_refs_and_set_star(spark, tmp_path):
+    """Bare column refs resolve by schema membership; columns living on
+    BOTH sides must be qualified (loud refusal). UPDATE SET * composes
+    with conditions through the general path."""
+    _merge_fixture(spark, tmp_path, "mb")
+    with pytest.raises(SqlDmlError, match="ambiguous"):
+        sql_dml(
+            spark,
+            """MERGE INTO dmldb.mb USING (SELECT * FROM mb_src) AS u
+               ON mb.id = u.id
+               WHEN MATCHED AND x > 3 THEN DELETE""",
+        )
+    with pytest.raises(SqlDmlError, match="unknown qualifier"):
+        sql_dml(
+            spark,
+            """MERGE INTO dmldb.mb USING (SELECT * FROM mb_src) AS u
+               ON mb.id = u.id
+               WHEN MATCHED AND zz.x > 3 THEN DELETE""",
+        )
+    sql_dml(
+        spark,
+        """MERGE INTO dmldb.mb USING (SELECT * FROM mb_src) AS u
+           ON mb.id = u.id
+           WHEN MATCHED AND u.x > mb.x THEN UPDATE SET *""",
+    )
+    assert rows(spark.sql("SELECT id, v, x FROM dmldb.mb")) == [
+        (1, "A", 7),  # the only pair where source x beats target x
+        (2, "b", 1),
+        (3, "c", 9),
+    ]
+
+
+def test_sql_merge_clauses_partitioned_keeps_layout(spark, tmp_path):
+    """Clause merges on a hive-partitioned table: rewritten slice stays
+    in the layout; a source WITHOUT the partition column forfeits
+    pruning but never correctness."""
+    p = str(tmp_path / "mp")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}", i % 2) for i in range(8)],
+            "id long, v string, g long",
+        ),
+        p,
+        partition_by=["g"],
+    )
+    register_txlog_table(spark, "dmldb", "mp", p)
+    spark.sql(
+        "SELECT * FROM VALUES (1), (2), (99) AS s(id)"
+    ).createOrReplaceTempView("mp_keys")
+    sql_dml(
+        spark,
+        """MERGE INTO dmldb.mp USING (SELECT * FROM mp_keys) AS u
+           ON mp.id = u.id
+           WHEN MATCHED THEN DELETE""",
+    )
+    assert rows(spark.sql("SELECT id FROM dmldb.mp")) == [
+        (0,), (3,), (4,), (5,), (6,), (7,),
+    ]
+    m = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    assert all(f["partition"].get("g") is not None for f in m["files"])
+
+
+# ----------------------------------------------- DELETE WHERE IN (SELECT)
+
+
+def test_sql_delete_in_subquery_small_inlines_and_prunes(spark, tmp_path):
+    """≤1000 distinct subquery keys inline to a literal IN-list: the
+    delete stays FILE-PRUNED (untouched files carry forward by
+    reference)."""
+    p = str(tmp_path / "dsq")
+    for lo in (0, 100, 200):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame(
+                [(lo + i, f"s{lo + i}") for i in range(5)],
+                "id long, v string",
+            ).coalesce(1),
+            p,
+            mode="append" if lo else "overwrite",
+            stats_for=["id"],
+        )
+    before = {
+        f["path"]
+        for f in TX.read_manifest(spark, p, TX.current_version(spark, p))["files"]
+    }
+    register_txlog_table(spark, "dmldb", "dsq", p)
+    spark.sql(
+        "SELECT * FROM VALUES (101), (103) AS k(kid)"
+    ).createOrReplaceTempView("dsq_keys")
+    sql_dml(
+        spark,
+        "DELETE FROM dmldb.dsq WHERE id IN (SELECT kid FROM dsq_keys) "
+        "AND v LIKE 's1%'",
+    )
+    left = {r.id for r in spark.sql("SELECT id FROM dmldb.dsq").collect()}
+    assert 101 not in left and 103 not in left and {100, 102, 104} <= left
+    after = {
+        f["path"]
+        for f in TX.read_manifest(spark, p, TX.current_version(spark, p))["files"]
+    }
+    # only the middle file (ids 100-104) was rewritten
+    assert len(before & after) == 2
+
+
+def test_sql_delete_in_subquery_large_routes_merge(spark, tmp_path, monkeypatch):
+    """Above the inline cap, the delete routes as a distributed
+    merge-delete (hash semi-join) — same rows, no driver-side list."""
+    from cdk_datalake_analytics_comercial_spark.core import sql_dml as M
+
+    monkeypatch.setattr(M, "_SUBQ_INLINE_MAX", 2)
+    p = _table(spark, tmp_path, "dsql")
+    register_txlog_table(spark, "dmldb", "dsql", p)
+    spark.sql(
+        "SELECT * FROM VALUES (1), (3), (5), (7) AS k(kid)"
+    ).createOrReplaceTempView("dsql_keys")
+    sql_dml(
+        spark,
+        "DELETE FROM dmldb.dsql WHERE id IN (SELECT kid FROM dsql_keys) "
+        "AND g = 1",
+    )
+    left = {r.id for r in spark.sql("SELECT id FROM dmldb.dsql").collect()}
+    # g = i % 3: of {1,3,5,7} only 1 and 7 have g = 1
+    assert left == {0, 2, 3, 4, 5, 6, 8, 9, 10, 11}
+
+
+def test_sql_delete_subquery_refusals(spark, tmp_path):
+    p = _table(spark, tmp_path, "dsqr")
+    register_txlog_table(spark, "dmldb", "dsqr", p)
+    spark.sql("SELECT 1 AS kid").createOrReplaceTempView("dsqr_keys")
+    with pytest.raises(SqlDmlError, match="NOT IN"):
+        sql_dml(
+            spark,
+            "DELETE FROM dmldb.dsqr WHERE id NOT IN (SELECT kid FROM dsqr_keys)",
+        )
+    with pytest.raises(SqlDmlError, match="EXISTS"):
+        sql_dml(
+            spark,
+            "DELETE FROM dmldb.dsqr WHERE EXISTS (SELECT 1 FROM dsqr_keys)",
+        )
+    with pytest.raises(SqlDmlError, match="OR"):
+        sql_dml(
+            spark,
+            "DELETE FROM dmldb.dsqr WHERE id IN (SELECT kid FROM dsqr_keys) "
+            "OR g = 1",
+        )
+    # empty key list: no-op, version unchanged
+    spark.sql("SELECT 1 AS kid WHERE 1 = 0").createOrReplaceTempView("dsqr_empty")
+    v0 = TX.current_version(spark, p)
+    v = sql_dml(
+        spark,
+        "DELETE FROM dmldb.dsqr WHERE id IN (SELECT kid FROM dsqr_empty)",
+    )
+    assert v == v0
+
+
+# -------------------------------------------- INSERT ... PARTITION (p = v)
+
+
+def test_sql_insert_overwrite_static_partition_spec(spark, tmp_path):
+    """`INSERT OVERWRITE t PARTITION (g = v) SELECT …`: the static spec
+    pins the partition literal (the query omits the column) and replaces
+    ONLY that partition — sibling partitions' files carry forward by
+    reference, mirroring test_io's dynamic-overwrite isolation."""
+    p = str(tmp_path / "statp")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}", i % 2) for i in range(8)],
+            "id long, v string, g long",
+        ),
+        p,
+        partition_by=["g"],
+    )
+    m0 = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    g0_files = {f["path"] for f in m0["files"] if f["partition"].get("g") == "0"}
+    register_txlog_table(spark, "dmldb", "statp", p)
+    sql_dml(
+        spark,
+        "INSERT OVERWRITE dmldb.statp PARTITION (g = 1) "
+        "SELECT CAST(100 AS BIGINT), 'fresh'",
+    )
+    got = rows(spark.sql("SELECT id, v, g FROM dmldb.statp WHERE g = 1"))
+    assert got == [(100, "fresh", 1)]
+    # g = 0 rows untouched AND its files carried forward by reference
+    assert spark.sql("SELECT count(*) AS n FROM dmldb.statp WHERE g = 0").collect()[0].n == 4
+    m1 = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    g0_after = {f["path"] for f in m1["files"] if f["partition"].get("g") == "0"}
+    assert g0_after == g0_files
+
+    # INTO form: append with the pinned literal
+    sql_dml(
+        spark,
+        "INSERT INTO dmldb.statp PARTITION (g = 0) "
+        "SELECT CAST(200 AS BIGINT), 'app'",
+    )
+    assert (200, "app", 0) in set(
+        tuple(r) for r in spark.sql("SELECT id, v, g FROM dmldb.statp").collect()
+    )
+
+    # mixed static/dynamic must name exactly the partition columns
+    with pytest.raises(SqlDmlError, match="partition columns"):
+        sql_dml(
+            spark,
+            "INSERT OVERWRITE dmldb.statp PARTITION (v = 'x') SELECT 1, 2",
+        )
+    # a column pinned static cannot also appear in the column list
+    with pytest.raises(SqlDmlError, match="pinned"):
+        sql_dml(
+            spark,
+            "INSERT OVERWRITE dmldb.statp PARTITION (g = 1) (id, v, g) "
+            "SELECT 1, 'x', 9",
+        )
+
+
+def test_sql_insert_partition_spec_dynamic_entry(spark, tmp_path):
+    """`PARTITION (g)` (no literal) declares the column dynamic — the
+    query must produce it; equivalent to plain dynamic overwrite."""
+    p = str(tmp_path / "dynp")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(6)], "id long, g long"
+        ),
+        p,
+        partition_by=["g"],
+    )
+    register_txlog_table(spark, "dmldb", "dynp", p)
+    sql_dml(
+        spark,
+        "INSERT OVERWRITE dmldb.dynp PARTITION (g) "
+        "SELECT CAST(50 AS BIGINT) AS id, CAST(0 AS BIGINT) AS g",
+    )
+    assert rows(spark.sql("SELECT id, g FROM dmldb.dynp")) == [
+        (1, 1), (3, 1), (5, 1), (50, 0),
+    ]

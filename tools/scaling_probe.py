@@ -49,6 +49,13 @@ TEXT_FAMILY = [
 TXSQL_FAMILY = [
     "sql_pushdown_lookup",
     "txlog_changes_batch",
+    # the DML-router rows (VERDICT r11 #7): parser/UX cost is constant,
+    # so the per-decade growth must track the underlying file-pruned
+    # rewrite + final aggregate, not the statement count
+    "sql_txlog_dml",
+    "sql_insert_overwrite_dynamic",
+    "sql_merge_conditional",
+    "sql_delete_in_subquery",
 ]
 
 # events/sketch family probed one decade further (generated sf1 events +
