@@ -32,6 +32,7 @@ HEADLINE = [
     "sql_ddl_lifecycle",
     "sql_merge_conditional",
     "sql_delete_in_subquery",
+    "sql_replace_where",
     "sql_zorder_pruning",
     "txlog_changes_batch",
     "large_orders",

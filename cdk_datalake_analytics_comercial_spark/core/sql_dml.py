@@ -20,7 +20,13 @@ Supported statements (``db.table`` names registered by
   bulk-delete-by-list shape ``WHERE k IN (SELECT …) [AND …]``: small
   key sets inline to a literal IN-list (file pruning intact), large
   ones route as a distributed merge-delete (``_delete_subquery``).
-- ``UPDATE db.t SET c = <expr>, ... [WHERE <pred>]``
+- ``UPDATE db.t SET c = <expr>, ... [WHERE <pred>]`` — the redact-by-
+  list shape ``WHERE k IN (SELECT …)`` routes the same two tiers as
+  the subquery DELETE.
+- ``INSERT INTO db.t REPLACE WHERE <pred> <query>`` — Delta's
+  replaceWhere: ONE atomic commit deletes the predicate's rows
+  (file-pruned) and lands the query's rows, every incoming row
+  validated to satisfy the predicate.
 - ``MERGE INTO db.t [AS a] USING <table|(query)> [AS b] ON <equi-keys>
   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   [WHEN NOT MATCHED BY SOURCE THEN DELETE]`` — plus Delta's GENERAL
@@ -29,9 +35,10 @@ Supported statements (``db.table`` names registered by
   ``WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)``,
   ``WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | UPDATE SET …``
   — first-match clause order, expressions over both sides, the whole
-  merge one Catalyst plan. (CASE expressions inside clause conditions
-  are not parseable — their inner WHEN collides with the clause
-  splitter — and are refused loudly.)
+  merge one Catalyst plan. CASE expressions inside clause conditions
+  and assignments parse correctly: the splitter treats everything
+  between CASE and END as not-top-level, so a CASE's WHEN/THEN never
+  collide with the clause grammar.
 - ``INSERT INTO db.t [(cols)] <query|VALUES …>`` — atomic append via
   ``tx_write`` (unlike the Python-Data-Source INSERT path, this honors
   identity/default/generated columns, CHECK constraints, bloom
@@ -144,9 +151,12 @@ def txlog_table_path(spark: SparkSession, table: str) -> tuple[str, dict] | None
 def _split_top(text: str, sep: str) -> list[str]:
     """Split on a top-level keyword/char ``sep`` (regex, case-insens.),
     respecting single-quoted strings, backquoted identifiers and
-    parentheses. ``BETWEEN … AND …`` keeps its AND."""
+    parentheses. ``BETWEEN … AND …`` keeps its AND; anything inside a
+    ``CASE … END`` expression is NOT top-level (its WHEN/THEN/AND/OR
+    belong to the CASE, never to the surrounding clause grammar)."""
     out, depth, last, i = [], 0, 0, 0
     between = 0
+    case_depth = 0
     rx = re.compile(sep, re.IGNORECASE)
     n = len(text)
     while i < n:
@@ -174,7 +184,18 @@ def _split_top(text: str, sep: str) -> list[str]:
             depth -= 1
             i += 1
             continue
-        if depth == 0:
+        if _at_word_boundary(text, i):
+            m = re.match(r"CASE\b", text[i:], re.IGNORECASE)
+            if m:
+                case_depth += 1
+                i += m.end()
+                continue
+            m = re.match(r"END\b", text[i:], re.IGNORECASE)
+            if m and case_depth > 0:
+                case_depth -= 1
+                i += m.end()
+                continue
+        if depth == 0 and case_depth == 0:
             m = re.match(r"BETWEEN\b", text[i:], re.IGNORECASE)
             if m and _at_word_boundary(text, i):
                 between += 1
@@ -569,9 +590,80 @@ _IN_SUBQ = re.compile(
     rf"^\s*({_IDENT})\s+(NOT\s+)?IN\s*\(\s*(SELECT\b.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-# the point-delete-by-list path stays file-pruned up to this many keys;
-# larger subquery results route through the distributed merge-delete
+# the point-DML-by-list path stays file-pruned up to this many keys;
+# larger subquery results route through the distributed merge
 _SUBQ_INLINE_MAX = 1000
+
+
+def _parse_in_subquery(
+    table: str, verb: str, pred: str
+) -> tuple[str, str, list[str]]:
+    """Decompose ``<pred>`` into (key column, subquery SQL, residual
+    conjuncts) for the routable ``k IN (SELECT …) [AND …]`` shape, or
+    refuse loudly (OR-combined, NOT IN, EXISTS, multiple subqueries)."""
+    if len(_split_top(pred, r"OR\b")) > 1:
+        raise SqlDmlError(
+            f"{verb} {table}: subquery predicates cannot combine "
+            "with top-level OR — split the statement"
+        )
+    if re.search(r"\bEXISTS\s*\(", pred, re.IGNORECASE):
+        raise SqlDmlError(
+            f"{verb} {table}: EXISTS subqueries are not routable — "
+            "rewrite as k IN (SELECT …) or as MERGE … WHEN MATCHED"
+        )
+    subq = None
+    residual: list[str] = []
+    for conj in _split_top(pred, r"AND\b"):
+        m = _IN_SUBQ.match(conj.strip())
+        if m:
+            if m.group(2):
+                raise SqlDmlError(
+                    f"{verb} {table}: NOT IN (SELECT …) is refused "
+                    "(NULL in the subquery silently matches nothing in "
+                    "SQL) — use MERGE … WHEN NOT MATCHED BY SOURCE for "
+                    "anti-join semantics"
+                )
+            if subq is not None:
+                raise SqlDmlError(
+                    f"{verb} {table}: at most one IN (SELECT …) "
+                    "conjunct is routable per statement"
+                )
+            subq = (_unquote(m.group(1)), m.group(3))
+            continue
+        if re.search(r"\bSELECT\b", conj, re.IGNORECASE):
+            raise SqlDmlError(
+                f"{verb} {table}: cannot route subquery in "
+                f"{conj.strip()!r} (supported: one top-level "
+                "k IN (SELECT …) conjunct)"
+            )
+        residual.append(conj.strip())
+    assert subq is not None  # caller saw SELECT; conjuncts covered it
+    return subq[0], subq[1], residual
+
+
+def _subquery_keys_tier(
+    spark: SparkSession, table: str, verb: str, col: str, sql: str
+):
+    """Run the IN-subquery once and pick the tier: returns
+    ``("inline", [literal strings])`` when ≤ ``_SUBQ_INLINE_MAX``
+    renderable distinct keys (file pruning stays intact), else
+    ``("merge", keys_df)`` for the distributed hash semi-join path.
+    An empty/all-NULL key list returns ``("empty", None)``."""
+    keys_df = spark.sql(sql)
+    if len(keys_df.columns) != 1:
+        raise SqlDmlError(
+            f"{verb} {table}: IN subquery must produce exactly one "
+            f"column, got {len(keys_df.columns)}"
+        )
+    sample = keys_df.distinct().limit(_SUBQ_INLINE_MAX + 1).collect()
+    vals = [r[0] for r in sample if r[0] is not None]
+    if len(sample) <= _SUBQ_INLINE_MAX:
+        if not vals:
+            return "empty", None
+        lits = [_render_literal(v) for v in vals]
+        if all(s is not None for s in lits):
+            return "inline", lits
+    return "merge", keys_df.toDF(col).distinct()
 
 
 def _delete_subquery(spark: SparkSession, table: str, path: str, pred: str):
@@ -585,90 +677,82 @@ def _delete_subquery(spark: SparkSession, table: str, path: str, pred: str):
       contain the keys);
     - larger: routed as ``MERGE INTO t USING keys ON t.k = s.k WHEN
       MATCHED THEN DELETE`` — a distributed hash semi-join delete, no
-      driver materialization beyond the probe.
+      driver materialization beyond the tier probe.
 
     ``NOT IN (SELECT …)`` and ``EXISTS`` are refused loudly (NOT IN's
     null semantics are a trap; express the intent as WHEN NOT MATCHED BY
     SOURCE THEN DELETE via MERGE)."""
-    from ..sources.txlog import tx_delete, tx_merge
+    from ..sources.txlog import current_version, tx_delete, tx_merge
 
-    if len(_split_top(pred, r"OR\b")) > 1:
-        raise SqlDmlError(
-            f"DELETE FROM {table}: subquery predicates cannot combine "
-            "with top-level OR — split the statement"
+    col, sql, residual = _parse_in_subquery(table, "DELETE FROM", pred)
+    tier, payload = _subquery_keys_tier(spark, table, "DELETE FROM", col, sql)
+    if tier == "empty":  # IN matches nothing
+        return current_version(spark, path)
+    if tier == "inline":
+        inlined = f"{col} IN ({', '.join(payload)})"
+        where, where_equals, condition = parse_predicate(
+            " AND ".join([inlined] + residual)
         )
-    if re.search(r"\bEXISTS\s*\(", pred, re.IGNORECASE):
-        raise SqlDmlError(
-            f"DELETE FROM {table}: EXISTS subqueries are not routable — "
-            "rewrite as k IN (SELECT …) or as MERGE … WHEN MATCHED THEN "
-            "DELETE"
+        return tx_delete(
+            spark, path,
+            where=where or None,
+            where_equals=where_equals or None,
+            condition=condition,
         )
-    subq = None
-    residual: list[str] = []
-    for conj in _split_top(pred, r"AND\b"):
-        m = _IN_SUBQ.match(conj.strip())
-        if m:
-            if m.group(2):
-                raise SqlDmlError(
-                    f"DELETE FROM {table}: NOT IN (SELECT …) is refused "
-                    "(NULL in the subquery silently matches nothing in "
-                    "SQL) — use MERGE … WHEN NOT MATCHED BY SOURCE THEN "
-                    "DELETE for anti-join deletes"
-                )
-            if subq is not None:
-                raise SqlDmlError(
-                    f"DELETE FROM {table}: at most one IN (SELECT …) "
-                    "conjunct is routable per statement"
-                )
-            subq = (_unquote(m.group(1)), m.group(3))
-            continue
-        if re.search(r"\bSELECT\b", conj, re.IGNORECASE):
-            raise SqlDmlError(
-                f"DELETE FROM {table}: cannot route subquery in "
-                f"{conj.strip()!r} (supported: one top-level "
-                "k IN (SELECT …) conjunct)"
-            )
-        residual.append(conj.strip())
-    assert subq is not None  # re.search saw SELECT; conjuncts covered it
-    col, sql = subq
-    keys_df = spark.sql(sql)
-    if len(keys_df.columns) != 1:
-        raise SqlDmlError(
-            f"DELETE FROM {table}: IN subquery must produce exactly one "
-            f"column, got {len(keys_df.columns)}"
-        )
-    sample = keys_df.distinct().limit(_SUBQ_INLINE_MAX + 1).collect()
-    vals = [r[0] for r in sample if r[0] is not None]
-    if len(sample) <= _SUBQ_INLINE_MAX:
-        if not vals:
-            # empty / all-NULL key list: IN matches nothing
-            from ..sources.txlog import current_version
-
-            return current_version(spark, path)
-        lits = [_render_literal(v) for v in vals]
-        if all(s is not None for s in lits):
-            inlined = f"{col} IN ({', '.join(lits)})"
-            where, where_equals, condition = parse_predicate(
-                " AND ".join([inlined] + residual)
-            )
-            return tx_delete(
-                spark, path,
-                where=where or None,
-                where_equals=where_equals or None,
-                condition=condition,
-            )
-    # large or non-inlinable key set: distributed merge-delete
     cond = (
         " AND ".join(f"({_qualify_target(c)})" for c in residual)
         if residual
         else None
     )
     return tx_merge(
-        spark,
-        keys_df.toDF(col).distinct(),
-        path,
-        keys=[col],
+        spark, payload, path, keys=[col],
         clauses={"matched": [{"cond": cond, "action": "delete"}]},
+    )
+
+
+def _update_subquery(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    pred: str,
+    set_items: dict[str, str],
+):
+    """``UPDATE t SET c = expr, … WHERE k IN (SELECT …) [AND …]`` — the
+    GDPR redact-by-list shape, same two tiers as the subquery DELETE:
+    inline literal IN-list (file-pruned ``tx_update``) or a merge with a
+    conditional ``WHEN MATCHED THEN UPDATE SET`` clause (assignments and
+    residual conjuncts qualified onto the target side — they reference
+    no source column, the key list only selects rows)."""
+    from ..sources.txlog import current_version, tx_merge, tx_update
+
+    col, sql, residual = _parse_in_subquery(table, "UPDATE", pred)
+    tier, payload = _subquery_keys_tier(spark, table, "UPDATE", col, sql)
+    if tier == "empty":
+        return current_version(spark, path)
+    if tier == "inline":
+        inlined = f"{col} IN ({', '.join(payload)})"
+        where, where_equals, condition = parse_predicate(
+            " AND ".join([inlined] + residual)
+        )
+        return tx_update(
+            spark, path,
+            assignments={c: F.expr(e) for c, e in set_items.items()},
+            where=where or None,
+            where_equals=where_equals or None,
+            condition=condition,
+        )
+    cond = (
+        " AND ".join(f"({_qualify_target(c)})" for c in residual)
+        if residual
+        else None
+    )
+    return tx_merge(
+        spark, payload, path, keys=[col],
+        clauses={"matched": [{
+            "cond": cond,
+            "action": "update",
+            "set": {c: _qualify_target(e) for c, e in set_items.items()},
+        }]},
     )
 
 
@@ -729,7 +813,7 @@ def _update(spark: SparkSession, table: str, set_and_where: str):
     pred = parts[1].strip() if len(parts) > 1 else None
     if len(parts) > 2:
         raise SqlDmlError(f"UPDATE {table}: more than one top-level WHERE")
-    assignments: dict[str, F.Column] = {}
+    set_items: dict[str, str] = {}
     for item in _split_top(set_part, r","):
         m = re.match(
             rf"^\s*({_IDENT})\s*=\s*(.+?)\s*$", item, re.DOTALL
@@ -738,7 +822,10 @@ def _update(spark: SparkSession, table: str, set_and_where: str):
             raise SqlDmlError(
                 f"UPDATE {table}: cannot parse assignment {item.strip()!r}"
             )
-        assignments[_unquote(m.group(1))] = F.expr(m.group(2))
+        set_items[_unquote(m.group(1))] = m.group(2)
+    if pred and re.search(r"\bSELECT\b", pred, re.IGNORECASE):
+        return _update_subquery(spark, table, path, pred, set_items)
+    assignments = {c: F.expr(e) for c, e in set_items.items()}
     if pred:
         where, where_equals, condition = parse_predicate(pred)
     else:
@@ -843,20 +930,24 @@ def _merge_on_keys(on: str, table: str) -> list[str]:
     return keys
 
 
-_M_WHEN = re.compile(
-    r"^MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
-    r"(?:UPDATE\s+SET\s+(?P<set>.+)|(?P<delete>DELETE))\s*$",
+# clause HEADS (everything before the case-aware top-level THEN split):
+# conditions are greedy-safe here because the action text is gone
+_M_HEAD = re.compile(
+    r"^MATCHED(?:\s+AND\s+(?P<cond>.+))?$", re.IGNORECASE | re.DOTALL
+)
+_NMBS_HEAD = re.compile(
+    r"^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(?P<cond>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
-_NMBS_WHEN = re.compile(
-    r"^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
-    r"(?:UPDATE\s+SET\s+(?P<set>.+)|(?P<delete>DELETE))\s*$",
+_NM_HEAD = re.compile(
+    r"^NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(?P<cond>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
-_NM_WHEN = re.compile(
-    r"^NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
-    r"INSERT\s+(?P<ins>.+)$",
-    re.IGNORECASE | re.DOTALL,
+_ACT_UPDATE = re.compile(
+    r"^UPDATE\s+SET\s+(?P<set>.+)$", re.IGNORECASE | re.DOTALL
+)
+_ACT_INSERT = re.compile(
+    r"^INSERT\s+(?P<ins>.+)$", re.IGNORECASE | re.DOTALL
 )
 _INS_COLS_VALS = re.compile(
     rf"^\((?P<cols>(?:\s*(?:{_IDENT})\s*,?)+)\)\s*"
@@ -1006,59 +1097,80 @@ def _merge_general(
     }
     for piece in pieces[1:]:
         piece = piece.strip()
-        m = _NMBS_WHEN.match(piece)
+        # the clause's own THEN is the first TOP-LEVEL one (a CASE
+        # expression's THENs belong to the CASE — _split_top skips them)
+        parts = _split_top(piece, r"THEN\b")
+        if len(parts) != 2:
+            raise SqlDmlError(
+                f"MERGE INTO {table}: expected exactly one THEN in "
+                f"{('WHEN ' + piece)[:120]!r}"
+            )
+        head, action = parts[0].strip(), parts[1].strip()
+
+        def parse_action(allow: tuple[str, ...]) -> dict:
+            if action.upper() == "DELETE" and "delete" in allow:
+                return {"action": "delete", "set": None}
+            am = _ACT_UPDATE.match(action)
+            if am and "update" in allow:
+                return {"action": "update", "set": parse_set(am.group("set"))}
+            am = _ACT_INSERT.match(action)
+            if am and "insert" in allow:
+                ins = am.group("ins").strip()
+                if ins == "*":
+                    values = {c: f"s.`{c}`" for c in tgt_cols}
+                else:
+                    cm = _INS_COLS_VALS.match(ins)
+                    if not cm:
+                        raise SqlDmlError(
+                            f"MERGE INTO {table}: INSERT clause must be "
+                            f"INSERT * or INSERT (cols) VALUES (exprs), "
+                            f"got {ins[:80]!r}"
+                        )
+                    cols = [
+                        _unquote(c)
+                        for c in _split_top(cm.group("cols"), r",")
+                    ]
+                    vals = _split_top(cm.group("vals"), r",")
+                    if len(cols) != len(vals):
+                        raise SqlDmlError(
+                            f"MERGE INTO {table}: INSERT lists {len(cols)} "
+                            f"column(s) but {len(vals)} value(s)"
+                        )
+                    unknown = [c for c in cols if c.lower() not in tgt_low]
+                    if unknown:
+                        raise SqlDmlError(
+                            f"MERGE INTO {table}: INSERT names unknown "
+                            f"column(s) {unknown}"
+                        )
+                    values = {
+                        tgt_low[c.lower()]: rebind(v)
+                        for c, v in zip(cols, vals)
+                    }
+                return {"action": "insert", "values": values}
+            raise SqlDmlError(
+                f"MERGE INTO {table}: clause action {action[:80]!r} is "
+                f"not one of {allow}"
+            )
+
+        m = _NMBS_HEAD.match(head)
         if m:
             clauses["not_matched_by_source"].append({
                 "cond": rebind(m.group("cond")) if m.group("cond") else None,
-                "action": "delete" if m.group("delete") else "update",
-                "set": parse_set(m.group("set")) if m.group("set") else None,
+                **parse_action(("delete", "update")),
             })
             continue
-        m = _NM_WHEN.match(piece)
+        m = _NM_HEAD.match(head)
         if m:
-            ins = m.group("ins").strip()
-            if ins == "*":
-                values = {c: f"s.`{c}`" for c in tgt_cols}
-            else:
-                cm = _INS_COLS_VALS.match(ins)
-                if not cm:
-                    raise SqlDmlError(
-                        f"MERGE INTO {table}: INSERT clause must be "
-                        f"INSERT * or INSERT (cols) VALUES (exprs), got "
-                        f"{ins[:80]!r}"
-                    )
-                cols = [
-                    _unquote(c)
-                    for c in _split_top(cm.group("cols"), r",")
-                ]
-                vals = _split_top(cm.group("vals"), r",")
-                if len(cols) != len(vals):
-                    raise SqlDmlError(
-                        f"MERGE INTO {table}: INSERT lists {len(cols)} "
-                        f"column(s) but {len(vals)} value(s)"
-                    )
-                unknown = [c for c in cols if c.lower() not in tgt_low]
-                if unknown:
-                    raise SqlDmlError(
-                        f"MERGE INTO {table}: INSERT names unknown "
-                        f"column(s) {unknown}"
-                    )
-                values = {
-                    tgt_low[c.lower()]: rebind(v)
-                    for c, v in zip(cols, vals)
-                }
             clauses["not_matched"].append({
                 "cond": rebind(m.group("cond")) if m.group("cond") else None,
-                "action": "insert",
-                "values": values,
+                **parse_action(("insert",)),
             })
             continue
-        m = _M_WHEN.match(piece)
+        m = _M_HEAD.match(head)
         if m:
             clauses["matched"].append({
                 "cond": rebind(m.group("cond")) if m.group("cond") else None,
-                "action": "delete" if m.group("delete") else "update",
-                "set": parse_set(m.group("set")) if m.group("set") else None,
+                **parse_action(("delete", "update")),
             })
             continue
         raise SqlDmlError(
@@ -1088,6 +1200,15 @@ def _insert(
     query = query.strip()
     if not query:
         raise SqlDmlError(f"INSERT {kind.upper()} {table}: missing query")
+    rw = re.match(r"^REPLACE\s+WHERE\s+(.*)$", query, re.IGNORECASE | re.DOTALL)
+    if rw:
+        if kind.lower() != "into" or col_list or part_spec:
+            raise SqlDmlError(
+                f"INSERT {table}: REPLACE WHERE takes the plain "
+                "`INSERT INTO t REPLACE WHERE <pred> <query>` form "
+                "(no OVERWRITE, column list or PARTITION spec)"
+            )
+        return _insert_replace_where(spark, table, path, rw.group(1))
     df = spark.sql(query)
     cur = TX.current_version(spark, path)
     if cur is None:
@@ -1211,6 +1332,68 @@ def _insert(
     return TX.tx_write(
         spark, aligned, path, mode=mode,
         partition_by=partition_by or None,
+    )
+
+
+def _split_replace_where(table: str, text: str) -> tuple[str, str]:
+    """Split ``<pred> <query>`` at the FIRST top-level SELECT / VALUES /
+    WITH / TABLE keyword — none of which can open a predicate conjunct
+    (subquery SELECTs sit inside parentheses, which the scanner skips)."""
+    parts = _split_top(text, r"(?:SELECT|VALUES|WITH|TABLE)\b")
+    if len(parts) < 2 or not parts[0].strip():
+        raise SqlDmlError(
+            f"INSERT INTO {table} REPLACE WHERE: expected "
+            "<pred> followed by SELECT/VALUES/WITH/TABLE"
+        )
+    pred = parts[0].strip()
+    query = text[len(parts[0]):].strip()
+    return pred, query
+
+
+def _insert_replace_where(
+    spark: SparkSession, table: str, path: str, text: str
+):
+    """``INSERT INTO db.t REPLACE WHERE <pred> <query>`` — Delta's
+    arbitrary-predicate atomic overwrite (`tx_replace_where`): one
+    commit deletes the predicate's rows (file-pruned) and lands the
+    query's rows, which must all SATISFY the predicate."""
+    from ..sources import txlog as TX
+
+    pred, query = _split_replace_where(table, text)
+    if re.search(r"\bSELECT\b", pred, re.IGNORECASE):
+        raise SqlDmlError(
+            f"INSERT INTO {table} REPLACE WHERE: subqueries in the "
+            "replace predicate are not routable"
+        )
+    df = spark.sql(query)
+    cur = TX.current_version(spark, path)
+    if cur is None:
+        raise SqlDmlError(f"{table}: no committed txlog version at {path}")
+    manifest = TX.read_manifest(spark, path, cur)
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(_json.loads(manifest["schema"]))
+    target_cols = [f.name for f in schema.fields]
+    if len(df.columns) != len(target_cols):
+        raise SqlDmlError(
+            f"INSERT INTO {table} REPLACE WHERE: query produces "
+            f"{len(df.columns)} column(s), table has {len(target_cols)}"
+        )
+    aligned = df.toDF(*target_cols).select(
+        *(
+            F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        )
+    )
+    where, where_equals, condition = parse_predicate(pred)
+    return TX.tx_replace_where(
+        spark, aligned, path,
+        where=where or None,
+        where_equals=where_equals or None,
+        condition=condition,
+        partition_by=TX.table_partition_columns(manifest) or None,
     )
 
 

@@ -24,6 +24,7 @@ for mod in (relational, docs, events):
 _SAMPLE_FIRST = [
     # new in round 12 (never driver-sampled)
     "sql_merge_conditional",
+    "sql_replace_where",
     "sql_delete_in_subquery",
     # new in round 11 (driver-sampled once at most)
     "sql_txlog_dml",

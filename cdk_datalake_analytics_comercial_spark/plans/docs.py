@@ -3153,6 +3153,71 @@ FROM fin GROUP BY lang, source
 """
 
 
+def q_sql_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT INTO t REPLACE WHERE <pred> SELECT …`` — Delta's
+    replaceWhere (`core/sql_dml.py` `_insert_replace_where` →
+    `txlog.tx_replace_where`): ONE atomic commit deletes the predicate's
+    rows and lands the query's rows (all validated to satisfy the
+    predicate). The arbitrary-predicate overwrite — dynamic partition
+    overwrite generalized beyond partition boundaries; file pruning is
+    the DELETE's (stats-pruned rewrite, everything else carried by
+    reference). DuckDB replays the region swap closed-form."""
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import tx_write
+
+    def build(tmp: str) -> None:
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.filter(F.col("doc_id") % 4 == 0).select(
+                "doc_id", "lang", "n_chars"
+            ),
+            tmp,
+            stats_for=["doc_id"],
+        )
+        register_txlog_table(spark, "lake_rw_build", "t", tmp)
+        d.createOrReplaceTempView("graft_rw_src")
+        # replace the de-language region with recomputed rows from a
+        # DIFFERENT doc population (doc_id % 4 = 2) — the swap is only
+        # expressible atomically via replaceWhere
+        sql_dml(
+            spark,
+            "INSERT INTO lake_rw_build.t REPLACE WHERE lang = 'de' "
+            "SELECT doc_id, lang, n_chars * 3 AS n_chars "
+            "FROM graft_rw_src WHERE lang = 'de' AND doc_id % 4 = 2",
+        )
+        spark.sql("DROP TABLE IF EXISTS lake_rw_build.t")
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txrwv1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_rw", path)
+    return spark.sql(f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id
+        FROM {db}.documents_rw
+        GROUP BY lang
+    """)
+
+
+_ORACLE_SQL_REPLACE_WHERE = """
+WITH fin AS (
+  SELECT doc_id, lang, n_chars
+  FROM documents WHERE doc_id % 4 = 0 AND lang <> 'de'
+  UNION ALL
+  SELECT doc_id, lang, n_chars * 3 AS n_chars
+  FROM documents WHERE lang = 'de' AND doc_id % 4 = 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM fin GROUP BY lang
+"""
+
+
 def q_sql_delete_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``DELETE FROM t WHERE k IN (SELECT …) AND <residual>`` — the GDPR
     bulk-delete-by-list shape (`core/sql_dml.py` `_delete_subquery`).
@@ -3343,6 +3408,7 @@ QUERIES = {
     "sql_time_travel": q_sql_time_travel,
     "sql_ddl_lifecycle": q_sql_ddl_lifecycle,
     "sql_merge_conditional": q_sql_merge_conditional,
+    "sql_replace_where": q_sql_replace_where,
     "sql_delete_in_subquery": q_sql_delete_in_subquery,
     "sql_zorder_pruning": q_sql_zorder_pruning,
     "sql_pushdown_lookup": q_sql_pushdown_lookup,
@@ -3410,6 +3476,7 @@ ORACLES = {
     "sql_time_travel": _ORACLE_SQL_TIME_TRAVEL,
     "sql_ddl_lifecycle": _ORACLE_SQL_DDL_LIFECYCLE,
     "sql_merge_conditional": _ORACLE_SQL_MERGE_CONDITIONAL,
+    "sql_replace_where": _ORACLE_SQL_REPLACE_WHERE,
     "sql_delete_in_subquery": _ORACLE_SQL_DELETE_IN_SUBQUERY,
     "sql_zorder_pruning": _ORACLE_SQL_ZORDER_PRUNING,
     "sql_pushdown_lookup": _ORACLE_SQL_PUSHDOWN_LOOKUP,

@@ -3973,6 +3973,7 @@ def _dml_rewrite(
     where_equals: dict | None = None,
     bloom_for: list[str] | None = None,
     condition=None,
+    insert_df: DataFrame | None = None,
 ) -> int:
     """Shared DELETE/UPDATE machinery: rewrite only the files whose stats
     ranges (and bloom bitsets, for equality predicates) can match the
@@ -3981,7 +3982,10 @@ def _dml_rewrite(
     content of the affected files. A free-form ``condition`` joins the
     row-level predicate but contributes NO pruning — with no structured
     spec beside it, every live file is a rewrite candidate (documented:
-    sargable conjuncts belong in where/where_equals)."""
+    sargable conjuncts belong in where/where_equals). ``insert_df``
+    (LOGICAL names, table schema) is written as an additional batch in
+    the SAME commit — the replaceWhere shape: delete-matching + insert,
+    atomic."""
     where = where or {}
     where_equals = where_equals or {}
     if not where and not where_equals and condition is None:
@@ -4014,25 +4018,40 @@ def _dml_rewrite(
     hit, miss = [], []
     for f in manifest["files"]:
         (hit if _file_can_match(f, where, bloom_probes) else miss).append(f)
-    if not hit:
+    if not hit and insert_df is None:
         return cur  # nothing can match — no new version needed
 
     cond = _dml_predicate(where, where_equals, condition)
 
-    affected = _read_files(spark, path, hit, manifest["schema"])
-    rewritten = transform(affected, cond, mapping)
-    if op == "update":  # a delete can only remove rows, never violate
+    new_files: list[dict] = []
+    if hit:
+        affected = _read_files(spark, path, hit, manifest["schema"])
+        rewritten = transform(affected, cond, mapping)
+        if op == "update":  # a delete can only remove rows, never violate
+            stored = _write_invariants(manifest.get("properties", {}))
+            if stored:
+                # constraint exprs are written (and validated at add time)
+                # against LOGICAL names; the rewritten frame carries physical
+                # names. A constraint added after a rename would fail to bind —
+                # or, after rename-then-re-add, silently bind a dormant
+                # physical name of a DIFFERENT column — so enforce on the
+                # logical projection, exactly the frame tx_read would serve.
+                _enforce_checks(
+                    _to_logical(rewritten, manifest["schema"]), stored
+                )
+        _, batch = _write_batch(
+            rewritten, path, partition_by, stats_for, bloom_for
+        )
+        new_files.extend(batch)
+    if insert_df is not None:
         stored = _write_invariants(manifest.get("properties", {}))
-        if stored:
-            # constraint exprs are written (and validated at add time)
-            # against LOGICAL names; the rewritten frame carries physical
-            # names. A constraint added after a rename would fail to bind —
-            # or, after rename-then-re-add, silently bind a dormant
-            # physical name of a DIFFERENT column — so enforce on the
-            # logical projection, exactly the frame tx_read would serve.
-            _enforce_checks(_to_logical(rewritten, manifest["schema"]), stored)
-
-    _, new_files = _write_batch(rewritten, path, partition_by, stats_for, bloom_for)
+        if stored:  # inserted rows bind constraints like any write
+            _enforce_checks(insert_df, stored)
+        _, batch = _write_batch(
+            _to_physical(insert_df, mapping), path,
+            partition_by, stats_for, bloom_for,
+        )
+        new_files.extend(batch)
     hit_paths = {f["path"] for f in hit}
     base_paths = hit_paths | {f["path"] for f in miss}
 
@@ -4151,6 +4170,79 @@ def tx_delete(
         "delete", partition_by, stats_for,
         where_equals=where_equals, bloom_for=bloom_for,
         condition=condition,
+    )
+
+
+def tx_replace_where(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    *,
+    where: dict[str, tuple] | None = None,
+    where_equals: dict | None = None,
+    condition: "str | F.Column | None" = None,
+    partition_by: list[str] | None = None,
+    stats_for: list[str] | None = None,
+    bloom_for: list[str] | None = None,
+) -> int:
+    """Delta's ``replaceWhere`` / ``INSERT INTO t REPLACE WHERE <pred>``:
+    ONE atomic commit that deletes the rows matching the predicate and
+    inserts ``df`` — the arbitrary-predicate overwrite (dynamic partition
+    overwrite generalized beyond partition boundaries). File pruning is
+    the DELETE's: only files whose stats/Bloom can match the predicate
+    are rewritten, everything else carries forward by reference; the
+    incoming batch lands beside them.
+
+    Delta's validation applies: every incoming row must SATISFY the
+    predicate (otherwise the op would silently write rows outside the
+    region it claims to replace) — violations raise before anything
+    lands. ``df`` must carry exactly the table's columns. Tables
+    declaring identity/generated/default columns are refused loudly
+    (those fill through ``tx_write``'s INSERT path — run the replace as
+    DELETE + INSERT when you need them); CHECK constraints are enforced
+    on both the rewritten and the inserted rows."""
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    manifest = read_manifest(spark, path, cur)
+    props = manifest.get("properties", {})
+    special = (
+        set(_column_defaults(props))
+        | set(_identity_cols(props))
+        | set(_generated_cols(props))
+    )
+    if special:
+        raise ValueError(
+            f"tx_replace_where at {path}: the table declares "
+            f"identity/generated/default column(s) {sorted(special)}, "
+            "which only tx_write's INSERT path fills — run the replace "
+            "as tx_delete + tx_write instead"
+        )
+    tbl_cols = [
+        f["name"] for f in json.loads(manifest["schema"])["fields"]
+    ]
+    if sorted(df.columns) != sorted(tbl_cols):
+        raise ValueError(
+            f"tx_replace_where at {path}: frame columns "
+            f"{sorted(df.columns)} must match the table's {sorted(tbl_cols)}"
+        )
+    # Delta's replaceWhere check: incoming rows must satisfy the
+    # predicate, or the commit would write rows outside the region it
+    # replaces. Evaluated on LOGICAL names (df arrives logical).
+    pred = _dml_predicate(where or {}, where_equals or {}, condition)
+    stray = df.filter(~F.coalesce(pred, F.lit(False))).limit(1).count()
+    if stray:
+        raise ValueError(
+            f"tx_replace_where at {path}: incoming rows violate the "
+            "replace predicate — every inserted row must satisfy it "
+            "(Delta's replaceWhere contract)"
+        )
+    return _dml_rewrite(
+        spark, path, where or {},
+        lambda d, cond, _m: d.filter(~F.coalesce(cond, F.lit(False))),
+        "replace_where", partition_by, stats_for,
+        where_equals=where_equals, bloom_for=bloom_for,
+        condition=condition, insert_df=df.select(*tbl_cols),
     )
 
 

@@ -1345,3 +1345,155 @@ def test_sql_insert_partition_spec_dynamic_entry(spark, tmp_path):
     assert rows(spark.sql("SELECT id, g FROM dmldb.dynp")) == [
         (1, 1), (3, 1), (5, 1), (50, 0),
     ]
+
+
+def test_sql_update_in_subquery_both_tiers(spark, tmp_path, monkeypatch):
+    """UPDATE … WHERE k IN (SELECT …): the redact-by-list shape, same
+    two tiers as the subquery DELETE — inline literal IN-list
+    (file-pruned tx_update) and the merge tier with a conditional
+    UPDATE clause. Identical results either way."""
+    from cdk_datalake_analytics_comercial_spark.core import sql_dml as M
+
+    for cap, name in ((1000, "usq_small"), (2, "usq_large")):
+        monkeypatch.setattr(M, "_SUBQ_INLINE_MAX", cap)
+        p = _table(spark, tmp_path, name)
+        register_txlog_table(spark, "dmldb", name, p)
+        spark.sql(
+            "SELECT * FROM VALUES (1), (4), (7), (9) AS k(kid)"
+        ).createOrReplaceTempView(f"{name}_keys")
+        sql_dml(
+            spark,
+            f"UPDATE dmldb.{name} SET v = upper(v), g = g + 10 "
+            f"WHERE id IN (SELECT kid FROM {name}_keys) AND g < 2",
+        )
+        got = {
+            r.id: (r.v, r.g)
+            for r in spark.sql(f"SELECT id, v, g FROM dmldb.{name}").collect()
+        }
+        # g = i % 3: of {1,4,7,9} only 1 (g=1), 4 (g=1), 7 (g=1), 9 (g=0)
+        # all satisfy g < 2 -> updated; id=2 (not in list) untouched
+        for i in (1, 4, 7, 9):
+            assert got[i] == (f"V{i}", (i % 3) + 10), (cap, i, got[i])
+        assert got[2] == ("v2", 2), cap
+        assert got[5] == ("v5", 2), cap
+
+
+# ------------------------------------------------------- REPLACE WHERE
+
+
+def test_sql_insert_replace_where(spark, tmp_path):
+    """`INSERT INTO t REPLACE WHERE <pred> SELECT …` (Delta's
+    replaceWhere): ONE atomic commit deletes the predicate's rows and
+    lands the query's — file-pruned like a DELETE (non-matching files
+    carry forward by reference), and every incoming row must satisfy
+    the predicate."""
+    p = str(tmp_path / "rw")
+    for g in (0, 1, 2):
+        TX.tx_write(
+            spark,
+            spark.createDataFrame(
+                [(g * 10 + i, f"v{g}{i}", g) for i in range(3)],
+                "id long, v string, g long",
+            ).coalesce(1),
+            p,
+            mode="append" if g else "overwrite",
+            stats_for=["g"],
+        )
+    before = {
+        f["path"]
+        for f in TX.read_manifest(spark, p, TX.current_version(spark, p))["files"]
+    }
+    register_txlog_table(spark, "dmldb", "rw", p)
+    v = sql_dml(
+        spark,
+        "INSERT INTO dmldb.rw REPLACE WHERE g = 1 "
+        "SELECT CAST(100 AS BIGINT), 'fresh', CAST(1 AS BIGINT)",
+    )
+    assert isinstance(v, int)
+    got = rows(spark.sql("SELECT id, v, g FROM dmldb.rw"))
+    assert (100, "fresh", 1) in got
+    assert not any(g == 1 and i != 100 for i, _, g in got)
+    assert sum(1 for *_, g in got if g == 0) == 3  # siblings untouched
+    after = {
+        f["path"]
+        for f in TX.read_manifest(spark, p, TX.current_version(spark, p))["files"]
+    }
+    # only the g=1 file was replaced; g=0 and g=2 files carried forward
+    assert len(before & after) == 2
+    # the replace is one commit: time travel to just before sees old rows
+    assert sql_dml(
+        spark, f"SELECT COUNT(*) AS n FROM dmldb.rw VERSION AS OF {v - 1}"
+    ).collect()[0].n == 9
+
+    # incoming rows that violate the predicate refuse before landing
+    with pytest.raises(ValueError, match="satisfy"):
+        sql_dml(
+            spark,
+            "INSERT INTO dmldb.rw REPLACE WHERE g = 1 "
+            "SELECT CAST(1 AS BIGINT), 'bad', CAST(2 AS BIGINT)",
+        )
+    # only the plain INTO form routes
+    with pytest.raises(SqlDmlError, match="REPLACE WHERE"):
+        sql_dml(
+            spark,
+            "INSERT OVERWRITE dmldb.rw REPLACE WHERE g = 1 SELECT 1, 'x', 1",
+        )
+
+
+def test_replace_where_refuses_special_columns(spark, tmp_path):
+    p = str(tmp_path / "rws")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, 5)], "id long, x long"),
+        p,
+    )
+    TX.tx_set_default(spark, p, "x", "7")
+    register_txlog_table(spark, "dmldb", "rws", p)
+    with pytest.raises(ValueError, match="tx_write's INSERT path"):
+        sql_dml(
+            spark,
+            "INSERT INTO dmldb.rws REPLACE WHERE id = 1 SELECT 2, 9",
+        )
+
+
+def test_sql_merge_case_expressions_in_clauses(spark, tmp_path):
+    """CASE expressions inside clause conditions and SET values: the
+    splitter treats CASE…END as not-top-level, so the CASE's WHEN/THEN
+    never collide with the clause grammar."""
+    _merge_fixture(spark, tmp_path, "mcase")
+    sql_dml(
+        spark,
+        """MERGE INTO dmldb.mcase USING (SELECT * FROM mcase_src) AS u
+           ON mcase.id = u.id
+           WHEN MATCHED AND CASE WHEN u.x > 5 THEN true ELSE false END
+             THEN UPDATE SET v = CASE WHEN u.x > 6 THEN upper(u.v)
+                                      ELSE u.v END
+           WHEN NOT MATCHED THEN INSERT (id, v)
+             VALUES (u.id, CASE WHEN u.x >= 4 THEN 'big' ELSE 'small' END)""",
+    )
+    got = {
+        r.id: r.v for r in spark.sql("SELECT id, v FROM dmldb.mcase").collect()
+    }
+    assert got[1] == "A"      # u.x=7 > 5: matched clause, 7>6 -> upper
+    assert got[2] == "b"      # u.x=0: condition false, row untouched
+    assert got[4] == "big"    # inserted via CASE value (x=4)
+
+
+def test_split_top_case_awareness():
+    from cdk_datalake_analytics_comercial_spark.core.sql_dml import _split_top
+
+    # AND inside CASE is not a conjunct boundary
+    parts = _split_top(
+        "a = 1 AND CASE WHEN b AND c THEN 1 ELSE 2 END = 1", r"AND\b"
+    )
+    assert len(parts) == 2, parts
+    # WHEN inside CASE is not a clause boundary
+    parts = _split_top(
+        "MATCHED AND CASE WHEN x THEN 1 END = 1 THEN DELETE", r"WHEN\b"
+    )
+    assert len(parts) == 1, parts
+    # THEN inside CASE is not the clause's THEN
+    parts = _split_top(
+        "MATCHED AND CASE WHEN x THEN 1 END = 1 THEN DELETE", r"THEN\b"
+    )
+    assert len(parts) == 2 and parts[1].strip() == "DELETE", parts
