@@ -33,6 +33,7 @@ HEADLINE = [
     "sql_merge_conditional",
     "sql_delete_in_subquery",
     "sql_replace_where",
+    "sql_convert_in_place",
     "sql_zorder_pruning",
     "txlog_changes_batch",
     "large_orders",

@@ -67,7 +67,14 @@ Supported statements (``db.table`` names registered by
   automatic catalog re-registration so SELECT sees the new shape; and
   ``SHOW TBLPROPERTIES db.t`` served from the txlog property record.
 - ``CREATE [OR REPLACE] TABLE db.t USING txlog [LOCATION '…']
-  [PARTITIONED BY (…)] AS <query>`` — CTAS, external or managed.
+  [PARTITIONED BY (…)] AS <query>`` — CTAS, external or managed; and
+  the empty-table DDL form ``CREATE TABLE db.t (col TYPE, …) USING
+  txlog [LOCATION '…'] [PARTITIONED BY (…)]`` (version 1 commits the
+  schema with zero rows).
+- ``CONVERT TO TXLOG parquet.`/path`` [PARTITIONED BY (cols)]`` —
+  Delta's CONVERT TO DELTA: in-place, metadata-only conversion of an
+  existing parquet directory (files referenced where they sit, rows
+  from footers; zero data moved).
 - ``CREATE TABLE db.t2 SHALLOW CLONE db.t [VERSION AS OF n]
   [LOCATION '…']`` — metadata-only branch via ``tx_clone`` (zero data
   copied even for a petabyte source; the clone evolves independently).
@@ -386,8 +393,8 @@ _TRUNCATE = re.compile(
     rf"^\s*TRUNCATE\s+TABLE\s+({_TBL})\s*$", re.IGNORECASE
 )
 _RESTORE = re.compile(
-    rf"^\s*RESTORE\s+(?:TABLE\s+)?({_TBL})\s+TO\s+VERSION\s+AS\s+OF\s+"
-    r"(\d+)\s*$",
+    rf"^\s*RESTORE\s+(?:TABLE\s+)?({_TBL})\s+TO\s+(VERSION|TIMESTAMP)"
+    r"\s+AS\s+OF\s+(\d+|'(?:[^']|'')*')\s*$",
     re.IGNORECASE,
 )
 _ALTER = re.compile(
@@ -395,6 +402,11 @@ _ALTER = re.compile(
 )
 _SHOW_PROPS = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+({_TBL})\s*$", re.IGNORECASE
+)
+_CONVERT = re.compile(
+    r"^\s*CONVERT\s+TO\s+TXLOG\s+parquet\s*\.\s*`([^`]+)`"
+    r"(?:\s+PARTITIONED\s+BY\s*\((.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _CLONE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+({_TBL})\s+SHALLOW\s+CLONE\s+({_TBL})"
@@ -405,6 +417,11 @@ _CLONE = re.compile(
 _CTAS = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_TBL})\s+USING\s+txlog\b"
     r"(.*?)\s+AS\s+(SELECT|WITH|VALUES|TABLE)\b(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_EMPTY = re.compile(
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_TBL})\s*"
+    r"\((.*)\)\s*USING\s+txlog\b(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _CTAS_LOCATION = re.compile(
@@ -498,9 +515,36 @@ def sql_dml(spark: SparkSession, statement: str):
     stmt = statement.strip().rstrip(";")
     m = _RESTORE.match(stmt)  # before _TRAVEL: RESTORE … VERSION AS OF
     if m:
-        return _restore(spark, m.group(1), int(m.group(2)))
+        return _restore(spark, *m.group(1, 2, 3))
     if _TRAVEL.search(stmt):
         stmt = _rewrite_time_travel(spark, stmt)
+    m = _CONVERT.match(stmt)
+    if m:
+        from ..sources.txlog import tx_convert
+
+        cols: list[str] | None = None
+        types: dict[str, str] = {}
+        if m.group(2):
+            # Delta's CONVERT spec declares partition TYPES (the hive
+            # dirs carry only strings): `PARTITIONED BY (g BIGINT)`
+            cols = []
+            for item in _split_top(m.group(2), r","):
+                pm = re.match(
+                    rf"^\s*({_IDENT})(?:\s+(.+?))?\s*$", item, re.DOTALL
+                )
+                if not pm:
+                    raise SqlDmlError(
+                        f"CONVERT TO TXLOG: cannot parse PARTITIONED BY "
+                        f"item {item.strip()!r}"
+                    )
+                name = _unquote(pm.group(1))
+                cols.append(name)
+                if pm.group(2):
+                    types[name] = pm.group(2)
+        return tx_convert(
+            spark, m.group(1), partition_by=cols,
+            partition_types=types or None,
+        )
     m = _CLONE.match(stmt)
     if m:
         return _clone(spark, *m.group(1, 2, 3, 4))
@@ -512,6 +556,18 @@ def sql_dml(spark: SparkSession, statement: str):
             m.group(2),
             m.group(3),
             m.group(4) + m.group(5),
+        )
+    m = _CREATE_EMPTY.match(stmt)
+    if m:
+        try:
+            empty = spark.createDataFrame([], m.group(3))
+        except Exception as e:
+            raise SqlDmlError(
+                f"CREATE TABLE {m.group(2)}: cannot parse column list "
+                f"{m.group(3)!r} as a DDL schema ({e})"
+            )
+        return _ctas(
+            spark, bool(m.group(1)), m.group(2), m.group(4), None, df=empty
         )
     m = _OPTIMIZE.match(stmt)
     if m:
@@ -1448,7 +1504,8 @@ def _ctas(
     replace: bool,
     table: str,
     opts_text: str,
-    query: str,
+    query: str | None,
+    df: DataFrame | None = None,
 ) -> str:
     """``CREATE [OR REPLACE] TABLE db.t USING txlog [LOCATION '…']
     [PARTITIONED BY (cols)] AS <query>`` — the SQL-only table
@@ -1456,8 +1513,10 @@ def _ctas(
     1 (or a replace) through ``tx_write``, and register the catalog
     name over the pinned format. Without LOCATION the table is MANAGED:
     data lands under the layer database's directory (Delta's managed
-    CTAS), still a plain txlog dir that survives the catalog. Returns
-    the fully-qualified registered name."""
+    CTAS), still a plain txlog dir that survives the catalog. The
+    empty-table DDL form passes ``df`` (a zero-row frame carrying the
+    declared schema) instead of a query. Returns the fully-qualified
+    registered name."""
     import os
 
     from ..sources import txlog as TX
@@ -1520,7 +1579,8 @@ def _ctas(
             f"({'catalog entry' if exists_in_catalog else path}) — use "
             "CREATE OR REPLACE TABLE to overwrite"
         )
-    df = spark.sql(query)
+    if df is None:
+        df = spark.sql(query)
     TX.tx_write(
         spark, df, path, mode="overwrite", partition_by=partition_by
     )
@@ -1810,13 +1870,30 @@ def _truncate(spark: SparkSession, table: str):
     return tx_delete(spark, path, condition="true")
 
 
-def _restore(spark: SparkSession, table: str, version: int) -> int:
-    """``RESTORE TABLE db.t TO VERSION AS OF n`` → ``tx_restore``
-    (metadata-only: commits a NEW version whose file list is the
-    target's; the restore itself is time-travelable and undoable)."""
-    from ..sources.txlog import tx_restore
+def _restore(spark: SparkSession, table: str, kind: str, lit: str) -> int:
+    """``RESTORE TABLE db.t TO VERSION AS OF n | TIMESTAMP AS OF 'ts'``
+    → ``tx_restore`` (metadata-only: commits a NEW version whose file
+    list is the target's; the restore itself is time-travelable and
+    undoable). The timestamp form resolves to the newest version
+    committed at-or-before it, Delta's resolution."""
+    from ..sources.txlog import tx_restore, version_at_timestamp
 
     path = _require_txlog(spark, table, "RESTORE")
+    if kind.lower() == "version":
+        if not lit.isdigit():
+            raise SqlDmlError(
+                f"RESTORE {table}: VERSION AS OF takes an integer, got "
+                f"{lit!r}"
+            )
+        version = int(lit)
+    else:
+        ts = _parse_literal(lit)
+        if not isinstance(ts, str):
+            raise SqlDmlError(
+                f"RESTORE {table}: TIMESTAMP AS OF takes a quoted "
+                f"timestamp string, got {lit!r}"
+            )
+        version = version_at_timestamp(spark, path, ts)
     return tx_restore(spark, path, version)
 
 

@@ -25,6 +25,7 @@ _SAMPLE_FIRST = [
     # new in round 12 (never driver-sampled)
     "sql_merge_conditional",
     "sql_replace_where",
+    "sql_convert_in_place",
     "sql_delete_in_subquery",
     # new in round 11 (driver-sampled once at most)
     "sql_txlog_dml",

@@ -3218,6 +3218,60 @@ FROM fin GROUP BY lang
 """
 
 
+def q_sql_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CONVERT TO TXLOG parquet.`/path`` (Delta's CONVERT TO DELTA,
+    `txlog.tx_convert` via `core/sql_dml.py`): an EXISTING hive-
+    partitioned parquet directory becomes a txlog table IN PLACE —
+    metadata-only, v1 references the files where they sit, rows from
+    footers, zero bytes moved (the conversion cost of a petabyte dir is
+    one listing + footer reads). The fixture then runs a normal routed
+    DELETE on the converted table to prove the whole write surface
+    works over converted entries; the query aggregates by name. DuckDB
+    replays filter+delete closed-form."""
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import tx_convert
+
+    def build(tmp: str) -> None:
+        d = t(spark, sf_dir, "documents")
+        # a plain (non-txlog) hive-partitioned parquet dir...
+        d.filter(F.col("doc_id") % 6 == 0).select(
+            "doc_id", "n_chars", "lang"
+        ).write.partitionBy("lang").parquet(tmp, mode="overwrite")
+        # ...converted in place, then served + mutated by name
+        tx_convert(spark, tmp, partition_by=["lang"],
+                   partition_types={"lang": "string"})
+        register_txlog_table(spark, "lake_conv_build", "t", tmp)
+        sql_dml(
+            spark,
+            "DELETE FROM lake_conv_build.t WHERE n_chars < 200",
+        )
+        spark.sql("DROP TABLE IF EXISTS lake_conv_build.t")
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txconvv1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_conv", path)
+    return spark.sql(f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id
+        FROM {db}.documents_conv
+        GROUP BY lang
+    """)
+
+
+_ORACLE_SQL_CONVERT_IN_PLACE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM documents
+WHERE doc_id % 6 = 0 AND n_chars >= 200
+GROUP BY lang
+"""
+
+
 def q_sql_delete_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``DELETE FROM t WHERE k IN (SELECT …) AND <residual>`` — the GDPR
     bulk-delete-by-list shape (`core/sql_dml.py` `_delete_subquery`).
@@ -3409,6 +3463,7 @@ QUERIES = {
     "sql_ddl_lifecycle": q_sql_ddl_lifecycle,
     "sql_merge_conditional": q_sql_merge_conditional,
     "sql_replace_where": q_sql_replace_where,
+    "sql_convert_in_place": q_sql_convert_in_place,
     "sql_delete_in_subquery": q_sql_delete_in_subquery,
     "sql_zorder_pruning": q_sql_zorder_pruning,
     "sql_pushdown_lookup": q_sql_pushdown_lookup,
@@ -3477,6 +3532,7 @@ ORACLES = {
     "sql_ddl_lifecycle": _ORACLE_SQL_DDL_LIFECYCLE,
     "sql_merge_conditional": _ORACLE_SQL_MERGE_CONDITIONAL,
     "sql_replace_where": _ORACLE_SQL_REPLACE_WHERE,
+    "sql_convert_in_place": _ORACLE_SQL_CONVERT_IN_PLACE,
     "sql_delete_in_subquery": _ORACLE_SQL_DELETE_IN_SUBQUERY,
     "sql_zorder_pruning": _ORACLE_SQL_ZORDER_PRUNING,
     "sql_pushdown_lookup": _ORACLE_SQL_PUSHDOWN_LOOKUP,

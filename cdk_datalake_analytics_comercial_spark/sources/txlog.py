@@ -2654,6 +2654,12 @@ def _resolve_file(root: str, fpath: str) -> tuple[str, str]:
     for i in range(len(parts) - 1, -1, -1):
         if parts[i] == _DATA and i + 1 < len(parts):
             return full, "/".join(parts[: i + 2])
+    # CONVERTed tables (tx_convert) reference pre-existing files outside
+    # data/<batch>: the basePath must stop BEFORE the first hive k=v dir
+    # so Spark reconstructs the partition columns from the path
+    for i, seg in enumerate(parts[:-1]):
+        if "=" in seg and not seg.startswith("="):
+            return full, "/".join(parts[:i])
     return full, "/".join(parts[:-1])
 
 
@@ -3463,6 +3469,106 @@ def tx_clone(spark: SparkSession, src: str, dst: str, version: int | None = None
         return rec
 
     return _commit(spark, dst, build)
+
+
+def tx_convert(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    partition_types: dict[str, str] | None = None,
+) -> int:
+    """Delta's ``CONVERT TO DELTA`` twin: convert a plain parquet
+    directory into a txlog table IN PLACE, METADATA-ONLY — v1's manifest
+    references the existing files where they sit (zero rows copied or
+    moved; a petabyte directory converts in seconds), with per-file
+    bytes from the listing and rows from the parquet FOOTERS. The log
+    lands under ``<path>/_txlog`` beside the data; later commits write
+    normal ``data/<batch>`` dirs next to the converted files, and a full
+    OPTIMIZE materializes everything into managed batches.
+
+    Hive-partitioned layouts need ``partition_by`` naming the partition
+    columns (Delta's CONVERT requires the same spec); the layout is
+    recorded as table metadata. Refuses when the directory is already a
+    txlog table, holds no parquet files, or nests files outside the
+    declared hive layout. Converted entries cannot carry deletion
+    vectors until a compaction moves them into managed batches (the DV
+    sidecar keys on the batch-relative path) — the DV paths refuse with
+    that instruction."""
+    root = path.rstrip("/")
+    if current_version(spark, root) is not None:
+        raise FileExistsError(f"{root} is already a txlog table")
+    listed = [
+        (rel, size)
+        for rel, size in _list_parquet_files(spark, root)
+        if not rel.startswith((f"{_DATA}/", f"{_LOG}/", f"{_DV}/"))
+    ]
+    if not listed:
+        raise FileNotFoundError(f"no parquet data files under {root}")
+    want = sorted(partition_by or [])
+    rels = [r for r, _ in listed]
+    rowcounts = _footer_rows(root, rels)
+    entries = []
+    for rel, size in listed:
+        dirs = rel.split("/")[:-1]
+        nonhive = [d for d in dirs if "=" not in d]
+        part = _partition_of(rel)
+        if nonhive or sorted(part) != want:
+            raise ValueError(
+                f"tx_convert at {root}: file {rel!r} sits under "
+                f"partition dirs {sorted(part)} (non-hive: {nonhive}) "
+                f"but partition_by names {want} — CONVERT needs the "
+                "exact hive layout spelled out"
+            )
+        entries.append({
+            "path": rel,
+            "partition": part,
+            "bytes": size,
+            **(
+                {"rows": rowcounts[rel]}
+                if rowcounts is not None and rel in rowcounts
+                else {}
+            ),
+        })
+    schema_json = spark.read.parquet(root).schema.json()
+    if partition_types:
+        # the hive dirs carry only STRINGS (the session pins partition
+        # type inference off); the CONVERT spec's declared types become
+        # the table schema, and reads cast the recovered strings to them
+        # — exactly how Delta serves log-stored partition values
+        from pyspark.sql.types import _parse_datatype_string
+
+        unknown = set(partition_types) - set(partition_by or [])
+        if unknown:
+            raise ValueError(
+                f"tx_convert at {root}: partition type(s) declared for "
+                f"non-partition column(s) {sorted(unknown)}"
+            )
+        sch = json.loads(schema_json)
+        for fld in sch["fields"]:
+            if fld["name"] in partition_types:
+                dt = _parse_datatype_string(partition_types[fld["name"]])
+                fld["type"] = json.loads(dt.json())
+        schema_json = json.dumps(sch)
+
+    def build(cur: int | None) -> dict:
+        if cur is not None:
+            raise TxConflictError(
+                f"tx_convert at {root}: a concurrent commit created a "
+                f"txlog here (v{cur})"
+            )
+        rec = {
+            "op": "convert",
+            "schema": schema_json,
+            "add": entries,
+            "remove": [],
+            "truncate": True,
+        }
+        if partition_by:
+            rec["properties"] = {_PARTCOLS_PROP: ",".join(partition_by)}
+        return rec
+
+    return _commit(spark, root, build)
 
 
 def tx_vacuum(
@@ -4406,6 +4512,17 @@ def _read_files_with_position(
     """LIVE rows of the entries (prior DVs applied) with their physical
     position kept as ``_txlog_fp``/``_txlog_ri`` — the input a DV writer
     needs."""
+    stray = [
+        f["path"] for f in files
+        if not re.search(r"(?:^|/)data/[0-9a-f]{32}/", f["path"])
+    ]
+    if stray:
+        raise ValueError(
+            "deletion vectors key on the managed batch-relative path, "
+            f"which CONVERTed entries do not have ({stray[:3]}…) — run a "
+            "full OPTIMIZE (tx_compact) first to materialize them into "
+            "managed batches, then retry the DV operation"
+        )
     root = path.rstrip("/")
     by_batch: dict[str, list[str]] = {}
     for f in files:

@@ -1497,3 +1497,133 @@ def test_split_top_case_awareness():
         "MATCHED AND CASE WHEN x THEN 1 END = 1 THEN DELETE", r"THEN\b"
     )
     assert len(parts) == 2 and parts[1].strip() == "DELETE", parts
+
+
+# --------------------------------- CONVERT / empty CREATE / RESTORE ts
+
+
+def test_sql_convert_to_txlog_in_place(spark, tmp_path):
+    """CONVERT TO TXLOG parquet.`/path` (Delta's CONVERT TO DELTA):
+    metadata-only, in-place — v1 references the existing files where
+    they sit (zero data moved), rows recorded from footers; the table
+    then serves reads, time travel and normal commits."""
+    src = str(tmp_path / "plainpq")
+    spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(8)], "id long, v string, g long"
+    ).write.partitionBy("g").parquet(src)
+    import os
+
+    files_before = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    v = sql_dml(
+        spark,
+        f"CONVERT TO TXLOG parquet.`{src}` PARTITIONED BY (g BIGINT)",
+    )
+    assert v == 1
+    # zero data moved: the same physical files, now referenced by the log
+    files_after = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet") and "/data/" not in os.path.join(r, f)
+    )
+    assert files_after == files_before
+    register_txlog_table(spark, "dmldb", "conv", src)
+    assert rows(spark.sql("SELECT id, v, g FROM dmldb.conv")) == [
+        (i, f"v{i}", i % 2) for i in range(8)
+    ]
+    m = TX.read_manifest(spark, src, 1)
+    assert TX.table_partition_columns(m) == ["g"]
+    assert all(f.get("rows") == 4 or f.get("rows") is not None for f in m["files"])
+    # a partition-pruned read + normal DML keep working on converted files
+    sql_dml(spark, "DELETE FROM dmldb.conv WHERE id = 3")
+    assert spark.sql("SELECT count(*) AS n FROM dmldb.conv").collect()[0].n == 7
+    # time travel back to the converted snapshot
+    assert sql_dml(
+        spark, "SELECT count(*) AS n FROM dmldb.conv VERSION AS OF 1"
+    ).collect()[0].n == 8
+    # metadata-only row count straight from the converted footers
+    assert TX.tx_count(spark, src, version=1) == 8
+    # converting twice refuses
+    with pytest.raises(FileExistsError):
+        sql_dml(spark, f"CONVERT TO TXLOG parquet.`{src}`")
+    # wrong partition spec refuses
+    src2 = str(tmp_path / "plainpq2")
+    spark.createDataFrame([(1, 2)], "a long, b long").write.partitionBy(
+        "b"
+    ).parquet(src2)
+    with pytest.raises(ValueError, match="hive layout"):
+        sql_dml(spark, f"CONVERT TO TXLOG parquet.`{src2}`")
+
+
+def test_converted_table_dv_refusal_and_optimize_path(spark, tmp_path):
+    """DVs key on managed batch paths, which converted entries lack: the
+    DV path refuses with the OPTIMIZE instruction, and a full OPTIMIZE
+    materializes the files into managed batches after which DVs work."""
+    src = str(tmp_path / "convdv")
+    spark.createDataFrame(
+        [(i, i * 2) for i in range(6)], "id long, x long"
+    ).coalesce(1).write.parquet(src)
+    TX.tx_convert(spark, src)
+    with pytest.raises(ValueError, match="OPTIMIZE"):
+        TX.tx_delete(spark, src, where_equals={"id": 1}, use_dv=True)
+    TX.tx_compact(spark, src)  # materializes into data/<batch>
+    TX.tx_delete(spark, src, where_equals={"id": 1}, use_dv=True)
+    assert sorted(r.id for r in TX.tx_read(spark, src).collect()) == [
+        0, 2, 3, 4, 5,
+    ]
+
+
+def test_sql_create_empty_table_ddl(spark, tmp_path):
+    """CREATE TABLE db.t (cols) USING txlog: version 1 commits the
+    declared schema with zero rows; the first INSERT lands partitioned
+    per the recorded layout."""
+    loc = str(tmp_path / "emptyt")
+    fq = sql_dml(
+        spark,
+        f"CREATE TABLE dmldb.emptyt (id BIGINT, v STRING, g BIGINT) "
+        f"USING txlog LOCATION '{loc}' PARTITIONED BY (g)",
+    )
+    assert fq == "dmldb.emptyt"
+    assert spark.sql("SELECT * FROM dmldb.emptyt").count() == 0
+    assert dict(spark.table("dmldb.emptyt").dtypes) == {
+        "id": "bigint", "v": "string", "g": "bigint",
+    }
+    sql_dml(spark, "INSERT INTO dmldb.emptyt VALUES (1, 'a', 0), (2, 'b', 1)")
+    m = TX.read_manifest(spark, loc, TX.current_version(spark, loc))
+    assert TX.table_partition_columns(m) == ["g"]
+    assert all(f["partition"].get("g") is not None for f in m["files"])
+    # decimal types with parens parse through the DDL column list
+    sql_dml(
+        spark,
+        f"CREATE TABLE dmldb.emptyd (k DECIMAL(10,2)) USING txlog "
+        f"LOCATION '{tmp_path / 'emptyd'}'",
+    )
+    assert dict(spark.table("dmldb.emptyd").dtypes) == {"k": "decimal(10,2)"}
+
+
+def test_sql_restore_to_timestamp(spark, tmp_path):
+    p = str(tmp_path / "rts")
+    TX.tx_write(spark, spark.createDataFrame([(1,)], "id long"), p)
+    TX.tx_write(
+        spark, spark.createDataFrame([(2,)], "id long"), p, mode="append"
+    )
+    TX.tx_write(
+        spark, spark.createDataFrame([(3,)], "id long"), p, mode="append"
+    )
+    register_txlog_table(spark, "dmldb", "rts", p)
+    ts_v2 = TX.read_commit(spark, p, 2)["ts_ms"]
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        ts_v2 / 1000.0, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+    v = sql_dml(spark, f"RESTORE TABLE dmldb.rts TO TIMESTAMP AS OF '{iso}'")
+    assert isinstance(v, int)
+    assert rows(spark.sql("SELECT id FROM dmldb.rts")) == [(1,), (2,)]
+    with pytest.raises(SqlDmlError, match="quoted"):
+        sql_dml(spark, "RESTORE TABLE dmldb.rts TO TIMESTAMP AS OF 12")
