@@ -53,8 +53,9 @@ Supported statements (``db.table`` names registered by
   ``PARTITION (p = v)`` spec pins the literal (the query omits the
   column) and replaces exactly that partition.
 - Maintenance by name (Delta's SQL utility surface): ``OPTIMIZE db.t
-  [ZORDER BY (cols)]`` (incremental bin-pack / re-cluster via
-  ``tx_compact``), ``VACUUM db.t [RETAIN n HOURS] [DRY RUN]``
+  [WHERE part = v] [ZORDER BY (cols)]`` (incremental bin-pack /
+  re-cluster via ``tx_compact``; the WHERE form scopes both shapes to
+  the matching partitions), ``VACUUM db.t [RETAIN n HOURS] [DRY RUN]``
   (→ reaped-paths DataFrame), ``DESCRIBE HISTORY db.t`` (commit log +
   operation metrics as a DataFrame), ``RESTORE TABLE db.t TO VERSION
   AS OF n`` (metadata-only restore commit), ``DESCRIBE DETAIL db.t``
@@ -96,6 +97,9 @@ Concurrency: every dispatched statement inherits the writer's
 optimistic CAS — a racing ``tx_write`` overlapping the predicate raises
 ``TxConflictError``, never silent loss (tested in
 ``tests/test_sql_dml.py``).
+
+:func:`sql_script` runs a multi-statement ``.sql`` text through the
+same router (top-level ``;`` split, ``--`` comments stripped).
 """
 
 from __future__ import annotations
@@ -375,8 +379,9 @@ _DELETE = re.compile(
 )
 _OPTIMIZE = re.compile(
     rf"^\s*OPTIMIZE\s+({_TBL})\s*"
+    r"(?:WHERE\s+(.*?))?\s*"
     rf"(?:ZORDER\s+BY\s*\(((?:\s*(?:{_IDENT})\s*,?)+)\))?\s*$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 _VACUUM = re.compile(
     rf"^\s*VACUUM\s+({_TBL})"
@@ -571,7 +576,7 @@ def sql_dml(spark: SparkSession, statement: str):
         )
     m = _OPTIMIZE.match(stmt)
     if m:
-        return _optimize(spark, m.group(1), m.group(2))
+        return _optimize(spark, m.group(1), m.group(3), m.group(2))
     m = _VACUUM.match(stmt)
     if m:
         return _vacuum(spark, m.group(1), m.group(2), bool(m.group(3)))
@@ -616,6 +621,37 @@ def sql_dml(spark: SparkSession, statement: str):
         r = _insert(spark, *m.group(1, 2, 4, 5), part_spec=m.group(3))
         return r if r is not None else spark.sql(stmt)
     return spark.sql(stmt)
+
+
+def sql_script(spark: SparkSession, script: str) -> list:
+    """Execute a multi-statement SQL script (the ``.sql``-file persona):
+    statements split on TOP-LEVEL semicolons (quoted literals, backquoted
+    identifiers and parenthesized subqueries keep theirs), line comments
+    (``-- …``) stripped, each statement routed through :func:`sql_dml`.
+    Returns the per-statement results in order; the first failing
+    statement raises (no savepoints — the txlog writers are each
+    atomic, so a failed script leaves every completed statement
+    committed, exactly Delta's multi-statement semantics)."""
+    decommented = "\n".join(
+        _strip_line_comment(ln) for ln in script.splitlines()
+    )
+    out = []
+    for stmt in _split_top(decommented, r";"):
+        if stmt.strip():
+            out.append(sql_dml(spark, stmt))
+    return out
+
+
+def _strip_line_comment(line: str) -> str:
+    """Drop a ``-- comment`` tail unless the dashes sit inside a quoted
+    region."""
+    m = re.search(r"--", line)
+    while m:
+        if any(a <= m.start() < b for a, b in _quoted_spans(line)):
+            m = re.compile(r"--").search(line, m.end())
+            continue
+        return line[: m.start()]
+    return line
 
 
 def _delete(spark: SparkSession, table: str, pred: str | None):
@@ -837,6 +873,11 @@ def _qualify_target(conj: str) -> str:
         "between", "case", "when", "then", "else", "end", "cast", "as",
         "distinct", "interval", "current_date", "current_timestamp",
         "date", "timestamp", "rlike", "div", "escape",
+        # type names (CAST(x AS STRING) — STRING is not a column ref)
+        "string", "int", "integer", "bigint", "smallint", "tinyint",
+        "long", "float", "real", "double", "decimal", "numeric",
+        "boolean", "binary", "char", "varchar", "array", "map", "struct",
+        "void",
     }
 
     def sub(m: re.Match) -> str:
@@ -1747,19 +1788,40 @@ def _require_txlog(spark: SparkSession, table: str, what: str) -> str:
     return _writable(table, pinned)[0]
 
 
-def _optimize(spark: SparkSession, table: str, zorder_cols: str | None) -> int:
-    """``OPTIMIZE db.t [ZORDER BY (c1, c2)]`` → ``tx_compact``: plain
-    form bin-packs small files incrementally (128 MiB threshold —
-    right-sized files carry forward by reference, the only OPTIMIZE that
-    survives 100 TB); ZORDER re-clusters on the named columns (Morton
-    key for ≥2, lexicographic for 1) so ranged reads prune files."""
+def _optimize(
+    spark: SparkSession,
+    table: str,
+    zorder_cols: str | None,
+    where: str | None = None,
+) -> int:
+    """``OPTIMIZE db.t [WHERE part = v] [ZORDER BY (c1, c2)]`` →
+    ``tx_compact``: plain form bin-packs small files incrementally
+    (128 MiB threshold — right-sized files carry forward by reference,
+    the only OPTIMIZE that survives 100 TB); ZORDER re-clusters on the
+    named columns (Morton key for ≥2, lexicographic for 1) so ranged
+    reads prune files. ``WHERE`` (Delta's partition-scoped OPTIMIZE)
+    takes equality predicates on PARTITION columns and limits both
+    forms to the matching partitions — the daily maintenance shape."""
     from ..sources import txlog as TX
 
     path = _require_txlog(spark, table, "OPTIMIZE")
+    partition_where = None
+    if where:
+        w, eq, cond = parse_predicate(where)
+        extra_ranges = {
+            c for c, (lo, hi) in w.items() if c not in eq or (lo, hi) != (eq[c], eq[c])
+        }
+        if cond is not None or extra_ranges or not eq:
+            raise SqlDmlError(
+                f"OPTIMIZE {table} WHERE: only equality predicates on "
+                f"partition columns are supported (got {where.strip()!r})"
+            )
+        partition_where = eq
     if zorder_cols:
         cols = [_unquote(c) for c in _split_top(zorder_cols, r",")]
         return TX.tx_compact(
-            spark, path, cluster_by=cols, zorder=len(cols) >= 2
+            spark, path, cluster_by=cols, zorder=len(cols) >= 2,
+            partition_where=partition_where,
         )
     # size-targeted bin count (Delta's binPacking): the under-threshold
     # bytes decide how many right-sized outputs the rewrite packs into
@@ -1767,13 +1829,32 @@ def _optimize(spark: SparkSession, table: str, zorder_cols: str | None) -> int:
     cur = TX.current_version(spark, path)
     if cur is None:
         raise SqlDmlError(f"{table}: no committed txlog version at {path}")
+    manifest = TX.read_manifest(spark, path, cur)
+    scope = manifest["files"]
+    if partition_where:
+        pcols = TX.table_partition_columns(manifest)
+        bad = sorted(set(partition_where) - set(pcols))
+        if bad:
+            raise SqlDmlError(
+                f"OPTIMIZE {table} WHERE: {bad} are not partition "
+                f"column(s) (partitions: {pcols})"
+            )
+        probe = {k: TX._hive_enc(v) for k, v in partition_where.items()}
+        scope = [
+            f
+            for f in scope
+            if all(f["partition"].get(k) == v for k, v in probe.items())
+        ]
     small_total = sum(
         int(f.get("bytes") or 0)
-        for f in TX.read_manifest(spark, path, cur)["files"]
+        for f in scope
         if f.get("dv") or f.get("bytes") is None or f["bytes"] < thr
     )
     n_files = max(1, -(-small_total // thr))
-    return TX.tx_compact(spark, path, small_bytes=thr, n_files=n_files)
+    return TX.tx_compact(
+        spark, path, small_bytes=thr, n_files=n_files,
+        partition_where=partition_where,
+    )
 
 
 def _vacuum(

@@ -3830,6 +3830,7 @@ def tx_compact(
     zorder: bool = False,
     bloom_for: list[str] | None = None,
     small_bytes: int | None = None,
+    partition_where: dict | None = None,
 ) -> int:
     """Small-file compaction (OPTIMIZE): rewrite the current snapshot as
     one fresh batch — collapses the per-commit batch dirs a long history
@@ -3864,7 +3865,21 @@ def tx_compact(
     overwrites, which MATERIALIZES renames/drops into the data files and
     resets the mapping to identity (time travel still reads old versions
     through their own schema records); incremental ``small_bytes``
-    compaction preserves physical names untouched."""
+    compaction preserves physical names untouched.
+
+    ``partition_where`` (Delta's ``OPTIMIZE t WHERE part = v``): an
+    equality spec on PARTITION columns scoping the op to matching
+    partitions — the only OPTIMIZE shape that survives 100 TB is the
+    one that touches today's partition, not the table. The scoped form
+    is a partition-local rewrite commit: matching files rewrite (bin-
+    packed or clustered), every other partition's files carry forward
+    by reference, and the CAS conflict check guards only the touched
+    set."""
+    if partition_where:
+        return _compact_scoped(
+            spark, path, partition_where, n_files, stats_for, bloom_for,
+            cluster_by, zorder, small_bytes,
+        )
     if small_bytes is not None:
         if cluster_by:
             raise ValueError(
@@ -3973,6 +3988,117 @@ def _compact_small(
             "schema": manifest["schema"],
             "add": new_files,
             "remove": sorted(small_paths),
+            "truncate": False,
+        }
+
+    try:
+        return _commit(spark, path, build)
+    except (TxConflictError, TxPropertyViolation):
+        for f in new_files:
+            _delete(spark, f"{path.rstrip('/')}/{f['path']}")
+        raise
+
+
+def _compact_scoped(
+    spark: SparkSession,
+    path: str,
+    partition_where: dict,
+    n_files: int | None,
+    stats_for: list[str] | None,
+    bloom_for: list[str] | None,
+    cluster_by: list[str] | None,
+    zorder: bool,
+    small_bytes: int | None,
+) -> int:
+    """Partition-scoped OPTIMIZE (Delta's ``OPTIMIZE t WHERE part = v``):
+    bin-pack or re-cluster ONLY the partitions matching the equality
+    spec; every other partition's files carry forward by reference and
+    the CAS conflict check guards just the touched set. The 100 TB
+    maintenance shape — the hot partition compacts daily, the table
+    never rewrites."""
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    manifest = read_manifest(spark, path, cur)
+    mapping = _schema_mapping(manifest["schema"])
+    partition_by = _partition_default(manifest, None)
+    if not partition_by:
+        raise ValueError(
+            f"compact at {path}: partition_where on an unpartitioned "
+            "table — drop the WHERE or partition the table"
+        )
+    bad = sorted(set(partition_where) - set(partition_by))
+    if bad:
+        raise ValueError(
+            f"compact at {path}: partition_where names non-partition "
+            f"column(s) {bad} (partition columns: {partition_by})"
+        )
+    probe = {
+        mapping.get(k, k): _hive_enc(v) for k, v in partition_where.items()
+    }
+    in_scope = [
+        f
+        for f in manifest["files"]
+        if all(f["partition"].get(k) == v for k, v in probe.items())
+    ]
+    if small_bytes is not None:
+        if cluster_by:
+            raise ValueError(
+                "small_bytes (incremental OPTIMIZE) cannot cluster — "
+                "clustering is a global re-sort; run them separately"
+            )
+        in_scope = [
+            f
+            for f in in_scope
+            if f.get("dv") or f.get("bytes") is None or f["bytes"] < small_bytes
+        ]
+        if len(in_scope) <= 1 and not any(f.get("dv") for f in in_scope):
+            return cur
+    elif not in_scope:
+        return cur
+    stats_for, bloom_for = _skipping_defaults(
+        manifest.get("properties", {}), stats_for, bloom_for
+    )
+    w_partition_by = _map_names(partition_by, mapping)
+    w_stats = _map_names(stats_for, mapping)
+    w_bloom = _map_names(bloom_for, mapping)
+    df = _read_files(spark, path, in_scope, manifest["schema"])
+    if cluster_by:
+        ccols = _map_names(cluster_by, mapping)
+        if zorder and len(ccols) >= 2:
+            df = df.withColumn("_zkey", _zorder_key(df, ccols))
+            df = (
+                df.repartitionByRange(n_files, F.col("_zkey"))
+                if n_files
+                else df.repartitionByRange(F.col("_zkey"))
+            ).sortWithinPartitions("_zkey").drop("_zkey")
+        else:
+            cols = [F.col(c) for c in ccols]
+            df = (
+                df.repartitionByRange(n_files, *cols)
+                if n_files
+                else df.repartitionByRange(*cols)
+            ).sortWithinPartitions(*cols)
+        w_stats = sorted(set(w_stats or []) | set(ccols))
+    elif n_files:
+        df = df.repartition(n_files, *w_partition_by)
+    _, new_files = _write_batch(df, path, w_partition_by, w_stats, w_bloom)
+    scope_paths = {f["path"] for f in in_scope}
+
+    def build(now: int | None) -> dict:
+        now_files = (
+            read_manifest(spark, path, now)["files"] if now is not None else []
+        )
+        if scope_paths - {f["path"] for f in now_files}:
+            raise TxConflictError(
+                f"compact at {path}: scoped files were removed "
+                f"concurrently (base v{cur}, now v{now})"
+            )
+        return {
+            "op": "compact",
+            "schema": manifest["schema"],
+            "add": new_files,
+            "remove": sorted(scope_paths),
             "truncate": False,
         }
 

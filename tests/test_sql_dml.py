@@ -1627,3 +1627,92 @@ def test_sql_restore_to_timestamp(spark, tmp_path):
     assert rows(spark.sql("SELECT id FROM dmldb.rts")) == [(1,), (2,)]
     with pytest.raises(SqlDmlError, match="quoted"):
         sql_dml(spark, "RESTORE TABLE dmldb.rts TO TIMESTAMP AS OF 12")
+
+
+def test_sql_optimize_where_partition_scope(spark, tmp_path):
+    """OPTIMIZE db.t WHERE g = v (Delta's partition-scoped OPTIMIZE):
+    only the matching partition's files rewrite; siblings carry forward
+    by reference. The daily-maintenance shape — a 100 TB table never
+    compacts whole."""
+    p = str(tmp_path / "optw")
+    for i in range(4):  # 4 small appends across 2 partitions
+        TX.tx_write(
+            spark,
+            spark.createDataFrame(
+                [(10 * i + j, j % 2) for j in range(4)], "id long, g long"
+            ),
+            p,
+            mode="append" if i else "overwrite",
+            partition_by=["g"],
+        )
+    m0 = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    g0_before = {f["path"] for f in m0["files"] if f["partition"]["g"] == "0"}
+    g1_before = {f["path"] for f in m0["files"] if f["partition"]["g"] == "1"}
+    assert len(g1_before) >= 4
+    register_txlog_table(spark, "dmldb", "optw", p)
+    sql_dml(spark, "OPTIMIZE dmldb.optw WHERE g = 1")
+    m1 = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    g0_after = {f["path"] for f in m1["files"] if f["partition"]["g"] == "0"}
+    g1_after = {f["path"] for f in m1["files"] if f["partition"]["g"] == "1"}
+    assert g0_after == g0_before          # untouched partition by reference
+    assert not (g1_after & g1_before)     # scoped partition fully repacked
+    assert len(g1_after) < len(g1_before)
+    # rows intact
+    assert spark.sql("SELECT count(*) AS n FROM dmldb.optw").collect()[0].n == 16
+    # scoped ZORDER: clusters only the named partition
+    sql_dml(spark, "OPTIMIZE dmldb.optw WHERE g = 0 ZORDER BY (id)")
+    m2 = TX.read_manifest(spark, p, TX.current_version(spark, p))
+    assert {f["path"] for f in m2["files"] if f["partition"]["g"] == "1"} == g1_after
+    assert spark.sql("SELECT count(*) AS n FROM dmldb.optw").collect()[0].n == 16
+    # non-partition columns refuse
+    with pytest.raises(SqlDmlError, match="partition"):
+        sql_dml(spark, "OPTIMIZE dmldb.optw WHERE id = 3")
+    # range predicates refuse (partition dirs carry strings)
+    with pytest.raises(SqlDmlError, match="equality"):
+        sql_dml(spark, "OPTIMIZE dmldb.optw WHERE g >= 1")
+
+
+def test_sql_update_subquery_with_cast_expr(spark, tmp_path, monkeypatch):
+    """Residual conjuncts and SET exprs on the merge tier may contain
+    CAST(.. AS TYPE): type keywords are never mistaken for target
+    column references."""
+    from cdk_datalake_analytics_comercial_spark.core import sql_dml as M
+
+    monkeypatch.setattr(M, "_SUBQ_INLINE_MAX", 1)
+    p = _table(spark, tmp_path, "usq_cast")
+    register_txlog_table(spark, "dmldb", "usq_cast", p)
+    spark.sql(
+        "SELECT * FROM VALUES (1), (4), (7) AS k(kid)"
+    ).createOrReplaceTempView("usq_cast_keys")
+    sql_dml(
+        spark,
+        "UPDATE dmldb.usq_cast SET v = CAST(g AS STRING) "
+        "WHERE id IN (SELECT kid FROM usq_cast_keys) "
+        "AND CAST(id AS STRING) <> '4'",
+    )
+    got = {r.id: r.v for r in spark.sql("SELECT id, v FROM dmldb.usq_cast").collect()}
+    assert got[1] == "1" and got[7] == "1"  # g = id % 3 = 1
+    assert got[4] == "v4"  # excluded by the CAST residual
+
+
+def test_sql_script_multi_statement(spark, tmp_path):
+    """sql_script: a .sql file's worth of statements, split on top-level
+    semicolons (quoted/parenthesized ones kept), comments stripped, each
+    routed through sql_dml."""
+    from cdk_datalake_analytics_comercial_spark.core.sql_dml import sql_script
+
+    loc = str(tmp_path / "scripted")
+    results = sql_script(
+        spark,
+        f"""
+        -- the SQL-only lifecycle in one script
+        CREATE TABLE dmldb.scripted (id BIGINT, v STRING) USING txlog
+          LOCATION '{loc}';
+        INSERT INTO dmldb.scripted VALUES (1, 'a;b'), (2, 'c');  -- quoted ; kept
+        UPDATE dmldb.scripted SET v = upper(v) WHERE id = 2;
+        DELETE FROM dmldb.scripted WHERE id IN (SELECT CAST(99 AS BIGINT));
+        SELECT id, v FROM dmldb.scripted
+        """,
+    )
+    assert results[0] == "dmldb.scripted"
+    assert rows(results[-1]) == [(1, "a;b"), (2, "C")]
