@@ -409,7 +409,8 @@ _SHOW_PROPS = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+({_TBL})\s*$", re.IGNORECASE
 )
 _CONVERT = re.compile(
-    r"^\s*CONVERT\s+TO\s+TXLOG\s+parquet\s*\.\s*`([^`]+)`"
+    rf"^\s*CONVERT\s+TO\s+TXLOG\s+"
+    rf"(?:parquet\s*\.\s*`([^`]+)`|({_TBL}))"
     r"(?:\s+PARTITIONED\s+BY\s*\((.*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -525,31 +526,7 @@ def sql_dml(spark: SparkSession, statement: str):
         stmt = _rewrite_time_travel(spark, stmt)
     m = _CONVERT.match(stmt)
     if m:
-        from ..sources.txlog import tx_convert
-
-        cols: list[str] | None = None
-        types: dict[str, str] = {}
-        if m.group(2):
-            # Delta's CONVERT spec declares partition TYPES (the hive
-            # dirs carry only strings): `PARTITIONED BY (g BIGINT)`
-            cols = []
-            for item in _split_top(m.group(2), r","):
-                pm = re.match(
-                    rf"^\s*({_IDENT})(?:\s+(.+?))?\s*$", item, re.DOTALL
-                )
-                if not pm:
-                    raise SqlDmlError(
-                        f"CONVERT TO TXLOG: cannot parse PARTITIONED BY "
-                        f"item {item.strip()!r}"
-                    )
-                name = _unquote(pm.group(1))
-                cols.append(name)
-                if pm.group(2):
-                    types[name] = pm.group(2)
-        return tx_convert(
-            spark, m.group(1), partition_by=cols,
-            partition_types=types or None,
-        )
+        return _convert(spark, m.group(1), m.group(2), m.group(3))
     m = _CLONE.match(stmt)
     if m:
         return _clone(spark, *m.group(1, 2, 3, 4))
@@ -1430,6 +1407,75 @@ def _insert(
         spark, aligned, path, mode=mode,
         partition_by=partition_by or None,
     )
+
+
+def _convert(
+    spark: SparkSession,
+    path: str | None,
+    table: str | None,
+    part_spec: str | None,
+):
+    """``CONVERT TO TXLOG parquet.`/path` | db.plain_table [PARTITIONED
+    BY (col TYPE, …)]`` — Delta's CONVERT TO DELTA, both address forms.
+    The by-NAME form resolves a crawler-registered external parquet
+    table's location, converts it in place, and RE-REGISTERS the same
+    name over the txlog pinned format — the catalog consumer keeps the
+    name and gains the transactional surface (DML, travel, OPTIMIZE)."""
+    from ..sources.txlog import tx_convert
+
+    cols: list[str] | None = None
+    types: dict[str, str] = {}
+    if part_spec:
+        # Delta's CONVERT spec declares partition TYPES (the hive
+        # dirs carry only strings): `PARTITIONED BY (g BIGINT)`
+        cols = []
+        for item in _split_top(part_spec, r","):
+            pm = re.match(
+                rf"^\s*({_IDENT})(?:\s+(.+?))?\s*$", item, re.DOTALL
+            )
+            if not pm:
+                raise SqlDmlError(
+                    f"CONVERT TO TXLOG: cannot parse PARTITIONED BY "
+                    f"item {item.strip()!r}"
+                )
+            name = _unquote(pm.group(1))
+            cols.append(name)
+            if pm.group(2):
+                types[name] = pm.group(2)
+    if path is not None:
+        return tx_convert(
+            spark, path, partition_by=cols, partition_types=types or None
+        )
+    # by-name: resolve the registered parquet table's storage location
+    if txlog_table_path(spark, table) is not None:
+        raise SqlDmlError(
+            f"CONVERT TO TXLOG {table}: already a txlog table"
+        )
+    parts = [_unquote(p) for p in table.split(".")]
+    fq = ".".join(parts)
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {fq}").collect()
+    except Exception as e:
+        raise SqlDmlError(
+            f"CONVERT TO TXLOG {table}: cannot describe ({e})"
+        )
+    loc = next(
+        (str(r.data_type) for r in rows if r.col_name == "Location"), None
+    )
+    if loc is None:
+        raise SqlDmlError(
+            f"CONVERT TO TXLOG {table}: no storage Location (views and "
+            "temp tables have no files to convert)"
+        )
+    loc = loc.removeprefix("file:")
+    v = tx_convert(
+        spark, loc, partition_by=cols, partition_types=types or None
+    )
+    from .sql_serving import register_txlog_table
+
+    db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+    register_txlog_table(spark, db, parts[-1], loc)
+    return v
 
 
 def _split_replace_where(table: str, text: str) -> tuple[str, str]:

@@ -1716,3 +1716,31 @@ def test_sql_script_multi_statement(spark, tmp_path):
     )
     assert results[0] == "dmldb.scripted"
     assert rows(results[-1]) == [(1, "a;b"), (2, "C")]
+
+
+def test_sql_convert_by_name_upgrades_registration(spark, tmp_path):
+    """CONVERT TO TXLOG db.t on a crawler-registered external parquet
+    table: the location converts in place and the SAME catalog name is
+    re-registered over the txlog format — the consumer keeps the name
+    and gains DML/travel."""
+    src = str(tmp_path / "byname")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id long, v string"
+    ).write.parquet(src)
+    spark.sql("CREATE DATABASE IF NOT EXISTS dmldb")
+    spark.sql("DROP TABLE IF EXISTS dmldb.byname")
+    spark.sql(
+        f"CREATE TABLE dmldb.byname (id BIGINT, v STRING) USING parquet "
+        f"LOCATION '{src}'"
+    )
+    v = sql_dml(spark, "CONVERT TO TXLOG dmldb.byname")
+    assert v == 1
+    # the name now routes DML and time travel
+    sql_dml(spark, "DELETE FROM dmldb.byname WHERE id = 2")
+    assert spark.sql("SELECT count(*) AS n FROM dmldb.byname").collect()[0].n == 5
+    assert sql_dml(
+        spark, "SELECT count(*) AS n FROM dmldb.byname VERSION AS OF 1"
+    ).collect()[0].n == 6
+    # converting a txlog table refuses
+    with pytest.raises(SqlDmlError, match="already"):
+        sql_dml(spark, "CONVERT TO TXLOG dmldb.byname")
