@@ -71,7 +71,12 @@ Supported statements (``db.table`` names registered by
   [PARTITIONED BY (…)] AS <query>`` — CTAS, external or managed; and
   the empty-table DDL form ``CREATE TABLE db.t (col TYPE, …) USING
   txlog [LOCATION '…'] [PARTITIONED BY (…)]`` (version 1 commits the
-  schema with zero rows).
+  schema with zero rows) — column items accept the full Delta DDL
+  surface: ``NOT NULL``, ``DEFAULT <expr>``, ``GENERATED {ALWAYS|BY
+  DEFAULT} AS IDENTITY [(START WITH n [INCREMENT BY s])]``,
+  ``GENERATED ALWAYS AS (expr)`` and table-level ``CONSTRAINT name
+  CHECK (expr)``, each applied as a metadata commit so the invariants
+  hold from the first INSERT.
 - ``CONVERT TO TXLOG parquet.`/path`` [PARTITIONED BY (cols)]`` —
   Delta's CONVERT TO DELTA: in-place, metadata-only conversion of an
   existing parquet directory (files referenced where they sit, rows
@@ -541,16 +546,22 @@ def sql_dml(spark: SparkSession, statement: str):
         )
     m = _CREATE_EMPTY.match(stmt)
     if m:
+        ddl_parts, col_opts = _parse_create_columns(
+            m.group(2), _split_top(m.group(3), r",")
+        )
         try:
-            empty = spark.createDataFrame([], m.group(3))
+            empty = spark.createDataFrame([], ", ".join(ddl_parts))
         except Exception as e:
             raise SqlDmlError(
                 f"CREATE TABLE {m.group(2)}: cannot parse column list "
                 f"{m.group(3)!r} as a DDL schema ({e})"
             )
-        return _ctas(
+        fq = _ctas(
             spark, bool(m.group(1)), m.group(2), m.group(4), None, df=empty
         )
+        if col_opts:
+            _apply_create_options(spark, fq, col_opts)
+        return fq
     m = _OPTIMIZE.match(stmt)
     if m:
         return _optimize(spark, m.group(1), m.group(3), m.group(2))
@@ -1407,6 +1418,92 @@ def _insert(
         spark, aligned, path, mode=mode,
         partition_by=partition_by or None,
     )
+
+
+_GEN_IDENTITY = re.compile(
+    r"\bGENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+    r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?"
+    r"\s*\))?",
+    re.IGNORECASE,
+)
+_GEN_EXPR = re.compile(
+    r"\bGENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_COL_DEFAULT = re.compile(
+    r"\bDEFAULT\s+(.+?)\s*$", re.IGNORECASE | re.DOTALL
+)
+_TBL_CHECK = re.compile(
+    rf"^\s*CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COL_HEAD = re.compile(rf"^\s*({_IDENT})\s+", re.DOTALL)
+
+
+def _parse_create_columns(
+    table: str, items: list[str]
+) -> tuple[list[str], list[tuple]]:
+    """Split CREATE TABLE column items into the plain DDL parts Spark's
+    schema parser accepts (``name type [NOT NULL]``) and the declarative
+    options applied as metadata commits after version 1: ``GENERATED
+    {ALWAYS|BY DEFAULT} AS IDENTITY [(START WITH n [INCREMENT BY s])]``
+    (both spellings serve the engine's BY-DEFAULT identity semantics),
+    ``GENERATED ALWAYS AS (expr)``, ``DEFAULT <expr>``, and table-level
+    ``CONSTRAINT name CHECK (expr)`` — the full Delta column-DDL surface
+    at create time."""
+    ddl, opts = [], []
+    for item in items:
+        item = item.strip()
+        m = _TBL_CHECK.match(item)
+        if m:
+            opts.append(("check", (_unquote(m.group(1)), m.group(2).strip())))
+            continue
+        cm = _COL_HEAD.match(item)
+        if not cm:
+            raise SqlDmlError(
+                f"CREATE TABLE {table}: cannot parse column item {item!r}"
+            )
+        name = _unquote(cm.group(1))
+        rest = item
+        m = _GEN_IDENTITY.search(rest)
+        if m:
+            start = int(m.group(2)) if m.group(2) else 1
+            step = int(m.group(3)) if m.group(3) else 1
+            opts.append(("identity", (name, start, step)))
+            rest = rest[: m.start()] + rest[m.end():]
+        else:
+            m = _GEN_EXPR.search(rest)
+            if m:
+                opts.append(("generated", (name, m.group(1).strip())))
+                rest = rest[: m.start()] + rest[m.end():]
+        m = _COL_DEFAULT.search(rest)
+        if m:
+            opts.append(("default", (name, m.group(1).strip())))
+            rest = rest[: m.start()] + rest[m.end():]
+        ddl.append(" ".join(rest.split()))
+    return ddl, opts
+
+
+def _apply_create_options(
+    spark: SparkSession, fq: str, col_opts: list[tuple]
+) -> None:
+    """Apply the parsed column options to the freshly created (empty)
+    table — each a metadata-only commit through the declaring writers,
+    so the invariants hold from the table's FIRST data write."""
+    from ..sources import txlog as TX
+
+    pinned = txlog_table_path(spark, fq)
+    assert pinned is not None  # _ctas just registered it
+    path = pinned[0]
+    for kind, payload in col_opts:
+        if kind == "identity":
+            col, start, step = payload
+            TX.tx_add_identity(spark, path, col, start=start, step=step)
+        elif kind == "generated":
+            TX.tx_add_generated_column(spark, path, *payload)
+        elif kind == "default":
+            TX.tx_set_default(spark, path, *payload)
+        else:  # check
+            TX.tx_add_constraint(spark, path, *payload)
 
 
 def _convert(

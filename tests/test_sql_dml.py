@@ -1744,3 +1744,32 @@ def test_sql_convert_by_name_upgrades_registration(spark, tmp_path):
     # converting a txlog table refuses
     with pytest.raises(SqlDmlError, match="already"):
         sql_dml(spark, "CONVERT TO TXLOG dmldb.byname")
+
+
+def test_sql_create_table_column_options(spark, tmp_path):
+    """The full Delta column-DDL surface at CREATE time: IDENTITY,
+    GENERATED ALWAYS AS (expr), DEFAULT, NOT NULL and table-level CHECK —
+    all declared in the column list and live from the first INSERT."""
+    loc = str(tmp_path / "colopts")
+    sql_dml(
+        spark,
+        f"""CREATE TABLE dmldb.colopts (
+              id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+              v STRING NOT NULL,
+              x BIGINT DEFAULT 7,
+              tot BIGINT GENERATED ALWAYS AS (x + 1),
+              CONSTRAINT vpos CHECK (length(v) > 0)
+            ) USING txlog LOCATION '{loc}'""",
+    )
+    # INSERT omitting identity/default/generated columns: all fill
+    sql_dml(spark, "INSERT INTO dmldb.colopts (v) SELECT 'a'")
+    sql_dml(spark, "INSERT INTO dmldb.colopts (v, x) SELECT 'b', 100")
+    got = rows(spark.sql("SELECT id, v, x, tot FROM dmldb.colopts"))
+    assert got == [(10, "a", 7, 8), (12, "b", 100, 101)], got
+    # the CHECK is live: an empty v refuses
+    with pytest.raises(Exception, match="vpos|Check|CHECK"):
+        sql_dml(spark, "INSERT INTO dmldb.colopts (v) SELECT ''")
+    # properties record the declarations
+    props = TX.tx_properties(spark, loc)
+    assert "identity.id" in props and "generated.tot" in props
+    assert "default.x" in props and "check.vpos" in props
