@@ -64,7 +64,8 @@ Supported statements (``db.table`` names registered by
   time-travelable/undoable, properties and constraints survive).
 - DDL by name: ``ALTER TABLE db.t ADD COLUMN(s) … | RENAME COLUMN a TO
   b | DROP COLUMN c | ADD CONSTRAINT n CHECK (…) | DROP CONSTRAINT n |
-  SET TBLPROPERTIES (…)`` — the metadata-only schema writers, with
+  ALTER COLUMN c SET NOT NULL | DROP NOT NULL | SET DEFAULT <expr> |
+  DROP DEFAULT | SET TBLPROPERTIES (…)`` — the metadata-only schema writers, with
   automatic catalog re-registration so SELECT sees the new shape; and
   ``SHOW TBLPROPERTIES db.t`` served from the txlog property record.
 - ``CREATE [OR REPLACE] TABLE db.t USING txlog [LOCATION '…']
@@ -1811,6 +1812,34 @@ _ALTER_FORMS = [
         ),
         "set_properties",
     ),
+    (
+        re.compile(
+            rf"^ALTER\s+COLUMN\s+({_IDENT})\s+SET\s+NOT\s+NULL\s*$",
+            re.IGNORECASE,
+        ),
+        "set_not_null",
+    ),
+    (
+        re.compile(
+            rf"^ALTER\s+COLUMN\s+({_IDENT})\s+DROP\s+NOT\s+NULL\s*$",
+            re.IGNORECASE,
+        ),
+        "drop_not_null",
+    ),
+    (
+        re.compile(
+            rf"^ALTER\s+COLUMN\s+({_IDENT})\s+SET\s+DEFAULT\s+(.+?)\s*$",
+            re.IGNORECASE | re.DOTALL,
+        ),
+        "set_default",
+    ),
+    (
+        re.compile(
+            rf"^ALTER\s+COLUMN\s+({_IDENT})\s+DROP\s+DEFAULT\s*$",
+            re.IGNORECASE,
+        ),
+        "drop_default",
+    ),
 ]
 
 
@@ -1871,6 +1900,27 @@ def _alter(spark: SparkSession, table: str, action: str):
             reregister = False
         elif kind == "drop_constraint":
             v = TX.tx_drop_constraint(spark, path, _unquote(m.group(1)))
+            reregister = False
+        elif kind == "set_not_null":
+            # Delta's NOT NULL is a validated invariant: full-table check
+            # then enforced on every write, exactly a named CHECK
+            col = _unquote(m.group(1))
+            v = TX.tx_add_constraint(
+                spark, path, f"notnull_{col}", f"{col} IS NOT NULL"
+            )
+            reregister = False
+        elif kind == "drop_not_null":
+            v = TX.tx_drop_constraint(
+                spark, path, f"notnull_{_unquote(m.group(1))}"
+            )
+            reregister = False
+        elif kind == "set_default":
+            v = TX.tx_set_default(
+                spark, path, _unquote(m.group(1)), m.group(2)
+            )
+            reregister = False
+        elif kind == "drop_default":
+            v = TX.tx_drop_default(spark, path, _unquote(m.group(1)))
             reregister = False
         else:  # set_properties
             props = {}

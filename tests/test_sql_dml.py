@@ -1773,3 +1773,36 @@ def test_sql_create_table_column_options(spark, tmp_path):
     props = TX.tx_properties(spark, loc)
     assert "identity.id" in props and "generated.tot" in props
     assert "default.x" in props and "check.vpos" in props
+
+
+def test_sql_alter_column_not_null_and_default(spark, tmp_path):
+    """ALTER TABLE t ALTER COLUMN c SET/DROP NOT NULL | SET/DROP DEFAULT
+    by name: NOT NULL is a validated invariant (full-table check, then
+    enforced on every write); DEFAULT fills omitted columns from the
+    next INSERT on."""
+    p = str(tmp_path / "altcol")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, "a", 5)], "id long, v string, x long"),
+        p,
+    )
+    register_txlog_table(spark, "dmldb", "altcol", p)
+    sql_dml(spark, "ALTER TABLE dmldb.altcol ALTER COLUMN v SET NOT NULL")
+    with pytest.raises(Exception, match="notnull_v|Check|CHECK"):
+        sql_dml(
+            spark,
+            "INSERT INTO dmldb.altcol VALUES (2, CAST(NULL AS STRING), 6)",
+        )
+    sql_dml(spark, "ALTER TABLE dmldb.altcol ALTER COLUMN v DROP NOT NULL")
+    sql_dml(
+        spark,
+        "INSERT INTO dmldb.altcol VALUES (2, CAST(NULL AS STRING), 6)",
+    )
+    sql_dml(spark, "ALTER TABLE dmldb.altcol ALTER COLUMN x SET DEFAULT 42")
+    sql_dml(spark, "INSERT INTO dmldb.altcol (id, v) SELECT 3, 'c'")
+    got = {r.id: r.x for r in spark.sql("SELECT id, x FROM dmldb.altcol").collect()}
+    assert got[3] == 42
+    sql_dml(spark, "ALTER TABLE dmldb.altcol ALTER COLUMN x DROP DEFAULT")
+    sql_dml(spark, "INSERT INTO dmldb.altcol (id, v) SELECT 4, 'd'")
+    got = {r.id: r.x for r in spark.sql("SELECT id, x FROM dmldb.altcol").collect()}
+    assert got[4] is None

@@ -615,3 +615,28 @@ def test_stream_sink_refuses_schema_widening(spark, tmp_path):
     _sink_drain(spark, src, dst, str(tmp_path / "chk2"), app="wide")
     got = {(r.id, r.s, r.region) for r in TX.tx_read(spark, dst).collect()}
     assert got == {(0, None, None), (1, "a", "us")}
+
+
+def test_stream_converted_table_snapshot_and_tail(spark, tmp_path):
+    """A CONVERTed table (tx_convert: entries reference pre-existing
+    files at the table root, hive k=v dirs, no data/<batch> prefix)
+    streams exactly like a native one: initial snapshot = tx_read, then
+    appended commits tail in."""
+    src = str(tmp_path / "convstream")
+    spark.createDataFrame(
+        [(i, f"v{i}", "us" if i % 2 else "eu") for i in range(6)],
+        "id long, s string, region string",
+    ).write.partitionBy("region").parquet(src)
+    TX.tx_convert(
+        spark, src, partition_by=["region"],
+        partition_types={"region": "string"},
+    )
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    got = _drain(spark, src, out, chk)
+    assert got == sorted(
+        (r.id, r.s, r.region) for r in TX.tx_read(spark, src).collect()
+    )
+    # tail: a post-conversion append lands in the next drain
+    TX.tx_write(spark, _mk(spark, 100), src, mode="append")
+    got = _drain(spark, src, out, chk)
+    assert (100, "v100", "us") in got and len(got) == 7
