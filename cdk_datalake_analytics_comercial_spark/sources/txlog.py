@@ -3563,9 +3563,21 @@ def tx_convert(
             "add": entries,
             "remove": [],
             "truncate": True,
+            # durable marker: tx_vacuum extends its sweep to the table
+            # ROOT for converted tables (the original files live outside
+            # data/<batch>; once a later OPTIMIZE materializes them they
+            # would otherwise be unreapable orphans). Delta's VACUUM
+            # scans the whole table dir for the same reason — and shares
+            # the same caveat: nothing else may live in the directory.
+            "properties": {
+                "convertedFrom": "parquet",
+                **(
+                    {_PARTCOLS_PROP: ",".join(partition_by)}
+                    if partition_by
+                    else {}
+                ),
+            },
         }
-        if partition_by:
-            rec["properties"] = {_PARTCOLS_PROP: ",".join(partition_by)}
         return rec
 
     return _commit(spark, root, build)
@@ -3641,6 +3653,36 @@ def tx_vacuum(
                 continue
             if st.getModificationTime() > cutoff_millis:
                 continue  # too young — may belong to an uncommitted batch
+            to_delete.append((full, rel))
+        for full, rel in to_delete:
+            if not dry_run:
+                _delete(spark, full)
+            removed.append(rel)
+    # CONVERTED tables (tx_convert: original files live at the table
+    # ROOT, outside data/): once a later OPTIMIZE materialized them they
+    # would be unreapable orphans — the durable `convertedFrom` property
+    # extends the sweep to the root, exactly Delta's whole-table-dir
+    # VACUUM (and its shared caveat: nothing else may live in the dir)
+    newest = read_manifest(spark, path, keep[-1])
+    if (newest.get("properties") or {}).get("convertedFrom"):
+        fs, p, _ = _fs(spark, root)
+        prefix = fs.makeQualified(p).toString()
+        it = fs.listFiles(p, True)
+        guarded = (f"{_DATA}/", f"{_LOG}/", f"{_DV}/")
+        to_delete = []
+        while it.hasNext():
+            st = it.next()
+            full = st.getPath().toString()
+            rel = full[len(prefix) :].lstrip("/")
+            name = st.getPath().getName()
+            if rel.startswith(guarded):
+                continue  # managed trees have their own sweeps above
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            if rel in referenced:
+                continue
+            if st.getModificationTime() > cutoff_millis:
+                continue
             to_delete.append((full, rel))
         for full, rel in to_delete:
             if not dry_run:

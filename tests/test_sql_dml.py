@@ -1806,3 +1806,41 @@ def test_sql_alter_column_not_null_and_default(spark, tmp_path):
     sql_dml(spark, "INSERT INTO dmldb.altcol (id, v) SELECT 4, 'd'")
     got = {r.id: r.x for r in spark.sql("SELECT id, x FROM dmldb.altcol").collect()}
     assert got[4] is None
+
+
+def test_vacuum_reaps_superseded_converted_files(spark, tmp_path):
+    """After OPTIMIZE materializes a CONVERTed table into managed
+    batches, the original root files are unreferenced by the kept
+    versions — the `convertedFrom` marker extends VACUUM's sweep to the
+    table root so they reap (Delta's whole-dir VACUUM); files still
+    referenced by kept versions survive."""
+    import os
+
+    src = str(tmp_path / "convvac")
+    spark.createDataFrame(
+        [(i, i * 2) for i in range(6)], "id long, x long"
+    ).coalesce(1).write.parquet(src)
+    TX.tx_convert(spark, src)
+    orig = {
+        f
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    }
+    assert orig
+    # while v1 is kept, the converted files must survive vacuum
+    reaped = TX.tx_vacuum(spark, src, keep_versions=5, retain_hours=0.0)
+    assert not any(r in orig for r in reaped)
+    TX.tx_compact(spark, src)  # v2: managed batches, root files now stale
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(100, 0)], "id long, x long"),
+        src,
+        mode="append",
+    )  # v3 — so keep_versions=2 drops v1
+    reaped = TX.tx_vacuum(spark, src, keep_versions=2, retain_hours=0.0)
+    assert orig <= set(reaped), (orig, reaped)
+    left = {f for f in os.listdir(src) if f.endswith(".parquet")}
+    assert not left
+    assert sorted(r.id for r in TX.tx_read(spark, src).collect()) == [
+        0, 1, 2, 3, 4, 5, 100,
+    ]
