@@ -1870,8 +1870,15 @@ def _alter(spark: SparkSession, table: str, action: str):
             spec = m.group(1).strip()
             if spec.startswith("(") and spec.endswith(")"):
                 spec = spec[1:-1]
+            # column items accept the same declarative options as CREATE
+            # (DEFAULT / GENERATED … / IDENTITY / CHECK); NOT NULL is NOT
+            # among them — adding a NOT NULL column to a non-empty table
+            # is unsatisfiable and tx_add_column refuses it
+            ddl_parts, col_opts = _parse_create_columns(
+                table, _split_top(spec, r",")
+            )
             v = None
-            for item in _split_top(spec, r","):
+            for item in ddl_parts:
                 cm = re.match(
                     rf"^\s*({_IDENT})\s+(.+?)\s*$", item, re.DOTALL
                 )
@@ -1883,10 +1890,13 @@ def _alter(spark: SparkSession, table: str, action: str):
                 v = TX.tx_add_column(
                     spark, path, _unquote(cm.group(1)), cm.group(2)
                 )
-            if v is None:
+            if v is None and not col_opts:
                 raise SqlDmlError(
                     f"ALTER TABLE {table} ADD COLUMN: empty column list"
                 )
+            if col_opts:
+                _apply_create_options(spark, f"{table}", col_opts)
+                v = TX.current_version(spark, path)
         elif kind == "rename_column":
             v = TX.tx_rename_column(
                 spark, path, _unquote(m.group(1)), _unquote(m.group(2))

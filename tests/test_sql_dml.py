@@ -1844,3 +1844,24 @@ def test_vacuum_reaps_superseded_converted_files(spark, tmp_path):
     assert sorted(r.id for r in TX.tx_read(spark, src).collect()) == [
         0, 1, 2, 3, 4, 5, 100,
     ]
+
+
+def test_sql_add_column_with_default(spark, tmp_path):
+    """ALTER TABLE t ADD COLUMN c TYPE DEFAULT <expr>: the column
+    null-pads existing rows (metadata-only) and the DEFAULT fills from
+    the next INSERT on — the same option surface CREATE accepts."""
+    p = str(tmp_path / "addcol")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), p
+    )
+    register_txlog_table(spark, "dmldb", "addcol", p)
+    sql_dml(
+        spark,
+        "ALTER TABLE dmldb.addcol ADD COLUMN score BIGINT DEFAULT 50",
+    )
+    assert rows(spark.sql("SELECT id, score FROM dmldb.addcol")) == [(1, None)]
+    sql_dml(spark, "INSERT INTO dmldb.addcol (id, v) SELECT 2, 'b'")
+    assert rows(spark.sql("SELECT id, score FROM dmldb.addcol")) == [
+        (1, None),
+        (2, 50),
+    ]
