@@ -178,11 +178,11 @@ def _split_top(text: str, sep: str) -> list[str]:
     n = len(text)
     while i < n:
         c = text[i]
-        if c == "'":
+        if c in ("'", '"'):  # "…" is a string literal in Spark SQL too
             j = i + 1
             while j < n:
-                if text[j] == "'":
-                    if j + 1 < n and text[j + 1] == "'":
+                if text[j] == c:
+                    if j + 1 < n and text[j + 1] == c:
                         j += 2
                         continue
                     break
@@ -253,6 +253,13 @@ def _parse_literal(tok: str):
         and tok.endswith("'")
         and "'" not in tok[1:-1].replace("''", "")
     ):
+        if "\\" in tok:
+            # F.expr treats backslash as an escape; mirroring its full
+            # escape table here is fragile, and a MISMATCHED value in a
+            # pruning/equality probe silently loses rows — so a
+            # backslash-bearing literal is simply not sargable (the
+            # conjunct rides as the row-level condition, scan-all)
+            return None
         return tok[1:-1].replace("''", "'")
     return None
 
@@ -643,6 +650,17 @@ def _strip_line_comment(line: str) -> str:
     return line
 
 
+def _has_select_outside_quotes(pred: str) -> bool:
+    """True when the predicate carries a SELECT token OUTSIDE quoted
+    literals — ``WHERE note = 'SELECT me'`` is a plain predicate, not a
+    subquery, and must not route to the subquery tier."""
+    spans = _quoted_spans(pred)
+    return any(
+        not any(a <= m.start() < b for a, b in spans)
+        for m in re.finditer(r"\bSELECT\b", pred, re.IGNORECASE)
+    )
+
+
 def _delete(spark: SparkSession, table: str, pred: str | None):
     pinned = txlog_table_path(spark, table)
     if pinned is None:
@@ -655,7 +673,7 @@ def _delete(spark: SparkSession, table: str, pred: str | None):
             f"DELETE FROM {table} without WHERE would truncate the table; "
             "say WHERE true to mean it"
         )
-    if re.search(r"\bSELECT\b", pred, re.IGNORECASE):
+    if _has_select_outside_quotes(pred):
         return _delete_subquery(spark, table, path, pred)
     where, where_equals, condition = parse_predicate(pred)
     return tx_delete(
@@ -780,8 +798,9 @@ def _delete_subquery(spark: SparkSession, table: str, path: str, pred: str):
             where_equals=where_equals or None,
             condition=condition,
         )
+    tgt_cols = _table_columns(spark, table) if residual else []
     cond = (
-        " AND ".join(f"({_qualify_target(c)})" for c in residual)
+        " AND ".join(f"({_qualify_target(c, tgt_cols)})" for c in residual)
         if residual
         else None
     )
@@ -822,8 +841,9 @@ def _update_subquery(
             where_equals=where_equals or None,
             condition=condition,
         )
+    tgt_cols = _table_columns(spark, table)
     cond = (
-        " AND ".join(f"({_qualify_target(c)})" for c in residual)
+        " AND ".join(f"({_qualify_target(c, tgt_cols)})" for c in residual)
         if residual
         else None
     )
@@ -832,7 +852,10 @@ def _update_subquery(
         clauses={"matched": [{
             "cond": cond,
             "action": "update",
-            "set": {c: _qualify_target(e) for c, e in set_items.items()},
+            "set": {
+                c: _qualify_target(e, tgt_cols)
+                for c, e in set_items.items()
+            },
         }]},
     )
 
@@ -846,37 +869,33 @@ def _render_literal(v) -> str | None:
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        # the rendered list is re-parsed by F.expr, where backslash is
+        # an escape character (escapedStringLiterals default) — escape
+        # it FIRST, then double the quotes, or keys containing \ would
+        # round-trip to a different value and silently miss rows
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
     return None
 
 
-def _qualify_target(conj: str) -> str:
-    """Qualify bare column references of a residual DELETE conjunct onto
-    the merge's target side (``t.``) — identifiers not followed by ``(``
-    or preceded/followed by ``.``; quoted regions are data. SQL keywords
-    that survive (AND/OR/NULL/…) are not column references and keep
-    working because ``t.``-qualification is only applied to names the
-    expression binds as columns."""
-    kw = {
-        "and", "or", "not", "null", "true", "false", "is", "in", "like",
-        "between", "case", "when", "then", "else", "end", "cast", "as",
-        "distinct", "interval", "current_date", "current_timestamp",
-        "date", "timestamp", "rlike", "div", "escape",
-        # type names (CAST(x AS STRING) — STRING is not a column ref)
-        "string", "int", "integer", "bigint", "smallint", "tinyint",
-        "long", "float", "real", "double", "decimal", "numeric",
-        "boolean", "binary", "char", "varchar", "array", "map", "struct",
-        "void",
-    }
+def _qualify_target(conj: str, tgt_cols: list[str]) -> str:
+    """Qualify references to ACTUAL target-table columns of a residual
+    DELETE/UPDATE conjunct onto the merge's target side (``t.``). Only
+    names present in ``tgt_cols`` are rewritten (mirroring
+    ``_make_rebinder``'s schema-membership rule) — SQL keywords,
+    function names, INTERVAL units (``INTERVAL 1 DAY``) and
+    ``extract(year FROM d)`` tokens are left as written, so valid SQL
+    that uses them never turns into bogus ``t.``-column refs. Quoted
+    regions are data."""
+    low = {c.lower(): c for c in tgt_cols}
 
     def sub(m: re.Match) -> str:
         first, dot, _second = m.group(1), m.group(2), m.group(3)
         if dot:
             return m.group(0)  # already qualified — leave as written
-        name = _unquote(first)
-        if name.lower() in kw:
-            return m.group(0)
-        return f"t.`{name}`"
+        col = low.get(_unquote(first).lower())
+        if col is None:
+            return m.group(0)  # not a target column — keyword/unit/etc.
+        return f"t.`{col}`"
 
     def guarded(m: re.Match) -> str:
         rest = conj[m.end():].lstrip()
@@ -885,6 +904,13 @@ def _qualify_target(conj: str) -> str:
         return sub(m)
 
     return _sub_outside_quotes(_EXPR_REF, guarded, conj)
+
+
+def _table_columns(spark: SparkSession, table: str) -> list[str]:
+    """Column names of a registered table (``db.t`` or bare), unquoted."""
+    return spark.table(
+        ".".join(_unquote(p) for p in table.split("."))
+    ).columns
 
 
 def _update(spark: SparkSession, table: str, set_and_where: str):
@@ -909,7 +935,7 @@ def _update(spark: SparkSession, table: str, set_and_where: str):
                 f"UPDATE {table}: cannot parse assignment {item.strip()!r}"
             )
         set_items[_unquote(m.group(1))] = m.group(2)
-    if pred and re.search(r"\bSELECT\b", pred, re.IGNORECASE):
+    if pred and _has_select_outside_quotes(pred):
         return _update_subquery(spark, table, path, pred, set_items)
     assignments = {c: F.expr(e) for c, e in set_items.items()}
     if pred:

@@ -101,6 +101,14 @@ class _TxAlreadyApplied(Exception):
     must become a no-op, not a duplicate."""
 
 
+class TxMergeError(RuntimeError):
+    """A MERGE whose result would be ambiguous: multiple source rows
+    match the same target row under WHEN clauses, so "which row's clause
+    fires" is arbitrary — the txlog twin of Delta's
+    DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW. Clause-mode merges
+    refuse instead of silently picking a winner."""
+
+
 class TxProtocolError(RuntimeError):
     """The table requires a feature this reader/writer does not implement —
     the txlog twin of Delta's protocol action (minReaderVersion /
@@ -199,17 +207,20 @@ def _map_keys(d, mapping: dict[str, str]):
 
 
 def _quoted_spans(text: str) -> list[tuple[int, int]]:
-    """(start, end) spans of single-quoted literals ('' escapes) and
-    backquoted identifiers — regions expression rewriting must not
-    touch (shared by the SQL DML router's statement rewrites)."""
+    """(start, end) spans of single- AND double-quoted literals
+    (doubled-quote escapes) and backquoted identifiers — regions
+    expression rewriting must not touch (shared by the SQL DML router's
+    statement rewrites). Spark SQL accepts ``"…"`` as a string literal
+    by default (doubleQuotedIdentifiers off), so double-quoted spans
+    are data too."""
     spans, i, n = [], 0, len(text)
     while i < n:
         c = text[i]
-        if c == "'":
+        if c in ("'", '"'):
             j = i + 1
             while j < n:
-                if text[j] == "'":
-                    if j + 1 < n and text[j + 1] == "'":
+                if text[j] == c:
+                    if j + 1 < n and text[j + 1] == c:
                         j += 2
                         continue
                     break
@@ -3108,8 +3119,29 @@ def tx_merge(
             source.select(*keys).distinct(), keys, "left_semi"
         )
     if clauses is not None:
+        if clauses.get("matched") and slice_df is not None:
+            # Delta raises on merge ambiguity rather than picking a
+            # winner: duplicate source keys that MATCH a target row make
+            # "which row's matched clause fires" arbitrary
+            # (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW). Duplicates
+            # matching no target row are legitimate — each lands through
+            # the not_matched clauses, exactly Delta's behavior.
+            dup_keys = (
+                source.groupBy(*(F.col(f"`{k}`") for k in keys))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .drop("__n")
+            )
+            if dup_keys.join(
+                slice_df.select(*keys), keys, "left_semi"
+            ).limit(1).count():
+                raise TxMergeError(
+                    "tx_merge: multiple source rows match the same target "
+                    "row — the WHEN clauses to apply are ambiguous; "
+                    "deduplicate the source on the merge keys first"
+                )
         merged = _merge_apply_clauses(
-            spark, slice_df, _dedup_on_keys(source, keys), keys, clauses,
+            spark, slice_df, source, keys, clauses,
             manifest0["schema"],
         )
     elif precedence is None:

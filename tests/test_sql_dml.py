@@ -116,6 +116,10 @@ TRICKY_PREDICATES = [
     # --- conflicting same-type equality conjuncts: the empty range
     # intersection prunes soundly and the row-level spec stays vacuous
     "g = 1 AND g = 2",
+    # backslash literals are NOT sargable (F.expr's escape semantics) —
+    # the conjunct must ride row-level, never as a mismatched probe
+    r"v = 'a\\b' AND id >= 0",
+    r"v <> 'v1\\' OR id = 2",
 ]
 
 
@@ -1865,3 +1869,175 @@ def test_sql_add_column_with_default(spark, tmp_path):
         (1, None),
         (2, 50),
     ]
+
+
+# ------------------------------------------------- round-13 advice fixes
+
+
+def test_subquery_delete_backslash_and_quote_keys(spark, tmp_path):
+    """Inline-tier subquery DELETE with string keys containing backslash
+    and quote characters: the rendered IN-list is re-parsed by F.expr,
+    where backslash is an escape char — keys must round-trip VERBATIM or
+    the delete silently misses rows."""
+    p = str(tmp_path / "bskeys")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [("a\\b", 1), ("a\\\\b", 2), ("it's", 3), ("plain", 4),
+             ("x\\'y", 5)],
+            "k string, n long",
+        ),
+        p,
+    )
+    register_txlog_table(spark, "dmldb", "bskeys", p)
+    spark.createDataFrame(
+        [("a\\b",), ("it's",), ("x\\'y",)], "kk string"
+    ).createOrReplaceTempView("bskeys_keys")
+    sql_dml(
+        spark,
+        "DELETE FROM dmldb.bskeys WHERE k IN (SELECT kk FROM bskeys_keys)",
+    )
+    left = {r.k for r in spark.sql("SELECT k FROM dmldb.bskeys").collect()}
+    assert left == {"a\\\\b", "plain"}
+
+
+def test_double_quoted_literals_are_data(spark, tmp_path):
+    """Spark SQL accepts "…" string literals; the router's rewriters
+    (rebinder, comment stripping, statement split) must treat their
+    contents as DATA — a target-column name or a `--` inside a
+    double-quoted literal is never rewritten or stripped."""
+    from cdk_datalake_analytics_comercial_spark.core.sql_dml import sql_script
+
+    p = _table(spark, tmp_path, "dquot")
+    register_txlog_table(spark, "dmldb", "dquot", p)
+    # MERGE assignment: "id inside" names a target column inside a
+    # double-quoted literal — must land verbatim, not as t.`id`
+    spark.sql(
+        "SELECT * FROM VALUES (1), (2) AS s(id)"
+    ).createOrReplaceTempView("dquot_src")
+    sql_dml(
+        spark,
+        'MERGE INTO dmldb.dquot t USING dquot_src s ON t.id = s.id '
+        'WHEN MATCHED THEN UPDATE SET v = "id -- not a comment"',
+    )
+    got = {r.id: r.v for r in spark.sql("SELECT id, v FROM dmldb.dquot").collect()}
+    assert got[1] == "id -- not a comment" and got[2] == "id -- not a comment"
+    assert got[3] == "v3"
+    # sql_script: a ; and a -- inside "…" belong to the literal
+    sql_script(
+        spark,
+        'UPDATE dmldb.dquot SET v = "semi;colon -- tail" WHERE id = 5;\n'
+        "DELETE FROM dmldb.dquot WHERE id = 6;",
+    )
+    got = {r.id: r.v for r in spark.sql("SELECT id, v FROM dmldb.dquot").collect()}
+    assert got[5] == "semi;colon -- tail" and 6 not in got
+
+
+def test_select_inside_string_literal_is_not_a_subquery(spark, tmp_path):
+    """`WHERE v = 'SELECT me'` is a plain predicate — routing it to the
+    subquery parser would reject a valid statement."""
+    p = str(tmp_path / "selstr")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "SELECT me"), (2, "keep")], "id long, v string"
+        ),
+        p,
+    )
+    register_txlog_table(spark, "dmldb", "selstr", p)
+    sql_dml(spark, "DELETE FROM dmldb.selstr WHERE v = 'SELECT me'")
+    assert rows(spark.sql("SELECT id FROM dmldb.selstr")) == [(2,)]
+    sql_dml(spark, "UPDATE dmldb.selstr SET v = 'SELECT too' WHERE id = 2")
+    assert rows(spark.sql("SELECT v FROM dmldb.selstr")) == [("SELECT too",)]
+
+
+def test_qualify_target_only_rewrites_target_columns():
+    """Merge-tier residual/SET qualification: only ACTUAL target columns
+    become t.`…` — INTERVAL units, extract(... FROM ...) tokens and
+    other non-column identifiers are left as written (they would
+    otherwise fail analysis as bogus column refs)."""
+    from cdk_datalake_analytics_comercial_spark.core.sql_dml import (
+        _qualify_target,
+    )
+
+    cols = ["ts", "id", "v"]
+    assert (
+        _qualify_target("ts >= current_date() - INTERVAL 1 DAY", cols)
+        == "t.`ts` >= current_date() - INTERVAL 1 DAY"
+    )
+    assert (
+        _qualify_target("extract(YEAR FROM ts) = 2020", cols)
+        == "extract(YEAR FROM t.`ts`) = 2020"
+    )
+    # already-qualified and quoted regions stay as written
+    assert (
+        _qualify_target("s.id = 1 AND v = 'id'", cols)
+        == "s.id = 1 AND t.`v` = 'id'"
+    )
+
+
+def test_update_subquery_merge_tier_with_interval_residual(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end: a merge-tier subquery UPDATE whose residual uses
+    INTERVAL arithmetic analyzes and applies correctly (the r12 router
+    would have rewritten DAY into t.`DAY` and failed)."""
+    from cdk_datalake_analytics_comercial_spark.core import sql_dml as M
+
+    monkeypatch.setattr(M, "_SUBQ_INLINE_MAX", 1)
+    p = str(tmp_path / "ivres")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", "2020-01-10"), (2, "b", "2020-01-10"),
+             (3, "c", "1999-01-01")],
+            "id long, v string, d string",
+        ).withColumn("d", F.col("d").cast("date")),
+        p,
+    )
+    register_txlog_table(spark, "dmldb", "ivres", p)
+    spark.sql(
+        "SELECT * FROM VALUES (1), (2), (3) AS k(kid)"
+    ).createOrReplaceTempView("ivres_keys")
+    sql_dml(
+        spark,
+        "UPDATE dmldb.ivres SET v = 'late' "
+        "WHERE id IN (SELECT kid FROM ivres_keys) "
+        "AND d >= date '2020-01-01' + INTERVAL 1 DAY",
+    )
+    got = {r.id: r.v for r in spark.sql("SELECT id, v FROM dmldb.ivres").collect()}
+    assert got == {1: "late", 2: "late", 3: "c"}
+
+
+def test_merge_clause_duplicate_source_keys(spark, tmp_path):
+    """Clause-mode MERGE with duplicate source keys: duplicates that
+    MATCH a target row raise (Delta's multiple-source-rows-match error —
+    which clause fires would be arbitrary); duplicates matching NO
+    target row each insert through the not_matched clauses."""
+    p = _table(spark, tmp_path, "dupsrc")
+    register_txlog_table(spark, "dmldb", "dupsrc", p)
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'x'), (1, 'y') AS s(id, nv)"
+    ).createOrReplaceTempView("dupsrc_amb")
+    with pytest.raises(TX.TxMergeError, match="multiple source rows"):
+        sql_dml(
+            spark,
+            "MERGE INTO dmldb.dupsrc t USING dupsrc_amb s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.nv",
+        )
+    # duplicates on UNMATCHED keys: both rows insert (Delta semantics)
+    spark.sql(
+        "SELECT * FROM VALUES (500, 'x'), (500, 'y') AS s(id, nv)"
+    ).createOrReplaceTempView("dupsrc_ins")
+    sql_dml(
+        spark,
+        "MERGE INTO dmldb.dupsrc t USING dupsrc_ins s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.nv "
+        "WHEN NOT MATCHED THEN INSERT (id, v, g) VALUES (s.id, s.nv, 9)",
+    )
+    got = sorted(
+        r.v for r in spark.sql(
+            "SELECT v FROM dmldb.dupsrc WHERE id = 500"
+        ).collect()
+    )
+    assert got == ["x", "y"]
