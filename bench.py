@@ -31,6 +31,7 @@ HEADLINE = [
     "sql_time_travel",
     "sql_ddl_lifecycle",
     "sql_merge_conditional",
+    "sql_merge_evolution",
     "sql_delete_in_subquery",
     "sql_replace_where",
     "sql_convert_in_place",

@@ -453,7 +453,8 @@ _UPDATE = re.compile(
     rf"^\s*UPDATE\s+({_TBL})\s+SET\s+(.*)$", re.IGNORECASE | re.DOTALL
 )
 _MERGE = re.compile(
-    rf"^\s*MERGE\s+INTO\s+({_TBL})(?:\s+AS)?(?:\s+({_IDENT}))?\s+USING\s+",
+    rf"^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+({_TBL})"
+    rf"(?:\s+AS)?(?:\s+({_IDENT}))?\s+USING\s+",
     re.IGNORECASE,
 )
 _INSERT = re.compile(
@@ -963,12 +964,17 @@ _MERGE_TAIL = re.compile(
 
 
 def _merge(spark: SparkSession, stmt: str, head: re.Match):
-    """``MERGE INTO t USING s ON <equi-keys> WHEN MATCHED THEN UPDATE
-    SET * WHEN NOT MATCHED THEN INSERT *`` — the upsert shape
-    ``tx_merge`` implements (source wins on every column; K3). The
-    optional ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` maps to
+    """``MERGE [WITH SCHEMA EVOLUTION] INTO t USING s ON <equi-keys>
+    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` —
+    the upsert shape ``tx_merge`` implements (source wins on every
+    column; K3). ``WITH SCHEMA EVOLUTION`` is Delta's clause for
+    drifting upstream schemas: new source columns EXTEND the table
+    schema (existing rows null-pad) instead of refusing — threaded as
+    ``tx_merge(schema_evolution=True)``. The optional ``WHEN NOT
+    MATCHED BY SOURCE THEN DELETE`` maps to
     ``not_matched_by_source='delete'`` (full-sync semantics)."""
-    table, tgt_alias = head.group(1), head.group(2)
+    evolve = bool(head.group(1))
+    table, tgt_alias = head.group(2), head.group(3)
     pinned = txlog_table_path(spark, table)
     if pinned is None:
         raise SqlDmlError(
@@ -1004,12 +1010,36 @@ def _merge(spark: SparkSession, stmt: str, head: re.Match):
         on, nmbs = tail.group(1), tail.group(2)
         keys = _merge_on_keys(on, table)
         source = spark.sql(src_sql)
-        return tx_merge(
+        v = tx_merge(
             spark,
             source,
             path,
             keys=keys,
             not_matched_by_source="delete" if nmbs else None,
+            schema_evolution=evolve,
+        )
+        if evolve:
+            # the catalog relation pins the registration-time schema —
+            # re-register so a new column is immediately visible by name
+            # (same refresh ALTER TABLE ADD COLUMN performs)
+            from .sql_serving import register_txlog_table
+
+            parts = [_unquote(p) for p in table.split(".")]
+            db = (
+                parts[0]
+                if len(parts) == 2
+                else spark.catalog.currentDatabase()
+            )
+            register_txlog_table(spark, db, parts[-1], path)
+        return v
+    if evolve:
+        # tx_merge refuses clauses+schema_evolution (explicit column
+        # lists pin the shape) — surface that as a router-level refusal
+        raise SqlDmlError(
+            f"MERGE INTO {table}: WITH SCHEMA EVOLUTION is only "
+            "supported on the UPDATE SET * / INSERT * shape — general "
+            "WHEN clauses pin explicit columns; add the column with "
+            "ALTER TABLE ADD COLUMN first"
         )
     return _merge_general(
         spark, table, path, rest2.strip(), src_sql, tgt_alias, src_alias

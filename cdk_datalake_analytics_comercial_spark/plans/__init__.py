@@ -22,6 +22,8 @@ for mod in (relational, docs, events):
 # (CORRECTNESS_LOCAL_r*); this ordering just steers the bounded sampler
 # toward the least-externally-confirmed entries.
 _SAMPLE_FIRST = [
+    # new in round 13 (never driver-sampled)
+    "sql_merge_evolution",
     # new in round 12 (never driver-sampled)
     "sql_merge_conditional",
     "sql_replace_where",

@@ -3153,6 +3153,83 @@ FROM fin GROUP BY lang, source
 """
 
 
+def q_sql_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE WITH SCHEMA EVOLUTION INTO`` BY NAME (`core/sql_dml.py`
+    `_merge` → `txlog.tx_merge(schema_evolution=True)`): Delta's clause
+    for drifting upstream schemas — the source carries a NEW column
+    (``origin``) the table has never seen; the merge EXTENDS the table
+    schema in the same atomic commit (existing rows null-pad) instead of
+    refusing, and the re-registered catalog relation exposes it by name
+    immediately. Matched rows take every source column (UPDATE SET *),
+    unmatched source rows insert, unmatched target rows stay. DuckDB
+    replays the union-schema algebra closed-form on the raw corpus."""
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import tx_write
+
+    def build(tmp: str) -> None:
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                "doc_id", "lang", "n_chars"
+            ),
+            tmp,
+            stats_for=["doc_id"],
+        )
+        register_txlog_table(spark, "lake_me_build", "t", tmp)
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") % 911).alias("n_chars"),
+            F.col("source").alias("origin"),
+        ).createOrReplaceTempView("graft_me_src")
+        sql_dml(
+            spark,
+            "MERGE WITH SCHEMA EVOLUTION INTO lake_me_build.t AS t "
+            "USING graft_me_src AS s ON t.doc_id = s.doc_id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        spark.sql("DROP TABLE IF EXISTS lake_me_build.t")
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txmev1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_me", path)
+    return spark.sql(f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(origin) AS BIGINT) AS n_origin,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id
+        FROM {db}.documents_me
+        GROUP BY lang
+    """)
+
+
+_ORACLE_SQL_MERGE_EVOLUTION = """
+WITH t0 AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 5 = 0
+),
+s AS (
+  SELECT doc_id, lang, n_chars % 911 AS n_chars, source AS origin
+  FROM documents WHERE doc_id % 3 = 0
+),
+fin AS (
+  SELECT doc_id, lang, n_chars, origin FROM s
+  UNION ALL
+  SELECT doc_id, lang, n_chars, NULL AS origin FROM t0
+  WHERE doc_id NOT IN (SELECT doc_id FROM s)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(origin) AS BIGINT) AS n_origin,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM fin GROUP BY lang
+"""
+
+
 def q_sql_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``INSERT INTO t REPLACE WHERE <pred> SELECT …`` — Delta's
     replaceWhere (`core/sql_dml.py` `_insert_replace_where` →
@@ -3462,6 +3539,7 @@ QUERIES = {
     "sql_time_travel": q_sql_time_travel,
     "sql_ddl_lifecycle": q_sql_ddl_lifecycle,
     "sql_merge_conditional": q_sql_merge_conditional,
+    "sql_merge_evolution": q_sql_merge_evolution,
     "sql_replace_where": q_sql_replace_where,
     "sql_convert_in_place": q_sql_convert_in_place,
     "sql_delete_in_subquery": q_sql_delete_in_subquery,
@@ -3531,6 +3609,7 @@ ORACLES = {
     "sql_time_travel": _ORACLE_SQL_TIME_TRAVEL,
     "sql_ddl_lifecycle": _ORACLE_SQL_DDL_LIFECYCLE,
     "sql_merge_conditional": _ORACLE_SQL_MERGE_CONDITIONAL,
+    "sql_merge_evolution": _ORACLE_SQL_MERGE_EVOLUTION,
     "sql_replace_where": _ORACLE_SQL_REPLACE_WHERE,
     "sql_convert_in_place": _ORACLE_SQL_CONVERT_IN_PLACE,
     "sql_delete_in_subquery": _ORACLE_SQL_DELETE_IN_SUBQUERY,

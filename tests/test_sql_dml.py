@@ -2041,3 +2041,73 @@ def test_merge_clause_duplicate_source_keys(spark, tmp_path):
         ).collect()
     )
     assert got == ["x", "y"]
+
+
+def test_sql_merge_with_schema_evolution(spark, tmp_path):
+    """``MERGE WITH SCHEMA EVOLUTION INTO … UPDATE SET * / INSERT *``:
+    a source carrying a NEW column extends the table schema (existing
+    rows null-pad) instead of refusing — Delta's clause for drifting
+    upstream schemas, threaded as tx_merge(schema_evolution=True)."""
+    p = _table(spark, tmp_path, "mevo")
+    register_txlog_table(spark, "dmldb", "mevo", p)
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'n1', 0, 'x1'), (77, 'n77', 5, 'x77') "
+        "AS s(id, v, g, extra)"
+    ).createOrReplaceTempView("mevo_src")
+    # without the clause the schema stays pinned: the extra source
+    # column is projected away, never lands
+    sql_dml(
+        spark,
+        "MERGE INTO dmldb.mevo t USING mevo_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert "extra" not in spark.table("dmldb.mevo").columns
+    sql_dml(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO dmldb.mevo t USING mevo_src s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {
+        r.id: (r.v, r.extra)
+        for r in spark.sql("SELECT id, v, extra FROM dmldb.mevo").collect()
+    }
+    assert got[1] == ("n1", "x1")        # matched: source wins, new col
+    assert got[77] == ("n77", "x77")     # inserted with the new column
+    assert got[2] == ("v2", None)        # untouched rows null-pad
+    assert len(got) == 13
+
+
+def test_sql_merge_schema_evolution_refusals(spark, tmp_path):
+    """WITH SCHEMA EVOLUTION on general WHEN clauses (explicit column
+    lists pin the shape) and on column-mapped tables is refused loudly."""
+    p = _table(spark, tmp_path, "mevo_ref")
+    register_txlog_table(spark, "dmldb", "mevo_ref", p)
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'x') AS s(id, nv)"
+    ).createOrReplaceTempView("mevo_ref_src")
+    with pytest.raises(SqlDmlError, match="SCHEMA EVOLUTION"):
+        sql_dml(
+            spark,
+            "MERGE WITH SCHEMA EVOLUTION INTO dmldb.mevo_ref t "
+            "USING mevo_ref_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.nv",
+        )
+    # column-mapped table (a rename activates mapping): tx_merge's
+    # evolution-under-mapping refusal surfaces through the router
+    pm = _table(spark, tmp_path, "mevo_map")
+    TX.tx_rename_column(spark, pm, "v", "label")
+    register_txlog_table(spark, "dmldb", "mevo_map", pm)
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'n', 0, 'x') AS s(id, label, g, extra)"
+    ).createOrReplaceTempView("mevo_map_src")
+    with pytest.raises(ValueError, match="column-mapped"):
+        sql_dml(
+            spark,
+            "MERGE WITH SCHEMA EVOLUTION INTO dmldb.mevo_map t "
+            "USING mevo_map_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
