@@ -465,6 +465,97 @@ _INSERT = re.compile(
 )
 
 
+_COPY_INTO = re.compile(
+    rf"^\s*COPY\s+INTO\s+({_TBL})\s+FROM\s+'((?:[^']|'')*)'\s+"
+    r"FILEFORMAT\s*=\s*(\w+)\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_option_list(table: str, clause: str, body: str) -> dict:
+    """``'k' = 'v', …`` inside FORMAT_OPTIONS/COPY_OPTIONS parens."""
+    out: dict[str, str] = {}
+    for item in _split_top(body, r","):
+        if not item.strip():
+            continue
+        m = re.match(
+            r"^\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$", item
+        )
+        if not m:
+            raise SqlDmlError(
+                f"COPY INTO {table}: cannot parse {clause} item "
+                f"{item.strip()!r} (expected 'key' = 'value')"
+            )
+        out[m.group(1).replace("''", "'")] = m.group(2).replace("''", "'")
+    return out
+
+
+def _copy_into(
+    spark: SparkSession, table: str, src: str, fmt: str, tail: str
+):
+    """``COPY INTO db.t FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON
+    [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', …)]
+    [COPY_OPTIONS ('force' = 'true')]`` — Delta's idempotent bulk-file
+    ingestion by name, routed onto :func:`txlog.tx_copy_into` (each
+    source file lands exactly once across reruns; the ledger rides the
+    same atomic commit as the rows)."""
+    pinned = txlog_table_path(spark, table)
+    if pinned is None:
+        raise SqlDmlError(
+            f"COPY INTO {table}: not a registered txlog table (COPY INTO "
+            "routes to the transactional writer)"
+        )
+    path, extra = _writable(table, pinned)
+    pattern: str | None = None
+    fopts: dict = {}
+    copts: dict = {}
+    rest = tail.strip()
+    while rest:
+        m = re.match(
+            r"^PATTERN\s*=\s*'((?:[^']|'')*)'\s*(.*)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            pattern = m.group(1).replace("''", "'")
+            rest = m.group(2).strip()
+            continue
+        m = re.match(
+            r"^(FORMAT_OPTIONS|COPY_OPTIONS)\s*\(([^)]*)\)\s*(.*)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            parsed = _parse_option_list(table, m.group(1).upper(), m.group(2))
+            if m.group(1).upper() == "FORMAT_OPTIONS":
+                fopts.update(parsed)
+            else:
+                copts.update(parsed)
+            rest = m.group(3).strip()
+            continue
+        raise SqlDmlError(
+            f"COPY INTO {table}: cannot parse clause {rest[:60]!r} "
+            "(expected PATTERN = '…', FORMAT_OPTIONS (…), COPY_OPTIONS (…))"
+        )
+    unknown_copts = set(copts) - {"force"}
+    if unknown_copts:
+        raise SqlDmlError(
+            f"COPY INTO {table}: unsupported COPY_OPTIONS "
+            f"{sorted(unknown_copts)} (supported: 'force')"
+        )
+    from ..sources.txlog import tx_copy_into
+
+    return tx_copy_into(
+        spark,
+        path,
+        src.replace("''", "'"),
+        fmt,
+        pattern=pattern,
+        format_options=fopts or None,
+        force=copts.get("force", "false").strip().lower() == "true",
+    )
+
+
 _TRAVEL = re.compile(
     rf"\b(FROM|JOIN|USING)\s+({_TBL})\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
     r"('(?:[^']|'')*'|[0-9][-0-9.:TZ+]*)",
@@ -541,6 +632,9 @@ def sql_dml(spark: SparkSession, statement: str):
     m = _CONVERT.match(stmt)
     if m:
         return _convert(spark, m.group(1), m.group(2), m.group(3))
+    m = _COPY_INTO.match(stmt)
+    if m:
+        return _copy_into(spark, *m.group(1, 2, 3, 4))
     m = _CLONE.match(stmt)
     if m:
         return _clone(spark, *m.group(1, 2, 3, 4))

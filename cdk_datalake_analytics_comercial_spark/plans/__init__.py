@@ -24,6 +24,7 @@ for mod in (relational, docs, events):
 _SAMPLE_FIRST = [
     # new in round 13 (never driver-sampled)
     "sql_merge_evolution",
+    "sql_copy_into",
     # new in round 12 (never driver-sampled)
     "sql_merge_conditional",
     "sql_replace_where",

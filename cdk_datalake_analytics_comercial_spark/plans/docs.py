@@ -3230,6 +3230,82 @@ FROM fin GROUP BY lang
 """
 
 
+def q_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``COPY INTO`` BY NAME (`core/sql_dml._copy_into` →
+    `txlog.tx_copy_into`): idempotent bulk-file ingestion — a multi-file
+    ``;``-delimited gzip-CSV drop (the reference's raw-layer shape,
+    `load_with_query_python.py:288-294`) lands via ONE SQL statement,
+    each source file EXACTLY ONCE across reruns: the statement runs
+    TWICE at fixture build and the second run is a ledger no-op (no
+    duplicate rows — that is the contract under test). CSV strings cast
+    to the table's declared types by name. DuckDB replays the ingested
+    subset closed-form from the raw corpus."""
+    import tempfile
+
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import tx_write
+
+    def build(tmp: str) -> None:
+        import shutil
+
+        d = t(spark, sf_dir, "documents")
+        drop = tempfile.mkdtemp(prefix="spark_graft_copydrop_")
+        try:
+            (
+                d.filter(F.col("doc_id") % 7 == 0)
+                .select("doc_id", "lang", "n_chars")
+                .repartition(3)
+                .write.mode("overwrite")
+                .options(header="true", sep=";", compression="gzip")
+                .csv(drop)
+            )
+            tx_write(
+                spark,
+                spark.createDataFrame(
+                    [], "doc_id bigint, lang string, n_chars bigint"
+                ),
+                tmp,
+            )
+            register_txlog_table(spark, "lake_ci_build", "t", tmp)
+            stmt = (
+                f"COPY INTO lake_ci_build.t FROM '{drop}' FILEFORMAT = CSV "
+                "PATTERN = '*.csv.gz' "
+                "FORMAT_OPTIONS ('header' = 'true', 'sep' = ';')"
+            )
+            v1 = sql_dml(spark, stmt)
+            v2 = sql_dml(spark, stmt)  # rerun: MUST be the ledger no-op
+            if v2 != v1:
+                raise AssertionError(
+                    f"COPY INTO rerun was not idempotent: v{v1} -> v{v2}"
+                )
+            spark.sql("DROP TABLE IF EXISTS lake_ci_build.t")
+        finally:
+            shutil.rmtree(drop, ignore_errors=True)
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txciv1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_ci", path)
+    return spark.sql(f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id
+        FROM {db}.documents_ci
+        GROUP BY lang
+    """)
+
+
+_ORACLE_SQL_COPY_INTO = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM documents WHERE doc_id % 7 = 0
+GROUP BY lang
+"""
+
+
 def q_sql_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``INSERT INTO t REPLACE WHERE <pred> SELECT …`` — Delta's
     replaceWhere (`core/sql_dml.py` `_insert_replace_where` →
@@ -3540,6 +3616,7 @@ QUERIES = {
     "sql_ddl_lifecycle": q_sql_ddl_lifecycle,
     "sql_merge_conditional": q_sql_merge_conditional,
     "sql_merge_evolution": q_sql_merge_evolution,
+    "sql_copy_into": q_sql_copy_into,
     "sql_replace_where": q_sql_replace_where,
     "sql_convert_in_place": q_sql_convert_in_place,
     "sql_delete_in_subquery": q_sql_delete_in_subquery,
@@ -3610,6 +3687,7 @@ ORACLES = {
     "sql_ddl_lifecycle": _ORACLE_SQL_DDL_LIFECYCLE,
     "sql_merge_conditional": _ORACLE_SQL_MERGE_CONDITIONAL,
     "sql_merge_evolution": _ORACLE_SQL_MERGE_EVOLUTION,
+    "sql_copy_into": _ORACLE_SQL_COPY_INTO,
     "sql_replace_where": _ORACLE_SQL_REPLACE_WHERE,
     "sql_convert_in_place": _ORACLE_SQL_CONVERT_IN_PLACE,
     "sql_delete_in_subquery": _ORACLE_SQL_DELETE_IN_SUBQUERY,

@@ -130,6 +130,7 @@ class TxProtocolError(RuntimeError):
 FEATURE_DELETION_VECTORS = "deletion-vectors"
 FEATURE_MULTIPART_CHECKPOINT = "multipart-checkpoint"
 FEATURE_IDEMPOTENT_TXN = "idempotent-txn"  # writer-only: `txn` dedup records
+FEATURE_COPY_LEDGER = "copy-into-ledger"  # writer-only: ingested-file marks
 FEATURE_COLUMN_MAPPING = "column-mapping"
 # writer-only (Delta: identityColumns / allowColumnDefaults): an old
 # writer that ignores the `identity.<col>` / `default.<col>` properties
@@ -152,6 +153,7 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         FEATURE_MULTIPART_CHECKPOINT,
         FEATURE_COLUMN_MAPPING,
         FEATURE_IDEMPOTENT_TXN,
+        FEATURE_COPY_LEDGER,
         FEATURE_IDENTITY_COLUMNS,
         FEATURE_COLUMN_DEFAULTS,
     }
@@ -729,6 +731,7 @@ def read_manifest(
     txns: dict[str, int] = {}
     properties: dict = {}
     identity: dict[str, int] = {}
+    copy_files: set[str] = set()
     if base is not None:
         cp = _load_checkpoint(spark, path, base)
         files = {f["path"]: f for f in cp["files"]}
@@ -737,6 +740,7 @@ def read_manifest(
         txns = dict(cp.get("txns", {}))
         properties = dict(cp.get("properties", {}))
         identity = dict(cp.get("identity", {}))
+        copy_files = set(cp.get("copy_files", []))
     tail = [v for v in versions if (base if base is not None else 0) < v <= version]
     for i, v in enumerate(tail):
         rec = read_commit(spark, path, v)
@@ -756,6 +760,8 @@ def read_manifest(
         if "txn" in rec:  # idempotent-writer high-water mark (Delta txn)
             app = rec["txn"]["app"]
             txns[app] = max(txns.get(app, -1), int(rec["txn"]["version"]))
+        if "copy_files" in rec:  # COPY INTO's ingested-file ledger
+            copy_files.update(rec["copy_files"])
         if "identity" in rec:
             # identity high-water marks: last-write-wins per column is
             # correct because the tail applies in version order and every
@@ -781,6 +787,7 @@ def read_manifest(
         "txns": txns,
         "properties": properties,
         "identity": identity,
+        "copy_files": sorted(copy_files),
         **extra,
     }
 
@@ -831,6 +838,10 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         # identity allocation marks must survive log truncation, or a
         # vacuumed prefix would reset allocation and reuse ids
         header["identity"] = snap["identity"]
+    if snap.get("copy_files"):
+        # the COPY INTO ledger must survive log truncation, or a vacuum
+        # would re-open the door to re-ingesting already-loaded files
+        header["copy_files"] = snap["copy_files"]
     fl = snap["files"]
     if len(fl) <= _CHECKPOINT_MAX_PART:
         header["files"] = fl
@@ -2238,6 +2249,7 @@ def tx_write(
     checks: dict[str, str] | None = None,
     schema_evolution: bool = False,
     txn: tuple[str, int] | None = None,
+    copy_files: list[str] | None = None,
     require_version: int | None = None,
     _identity_retries: int = 24,
 ) -> int:
@@ -2496,6 +2508,25 @@ def tx_write(
                 snap = read_manifest(spark, path, cur)
             if snap.get("txns", {}).get(app, -1) >= txv:
                 raise _TxAlreadyApplied()
+        if copy_files and cur is not None:
+            # COPY INTO's file-identity ledger, re-checked per CAS attempt:
+            # two racing ingests of the same drop cannot both land. A full
+            # overlap is the idempotent replay (no-op); a PARTIAL overlap
+            # means a concurrent ingest landed some of this batch's files —
+            # the batch was computed from a stale listing and must be
+            # rebuilt from a fresh one, so refuse loudly.
+            if snap is None:
+                snap = read_manifest(spark, path, cur)
+            led = set(snap.get("copy_files", []))
+            hit = [f for f in copy_files if f in led]
+            if len(hit) == len(copy_files):
+                raise _TxAlreadyApplied()
+            if hit:
+                raise TxConflictError(
+                    f"tx_write at {path}: a concurrent COPY INTO already "
+                    f"ingested {len(hit)} of this batch's {len(copy_files)} "
+                    "source files — rerun the COPY to skip them"
+                )
         rec = {
             "op": mode,
             "schema": schema_out,
@@ -2529,6 +2560,14 @@ def tx_write(
             rec["protocol"] = _protocol_with(
                 (snap or {}).get("protocol"),
                 writer=(FEATURE_IDEMPOTENT_TXN,),
+            )
+        if copy_files:
+            rec["copy_files"] = sorted(copy_files)
+            # writer-gated: an older writer's checkpoint would silently
+            # drop the ledger and re-open re-ingestion
+            rec["protocol"] = _protocol_with(
+                rec.get("protocol") or (snap or {}).get("protocol"),
+                writer=(FEATURE_COPY_LEDGER,),
             )
         return rec
 
@@ -2566,6 +2605,105 @@ def tx_write(
             require_version=require_version,
             _identity_retries=_identity_retries - 1,
         )
+
+
+def tx_copy_into(
+    spark: SparkSession,
+    path: str,
+    source: str,
+    file_format: str,
+    *,
+    pattern: str | None = None,
+    format_options: dict | None = None,
+    force: bool = False,
+) -> int:
+    """Idempotent bulk-file ingestion — Delta's ``COPY INTO``: each
+    source file lands EXACTLY ONCE across reruns. The raw→stage bridge
+    the reference hand-rolls with its extractor
+    (`utils/extract_data/load_with_query_python.py:288-294` drops gzip
+    CSVs into the raw layer; the stage loader must not double-load a
+    drop that was already picked up).
+
+    File identity is the ABSOLUTE PATH (Delta's rule: an already-loaded
+    path is skipped even if rewritten — pass ``force=True`` to reload).
+    The ledger of ingested identities rides the SAME atomic commit as
+    the appended rows (``tx_write(copy_files=…)``), so a failed ingest
+    leaves the ledger untouched and the rerun re-ingests exactly the
+    missing files — partial failure can never drop or double a file.
+    The ledger accumulates through :func:`read_manifest` and survives
+    log truncation via checkpoints (writer-feature-gated so an older
+    writer cannot silently drop it).
+
+    Listing is driver-side metadata (like Delta's), the data read is a
+    distributed ``spark.read`` over exactly the new files; incoming
+    columns are matched BY NAME to the table schema and cast to its
+    types (CSV strings become the declared types), unknown columns
+    refuse loudly, missing columns fall to the enforcing writer
+    (NULL / DEFAULT / IDENTITY / GENERATED fills)."""
+    import fnmatch
+    import os
+
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"COPY INTO target {path} has no committed txlog version — "
+            "create the table first (COPY INTO never creates schemas)"
+        )
+    fmt = file_format.strip().lower()
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(
+            f"COPY INTO: unsupported FILEFORMAT {file_format!r} "
+            "(supported: PARQUET, CSV, JSON)"
+        )
+    src = os.path.abspath(source)
+    if os.path.isfile(src):
+        candidates = [src]
+    elif os.path.isdir(src):
+        candidates = []
+        for root, dirs, names in os.walk(src):
+            # skip hidden/metadata subtrees (Spark's listing convention)
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for n in sorted(names):
+                if n.startswith((".", "_")):
+                    continue
+                full = os.path.join(root, n)
+                rel = os.path.relpath(full, src)
+                if pattern is None or fnmatch.fnmatch(rel, pattern):
+                    candidates.append(full)
+    else:
+        raise FileNotFoundError(f"COPY INTO: source {source!r} not found")
+    snap = read_manifest(spark, path, cur)
+    ledger = set(snap.get("copy_files", []))
+    ingest = candidates if force else [f for f in candidates if f not in ledger]
+    if not ingest:
+        return cur  # every file already ingested — idempotent no-op
+    from pyspark.sql.types import StructType
+
+    reader = spark.read.options(**(format_options or {}))
+    # parquet() takes *paths varargs; csv()/json() take a list (their
+    # later positional parameters are options, so never unpack them)
+    df = reader.parquet(*ingest) if fmt == "parquet" else getattr(reader, fmt)(ingest)
+    fields = StructType.fromJson(json.loads(snap["schema"])).fields
+    types = {f.name: f.dataType for f in fields}
+    unknown = [c for c in df.columns if c not in types]
+    if unknown:
+        raise TxSchemaMismatch(
+            f"COPY INTO {path}: source carries column(s) {unknown} the "
+            f"table does not have (table: {sorted(types)}); COPY INTO "
+            "never evolves the schema"
+        )
+    aligned = df.select(
+        *(F.col(f"`{c}`").cast(types[c]).alias(c) for c in df.columns)
+    )
+    new_marks = [f for f in ingest if f not in ledger]
+    return tx_write(
+        spark,
+        aligned,
+        path,
+        mode="append",
+        partition_by=table_partition_columns(snap) or None,
+        copy_files=new_marks or None,
+    )
 
 
 def _file_overlaps(f: dict, where: dict) -> bool:
