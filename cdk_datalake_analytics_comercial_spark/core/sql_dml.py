@@ -789,22 +789,120 @@ _IN_SUBQ = re.compile(
 _SUBQ_INLINE_MAX = 1000
 
 
+_EXISTS_CONJ = re.compile(
+    r"^\s*EXISTS\s*\(\s*(SELECT\b.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_CORR_EQ = re.compile(
+    rf"^\s*(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*=\s*"
+    rf"(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*$",
+    re.DOTALL,
+)
+
+
+def _exists_to_in(table: str, pred: str) -> str | None:
+    """Mechanically rewrite ONE top-level ``EXISTS (SELECT … FROM src
+    WHERE <inner>)`` conjunct whose inner WHERE carries exactly one
+    correlated equality ``t.k = <src side>`` (the OUTER side must be
+    qualified by the target name — an unqualified name inside the
+    subquery scope binds to the source) into the routable ``k IN
+    (SELECT <src side> FROM src [WHERE rest])`` shape — semantically
+    identical for equality correlation (NULLs match neither way).
+    Returns the rewritten predicate, or None when the shape does not
+    fit (the caller keeps the loud refusal)."""
+    parts = [_unquote(p) for p in table.split(".")]
+    outer = {parts[-1].lower(), ".".join(parts).lower()}
+
+    def is_outer(q: str | None) -> bool:
+        return q is not None and _unquote(q).lower() in outer
+
+    out_conjs: list[str] = []
+    rewrote = False
+    for conj in _split_top(pred, r"AND\b"):
+        m = _EXISTS_CONJ.match(conj)
+        if not m:
+            out_conjs.append(conj.strip())
+            continue
+        if rewrote:
+            return None  # two EXISTS conjuncts — not routable
+        halves = _split_top(m.group(1), r"WHERE\b")
+        if len(halves) != 2:
+            return None
+        head, inner_where = halves[0].strip(), halves[1]
+        fparts = _split_top(head, r"FROM\b")
+        if len(fparts) != 2:
+            return None  # select list carries its own FROM (subquery)
+        from_part = fparts[1].strip()
+        corr: tuple[str, str] | None = None
+        rest: list[str] = []
+        for ic in _split_top(inner_where, r"AND\b"):
+            cm = _CORR_EQ.match(ic)
+            if cm:
+                lq, lc, rq, rc = cm.groups()
+                if is_outer(lq) and not is_outer(rq):
+                    if corr is not None:
+                        return None  # two correlated equalities
+                    corr = (
+                        _unquote(lc),
+                        f"{rq}.{rc}" if rq else rc,
+                    )
+                    continue
+                if is_outer(rq) and not is_outer(lq):
+                    if corr is not None:
+                        return None
+                    corr = (
+                        _unquote(rc),
+                        f"{lq}.{lc}" if lq else lc,
+                    )
+                    continue
+            # any OTHER reference to the outer table inside the
+            # subquery would dangle after the rewrite — not routable
+            if any(
+                _unquote(qm.group(1)).lower() in outer
+                for qm in re.finditer(
+                    rf"({_IDENT})\s*\.\s*{_IDENT}", ic
+                )
+            ):
+                return None
+            rest.append(ic.strip())
+        if corr is None:
+            return None
+        sub = f"SELECT {corr[1]} FROM {from_part}"
+        if rest:
+            sub += " WHERE " + " AND ".join(rest)
+        out_conjs.append(f"{corr[0]} IN ({sub})")
+        rewrote = True
+    return " AND ".join(out_conjs) if rewrote else None
+
+
 def _parse_in_subquery(
     table: str, verb: str, pred: str
 ) -> tuple[str, str, list[str]]:
     """Decompose ``<pred>`` into (key column, subquery SQL, residual
     conjuncts) for the routable ``k IN (SELECT …) [AND …]`` shape, or
-    refuse loudly (OR-combined, NOT IN, EXISTS, multiple subqueries)."""
+    refuse loudly (OR-combined, NOT IN/NOT EXISTS, multiple
+    subqueries). A correlated-equality ``EXISTS`` rewrites onto the
+    same IN tier first (:func:`_exists_to_in`)."""
     if len(_split_top(pred, r"OR\b")) > 1:
         raise SqlDmlError(
             f"{verb} {table}: subquery predicates cannot combine "
             "with top-level OR — split the statement"
         )
-    if re.search(r"\bEXISTS\s*\(", pred, re.IGNORECASE):
+    if re.search(r"\bNOT\s+EXISTS\s*\(", pred, re.IGNORECASE):
         raise SqlDmlError(
-            f"{verb} {table}: EXISTS subqueries are not routable — "
-            "rewrite as k IN (SELECT …) or as MERGE … WHEN MATCHED"
+            f"{verb} {table}: NOT EXISTS is refused — use MERGE … WHEN "
+            "NOT MATCHED BY SOURCE for anti-join semantics"
         )
+    if re.search(r"\bEXISTS\s*\(", pred, re.IGNORECASE):
+        rewritten = _exists_to_in(table, pred)
+        if rewritten is None:
+            raise SqlDmlError(
+                f"{verb} {table}: this EXISTS shape is not routable — "
+                "supported: one EXISTS (SELECT … FROM src WHERE "
+                f"{_unquote(table.split('.')[-1])}.k = <src column> "
+                "[AND <src-only conjuncts>]); otherwise rewrite as "
+                "k IN (SELECT …) or as MERGE … WHEN MATCHED"
+            )
+        return _parse_in_subquery(table, verb, rewritten)
     subq = None
     residual: list[str] = []
     for conj in _split_top(pred, r"AND\b"):

@@ -2111,3 +2111,71 @@ def test_sql_merge_schema_evolution_refusals(spark, tmp_path):
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *",
         )
+
+
+def test_sql_delete_exists_routes_in_tier(spark, tmp_path):
+    """Correlated-equality EXISTS rewrites onto the IN subquery tier:
+    same rows as the equivalent IN, inner source-only conjuncts stay in
+    the subquery, outer residual conjuncts keep applying."""
+    p = _table(spark, tmp_path, "dex")
+    register_txlog_table(spark, "dmldb", "dex", p)
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10), (3, 10), (5, 99), (7, 10) "
+        "AS k(kid, tag)"
+    ).createOrReplaceTempView("dex_keys")
+    sql_dml(
+        spark,
+        "DELETE FROM dmldb.dex WHERE EXISTS "
+        "(SELECT 1 FROM dex_keys k WHERE dex.id = k.kid AND k.tag = 10) "
+        "AND g = 1",
+    )
+    left = {r.id for r in spark.sql("SELECT id FROM dmldb.dex").collect()}
+    # candidates {1,3,7} (tag=10); of those g = id % 3 = 1 only for 1, 7
+    assert left == {0, 2, 3, 4, 5, 6, 8, 9, 10, 11}
+
+
+def test_sql_update_exists_merge_tier(spark, tmp_path, monkeypatch):
+    from cdk_datalake_analytics_comercial_spark.core import sql_dml as M
+
+    monkeypatch.setattr(M, "_SUBQ_INLINE_MAX", 1)
+    p = _table(spark, tmp_path, "uex")
+    register_txlog_table(spark, "dmldb", "uex", p)
+    spark.sql(
+        "SELECT * FROM VALUES (2), (4), (6) AS k(kid)"
+    ).createOrReplaceTempView("uex_keys")
+    sql_dml(
+        spark,
+        "UPDATE dmldb.uex SET v = 'hit' WHERE EXISTS "
+        "(SELECT 1 FROM uex_keys WHERE uex.id = uex_keys.kid)",
+    )
+    got = {r.id: r.v for r in spark.sql("SELECT id, v FROM dmldb.uex").collect()}
+    assert got[2] == got[4] == got[6] == "hit" and got[3] == "v3"
+
+
+def test_sql_exists_refusals(spark, tmp_path):
+    p = _table(spark, tmp_path, "rex")
+    register_txlog_table(spark, "dmldb", "rex", p)
+    spark.sql("SELECT * FROM VALUES (1) AS k(kid)").createOrReplaceTempView(
+        "rex_keys"
+    )
+    with pytest.raises(SqlDmlError, match="NOT EXISTS"):
+        sql_dml(
+            spark,
+            "DELETE FROM dmldb.rex WHERE NOT EXISTS "
+            "(SELECT 1 FROM rex_keys WHERE rex.id = rex_keys.kid)",
+        )
+    # non-equality correlation is not routable
+    with pytest.raises(SqlDmlError, match="not routable"):
+        sql_dml(
+            spark,
+            "DELETE FROM dmldb.rex WHERE EXISTS "
+            "(SELECT 1 FROM rex_keys WHERE rex.id > rex_keys.kid)",
+        )
+    # a second outer reference inside the subquery would dangle
+    with pytest.raises(SqlDmlError, match="not routable"):
+        sql_dml(
+            spark,
+            "DELETE FROM dmldb.rex WHERE EXISTS "
+            "(SELECT 1 FROM rex_keys WHERE rex.id = rex_keys.kid "
+            "AND rex.g = 1)",
+        )
