@@ -245,6 +245,19 @@ def _parse_literal(tok: str):
     tok = tok.strip()
     if re.fullmatch(r"-?\d+", tok):
         return int(tok)
+    m = re.fullmatch(r"(?is)date\s*'(\d{4}-\d{2}-\d{2})'", tok)
+    if m:
+        import datetime as _dt
+
+        return _dt.date.fromisoformat(m.group(1))
+    m = re.fullmatch(r"(?is)timestamp\s*'([^']+)'", tok)
+    if m:
+        import datetime as _dt
+
+        try:
+            return _dt.datetime.fromisoformat(m.group(1).strip())
+        except ValueError:
+            return None
     if re.fullmatch(r"-?\d*\.\d+([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", tok):
         return float(tok)
     if (

@@ -25,6 +25,7 @@ _SAMPLE_FIRST = [
     # new in round 13 (never driver-sampled)
     "sql_merge_evolution",
     "sql_copy_into",
+    "sql_generated_pruning",
     # new in round 12 (never driver-sampled)
     "sql_merge_conditional",
     "sql_replace_where",

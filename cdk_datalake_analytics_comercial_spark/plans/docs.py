@@ -2586,6 +2586,87 @@ def q_sql_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sql_generated_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED-COLUMN PARTITION PRUNING BY NAME (SURVEY §4a lifted to
+    the SQL face): a period-partitioned table whose partition column is
+    ``p GENERATED ALWAYS AS date_format(od, 'yyyyMM')`` is queried with
+    a WHERE on the BASE date column only. `pushFilters` hands the date
+    bounds to `txlog._derive_generated_hints`, which derives
+    ``p ∈ [f(lo), f(hi)]`` (monotone format), so the scan opens ONLY the
+    three matching month partitions — at 100 TB the difference between
+    reading a quarter and reading years (file counts asserted in
+    `tests/test_generated_pruning.py`; results oracle-matched because
+    pruning is advisory). Routed DML prunes through the same derivation.
+    Build-once cache keyed by the orders corpus, atomic publish."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import (
+        is_txlog_table,
+        tx_add_generated_column,
+        tx_write,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    files = (
+        sorted(os.path.join(src, f) for f in os.listdir(src))
+        if os.path.isdir(src)
+        else [src]
+    )
+    parts = []
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.sha1(
+        f"{src}|{'|'.join(parts)}|txgpv1".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_txgp_{key}")
+    if not is_txlog_table(spark, path):
+        tmp = tempfile.mkdtemp(prefix="spark_graft_txgp_build_")
+        o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+        df = o.select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+            "o_orderpriority",
+        ).withColumn("p", F.date_format("od", "yyyyMM"))
+        tx_write(spark, df, tmp, partition_by=["p"], stats_for=["o_orderkey"])
+        tx_add_generated_column(spark, tmp, "p", "date_format(od, 'yyyyMM')")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not is_txlog_table(spark, path):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "orders_gp", path)
+    return spark.sql(f"""
+        SELECT p AS period,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM {db}.orders_gp
+        WHERE od BETWEEN date'1995-02-01' AND date'1995-04-30'
+        GROUP BY p
+    """)
+
+
+_ORACLE_SQL_GENERATED_PRUNING = """
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y%m') AS period,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderkey % 4 = 0
+  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-02-01'
+                                    AND DATE '1995-04-30'
+GROUP BY period
+"""
+
+
 def q_sql_pushdown_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER-PUSHDOWN SQL lookup over a txlog table: the corpus subset
     is written range-clustered on ``doc_id`` (8 files with disjoint
@@ -3617,6 +3698,7 @@ QUERIES = {
     "sql_merge_conditional": q_sql_merge_conditional,
     "sql_merge_evolution": q_sql_merge_evolution,
     "sql_copy_into": q_sql_copy_into,
+    "sql_generated_pruning": q_sql_generated_pruning,
     "sql_replace_where": q_sql_replace_where,
     "sql_convert_in_place": q_sql_convert_in_place,
     "sql_delete_in_subquery": q_sql_delete_in_subquery,
@@ -3688,6 +3770,7 @@ ORACLES = {
     "sql_merge_conditional": _ORACLE_SQL_MERGE_CONDITIONAL,
     "sql_merge_evolution": _ORACLE_SQL_MERGE_EVOLUTION,
     "sql_copy_into": _ORACLE_SQL_COPY_INTO,
+    "sql_generated_pruning": _ORACLE_SQL_GENERATED_PRUNING,
     "sql_replace_where": _ORACLE_SQL_REPLACE_WHERE,
     "sql_convert_in_place": _ORACLE_SQL_CONVERT_IN_PLACE,
     "sql_delete_in_subquery": _ORACLE_SQL_DELETE_IN_SUBQUERY,

@@ -2729,6 +2729,218 @@ def _file_overlaps(f: dict, where: dict) -> bool:
     return True
 
 
+def _hive_dec(seg: str):
+    """Decode one hive ``k=v`` partition VALUE (inverse of
+    :func:`_hive_enc`); None for the default (null) partition."""
+    if seg == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    out, i = [], 0
+    while i < len(seg):
+        ch = seg[i]
+        if ch == "%" and i + 3 <= len(seg):
+            try:
+                out.append(chr(int(seg[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _typed_partition_value(raw: str, type_json):
+    """A hive partition value decoded to the column's declared type for
+    ordered comparison against a pruning bound — or None when the type
+    has no safe conversion (the file is then kept; pruning stays sound)."""
+    import datetime as _dt
+
+    if not isinstance(type_json, str):
+        return None
+    if type_json in ("long", "integer", "short", "byte"):
+        return int(raw)
+    if type_json in ("double", "float"):
+        return float(raw)
+    if type_json == "string":
+        return raw
+    if type_json == "date":
+        return _dt.date.fromisoformat(raw)
+    return None
+
+
+def _partition_rejects(
+    f: dict, where: dict | None, where_equals: dict | None,
+    part_types: dict | None,
+) -> bool:
+    """Partition-value skip test (the DML/read twin of the SQL
+    pushdown's): True when the file's hive partition values PROVABLY
+    miss a range or equality probe. Undecodable values keep the file —
+    sound, never lossy."""
+    part = f.get("partition") or {}
+    if not part or not part_types:
+        return False
+    for col, (lo, hi) in (where or {}).items():
+        pv = part.get(col)
+        if pv is None:
+            continue
+        raw = _hive_dec(pv)
+        if raw is None:  # null partition: no value matches any bound
+            if lo is not None or hi is not None:
+                return True
+            continue
+        try:
+            val = _typed_partition_value(raw, part_types.get(col))
+        except (ValueError, TypeError):
+            continue
+        if val is None:
+            continue
+        try:
+            if lo is not None and val < lo:
+                return True
+            if hi is not None and val > hi:
+                return True
+        except TypeError:
+            continue
+    for col, want in (where_equals or {}).items():
+        pv = part.get(col)
+        if pv is None:
+            continue
+        raw = _hive_dec(pv)
+        if raw is None:
+            return True  # probes are non-null by contract
+        try:
+            val = _typed_partition_value(raw, part_types.get(col))
+        except (ValueError, TypeError):
+            continue
+        if val is None:
+            continue
+        try:
+            if val != want:
+                return True
+        except TypeError:
+            continue
+    return False
+
+
+def _partition_types(schema_json: str | None) -> dict:
+    """{PHYSICAL column name: type json} for partition-value decoding
+    (files record partition dirs under physical names)."""
+    if not schema_json:
+        return {}
+    out = {}
+    for f in json.loads(schema_json)["fields"]:
+        phys = (f.get("metadata") or {}).get("txlog_physical", f["name"])
+        out[phys] = f["type"]
+    return out
+
+
+# Monotone generated-column shapes (Delta's generated-column partition
+# filters): for these, base-column bounds [lo, hi] imply generated-column
+# bounds [f(lo), f(hi)], so a WHERE on the base column can prune a table
+# partitioned by the GENERATED column (SURVEY §4a by name).
+_GEN_DF = re.compile(
+    r"^\s*date_format\s*\(\s*`?(\w+)`?\s*,\s*'([^']+)'\s*\)\s*$",
+    re.IGNORECASE,
+)
+_GEN_YEAR = re.compile(r"^\s*year\s*\(\s*`?(\w+)`?\s*\)\s*$", re.IGNORECASE)
+_GEN_TODATE = re.compile(
+    r"^\s*(?:to_date|date)\s*\(\s*`?(\w+)`?\s*\)\s*$", re.IGNORECASE
+)
+_GEN_CASTDATE = re.compile(
+    r"^\s*cast\s*\(\s*`?(\w+)`?\s+as\s+date\s*\)\s*$", re.IGNORECASE
+)
+# formats whose OUTPUT ordering follows the input ordering (zero-padded,
+# most-significant-first) — 'MM' alone or 'dd-MM-yyyy' are NOT monotone
+_MONOTONE_FMTS = {
+    "yyyyMM": "%Y%m",
+    "yyyy-MM": "%Y-%m",
+    "yyyyMMdd": "%Y%m%d",
+    "yyyy-MM-dd": "%Y-%m-%d",
+}
+
+
+def _gen_monotone(expr: str):
+    """(base column, value map fn) for a monotone generated expression,
+    or None when the shape is not provably monotone."""
+    import datetime as _dt
+
+    def as_dt(v):
+        if isinstance(v, _dt.datetime):
+            return v
+        if isinstance(v, _dt.date):
+            return _dt.datetime(v.year, v.month, v.day)
+        if isinstance(v, str):
+            try:
+                return _dt.datetime.fromisoformat(v.strip())
+            except ValueError:
+                return None
+        return None
+
+    m = _GEN_DF.match(expr)
+    if m and m.group(2) in _MONOTONE_FMTS:
+        fmt = _MONOTONE_FMTS[m.group(2)]
+
+        def f(v, _fmt=fmt):
+            d = as_dt(v)
+            return d.strftime(_fmt) if d is not None else None
+
+        return m.group(1), f
+    m = _GEN_YEAR.match(expr)
+    if m:
+        def f(v):
+            d = as_dt(v)
+            return d.year if d is not None else None
+
+        return m.group(1), f
+    m = _GEN_TODATE.match(expr) or _GEN_CASTDATE.match(expr)
+    if m:
+        def f(v):
+            d = as_dt(v)
+            return d.date() if d is not None else None
+
+        return m.group(1), f
+    return None
+
+
+def _derive_generated_hints(
+    manifest: dict, where: dict | None, where_equals: dict | None
+) -> dict:
+    """Additional [lo, hi] pruning hints for GENERATED columns implied
+    by hints on their base columns — Delta's generated-column partition
+    filter. Returns an AUGMENTED copy of ``where`` (logical names); the
+    derived hints are for FILE SKIPPING only (they are implied by the
+    base predicate, so they never change row-level results). Only
+    provably monotone generator shapes derive; anything else is left
+    alone — pruning must stay sound."""
+    gens = _generated_cols(manifest.get("properties", {}))
+    if not gens:
+        return dict(where or {})
+    out = dict(where or {})
+    for gcol, expr in gens.items():
+        if gcol in out or (where_equals and gcol in where_equals):
+            continue  # an explicit hint on the generated column wins
+        parsed = _gen_monotone(expr)
+        if parsed is None:
+            continue
+        base, fn = parsed
+        lo = hi = None
+        if where_equals and base in where_equals:
+            v = fn(where_equals[base])
+            if v is None:
+                continue
+            lo = hi = v
+        elif where and base in where:
+            blo, bhi = where[base]
+            lo = fn(blo) if blo is not None else None
+            hi = fn(bhi) if bhi is not None else None
+            if lo is None and hi is None:
+                continue
+        else:
+            continue
+        out[gcol] = (lo, hi)
+    return out
+
+
 def _bloom_rejects(f: dict, where_equals: dict) -> bool:
     """Equality-skip test: True when some probe value's bloom bits are not
     all set in the file's bitset (the value provably is not in the file).
@@ -2855,12 +3067,19 @@ def tx_read(
         if where_equals
         else None
     )
-    p_where = _map_keys(where, mapping)
+    # file-skip hints include derived generated-column bounds; the
+    # row-level filters below stay on the ORIGINAL predicate columns
+    p_where = _map_keys(
+        _derive_generated_hints(manifest, where, where_equals), mapping
+    )
+    part_types = _partition_types(manifest["schema"])
+    p_equals = _map_keys(where_equals, mapping) if where_equals else None
     kept = [
         f
         for f in manifest["files"]
         if not (p_where and not _file_overlaps(f, p_where))
         and not (bloom_probes and _bloom_rejects(f, bloom_probes))
+        and not _partition_rejects(f, p_where, p_equals, part_types)
     ]
     out = _read_files(spark, path, kept, manifest["schema"])
     # project onto the schema whenever the files carry anything else:
@@ -4397,11 +4616,22 @@ def _enforce_checks(df: DataFrame, checks: dict[str, str]) -> None:
         )
 
 
-def _file_can_match(f: dict, where: dict, where_equals: dict) -> bool:
-    """Combined skip test for reads and DML: range stats AND bloom."""
+def _file_can_match(
+    f: dict,
+    where: dict,
+    where_equals: dict,
+    part_types: dict | None = None,
+    part_equals: dict | None = None,
+) -> bool:
+    """Combined skip test for reads and DML: range stats, bloom, and —
+    when ``part_types`` is given — hive partition values (``where`` may
+    carry derived generated-column hints; ``part_equals`` is the full
+    equality probe set, wider than the bloom-eligible subset)."""
     if where and not _file_overlaps(f, where):
         return False
     if where_equals and _bloom_rejects(f, where_equals):
+        return False
+    if part_types and _partition_rejects(f, where, part_equals, part_types):
         return False
     return True
 
@@ -4448,6 +4678,13 @@ def _dml_rewrite(
     bloom_probes = _map_keys(
         _bloomable_probes(manifest["schema"], where_equals), mapping
     )
+    # file-skip hints: the predicate's own ranges PLUS derived
+    # generated-column bounds (logical names — derive before mapping);
+    # the ROW-level predicate below stays the original
+    prune_where = _map_keys(
+        _derive_generated_hints(manifest, where, where_equals), mapping
+    )
+    part_types = _partition_types(manifest["schema"])
     where = _map_keys(where, mapping)
     where_equals = _map_keys(where_equals, mapping)
     stats_for, bloom_for = _skipping_defaults(
@@ -4461,7 +4698,13 @@ def _dml_rewrite(
     bloom_for = _map_names(bloom_for, mapping)
     hit, miss = [], []
     for f in manifest["files"]:
-        (hit if _file_can_match(f, where, bloom_probes) else miss).append(f)
+        (
+            hit
+            if _file_can_match(
+                f, prune_where, bloom_probes, part_types, where_equals
+            )
+            else miss
+        ).append(f)
     if not hit and insert_df is None:
         return cur  # nothing can match — no new version needed
 
@@ -4512,7 +4755,10 @@ def _dml_rewrite(
                 f"concurrently (base v{cur}, now v{now})"
             )
         added = [f for f in now_files if f["path"] not in base_paths]
-        if any(_file_can_match(f, where, bloom_probes) for f in added):
+        if any(
+            _file_can_match(f, prune_where, bloom_probes, part_types, where_equals)
+            for f in added
+        ):
             # concurrently appended rows may match the predicate; this
             # rewrite never saw them (Delta's ConcurrentAppendException)
             raise TxConflictError(
@@ -4729,6 +4975,10 @@ def _dv_dml(
     bloom_probes = _map_keys(
         _bloomable_probes(manifest["schema"], where_equals), mapping
     )
+    prune_where = _map_keys(
+        _derive_generated_hints(manifest, where, where_equals), mapping
+    )
+    part_types = _partition_types(manifest["schema"])
     where = _map_keys(where, mapping)
     where_equals = _map_keys(where_equals, mapping)
     stats_for, bloom_for = _skipping_defaults(
@@ -4748,7 +4998,9 @@ def _dv_dml(
     hit = [
         f
         for f in manifest["files"]
-        if _file_can_match(f, where, bloom_probes)
+        if _file_can_match(
+            f, prune_where, bloom_probes, part_types, where_equals
+        )
     ]
     if not hit:
         return cur
@@ -4807,7 +5059,10 @@ def _dv_dml(
                 f"concurrently (base v{cur}, now v{now})"
             )
         added = [f for f in now_files if f["path"] not in base_paths]
-        if any(_file_can_match(f, where, bloom_probes) for f in added):
+        if any(
+            _file_can_match(f, prune_where, bloom_probes, part_types, where_equals)
+            for f in added
+        ):
             raise TxConflictError(
                 f"{op} at {path}: concurrent append overlaps the "
                 f"predicate (base v{cur}, now v{now})"

@@ -239,22 +239,9 @@ class _TxFilesPartition(InputPartition):
 
 def _hive_dec(seg: str):
     """Decode one ``k=v`` partition VALUE the way Spark escapes it
-    (inverse of ``txlog._hive_enc``)."""
-    if seg == "__HIVE_DEFAULT_PARTITION__":
-        return None
-    out, i = [], 0
-    while i < len(seg):
-        ch = seg[i]
-        if ch == "%" and i + 3 <= len(seg):
-            try:
-                out.append(chr(int(seg[i + 1 : i + 3], 16)))
-                i += 3
-                continue
-            except ValueError:
-                pass
-        out.append(ch)
-        i += 1
-    return "".join(out)
+    (inverse of ``txlog._hive_enc``) — single implementation lives in
+    txlog; this alias keeps the executor-side reader import-light."""
+    return TX._hive_dec(seg)
 
 
 def _ref_local(root: str, ref: str) -> str:
@@ -479,22 +466,9 @@ class TxLogStreamReader(DataSourceStreamReader):
 
 def _typed_partition_value(raw: str, type_json):
     """A hive partition value decoded to the column's declared type for
-    ordered comparison against a pushed-filter bound — or None when the
-    type has no safe conversion (the file is then kept; pruning must stay
-    sound)."""
-    import datetime as _dt
-
-    if not isinstance(type_json, str):
-        return None
-    if type_json in ("long", "integer", "short", "byte"):
-        return int(raw)
-    if type_json in ("double", "float"):
-        return float(raw)
-    if type_json == "string":
-        return raw
-    if type_json == "date":
-        return _dt.date.fromisoformat(raw)
-    return None
+    ordered comparison against a pushed-filter bound (delegates to the
+    txlog implementation; kept for the module's callers)."""
+    return TX._typed_partition_value(raw, type_json)
 
 
 def _prune_files(
@@ -686,8 +660,14 @@ class TxLogBatchReader(DataSourceReader):
             schema_json = json.dumps(d)
         files = manifest["files"]
         if self._ranges or self._equals:
+            # pushed base-column bounds also derive GENERATED partition
+            # column hints (date_format/year/to_date shapes) — Delta's
+            # generated-column partition filter on the SQL face
+            ranges = TX._derive_generated_hints(
+                manifest, self._ranges, self._equals
+            )
             files = _prune_files(
-                files, self._ranges, self._equals, mapping, manifest["schema"]
+                files, ranges, self._equals, mapping, manifest["schema"]
             )
         parts = [
             _TxFilesPartition(
