@@ -2101,6 +2101,13 @@ _ALTER_FORMS = [
         ),
         "drop_default",
     ),
+    (
+        re.compile(
+            rf"^ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+(.+?)\s*$",
+            re.IGNORECASE | re.DOTALL,
+        ),
+        "widen_type",
+    ),
 ]
 
 
@@ -2193,6 +2200,12 @@ def _alter(spark: SparkSession, table: str, action: str):
         elif kind == "drop_default":
             v = TX.tx_drop_default(spark, path, _unquote(m.group(1)))
             reregister = False
+        elif kind == "widen_type":
+            # Delta's type widening: metadata-only, lossless widenings
+            # only (tx_widen_column refuses narrowing/cross-family)
+            v = TX.tx_widen_column(
+                spark, path, _unquote(m.group(1)), m.group(2)
+            )
         else:  # set_properties
             props = {}
             for item in _split_top(m.group(1), r","):

@@ -131,6 +131,7 @@ FEATURE_DELETION_VECTORS = "deletion-vectors"
 FEATURE_MULTIPART_CHECKPOINT = "multipart-checkpoint"
 FEATURE_IDEMPOTENT_TXN = "idempotent-txn"  # writer-only: `txn` dedup records
 FEATURE_COPY_LEDGER = "copy-into-ledger"  # writer-only: ingested-file marks
+FEATURE_TYPE_WIDENING = "type-widening"  # reader+writer: narrow physicals
 FEATURE_COLUMN_MAPPING = "column-mapping"
 # writer-only (Delta: identityColumns / allowColumnDefaults): an old
 # writer that ignores the `identity.<col>` / `default.<col>` properties
@@ -145,6 +146,7 @@ SUPPORTED_READER_FEATURES = frozenset(
         FEATURE_MULTIPART_CHECKPOINT,
         FEATURE_COLUMN_MAPPING,
         FEATURE_IDEMPOTENT_TXN,  # txn records are invisible to readers
+        FEATURE_TYPE_WIDENING,
     }
 )
 SUPPORTED_WRITER_FEATURES = frozenset(
@@ -156,6 +158,7 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         FEATURE_COPY_LEDGER,
         FEATURE_IDENTITY_COLUMNS,
         FEATURE_COLUMN_DEFAULTS,
+        FEATURE_TYPE_WIDENING,
     }
 )
 
@@ -1152,6 +1155,102 @@ def tx_add_column(
             "add": [],
             "remove": [],
             "truncate": False,
+        }
+
+    return _commit(spark, path, build)
+
+
+_WIDENINGS = {
+    "byte": ("short", "integer", "long"),
+    "short": ("integer", "long"),
+    "integer": ("long",),
+    "float": ("double",),
+}
+_DECIMAL_T = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _is_widening(old_t: str, new_t: str) -> bool:
+    """True when ``old_t → new_t`` is a LOSSLESS widening (Delta's type
+    widening table feature): integer family up, float→double, decimal
+    precision up at the SAME scale. Everything else — narrowing, scale
+    changes, cross-family — is not."""
+    if new_t in _WIDENINGS.get(old_t, ()):
+        return True
+    om, nm = _DECIMAL_T.match(old_t or ""), _DECIMAL_T.match(new_t or "")
+    if om and nm:
+        op, os_ = int(om.group(1)), int(om.group(2))
+        np, ns = int(nm.group(1)), int(nm.group(2))
+        return ns == os_ and np > op
+    return False
+
+
+def tx_widen_column(
+    spark: SparkSession, path: str, col: str, new_type: str
+) -> int:
+    """``ALTER COLUMN col TYPE <wider>`` — Delta's type-widening table
+    feature: a METADATA-ONLY commit changes the column's declared type;
+    zero data files move. Existing files keep their narrow physical type
+    and every reader casts at scan time (`_to_logical`; the Arrow path
+    casts batches to the declared schema), which is lossless for the
+    allowed widenings (int family up, float→double, decimal precision up
+    at the same scale). Time travel to a pre-widening version serves the
+    OLD type (schema is per-version). Narrowing and cross-family changes
+    refuse — a lossy cast would corrupt silently.
+
+    Protocol-gated as a READER+WRITER feature: an old reader that does
+    not cast narrow physicals under a wider schema must refuse the whole
+    table rather than serve mixed-width batches."""
+    from pyspark.sql.types import StructType
+
+    nt = new_type.strip().lower()
+    # normalize DDL spellings to schema-json names
+    nt = {
+        "int": "integer", "bigint": "long", "smallint": "short",
+        "tinyint": "byte", "real": "float",
+    }.get(nt, nt)
+    nt = re.sub(r"\s+", "", nt)
+    try:
+        StructType.fromDDL(f"x {new_type}")
+    except Exception:
+        raise ValueError(
+            f"widen_column: cannot parse type {new_type!r}"
+        )
+
+    def build(cur: int | None) -> dict:
+        if cur is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        snap = read_manifest(spark, path, cur)
+        if snap.get("schema") is None:
+            raise ValueError(
+                f"widen_column: table at {path} has no schema record"
+            )
+        sch = json.loads(snap["schema"])
+        fld = next((f for f in sch["fields"] if f["name"] == col), None)
+        if fld is None:
+            raise ValueError(f"widen_column: no column {col!r} at {path}")
+        old_t = fld["type"] if isinstance(fld["type"], str) else None
+        if old_t == nt:
+            raise ValueError(
+                f"widen_column: {col!r} already has type {nt!r}"
+            )
+        if old_t is None or not _is_widening(old_t, nt):
+            raise ValueError(
+                f"widen_column: {old_t!r} -> {nt!r} is not a lossless "
+                "widening (allowed: byte/short/int -> wider int, "
+                "float -> double, decimal precision up at the same scale)"
+            )
+        fld["type"] = nt
+        return {
+            "op": "widen_column",
+            "schema": json.dumps(sch),
+            "add": [],
+            "remove": [],
+            "truncate": False,
+            "protocol": _protocol_with(
+                snap.get("protocol"),
+                reader=(FEATURE_TYPE_WIDENING,),
+                writer=(FEATURE_TYPE_WIDENING,),
+            ),
         }
 
     return _commit(spark, path, build)
