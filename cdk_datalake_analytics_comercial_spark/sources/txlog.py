@@ -1161,9 +1161,10 @@ def tx_add_column(
 
 
 _WIDENINGS = {
-    "byte": ("short", "integer", "long"),
-    "short": ("integer", "long"),
-    "integer": ("long",),
+    # int-family → double is exact (|int32| < 2^53); long → double is NOT
+    "byte": ("short", "integer", "long", "double"),
+    "short": ("integer", "long", "double"),
+    "integer": ("long", "double"),
     "float": ("double",),
 }
 _DECIMAL_T = re.compile(r"^decimal\((\d+),(\d+)\)$")

@@ -89,6 +89,20 @@ def test_widen_refusals(spark, tmp_path):
     dt = dict(TX.tx_read(spark, p).dtypes)
     assert dt["f"] == "double" and dt["d"] == "decimal(14,2)"
     assert rows(TX.tx_read(spark, p).select("k", "f")) == [(1, 1.5)]
+    # long -> double is LOSSY (> 2^53) and refuses; int -> double is exact
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        TX.tx_widen_column(spark, p, "k", "double")
+
+
+def test_widen_int_to_double(spark, tmp_path):
+    p = str(tmp_path / "w4")
+    TX.tx_write(
+        spark, spark.createDataFrame([(1, 7)], "k long, n int"), p
+    )
+    TX.tx_widen_column(spark, p, "n", "double")
+    got = TX.tx_read(spark, p)
+    assert dict(got.dtypes)["n"] == "double"
+    assert rows(got) == [(1, 7.0)]
 
 
 def test_sql_alter_column_type(spark, tmp_path):
