@@ -1068,10 +1068,16 @@ def _update_subquery(
 
 def _render_literal(v) -> str | None:
     """A Python value as a SQL literal, or None when not renderable."""
+    import datetime as _dt
+
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, int):
         return str(v)
+    if isinstance(v, _dt.datetime):  # before date — datetime IS a date
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, str):

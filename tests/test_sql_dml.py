@@ -2179,3 +2179,42 @@ def test_sql_exists_refusals(spark, tmp_path):
             "(SELECT 1 FROM rex_keys WHERE rex.id = rex_keys.kid "
             "AND rex.g = 1)",
         )
+
+
+def test_subquery_delete_date_keys_inline(spark, tmp_path):
+    """Date/timestamp subquery keys render as typed literals, so small
+    key sets stay on the INLINE (file-pruned) tier instead of falling to
+    the merge tier."""
+    from cdk_datalake_analytics_comercial_spark.core.sql_dml import (
+        _render_literal,
+        parse_predicate,
+    )
+    import datetime as dt
+
+    assert _render_literal(dt.date(2024, 2, 1)) == "DATE '2024-02-01'"
+    assert (
+        _render_literal(dt.datetime(2024, 2, 1, 10, 30))
+        == "TIMESTAMP '2024-02-01 10:30:00'"
+    )
+    # the rendered literal round-trips through the predicate parser
+    w, eq, cond = parse_predicate("d = DATE '2024-02-01'")
+    assert eq == {"d": dt.date(2024, 2, 1)}
+    p = str(tmp_path / "datekeys")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(i, dt.date(2024, 1, 1 + i)) for i in range(6)],
+            "id long, d date",
+        ),
+        p,
+    )
+    register_txlog_table(spark, "dmldb", "datekeys", p)
+    spark.createDataFrame(
+        [(dt.date(2024, 1, 2),), (dt.date(2024, 1, 5),)], "kd date"
+    ).createOrReplaceTempView("datekeys_keys")
+    sql_dml(
+        spark,
+        "DELETE FROM dmldb.datekeys WHERE d IN (SELECT kd FROM datekeys_keys)",
+    )
+    left = sorted(r.id for r in spark.sql("SELECT id FROM dmldb.datekeys").collect())
+    assert left == [0, 2, 3, 5]
