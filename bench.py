@@ -34,6 +34,7 @@ HEADLINE = [
     "sql_merge_evolution",
     "sql_copy_into",
     "sql_generated_pruning",
+    "sql_widening_lifecycle",
     "sql_delete_in_subquery",
     "sql_replace_where",
     "sql_convert_in_place",

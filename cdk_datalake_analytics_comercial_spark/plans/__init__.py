@@ -26,6 +26,7 @@ _SAMPLE_FIRST = [
     "sql_merge_evolution",
     "sql_copy_into",
     "sql_generated_pruning",
+    "sql_widening_lifecycle",
     # new in round 12 (never driver-sampled)
     "sql_merge_conditional",
     "sql_replace_where",

@@ -3387,6 +3387,73 @@ GROUP BY lang
 """
 
 
+def q_sql_widening_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-WIDENING LIFECYCLE BY NAME (`core/sql_dml` ``ALTER COLUMN …
+    TYPE`` → `txlog.tx_widen_column`): an INT column is widened to
+    BIGINT as a METADATA-ONLY commit (zero files moved), then an INSERT
+    lands values beyond int32 range — the narrow pre-widening files cast
+    at scan time, the new file is physically wide, and one aggregate
+    reads both generations. DuckDB replays the widened algebra
+    closed-form on the raw corpus."""
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import tx_write
+
+    def build(tmp: str) -> None:
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.filter(F.col("doc_id") % 6 == 0).select(
+                "doc_id",
+                "lang",
+                (F.col("n_chars") % 1000).cast("int").alias("score"),
+            ),
+            tmp,
+            stats_for=["doc_id"],
+        )
+        register_txlog_table(spark, "lake_wl_build", "t", tmp)
+        d.createOrReplaceTempView("graft_wl_src")
+        sql_dml(
+            spark,
+            "ALTER TABLE lake_wl_build.t ALTER COLUMN score TYPE BIGINT",
+        )
+        sql_dml(
+            spark,
+            "INSERT INTO lake_wl_build.t "
+            "SELECT doc_id, lang, CAST(n_chars AS BIGINT) + 3000000000 "
+            "AS score FROM graft_wl_src WHERE doc_id % 6 = 3",
+        )
+        spark.sql("DROP TABLE IF EXISTS lake_wl_build.t")
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txwlv1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_wl", path)
+    return spark.sql(f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(score) AS BIGINT) AS sum_score,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id
+        FROM {db}.documents_wl
+        GROUP BY lang
+    """)
+
+
+_ORACLE_SQL_WIDENING_LIFECYCLE = """
+WITH fin AS (
+  SELECT doc_id, lang, CAST(n_chars % 1000 AS BIGINT) AS score
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) + 3000000000 AS score
+  FROM documents WHERE doc_id % 6 = 3
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score) AS BIGINT) AS sum_score,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM fin GROUP BY lang
+"""
+
+
 def q_sql_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``INSERT INTO t REPLACE WHERE <pred> SELECT …`` — Delta's
     replaceWhere (`core/sql_dml.py` `_insert_replace_where` →
@@ -3699,6 +3766,7 @@ QUERIES = {
     "sql_merge_evolution": q_sql_merge_evolution,
     "sql_copy_into": q_sql_copy_into,
     "sql_generated_pruning": q_sql_generated_pruning,
+    "sql_widening_lifecycle": q_sql_widening_lifecycle,
     "sql_replace_where": q_sql_replace_where,
     "sql_convert_in_place": q_sql_convert_in_place,
     "sql_delete_in_subquery": q_sql_delete_in_subquery,
@@ -3771,6 +3839,7 @@ ORACLES = {
     "sql_merge_evolution": _ORACLE_SQL_MERGE_EVOLUTION,
     "sql_copy_into": _ORACLE_SQL_COPY_INTO,
     "sql_generated_pruning": _ORACLE_SQL_GENERATED_PRUNING,
+    "sql_widening_lifecycle": _ORACLE_SQL_WIDENING_LIFECYCLE,
     "sql_replace_where": _ORACLE_SQL_REPLACE_WHERE,
     "sql_convert_in_place": _ORACLE_SQL_CONVERT_IN_PLACE,
     "sql_delete_in_subquery": _ORACLE_SQL_DELETE_IN_SUBQUERY,

@@ -2949,6 +2949,14 @@ _GEN_TODATE = re.compile(
 _GEN_CASTDATE = re.compile(
     r"^\s*cast\s*\(\s*`?(\w+)`?\s+as\s+date\s*\)\s*$", re.IGNORECASE
 )
+# the reference's period convention (`plans/common.period_yyyymm`):
+# (year·100 + month) [:: string] — monotone, byte-identical to
+# date_format(x,'yyyyMM') for 4-digit years
+_GEN_YM = re.compile(
+    r"^\s*(?:cast\s*\(\s*)?year\s*\(\s*`?(\w+)`?\s*\)\s*\*\s*100\s*"
+    r"\+\s*month\s*\(\s*`?\1`?\s*\)(?:\s+as\s+(string|int|integer|long|bigint)\s*\))?\s*$",
+    re.IGNORECASE,
+)
 # formats whose OUTPUT ordering follows the input ordering (zero-padded,
 # most-significant-first) — 'MM' alone or 'dd-MM-yyyy' are NOT monotone
 _MONOTONE_FMTS = {
@@ -2997,6 +3005,18 @@ def _gen_monotone(expr: str):
         def f(v):
             d = as_dt(v)
             return d.date() if d is not None else None
+
+        return m.group(1), f
+    m = _GEN_YM.match(expr)
+    if m and ("cast" not in expr.lower() or m.group(2)):
+        as_str = (m.group(2) or "").lower() == "string"
+
+        def f(v, _s=as_str):
+            d = as_dt(v)
+            if d is None:
+                return None
+            ym = d.year * 100 + d.month
+            return str(ym) if _s else ym
 
         return m.group(1), f
     return None

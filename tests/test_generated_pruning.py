@@ -173,3 +173,38 @@ def test_sql_face_generated_pruning(spark, tmp_path):
     after = _files(spark, p)
     assert len(set(before) & set(after)) == 2  # Feb+Mar carried
     assert spark.sql("SELECT COUNT(*) AS n FROM gendb.t").collect()[0].n == 6
+
+
+def test_gen_monotone_period_convention():
+    """The reference's period convention — (year·100 + month)[::string]
+    (`plans/common.period_yyyymm`) — derives like date_format yyyyMM."""
+    mono = TX._gen_monotone
+    col, f = mono("year(ts) * 100 + month(ts)")
+    assert col == "ts" and f("2024-02-10") == 202402
+    col, f = mono("CAST(year(od)*100 + month(od) AS STRING)")
+    assert col == "od" and f(dt.date(2023, 11, 2)) == "202311"
+    col, f = mono("cast(year(x) * 100 + month(x) as int)")
+    assert f("2024-01-05") == 202401
+    # mismatched base columns never derive
+    assert mono("year(a)*100 + month(b)") is None
+
+
+def test_widen_under_column_mapping_and_optimize(spark, tmp_path):
+    """Type widening composes with column mapping (rename first) and
+    OPTIMIZE materializes the wide physical type in compacted files."""
+    p = str(tmp_path / "widemap")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame([(1, 5), (2, 6)], "k long, n int"),
+        p,
+    )
+    TX.tx_rename_column(spark, p, "n", "amount")  # activates mapping
+    TX.tx_widen_column(spark, p, "amount", "bigint")
+    got = TX.tx_read(spark, p)
+    assert dict(got.dtypes)["amount"] == "bigint"
+    assert sorted(tuple(r) for r in got.collect()) == [(1, 5), (2, 6)]
+    # compaction rewrites through the logical read → wide physicals
+    TX.tx_compact(spark, p)
+    got = TX.tx_read(spark, p)
+    assert dict(got.dtypes)["amount"] == "bigint"
+    assert sorted(tuple(r) for r in got.collect()) == [(1, 5), (2, 6)]
