@@ -35,6 +35,7 @@ HEADLINE = [
     "sql_copy_into",
     "sql_generated_pruning",
     "sql_widening_lifecycle",
+    "sql_delete_exists",
     "sql_delete_in_subquery",
     "sql_replace_where",
     "sql_convert_in_place",

@@ -27,6 +27,7 @@ _SAMPLE_FIRST = [
     "sql_copy_into",
     "sql_generated_pruning",
     "sql_widening_lifecycle",
+    "sql_delete_exists",
     # new in round 12 (never driver-sampled)
     "sql_merge_conditional",
     "sql_replace_where",

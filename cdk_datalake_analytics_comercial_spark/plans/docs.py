@@ -3573,6 +3573,70 @@ GROUP BY lang
 """
 
 
+def q_sql_delete_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DELETE FROM t WHERE EXISTS (SELECT … WHERE t.k = s.k AND …)``
+    (`core/sql_dml._exists_to_in`): the correlated-equality EXISTS shape
+    rewrites mechanically onto the same two-tier IN machinery — the
+    statement here also carries an OUTER residual conjunct that must
+    keep applying after the rewrite. DuckDB replays the EXISTS delete
+    natively (no rewrite), so a rewrite bug cannot hide."""
+    from ..core.sql_dml import sql_dml
+    from ..core.sql_serving import register_txlog_table
+    from ..sources.txlog import tx_write
+
+    def build(tmp: str) -> None:
+        d = t(spark, sf_dir, "documents")
+        tx_write(
+            spark,
+            d.filter(F.col("doc_id") % 4 == 1).select(
+                "doc_id", "lang", "n_chars"
+            ),
+            tmp,
+            stats_for=["doc_id"],
+        )
+        register_txlog_table(spark, "lake_dex_build", "t", tmp)
+        d.createOrReplaceTempView("graft_dex_src")
+        sql_dml(
+            spark,
+            "DELETE FROM lake_dex_build.t WHERE EXISTS "
+            "(SELECT 1 FROM graft_dex_src s "
+            "WHERE t.doc_id = s.doc_id AND s.lang = 'en') "
+            "AND n_chars >= 500",
+        )
+        spark.sql("DROP TABLE IF EXISTS lake_dex_build.t")
+
+    path = _corpus_tx_fixture(spark, sf_dir, "txdexv1", build)
+    db = _lake_db(sf_dir)
+    register_txlog_table(spark, db, "documents_dex", path)
+    return spark.sql(f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_id
+        FROM {db}.documents_dex
+        GROUP BY lang
+    """)
+
+
+_ORACLE_SQL_DELETE_EXISTS = """
+WITH fin AS (
+  SELECT doc_id, lang, n_chars
+  FROM documents t
+  WHERE doc_id % 4 = 1
+    AND NOT (
+      EXISTS (SELECT 1 FROM documents s
+              WHERE t.doc_id = s.doc_id AND s.lang = 'en')
+      AND n_chars >= 500
+    )
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM fin GROUP BY lang
+"""
+
+
 def q_sql_delete_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``DELETE FROM t WHERE k IN (SELECT …) AND <residual>`` — the GDPR
     bulk-delete-by-list shape (`core/sql_dml.py` `_delete_subquery`).
@@ -3769,6 +3833,7 @@ QUERIES = {
     "sql_widening_lifecycle": q_sql_widening_lifecycle,
     "sql_replace_where": q_sql_replace_where,
     "sql_convert_in_place": q_sql_convert_in_place,
+    "sql_delete_exists": q_sql_delete_exists,
     "sql_delete_in_subquery": q_sql_delete_in_subquery,
     "sql_zorder_pruning": q_sql_zorder_pruning,
     "sql_pushdown_lookup": q_sql_pushdown_lookup,
@@ -3842,6 +3907,7 @@ ORACLES = {
     "sql_widening_lifecycle": _ORACLE_SQL_WIDENING_LIFECYCLE,
     "sql_replace_where": _ORACLE_SQL_REPLACE_WHERE,
     "sql_convert_in_place": _ORACLE_SQL_CONVERT_IN_PLACE,
+    "sql_delete_exists": _ORACLE_SQL_DELETE_EXISTS,
     "sql_delete_in_subquery": _ORACLE_SQL_DELETE_IN_SUBQUERY,
     "sql_zorder_pruning": _ORACLE_SQL_ZORDER_PRUNING,
     "sql_pushdown_lookup": _ORACLE_SQL_PUSHDOWN_LOOKUP,
