@@ -56,6 +56,14 @@ TXSQL_FAMILY = [
     "sql_insert_overwrite_dynamic",
     "sql_merge_conditional",
     "sql_delete_in_subquery",
+    # round-13 additions: schema evolution / COPY INTO ledger /
+    # generated-column pruning / type widening / EXISTS routing —
+    # all metadata- or pruning-bound, so the decade ratio must stay flat
+    "sql_merge_evolution",
+    "sql_copy_into",
+    "sql_generated_pruning",
+    "sql_widening_lifecycle",
+    "sql_delete_exists",
 ]
 
 # events/sketch family probed one decade further (generated sf1 events +
