@@ -249,7 +249,10 @@ def _parse_literal(tok: str):
     if m:
         import datetime as _dt
 
-        return _dt.date.fromisoformat(m.group(1))
+        try:
+            return _dt.date.fromisoformat(m.group(1))
+        except ValueError:  # calendar-invalid (DATE '2023-02-30')
+            return None
     m = re.fullmatch(r"(?is)timestamp\s*'([^']+)'", tok)
     if m:
         import datetime as _dt
@@ -868,13 +871,24 @@ def _exists_to_in(table: str, pred: str) -> str | None:
                     )
                     continue
             # any OTHER reference to the outer table inside the
-            # subquery would dangle after the rewrite — not routable
-            if any(
-                _unquote(qm.group(1)).lower() in outer
+            # subquery would dangle after the rewrite — not routable.
+            # Qualifiers may be one OR two parts (t.col / db.t.col).
+            def refs_outer(txt: str) -> bool:
                 for qm in re.finditer(
-                    rf"({_IDENT})\s*\.\s*{_IDENT}", ic
-                )
-            ):
+                    rf"(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*\.\s*{_IDENT}",
+                    txt,
+                ):
+                    quals = {_unquote(qm.group(2)).lower()}
+                    if qm.group(1):
+                        quals.add(
+                            f"{_unquote(qm.group(1)).lower()}"
+                            f".{_unquote(qm.group(2)).lower()}"
+                        )
+                    if quals & outer:
+                        return True
+                return False
+
+            if refs_outer(ic):
                 return None
             rest.append(ic.strip())
         if corr is None:
@@ -935,7 +949,7 @@ def _parse_in_subquery(
                 )
             subq = (_unquote(m.group(1)), m.group(3))
             continue
-        if re.search(r"\bSELECT\b", conj, re.IGNORECASE):
+        if _has_select_outside_quotes(conj):
             raise SqlDmlError(
                 f"{verb} {table}: cannot route subquery in "
                 f"{conj.strip()!r} (supported: one top-level "

@@ -2702,6 +2702,7 @@ def tx_write(
             spark, df_in, path, partition_by=parts_in, mode=mode,
             stats_for=stats_for_in, bloom_for=bloom_for, checks=checks,
             schema_evolution=schema_evolution, txn=txn,
+            copy_files=copy_files,
             require_version=require_version,
             _identity_retries=_identity_retries - 1,
         )
@@ -2914,11 +2915,16 @@ def _partition_rejects(
             continue
         if val is None:
             continue
-        try:
-            if val != want:
-                return True
-        except TypeError:
-            continue
+        # a probe whose Python TYPE differs from the decoded value
+        # (string literal against a date/double column — SQL would cast
+        # and match) must KEEP the file: `!=` never raises across types,
+        # so an unguarded compare would silently prune matching rows
+        same_family = type(val) is type(want) or (
+            isinstance(val, (int, float)) and isinstance(want, (int, float))
+            and not isinstance(val, bool) and not isinstance(want, bool)
+        )
+        if same_family and val != want:
+            return True
     return False
 
 
@@ -2951,10 +2957,16 @@ _GEN_CASTDATE = re.compile(
 )
 # the reference's period convention (`plans/common.period_yyyymm`):
 # (year·100 + month) [:: string] — monotone, byte-identical to
-# date_format(x,'yyyyMM') for 4-digit years
-_GEN_YM = re.compile(
-    r"^\s*(?:cast\s*\(\s*)?year\s*\(\s*`?(\w+)`?\s*\)\s*\*\s*100\s*"
-    r"\+\s*month\s*\(\s*`?\1`?\s*\)(?:\s+as\s+(string|int|integer|long|bigint)\s*\))?\s*$",
+# date_format(x,'yyyyMM') for 4-digit years. Two regexes, bare and
+# cast-wrapped, so the guard keys off the actual wrapper — never a
+# 'cast' SUBSTRING (a base column named forecast_date must still derive)
+_GEN_YM_BODY = (
+    r"year\s*\(\s*`?(\w+)`?\s*\)\s*\*\s*100\s*\+\s*month\s*\(\s*`?\1`?\s*\)"
+)
+_GEN_YM_BARE = re.compile(rf"^\s*{_GEN_YM_BODY}\s*$", re.IGNORECASE)
+_GEN_YM_CAST = re.compile(
+    rf"^\s*cast\s*\(\s*{_GEN_YM_BODY}\s+as\s+"
+    r"(string|int|integer|long|bigint)\s*\)\s*$",
     re.IGNORECASE,
 )
 # formats whose OUTPUT ordering follows the input ordering (zero-padded,
@@ -3007,9 +3019,13 @@ def _gen_monotone(expr: str):
             return d.date() if d is not None else None
 
         return m.group(1), f
-    m = _GEN_YM.match(expr)
-    if m and ("cast" not in expr.lower() or m.group(2)):
-        as_str = (m.group(2) or "").lower() == "string"
+    m = _GEN_YM_BARE.match(expr)
+    cast_t = None
+    if m is None:
+        m = _GEN_YM_CAST.match(expr)
+        cast_t = m.group(2) if m else None
+    if m:
+        as_str = (cast_t or "").lower() == "string"
 
         def f(v, _s=as_str):
             d = as_dt(v)
@@ -3035,6 +3051,44 @@ def _derive_generated_hints(
     gens = _generated_cols(manifest.get("properties", {}))
     if not gens:
         return dict(where or {})
+    # declared types of the generated columns: derived values COERCE to
+    # them so the downstream stat/partition comparisons are same-typed
+    # (an uncoercible mismatch drops the hint — a crash or a mistyped
+    # compare must never reach the skip test)
+    gtypes: dict[str, str] = {}
+    if manifest.get("schema"):
+        gtypes = {
+            f["name"]: f["type"]
+            for f in json.loads(manifest["schema"])["fields"]
+            if isinstance(f["type"], str)
+        }
+
+    def coerce(v, tj):
+        import datetime as _dt
+
+        if tj is None:
+            return v  # no schema record (unit-test manifests): as-is
+        try:
+            if tj == "string":
+                return str(v)
+            if tj in ("long", "integer", "short", "byte"):
+                if isinstance(v, bool):
+                    return None
+                if isinstance(v, int):
+                    return v
+                return int(v) if isinstance(v, str) and v.isdigit() else None
+            if tj in ("double", "float"):
+                return (
+                    float(v)
+                    if isinstance(v, (int, float)) and not isinstance(v, bool)
+                    else None
+                )
+            if tj == "date":
+                return v if isinstance(v, _dt.date) else None
+        except (ValueError, TypeError):
+            return None
+        return None  # unknown declared type: no safe comparison
+
     out = dict(where or {})
     for gcol, expr in gens.items():
         if gcol in out or (where_equals and gcol in where_equals):
@@ -3043,16 +3097,22 @@ def _derive_generated_hints(
         if parsed is None:
             continue
         base, fn = parsed
+        tj = gtypes.get(gcol) if gtypes else None
+
+        def derive(v, _fn=fn, _tj=tj):
+            y = _fn(v)
+            return None if y is None else coerce(y, _tj)
+
         lo = hi = None
         if where_equals and base in where_equals:
-            v = fn(where_equals[base])
+            v = derive(where_equals[base])
             if v is None:
                 continue
             lo = hi = v
         elif where and base in where:
             blo, bhi = where[base]
-            lo = fn(blo) if blo is not None else None
-            hi = fn(bhi) if bhi is not None else None
+            lo = derive(blo) if blo is not None else None
+            hi = derive(bhi) if bhi is not None else None
             if lo is None and hi is None:
                 continue
         else:
@@ -3346,12 +3406,29 @@ def _merge_apply_clauses(
         slice_df = spark.createDataFrame(
             [], StructType.fromJson(json.loads(schema_json))
         )
+    from pyspark.sql import Window
+
     t = slice_df.select(
         *(F.col(f"`{c}`").alias(f"__t_{c}") for c in slice_df.columns)
     ).withColumn("__t_present", F.lit(True))
     s = source.select(
         *(F.col(f"`{c}`").alias(f"__s_{c}") for c in source.columns)
     ).withColumn("__s_present", F.lit(True))
+    # per-key source rank: a target row joined by DUPLICATE source keys
+    # must keep exactly ONE copy when no matched clause fires (with
+    # matched clauses present, duplicates that match a target row were
+    # already refused upstream, so the rank is 1 there by construction;
+    # unmatched duplicates still each insert — Delta's semantics). The
+    # order is arbitrary-but-harmless: the kept copy carries TARGET
+    # values either way.
+    s = s.withColumn(
+        "__s_rn",
+        F.row_number().over(
+            Window.partitionBy(*(F.col(f"`__s_{k}`") for k in keys)).orderBy(
+                F.lit(1)
+            )
+        ),
+    )
     joined = t.join(
         s,
         [F.col(f"`__t_{k}`") == F.col(f"`__s_{k}`") for k in keys],
@@ -3391,7 +3468,8 @@ def _merge_apply_clauses(
     for flag, _cl in nm_cl:
         inserted = inserted | flag
     keep = (
-        (groups["matched"] & ~drop)
+        (groups["matched"] & ~drop
+         & F.coalesce(F.col("__s_rn") == 1, F.lit(True)))
         | (groups["not_matched_by_source"] & ~drop)
         | (groups["not_matched"] & inserted)
     )

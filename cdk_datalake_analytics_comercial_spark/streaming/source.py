@@ -493,9 +493,8 @@ def _prune_files(
             }
         except Exception:
             bloom_probes = {}
-    types = {
-        f["name"]: f["type"] for f in json.loads(schema_json)["fields"]
-    } if schema_json else {}
+    part_types = TX._partition_types(schema_json) if schema_json else {}
+    p_equals = {mapping.get(c, c): v for c, v in (equals or {}).items()}
 
     def keep(f: dict) -> bool:
         if p_where:
@@ -506,30 +505,11 @@ def _prune_files(
                 pass  # bound not orderable against the stat tag: keep
         if bloom_probes and TX._bloom_rejects(f, bloom_probes):
             return False
-        part = f.get("partition") or {}
-        if part:
-            for c, (lo, hi) in ranges.items():
-                pv = part.get(mapping.get(c, c))
-                if pv is None:
-                    continue
-                raw = _hive_dec(pv)
-                if raw is None:  # null partition: no value matches a bound
-                    if lo is not None or hi is not None:
-                        return False
-                    continue
-                try:
-                    val = _typed_partition_value(raw, types.get(c))
-                except (ValueError, TypeError):
-                    continue
-                if val is None:
-                    continue
-                try:
-                    if lo is not None and val < lo:
-                        return False
-                    if hi is not None and val > hi:
-                        return False
-                except TypeError:
-                    continue
+        # single implementation of the hive partition-value skip —
+        # shared with tx_read and the DML paths, so a semantics fix
+        # lands everywhere at once
+        if TX._partition_rejects(f, p_where, p_equals, part_types):
+            return False
         return True
 
     return [f for f in files if keep(f)]

@@ -208,3 +208,35 @@ def test_widen_under_column_mapping_and_optimize(spark, tmp_path):
     got = TX.tx_read(spark, p)
     assert dict(got.dtypes)["amount"] == "bigint"
     assert sorted(tuple(r) for r in got.collect()) == [(1, 5), (2, 6)]
+
+
+def test_derived_hints_coerce_to_declared_type():
+    """Derived bounds coerce to the generated column's DECLARED type
+    (year() yields ints; a string-declared column needs string bounds or
+    the stat/partition compare would raise or mistype); uncoercible
+    mismatches drop the hint instead of crashing."""
+    import json as _json
+
+    schema = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "ts", "type": "date", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "y", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    })
+    man = {
+        "schema": schema,
+        "properties": {
+            "generated.p": "year(ts)*100 + month(ts)",  # int fn, string col
+            "generated.y": "date_format(ts, 'yyyyMM')",  # str fn, long col
+        },
+    }
+    out = TX._derive_generated_hints(man, {"ts": ("2024-02-01", "2024-03-05")}, None)
+    assert out["p"] == ("202402", "202403")  # coerced int -> string
+    assert out["y"] == (202402, 202403)      # coerced str -> long
+
+
+def test_gen_monotone_forecast_date_not_confused_by_cast_substring():
+    col, f = TX._gen_monotone("year(forecast_date)*100 + month(forecast_date)")
+    assert col == "forecast_date" and f("2024-05-01") == 202405

@@ -2218,3 +2218,99 @@ def test_subquery_delete_date_keys_inline(spark, tmp_path):
     )
     left = sorted(r.id for r in spark.sql("SELECT id FROM dmldb.datekeys").collect())
     assert left == [0, 2, 3, 5]
+
+
+def test_merge_insert_only_duplicate_matching_keys_keep_target_once(
+    spark, tmp_path
+):
+    """Insert-only clause merge (no WHEN MATCHED): duplicate source keys
+    that MATCH a target row must not fan the target row out — exactly
+    one copy survives (Delta: matched rows are no-ops for insert-only)."""
+    p = _table(spark, tmp_path, "dupins")
+    register_txlog_table(spark, "dmldb", "dupins", p)
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'x'), (1, 'y'), (600, 'z'), (600, 'w') "
+        "AS s(id, nv)"
+    ).createOrReplaceTempView("dupins_src")
+    sql_dml(
+        spark,
+        "MERGE INTO dmldb.dupins t USING dupins_src s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, v, g) VALUES (s.id, s.nv, 9)",
+    )
+    got = [r.v for r in spark.sql(
+        "SELECT v FROM dmldb.dupins WHERE id = 1"
+    ).collect()]
+    assert got == ["v1"]  # matched target row: exactly one copy, unchanged
+    ins = sorted(r.v for r in spark.sql(
+        "SELECT v FROM dmldb.dupins WHERE id = 600"
+    ).collect())
+    assert ins == ["w", "z"]  # unmatched duplicates each insert
+
+
+def test_string_probe_on_date_partition_not_pruned_away(spark, tmp_path):
+    """A string equality literal against a DATE partition column must
+    KEEP files (SQL casts and matches row-level); type-mismatched
+    partition probes can never prune."""
+    import datetime as dt
+
+    p = str(tmp_path / "dpart")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, dt.date(1995, 2, 1)), (2, dt.date(1995, 3, 1))],
+            "id long, d date",
+        ).coalesce(1),
+        p,
+        partition_by=["d"],
+    )
+    register_txlog_table(spark, "dmldb", "dpart", p)
+    sql_dml(spark, "DELETE FROM dmldb.dpart WHERE d = '1995-02-01'")
+    assert rows(spark.sql("SELECT id FROM dmldb.dpart")) == [(2,)]
+
+
+def test_subquery_residual_with_select_literal_routable(spark, tmp_path):
+    p = str(tmp_path / "selres")
+    TX.tx_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "SELECT me"), (2, "SELECT me"), (3, "keep")],
+            "id long, note string",
+        ),
+        p,
+    )
+    register_txlog_table(spark, "dmldb", "selres", p)
+    spark.sql(
+        "SELECT * FROM VALUES (1), (3) AS k(kid)"
+    ).createOrReplaceTempView("selres_keys")
+    sql_dml(
+        spark,
+        "DELETE FROM dmldb.selres WHERE id IN (SELECT kid FROM selres_keys) "
+        "AND note = 'SELECT me'",
+    )
+    assert rows(spark.sql("SELECT id FROM dmldb.selres")) == [(2,), (3,)]
+
+
+def test_invalid_date_literal_degrades_not_crashes():
+    from cdk_datalake_analytics_comercial_spark.core.sql_dml import (
+        _parse_literal,
+        parse_predicate,
+    )
+
+    assert _parse_literal("DATE '2023-02-30'") is None
+    w, eq, cond = parse_predicate("d = DATE '2023-02-30'")
+    assert cond is not None  # rides row-level; Spark reports the error
+
+
+def test_exists_db_qualified_outer_ref_refused(spark, tmp_path):
+    p = _table(spark, tmp_path, "dbex")
+    register_txlog_table(spark, "dmldb", "dbex", p)
+    spark.sql("SELECT * FROM VALUES (1) AS k(kid)").createOrReplaceTempView(
+        "dbex_keys"
+    )
+    with pytest.raises(SqlDmlError, match="not routable"):
+        sql_dml(
+            spark,
+            "DELETE FROM dmldb.dbex WHERE EXISTS "
+            "(SELECT 1 FROM dbex_keys WHERE dbex.id = dbex_keys.kid "
+            "AND dmldb.dbex.g = 1)",
+        )
