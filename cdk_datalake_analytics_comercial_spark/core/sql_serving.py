@@ -91,8 +91,64 @@ def ensure_database(spark: SparkSession, db: str, location: str | None = None) -
     loc = location or os.path.join(
         tempfile.gettempdir(), "spark_graft_warehouse", db
     )
+    dbkey = (spark.sparkContext.applicationId, db.lower())
+    if dbkey in _DB_CACHE and os.path.isdir(loc):
+        return
     os.makedirs(loc, exist_ok=True)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{_sq(loc)}'")
+    _DB_CACHE.add(dbkey)
+
+
+# ---------------------------------------------------------------------------
+# Registration fast-path. Re-registration used to be DROP + CREATE on every
+# call: correct (idempotent) but it invalidated the session's relation cache,
+# so EVERY SQL query over a registered table re-listed files and re-inferred
+# the parquet schema from footers — pure driver-side overhead repeated per
+# query (guide §5: the driver should do almost no data work; §6: listing is
+# cacheable). The cache below remembers what THIS session already registered
+# (keyed by applicationId — a fresh session always re-registers) plus a
+# mtime/size signature of the storage, and skips the DROP+CREATE when the
+# registration would be byte-identical. Changed data (rewritten file/dir) or
+# a changed descriptor (other path, time-travel pin, schema source) misses
+# the cache and re-registers exactly as before. txlog tables carry no storage
+# signature: their reader re-resolves the snapshot at every query plan by
+# design, so registration only pins (path, options).
+
+_REG_CACHE: dict[tuple[str, str, str], tuple] = {}
+_DB_CACHE: set[tuple[str, str]] = set()
+
+
+def _reg_key(spark: SparkSession, db: str, name: str) -> tuple[str, str, str]:
+    return (spark.sparkContext.applicationId, db.lower(), name.lower())
+
+
+def _reg_fresh(spark: SparkSession, db: str, name: str, desc: tuple) -> bool:
+    """True when ``db.name`` was registered by this session with the same
+    descriptor and still exists in the catalog (an external DROP evicts)."""
+    key = _reg_key(spark, db, name)
+    if _REG_CACHE.get(key) != desc:
+        return False
+    try:
+        if spark.catalog.tableExists(f"{db}.{name}"):
+            return True
+    except Exception:
+        pass
+    _REG_CACHE.pop(key, None)
+    return False
+
+
+def _reg_done(spark: SparkSession, db: str, name: str, desc: tuple) -> None:
+    _REG_CACHE[_reg_key(spark, db, name)] = desc
+
+
+def _path_sig(path: str) -> tuple:
+    """Storage signature for cache invalidation: a rewritten file or dir
+    bumps mtime, a same-path different-content registration re-registers."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
 
 
 def _drop_any(spark: SparkSession, fq: str) -> None:
@@ -122,14 +178,24 @@ def register_parquet_table(
     spark: SparkSession, db: str, name: str, path: str
 ) -> str:
     """(Re-)register one parquet location as ``db.name`` (external,
-    metadata-only; hive partitions recovered)."""
+    metadata-only; hive partitions recovered). Unchanged same-session
+    re-registrations are skipped (see ``_REG_CACHE``) so the relation
+    cache stays warm; hive-partitioned layouts always re-register —
+    partition dirs can appear below the root without touching its
+    mtime, and MSCK must see them."""
+    partitioned = _is_partitioned_dir(path)
+    desc = ("parquet", path, _path_sig(path))
+    if not partitioned and _reg_fresh(spark, db, name, desc):
+        return f"{db}.{name}"
     ensure_database(spark, db)
     _drop_any(spark, f"{db}.{name}")
     spark.sql(
         f"CREATE TABLE {db}.{name} USING parquet LOCATION '{_sq(path)}'"
     )
-    if _is_partitioned_dir(path):
+    if partitioned:
         spark.sql(f"MSCK REPAIR TABLE {db}.{name}")
+    else:
+        _reg_done(spark, db, name, desc)
     return f"{db}.{name}"
 
 
@@ -165,10 +231,17 @@ def register_txlog_table(
         extra["versionasof"] = str(int(version))
     if timestamp is not None:
         extra["timestampasof"] = str(timestamp)
+    # No storage signature in the descriptor: the pinned reader re-resolves
+    # the CURRENT snapshot at every query plan, so data changes never
+    # require re-registration — only a different (path, pin) does.
+    desc = ("txlog", path.rstrip("/"), tuple(sorted(extra.items())))
+    if _reg_fresh(spark, db, name, desc):
+        return f"{db}.{name}"
     fmt = pinned_txlog_source(spark, path, extra or None)
     ensure_database(spark, db)
     _drop_any(spark, f"{db}.{name}")
     spark.sql(f"CREATE TABLE {db}.{name} USING {fmt}")
+    _reg_done(spark, db, name, desc)
     return f"{db}.{name}"
 
 

@@ -689,32 +689,27 @@ GROUP BY p_brand
 
 
 def q_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = t(spark, sf_dir, "lineitem").alias("l")
-    # derive a second "detail" projection and re-join on a 3-part key
-    d = (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey", "l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_qty_dec"))
-        .alias("d")
+    # The multi-key "aggregate then re-join to the detail grain" pattern,
+    # expressed as a window over the SAME 3-part key: one lineitem scan and
+    # one exchange establish the (orderkey, partkey, suppkey) partitioning
+    # and the group sum rides back to every detail row without the second
+    # scan + join the r12 shape paid (guide §2.4 — two operations keyed the
+    # same way share one exchange). Keys are non-null in this schema, so
+    # the inner-join and window forms agree row-for-row; the decimal sum is
+    # the identical aggregate either way.
+    l = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_partkey", "l_suppkey")
+    return l.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_quantity").alias("quantity"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("group_qty"),
     )
-    out = (
-        l.join(
-            d,
-            (F.col("l.l_orderkey") == F.col("d.l_orderkey"))
-            & (F.col("l.l_partkey") == F.col("d.l_partkey"))
-            & (F.col("l.l_suppkey") == F.col("d.l_suppkey")),
-            "inner",
-        )
-        .select(
-            F.col("l.l_orderkey").alias("orderkey"),
-            F.col("l.l_partkey").alias("partkey"),
-            F.col("l.l_suppkey").alias("suppkey"),
-            F.col("l.l_linenumber").alias("linenumber"),
-            F.col("l.l_quantity").alias("quantity"),
-            F.col("d._qty_dec").cast("double").alias("group_qty"),
-        )
-    )
-    return out
 
 
 _ORACLE_MULTIKEY = """
@@ -1602,13 +1597,22 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cents * 1000000 div qty")
         ).alias("unit_micros")
     )
-    w = Window.partitionBy("l_partkey").orderBy(
-        F.col("unit_micros").asc(), F.col("l_suppkey").asc()
-    )
+    # top-1 per part as a lexicographic struct-MIN (the engine's struct-max
+    # twin idiom, operators/relational.py): min(struct(unit_micros,
+    # suppkey)) picks exactly the row_number()-over-(unit_micros ASC,
+    # suppkey ASC) winner, but runs as a partial-aggregating hash agg —
+    # no global sort, no window, and the second exchange carries one
+    # struct per (part, supp) group instead of the full ranked table.
     best = (
-        per.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        per.groupBy("l_partkey")
+        .agg(
+            F.min(F.struct("unit_micros", "l_suppkey")).alias("_best")
+        )
+        .select(
+            "l_partkey",
+            F.col("_best.unit_micros").alias("unit_micros"),
+            F.col("_best.l_suppkey").alias("l_suppkey"),
+        )
     )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
@@ -1734,27 +1738,46 @@ FROM scored
 
 def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
-    op = l.select("l_orderkey", "l_partkey").distinct()
-    # order count as a 1-row crossJoin scalar anchor (the house idiom) —
-    # never an eager .count() during plan build
-    n_orders_anchor = op.agg(
-        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
+    # ONE exchange builds the deduped per-order part set (collect_set does
+    # the `distinct` inside the aggregation — the r12 shape computed
+    # `op.distinct()` FIVE times: once per self-join side, twice for
+    # per_part, once for the order-count anchor; 5 scans + 8 exchanges).
+    # Order sizes are basket-bounded (~7 in TPC-H shape), so the arrays
+    # are metadata-sized and the pair expansion below stays linear in
+    # Σ(order_size²) exactly like the self-join it replaces.
+    op_sets = (
+        l.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)  # 3 consumers: pairs/per_part/anchor
     )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    n_orders_anchor = op_sets.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    # ordered (p1 < p2) pairs per order, generated JVM-side from the
+    # sorted array (i < j ⇒ p1 < p2) — no self-join, no second shuffle of
+    # the order/part grain; the only remaining exchange is the (p1,p2)
+    # aggregation.
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("p1") < F.col("p2"))
+        op_sets.select(F.explode(pair_arr).alias("pr"))
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
         .filter(F.col("n_both") >= 3)
     )
-    per_part = op.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_p")
+    per_part = (
+        op_sets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
     )
     # per_part has one row per DISTINCT PART — it grows with the data, so
     # no broadcast hint: AQE applies its size check at runtime and keeps
@@ -2623,10 +2646,23 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60),
         F.col("l_suppkey"),
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(late_supp).alias("n_late_supp"),
-        F.max(late_supp).alias("blamed"),
+    # two COUNT(DISTINCT)s in one agg make Spark Expand every row 3× before
+    # the exchange; the per-order supplier sets are basket-bounded, so
+    # partial-aggregating collect_sets shuffle ONE compact set pair per
+    # order instead (guide §2.3 — aggregate before you shuffle). size() /
+    # array_max reproduce countDistinct (null-free sets) and max exactly.
+    per_order = (
+        j.groupBy("l_orderkey")
+        .agg(
+            F.collect_set("l_suppkey").alias("_ss"),
+            F.collect_set(late_supp).alias("_ls"),
+        )
+        .select(
+            "l_orderkey",
+            F.size("_ss").cast("bigint").alias("n_supp"),
+            F.size("_ls").cast("bigint").alias("n_late_supp"),
+            F.array_max("_ls").alias("blamed"),
+        )
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
