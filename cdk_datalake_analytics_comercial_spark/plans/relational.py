@@ -238,28 +238,23 @@ def q_rolling_3m(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling_3m_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Idiomatic rangeBetween rewrite of q_rolling_3m — same oracle, proving
     result equivalence (SURVEY §7.1 step 6)."""
+    from ..operators.relational import _month_index
+
     monthly = _monthly_revenue(spark, sf_dir)
-    out = rolling_window(
-        monthly,
-        keys=["custkey"],
-        period_col="id_periodo",
-        agg_exprs=[(F.col("_rev_dec"), "_rev_3m_dec")],
-        months_back=2,
-    )
+    # both rolling aggregates in ONE projection over ONE window spec: the
+    # r12 shape built the sum via rolling_window() and the count via a
+    # second withColumn, which the analyzer extracts as TWO stacked Window
+    # nodes each with its own Sort — same spec, same frame, sorted twice.
     w = (
         Window.partitionBy("custkey")
-        .orderBy(
-            F.substring("id_periodo", 1, 4).cast("int") * 12
-            + F.substring("id_periodo", 5, 2).cast("int")
-            - 1
-        )
+        .orderBy(_month_index(F.col("id_periodo")))
         .rangeBetween(-2, 0)
     )
-    return out.withColumn("n_months", F.count("*").over(w).cast("bigint")).select(
+    return monthly.select(
         "custkey",
         "id_periodo",
-        dsum_to_double(F.col("_rev_3m_dec")).alias("rev_3m"),
-        "n_months",
+        dsum_to_double(F.sum(F.col("_rev_dec")).over(w)).alias("rev_3m"),
+        F.count("*").over(w).cast("bigint").alias("n_months"),
     )
 
 
