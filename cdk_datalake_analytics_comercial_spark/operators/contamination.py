@@ -18,7 +18,9 @@ Scale design (the 100 TB story):
 - Only HIT rows (corpus shingles that matched the benchmark set) reach the
   one ``groupBy(doc_id)`` shuffle; clean documents are filtered out
   map-side, so the shuffle volume is bounded by contamination, which is
-  rare by definition.
+  rare by definition. (``dedup.spread_rows`` may add a local raw-row
+  exchange when the scan has fewer splits than cores — skipped by its own
+  contract at cluster scale, where the corpus still never shuffles.)
 - ``decontaminate`` removes flagged docs with a broadcast left-anti join —
   again no corpus shuffle.
 
@@ -33,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import dedup
+from . import text as T
 
 
 def benchmark_shingle_set(
@@ -46,12 +49,16 @@ def benchmark_shingle_set(
     One shuffle over the (small) benchmark side only; the result is the
     broadcast build side for :func:`contamination_overlap`.
     """
+    # hash AFTER the explode over distinct shingle strings (flat codegen'd
+    # Project, dedup.shingle_key_of) rather than per-element inside the
+    # interpreted transform — identical key set, see exploded_shingle_keys
     return (
         bench.select(
             F.explode(
-                F.array_distinct(dedup.shingle_keys(F.col(text_col), k, portable))
-            ).alias("s")
+                F.array_distinct(T.shingles(F.col(text_col), k))
+            ).alias("_t")
         )
+        .select(dedup.shingle_key_of(F.col("_t"), portable).alias("s"))
         .distinct()
     )
 
@@ -79,15 +86,12 @@ def contamination_overlap(
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
 
-    doc_sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(dedup.shingle_keys(F.col(text_col), k, portable)).alias(
-            "_arr"
-        ),
+    doc_sh = dedup.exploded_shingle_keys(
+        docs, text_col, id_col, k, portable
     ).select(
-        id_col,
-        F.size("_arr").alias("n_shingles"),
-        F.explode("_arr").alias("s"),
+        F.col("id").alias(id_col),
+        F.col("n").alias("n_shingles"),
+        "s",
     )
 
     hits = doc_sh.join(bench_sh, "s", "left_semi")

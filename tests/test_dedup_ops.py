@@ -320,3 +320,31 @@ def test_paragraph_dedup_first_wins_and_reassembles(spark):
     # doc 4 keeps its unique second chunk only
     assert out[4]["clean_text"] == w("z", 10)
     assert (out[4]["n_kept"], out[4]["n_dropped"]) == (1, 1)
+
+
+def test_exploded_shingle_keys_matches_array_side_hashing(spark):
+    """The flat post-explode hashing shape (codegen Project) must produce
+    exactly the rows of the original array-side shape
+    ``explode(array_distinct(shingle_keys(...)))`` with the doc's
+    distinct-shingle count riding along — both portable (md5) and
+    default (xxhash64) key families."""
+    df = docs_df(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",  # duplicate text
+            "short",                                        # < k tokens
+            "repeat repeat repeat repeat repeat",           # collapsing shingles
+        ],
+    )
+    for portable in (True, False):
+        ref = df.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(
+                D.shingle_keys(F.col("text"), 3, portable)
+            ).alias("sh"),
+        ).select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+        got = D.exploded_shingle_keys(df, "text", "doc_id", 3, portable)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, ref.collect())
+        ), f"portable={portable}"
