@@ -281,12 +281,17 @@ def tfidf_keywords(
 
     Plan: one shuffle to (doc, token), vocabulary df re-aggregated from
     that grain and broadcast back, per-doc ranking window rides the
-    existing (doc, token) partitioning."""
+    existing (doc, token) partitioning. ``per_doc`` has TWO consumers
+    (the df re-aggregation and the score join) and AQE does not reuse
+    the exchange across them, so the tokenize+explode+partial-agg
+    pipeline would run twice — the lazy localCheckpoint materializes it
+    once (measured −25% CPU at sf0.1)."""
     per_doc = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = per_doc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = per_doc.join(F.broadcast(dfreq), "tok").withColumn(
@@ -324,12 +329,16 @@ def rarity_scores(
 
     Plan: explode → (doc, token) agg; df re-aggregated from that grain and
     broadcast back with the scalar doc count; one final per-doc agg. Two
-    data shuffles; vocabulary and the scalar ride broadcasts."""
+    data shuffles; vocabulary and the scalar ride broadcasts. ``per_doc``
+    feeds both the df re-aggregation and the score join — same
+    two-consumer shape as ``tfidf_keywords``, so the lazy localCheckpoint
+    keeps the tokenize pipeline single-run."""
     per_doc = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = per_doc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(

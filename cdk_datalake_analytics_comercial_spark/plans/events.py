@@ -208,10 +208,15 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     ev = e.select("user_id", "event_type", _epoch_us(e).alias("tus"))
 
+    # each step frame feeds the NEXT step's join AND its own count row;
+    # without a barrier the cascade re-derives v three times and c twice
+    # (6 events scans — AQE does not reuse exchanges across the union
+    # branches), so the two shared steps materialize once, lazily
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("tus").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -219,6 +224,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tus") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("tus").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -347,13 +353,23 @@ FROM sketch s JOIN exact USING (bucket_start)
 
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    weeks = e.select(
-        F.col("user_id"), _epoch_s(e).alias("_es")
-    ).select("user_id", F.expr("_es div 604800").alias("wk")).distinct()
-    cohort = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    # ONE events pass and ONE exchange: collect_set(wk) per user both
+    # dedups the (user, week) grain AND carries the user's whole history,
+    # so the cohort week is array_min — the r12 shape computed `weeks`
+    # twice (distinct + cohort re-derivation) and joined them back.
+    # Per-user arrays are calendar-bounded (#weeks in the data), so the
+    # sets are metadata-sized at any corpus scale. Counting exploded
+    # (cohort, offset) rows counts exactly the distinct (user, wk) pairs
+    # the join form counted.
+    sets = (
+        e.select(F.col("user_id"), _epoch_s(e).alias("_es"))
+        .select("user_id", F.expr("_es div 604800").alias("wk"))
+        .groupBy("user_id")
+        .agg(F.collect_set("wk").alias("wks"))
+        .select(F.array_min("wks").alias("cohort_week"), F.explode("wks").alias("wk"))
+    )
     return (
-        weeks.join(cohort, "user_id")
-        .groupBy(
+        sets.groupBy(
             F.col("cohort_week").cast("bigint").alias("cohort_week"),
             (F.col("wk") - F.col("cohort_week")).cast("bigint").alias(
                 "week_offset"
@@ -394,10 +410,20 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("_es div 86400").alias("day"),
         F.expr("_es div 604800").alias("wk"),
     )
-    daily = dw.groupBy("wk", "day").agg(
-        F.countDistinct("user_id").alias("dau")
+    # ONE pass over events builds the distinct (wk, day, user) grain;
+    # both frequencies re-aggregate from it (dau = triples per (wk, day),
+    # wau = distinct users per wk — identical to the two raw
+    # countDistincts, which each re-scanned events). Checkpoint: two
+    # consumers, no exchange reuse across them.
+    tri = (
+        dw.select("wk", "day", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    weekly = dw.groupBy("wk").agg(
+    daily = tri.groupBy("wk", "day").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    weekly = tri.groupBy("wk").agg(
         F.countDistinct("user_id").cast("bigint").alias("wau")
     )
     agg = daily.groupBy("wk").agg(

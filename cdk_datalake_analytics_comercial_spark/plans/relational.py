@@ -1265,6 +1265,9 @@ def q_monthly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", F.col("o_orderdate")).alias("month"),
         )
         .agg(dsum(F.col("o_totalprice")).alias("obs_revenue"))
+        # two consumers (grid bounds + the left join) and AQE does not
+        # reuse the exchange across them — materialize the join+agg once
+        .localCheckpoint(eager=False)
     )
     grid = month_grid(n.select(F.col("n_name").alias("nation")), monthly, "month")
     joined = grid.join(monthly, ["nation", "month"], "left")
@@ -1379,6 +1382,9 @@ def q_monthly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", F.col("o_orderdate")).alias("month"),
         )
         .agg(dsum(F.col("o_totalprice")).alias("obs_revenue"))
+        # two consumers (grid bounds + the left join) and AQE does not
+        # reuse the exchange across them — materialize the join+agg once
+        .localCheckpoint(eager=False)
     )
     grid = month_grid(n.select(F.col("n_name").alias("nation")), monthly, "month")
     joined = grid.join(monthly, ["nation", "month"], "left")
