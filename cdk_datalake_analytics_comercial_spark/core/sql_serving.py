@@ -231,10 +231,22 @@ def register_txlog_table(
         extra["versionasof"] = str(int(version))
     if timestamp is not None:
         extra["timestampasof"] = str(timestamp)
-    # No storage signature in the descriptor: the pinned reader re-resolves
-    # the CURRENT snapshot at every query plan, so data changes never
-    # require re-registration — only a different (path, pin) does.
-    desc = ("txlog", path.rstrip("/"), tuple(sorted(extra.items())))
+    # The descriptor folds in the table's CURRENT COMMIT VERSION (one log-dir
+    # listing — metadata-only): the catalog relation pins the schema captured
+    # at CREATE TABLE, so a registration after ANY new commit (DDL adding a
+    # column, merge with schema evolution, CTAS replace — or plain data DML,
+    # whose schema is unchanged but whose re-registration was the pre-cache
+    # behavior) must miss the cache and re-create the entry. An unchanged
+    # table (every repeated SELECT-serving registration) still hits the
+    # fast path and keeps the relation cache warm.
+    from ..sources.txlog import current_version
+
+    desc = (
+        "txlog",
+        path.rstrip("/"),
+        tuple(sorted(extra.items())),
+        current_version(spark, path),
+    )
     if _reg_fresh(spark, db, name, desc):
         return f"{db}.{name}"
     fmt = pinned_txlog_source(spark, path, extra or None)
