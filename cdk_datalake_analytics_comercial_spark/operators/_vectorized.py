@@ -113,6 +113,48 @@ def make_cosine_scores_mapper(q_ids, q_matrix, id_col="vec_id"):
     return mapper
 
 
+def make_fingerprint_udf(params, mersenne_p):
+    """Fused portable fingerprint kernel: raw shingle strings →
+    ``struct(hs, sig)`` in ONE Arrow pass.
+
+    Replicates the JVM portable pipeline bit-for-bit —
+    ``pmod(conv(substring(md5(s),1,15),16,10), p)`` per shingle,
+    ``array_distinct`` over the HASH values (first-occurrence order, so a
+    pmod collision merges exactly as the Column form does), then the
+    MinHash signature over the distinct hashes — but md5 runs in
+    hashlib (C) instead of per-element inside an interpreted
+    higher-order ``transform``, and the signature shares the same pass,
+    so the JVM↔Python boundary is crossed once per batch instead of the
+    hash array crossing separately into the signature kernel."""
+    import hashlib
+
+    a = np.array([p[0] for p in params], dtype=np.uint64)
+    b = np.array([p[1] for p in params], dtype=np.uint64)
+    p64 = np.uint64(mersenne_p)
+    p_int = int(mersenne_p)
+    md5 = hashlib.md5
+
+    @pandas_udf("struct<hs: array<long>, sig: array<long>>")
+    def fp(sh: pd.Series) -> pd.DataFrame:
+        hs_out, sig_out = [], []
+        for shingles in sh:
+            if shingles is None:
+                hs_out.append(None)
+                sig_out.append(None)
+                continue
+            seen = dict.fromkeys(
+                int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % p_int
+                for s in shingles
+            )
+            hs = np.fromiter(seen, dtype=np.uint64, count=len(seen))
+            m = (hs[:, None] * a[None, :] + b[None, :]) % p64
+            hs_out.append(hs.astype(np.int64))
+            sig_out.append(m.min(axis=0).astype(np.int64))
+        return pd.DataFrame({"hs": hs_out, "sig": sig_out})
+
+    return fp
+
+
 def make_simhash_udf(num_bits):
     shifts = np.arange(num_bits, dtype=np.uint64)
 

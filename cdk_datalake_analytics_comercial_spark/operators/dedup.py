@@ -288,6 +288,50 @@ def minhash_signature_pandas(num_hashes: int = 64):
     return make_minhash_sig_udf(_hash_params(num_hashes), _MERSENNE_P)
 
 
+def fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """``(id, hs, sig)`` fingerprint rows for a corpus batch.
+
+    Portable path: ONE fused Arrow kernel (``make_fingerprint_udf``)
+    computes the md5 shingle hashes AND the MinHash signature per batch —
+    the md5 previously ran per element inside an interpreted higher-order
+    ``transform`` (guide §4.1/§4.2: hand whole batches to native code).
+    Values are bit-identical to the Column pipeline (same hex-prefix
+    arithmetic, same first-occurrence ``array_distinct`` over the hash
+    values, same (a,b) signature params). Non-portable path keeps the
+    JVM xxhash64 pipeline (cheap there, and xxhash64 is not reproducible
+    in the Python worker)."""
+    if not portable:
+        hashed = hashed_shingles(df, text_col, id_col, k, portable)
+        return hashed.select(
+            "id",
+            F.col("_h").alias("hs"),
+            minhash_signature_pandas(num_hashes)(F.col("_h")).alias("sig"),
+        )
+    from ._vectorized import make_fingerprint_udf
+
+    udf = make_fingerprint_udf(_hash_params(num_hashes), _MERSENNE_P)
+    return (
+        spread_rows(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            T.shingles(F.col(text_col), k).alias("_ss"),
+        )
+        .select("id", udf(F.col("_ss")).alias("_fp"))
+        .select(
+            "id",
+            F.col("_fp.hs").alias("hs"),
+            F.col("_fp.sig").alias("sig"),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -297,6 +341,7 @@ def minhash_lsh_candidates(
     k: int = 3,
     hashed: DataFrame | None = None,
     portable: bool = False,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
 
@@ -306,17 +351,23 @@ def minhash_lsh_candidates(
     buckets stay small; the cross-corpus shuffle is on band-hash only.
 
     ``hashed`` (from :func:`hashed_shingles`) lets callers share the shingle
-    pipeline with a verify stage. ``portable=True`` buckets on the *raw*
+    pipeline with a verify stage; ``sig`` (an ``(id, sig)`` frame, e.g. from
+    :func:`fingerprints`) skips signature computation entirely.
+    ``portable=True`` buckets on the *raw*
     signature band (array<long> join key, exact — no murmur3 to reproduce)
     so a SQL oracle can rebuild the identical candidate set; the default
     hashes each band to a 4-byte key (smaller shuffle at cluster scale).
     """
     rows = num_hashes // bands
-    if hashed is None:
-        hashed = hashed_shingles(df, text_col, id_col, k, portable)
-    sig = hashed.select(
-        "id", minhash_signature_pandas(num_hashes)(F.col("_h")).alias("sig")
-    )
+    if sig is None:
+        if hashed is not None:
+            sig = hashed.select(
+                "id", minhash_signature_pandas(num_hashes)(F.col("_h")).alias("sig")
+            )
+        else:
+            sig = fingerprints(
+                df, text_col, id_col, num_hashes, k, portable
+            ).select("id", "sig")
     if portable:
         band_key = lambda b: F.slice(F.col("sig"), b * rows + 1, rows)  # noqa: E731
     else:
@@ -366,26 +417,33 @@ def minhash_dedup(
     id of each confirmed pair (connected-components-lite: a row survives iff
     it is not the greater member of any duplicate pair).
 
-    The shingle pipeline runs ONCE per doc: the same materialized
-    hashed-shingle arrays feed both the signature/banding stage and the
-    verify stage, where Jaccard is computed per candidate pair with
-    ``array_intersect`` over the 31-bit hash sets (collision error
-    ≈ |shingles|²/2³¹ — negligible; the oracle-checked exact string variant
-    is :func:`ngram_jaccard_pairs`). ``portable=True`` selects the
-    md5-derived shingle hash + raw-band bucketing so the whole pipeline is
-    reproducible in the DuckDB oracle."""
-    hashed = hashed_shingles(df, text_col, id_col, k, portable).localCheckpoint(
-        eager=False
-    )
+    The shingle pipeline runs ONCE per doc: one materialized
+    :func:`fingerprints` pass (fused hash+signature Arrow kernel on the
+    portable path) feeds both the banding stage and the verify stage, where
+    Jaccard is computed per candidate pair with ``array_intersect`` over the
+    31-bit hash sets (collision error ≈ |shingles|²/2³¹ — negligible; the
+    oracle-checked exact string variant is :func:`ngram_jaccard_pairs`).
+    ``portable=True`` selects the md5-derived shingle hash + raw-band
+    bucketing so the whole pipeline is reproducible in the DuckDB oracle."""
+    fp = fingerprints(
+        df, text_col, id_col, num_hashes, k, portable
+    ).localCheckpoint(eager=False)
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, k, hashed=hashed, portable=portable
+        df,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        k,
+        sig=fp.select("id", "sig"),
+        portable=portable,
     )
     # verify per candidate pair only (the LSH point: the Jaccard computation
     # never sees the full corpus cross product)
     from .expr import let
 
-    ha = hashed.select(F.col("id").alias("id_a"), F.col("_h").alias("_ha"))
-    hb = hashed.select(F.col("id").alias("id_b"), F.col("_h").alias("_hb"))
+    ha = fp.select(F.col("id").alias("id_a"), F.col("hs").alias("_ha"))
+    hb = fp.select(F.col("id").alias("id_b"), F.col("hs").alias("_hb"))
     jaccard = let(
         F.size(F.array_intersect(F.col("_ha"), F.col("_hb"))).cast("double"),
         lambda inter: inter / (F.size("_ha") + F.size("_hb") - inter),
@@ -426,12 +484,7 @@ def minhash_index(
     of future candidates without the original text; drop it and pass
     ``verify="estimate"`` to :func:`minhash_dedup_incremental` if index
     size matters more than verification exactness."""
-    hashed = hashed_shingles(df, text_col, id_col, k, portable)
-    return hashed.select(
-        "id",
-        F.col("_h").alias("hs"),
-        minhash_signature_pandas(num_hashes)(F.col("_h")).alias("sig"),
-    )
+    return fingerprints(df, text_col, id_col, num_hashes, k, portable)
 
 
 def band_keys(
