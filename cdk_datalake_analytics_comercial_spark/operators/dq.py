@@ -159,6 +159,104 @@ def fused_row_checks(
     )
 
 
+def fused_table_checks(
+    df: DataFrame,
+    table_name: str,
+    row_checks: list[tuple[str, Column]] | None = None,
+    unique_keys: list[str] | None = None,
+    refs: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """EVERY check for one table in ONE scan — row-level conditional
+    counts, the uniqueness check, and referential-integrity orphan counts
+    all ride a single pass over ``df``.
+
+    How each family fuses (results identical to the standalone checks):
+
+    - row-level (``row_checks``, as for :func:`fused_row_checks`): a
+      conditional count per check. Summing per-group counts over the
+      uniqueness grain equals the whole-table count (the groups partition
+      the rows).
+    - uniqueness (``unique_keys``): the groupBy this check needs anyway
+      becomes the single exchange of the whole report; every other count
+      re-aggregates from its grain.
+    - referential integrity (``refs`` = ``(fk, parent_keys, check_name)``
+      with ``parent_keys`` a one-column frame of parent PK values): instead
+      of one left-anti join + count per FK (a separate child scan each),
+      LEFT-join the distinct parent keys (broadcast — they are dim-sized)
+      with a presence marker and count ``fk IS NOT NULL AND marker IS
+      NULL``. Join keys are distinct so cardinality is unchanged and the
+      orphan count is exactly the anti-join count.
+
+    At 100 TB this turns 1 + |refs| + (1 if unique) fact-table scans into
+    one; the parent sides are only ever scanned for their key column.
+    Without ``unique_keys`` the plan is a pure map-side aggregation (one
+    one-row exchange), with them it is the same single exchange the
+    uniqueness check alone would pay."""
+    row_checks = row_checks or []
+    refs = refs or []
+    joined = df
+    markers: list[tuple[str, Column]] = []
+    for i, (fk, parent_keys, check_name) in enumerate(refs):
+        m = f"_dq_m{i}"
+        pk_col = parent_keys.columns[0]
+        keys = (
+            parent_keys.select(F.col(pk_col).alias(fk))
+            .distinct()
+            .select(fk, F.lit(1).alias(m))
+        )
+        joined = joined.join(F.broadcast(keys), fk, "left")
+        markers.append(
+            (check_name, F.col(fk).isNotNull() & F.col(m).isNull())
+        )
+    conds = [(name, cond) for name, cond in row_checks] + markers
+    aggs = [
+        F.count(F.when(cond, F.lit(1))).cast("bigint").alias(f"_c{i}")
+        for i, (_, cond) in enumerate(conds)
+    ]
+    if unique_keys:
+        grain = joined.groupBy(*unique_keys).agg(
+            F.count(F.lit(1)).alias("_n"), *aggs
+        )
+        aggs_total = [
+            F.sum(F.col(f"_c{i}")).cast("bigint").alias(f"_c{i}")
+            for i in range(len(conds))
+        ]
+        one = grain.agg(
+            F.coalesce(F.sum(F.col("_n") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("_uq"),
+            *aggs_total,
+        )
+        names = [name for name, _ in conds]
+        packed = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check"), F.col(f"_c{i}").alias("violations")
+                )
+                for i, name in enumerate(names)
+            ],
+            F.struct(
+                F.lit(f"unique({','.join(unique_keys)})").alias("check"),
+                F.col("_uq").alias("violations"),
+            ),
+        )
+    else:
+        one = joined.agg(*aggs)
+        packed = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check"), F.col(f"_c{i}").alias("violations")
+                )
+                for i, (name, _) in enumerate(conds)
+            ]
+        )
+    return one.select(F.explode(packed).alias("e")).select(
+        F.col("e.check").alias("check"),
+        F.lit(table_name).alias("table_name"),
+        F.col("e.violations").alias("violations"),
+    )
+
+
 def dq_report(checks: list[DataFrame]) -> DataFrame:
     """Union the one-row check results into the violations report."""
     out = checks[0]

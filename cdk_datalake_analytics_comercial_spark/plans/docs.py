@@ -2225,24 +2225,39 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     return dq.dq_report(
         [
-            # all row-level lineitem checks fuse into ONE scan
-            dq.fused_row_checks(
+            # EVERY lineitem check (row-level + uniqueness + both FK
+            # orphan counts) fuses into ONE scan of the fact table; the
+            # parent sides only contribute broadcast key sets. Same for
+            # orders. r12 shape: 4 lineitem scans + 3 orders scans.
+            dq.fused_table_checks(
                 l,
                 "lineitem",
-                [
+                row_checks=[
                     dq.not_null_cond(["l_orderkey", "l_partkey"]),
                     dq.range_cond("l_discount", 0.0, 0.5),
                     dq.range_cond("l_quantity", 1.0, 50.0),
                 ],
+                unique_keys=["l_orderkey", "l_linenumber"],
+                refs=[
+                    (
+                        "l_orderkey",
+                        o.select("o_orderkey"),
+                        "ref(l_orderkey->o_orderkey)",
+                    ),
+                    ("l_partkey", p.select("p_partkey"), "ref(l_partkey->p_partkey)"),
+                ],
             ),
-            dq.fused_row_checks(
-                o, "orders", [dq.accepted_values_cond("o_orderstatus", ["O", "F", "P"])]
+            dq.fused_table_checks(
+                o,
+                "orders",
+                row_checks=[
+                    dq.accepted_values_cond("o_orderstatus", ["O", "F", "P"])
+                ],
+                unique_keys=["o_orderkey"],
+                refs=[
+                    ("o_custkey", c.select("c_custkey"), "ref(o_custkey->c_custkey)")
+                ],
             ),
-            dq.check_unique(l, "lineitem", ["l_orderkey", "l_linenumber"]),
-            dq.check_unique(o, "orders", ["o_orderkey"]),
-            dq.check_referential(l, "lineitem", "l_orderkey", o, "o_orderkey"),
-            dq.check_referential(o, "orders", "o_custkey", c, "c_custkey"),
-            dq.check_referential(l, "lineitem", "l_partkey", p, "p_partkey"),
         ]
     )
 
