@@ -352,19 +352,16 @@ def lsh_signature(iv: Column, planes_int: list[list[int]]) -> Column:
     return sig
 
 
-def ivf_centroids(
-    corpus: DataFrame,
-    dim: int,
-    n_cells: int = 16,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    iters: int = 3,
-) -> list[list[float]]:
-    """Coarse quantizer for IVF: deterministic k-means (Lloyd) on a driver-
-    side sample. Seeding is content-deterministic — the ``n_cells`` corpus
-    vectors with the smallest ids — so repeated builds agree. The sample is
-    bounded (4096 rows) regardless of corpus size; assignment quality only
-    needs centroids to roughly tile the space."""
+def training_sample(
+    corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+):
+    """The bounded deterministic trainer sample as a float64 ndarray: the
+    4096 corpus vectors with the smallest ids. ONE collect shared by every
+    quantizer a query trains — the coarse-centroid and PQ-codebook trainers
+    each collected this identical sample themselves, costing one extra
+    full sort-limit pass over the corpus per query (guide §1.2: don't
+    compute things twice; §5: keep driver pulls bounded — this one is
+    capped at 4096 rows regardless of corpus size)."""
     import numpy as np
 
     sample = (
@@ -373,7 +370,26 @@ def ivf_centroids(
         .limit(4096)
         .collect()
     )
-    x = np.array([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    return np.array([np.asarray(r["v"], dtype=np.float64) for r in sample])
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+    sample=None,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: deterministic k-means (Lloyd) on a driver-
+    side sample. Seeding is content-deterministic — the ``n_cells`` corpus
+    vectors with the smallest ids — so repeated builds agree. The sample is
+    bounded (4096 rows) regardless of corpus size; assignment quality only
+    needs centroids to roughly tile the space. ``sample`` (from
+    :func:`training_sample`) lets callers share one collect across
+    quantizers."""
+    x = training_sample(corpus, vec_col, id_col) if sample is None else sample
     return lloyd_centroids(x, n_cells, iters)
 
 
@@ -752,18 +768,12 @@ def pq_codebooks(
     k: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample=None,
 ) -> list:
     """Train PQ codebooks on the bounded first-4096-by-id sample (same
-    sampling contract as :func:`ivf_centroids`)."""
-    import numpy as np
-
-    sample = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .limit(4096)
-        .collect()
-    )
-    x = np.array([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    sampling contract as :func:`ivf_centroids`; pass ``sample`` to share
+    one :func:`training_sample` collect across quantizers)."""
+    x = training_sample(corpus, vec_col, id_col) if sample is None else sample
     return pq_codebooks_from_sample(x, n_sub, k)
 
 
@@ -893,9 +903,10 @@ def ivf_pq_topk(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    cents = ivf_centroids(corpus, dim, n_cells, vec_col, id_col)
-    cents_int = [[quantize(x) for x in row] for row in cents]
-    cbs = pq_codebooks(corpus, dim, n_sub, n_cent, vec_col, id_col)
+    x = training_sample(corpus, vec_col, id_col)
+    cents = ivf_centroids(corpus, dim, n_cells, vec_col, id_col, sample=x)
+    cents_int = [[quantize(v) for v in row] for row in cents]
+    cbs = pq_codebooks(corpus, dim, n_sub, n_cent, vec_col, id_col, sample=x)
     cbs_int = np.array(
         [[[quantize(v) for v in row] for row in cb] for cb in cbs], dtype=np.int64
     )
@@ -1000,15 +1011,9 @@ def _train_residual_quantizers(
     oracle builder, so all three derive bit-identical quantizers."""
     import numpy as np
 
-    cents = ivf_centroids(corpus, dim, n_cells, vec_col, id_col)
-    cents_int_l = [[quantize(x) for x in row] for row in cents]
-    sample = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .limit(4096)
-        .collect()
-    )
-    x = np.array([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    x = training_sample(corpus, vec_col, id_col)
+    cents = ivf_centroids(corpus, dim, n_cells, vec_col, id_col, sample=x)
+    cents_int_l = [[quantize(v) for v in row] for row in cents]
     rcb_int = np.array(
         residual_codebooks_from_sample(x, cents_int_l, n_sub, n_cent),
         dtype=np.int64,
