@@ -544,6 +544,15 @@ def minhash_dedup_incremental(
     verification join touches candidate pairs only."""
     if verify not in ("exact", "estimate"):
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    if index_df is not None and index_banded is None:
+        # the index frame feeds BOTH the banding join and the verify union;
+        # without a barrier each consumer re-executes its plan — for a
+        # freshly fingerprinted index (q_dedup_incremental's shape) that is
+        # the whole md5+MinHash kernel over the history corpus TWICE
+        # (guide §2.4/§5: materialize shared subtrees once). When a
+        # pre-banded layout is supplied the frame has one consumer and
+        # streams through unbarriered.
+        index_df = index_df.localCheckpoint(eager=False)
     new_idx = minhash_index(
         new_df, text_col, id_col, num_hashes, k, portable
     ).localCheckpoint(eager=False)
