@@ -1593,21 +1593,25 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.col("l_quantity").cast("bigint").alias("qty"),
     )
-    per = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(
-            F.expr("cents * 1000000 div qty")
-        ).alias("unit_micros")
-    )
-    # top-1 per part as a lexicographic struct-MIN (the engine's struct-max
-    # twin idiom, operators/relational.py): min(struct(unit_micros,
-    # suppkey)) picks exactly the row_number()-over-(unit_micros ASC,
-    # suppkey ASC) winner, but runs as a partial-aggregating hash agg —
-    # no global sort, no window, and the second exchange carries one
-    # struct per (part, supp) group instead of the full ranked table.
+    # top-1 per part as ONE lexicographic struct-MIN over the raw lines:
+    # min(struct(line_unit_micros, suppkey)) per part equals the
+    # row_number()-over-(unit_micros ASC, suppkey ASC) winner of the
+    # per-(part, supp) minima, because the global min unit price u* is
+    # achieved exactly by the lines whose (part, supp) group-min is u* —
+    # so lex-min over lines = lex-min over group minima. The r12→r13 shape
+    # staged TWO hash aggregations ((part, supp) min, then (part)
+    # struct-min) with an exchange each; fusing them drops one exchange
+    # and one aggregate pass (guide §2.4), and the partial (map-side) agg
+    # still reduces to one struct per part per task before the shuffle.
     best = (
-        per.groupBy("l_partkey")
+        l.groupBy("l_partkey")
         .agg(
-            F.min(F.struct("unit_micros", "l_suppkey")).alias("_best")
+            F.min(
+                F.struct(
+                    F.expr("cents * 1000000 div qty").alias("unit_micros"),
+                    "l_suppkey",
+                )
+            ).alias("_best")
         )
         .select(
             "l_partkey",
