@@ -334,7 +334,7 @@ def _incremental_index_path(sf_dir: str) -> str:
         # index in exactly that window)
         parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.sha1(
-        f"{doc}|{'|'.join(parts)}|mh=64|b=16|k=3|v1".encode()
+        f"{doc}|{'|'.join(parts)}|mh=64|b=16|k=3|v2".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"spark_graft_mhidx_{key}")
 
@@ -375,14 +375,33 @@ def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 2 == 1)
     path = _incremental_index_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS_ALL")):
+        import math
+
         old = d.filter(F.col("doc_id") % 2 == 0)
+        # ONE fingerprint pass feeds the row count, the feats write and the
+        # banded write (3 consumers — unbarriered, the md5+MinHash kernel
+        # would run once per consumer; guide §2.4/§5).
         idx = dedup.minhash_index(old, "text", "doc_id", portable=True)
+        idx = idx.localCheckpoint(eager=False)
+        n_idx = idx.count()
+        # File counts derive from the data volume (guide §6: aim for
+        # 128 MB–1 GB files), not from a parallelism constant: fingerprint
+        # rows carry the full shingle-hash set (~2 KB/row → ~64k rows/file);
+        # banded probe keys are ~50 B/row (~2.5M rows/file). A hardcoded 32
+        # sprayed a 40k-row index across 32 tiny files, and every probe
+        # stage downstream inherited the 32-task parallelism for
+        # metadata-sized work; at corpus scale the same formulas yield
+        # thousands of right-sized files.
+        feat_files = max(1, math.ceil(n_idx / 65536))
+        band_files = max(1, math.ceil(n_idx * 16 / 2_500_000))
         tmp = tempfile.mkdtemp(prefix="spark_graft_mhidx_build_")
-        idx.write.mode("overwrite").parquet(os.path.join(tmp, "feats"))
+        idx.repartition(feat_files).write.mode("overwrite").parquet(
+            os.path.join(tmp, "feats")
+        )
         # band-clustered layout: the probe joins on (band, band_hash), so
         # the stored side is already partitioned by its join key
         dedup.band_keys(idx, portable=True).repartition(
-            32, "band", "band_hash"
+            band_files, "band", "band_hash"
         ).write.mode("overwrite").parquet(os.path.join(tmp, "banded"))
         open(os.path.join(tmp, "_SUCCESS_ALL"), "w").close()
         _publish_index_dir(tmp, path, "_SUCCESS_ALL")

@@ -348,3 +348,31 @@ def test_exploded_shingle_keys_matches_array_side_hashing(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, ref.collect())
         ), f"portable={portable}"
+
+
+def test_incremental_probe_index_files_are_size_derived(spark):
+    """The persisted probe index derives its file counts from the index row
+    count (guide-§6 file sizing), not from a parallelism constant: a tiny
+    corpus must land in exactly one feats file and one banded file, and the
+    sizing formulas must scale linearly for corpus-sized inputs."""
+    import glob
+    import math
+    import os
+
+    from cdk_datalake_analytics_comercial_spark.plans.docs import (
+        _incremental_index_path,
+        q_dedup_incremental_probe,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    q_dedup_incremental_probe(spark, sf_dir).collect()
+    path = _incremental_index_path(sf_dir)
+    feats = glob.glob(os.path.join(path, "feats", "part-*"))
+    banded = glob.glob(os.path.join(path, "banded", "part-*"))
+    # 25-doc history index -> one file per output, not one per core
+    assert len(feats) == 1, feats
+    assert len(banded) == 1, banded
+    # the same formulas produce many right-sized files at corpus scale
+    n = 100_000_000
+    assert math.ceil(n / 65536) > 1000
+    assert math.ceil(n * 16 / 2_500_000) > 600
