@@ -36,6 +36,7 @@ def kmv_distinct(
     group_cols: list[str],
     value_col: str,
     k: int = 64,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Approximate COUNT(DISTINCT value) per group via the k-minimum-values
     sketch: keep the k smallest distinct hash values per group; if the
@@ -52,8 +53,15 @@ def kmv_distinct(
     (k longs) is what a 1000-executor rollup ships per group, not the
     value set. The two shuffles share the group-key partitioning. KMV
     sketches are also trivially mergeable (union the hash sets, re-take
-    the k smallest) — re-aggregation to coarser groups never rescans."""
-    vals = df.select(*group_cols, F.col(value_col).alias("_v")).distinct()
+    the k smallest) — re-aggregation to coarser groups never rescans.
+
+    ``assume_distinct=True`` skips the internal (group, value) distinct —
+    for callers that already hold the distinct grain (e.g. a query whose
+    exact-count twin shares it), avoiding a redundant exchange; the sketch
+    itself is duplicate-insensitive either way (top-k over hashes)."""
+    vals = df.select(*group_cols, F.col(value_col).alias("_v"))
+    if not assume_distinct:
+        vals = vals.distinct()
     hashed = vals.withColumn("_h", portable_hash60(F.col("_v")))
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("_h").asc(), F.col("_v").asc()
@@ -86,6 +94,7 @@ def hll_distinct(
     group_cols: list[str],
     value_col: str,
     p: int = 8,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Approximate COUNT(DISTINCT value) per group via a REAL HyperLogLog
     (Flajolet et al. 2007) built on the portable hash, so — unlike the
@@ -103,8 +112,13 @@ def hll_distinct(
     then group sum — with state m registers per group, CONSTANT in the
     number of distinct values (the entire point vs KMV's k rows is that m
     never grows and registers merge by max, so re-aggregation to coarser
-    groups is a max over registers)."""
-    regs = hll_registers(df, group_cols, value_col, p)
+    groups is a max over registers).
+
+    ``assume_distinct=True`` skips the internal (group, value) distinct —
+    registers merge by max, so duplicates never change the estimate; the
+    distinct exists only to shrink the register-aggregation input, and a
+    caller already holding the distinct grain saves that exchange."""
+    regs = hll_registers(df, group_cols, value_col, p, assume_distinct)
     return hll_estimate_from_registers(regs, group_cols, p)
 
 
@@ -113,6 +127,7 @@ def hll_registers(
     group_cols: list[str],
     value_col: str,
     p: int = 8,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """The per-group HLL register state: ``group_cols + (_bucket, _reg)``
     rows, one per NON-EMPTY register (≤ 2^p per group). This is the
@@ -121,7 +136,9 @@ def hll_registers(
     maintenance persists between change-feed applications
     (`operators/incremental.py`)."""
     m = 1 << p
-    vals = df.select(*group_cols, F.col(value_col).alias("_v")).distinct()
+    vals = df.select(*group_cols, F.col(value_col).alias("_v"))
+    if not assume_distinct:
+        vals = vals.distinct()
     hashed = vals.withColumn("_h", portable_hash60(F.col("_v")))
     # bucket = low p bits; rho = leading-zero rank of the remaining 60−p
     # bits + 1 (conv-to-binary length is an exact integer bit_length)

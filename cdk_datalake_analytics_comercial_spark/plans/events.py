@@ -312,9 +312,17 @@ def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     es = _epoch_s(e)
     bucket = (es - (es % 3600)).cast("bigint")
     pairs = e.select(bucket.alias("bucket_start"), F.col("user_id").alias("v"))
-    sketch = hll_distinct(pairs, ["bucket_start"], "v", p=8)
-    exact = pairs.groupBy("bucket_start").agg(
-        F.countDistinct("v").cast("bigint").alias("exact_users")
+    # ONE (bucket, user) distinct grain serves both sides (guide §2.4):
+    # the sketch's internal distinct and the exact COUNT(DISTINCT)'s
+    # two-level rewrite each re-shuffled the full pair stream and
+    # re-scanned events — the shared grain scans once and shuffles the
+    # full stream once; both aggregations then run over the (much
+    # smaller) distinct rows. countDistinct over pairs ≡ count(*) over
+    # the distinct grain.
+    dv = pairs.distinct().localCheckpoint(eager=False)
+    sketch = hll_distinct(dv, ["bucket_start"], "v", p=8, assume_distinct=True)
+    exact = dv.groupBy("bucket_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_users")
     )
     return sketch.join(exact, "bucket_start").select(
         "bucket_start", "hll_buckets_used", "hll_estimate", "exact_users"

@@ -1339,10 +1339,15 @@ def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.col("o_custkey").alias("custkey"),
     )
-    sketch = kmv_distinct(pairs, ["priority"], "custkey", k=_KMV_K)
-    exact = (
-        pairs.groupBy("priority")
-        .agg(F.countDistinct("custkey").cast("bigint").alias("exact_distinct"))
+    # ONE (priority, custkey) distinct grain serves the sketch and the
+    # exact COUNT(DISTINCT) (guide §2.4) — each previously re-scanned
+    # orders and re-shuffled the full pair stream for its own distinct.
+    dv = pairs.distinct().localCheckpoint(eager=False)
+    sketch = kmv_distinct(
+        dv, ["priority"], "custkey", k=_KMV_K, assume_distinct=True
+    )
+    exact = dv.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
     )
     return sketch.join(exact, "priority").select(
         "priority", "n_kept", "kth_hash", "kmv_estimate", "exact_distinct"
@@ -1458,10 +1463,11 @@ def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.col("o_custkey").alias("custkey"),
     )
-    sketch = hll_distinct(pairs, ["priority"], "custkey", p=8)
-    exact = (
-        pairs.groupBy("priority")
-        .agg(F.countDistinct("custkey").cast("bigint").alias("exact_distinct"))
+    # shared distinct grain, as in q_approx_distinct_kmv (guide §2.4)
+    dv = pairs.distinct().localCheckpoint(eager=False)
+    sketch = hll_distinct(dv, ["priority"], "custkey", p=8, assume_distinct=True)
+    exact = dv.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
     )
     return sketch.join(exact, "priority").select(
         "priority", "hll_buckets_used", "hll_estimate", "exact_distinct"

@@ -147,3 +147,22 @@ def test_interpolate_linear_blends_and_leaves_edges_null(spark):
     assert out[1] is None and out[6] is None
     assert out[2] == 10.0 and out[5] == 40.0
     assert out[3] == 20.0 and out[4] == 30.0  # time-weighted thirds
+
+
+def test_assume_distinct_matches_default_path(spark):
+    """assume_distinct=True over a pre-distincted (group, value) grain must
+    reproduce the default path exactly, for both sketch families — the
+    shared-grain rewrite in the registry queries relies on it."""
+    from cdk_datalake_analytics_comercial_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    rows = [(g, v % 37) for g in ("a", "b") for v in range(200)] * 3
+    df = spark.createDataFrame(rows, "g string, v long")
+    dv = df.distinct()
+    for fn, kw in ((kmv_distinct, dict(k=16)), (hll_distinct, dict(p=6))):
+        base = sorted(map(tuple, fn(df, ["g"], "v", **kw).collect()))
+        fast = sorted(
+            map(tuple, fn(dv, ["g"], "v", assume_distinct=True, **kw).collect())
+        )
+        assert base == fast, fn.__name__
