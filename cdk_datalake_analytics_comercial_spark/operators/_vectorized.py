@@ -243,3 +243,30 @@ def make_multitable_lsh_udf(tables_int):
         return pd.Series(list(out))
 
     return buckets
+
+
+def make_repetition_stats_udf():
+    """Per-document bigram repetition stats in ONE Arrow pass:
+    ``array<string> shingles → struct(top, n)`` where ``top`` is the count
+    of the most frequent element and ``n`` the array length.
+
+    Replaces the explode → groupBy(doc, g) → groupBy(doc) staging, which
+    shuffled the full token stream twice to compute a metric that is
+    row-local (each document's statistic depends only on its own array) —
+    the guide-§8 proxy rule in miniature: never shuffle a corpus to decide
+    per-row facts. Counting runs in numpy (unique over a factorized view)
+    per batch."""
+
+    @pandas_udf("struct<top: bigint, n: bigint>")
+    def stats(arrs: pd.Series) -> pd.DataFrame:
+        tops = np.zeros(len(arrs), dtype=np.int64)
+        ns = np.zeros(len(arrs), dtype=np.int64)
+        for i, a in enumerate(arrs):
+            if a is None or len(a) == 0:
+                continue
+            _, counts = np.unique(np.asarray(a, dtype=object), return_counts=True)
+            tops[i] = counts.max()
+            ns[i] = len(a)
+        return pd.DataFrame({"top": tops, "n": ns})
+
+    return stats

@@ -182,6 +182,20 @@ def line_stats(col: Column) -> Column:
     )
 
 
+def repetition_stats(col: Column, k: int = 2) -> Column:
+    """``struct(top, n)`` — count of the most frequent k-shingle and the
+    total shingle count of ONE document, via an Arrow kernel over the
+    JVM-built shingle array (``operators._vectorized.
+    make_repetition_stats_udf``). Row-local by construction: the metric
+    depends only on the document's own array, so no explode, no shuffle —
+    the exploded groupBy staging it replaces shuffled the entire token
+    stream twice (guide §8: decide per-row facts without moving the
+    corpus)."""
+    from ._vectorized import make_repetition_stats_udf
+
+    return make_repetition_stats_udf()(shingles(col, k))
+
+
 def chunk_tokens(col: Column, size: int, stride: int) -> Column:
     """Overlapping token-window chunks for long-document splitting:
     array<struct(start, n_tokens, chunk)> with window ``size`` and step

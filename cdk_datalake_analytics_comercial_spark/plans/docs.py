@@ -1313,9 +1313,20 @@ WHERE rn <= 20
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # Both metric families are row-local (each document's stats depend only
+    # on its own text), so the whole query is ONE projection: line stats as
+    # Column expressions + the bigram mode/total via the Arrow repetition
+    # kernel. The r12 shape exploded the bigrams and shuffled the full
+    # token stream through groupBy(doc, g) → groupBy(doc) → join — two
+    # corpus-sized exchanges plus a join for a per-row fact (guide §8).
+    # spread_rows keeps the per-doc compute on every core locally and is a
+    # no-op once the scan has cluster-scale splits.
+    d = dedup.spread_rows(t(spark, sf_dir, "documents"), "doc_id")
     ls = text.line_stats(F.col("text"))
-    lines = d.select(F.col("doc_id"), ls.alias("_ls")).select(
+    st = text.repetition_stats(F.col("text"), 2)
+    return d.select(
+        F.col("doc_id"), ls.alias("_ls"), st.alias("_st")
+    ).select(
         "doc_id",
         F.col("_ls.n_lines").cast("bigint").alias("n_lines"),
         F.round(
@@ -1326,27 +1337,10 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("dup_line_fraction"),
-    )
-    bi = d.select(
-        "doc_id", F.explode(text.shingles(F.col("text"), 2)).alias("g")
-    )
-    aggs = (
-        bi.groupBy("doc_id", "g")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.max("count").cast("bigint").alias("top_bigram_count"),
-            F.sum("count").cast("bigint").alias("n_bigrams"),
-        )
-    )
-    return lines.join(aggs, "doc_id").select(
-        "doc_id",
-        "n_lines",
-        "dup_line_fraction",
-        "top_bigram_count",
-        "n_bigrams",
+        F.col("_st.top").alias("top_bigram_count"),
+        F.col("_st.n").alias("n_bigrams"),
         F.round(
-            F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6
+            F.col("_st.top").cast("double") / F.col("_st.n"), 6
         ).alias("top_bigram_fraction"),
     )
 

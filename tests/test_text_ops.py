@@ -238,3 +238,35 @@ def test_pii_counts_and_redaction(spark):
     assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_idnum"]) == (0, 0, 0)
     assert out[3]["red"] == rows[3][1]
     assert out[4]["red"] == "combo <EMAIL> <PHONE> <ID>"
+
+
+def test_repetition_stats_matches_explode_groupby(spark):
+    """The Arrow repetition kernel must reproduce the explode→groupBy
+    staging it replaced: top = count of the most frequent bigram, n =
+    total bigram count, including the short-doc whole-text fallback."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_analytics_comercial_spark.operators import text as T
+
+    docs = [
+        "a b a b a b c",          # repeated bigrams
+        "one",                    # < k tokens -> single whole-text shingle
+        "x y",                    # exactly k tokens
+        "u v w x y z",            # all-distinct bigrams
+        "r r r r r r r r",        # one bigram repeated
+    ]
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    ref = (
+        df.select("doc_id", F.explode(T.shingles(F.col("text"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").cast("bigint").alias("top"),
+            F.sum("count").cast("bigint").alias("n"),
+        )
+    )
+    got = df.select(
+        "doc_id", T.repetition_stats(F.col("text"), 2).alias("st")
+    ).select("doc_id", F.col("st.top").alias("top"), F.col("st.n").alias("n"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
