@@ -96,13 +96,24 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     pre_contract: bool = False,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; ``component``
     is the minimum node id reachable through the undirected pair graph.
 
     Deterministic (min-id labeling), so oracle-checkable against a recursive
     transitive-closure CTE.
-    """
+
+    Join strategy is picked DELIBERATELY (guide §3.1): the per-round frames
+    are localCheckpoint RDDs whose size statistics Spark does not know
+    (``defaultSizeInBytes`` = max), so the planner falls back to
+    SortMergeJoin even for a few-hundred-node graph — two shuffles + four
+    sorts per round of pure overhead. The node count is already materialized
+    (the convergence loop counts rows anyway), so when it is at most
+    ``broadcast_max_nodes`` (default 4M nodes ≈ 64 MB of (node, label)
+    longs — comfortably under the broadcast cap) every round hints the
+    label side broadcast; a corpus-scale graph keeps the shuffled SMJ
+    rounds unchanged."""
     if pre_contract:
         pairs = contract_edges(pairs, src, dst)
     # symmetrize in ONE pass over the pair pipeline: explode each pair into
@@ -132,9 +143,14 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=False)
     )
+    # counting labels picks the per-round join strategy (see docstring) AND
+    # materializes its lazy checkpoint in the same job — round 1 would have
+    # paid that materialization anyway, so the count is effectively free
+    n_nodes = labels.count()
+    bcast = n_nodes <= broadcast_max_nodes
 
     for _ in range(max_iter):
-        jumped = cc_round(edges, labels).localCheckpoint()
+        jumped = cc_round(edges, labels, broadcast_labels=bcast).localCheckpoint()
         changed = jumped.filter(F.col("label") != F.col("old_label")).count()
         labels = jumped.select("node", "label")
         if changed == 0:
@@ -143,21 +159,32 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
-def cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def cc_round(
+    edges: DataFrame, labels: DataFrame, broadcast_labels: bool = False
+) -> DataFrame:
     """ONE Hash-Min + pointer-jump round of :func:`connected_components`:
     (node, old_label, label). Factored out so the per-ROUND physical plan
     is independently compilable — the converged result the audit tooling
     would otherwise see is a checkpoint read with zero shuffles, which
     hides the O(log n) rounds × per-round shuffles the operator really
     costs (tools/plan_report.py marks these queries ``iterative`` and
-    reports this round's shape)."""
+    reports this round's shape).
+
+    ``broadcast_labels=True`` hints every label-sized side broadcast —
+    set by :func:`connected_components` from the COUNTED node total
+    (checkpointed inputs expose no size statistics, so the planner alone
+    would always sort-merge; guide §3.1). The hint changes strategy only,
+    never results."""
+    hint = F.broadcast if broadcast_labels else (lambda df: df)
     nbr_min = (
-        edges.join(labels.select(F.col("node").alias("v"), "label"), "v")
+        edges.join(hint(labels.select(F.col("node").alias("v"), "label")), "v")
         .groupBy("u")
         .agg(F.min("label").alias("nbr_min"))
     )
     stepped = labels.join(
-        nbr_min.select(F.col("u").alias("node"), "nbr_min"), "node", "left"
+        hint(nbr_min.select(F.col("u").alias("node"), "nbr_min")),
+        "node",
+        "left",
     ).select(
         "node",
         F.col("label").alias("old_label"),
@@ -167,9 +194,11 @@ def cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     return (
         stepped.alias("a")
         .join(
-            stepped.select(
-                F.col("node").alias("label"), F.col("label").alias("hop")
-            ).alias("b"),
+            hint(
+                stepped.select(
+                    F.col("node").alias("label"), F.col("label").alias("hop")
+                ).alias("b")
+            ),
             "label",
             "left",
         )

@@ -127,3 +127,24 @@ def test_contract_edges_cross_partition_chain(spark):
     out = connected_components(df, pre_contract=True).collect()
     assert {r["component"] for r in out} == {0}
     assert len(out) == n + 1
+
+
+def test_broadcast_round_strategy_matches_smj(spark):
+    """The node-count-driven broadcast hint changes join strategy only:
+    components under broadcast_max_nodes=0 (forced SMJ rounds) and the
+    default (broadcast rounds for a small graph) must be identical, on a
+    graph with chains, a clique and singleton-free nodes."""
+    from cdk_datalake_analytics_comercial_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21), (21, 20),
+         (30, 31), (31, 32), (32, 30), (40, 41)],
+        "id_a long, id_b long",
+    )
+    smj = sorted(
+        map(tuple, connected_components(pairs, broadcast_max_nodes=0).collect())
+    )
+    bcast = sorted(map(tuple, connected_components(pairs).collect()))
+    assert smj == bcast and len(smj) > 0
