@@ -129,6 +129,12 @@ def main() -> None:
         "up to the stated round bound — the converged DataFrame is a",
         "checkpoint scan whose 0-shuffle plan would misstate the cost.",
         "",
+        "Queries that barrier a shared subtree behind a lazy localCheckpoint",
+        "(the r13 shared-subtree materializations) compile that subtree to a",
+        "single `Scan ExistingRDD` node, so its internal scans/exchanges/",
+        "pushed filters are NOT counted here — the committed",
+        "plans/r13/<query>_{before,after}.txt files carry the full shapes.",
+        "",
         "| query | mode | shuffles | bcast | BHJ | SMJ | SHJ | quadratic | pushed | codegen | python |",
         "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
