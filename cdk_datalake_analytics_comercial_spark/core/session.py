@@ -56,6 +56,17 @@ _DEFAULTS = {
     # executor it stands in for (applied at JVM launch; ignored when a
     # session already exists, e.g. the driver's own bare session).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+    # Whole-stage-codegen class cache. The default (100 entries) thrashes
+    # under any workload with more than ~a hundred distinct codegen stages
+    # per JVM — this engine's 138-query registry recompiles EVERY stage on
+    # EVERY run (measured: a 32-query rotation keeps rolling_3m_window at
+    # 8-12 CPU-s per run vs 3.1-3.6 once compiled classes survive, ~2.6×).
+    # A production executor running a many-shape workload thrashes the
+    # same default identically, so a larger bound is the general fix; the
+    # cost is bounded metaspace for the cached generated classes.
+    "spark.sql.codegen.cache.maxEntries": os.environ.get(
+        "SPARK_GRAFT_CODEGEN_CACHE", "4096"
+    ),
 }
 
 
