@@ -23,7 +23,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROUND_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
 )
 
 ITERATIVE = {"dedup_clusters", "dedup_canonical", "emb_clusters"}
