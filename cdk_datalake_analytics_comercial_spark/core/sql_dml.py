@@ -153,7 +153,37 @@ def txlog_table_path(spark: SparkSession, table: str) -> tuple[str, dict] | None
         None,
     )
     if provider is None:
-        return None
+        # READ-OPTIMIZED registrations serve through a native parquet
+        # relation (core/sql_serving._native_register); the txlog storage
+        # path rides in TBLPROPERTIES, so DML on the name keeps routing to
+        # the transactional writers in any process that can see the
+        # catalog entry (the properties persist, unlike Python data source
+        # provider classes).
+        from .sql_serving import _NATIVE_PROP_EXTRA, _NATIVE_PROP_PATH
+
+        is_parquet = any(
+            r.col_name == "Provider" and str(r.data_type) == "parquet"
+            for r in rows
+        )
+        if not is_parquet:
+            return None
+        try:
+            props = {
+                r.key: r.value
+                for r in spark.sql(f"SHOW TBLPROPERTIES {fq}").collect()
+            }
+        except Exception:
+            return None
+        tpath = props.get(_NATIVE_PROP_PATH)
+        if not tpath:
+            return None
+        import json as _json
+
+        try:
+            extra = _json.loads(props.get(_NATIVE_PROP_EXTRA) or "{}")
+        except ValueError:
+            extra = {}
+        return tpath, extra
     pinned = _PINNED_SOURCES.get(provider)
     if pinned is None:
         raise SqlDmlError(
@@ -612,19 +642,26 @@ def _rewrite_time_travel(spark: SparkSession, stmt: str) -> str:
             raise SqlDmlError(
                 f"{tbl}: cannot parse {kind.upper()} AS OF literal {lit!r}"
             )
+        # frozen twins are SELECT-only catalog objects created by this
+        # rewriter, so the read-optimized native relation is always safe
+        # (ineligible snapshots — DVs, mapping — still fall back)
         if kind.lower() == "version":
             if not isinstance(val, int):
                 raise SqlDmlError(
                     f"{tbl}: VERSION AS OF takes an integer, got {lit!r}"
                 )
             frozen = f"{base}__asof_v{val}"
-            register_txlog_table(spark, db, frozen, path, version=val)
+            register_txlog_table(
+                spark, db, frozen, path, version=val, read_optimized=True
+            )
         else:
             import hashlib
 
             tag = hashlib.sha1(str(val).encode()).hexdigest()[:10]
             frozen = f"{base}__asof_t{tag}"
-            register_txlog_table(spark, db, frozen, path, timestamp=val)
+            register_txlog_table(
+                spark, db, frozen, path, timestamp=val, read_optimized=True
+            )
         return f"{kw} {db}.{frozen}"
 
     return _sub_outside_quotes(_TRAVEL, sub, stmt)

@@ -36,9 +36,12 @@ Everything is idempotent: re-running refreshes the registration
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import re
 import tempfile
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -199,6 +202,256 @@ def register_parquet_table(
     return f"{db}.{name}"
 
 
+# ---------------------------------------------------------------------------
+# READ-OPTIMIZED txlog serving: a native parquet relation over a snapshot
+# manifest (guide §4/§6 — the Python Data Source read path costs a fixed
+# ~0.5 s of plan-time worker round-trips per query; a catalog parquet table
+# plans in the JVM with full codegen, footer pushdown and a warm relation
+# cache). The snapshot's live file list is materialized as a SYMLINK
+# MANIFEST directory — the Delta "GENERATE symlink_format_manifest" model
+# used to serve Delta tables to Presto/Athena — and the catalog table's
+# LOCATION is a stable `current` symlink swapped atomically per version:
+#
+#     /tmp/spark_graft_serving/<sha(path)>/v<N>_<content>/<k=v>/f<sha>.parquet
+#     /tmp/spark_graft_serving/<sha(path)>/current -> v<N>_<content>
+#
+# Freshness contract: registration is version-keyed (any commit misses the
+# cache and rebuilds), and a post-commit listener (sources/txlog.py
+# add_commit_listener) re-registers every current-serving native table the
+# moment THIS process commits — the same visible-next-query semantics the
+# Python reader gets by re-resolving per plan. Commits made by OTHER
+# processes become visible at the next registration (every serving query
+# re-registers; a long-lived session that never re-registers fails loudly
+# on the vanished old manifest rather than serving stale rows).
+#
+# Ineligible snapshots — deletion vectors, column mapping, non-local
+# storage, partition columns that are not the schema tail — fall back to
+# the Python Data Source registration unchanged, and a registration can
+# FLIP between the two as commits change eligibility (e.g. a DV delete
+# flips to Python; a compaction that drops the DVs flips back).
+#
+# Writes: all DML/DDL routed through core/sql_dml resolves the table back
+# to txlog storage via TBLPROPERTIES (so MERGE/INSERT/DELETE keep their
+# transactional semantics and the post-commit refresh), but a RAW
+# ``spark.sql("INSERT INTO …")`` on a read-optimized table would write
+# bare parquet into the manifest directory — hence read_optimized is an
+# explicit OPT-IN for serving registrations, never the default.
+
+_NATIVE_PROP_PATH = "spark_graft.txlog.path"
+_NATIVE_PROP_EXTRA = "spark_graft.txlog.extra"
+
+# (appId, db, name) -> {"path", "schema", "pcols", "location"}
+_NATIVE_STATE: dict[tuple[str, str, str], dict] = {}
+# (appId, normalized path) -> {(db, name)} of current-serving native tables
+_SERVING_BY_PATH: dict[tuple[str, str], set[tuple[str, str]]] = {}
+
+
+def _native_serving_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_SQL_NATIVE", "1") != "0"
+
+
+def _serving_root(path: str) -> str:
+    key = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_serving", key)
+
+
+def _native_ineligible_reason(path: str, manifest: dict) -> str | None:
+    """None when the snapshot can be served as a native parquet relation;
+    otherwise the reason for the Python Data Source fallback."""
+    from ..sources import txlog as TX
+
+    if not manifest.get("schema"):
+        return "no schema recorded"
+    mapping = TX._schema_mapping(manifest["schema"])
+    if not TX._mapping_is_identity(mapping):
+        return "column mapping active"
+    files = manifest["files"]
+    if any(f.get("dv") for f in files):
+        return "deletion vectors present"
+    pcols = TX.table_partition_columns(manifest)
+    fields = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
+    if pcols:
+        if len(pcols) >= len(fields) or fields[-len(pcols):] != pcols:
+            # catalog tables move partition columns to the schema tail;
+            # a different logical order would change SELECT * shape
+            return "partition columns are not the schema tail"
+    root = path.rstrip("/")
+    for f in files:
+        full, bd = TX._resolve_file(root, f["path"])
+        if ":" in full.split("/", 1)[0] and not full.startswith("file:"):
+            return "non-local file reference"
+        rel = full[len(bd):].lstrip("/")
+        kvs = [
+            seg.partition("=")[0] for seg in rel.split("/")[:-1] if "=" in seg
+        ]
+        if kvs != pcols:
+            return "file partition layout differs from table partitioning"
+    return None
+
+
+def _build_native_manifest(path: str, manifest: dict) -> str:
+    """Materialize the snapshot's live files as a symlink directory
+    (idempotent, content-keyed, atomically published) and return it.
+    Metadata only: links, never data."""
+    from ..sources import txlog as TX
+
+    root = path.rstrip("/")
+    content = hashlib.sha1(
+        "\n".join(
+            sorted(
+                f"{f['path']}:{f.get('rows', '')}:{f.get('bytes', '')}"
+                for f in manifest["files"]
+            )
+        ).encode()
+    ).hexdigest()[:10]
+    vdir = os.path.join(
+        _serving_root(path), f"v{manifest['version']}_{content}"
+    )
+    if os.path.isdir(vdir):
+        return vdir
+    tmp = f"{vdir}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    for f in manifest["files"]:
+        full, bd = TX._resolve_file(root, f["path"])
+        if full.startswith("file:"):
+            full = full[len("file:"):]
+        rel = full[len(bd):].lstrip("/") if full.startswith(bd) else ""
+        part_dirs = [seg for seg in rel.split("/")[:-1] if "=" in seg]
+        d = os.path.join(tmp, *part_dirs)
+        os.makedirs(d, exist_ok=True)
+        link = "f" + hashlib.sha1(full.encode()).hexdigest()[:16] + ".parquet"
+        os.symlink(full, os.path.join(d, link))
+    try:
+        os.rename(tmp, vdir)
+    except OSError:
+        # lost a build race: the winner's dir is content-identical
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(vdir):
+            raise
+    return vdir
+
+
+def _swap_current(path: str, vdir: str) -> str:
+    """Atomically point ``<serving root>/current`` at ``vdir``; returns the
+    stable current path (the catalog LOCATION)."""
+    root = _serving_root(path)
+    cur = os.path.join(root, "current")
+    tmp = os.path.join(root, f".current-{uuid.uuid4().hex[:8]}")
+    os.symlink(os.path.basename(vdir), tmp)
+    os.replace(tmp, cur)
+    return cur
+
+
+def _schema_ddl(spark: SparkSession, schema_json: str) -> str:
+    jtype = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+        schema_json
+    )
+    return jtype.toDDL()
+
+
+def _native_register(
+    spark: SparkSession,
+    db: str,
+    name: str,
+    path: str,
+    extra: dict,
+    pinned_version: int | None,
+) -> str | None:
+    """Register ``db.name`` as a native parquet relation over the snapshot
+    manifest; returns None (caller falls back to the Python source) when
+    the snapshot is ineligible."""
+    from ..sources import txlog as TX
+
+    manifest = TX.read_manifest(spark, path, pinned_version)
+    if _native_ineligible_reason(path, manifest) is not None:
+        return None
+    frozen = "versionasof" in extra or "timestampasof" in extra
+    vdir = _build_native_manifest(path, manifest)
+    location = vdir if frozen else _swap_current(path, vdir)
+    pcols = TX.table_partition_columns(manifest)
+    fq = f"{db}.{name}"
+    key = _reg_key(spark, db, name)
+    st = _NATIVE_STATE.get(key)
+    reusable = (
+        st is not None
+        and st["schema"] == manifest["schema"]
+        and st["pcols"] == pcols
+        and st["location"] == location
+    )
+    try:
+        reusable = reusable and spark.catalog.tableExists(fq)
+    except Exception:
+        reusable = False
+    if reusable:
+        # same catalog entry, new file set behind the swapped symlink:
+        # drop the cached listing; SYNC picks up added/removed partitions
+        spark.sql(f"REFRESH TABLE {fq}")
+        if pcols:
+            spark.sql(f"MSCK REPAIR TABLE {fq} SYNC PARTITIONS")
+    else:
+        ensure_database(spark, db)
+        _drop_any(spark, fq)
+        part_clause = (
+            " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in pcols) + ")"
+            if pcols
+            else ""
+        )
+        props = (
+            f"'{_NATIVE_PROP_PATH}'='{_sq(path.rstrip('/'))}', "
+            f"'{_NATIVE_PROP_EXTRA}'='{_sq(json.dumps(extra, sort_keys=True))}'"
+        )
+        spark.sql(
+            f"CREATE TABLE {fq} ({_schema_ddl(spark, manifest['schema'])}) "
+            f"USING parquet{part_clause} LOCATION '{_sq(location)}' "
+            f"TBLPROPERTIES ({props})"
+        )
+        if pcols:
+            spark.sql(f"MSCK REPAIR TABLE {fq}")
+    _NATIVE_STATE[key] = {
+        "path": path.rstrip("/"),
+        "schema": manifest["schema"],
+        "pcols": pcols,
+        "location": location,
+    }
+    return fq
+
+
+def _subscribe_serving(
+    spark: SparkSession, db: str, name: str, path: str, wanted: bool
+) -> None:
+    """Track the read-optimized INTENT per registration: subscribed tables
+    are re-registered after every in-process commit, which both refreshes
+    a native manifest and re-attempts the native path after a snapshot
+    that forced the Python fallback (e.g. DVs later compacted away)."""
+    from ..sources import txlog as TX
+
+    key = (spark.sparkContext.applicationId, path.rstrip("/"))
+    if wanted:
+        _SERVING_BY_PATH.setdefault(key, set()).add((db, name))
+        TX.add_commit_listener(_refresh_native_serving)
+    else:
+        regs = _SERVING_BY_PATH.get(key)
+        if regs:
+            regs.discard((db, name))
+
+
+def _refresh_native_serving(spark, path: str, version: int) -> None:
+    """Post-commit listener: re-register every current-serving native
+    table of ``path`` so the next SELECT reads the new snapshot (or flips
+    back to the Python source when the commit made it ineligible)."""
+    if spark is None:
+        return
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        return
+    regs = _SERVING_BY_PATH.get((app, path.rstrip("/")))
+    for db, name in sorted(regs or ()):
+        register_txlog_table(spark, db, name, path, read_optimized=True)
+
+
 def register_txlog_table(
     spark: SparkSession,
     db: str,
@@ -206,6 +459,7 @@ def register_txlog_table(
     path: str,
     version: int | None = None,
     timestamp: str | float | None = None,
+    read_optimized: bool = False,
 ) -> str:
     """(Re-)register one txlog table as ``db.name`` via a table-pinned
     ``txlog`` Python Data Source format (current snapshot resolved at
@@ -216,7 +470,17 @@ def register_txlog_table(
     ``version``/``timestamp`` pin TIME TRAVEL into the name: the table
     serves the frozen snapshot (``VERSION AS OF`` / ``TIMESTAMP AS OF``
     by catalog name — Delta's SQL travel; :func:`sql` rewrites the
-    literal syntax onto this). The DML router (`core.sql_dml`) resolves
+    literal syntax onto this).
+
+    ``read_optimized=True`` (opt-in; env ``SPARK_GRAFT_SQL_NATIVE=0``
+    forces it off) serves eligible snapshots through a NATIVE parquet
+    relation over a symlink manifest instead of the Python Data Source —
+    see the block comment above ``_native_register`` for the freshness
+    contract and the fallback rules. DML by name still routes to the
+    transactional writers (TBLPROPERTIES carry the storage path); do NOT
+    use it for tables that receive raw ``spark.sql("INSERT INTO …")``
+    statements, which only the Python Data Source registration can route
+    into the txlog. The DML router (`core.sql_dml`) resolves
     the name back to storage through the pinned-format registry — the
     same in-process registration a catalog SCAN of the table needs
     (Spark 4.1 neither persists TBLPROPERTIES for Python data source
@@ -239,16 +503,33 @@ def register_txlog_table(
     # behavior) must miss the cache and re-create the entry. An unchanged
     # table (every repeated SELECT-serving registration) still hits the
     # fast path and keeps the relation cache warm.
-    from ..sources.txlog import current_version
+    from ..sources.txlog import current_version, version_at_timestamp
 
+    native = read_optimized and _native_serving_enabled()
     desc = (
         "txlog",
         path.rstrip("/"),
         tuple(sorted(extra.items())),
         current_version(spark, path),
+        native,
     )
     if _reg_fresh(spark, db, name, desc):
         return f"{db}.{name}"
+    frozen = version is not None or timestamp is not None
+    if not frozen:
+        _subscribe_serving(spark, db, name, path, wanted=native)
+    if native:
+        pin = version
+        if pin is None and timestamp is not None:
+            pin = version_at_timestamp(spark, path, timestamp)
+        if pin is None:
+            pin = desc[3]
+        if pin is not None:
+            fq = _native_register(spark, db, name, path, extra, pin)
+            if fq is not None:
+                _reg_done(spark, db, name, desc)
+                return fq
+    _NATIVE_STATE.pop(_reg_key(spark, db, name), None)
     fmt = pinned_txlog_source(spark, path, extra or None)
     ensure_database(spark, db)
     _drop_any(spark, f"{db}.{name}")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup, graph, text
 from ..operators import multimodal
 from .common import t
+from ..core.barrier import shared_barrier
 
 # Shared SQL fragments for the oracle side (DuckDB), mirroring operators.text.
 _SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
@@ -382,7 +383,7 @@ def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # banded write (3 consumers — unbarriered, the md5+MinHash kernel
         # would run once per consumer; guide §2.4/§5).
         idx = dedup.minhash_index(old, "text", "doc_id", portable=True)
-        idx = idx.localCheckpoint(eager=False)
+        idx = idx.transform(shared_barrier)
         n_idx = idx.count()
         # File counts derive from the data volume (guide §6: aim for
         # 128 MB–1 GB files), not from a parallelism constant: fingerprint
@@ -2604,7 +2605,9 @@ def q_sql_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = "lake_" + hashlib.sha1(
         os.path.abspath(sf_dir).encode()
     ).hexdigest()[:8]
-    register_txlog_table(spark, db, "documents_tx", path)
+    register_txlog_table(
+        spark, db, "documents_tx", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang, source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2670,7 +2673,9 @@ def q_sql_generated_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise
             shutil.rmtree(tmp, ignore_errors=True)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "orders_gp", path)
+    register_txlog_table(
+        spark, db, "orders_gp", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT p AS period,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2750,7 +2755,9 @@ def q_sql_pushdown_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = "lake_" + hashlib.sha1(
         os.path.abspath(sf_dir).encode()
     ).hexdigest()[:8]
-    register_txlog_table(spark, db, "documents_pd", path)
+    register_txlog_table(
+        spark, db, "documents_pd", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3007,7 +3014,9 @@ def q_sql_txlog_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _corpus_tx_fixture(spark, sf_dir, "txdmlv1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_dml", path)
+    register_txlog_table(
+        spark, db, "documents_dml", path, read_optimized=True
+    )
     return sql_dml(
         spark,
         f"""SELECT lang, source,
@@ -3083,7 +3092,9 @@ def q_sql_insert_overwrite_dynamic(
 
     path = _corpus_tx_fixture(spark, sf_dir, "txdynv1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_dyn", path)
+    register_txlog_table(
+        spark, db, "documents_dyn", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3144,7 +3155,9 @@ def q_sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _corpus_tx_fixture(spark, sf_dir, "txddlv1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_ddl", path)
+    register_txlog_table(
+        spark, db, "documents_ddl", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3215,7 +3228,9 @@ def q_sql_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _corpus_tx_fixture(spark, sf_dir, "txmcv1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_mc", path)
+    register_txlog_table(
+        spark, db, "documents_mc", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang, source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3304,7 +3319,9 @@ def q_sql_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _corpus_tx_fixture(spark, sf_dir, "txmev1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_me", path)
+    register_txlog_table(
+        spark, db, "documents_me", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3394,7 +3411,9 @@ def q_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _corpus_tx_fixture(spark, sf_dir, "txciv1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_ci", path)
+    register_txlog_table(
+        spark, db, "documents_ci", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3455,7 +3474,9 @@ def q_sql_widening_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _corpus_tx_fixture(spark, sf_dir, "txwlv1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_wl", path)
+    register_txlog_table(
+        spark, db, "documents_wl", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3520,7 +3541,9 @@ def q_sql_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _corpus_tx_fixture(spark, sf_dir, "txrwv1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_rw", path)
+    register_txlog_table(
+        spark, db, "documents_rw", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3579,7 +3602,9 @@ def q_sql_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _corpus_tx_fixture(spark, sf_dir, "txconvv1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_conv", path)
+    register_txlog_table(
+        spark, db, "documents_conv", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3635,7 +3660,9 @@ def q_sql_delete_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _corpus_tx_fixture(spark, sf_dir, "txdexv1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_dex", path)
+    register_txlog_table(
+        spark, db, "documents_dex", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3700,7 +3727,9 @@ def q_sql_delete_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _corpus_tx_fixture(spark, sf_dir, "txdsqv1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_dsq", path)
+    register_txlog_table(
+        spark, db, "documents_dsq", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3763,7 +3792,9 @@ def q_sql_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _corpus_tx_fixture(spark, sf_dir, "txzv1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_z", path)
+    register_txlog_table(
+        spark, db, "documents_z", path, read_optimized=True
+    )
     return spark.sql(f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3809,7 +3840,9 @@ def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _corpus_tx_fixture(spark, sf_dir, "txttv1", build)
     db = _lake_db(sf_dir)
-    register_txlog_table(spark, db, "documents_tt", path)
+    register_txlog_table(
+        spark, db, "documents_tt", path, read_optimized=True
+    )
     return sql_dml(
         spark,
         f"""SELECT v1.lang,

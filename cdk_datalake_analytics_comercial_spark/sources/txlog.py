@@ -1971,8 +1971,31 @@ def _commit(spark: SparkSession, path: str, build) -> int:
                     _write_checkpoint(spark, path, version)
                 except Exception:
                     pass  # commit already durable; checkpoint is an optimization
+            _notify_commit(spark, path, version)
             return version
     raise RuntimeError(f"txlog commit contention at {path}")
+
+
+# Post-commit listeners (in-process): the SQL serving layer registers one so
+# a READ-OPTIMIZED catalog registration (native parquet relation over a
+# snapshot manifest, core/sql_serving.py) is refreshed the moment any commit
+# lands through this driver — the same freshness the Python Data Source gets
+# by re-resolving per query plan. Listener failures propagate: a registration
+# that can no longer be refreshed must fail loudly, never serve stale rows
+# (the commit itself is already durable at that point).
+_COMMIT_LISTENERS: list = []
+
+
+def add_commit_listener(fn) -> None:
+    """Register ``fn(spark, path, version)`` to run after every successful
+    commit made by THIS process (idempotent per function object)."""
+    if fn not in _COMMIT_LISTENERS:
+        _COMMIT_LISTENERS.append(fn)
+
+
+def _notify_commit(spark: SparkSession, path: str, version: int) -> None:
+    for fn in list(_COMMIT_LISTENERS):
+        fn(spark, path, version)
 
 
 # --------------------------------------------------------------------------
