@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import text as T
+from ..core.barrier import shared_barrier
 
 # Mersenne prime modulus for the universal-hash family h_i(x) = (a_i x + b_i)
 # mod p. 2^31-1 keeps every product a*x < 2^62 — exact in long arithmetic, no
@@ -386,7 +387,7 @@ def minhash_lsh_candidates(
     # than the bucket-group at sf0.1, and at cluster scale AQE flips the
     # same plan to a shuffle join keyed on (band, band_hash) which is the
     # bucket-group's shuffle anyway.
-    banded = banded.localCheckpoint(eager=False)
+    banded = banded.transform(shared_barrier)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -427,7 +428,7 @@ def minhash_dedup(
     bucketing so the whole pipeline is reproducible in the DuckDB oracle."""
     fp = fingerprints(
         df, text_col, id_col, num_hashes, k, portable
-    ).localCheckpoint(eager=False)
+    ).transform(shared_barrier)
     cand = minhash_lsh_candidates(
         df,
         text_col,
@@ -552,11 +553,11 @@ def minhash_dedup_incremental(
         # (guide §2.4/§5: materialize shared subtrees once). When a
         # pre-banded layout is supplied the frame has one consumer and
         # streams through unbarriered.
-        index_df = index_df.localCheckpoint(eager=False)
+        index_df = index_df.transform(shared_barrier)
     new_idx = minhash_index(
         new_df, text_col, id_col, num_hashes, k, portable
-    ).localCheckpoint(eager=False)
-    nb = band_keys(new_idx, num_hashes, bands, portable).localCheckpoint(eager=False)
+    ).transform(shared_barrier)
+    nb = band_keys(new_idx, num_hashes, bands, portable).transform(shared_barrier)
 
     # candidate (loser, other) pairs: loser is always the new-batch doc
     a, b = nb.alias("a"), nb.alias("b")
@@ -663,23 +664,31 @@ def ngram_jaccard_pairs(
     exploded = exploded_shingle_keys(df, text_col, id_col, k, portable)
     dropped = None
     if max_postings is not None:
-        # df-count pass BEFORE the array aggregation, so an over-cap
-        # shingle never reaches a collect_set reducer. The md5 shingle
-        # pipeline feeds two consumers — materialize it once behind a
-        # lazy localCheckpoint (the dedup_minhash precedent; interpreted
-        # higher-order functions recomputed per consumer are 10-60×).
-        exploded = exploded.localCheckpoint(eager=False)
-        dropped = (
-            exploded.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_postings)
+        # FUSED df-cap (guide §2.3/§2.4; r13 verdict #3): the df count and
+        # the postings aggregation group by the SAME key, so one window
+        # (count over partition-by-s — no orderBy, one hash exchange +
+        # spillable sort) replaces the r13 shape's second full shuffle of
+        # the exploded stream, its anti-join, and the localCheckpoint
+        # barrier. Over-cap shingles are dropped BEFORE the collect_set
+        # below, which then reuses the window's hash(s) clustering with no
+        # further exchange — so no per-shingle array ever exceeds the cap
+        # and the exploded stream shuffles ONCE. A hot shingle's rows land
+        # in one spillable window group (disk-bounded, like any groupBy on
+        # the same key), never in an m-element in-memory array.
+        from pyspark.sql import Window as _W
+
+        win = _W.partitionBy("s")
+        counted = exploded.withColumn(
+            "df", F.count(F.lit(1)).over(win)
         )
-        # no broadcast hint: overflow is tiny by construction (bounded
-        # by shingles/cap), but its size is data-dependent — let AQE
-        # pick the strategy
-        exploded = exploded.join(
-            dropped.select("s"), "s", "left_anti"
-        )
+        if return_dropped:
+            counted = counted.transform(shared_barrier)
+            dropped = (
+                counted.filter(F.col("df") > max_postings)
+                .groupBy("s")
+                .agg(F.first("df").alias("df"))
+            )
+        exploded = counted.filter(F.col("df") <= max_postings).drop("df")
     # inverted index WITHOUT a self-join: group the postings per shingle,
     # keep only shingles shared by ≥2 docs (the overwhelming majority have
     # one posting and drop here), generate the ordered id pairs per shingle
@@ -822,7 +831,7 @@ def simhash_near_dups(
         F.posexplode(F.array(*[band_bits(i) for i in range(bands)])).alias(
             "band", "bits"
         ),
-    ).localCheckpoint(eager=False)
+    ).transform(shared_barrier)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -132,7 +132,9 @@ def connected_components(
         )
         .select("e.u", "e.v")
         .distinct()
-        .localCheckpoint()
+        # lazy: materialized inside the n_nodes count below (labels derive
+        # from edges), merging what used to be a separate warm-up job
+        .localCheckpoint(eager=False)
     )
     # round 1 reads labels twice (nbr_min join + stepped join); lazy
     # checkpoint materializes it inside round 1's first job instead of
@@ -150,7 +152,13 @@ def connected_components(
     bcast = n_nodes <= broadcast_max_nodes
 
     for _ in range(max_iter):
-        jumped = cc_round(edges, labels, broadcast_labels=bcast).localCheckpoint()
+        # ONE job per round (r13 verdict #4): the round's frame checkpoints
+        # LAZILY and the convergence count is the action that materializes
+        # it — the eager-checkpoint-then-count shape paid two jobs per
+        # round for the same work
+        jumped = cc_round(edges, labels, broadcast_labels=bcast).localCheckpoint(
+            eager=False
+        )
         changed = jumped.filter(F.col("label") != F.col("old_label")).count()
         labels = jumped.select("node", "label")
         if changed == 0:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..core.barrier import shared_barrier
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -597,7 +598,7 @@ def ivf_search_index(
             "cell",
             F.explode(make_probe_cells_udf(cents_int, n_probe)(F.col("qiv"))),
         )
-    q = q.localCheckpoint(eager=False)  # probe set read twice below
+    q = q.transform(shared_barrier)  # probe set read twice below
     probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
     c = tx_read(spark, f"{path}/cells").filter(F.col("cell").isin(probed))
     scored = (
@@ -1328,7 +1329,7 @@ def ivf_pq_search_index(
             "cell",
             F.explode(make_probe_cells_udf(cents_int_l, n_probe)(F.col("qiv"))),
         )
-    q = q.localCheckpoint(eager=False)  # probe set read twice below
+    q = q.transform(shared_barrier)  # probe set read twice below
     probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
     c = tx_read(spark, f"{path}/codes").filter(F.col("cell").isin(probed))
     shortlist_k = rerank if rerank else k

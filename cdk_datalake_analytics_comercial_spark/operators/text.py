@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .expr import let
+from ..core.barrier import shared_barrier
 
 # A BPE-ish tokenizer regex: word pieces, numbers, or single punctuation.
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -305,7 +306,7 @@ def tfidf_keywords(
         .filter(F.col("tok") != "")
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(shared_barrier)
     )
     dfreq = per_doc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = per_doc.join(F.broadcast(dfreq), "tok").withColumn(
@@ -352,7 +353,7 @@ def rarity_scores(
         .filter(F.col("tok") != "")
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(shared_barrier)
     )
     dfreq = per_doc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import dsum, t
+from ..core.barrier import shared_barrier
 
 
 def _epoch_s(df, col="ts"):
@@ -216,7 +217,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("tus").alias("t1"))
-        .localCheckpoint(eager=False)
+        .transform(shared_barrier)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -224,7 +225,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tus") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("tus").alias("t2"))
-        .localCheckpoint(eager=False)
+        .transform(shared_barrier)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -319,7 +320,7 @@ def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full stream once; both aggregations then run over the (much
     # smaller) distinct rows. countDistinct over pairs ≡ count(*) over
     # the distinct grain.
-    dv = pairs.distinct().localCheckpoint(eager=False)
+    dv = pairs.distinct().transform(shared_barrier)
     sketch = hll_distinct(dv, ["bucket_start"], "v", p=8, assume_distinct=True)
     exact = dv.groupBy("bucket_start").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_users")
@@ -426,7 +427,7 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = (
         dw.select("wk", "day", "user_id")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(shared_barrier)
     )
     daily = tri.groupBy("wk", "day").agg(
         F.count(F.lit(1)).alias("dau")

@@ -9,7 +9,7 @@ engines) — hash-exact differential testing with zero tolerance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core import magic_dates
@@ -21,6 +21,7 @@ from ..functions.transforms import (
 )
 from ..operators.relational import rolling_range_join, rolling_window, top1_per_group
 from .common import period_yyyymm, dmul2, dsum, dsum_to_double, t
+from ..core.barrier import shared_barrier
 
 # --------------------------------------------------------------------------
 # A1/A2/P3 — hash aggregate with conditional measures (pricing summary).
@@ -1143,6 +1144,53 @@ SELECT p_partkey, 'retailprice', p_retailprice FROM part
 """
 
 
+def _staged_global_order(df: DataFrame) -> bool:
+    """Strategy gate for the two exact global-order queries (deciles /
+    pareto): below the threshold the classic single-partition Window is
+    FASTER (the staged shape pays ~3 extra stages of fixed overhead on
+    metadata-sized grains); above it the single task becomes the wall and
+    the staged range-bucket shape wins. Gated on the KNOWN source input
+    bytes of the plan (file-relation leaves), like the CC broadcast gate
+    (operators/graph.py) — strategy only, results bit-identical (pinned by
+    test_global_order_staged_matches_single_partition and the oracle runs
+    with the env forced both ways). Default 4 GiB: a one-task sort of the
+    per-key grain of ≤4 GiB of source parquet is seconds; a 100 TB fact
+    table is ~5 orders of magnitude past it."""
+    import os
+
+    from ..core.barrier import known_input_bytes
+
+    limit = int(
+        os.environ.get("SPARK_GRAFT_GLOBAL_WINDOW_MAX_INPUT", 4 * 1024**3)
+    )
+    return known_input_bytes(df) > limit
+
+
+def _order_buckets(df: DataFrame, col: Column, nb: int) -> Column:
+    """A bucket id that is monotone NON-DECREASING along ``col`` DESC —
+    the staging key for distributed-exact global-order windows (guide
+    §2.2/§2.4). Approximate quantile boundaries are resolved to the driver
+    (nb-1 doubles — the 'tiny totals to the driver' pattern; boundary
+    quality affects only balance, never correctness) and baked into a
+    binary-search tree of CaseWhen literals, so bucketing is whole-stage
+    codegen with log2(nb) comparisons per row — no crossJoin subtree, no
+    interpreted higher-order function. Returns ``#boundaries > col``."""
+    probs = [i / nb for i in range(1, nb)]
+    row = df.agg(F.percentile_approx(col, probs).alias("_gb")).first()
+    bounds = sorted(set(row["_gb"] or []))
+
+    def rec(lo: int, hi: int) -> Column:
+        if lo >= hi:
+            return F.lit(0)
+        mid = (lo + hi) // 2
+        # bounds ascend, so bounds[mid] > v implies every later one is too
+        return F.when(
+            F.lit(bounds[mid]) > col, F.lit(hi - mid) + rec(lo, mid)
+        ).otherwise(rec(mid + 1, hi))
+
+    return rec(0, len(bounds))
+
+
 # --------------------------------------------------------------------------
 # ntile deciles: equal-frequency bucketing over a TOTAL order (ties broken
 # by key so the decile boundaries are deterministic) — the window family's
@@ -1154,13 +1202,74 @@ SELECT p_partkey, 'retailprice', p_retailprice FROM part
 
 
 def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DISTRIBUTED-EXACT global ntile (guide §2.2/§2.4; r13 verdict #1): the
+    # naive form is a single-partition Window over every customer — a
+    # one-task wall at 100 TB key cardinalities. Instead the total order is
+    # split into value-range buckets (approx-quantile boundaries: balance
+    # only, never correctness), ranks are computed per bucket in parallel,
+    # and exact cross-bucket rank offsets come from a P-row bucket-count
+    # frame (the only remaining single-partition window runs over those P
+    # rows, not the data). ntile(10) is then a closed-form function of the
+    # exact global rank and N, so results are bit-identical to the oracle.
+    # Below the size gate the classic one-Window form is cheaper (fewer
+    # stages) and Spark's single-partition window on the aggregated grain
+    # is harmless; the staged shape takes over once the source is big
+    # (bit-identical either way — see _staged_global_order).
     o = t(spark, sf_dir, "orders")
-    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+    per_cust_plan = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         dsum(F.col("o_totalprice")).alias("total_value")
     )
-    w = Window.orderBy(F.col("total_value").desc(), F.col("custkey").asc())
+    if not _staged_global_order(o):
+        w = Window.orderBy(F.col("total_value").desc(), F.col("custkey").asc())
+        return (
+            per_cust_plan.withColumn(
+                "decile", F.ntile(10).over(w).cast("int")
+            )
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.round(F.sum("total_value"), 4).alias("decile_value"),
+            )
+        )
+    per_cust = per_cust_plan.transform(shared_barrier)  # quantiles + ranks
+    nb = max(2, spark.sparkContext.defaultParallelism)
+    # bucket = #boundaries strictly above the value: monotone along the
+    # (total_value DESC) order, so bucket boundaries respect the total
+    # order and ties stay inside one bucket
+    bucketed = per_cust.withColumn(
+        "_b", _order_buckets(per_cust, F.col("total_value"), nb)
+    )
+    wb = Window.orderBy("_b")
+    offs = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt")).select(
+        "_b",
+        F.coalesce(
+            F.sum("_cnt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_prev"),
+        F.sum("_cnt")
+        .over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("_n"),
+    )
+    w = Window.partitionBy("_b").orderBy(
+        F.col("total_value").desc(), F.col("custkey").asc()
+    )
+    ranked = (
+        bucketed.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offs), "_b")
+        .withColumn("_r", F.col("_prev") + F.col("_rn"))
+    )
+    # exact ntile(10): the first (N mod 10) deciles take ceil(N/10) rows
+    decile = F.expr(
+        "CASE WHEN _r <= ((_n div 10) + 1) * (_n % 10) "
+        "THEN (_r - 1) div ((_n div 10) + 1) + 1 "
+        "ELSE (_n % 10) "
+        "   + (_r - ((_n div 10) + 1) * (_n % 10) - 1) div (_n div 10) + 1 "
+        "END"
+    ).cast("int")
     return (
-        per_cust.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        ranked.withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
@@ -1280,7 +1389,7 @@ def q_monthly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("o_totalprice")).alias("obs_revenue"))
         # two consumers (grid bounds + the left join) and AQE does not
         # reuse the exchange across them — materialize the join+agg once
-        .localCheckpoint(eager=False)
+        .transform(shared_barrier)
     )
     grid = month_grid(n.select(F.col("n_name").alias("nation")), monthly, "month")
     joined = grid.join(monthly, ["nation", "month"], "left")
@@ -1342,7 +1451,7 @@ def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE (priority, custkey) distinct grain serves the sketch and the
     # exact COUNT(DISTINCT) (guide §2.4) — each previously re-scanned
     # orders and re-shuffled the full pair stream for its own distinct.
-    dv = pairs.distinct().localCheckpoint(eager=False)
+    dv = pairs.distinct().transform(shared_barrier)
     sketch = kmv_distinct(
         dv, ["priority"], "custkey", k=_KMV_K, assume_distinct=True
     )
@@ -1402,7 +1511,7 @@ def q_monthly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("o_totalprice")).alias("obs_revenue"))
         # two consumers (grid bounds + the left join) and AQE does not
         # reuse the exchange across them — materialize the join+agg once
-        .localCheckpoint(eager=False)
+        .transform(shared_barrier)
     )
     grid = month_grid(n.select(F.col("n_name").alias("nation")), monthly, "month")
     joined = grid.join(monthly, ["nation", "month"], "left")
@@ -1464,7 +1573,7 @@ def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
     )
     # shared distinct grain, as in q_approx_distinct_kmv (guide §2.4)
-    dv = pairs.distinct().localCheckpoint(eager=False)
+    dv = pairs.distinct().transform(shared_barrier)
     sketch = hll_distinct(dv, ["priority"], "custkey", p=8, assume_distinct=True)
     exact = dv.groupBy("priority").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
@@ -1691,22 +1800,87 @@ WHERE r.rn = 1
 def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # DISTRIBUTED-EXACT cumulative share (guide §2.2/§2.4; r13 verdict #1):
+    # same staged shape as q_customer_value_deciles — value-range buckets
+    # from approx quantiles (balance only), per-bucket decimal prefix sums
+    # in parallel, exact cross-bucket offsets from the P-row bucket-sum
+    # frame. Decimal addition is exact, so bucket boundaries cannot perturb
+    # the cumulative sums; the old separate grand-total branch folds into
+    # the same P-row frame (one fewer full aggregation of rev).
     l = t(spark, sf_dir, "lineitem")
-    rev = l.groupBy("l_partkey").agg(
+    rev_plan = l.groupBy("l_partkey").agg(
         F.sum(
             dmul2(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount"))
         ).alias("_rev_dec")
     )
-    w = Window.orderBy(F.col("_rev_dec").desc(), F.col("l_partkey").asc())
-    total = rev.agg(F.sum("_rev_dec").alias("_tot_dec"))
+    if not _staged_global_order(l):
+        # classic form below the size gate (see _staged_global_order);
+        # barrier the grain so the grand-total branch shares one scan
+        rev0 = rev_plan.transform(shared_barrier)
+        w0 = Window.orderBy(F.col("_rev_dec").desc(), F.col("l_partkey").asc())
+        total = rev0.agg(F.sum("_rev_dec").alias("_tot_dec"))
+        scored0 = (
+            rev0.withColumn(
+                "_cum_dec",
+                F.sum("_rev_dec").over(
+                    w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.col("l_partkey").alias("partkey"),
+                F.col("_rev_dec").cast("decimal(24,4)").cast("double").alias(
+                    "revenue"
+                ),
+                (
+                    F.col("_cum_dec").cast("decimal(24,4)").cast("double")
+                    / F.col("_tot_dec").cast("decimal(24,4)").cast("double")
+                ).alias("cum_share"),
+            )
+        )
+        cls0 = (
+            F.when(F.col("cum_share") <= 0.80, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C")
+        )
+        return scored0.select(
+            "partkey", "revenue", "cum_share", cls0.alias("abc")
+        )
+    rev = rev_plan.transform(shared_barrier)  # quantiles + sums + prefix
+    nb = max(2, spark.sparkContext.defaultParallelism)
+    # double cast is order-preserving on decimals, so the bucket function
+    # is monotone along (_rev_dec DESC); exact ordering inside a bucket
+    # stays on the decimal
+    bucketed = rev.withColumn(
+        "_b", _order_buckets(rev, F.col("_rev_dec").cast("double"), nb)
+    )
+    wb = Window.orderBy("_b")
+    offs = bucketed.groupBy("_b").agg(F.sum("_rev_dec").alias("_bsum")).select(
+        "_b",
+        F.sum("_bsum")
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("_prev_dec"),
+        F.sum("_bsum")
+        .over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("_tot_dec"),
+    )
+    w = Window.partitionBy("_b").orderBy(
+        F.col("_rev_dec").desc(), F.col("l_partkey").asc()
+    )
     scored = (
-        rev.withColumn(
-            "_cum_dec",
+        bucketed.withColumn(
+            "_lcum_dec",
             F.sum("_rev_dec").over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
-        .crossJoin(F.broadcast(total))
+        .join(F.broadcast(offs), "_b")
+        .withColumn(
+            "_cum_dec",
+            F.col("_lcum_dec") + F.coalesce(F.col("_prev_dec"), F.lit(0)),
+        )
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("_rev_dec").cast("decimal(24,4)").cast("double").alias(
@@ -1773,7 +1947,7 @@ def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .localCheckpoint(eager=False)  # 3 consumers: pairs/per_part/anchor
+        .transform(shared_barrier)  # 3 consumers: pairs/per_part/anchor
     )
     n_orders_anchor = op_sets.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
