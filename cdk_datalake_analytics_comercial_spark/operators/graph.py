@@ -96,7 +96,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     pre_contract: bool = False,
-    broadcast_max_nodes: int = 4_000_000,
+    broadcast_max_nodes: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; ``component``
     is the minimum node id reachable through the undirected pair graph.
@@ -110,8 +110,9 @@ def connected_components(
     SortMergeJoin even for a few-hundred-node graph — two shuffles + four
     sorts per round of pure overhead. The node count is already materialized
     (the convergence loop counts rows anyway), so when it is at most
-    ``broadcast_max_nodes`` (default 4M nodes ≈ 64 MB of (node, label)
-    longs — comfortably under the broadcast cap) every round hints the
+    ``broadcast_max_nodes`` (default: derived from the session's
+    ``spark.sql.autoBroadcastJoinThreshold`` at ~32 B/node against 8x the
+    threshold — ~2.5M nodes at the 10 MB default) every round hints the
     label side broadcast; a corpus-scale graph keeps the shuffled SMJ
     rounds unchanged."""
     if pre_contract:
@@ -149,6 +150,23 @@ def connected_components(
     # materializes its lazy checkpoint in the same job — round 1 would have
     # paid that materialization anyway, so the count is effectively free
     n_nodes = labels.count()
+    if broadcast_max_nodes is None:
+        # Derive from the session's broadcast budget instead of a fixed
+        # node count (ADVICE r13): a broadcast label relation costs well
+        # over its raw 16 B/node once the hash relation and the driver
+        # copy are counted, so allow ~32 B/node against 8x the configured
+        # autoBroadcastJoinThreshold (the deliberate-hint headroom; the
+        # planner alone would never broadcast these stat-less frames).
+        # Default threshold 10 MB -> ~2.5M nodes; still overridable.
+        try:
+            thr = int(
+                pairs.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold"
+                )
+            )
+        except Exception:
+            thr = 10 * 1024 * 1024
+        broadcast_max_nodes = max(0, (8 * max(thr, 0)) // 32)
     bcast = n_nodes <= broadcast_max_nodes
 
     for _ in range(max_iter):

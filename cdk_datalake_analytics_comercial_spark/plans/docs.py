@@ -313,6 +313,25 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.select("doc_id", "lang", "source")
 
 
+# Persisted-index file sizing (guide §6: aim for 128 MB–1 GB files):
+# fingerprint rows carry the full shingle-hash set (~2 KB/row → ~64k
+# rows/file); banded probe keys are ~50 B/row × 16 bands (~2.5M rows/file).
+INDEX_FEAT_ROWS_PER_FILE = 65536
+INDEX_BAND_ROWS_PER_FILE = 2_500_000
+
+
+def incremental_index_file_counts(n_rows: int) -> tuple[int, int]:
+    """(feats files, banded files) for an ``n_rows``-fingerprint index —
+    the ONE definition of the size-derived layout (tests import it, so a
+    formula change cannot silently diverge from the pinned scale math)."""
+    import math as _math
+
+    return (
+        max(1, _math.ceil(n_rows / INDEX_FEAT_ROWS_PER_FILE)),
+        max(1, _math.ceil(n_rows * 16 / INDEX_BAND_ROWS_PER_FILE)),
+    )
+
+
 def _incremental_index_path(sf_dir: str) -> str:
     """Deterministic scratch dir for the persisted dedup index, keyed by
     a content fingerprint of the documents parquet (size + mtime per
@@ -393,8 +412,7 @@ def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stage downstream inherited the 32-task parallelism for
         # metadata-sized work; at corpus scale the same formulas yield
         # thousands of right-sized files.
-        feat_files = max(1, math.ceil(n_idx / 65536))
-        band_files = max(1, math.ceil(n_idx * 16 / 2_500_000))
+        feat_files, band_files = incremental_index_file_counts(n_idx)
         tmp = tempfile.mkdtemp(prefix="spark_graft_mhidx_build_")
         idx.repartition(feat_files).write.mode("overwrite").parquet(
             os.path.join(tmp, "feats")
@@ -1322,7 +1340,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-sized exchanges plus a join for a per-row fact (guide §8).
     # spread_rows keeps the per-doc compute on every core locally and is a
     # no-op once the scan has cluster-scale splits.
-    d = dedup.spread_rows(t(spark, sf_dir, "documents"), "doc_id")
+    # NULL-text docs are excluded explicitly: the pre-kernel explode→group
+    # →join shape dropped them via the inner join, while the row-local
+    # kernel would emit top=0/n=0 (and a NaN fraction) — the filter pins
+    # the original row set whatever the data holds (ADVICE r13).
+    d = dedup.spread_rows(
+        t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        "doc_id",
+    )
     ls = text.line_stats(F.col("text"))
     st = text.repetition_stats(F.col("text"), 2)
     return d.select(

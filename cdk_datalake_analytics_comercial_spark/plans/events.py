@@ -323,7 +323,8 @@ def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = pairs.distinct().transform(shared_barrier)
     sketch = hll_distinct(dv, ["bucket_start"], "v", p=8, assume_distinct=True)
     exact = dv.groupBy("bucket_start").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_users")
+        # count(v), not count(1): NULL users must stay skipped (ADVICE r13)
+        F.count(F.col("v")).cast("bigint").alias("exact_users")
     )
     return sketch.join(exact, "bucket_start").select(
         "bucket_start", "hll_buckets_used", "hll_estimate", "exact_users"

@@ -1456,7 +1456,9 @@ def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         dv, ["priority"], "custkey", k=_KMV_K, assume_distinct=True
     )
     exact = dv.groupBy("priority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+        # count(custkey), not count(1): countDistinct skipped NULLs, and a
+        # (priority, NULL) row in the distinct grain must stay skipped
+        F.count(F.col("custkey")).cast("bigint").alias("exact_distinct")
     )
     return sketch.join(exact, "priority").select(
         "priority", "n_kept", "kth_hash", "kmv_estimate", "exact_distinct"
@@ -1576,7 +1578,9 @@ def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = pairs.distinct().transform(shared_barrier)
     sketch = hll_distinct(dv, ["priority"], "custkey", p=8, assume_distinct=True)
     exact = dv.groupBy("priority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+        # count(custkey), not count(1): countDistinct skipped NULLs, and a
+        # (priority, NULL) row in the distinct grain must stay skipped
+        F.count(F.col("custkey")).cast("bigint").alias("exact_distinct")
     )
     return sketch.join(exact, "priority").select(
         "priority", "hll_buckets_used", "hll_estimate", "exact_distinct"

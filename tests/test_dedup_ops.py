@@ -361,6 +361,7 @@ def test_incremental_probe_index_files_are_size_derived(spark):
 
     from cdk_datalake_analytics_comercial_spark.plans.docs import (
         _incremental_index_path,
+        incremental_index_file_counts,
         q_dedup_incremental_probe,
     )
 
@@ -372,7 +373,10 @@ def test_incremental_probe_index_files_are_size_derived(spark):
     # 25-doc history index -> one file per output, not one per core
     assert len(feats) == 1, feats
     assert len(banded) == 1, banded
-    # the same formulas produce many right-sized files at corpus scale
-    n = 100_000_000
-    assert math.ceil(n / 65536) > 1000
-    assert math.ceil(n * 16 / 2_500_000) > 600
+    # the same formulas produce many right-sized files at corpus scale —
+    # asserted against the PRODUCTION sizing function, not a re-derived
+    # copy of its constants (ADVICE r13)
+    feat_big, band_big = incremental_index_file_counts(100_000_000)
+    assert feat_big > 1000
+    assert band_big > 600
+    assert incremental_index_file_counts(25) == (1, 1)
