@@ -3099,9 +3099,14 @@ def q_sql_insert_overwrite_dynamic(
 
     def build(tmp: str) -> None:
         d = t(spark, sf_dir, "documents")
+        # partition column LAST in the table schema — the hive-normalized
+        # layout every SQL catalog serves (partition columns sort to the
+        # schema tail), which also keeps the read-optimized native
+        # registration eligible (core/sql_serving: non-tail partition
+        # columns must fall back to the Python source)
         tx_write(
             spark,
-            d.select("doc_id", "lang", "n_chars"),
+            d.select("doc_id", "n_chars", "lang"),
             tmp,
             partition_by=["lang"],
         )
@@ -3110,12 +3115,12 @@ def q_sql_insert_overwrite_dynamic(
         sql_dml(
             spark,
             "INSERT OVERWRITE TABLE lake_dyn_build.t "
-            "SELECT doc_id, lang, n_chars * 2 AS n_chars "
+            "SELECT doc_id, n_chars * 2 AS n_chars, lang "
             "FROM graft_dyn_src WHERE lang = 'en' AND doc_id % 2 = 0",
         )
         spark.sql("DROP TABLE IF EXISTS lake_dyn_build.t")
 
-    path = _corpus_tx_fixture(spark, sf_dir, "txdynv1", build)
+    path = _corpus_tx_fixture(spark, sf_dir, "txdynv2", build)
     db = _lake_db(sf_dir)
     register_txlog_table(
         spark, db, "documents_dyn", path, read_optimized=True
