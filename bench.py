@@ -133,6 +133,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Optional subset run (r13 verdict #9: per-round sf1 hot-family rows in
+    # BENCH_HISTORY) — the generated sf1 corpus carries only the document/
+    # event tables, so a full-HEADLINE run is impossible there. The default
+    # (unset) HEADLINE is unchanged; subset rows land in BENCH_HISTORY
+    # keyed by their sf like any other row.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = (
+        [q.strip() for q in subset.split(",") if q.strip()]
+        if subset
+        else HEADLINE
+    )
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -156,10 +168,10 @@ def main() -> None:
     # the trustworthy regression signal.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     jvm_pid = _jvm_pid(spark)
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    cpu_samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    cpu_samples: dict[str, list[float]] = {name: [] for name in headline}
     for _ in range(passes):
-        for name in HEADLINE:
+        for name in headline:
             c0 = _proc_cpu_sec(jvm_pid)
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -173,12 +185,12 @@ def main() -> None:
             s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3
         )
 
-    timings = {name: median(samples[name]) for name in HEADLINE}
+    timings = {name: median(samples[name]) for name in headline}
     mad = {
         name: median([abs(x - timings[name]) for x in samples[name]])
-        for name in HEADLINE
+        for name in headline
     }
-    cpu = {name: median(cpu_samples[name]) for name in HEADLINE}
+    cpu = {name: median(cpu_samples[name]) for name in headline}
     total = round(sum(timings.values()), 3)
     noise_floor = round(sum(mad.values()), 3)
     _append_history(timings, total, sf, mad=mad, cpu=cpu, passes=passes)
