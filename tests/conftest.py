@@ -12,6 +12,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: exhaustive tier (property suites, full-pipeline replays, "
+        "codec corpora) — skipped unless SPARK_GRAFT_SLOW_TESTS=1 so the "
+        "default `pytest tests/` run fits a CI/driver budget; every "
+        "operator keeps fast-tier coverage in its own test module",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_SLOW_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier — set SPARK_GRAFT_SLOW_TESTS=1 to run"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     from cdk_datalake_analytics_comercial_spark.core import get_spark

@@ -7,6 +7,11 @@ types, partitioning) end to end, the way the reference's orchestration
 state machine does nightly."""
 
 import os
+import pytest
+
+# slow tier (end-to-end 52-job replay) — skipped unless SPARK_GRAFT_SLOW_TESTS=1;
+# fast-tier coverage of the same operators lives in the unit modules
+pytestmark = pytest.mark.slow
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))

@@ -7,6 +7,11 @@ capabilities (version history, time travel, CDF) must hold on real job
 tables across two pipeline runs."""
 
 import os
+import pytest
+
+# slow tier (end-to-end pipeline on txlog storage) — skipped unless SPARK_GRAFT_SLOW_TESTS=1;
+# fast-tier coverage of the same operators lives in the unit modules
+pytestmark = pytest.mark.slow
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))

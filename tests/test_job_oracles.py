@@ -18,6 +18,11 @@ agree on a shared misreading.
 """
 
 from __future__ import annotations
+import pytest
+
+# slow tier (per-job oracle replays (the driver re-proves these against DuckDB every round)) — skipped unless SPARK_GRAFT_SLOW_TESTS=1;
+# fast-tier coverage of the same operators lives in the unit modules
+pytestmark = pytest.mark.slow
 
 import datetime as dt
 from decimal import Decimal as D

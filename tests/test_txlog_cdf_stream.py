@@ -252,6 +252,7 @@ def test_cdf_row_keyed_oversized_group_splits_and_stays_exact(
     }
 
 
+@pytest.mark.slow
 def test_cdf_stream_drives_incremental_view_maintenance(spark, tmp_path):
     """The full production chain: a row-keyed CHANGE-FEED STREAM feeds
     incremental aggregate maintenance (operators/incremental.maintain_agg)

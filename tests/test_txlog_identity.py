@@ -7,6 +7,8 @@ omits the column."""
 import json
 import threading
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cdk_datalake_analytics_comercial_spark.sources import txlog as TX
@@ -77,6 +79,7 @@ def test_identity_explicit_values_advance_the_mark(spark, tmp_path):
     assert _ids(spark, p) == [500, 501]  # allocation resumed past 500
 
 
+@pytest.mark.slow
 def test_identity_survives_overwrite_checkpoint_vacuum(spark, tmp_path):
     p = str(tmp_path / "id4")
     TX.tx_write(spark, spark.createDataFrame([], "id long, v string"), p)
@@ -111,6 +114,7 @@ def test_identity_follows_clone(spark, tmp_path):
     assert _ids(spark, dst) == [1, 2, 3]  # continued, no reuse of 1/2
 
 
+@pytest.mark.slow
 def test_identity_concurrent_writers_never_collide(spark, tmp_path):
     """The CAS race: concurrent appends that all allocate must end with
     all-unique dense ids — a loser whose watermark moved rewrites its
@@ -439,6 +443,7 @@ def test_require_version_guards_snapshot_overwrites(spark, tmp_path):
     assert {r["v"] for r in TX.tx_read(spark, p).collect()} == {"fresh"}
 
 
+@pytest.mark.slow
 def test_identity_8_thread_race_within_bounded_retry_budget(spark, tmp_path):
     """Contention fairness: 8 racing allocators must all land within a
     12-retry budget under the full-jitter exponential backoff (the linear

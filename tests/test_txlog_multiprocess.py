@@ -16,6 +16,11 @@ read-back verify then becomes redundant but stays harmless.
 """
 
 import json
+import pytest
+
+# slow tier (two-JVM race suites) — skipped unless SPARK_GRAFT_SLOW_TESTS=1;
+# fast-tier coverage of the same operators lives in the unit modules
+pytestmark = pytest.mark.slow
 import os
 import subprocess
 import sys

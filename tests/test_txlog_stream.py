@@ -360,6 +360,7 @@ def test_dv_delete_is_a_change_commit(spark, tmp_path):
     assert got == [(1, "v1", "us"), (3, "v3", "us")]
 
 
+@pytest.mark.slow
 def test_lost_checkpoint_plain_append_sink_exactly_once_with_txn(
     spark, tmp_path
 ):
@@ -415,6 +416,7 @@ def test_lost_checkpoint_plain_append_sink_exactly_once_with_txn(
     assert got() == want
 
 
+@pytest.mark.slow
 def test_vacuumed_gap_between_offset_and_horizon_fails_loudly(spark, tmp_path):
     """Commit versions vacuumed BETWEEN a stream's checkpointed offset and
     the retained horizon must fail the restart, never be silently skipped
@@ -455,6 +457,7 @@ def _sink_drain(spark, src, dst, chk, outputMode="append", query=None,
     q.awaitTermination(180)
 
 
+@pytest.mark.slow
 def test_stream_sink_append_exactly_once(spark, tmp_path):
     """writeStream.format('txlog') creates the sink table on the first
     batch and appends exactly once: each micro-batch is ONE atomic commit
