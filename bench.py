@@ -150,9 +150,11 @@ def main() -> None:
 
     # warm the JVM + file listing + the Python (Arrow UDF) worker pool so
     # per-query times measure the plans, not one-time process startup
-    QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # (subset runs warm with their own first query — a generated corpus
+    # may not carry every table the default warmup query reads)
+    QUERIES[headline[0] if subset else "pricing_summary"](
+        spark, sf_dir
+    ).write.format("noop").mode("overwrite").save()
     import pandas as _pd
 
     spark.range(64).repartition(64).mapInPandas(
